@@ -1,0 +1,196 @@
+package graft.pgproto
+
+/** Typed pgoutput logical-replication messages (protocol v1 + v2).
+  *
+  * Wire layouts follow the public PostgreSQL documentation ("Logical
+  * Streaming Replication Protocol" → "Protocol Message Formats"). The
+  * reference decodes the same tag set at `pq/message/message.go:42-73`
+  * with per-message decoders in `pq/message/format/<msg>.go`; unsupported
+  * tags ('M' logical message, 'O' origin, 'Y' type) raise, matching its
+  * behavior.
+  *
+  * Proto v2 nuance: when a DML/Relation/Truncate message arrives inside a
+  * streamed (in-progress) transaction chunk, the message body is prefixed
+  * with the 4-byte XID of that transaction (`message.go:36-49`,
+  * `format/insert.go:56-66` in the reference). Callers tell [[Messages.decode]]
+  * whether the stream is currently inside STREAM START/STOP.
+  */
+object Messages {
+
+  sealed trait Msg { def tag: Char }
+
+  /** 'B' — transaction begin (`format/begin.go:17-39`). */
+  final case class Begin(finalLsn: Long, commitTimeMicros: Long, xid: Long) extends Msg {
+    def tag = 'B'
+  }
+
+  /** 'C' — transaction commit (`format/commit.go:18-43`). */
+  final case class Commit(
+      flags: Int, commitLsn: Long, transactionEndLsn: Long, commitTimeMicros: Long)
+      extends Msg { def tag = 'C' }
+
+  /** 'R' — relation (table schema), sent in-band before first DML per table
+    * (`format/relation.go:30-97`).
+    */
+  final case class Relation(
+      xid: Long, // 0 unless inside a streamed transaction
+      oid: Long,
+      namespace: String,
+      name: String,
+      replicaIdentity: Byte, // 'd' default | 'n' nothing | 'f' full | 'i' index
+      columns: Array[RelationColumn])
+      extends Msg { def tag = 'R' }
+
+  /** Column descriptor inside 'R' (`pq/message/tuple/data.go:32-37`).
+    * `flags` bit 0 = column is part of the replica-identity key.
+    */
+  final case class RelationColumn(name: String, typeOid: Long, typeModifier: Int, flags: Int) {
+    def isKey: Boolean = (flags & 1) != 0
+  }
+
+  /** 'I' (`format/insert.go`). */
+  final case class Insert(xid: Long, relationOid: Long, newTuple: TupleData.Tuple) extends Msg {
+    def tag = 'I'
+  }
+
+  /** 'U' (`format/update.go`). oldTupleType: 0 = absent, 'K' = key image,
+    * 'O' = full old image (REPLICA IDENTITY FULL).
+    */
+  final case class Update(
+      xid: Long,
+      relationOid: Long,
+      oldTupleType: Byte,
+      oldTuple: TupleData.Tuple, // null when absent
+      newTuple: TupleData.Tuple)
+      extends Msg { def tag = 'U' }
+
+  /** 'D' (`format/delete.go`). oldTupleType: 'K' or 'O'. */
+  final case class Delete(xid: Long, relationOid: Long, oldTupleType: Byte, oldTuple: TupleData.Tuple)
+      extends Msg { def tag = 'D' }
+
+  /** 'T' (`format/truncate.go`). */
+  final case class Truncate(xid: Long, options: Int, relationOids: Array[Long]) extends Msg {
+    def tag = 'T'
+    def cascade: Boolean = (options & 1) != 0
+    def restartIdentity: Boolean = (options & 2) != 0
+  }
+
+  /** 'S' — stream start, proto v2 (`format/stream.go:19-45`). */
+  final case class StreamStart(xid: Long, firstSegment: Boolean) extends Msg { def tag = 'S' }
+
+  /** 'E' — stream stop (`format/stream.go`). */
+  case object StreamStop extends Msg { def tag = 'E' }
+
+  /** 'c' — stream commit (`format/stream.go:60-90`). */
+  final case class StreamCommit(
+      xid: Long, flags: Int, commitLsn: Long, transactionEndLsn: Long, commitTimeMicros: Long)
+      extends Msg { def tag = 'c' }
+
+  /** 'A' — stream abort (`format/stream.go:92-107`). */
+  final case class StreamAbort(xid: Long, subXid: Long) extends Msg { def tag = 'A' }
+
+  /** Decode one pgoutput message (the XLogData payload).
+    *
+    * @param inStreamedTx true when between STREAM START and STREAM STOP —
+    *                     DML/Relation/Truncate bodies then carry an XID prefix.
+    */
+  def decode(payload: Array[Byte], inStreamedTx: Boolean): Msg = {
+    if (payload.isEmpty) throw new PgProtoException("empty pgoutput message")
+    val tag = payload(0).toChar
+    val r = new ByteReader(payload, 1)
+    def streamXid(): Long = if (inStreamedTx) r.readUint32("stream xid") else 0L
+
+    tag match {
+      case 'B' =>
+        Begin(
+          r.readUint64("finalLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("commitTime")),
+          r.readUint32("xid"))
+
+      case 'C' =>
+        Commit(
+          r.readUint8("flags"),
+          r.readUint64("commitLsn"),
+          r.readUint64("transactionEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("commitTime")))
+
+      case 'R' =>
+        val xid = streamXid()
+        val oid = r.readUint32("relation oid")
+        val ns = r.readCString("namespace")
+        val name = r.readCString("relation name")
+        val ri = r.readByte("replica identity")
+        val ncols = r.readUint16("column count")
+        val cols = Array.tabulate(ncols) { _ =>
+          val flags = r.readUint8("column flags")
+          val cname = r.readCString("column name")
+          val typeOid = r.readUint32("column type oid")
+          val typmod = r.readUint32("column typmod").toInt
+          RelationColumn(cname, typeOid, typmod, flags)
+        }
+        Relation(xid, oid, ns, name, ri, cols)
+
+      case 'I' =>
+        val xid = streamXid()
+        val oid = r.readUint32("relation oid")
+        val n = r.readByte("new tuple marker")
+        if (n != 'N') throw new PgProtoException(s"insert: expected 'N' tuple, got '${n.toChar}'")
+        Insert(xid, oid, TupleData.read(r))
+
+      case 'U' =>
+        val xid = streamXid()
+        val oid = r.readUint32("relation oid")
+        val marker = r.readByte("tuple marker")
+        marker match {
+          case 'K' | 'O' =>
+            val old = TupleData.read(r)
+            val n = r.readByte("new tuple marker")
+            if (n != 'N')
+              throw new PgProtoException(s"update: expected 'N' after old tuple, got '${n.toChar}'")
+            Update(xid, oid, marker, old, TupleData.read(r))
+          case 'N' =>
+            Update(xid, oid, 0, null, TupleData.read(r))
+          case other =>
+            throw new PgProtoException(s"update: unexpected tuple marker '${other.toChar}'")
+        }
+
+      case 'D' =>
+        val xid = streamXid()
+        val oid = r.readUint32("relation oid")
+        val marker = r.readByte("old tuple marker")
+        if (marker != 'K' && marker != 'O')
+          throw new PgProtoException(s"delete: expected 'K'/'O' tuple, got '${marker.toChar}'")
+        Delete(xid, oid, marker, TupleData.read(r))
+
+      case 'T' =>
+        val xid = streamXid()
+        val nrel = r.readUint32("truncate relation count").toInt
+        val options = r.readUint8("truncate options")
+        Truncate(xid, options, Array.fill(nrel)(r.readUint32("truncate relation oid")))
+
+      case 'S' =>
+        StreamStart(r.readUint32("xid"), r.readByte("first segment") == 1)
+
+      case 'E' => StreamStop
+
+      case 'c' =>
+        StreamCommit(
+          r.readUint32("xid"),
+          r.readUint8("flags"),
+          r.readUint64("commitLsn"),
+          r.readUint64("transactionEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("commitTime")))
+
+      case 'A' =>
+        StreamAbort(r.readUint32("xid"), r.readUint32("subXid"))
+
+      case 'M' | 'O' | 'Y' =>
+        // Same stance as the reference (`message.go:70-72`): these carry no
+        // row data; a publication we create never enables them.
+        throw new PgProtoException(s"unsupported pgoutput message tag '$tag'")
+
+      case other =>
+        throw new PgProtoException(s"unknown pgoutput message tag '$other'")
+    }
+  }
+}
