@@ -1,0 +1,42 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** The generic CDC envelope — one row per change event, SURVEY.md §1.2 (a).
+  *
+  * A fixed schema that every table's events fit into: identity of the change
+  * (LSN/xid/op), provenance (schema/table), the two protocol times
+  * (XLogData server time and transaction commit time, SURVEY §1.5), and the
+  * before/after row images as text-format maps. Typed per-table views are
+  * projected from `after`/`before` with [[graft.types.PgTypes.typedColumns]].
+  */
+final case class ChangeEvent(
+    lsn: Long,            // WAL position; last event of a txn carries txn-end LSN (T1)
+    commitLsn: Long,      // the transaction's commit LSN
+    xid: Long,
+    op: String,           // insert | update | delete | truncate
+    schema: String,
+    table: String,
+    messageTimeMicros: Long, // server send time (Unix µs)
+    commitTimeMicros: Long,  // transaction commit time (Unix µs)
+    keyNames: Seq[String],   // replica-identity key columns of the relation
+    before: Map[String, String], // old image (null unless K/O tuple present)
+    after: Map[String, String])  // new image (null for delete/truncate)
+
+object ChangeEvent {
+  final val Ops = Seq("insert", "update", "delete", "truncate")
+
+  /** Envelope schema as seen by Spark (map values nullable: SQL NULL columns). */
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("commit_lsn", LongType, nullable = false),
+    StructField("xid", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("schema", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("message_time", TimestampType, nullable = false),
+    StructField("commit_time", TimestampType, nullable = false),
+    StructField("key_names", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("before", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
+    StructField("after", MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.pgproto.{Lsn, WalFrames}
+import graft.tools.WalFile
+
+/** Abstraction over "where replication frames come from" — the seam between
+  * the engine and a walsender socket.
+  *
+  * The real-PostgreSQL implementation would own the replication connection
+  * (`START_REPLICATION SLOT … LOGICAL <lsn>`, reference
+  * `pq/replication/replication.go:23-41`) with a single reader thread and a
+  * writer queue for standby status updates — deliberately avoiding the
+  * reference's shared-socket mutex hazard (`pq/replication/stream.go:73-84`,
+  * SURVEY §7 "Hard parts"). This container has no PostgreSQL and no egress,
+  * so the shipped implementations are file/synthetic feeds; they exercise
+  * every layer above this trait byte-identically.
+  */
+trait WalSource extends AutoCloseable {
+  /** Start (or restart) the feed from the given confirmed LSN; frames with
+    * positions at or below it may be skipped by the producer.
+    */
+  def open(fromLsn: Long): Unit
+
+  /** Next raw CopyData payload, or None when currently exhausted. */
+  def poll(): Option[Array[Byte]]
+
+  /** Acknowledge progress — the analogue of the standby status update
+    * (`'r'` frame, reference `stream.go:735-751`). Must be monotonic.
+    */
+  def ack(lsn: Long): Unit
+
+  def confirmedLsn: Long
+}
+
+/** Replays a WalGen/WalFile frame file. Deterministic: re-opening from LSN L
+  * skips XLogData frames with walStart <= L, which is exactly how a resumed
+  * `START_REPLICATION` from a confirmed LSN behaves.
+  */
+final class FileWalSource(path: String) extends WalSource {
+  private var it: Iterator[Array[Byte]] = Iterator.empty
+  private var from: Long = Lsn.Zero
+  @volatile private var confirmed: Long = Lsn.Zero
+
+  override def open(fromLsn: Long): Unit = {
+    from = fromLsn
+    confirmed = math.max(confirmed, fromLsn)
+    it = WalFile.read(path).filter { raw =>
+      WalFrames.parse(raw) match {
+        case WalFrames.XLogDataFrame(x) =>
+          // Relation messages must always replay: a resumed slot re-sends
+          // them before the first DML per table.
+          x.walStart > from || (x.data.nonEmpty && x.data(0) == 'R')
+        case _ => true
+      }
+    }
+  }
+
+  override def poll(): Option[Array[Byte]] = if (it.hasNext) Some(it.next()) else None
+
+  override def ack(lsn: Long): Unit =
+    // Monotonic guard, like UpdateConfirmedXLogPos (`stream.go:609-611`).
+    if (Lsn.compare(lsn, confirmed) > 0) confirmed = lsn
+
+  override def confirmedLsn: Long = confirmed
+  override def close(): Unit = ()
+}
+
+/** In-memory frame feed for tests and benchmarks. */
+final class InMemoryWalSource(frames: Seq[Array[Byte]]) extends WalSource {
+  private var idx = 0
+  @volatile private var confirmed: Long = Lsn.Zero
+  override def open(fromLsn: Long): Unit = { idx = 0; confirmed = math.max(confirmed, fromLsn) }
+  override def poll(): Option[Array[Byte]] =
+    if (idx < frames.length) { val f = frames(idx); idx += 1; Some(f) } else None
+  override def ack(lsn: Long): Unit = if (Lsn.compare(lsn, confirmed) > 0) confirmed = lsn
+  override def confirmedLsn: Long = confirmed
+  override def close(): Unit = ()
+}

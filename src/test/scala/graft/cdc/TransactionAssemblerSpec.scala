@@ -1,0 +1,191 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pgproto._
+
+/** Scala port of the reference's transactional semantics tests
+  * (`integration_test/concurrent_tx_ordering_test.go`,
+  * `transactional_large_rollback_test.go`, `streaming_transaction_test.go`,
+  * `streaming_rollback_test.go`) at the frame level — no PostgreSQL needed,
+  * the same way `pq/replication/stream_connmu_test.go` fakes frames.
+  */
+class TransactionAssemblerSpec extends AnyFunSuite {
+
+  val RelOid = 16384L
+  val Cols = Seq(
+    Messages.RelationColumn("id", 23L, -1, 1),
+    Messages.RelationColumn("name", 25L, -1, 0))
+  val T0 = 1700000000000000L
+
+  private def newAssembler(hb: Option[(String, String)] = None) = {
+    val a = new TransactionAssembler(hb)
+    a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
+      MessageEncoder.relation(RelOid, "public", "books", Cols)))
+    a
+  }
+
+  private def feed(a: TransactionAssembler, frames: Array[Byte]*): Seq[ChangeEvent] =
+    frames.flatMap(a.onCopyData).toSeq
+
+  test("simple txn: events in order, last event carries txn-end LSN") {
+    val a = newAssembler()
+    val evs = feed(a,
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(110, T0, 7)),
+      MessageEncoder.xlogData(101, 101, T0, MessageEncoder.insert(RelOid, Seq(Some("1"), Some("a")))),
+      MessageEncoder.xlogData(102, 102, T0, MessageEncoder.insert(RelOid, Seq(Some("2"), Some("b")))),
+      MessageEncoder.xlogData(103, 103, T0, MessageEncoder.insert(RelOid, Seq(Some("3"), None))),
+      MessageEncoder.xlogData(109, 109, T0, MessageEncoder.commit(109, 110, T0)))
+    assert(evs.map(_.after("id")) == Seq("1", "2", "3"))
+    assert(evs.map(_.lsn) == Seq(101L, 102L, 110L)) // T1 rewrite on last
+    assert(evs.forall(_.xid == 7L))
+    assert(evs.forall(_.commitLsn == 110L))
+    assert(evs.forall(_.op == "insert"))
+    assert(evs.last.after("name") == null) // explicit SQL NULL
+    assert(evs.head.keyNames == Seq("id"))
+  }
+
+  test("interleaved commits stay commit-ordered (concurrent_tx_ordering)") {
+    // WAL is already commit-ordered for non-streamed txns; assert we don't
+    // reorder: txn B commits before txn A in WAL order.
+    val a = newAssembler()
+    val evs = feed(a,
+      MessageEncoder.xlogData(200, 200, T0, MessageEncoder.begin(210, T0, 21)),
+      MessageEncoder.xlogData(201, 201, T0, MessageEncoder.insert(RelOid, Seq(Some("10"), Some("B1")))),
+      MessageEncoder.xlogData(209, 209, T0, MessageEncoder.commit(209, 210, T0)),
+      MessageEncoder.xlogData(210, 210, T0, MessageEncoder.begin(220, T0 + 5, 20)),
+      MessageEncoder.xlogData(211, 211, T0, MessageEncoder.insert(RelOid, Seq(Some("11"), Some("A1")))),
+      MessageEncoder.xlogData(219, 219, T0, MessageEncoder.commit(219, 220, T0 + 5)))
+    assert(evs.map(_.after("id")) == Seq("10", "11"))
+    assert(evs.map(_.xid) == Seq(21L, 20L))
+    assert(evs.map(_.lsn) == Seq(210L, 220L))
+    assert(evs.map(_.commitTimeMicros) == Seq(T0, T0 + 5))
+  }
+
+  test("streamed txn (proto v2): buffered until STREAM COMMIT, interleaved XIDs kept apart") {
+    val a = newAssembler()
+    val pre = feed(a,
+      // xid 900 chunk 1
+      MessageEncoder.xlogData(300, 300, T0, MessageEncoder.streamStart(900, firstSegment = true)),
+      MessageEncoder.xlogData(301, 301, T0, MessageEncoder.insert(RelOid, Seq(Some("1"), Some("x")), streamedXid = 900)),
+      MessageEncoder.xlogData(302, 302, T0, MessageEncoder.streamStop()),
+      // xid 901 interleaves
+      MessageEncoder.xlogData(303, 303, T0, MessageEncoder.streamStart(901, firstSegment = true)),
+      MessageEncoder.xlogData(304, 304, T0, MessageEncoder.insert(RelOid, Seq(Some("2"), Some("y")), streamedXid = 901)),
+      MessageEncoder.xlogData(305, 305, T0, MessageEncoder.streamStop()),
+      // xid 900 chunk 2
+      MessageEncoder.xlogData(306, 306, T0, MessageEncoder.streamStart(900, firstSegment = false)),
+      MessageEncoder.xlogData(307, 307, T0, MessageEncoder.insert(RelOid, Seq(Some("3"), Some("z")), streamedXid = 900)),
+      MessageEncoder.xlogData(308, 308, T0, MessageEncoder.streamStop()))
+    assert(pre.isEmpty, "nothing emitted before stream commit")
+    assert(a.bufferedStreamEvents == 3)
+
+    // commit xid 900 → its two events emit, in arrival order, last LSN rewritten
+    val c900 = feed(a, MessageEncoder.xlogData(310, 310, T0,
+      MessageEncoder.streamCommit(900, 310, 311, T0 + 9)))
+    assert(c900.map(_.after("id")) == Seq("1", "3"))
+    assert(c900.map(_.lsn) == Seq(301L, 311L))
+    assert(c900.forall(_.xid == 900L))
+    assert(c900.forall(_.commitLsn == 310L))
+    assert(c900.forall(_.commitTimeMicros == T0 + 9))
+
+    // xid 901 still buffered
+    assert(a.bufferedStreamEvents == 1)
+    val c901 = feed(a, MessageEncoder.xlogData(312, 312, T0,
+      MessageEncoder.streamCommit(901, 312, 313, T0 + 10)))
+    assert(c901.map(_.after("id")) == Seq("2"))
+  }
+
+  test("STREAM ABORT discards the whole txn (streaming_rollback)") {
+    val a = newAssembler()
+    val pre = feed(a,
+      MessageEncoder.xlogData(400, 400, T0, MessageEncoder.streamStart(950, firstSegment = true)),
+      MessageEncoder.xlogData(401, 401, T0, MessageEncoder.insert(RelOid, Seq(Some("66"), Some("rollback-me")), streamedXid = 950)),
+      MessageEncoder.xlogData(402, 402, T0, MessageEncoder.streamStop()),
+      MessageEncoder.xlogData(403, 403, T0, MessageEncoder.streamAbort(950, 950)))
+    assert(pre.isEmpty)
+    assert(a.bufferedStreamEvents == 0)
+
+    // rollback-then-commit: a later txn with the same table still flows
+    val evs = feed(a,
+      MessageEncoder.xlogData(410, 410, T0, MessageEncoder.begin(412, T0, 951)),
+      MessageEncoder.xlogData(411, 411, T0, MessageEncoder.insert(RelOid, Seq(Some("67"), Some("keep-me")))),
+      MessageEncoder.xlogData(411, 411, T0, MessageEncoder.commit(411, 412, T0)))
+    assert(evs.map(_.after("name")) == Seq("keep-me"))
+  }
+
+  test("update with REPLICA IDENTITY FULL: before image + TOAST restoration") {
+    val a = newAssembler()
+    val evs = feed(a,
+      MessageEncoder.xlogData(500, 500, T0, MessageEncoder.begin(503, T0, 60)),
+      MessageEncoder.xlogData(501, 501, T0, MessageEncoder.update(RelOid,
+        newValues = Seq(Some("1"), Some(MessageEncoder.Toast)),
+        oldValues = Seq(Some("1"), Some("big-old-toast")), oldType = 'O')),
+      MessageEncoder.xlogData(502, 502, T0, MessageEncoder.commit(502, 503, T0)))
+    assert(evs.size == 1)
+    val e = evs.head
+    assert(e.op == "update")
+    assert(e.before("name") == "big-old-toast")
+    assert(e.after("name") == "big-old-toast") // P6 restored
+    assert(e.lsn == 503L)
+  }
+
+  test("delete carries key tuple as before image; after is null") {
+    val a = newAssembler()
+    val evs = feed(a,
+      MessageEncoder.xlogData(600, 600, T0, MessageEncoder.begin(603, T0, 61)),
+      MessageEncoder.xlogData(601, 601, T0, MessageEncoder.delete(RelOid, Seq(Some("9"), None), 'K')),
+      MessageEncoder.xlogData(602, 602, T0, MessageEncoder.commit(602, 603, T0)))
+    assert(evs.head.op == "delete")
+    assert(evs.head.before("id") == "9")
+    assert(evs.head.after == null)
+  }
+
+  test("truncate emits one event per relation") {
+    val a = newAssembler()
+    val evs = feed(a,
+      MessageEncoder.xlogData(700, 700, T0, MessageEncoder.begin(703, T0, 62)),
+      MessageEncoder.xlogData(701, 701, T0, MessageEncoder.truncate(Seq(RelOid))),
+      MessageEncoder.xlogData(702, 702, T0, MessageEncoder.commit(702, 703, T0)))
+    assert(evs.map(_.op) == Seq("truncate"))
+    assert(evs.head.table == "books" && evs.head.after == null && evs.head.before == null)
+  }
+
+  test("heartbeat suppression drops events but counts them (P5)") {
+    val a = new TransactionAssembler(Some(("public", "cdc_heartbeat")))
+    a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
+      MessageEncoder.relation(999L, "public", "cdc_heartbeat",
+        Seq(Messages.RelationColumn("id", 23L, -1, 1)))))
+    val evs = feed(a,
+      MessageEncoder.xlogData(800, 800, T0, MessageEncoder.begin(803, T0, 63)),
+      MessageEncoder.xlogData(801, 801, T0, MessageEncoder.update(999L, Seq(Some("1")))),
+      MessageEncoder.xlogData(802, 802, T0, MessageEncoder.commit(802, 803, T0)))
+    assert(evs.isEmpty)
+    assert(a.heartbeatsSuppressed == 1)
+  }
+
+  test("DML before its Relation message fails like the reference") {
+    val a = new TransactionAssembler()
+    a.onCopyData(MessageEncoder.xlogData(900, 900, T0, MessageEncoder.begin(903, T0, 64)))
+    intercept[PgProtoException] {
+      a.onCopyData(MessageEncoder.xlogData(901, 901, T0,
+        MessageEncoder.insert(424242L, Seq(Some("1")))))
+    }
+  }
+
+  test("keepalives produce no events") {
+    val a = newAssembler()
+    assert(a.onCopyData(MessageEncoder.keepalive(5000L, T0, replyRequested = true)).isEmpty)
+  }
+
+  test("streamed buffer cap fails fast instead of OOM") {
+    val a = new TransactionAssembler(maxBufferedStreamEvents = 2)
+    a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
+      MessageEncoder.relation(RelOid, "public", "books", Cols)))
+    a.onCopyData(MessageEncoder.xlogData(2, 2, T0, MessageEncoder.streamStart(33, true)))
+    a.onCopyData(MessageEncoder.xlogData(3, 3, T0, MessageEncoder.insert(RelOid, Seq(Some("1"), Some("a")), streamedXid = 33)))
+    a.onCopyData(MessageEncoder.xlogData(4, 4, T0, MessageEncoder.insert(RelOid, Seq(Some("2"), Some("b")), streamedXid = 33)))
+    intercept[PgProtoException] {
+      a.onCopyData(MessageEncoder.xlogData(5, 5, T0, MessageEncoder.insert(RelOid, Seq(Some("3"), Some("c")), streamedXid = 33)))
+    }
+  }
+}
