@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY §2.6): joins, aggregations, windows,
+  * sorts/top-k, set ops, scalar functions — expressed Spark-first so Catalyst
+  * owns pushdown, join strategy (broadcast for the small dims), and partial
+  * aggregation. Oracles in [[graft.SparkEntry.oracleSql]].
+  */
+object AnalyticsQueries {
+
+  /** Hash aggregation with partial/final split — TPC-H Q1 shape. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Multi-way join with small-side broadcast — TPC-H Q3 shape, top-10 by
+    * revenue (deterministic tie-break on o_orderkey).
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Five-way join through the region→nation→customer/supplier star —
+    * TPC-H Q5 shape; dims broadcast, fact tables shuffle on join keys.
+    */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Window functions: per-supplier first shipment (row_number) +
+    * running revenue rank bucketing.
+    */
+  def windowFirstShipment(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey"), col("l_orderkey").as("first_orderkey"),
+        col("l_shipdate").cast("date").as("first_shipdate"))
+  }
+
+  /** Grouping sets via rollup — partial aggregates at multiple granularities. */
+  def rollupReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+
+  /** Sort + deterministic top-k. */
+  def topParts(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(15)
+      .select("p_partkey", "p_name", "p_retailprice")
+
+  /** Set operations: semi join (EXISTS), anti join (NOT EXISTS), and their
+    * counts by segment — Catalyst plans LeftSemi/LeftAnti natively.
+    */
+  def semiAntiCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ordKeys = Tables.orders(s, dir).select(col("o_custkey"))
+    val withOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_with_orders", "n_without_orders"))
+  }
+
+  /** Scalar function coverage: string/date/math/conditional expressions
+    * (SURVEY §2.6 "scalar functions" row).
+    */
+  def scalarFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+        length(col("o_orderstatus")).as("status_len"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        col("o_totalprice"))
+      .groupBy("yr", "mo", "prio_initial", "status_len", "price_band")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
+  /** As-of join — the classic operator Spark lacks natively (SURVEY §2.6
+    * joins row): for each purchase, the latest prior click of the same user.
+    * Implemented shuffle-once: union-tag both sides, one window pass per
+    * user ordered by time carries the last click forward — O(n log n) per
+    * key, no range-join blowup. DuckDB's native ASOF JOIN is the oracle.
+    */
+  def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    // RANGE frame to current row: ties on ts are all in-frame, making the
+    // match inclusive (click.ts <= purchase.ts), exactly ASOF semantics.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", last("click_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_ts").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matched"), sum("gap_us").as("sum_gap_us"))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cdc.TransactionAssembler
+import graft.pgproto.{Messages, MessageEncoder}
+
+/** CDC operator semantics expressed as verifiable queries over the `events`
+  * table (events-as-change-feed: `user_id` plays the PK, `ts` the commit
+  * time, `event_id` the LSN). Each maps to a SURVEY §2 operator and has a
+  * DuckDB-equivalent oracle in [[graft.SparkEntry.oracleSql]].
+  */
+object CdcQueries {
+
+  /** P1 operation filter (`publication/operation.go:10-17`): keep only
+    * chosen DML kinds.
+    */
+  def opFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** P2 table filter (`publication/config.go:40-61`): restrict to a table
+    * allow-list (here: document sources).
+    */
+  def tableFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("source").isin("src1", "src2", "src3"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+
+  /** P3 column projection (`publication/config.go:52-56`): column pruning
+    * reaches the scan (ReadSchema shows only the selected columns).
+    */
+  def columnProjection(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+
+  /** P5 heartbeat suppression (`stream.go:543-561`): drop a designated event
+    * kind while the rest flow.
+    */
+  def heartbeatSuppression(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") =!= "error")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  /** P6 TOAST restoration as a dataflow: a column is "unchanged" (null) on
+    * some rows and must be back-filled from the previous image of the same
+    * key (`format/update.go:100-108`). last(ignoreNulls) over the key's
+    * history == coalesce-with-old-image.
+    */
+  def toastCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("v", when(col("value") < 5.0, lit(null)).otherwise(col("value")))
+      .withColumn("restored", last("v", ignoreNulls = true).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count("v").as("n_present"),
+        count("restored").as("n_restored"),
+        round(sum("restored"), 2).as("sum_restored"))
+  }
+
+  /** T1/latest-state materialization: current row per key = event with max
+    * (ts, event_id) — the downstream "apply changes" view (SURVEY §1.4).
+    */
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("event_id").as("last_event_id"), round(col("value"), 2).as("last_value"))
+  }
+
+  /** T2 sessionization: group a key's events into transaction-like sessions
+    * split on >30min gaps (stateful-operator analogue of the streamed-txn
+    * buffer). Returns the session-size distribution.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          .or(col("ts").cast("long") - col("prev_ts").cast("long") > 1800L), 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("session_len"))
+      .groupBy("session_len").agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** T3 monotonic-progress guard: per key, count events arriving with an id
+    * below the running max (out-of-order analogue of `stream.go:605-633`).
+    */
+  def monotonicGuard(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("prior_max", max("event_id").over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_id") < col("prior_max"), 1L).otherwise(0L)).as("regressions"))
+  }
+
+  private val RelOid = 50000L
+  private val RelCols = Seq(
+    Messages.RelationColumn("event_id", 20L, -1, 1), // int8, key
+    Messages.RelationColumn("user_id", 20L, -1, 0),
+    Messages.RelationColumn("event_type", 25L, -1, 0),
+    Messages.RelationColumn("value", 701L, -1, 0)) // float8
+
+  /** The flagship: full wire round-trip, distributed. Each partition of
+    * `events` is encoded into pgoutput frames (insert/update/delete per
+    * event_type, one transaction per 500 rows), pushed through
+    * [[TransactionAssembler]], and the decoded change events are aggregated.
+    * The DuckDB oracle computes the same aggregate straight from the table —
+    * any decoder/assembler drift breaks the hash match.
+    *
+    * Scale shape: encode+decode is per-partition CPU work with no shuffle
+    * until the final aggregate; throughput scales linearly with cores (this
+    * is also the ingest benchmark, cf. BASELINE.md CDC throughput).
+    */
+  def cdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("op", StringType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val events = Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+    val decoded = events.mapPartitions { it =>
+      val assembler = new TransactionAssembler()
+      val rel = MessageEncoder.xlogData(1, 1, 0L,
+        MessageEncoder.relation(RelOid, "public", "events", RelCols))
+      val relEvents = assembler.onCopyData(rel)
+      assert(relEvents.isEmpty)
+      var lsn = 10L
+      it.grouped(500).flatMap { txn =>
+        val frames = Seq.newBuilder[Array[Byte]]
+        val beginLsn = lsn
+        val endLsn = beginLsn + txn.size + 2L
+        frames += MessageEncoder.xlogData(beginLsn, beginLsn, 0L,
+          MessageEncoder.begin(endLsn, 0L, 1L))
+        txn.zipWithIndex.foreach { case (r, i) =>
+          val vals = Seq(
+            Some(r.getLong(0).toString), Some(r.getLong(1).toString),
+            Some(r.getString(2)), Some(r.getDouble(3).toString))
+          val msg = r.getString(2) match {
+            case "signup" | "purchase" => MessageEncoder.insert(RelOid, vals)
+            case "click" | "view" =>
+              MessageEncoder.update(RelOid, vals, vals, 'O')
+            case _ => // delete: key-only old tuple, like REPLICA IDENTITY DEFAULT
+              MessageEncoder.delete(RelOid,
+                Seq(Some(r.getLong(0).toString), None, None, None), 'K')
+          }
+          frames += MessageEncoder.xlogData(beginLsn + 1 + i, beginLsn + 1 + i, 0L, msg)
+        }
+        frames += MessageEncoder.xlogData(endLsn - 1, endLsn - 1, 0L,
+          MessageEncoder.commit(endLsn - 1, endLsn, 0L))
+        lsn = endLsn
+        val evs = frames.result().flatMap(assembler.onCopyData)
+        evs.iterator.map { e =>
+          val img = if (e.op == "delete") e.before else e.after
+          Row(e.op,
+            img("event_id").toLong,
+            if (e.op == "delete") null else img("user_id").toLong,
+            if (e.op == "delete") null else img("value").toDouble)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+    decoded.groupBy("op").agg(
+      count(lit(1)).as("n"),
+      sum("event_id").as("sum_id"),
+      count_distinct(col("user_id")).as("n_users"),
+      round(sum("value"), 2).as("sum_value"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.snapshot
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Snapshot (bulk initial load) configuration, defaults per the reference
+  * (`config/config.go:69-129,380-386`): chunk 8000 rows, mode initial.
+  */
+final case class SnapshotConfig(
+    mode: String = "initial", // initial | never | snapshot_only
+    chunkSize: Long = 8000L,
+    strategy: ChunkPlanner.Strategy = ChunkPlanner.Auto,
+    globalCondition: Option[String] = None,
+    perTableCondition: Map[String, String] = Map.empty,
+    resnapshot: Boolean = false) {
+  require(Seq("initial", "never", "snapshot_only").contains(mode), s"bad snapshot mode: $mode")
+
+  /** Per-table overrides global (`config/config.go:193-199,291-316`). */
+  def conditionFor(table: String): Option[String] =
+    perTableCondition.get(table).orElse(globalCondition).map { c =>
+      SnapshotQuery.validateCondition(c).fold(
+        err => throw new IllegalArgumentException(err), identity)
+    }
+}
+
+/** Executes a planned snapshot as a partitioned Spark read.
+  *
+  * JDBC path (the production shape): one JDBC partition per chunk via the
+  * `predicates` array — Spark's direct analogue of the reference's chunk
+  * queue; `sessionInitStatement` carries `SET TRANSACTION SNAPSHOT '<id>'`
+  * so every partition sees the exported snapshot (B2,
+  * `pq/snapshot/transaction_snapshot.go:44-54`). The export transaction
+  * itself must be held open on the driver for the duration of the read —
+  * that wiring lives with the JDBC connection owner, not here.
+  *
+  * Parquet path: applies identical chunk predicates as Catalyst filters —
+  * used by tests and the correctness oracle to prove the plan covers every
+  * row exactly once (equivalent to the reference's ctid-vs-offset
+  * equivalence tests, `snapshot_ctid_partitioning_test.go`).
+  */
+object SnapshotReader {
+
+  def jdbc(
+      spark: SparkSession, url: String, schema: String, table: String,
+      stats: ChunkPlanner.TableStats, cfg: SnapshotConfig,
+      exportedSnapshotId: Option[String] = None,
+      props: java.util.Properties = new java.util.Properties()): DataFrame = {
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
+    val cond = cfg.conditionFor(table)
+    exportedSnapshotId.foreach { id =>
+      props.setProperty("sessionInitStatement",
+        s"BEGIN; SET TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '$id'")
+    }
+    spark.read.jdbc(url, s"$schema.$table",
+      SnapshotQuery.jdbcPredicates(chunks, cond), props)
+  }
+
+  /** Union-of-chunks over a parquet table using the same predicates the JDBC
+    * path would push. Spark prunes each scan to the chunk's range, so the
+    * union is a full-coverage parallel read, not N full scans.
+    */
+  def parquetChunks(
+      spark: SparkSession, path: String,
+      stats: ChunkPlanner.TableStats, cfg: SnapshotConfig, table: String): DataFrame = {
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
+    require(chunks.forall(_.predicate.isDefined),
+      "parquetChunks requires a predicate strategy (integer_range)")
+    val cond = cfg.conditionFor(table)
+    val df = spark.read.parquet(path)
+    chunks.map { ch =>
+      val p = cond.map(c => s"(${ch.predicate.get}) AND ($c)").getOrElse(ch.predicate.get)
+      df.filter(expr(p))
+    }.reduce(_ union _)
+  }
+}
