@@ -69,6 +69,11 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
 }
 
 object SimHash {
-  /** Column API: simhash of an array<string> column. */
-  def simhash(tokens: Column): Column = new Column(SimHash(tokens.expr))
+  /** Column API: simhash of an array<string> column. Spark 4.x removed
+    * `Column.expr` / `new Column(Expression)`, so we go through the
+    * `classic.ExpressionUtils` bridge.
+    */
+  def simhash(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SimHash(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
 }

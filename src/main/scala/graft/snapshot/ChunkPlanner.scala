@@ -74,7 +74,15 @@ object ChunkPlanner {
     */
   def integerRange(pk: String, min: Long, max: Long, chunkSize: Long): Seq[Chunk] = {
     if (max < min) return Seq(Chunk(0, IntegerRange, Some("1 = 0"), None, isLast = true))
-    val n = ((max - min) / chunkSize + 1).toInt
+    // Compute in Long and fail loudly: a sparse 63-bit PK range would
+    // otherwise overflow Int into a negative count ⇒ silent zero-row snapshot.
+    // Subtraction itself can overflow for min<0, max>0 — use the unsigned gap.
+    val span = max - min // correct as unsigned when it overflows signed
+    val nL = java.lang.Long.divideUnsigned(span, chunkSize) + 1
+    require(nL > 0 && nL <= Int.MaxValue,
+      s"integer_range would need $nL chunks (pk span ${java.lang.Long.toUnsignedString(span)}, " +
+        s"chunkSize $chunkSize); raise chunkSize")
+    val n = nL.toInt
     (0 until n).map { i =>
       val lo = min + i.toLong * chunkSize
       val hi = lo + chunkSize
@@ -91,7 +99,9 @@ object ChunkPlanner {
   def ctidBlock(relPages: Long, relTuples: Double, chunkSize: Long): Seq[Chunk] = {
     val rowsPerBlock = math.max(1.0, relTuples / math.max(1L, relPages))
     val blocksPerChunk = math.max(1L, (chunkSize / rowsPerBlock).toLong)
-    val n = math.max(1L, (relPages + blocksPerChunk - 1) / blocksPerChunk).toInt
+    val nL = math.max(1L, (relPages + blocksPerChunk - 1) / blocksPerChunk)
+    require(nL <= Int.MaxValue, s"ctid_block would need $nL chunks; raise chunkSize")
+    val n = nL.toInt
     (0 until n).map { i =>
       val lo = i.toLong * blocksPerChunk
       val hi = lo + blocksPerChunk
@@ -105,7 +115,9 @@ object ChunkPlanner {
 
   /** `ORDER BY pk LIMIT n OFFSET m` fallback (`coordinator.go:922-969`). */
   def offsetLimit(rowCount: Long, chunkSize: Long): Seq[Chunk] = {
-    val n = math.max(1L, (rowCount + chunkSize - 1) / chunkSize).toInt
+    val nL = math.max(1L, (rowCount + chunkSize - 1) / chunkSize)
+    require(nL <= Int.MaxValue, s"offset strategy would need $nL chunks; raise chunkSize")
+    val n = nL.toInt
     (0 until n).map { i =>
       Chunk(i, OffsetLimit, None, Some((chunkSize, i.toLong * chunkSize)), i == n - 1)
     }
