@@ -102,10 +102,12 @@ object AnalyticsQueries {
   def scalarFunctions(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(
-        year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"),
+        // cast to long: DuckDB's year()/month()/length() are BIGINT and the
+        // driver's compare is schema-strict
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
         upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
-        length(col("o_orderstatus")).as("status_len"),
+        length(col("o_orderstatus")).cast("long").as("status_len"),
         when(col("o_totalprice") > 200000, "high")
           .when(col("o_totalprice") > 100000, "mid")
           .otherwise("low").as("price_band"),

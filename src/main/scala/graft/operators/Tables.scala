@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table access for the testdata star schema (TESTDATA.md). */
 object Tables {
@@ -14,7 +15,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
+    * legacy flag and convert to a µs TimestampType column — lossless here:
+    * the generator emits whole microseconds (verified: epoch_ns % 1000 == 0
+    * across all SFs), so ordering/tie semantics match DuckDB's TIMESTAMP_NS.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

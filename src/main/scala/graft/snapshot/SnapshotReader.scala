@@ -55,9 +55,16 @@ object SnapshotReader {
       SnapshotQuery.jdbcPredicates(chunks, cond), props)
   }
 
-  /** Union-of-chunks over a parquet table using the same predicates the JDBC
-    * path would push. Spark prunes each scan to the chunk's range, so the
-    * union is a full-coverage parallel read, not N full scans.
+  /** Chunk-equivalent scan over a parquet table: ONE parquet scan with a
+    * derived `chunk_index` column instead of a union of per-chunk filtered
+    * scans. Chunking is a JDBC/PostgreSQL concept (each chunk is a separate
+    * pushed-down SELECT); on parquet the plan-equivalent is
+    * `chunk_index = (pk - min) div chunkSize`, which assigns every row to
+    * exactly the chunk whose predicate it satisfies — provable in SQL, and a
+    * single scan node regardless of chunk count. The previous
+    * `chunks.map(filter).reduce(union)` shape built a plan with one scan leg
+    * per chunk: thousands of legs at 100 TB — a plan-size and
+    * scan-amplification scale-killer.
     */
   def parquetChunks(
       spark: SparkSession, path: String,
@@ -65,11 +72,16 @@ object SnapshotReader {
     val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
     require(chunks.forall(_.predicate.isDefined),
       "parquetChunks requires a predicate strategy (integer_range)")
+    val pk = stats.intPkColumn.getOrElse(
+      throw new IllegalArgumentException("parquetChunks requires an integer PK"))
     val cond = cfg.conditionFor(table)
     val df = spark.read.parquet(path)
-    chunks.map { ch =>
-      val p = cond.map(c => s"(${ch.predicate.get}) AND ($c)").getOrElse(ch.predicate.get)
-      df.filter(expr(p))
-    }.reduce(_ union _)
+      // same coverage bounds as the chunk plan: [min, max] at plan time
+      .filter(expr(s"$pk >= ${stats.pkMin} AND $pk <= ${stats.pkMax}"))
+    val filtered = cond.map(c => df.filter(expr(c))).getOrElse(df)
+    // `div` is integral division (LongType), exact for 64-bit keys; the max
+    // key lands on chunks.size-1 by construction (see ChunkPlanner.integerRange).
+    filtered.withColumn("chunk_index",
+      expr(s"($pk - ${stats.pkMin}) div ${cfg.chunkSize}"))
   }
 }
