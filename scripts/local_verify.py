@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads the parquet results written by `graft.Verify` plus oracle_sql.json,
+runs each oracle in DuckDB against the same sf dir, and compares after
+sorting columns by name and rows by value (the driver hashes in that order).
+
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, os, sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        s = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+        scols, srows = canon(s.fetchall(), s.columns)
+        try:
+            d = con.sql(oracle[name])
+            dcols, drows = canon(d.fetchall(), d.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            n_fail += 1
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+        elif srows != drows:
+            bad = [(a, b) for a, b in zip(srows, drows) if a != b]
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; "
+                  f"first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CdcQueries, SnapshotQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, DedupQueries, SnapshotQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,7 +53,17 @@ object SparkEntry {
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
-    "q_offset_chunks" -> ((s, d) => SnapshotQueries.offsetChunks(s, d).orderBy("chunk_index"))
+    "q_offset_chunks" -> ((s, d) => SnapshotQueries.offsetChunks(s, d).orderBy("chunk_index")),
+    // ---- LLM-pipeline: text analysis ----
+    "q_text_stats" -> ((s, d) => TextQueries.textStats(s, d).orderBy("lang")),
+    "q_text_quality" -> ((s, d) => TextQueries.textQuality(s, d).orderBy("source")),
+    "q_token_count" -> ((s, d) => TextQueries.tokenCount(s, d).orderBy("lang")),
+    "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
+    // ---- LLM-pipeline: deduplication ----
+    "q_dedup_exact" -> ((s, d) => DedupQueries.dedupExact(s, d)),
+    "q_dedup_minhash" -> ((s, d) => DedupQueries.minhashLsh(s, d).orderBy("d1", "d2")),
+    "q_dedup_simhash" -> ((s, d) => DedupQueries.simhashBanding(s, d).orderBy("d1", "d2")),
+    "q_dedup_ngram" -> ((s, d) => DedupQueries.ngramJaccard(s, d).orderBy("d1", "d2"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -223,6 +233,146 @@ object SparkEntry {
          FROM (SELECT o_orderkey,
                  (row_number() OVER (ORDER BY o_orderkey) - 1) // 2000 AS chunk_index
                FROM orders)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // ---- LLM-pipeline: text analysis ----
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS sum_tokens,
+         round(avg(n_chars), 2) AS avg_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_text_quality" ->
+      """WITH d AS (
+           SELECT source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         r AS (
+           SELECT source, len(toks) AS n_toks,
+             len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS stop_cnt,
+             list_sum(list_transform(toks, t -> length(t))) AS sum_tok_len
+           FROM d)
+         SELECT source, count(*) AS n_docs,
+           round(avg(CAST(stop_cnt AS DOUBLE) / n_toks), 6) AS avg_stop_ratio,
+           round(avg(CAST(sum_tok_len AS DOUBLE) / n_toks), 6) AS avg_tok_len
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+           AS sum_bpe_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_doc_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(toks) >= 5
+               THEN list_transform(generate_series(1, len(toks) - 4),
+                      i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS sh
+           FROM t)
+         SELECT doc_id,
+           min(('0x' || substr(md5(sh), 1, 15))::BIGINT) AS fingerprint
+         FROM sh GROUP BY 1 ORDER BY 1""",
+    // ---- LLM-pipeline: deduplication ----
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+         count(*) - count(DISTINCT md5(text)) AS n_dup_rows FROM documents""",
+    "q_dedup_minhash" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         shing AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(toks) >= 5
+                 THEN list_transform(generate_series(1, len(toks) - 4),
+                        i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END) AS sh
+             FROM t)),
+         hashed AS (
+           SELECT doc_id, seed,
+             ('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 15))::BIGINT AS h
+           FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)),
+         sig AS (
+           SELECT doc_id,
+             min(CASE WHEN seed = 0 THEN h END) AS m0,
+             min(CASE WHEN seed = 1 THEN h END) AS m1,
+             min(CASE WHEN seed = 2 THEN h END) AS m2,
+             min(CASE WHEN seed = 3 THEN h END) AS m3,
+             min(CASE WHEN seed = 4 THEN h END) AS m4,
+             min(CASE WHEN seed = 5 THEN h END) AS m5,
+             min(CASE WHEN seed = 6 THEN h END) AS m6,
+             min(CASE WHEN seed = 7 THEN h END) AS m7
+           FROM hashed GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS band, m0::VARCHAR || ',' || m1::VARCHAR AS bkey FROM sig
+           UNION ALL SELECT doc_id, 1, m2::VARCHAR || ',' || m3::VARCHAR FROM sig
+           UNION ALL SELECT doc_id, 2, m4::VARCHAR || ',' || m5::VARCHAR FROM sig
+           UNION ALL SELECT doc_id, 3, m6::VARCHAR || ',' || m7::VARCHAR FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1),
+         shared AS (
+           SELECT d1, d2, count(*) AS n_shared
+           FROM cand
+           JOIN shing sa ON d1 = sa.doc_id
+           JOIN shing sb ON d2 = sb.doc_id AND sa.sh = sb.sh
+           GROUP BY 1, 2)
+         SELECT d1, d2, n_shared, round(jac, 3) AS jaccard FROM (
+           SELECT d1, d2, n_shared,
+             CAST(n_shared AS DOUBLE) / (s1.sz + s2.sz - n_shared) AS jac
+           FROM shared
+           JOIN sizes s1 ON d1 = s1.doc_id
+           JOIN sizes s2 ON d2 = s2.doc_id)
+         WHERE jac >= 0.8 ORDER BY d1, d2""",
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+               AS sig
+           FROM bits GROUP BY 1),
+         bands AS (
+           SELECT doc_id, sig, band, (sig >> (15 * band)) & 32767 AS bkey
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.sig AS s1, b.sig AS s2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(s1, s2)) <= 5 ORDER BY d1, d2""",
+    "q_dedup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         shing AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+             FROM t)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1),
+         pairs AS (
+           SELECT sa.doc_id AS d1, sb.doc_id AS d2, count(*) AS n_shared
+           FROM shing sa JOIN shing sb
+             ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT d1, d2, round(jac, 3) AS jaccard FROM (
+           SELECT d1, d2,
+             CAST(n_shared AS DOUBLE) / (s1.sz + s2.sz - n_shared) AS jac
+           FROM pairs
+           JOIN sizes s1 ON d1 = s1.doc_id
+           JOIN sizes s2 ON d2 = s2.doc_id)
+         WHERE jac >= 0.5 ORDER BY d1, d2"""
   )
 }
