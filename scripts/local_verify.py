@@ -13,18 +13,12 @@ import duckdb
 
 
 def canon(rows, cols):
+    # Floats compare EXACTLY, matching the driver's hash compare — the queries
+    # round(_, 2/3/6) on both sides precisely so exact compare is safe here.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(r[i] for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 

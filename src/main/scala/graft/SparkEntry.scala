@@ -37,6 +37,7 @@ object SparkEntry {
       AnalyticsQueries.semiAntiCustomers(s, d).orderBy("c_mktsegment")),
     "q_scalar_functions" -> ((s, d) =>
       AnalyticsQueries.scalarFunctions(s, d).orderBy("yr", "mo", "prio_initial", "status_len", "price_band")),
+    "q_set_ops" -> ((s, d) => AnalyticsQueries.setOps(s, d)),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -137,6 +138,14 @@ object SparkEntry {
               ELSE 'low' END AS price_band,
          count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""",
+    "q_set_ops" ->
+      """SELECT
+         (SELECT count(*) FROM (SELECT c_custkey FROM customer
+            INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+         (SELECT count(*) FROM (SELECT c_custkey FROM customer
+            EXCEPT SELECT o_custkey FROM orders)) AS n_except,
+         (SELECT count(*) FROM (SELECT c_custkey FROM customer
+            UNION SELECT o_custkey FROM orders)) AS n_union""",
     "q_asof_purchase_click" ->
       """SELECT p.user_id AS user_id, count(*) AS n_matched,
          CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_gap_us

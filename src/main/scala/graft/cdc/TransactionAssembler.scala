@@ -124,8 +124,18 @@ final class TransactionAssembler(
       }
 
     case sa: StreamAbort =>
-      // Rolled-back streamed txn: drop everything buffered for that XID.
-      streamedTxns.remove(sa.xid).foreach(b => streamedCount -= b.length)
+      // Rolled-back streamed (sub)transaction (`format/stream.go:92-107`):
+      // when subXid == xid the whole top-level txn aborted — drop everything;
+      // when subXid != xid only a subtransaction rolled back — drop just its
+      // events (each buffered event carries the sub-XID that wrote it, from
+      // the v2 per-message XID prefix) and keep the parent's.
+      if (sa.subXid == sa.xid || sa.subXid == 0L)
+        streamedTxns.remove(sa.xid).foreach(b => streamedCount -= b.length)
+      else streamedTxns.get(sa.xid).foreach { buf =>
+        val before = buf.length
+        buf.filterInPlace(_.xid != sa.subXid)
+        streamedCount -= before - buf.length
+      }
       Nil
 
     case i: Insert =>

@@ -96,6 +96,19 @@ object AnalyticsQueries {
       .na.fill(0L, Seq("n_with_orders", "n_without_orders"))
   }
 
+  /** INTERSECT / EXCEPT / UNION DISTINCT over key sets — the remaining
+    * SURVEY §2.6 set-ops row. Catalyst plans intersect/except as
+    * LeftSemi/LeftAnti over distinct inputs, so each leg is one shuffle on
+    * the key; the three counts are planning-sized single rows cross-joined.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+    c.intersect(o).agg(count(lit(1)).as("n_intersect"))
+      .crossJoin(c.except(o).agg(count(lit(1)).as("n_except")))
+      .crossJoin(c.union(o).distinct().agg(count(lit(1)).as("n_union")))
+  }
+
   /** Scalar function coverage: string/date/math/conditional expressions
     * (SURVEY §2.6 "scalar functions" row).
     */

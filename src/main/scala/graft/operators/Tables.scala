@@ -16,13 +16,18 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy flag and convert to a µs TimestampType column — lossless here:
-    * the generator emits whole microseconds (verified: epoch_ns % 1000 == 0
-    * across all SFs), so ordering/tie semantics match DuckDB's TIMESTAMP_NS.
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests all do) —
+    * set at session construction, NOT mutated here, so no other read's
+    * semantics silently change mid-session. The raw nanos convert to a µs
+    * TimestampType column — lossless: the generator emits whole microseconds
+    * (verified: epoch_ns % 1000 == 0 across all SFs), so ordering/tie
+    * semantics match DuckDB's TIMESTAMP_NS.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet carries TIMESTAMP(NANOS))")
     apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

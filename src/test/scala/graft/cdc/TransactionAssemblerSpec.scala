@@ -113,6 +113,29 @@ class TransactionAssemblerSpec extends AnyFunSuite {
     assert(evs.map(_.after("name")) == Seq("keep-me"))
   }
 
+  test("STREAM ABORT of a subtransaction drops only its events; parent commits survive") {
+    // Reference: `pq/message/format/stream.go:92-107` — StreamAbort carries
+    // (xid, subXid); subXid != xid means a subtransaction rollback, not the
+    // whole transaction. Streamed DML carries the (sub)transaction XID that
+    // wrote it in the v2 prefix.
+    val a = newAssembler()
+    val pre = feed(a,
+      MessageEncoder.xlogData(420, 420, T0, MessageEncoder.streamStart(960, firstSegment = true)),
+      MessageEncoder.xlogData(421, 421, T0, MessageEncoder.insert(RelOid, Seq(Some("70"), Some("parent-1")), streamedXid = 960)),
+      MessageEncoder.xlogData(422, 422, T0, MessageEncoder.insert(RelOid, Seq(Some("71"), Some("in-subtxn")), streamedXid = 961)),
+      MessageEncoder.xlogData(423, 423, T0, MessageEncoder.insert(RelOid, Seq(Some("72"), Some("parent-2")), streamedXid = 960)),
+      MessageEncoder.xlogData(424, 424, T0, MessageEncoder.streamStop()),
+      // subtransaction 961 of parent 960 rolls back
+      MessageEncoder.xlogData(425, 425, T0, MessageEncoder.streamAbort(960, 961)))
+    assert(pre.isEmpty)
+    assert(a.bufferedStreamEvents == 2, "only the subtransaction's event drops")
+
+    val evs = feed(a, MessageEncoder.xlogData(430, 430, T0,
+      MessageEncoder.streamCommit(960, 430, 431, T0 + 4)))
+    assert(evs.map(_.after("id")) == Seq("70", "72"), "parent rows survive a child abort")
+    assert(evs.map(_.lsn) == Seq(421L, 431L))
+  }
+
   test("update with REPLICA IDENTITY FULL: before image + TOAST restoration") {
     val a = newAssembler()
     val evs = feed(a,
