@@ -51,6 +51,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => CdcQueries.sessionize(s, d).orderBy("session_len")),
     "q_monotonic_guard" -> ((s, d) => CdcQueries.monotonicGuard(s, d).orderBy("event_type")),
     "q_cdc_roundtrip" -> ((s, d) => CdcQueries.cdcRoundtrip(s, d).orderBy("op")),
+    "q_snapshot_handoff" -> ((s, d) => CdcQueries.snapshotHandoff(s, d).orderBy("final_status")),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -227,6 +228,15 @@ object SparkEntry {
            round(sum(CASE WHEN op = 'delete' THEN NULL ELSE value END), 2)
              AS sum_value
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q_snapshot_handoff" ->
+      """SELECT final_status, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM (SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 = 2
+                      THEN 'X' ELSE o_orderstatus END AS final_status
+               FROM orders)
+         GROUP BY 1 ORDER BY 1""",
     "q_chunked_scan" ->
       """SELECT (o_orderkey - (SELECT min(o_orderkey) FROM orders)) // 2000
            AS chunk_index,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.cdc.TransactionAssembler
 import graft.pgproto.{Messages, MessageEncoder}
+import graft.streaming.ResumeFilter
 
 /** CDC operator semantics expressed as verifiable queries over the `events`
   * table (events-as-change-feed: `user_id` plays the PK, `ts` the commit
@@ -106,6 +107,90 @@ object CdcQueries {
         count(lit(1)).as("n"),
         sum(when(col("event_id") < col("prior_max"), 1L).otherwise(0L)).as("regressions"))
   }
+
+  /** B7 snapshot→CDC handoff, proven end-to-end (reference
+    * `pq/replication/stream.go:635-711` OpenFromSnapshotLSN +
+    * `integration_test/snapshot_consistency_test.go:25`): a snapshot taken at
+    * consistent-point LSN S plus the stream resumed **from S** must equal the
+    * full table — no duplicates, no loss.
+    *
+    * Construction over `orders` (key = o_orderkey):
+    *  - snapshot = rows with key % 3 != 0, as of LSN S;
+    *  - the WAL contains, one single-event txn per row:
+    *      * dup bait: snapshot rows with key % 7 == 1 as INSERTs committing
+    *        BELOW S — a broken seam replays them and double-counts;
+    *      * the missing rows (key % 3 == 0) as INSERTs committing above S;
+    *      * updates (key % 3 != 0 && key % 5 == 2) above S setting
+    *        o_orderstatus = 'X' — must override the snapshot image.
+    *  - the stream side runs the real machinery per partition:
+    *    [[graft.streaming.ResumeFilter]](frames, S) → [[TransactionAssembler]].
+    *  - final state = per key, the image with the highest LSN (snapshot rows
+    *    carry LSN 0) — then a status-level digest the DuckDB oracle recomputes
+    *    directly from `orders`.
+    *
+    * Scale shape: encode→filter→decode is per-partition CPU (no shuffle); the
+    * take-latest is one hash aggregation on the key, the digest a second
+    * small one — the same two-exchange plan a real snapshot ∪ stream
+    * materialization needs at any scale.
+    */
+  def snapshotHandoff(s: SparkSession, dir: String): DataFrame = {
+    val S = 1000000000000L // snapshot consistent-point LSN
+    val out = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("status", StringType),
+      StructField("price", DoubleType), StructField("lsn", LongType)))
+    val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    val decoded = orders.mapPartitions { it =>
+      val assembler = new TransactionAssembler()
+      val rel = MessageEncoder.xlogData(1, 1, 0L,
+        MessageEncoder.relation(HandoffRelOid, "public", "orders", HandoffRelCols))
+      def txn(endLsn: Long, msg: Array[Byte]): Seq[Array[Byte]] = Seq(
+        MessageEncoder.xlogData(endLsn - 3, endLsn - 3, 0L, MessageEncoder.begin(endLsn, 0L, 1L)),
+        MessageEncoder.xlogData(endLsn - 2, endLsn - 2, 0L, msg),
+        MessageEncoder.xlogData(endLsn - 1, endLsn - 1, 0L, MessageEncoder.commit(endLsn - 1, endLsn, 0L)))
+      val frames = Iterator(rel) ++ it.flatMap { r =>
+        val key = r.getLong(0)
+        val vals = Seq(Some(key.toString), Some(r.getString(1)), Some(r.getDouble(2).toString))
+        val inSnapshot = key % 3 != 0
+        val dupBait =
+          if (inSnapshot && key % 7 == 1)
+            txn(key * 10 + 10, MessageEncoder.insert(HandoffRelOid, vals)) // below S: must be filtered
+          else Nil
+        val insert =
+          if (!inSnapshot) txn(S + key * 10 + 10, MessageEncoder.insert(HandoffRelOid, vals))
+          else Nil
+        val update =
+          if (inSnapshot && key % 5 == 2)
+            txn(S + key * 10 + 15, MessageEncoder.update(HandoffRelOid,
+              Seq(Some(key.toString), Some("X"), Some(r.getDouble(2).toString))))
+          else Nil
+        dupBait ++ insert ++ update
+      }
+      ResumeFilter(frames, S).flatMap(assembler.onCopyData).map { e =>
+        Row(e.after("o_orderkey").toLong, e.after("o_orderstatus"),
+          e.after("o_totalprice").toDouble, e.lsn)
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+
+    val snapshot = orders
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"), lit(0L).as("lsn"))
+
+    snapshot.unionByName(decoded)
+      .groupBy("o_orderkey")
+      .agg(max(struct(col("lsn"), col("status"), col("price"))).as("latest"))
+      .select(col("o_orderkey"), col("latest.status").as("final_status"), col("latest.price").as("price"))
+      .groupBy("final_status")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+        round(sum("price"), 2).as("sum_price"))
+  }
+
+  private val HandoffRelOid = 50001L
+  private val HandoffRelCols = Seq(
+    Messages.RelationColumn("o_orderkey", 20L, -1, 1),
+    Messages.RelationColumn("o_orderstatus", 25L, -1, 0),
+    Messages.RelationColumn("o_totalprice", 701L, -1, 0))
 
   private val RelOid = 50000L
   private val RelCols = Seq(

@@ -67,9 +67,28 @@ class PgCdcTable extends Table with SupportsRead {
     }
 }
 
-/** Dense sequence-number offset; json form is just the number. */
-case class SeqOffset(seq: Long) extends Offset {
-  override def json(): String = seq.toString
+/** Durable streaming offset (checkpointed as JSON by Spark).
+  *
+  * `seq` is the dense event counter used for batch slicing and admission
+  * control; `resumeLsn`/`skip` make the offset restartable: `resumeLsn` is the
+  * commit end-LSN of the last fully-delivered transaction, and `skip` counts
+  * events already delivered past that boundary (a batch boundary can fall
+  * mid-transaction). On restart the source reopens the feed from `resumeLsn`
+  * — the server (or [[ResumeFilter]]) re-sends whole transactions committing
+  * after it, the same contract as `START_REPLICATION` from a confirmed LSN
+  * (reference `pq/replication/stream.go:95-98,148`) — and drops the first
+  * `skip` re-emitted events to realign with `seq`: no duplicates, no loss.
+  */
+case class CdcOffset(seq: Long, resumeLsn: Long, skip: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seq,"lsn":$resumeLsn,"skip":$skip}"""
+}
+
+object CdcOffset {
+  private val Pat = """\{"seq":(\d+),"lsn":(\d+),"skip":(\d+)\}""".r
+  def fromJson(json: String): CdcOffset = json.trim match {
+    case Pat(s, l, k) => CdcOffset(s.toLong, l.toLong, k.toLong)
+    case other => throw new IllegalArgumentException(s"pgcdc: malformed offset json '$other'")
+  }
 }
 
 class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -79,6 +98,13 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     math.max(1, options.getInt("maxRowsPerPartition", 8192))
   private val defaultMaxPerTrigger =
     options.getLong("maxEventsPerTrigger", Long.MaxValue)
+
+  /** B7 snapshot→CDC handoff seam: the snapshot records its consistent-point
+    * LSN (slot creation's `consistent_point`, reference
+    * `pq/replication/stream.go:635-711`) and the stream starts from it,
+    * skipping every transaction already contained in the snapshot.
+    */
+  private val startLsn = options.getLong("startLsn", Lsn.Zero)
 
   private val heartbeat: Option[(String, String)] = {
     val s = options.get("heartbeatSchema"); val t = options.get("heartbeatTable")
@@ -99,47 +125,106 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   // seq of buffer(i) == baseSeq + i.
   private val buffer = mutable.ArrayBuffer.empty[ChangeEvent]
   private var baseSeq = 0L
+  // Txn boundaries inside/above the buffer: (seq just past the txn's last
+  // event, commit end LSN), ascending. `floor` is the greatest boundary at or
+  // below baseSeq — the resume point for offsets before the first entry.
+  private val boundaries = mutable.ArrayBuffer.empty[(Long, Long)]
+  private var floor: (Long, Long) = (0L, startLsn)
+  private var pendingSkip = 0L
   private var opened = false
 
-  private def ensureOpen(): Unit = if (!opened) { wal.open(Lsn.Zero); opened = true }
+  /** First contact with the (possibly checkpoint-restored) start offset:
+    * open the feed at its resume LSN and arm the skip-realignment.
+    */
+  private def ensureOpen(start: CdcOffset): Unit = if (!opened) {
+    wal.open(start.resumeLsn)
+    baseSeq = start.seq
+    pendingSkip = start.skip
+    floor = (start.seq - start.skip, start.resumeLsn)
+    opened = true
+  }
 
-  /** Pump everything currently available from the feed into the buffer. */
+  /** Pump everything currently available from the feed into the buffer,
+    * recording txn boundaries and dropping `pendingSkip` already-delivered
+    * events after a restart.
+    */
   private def pump(): Unit = {
-    ensureOpen()
     var f = wal.poll()
     while (f.isDefined) {
-      buffer ++= assembler.onCopyData(f.get)
+      val raw = f.get
+      var evs = assembler.onCopyData(raw)
+      if (pendingSkip > 0 && evs.nonEmpty) {
+        val d = math.min(pendingSkip, evs.size.toLong)
+        evs = evs.drop(d.toInt)
+        pendingSkip -= d
+      }
+      buffer ++= evs
+      // Commit / StreamCommit frames end a transaction: record the boundary.
+      // (XLogData header = 25 bytes; payload tag at offset 25.)
+      if (raw.length > 25 && raw(0) == graft.pgproto.WalFrames.TagXLogData) {
+        raw(25) match {
+          case 'C' =>
+            boundaries += ((baseSeq + buffer.size, commitEndLsnAt(raw, 25, streamed = false)))
+          case 'c' =>
+            boundaries += ((baseSeq + buffer.size, commitEndLsnAt(raw, 25, streamed = true)))
+          case _ =>
+        }
+      }
       f = wal.poll()
     }
   }
 
-  override def initialOffset(): Offset = SeqOffset(0L)
-  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  private def commitEndLsnAt(raw: Array[Byte], p: Int, streamed: Boolean): Long = {
+    // 'C': tag+flags(1)+commitLsn(8) → end at p+10; 'c': tag+xid(4)+flags(1)+commitLsn(8) → p+14.
+    val off = if (streamed) p + 14 else p + 10
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (raw(off + i) & 0xffL); i += 1 }
+    v
+  }
 
-  override def latestOffset(): Offset = latestOffset(SeqOffset(baseSeq + buffer.size), getDefaultReadLimit)
+  /** Durable offset for a batch ending at `seq`: resume LSN = last txn
+    * boundary at or below it, skip = events past that boundary.
+    */
+  private def offsetFor(seq: Long): CdcOffset = {
+    var b = floor
+    var i = boundaries.length - 1
+    while (i >= 0 && boundaries(i)._1 > seq) i -= 1
+    if (i >= 0 && boundaries(i)._1 > b._1) b = boundaries(i)
+    CdcOffset(seq, b._2, seq - b._1)
+  }
+
+  override def initialOffset(): Offset = CdcOffset(0L, startLsn, 0L)
+  override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
     if (defaultMaxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(defaultMaxPerTrigger)
 
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("pgcdc implements SupportsAdmissionControl")
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcOffset]
+    ensureOpen(s)
     pump()
     val available = baseSeq + buffer.size
-    val startSeq = start.asInstanceOf[SeqOffset].seq
     val capped = limit match {
-      case r: ReadMaxRows => math.min(available, startSeq + r.maxRows())
+      case r: ReadMaxRows => math.min(available, s.seq + r.maxRows())
       case _ => available
     }
-    SeqOffset(capped)
+    offsetFor(capped)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SeqOffset].seq
-    val e = end.asInstanceOf[SeqOffset].seq
+    val s = start.asInstanceOf[CdcOffset].seq
+    val e = end.asInstanceOf[CdcOffset].seq
+    ensureOpen(start.asInstanceOf[CdcOffset])
     if (e <= s) return Array.empty
+    pump() // a restored uncommitted batch replans before any latestOffset call
     require(s >= baseSeq,
       s"pgcdc: batch start $s below trimmed base $baseSeq — checkpoint older than buffer")
-    // honor replays of the last uncommitted batch: slice [s, e) from buffer
+    require(e - baseSeq <= buffer.size,
+      s"pgcdc: batch end $e beyond buffered ${baseSeq + buffer.size} — feed did not replay far enough")
     val events = buffer.slice((s - baseSeq).toInt, (e - baseSeq).toInt).toArray
     events.grouped(maxRowsPerPartition).map(g => PgCdcInputPartition(g): InputPartition).toArray
   }
@@ -147,13 +232,20 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   override def createReaderFactory(): PartitionReaderFactory = PgCdcReaderFactory
 
   override def commit(end: Offset): Unit = {
-    val e = end.asInstanceOf[SeqOffset].seq
-    val n = (e - baseSeq).toInt
-    if (n > 0 && n <= buffer.size) {
-      // T3: ack the last delivered event's LSN (monotonic in WalSource).
-      wal.ack(buffer(n - 1).lsn)
-      buffer.remove(0, n)
-      baseSeq = e
+    val e = end.asInstanceOf[CdcOffset].seq
+    val n = e - baseSeq
+    // Loud on any out-of-range commit — a silent no-op here would under-ack
+    // after a restart and mask a broken checkpoint (round-2 verdict finding).
+    require(n >= 0 && n <= buffer.size,
+      s"pgcdc: commit($e) outside buffered range [$baseSeq, ${baseSeq + buffer.size}]")
+    if (n == 0) return
+    // T3: ack the resume LSN — the last fully-delivered txn's commit end LSN
+    // (acking mid-txn would lose the tail of a split txn on restart).
+    wal.ack(offsetFor(e).resumeLsn)
+    buffer.remove(0, n.toInt)
+    baseSeq = e
+    boundaries.filterInPlace { b =>
+      if (b._1 <= baseSeq) { if (b._1 > floor._1) floor = b; false } else true
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pgproto.{Lsn, WalFrames}
+import graft.pgproto.Lsn
 import graft.tools.WalFile
 
 /** Abstraction over "where replication frames come from" — the seam between
@@ -33,26 +33,17 @@ trait WalSource extends AutoCloseable {
 }
 
 /** Replays a WalGen/WalFile frame file. Deterministic: re-opening from LSN L
-  * skips XLogData frames with walStart <= L, which is exactly how a resumed
+  * replays only transactions with commit end-LSN > L (plus relations and
+  * keepalives) via [[ResumeFilter]] — exactly how a resumed
   * `START_REPLICATION` from a confirmed LSN behaves.
   */
 final class FileWalSource(path: String) extends WalSource {
   private var it: Iterator[Array[Byte]] = Iterator.empty
-  private var from: Long = Lsn.Zero
   @volatile private var confirmed: Long = Lsn.Zero
 
   override def open(fromLsn: Long): Unit = {
-    from = fromLsn
     confirmed = math.max(confirmed, fromLsn)
-    it = WalFile.read(path).filter { raw =>
-      WalFrames.parse(raw) match {
-        case WalFrames.XLogDataFrame(x) =>
-          // Relation messages must always replay: a resumed slot re-sends
-          // them before the first DML per table.
-          x.walStart > from || (x.data.nonEmpty && x.data(0) == 'R')
-        case _ => true
-      }
-    }
+    it = ResumeFilter(WalFile.read(path), fromLsn)
   }
 
   override def poll(): Option[Array[Byte]] = if (it.hasNext) Some(it.next()) else None
@@ -65,13 +56,17 @@ final class FileWalSource(path: String) extends WalSource {
   override def close(): Unit = ()
 }
 
-/** In-memory frame feed for tests and benchmarks. */
+/** In-memory frame feed for tests and benchmarks; resume semantics identical
+  * to [[FileWalSource]] (txn-aware [[ResumeFilter]]).
+  */
 final class InMemoryWalSource(frames: Seq[Array[Byte]]) extends WalSource {
-  private var idx = 0
+  private var it: Iterator[Array[Byte]] = Iterator.empty
   @volatile private var confirmed: Long = Lsn.Zero
-  override def open(fromLsn: Long): Unit = { idx = 0; confirmed = math.max(confirmed, fromLsn) }
-  override def poll(): Option[Array[Byte]] =
-    if (idx < frames.length) { val f = frames(idx); idx += 1; Some(f) } else None
+  override def open(fromLsn: Long): Unit = {
+    confirmed = math.max(confirmed, fromLsn)
+    it = ResumeFilter(frames.iterator, fromLsn)
+  }
+  override def poll(): Option[Array[Byte]] = if (it.hasNext) Some(it.next()) else None
   override def ack(lsn: Long): Unit = if (Lsn.compare(lsn, confirmed) > 0) confirmed = lsn
   override def confirmedLsn: Long = confirmed
   override def close(): Unit = ()
