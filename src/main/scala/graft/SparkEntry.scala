@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CdcQueries, DedupQueries, SnapshotQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, DedupQueries, SnapshotQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,7 +65,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => DedupQueries.dedupExact(s, d)),
     "q_dedup_minhash" -> ((s, d) => DedupQueries.minhashLsh(s, d).orderBy("d1", "d2")),
     "q_dedup_simhash" -> ((s, d) => DedupQueries.simhashBanding(s, d).orderBy("d1", "d2")),
-    "q_dedup_ngram" -> ((s, d) => DedupQueries.ngramJaccard(s, d).orderBy("d1", "d2"))
+    "q_dedup_ngram" -> ((s, d) => DedupQueries.ngramJaccard(s, d).orderBy("d1", "d2")),
+    // ---- LLM-pipeline: similarity search ----
+    "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
+    "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -392,6 +395,61 @@ object SparkEntry {
            FROM pairs
            JOIN sizes s1 ON d1 = s1.doc_id
            JOIN sizes s2 ON d2 = s2.doc_id)
-         WHERE jac >= 0.5 ORDER BY d1, d2"""
+         WHERE jac >= 0.5 ORDER BY d1, d2""",
+    // ---- LLM-pipeline: similarity search ----
+    "q_ann_cosine" ->
+      """WITH vecs AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm
+               FROM vecs WHERE vec_id % 41 = 0),
+         pairs AS (
+           SELECT q.qid, e.vec_id AS nid,
+             list_dot_product(q.qv, e.v) / (q.qnorm * e.norm) AS sim
+           FROM q, vecs e WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           FROM pairs)
+         SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY 1, 2""",
+    "q_ann_lsh" ->
+      """WITH planes AS (
+           SELECT p, list(w ORDER BY i) AS wv FROM (
+             SELECT tp.range AS p, ti.range AS i,
+               (CAST(('0x' || substr(md5(tp.range::VARCHAR || '_' || ti.range::VARCHAR), 1, 15))
+                  AS BIGINT) / 576460752303423488.0) - 1.0 AS w
+             FROM range(16) tp, range(64) ti)
+           GROUP BY p),
+         vecs AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+         bits AS (
+           SELECT vec_id, p,
+             CASE WHEN list_dot_product(v, wv) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM vecs, planes),
+         buckets AS (
+           SELECT vec_id, p // 8 AS band,
+             CAST(sum(bit * CAST(power(2, p % 8) AS BIGINT)) AS BIGINT) AS bucket
+           FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
+           FROM buckets qb JOIN buckets vb
+             ON qb.band = vb.band AND qb.bucket = vb.bucket
+           WHERE qb.vec_id % 41 = 0 AND vb.vec_id <> qb.vec_id),
+         sims AS (
+           SELECT c.qid, c.nid,
+             list_dot_product(qv.v, nv.v) / (qv.norm * nv.norm) AS sim
+           FROM cand c
+           JOIN vecs qv ON qv.vec_id = c.qid
+           JOIN vecs nv ON nv.vec_id = c.nid),
+         ranked AS (
+           SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           FROM sims)
+         SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY 1, 2"""
   )
 }
