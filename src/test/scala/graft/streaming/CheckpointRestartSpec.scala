@@ -26,6 +26,24 @@ class CheckpointRestartSpec extends AnyFunSuite {
     def ids: Seq[Long] = batches.values.flatten.toSeq
   }
 
+  /** Decode a planned batch on the "executor" side (the real reader factory)
+    * and extract after["id"] per event.
+    */
+  private def rowIds(stream: PgCdcMicroBatchStream, start: CdcOffset, end: CdcOffset): Seq[Long] =
+    stream.planInputPartitions(start, end).toSeq.flatMap { p =>
+      val r = PgCdcReaderFactory.createReader(p)
+      val out = Seq.newBuilder[Long]
+      while (r.next()) {
+        val row = r.get()
+        val m = row.getMap(10)
+        val keys = m.keyArray()
+        val idx = (0 until m.numElements())
+          .find(i => keys.getUTF8String(i).toString == "id").get
+        out += m.valueArray().getUTF8String(idx).toString.toLong
+      }
+      out.result()
+    }
+
   test("stop/restart from checkpoint: no duplicates, no loss") {
     val wal = Files.createTempFile("wal-restart", ".bin").toString
     val ckpt = Files.createTempDirectory("ckpt-restart").toString
@@ -62,37 +80,30 @@ class CheckpointRestartSpec extends AnyFunSuite {
     assert(ids.sorted == (1L to 48L), "loss after restart")
   }
 
-  test("mid-transaction offset restore realigns with skip: no dup, no loss") {
-    val wal = Files.createTempFile("wal-midtxn", ".bin").toString
-    // 4 txns x 5 rows = 20 events; batches of 7 split txns mid-way.
+  test("offset restore across a fresh stream instance: no dup, no loss") {
+    val wal = Files.createTempFile("wal-txnalign", ".bin").toString
+    // 4 txns x 5 rows = 20 events; admission control caps 2 txns per batch.
     WalFile.write(wal, WalGen.frames(4, 5))
     def opts = new CaseInsensitiveStringMap(java.util.Map.of("path", wal))
 
-    def readAfterIds(stream: PgCdcMicroBatchStream, start: CdcOffset, end: CdcOffset): Seq[Long] =
-      stream.planInputPartitions(start, end).flatMap {
-        case PgCdcInputPartition(events) => events.map(_.after("id").toLong)
-      }.toSeq
-
     val s1 = new PgCdcMicroBatchStream(opts)
     val o0 = s1.initialOffset().asInstanceOf[CdcOffset]
-    val o7 = s1.latestOffset(o0, ReadLimit.maxRows(7)).asInstanceOf[CdcOffset]
-    val o14 = s1.latestOffset(o7, ReadLimit.maxRows(7)).asInstanceOf[CdcOffset]
-    val run1 = readAfterIds(s1, o0, o7) ++ readAfterIds(s1, o7, o14)
-    s1.commit(o7)
-    s1.commit(o14)
-    assert(run1 == (1L to 14L), s"pre-restart batches wrong: $run1")
-    assert(o14.seq == 14 && o14.skip == 4,
-      s"offset 14 should be 4 events past the 2nd txn boundary (seq 10), got $o14")
+    val o2 = s1.latestOffset(o0, ReadLimit.maxRows(2)).asInstanceOf[CdcOffset]
+    val run1 = rowIds(s1, o0, o2)
+    s1.commit(o2)
+    assert(run1 == (1L to 10L), s"pre-restart batch wrong: $run1")
+    // txn structure: begin=100, 5 rows, end=107; txn2 ends at 114
+    assert(o2 == CdcOffset(2, 114L), s"offset should be txn-aligned, got $o2")
     s1.stop()
 
     // "Crash" and restart: a fresh stream instance, only the checkpointed
     // offset survives (round-tripped through its JSON form like Spark does).
-    val restored = CdcOffset.fromJson(o14.json())
+    val restored = CdcOffset.fromJson(o2.json())
     val s2 = new PgCdcMicroBatchStream(opts)
     val oEnd = s2.latestOffset(restored, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
-    val run2 = readAfterIds(s2, restored, oEnd)
+    val run2 = rowIds(s2, restored, oEnd)
     s2.commit(oEnd)
-    assert(run2 == (15L to 20L), s"post-restart batch wrong: $run2")
+    assert(run2 == (11L to 20L), s"post-restart batch wrong: $run2")
     s2.stop()
   }
 
@@ -104,7 +115,7 @@ class CheckpointRestartSpec extends AnyFunSuite {
     val o0 = s.initialOffset().asInstanceOf[CdcOffset]
     s.latestOffset(o0, ReadLimit.allAvailable())
     val ex = intercept[IllegalArgumentException] {
-      s.commit(CdcOffset(999, 0, 0))
+      s.commit(CdcOffset(999, 0))
     }
     assert(ex.getMessage.contains("outside buffered range"))
     s.stop()
@@ -112,17 +123,31 @@ class CheckpointRestartSpec extends AnyFunSuite {
 
   test("startLsn option: stream begins after the snapshot consistent point") {
     val wal = Files.createTempFile("wal-startlsn", ".bin").toString
-    WalFile.write(wal, WalGen.frames(4, 3)) // txn ends at 105, 110, 115, 120
+    WalFile.write(wal, WalGen.frames(4, 3)) // txns end at LSN 105, 110, 115, 120
     val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(
       java.util.Map.of("path", wal, "startLsn", "110")))
     val o0 = s.initialOffset().asInstanceOf[CdcOffset]
     assert(o0.resumeLsn == 110L)
     val oEnd = s.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
-    val ids = s.planInputPartitions(o0, oEnd).flatMap {
-      case PgCdcInputPartition(events) => events.map(_.after("id").toLong)
-    }.toSeq
     // txns 1-2 (ids 1..6) are inside the snapshot; only 7..12 stream.
-    assert(ids == (7L to 12L), s"got $ids")
+    assert(rowIds(s, o0, oEnd) == (7L to 12L))
+    s.stop()
+  }
+
+  test("executor partitions decode independently with relation preambles") {
+    val wal = Files.createTempFile("wal-part", ".bin").toString
+    // 6 txns x 2 rows, forced tiny partitions: each txn (4 frames) must land
+    // in its own partition, each decoding with a preamble-provided relation.
+    WalFile.write(wal, WalGen.frames(6, 2))
+    val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", wal, "maxFramesPerPartition", "4")))
+    val o0 = s.initialOffset().asInstanceOf[CdcOffset]
+    val oEnd = s.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+    val parts = s.planInputPartitions(o0, oEnd)
+    assert(parts.length == 6, s"expected 6 single-txn partitions, got ${parts.length}")
+    // Every partition after the first relies on the preamble for schema —
+    // decoding through the real reader must still produce all rows in order.
+    assert(rowIds(s, o0, oEnd) == (1L to 12L))
     s.stop()
   }
 }
