@@ -52,6 +52,7 @@ object SparkEntry {
     "q_monotonic_guard" -> ((s, d) => CdcQueries.monotonicGuard(s, d).orderBy("event_type")),
     "q_cdc_roundtrip" -> ((s, d) => CdcQueries.cdcRoundtrip(s, d).orderBy("op")),
     "q_snapshot_handoff" -> ((s, d) => CdcQueries.snapshotHandoff(s, d).orderBy("final_status")),
+    "q_event_window" -> ((s, d) => CdcQueries.eventTimeWindow(s, d).orderBy("win_start", "event_type")),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -231,6 +232,10 @@ object SparkEntry {
            round(sum(CASE WHEN op = 'delete' THEN NULL ELSE value END), 2)
              AS sum_value
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q_event_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_snapshot_handoff" ->
       """SELECT final_status, count(*) AS n,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

@@ -108,6 +108,19 @@ object CdcQueries {
         sum(when(col("event_id") < col("prior_max"), 1L).otherwise(0L)).as("regressions"))
   }
 
+  /** Event-time tumbling windows (SURVEY §2.6 last row, batch form — the
+    * streaming form with `withWatermark` is exercised by
+    * `StreamingWindowSpec`): hourly windows per event type via `window()`,
+    * the windowed-aggregation primitive watermarked streams use. One scan +
+    * one partial-aggregated shuffle.
+    */
+  def eventTimeWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** B7 snapshot→CDC handoff, proven end-to-end (reference
     * `pq/replication/stream.go:635-711` OpenFromSnapshotLSN +
     * `integration_test/snapshot_consistency_test.go:25`): a snapshot taken at

@@ -1,0 +1,147 @@
+package graft.snapshot
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pgproto.Lsn
+import graft.services.SlotManager
+import graft.snapshot.CatalogReader.SqlExecutor
+
+/** Snapshot job state — the `cdc_snapshot_job` row the reference persists so
+  * a restart knows whether (and from which LSN) the snapshot already ran
+  * (`pq/snapshot/coordinator.go:1222-1260` saveJob,
+  * `pq/replication/stream.go:642-711` fetchSnapshotLSN).
+  */
+final case class SnapshotJob(
+    slotName: String,
+    snapshotId: String,
+    snapshotLsn: Long,
+    completed: Boolean)
+
+/** Durable job bookkeeping behind the same SQL seam as the other services;
+  * [[SnapshotJobStore.InMemory]] backs tests and local runs.
+  */
+trait SnapshotJobStore {
+  def load(slotName: String): Option[SnapshotJob]
+  def save(job: SnapshotJob): Unit
+  def markCompleted(slotName: String): Unit
+  def cleanup(slotName: String): Unit
+}
+
+object SnapshotJobStore {
+
+  /** Reference-shaped SQL over `cdc_snapshot_job` (`coordinator.go:1222-1260`,
+    * `stream.go:656-663`); untestable without PostgreSQL, mirrored by
+    * [[InMemory]] for everything above the seam.
+    */
+  final class Sql(exec: SqlExecutor, table: String = "cdc_snapshot_job") extends SnapshotJobStore {
+    override def load(slotName: String): Option[SnapshotJob] =
+      exec(s"SELECT slot_name, snapshot_id, snapshot_lsn, completed FROM $table " +
+        s"WHERE slot_name = '$slotName'")
+        .headOption.map { r =>
+          SnapshotJob(r(0), r(1), Lsn.parse(r(2)), r(3) == "t" || r(3) == "true")
+        }
+    override def save(job: SnapshotJob): Unit =
+      exec(s"INSERT INTO $table (slot_name, snapshot_id, snapshot_lsn, completed) VALUES " +
+        s"('${job.slotName}', '${job.snapshotId}', '${Lsn.format(job.snapshotLsn)}', ${job.completed})")
+    override def markCompleted(slotName: String): Unit =
+      exec(s"UPDATE $table SET completed = true WHERE slot_name = '$slotName'")
+    override def cleanup(slotName: String): Unit =
+      exec(s"DELETE FROM $table WHERE slot_name = '$slotName'")
+  }
+
+  final class InMemory extends SnapshotJobStore {
+    private val jobs = scala.collection.concurrent.TrieMap.empty[String, SnapshotJob]
+    override def load(slotName: String): Option[SnapshotJob] = jobs.get(slotName)
+    override def save(job: SnapshotJob): Unit = jobs.put(job.slotName, job)
+    override def markCompleted(slotName: String): Unit =
+      jobs.updateWith(slotName)(_.map(_.copy(completed = true)))
+    override def cleanup(slotName: String): Unit = jobs.remove(slotName)
+  }
+}
+
+/** B6 + B8 + the B7 glue: snapshot lifecycle events, resume/resnapshot
+  * decisions, and the two-phase snapshot↔slot preparation that makes the
+  * snapshot→CDC handoff exactly-once.
+  */
+object SnapshotOrchestrator {
+
+  /** B8 — should this start take a snapshot? (`connector.go:315-343`):
+    *  - `never`: no;
+    *  - `initial` + `resnapshot`: wipe this slot's metadata, yes;
+    *  - `initial`: yes unless a COMPLETED job exists; an INCOMPLETE job (crash
+    *    mid-snapshot) is wiped first — its exported transaction is gone and
+    *    its LSN stale, so resuming it would duplicate data
+    *    (`coordinator.go:32-46`);
+    *  - `snapshot_only`: always.
+    */
+  def shouldTakeSnapshot(cfg: SnapshotConfig, store: SnapshotJobStore, slotName: String): Boolean =
+    cfg.mode match {
+      case "never" => false
+      case "snapshot_only" => true
+      case "initial" =>
+        if (cfg.resnapshot) { store.cleanup(slotName); true }
+        else store.load(slotName) match {
+          case Some(job) if job.completed => false
+          case Some(_) => store.cleanup(slotName); true // incomplete-job wipe
+          case None => true
+        }
+    }
+
+  /** B8 — `snapshot_only` runs no stream afterwards (`connector.go:352-360`). */
+  def shouldStream(cfg: SnapshotConfig): Boolean = cfg.mode != "snapshot_only"
+
+  /** Two-phase prepare (`connector.go:345-420` prepareSnapshotAndSlot):
+    * create the slot FIRST so WAL from the consistent point is preserved
+    * while the snapshot runs, then record the incomplete job at that LSN.
+    * Returns the consistent-point LSN the snapshot must read at.
+    */
+  def prepare(
+      slots: SlotManager, store: SnapshotJobStore,
+      slotName: String, snapshotId: String): Long = {
+    val info = slots.create()
+    val lsn = info.confirmedFlushLsn
+    store.cleanup(slotName)
+    store.save(SnapshotJob(slotName, snapshotId, lsn, completed = false))
+    lsn
+  }
+
+  /** Mark the snapshot done; the stream may now start from its LSN. */
+  def complete(store: SnapshotJobStore, slotName: String): Unit =
+    store.markCompleted(slotName)
+
+  /** fetchSnapshotLSN (`stream.go:642-711`): the LSN the CDC stream starts
+    * from — feed it to the source's `startLsn` option. Loud unless a
+    * COMPLETED job exists: streaming from a stale or absent snapshot LSN is
+    * exactly the silent-duplication bug the reference guards against.
+    */
+  def streamStartLsn(store: SnapshotJobStore, slotName: String): Long =
+    store.load(slotName) match {
+      case Some(job) if job.completed => job.snapshotLsn
+      case Some(_) => throw new IllegalStateException(
+        s"snapshot job for slot '$slotName' not completed yet")
+      case None => throw new IllegalStateException(
+        s"no snapshot job found for slot '$slotName'")
+    }
+
+  /** B6 — snapshot lifecycle events (`pq/snapshot/worker.go:101-124`,
+    * `format/snapshot.go:10-30`): the data frame wrapped with BEGIN/END
+    * marker rows and per-row DATA tagging, so a downstream consumer can
+    * demarcate the bulk load in the same stream that later carries CDC
+    * events. `totalRows` comes from the plan stats (the reference carries
+    * job.TotalChunks the same way).
+    */
+  def withLifecycle(
+      s: SparkSession, data: DataFrame, table: String,
+      snapshotLsn: Long, totalRows: Long): DataFrame = {
+    val nulls = data.schema.map(f => lit(null).cast(f.dataType).as(f.name))
+    def marker(kind: String) = s.range(1).select(
+      nulls :+ lit(kind).as("snapshot_event") :+ lit(table).as("snapshot_table") :+
+        lit(snapshotLsn).as("snapshot_lsn") :+ lit(totalRows).as("total_rows"): _*)
+    val tagged = data
+      .withColumn("snapshot_event", lit("DATA"))
+      .withColumn("snapshot_table", lit(table))
+      .withColumn("snapshot_lsn", lit(snapshotLsn))
+      .withColumn("total_rows", lit(totalRows))
+    marker("BEGIN").unionByName(tagged).unionByName(marker("END"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.snapshot
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.services.SlotManager
+import graft.snapshot.SnapshotOrchestrator._
+
+/** B6 lifecycle events + B8 resume/resnapshot flags + the B7 prepare/complete
+  * handoff, against the in-memory job store and a fixture slot.
+  */
+class SnapshotOrchestratorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def store() = new SnapshotJobStore.InMemory
+
+  test("mode flags drive snapshot/stream decisions (B8)") {
+    val st = store()
+    assert(!shouldTakeSnapshot(SnapshotConfig(mode = "never"), st, "s1"))
+    assert(shouldStream(SnapshotConfig(mode = "never")))
+
+    assert(shouldTakeSnapshot(SnapshotConfig(mode = "initial"), st, "s1"), "no job yet → snapshot")
+
+    st.save(SnapshotJob("s1", "snap-1", 100L, completed = true))
+    assert(!shouldTakeSnapshot(SnapshotConfig(mode = "initial"), st, "s1"), "completed job → skip")
+
+    assert(shouldTakeSnapshot(SnapshotConfig(mode = "snapshot_only"), st, "s1"))
+    assert(!shouldStream(SnapshotConfig(mode = "snapshot_only")), "snapshot_only never streams")
+  }
+
+  test("resnapshot wipes this slot's metadata and retakes (B8)") {
+    val st = store()
+    st.save(SnapshotJob("s1", "snap-1", 100L, completed = true))
+    st.save(SnapshotJob("other", "snap-9", 900L, completed = true))
+    assert(shouldTakeSnapshot(SnapshotConfig(mode = "initial", resnapshot = true), st, "s1"))
+    assert(st.load("s1").isEmpty, "s1 metadata wiped")
+    assert(st.load("other").isDefined, "other slots untouched")
+  }
+
+  test("incomplete job (mid-snapshot crash) is wiped, not resumed") {
+    val st = store()
+    st.save(SnapshotJob("s1", "snap-1", 100L, completed = false))
+    assert(shouldTakeSnapshot(SnapshotConfig(mode = "initial"), st, "s1"),
+      "stale LSN would duplicate data — restart from scratch")
+    assert(st.load("s1").isEmpty)
+  }
+
+  test("prepare → complete → streamStartLsn carries the slot's consistent point (B7)") {
+    val st = store()
+    val slots = new SlotManager(
+      _ => Seq(Seq("s1", "logical", "f", null, "0/800", "0/AB00", "reserved", "0/F000")), "s1")
+    val lsn = prepare(slots, st, "s1", "snap-42")
+    assert(lsn == graft.pgproto.Lsn.parse("0/AB00"))
+    assert(st.load("s1").exists(j => !j.completed && j.snapshotLsn == lsn))
+
+    // Stream must refuse to start before the snapshot completes.
+    val early = intercept[IllegalStateException](streamStartLsn(st, "s1"))
+    assert(early.getMessage.contains("not completed"))
+
+    complete(st, "s1")
+    assert(streamStartLsn(st, "s1") == lsn)
+    assert(intercept[IllegalStateException](streamStartLsn(st, "missing"))
+      .getMessage.contains("no snapshot job"))
+  }
+
+  test("lifecycle markers wrap the data frame (B6)") {
+    val data = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val out = withLifecycle(spark, data, "region", snapshotLsn = 4096L, totalRows = 5L)
+    val byEvent = out.groupBy("snapshot_event").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byEvent == Map("BEGIN" -> 1L, "DATA" -> 5L, "END" -> 1L))
+    val end = out.filter(col("snapshot_event") === "END").head()
+    assert(end.getAs[Long]("snapshot_lsn") == 4096L)
+    assert(end.getAs[Long]("total_rows") == 5L)
+    assert(end.isNullAt(end.fieldIndex("r_name")), "marker rows carry no data columns")
+    val dataRows = out.filter(col("snapshot_event") === "DATA")
+    assert(dataRows.select(col("r_regionkey").cast("long")).collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L to 4L))
+  }
+
+  test("sql job store issues reference-shaped statements") {
+    val issued = Seq.newBuilder[String]
+    var row: Option[Seq[String]] = None
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      issued += sql
+      if (sql.startsWith("SELECT")) row.toSeq else Seq.empty
+    }
+    val st = new SnapshotJobStore.Sql(exec)
+    st.save(SnapshotJob("s1", "snap-1", 0xAB00L, completed = false))
+    row = Some(Seq("s1", "snap-1", "0/AB00", "f"))
+    assert(st.load("s1").contains(SnapshotJob("s1", "snap-1", 0xAB00L, completed = false)))
+    st.markCompleted("s1")
+    st.cleanup("s1")
+    val sqls = issued.result()
+    assert(sqls.exists(s => s.startsWith("INSERT INTO cdc_snapshot_job") && s.contains("'0/AB00'")))
+    assert(sqls.exists(_.startsWith("UPDATE cdc_snapshot_job SET completed = true")))
+    assert(sqls.exists(_.startsWith("DELETE FROM cdc_snapshot_job")))
+  }
+}
