@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, DedupQueries, SnapshotQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, DedupQueries, MultimodalQueries, SnapshotQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,7 +69,10 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) => DedupQueries.ngramJaccard(s, d).orderBy("d1", "d2")),
     // ---- LLM-pipeline: similarity search ----
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
-    "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk"))
+    "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
+    // ---- LLM-pipeline: multimodal columns ----
+    "q_multimodal_features" -> ((s, d) =>
+      MultimodalQueries.multimodalFeatures(s, d).orderBy("media_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -463,6 +466,27 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
            FROM sims)
          SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
-         FROM ranked WHERE rnk <= 3 ORDER BY 1, 2"""
+         FROM ranked WHERE rnk <= 3 ORDER BY 1, 2""",
+    // ---- LLM-pipeline: multimodal columns ----
+    "q_multimodal_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN source = 'src1' THEN 'image'
+                  WHEN source = 'src2' THEN 'audio'
+                  WHEN source = 'src3' THEN 'video'
+                  ELSE 'document' END AS media_type,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+           FROM documents),
+         f AS (
+           SELECT media_type, n_bytes,
+             (n_bytes + 63) // 64 AS n_frames, fingerprint
+           FROM m)
+         SELECT media_type, count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+           CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+           CAST(sum((n_frames + 3) // 4) AS BIGINT) AS sum_sampled,
+           min(fingerprint) AS min_fp
+         FROM f GROUP BY 1 ORDER BY 1"""
   )
 }
