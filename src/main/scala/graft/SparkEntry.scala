@@ -318,7 +318,8 @@ object SparkEntry {
              FROM t)),
          hashed AS (
            SELECT doc_id, seed,
-             ('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 15))::BIGINT AS h
+             xor(('0x' || substr(md5(sh), 1, 15))::BIGINT,
+                 ('0x' || substr(md5('minhash-seed-' || seed::VARCHAR), 1, 15))::BIGINT) AS h
            FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)),
          sig AS (
            SELECT doc_id,

@@ -60,9 +60,17 @@ object DedupQueries {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = docShingleSets(s, dir, 5)
-    val sig = docs.select(col("doc_id") +:
+    // One md5 per shingle; the k=8 permutation family is XOR with fixed
+    // 60-bit constants (a bijection per seed, so each min is a valid minhash;
+    // candidates are exact-Jaccard-verified anyway). 8× less hashing than a
+    // seed-prefixed md5 per permutation, same cross-engine reproducibility —
+    // the seeds themselves are hash60("minhash-seed-i"), recomputed
+    // identically in the oracle SQL.
+    val seeds = (0 until NumHashes).map(i => graft.functions.Hash60(s"minhash-seed-$i"))
+    val hashed = docs.withColumn("hs", transform(col("shs"), sh => hash60(sh)))
+    val sig = hashed.select(col("doc_id") +:
       (0 until NumHashes).map(i =>
-        array_min(transform(col("shs"), sh => hash60(concat(lit(s"$i|"), sh)))).as(s"m$i")): _*)
+        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seeds(i))))).as(s"m$i")): _*)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumHashes / 2).map(j =>
         concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))): _*)).as(Seq("band", "bkey")))
