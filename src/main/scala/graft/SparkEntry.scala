@@ -52,6 +52,7 @@ object SparkEntry {
     "q_monotonic_guard" -> ((s, d) => CdcQueries.monotonicGuard(s, d).orderBy("event_type")),
     "q_cdc_roundtrip" -> ((s, d) => CdcQueries.cdcRoundtrip(s, d).orderBy("op")),
     "q_snapshot_handoff" -> ((s, d) => CdcQueries.snapshotHandoff(s, d).orderBy("final_status")),
+    "q_streamed_txn" -> ((s, d) => CdcQueries.streamedTxnRoundtrip(s, d)),
     "q_event_window" -> ((s, d) => CdcQueries.eventTimeWindow(s, d).orderBy("win_start", "event_type")),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
@@ -235,6 +236,10 @@ object SparkEntry {
            round(sum(CASE WHEN op = 'delete' THEN NULL ELSE value END), 2)
              AS sum_value
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q_streamed_txn" ->
+      """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+           count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
+         FROM events WHERE (event_id % 6) % 3 <> 0""",
     "q_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value

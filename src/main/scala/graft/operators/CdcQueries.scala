@@ -121,6 +121,72 @@ object CdcQueries {
       .select(col("window.start").cast("long").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** T2 streamed (in-progress) transactions, proto v2, proven end-to-end
+    * with an oracle: each partition re-encodes its events as STREAMED
+    * transactions (STREAM START/segment/STOP chunks, one txn per 500 rows,
+    * with the v2 per-message XID prefix), ABORTS every 3rd transaction, and
+    * commits the rest via STREAM COMMIT. The assembler must buffer segments
+    * per XID, discard aborted buffers wholesale, and emit committed ones in
+    * commit order — consumers never observe a rolled-back streamed txn.
+    * Events route to transactions BY CONTENT (`event_id % 6` picks one of 6
+    * interleaved XIDs) and abort is decided by XID, so the surviving row set
+    * is partition-invariant and the DuckDB oracle is a plain filter.
+    *
+    * Scale shape: same as cdcRoundtrip — per-partition CPU, one final agg.
+    */
+  def streamedTxnRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val events = Tables.events(s, dir).select("event_id", "user_id", "value")
+    val decoded = events.mapPartitions { it =>
+      val assembler = new TransactionAssembler()
+      val rel = MessageEncoder.xlogData(1, 1, 0L,
+        MessageEncoder.relation(RelOid, "public", "events", RelCols))
+      assembler.onCopyData(rel)
+      var lsn = 10L
+      // 6 interleaved streamed txns per partition window; xids 900..905.
+      it.grouped(3000).flatMap { window =>
+        val frames = Seq.newBuilder[Array[Byte]]
+        val byTxn = window.groupBy(r => 900L + (r.getLong(0) % 6))
+        // segments interleave: one STREAM START/STOP chunk per txn per window
+        byTxn.toSeq.sortBy(_._1).foreach { case (xid, rows) =>
+          frames += MessageEncoder.xlogData(lsn, lsn, 0L,
+            MessageEncoder.streamStart(xid, firstSegment = true))
+          lsn += 1
+          rows.foreach { r =>
+            frames += MessageEncoder.xlogData(lsn, lsn, 0L,
+              MessageEncoder.insert(RelOid,
+                Seq(Some(r.getLong(0).toString), Some(r.getLong(1).toString),
+                  Some("s"), Some(r.getDouble(2).toString)),
+                streamedXid = xid))
+            lsn += 1
+          }
+          frames += MessageEncoder.xlogData(lsn, lsn, 0L, MessageEncoder.streamStop())
+          lsn += 1
+        }
+        // abort xids where (xid - 900) % 3 == 0 (i.e. event_id%6 ∈ {0, 3});
+        // commit the rest
+        byTxn.keys.toSeq.sorted.foreach { xid =>
+          val msg =
+            if ((xid - 900) % 3 == 0) MessageEncoder.streamAbort(xid, xid)
+            else MessageEncoder.streamCommit(xid, lsn, lsn + 1, 0L)
+          frames += MessageEncoder.xlogData(lsn, lsn, 0L, msg)
+          lsn += 2
+        }
+        frames.result().flatMap(assembler.onCopyData).iterator.map { e =>
+          Row(e.after("event_id").toLong, e.after("user_id").toLong,
+            e.after("value").toDouble)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+    decoded.agg(
+      count(lit(1)).as("n"),
+      sum("event_id").as("sum_id"),
+      count_distinct(col("user_id")).as("n_users"),
+      round(sum("value"), 2).as("sum_value"))
+  }
+
   /** B7 snapshot→CDC handoff, proven end-to-end (reference
     * `pq/replication/stream.go:635-711` OpenFromSnapshotLSN +
     * `integration_test/snapshot_consistency_test.go:25`): a snapshot taken at
