@@ -227,7 +227,14 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             else curTxn += raw
         }
       }
-      // keepalives carry no events; file feeds need no liveness reply
+      else if (raw.nonEmpty && raw(0) == graft.pgproto.WalFrames.TagKeepalive) {
+        // T6 liveness: reply with the confirmed position when the server asks
+        // (replyRequested byte after walEnd(8)+serverTime(8) — reference
+        // `stream.go:368-377`); keepalives carry no events.
+        if (raw.length > 17 && raw(17) != 0)
+          wal.sendStatusUpdate(graft.pgproto.WalFrames.encodeStandbyStatusUpdate(
+            wal.confirmedLsn, System.currentTimeMillis() * 1000L))
+      }
       f = wal.poll()
     }
   }

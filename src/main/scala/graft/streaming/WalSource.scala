@@ -30,6 +30,12 @@ trait WalSource extends AutoCloseable {
   def ack(lsn: Long): Unit
 
   def confirmedLsn: Long
+
+  /** T6: write a standby status update frame back to the producer — the
+    * keepalive reply (`'r'`, reference `stream.go:368-377` reply-on-request).
+    * File/in-memory feeds have no socket; they record or drop it.
+    */
+  def sendStatusUpdate(frame: Array[Byte]): Unit = ()
 }
 
 /** Replays a WalGen/WalFile frame file. Deterministic: re-opening from LSN L
@@ -69,5 +75,9 @@ final class InMemoryWalSource(frames: Seq[Array[Byte]]) extends WalSource {
   override def poll(): Option[Array[Byte]] = if (it.hasNext) Some(it.next()) else None
   override def ack(lsn: Long): Unit = if (Lsn.compare(lsn, confirmed) > 0) confirmed = lsn
   override def confirmedLsn: Long = confirmed
+  /** Recorded for tests — the frames a walsender socket would receive. */
+  val statusUpdates = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+  override def sendStatusUpdate(frame: Array[Byte]): Unit =
+    statusUpdates.synchronized { statusUpdates += frame }
   override def close(): Unit = ()
 }

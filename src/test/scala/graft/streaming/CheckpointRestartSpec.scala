@@ -134,6 +134,24 @@ class CheckpointRestartSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("keepalive with replyRequested gets a standby status update (T6)") {
+    import graft.pgproto.{MessageEncoder, WalFrames}
+    val frames = graft.tools.WalGen.frames(2, 3).toSeq :+
+      MessageEncoder.keepalive(200L, 1700000000000000L, replyRequested = true)
+    val src = new InMemoryWalSource(frames)
+    PgCdcTestHook.register("keepalive-reply", src)
+    val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("testSourceKey", "keepalive-reply")))
+    val o0 = s.initialOffset().asInstanceOf[CdcOffset]
+    val oEnd = s.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+    s.planInputPartitions(o0, oEnd)
+    s.commit(oEnd)
+    val updates = src.statusUpdates
+    assert(updates.nonEmpty, "reply-requested keepalive must be answered")
+    assert(updates.head(0) == WalFrames.TagStandbyStatusUpdate)
+    s.stop()
+  }
+
   test("executor partitions decode independently with relation preambles") {
     val wal = Files.createTempFile("wal-part", ".bin").toString
     // 6 txns x 2 rows, forced tiny partitions: each txn (4 frames) must land
