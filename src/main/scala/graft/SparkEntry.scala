@@ -71,6 +71,7 @@ object SparkEntry {
     // ---- LLM-pipeline: similarity search ----
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
+    "q_ann_ivf" -> ((s, d) => AnnQueries.annIvf(s, d).orderBy("query_id", "rnk")),
     // ---- LLM-pipeline: multimodal columns ----
     "q_multimodal_features" -> ((s, d) =>
       MultimodalQueries.multimodalFeatures(s, d).orderBy("media_type"))
@@ -461,6 +462,43 @@ object SparkEntry {
            FROM buckets qb JOIN buckets vb
              ON qb.band = vb.band AND qb.bucket = vb.bucket
            WHERE qb.vec_id % 41 = 0 AND vb.vec_id <> qb.vec_id),
+         sims AS (
+           SELECT c.qid, c.nid,
+             list_dot_product(qv.v, nv.v) / (qv.norm * nv.norm) AS sim
+           FROM cand c
+           JOIN vecs qv ON qv.vec_id = c.qid
+           JOIN vecs nv ON nv.vec_id = c.nid),
+         ranked AS (
+           SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           FROM sims)
+         SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY 1, 2""",
+    "q_ann_ivf" ->
+      """WITH vecs AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+                   FROM vecs WHERE vec_id % 101 = 0),
+         scored AS (
+           SELECT v.vec_id, c.cid,
+             list_dot_product(v.v, c.cv) / (v.norm * c.cnorm) AS csim
+           FROM vecs v, cents c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+             FROM scored) WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS qid, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+             FROM scored WHERE vec_id % 41 = 0) WHERE rk <= 2),
+         cand AS (
+           SELECT DISTINCT p.qid, a.vec_id AS nid
+           FROM probes p JOIN assign a ON a.cell = p.cell
+           WHERE a.vec_id <> p.qid),
          sims AS (
            SELECT c.qid, c.nid,
              list_dot_product(qv.v, nv.v) / (qv.norm * nv.norm) AS sim

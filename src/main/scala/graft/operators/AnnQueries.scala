@@ -57,6 +57,54 @@ object AnnQueries {
         col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Every 101st vector serves as an IVF centroid (a deterministic stand-in
+    * for k-means training — the index structure, assignment, and probing are
+    * the real thing and fully oracle-able).
+    */
+  private val CentroidMod = 101
+  private val NProbe = 2
+
+  /** IVF-Flat ANN — the coarse-quantizer scale path: every vector is
+    * assigned to its nearest centroid's cell (one N×K scoring pass, K small);
+    * each query probes its `NProbe` nearest cells and computes exact cosine
+    * only against their members.
+    *
+    * 100-TB shape: the assignment is one scan joined against K broadcast
+    * centroids plus a per-vector argmin — embarrassingly parallel; the
+    * candidate join touches only probed cells (≈ NProbe/K of the corpus per
+    * query); nothing is ever corpus × query. With a trained quantizer the
+    * same plan serves production IVF — only the centroid source changes.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(s, dir)
+    val cents = vecs.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    val assign = scored
+      .withColumn("rk", row_number().over(byVec)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = scored.filter(col("vec_id") % QueryMod === 0)
+      .withColumn("rk", row_number().over(byVec)).filter(col("rk") <= NProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val cand = assign.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val queries = vecs.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val sims = cand
+      .join(vecs.withColumnRenamed("vec_id", "nid"), "nid")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("nid").as("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
   private val Planes = 16 // 2 bands × 8 bits
   private val Bands = 2
   private val Dim = 64

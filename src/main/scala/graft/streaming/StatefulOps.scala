@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Stateful streaming operators over the CDC envelope — the downstream
+  * "apply changes" view of SURVEY §1.4/§7: a change stream materialized into
+  * current row state per key with `mapGroupsWithState` (the Spark analogue
+  * of a sink-side MERGE; the reference leaves this to its callback
+  * consumers).
+  */
+object StatefulOps {
+
+  /** Current state of one key: last operation applied, its LSN, and the
+    * row image (null after a delete — the key is a tombstone).
+    */
+  final case class KeyState(
+      key: String,
+      op: String,
+      lsn: Long,
+      image: Map[String, String])
+
+  /** Materialize `latest row per key` from a streaming CDC envelope frame.
+    *
+    * Keying: the first replica-identity key column's value from the
+    * after-image (before-image for deletes) — the same identity PostgreSQL
+    * uses for the row. State: one [[KeyState]] per key, updated if an event
+    * carries a higher LSN (commit order is the stream's order, but a
+    * micro-batch may contain several events for one key — max-LSN wins).
+    * Deletes keep a tombstone so a late lower-LSN event cannot resurrect
+    * the row.
+    *
+    * Scale: state is hash-partitioned by key across executors (standard
+    * stateful-streaming sharding); each micro-batch shuffles only its own
+    * events. Update mode emits one row per touched key per batch.
+    */
+  def latestState(s: SparkSession, events: DataFrame): Dataset[KeyState] = {
+    import s.implicits._
+    events
+      .select(
+        coalesce(
+          element_at(col("after"), element_at(col("key_names"), 1)),
+          element_at(col("before"), element_at(col("key_names"), 1))).as("key"),
+        col("op"), col("lsn"), col("after"))
+      .filter(col("key").isNotNull)
+      .as[(String, String, Long, Map[String, String])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        case (key, events, state: GroupState[KeyState]) =>
+          val incoming = events.map { case (_, op, lsn, after) =>
+            KeyState(key, op, lsn, if (op == "delete") null else after)
+          }
+          val latest = (state.getOption.iterator ++ incoming).maxBy(_.lsn)
+          state.update(latest)
+          latest
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.pgproto.{Messages, MessageEncoder}
+
+/** Latest-state materialization over the pgcdc stream: insert→update→delete
+  * per key across micro-batches must leave exactly the current row state.
+  */
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val T0 = 1700000000000000L
+
+  test("mapGroupsWithState materializes current row state across batches") {
+    val relOid = 16500L
+    val cols = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1),
+      Messages.RelationColumn("name", 25L, -1, 0))
+    def txn(lsn: Long, xid: Long, msg: Array[Byte]): Seq[Array[Byte]] = Seq(
+      MessageEncoder.xlogData(lsn, lsn, T0, MessageEncoder.begin(lsn + 3, T0, xid)),
+      MessageEncoder.xlogData(lsn + 1, lsn + 1, T0, msg),
+      MessageEncoder.xlogData(lsn + 2, lsn + 2, T0, MessageEncoder.commit(lsn + 2, lsn + 3, T0)))
+
+    val frames =
+      Seq(MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "acct", cols))) ++
+        txn(100, 1, MessageEncoder.insert(relOid, Seq(Some("1"), Some("alice")))) ++
+        txn(110, 2, MessageEncoder.insert(relOid, Seq(Some("2"), Some("bob")))) ++
+        txn(120, 3, MessageEncoder.update(relOid, Seq(Some("1"), Some("alice-v2")))) ++
+        txn(130, 4, MessageEncoder.insert(relOid, Seq(Some("3"), Some("carol")))) ++
+        txn(140, 5, MessageEncoder.delete(relOid, Seq(Some("2"), None), 'K'))
+
+    PgCdcTestHook.register("stateful", new InMemoryWalSource(frames))
+    val stream = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "stateful")
+      // 2 txns per micro-batch: state must carry across batches
+      .option("maxTxnsPerTrigger", "2")
+      .load()
+    val q = StatefulOps.latestState(spark, stream)
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode emits per-batch rows; the final state per key is the last
+    val finalState = spark.table("latest_state").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2),
+        Option(r.getAs[Map[String, String]]("image")))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._2) }
+
+    assert(finalState("1")._1 == "update")
+    assert(finalState("1")._3.get("name") == "alice-v2")
+    assert(finalState("2")._1 == "delete" && finalState("2")._3.isEmpty, "tombstone for deleted key")
+    assert(finalState("3")._3.get("name") == "carol")
+    // T1 commit rewrite: key 2's delete carries its txn-end LSN (140 + 3)
+    assert(finalState("2")._2 == 143L)
+  }
+}
