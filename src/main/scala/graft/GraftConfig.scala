@@ -1,0 +1,64 @@
+package graft
+
+import graft.services.Publication
+import graft.snapshot.SnapshotConfig
+
+/** The user-facing configuration surface — one object mirroring the
+  * reference's `config.Config` (`config/config.go:19-63,318-386`) so a
+  * go-pq-cdc user can carry their settings over field-for-field, re-expressed
+  * as the Spark wiring: DSNs for the SQL seams, publication/slot DDL inputs,
+  * snapshot mode/chunking, heartbeat target, and the `readStream` options the
+  * pgcdc source consumes.
+  */
+final case class GraftConfig(
+    host: String,
+    port: Int = 5432,
+    username: String = "",
+    password: String = "",
+    database: String = "",
+    publication: Publication.Config,
+    slotName: String,
+    slotCreateIfNotExists: Boolean = true,
+    snapshot: SnapshotConfig = SnapshotConfig(),
+    heartbeatSchema: String = "public",
+    heartbeatTable: String = "cdc_heartbeat",
+    protoVersion: Int = 2,
+    maxTxnsPerTrigger: Long = Long.MaxValue,
+    maxFramesPerPartition: Int = 8192) {
+
+  require(slotName.nonEmpty, "slot name required")
+  require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
+
+  /** Regular-SQL connection string (metadata, snapshot chunks, heartbeat) —
+    * `config.go:55-57`.
+    */
+  def dsn: String = {
+    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    s"postgres://${esc(username)}:${esc(password)}@$host:$port/$database"
+  }
+
+  /** Replication connection string — counts against max_wal_senders
+    * (`config.go:59-63`).
+    */
+  def replicationDsn: String = s"$dsn?replication=database"
+
+  /** JDBC form of [[dsn]] for `SnapshotReader.jdbc` / `CatalogReader`. */
+  def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
+
+  /** Options for `spark.readStream.format("pgcdc").options(...)`. The
+    * `startLsn` is supplied after the snapshot completes
+    * (`SnapshotOrchestrator.streamStartLsn`).
+    */
+  def sourceOptions(startLsn: Option[Long] = None): Map[String, String] =
+    Map(
+      "heartbeatSchema" -> heartbeatSchema,
+      "heartbeatTable" -> heartbeatTable,
+      "maxFramesPerPartition" -> maxFramesPerPartition.toString) ++
+      (if (maxTxnsPerTrigger != Long.MaxValue)
+        Map("maxTxnsPerTrigger" -> maxTxnsPerTrigger.toString) else Map.empty) ++
+      startLsn.map(l => "startLsn" -> l.toString)
+
+  /** The replication handshake command for this configuration. */
+  def startReplicationSql(startLsn: Long): String =
+    services.Replication.startReplicationSql(publication.name, slotName, startLsn, protoVersion)
+}

@@ -1,0 +1,50 @@
+package graft.services
+
+import graft.pgproto.Lsn
+import graft.snapshot.CatalogReader.SqlExecutor
+
+/** S1 replication-connection handshake: the `IDENTIFY_SYSTEM` and
+  * `START_REPLICATION` command layer (reference
+  * `pq/replication/replication.go:23-41`, `pq/system.go:13-70`). No socket
+  * exists in this environment, so the commands are built/validated here and
+  * the wire is the caller's concern — a real deployment issues them over a
+  * `replication=database` connection, then feeds the resulting CopyData
+  * stream into [[graft.streaming.WalSource]].
+  */
+object Replication {
+
+  /** `IDENTIFY_SYSTEM` result (`pq/system.go:13-19`): `xlogpos` is the
+    * server's current write position — the upper bound a fresh stream can
+    * start from.
+    */
+  final case class IdentifySystemResult(
+      systemId: String,
+      timeline: Int,
+      xLogPos: Long,
+      dbName: String)
+
+  val IdentifySystemSql = "IDENTIFY_SYSTEM"
+
+  def identifySystem(exec: SqlExecutor): IdentifySystemResult =
+    exec(IdentifySystemSql).headOption match {
+      case Some(Seq(sysId, tli, pos, db)) =>
+        IdentifySystemResult(sysId, tli.toInt, Lsn.parse(pos), db)
+      case other => throw new IllegalStateException(
+        s"IDENTIFY_SYSTEM: expected one row of (systemid, timeline, xlogpos, dbname), got $other")
+    }
+
+  /** `START_REPLICATION SLOT <s> LOGICAL <lsn> (proto_version 'N'
+    * [, messages 'true', streaming 'true'], publication_names '<p>')` —
+    * exactly the reference's plugin-argument assembly
+    * (`replication.go:23-41`): v2+ additionally enables logical messages and
+    * in-progress (streamed) transactions.
+    */
+  def startReplicationSql(
+      publication: String, slot: String, startLsn: Long, protoVersion: Int = 2): String = {
+    require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
+    val args = Seq(s"proto_version '$protoVersion'") ++
+      (if (protoVersion >= 2) Seq("messages 'true'", "streaming 'true'") else Nil) ++
+      Seq(s"publication_names '$publication'")
+    s"START_REPLICATION SLOT $slot LOGICAL ${Lsn.format(startLsn)} (${args.mkString(",")})"
+  }
+}
