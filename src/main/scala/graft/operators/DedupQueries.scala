@@ -24,27 +24,12 @@ object DedupQueries {
 
   private val NumHashes = 8
 
-  /** Per-document distinct shingle SET as one array column — the row-local
-    * representation every dedup stage below builds on (no corpus-sized
-    * explode/groupBy just to compute per-row values). Documents too short to
-    * shingle are dropped (they have no set to compare).
-    *
-    * The frame is `persist()`ed: tokenize→shingle→distinct is the most
-    * expensive expression in these queries, and every dedup query references
-    * it from several differently-aliased plan branches (signature build,
-    * self-join sides, verification) — aliasing defeats ReuseExchange, so
-    * without persistence each branch re-runs the full text pipeline
-    * (measured 2-3× the whole query's cost). MEMORY_AND_DISK persistence is
-    * the standard fan-out idiom and spills gracefully; at true 100-TB scale
-    * the same role is played by writing the shingle-set table once and
-    * reading it per stage. The cache is per-canonical-plan, so repeated runs
-    * in one session share it; it lives until the session ends.
+  /** Per-document distinct shingle SET as one array column — the shared,
+    * cached scan every dedup stage below builds on; see [[ShingleSets]] for
+    * the imperative-scan and persistence rationale.
     */
   private def docShingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(wordShingles(tokens(col("text")), n)).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist()
+    ShingleSets(s, dir, n)
 
   /** MinHash + LSH near-dup detection, the canonical scale-safe pipeline:
     * distinct 5-token shingles → k=8 minhash signature (seeded 60-bit

@@ -63,15 +63,14 @@ object TextQueries {
     * MinHash / winnowing-style rolling fingerprint). One value per document;
     * equal fingerprints are near-dup candidates.
     *
-    * Row-local (`array_min(transform(...))` — round-2 verdict fix): the
-    * whole computation is one codegen'd scan, no explode/groupBy shuffle of
-    * the corpus-sized shingle set. Too-short documents (no shingles) are
-    * dropped, matching the previous inner-explode semantics.
+    * Row-local (`array_min(transform(...))` — round-2 verdict fix): one
+    * pass over the shared [[ShingleSets]] scan (same cache as minhash — the
+    * min over the DISTINCT shingle set equals the min over all shingles),
+    * no explode/groupBy shuffle. Too-short documents are dropped, matching
+    * the previous inner-explode semantics.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), wordShingles(tokens(col("text")), 5).as("shs"))
-      .filter(size(col("shs")) > 0)
+    ShingleSets(s, dir, 5)
       .select(col("doc_id"),
         array_min(transform(col("shs"), sh => hash60(sh))).as("fingerprint"))
 }
