@@ -19,17 +19,18 @@ object AnnQueries {
   private val QueryMod = 41
   private val K = 3
 
-  /** Sequential left-fold dot product in double — same order as DuckDB's
-    * `list_dot_product` over `DOUBLE[]`.
+  /** Codegen'd dot product ([[graft.functions.VectorOps]]): double
+    * accumulation in element order — same result as DuckDB's
+    * `list_dot_product` over `DOUBLE[]`, but compiled into the stage instead
+    * of the interpreted `aggregate(zip_with(...))` higher-order functions.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  /** (vec_id, v: array<double>, norm) with the float→double cast applied once. */
+  /** (vec_id, v: raw array<float>, norm) — no per-element cast pass needed;
+    * the dot expression widens to double itself.
+    */
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact brute-force cosine top-k — the baseline ANN answers are judged
