@@ -33,7 +33,10 @@ final case class GraftConfig(
     * `config.go:55-57`.
     */
   def dsn: String = {
-    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // URI percent-encoding, not form encoding: URLEncoder's '+' for space is
+    // a literal plus in a URI userinfo section and would corrupt credentials.
+    def esc(s: String) =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
     s"postgres://${esc(username)}:${esc(password)}@$host:$port/$database"
   }
 

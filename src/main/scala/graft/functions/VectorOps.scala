@@ -26,6 +26,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
 
+  // Null ELEMENTS null the result even when both array inputs are
+  // non-nullable, so the default (left.nullable || right.nullable) would
+  // lie to the planner — and make nullSafeCodeGen emit an assignment to a
+  // constant-false isNull.
+  override def nullable: Boolean = true
+
   private def elemType(dt: DataType): Option[DataType] = dt match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)

@@ -31,7 +31,16 @@ object ShingleSets {
     StructField("doc_id", LongType, nullable = false),
     StructField("shs", ArrayType(StringType, containsNull = false), nullable = false)))
 
+  // Memoized per (session, dir, n): CacheManager keys on the canonical plan,
+  // and each mapPartitions call would embed a fresh closure instance — two
+  // calls would build two independent caches instead of sharing one.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
   def apply(s: SparkSession, dir: String, n: Int): DataFrame =
+    memo.getOrElseUpdate((s, dir, n), build(s, dir, n))
+
+  private def build(s: SparkSession, dir: String, n: Int): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text").mapPartitions { it =>
       it.flatMap { r =>
         val toks = r.getString(1).split("\\s+", -1)

@@ -63,9 +63,11 @@ object HeartbeatService {
     */
   def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
 
-  def tableExistsSql(schema: String, table: String): String =
+  def tableExistsSql(schema: String, table: String): String = {
+    import graft.snapshot.CatalogReader.sqlLiteral
     s"SELECT EXISTS (SELECT 1 FROM information_schema.tables " +
-      s"WHERE table_schema = '$schema' AND table_name = '$table')"
+      s"WHERE table_schema = ${sqlLiteral(schema)} AND table_name = ${sqlLiteral(table)})"
+  }
 
   /** Single-row table enforced by a CHECK constraint (`heartbeat.go:65-81`). */
   def createTableSql(schema: String, table: String): String =

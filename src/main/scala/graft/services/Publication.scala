@@ -40,7 +40,9 @@ object Publication {
     def createQuery: String = {
       val quoted = tables.map { t =>
         val base = s"${quoteIdent(t.schema)}.${quoteIdent(t.name)}"
-        if (t.columns.nonEmpty) s"$base(${t.columns.mkString(", ")})" else base
+        if (t.columns.nonEmpty)
+          s"$base(${t.columns.map(quoteIdent).mkString(", ")})"
+        else base
       }
       s"CREATE PUBLICATION ${quoteIdent(name)} FOR TABLE ${quoted.mkString(", ")}" +
         s" WITH (publish = '${operations.mkString(", ")}', " +
@@ -92,14 +94,21 @@ final class HypertableMapper(exec: SqlExecutor) {
   /** One poll (`FindHyperTables`): merge results into the cache. A missing
     * `timescaledb_information` relation (SQLSTATE 42P01 — not a TimescaleDB)
     * permanently stops the sync loop, mirroring the ticker stop at
-    * `hypertable.go:52-58`.
+    * `hypertable.go:52-58`. Detection covers the JDBC path (SQLState on the
+    * SQLException, NOT in its message) as well as message-carried forms.
     */
   def poll(): Map[(String, String), (String, String)] = {
     if (stopped) return cache
+    def undefinedTable(e: Throwable): Boolean = e match {
+      case sql: java.sql.SQLException if sql.getSQLState == "42P01" => true
+      case _ =>
+        val m = Option(e.getMessage).getOrElse("")
+        m.contains("42P01") || m.matches("(?s).*relation .* does not exist.*")
+    }
     val rows =
       try exec(FindHyperTablesSql)
       catch {
-        case e: Exception if e.getMessage != null && e.getMessage.contains("42P01") =>
+        case e: Exception if undefinedTable(e) =>
           stopped = true
           return cache
       }

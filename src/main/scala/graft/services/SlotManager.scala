@@ -31,10 +31,9 @@ final class SlotManager(exec: SqlExecutor, slotName: String, createIfNotExists: 
 
   /** Create-if-missing state machine (`slot.go:63-97`): existing slot is
     * returned as-is (warn-and-reuse); a missing slot is created via
-    * `CREATE_REPLICATION_SLOT … LOGICAL pgoutput` and re-introspected. The
-    * returned consistent point (`consistent_point` of the CREATE result, also
-    * visible as the fresh slot's confirmed_flush_lsn) is the LSN the snapshot
-    * runs at and the stream's `startLsn` (B7).
+    * `CREATE_REPLICATION_SLOT … LOGICAL pgoutput` and re-introspected.
+    * For the snapshot→CDC handoff use [[createFresh]], which captures the
+    * CREATE result instead of discarding it.
     */
   def create(): SlotInfo =
     info() match {
@@ -46,6 +45,31 @@ final class SlotManager(exec: SqlExecutor, slotName: String, createIfNotExists: 
         info().getOrElse(
           throw new IllegalStateException(s"slot '$slotName' missing after CREATE_REPLICATION_SLOT"))
     }
+
+  /** B7: create a FRESH slot and capture what `CREATE_REPLICATION_SLOT`
+    * returns — `consistent_point` (the exact LSN the stream must start from)
+    * and `snapshot_name` (the snapshot exported BY the slot creation, which
+    * the initial load must read under; PG guarantees the two are consistent).
+    * Loud when the slot already exists: an old slot's position can NOT be
+    * consistent with a snapshot taken now — resuming an existing deployment
+    * goes through the recorded snapshot job instead
+    * ([[graft.snapshot.SnapshotOrchestrator.streamStartLsn]]).
+    */
+  def createFresh(): CreatedSlot = {
+    info().foreach { existing =>
+      throw new IllegalStateException(
+        s"slot '${existing.name}' already exists (active=${existing.active}); " +
+          "a snapshot taken now would not be consistent with its position — " +
+          "resume from the recorded snapshot job, or drop the slot first")
+    }
+    exec(createSql(slotName)).headOption match {
+      case Some(Seq(name, cp, snap, _)) =>
+        CreatedSlot(name, Lsn.parse(cp), Option(snap).filter(_.nonEmpty))
+      case other => throw new IllegalStateException(
+        s"CREATE_REPLICATION_SLOT: expected (slot_name, consistent_point, " +
+          s"snapshot_name, output_plugin), got $other")
+    }
+  }
 
   /** CaptureSlot (`connector.go:631-652`): poll until the slot is inactive
     * (the previous holder released it), then take over. `sleep` is injected
@@ -92,10 +116,18 @@ object SlotManager {
   final case class SlotMetrics(
       active: Boolean, currentLsn: Long, confirmedFlushLsn: Long, retainedWal: Long, lag: Long)
 
+  /** The `CREATE_REPLICATION_SLOT` result row: the consistent point and the
+    * snapshot it exported (the pair that makes the snapshot→CDC handoff
+    * exactly-once).
+    */
+  final case class CreatedSlot(
+      name: String, consistentPoint: Long, snapshotName: Option[String])
+
   def statusSql(name: String): String =
     s"SELECT slot_name, slot_type, active, active_pid, restart_lsn, confirmed_flush_lsn, " +
       s"wal_status, PG_CURRENT_WAL_LSN() AS current_lsn " +
-      s"FROM pg_replication_slots WHERE slot_name = '$name'"
+      s"FROM pg_replication_slots WHERE slot_name = " +
+      graft.snapshot.CatalogReader.sqlLiteral(name)
 
   def createSql(name: String): String =
     s"CREATE_REPLICATION_SLOT $name LOGICAL pgoutput"

@@ -117,6 +117,12 @@ object CatalogReader {
     */
   val IntegerTypes: Set[String] = Set("smallint", "integer", "bigint", "int2", "int4", "int8")
 
+  /** SQL string-literal escaping for config-sourced values interpolated into
+    * catalog/service queries (names, ids): quote-doubling, the one escape
+    * standard-conforming PostgreSQL needs.
+    */
+  def sqlLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def qualified(schema: String, table: String): String = s"$schema.$table"
 
   /** JDBC binding of the seam — untestable without a live PostgreSQL (this

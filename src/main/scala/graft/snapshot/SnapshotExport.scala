@@ -23,17 +23,22 @@ final class SnapshotExport(exec: SqlExecutor) {
     require(exported.isEmpty, "snapshot export transaction already open")
     exec("BEGIN")
     exec("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    // Any failure past BEGIN must ROLLBACK — leaking an idle-open REPEATABLE
+    // READ transaction pins xmin and blocks vacuum server-wide.
     val id =
       try exec("SELECT pg_export_snapshot()").headOption.flatMap(_.headOption)
       catch {
-        case e: Exception if msg(e).contains("permission denied") =>
-          throw new IllegalStateException(
-            "pg_export_snapshot requires REPLICATION privilege. " +
-              "Run: ALTER USER your_user WITH REPLICATION", e)
-        case e: Exception if msg(e).contains("wal_level") =>
-          throw new IllegalStateException(
-            "pg_export_snapshot requires wal_level='logical'. " +
-              "Set in postgresql.conf and restart", e)
+        case e: Exception =>
+          try exec("ROLLBACK") catch { case _: Exception => () }
+          if (msg(e).contains("permission denied"))
+            throw new IllegalStateException(
+              "pg_export_snapshot requires REPLICATION privilege. " +
+                "Run: ALTER USER your_user WITH REPLICATION", e)
+          else if (msg(e).contains("wal_level"))
+            throw new IllegalStateException(
+              "pg_export_snapshot requires wal_level='logical'. " +
+                "Set in postgresql.conf and restart", e)
+          else throw e
       }
     val sid = id.filter(_.nonEmpty).getOrElse {
       exec("ROLLBACK")

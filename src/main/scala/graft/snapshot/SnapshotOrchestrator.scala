@@ -34,19 +34,21 @@ object SnapshotJobStore {
     * [[InMemory]] for everything above the seam.
     */
   final class Sql(exec: SqlExecutor, table: String = "cdc_snapshot_job") extends SnapshotJobStore {
+    private def lit(s: String) = CatalogReader.sqlLiteral(s)
     override def load(slotName: String): Option[SnapshotJob] =
       exec(s"SELECT slot_name, snapshot_id, snapshot_lsn, completed FROM $table " +
-        s"WHERE slot_name = '$slotName'")
+        s"WHERE slot_name = ${lit(slotName)}")
         .headOption.map { r =>
           SnapshotJob(r(0), r(1), Lsn.parse(r(2)), r(3) == "t" || r(3) == "true")
         }
     override def save(job: SnapshotJob): Unit =
       exec(s"INSERT INTO $table (slot_name, snapshot_id, snapshot_lsn, completed) VALUES " +
-        s"('${job.slotName}', '${job.snapshotId}', '${Lsn.format(job.snapshotLsn)}', ${job.completed})")
+        s"(${lit(job.slotName)}, ${lit(job.snapshotId)}, " +
+        s"${lit(Lsn.format(job.snapshotLsn))}, ${job.completed})")
     override def markCompleted(slotName: String): Unit =
-      exec(s"UPDATE $table SET completed = true WHERE slot_name = '$slotName'")
+      exec(s"UPDATE $table SET completed = true WHERE slot_name = ${lit(slotName)}")
     override def cleanup(slotName: String): Unit =
-      exec(s"DELETE FROM $table WHERE slot_name = '$slotName'")
+      exec(s"DELETE FROM $table WHERE slot_name = ${lit(slotName)}")
   }
 
   final class InMemory extends SnapshotJobStore {
@@ -91,18 +93,22 @@ object SnapshotOrchestrator {
   def shouldStream(cfg: SnapshotConfig): Boolean = cfg.mode != "snapshot_only"
 
   /** Two-phase prepare (`connector.go:345-420` prepareSnapshotAndSlot):
-    * create the slot FIRST so WAL from the consistent point is preserved
-    * while the snapshot runs, then record the incomplete job at that LSN.
-    * Returns the consistent-point LSN the snapshot must read at.
+    * create a FRESH slot first — `CREATE_REPLICATION_SLOT` both pins WAL from
+    * its consistent point AND exports the snapshot the initial load must read
+    * under; using that pair is what makes the handoff exactly-once (a
+    * snapshot exported later, or an old slot's stale position, would let rows
+    * committed in between appear in both the snapshot and the stream).
+    * Records the incomplete job at the consistent point and returns it; the
+    * job's `snapshotId` is the server-exported snapshot name for
+    * `SET TRANSACTION SNAPSHOT` ([[SnapshotReader.jdbc]]).
     */
-  def prepare(
-      slots: SlotManager, store: SnapshotJobStore,
-      slotName: String, snapshotId: String): Long = {
-    val info = slots.create()
-    val lsn = info.confirmedFlushLsn
+  def prepare(slots: SlotManager, store: SnapshotJobStore, slotName: String): SnapshotJob = {
+    val created = slots.createFresh()
     store.cleanup(slotName)
-    store.save(SnapshotJob(slotName, snapshotId, lsn, completed = false))
-    lsn
+    val job = SnapshotJob(
+      slotName, created.snapshotName.getOrElse(""), created.consistentPoint, completed = false)
+    store.save(job)
+    job
   }
 
   /** Mark the snapshot done; the stream may now start from its LSN. */

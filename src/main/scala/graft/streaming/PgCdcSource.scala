@@ -148,7 +148,6 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
 
   // Frame-grouping state (header peeks only — no tuple decode on the driver).
   private var curTxn = mutable.ArrayBuffer.empty[Array[Byte]]
-  private var inTxn = false
   private val openStreamed = mutable.LongMap.empty[mutable.ArrayBuffer[Array[Byte]]]
   private var openStreamXid = -1L
   // oid → latest non-streamed Relation frame; immutable so TxnGroups can hold
@@ -188,13 +187,11 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
       if (raw.nonEmpty && raw(0) == graft.pgproto.WalFrames.TagXLogData && raw.length > p) {
         raw(p) match {
           case 'B' =>
-            inTxn = true
             curTxn += raw
           case 'C' =>
             curTxn += raw
             buffer += TxnGroup(curTxn.toArray, readU64(raw, p + 10), relCache.values.toSeq)
             curTxn = mutable.ArrayBuffer.empty
-            inTxn = false
           case 'R' =>
             if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
             else {

@@ -43,15 +43,25 @@ object HandoffDemo {
     // WalGen txn t spans [100 + t*(rows+2), 100 + (t+1)*(rows+2))
     val snapshotLsn = 100L + snapTxns.toLong * (rows + 2)
 
-    // 1. prepare: slot fixture reports the consistent point; job recorded.
+    // 1. prepare: the CREATE_REPLICATION_SLOT fixture returns the
+    // consistent point + exported snapshot name; job recorded at that LSN.
     val store = new SnapshotJobStore.InMemory
-    val slots = new SlotManager(_ => Seq(Seq(
-      "graft_slot", "logical", "f", null, Lsn.format(snapshotLsn),
-      Lsn.format(snapshotLsn), "reserved", Lsn.format(snapshotLsn))), "graft_slot")
+    var slotCreated = false
+    val slots = new SlotManager({ sql =>
+      if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        slotCreated = true
+        Seq(Seq("graft_slot", Lsn.format(snapshotLsn), "demo-exported-snap", "pgoutput"))
+      } else if (slotCreated) Seq(Seq(
+        "graft_slot", "logical", "f", null, Lsn.format(snapshotLsn),
+        Lsn.format(snapshotLsn), "reserved", Lsn.format(snapshotLsn)))
+      else Seq.empty
+    }, "graft_slot")
     println(s"shouldTakeSnapshot(initial) = ${SnapshotOrchestrator.shouldTakeSnapshot(
       SnapshotConfig(), store, "graft_slot")}")
-    val lsn = SnapshotOrchestrator.prepare(slots, store, "graft_slot", "demo-snap")
-    println(s"prepared: consistent point ${Lsn.format(lsn)}")
+    val job = SnapshotOrchestrator.prepare(slots, store, "graft_slot")
+    val lsn = job.snapshotLsn
+    println(s"prepared: consistent point ${Lsn.format(lsn)}, " +
+      s"exported snapshot '${job.snapshotId}'")
 
     // 2. snapshot = table state as of the consistent point (replay prefix).
     val snapRows = {

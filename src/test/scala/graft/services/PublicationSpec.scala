@@ -16,7 +16,7 @@ class PublicationSpec extends AnyFunSuite {
       PubTable("public", "users", columns = Seq("id", "name")),
       PubTable("public", "measurements", partitioned = true)))
     assert(cfg.createQuery ==
-      """CREATE PUBLICATION "graft_pub" FOR TABLE "public"."users"(id, name), """ +
+      """CREATE PUBLICATION "graft_pub" FOR TABLE "public"."users"("id", "name"), """ +
         """"public"."measurements" WITH (publish = 'insert, update, delete, truncate', """ +
         """publish_via_partition_root = true)""")
 

@@ -45,12 +45,27 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     assert(st.load("s1").isEmpty)
   }
 
-  test("prepare → complete → streamStartLsn carries the slot's consistent point (B7)") {
+  test("prepare → complete → streamStartLsn carries the CREATE's consistent point (B7)") {
     val st = store()
-    val slots = new SlotManager(
-      _ => Seq(Seq("s1", "logical", "f", null, "0/800", "0/AB00", "reserved", "0/F000")), "s1")
-    val lsn = prepare(slots, st, "s1", "snap-42")
-    assert(lsn == graft.pgproto.Lsn.parse("0/AB00"))
+    // Fixture: slot absent on status query; CREATE returns the
+    // (slot_name, consistent_point, snapshot_name, output_plugin) row.
+    var created = false
+    val slots = new SlotManager({ sql =>
+      if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        created = true
+        Seq(Seq("s1", "0/AB00", "00000003-0000001B-1", "pgoutput"))
+      } else if (created)
+        Seq(Seq("s1", "logical", "f", null, "0/800", "0/AB00", "reserved", "0/F000"))
+      else Seq.empty
+    }, "s1")
+    // createFresh runs before any CREATE: status is empty, then CREATE's row
+    // supplies the consistent point AND the exported snapshot name.
+    created = false
+    val job = prepare(slots, st, "s1")
+    val lsn = graft.pgproto.Lsn.parse("0/AB00")
+    assert(job.snapshotLsn == lsn)
+    assert(job.snapshotId == "00000003-0000001B-1",
+      "the snapshot exported BY slot creation is the one the load must read under")
     assert(st.load("s1").exists(j => !j.completed && j.snapshotLsn == lsn))
 
     // Stream must refuse to start before the snapshot completes.
@@ -61,6 +76,12 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     assert(streamStartLsn(st, "s1") == lsn)
     assert(intercept[IllegalStateException](streamStartLsn(st, "missing"))
       .getMessage.contains("no snapshot job"))
+
+    // A pre-existing slot cannot be consistent with a new snapshot: loud.
+    val existing = new SlotManager(
+      _ => Seq(Seq("s1", "logical", "t", "99", "0/800", "0/900", "reserved", "0/F000")), "s1")
+    assert(intercept[IllegalStateException](prepare(existing, st, "s1"))
+      .getMessage.contains("already exists"))
   }
 
   test("lifecycle markers wrap the data frame (B6)") {

@@ -134,6 +134,45 @@ class CheckpointRestartSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("sink failure: the uncommitted batch replays identically on restart") {
+    val wal = Files.createTempFile("wal-fail", ".bin").toString
+    val ckpt = Files.createTempDirectory("ckpt-fail").toString
+    WalFile.write(wal, WalGen.frames(6, 2)) // 3 batches of 2 txns
+    val seen = TrieMap.empty[Long, Vector[Seq[Long]]] // batchId -> each delivery's ids
+    @volatile var failOnce = true
+
+    def run(): Unit = {
+      val q = spark.readStream.format("pgcdc")
+        .option("path", wal)
+        .option("maxTxnsPerTrigger", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val ids = df.select(element_at(col("after"), "id").cast("long"))
+            .collect().map(_.getLong(0)).toSeq.sorted
+          seen.updateWith(batchId)(prev => Some(prev.getOrElse(Vector.empty) :+ ids))
+          if (batchId == 1 && failOnce) {
+            failOnce = false
+            throw new RuntimeException("injected sink failure")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      catch { case _: Exception => () } // the injected failure kills the query
+      finally q.stop()
+    }
+
+    run() // dies on batch 1
+    run() // resumes: batch 1 must replay with identical content
+    assert(seen(1L).size >= 2, "failed batch must be redelivered")
+    assert(seen(1L).distinct.size == 1,
+      s"replayed batch content must be identical: ${seen(1L)}")
+    val all = seen.toSeq.sortBy(_._1).map(_._2.last).flatten
+    assert(all.sorted == (1L to 12L), s"exactly-once after recovery, got $all")
+  }
+
   test("keepalive with replyRequested gets a standby status update (T6)") {
     import graft.pgproto.{MessageEncoder, WalFrames}
     val frames = graft.tools.WalGen.frames(2, 3).toSeq :+
