@@ -99,17 +99,13 @@ object PgTypes {
   /** bytea text form `\xDEADBEEF` → BinaryType. */
   def byteaFromText(col: Column): Column = unhex(regexp_replace(col, "^\\\\x", ""))
 
-  /** pg array text form `{a,b,NULL,"c,d"}` → ArrayType(StringType).
-    * Handles the common unquoted case and NULL; quoted elements with
-    * embedded commas are a TODO (rare in CDC payloads we target).
+  /** pg array text form `{a,b,NULL,"c,d"}` → ArrayType(StringType), via the
+    * quote/escape-aware [[graft.functions.PgTextArray]] parser (unquoted
+    * NULL is SQL NULL; quoted "NULL" is the string).
     */
-  def textArrayFromText(col: Column): Column = {
-    val inner = regexp_replace(col, "^\\{|\\}$", "")
-    val arr = split(inner, ",")
+  def textArrayFromText(col: Column): Column =
     when(col.isNull, lit(null).cast(ArrayType(StringType)))
-      .when(inner === "", array().cast(ArrayType(StringType)))
-      .otherwise(transform(arr, e => when(e === "NULL", lit(null)).otherwise(e)))
-  }
+      .otherwise(graft.functions.PgTextArray.column(col))
 
   /** Typed-value extraction for one relation column out of an envelope map
     * column (`before`/`after`).
