@@ -15,10 +15,19 @@ import duckdb
 def canon(rows, cols):
     # Floats compare EXACTLY, matching the driver's hash compare — the queries
     # round(_, 2/3/6) on both sides precisely so exact compare is safe here.
+    # One normalization stays: -0.0 -> 0.0. Spark's BigDecimal round() never
+    # emits -0.0 while DuckDB's can, and the str(x) sort key would order
+    # '-0.0' before '0.0' and break the positional zip-compare on values that
+    # are numerically equal.
+    def norm(v):
+        if isinstance(v, float) and v == 0.0:
+            return 0.0
+        return v
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(r[i] for i in order))
+        out.append(tuple(norm(r[i]) for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 

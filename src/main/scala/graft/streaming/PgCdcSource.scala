@@ -211,6 +211,16 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             val xid = readU32(raw, p + 1)
             val segs = openStreamed.remove(xid).getOrElse(mutable.ArrayBuffer.empty)
             bufferedStreamFrames -= segs.length
+            // A Relation first sent inside this streamed txn is marked
+            // "schema sent" server-side once it commits and will NOT be
+            // re-sent before later plain transactions — fold it into the
+            // cache now (stripping the v2 xid prefix) so their preambles
+            // carry it. Aborted streamed txns never reach here, so a
+            // rolled-back schema change is never cached.
+            segs.foreach { s =>
+              if (s(0) == graft.pgproto.WalFrames.TagXLogData && s.length > p && s(p) == 'R')
+                relCache = relCache.updated(readU32(s, p + 5), stripStreamXid(s))
+            }
             segs += raw
             buffer += TxnGroup(segs.toArray, readU64(raw, p + 14), relCache.values.toSeq)
           case 'A' =>
@@ -234,6 +244,18 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
       }
       f = wal.poll()
     }
+  }
+
+  /** Rewrite a streamed (v2, xid-prefixed) Relation frame to the canonical
+    * non-streamed layout: preambles are decoded outside any stream block, so
+    * the 4-byte xid after the tag must go.
+    */
+  private def stripStreamXid(raw: Array[Byte]): Array[Byte] = {
+    val p = 25
+    val out = new Array[Byte](raw.length - 4)
+    System.arraycopy(raw, 0, out, 0, p + 1) // 'w' header + message tag
+    System.arraycopy(raw, p + 5, out, p + 1, raw.length - (p + 5))
+    out
   }
 
   private def appendStreamed(xid: Long, raw: Array[Byte]): Unit = {

@@ -23,9 +23,12 @@ object StatefulOps {
 
   /** Materialize `latest row per key` from a streaming CDC envelope frame.
     *
-    * Keying: the first replica-identity key column's value from the
-    * after-image (before-image for deletes) — the same identity PostgreSQL
-    * uses for the row. State: one [[KeyState]] per key, updated if an event
+    * Keying: ALL replica-identity key columns (composite keys supported),
+    * each taken from the after-image (before-image for deletes), joined
+    * with a \u0001 separator — the same identity PostgreSQL uses for the
+    * row; a single-column key's string is just its value. A null key
+    * component becomes the \u0000 sentinel so (a, NULL) cannot collide
+    * with (a). State: one [[KeyState]] per key, updated if an event
     * carries a higher LSN (commit order is the stream's order, but a
     * micro-batch may contain several events for one key — max-LSN wins).
     * Deletes keep a tombstone so a late lower-LSN event cannot resurrect
@@ -39,9 +42,13 @@ object StatefulOps {
     import s.implicits._
     events
       .select(
-        coalesce(
-          element_at(col("after"), element_at(col("key_names"), 1)),
-          element_at(col("before"), element_at(col("key_names"), 1))).as("key"),
+        when(size(col("key_names")) > 0,
+          concat_ws("\u0001",
+            transform(col("key_names"), k =>
+              coalesce(
+                element_at(col("after"), k),
+                element_at(col("before"), k),
+                lit("\u0000"))))).as("key"),
         col("op"), col("lsn"), col("after"))
       .filter(col("key").isNotNull)
       .as[(String, String, Long, Map[String, String])]

@@ -72,6 +72,38 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq("42"))
   }
 
+  test("relation first sent inside a streamed txn folds into later partitions' preambles") {
+    val relOid = 16400L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    val frames = Seq(
+      // Streamed txn carries the FIRST (and only) Relation for the table —
+      // the server marks the schema sent once it commits and won't re-send.
+      MessageEncoder.xlogData(10, 10, T0, MessageEncoder.streamStart(950, firstSegment = true)),
+      MessageEncoder.xlogData(11, 11, T0,
+        MessageEncoder.relation(relOid, "public", "folded", cols, streamedXid = 950)),
+      MessageEncoder.xlogData(12, 12, T0, MessageEncoder.insert(relOid, Seq(Some("1")), streamedXid = 950)),
+      MessageEncoder.xlogData(13, 13, T0, MessageEncoder.streamStop()),
+      MessageEncoder.xlogData(14, 14, T0, MessageEncoder.streamCommit(950, 14, 15, T0)),
+      // Later plain txn on the same table, no Relation re-send.
+      MessageEncoder.xlogData(20, 20, T0, MessageEncoder.begin(23, T0, 951)),
+      MessageEncoder.xlogData(21, 21, T0, MessageEncoder.insert(relOid, Seq(Some("2")))),
+      MessageEncoder.xlogData(22, 22, T0, MessageEncoder.commit(22, 23, T0)))
+
+    PgCdcTestHook.register("relfold", new InMemoryWalSource(frames))
+    val q = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "relfold")
+      // 1 frame/partition: the plain txn decodes in its own partition and
+      // must find the relation in its preamble, not in-line.
+      .option("maxFramesPerPartition", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdc_relfold").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("cdc_relfold").select(element_at(col("after"), "id"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("1", "2"))
+  }
+
   test("typed per-table view from the envelope (PgTypes.typedColumns)") {
     val relOid = 16386L
     val rel = Messages.Relation(0, relOid, "public", "accounts", 'd', Array(

@@ -54,4 +54,44 @@ class StatefulOpsSpec extends AnyFunSuite {
     // T1 commit rewrite: key 2's delete carries its txn-end LSN (140 + 3)
     assert(finalState("2")._2 == 143L)
   }
+
+  test("composite replica-identity keys do not collapse on the first component") {
+    val relOid = 16501L
+    // Two-column key (tenant, id): rows (1, 1) and (1, 2) share the first
+    // component and must still be distinct state entries.
+    val cols = Seq(
+      Messages.RelationColumn("tenant", 23L, -1, 1),
+      Messages.RelationColumn("id", 23L, -1, 1),
+      Messages.RelationColumn("v", 25L, -1, 0))
+    def txn(lsn: Long, xid: Long, msg: Array[Byte]): Seq[Array[Byte]] = Seq(
+      MessageEncoder.xlogData(lsn, lsn, T0, MessageEncoder.begin(lsn + 3, T0, xid)),
+      MessageEncoder.xlogData(lsn + 1, lsn + 1, T0, msg),
+      MessageEncoder.xlogData(lsn + 2, lsn + 2, T0, MessageEncoder.commit(lsn + 2, lsn + 3, T0)))
+    val frames =
+      Seq(MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "ck", cols))) ++
+        txn(100, 1, MessageEncoder.insert(relOid, Seq(Some("1"), Some("1"), Some("a")))) ++
+        txn(110, 2, MessageEncoder.insert(relOid, Seq(Some("1"), Some("2"), Some("b")))) ++
+        txn(120, 3, MessageEncoder.delete(relOid, Seq(Some("1"), Some("2"), None), 'K'))
+
+    PgCdcTestHook.register("composite", new InMemoryWalSource(frames))
+    val stream = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "composite").load()
+    val q = StatefulOps.latestState(spark, stream)
+      .writeStream.format("memory").queryName("latest_state_ck")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val finalState = spark.table("latest_state_ck").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2),
+        Option(r.getAs[Map[String, String]]("image")))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._2) }
+
+    assert(finalState.size == 2, s"expected 2 composite keys, got ${finalState.keys}")
+    val k11 = "1\u00011"
+    val k12 = "1\u00012"
+    assert(finalState(k11)._1 == "insert" && finalState(k11)._3.get("v") == "a",
+      "(1,1) must survive (1,2)'s delete")
+    assert(finalState(k12)._1 == "delete" && finalState(k12)._3.isEmpty)
+  }
 }
