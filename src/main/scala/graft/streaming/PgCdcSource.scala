@@ -49,6 +49,10 @@ import graft.pgproto.Lsn
   *                           executors)
   *  - `maxFramesPerPartition` target frames per executor task (default 8192)
   *  - `maxTxnsPerTrigger`    admission control (ReadMaxRows over transactions)
+  *  - `maxBufferedTxns` / `maxBufferedBytes`  backpressure caps on the
+  *                           driver's committed-but-undelivered backlog
+  *                           (default 4096 txns / 256 MiB); polling stops at
+  *                           the cap so a socket feed sees TCP backpressure
   */
 class PgCdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgcdc"
@@ -143,6 +147,22 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   // trimmed on commit(). seq of buffer(i) == baseSeq + i.
   private val buffer = mutable.ArrayBuffer.empty[TxnGroup]
   private var baseSeq = 0L
+
+  // Backpressure: once the committed-but-undelivered backlog reaches either
+  // cap, pump() stops polling the feed — over a real socket the unread bytes
+  // then exert TCP backpressure on the walsender, the same mechanism as the
+  // reference's fixed-capacity message channel
+  // (`pq/replication/stream.go:93`). Without this, a producer sustainedly
+  // faster than the consumer grows driver memory without bound.
+  private val maxBufferedTxns =
+    math.max(1, options.getInt("maxBufferedTxns", 4096))
+  private val maxBufferedBytes =
+    math.max(1L, options.getLong("maxBufferedBytes", 256L << 20))
+  private var bufferedBytes = 0L
+
+  /** Test/metrics visibility into the committed backlog. */
+  private[streaming] def backlogTxns: Int = buffer.size
+  private[streaming] def backlogBytes: Long = bufferedBytes
   private var floorLsn = startLsn
   private var opened = false
 
@@ -175,12 +195,24 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     v
   }
 
-  /** Pump everything currently available, grouping frames into committed-txn
-    * units. Only headers are read: message tag at payload offset 25, then at
-    * most one LSN/XID field.
+  private def addGroup(frames: Array[Array[Byte]], endLsn: Long): Unit = {
+    buffer += TxnGroup(frames, endLsn, relCache.values.toSeq)
+    var i = 0
+    while (i < frames.length) { bufferedBytes += frames(i).length; i += 1 }
+  }
+
+  /** Pump available frames into committed-txn units, stopping once the
+    * backlog caps are reached (backpressure). Only headers are read: message
+    * tag at payload offset 25, then at most one LSN/XID field.
+    *
+    * @param needSeq when ≥ 0, keep pumping past the caps until the buffer
+    *                covers this absolute txn seq — a restored batch being
+    *                replanned must always be satisfiable.
     */
-  private def pump(): Unit = {
-    var f = wal.poll()
+  private def pump(needSeq: Long = -1L): Unit = {
+    def mustGrow = needSeq >= 0 && baseSeq + buffer.size < needSeq
+    def belowCap = buffer.size < maxBufferedTxns && bufferedBytes < maxBufferedBytes
+    var f = if (mustGrow || belowCap) wal.poll() else None
     while (f.isDefined) {
       val raw = f.get
       val p = 25 // 'w' + walStart(8) + walEnd(8) + serverTime(8)
@@ -190,7 +222,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             curTxn += raw
           case 'C' =>
             curTxn += raw
-            buffer += TxnGroup(curTxn.toArray, readU64(raw, p + 10), relCache.values.toSeq)
+            addGroup(curTxn.toArray, readU64(raw, p + 10))
             curTxn = mutable.ArrayBuffer.empty
           case 'R' =>
             if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
@@ -222,7 +254,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
                 relCache = relCache.updated(readU32(s, p + 5), stripStreamXid(s))
             }
             segs += raw
-            buffer += TxnGroup(segs.toArray, readU64(raw, p + 14), relCache.values.toSeq)
+            addGroup(segs.toArray, readU64(raw, p + 14))
           case 'A' =>
             val xid = readU32(raw, p + 1)
             val subXid = readU32(raw, p + 5)
@@ -242,7 +274,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           wal.sendStatusUpdate(graft.pgproto.WalFrames.encodeStandbyStatusUpdate(
             wal.confirmedLsn, System.currentTimeMillis() * 1000L))
       }
-      f = wal.poll()
+      f = if (mustGrow || belowCap) wal.poll() else None
     }
   }
 
@@ -300,7 +332,9 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     val e = end.asInstanceOf[CdcOffset].seq
     ensureOpen(start.asInstanceOf[CdcOffset])
     if (e <= s) return Array.empty
-    pump() // a restored uncommitted batch replans before any latestOffset call
+    // A restored uncommitted batch replans before any latestOffset call —
+    // pump past the backpressure caps if that's what covering it takes.
+    pump(needSeq = e)
     require(s >= baseSeq,
       s"pgcdc: batch start $s below trimmed base $baseSeq — checkpoint older than buffer")
     require(e - baseSeq <= buffer.size,
@@ -336,6 +370,11 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     floorLsn = buffer((n - 1).toInt).endLsn
     // T3: ack the last delivered txn's commit end LSN (monotonic in WalSource).
     wal.ack(floorLsn)
+    var i = 0
+    while (i < n) {
+      buffer(i.toInt).frames.foreach(f => bufferedBytes -= f.length)
+      i += 1
+    }
     buffer.remove(0, n.toInt)
     baseSeq = e
   }

@@ -173,6 +173,58 @@ class CheckpointRestartSpec extends AnyFunSuite {
     assert(all.sorted == (1L to 12L), s"exactly-once after recovery, got $all")
   }
 
+  test("backpressure: a feed 10x over the cap pumps incrementally, backlog stays bounded") {
+    val wal = Files.createTempFile("wal-backpressure", ".bin").toString
+    // 30 txns; cap the driver backlog at 3 committed txns.
+    WalFile.write(wal, WalGen.frames(30, 2))
+    val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", wal, "maxBufferedTxns", "3")))
+    var start = s.initialOffset().asInstanceOf[CdcOffset]
+    val delivered = Seq.newBuilder[Long]
+    var batches = 0
+    var done = false
+    while (!done) {
+      val end = s.latestOffset(start, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+      if (end.seq == start.seq) done = true
+      else {
+        // The backlog never exceeds the cap even though the feed has 10x more.
+        assert(s.backlogTxns <= 3, s"backlog ${s.backlogTxns} exceeded cap")
+        delivered ++= rowIds(s, start, end)
+        s.commit(end)
+        batches += 1
+        start = end
+      }
+    }
+    assert(batches >= 10, s"expected incremental delivery, got $batches batches")
+    assert(delivered.result() == (1L to 60L), "bounded pumping must still deliver everything")
+    assert(s.backlogTxns == 0 && s.backlogBytes == 0L, "drained backlog must release bytes")
+    s.stop()
+  }
+
+  test("backpressure byte cap also bounds the backlog") {
+    val wal = Files.createTempFile("wal-bytecap", ".bin").toString
+    WalFile.write(wal, WalGen.frames(20, 2))
+    // A one-byte budget still always admits the txn being assembled (caps are
+    // checked between polls), so each batch carries exactly one txn.
+    val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", wal, "maxBufferedBytes", "1")))
+    var start = s.initialOffset().asInstanceOf[CdcOffset]
+    val delivered = Seq.newBuilder[Long]
+    var done = false
+    while (!done) {
+      val end = s.latestOffset(start, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+      if (end.seq == start.seq) done = true
+      else {
+        assert(end.seq - start.seq == 1, "byte cap of 1 admits one txn per batch")
+        delivered ++= rowIds(s, start, end)
+        s.commit(end)
+        start = end
+      }
+    }
+    assert(delivered.result() == (1L to 40L))
+    s.stop()
+  }
+
   test("keepalive with replyRequested gets a standby status update (T6)") {
     import graft.pgproto.{MessageEncoder, WalFrames}
     val frames = graft.tools.WalGen.frames(2, 3).toSeq :+
