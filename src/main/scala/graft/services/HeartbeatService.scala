@@ -61,7 +61,7 @@ object HeartbeatService {
   /** Identifier quoting (`heartbeat.go:16-19`): double-quote, double embedded
     * quotes — heartbeat table names are user-configured.
     */
-  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+  def quoteIdent(name: String): String = graft.snapshot.CatalogReader.quoteIdent(name)
 
   def tableExistsSql(schema: String, table: String): String = {
     import graft.snapshot.CatalogReader.sqlLiteral

@@ -52,7 +52,7 @@ object Publication {
     def dropQuery: String = s"DROP PUBLICATION IF EXISTS ${quoteIdent(name)}"
   }
 
-  def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+  def quoteIdent(s: String): String = graft.snapshot.CatalogReader.quoteIdent(s)
 
   /** Client-side table renaming — the consumer half of P7/S6: rewrite a
     * change-event frame's (schema, table) through a physical→logical mapping

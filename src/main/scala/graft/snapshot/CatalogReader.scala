@@ -24,7 +24,7 @@ final class CatalogReader(exec: CatalogReader.SqlExecutor) {
     exec(s"""SELECT a.attname, format_type(a.atttypid, a.atttypmod)
             |FROM pg_index i
             |JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
-            |WHERE i.indrelid = '${qualified(schema, table)}'::regclass AND i.indisprimary
+            |WHERE i.indrelid = ${regclassLiteral(schema, table)}::regclass AND i.indisprimary
             |ORDER BY a.attnum""".stripMargin)
       .collect { case Seq(name, dt) => (name, dt.toLowerCase) }
 
@@ -39,7 +39,8 @@ final class CatalogReader(exec: CatalogReader.SqlExecutor) {
 
   /** MIN/MAX of the PK (`coordinator.go:1029-1059`); None on an empty table. */
   def pkBounds(schema: String, table: String, pk: String): Option[(Long, Long)] =
-    exec(s"SELECT MIN($pk)::bigint, MAX($pk)::bigint FROM ${qualified(schema, table)}")
+    exec(s"SELECT MIN(${quoteIdent(pk)})::bigint, MAX(${quoteIdent(pk)})::bigint" +
+        s" FROM ${qualified(schema, table)}")
       .headOption.collect {
         case Seq(mn, mx) if mn != null && mx != null && mn.nonEmpty && mx.nonEmpty =>
           (mn.toLong, mx.toLong)
@@ -61,12 +62,12 @@ final class CatalogReader(exec: CatalogReader.SqlExecutor) {
     */
   def physicalStats(schema: String, table: String): (Long, Double) = {
     val pages = exec(
-      s"""SELECT COALESCE((pg_relation_size(to_regclass('${qualified(schema, table)}'))
+      s"""SELECT COALESCE((pg_relation_size(to_regclass(${regclassLiteral(schema, table)}))
          | / current_setting('block_size')::int)::bigint, 0)""".stripMargin)
       .headOption.flatMap(_.headOption).map(_.toLong).getOrElse(0L)
     val relTuples = exec(
       s"""SELECT reltuples::bigint FROM pg_class
-         |WHERE oid = '${qualified(schema, table)}'::regclass""".stripMargin)
+         |WHERE oid = ${regclassLiteral(schema, table)}::regclass""".stripMargin)
       .headOption.flatMap(_.headOption).map(_.toDouble).getOrElse(0.0)
     (pages, relTuples)
   }
@@ -76,13 +77,16 @@ final class CatalogReader(exec: CatalogReader.SqlExecutor) {
     */
   def replicaIdentities(tables: Seq[(String, String)]): Map[(String, String), (String, Option[String])] = {
     if (tables.isEmpty) return Map.empty
-    val inList = tables.map { case (s, t) => s"'$s.$t'" }.mkString(", ")
+    // Row-tuple IN list — unlike a concat'd name match, this cannot be
+    // confused by schemas or tables containing '.' and escapes each part.
+    val inList =
+      tables.map { case (s, t) => s"(${sqlLiteral(s)}, ${sqlLiteral(t)})" }.mkString(", ")
     exec(s"""SELECT c.relname, n.nspname, c.relreplident, idx.relname
             |FROM pg_class c
             |JOIN pg_namespace n ON c.relnamespace = n.oid
             |LEFT JOIN pg_index i ON i.indrelid = c.oid AND i.indisreplident
             |LEFT JOIN pg_class idx ON idx.oid = i.indexrelid
-            |WHERE concat(n.nspname, '.', c.relname) IN ($inList)""".stripMargin)
+            |WHERE (n.nspname, c.relname) IN ($inList)""".stripMargin)
       .collect { case Seq(tbl, sch, ident, idx) =>
         (sch, tbl) -> (ident, Option(idx).filter(_.nonEmpty))
       }.toMap
@@ -123,7 +127,23 @@ object CatalogReader {
     */
   def sqlLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private def qualified(schema: String, table: String): String = s"$schema.$table"
+  /** PostgreSQL identifier quoting: always double-quote, doubling embedded
+    * quotes — safe for any name, including reserved words, mixed case, and
+    * punctuation (pg's quote_ident always-quote form).
+    */
+  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** schema.table as quoted identifiers — for FROM clauses. */
+  private def qualified(schema: String, table: String): String =
+    s"${quoteIdent(schema)}.${quoteIdent(table)}"
+
+  /** schema.table as a string literal for ::regclass / to_regclass: the
+    * literal CONTENT uses quoted-identifier form (so mixed case and
+    * punctuation resolve to the exact relation), then the whole name is
+    * escaped as a SQL literal.
+    */
+  private def regclassLiteral(schema: String, table: String): String =
+    sqlLiteral(s"${quoteIdent(schema)}.${quoteIdent(table)}")
 
   /** JDBC binding of the seam — untestable without a live PostgreSQL (this
     * container has none), exactly mirroring the snapshot reader's JDBC path.

@@ -42,17 +42,21 @@ object SnapshotQuery {
       case (None, None) => ""
     }
 
-  /** Full chunk SELECT, the shape pushed to PostgreSQL per chunk. */
+  /** Full chunk SELECT, the shape pushed to PostgreSQL per chunk. Identifiers
+    * (schema, table, columns, order-by pk) are always quoted — a mixed-case
+    * or punctuated name resolves to the exact relation, never misparses.
+    */
   def chunkSql(
       schema: String, table: String, columns: Seq[String],
       chunk: ChunkPlanner.Chunk, condition: Option[String],
       orderByPk: Option[String]): String = {
-    val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
-    val base = s"SELECT $cols FROM $schema.$table"
+    import CatalogReader.quoteIdent
+    val cols = if (columns.isEmpty) "*" else columns.map(quoteIdent).mkString(", ")
+    val base = s"SELECT $cols FROM ${quoteIdent(schema)}.${quoteIdent(table)}"
     val where = whereClause(chunk.predicate, condition)
     val tail = chunk.limitOffset match {
       case Some((limit, offset)) =>
-        val ob = orderByPk.map(pk => s"ORDER BY $pk ").getOrElse("ORDER BY ctid ")
+        val ob = orderByPk.map(pk => s"ORDER BY ${quoteIdent(pk)} ").getOrElse("ORDER BY ctid ")
         s"${ob}LIMIT $limit OFFSET $offset"
       case None => ""
     }

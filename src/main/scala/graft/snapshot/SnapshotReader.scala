@@ -49,9 +49,11 @@ object SnapshotReader {
     val cond = cfg.conditionFor(table)
     exportedSnapshotId.foreach { id =>
       props.setProperty("sessionInitStatement",
-        s"BEGIN; SET TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '$id'")
+        s"BEGIN; SET TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
+          s"SET TRANSACTION SNAPSHOT ${CatalogReader.sqlLiteral(id)}")
     }
-    spark.read.jdbc(url, s"$schema.$table",
+    spark.read.jdbc(url,
+      s"${CatalogReader.quoteIdent(schema)}.${CatalogReader.quoteIdent(table)}",
       SnapshotQuery.jdbcPredicates(chunks, cond), props)
   }
 

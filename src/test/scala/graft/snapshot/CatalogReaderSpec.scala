@@ -85,10 +85,36 @@ class CatalogReaderSpec extends AnyFunSuite {
     assert(seen.contains("WHERE (o_totalprice > 1000)"))
   }
 
+  test("identifier quoting: a weird\"name table produces valid, exact SQL") {
+    val issued = Seq.newBuilder[String]
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      issued += sql
+      val q = sql.replaceAll("\\s+", " ")
+      if (q.contains("indisprimary")) Seq(Seq("the pk", "bigint"))
+      else if (q.contains("MIN(")) Seq(Seq("1", "10"))
+      else if (q.contains("COUNT(*)")) Seq(Seq("10"))
+      else if (q.contains("pg_relation_size") || q.contains("reltuples")) Seq(Seq("1"))
+      else Seq.empty
+    }
+    val cat = new CatalogReader(exec)
+    cat.tableStats("Sch'ma", """weird"name""")
+    val all = issued.result()
+    // regclass casts: identifier-quoted name inside a SQL literal, with the
+    // embedded double-quote doubled per identifier rules.
+    assert(all.exists(_.contains("""'"Sch''ma"."weird""name"'::regclass""")),
+      s"regclass literal not quoted correctly:\n${all.mkString("\n")}")
+    // FROM clauses: bare quoted identifiers.
+    assert(all.exists(_.contains("""FROM "Sch'ma"."weird""name"""")),
+      s"FROM clause not quoted correctly:\n${all.mkString("\n")}")
+    // pk column spliced into MIN/MAX is quoted (space-containing name).
+    assert(all.exists(_.contains("""MIN("the pk")""")),
+      s"pk not quoted:\n${all.mkString("\n")}")
+  }
+
   test("replica identities decode (d/f/i with index name)") {
     val exec: CatalogReader.SqlExecutor = { sql =>
       assert(sql.contains("relreplident"))
-      assert(sql.contains("'public.users', 'public.events'"))
+      assert(sql.contains("('public', 'users'), ('public', 'events')"))
       Seq(
         Seq("users", "public", "d", null),
         Seq("events", "public", "i", "events_ri_idx"))

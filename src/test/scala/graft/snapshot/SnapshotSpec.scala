@@ -49,11 +49,12 @@ class SnapshotSpec extends AnyFunSuite {
     val rangeChunk = integerRange("id", 1, 20, 10).head
     assert(SnapshotQuery.chunkSql("public", "users", Seq("id", "name"), rangeChunk,
       Some("status = 'active'"), None)
-      == "SELECT id, name FROM public.users WHERE id >= 1 AND id < 11 AND (status = 'active')")
+      == "SELECT \"id\", \"name\" FROM \"public\".\"users\"" +
+        " WHERE id >= 1 AND id < 11 AND (status = 'active')")
 
     val offChunk = offsetLimit(20, 10)(1)
     assert(SnapshotQuery.chunkSql("public", "t", Nil, offChunk, None, Some("id"))
-      == "SELECT * FROM public.t ORDER BY id LIMIT 10 OFFSET 10")
+      == "SELECT * FROM \"public\".\"t\" ORDER BY \"id\" LIMIT 10 OFFSET 10")
   }
 
   test("query-condition validation rejects injection, accepts predicates") {
