@@ -40,6 +40,26 @@ object ShingleSets {
   def apply(s: SparkSession, dir: String, n: Int): DataFrame =
     memo.getOrElseUpdate((s, dir, n), build(s, dir, n))
 
+  /** Unpersist and forget every cached frame for `dir` in this session —
+    * the cache-lifecycle release for long-lived sessions that move between
+    * corpora (a one-shot Verify/Bench main never needs it). Blocking, so a
+    * follow-up apply() rebuilds rather than racing the eviction.
+    */
+  def release(s: SparkSession, dir: String): Unit =
+    memo.keys.toSeq.filter(k => k._1 eq s).filter(_._2 == dir).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
+  /** Release every cached frame owned by `s` (session shutdown hook). */
+  def releaseAll(s: SparkSession): Unit =
+    memo.keys.toSeq.filter(k => k._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
+  /** Number of live cached frames for a session — test/metrics visibility. */
+  private[graft] def cachedCount(s: SparkSession): Int =
+    memo.keys.count(_._1 eq s)
+
   private def build(s: SparkSession, dir: String, n: Int): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text").mapPartitions { it =>
       it.flatMap { r =>

@@ -38,8 +38,13 @@ object StatefulOps {
     * stateful-streaming sharding); each micro-batch shuffles only its own
     * events. Update mode emits one row per touched key per batch.
     */
-  def latestState(s: SparkSession, events: DataFrame): Dataset[KeyState] = {
+  def latestState(
+      s: SparkSession, events: DataFrame,
+      idleTimeoutMillis: Option[Long] = None): Dataset[KeyState] = {
     import s.implicits._
+    val timeoutConf =
+      if (idleTimeoutMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .select(
         when(size(col("key_names")) > 0,
@@ -53,14 +58,32 @@ object StatefulOps {
       .filter(col("key").isNotNull)
       .as[(String, String, Long, Map[String, String])]
       .groupByKey(_._1)
-      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
-        case (key, events, state: GroupState[KeyState]) =>
-          val incoming = events.map { case (_, op, lsn, after) =>
-            KeyState(key, op, lsn, if (op == "delete") null else after)
-          }
-          val latest = (state.getOption.iterator ++ incoming).maxBy(_.lsn)
-          state.update(latest)
-          latest
+      .mapGroupsWithState[KeyState, KeyState](timeoutConf)(updateKey(idleTimeoutMillis))
+  }
+
+  /** The per-key state transition, extracted so specs can drive it directly
+    * with `TestGroupState`. On an idle timeout the key's state is emitted one
+    * final time and REMOVED — at 100-TB key cardinality, state that is never
+    * evicted grows without bound; a key seen again later simply re-enters as
+    * fresh state (correct for latest-row semantics: its next event carries a
+    * higher LSN than anything evicted).
+    */
+  private[streaming] def updateKey(idleTimeoutMillis: Option[Long])(
+      key: String,
+      events: Iterator[(String, String, Long, Map[String, String])],
+      state: GroupState[KeyState]): KeyState = {
+    if (state.hasTimedOut) {
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      val incoming = events.map { case (_, op, lsn, after) =>
+        KeyState(key, op, lsn, if (op == "delete") null else after)
       }
+      val latest = (state.getOption.iterator ++ incoming).maxBy(_.lsn)
+      state.update(latest)
+      idleTimeoutMillis.foreach(state.setTimeoutDuration)
+      latest
+    }
   }
 }

@@ -94,4 +94,45 @@ class StatefulOpsSpec extends AnyFunSuite {
       "(1,1) must survive (1,2)'s delete")
     assert(finalState(k12)._1 == "delete" && finalState(k12)._3.isEmpty)
   }
+
+  test("idle TTL: a timed-out key emits its final state and is removed") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val prior = StatefulOps.KeyState("k", "insert", 10L, Map("id" -> "1"))
+    val state = TestGroupState.create[StatefulOps.KeyState](
+      org.apache.spark.api.java.Optional.of(prior), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StatefulOps.updateKey(Some(60000L))("k", Iterator.empty, state)
+    assert(out == prior, "eviction emits the state one final time")
+    assert(state.isRemoved, "timed-out state must be evicted, not kept forever")
+  }
+
+  test("idle TTL: a live update arms the processing-time timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val state = TestGroupState.create[StatefulOps.KeyState](
+      org.apache.spark.api.java.Optional.empty[StatefulOps.KeyState](), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = StatefulOps.updateKey(Some(60000L))("k",
+      Iterator(("k", "insert", 5L, Map("id" -> "1"))), state)
+    assert(out.lsn == 5L && !state.isRemoved)
+    assert(state.getTimeoutTimestampMs.isPresent &&
+      state.getTimeoutTimestampMs.get() == 61000L,
+      "timeout = batch processing time + TTL")
+  }
+
+  test("without a TTL no timeout is armed (NoTimeout semantics preserved)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val state = TestGroupState.create[StatefulOps.KeyState](
+      org.apache.spark.api.java.Optional.empty[StatefulOps.KeyState](), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = StatefulOps.updateKey(None)("k",
+      Iterator(("k", "insert", 5L, Map("id" -> "1"))), state)
+    assert(out.lsn == 5L)
+    assert(!state.getTimeoutTimestampMs.isPresent)
+  }
 }
