@@ -1,5 +1,7 @@
 package graft.cdc
 
+import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.file.{Files, Path}
 import scala.collection.mutable
 import graft.pgproto._
 import graft.pgproto.Messages._
@@ -26,14 +28,21 @@ import graft.pgproto.Messages._
   *  - P6 TOAST restoration (`format/update.go:100-108`): unchanged-TOAST
   *    columns in the new image are back-filled from the old image when present.
   *
-  * Scale note: per-XID streamed buffers are in-memory, like the reference's
-  * `streamTxBuffer.txns` map; `maxBufferedStreamEvents` bounds worst-case
-  * memory, failing fast rather than OOMing an executor. (A spill path is the
-  * documented follow-up for pathological multi-GB transactions.)
+  * Scale note: a streamed txn's buffer SPILLS to local disk once it exceeds
+  * `spillThresholdEvents` in memory — a legitimate multi-GB bulk-load txn
+  * streams through bounded memory instead of failing (the reference buffers
+  * unboundedly in its `streamTxBuffer.txns` map; we beat that, not match
+  * it). On STREAM COMMIT spilled events stream back from disk in order ahead
+  * of the in-memory tail, commit-stamped lazily; the spill file is deleted
+  * once fully consumed (and eagerly on abort). `maxBufferedStreamEvents`
+  * still bounds total IN-MEMORY events across open txns, failing fast rather
+  * than OOMing an executor if thousands of streams are open at once.
   */
 final class TransactionAssembler(
     heartbeatTable: Option[(String, String)] = None,
-    maxBufferedStreamEvents: Int = 1 << 20) {
+    maxBufferedStreamEvents: Int = 1 << 20,
+    spillThresholdEvents: Int = 1 << 16,
+    spillDir: Option[Path] = None) extends AutoCloseable {
 
   val relations = mutable.LongMap.empty[Relation]
   private val keyNameCache = mutable.LongMap.empty[Seq[String]]
@@ -47,31 +56,133 @@ final class TransactionAssembler(
   // T2 state
   private var inStreamBlock = false
   private var streamXid = 0L
-  private val streamedTxns = mutable.LongMap.empty[mutable.ArrayBuffer[ChangeEvent]]
+  private val streamedTxns = mutable.LongMap.empty[StreamBuf]
   private var streamedCount = 0L
 
   /** Count of events dropped as heartbeats (P5) — progress still advances. */
   var heartbeatsSuppressed: Long = 0L
 
+  /** Events currently buffered IN MEMORY for open streamed txns. */
   def bufferedStreamEvents: Long = streamedCount
 
-  /** Feed one CopyData payload; returns events ready for downstream emission
-    * in commit order. Keepalives produce no events (offset advance is the
-    * stream reader's concern).
+  /** Events currently spilled to disk for open streamed txns. */
+  def spilledStreamEvents: Long = streamedTxns.values.map(_.spilledCount).sum
+
+  /** Per-XID stream buffer: an in-memory tail plus an optional disk spill
+    * holding everything that overflowed `spillThresholdEvents`.
     */
-  def onCopyData(copyData: Array[Byte]): Seq[ChangeEvent] =
+  private final class StreamBuf {
+    val mem = mutable.ArrayBuffer.empty[ChangeEvent]
+    var spill: Spill = null
+    def spilledCount: Long = if (spill == null) 0L else spill.count
+
+    def add(e: ChangeEvent): Unit = {
+      mem += e
+      streamedCount += 1
+      if (mem.length >= spillThresholdEvents) {
+        if (spill == null) spill = new Spill(spillDirPath)
+        spill.append(mem.iterator)
+        streamedCount -= mem.length
+        mem.clear()
+      }
+    }
+
+    /** All events in arrival order; spilled prefix streams from disk. */
+    def iterator: Iterator[ChangeEvent] =
+      (if (spill == null) Iterator.empty else spill.read()) ++ mem.iterator
+
+    def totalCount: Long = spilledCount + mem.length
+
+    def discard(): Unit = {
+      streamedCount -= mem.length
+      mem.clear()
+      if (spill != null) { spill.delete(); spill = null }
+    }
+
+    /** Sub-transaction abort: drop just subXid's events, keeping order. A
+      * spilled buffer is rewritten through disk (bounded memory).
+      */
+    def dropSubXid(subXid: Long): Unit = {
+      if (spill != null) {
+        val old = spill
+        val fresh = new Spill(spillDirPath)
+        fresh.append(old.read().filter(_.xid != subXid))
+        old.delete()
+        spill = if (fresh.count > 0) fresh else { fresh.delete(); null }
+      }
+      val before = mem.length
+      mem.filterInPlace(_.xid != subXid)
+      streamedCount -= before - mem.length
+    }
+  }
+
+  private lazy val spillDirPath: Path =
+    spillDir.getOrElse(Path.of(System.getProperty("java.io.tmpdir")))
+
+  /** Append-once, read-once event spill file (Java serialization with
+    * periodic reset so the handle table can't grow unboundedly).
+    */
+  private final class Spill(dir: Path) {
+    val file: Path = Files.createTempFile(dir, "graft-stream-spill-", ".bin")
+    private var out = new ObjectOutputStream(
+      new BufferedOutputStream(Files.newOutputStream(file)))
+    var count: Long = 0L
+
+    def append(events: Iterator[ChangeEvent]): Unit = {
+      events.foreach { e =>
+        out.writeObject(e)
+        count += 1
+        if (count % 1024 == 0) out.reset()
+      }
+      out.flush()
+    }
+
+    /** Close the writer and stream the events back; the file is deleted when
+      * the iterator is exhausted (abort paths call [[delete]] instead).
+      */
+    def read(): Iterator[ChangeEvent] = {
+      out.close()
+      val in = new ObjectInputStream(new BufferedInputStream(Files.newInputStream(file)))
+      val total = count
+      new Iterator[ChangeEvent] {
+        private var i = 0L
+        override def hasNext: Boolean = {
+          val more = i < total
+          if (!more) { in.close(); Files.deleteIfExists(file); () }
+          more
+        }
+        override def next(): ChangeEvent = {
+          val e = in.readObject().asInstanceOf[ChangeEvent]
+          i += 1
+          e
+        }
+      }
+    }
+
+    def delete(): Unit = {
+      try out.close() catch { case _: java.io.IOException => () }
+      Files.deleteIfExists(file)
+    }
+  }
+
+  /** Feed one CopyData payload; returns events ready for downstream emission
+    * in commit order (lazy — a spilled streamed commit streams from disk).
+    * Keepalives produce no events (offset advance is the stream reader's
+    * concern).
+    */
+  def onCopyData(copyData: Array[Byte]): Iterator[ChangeEvent] =
     WalFrames.parse(copyData) match {
-      case WalFrames.KeepaliveFrame(_) => Nil
+      case WalFrames.KeepaliveFrame(_) => Iterator.empty
       case WalFrames.XLogDataFrame(x) => onXLogData(x)
     }
 
-  def onXLogData(x: WalFrames.XLogData): Seq[ChangeEvent] = {
+  def onXLogData(x: WalFrames.XLogData): Iterator[ChangeEvent] = {
     val msg = Messages.decode(x.data, inStreamBlock)
     onMessage(msg, x.walStart, x.serverTimeMicros)
   }
 
   /** Dispatch mirrors the reference's sink loop (`stream.go:444-481`). */
-  def onMessage(msg: Msg, walStart: Long, serverTimeMicros: Long): Seq[ChangeEvent] = msg match {
+  def onMessage(msg: Msg, walStart: Long, serverTimeMicros: Long): Iterator[ChangeEvent] = msg match {
     case b: Begin =>
       // Begin of a new txn: anything still pending belongs to a fully
       // delivered txn (its Commit flushed it); a leftover here means a
@@ -80,63 +191,54 @@ final class TransactionAssembler(
       curXid = b.xid
       curCommitLsn = b.finalLsn
       curCommitTimeMicros = b.commitTimeMicros
-      Nil
+      Iterator.empty
 
     case c: Commit =>
       // T1: flush the held-back last event with the txn-end LSN.
       if (pending != null) {
         val out = pending.copy(lsn = c.transactionEndLsn)
         pending = null
-        Seq(out)
-      } else Nil
+        Iterator.single(out)
+      } else Iterator.empty
 
     case r: Relation =>
       relations.update(r.oid, r)
       keyNameCache.update(r.oid, r.columns.filter(_.isKey).map(_.name).toSeq)
-      Nil
+      Iterator.empty
 
     case s: StreamStart =>
       inStreamBlock = true
       streamXid = s.xid
-      if (!streamedTxns.contains(s.xid)) streamedTxns.update(s.xid, mutable.ArrayBuffer.empty)
-      Nil
+      if (!streamedTxns.contains(s.xid)) streamedTxns.update(s.xid, new StreamBuf)
+      Iterator.empty
 
     case StreamStop =>
       inStreamBlock = false
-      Nil
+      Iterator.empty
 
     case sc: StreamCommit =>
       // T2: emit the whole buffered txn, commit-stamped; last event gets the
-      // txn-end LSN (same rewrite as T1).
+      // txn-end LSN (same rewrite as T1). Spilled events stream from disk.
       streamedTxns.remove(sc.xid) match {
+        case Some(buf) if buf.totalCount > 0 =>
+          streamedCount -= buf.mem.length
+          stampAndRewriteLast(buf.iterator, sc.commitLsn, sc.commitTimeMicros, sc.transactionEndLsn)
         case Some(buf) =>
-          streamedCount -= buf.length
-          if (buf.isEmpty) Nil
-          else {
-            val stamped = buf.map(e => e.copy(
-              commitLsn = sc.commitLsn,
-              commitTimeMicros = sc.commitTimeMicros))
-            stamped(stamped.length - 1) =
-              stamped(stamped.length - 1).copy(lsn = sc.transactionEndLsn)
-            stamped.toSeq
-          }
-        case None => Nil
+          buf.discard()
+          Iterator.empty
+        case None => Iterator.empty
       }
 
     case sa: StreamAbort =>
       // Rolled-back streamed (sub)transaction (`format/stream.go:92-107`):
-      // when subXid == xid the whole top-level txn aborted — drop everything;
-      // when subXid != xid only a subtransaction rolled back — drop just its
-      // events (each buffered event carries the sub-XID that wrote it, from
-      // the v2 per-message XID prefix) and keep the parent's.
+      // when subXid == xid the whole top-level txn aborted — drop everything
+      // (including any spill file); when subXid != xid only a subtransaction
+      // rolled back — drop just its events (each buffered event carries the
+      // sub-XID that wrote it, from the v2 per-message XID prefix).
       if (sa.subXid == sa.xid || sa.subXid == 0L)
-        streamedTxns.remove(sa.xid).foreach(b => streamedCount -= b.length)
-      else streamedTxns.get(sa.xid).foreach { buf =>
-        val before = buf.length
-        buf.filterInPlace(_.xid != sa.subXid)
-        streamedCount -= before - buf.length
-      }
-      Nil
+        streamedTxns.remove(sa.xid).foreach(_.discard())
+      else streamedTxns.get(sa.xid).foreach(_.dropSubXid(sa.subXid))
+      Iterator.empty
 
     case i: Insert =>
       route(event(i.xid, "insert", i.relationOid, walStart, serverTimeMicros,
@@ -162,8 +264,26 @@ final class TransactionAssembler(
           rel.namespace, rel.name, serverTimeMicros, effCommitTime(t.xid),
           keyNameCache.getOrElse(oid, Nil), null, null)
       }
-      evs.flatMap(route)
+      evs.iterator.flatMap(route)
   }
+
+  /** Commit-stamp every event; the LAST one also gets its WAL position
+    * rewritten to the transaction end LSN (one-element look-ahead, so a
+    * disk-spilled stream never materializes).
+    */
+  private def stampAndRewriteLast(
+      events: Iterator[ChangeEvent], commitLsn: Long,
+      commitTimeMicros: Long, endLsn: Long): Iterator[ChangeEvent] =
+    new Iterator[ChangeEvent] {
+      private var nxt: ChangeEvent = if (events.hasNext) events.next() else null
+      override def hasNext: Boolean = nxt != null
+      override def next(): ChangeEvent = {
+        val cur = nxt
+        nxt = if (events.hasNext) events.next() else null
+        val stamped = cur.copy(commitLsn = commitLsn, commitTimeMicros = commitTimeMicros)
+        if (nxt == null) stamped.copy(lsn = endLsn) else stamped
+      }
+    }
 
   /** Flush anything still pending (stream close). The reference's close path
     * flushes the final standby status instead (`stream.go:724-733`); for us a
@@ -173,6 +293,14 @@ final class TransactionAssembler(
     val out = if (pending != null) Seq(pending) else Nil
     pending = null
     out
+  }
+
+  /** Drop any open streamed buffers and their spill files (partition reader
+    * close / task end).
+    */
+  override def close(): Unit = {
+    streamedTxns.values.foreach(_.discard())
+    streamedTxns.clear()
   }
 
   private def relation(oid: Long): Relation =
@@ -222,25 +350,24 @@ final class TransactionAssembler(
   }
 
   /** Route one decoded event through P5 suppression and the T1/T2 buffers. */
-  private def route(e: ChangeEvent): Seq[ChangeEvent] = {
+  private def route(e: ChangeEvent): Iterator[ChangeEvent] = {
     if (heartbeatTable.contains((e.schema, e.table))) {
       heartbeatsSuppressed += 1
-      return Nil
+      return Iterator.empty
     }
     if (inStreamBlock) {
-      val buf = streamedTxns.getOrElseUpdate(streamXid, mutable.ArrayBuffer.empty)
-      buf += e
-      streamedCount += 1
+      val buf = streamedTxns.getOrElseUpdate(streamXid, new StreamBuf)
+      buf.add(e)
       if (streamedCount > maxBufferedStreamEvents)
         throw new PgProtoException(
-          s"streamed-transaction buffer exceeded $maxBufferedStreamEvents events " +
-            s"(xid=$streamXid); raise maxBufferedStreamEvents or enable spilling")
-      Nil
+          s"streamed-transaction buffer exceeded $maxBufferedStreamEvents in-memory events " +
+            s"(xid=$streamXid); raise maxBufferedStreamEvents or lower spillThresholdEvents")
+      Iterator.empty
     } else {
       // T1 look-ahead: hold this event, release the previous one.
       val out = pending
       pending = e
-      if (out != null) Seq(out) else Nil
+      if (out != null) Iterator.single(out) else Iterator.empty
     }
   }
 }

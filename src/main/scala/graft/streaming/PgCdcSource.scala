@@ -400,7 +400,8 @@ object PgCdcReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (events.hasNext) { cur = events.next(); true } else false
       override def get(): InternalRow = toInternalRow(cur)
-      override def close(): Unit = ()
+      // Releases any open streamed buffers + spill files on task end.
+      override def close(): Unit = assembler.close()
     }
   }
 

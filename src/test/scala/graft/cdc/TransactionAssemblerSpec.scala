@@ -200,6 +200,89 @@ class TransactionAssemblerSpec extends AnyFunSuite {
     assert(a.onCopyData(MessageEncoder.keepalive(5000L, T0, replyRequested = true)).isEmpty)
   }
 
+  private def streamedTxnFrames(nEvents: Int, xid: Long = 70L): Seq[Array[Byte]] = {
+    val fs = Seq.newBuilder[Array[Byte]]
+    fs += MessageEncoder.xlogData(1, 1, T0,
+      MessageEncoder.relation(RelOid, "public", "books", Cols))
+    fs += MessageEncoder.xlogData(10, 10, T0, MessageEncoder.streamStart(xid, true))
+    (1 to nEvents).foreach { i =>
+      fs += MessageEncoder.xlogData(10 + i, 10 + i, T0,
+        MessageEncoder.insert(RelOid, Seq(Some(i.toString), Some(s"v$i")), streamedXid = xid))
+    }
+    fs += MessageEncoder.xlogData(900, 900, T0, MessageEncoder.streamStop())
+    fs += MessageEncoder.xlogData(901, 901, T0, MessageEncoder.streamCommit(xid, 901, 902, T0))
+    fs.result()
+  }
+
+  private def spillFiles(dir: java.nio.file.Path): Long = {
+    val s = java.nio.file.Files.list(dir)
+    try s.count() finally s.close()
+  }
+
+  test("streamed txn beyond the threshold spills to disk; output identical to in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill-spec")
+    val frames = streamedTxnFrames(50)
+    val expected = frames.flatMap(new TransactionAssembler().onCopyData).toSeq
+
+    val a = new TransactionAssembler(spillThresholdEvents = 8, spillDir = Some(dir))
+    frames.init.foreach(f => a.onCopyData(f).foreach(_ => ()))
+    // 50 events, threshold 8: six spill batches of 8 = 48 on disk, 2 in memory.
+    assert(a.spilledStreamEvents == 48L, s"spilled=${a.spilledStreamEvents}")
+    assert(a.bufferedStreamEvents == 2L)
+    assert(spillFiles(dir) == 1L, "spill file must exist mid-transaction")
+
+    val out = a.onCopyData(frames.last).toSeq
+    assert(out == expected, "spilled commit must be byte-identical to the in-memory path")
+    assert(out.size == 50 && out.last.lsn == 902L, "txn-end LSN rewrite survives the spill")
+    assert(spillFiles(dir) == 0L, "spill file deleted once fully consumed")
+  }
+
+  test("stream abort deletes the spill file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill-abort")
+    val a = new TransactionAssembler(spillThresholdEvents = 4, spillDir = Some(dir))
+    val frames = streamedTxnFrames(20)
+    frames.dropRight(1).foreach(f => a.onCopyData(f).foreach(_ => ()))
+    assert(spillFiles(dir) == 1L)
+    a.onCopyData(MessageEncoder.xlogData(950, 950, T0, MessageEncoder.streamAbort(70, 70)))
+    assert(spillFiles(dir) == 0L, "abort must delete the spill file")
+    assert(a.spilledStreamEvents == 0L && a.bufferedStreamEvents == 0L)
+    // the later commit for the aborted xid emits nothing
+    assert(a.onCopyData(frames.last).isEmpty)
+  }
+
+  test("sub-transaction abort filters spilled events through disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill-subxid")
+    val a = new TransactionAssembler(spillThresholdEvents = 4, spillDir = Some(dir))
+    a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
+      MessageEncoder.relation(RelOid, "public", "books", Cols)))
+    a.onCopyData(MessageEncoder.xlogData(10, 10, T0, MessageEncoder.streamStart(70, true)))
+    // interleave top-level (xid 70) and subtxn (xid 71) events, spilling both
+    (1 to 12).foreach { i =>
+      val sub = if (i % 2 == 0) 71L else 70L
+      a.onCopyData(MessageEncoder.xlogData(10 + i, 10 + i, T0,
+        MessageEncoder.insert(RelOid, Seq(Some(i.toString), Some(s"v$i")), streamedXid = sub)))
+    }
+    a.onCopyData(MessageEncoder.xlogData(900, 900, T0, MessageEncoder.streamStop()))
+    assert(a.spilledStreamEvents == 12L)
+    a.onCopyData(MessageEncoder.xlogData(950, 950, T0, MessageEncoder.streamAbort(70, 71)))
+    assert(a.spilledStreamEvents == 6L, "only subtxn 71's events drop")
+    val out = a.onCopyData(MessageEncoder.xlogData(960, 960, T0,
+      MessageEncoder.streamCommit(70, 960, 961, T0))).toSeq
+    assert(out.map(_.after("id")) == Seq("1", "3", "5", "7", "9", "11"))
+    assert(out.forall(_.xid == 70L))
+    assert(spillFiles(dir) == 0L)
+  }
+
+  test("close() releases open streamed buffers and spill files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill-close")
+    val a = new TransactionAssembler(spillThresholdEvents = 4, spillDir = Some(dir))
+    streamedTxnFrames(20).dropRight(1).foreach(f => a.onCopyData(f).foreach(_ => ()))
+    assert(spillFiles(dir) == 1L)
+    a.close()
+    assert(spillFiles(dir) == 0L)
+    assert(a.bufferedStreamEvents == 0L && a.spilledStreamEvents == 0L)
+  }
+
   test("streamed buffer cap fails fast instead of OOM") {
     val a = new TransactionAssembler(maxBufferedStreamEvents = 2)
     a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
