@@ -5,11 +5,11 @@ import graft.snapshot.CatalogReader.SqlExecutor
 
 /** S1 replication-connection handshake: the `IDENTIFY_SYSTEM` and
   * `START_REPLICATION` command layer (reference
-  * `pq/replication/replication.go:23-41`, `pq/system.go:13-70`). No socket
-  * exists in this environment, so the commands are built/validated here and
-  * the wire is the caller's concern — a real deployment issues them over a
-  * `replication=database` connection, then feeds the resulting CopyData
-  * stream into [[graft.streaming.WalSource]].
+  * `pq/replication/replication.go:23-41`, `pq/system.go:13-70`). The
+  * production wire binding is [[graft.streaming.SocketWalSource]], which
+  * issues these commands over a `replication=database` connection and feeds
+  * the resulting CopyData stream into [[graft.streaming.WalSource]]; this
+  * object stays the single source of truth for the command text.
   */
 object Replication {
 

@@ -137,9 +137,28 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private val wal: WalSource = {
     val hook = Option(options.get("testSourceKey")).flatMap(PgCdcTestHook.get)
     hook.getOrElse {
+      val host = options.get("host")
       val path = options.get("path")
-      require(path != null, "pgcdc: 'path' option (WAL frame file) is required")
-      new FileWalSource(path)
+      if (host != null) {
+        val slot = options.get("slot")
+        val publication = options.get("publication")
+        require(slot != null && publication != null,
+          "pgcdc: 'slot' and 'publication' options are required with 'host'")
+        new SocketWalSource(
+          host = host,
+          port = options.getInt("port", 5432),
+          user = Option(options.get("user")).getOrElse("postgres"),
+          database = Option(options.get("database")).getOrElse("postgres"),
+          slot = slot,
+          publication = publication,
+          protoVersion = options.getInt("protoVersion", 2),
+          password = Option(options.get("password")))
+      } else {
+        require(path != null,
+          "pgcdc: a WalSource binding is required — 'path' (WAL frame file), " +
+            "'host'/'port' (walsender socket), or a registered 'testSourceKey'")
+        new FileWalSource(path)
+      }
     }
   }
 

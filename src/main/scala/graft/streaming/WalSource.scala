@@ -6,14 +6,15 @@ import graft.tools.WalFile
 /** Abstraction over "where replication frames come from" — the seam between
   * the engine and a walsender socket.
   *
-  * The real-PostgreSQL implementation would own the replication connection
-  * (`START_REPLICATION SLOT … LOGICAL <lsn>`, reference
-  * `pq/replication/replication.go:23-41`) with a single reader thread and a
-  * writer queue for standby status updates — deliberately avoiding the
-  * reference's shared-socket mutex hazard (`pq/replication/stream.go:73-84`,
-  * SURVEY §7 "Hard parts"). This container has no PostgreSQL and no egress,
-  * so the shipped implementations are file/synthetic feeds; they exercise
-  * every layer above this trait byte-identically.
+  * The real-PostgreSQL implementation is [[SocketWalSource]]: it owns the
+  * replication connection (`START_REPLICATION SLOT … LOGICAL <lsn>`,
+  * reference `pq/replication/replication.go:23-41`) with a single reader
+  * thread and a serialized writer for standby status updates — deliberately
+  * avoiding the reference's shared-socket mutex hazard
+  * (`pq/replication/stream.go:73-84`, SURVEY §7 "Hard parts"). It is
+  * unit-tested against an in-process fake walsender over a real socket pair
+  * (no PostgreSQL in this container); the file/in-memory feeds below
+  * exercise every layer above this trait byte-identically.
   */
 trait WalSource extends AutoCloseable {
   /** Start (or restart) the feed from the given confirmed LSN; frames with

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import scala.collection.mutable
+import graft.pgproto.{Lsn, PgWire}
+
+/** In-process fake walsender speaking real frontend/backend protocol bytes
+  * over a real socket — the reference's own test pattern
+  * (`pq/replication/stream_connmu_test.go:77`: a fake server, not a mock of
+  * the client). Serves the configured WAL frames after a START_REPLICATION,
+  * filtered by the requested LSN with the same txn-aware semantics a slot's
+  * restart point gives ([[ResumeFilter]]), and records everything the client
+  * sends back (status updates, queries) for assertions.
+  */
+final class FakeWalsender(
+    frames: Seq[Array[Byte]],
+    requirePassword: Option[String] = None,
+    systemId: String = "7000000000000000001",
+    timeline: Int = 1,
+    xLogPos: Long = 0x1000L) {
+
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+
+  /** Every simple-query SQL string received, in order. */
+  val queries = mutable.ArrayBuffer.empty[String]
+  /** Raw standby-status-update ('r') CopyData payloads received. */
+  val statusUpdates = mutable.ArrayBuffer.empty[Array[Byte]]
+  /** Startup parameters of the most recent connection. */
+  @volatile var startupParams: Map[String, String] = Map.empty
+
+  @volatile private var running = true
+  private val acceptor = new Thread(() => acceptLoop(), "fake-walsender-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def acceptLoop(): Unit =
+    try while (running) {
+      val sock = server.accept()
+      val t = new Thread(() => try serve(sock) catch { case _: Throwable => () },
+        "fake-walsender-conn")
+      t.setDaemon(true)
+      t.start()
+    } catch { case _: Throwable => () }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    val (proto, params) = PgWire.readStartup(in)
+    require(proto == PgWire.ProtocolVersion3, s"unexpected protocol $proto")
+    startupParams = params
+
+    requirePassword match {
+      case Some(expected) =>
+        PgWire.writeMessage(out, PgWire.Tag.Authentication, PgWire.AuthCleartextPassword)
+        val m = PgWire.readMessage(in)
+        require(m.tag == PgWire.Tag.PasswordMessage, s"expected password, got '${m.tag.toChar}'")
+        val got = PgWire.parseQuery(m.payload) // same NUL-terminated shape
+        if (got != expected) {
+          PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+            PgWire.errorPayload("FATAL", "28P01", "password authentication failed"))
+          sock.close()
+          return
+        }
+        PgWire.writeMessage(out, PgWire.Tag.Authentication, PgWire.AuthOk)
+      case None =>
+        PgWire.writeMessage(out, PgWire.Tag.Authentication, PgWire.AuthOk)
+    }
+    PgWire.writeMessage(out, PgWire.Tag.ParameterStatus,
+      PgWire.queryPayload("server_version") ++ PgWire.queryPayload("16.0"))
+    PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+
+    var open = true
+    while (open) {
+      val m =
+        try PgWire.readMessage(in)
+        catch { case _: EOFException | _: java.net.SocketException => return }
+      m.tag match {
+        case PgWire.Tag.Query =>
+          val sql = PgWire.parseQuery(m.payload)
+          queries.synchronized { queries += sql }
+          if (sql.startsWith("IDENTIFY_SYSTEM")) {
+            PgWire.writeMessage(out, PgWire.Tag.RowDescription,
+              PgWire.rowDescriptionPayload(Seq("systemid", "timeline", "xlogpos", "dbname")))
+            PgWire.writeMessage(out, PgWire.Tag.DataRow, PgWire.dataRowPayload(Seq(
+              Some(systemId), Some(timeline.toString), Some(Lsn.format(xLogPos)),
+              params.get("database"))))
+            PgWire.writeMessage(out, PgWire.Tag.CommandComplete, PgWire.queryPayload("IDENTIFY_SYSTEM"))
+            PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+          } else if (sql.startsWith("START_REPLICATION")) {
+            val fromLsn = parseStartLsn(sql)
+            PgWire.writeMessage(out, PgWire.Tag.CopyBothResponse, PgWire.CopyBothAllText)
+            // Same replay semantics as a slot restart point: whole txns
+            // committing after the confirmed LSN, relations always.
+            ResumeFilter(frames.iterator, fromLsn).foreach { f =>
+              PgWire.writeMessage(out, PgWire.Tag.CopyData, f)
+            }
+            // Stay in CopyBoth afterwards, consuming client CopyData
+            // (status updates) until the client terminates.
+          } else {
+            PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+              PgWire.errorPayload("ERROR", "42601", s"unsupported: $sql"))
+            PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+          }
+        case PgWire.Tag.CopyData =>
+          statusUpdates.synchronized { statusUpdates += m.payload }
+        case PgWire.Tag.Terminate =>
+          sock.close()
+          open = false
+        case other => // ignore
+      }
+    }
+  }
+
+  private def parseStartLsn(sql: String): Long = {
+    // START_REPLICATION SLOT <slot> LOGICAL <X/X> (...)
+    val m = """LOGICAL\s+([0-9A-Fa-f]+/[0-9A-Fa-f]+)""".r.findFirstMatchIn(sql)
+    m.map(g => Lsn.parse(g.group(1))).getOrElse(Lsn.Zero)
+  }
+
+  def close(): Unit = {
+    running = false
+    try server.close() catch { case _: java.io.IOException => () }
+  }
+}
