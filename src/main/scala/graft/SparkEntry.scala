@@ -74,7 +74,8 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => AnnQueries.annIvf(s, d).orderBy("query_id", "rnk")),
     // ---- LLM-pipeline: multimodal columns ----
     "q_multimodal_features" -> ((s, d) =>
-      MultimodalQueries.multimodalFeatures(s, d).orderBy("media_type"))
+      MultimodalQueries.multimodalFeatures(s, d).orderBy("media_type")),
+    "q_media_metadata" -> ((s, d) => MultimodalQueries.mediaMetadata(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,6 +532,36 @@ object SparkEntry {
            CAST(sum(n_frames) AS BIGINT) AS sum_frames,
            CAST(sum((n_frames + 3) // 4) AS BIGINT) AS sum_sampled,
            min(fingerprint) AS min_fp
-         FROM f GROUP BY 1 ORDER BY 1"""
+         FROM f GROUP BY 1 ORDER BY 1""",
+    // The kernel parses PNG/JPEG/GIF/WAV headers from binary payloads that
+    // were generated from these SAME deterministic parameters — the oracle
+    // recomputes the parameters directly, so a hash match proves the parse
+    // recovered every field from the bytes.
+    "q_media_metadata" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN source = 'src1' THEN 'png'
+                  WHEN source = 'src2' THEN 'jpeg'
+                  WHEN source = 'src3' THEN 'gif'
+                  ELSE 'wav' END AS format,
+             doc_id % 640 + 1 AS w,
+             doc_id % 480 + 1 AS h,
+             doc_id % 10 + 1 AS gf,
+             8000 + (doc_id % 8) * 4000 AS rate,
+             doc_id % 2 + 1 AS ch,
+             octet_length(CAST(text AS BLOB)) AS db
+           FROM documents)
+         SELECT format,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN format <> 'wav' THEN w ELSE 0 END) AS BIGINT) AS sum_width,
+           CAST(sum(CASE WHEN format <> 'wav' THEN h ELSE 0 END) AS BIGINT) AS sum_height,
+           CAST(sum(CASE WHEN format = 'gif' THEN gf
+                         WHEN format <> 'wav' THEN 1 ELSE 0 END) AS BIGINT) AS sum_frames,
+           CAST(sum(CASE WHEN format = 'wav' THEN rate ELSE 0 END) AS BIGINT) AS sum_rate,
+           CAST(sum(CASE WHEN format = 'wav' THEN ch ELSE 0 END) AS BIGINT) AS sum_channels,
+           CAST(sum(CASE WHEN format = 'wav'
+                         THEN (db * 8000000) // (rate * ch * 16) ELSE 0 END) AS BIGINT)
+             AS sum_duration_micros
+         FROM m GROUP BY 1 ORDER BY 1"""
   )
 }

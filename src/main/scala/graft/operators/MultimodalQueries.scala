@@ -8,11 +8,18 @@ import graft.functions.TextFunctions.hash60
   * opaque BINARY payloads with typed metadata, plus the decode /
   * feature-extract / frame-sample plumbing.
   *
-  * No image/audio codecs exist in this container, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[MultimodalQueries.DecodeStub]]); the
-  * Spark-side plumbing — binary schema, batched per-partition processing
-  * (the Scala analogue of `mapInPandas` batch shape), codegen'd byte-level
-  * feature columns, and the cross-engine oracle — is real and tested.
+  * The decode kernel is REAL pure-JVM container-header parsing
+  * ([[graft.functions.MediaHeaders]]): PNG/JPEG/GIF dimensions and frame
+  * counts, WAV sample rate / channels / duration, read byte-by-byte from
+  * the binary payload in batched per-partition passes (the Scala analogue
+  * of a `mapInPandas` Arrow-batch kernel). Payloads are synthesized with
+  * header-accurate containers ([[graft.functions.MediaGen]]) from
+  * deterministic per-document parameters, so the DuckDB oracle can compute
+  * the expected parse results independently — the oracle checks that the
+  * kernel actually recovered the fields from the bytes. Pixel/sample
+  * DECODING (a JNI codec or Python stage) remains out of scope in this
+  * container; header metadata extraction is the 100-TB probe stage that
+  * precedes it.
   */
 object MultimodalQueries {
 
@@ -36,11 +43,9 @@ object MultimodalQueries {
       n_sampled: Long,
       fingerprint: Long)
 
-  /** The stub decode kernel: the ONE seam where a real codec (JNI ffmpeg,
-    * a Python `mapInPandas` stage, …) plugs in. Deterministic fake: "frames"
-    * are 64-byte payload chunks, frame-sampling keeps every 4th, the
-    * "embedding-ish" fingerprint is the 60-bit content hash. Batched
-    * signature (many rows in, many rows out) exactly like an Arrow batch UDF.
+  /** Legacy batch shape retained for the feature-digest query: "frames" as
+    * fixed-size payload chunks and a content-hash fingerprint, the
+    * byte-level features `multimodalFeatures` proves against DuckDB.
     */
   object DecodeStub {
     val FrameBytes = 64
@@ -50,12 +55,106 @@ object MultimodalQueries {
       val nBytes = m.payload.length.toLong
       val nFrames = (nBytes + FrameBytes - 1) / FrameBytes
       val nSampled = (nFrames + SampleEvery - 1) / SampleEvery
-      // STUB: a real decoder hashes decoded pixels/samples; this hashes the
-      // raw payload (deterministic + cross-engine reproducible).
       val fp = graft.functions.Hash60(new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
       MediaFeatures(m.doc_id, m.media_type, nBytes, nFrames, nSampled, fp)
     }
   }
+
+  /** A binary media object as it would arrive from a lake table. */
+  final case class MediaObject(doc_id: Long, payload: Array[Byte])
+
+  /** Header metadata the real kernel extracts: images fill
+    * (width, height, n_frames); audio fills (sample_rate, channels,
+    * duration_micros); a corrupt payload maps to format "unknown" (the
+    * quarantine lane) instead of failing the scan.
+    */
+  final case class MediaMeta(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      sample_rate: Int,
+      channels: Int,
+      duration_micros: Long)
+
+  /** Synthesize header-accurate media payloads from deterministic
+    * per-document parameters: src1→PNG, src2→JPEG, src3→GIF (frame count
+    * doc_id%10+1), everything else→WAV (rate 8000+4000·(doc_id%8),
+    * doc_id%2+1 channels, 16-bit, data size = the text's UTF-8 byte count).
+    * The oracle recomputes these parameters in SQL; the kernel must recover
+    * them FROM THE BYTES.
+    */
+  def mediaObjects(s: SparkSession, dir: String): Dataset[MediaObject] = {
+    import s.implicits._
+    import graft.functions.MediaGen
+    Tables.documents(s, dir).select("doc_id", "text", "source")
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, source) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = (id % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          val payload = source match {
+            case "src1" => MediaGen.png(w, h, bytes)
+            case "src2" => MediaGen.jpeg(w, h)
+            case "src3" => MediaGen.gif(w, h, (id % 10 + 1).toInt)
+            case _ => MediaGen.wav((8000 + (id % 8) * 4000).toInt, (id % 2 + 1).toInt, 16, bytes.length.toLong)
+          }
+          MediaObject(id, payload)
+        }
+      }
+  }
+
+  /** The REAL batched decode kernel: per batch, sniff each payload's
+    * container by magic number and parse its header fields byte-by-byte
+    * ([[graft.functions.MediaHeaders]]). No shuffle — decode parallelism ==
+    * scan parallelism; malformed payloads land in format "unknown".
+    */
+  def decodeMetadata(s: SparkSession, dir: String, batchSize: Int = 256): Dataset[MediaMeta] = {
+    import s.implicits._
+    mediaObjects(s, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(parseOne))
+    }
+  }
+
+  private def parseOne(m: MediaObject): MediaMeta = {
+    import graft.functions.MediaHeaders
+    MediaHeaders.detect(m.payload) match {
+      case Some("wav") =>
+        MediaHeaders.parseWav(m.payload) match {
+          case Some(a) =>
+            MediaMeta(m.doc_id, a.format, 0, 0, 0, a.sampleRate, a.channels, a.durationMicros)
+          case None => unknown(m.doc_id)
+        }
+      case Some(_) =>
+        MediaHeaders.parseImage(m.payload) match {
+          case Some(i) => MediaMeta(m.doc_id, i.format, i.width, i.height, i.frames, 0, 0, 0L)
+          case None => unknown(m.doc_id)
+        }
+      case None => unknown(m.doc_id)
+    }
+  }
+
+  private def unknown(docId: Long): MediaMeta = MediaMeta(docId, "unknown", 0, 0, 0, 0, 0, 0L)
+
+  /** Oracle-checked per-format digest of the PARSED header fields — passing
+    * means the kernel recovered dimensions, frame counts, sample rates, and
+    * durations from the binary payloads that the oracle derived from the
+    * generation parameters.
+    */
+  def mediaMetadata(s: SparkSession, dir: String): DataFrame =
+    decodeMetadata(s, dir)
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("width").as("sum_width"),
+        sum("height").as("sum_height"),
+        sum("n_frames").as("sum_frames"),
+        sum("sample_rate").as("sum_rate"),
+        sum("channels").as("sum_channels"),
+        sum("duration_micros").as("sum_duration_micros"))
+      .orderBy("format")
 
   /** The media table: documents dressed as media objects — payload is the
     * UTF-8 byte form of the text (deterministic), media_type derives from
