@@ -1,0 +1,83 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryProgress
+
+/** Metrics parity with the reference's gauge/counter set
+  * (`internal/metric/metric.go:16-38,100-125`), mapped onto the two Spark
+  * surfaces an ops team actually watches:
+  *
+  *  - DRIVER gauges ride [[org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics]]
+  *    on the micro-batch stream and surface per-trigger in
+  *    `StreamingQueryProgress.sources[].metrics`: committed-txn backlog
+  *    (txns/bytes), confirmed LSN, cumulative delivered txns, open streamed
+  *    txns, and `cdcLatencyMs` = now − last frame's server send time — the
+  *    reference's `cdc_latency` (`stream.go:412`).
+  *  - EXECUTOR counters are DataSource V2 custom task metrics, summed by
+  *    Spark across tasks into the SQL metrics UI: events decoded,
+  *    heartbeats suppressed (P5), and streamed events spilled to disk.
+  */
+object GraftMetrics {
+
+  final class EventsDecodedMetric extends CustomSumMetric {
+    override def name(): String = "eventsDecoded"
+    override def description(): String = "change events decoded on executors"
+  }
+  final class HeartbeatsSuppressedMetric extends CustomSumMetric {
+    override def name(): String = "heartbeatsSuppressed"
+    override def description(): String = "heartbeat events suppressed (P5)"
+  }
+  final class StreamEventsSpilledMetric extends CustomSumMetric {
+    override def name(): String = "streamEventsSpilled"
+    override def description(): String = "streamed-txn events spilled to local disk"
+  }
+
+  val supported: Array[CustomMetric] =
+    Array(new EventsDecodedMetric, new HeartbeatsSuppressedMetric, new StreamEventsSpilledMetric)
+
+  private final case class TaskMetric(metricName: String, metricValue: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
+
+  def taskMetrics(eventsDecoded: Long, heartbeatsSuppressed: Long, spilled: Long): Array[CustomTaskMetric] =
+    Array(
+      TaskMetric("eventsDecoded", eventsDecoded),
+      TaskMetric("heartbeatsSuppressed", heartbeatsSuppressed),
+      TaskMetric("streamEventsSpilled", spilled))
+}
+
+/** Aggregating [[StreamingQueryListener]]: retains the latest progress and
+  * cumulative input-row count, and exposes the pgcdc source's gauge map —
+  * the hook an ops integration (StatsD, Prometheus bridge, log shipper)
+  * attaches via `spark.streams.addListener`.
+  */
+final class GraftMetricsListener extends StreamingQueryListener {
+  @volatile private var last: StreamingQueryProgress = null
+  private val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    last = event.progress
+    inputRows.addAndGet(event.progress.numInputRows)
+    batches.incrementAndGet()
+    ()
+  }
+  override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  def lastProgress: Option[StreamingQueryProgress] = Option(last)
+  def totalInputRows: Long = inputRows.get()
+  def batchCount: Long = batches.get()
+
+  /** The pgcdc gauge map from the most recent progress (empty before the
+    * first trigger).
+    */
+  def sourceMetrics: Map[String, String] =
+    Option(last).flatMap(_.sources.headOption)
+      .flatMap(s => Option(s.metrics))
+      .map(_.asScala.toMap)
+      .getOrElse(Map.empty)
+}

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,6 +82,7 @@ class PgCdcTable extends Table with SupportsRead {
         override def readSchema(): StructType = ChangeEvent.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new PgCdcMicroBatchStream(options)
+        override def supportedCustomMetrics(): Array[CustomMetric] = GraftMetrics.supported
       }
     }
 }
@@ -115,7 +117,7 @@ private[streaming] final case class TxnGroup(
     relPreamble: Seq[Array[Byte]])
 
 class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
 
   private val maxFramesPerPartition =
     math.max(1, options.getInt("maxFramesPerPartition", 8192))
@@ -182,6 +184,27 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   /** Test/metrics visibility into the committed backlog. */
   private[streaming] def backlogTxns: Int = buffer.size
   private[streaming] def backlogBytes: Long = bufferedBytes
+
+  // Gauges for ReportsSourceMetrics: cumulative delivered txns and the send
+  // timestamp of the newest frame seen (pg epoch → unix µs), from which
+  // cdcLatencyMs = now − serverTime — the reference's `cdc_latency`
+  // (`internal/metric/metric.go:100-125`, `stream.go:412`).
+  private var txnsDelivered = 0L
+  private var lastServerTimeMicros = 0L
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("backlogTxns", buffer.size.toString)
+    m.put("backlogBytes", bufferedBytes.toString)
+    m.put("confirmedLsn", Lsn.format(wal.confirmedLsn))
+    m.put("txnsDelivered", txnsDelivered.toString)
+    m.put("openStreamedTxns", openStreamed.size.toString)
+    m.put("bufferedStreamFrames", bufferedStreamFrames.toString)
+    if (lastServerTimeMicros > 0L)
+      m.put("cdcLatencyMs",
+        math.max(0L, System.currentTimeMillis() - lastServerTimeMicros / 1000L).toString)
+    m
+  }
   private var floorLsn = startLsn
   private var opened = false
 
@@ -236,6 +259,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
       val raw = f.get
       val p = 25 // 'w' + walStart(8) + walEnd(8) + serverTime(8)
       if (raw.nonEmpty && raw(0) == graft.pgproto.WalFrames.TagXLogData && raw.length > p) {
+        lastServerTimeMicros = graft.pgproto.PgEpoch.toUnixMicros(readU64(raw, 17))
         raw(p) match {
           case 'B' =>
             curTxn += raw
@@ -289,6 +313,8 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
         // T6 liveness: reply with the confirmed position when the server asks
         // (replyRequested byte after walEnd(8)+serverTime(8) — reference
         // `stream.go:368-377`); keepalives carry no events.
+        if (raw.length >= 17)
+          lastServerTimeMicros = graft.pgproto.PgEpoch.toUnixMicros(readU64(raw, 9))
         if (raw.length > 17 && raw(17) != 0)
           wal.sendStatusUpdate(graft.pgproto.WalFrames.encodeStandbyStatusUpdate(
             wal.confirmedLsn, System.currentTimeMillis() * 1000L))
@@ -396,6 +422,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     }
     buffer.remove(0, n.toInt)
     baseSeq = e
+    txnsDelivered += n
   }
 
   override def stop(): Unit = wal.close()
@@ -416,9 +443,17 @@ object PgCdcReaderFactory extends PartitionReaderFactory {
       private val events: Iterator[ChangeEvent] =
         p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))
       private var cur: ChangeEvent = null
+      private var decoded = 0L
+      private var maxSpilled = 0L
       override def next(): Boolean =
-        if (events.hasNext) { cur = events.next(); true } else false
+        if (events.hasNext) {
+          cur = events.next(); decoded += 1
+          maxSpilled = math.max(maxSpilled, assembler.spilledStreamEvents)
+          true
+        } else false
       override def get(): InternalRow = toInternalRow(cur)
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        GraftMetrics.taskMetrics(decoded, assembler.heartbeatsSuppressed, maxSpilled)
       // Releases any open streamed buffers + spill files on task end.
       override def close(): Unit = assembler.close()
     }

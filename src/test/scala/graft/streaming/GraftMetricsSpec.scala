@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.SparkTestBase
+import graft.tools.{WalFile, WalGen}
+
+/** Metrics parity: driver gauges through ReportsSourceMetrics and the
+  * listener, executor counters through custom task metrics — the spec the
+  * round-3 review asked for ("counters advance through a micro-batch run").
+  */
+class GraftMetricsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("source gauges advance across pump/commit") {
+    val wal = Files.createTempFile("wal-metrics", ".bin").toString
+    WalFile.write(wal, WalGen.frames(4, 2))
+    val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", wal)))
+    val o0 = s.initialOffset().asInstanceOf[CdcOffset]
+    val end = s.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+
+    val before = s.metrics(java.util.Optional.empty())
+    assert(before.get("backlogTxns").toInt == 4)
+    assert(before.get("backlogBytes").toLong > 0L)
+    assert(before.get("txnsDelivered").toLong == 0L)
+    assert(before.get("cdcLatencyMs") != null, "frame server time seen -> latency gauge present")
+
+    s.planInputPartitions(o0, end)
+    s.commit(end)
+    val after = s.metrics(java.util.Optional.empty())
+    assert(after.get("backlogTxns").toInt == 0, "commit trims the backlog")
+    assert(after.get("backlogBytes").toLong == 0L)
+    assert(after.get("txnsDelivered").toLong == 4L, "cumulative delivered counter advances")
+    assert(graft.pgproto.Lsn.parse(after.get("confirmedLsn")) > 0L, "ack advanced the confirmed LSN")
+    s.stop()
+  }
+
+  test("listener observes progress and the pgcdc gauge map through a real query") {
+    val wal = Files.createTempFile("wal-listener", ".bin").toString
+    WalFile.write(wal, WalGen.frames(5, 3))
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.format("pgcdc")
+        .option("path", wal)
+        .load()
+        .writeStream.format("memory").queryName("metrics_sink").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.totalInputRows < 15L && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(listener.totalInputRows == 15L,
+        s"listener must see all 15 rows, saw ${listener.totalInputRows}")
+      assert(listener.batchCount >= 1L)
+      val gauges = listener.sourceMetrics
+      assert(gauges.contains("txnsDelivered") && gauges.contains("backlogTxns"),
+        s"pgcdc gauges must surface in progress, got $gauges")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("executor task metrics count decoded events and suppressed heartbeats") {
+    import graft.pgproto.{Messages, MessageEncoder}
+    val relOid = 16600L
+    val hbOid = 16601L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    val T0 = 1700000000000000L
+    val frames = Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "t", cols)),
+      MessageEncoder.xlogData(2, 2, T0, MessageEncoder.relation(hbOid, "graft", "heartbeat", cols)),
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(106, T0, 7)),
+      MessageEncoder.xlogData(101, 101, T0, MessageEncoder.insert(relOid, Seq(Some("1")))),
+      MessageEncoder.xlogData(102, 102, T0, MessageEncoder.insert(hbOid, Seq(Some("9")))),
+      MessageEncoder.xlogData(103, 103, T0, MessageEncoder.insert(relOid, Seq(Some("2")))),
+      MessageEncoder.xlogData(105, 105, T0, MessageEncoder.commit(105, 106, T0)))
+    val part = PgCdcInputPartition(
+      Array(frames.head, frames(1)), Array(frames.drop(2).toArray),
+      heartbeat = Some(("graft", "heartbeat")))
+    val r = PgCdcReaderFactory.createReader(part)
+    var n = 0
+    while (r.next()) n += 1
+    assert(n == 2, "heartbeat row suppressed from output")
+    val m = r.currentMetricsValues().map(tm => tm.name() -> tm.value()).toMap
+    assert(m("eventsDecoded") == 2L)
+    assert(m("heartbeatsSuppressed") == 1L)
+    assert(m("streamEventsSpilled") == 0L)
+    r.close()
+  }
+}
