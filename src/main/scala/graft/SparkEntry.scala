@@ -444,7 +444,7 @@ object SparkEntry {
              SELECT tp.range AS p, ti.range AS i,
                (CAST(('0x' || substr(md5(tp.range::VARCHAR || '_' || ti.range::VARCHAR), 1, 15))
                   AS BIGINT) / 576460752303423488.0) - 1.0 AS w
-             FROM range(16) tp, range(64) ti)
+             FROM range(240) tp, range(64) ti)
            GROUP BY p),
          vecs AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -455,14 +455,26 @@ object SparkEntry {
              CASE WHEN list_dot_product(v, wv) >= 0 THEN 1 ELSE 0 END AS bit
            FROM vecs, planes),
          buckets AS (
-           SELECT vec_id, p // 8 AS band,
-             CAST(sum(bit * CAST(power(2, p % 8) AS BIGINT)) AS BIGINT) AS bucket
+           SELECT vec_id, p // 12 AS band,
+             CAST(sum(bit * CAST(power(2, p % 12) AS BIGINT)) AS BIGINT) AS bucket
            FROM bits GROUP BY 1, 2),
+         flips AS (
+           -- multi-probe radius 2: identity, every 1-bit, every 2-bit flip
+           SELECT 0::BIGINT AS f
+           UNION ALL
+           SELECT CAST(power(2, a.range) AS BIGINT) FROM range(12) a
+           UNION ALL
+           SELECT CAST(power(2, a.range) + power(2, b.range) AS BIGINT)
+           FROM range(12) a, range(12) b WHERE a.range < b.range),
+         qprobes AS (
+           SELECT qb.vec_id, qb.band, xor(qb.bucket, fl.f) AS bucket
+           FROM buckets qb, flips fl
+           WHERE qb.vec_id % 41 = 0),
          cand AS (
            SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
-           FROM buckets qb JOIN buckets vb
+           FROM qprobes qb JOIN buckets vb
              ON qb.band = vb.band AND qb.bucket = vb.bucket
-           WHERE qb.vec_id % 41 = 0 AND vb.vec_id <> qb.vec_id),
+           WHERE vb.vec_id <> qb.vec_id),
          sims AS (
            SELECT c.qid, c.nid,
              list_dot_product(qv.v, nv.v) / (qv.norm * nv.norm) AS sim
