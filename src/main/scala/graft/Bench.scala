@@ -5,6 +5,10 @@ import org.apache.spark.sql.SparkSession
   * JSON line the driver parses. Methodology:
   *  - a warm-up pass at sf0.001 first, so JVM/codegen startup isn't billed to
   *    whichever query happens to run first;
+  *  - the timed action is a `noop`-format write, which materializes EVERY
+  *    column of every row — `count()` let Catalyst prune projection-shaped
+  *    queries down to a scan of zero columns (q_column_projection and
+  *    q_top_parts were measuring nothing);
   *  - failures are recorded per-query and fail the run (nonzero exit) — a
   *    throwing query must never read as a fast success.
   */
@@ -26,13 +30,14 @@ object Bench {
     // parquet footer caches). Warm-up failures are ignored — the timed pass
     // reports them.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
