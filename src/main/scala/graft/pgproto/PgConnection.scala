@@ -1,0 +1,112 @@
+package graft.pgproto
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+
+/** A connected, authenticated PostgreSQL frontend connection speaking the
+  * simple-query protocol — the shared wire layer under both the replication
+  * client ([[graft.streaming.SocketWalSource]]) and the service-side SQL
+  * seam ([[executor]]). Handshake: startup (optionally
+  * `replication=database`), AuthenticationOk or cleartext password, then
+  * parameter/key messages until ReadyForQuery (public protocol docs
+  * "Message Flow → Start-up"; the reference's pgx dependency does the same
+  * under `pq/connector.go`).
+  */
+final class PgConnection(
+    host: String,
+    port: Int,
+    user: String,
+    database: String,
+    password: Option[String] = None,
+    replication: Boolean = false,
+    applicationName: String = "graft") extends AutoCloseable {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+  val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+  handshake()
+
+  private def handshake(): Unit = {
+    val params = Seq("user" -> user, "database" -> database,
+      "application_name" -> applicationName) ++
+      (if (replication) Seq("replication" -> "database") else Nil)
+    PgWire.writeStartup(out, params)
+    var ready = false
+    while (!ready) {
+      val m = PgWire.readMessage(in)
+      m.tag match {
+        case PgWire.Tag.Authentication =>
+          PgWire.authCode(m.payload) match {
+            case 0 => // AuthenticationOk
+            case 3 =>
+              val pw = password.getOrElse(throw new IllegalStateException(
+                "pg: server requires a password, none configured"))
+              PgWire.writeMessage(out, PgWire.Tag.PasswordMessage, PgWire.queryPayload(pw))
+            case other =>
+              throw new IllegalStateException(s"pg: unsupported authentication method $other")
+          }
+        case PgWire.Tag.ParameterStatus | PgWire.Tag.BackendKeyData | PgWire.Tag.NoticeResponse =>
+        case PgWire.Tag.ReadyForQuery => ready = true
+        case PgWire.Tag.ErrorResponse => throw PgConnection.serverError("startup", m.payload)
+        case other =>
+          throw new IllegalStateException(s"pg: unexpected message '${other.toChar}' during startup")
+      }
+    }
+  }
+
+  /** Simple-query execution: text-format rows, null for SQL NULL — the same
+    * result shape as [[graft.snapshot.CatalogReader.SqlExecutor]]. A server
+    * error surfaces as [[java.sql.SQLException]] carrying the SQLSTATE, so
+    * [[graft.services.RetryingExecutor]] can classify it.
+    */
+  def simpleQuery(sql: String): Seq[Seq[String]] = synchronized {
+    PgWire.writeMessage(out, PgWire.Tag.Query, PgWire.queryPayload(sql))
+    val rows = Seq.newBuilder[Seq[String]]
+    var err: java.sql.SQLException = null
+    var ready = false
+    while (!ready) {
+      val m = PgWire.readMessage(in)
+      m.tag match {
+        case PgWire.Tag.DataRow =>
+          rows += PgWire.parseDataRow(m.payload).map(_.orNull)
+        case PgWire.Tag.RowDescription | PgWire.Tag.CommandComplete |
+            PgWire.Tag.NoticeResponse | PgWire.Tag.ParameterStatus =>
+        case PgWire.Tag.ReadyForQuery => ready = true
+        case PgWire.Tag.ErrorResponse =>
+          val f = PgWire.errorFields(m.payload)
+          err = new java.sql.SQLException(
+            f.getOrElse('M', "server error"), f.getOrElse('C', null))
+        case other =>
+          throw new IllegalStateException(s"pg: unexpected message '${other.toChar}' in query")
+      }
+    }
+    if (err != null) throw err
+    rows.result()
+  }
+
+  /** The wire binding of the service-layer SQL seam — compose with
+    * `RetryingExecutor.wrap` for the transient-failure policy.
+    */
+  def executor: String => Seq[Seq[String]] = simpleQuery _
+
+  def isClosed: Boolean = socket.isClosed
+
+  override def close(): Unit = {
+    if (!socket.isClosed) {
+      try PgWire.writeMessage(out, PgWire.Tag.Terminate, Array.emptyByteArray)
+      catch { case _: java.io.IOException => () }
+      try socket.close() catch { case _: java.io.IOException => () }
+    }
+  }
+}
+
+object PgConnection {
+  def serverError(phase: String, payload: Array[Byte]): IllegalStateException = {
+    val f = PgWire.errorFields(payload)
+    new IllegalStateException(
+      s"pg: server error during $phase: ${f.getOrElse('S', "ERROR")} " +
+        s"${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "(no message)")}")
+  }
+}

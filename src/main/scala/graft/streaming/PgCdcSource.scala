@@ -237,6 +237,52 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     v
   }
 
+  // Transport recovery: a dead feed (socket EOF/error) re-opens with capped
+  // exponential backoff. The resume point is the last COMPLETED txn group's
+  // end LSN (not the last raw frame): whole transactions committing after it
+  // replay, so the partial-group state below is dropped and rebuilt — no
+  // duplicate, no loss. The transport layer cannot do this itself because it
+  // cannot see (or reset) the grouping state.
+  private val maxReconnectAttempts = options.getInt("maxReconnectAttempts", 5)
+  private val reconnectBackoffMs = options.getLong("reconnectBackoffMs", 100L)
+
+  private def recoverFeed(attempt: Int, cause: Throwable): Unit = {
+    if (attempt > maxReconnectAttempts)
+      throw new IllegalStateException(
+        s"pgcdc: feed failed and $maxReconnectAttempts reconnect attempts exhausted", cause)
+    Thread.sleep(reconnectBackoffMs * (1L << math.min(attempt - 1, 6)))
+    curTxn = mutable.ArrayBuffer.empty
+    openStreamed.clear()
+    bufferedStreamFrames = 0
+    openStreamXid = -1L
+    val resumeLsn = if (buffer.nonEmpty) buffer.last.endLsn else floorLsn
+    wal.open(resumeLsn) // throws → the next attempt backs off longer
+  }
+
+  /** wal.poll() with reconnect-on-failure; also treats an unexpectedly dead
+    * feed (None + unhealthy) as a failure.
+    */
+  private def pollRecovering(): Option[Array[Byte]] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val r = wal.poll()
+        if (r.isEmpty && !wal.healthy)
+          throw new IllegalStateException("pgcdc: feed ended unexpectedly")
+        return r
+      } catch {
+        case e: Throwable if attempt < maxReconnectAttempts =>
+          attempt += 1
+          try recoverFeed(attempt, e)
+          catch { case _: Throwable if attempt < maxReconnectAttempts => () }
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"pgcdc: feed failed and $maxReconnectAttempts reconnect attempts exhausted", e)
+      }
+    }
+    None // unreachable
+  }
+
   private def addGroup(frames: Array[Array[Byte]], endLsn: Long): Unit = {
     buffer += TxnGroup(frames, endLsn, relCache.values.toSeq)
     var i = 0
@@ -254,7 +300,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private def pump(needSeq: Long = -1L): Unit = {
     def mustGrow = needSeq >= 0 && baseSeq + buffer.size < needSeq
     def belowCap = buffer.size < maxBufferedTxns && bufferedBytes < maxBufferedBytes
-    var f = if (mustGrow || belowCap) wal.poll() else None
+    var f = if (mustGrow || belowCap) pollRecovering() else None
     while (f.isDefined) {
       val raw = f.get
       val p = 25 // 'w' + walStart(8) + walEnd(8) + serverTime(8)
@@ -316,10 +362,11 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
         if (raw.length >= 17)
           lastServerTimeMicros = graft.pgproto.PgEpoch.toUnixMicros(readU64(raw, 9))
         if (raw.length > 17 && raw(17) != 0)
-          wal.sendStatusUpdate(graft.pgproto.WalFrames.encodeStandbyStatusUpdate(
+          try wal.sendStatusUpdate(graft.pgproto.WalFrames.encodeStandbyStatusUpdate(
             wal.confirmedLsn, System.currentTimeMillis() * 1000L))
+          catch { case _: java.io.IOException => () } // reply is best-effort
       }
-      f = if (mustGrow || belowCap) wal.poll() else None
+      f = if (mustGrow || belowCap) pollRecovering() else None
     }
   }
 

@@ -25,6 +25,12 @@ trait WalSource extends AutoCloseable {
   /** Next raw CopyData payload, or None when currently exhausted. */
   def poll(): Option[Array[Byte]]
 
+  /** False when the feed died unexpectedly (socket EOF/error) — the
+    * consumer's cue to re-open from a safe resume point. A file/in-memory
+    * feed running dry is a NORMAL end, not ill health.
+    */
+  def healthy: Boolean = true
+
   /** Acknowledge progress — the analogue of the standby status update
     * (`'r'` frame, reference `stream.go:735-751`). Must be monotonic.
     */

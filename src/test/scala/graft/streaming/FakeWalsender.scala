@@ -18,7 +18,18 @@ final class FakeWalsender(
     requirePassword: Option[String] = None,
     systemId: String = "7000000000000000001",
     timeline: Int = 1,
-    xLogPos: Long = 0x1000L) {
+    xLogPos: Long = 0x1000L,
+    /** When ≥ 0: the FIRST replication stream is cut (socket closed
+      * abruptly) after this many frames — the reconnect fault injection.
+      */
+    dropAfterFrames: Int = -1,
+    /** Generic simple-query handler: sql → Some((colNames, rows)) to serve
+      * a result, None → ErrorResponse. Lets the same server back the
+      * service-layer SQL executor.
+      */
+    sqlResults: String => Option[(Seq[String], Seq[Seq[Option[String]]])] = _ => None) {
+
+  private val dropArmed = new java.util.concurrent.atomic.AtomicBoolean(dropAfterFrames >= 0)
 
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
@@ -94,15 +105,35 @@ final class FakeWalsender(
             PgWire.writeMessage(out, PgWire.Tag.CopyBothResponse, PgWire.CopyBothAllText)
             // Same replay semantics as a slot restart point: whole txns
             // committing after the confirmed LSN, relations always.
-            ResumeFilter(frames.iterator, fromLsn).foreach { f =>
-              PgWire.writeMessage(out, PgWire.Tag.CopyData, f)
+            val drop = dropArmed.getAndSet(false)
+            var sent = 0
+            val it = ResumeFilter(frames.iterator, fromLsn)
+            var cut = false
+            while (it.hasNext && !cut) {
+              if (drop && sent >= dropAfterFrames) {
+                sock.close() // abrupt: no CopyDone, no Terminate
+                cut = true
+              } else {
+                PgWire.writeMessage(out, PgWire.Tag.CopyData, it.next())
+                sent += 1
+              }
             }
+            if (cut) return
             // Stay in CopyBoth afterwards, consuming client CopyData
             // (status updates) until the client terminates.
-          } else {
-            PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
-              PgWire.errorPayload("ERROR", "42601", s"unsupported: $sql"))
-            PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+          } else sqlResults(sql) match {
+            case Some((cols, rows)) =>
+              PgWire.writeMessage(out, PgWire.Tag.RowDescription,
+                PgWire.rowDescriptionPayload(cols))
+              rows.foreach(r => PgWire.writeMessage(out, PgWire.Tag.DataRow,
+                PgWire.dataRowPayload(r)))
+              PgWire.writeMessage(out, PgWire.Tag.CommandComplete,
+                PgWire.queryPayload(s"SELECT ${rows.size}"))
+              PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+            case None =>
+              PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+                PgWire.errorPayload("ERROR", "42601", s"unsupported: $sql"))
+              PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
           }
         case PgWire.Tag.CopyData =>
           statusUpdates.synchronized { statusUpdates += m.payload }

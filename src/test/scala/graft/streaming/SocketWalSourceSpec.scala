@@ -113,6 +113,63 @@ class SocketWalSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("a dropped connection reconnects with backoff and resumes exactly-once") {
+    // 6 txns x 2 rows; the server cuts the FIRST stream after 7 frames —
+    // txn 1 complete (relation + 4 frames), txn 2 torn mid-transaction.
+    val frames = WalGen.frames(6, 2).toSeq
+    val server = new FakeWalsender(frames, dropAfterFrames = 7)
+    try {
+      val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(java.util.Map.of(
+        "host", "127.0.0.1", "port", server.port.toString,
+        "slot", "s1", "publication", "p1",
+        "reconnectBackoffMs", "10")))
+      val o0 = s.initialOffset().asInstanceOf[CdcOffset]
+      var end = o0
+      awaitTrue("all 6 txns pumped across the reconnect") {
+        end = s.latestOffset(end, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+        end.seq == 6L
+      }
+      assert(rowIds(s, o0, end) == (1L to 12L), "no duplicate, no loss across the drop")
+      s.commit(end)
+      s.stop()
+      // The reconnect resumed from the last COMPLETED txn's end LSN (104 =
+      // 0/68) — the torn txn 2 replays whole, its partial frames discarded.
+      val starts = server.queries.synchronized {
+        server.queries.filter(_.startsWith("START_REPLICATION")).toSeq
+      }
+      assert(starts.size == 2, s"expected one reconnect, got $starts")
+      assert(starts(1).contains("LOGICAL 0/68"), s"resume point wrong: ${starts(1)}")
+    } finally server.close()
+  }
+
+  test("service SQL over the wire: CatalogReader through PgConnection.executor") {
+    import graft.pgproto.PgConnection
+    import graft.snapshot.CatalogReader
+    import graft.services.RetryingExecutor
+    val server = new FakeWalsender(Nil, sqlResults = sql => {
+      val q = sql.replaceAll("\\s+", " ")
+      if (q.contains("indisprimary"))
+        Some((Seq("attname", "format_type"), Seq(Seq(Some("id"), Some("bigint")))))
+      else if (q.contains("MIN(")) Some((Seq("mn", "mx"), Seq(Seq(Some("1"), Some("100")))))
+      else if (q.contains("COUNT(*)")) Some((Seq("count"), Seq(Seq(Some("100")))))
+      else if (q.contains("pg_relation_size")) Some((Seq("pages"), Seq(Seq(Some("8")))))
+      else if (q.contains("reltuples")) Some((Seq("reltuples"), Seq(Seq(Some("100")))))
+      else None
+    })
+    val conn = new PgConnection("127.0.0.1", server.port, "svc", "db")
+    try {
+      val exec = RetryingExecutor.wrap(conn.executor, sleep = _ => ())
+      val stats = new CatalogReader(exec).tableStats("public", "orders")
+      assert(stats.rowCount == 100L)
+      assert(stats.intPkColumn.contains("id") && stats.pkMin == 1L && stats.pkMax == 100L)
+      // a server error carries its SQLSTATE so the retry taxonomy can classify
+      val ex = intercept[java.sql.SQLException] { conn.simpleQuery("SELECT nope") }
+      assert(ex.getSQLState == "42601")
+      // the connection survives the error (ReadyForQuery resynced)
+      assert(conn.simpleQuery("SELECT COUNT(*) FROM x") == Seq(Seq("100")))
+    } finally { conn.close(); server.close() }
+  }
+
   test("cleartext password auth: right password connects, wrong one fails loudly") {
     val server = new FakeWalsender(WalGen.frames(1, 1).toSeq, requirePassword = Some("sekret"))
     try {
