@@ -48,15 +48,26 @@ final case class GraftConfig(
   /** JDBC form of [[dsn]] for `SnapshotReader.jdbc` / `CatalogReader`. */
   def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
 
-  /** Options for `spark.readStream.format("pgcdc").options(...)`. The
-    * `startLsn` is supplied after the snapshot completes
-    * (`SnapshotOrchestrator.streamStartLsn`).
+  /** Options for `spark.readStream.format("pgcdc").options(...)` — a
+    * complete binding: host/port/slot/publication select the walsender
+    * socket source ([[graft.streaming.SocketWalSource]]), so
+    * `spark.readStream.format("pgcdc").options(cfg.sourceOptions()).load()`
+    * works with nothing else supplied. The `startLsn` is supplied after the
+    * snapshot completes (`SnapshotOrchestrator.streamStartLsn`).
     */
   def sourceOptions(startLsn: Option[Long] = None): Map[String, String] =
     Map(
+      "host" -> host,
+      "port" -> port.toString,
+      "slot" -> slotName,
+      "publication" -> publication.name,
+      "protoVersion" -> protoVersion.toString,
       "heartbeatSchema" -> heartbeatSchema,
       "heartbeatTable" -> heartbeatTable,
       "maxFramesPerPartition" -> maxFramesPerPartition.toString) ++
+      (if (username.nonEmpty) Map("user" -> username) else Map.empty) ++
+      (if (password.nonEmpty) Map("password" -> password) else Map.empty) ++
+      (if (database.nonEmpty) Map("database" -> database) else Map.empty) ++
       (if (maxTxnsPerTrigger != Long.MaxValue)
         Map("maxTxnsPerTrigger" -> maxTxnsPerTrigger.toString) else Map.empty) ++
       startLsn.map(l => "startLsn" -> l.toString)

@@ -32,6 +32,17 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(!cfg.sourceOptions(None).contains("startLsn"))
   }
 
+  test("source options carry the complete walsender socket binding") {
+    val opts = cfg.sourceOptions()
+    assert(opts("host") == "db.internal" && opts("port") == "5433")
+    assert(opts("slot") == "graft_slot" && opts("publication") == "graft_pub")
+    assert(opts("user") == "cdc user" && opts("password") == "p@ss/w")
+    assert(opts("database") == "appdb" && opts("protoVersion") == "2")
+    // empty credentials are omitted rather than sent as empty strings
+    val anon = cfg.copy(username = "", password = "", database = "").sourceOptions()
+    assert(!anon.contains("user") && !anon.contains("password") && !anon.contains("database"))
+  }
+
   test("START_REPLICATION assembles reference-shaped plugin arguments") {
     assert(cfg.startReplicationSql(0xAB00L) ==
       "START_REPLICATION SLOT graft_slot LOGICAL 0/AB00 " +

@@ -170,6 +170,32 @@ class SocketWalSourceSpec extends AnyFunSuite {
     } finally { conn.close(); server.close() }
   }
 
+  test("GraftConfig.sourceOptions alone binds the full readStream socket path") {
+    val frames = WalGen.frames(2, 3).toSeq
+    val server = new FakeWalsender(frames)
+    try {
+      val cfg = graft.GraftConfig(
+        host = "127.0.0.1", port = server.port,
+        username = "u", database = "db",
+        publication = graft.services.Publication.Config(
+          "p1", Seq(graft.services.Publication.PubTable("public", "users"))),
+        slotName = "s1")
+      val q = spark.readStream.format("pgcdc")
+        .options(cfg.sourceOptions())
+        .load()
+        .writeStream.format("memory").queryName("cfg_socket_sink").outputMode("append").start()
+      val deadline = System.currentTimeMillis + 15000
+      while (spark.table("cfg_socket_sink").count() < 6 && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+      q.stop()
+      assert(spark.table("cfg_socket_sink").count() == 6,
+        "the migration-table one-liner must deliver every event")
+      assert(server.startupParams("user") == "u")
+    } finally server.close()
+  }
+
   test("cleartext password auth: right password connects, wrong one fails loudly") {
     val server = new FakeWalsender(WalGen.frames(1, 1).toSeq, requirePassword = Some("sekret"))
     try {
