@@ -54,6 +54,12 @@ import graft.pgproto.Lsn
   *                           driver's committed-but-undelivered backlog
   *                           (default 4096 txns / 256 MiB); polling stops at
   *                           the cap so a socket feed sees TCP backpressure
+  *  - `spillThresholdEvents` / `maxBufferedStreamEvents`  executor-side
+  *                           streamed-txn memory: per-txn in-memory cap
+  *                           before disk spill (default 64k) and the total
+  *                           in-memory fail-fast bound (default 1M)
+  *  - `maxReconnectAttempts` / `reconnectBackoffMs`  transport recovery for
+  *                           a dead feed (defaults 5 / 100 ms, doubling)
   */
 class PgCdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgcdc"
@@ -135,6 +141,14 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = options.get("heartbeatSchema"); val t = options.get("heartbeatTable")
     if (t != null) Some((if (s == null) "public" else s, t)) else None
   }
+
+  // Executor-side assembler tuning, shipped with each partition:
+  // `spillThresholdEvents` = per-streamed-txn in-memory cap before disk
+  // spill; `maxBufferedStreamEvents` = total in-memory fail-fast bound.
+  private val spillThresholdEvents =
+    math.max(1, options.getInt("spillThresholdEvents", 1 << 16))
+  private val maxBufferedStreamEvents =
+    math.max(1, options.getInt("maxBufferedStreamEvents", 1 << 20))
 
   private val wal: WalSource = {
     val hook = Option(options.get("testSourceKey")).flatMap(PgCdcTestHook.get)
@@ -438,7 +452,9 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     val cur = mutable.ArrayBuffer.empty[TxnGroup]
     var frames = 0
     def flush(): Unit = if (cur.nonEmpty) {
-      parts += PgCdcInputPartition(cur.head.relPreamble.toArray, cur.map(_.frames).toArray, heartbeat)
+      parts += PgCdcInputPartition(
+        cur.head.relPreamble.toArray, cur.map(_.frames).toArray, heartbeat,
+        maxBufferedStreamEvents, spillThresholdEvents)
       cur.clear(); frames = 0
     }
     groups.foreach { g =>
@@ -479,13 +495,16 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
 final case class PgCdcInputPartition(
     relPreamble: Array[Array[Byte]],
     txnFrames: Array[Array[Array[Byte]]],
-    heartbeat: Option[(String, String)]) extends InputPartition
+    heartbeat: Option[(String, String)],
+    maxBufferedStreamEvents: Int = 1 << 20,
+    spillThresholdEvents: Int = 1 << 16) extends InputPartition
 
 object PgCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PgCdcInputPartition]
     new PartitionReader[InternalRow] {
-      private val assembler = new TransactionAssembler(p.heartbeat)
+      private val assembler = new TransactionAssembler(
+        p.heartbeat, p.maxBufferedStreamEvents, p.spillThresholdEvents)
       p.relPreamble.foreach(assembler.onCopyData)
       private val events: Iterator[ChangeEvent] =
         p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))

@@ -72,6 +72,30 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq("42"))
   }
 
+  test("spillThresholdEvents option reaches the executor assembler (output unchanged)") {
+    val relOid = 16401L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    val frames = Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "sp", cols)),
+      MessageEncoder.xlogData(10, 10, T0, MessageEncoder.streamStart(960, firstSegment = true))) ++
+      (1 to 10).map(i => MessageEncoder.xlogData(10 + i, 10 + i, T0,
+        MessageEncoder.insert(relOid, Seq(Some(i.toString)), streamedXid = 960))) ++ Seq(
+      MessageEncoder.xlogData(30, 30, T0, MessageEncoder.streamStop()),
+      MessageEncoder.xlogData(31, 31, T0, MessageEncoder.streamCommit(960, 31, 32, T0)))
+
+    PgCdcTestHook.register("spill-opt", new InMemoryWalSource(frames))
+    val q = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "spill-opt")
+      .option("spillThresholdEvents", "2") // force the disk path per 2 events
+      .load()
+      .writeStream.format("memory").queryName("cdc_spill_opt").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("cdc_spill_opt").select(element_at(col("after"), "id").cast("int"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids == (1 to 10), "spilled streamed txn must deliver identically")
+  }
+
   test("relation first sent inside a streamed txn folds into later partitions' preambles") {
     val relOid = 16400L
     val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
