@@ -119,10 +119,16 @@ final class TransactionAssembler(
   private lazy val spillDirPath: Path =
     spillDir.getOrElse(Path.of(System.getProperty("java.io.tmpdir")))
 
+  // Every spill ever created by this assembler, so close() can delete files
+  // whose commit-time read iterator was abandoned before exhaustion (e.g. a
+  // downstream limit) — deletes are idempotent.
+  private val liveSpills = mutable.ArrayBuffer.empty[Spill]
+
   /** Append-once, read-once event spill file (Java serialization with
     * periodic reset so the handle table can't grow unboundedly).
     */
   private final class Spill(dir: Path) {
+    liveSpills += this
     val file: Path = Files.createTempFile(dir, "graft-stream-spill-", ".bin")
     private var out = new ObjectOutputStream(
       new BufferedOutputStream(Files.newOutputStream(file)))
@@ -301,6 +307,8 @@ final class TransactionAssembler(
   override def close(): Unit = {
     streamedTxns.values.foreach(_.discard())
     streamedTxns.clear()
+    liveSpills.foreach(_.delete())
+    liveSpills.clear()
   }
 
   private def relation(oid: Long): Relation =

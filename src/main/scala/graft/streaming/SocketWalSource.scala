@@ -150,7 +150,10 @@ final class SocketWalSource(
   override def confirmedLsn: Long = confirmed
 
   override def sendStatusUpdate(frame: Array[Byte]): Unit = writeLock.synchronized {
-    PgWire.writeMessage(conn.out, PgWire.Tag.CopyData, frame)
+    val c = conn
+    if (c == null || c.isClosed)
+      throw new java.io.IOException("pgcdc: no live connection for status update")
+    PgWire.writeMessage(c.out, PgWire.Tag.CopyData, frame)
   }
 
   override def close(): Unit = {

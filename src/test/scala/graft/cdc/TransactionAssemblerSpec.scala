@@ -283,6 +283,18 @@ class TransactionAssemblerSpec extends AnyFunSuite {
     assert(a.bufferedStreamEvents == 0L && a.spilledStreamEvents == 0L)
   }
 
+  test("close() deletes the spill file of an abandoned commit read iterator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill-abandon")
+    val a = new TransactionAssembler(spillThresholdEvents = 4, spillDir = Some(dir))
+    val frames = streamedTxnFrames(20)
+    frames.init.foreach(f => a.onCopyData(f).foreach(_ => ()))
+    val it = a.onCopyData(frames.last) // commit: lazy, file-backed iterator
+    assert(it.next() != null) // consume one event, abandon the rest
+    assert(spillFiles(dir) == 1L)
+    a.close()
+    assert(spillFiles(dir) == 0L, "abandoned read iterator must not leak its file")
+  }
+
   test("streamed buffer cap fails fast instead of OOM") {
     val a = new TransactionAssembler(maxBufferedStreamEvents = 2)
     a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
