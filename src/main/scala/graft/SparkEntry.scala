@@ -62,6 +62,8 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => TextQueries.textStats(s, d).orderBy("lang")),
     "q_text_quality" -> ((s, d) => TextQueries.textQuality(s, d).orderBy("source")),
     "q_token_count" -> ((s, d) => TextQueries.tokenCount(s, d).orderBy("lang")),
+    "q_lang_id" -> ((s, d) =>
+      TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => DedupQueries.dedupExact(s, d)),
@@ -295,6 +297,34 @@ object SparkEntry {
          CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
            AS sum_bpe_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_lang_id" ->
+      """WITH d AS (
+           SELECT doc_id, lang, lower(text) AS t FROM documents
+           WHERE length(lower(text)) >= 3),
+         tri AS (
+           SELECT doc_id, lang, unnest(
+             list_transform(generate_series(1, length(t) - 2),
+               i -> substr(t, i, 3))) AS g
+           FROM d),
+         doctri AS (SELECT doc_id, lang, g, count(*) AS c FROM tri GROUP BY 1, 2, 3),
+         langtri AS (SELECT lang, g, sum(c) AS n FROM doctri GROUP BY 1, 2),
+         profile AS (
+           SELECT lang AS plang, g, CAST(51 - rk AS BIGINT) AS wt FROM (
+             SELECT lang, g,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+             FROM langtri)
+           WHERE rk <= 50),
+         scores AS (
+           SELECT dt.doc_id, dt.lang, p.plang, sum(dt.c * p.wt) AS score
+           FROM doctri dt JOIN profile p ON dt.g = p.g
+           GROUP BY 1, 2, 3),
+         pred AS (
+           SELECT doc_id, lang, plang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+           FROM scores)
+         SELECT lang AS actual_lang, plang AS predicted_lang,
+           count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS sum_score
+         FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_doc_fingerprint" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
