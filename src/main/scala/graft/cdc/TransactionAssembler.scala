@@ -68,6 +68,15 @@ final class TransactionAssembler(
   /** Events currently spilled to disk for open streamed txns. */
   def spilledStreamEvents: Long = streamedTxns.values.map(_.spilledCount).sum
 
+  private var spilledTotal = 0L
+
+  /** Cumulative events ever written to spill files by this assembler (a
+    * sub-transaction-abort rewrite re-counts the survivors it re-writes) —
+    * O(1), safe to sample from the decode hot path, and still non-zero
+    * after a spilled txn commits and its buffer leaves the open map.
+    */
+  def totalSpilledEvents: Long = spilledTotal
+
   /** Per-XID stream buffer: an in-memory tail plus an optional disk spill
     * holding everything that overflowed `spillThresholdEvents`.
     */
@@ -138,6 +147,7 @@ final class TransactionAssembler(
       events.foreach { e =>
         out.writeObject(e)
         count += 1
+        spilledTotal += 1
         if (count % 1024 == 0) out.reset()
       }
       out.flush()

@@ -137,21 +137,25 @@ object MediaHeaders {
     */
   def parseWav(p: Array[Byte]): Option[AudioMeta] = {
     if (p.length < 12 || ascii(p, 0, 4) != "RIFF" || ascii(p, 8, 4) != "WAVE") return None
-    var i = 12
+    // Long cursor: a chunk size is an UNSIGNED u32 — casting it to Int could
+    // go negative and walk the cursor backwards (infinite loop / OOB crash
+    // on a crafted payload); as a Long the advance is always ≥ 8 forward.
+    var i = 12L
     var rate = 0; var channels = 0; var bits = 0
     var dataBytes = -1L
     var sawFmt = false
     while (i + 8 <= p.length && (dataBytes < 0 || !sawFmt)) {
-      val id = ascii(p, i, 4)
-      val size = u32le(p, i + 4)
+      val at = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+      val id = ascii(p, at, 4)
+      val size = u32le(p, at + 4)
       if (id == "fmt " && i + 24 <= p.length) {
-        channels = u16le(p, i + 10)
-        rate = u32le(p, i + 12).toInt
-        bits = u16le(p, i + 22)
+        channels = u16le(p, at + 10)
+        rate = u32le(p, at + 12).toInt
+        bits = u16le(p, at + 22)
         sawFmt = true
       }
       if (id == "data") dataBytes = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (!sawFmt) None
     else Some(AudioMeta("wav", rate, channels, bits, math.max(0L, dataBytes)))

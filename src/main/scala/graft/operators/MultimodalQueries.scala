@@ -106,16 +106,17 @@ object MultimodalQueries {
       }
   }
 
-  /** The REAL batched decode kernel: per batch, sniff each payload's
-    * container by magic number and parse its header fields byte-by-byte
-    * ([[graft.functions.MediaHeaders]]). No shuffle — decode parallelism ==
-    * scan parallelism; malformed payloads land in format "unknown".
+  /** The REAL decode kernel: sniff each payload's container by magic number
+    * and parse its header fields byte-by-byte
+    * ([[graft.functions.MediaHeaders]]), streaming row-by-row within the
+    * partition — header parsing has no per-batch setup to amortize, so no
+    * artificial batching (unlike a model/codec kernel, which would batch à
+    * la `mapInPandas`). No shuffle — decode parallelism == scan
+    * parallelism; malformed payloads land in format "unknown".
     */
-  def decodeMetadata(s: SparkSession, dir: String, batchSize: Int = 256): Dataset[MediaMeta] = {
+  def decodeMetadata(s: SparkSession, dir: String): Dataset[MediaMeta] = {
     import s.implicits._
-    mediaObjects(s, dir).mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.map(parseOne))
-    }
+    mediaObjects(s, dir).mapPartitions(_.map(parseOne))
   }
 
   private def parseOne(m: MediaObject): MediaMeta = {

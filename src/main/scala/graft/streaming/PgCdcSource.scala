@@ -155,7 +155,10 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     hook.getOrElse {
       val host = options.get("host")
       val path = options.get("path")
-      if (host != null) {
+      // Precedence: an explicit file binding beats the socket — a test or
+      // local run composing cfg.sourceOptions() (which always carries host)
+      // with .option("path", ...) means the file, not a surprise TCP dial.
+      if (host != null && path == null) {
         val slot = options.get("slot")
         val publication = options.get("publication")
         require(slot != null && publication != null,
@@ -259,6 +262,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   // cannot see (or reset) the grouping state.
   private val maxReconnectAttempts = options.getInt("maxReconnectAttempts", 5)
   private val reconnectBackoffMs = options.getLong("reconnectBackoffMs", 100L)
+  private val feedReplayTimeoutMs = options.getLong("feedReplayTimeoutMs", 30000L)
 
   private def recoverFeed(attempt: Int, cause: Throwable): Unit = {
     if (attempt > maxReconnectAttempts)
@@ -314,9 +318,29 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private def pump(needSeq: Long = -1L): Unit = {
     def mustGrow = needSeq >= 0 && baseSeq + buffer.size < needSeq
     def belowCap = buffer.size < maxBufferedTxns && bufferedBytes < maxBufferedBytes
-    var f = if (mustGrow || belowCap) pollRecovering() else None
-    while (f.isDefined) {
-      val raw = f.get
+    // With a socket feed, a replayed batch's frames may still be in flight:
+    // an empty NON-dead poll while mustGrow must WAIT, not give up — the
+    // require in planInputPartitions would otherwise fail spuriously on a
+    // restart race. Bounded by feedReplayTimeoutMs.
+    val deadline = System.currentTimeMillis() + feedReplayTimeoutMs
+    var done = false
+    while (!done) {
+      if (!(mustGrow || belowCap)) done = true
+      else pollRecovering() match {
+        case Some(raw) => ingest(raw)
+        case None =>
+          if (!mustGrow) done = true
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"pgcdc: feed did not replay to txn $needSeq within ${feedReplayTimeoutMs}ms")
+          else Thread.sleep(5)
+      }
+    }
+  }
+
+  /** Group one raw frame into the committed-txn buffer state. */
+  private def ingest(raw: Array[Byte]): Unit = {
+    {
       val p = 25 // 'w' + walStart(8) + walEnd(8) + serverTime(8)
       if (raw.nonEmpty && raw(0) == graft.pgproto.WalFrames.TagXLogData && raw.length > p) {
         lastServerTimeMicros = graft.pgproto.PgEpoch.toUnixMicros(readU64(raw, 17))
@@ -380,7 +404,6 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             wal.confirmedLsn, System.currentTimeMillis() * 1000L))
           catch { case _: java.io.IOException => () } // reply is best-effort
       }
-      f = if (mustGrow || belowCap) pollRecovering() else None
     }
   }
 
@@ -510,16 +533,12 @@ object PgCdcReaderFactory extends PartitionReaderFactory {
         p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))
       private var cur: ChangeEvent = null
       private var decoded = 0L
-      private var maxSpilled = 0L
       override def next(): Boolean =
-        if (events.hasNext) {
-          cur = events.next(); decoded += 1
-          maxSpilled = math.max(maxSpilled, assembler.spilledStreamEvents)
-          true
-        } else false
+        if (events.hasNext) { cur = events.next(); decoded += 1; true } else false
       override def get(): InternalRow = toInternalRow(cur)
       override def currentMetricsValues(): Array[CustomTaskMetric] =
-        GraftMetrics.taskMetrics(decoded, assembler.heartbeatsSuppressed, maxSpilled)
+        GraftMetrics.taskMetrics(
+          decoded, assembler.heartbeatsSuppressed, assembler.totalSpilledEvents)
       // Releases any open streamed buffers + spill files on task end.
       override def close(): Unit = assembler.close()
     }

@@ -119,6 +119,7 @@ final class SocketWalSource(
     } catch {
       case _: EOFException => streamEnded = true
       case _: java.net.SocketException => streamEnded = true // closed under us
+      case _: InterruptedException => streamEnded = true // close() interrupt
       case t: Throwable => failure = t; streamEnded = true
     }
 
@@ -162,6 +163,13 @@ final class SocketWalSource(
       c.close()
       conn = null
     }
-    if (reader != null) { reader.join(2000); reader = null }
+    if (reader != null) {
+      // A reader parked in queue.put() (full queue) is not unblocked by the
+      // socket close — interrupt it so it can't leak, or later push a stale
+      // pre-disconnect frame into a reopened session's queue.
+      reader.interrupt()
+      reader.join(2000)
+      reader = null
+    }
   }
 }

@@ -24,11 +24,12 @@ object StatefulOps {
   /** Materialize `latest row per key` from a streaming CDC envelope frame.
     *
     * Keying: ALL replica-identity key columns (composite keys supported),
-    * each taken from the after-image (before-image for deletes), joined
-    * with a \u0001 separator — the same identity PostgreSQL uses for the
-    * row; a single-column key's string is just its value. A null key
-    * component becomes the \u0000 sentinel so (a, NULL) cannot collide
-    * with (a). State: one [[KeyState]] per key, updated if an event
+    * each taken from the after-image (before-image for deletes) — the same
+    * identity PostgreSQL uses for the row. Components are LENGTH-PREFIXED
+    * (`<len>:<value>`, null → `n`) and joined with `|`: the encoding is
+    * prefix-free, so distinct composite keys can never collide even when
+    * values contain the separator characters. State: one [[KeyState]] per
+    * key, updated if an event
     * carries a higher LSN (commit order is the stream's order, but a
     * micro-batch may contain several events for one key — max-LSN wins).
     * Deletes keep a tombstone so a late lower-LSN event cannot resurrect
@@ -48,12 +49,13 @@ object StatefulOps {
     events
       .select(
         when(size(col("key_names")) > 0,
-          concat_ws("\u0001",
-            transform(col("key_names"), k =>
-              coalesce(
-                element_at(col("after"), k),
-                element_at(col("before"), k),
-                lit("\u0000"))))).as("key"),
+          concat_ws("|",
+            transform(col("key_names"), k => {
+              val v = coalesce(
+                element_at(col("after"), k), element_at(col("before"), k))
+              when(v.isNotNull, concat(length(v).cast("string"), lit(":"), v))
+                .otherwise(lit("n"))
+            }))).as("key"),
         col("op"), col("lsn"), col("after"))
       .filter(col("key").isNotNull)
       .as[(String, String, Long, Map[String, String])]

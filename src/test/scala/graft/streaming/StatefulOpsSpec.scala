@@ -47,12 +47,12 @@ class StatefulOpsSpec extends AnyFunSuite {
         Option(r.getAs[Map[String, String]]("image")))))
       .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._2) }
 
-    assert(finalState("1")._1 == "update")
-    assert(finalState("1")._3.get("name") == "alice-v2")
-    assert(finalState("2")._1 == "delete" && finalState("2")._3.isEmpty, "tombstone for deleted key")
-    assert(finalState("3")._3.get("name") == "carol")
+    assert(finalState("1:1")._1 == "update")
+    assert(finalState("1:1")._3.get("name") == "alice-v2")
+    assert(finalState("1:2")._1 == "delete" && finalState("1:2")._3.isEmpty, "tombstone for deleted key")
+    assert(finalState("1:3")._3.get("name") == "carol")
     // T1 commit rewrite: key 2's delete carries its txn-end LSN (140 + 3)
-    assert(finalState("2")._2 == 143L)
+    assert(finalState("1:2")._2 == 143L)
   }
 
   test("composite replica-identity keys do not collapse on the first component") {
@@ -88,8 +88,8 @@ class StatefulOpsSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._2) }
 
     assert(finalState.size == 2, s"expected 2 composite keys, got ${finalState.keys}")
-    val k11 = "1\u00011"
-    val k12 = "1\u00012"
+    val k11 = "1:1|1:1"
+    val k12 = "1:1|1:2"
     assert(finalState(k11)._1 == "insert" && finalState(k11)._3.get("v") == "a",
       "(1,1) must survive (1,2)'s delete")
     assert(finalState(k12)._1 == "delete" && finalState(k12)._3.isEmpty)
