@@ -70,6 +70,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => DedupQueries.minhashLsh(s, d).orderBy("d1", "d2")),
     "q_dedup_simhash" -> ((s, d) => DedupQueries.simhashBanding(s, d).orderBy("d1", "d2")),
     "q_dedup_ngram" -> ((s, d) => DedupQueries.ngramJaccard(s, d).orderBy("d1", "d2")),
+    "q_dedup_embedding" -> ((s, d) =>
+      DedupQueries.embeddingNearDup(s, d).orderBy("bucket10")),
     // ---- LLM-pipeline: similarity search ----
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
@@ -450,6 +452,42 @@ object SparkEntry {
            JOIN sizes s1 ON d1 = s1.doc_id
            JOIN sizes s2 ON d2 = s2.doc_id)
          WHERE jac >= 0.5 ORDER BY d1, d2""",
+    // Embedding near-dup audit: same 240 hyperplanes / 20x12 banding as
+    // q_ann_lsh, corpus-wide self-join, exact cosine on colliding pairs,
+    // histogrammed by 0.1 cosine bucket.
+    "q_dedup_embedding" ->
+      """WITH planes AS (
+           SELECT p, list(w ORDER BY i) AS wv FROM (
+             SELECT tp.range AS p, ti.range AS i,
+               (CAST(('0x' || substr(md5(tp.range::VARCHAR || '_' || ti.range::VARCHAR), 1, 15))
+                  AS BIGINT) / 576460752303423488.0) - 1.0 AS w
+             FROM range(240) tp, range(64) ti)
+           GROUP BY p),
+         vecs AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+         bits AS (
+           SELECT vec_id, p,
+             CASE WHEN list_dot_product(v, wv) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM vecs, planes),
+         buckets AS (
+           SELECT vec_id, p // 12 AS band,
+             CAST(sum(bit * CAST(power(2, p % 12) AS BIGINT)) AS BIGINT) AS bucket
+           FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         sims AS (
+           SELECT c.d1, c.d2,
+             list_dot_product(v1.v, v2.v) / (v1.norm * v2.norm) AS sim
+           FROM cand c
+           JOIN vecs v1 ON v1.vec_id = c.d1
+           JOIN vecs v2 ON v2.vec_id = c.d2)
+         SELECT CAST(floor(sim * 10) AS BIGINT) AS bucket10,
+           count(*) AS n_pairs, round(max(sim), 4) AS max_sim
+         FROM sims GROUP BY 1 ORDER BY 1""",
     // ---- LLM-pipeline: similarity search ----
     "q_ann_cosine" ->
       """WITH vecs AS (

@@ -27,11 +27,18 @@ object AnnQueries {
   private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   /** (vec_id, v: raw array<float>, norm) — no per-element cast pass needed;
-    * the dot expression widens to double itself.
+    * the dot expression widens to double itself. Shared with the
+    * embedding near-dup audit in [[DedupQueries]].
     */
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  private[operators] def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Cosine of two (v, norm) pairs — the one scoring expression every ANN
+    * and embedding-dedup stage shares.
+    */
+  private[operators] def cosine(v1: Column, n1: Column, v2: Column, n2: Column): Column =
+    graft.functions.VectorOps.dot(v1, v2) / (n1 * n2)
 
   /** Exact brute-force cosine top-k — the baseline ANN answers are judged
     * against. Queries are broadcast (they are a ~2% sample — genuinely
@@ -162,9 +169,11 @@ object AnnQueries {
     * stage is corpus-quadratic, and recall/cost tune with
     * (Bands, BandBits, ProbeRadius) without changing the plan shape.
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(s, dir)
-
+  /** (vec_id, v, norm, band, bucket) — every vector's LSH band signatures,
+    * one codegen'd scan (the hyperplane weights are plan literals). Shared
+    * by [[annLsh]] and the embedding near-dup audit in [[DedupQueries]].
+    */
+  private[operators] def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
     // One bucket column per band: a BandBits-bit integer of projection signs.
     def bucketCol(b: Int): Column =
       (0 until BandBits).map { j =>
@@ -172,10 +181,14 @@ object AnnQueries {
         val w = typedLit(planeWeights(p).toSeq)
         when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-
-    val banded = vecs
+    vectors(s, dir)
       .select(col("vec_id"), col("v"), col("norm"),
         posexplode(array((0 until Bands).map(bucketCol): _*)).as(Seq("band", "bucket")))
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(s, dir)
+    val banded = bandedSignatures(s, dir)
 
     // Multi-probe: the query's own bucket plus every Hamming-≤2 neighbor.
     val probeBuckets = array(probeFlips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)

@@ -116,6 +116,39 @@ object DedupQueries {
       .select("d1", "d2", "hamming")
   }
 
+  /** Embedding-cosine near-dup audit — the vector-space member of the dedup
+    * family: candidate pairs are vectors sharing any LSH band bucket
+    * ([[AnnQueries.bandedSignatures]], 20 bands × 12 bits — at a production
+    * near-dup threshold of cosine ≥ 0.9 a pair collides in at least one
+    * band with ≈99.8% probability), exact cosine is computed on candidates
+    * ONLY, and the output is the per-0.1-cosine-bucket histogram of
+    * verified candidate pairs. On a corpus with true duplicates the top
+    * buckets ARE the dup report; on this synthetic corpus (max pairwise
+    * cosine ≈0.51) the histogram audits the candidate distribution — same
+    * pipeline either way.
+    *
+    * 100-TB shape: one signature scan, a self-equality join on
+    * (band, bucket) touching only colliding pairs — never all-pairs — and
+    * candidate-only scoring; the exact twin of [[AnnQueries.annLsh]] with
+    * corpus×corpus candidates instead of a query sample.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val banded = AnnQueries.bandedSignatures(s, dir).select("vec_id", "band", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val vecs = AnnQueries.vectors(s, dir)
+    cand
+      .join(vecs.select(col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1")), "d1")
+      .join(vecs.select(col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2")), "d2")
+      .withColumn("sim", AnnQueries.cosine(col("v1"), col("n1"), col("v2"), col("n2")))
+      .groupBy(floor(col("sim") * 10).cast("long").as("bucket10"))
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("sim")), 4).as("max_sim"))
+  }
+
   /** Document-frequency cap for the ngram inverted index: shingles appearing
     * in more docs than this are "stop shingles" and are pruned from CANDIDATE
     * GENERATION (verification still uses full shingle sets, so reported
