@@ -172,19 +172,37 @@ object AnnQueries {
   /** (vec_id, v, norm, band, bucket) — every vector's LSH band signatures,
     * one codegen'd scan (the hyperplane weights are plan literals). Shared
     * by [[annLsh]] and the embedding near-dup audit in [[DedupQueries]].
+    *
+    * Memoized + persisted per (session, dir), same rationale (and
+    * lifecycle) as [[ShingleSets]]: the frame feeds differently-aliased
+    * branches (self-join sides, the query sample) that defeat
+    * ReuseExchange, so without persistence each branch repeats the
+    * 240-dot-product signature scan. At true 100-TB scale the equivalent is
+    * writing the signature table once; release with [[releaseSignatures]].
     */
-  private[operators] def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
-    // One bucket column per band: a BandBits-bit integer of projection signs.
-    def bucketCol(b: Int): Column =
-      (0 until BandBits).map { j =>
-        val p = b * BandBits + j
-        val w = typedLit(planeWeights(p).toSeq)
-        when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    vectors(s, dir)
-      .select(col("vec_id"), col("v"), col("norm"),
-        posexplode(array((0 until Bands).map(bucketCol): _*)).as(Seq("band", "bucket")))
-  }
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir), {
+      // One bucket column per band: a BandBits-bit integer of projection signs.
+      def bucketCol(b: Int): Column =
+        (0 until BandBits).map { j =>
+          val p = b * BandBits + j
+          val w = typedLit(planeWeights(p).toSeq)
+          when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      vectors(s, dir)
+        .select(col("vec_id"), col("v"), col("norm"),
+          posexplode(array((0 until Bands).map(bucketCol): _*)).as(Seq("band", "bucket")))
+        .persist()
+    })
+
+  /** Unpersist and forget every cached signature frame owned by `s`. */
+  def releaseSignatures(s: SparkSession): Unit =
+    memo.keys.toSeq.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = true))
+    }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(s, dir)
