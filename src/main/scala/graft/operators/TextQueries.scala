@@ -75,16 +75,39 @@ object TextQueries {
     * aggregation — no corpus-sized shuffle key wider than (doc_id, trigram).
     */
   def langId(s: SparkSession, dir: String, profileSize: Int = 50): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      .filter(length(col("t")) >= 3)
-    val tri = docs.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
-    // One (doc, trigram) aggregation exchange feeds BOTH the profile
-    // training rollup and the scoring join (ReuseExchange) — measured faster
-    // than joining raw occurrences or semi-joining before the pre-agg, both
-    // of which recompute the explode per consumer.
-    val docTri = tri.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // Per-document trigram counts are computed ROW-LOCALLY in an imperative
+    // partition scan (the ShingleSets rationale: the interpreted
+    // transform/sequence/substring chain plus a 20M-row explode and a
+    // (doc, trigram)-cardinality exchange measured ~3× slower). A document
+    // lives in one row, so its counts are complete with NO shuffle;
+    // semantics are byte-identical to counting substring(t, i, 3)
+    // occurrences of lower(text).
+    val triSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    val docTri = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val t = r.getString(2).toLowerCase(java.util.Locale.ROOT)
+          if (t.length < 3) Iterator.empty
+          else {
+            val m = new java.util.LinkedHashMap[String, Long]()
+            var i = 0
+            while (i + 3 <= t.length) {
+              m.merge(t.substring(i, i + 3), 1L, (a, b) => a + b)
+              i += 1
+            }
+            val id = r.getLong(0)
+            val lang = r.getString(1)
+            scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+              .asScala.map(e => Row(id, lang, e.getKey, e.getValue))
+          }
+        }
+      }(Encoders.row(triSchema))
     val langTri = docTri.groupBy("lang", "g").agg(sum("c").as("n"))
     val byLang = Window.partitionBy("lang").orderBy(col("n").desc, col("g"))
     val profile = langTri
