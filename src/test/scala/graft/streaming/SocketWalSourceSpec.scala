@@ -196,6 +196,79 @@ class SocketWalSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("stress: spill + backpressure + reconnect together stay exactly-once") {
+    import graft.pgproto.{MessageEncoder, Messages}
+    val relOid = 16700L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    val T0 = 1700000000000000L
+    def x(lsn: Long, msg: Array[Byte]) = MessageEncoder.xlogData(lsn, lsn, T0, msg)
+    val fs = Seq.newBuilder[Array[Byte]]
+    fs += x(1, MessageEncoder.relation(relOid, "public", "st", cols))
+    // streamed txn xid 800, segment 1: 15 events (ids 1000..1014)
+    fs += x(10, MessageEncoder.streamStart(800, firstSegment = true))
+    (0 until 15).foreach(i =>
+      fs += x(11 + i, MessageEncoder.insert(relOid, Seq(Some((1000 + i).toString)), streamedXid = 800)))
+    fs += x(26, MessageEncoder.streamStop())
+    // plain txn A (ids 1..3) — the first connection is cut inside this txn
+    fs += x(100, MessageEncoder.begin(105, T0, 10))
+    (1 to 3).foreach(i => fs += x(100 + i, MessageEncoder.insert(relOid, Seq(Some(i.toString)))))
+    fs += x(104, MessageEncoder.commit(104, 105, T0))
+    // streamed txn xid 800, segment 2: 15 more events (ids 1015..1029)
+    fs += x(110, MessageEncoder.streamStart(800, firstSegment = false))
+    (0 until 15).foreach(i =>
+      fs += x(111 + i, MessageEncoder.insert(relOid, Seq(Some((1015 + i).toString)), streamedXid = 800)))
+    fs += x(126, MessageEncoder.streamStop())
+    // plain txn B (ids 4..6)
+    fs += x(130, MessageEncoder.begin(135, T0, 11))
+    (4 to 6).foreach(i => fs += x(126 + i, MessageEncoder.insert(relOid, Seq(Some(i.toString)))))
+    fs += x(134, MessageEncoder.commit(134, 135, T0))
+    // aborted streamed txn xid 900 — must never surface
+    fs += x(140, MessageEncoder.streamStart(900, firstSegment = true))
+    (0 until 5).foreach(i =>
+      fs += x(141 + i, MessageEncoder.insert(relOid, Seq(Some((2000 + i).toString)), streamedXid = 900)))
+    fs += x(146, MessageEncoder.streamStop())
+    fs += x(147, MessageEncoder.streamAbort(900, 900))
+    // xid 800 commits — 30 events deliver, spilled on the executor
+    fs += x(150, MessageEncoder.streamCommit(800, 150, 151, T0))
+    // plain txn C (ids 7..9)
+    fs += x(160, MessageEncoder.begin(165, T0, 12))
+    (7 to 9).foreach(i => fs += x(154 + i, MessageEncoder.insert(relOid, Seq(Some(i.toString)))))
+    fs += x(164, MessageEncoder.commit(164, 165, T0))
+    val frames = fs.result()
+
+    // Cut the first stream mid-plain-txn-A; tiny backpressure cap; tiny
+    // executor spill threshold.
+    val server = new FakeWalsender(frames, dropAfterFrames = 20)
+    try {
+      val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(java.util.Map.of(
+        "host", "127.0.0.1", "port", server.port.toString,
+        "slot", "s1", "publication", "p1",
+        "maxBufferedTxns", "2",
+        "spillThresholdEvents", "4",
+        "reconnectBackoffMs", "10")))
+      var start = s.initialOffset().asInstanceOf[CdcOffset]
+      val delivered = Seq.newBuilder[Long]
+      // 4 committed txns total (A, B, streamed 800, C)
+      val deadline = System.currentTimeMillis + 20000
+      var done = false
+      while (!done && System.currentTimeMillis < deadline) {
+        val end = s.latestOffset(start, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+        if (end.seq > start.seq) {
+          assert(s.backlogTxns <= 2, "backpressure cap must hold under stress")
+          delivered ++= rowIds(s, start, end)
+          s.commit(end)
+          start = end
+        } else if (start.seq == 4L) done = true
+        else Thread.sleep(20)
+      }
+      val ids = delivered.result().sorted
+      val expected = ((1L to 9L) ++ (1000L to 1029L)).sorted
+      assert(ids == expected,
+        s"exactly-once across drop+spill+backpressure; missing=${expected.diff(ids)} extra=${ids.diff(expected)}")
+      s.stop()
+    } finally server.close()
+  }
+
   test("cleartext password auth: right password connects, wrong one fails loudly") {
     val server = new FakeWalsender(WalGen.frames(1, 1).toSeq, requirePassword = Some("sekret"))
     try {
