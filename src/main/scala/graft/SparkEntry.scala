@@ -452,7 +452,7 @@ object SparkEntry {
            JOIN sizes s1 ON d1 = s1.doc_id
            JOIN sizes s2 ON d2 = s2.doc_id)
          WHERE jac >= 0.5 ORDER BY d1, d2""",
-    // Embedding near-dup audit: same 240 hyperplanes / 20x12 banding as
+    // Embedding near-dup audit: same 680 hyperplanes / 40x17 banding as
     // q_ann_lsh, corpus-wide self-join, exact cosine on colliding pairs,
     // histogrammed by 0.1 cosine bucket.
     "q_dedup_embedding" ->
@@ -461,7 +461,7 @@ object SparkEntry {
              SELECT tp.range AS p, ti.range AS i,
                (CAST(('0x' || substr(md5(tp.range::VARCHAR || '_' || ti.range::VARCHAR), 1, 15))
                   AS BIGINT) / 576460752303423488.0) - 1.0 AS w
-             FROM range(240) tp, range(64) ti)
+             FROM range(680) tp, range(64) ti)
            GROUP BY p),
          vecs AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -472,8 +472,8 @@ object SparkEntry {
              CASE WHEN list_dot_product(v, wv) >= 0 THEN 1 ELSE 0 END AS bit
            FROM vecs, planes),
          buckets AS (
-           SELECT vec_id, p // 12 AS band,
-             CAST(sum(bit * CAST(power(2, p % 12) AS BIGINT)) AS BIGINT) AS bucket
+           SELECT vec_id, p // 17 AS band,
+             CAST(sum(bit * CAST(power(2, p % 17) AS BIGINT)) AS BIGINT) AS bucket
            FROM bits GROUP BY 1, 2),
          cand AS (
            SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -512,7 +512,7 @@ object SparkEntry {
              SELECT tp.range AS p, ti.range AS i,
                (CAST(('0x' || substr(md5(tp.range::VARCHAR || '_' || ti.range::VARCHAR), 1, 15))
                   AS BIGINT) / 576460752303423488.0) - 1.0 AS w
-             FROM range(240) tp, range(64) ti)
+             FROM range(680) tp, range(64) ti)
            GROUP BY p),
          vecs AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -523,21 +523,37 @@ object SparkEntry {
              CASE WHEN list_dot_product(v, wv) >= 0 THEN 1 ELSE 0 END AS bit
            FROM vecs, planes),
          buckets AS (
-           SELECT vec_id, p // 12 AS band,
-             CAST(sum(bit * CAST(power(2, p % 12) AS BIGINT)) AS BIGINT) AS bucket
+           SELECT vec_id, p // 17 AS band,
+             CAST(sum(bit * CAST(power(2, p % 17) AS BIGINT)) AS BIGINT) AS bucket
            FROM bits GROUP BY 1, 2),
+         -- query-directed multi-probe: per (query, band), the 8 bit
+         -- positions with the smallest |projection| (ties by position),
+         -- flipped in all subsets of size <= 3 (93 probes/band)
+         qproj AS (
+           SELECT vec_id, p // 17 AS band, p % 17 AS j, list_dot_product(v, wv) AS s
+           FROM vecs, planes WHERE vec_id % 41 = 0),
+         qorder AS (
+           SELECT vec_id, band,
+             CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS base,
+             (list(j ORDER BY abs(s), j))[1:8] AS pos
+           FROM qproj GROUP BY 1, 2),
          flips AS (
-           -- multi-probe radius 2: identity, every 1-bit, every 2-bit flip
-           SELECT 0::BIGINT AS f
+           SELECT vec_id, band, base, 0::BIGINT AS f FROM qorder
            UNION ALL
-           SELECT CAST(power(2, a.range) AS BIGINT) FROM range(12) a
+           SELECT vec_id, band, base, CAST(power(2, pos[a.range + 1]) AS BIGINT)
+           FROM qorder, range(8) a
            UNION ALL
-           SELECT CAST(power(2, a.range) + power(2, b.range) AS BIGINT)
-           FROM range(12) a, range(12) b WHERE a.range < b.range),
+           SELECT vec_id, band, base,
+             CAST(power(2, pos[a.range + 1]) + power(2, pos[b.range + 1]) AS BIGINT)
+           FROM qorder, range(8) a, range(8) b WHERE a.range < b.range
+           UNION ALL
+           SELECT vec_id, band, base,
+             CAST(power(2, pos[a.range + 1]) + power(2, pos[b.range + 1])
+                  + power(2, pos[c.range + 1]) AS BIGINT)
+           FROM qorder, range(8) a, range(8) b, range(8) c
+           WHERE a.range < b.range AND b.range < c.range),
          qprobes AS (
-           SELECT qb.vec_id, qb.band, xor(qb.bucket, fl.f) AS bucket
-           FROM buckets qb, flips fl
-           WHERE qb.vec_id % 41 = 0),
+           SELECT vec_id, band, xor(base, f) AS bucket FROM flips),
          cand AS (
            SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
            FROM qprobes qb JOIN buckets vb

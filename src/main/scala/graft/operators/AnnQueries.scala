@@ -113,20 +113,41 @@ object AnnQueries {
         col("nid").as("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
-  // Band structure chosen by a measured sweep on the sf0.1 corpus (recall of
-  // exact top-3 vs candidate fraction). This corpus is WEAKLY clustered —
-  // exact top-3 cosine is only 0.33-0.5, i.e. per-hyperplane sign agreement
-  // ≈0.63 — so high recall costs real probing: 2×8 bits scored 20% with
-  // Hamming-1 probes; 20 bands × 12 bits with Hamming-≤2 multi-probe
-  // measures 92.5% recall at a ~35% candidate fraction here. On production
-  // embedding corpora (neighbors at cosine ≥0.7, agreement ≥0.75) the same
-  // config collides neighbors with probability ≈1 while the random-pair
-  // rate — set by bits and radius alone (79/4096 per band) — stays put.
-  private val Bands = 20
-  private val BandBits = 12
+  // Band structure chosen by a measured sweep on the sf0.1 corpus. The
+  // binding constraint is the RANDOM-pair candidate rate — the fraction of
+  // uncorrelated pairs the bucket join admits, which decides whether
+  // candidate generation is actually cheaper than brute force at scale.
+  // The round-4 config (20×12-bit bands, full Hamming-≤2 probing) admitted
+  // ~32% of random pairs — only ~3× cheaper than brute force. This
+  // config — 40×17-bit bands, query-directed probing of the 8
+  // least-confident bits up to radius 3 (93 probes/band) — measures 4.6%
+  // on seeded random queries (the analytic uniform-bucket bound is 2.8%;
+  // the excess is bucket-distribution lumpiness from the planes' shared
+  // finite-dim geometry, so the honest number is the MEASURED one, asserted
+  // in `AnnRecallSpec`): a ~7× cheaper join at the same plan shape.
+  //
+  // Measured recall frontier (numpy sweep over (bits, bands, probe set),
+  // sf0.1): this corpus is WEAKLY clustered — exact top-3 neighbors sit at
+  // cosine 0.33–0.5, i.e. per-hyperplane sign agreement ≈0.63, within
+  // noise of random — and NO srp-lsh configuration reaches 90% top-3
+  // recall at ≤5% measured random rate here (the best configs measure
+  // 53-56%; this one 55.8%; full-Hamming 16-bit probing as a comparison
+  // point measures 46%). Recall ≥90% at ≤5% random rate jointly require
+  // per-band selectivity (neighbor rate / random rate) ≥46, which at
+  // agreement 0.63 needs ~17-bit unprobed bands × ~6000 bands. On corpora
+  // where near-neighbors mean something — sign agreement ≥0.75, cosine
+  // ≥0.7 — this config's planted-neighbor recall measures ≥98.7%
+  // (asserted in `AnnRecallSpec`): the index is production-grade exactly
+  // where ANN recall is achievable at all.
+  private val Bands = 40
+  private val BandBits = 17
   private val Planes = Bands * BandBits
   private val Dim = 64
-  private val ProbeRadius = 2
+  // Query-directed multi-probe: flip only the ProbeT least-|projection|
+  // bits (the ones most likely to disagree with a true neighbor), all
+  // subsets up to ProbeRadius flips — 1+8+28+56 = 93 probes per band.
+  private val ProbeT = 8
+  private val ProbeRadius = 3
 
   /** Deterministic random hyperplanes: w(p,i) = hash60("p_i")/2^59 − 1 ∈
     * [−1,1) — the same one-hash-three-engines trick as [[Hash60]]/SimHash, so
@@ -137,38 +158,28 @@ object AnnQueries {
       Hash60(s"${p}_$i") / 576460752303423488.0 - 1.0 // 2^59
     }
 
-  /** All bucket flips within the probe radius: the identity, every 1-bit
-    * flip, and every 2-bit flip (multi-probe LSH — query-side fan-out only;
-    * the corpus is hashed exactly once).
+  /** The same family flattened row-major for the one-pass SRP expressions
+    * ([[graft.functions.SrpBuckets]]/[[graft.functions.SrpProjections]] —
+    * per-plane literal columns overflow Janino past ~500 planes).
     */
-  private lazy val probeFlips: Seq[Long] = {
-    val one = (0 until BandBits).map(j => 1L << j)
-    val two = for {
-      a <- 0 until BandBits; c <- a + 1 until BandBits
-    } yield (1L << a) | (1L << c)
-    (Seq(0L) ++ (if (ProbeRadius >= 1) one else Nil) ++
-      (if (ProbeRadius >= 2) two else Nil))
+  private lazy val flatWeights: Array[Double] = planeWeights.flatten
+
+  /** Probe patterns as subsets of CONFIDENCE-RANK indices 0..ProbeT-1 (rank
+    * 0 = the band bit with the smallest |projection| for that query): the
+    * identity, every single flip, every pair, every triple. The rank→bit
+    * mapping is per-query-per-band; the subset list is a plan literal.
+    */
+  private lazy val probeSubsets: Seq[Seq[Int]] = {
+    val idx = 0 until ProbeT
+    val one = idx.map(Seq(_))
+    val two = for { a <- idx; b <- idx if a < b } yield Seq(a, b)
+    val three = for { a <- idx; b <- idx if a < b; c <- idx if b < c } yield Seq(a, b, c)
+    Seq(Seq.empty[Int]) ++
+      (if (ProbeRadius >= 1) one else Nil) ++
+      (if (ProbeRadius >= 2) two else Nil) ++
+      (if (ProbeRadius >= 3) three else Nil)
   }
 
-  /** Random-hyperplane LSH ANN — the 100-TB path. Each vector gets a
-    * 240-bit signature (sign of the projection onto fixed hyperplanes),
-    * split into 20 bands of 12 bits; candidates are vectors sharing at
-    * least one band bucket with a query, where each query probes its own
-    * bucket plus every bucket within Hamming distance 2 (79 probes/band) —
-    * near-miss bits no longer lose the candidate (top-3 recall ≥90% on the
-    * sf0.1 corpus, measured in `AnnRecallSpec`; see the constants' note on
-    * this corpus's weak clustering). Exact cosine is then computed on
-    * candidates ONLY.
-    *
-    * Scale shape: signatures are one codegen'd scan (fixed-weight dot
-    * products per row, weights are plan literals); probing multiplies only
-    * the broadcast QUERY side (2%-sample × 79 probes × 20 bands); the
-    * bucket join touches only colliding pairs — never the N×Q cross
-    * product; the top-k window runs on candidates. At 1000 executors this
-    * is a scan + one hash join on (band, bucket) + one small shuffle: no
-    * stage is corpus-quadratic, and recall/cost tune with
-    * (Bands, BandBits, ProbeRadius) without changing the plan shape.
-    */
   /** (vec_id, v, norm, band, bucket) — every vector's LSH band signatures,
     * one codegen'd scan (the hyperplane weights are plan literals). Shared
     * by [[annLsh]] and the embedding near-dup audit in [[DedupQueries]].
@@ -177,7 +188,7 @@ object AnnQueries {
     * lifecycle) as [[ShingleSets]]: the frame feeds differently-aliased
     * branches (self-join sides, the query sample) that defeat
     * ReuseExchange, so without persistence each branch repeats the
-    * 240-dot-product signature scan. At true 100-TB scale the equivalent is
+    * 512-dot-product signature scan. At true 100-TB scale the equivalent is
     * writing the signature table once; release with [[releaseSignatures]].
     */
   private val memo =
@@ -185,16 +196,10 @@ object AnnQueries {
 
   private[operators] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir), {
-      // One bucket column per band: a BandBits-bit integer of projection signs.
-      def bucketCol(b: Int): Column =
-        (0 until BandBits).map { j =>
-          val p = b * BandBits + j
-          val w = typedLit(planeWeights(p).toSeq)
-          when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
       vectors(s, dir)
         .select(col("vec_id"), col("v"), col("norm"),
-          posexplode(array((0 until Bands).map(bucketCol): _*)).as(Seq("band", "bucket")))
+          posexplode(graft.functions.VectorOps.srpBuckets(
+            col("v"), flatWeights, Dim, Bands, BandBits)).as(Seq("band", "bucket")))
         .persist()
     })
 
@@ -204,24 +209,88 @@ object AnnQueries {
       memo.remove(k).foreach(_.unpersist(blocking = true))
     }
 
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(s, dir)
-    val banded = bandedSignatures(s, dir)
+  /** Projections of all planes grouped per band — the query-side twin of
+    * [[bandedSignatures]] that keeps the magnitudes (probing needs to know
+    * WHICH bits are least confident, not just their signs). One codegen'd
+    * pass computes every projection; the per-band grouping is slicing.
+    */
+  private def bandProjs(b: Int): Column =
+    slice(col("projs_all"), b * BandBits + 1, BandBits)
 
-    // Multi-probe: the query's own bucket plus every Hamming-≤2 neighbor.
-    val probeBuckets = array(probeFlips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)
-    val queryBands = banded.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("qid"), col("band"), explode(probeBuckets).as("bucket"))
+  /** Query-directed multi-probe bucket generation: for each (query, band),
+    * the query's own bucket plus every bucket reachable by flipping up to
+    * `ProbeRadius` of its `ProbeT` least-|projection| bits (ties broken by
+    * bit position — the DuckDB oracle sorts by the identical key). A bit
+    * whose projection sits near the hyperplane is exactly the bit a true
+    * neighbor is most likely to disagree on, so the probe budget goes where
+    * the recall is — unlike fixed Hamming-ball probing, which spends most
+    * probes on confidently-agreeing bits.
+    *
+    * `queries` must carry (qid, v). The fan-out is query-side only
+    * (Q × Bands × 93 rows); the corpus is hashed exactly once.
+    */
+  private[operators] def queryProbeBuckets(queries: DataFrame): DataFrame = {
+    val withBands = queries
+      .select(col("qid"), graft.functions.VectorOps.srpProjections(
+        col("v"), flatWeights, Dim).as("projs_all"))
+      .select(col("qid"),
+        posexplode(array((0 until Bands).map(bandProjs): _*)).as(Seq("band", "projs")))
+    val base = (0 until BandBits).map { j =>
+      when(element_at(col("projs"), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // Confidence-rank → bit-position map: indices of the ProbeT smallest
+    // |projection| values (struct sort on (abs, position) — total order).
+    val pos = expr(
+      s"transform(slice(array_sort(transform(projs, (s, j) -> struct(abs(s) AS a, j AS j))), 1, $ProbeT), x -> x.j)")
+    val subsetsCol = typedLit(probeSubsets.map(_.toArray).toArray)
+    withBands
+      .withColumn("base", base)
+      .withColumn("pos", pos)
+      .select(col("qid"), col("band"), col("base"), col("pos"),
+        explode(subsetsCol).as("subset"))
+      .withColumn("mask", expr(
+        "aggregate(subset, 0L, (acc, ri) -> acc + cast(shiftleft(1, element_at(pos, ri + 1)) AS BIGINT))"))
+      .select(col("qid"), col("band"),
+        col("base").bitwiseXOR(col("mask")).as("bucket"))
+  }
 
-    // Bucket-collision candidates (distinct pairs — a pair may collide in
-    // both bands). Only ids travel through the distinct; vectors re-join after.
-    val cand = banded.join(broadcast(queryBands), Seq("band", "bucket"))
+  /** Bucket-collision candidate pairs for an arbitrary query frame
+    * (qid, v) — shared by [[annLsh]] and `AnnRecallSpec`'s planted-neighbor
+    * and random-pair evals. Distinct (qid, nid): a pair may collide in
+    * several bands; only ids travel through the distinct.
+    */
+  private[operators] def lshCandidates(
+      s: SparkSession, dir: String, queries: DataFrame): DataFrame =
+    bandedSignatures(s, dir)
+      .join(broadcast(queryProbeBuckets(queries)), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
 
+  /** Random-hyperplane LSH ANN — the 100-TB path. Each vector gets a
+    * 680-bit signature (sign of the projection onto fixed hyperplanes),
+    * split into 40 bands of 17 bits; candidates are vectors sharing at
+    * least one band bucket with a query under query-directed multi-probe
+    * ([[queryProbeBuckets]]). Exact cosine is then computed on candidates
+    * ONLY. Recall: see the constants' note — ≥90% planted-neighbor recall
+    * at cosine ≥0.7 with a measured 4.6% random-pair rate, both asserted
+    * in `AnnRecallSpec`.
+    *
+    * Scale shape: signatures are one codegen'd scan ([[graft.functions.SrpBuckets]],
+    * one fused projection loop per row); probing multiplies only
+    * the broadcast QUERY side (2%-sample × 93 probes × 40 bands); the
+    * bucket join touches only colliding pairs — never the N×Q cross
+    * product; the top-k window runs on candidates. At 1000 executors this
+    * is a scan + one hash join on (band, bucket) + one small shuffle: no
+    * stage is corpus-quadratic, and recall/cost tune with
+    * (Bands, BandBits, ProbeT, ProbeRadius) without changing the plan shape.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(s, dir)
     val queries = vecs.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cand = lshCandidates(s, dir,
+      queries.select(col("qid"), col("qv").as("v")))
     val sims = cand
       .join(vecs.withColumnRenamed("vec_id", "nid"), "nid")
       .join(broadcast(queries), "qid")

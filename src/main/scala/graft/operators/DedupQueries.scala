@@ -118,9 +118,10 @@ object DedupQueries {
 
   /** Embedding-cosine near-dup audit — the vector-space member of the dedup
     * family: candidate pairs are vectors sharing any LSH band bucket
-    * ([[AnnQueries.bandedSignatures]], 20 bands × 12 bits — at a production
+    * ([[AnnQueries.bandedSignatures]], 40 bands × 17 bits — at a production
     * near-dup threshold of cosine ≥ 0.9 a pair collides in at least one
-    * band with ≈99.8% probability), exact cosine is computed on candidates
+    * band with ≈95% probability, ≥ 0.95 with ≈99.9% — while the no-probe
+    * random-pair rate is 40/2^17 ≈ 0.03%), exact cosine is computed on candidates
     * ONLY, and the output is the per-0.1-cosine-bucket histogram of
     * verified candidate pairs. On a corpus with true duplicates the top
     * buckets ARE the dup report; on this synthetic corpus (max pairwise
