@@ -571,30 +571,46 @@ object SparkEntry {
            FROM sims)
          SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY 1, 2""",
+    // Trained IVF: the oracle re-runs the SAME deterministic spherical
+    // k-means the Spark side runs (md5-ordered seeding, 3 unrolled Lloyd's
+    // iterations, means rounded to 6 decimals so summation order can't
+    // leak, empty cells keep their centroid), then the same 8-of-32 cell
+    // probing — a hash match proves the whole trained index, not just the
+    // final scoring.
     "q_ann_ivf" ->
-      """WITH vecs AS (
+      s"""WITH vecs AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
            FROM embeddings),
-         cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
-                   FROM vecs WHERE vec_id % 101 = 0),
-         scored AS (
-           SELECT v.vec_id, c.cid,
-             list_dot_product(v.v, c.cv) / (v.norm * c.cnorm) AS csim
-           FROM vecs v, cents c),
-         assign AS (
+         vn AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM vecs),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, u AS c
+           FROM vn QUALIFY cid <= 32),
+         ${Seq(1, 2, 3).map { i =>
+            s"""a$i AS (
            SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-             FROM scored) WHERE rk = 1),
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
+             FROM vn, c${i - 1} c) WHERE rk = 1),
+         m$i AS (
+           SELECT a.cell AS cid, ti.range AS i, round(avg(vn.u[ti.range + 1]), 6) AS w
+           FROM a$i a JOIN vn USING (vec_id) CROSS JOIN range(64) ti GROUP BY 1, 2),
+         n$i AS (SELECT cid, list(w ORDER BY i) AS c FROM m$i GROUP BY 1),
+         c$i AS (SELECT p.cid, COALESCE(n.c, p.c) AS c FROM c${i - 1} p LEFT JOIN n$i n USING (cid))"""
+          }.mkString(",\n         ")},
+         fa AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
+             FROM vn, c3 c) WHERE rk = 1),
          probes AS (
            SELECT vec_id AS qid, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-             FROM scored WHERE vec_id % 41 = 0) WHERE rk <= 2),
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
+             FROM vn, c3 c WHERE vn.vec_id % 41 = 0) WHERE rk <= 8),
          cand AS (
            SELECT DISTINCT p.qid, a.vec_id AS nid
-           FROM probes p JOIN assign a ON a.cell = p.cell
+           FROM probes p JOIN fa a ON a.cell = p.cell
            WHERE a.vec_id <> p.qid),
          sims AS (
            SELECT c.qid, c.nid,

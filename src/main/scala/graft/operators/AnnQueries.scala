@@ -65,37 +65,103 @@ object AnnQueries {
         col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Every 101st vector serves as an IVF centroid (a deterministic stand-in
-    * for k-means training — the index structure, assignment, and probing are
-    * the real thing and fully oracle-able).
-    */
-  private val CentroidMod = 101
-  private val NProbe = 2
+  // Spherical-k-means quantizer for the IVF index: K cells, a few Lloyd's
+  // iterations, NProbe cells probed per query. Parameters from a measured
+  // sweep at sf0.1: top-3 recall 66% probing 8/32 cells (~25% of the
+  // corpus) — up from 29% with untrained sample centroids. More cells
+  // don't help on this corpus (neighbors sit at cosine 0.33-0.5; cell
+  // membership is almost uncorrelated with top-3-ness), so NProbe/K is the
+  // recall knob and this corpus needs an unusually deep probe. On a
+  // clustered corpus the same index serves NProbe=1-2.
+  private val IvfK = 32
+  private val IvfIters = 3
+  private val IvfNProbe = 8
 
-  /** IVF-Flat ANN — the coarse-quantizer scale path: every vector is
-    * assigned to its nearest centroid's cell (one N×K scoring pass, K small);
-    * each query probes its `NProbe` nearest cells and computes exact cosine
-    * only against their members.
+  /** Unit vector u = v / ‖v‖ as array<double> (requires `v`,`norm` cols). */
+  private def unitCol: Column = transform(col("v"), _ / col("norm"))
+
+  /** Per-row best cell against literal centroids: argmax of cosine with
+    * ties to the lowest cid (max of struct(csim, −cid)). One codegen'd
+    * expression, no join, no shuffle — the 100-TB assignment is a bare
+    * projection over the corpus scan.
+    */
+  private def assignCell(cents: Array[(Int, Array[Double])]): Column = {
+    val entries = cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("u"), typedLit(c.toSeq)) / cn).as("csim"), lit(-cid).as("ncid"))
+    }
+    (-array_max(array(entries.toIndexedSeq: _*)).getField("ncid")).cast("int")
+  }
+
+  /** Deterministic spherical k-means, the classic Spark shape (MLlib-style):
+    * centroids live on the driver and enter each iteration's plan as
+    * LITERALS; each iteration is one distributed assignment scan + one
+    * per-(cell, dim) average; only K×dim rounded means are collected.
     *
-    * 100-TB shape: the assignment is one scan joined against K broadcast
-    * centroids plus a per-vector argmin — embarrassingly parallel; the
-    * candidate join touches only probed cells (≈ NProbe/K of the corpus per
-    * query); nothing is ever corpus × query. With a trained quantizer the
-    * same plan serves production IVF — only the centroid source changes.
+    * Every step is mirrored verbatim by the DuckDB oracle's unrolled
+    * k-means CTEs, so the trained index stays exactly verifiable:
+    * seeding picks the K lowest md5(vec_id) rows (a deterministic
+    * pseudo-random draw both engines compute identically), and every mean
+    * is rounded to 6 decimals so partial-aggregation summation order can't
+    * leak into the centroids. Empty cells keep their previous centroid.
+    */
+  private def trainCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    val vn = vectors(s, dir).select(col("vec_id"), unitCol.as("u"))
+    val seedRows = vn
+      .withColumn("m", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("m"), col("vec_id")).limit(IvfK)
+      .select("m", "vec_id", "u").collect()
+    var cents: Array[(Int, Array[Double])] = seedRows
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+      .zipWithIndex.map { case ((_, _, u), i) => (i + 1, u) }
+    for (_ <- 1 to IvfIters) {
+      val means = vn.withColumn("cell", assignCell(cents))
+        .select(col("cell"), posexplode(col("u")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(round(avg(col("x")), 6).as("w"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            (cid, arr)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF-Flat ANN with a TRAINED coarse quantizer: every vector is assigned
+    * to its nearest spherical-k-means cell (a literal-centroid projection —
+    * no join); each query probes its `IvfNProbe` nearest cells and computes
+    * exact cosine only against their members. Top-3 recall 66% at sf0.1
+    * (vs 29% untrained), asserted ≥60% in `AnnRecallSpec`.
+    *
+    * 100-TB shape: training touches the corpus `IvfIters` times but moves
+    * only K×dim rounded means to the driver; the assignment is one
+    * scan-projection; the candidate join touches only probed cells
+    * (≈ NProbe/K of the corpus per query); nothing is ever corpus × query.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainCentroids(s, dir)
     val vecs = vectors(s, dir)
-    val cents = vecs.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-    val assign = scored
-      .withColumn("rk", row_number().over(byVec)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val probes = scored.filter(col("vec_id") % QueryMod === 0)
-      .withColumn("rk", row_number().over(byVec)).filter(col("rk") <= NProbe)
-      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val vn = vecs.withColumn("u", unitCol)
+    val assign = vn.withColumn("cell", assignCell(cents))
+      .select(col("vec_id"), col("cell"))
+    val probeEntries = cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct(lit(cid).as("cid"), (dot(col("u"), typedLit(c.toSeq)) / cn).as("csim"))
+    }
+    val byQuery = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
+    val probes = vn.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"),
+        explode(array(probeEntries.toIndexedSeq: _*)).as("ce"))
+      .select(col("qid"), col("ce.cid").as("cell"), col("ce.csim").as("csim"))
+      .withColumn("rk", row_number().over(byQuery)).filter(col("rk") <= IvfNProbe)
+      .select(col("qid"), col("cell"))
     val cand = assign.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))

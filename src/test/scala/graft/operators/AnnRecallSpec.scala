@@ -95,19 +95,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.50, f"corpus top-3 recall $recall%.3f below the measured 55.8%% floor")
   }
 
-  test("IVF recall is measured and documented (index-structure demo, untrained quantizer)") {
-    // Honest floor, not a quality bar: with deterministic SAMPLE vectors as
-    // centroids (no k-means training — an iterative trainer can't be
-    // mirrored in the one-shot SQL oracle) and NProbe=2 of ~20 cells on
-    // this weakly-clustered corpus, top-3 recall measures ≈29%. The IVF
-    // query demonstrates the real index structure (assignment, cell
-    // probing, candidate-only scoring); LSH multi-probe is the high-recall
-    // path here, and a production deployment swaps in trained centroids
-    // without changing the plan.
+  test("trained-IVF top-3 recall >= 60% on sf0.1 (8-of-32 cells probed)") {
+    // The quantizer is a deterministic spherical k-means (md5-seeded, 3
+    // Lloyd's iterations, means rounded so the SQL oracle reproduces them
+    // bit-for-bit). Recall 66% at sf0.1, up from 29% with untrained sample
+    // centroids. The probe depth (8/32 cells ≈ 25% of the corpus) is a
+    // corpus property: cell membership is nearly uncorrelated with
+    // top-3-ness when neighbors sit at cosine 0.33-0.5; a clustered corpus
+    // runs the same index at NProbe=1-2.
     val exact = topPairs(AnnQueries.annCosine(spark, dir))
     val ivf = topPairs(AnnQueries.annIvf(spark, dir))
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     info(f"IVF top-3 recall vs exact: ${recall * 100}%.1f%% (${ivf.intersect(exact).size}/${exact.size})")
-    assert(recall >= 0.25, f"IVF recall $recall%.3f fell below its measured baseline")
+    assert(recall >= 0.60, f"trained-IVF recall $recall%.3f below the 60%% bar")
   }
 }
