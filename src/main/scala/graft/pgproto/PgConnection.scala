@@ -7,10 +7,12 @@ import java.net.Socket
   * simple-query protocol — the shared wire layer under both the replication
   * client ([[graft.streaming.SocketWalSource]]) and the service-side SQL
   * seam ([[executor]]). Handshake: startup (optionally
-  * `replication=database`), AuthenticationOk or cleartext password, then
-  * parameter/key messages until ReadyForQuery (public protocol docs
-  * "Message Flow → Start-up"; the reference's pgx dependency does the same
-  * under `pq/connector.go`).
+  * `replication=database`), then AuthenticationOk, SCRAM-SHA-256
+  * ([[ScramClient]] — the default password method on PostgreSQL ≥14), or
+  * legacy cleartext password, then parameter/key messages until
+  * ReadyForQuery (public protocol docs "Message Flow → Start-up" / "SASL
+  * Authentication"; the reference's pgx dependency does the same under
+  * `pq/connector.go`).
   */
 final class PgConnection(
     host: String,
@@ -33,6 +35,9 @@ final class PgConnection(
       "application_name" -> applicationName) ++
       (if (replication) Seq("replication" -> "database") else Nil)
     PgWire.writeStartup(out, params)
+    var scram: ScramClient = null
+    def requirePassword: String = password.getOrElse(throw new IllegalStateException(
+      "pg: server requires a password, none configured"))
     var ready = false
     while (!ready) {
       val m = PgWire.readMessage(in)
@@ -41,9 +46,29 @@ final class PgConnection(
           PgWire.authCode(m.payload) match {
             case 0 => // AuthenticationOk
             case 3 =>
-              val pw = password.getOrElse(throw new IllegalStateException(
-                "pg: server requires a password, none configured"))
-              PgWire.writeMessage(out, PgWire.Tag.PasswordMessage, PgWire.queryPayload(pw))
+              // Cleartext password — legacy servers only; prefer SCRAM. Over
+              // a plaintext socket this sends the password in the clear,
+              // exactly like libpq/pgx against the same server config.
+              PgWire.writeMessage(out, PgWire.Tag.PasswordMessage,
+                PgWire.queryPayload(requirePassword))
+            case PgWire.AuthCodeSasl =>
+              val mechs = PgWire.authSaslMechanisms(m.payload)
+              if (!mechs.contains(Scram.Mechanism))
+                throw new IllegalStateException(
+                  s"pg: server offers no supported SASL mechanism (got ${mechs.mkString(", ")}; " +
+                    s"only ${Scram.Mechanism} is supported — channel binding requires TLS)")
+              scram = new ScramClient(requirePassword)
+              PgWire.writeMessage(out, PgWire.Tag.PasswordMessage,
+                PgWire.saslInitialResponsePayload(Scram.Mechanism, scram.clientFirstMessage))
+            case PgWire.AuthCodeSaslContinue =>
+              if (scram == null)
+                throw new IllegalStateException("pg: SASLContinue before SASL start")
+              PgWire.writeMessage(out, PgWire.Tag.PasswordMessage,
+                scram.clientFinal(PgWire.authSaslData(m.payload)))
+            case PgWire.AuthCodeSaslFinal =>
+              if (scram == null)
+                throw new IllegalStateException("pg: SASLFinal before SASL start")
+              scram.verifyServerFinal(PgWire.authSaslData(m.payload))
             case other =>
               throw new IllegalStateException(s"pg: unsupported authentication method $other")
           }

@@ -116,6 +116,75 @@ object PgWire {
     ((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
       ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
 
+  // SASL authentication sub-messages (all tag 'R'; "Message Flow → SASL
+  // Authentication"): 10 = AuthenticationSASL (mechanism list), 11 =
+  // AuthenticationSASLContinue, 12 = AuthenticationSASLFinal.
+  val AuthCodeSasl = 10
+  val AuthCodeSaslContinue = 11
+  val AuthCodeSaslFinal = 12
+
+  private def int32be(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** AuthenticationSASL payload: code 10 + null-terminated mechanism names
+    * + a final NUL terminating the list.
+    */
+  def authSaslPayload(mechanisms: Seq[String]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(int32be(AuthCodeSasl), 0, 4)
+    mechanisms.foreach { m => b.write(m.getBytes(UTF_8), 0, m.length); b.write(0) }
+    b.write(0)
+    b.toByteArray
+  }
+
+  /** Mechanism names from an AuthenticationSASL payload. */
+  def authSaslMechanisms(payload: Array[Byte]): Seq[String] = {
+    val names = Seq.newBuilder[String]
+    var i = 4
+    while (i < payload.length && payload(i) != 0) {
+      val start = i
+      while (i < payload.length && payload(i) != 0) i += 1
+      names += new String(payload, start, i - start, UTF_8)
+      i += 1
+    }
+    names.result()
+  }
+
+  /** SASL continue/final payload (code + raw SASL message bytes). */
+  def authSaslDataPayload(code: Int, data: Array[Byte]): Array[Byte] =
+    int32be(code) ++ data
+
+  /** The SASL message bytes after the int32 code. */
+  def authSaslData(payload: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(payload, 4, payload.length)
+
+  /** SASLInitialResponse payload ('p'): mechanism name NUL-terminated +
+    * int32 byte length of the initial client response + those bytes.
+    * (Subsequent SASLResponse messages are the raw SASL bytes, no header.)
+    */
+  def saslInitialResponsePayload(mechanism: String, response: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(mechanism.getBytes(UTF_8), 0, mechanism.length)
+    b.write(0)
+    b.write(int32be(response.length), 0, 4)
+    b.write(response, 0, response.length)
+    b.toByteArray
+  }
+
+  /** Parse a SASLInitialResponse payload: (mechanism, initial response). */
+  def parseSaslInitialResponse(payload: Array[Byte]): (String, Array[Byte]) = {
+    var i = 0
+    while (i < payload.length && payload(i) != 0) i += 1
+    val mech = new String(payload, 0, i, UTF_8)
+    i += 1
+    val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+      ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+    i += 4
+    val data = if (len < 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(payload, i, i + len)
+    (mech, data)
+  }
+
   /** ReadyForQuery payload: one transaction-status byte ('I' idle). */
   val ReadyIdle: Array[Byte] = Array[Byte]('I')
 

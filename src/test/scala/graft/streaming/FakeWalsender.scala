@@ -16,6 +16,14 @@ import graft.pgproto.{Lsn, PgWire}
 final class FakeWalsender(
     frames: Seq[Array[Byte]],
     requirePassword: Option[String] = None,
+    /** "cleartext" (legacy) or "scram" (SCRAM-SHA-256, the modern default).
+      * Only meaningful with `requirePassword`.
+      */
+    authMethod: String = "cleartext",
+    /** Mechanism list advertised in AuthenticationSASL (test seam for the
+      * "server offers only unsupported mechanisms" path).
+      */
+    saslMechanisms: Seq[String] = Seq(graft.pgproto.Scram.Mechanism),
     systemId: String = "7000000000000000001",
     timeline: Int = 1,
     xLogPos: Long = 0x1000L,
@@ -64,6 +72,8 @@ final class FakeWalsender(
     startupParams = params
 
     requirePassword match {
+      case Some(expected) if authMethod == "scram" =>
+        if (!scramAuthenticate(in, out, expected)) { sock.close(); return }
       case Some(expected) =>
         PgWire.writeMessage(out, PgWire.Tag.Authentication, PgWire.AuthCleartextPassword)
         val m = PgWire.readMessage(in)
@@ -143,6 +153,56 @@ final class FakeWalsender(
         case other => // ignore
       }
     }
+  }
+
+  /** Server side of one SCRAM-SHA-256 exchange (RFC 5802 message flow over
+    * the protocol's AuthenticationSASL* envelope). Returns false (after
+    * sending 28P01) when the client's proof doesn't verify.
+    */
+  private def scramAuthenticate(
+      in: DataInputStream, out: DataOutputStream, expected: String): Boolean = {
+    import graft.pgproto.Scram
+    import java.nio.charset.StandardCharsets.UTF_8
+    PgWire.writeMessage(out, PgWire.Tag.Authentication,
+      PgWire.authSaslPayload(saslMechanisms))
+    val init = PgWire.readMessage(in)
+    require(init.tag == PgWire.Tag.PasswordMessage,
+      s"expected SASLInitialResponse, got '${init.tag.toChar}'")
+    val (mech, resp) = PgWire.parseSaslInitialResponse(init.payload)
+    require(mech == Scram.Mechanism, s"unexpected mechanism $mech")
+    val clientFirst = new String(resp, UTF_8)
+    require(clientFirst.startsWith("n,,"), s"unexpected gs2 header in '$clientFirst'")
+    val bare = clientFirst.stripPrefix("n,,")
+    val cNonce = Scram.attrs(bare)('r')
+    val sNonce = cNonce + "fakeServerNonce0"
+    val salt = "fake-walsender-salt0".getBytes(UTF_8)
+    val iterations = 4096
+    val serverFirst = s"r=$sNonce,s=${Scram.b64(salt)},i=$iterations"
+    PgWire.writeMessage(out, PgWire.Tag.Authentication,
+      PgWire.authSaslDataPayload(PgWire.AuthCodeSaslContinue, serverFirst.getBytes(UTF_8)))
+    val fin = PgWire.readMessage(in)
+    require(fin.tag == PgWire.Tag.PasswordMessage,
+      s"expected SASLResponse, got '${fin.tag.toChar}'")
+    val clientFinal = new String(fin.payload, UTF_8)
+    val a = Scram.attrs(clientFinal)
+    val salted = Scram.hi(expected, salt, iterations)
+    val storedKey = Scram.storedKey(Scram.clientKey(salted))
+    val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+    val authMsg = s"$bare,$serverFirst,$withoutProof".getBytes(UTF_8)
+    val recoveredCk = Scram.xor(Scram.unb64(a('p')), Scram.hmac(storedKey, authMsg))
+    val ok = a.get('r').contains(sNonce) && a.get('c').contains(Scram.Gs2HeaderB64) &&
+      java.security.MessageDigest.isEqual(Scram.sha256(recoveredCk), storedKey)
+    if (!ok) {
+      PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+        PgWire.errorPayload("FATAL", "28P01", "password authentication failed"))
+      return false
+    }
+    val serverSig = Scram.hmac(Scram.serverKey(salted), authMsg)
+    PgWire.writeMessage(out, PgWire.Tag.Authentication,
+      PgWire.authSaslDataPayload(PgWire.AuthCodeSaslFinal,
+        s"v=${Scram.b64(serverSig)}".getBytes(UTF_8)))
+    PgWire.writeMessage(out, PgWire.Tag.Authentication, PgWire.AuthOk)
+    true
   }
 
   private def parseStartLsn(sql: String): Long = {
