@@ -24,10 +24,17 @@ final case class GraftConfig(
     heartbeatTable: String = "cdc_heartbeat",
     protoVersion: Int = 2,
     maxTxnsPerTrigger: Long = Long.MaxValue,
-    maxFramesPerPartition: Int = 8192) {
+    maxFramesPerPartition: Int = 8192,
+    /** libpq sslmode tier for every connection this config opens:
+      * disable | prefer | require (`config/config.go:55-63` carries the
+      * same through the DSN).
+      */
+    sslMode: String = "disable") {
 
   require(slotName.nonEmpty, "slot name required")
   require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
+  require(Set("disable", "prefer", "require").contains(sslMode),
+    s"unsupported sslmode '$sslMode' (disable|prefer|require)")
 
   /** Regular-SQL connection string (metadata, snapshot chunks, heartbeat) —
     * `config.go:55-57`.
@@ -37,13 +44,13 @@ final case class GraftConfig(
     // a literal plus in a URI userinfo section and would corrupt credentials.
     def esc(s: String) =
       java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
-    s"postgres://${esc(username)}:${esc(password)}@$host:$port/$database"
+    s"postgres://${esc(username)}:${esc(password)}@$host:$port/$database?sslmode=$sslMode"
   }
 
   /** Replication connection string — counts against max_wal_senders
     * (`config.go:59-63`).
     */
-  def replicationDsn: String = s"$dsn?replication=database"
+  def replicationDsn: String = s"$dsn&replication=database"
 
   /** JDBC form of [[dsn]] for `SnapshotReader.jdbc` / `CatalogReader`. */
   def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
@@ -65,6 +72,7 @@ final case class GraftConfig(
       "heartbeatSchema" -> heartbeatSchema,
       "heartbeatTable" -> heartbeatTable,
       "maxFramesPerPartition" -> maxFramesPerPartition.toString) ++
+      (if (sslMode != "disable") Map("sslmode" -> sslMode) else Map.empty) ++
       (if (username.nonEmpty) Map("user" -> username) else Map.empty) ++
       (if (password.nonEmpty) Map("password" -> password) else Map.empty) ++
       (if (database.nonEmpty) Map("database" -> database) else Map.empty) ++

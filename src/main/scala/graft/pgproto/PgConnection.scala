@@ -21,12 +21,21 @@ final class PgConnection(
     database: String,
     password: Option[String] = None,
     replication: Boolean = false,
-    applicationName: String = "graft") extends AutoCloseable {
+    applicationName: String = "graft",
+    /** `disable` (plaintext), `require` (TLS or fail), `prefer` (TLS if the
+      * server accepts, else plaintext) — libpq's sslmode tiers, negotiated
+      * via the 8-byte SSLRequest packet before startup (public protocol
+      * docs "Message Flow → SSL Session Encryption"; the reference carries
+      * sslmode in its DSN through pgx, `config/config.go:55-63`).
+      */
+    sslMode: String = "disable") extends AutoCloseable {
 
-  private val socket = new Socket(host, port)
-  socket.setTcpNoDelay(true)
+  private val socket = PgConnection.negotiateSocket(host, port, sslMode)
   val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
   val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+  /** True when the connection upgraded to TLS. */
+  def isSsl: Boolean = socket.isInstanceOf[javax.net.ssl.SSLSocket]
 
   handshake()
 
@@ -128,6 +137,71 @@ final class PgConnection(
 }
 
 object PgConnection {
+
+  /** SSLRequest magic (int32 after the length): 1234·2^16 + 5679. */
+  val SslRequestCode = 80877103
+
+  /** Dial and, per sslmode, negotiate TLS: write the 8-byte SSLRequest,
+    * read the single 'S'/'N' response byte, then hand the raw socket to
+    * JSSE for the handshake. No bytes beyond the response are read before
+    * the upgrade, so no plaintext buffering can swallow TLS records.
+    */
+  private[pgproto] def negotiateSocket(host: String, port: Int, sslMode: String): Socket = {
+    if (!Set("disable", "prefer", "require").contains(sslMode))
+      throw new IllegalArgumentException(
+        s"pg: unsupported sslmode '$sslMode' (disable|prefer|require)")
+    val plain = new Socket(host, port)
+    plain.setTcpNoDelay(true)
+    def closeAnd(e: Throwable): Nothing = {
+      try plain.close() catch { case _: java.io.IOException => () }
+      throw e
+    }
+    sslMode match {
+      case "disable" => plain
+      case "require" | "prefer" =>
+        try {
+          val dout = new DataOutputStream(plain.getOutputStream)
+          dout.writeInt(8)
+          dout.writeInt(SslRequestCode)
+          dout.flush()
+          plain.getInputStream.read() match {
+            case 'S' => sslUpgrade(plain, host, port)
+            case 'N' if sslMode == "prefer" => plain
+            case 'N' =>
+              closeAnd(new IllegalStateException(
+                "pg: server does not support SSL and sslmode=require"))
+            case -1 =>
+              closeAnd(new java.io.EOFException(
+                "pg: connection closed during SSL negotiation"))
+            case other =>
+              closeAnd(new IllegalStateException(
+                s"pg: unexpected SSL negotiation response $other"))
+          }
+        } catch { case e: java.io.IOException => closeAnd(e) }
+    }
+  }
+
+  /** libpq `sslmode=require` semantics: encrypt but do NOT verify the
+    * certificate chain (that is the verify-ca / verify-full tier, which
+    * would swap the trust manager here). Self-signed server certs — the
+    * common managed-PostgreSQL default — therefore work out of the box.
+    */
+  private def sslUpgrade(plain: Socket, host: String, port: Int): Socket = {
+    import javax.net.ssl.{SSLContext, SSLSocket, TrustManager, X509TrustManager}
+    val trustAll = new X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array[TrustManager](trustAll), new java.security.SecureRandom)
+    val ssl = ctx.getSocketFactory.createSocket(plain, host, port, true)
+      .asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(true)
+    ssl.startHandshake()
+    ssl
+  }
+
   def serverError(phase: String, payload: Array[Byte]): IllegalStateException = {
     val f = PgWire.errorFields(payload)
     new IllegalStateException(

@@ -78,6 +78,13 @@ object PgWire {
   /** Read the startup message on the server side: (protocolVersion, params). */
   def readStartup(in: DataInputStream): (Int, Map[String, String]) = {
     val len = in.readInt()
+    readStartupBody(in, len)
+  }
+
+  /** Startup body when the int32 length was already consumed (a server that
+    * peeked for SSLRequest).
+    */
+  def readStartupBody(in: DataInputStream, len: Int): (Int, Map[String, String]) = {
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     val proto = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |

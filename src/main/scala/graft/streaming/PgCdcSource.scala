@@ -171,7 +171,8 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           slot = slot,
           publication = publication,
           protoVersion = options.getInt("protoVersion", 2),
-          password = Option(options.get("password")))
+          password = Option(options.get("password")),
+          sslMode = Option(options.get("sslmode")).getOrElse("disable"))
       } else {
         require(path != null,
           "pgcdc: a WalSource binding is required — 'path' (WAL frame file), " +

@@ -36,7 +36,8 @@ final class SocketWalSource(
     publication: String,
     protoVersion: Int = 2,
     password: Option[String] = None,
-    queueCapacity: Int = 1024) extends WalSource {
+    queueCapacity: Int = 1024,
+    sslMode: String = "disable") extends WalSource {
 
   @volatile private var confirmed: Long = Lsn.Zero
   @volatile private var conn: PgConnection = null
@@ -57,7 +58,7 @@ final class SocketWalSource(
     if (Lsn.compare(fromLsn, confirmed) > 0) confirmed = fromLsn
 
     conn = new PgConnection(host, port, user, database, password,
-      replication = true, applicationName = "graft-pgcdc")
+      replication = true, applicationName = "graft-pgcdc", sslMode = sslMode)
     identity = identifySystem()
     startReplication(confirmed)
 

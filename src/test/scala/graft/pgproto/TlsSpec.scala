@@ -1,0 +1,93 @@
+package graft.pgproto
+
+import java.io.FileInputStream
+import java.security.KeyStore
+import javax.net.ssl.{KeyManagerFactory, SSLContext}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.FakeWalsender
+
+/** TLS negotiation over an in-process socket pair: SSLRequest → 'S' →
+  * JSSE handshake against a keytool-generated self-signed server cert
+  * (exactly the managed-PostgreSQL shape `sslmode=require` must accept),
+  * plus the 'N' fallbacks for prefer/require.
+  */
+class TlsSpec extends AnyFunSuite {
+
+  /** Self-signed server context, generated once per test JVM via the JDK's
+    * own keytool (no fixtures checked in, no network).
+    */
+  private lazy val serverContext: SSLContext = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls").toFile
+    dir.deleteOnExit()
+    val ksFile = new java.io.File(dir, "server.p12")
+    val cmd = Array("keytool", "-genkeypair", "-alias", "server",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksFile.getAbsolutePath, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "2")
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() == 0, s"keytool failed: $out")
+    val ks = KeyStore.getInstance("PKCS12")
+    val fis = new FileInputStream(ksFile)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  test("sslmode=require upgrades to TLS and the full handshake + queries run encrypted") {
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("s3cret"), authMethod = "scram",
+      serverSsl = Some(serverContext),
+      sqlResults = sql =>
+        if (sql == "SELECT 1") Some((Seq("one"), Seq(Seq(Some("1"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("s3cret"), sslMode = "require")
+      try {
+        assert(conn.isSsl, "connection did not upgrade to TLS")
+        assert(conn.simpleQuery("SELECT 1") === Seq(Seq("1")))
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("sslmode=require fails loudly against a server that refuses SSL") {
+    val server = new FakeWalsender(Seq.empty) // serverSsl = None → answers 'N'
+    try {
+      val e = intercept[IllegalStateException](
+        new PgConnection("localhost", server.port, "u", "db", sslMode = "require"))
+      assert(e.getMessage.contains("does not support SSL"))
+    } finally server.close()
+  }
+
+  test("sslmode=prefer falls back to plaintext on 'N' and still authenticates") {
+    val server = new FakeWalsender(Seq.empty, requirePassword = Some("pw"),
+      sqlResults = sql =>
+        if (sql == "SELECT 2") Some((Seq("two"), Seq(Seq(Some("2"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("pw"), sslMode = "prefer")
+      try {
+        assert(!conn.isSsl)
+        assert(conn.simpleQuery("SELECT 2") === Seq(Seq("2")))
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("sslmode=prefer takes TLS when offered") {
+    val server = new FakeWalsender(Seq.empty, serverSsl = Some(serverContext))
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        sslMode = "prefer")
+      try assert(conn.isSsl) finally conn.close()
+    } finally server.close()
+  }
+
+  test("unknown sslmode is rejected before dialing anything sensitive") {
+    val e = intercept[IllegalArgumentException](
+      new PgConnection("localhost", 1, "u", "db", sslMode = "verify-banana"))
+    assert(e.getMessage.contains("unsupported sslmode"))
+  }
+}

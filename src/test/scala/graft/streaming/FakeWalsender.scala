@@ -24,6 +24,11 @@ final class FakeWalsender(
       * "server offers only unsupported mechanisms" path).
       */
     saslMechanisms: Seq[String] = Seq(graft.pgproto.Scram.Mechanism),
+    /** When set, SSLRequest is answered 'S' and the connection upgrades to
+      * TLS with this (keystore-backed) context; when None it is answered
+      * 'N' like an SSL-less server.
+      */
+    serverSsl: Option[javax.net.ssl.SSLContext] = None,
     systemId: String = "7000000000000000001",
     timeline: Int = 1,
     xLogPos: Long = 0x1000L,
@@ -63,11 +68,33 @@ final class FakeWalsender(
       t.start()
     } catch { case _: Throwable => () }
 
-  private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def serve(sock0: Socket): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 
-    val (proto, params) = PgWire.readStartup(in)
+    // Peek for the SSLRequest packet (length 8 + magic) before startup.
+    var len = in.readInt()
+    if (len == 8) {
+      val code = in.readInt()
+      require(code == graft.pgproto.PgConnection.SslRequestCode,
+        s"unexpected 8-byte pre-startup packet with code $code")
+      serverSsl match {
+        case Some(ctx) =>
+          out.writeByte('S'); out.flush()
+          val ssl = ctx.getSocketFactory
+            .createSocket(sock, null, sock.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          sock = ssl
+          in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+          out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+        case None =>
+          out.writeByte('N'); out.flush()
+      }
+      len = in.readInt()
+    }
+    val (proto, params) = PgWire.readStartupBody(in, len)
     require(proto == PgWire.ProtocolVersion3, s"unexpected protocol $proto")
     startupParams = params
 
