@@ -54,6 +54,7 @@ object SparkEntry {
     "q_snapshot_handoff" -> ((s, d) => CdcQueries.snapshotHandoff(s, d).orderBy("final_status")),
     "q_streamed_txn" -> ((s, d) => CdcQueries.streamedTxnRoundtrip(s, d)),
     "q_event_window" -> ((s, d) => CdcQueries.eventTimeWindow(s, d).orderBy("win_start", "event_type")),
+    "q_typed_view" -> ((s, d) => CdcQueries.typedViewOrders(s, d).orderBy("o_orderstatus")),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -250,6 +251,31 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Typed per-table view: the Spark side round-trips orders through
+    // pgoutput text format and casts the envelope through the relation's
+    // OIDs; the oracle applies the same casts straight to the source table.
+    // The double goes through VARCHAR before DECIMAL(12,2) on both sides so
+    // both engines parse the identical shortest-representation string.
+    "q_typed_view" ->
+      """WITH src AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust,
+             o_orderstatus,
+             CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) AS price,
+             CAST(o_orderdate AS DATE) AS d,
+             o_orderdate AS ts,
+             (o_orderkey % 2 = 0) AS bulk,
+             o_orderpriority AS prio
+           FROM orders)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(sum(cust) AS BIGINT) AS sum_cust,
+           max(price) AS max_price,
+           max(d) AS max_date,
+           max(ts) AS max_ts,
+           CAST(sum(CASE WHEN bulk THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+           min(prio) AS min_priority
+         FROM src GROUP BY 1 ORDER BY 1""",
     "q_snapshot_handoff" ->
       """SELECT final_status, count(*) AS n,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

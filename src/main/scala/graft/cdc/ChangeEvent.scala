@@ -1,5 +1,7 @@
 package graft.cdc
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types._
 
 /** The generic CDC envelope — one row per change event, SURVEY.md §1.2 (a).
@@ -25,6 +27,26 @@ final case class ChangeEvent(
 
 object ChangeEvent {
   final val Ops = Seq("insert", "update", "delete", "truncate")
+
+  /** The typed per-table view (SURVEY §1.2 plan (b)): filter the envelope
+    * to one relation and project its text-format row image through the
+    * relation's column types ([[graft.types.PgTypes.typedColumns]] — pure
+    * Catalyst casts, codegen-friendly, unknown OIDs fall back to string
+    * exactly like the reference's pgtype map). The image column is `after`
+    * except for deletes, whose only image is `before` (the replica-identity
+    * columns; non-key columns come back NULL under REPLICA IDENTITY
+    * DEFAULT). Identity columns (lsn/commit_lsn/xid/op/commit_time) ride
+    * along so downstream latest-state / sessionization logic keeps working
+    * on the typed frame.
+    */
+  def typedView(events: DataFrame, rel: graft.pgproto.Messages.Relation): DataFrame = {
+    val image: Column = when(col("op") === lit("delete"), col("before"))
+      .otherwise(col("after"))
+    events
+      .filter(col("schema") === lit(rel.namespace) && col("table") === lit(rel.name))
+      .select(Seq(col("lsn"), col("commit_lsn"), col("xid"), col("op"),
+        col("commit_time")) ++ graft.types.PgTypes.typedColumns(rel, image): _*)
+  }
 
   /** Envelope schema as seen by Spark (map values nullable: SQL NULL columns). */
   val schema: StructType = StructType(Seq(

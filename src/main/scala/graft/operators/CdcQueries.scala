@@ -278,6 +278,93 @@ object CdcQueries {
     Messages.RelationColumn("event_type", 25L, -1, 0),
     Messages.RelationColumn("value", 701L, -1, 0)) // float8
 
+  // Relation for the typed-view query: every cast family PgTypes bridges —
+  // int8 key, nullable int4, text, NUMERIC(12,2) via typmod, DATE,
+  // TIMESTAMPTZ, BOOL, and a deliberately unknown OID that must fall back
+  // to string like the reference's pgtype map.
+  private val TypedRelOid = 50002L
+  private val TypedRelCols = Seq(
+    Messages.RelationColumn("o_orderkey", 20L, -1, 1),
+    Messages.RelationColumn("o_custkey", 23L, -1, 0),
+    Messages.RelationColumn("o_orderstatus", 25L, -1, 0),
+    Messages.RelationColumn("o_totalprice", 1700L, ((12 << 16) | 2) + 4, 0),
+    Messages.RelationColumn("o_orderdate", 1082L, -1, 0),
+    Messages.RelationColumn("o_ordertime", 1114L, -1, 0), // timestamp → TimestampNTZ
+    Messages.RelationColumn("o_bulk", 16L, -1, 0),
+    Messages.RelationColumn("o_priority", 99999L, -1, 0))
+  private val TypedRel = Messages.Relation(0L, TypedRelOid, "public", "orders_typed",
+    'd', TypedRelCols.toArray)
+
+  /** SURVEY §1.2 (b), the typed per-table view: orders rows are encoded
+    * into pgoutput text-format inserts, decoded back into the generic
+    * envelope, and [[graft.cdc.ChangeEvent.typedView]] projects the
+    * envelope through the relation's OIDs into a typed frame (bigint /
+    * nullable int / decimal(12,2) / date / timestamp / boolean / unknown-OID
+    * string). The aggregate runs ON the typed columns, so the DuckDB
+    * oracle — which computes the same from the source table with plain SQL
+    * casts — hash-verifies every cast family end-to-end.
+    */
+  def typedViewOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).select(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val envelope = orders.mapPartitions { it =>
+      val tsFmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      val assembler = new TransactionAssembler()
+      val rel = MessageEncoder.xlogData(1, 1, 0L,
+        MessageEncoder.relation(TypedRelOid, "public", "orders_typed", TypedRelCols))
+      assembler.onCopyData(rel)
+      var lsn = 10L
+      def toInstant(micros: Long): java.time.Instant =
+        java.time.Instant.ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L)
+      it.grouped(500).flatMap { txn =>
+        val frames = Seq.newBuilder[Array[Byte]]
+        val beginLsn = lsn
+        val endLsn = beginLsn + txn.size + 2L
+        val commitMicros = 1700000000000000L + beginLsn
+        frames += MessageEncoder.xlogData(beginLsn, beginLsn, 0L,
+          MessageEncoder.begin(endLsn, commitMicros, 1L))
+        txn.zipWithIndex.foreach { case (r, i) =>
+          val key = r.getLong(0)
+          // parquet timestamp[ms] (no tz) surfaces as TimestampNTZ → LocalDateTime
+          val ldt = r.getAs[java.time.LocalDateTime](4)
+          val vals = Seq(
+            Some(key.toString),
+            if (key % 7 == 0) None else Some(r.getLong(1).toString),
+            Some(r.getString(2)),
+            Some(r.getDouble(3).toString),
+            Some(ldt.toLocalDate.toString),
+            Some(tsFmt.format(ldt)),
+            Some(if (key % 2 == 0) "t" else "f"),
+            Some(r.getString(5)))
+          frames += MessageEncoder.xlogData(beginLsn + 1 + i, beginLsn + 1 + i, 0L,
+            MessageEncoder.insert(TypedRelOid, vals))
+        }
+        frames += MessageEncoder.xlogData(endLsn - 1, endLsn - 1, 0L,
+          MessageEncoder.commit(endLsn - 1, endLsn, commitMicros))
+        lsn = endLsn
+        frames.result().iterator.flatMap(assembler.onCopyData).map { e =>
+          Row(e.lsn, e.commitLsn, e.xid, e.op, e.schema, e.table,
+            toInstant(e.messageTimeMicros), toInstant(e.commitTimeMicros),
+            e.keyNames, e.before, e.after)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(graft.cdc.ChangeEvent.schema))
+
+    graft.cdc.ChangeEvent.typedView(envelope, TypedRel)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("o_orderkey").as("sum_key"),
+        sum("o_custkey").as("sum_cust"),
+        max("o_totalprice").as("max_price"),
+        max("o_orderdate").as("max_date"),
+        max("o_ordertime").as("max_ts"),
+        sum(when(col("o_bulk"), 1L).otherwise(0L)).as("n_bulk"),
+        min("o_priority").as("min_priority"))
+  }
+
   /** The flagship: full wire round-trip, distributed. Each partition of
     * `events` is encoded into pgoutput frames (insert/update/delete per
     * event_type, one transaction per 500 rows), pushed through
