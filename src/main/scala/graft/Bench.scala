@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
   * JSON line the driver parses. Methodology:
   *  - a warm-up pass at sf0.001 first, so JVM/codegen startup isn't billed to
   *    whichever query happens to run first;
+  *  - shared persisted frames (shingle sets, LSH signatures) are built and
+  *    timed as explicit `prep_*` entries BEFORE the query pass — without
+  *    this, the first query to touch a memoized frame is billed for a build
+  *    its siblings reuse and per-query numbers misattribute shared work
+  *    (the warm-up corpus's caches are released first so nothing stale
+  *    lingers);
   *  - the timed action is a `noop`-format write, which materializes EVERY
   *    column of every row — `count()` let Catalyst prune projection-shaped
   *    queries down to a scan of zero columns (q_column_projection and
@@ -34,14 +40,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Drop the warm-up corpus's shared caches, then pre-build the measured
+    // corpus's as their own timed entries.
+    graft.operators.SharedCaches.releaseAll(spark)
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timed(name: String, run: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try run()
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val prep = graft.operators.SharedCaches.entries.map { case (name, build) =>
+      timed(name, () => build(spark, sfDir).write.format("noop").mode("overwrite").save())
+    }
+    val results = prep ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
+      timed(name, () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -49,7 +65,7 @@ object Bench {
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -106,7 +106,14 @@ object AnnQueries {
     * leak into the centroids. Empty cells keep their previous centroid.
     */
   private def trainCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
-    val vn = vectors(s, dir).select(col("vec_id"), unitCol.as("u"))
+    // Persisted for the duration of training: each Lloyd's iteration scans
+    // the unit vectors once (at scale this is the materialized training
+    // table every iteration reads), then released.
+    val vn = vectors(s, dir).select(col("vec_id"), unitCol.as("u")).persist()
+    try trainLoop(vn) finally vn.unpersist(blocking = false)
+  }
+
+  private def trainLoop(vn: DataFrame): Array[(Int, Array[Double])] = {
     val seedRows = vn
       .withColumn("m", md5(col("vec_id").cast("string").cast("binary")))
       .orderBy(col("m"), col("vec_id")).limit(IvfK)
