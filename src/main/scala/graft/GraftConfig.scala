@@ -29,7 +29,11 @@ final case class GraftConfig(
       * disable | prefer | require (`config/config.go:55-63` carries the
       * same through the DSN).
       */
-    sslMode: String = "disable") {
+    sslMode: String = "disable",
+    /** Port for the Prometheus text-exposition endpoint
+      * (reference `config.go:35-37` MetricConfig; `internal/http/server.go`).
+      */
+    metricPort: Int = 8080) {
 
   require(slotName.nonEmpty, "slot name required")
   require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")

@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.snapshot.ChunkPlanner
+
+/** YAML → GraftConfig: a full file covering every field, the applied
+  * defaults, and the validation semantics (all errors in one message, the
+  * heartbeat-in-publication check, unknown-key detection, parser rejects).
+  */
+class GraftConfigFileSpec extends AnyFunSuite {
+
+  private val full =
+    """# production CDC config
+      |host: db.internal
+      |port: 5433
+      |username: cdc_user
+      |password: "p@ss: w#rd"
+      |database: appdb
+      |sslmode: require
+      |publication:
+      |  name: graft_pub
+      |  createIfNotExists: false
+      |  operations:
+      |    - insert
+      |    - update
+      |    - delete
+      |  tables:
+      |    - name: users
+      |      schema: app
+      |      columns:
+      |        - id
+      |        - email
+      |    - name: orders_part
+      |      partitioned: true
+      |    - name: cdc_heartbeat
+      |slot:
+      |  name: graft_slot
+      |  createIfNotExists: false
+      |  protoVersion: 1
+      |heartbeat:
+      |  table:
+      |    name: cdc_heartbeat
+      |snapshot:
+      |  mode: initial
+      |  chunkSize: 4000
+      |  partitionStrategy: integer_range
+      |  queryCondition: "id > 0"
+      |  tableConditions:
+      |    users: "id > 100"
+      |  resnapshot: true
+      |metric:
+      |  port: 9187
+      |maxTxnsPerTrigger: 500
+      |maxFramesPerPartition: 1024
+      |""".stripMargin
+
+  test("a full file round-trips every field") {
+    val cfg = GraftConfigFile.fromYaml(full)
+    assert(cfg.host == "db.internal" && cfg.port == 5433)
+    assert(cfg.username == "cdc_user" && cfg.password == "p@ss: w#rd")
+    assert(cfg.database == "appdb" && cfg.sslMode == "require")
+    assert(cfg.publication.name == "graft_pub" && !cfg.publication.createIfNotExists)
+    assert(cfg.publication.operations == Seq("insert", "update", "delete"))
+    val Seq(users, parts, hb) = cfg.publication.tables
+    assert(users.schema == "app" && users.name == "users" &&
+      users.columns == Seq("id", "email") && !users.partitioned)
+    assert(parts.schema == "public" && parts.name == "orders_part" && parts.partitioned)
+    assert(hb.name == "cdc_heartbeat")
+    assert(cfg.slotName == "graft_slot" && !cfg.slotCreateIfNotExists)
+    assert(cfg.protoVersion == 1)
+    assert(cfg.heartbeatSchema == "public" && cfg.heartbeatTable == "cdc_heartbeat")
+    assert(cfg.snapshot.mode == "initial" && cfg.snapshot.chunkSize == 4000L)
+    assert(cfg.snapshot.strategy == ChunkPlanner.IntegerRange)
+    assert(cfg.snapshot.globalCondition.contains("id > 0"))
+    assert(cfg.snapshot.perTableCondition == Map("users" -> "id > 100"))
+    assert(cfg.snapshot.resnapshot)
+    assert(cfg.metricPort == 9187)
+    assert(cfg.maxTxnsPerTrigger == 500L && cfg.maxFramesPerPartition == 1024)
+  }
+
+  test("defaults match the reference's SetDefault") {
+    val cfg = GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |slot:
+        |  name: s1
+        |""".stripMargin)
+    assert(cfg.port == 5432 && cfg.protoVersion == 2 && cfg.sslMode == "disable")
+    assert(cfg.publication.operations == Seq("insert", "update", "delete", "truncate"))
+    assert(cfg.publication.tables.head.schema == "public")
+    assert(cfg.snapshot.mode == "initial" && cfg.snapshot.chunkSize == 8000L)
+    assert(cfg.snapshot.strategy == ChunkPlanner.Auto)
+    assert(cfg.metricPort == 8080)
+    assert(cfg.heartbeatTable == "cdc_heartbeat")
+  }
+
+  test("validation collects every problem into one message") {
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """port: 5432
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |""".stripMargin))
+    // host, username, password, database, slot.name — all reported at once
+    assert(e.getMessage.contains("host cannot be empty"))
+    assert(e.getMessage.contains("username cannot be empty"))
+    assert(e.getMessage.contains("password cannot be empty"))
+    assert(e.getMessage.contains("database cannot be empty"))
+    assert(e.getMessage.contains("slot.name cannot be empty"))
+    assert(e.getMessage.contains("5 problem(s)"))
+  }
+
+  test("heartbeat table must be included in the publication") {
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: users
+        |slot:
+        |  name: s1
+        |heartbeat:
+        |  table:
+        |    name: cdc_heartbeat
+        |""".stripMargin))
+    assert(e.getMessage.contains("heartbeat table public.cdc_heartbeat is not included"))
+  }
+
+  test("typos, wrong types, and bad enums are loud") {
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |prot: 5432
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |      partitioned: yes-please
+        |slot:
+        |  name: s1
+        |  protoVersion: two
+        |snapshot:
+        |  chunkSiez: 9000
+        |  partitionStrategy: sharded
+        |""".stripMargin))
+    assert(e.getMessage.contains("unknown key 'prot'"))
+    assert(e.getMessage.contains("unknown key 'snapshot.chunkSiez'"))
+    assert(e.getMessage.contains("'yes-please' is not true/false"))
+    assert(e.getMessage.contains("'two' is not an integer"))
+    assert(e.getMessage.contains("partitionStrategy 'sharded'"))
+  }
+
+  test("the parser rejects what it cannot represent") {
+    assert(intercept[IllegalArgumentException](
+      GraftConfigFile.fromYaml("host: h\n\tport: 1\n")).getMessage.contains("tabs"))
+    assert(intercept[IllegalArgumentException](
+      GraftConfigFile.fromYaml("host: &anchor h\n")).getMessage.contains("unsupported YAML"))
+    assert(intercept[IllegalArgumentException](
+      GraftConfigFile.fromYaml("host: h\nhost: i\n")).getMessage.contains("duplicate key"))
+  }
+
+  test("load() reads from disk") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".yaml")
+    java.nio.file.Files.writeString(f, full)
+    try assert(GraftConfigFile.load(f.toString).host == "db.internal")
+    finally java.nio.file.Files.delete(f)
+  }
+}
