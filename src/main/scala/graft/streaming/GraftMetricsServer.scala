@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Prometheus text-exposition endpoint over a [[GraftMetricsListener]] —
+  * the analogue of the reference's metrics HTTP server
+  * (`internal/http/server.go:35-62`: `GET /metrics` + `GET /status`),
+  * built on the JDK's HttpServer (no dependencies).
+  *
+  * Exposed series (text format 0.0.4):
+  *  - every pgcdc source gauge from the latest `StreamingQueryProgress`,
+  *    renamed camelCase → snake_case under the `graft_pgcdc_` namespace
+  *    (`backlogTxns` → `graft_pgcdc_backlog_txns`; the reference's
+  *    equivalent set lives under `go_pq_cdc_*`, `internal/metric/
+  *    metric.go:16-38`). LSN-valued gauges (`confirmedLsn`) are exposed as
+  *    their numeric WAL position, like the reference's
+  *    `slot_confirmed_flush_lsn` float gauge;
+  *  - listener counters: `graft_pgcdc_input_rows_total`,
+  *    `graft_pgcdc_batches_total`.
+  *
+  * Bind with port 0 for an ephemeral port (tests), or
+  * `cfg.metricPort` in production. `close()` stops the server.
+  */
+final class GraftMetricsServer(listener: GraftMetricsListener, port: Int)
+  extends AutoCloseable {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/metrics", (ex: HttpExchange) =>
+    respond(ex, 200, render(), "text/plain; version=0.0.4; charset=utf-8"))
+  server.createContext("/status", (ex: HttpExchange) =>
+    respond(ex, 200, "OK", "text/plain; charset=utf-8"))
+  server.setExecutor(null)
+  server.start()
+
+  /** The actually-bound port (differs from the requested one when 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  override def close(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String, ctype: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    try {
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+  }
+
+  /** One scrape: counters from the listener + the latest source gauges. */
+  private[streaming] def render(): String = {
+    val sb = new StringBuilder
+    def series(name: String, mtype: String, help: String, value: String): Unit = {
+      sb.append("# HELP ").append(name).append(' ').append(help).append('\n')
+      sb.append("# TYPE ").append(name).append(' ').append(mtype).append('\n')
+      sb.append(name).append(' ').append(value).append('\n')
+    }
+    series("graft_pgcdc_input_rows_total", "counter",
+      "rows delivered across all micro-batches", listener.totalInputRows.toString)
+    series("graft_pgcdc_batches_total", "counter",
+      "micro-batches completed", listener.batchCount.toString)
+    listener.sourceMetrics.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      numericValue(k, v).foreach { num =>
+        series("graft_pgcdc_" + snakeCase(k), "gauge",
+          s"pgcdc source gauge $k", num)
+      }
+    }
+    sb.toString
+  }
+
+  /** Gauge values arrive as strings; LSNs render as their numeric WAL
+    * position, non-numeric values are skipped rather than emitted invalid.
+    */
+  private def numericValue(key: String, v: String): Option[String] =
+    if (v == null) None
+    else if (key.toLowerCase.endsWith("lsn"))
+      scala.util.Try(graft.pgproto.Lsn.parse(v).toString).toOption
+        .orElse(scala.util.Try { v.toDouble; v }.toOption)
+    else scala.util.Try { v.toDouble; v }.toOption
+
+  private def snakeCase(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+}
+
+object GraftMetricsServer {
+  /** Production wiring: register a fresh listener on the session's streams
+    * and serve it on `cfg.metricPort`.
+    */
+  def start(spark: org.apache.spark.sql.SparkSession,
+      cfg: graft.GraftConfig): (GraftMetricsListener, GraftMetricsServer) = {
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    (listener, new GraftMetricsServer(listener, cfg.metricPort))
+  }
+}

@@ -63,6 +63,52 @@ class GraftMetricsSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("the /metrics endpoint serves Prometheus text during a streaming query") {
+    val wal = Files.createTempFile("wal-prom", ".bin").toString
+    WalFile.write(wal, WalGen.frames(5, 3))
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val server = new GraftMetricsServer(listener, port = 0)
+    def scrape(path: String): String = {
+      val url = java.net.URI.create(
+        s"http://localhost:${server.boundPort}$path").toURL
+      val in = url.openStream()
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    try {
+      assert(scrape("/status") == "OK")
+      val q = spark.readStream.format("pgcdc")
+        .option("path", wal)
+        .load()
+        .writeStream.format("memory").queryName("prom_sink").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.totalInputRows < 15L && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+
+      val body = scrape("/metrics")
+      assert(body.contains("# TYPE graft_pgcdc_input_rows_total counter"))
+      assert(body.contains("graft_pgcdc_input_rows_total 15"))
+      assert(body.contains("# TYPE graft_pgcdc_txns_delivered gauge"))
+      def gauge(name: String): Long = {
+        val line = body.linesIterator.find(_.startsWith(s"graft_pgcdc_$name "))
+        assert(line.isDefined, s"gauge $name missing in:\n$body")
+        line.get.split(" ")(1).toDouble.toLong
+      }
+      // The listener holds whichever progress snapshot arrived last (pre- or
+      // post-commit), so assert the conservation invariant rather than one
+      // snapshot: every produced txn is either still backlogged or delivered.
+      assert(gauge("backlog_txns") + gauge("txns_delivered") == 5L)
+      // LSN gauges are numeric WAL positions, not "X/X" strings
+      assert(gauge("confirmed_lsn") >= 0L)
+    } finally {
+      server.close()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("executor task metrics count decoded events and suppressed heartbeats") {
     import graft.pgproto.{Messages, MessageEncoder}
     val relOid = 16600L
