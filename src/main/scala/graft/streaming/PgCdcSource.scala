@@ -282,6 +282,16 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     * feed (None + unhealthy) as a failure.
     */
   private def pollRecovering(): Option[Array[Byte]] = {
+    import scala.util.control.NonFatal
+    // Only NonFatal transport failures enter the reconnect/backoff path: an
+    // InterruptedException is a stream-stop request (rethrow with the flag
+    // restored so the caller's shutdown isn't swallowed into backoff
+    // sleeps), and fatal errors (OOM, etc.) must surface immediately rather
+    // than burn maxReconnectAttempts reconnect cycles first.
+    def interrupted(e: InterruptedException): Nothing = {
+      Thread.currentThread().interrupt()
+      throw e
+    }
     var attempt = 0
     while (true) {
       try {
@@ -290,11 +300,18 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           throw new IllegalStateException("pgcdc: feed ended unexpectedly")
         return r
       } catch {
-        case e: Throwable if attempt < maxReconnectAttempts =>
+        case e: InterruptedException => interrupted(e)
+        case NonFatal(e) if attempt < maxReconnectAttempts =>
           attempt += 1
           try recoverFeed(attempt, e)
-          catch { case _: Throwable if attempt < maxReconnectAttempts => () }
-        case e: Throwable =>
+          catch {
+            case ie: InterruptedException => interrupted(ie)
+            case NonFatal(_) if attempt < maxReconnectAttempts => ()
+            case NonFatal(e2) =>
+              throw new IllegalStateException(
+                s"pgcdc: feed failed and $maxReconnectAttempts reconnect attempts exhausted", e2)
+          }
+        case NonFatal(e) =>
           throw new IllegalStateException(
             s"pgcdc: feed failed and $maxReconnectAttempts reconnect attempts exhausted", e)
       }

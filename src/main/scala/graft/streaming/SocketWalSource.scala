@@ -43,7 +43,12 @@ final class SocketWalSource(
   @volatile private var conn: PgConnection = null
   private val writeLock = new Object
   private var reader: Thread = null
-  private val queue = new ArrayBlockingQueue[Array[Byte]](queueCapacity)
+  // One queue PER connection generation: a stale reader thread that outlives
+  // close()+open() (join timed out while it was parked in queue.put) can
+  // only ever write to its own generation's dead queue, never feed a
+  // pre-disconnect frame into the reopened session (round-4 advice).
+  @volatile private var queue = new ArrayBlockingQueue[Array[Byte]](queueCapacity)
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile private var streamEnded = false
   @volatile private var failure: Throwable = null
 
@@ -52,7 +57,8 @@ final class SocketWalSource(
 
   override def open(fromLsn: Long): Unit = {
     close()
-    queue.clear()
+    val gen = generation.incrementAndGet()
+    queue = new ArrayBlockingQueue[Array[Byte]](queueCapacity)
     streamEnded = false
     failure = null
     if (Lsn.compare(fromLsn, confirmed) > 0) confirmed = fromLsn
@@ -62,7 +68,13 @@ final class SocketWalSource(
     identity = identifySystem()
     startReplication(confirmed)
 
-    reader = new Thread(() => readLoop(), s"pgcdc-walsender-reader-$slot")
+    // The reader captures ITS connection, queue, and generation — it never
+    // dereferences the shared mutable fields, and a superseded generation's
+    // writes to streamEnded/failure are ignored.
+    val myConn = conn
+    val myQueue = queue
+    reader = new Thread(() => readLoop(gen, myConn, myQueue),
+      s"pgcdc-walsender-reader-$slot")
     reader.setDaemon(true)
     reader.start()
   }
@@ -96,33 +108,40 @@ final class SocketWalSource(
 
   /** Reader thread: CopyData payloads ('w'/'k' frames) into the bounded
     * queue. `put` blocking on a full queue IS the backpressure mechanism.
+    * Everything it touches is generation-local (`myConn`/`myQueue`); shared
+    * failure/streamEnded writes are dropped once a newer open() supersedes
+    * this generation.
     */
-  private def readLoop(): Unit =
+  private def readLoop(gen: Long, myConn: PgConnection,
+      myQueue: ArrayBlockingQueue[Array[Byte]]): Unit = {
+    def current: Boolean = generation.get() == gen
+    def fail(t: Throwable): Unit = if (current) failure = t
     try {
       var running = true
       while (running) {
-        val m = PgWire.readMessage(conn.in)
+        val m = PgWire.readMessage(myConn.in)
         m.tag match {
-          case PgWire.Tag.CopyData => queue.put(m.payload)
+          case PgWire.Tag.CopyData => myQueue.put(m.payload)
           case PgWire.Tag.CopyDone | PgWire.Tag.CommandComplete | PgWire.Tag.ReadyForQuery =>
             running = false
           case PgWire.Tag.NoticeResponse | PgWire.Tag.ParameterStatus =>
           case PgWire.Tag.ErrorResponse =>
-            failure = PgConnection.serverError("replication stream", m.payload)
+            fail(PgConnection.serverError("replication stream", m.payload))
             running = false
           case other =>
-            failure = new IllegalStateException(
-              s"pgcdc: unexpected message '${other.toChar}' in CopyBoth stream")
+            fail(new IllegalStateException(
+              s"pgcdc: unexpected message '${other.toChar}' in CopyBoth stream"))
             running = false
         }
       }
-      streamEnded = true
+      if (current) streamEnded = true
     } catch {
-      case _: EOFException => streamEnded = true
-      case _: java.net.SocketException => streamEnded = true // closed under us
-      case _: InterruptedException => streamEnded = true // close() interrupt
-      case t: Throwable => failure = t; streamEnded = true
+      case _: EOFException => if (current) streamEnded = true
+      case _: java.net.SocketException => if (current) streamEnded = true // closed under us
+      case _: InterruptedException => if (current) streamEnded = true // close() interrupt
+      case t: Throwable => fail(t); if (current) streamEnded = true
     }
+  }
 
   override def poll(): Option[Array[Byte]] = {
     if (failure != null)

@@ -60,24 +60,29 @@ object StatefulOps {
       .filter(col("key").isNotNull)
       .as[(String, String, Long, Map[String, String])]
       .groupByKey(_._1)
-      .mapGroupsWithState[KeyState, KeyState](timeoutConf)(updateKey(idleTimeoutMillis))
+      .flatMapGroupsWithState[KeyState, KeyState](
+        org.apache.spark.sql.streaming.OutputMode.Update(), timeoutConf)(
+        updateKey(idleTimeoutMillis))
   }
 
   /** The per-key state transition, extracted so specs can drive it directly
-    * with `TestGroupState`. On an idle timeout the key's state is emitted one
-    * final time and REMOVED — at 100-TB key cardinality, state that is never
-    * evicted grows without bound; a key seen again later simply re-enters as
-    * fresh state (correct for latest-row semantics: its next event carries a
-    * higher LSN than anything evicted).
+    * with `TestGroupState`. On an idle timeout the key's state is REMOVED
+    * and NOTHING is emitted — at 100-TB key cardinality, state that is never
+    * evicted grows without bound, and re-emitting the unchanged last row on
+    * eviction would hand update-mode sinks a duplicate change they may
+    * double-apply (round-4 advice). A key seen again later simply re-enters
+    * as fresh state (correct for latest-row semantics: its next event
+    * carries a higher LSN than anything evicted). `flatMapGroupsWithState`
+    * rather than `mapGroupsWithState` exactly because the timeout branch
+    * must emit an empty iterator.
     */
   private[streaming] def updateKey(idleTimeoutMillis: Option[Long])(
       key: String,
       events: Iterator[(String, String, Long, Map[String, String])],
-      state: GroupState[KeyState]): KeyState = {
+      state: GroupState[KeyState]): Iterator[KeyState] = {
     if (state.hasTimedOut) {
-      val last = state.get
       state.remove()
-      last
+      Iterator.empty
     } else {
       val incoming = events.map { case (_, op, lsn, after) =>
         KeyState(key, op, lsn, if (op == "delete") null else after)
@@ -85,7 +90,7 @@ object StatefulOps {
       val latest = (state.getOption.iterator ++ incoming).maxBy(_.lsn)
       state.update(latest)
       idleTimeoutMillis.foreach(state.setTimeoutDuration)
-      latest
+      Iterator.single(latest)
     }
   }
 }

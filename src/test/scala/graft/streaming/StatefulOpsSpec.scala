@@ -95,7 +95,7 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(finalState(k12)._1 == "delete" && finalState(k12)._3.isEmpty)
   }
 
-  test("idle TTL: a timed-out key emits its final state and is removed") {
+  test("idle TTL: a timed-out key is removed silently (no duplicate emission)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val prior = StatefulOps.KeyState("k", "insert", 10L, Map("id" -> "1"))
     val state = TestGroupState.create[StatefulOps.KeyState](
@@ -104,7 +104,8 @@ class StatefulOpsSpec extends AnyFunSuite {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
       hasTimedOut = true)
     val out = StatefulOps.updateKey(Some(60000L))("k", Iterator.empty, state)
-    assert(out == prior, "eviction emits the state one final time")
+    assert(out.isEmpty,
+      "eviction must not re-emit the unchanged row — update-mode sinks would double-apply it")
     assert(state.isRemoved, "timed-out state must be evicted, not kept forever")
   }
 
@@ -116,8 +117,8 @@ class StatefulOpsSpec extends AnyFunSuite {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
       hasTimedOut = false)
     val out = StatefulOps.updateKey(Some(60000L))("k",
-      Iterator(("k", "insert", 5L, Map("id" -> "1"))), state)
-    assert(out.lsn == 5L && !state.isRemoved)
+      Iterator(("k", "insert", 5L, Map("id" -> "1"))), state).toSeq
+    assert(out.map(_.lsn) == Seq(5L) && !state.isRemoved)
     assert(state.getTimeoutTimestampMs.isPresent &&
       state.getTimeoutTimestampMs.get() == 61000L,
       "timeout = batch processing time + TTL")
@@ -131,8 +132,8 @@ class StatefulOpsSpec extends AnyFunSuite {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
       hasTimedOut = false)
     val out = StatefulOps.updateKey(None)("k",
-      Iterator(("k", "insert", 5L, Map("id" -> "1"))), state)
-    assert(out.lsn == 5L)
+      Iterator(("k", "insert", 5L, Map("id" -> "1"))), state).toSeq
+    assert(out.map(_.lsn) == Seq(5L))
     assert(!state.getTimeoutTimestampMs.isPresent)
   }
 }
