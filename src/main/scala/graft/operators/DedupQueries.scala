@@ -171,7 +171,15 @@ object DedupQueries {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = docShingleSets(s, dir, 3)
-    val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // The inverted index is keyed on xxhash64(shingle), not the shingle
+    // string: the key exists ONLY to route the self-join (the output is
+    // re-verified with exact Jaccard over the full string sets), so a
+    // codegen'd 8-byte hash shrinks the shuffle without needing a DuckDB
+    // mirror — a collision merely adds a candidate that exact verification
+    // then scores (and a 2^-64 collision can never un-match a true pair:
+    // equal strings always hash equal).
+    val sh = docs.select(col("doc_id"), explode(col("shs")).as("shstr"))
+      .select(col("doc_id"), xxhash64(col("shstr")).as("sh"))
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > NgramDfCap)
     val pruned = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val cand = pruned.as("a")
