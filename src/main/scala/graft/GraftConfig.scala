@@ -26,8 +26,8 @@ final case class GraftConfig(
     maxTxnsPerTrigger: Long = Long.MaxValue,
     maxFramesPerPartition: Int = 8192,
     /** libpq sslmode tier for every connection this config opens:
-      * disable | prefer | require (`config/config.go:55-63` carries the
-      * same through the DSN).
+      * disable | prefer | require | verify-ca | verify-full
+      * (`config/config.go:55-63` carries the same through the DSN).
       */
     sslMode: String = "disable",
     /** Port for the Prometheus text-exposition endpoint
@@ -37,8 +37,9 @@ final case class GraftConfig(
 
   require(slotName.nonEmpty, "slot name required")
   require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
-  require(Set("disable", "prefer", "require").contains(sslMode),
-    s"unsupported sslmode '$sslMode' (disable|prefer|require)")
+  require(graft.pgproto.PgConnection.SslModes.contains(sslMode),
+    s"unsupported sslmode '$sslMode' " +
+      s"(${graft.pgproto.PgConnection.SslModes.toSeq.sorted.mkString("|")})")
 
   /** Regular-SQL connection string (metadata, snapshot chunks, heartbeat) —
     * `config.go:55-57`.

@@ -146,10 +146,12 @@ object PgConnection {
     * JSSE for the handshake. No bytes beyond the response are read before
     * the upgrade, so no plaintext buffering can swallow TLS records.
     */
+  val SslModes: Set[String] = Set("disable", "prefer", "require", "verify-ca", "verify-full")
+
   private[pgproto] def negotiateSocket(host: String, port: Int, sslMode: String): Socket = {
-    if (!Set("disable", "prefer", "require").contains(sslMode))
+    if (!SslModes.contains(sslMode))
       throw new IllegalArgumentException(
-        s"pg: unsupported sslmode '$sslMode' (disable|prefer|require)")
+        s"pg: unsupported sslmode '$sslMode' (${SslModes.toSeq.sorted.mkString("|")})")
     val plain = new Socket(host, port)
     plain.setTcpNoDelay(true)
     def closeAnd(e: Throwable): Nothing = {
@@ -158,18 +160,18 @@ object PgConnection {
     }
     sslMode match {
       case "disable" => plain
-      case "require" | "prefer" =>
+      case _ =>
         try {
           val dout = new DataOutputStream(plain.getOutputStream)
           dout.writeInt(8)
           dout.writeInt(SslRequestCode)
           dout.flush()
           plain.getInputStream.read() match {
-            case 'S' => sslUpgrade(plain, host, port)
+            case 'S' => sslUpgrade(plain, host, port, sslMode)
             case 'N' if sslMode == "prefer" => plain
             case 'N' =>
               closeAnd(new IllegalStateException(
-                "pg: server does not support SSL and sslmode=require"))
+                s"pg: server does not support SSL and sslmode=$sslMode"))
             case -1 =>
               closeAnd(new java.io.EOFException(
                 "pg: connection closed during SSL negotiation"))
@@ -181,23 +183,35 @@ object PgConnection {
     }
   }
 
-  /** libpq `sslmode=require` semantics: encrypt but do NOT verify the
-    * certificate chain (that is the verify-ca / verify-full tier, which
-    * would swap the trust manager here). Self-signed server certs — the
-    * common managed-PostgreSQL default — therefore work out of the box.
+  /** libpq verification tiers: `require`/`prefer` encrypt but do NOT verify
+    * the chain (self-signed managed-database certs work out of the box);
+    * `verify-ca` verifies the chain against the JVM's default trust store;
+    * `verify-full` additionally verifies the hostname (the same RFC 2818
+    * rules HTTPS uses).
     */
-  private def sslUpgrade(plain: Socket, host: String, port: Int): Socket = {
+  private def sslUpgrade(plain: Socket, host: String, port: Int, sslMode: String): Socket = {
     import javax.net.ssl.{SSLContext, SSLSocket, TrustManager, X509TrustManager}
-    val trustAll = new X509TrustManager {
-      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-    }
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, Array[TrustManager](trustAll), new java.security.SecureRandom)
+    val verifyChain = sslMode == "verify-ca" || sslMode == "verify-full"
+    val ctx =
+      if (verifyChain) SSLContext.getDefault
+      else {
+        val trustAll = new X509TrustManager {
+          override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        }
+        val c = SSLContext.getInstance("TLS")
+        c.init(null, Array[TrustManager](trustAll), new java.security.SecureRandom)
+        c
+      }
     val ssl = ctx.getSocketFactory.createSocket(plain, host, port, true)
       .asInstanceOf[SSLSocket]
     ssl.setUseClientMode(true)
+    if (sslMode == "verify-full") {
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(params)
+    }
     ssl.startHandshake()
     ssl
   }

@@ -90,4 +90,21 @@ class TlsSpec extends AnyFunSuite {
       new PgConnection("localhost", 1, "u", "db", sslMode = "verify-banana"))
     assert(e.getMessage.contains("unsupported sslmode"))
   }
+
+  test("verify-ca and verify-full refuse a self-signed server cert") {
+    // The fake server's cert is self-signed, so the JVM's default trust
+    // store must reject it at both verification tiers — the exact
+    // protection `require` (deliberately, like libpq) does not give.
+    for (mode <- Seq("verify-ca", "verify-full")) {
+      val server = new FakeWalsender(Seq.empty, serverSsl = Some(serverContext))
+      try {
+        val e = intercept[Exception](
+          new PgConnection("localhost", server.port, "u", "db", sslMode = mode))
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(_.isInstanceOf[javax.net.ssl.SSLException]),
+          s"$mode must fail the TLS handshake, got $e")
+      } finally server.close()
+    }
+  }
 }
