@@ -23,7 +23,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Bind with port 0 for an ephemeral port (tests), or
   * `cfg.metricPort` in production. `close()` stops the server.
   */
-final class GraftMetricsServer(listener: GraftMetricsListener, port: Int)
+final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
+    /** `GET /slot` provider (reference `server.go:90-105`): wire
+      * `() => slotManager.info()` here; None → 503 like the reference's
+      * nil provider.
+      */
+    slotInfo: Option[() => Option[graft.services.SlotManager.SlotInfo]] = None)
   extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -31,8 +36,27 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int)
     respond(ex, 200, render(), "text/plain; version=0.0.4; charset=utf-8"))
   server.createContext("/status", (ex: HttpExchange) =>
     respond(ex, 200, "OK", "text/plain; charset=utf-8"))
+  server.createContext("/slot", (ex: HttpExchange) =>
+    slotInfo.flatMap(f => try f() catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some(info) => respond(ex, 200, slotJson(info), "application/json; charset=utf-8")
+      case None => respond(ex, 503, "slot info not available", "text/plain; charset=utf-8")
+    })
   server.setExecutor(null)
   server.start()
+
+  private def slotJson(i: graft.services.SlotManager.SlotInfo): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    s"""{"name":${q(i.name)},"slotType":${q(i.slotType)},"active":${i.active},""" +
+      s""""activePid":${i.activePid.getOrElse(null)},""" +
+      s""""restartLsn":${q(graft.pgproto.Lsn.format(i.restartLsn))},""" +
+      s""""confirmedFlushLsn":${q(graft.pgproto.Lsn.format(i.confirmedFlushLsn))},""" +
+      s""""walStatus":${q(i.walStatus)},""" +
+      s""""currentLsn":${q(graft.pgproto.Lsn.format(i.currentLsn))},""" +
+      s""""retainedWalSize":${i.retainedWalSize},"lag":${i.lag}}"""
+  }
 
   /** The actually-bound port (differs from the requested one when 0). */
   def boundPort: Int = server.getAddress.getPort

@@ -109,6 +109,34 @@ class GraftMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("GET /slot serves slot info as JSON, 503 without a provider") {
+    import graft.services.SlotManager
+    val info = SlotManager.SlotInfo("graft_slot", "logical", active = true,
+      activePid = Some(4242L), restartLsn = 0x1000L, confirmedFlushLsn = 0x1800L,
+      walStatus = "reserved", currentLsn = 0x2000L)
+    val listener = new GraftMetricsListener
+    def get(port: Int, path: String): (Int, String) = {
+      val conn = java.net.URI.create(s"http://localhost:$port$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(stream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      (code, body)
+    }
+    val withProvider = new GraftMetricsServer(listener, 0, Some(() => Some(info)))
+    try {
+      val (code, body) = get(withProvider.boundPort, "/slot")
+      assert(code == 200)
+      assert(body.contains("\"name\":\"graft_slot\"") && body.contains("\"active\":true"))
+      assert(body.contains("\"confirmedFlushLsn\":\"0/1800\""))
+      assert(body.contains("\"retainedWalSize\":4096") && body.contains("\"lag\":2048"))
+    } finally withProvider.close()
+
+    val without = new GraftMetricsServer(listener, 0)
+    try assert(get(without.boundPort, "/slot")._1 == 503)
+    finally without.close()
+  }
+
   test("executor task metrics count decoded events and suppressed heartbeats") {
     import graft.pgproto.{Messages, MessageEncoder}
     val relOid = 16600L
