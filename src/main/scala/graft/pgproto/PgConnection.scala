@@ -37,6 +37,17 @@ final class PgConnection(
   /** True when the connection upgraded to TLS. */
   def isSsl: Boolean = socket.isInstanceOf[javax.net.ssl.SSLSocket]
 
+  /** RFC 5929 tls-server-end-point hash of the peer certificate — the
+    * channel-binding data for SCRAM-SHA-256-PLUS; None on plaintext.
+    */
+  private def peerCertHash: Option[Array[Byte]] = socket match {
+    case s: javax.net.ssl.SSLSocket =>
+      s.getSession.getPeerCertificates.headOption.collect {
+        case c: java.security.cert.X509Certificate => Scram.tlsServerEndPointHash(c)
+      }
+    case _ => None
+  }
+
   handshake()
 
   private def handshake(): Unit = {
@@ -62,13 +73,26 @@ final class PgConnection(
                 PgWire.queryPayload(requirePassword))
             case PgWire.AuthCodeSasl =>
               val mechs = PgWire.authSaslMechanisms(m.payload)
-              if (!mechs.contains(Scram.Mechanism))
-                throw new IllegalStateException(
-                  s"pg: server offers no supported SASL mechanism (got ${mechs.mkString(", ")}; " +
-                    s"only ${Scram.Mechanism} is supported — channel binding requires TLS)")
-              scram = new ScramClient(requirePassword)
+              // Prefer channel binding whenever the connection can bind
+              // (TLS) and the server advertises -PLUS; over TLS without a
+              // -PLUS offer, the "y" gs2 flag still rides inside the signed
+              // auth message so a MITM-stripped mechanism list is detected.
+              val certHash = peerCertHash
+              val (mechanism, gs2) = (certHash, mechs.contains(Scram.MechanismPlus)) match {
+                case (Some(hash), true) =>
+                  (Scram.MechanismPlus, Scram.TlsServerEndPoint(hash))
+                case (Some(_), false) if mechs.contains(Scram.Mechanism) =>
+                  (Scram.Mechanism, Scram.SupportsButNotUsed)
+                case (None, _) if mechs.contains(Scram.Mechanism) =>
+                  (Scram.Mechanism, Scram.NoChannelBinding)
+                case _ =>
+                  throw new IllegalStateException(
+                    s"pg: server offers no supported SASL mechanism (got ${mechs.mkString(", ")}; " +
+                      s"supported: ${Scram.Mechanism}, ${Scram.MechanismPlus} over TLS)")
+              }
+              scram = new ScramClient(requirePassword, gs2 = gs2)
               PgWire.writeMessage(out, PgWire.Tag.PasswordMessage,
-                PgWire.saslInitialResponsePayload(Scram.Mechanism, scram.clientFirstMessage))
+                PgWire.saslInitialResponsePayload(mechanism, scram.clientFirstMessage))
             case PgWire.AuthCodeSaslContinue =>
               if (scram == null)
                 throw new IllegalStateException("pg: SASLContinue before SASL start")

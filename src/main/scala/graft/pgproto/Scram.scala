@@ -19,8 +19,35 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 object Scram {
 
   val Mechanism = "SCRAM-SHA-256"
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
   /** base64("n,,") — the gs2 header for channel-binding "none". */
   val Gs2HeaderB64 = "biws"
+
+  /** The client's channel-binding stance (RFC 5802 §6 gs2-cbind-flag):
+    *  - [[NoChannelBinding]]: "n" — client cannot bind (plaintext socket);
+    *  - [[SupportsButNotUsed]]: "y" — client CAN bind (TLS) but the server
+    *    did not advertise the -PLUS mechanism. The flag is inside the
+    *    signed auth message, so a MITM stripping -PLUS from the mechanism
+    *    list is detected by a binding-capable server;
+    *  - [[TlsServerEndPoint]]: "p=tls-server-end-point" with the peer
+    *    certificate's RFC 5929 hash mixed into the signed c= attribute.
+    */
+  sealed trait Gs2
+  case object NoChannelBinding extends Gs2
+  case object SupportsButNotUsed extends Gs2
+  final case class TlsServerEndPoint(certHash: Array[Byte]) extends Gs2
+
+  /** RFC 5929 tls-server-end-point: hash the DER cert with its signature
+    * hash algorithm, upgrading MD5/SHA-1 to SHA-256.
+    */
+  def tlsServerEndPointHash(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val alg = cert.getSigAlgName.toUpperCase match {
+      case a if a.contains("SHA384") => "SHA-384"
+      case a if a.contains("SHA512") => "SHA-512"
+      case _ => "SHA-256" // incl. the mandated MD5/SHA-1 upgrade
+    }
+    MessageDigest.getInstance(alg).digest(cert.getEncoded)
+  }
 
   def sha256(b: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("SHA-256").digest(b)
@@ -69,7 +96,8 @@ final class ScramClient(
       */
     username: String = "",
     /** Test seam: fix the client nonce to replay a published vector. */
-    nonceOverride: Option[String] = None) {
+    nonceOverride: Option[String] = None,
+    gs2: Scram.Gs2 = Scram.NoChannelBinding) {
 
   private val clientNonce: String = nonceOverride.getOrElse {
     val b = new Array[Byte](18)
@@ -79,7 +107,22 @@ final class ScramClient(
   private val clientFirstBare = s"n=$username,r=$clientNonce"
   private var serverSignature: Array[Byte] = _
 
-  def clientFirstMessage: Array[Byte] = s"n,,$clientFirstBare".getBytes(UTF_8)
+  private val gs2Header: String = gs2 match {
+    case Scram.NoChannelBinding => "n,,"
+    case Scram.SupportsButNotUsed => "y,,"
+    case Scram.TlsServerEndPoint(_) => "p=tls-server-end-point,,"
+  }
+
+  /** The signed c= attribute: base64 of the gs2 header plus (for -PLUS)
+    * the channel-binding data itself.
+    */
+  private val cbindB64: String = gs2 match {
+    case Scram.TlsServerEndPoint(hash) =>
+      Scram.b64(gs2Header.getBytes(UTF_8) ++ hash)
+    case _ => Scram.b64(gs2Header.getBytes(UTF_8))
+  }
+
+  def clientFirstMessage: Array[Byte] = s"$gs2Header$clientFirstBare".getBytes(UTF_8)
 
   /** Build the client-final-message from the server-first-message. */
   def clientFinal(serverFirst: Array[Byte]): Array[Byte] = {
@@ -94,7 +137,7 @@ final class ScramClient(
 
     val salted = Scram.saltedPassword(password, salt, iters)
     val ck = Scram.clientKey(salted)
-    val withoutProof = s"c=${Scram.Gs2HeaderB64},r=$nonce"
+    val withoutProof = s"c=$cbindB64,r=$nonce"
     val authMessage = s"$clientFirstBare,$sf,$withoutProof".getBytes(UTF_8)
     val proof = Scram.xor(ck, Scram.hmac(Scram.storedKey(ck), authMessage))
     serverSignature = Scram.hmac(Scram.serverKey(salted), authMessage)

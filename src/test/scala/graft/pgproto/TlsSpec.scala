@@ -91,6 +91,52 @@ class TlsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported sslmode"))
   }
 
+  test("over TLS the client binds the channel with SCRAM-SHA-256-PLUS") {
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("s3cret"), authMethod = "scram",
+      serverSsl = Some(serverContext),
+      sqlResults = sql =>
+        if (sql == "SELECT 3") Some((Seq("three"), Seq(Seq(Some("3"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("s3cret"), sslMode = "require")
+      try {
+        assert(conn.isSsl)
+        assert(conn.simpleQuery("SELECT 3") === Seq(Seq("3")))
+        assert(server.lastAuthMechanism == Scram.MechanismPlus,
+          "TLS connection must pick the channel-binding mechanism")
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("gs2 'y' flag over TLS is rejected when the server offered binding (downgrade)") {
+    // Drive the exchange by hand: a binding-capable client that ignores the
+    // advertised -PLUS and says "y,," is exactly what a MITM-stripped
+    // mechanism list produces; the server must refuse per RFC 5802 §6.
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("s3cret"), authMethod = "scram",
+      serverSsl = Some(serverContext))
+    try {
+      val sock = PgConnection.negotiateSocket("localhost", server.port, "require")
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      PgWire.writeStartup(out, Seq("user" -> "u", "database" -> "db"))
+      val auth = PgWire.readMessage(in)
+      assert(PgWire.authCode(auth.payload) == PgWire.AuthCodeSasl)
+      assert(PgWire.authSaslMechanisms(auth.payload).contains(Scram.MechanismPlus))
+      val downgraded = new ScramClient("s3cret", gs2 = Scram.SupportsButNotUsed)
+      PgWire.writeMessage(out, PgWire.Tag.PasswordMessage,
+        PgWire.saslInitialResponsePayload(Scram.Mechanism, downgraded.clientFirstMessage))
+      val reply = PgWire.readMessage(in)
+      assert(reply.tag == PgWire.Tag.ErrorResponse,
+        s"server must refuse the 'y' downgrade, got '${reply.tag.toChar}'")
+      assert(new String(reply.payload).contains("channel binding required"))
+      sock.close()
+    } finally server.close()
+  }
+
   test("verify-ca and verify-full refuse a self-signed server cert") {
     // The fake server's cert is self-signed, so the JVM's default trust
     // store must reject it at both verification tiers — the exact

@@ -49,6 +49,8 @@ final class FakeWalsender(
 
   /** Every simple-query SQL string received, in order. */
   val queries = mutable.ArrayBuffer.empty[String]
+  /** SASL mechanism the most recent connection authenticated with. */
+  @volatile var lastAuthMechanism: String = null
   /** Raw standby-status-update ('r') CopyData payloads received. */
   val statusUpdates = mutable.ArrayBuffer.empty[Array[Byte]]
   /** Startup parameters of the most recent connection. */
@@ -98,9 +100,16 @@ final class FakeWalsender(
     require(proto == PgWire.ProtocolVersion3, s"unexpected protocol $proto")
     startupParams = params
 
+    val localCert: Option[java.security.cert.X509Certificate] = sock match {
+      case s: javax.net.ssl.SSLSocket =>
+        s.getSession.getLocalCertificates.headOption.collect {
+          case c: java.security.cert.X509Certificate => c
+        }
+      case _ => None
+    }
     requirePassword match {
       case Some(expected) if authMethod == "scram" =>
-        if (!scramAuthenticate(in, out, expected)) { sock.close(); return }
+        if (!scramAuthenticate(in, out, expected, localCert)) { sock.close(); return }
       case Some(expected) =>
         PgWire.writeMessage(out, PgWire.Tag.Authentication, PgWire.AuthCleartextPassword)
         val m = PgWire.readMessage(in)
@@ -187,19 +196,50 @@ final class FakeWalsender(
     * sending 28P01) when the client's proof doesn't verify.
     */
   private def scramAuthenticate(
-      in: DataInputStream, out: DataOutputStream, expected: String): Boolean = {
+      in: DataInputStream, out: DataOutputStream, expected: String,
+      localCert: Option[java.security.cert.X509Certificate]): Boolean = {
     import graft.pgproto.Scram
     import java.nio.charset.StandardCharsets.UTF_8
+    // A TLS server advertises the -PLUS mechanism too (PostgreSQL >= 11).
+    val advertised =
+      if (localCert.isDefined && saslMechanisms == Seq(Scram.Mechanism))
+        Seq(Scram.Mechanism, Scram.MechanismPlus)
+      else saslMechanisms
     PgWire.writeMessage(out, PgWire.Tag.Authentication,
-      PgWire.authSaslPayload(saslMechanisms))
+      PgWire.authSaslPayload(advertised))
     val init = PgWire.readMessage(in)
     require(init.tag == PgWire.Tag.PasswordMessage,
       s"expected SASLInitialResponse, got '${init.tag.toChar}'")
     val (mech, resp) = PgWire.parseSaslInitialResponse(init.payload)
-    require(mech == Scram.Mechanism, s"unexpected mechanism $mech")
+    require(advertised.contains(mech), s"unexpected mechanism $mech")
+    lastAuthMechanism = mech
     val clientFirst = new String(resp, UTF_8)
-    require(clientFirst.startsWith("n,,"), s"unexpected gs2 header in '$clientFirst'")
-    val bare = clientFirst.stripPrefix("n,,")
+    // gs2 header: "n,," / "y,," / "p=tls-server-end-point,,". The signed
+    // c= attribute must echo it (plus the cert hash for -PLUS), and a "y"
+    // from a binding-capable client while we advertised -PLUS is the
+    // RFC 5802 downgrade signal.
+    val (gs2Header, usesBinding) =
+      if (clientFirst.startsWith("p=tls-server-end-point,,"))
+        ("p=tls-server-end-point,,", true)
+      else if (clientFirst.startsWith("y,,")) ("y,,", false)
+      else if (clientFirst.startsWith("n,,")) ("n,,", false)
+      else throw new IllegalStateException(s"unexpected gs2 header in '$clientFirst'")
+    require(!usesBinding || mech == Scram.MechanismPlus,
+      "channel-binding gs2 header requires the -PLUS mechanism")
+    if (gs2Header == "y,," && advertised.contains(Scram.MechanismPlus)) {
+      // Downgrade attack per RFC 5802 §6: the client CAN bind, we offered
+      // binding, yet it chose not to — someone stripped the mechanism list.
+      PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+        PgWire.errorPayload("FATAL", "28000",
+          "channel binding required: client supports it and server offered it"))
+      return false
+    }
+    val expectedCbind = Scram.b64(gs2Header.getBytes(UTF_8) ++ (
+      if (usesBinding)
+        Scram.tlsServerEndPointHash(localCert.getOrElse(
+          throw new IllegalStateException("-PLUS without a TLS cert")))
+      else Array.emptyByteArray))
+    val bare = clientFirst.stripPrefix(gs2Header)
     val cNonce = Scram.attrs(bare)('r')
     val sNonce = cNonce + "fakeServerNonce0"
     val salt = "fake-walsender-salt0".getBytes(UTF_8)
@@ -217,7 +257,7 @@ final class FakeWalsender(
     val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
     val authMsg = s"$bare,$serverFirst,$withoutProof".getBytes(UTF_8)
     val recoveredCk = Scram.xor(Scram.unb64(a('p')), Scram.hmac(storedKey, authMsg))
-    val ok = a.get('r').contains(sNonce) && a.get('c').contains(Scram.Gs2HeaderB64) &&
+    val ok = a.get('r').contains(sNonce) && a.get('c').contains(expectedCbind) &&
       java.security.MessageDigest.isEqual(Scram.sha256(recoveredCk), storedKey)
     if (!ok) {
       PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
