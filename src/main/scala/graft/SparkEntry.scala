@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, DedupQueries, MultimodalQueries, SnapshotQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, CurationQueries, DedupQueries, MultimodalQueries, SnapshotQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,14 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) => DedupQueries.ngramJaccard(s, d).orderBy("d1", "d2")),
     "q_dedup_embedding" -> ((s, d) =>
       DedupQueries.embeddingNearDup(s, d).orderBy("bucket10")),
+    "q_dedup_clusters" -> ((s, d) => DedupQueries.dedupClusters(s, d).orderBy("doc_id")),
+    // ---- LLM-pipeline: corpus curation ----
+    "q_sample_stratified" -> ((s, d) =>
+      CurationQueries.stratifiedSample(s, d).orderBy("lang")),
+    "q_heavy_hitters" -> ((s, d) =>
+      CurationQueries.heavyHitters(s, d).orderBy("lang", "rnk")),
+    "q_pseudonymize" -> ((s, d) =>
+      CurationQueries.pseudonymizedSegments(s, d).orderBy("c_mktsegment", "bal_bucket")),
     // ---- LLM-pipeline: similarity search ----
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
@@ -420,6 +428,107 @@ object SparkEntry {
            JOIN sizes s1 ON d1 = s1.doc_id
            JOIN sizes s2 ON d2 = s2.doc_id)
          WHERE jac >= 0.8 ORDER BY d1, d2""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         shing AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(toks) >= 5
+                 THEN list_transform(generate_series(1, len(toks) - 4),
+                        i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END) AS sh
+             FROM t)),
+         hashed AS (
+           SELECT doc_id, seed,
+             xor(('0x' || substr(md5(sh), 1, 15))::BIGINT,
+                 ('0x' || substr(md5('minhash-seed-' || seed::VARCHAR), 1, 15))::BIGINT) AS h
+           FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)),
+         sig AS (
+           SELECT doc_id,
+             min(CASE WHEN seed = 0 THEN h END) AS m0,
+             min(CASE WHEN seed = 1 THEN h END) AS m1,
+             min(CASE WHEN seed = 2 THEN h END) AS m2,
+             min(CASE WHEN seed = 3 THEN h END) AS m3,
+             min(CASE WHEN seed = 4 THEN h END) AS m4,
+             min(CASE WHEN seed = 5 THEN h END) AS m5,
+             min(CASE WHEN seed = 6 THEN h END) AS m6,
+             min(CASE WHEN seed = 7 THEN h END) AS m7
+           FROM hashed GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS band, m0::VARCHAR || ',' || m1::VARCHAR AS bkey FROM sig
+           UNION ALL SELECT doc_id, 1, m2::VARCHAR || ',' || m3::VARCHAR FROM sig
+           UNION ALL SELECT doc_id, 2, m4::VARCHAR || ',' || m5::VARCHAR FROM sig
+           UNION ALL SELECT doc_id, 3, m6::VARCHAR || ',' || m7::VARCHAR FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1),
+         shared AS (
+           SELECT d1, d2, count(*) AS n_shared
+           FROM cand
+           JOIN shing sa ON d1 = sa.doc_id
+           JOIN shing sb ON d2 = sb.doc_id AND sa.sh = sb.sh
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2 FROM (
+             SELECT d1, d2,
+               CAST(n_shared AS DOUBLE) / (s1.sz + s2.sz - n_shared) AS jac
+             FROM shared
+             JOIN sizes s1 ON d1 = s1.doc_id
+             JOIN sizes s2 ON d2 = s2.doc_id)
+           WHERE jac >= 0.8),
+         verts AS (
+           SELECT DISTINCT v FROM (
+             SELECT d1 AS v FROM pairs UNION ALL SELECT d2 FROM pairs)),
+         edges AS (
+           SELECT d1 AS src, d2 AS dst FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         reach AS (
+           SELECT v, v AS r FROM verts
+           UNION
+           SELECT e.dst AS v, reach.r AS r
+           FROM edges e JOIN reach ON e.src = reach.v),
+         comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_kept
+         FROM comp ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """WITH s AS (
+           SELECT lang, doc_id,
+             CASE WHEN lang = 'en' THEN 300 ELSE 600 END AS rate,
+             ('0x' || substr(md5('sample-' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS u
+           FROM documents)
+         SELECT lang,
+           CAST(max(rate) AS INT) AS rate_permille,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN u < rate THEN doc_id END) AS BIGINT) AS kept_id_sum
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+           FROM documents),
+         c AS (
+           SELECT lang, tok, count(*) AS n FROM tok WHERE tok <> '' GROUP BY 1, 2),
+         r AS (
+           SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+           FROM c)
+         SELECT lang, tok, n, CAST(rnk AS INT) AS rnk FROM r
+         WHERE rnk <= 5 ORDER BY lang, rnk""",
+    "q_pseudonymize" ->
+      """SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           count(*) AS n,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_pseudo,
+           CAST(sum(pid % 1000000007) AS BIGINT) AS pid_checksum
+         FROM (SELECT c_mktsegment, c_acctbal,
+                 ('0x' || substr(md5('pseud-v1-' || c_name), 1, 15))::BIGINT AS pid
+               FROM customer)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dedup_simhash" ->
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Training-data curation operators — the pipeline steps that sit between
+  * dedup and the tokenizer when assembling a corpus mix: deterministic
+  * stratified sampling, per-stratum vocabulary heavy hitters, and keyed
+  * pseudonymization with a k-anonymity audit.
+  *
+  * All three are one-scan + one-aggregation-shuffle shapes built from
+  * codegen'd built-ins; nothing is corpus-quadratic or driver-sided, so each
+  * survives a 100 TB corpus unchanged (the heavy-hitter top-k is the only
+  * per-stratum sort, and it runs on the already-aggregated (stratum, token)
+  * counts, never on raw rows).
+  */
+object CurationQueries {
+
+  /** Per-mille keep rates by language — a deliberately non-uniform target
+    * mix (downsample the over-represented language, keep more of the rest),
+    * the everyday re-balancing step of corpus assembly.
+    */
+  private val EnRatePermille = 300
+  private val OtherRatePermille = 600
+
+  /** Deterministic stratified sampling: each document draws a uniform
+    * 0..999 value from a salted 60-bit hash of its id and is kept when the
+    * draw falls under its language's per-mille rate. Hash-gated sampling —
+    * not `rand()` — so the sample is reproducible run-to-run, stable under
+    * repartitioning, and cheap to audit (the oracle recomputes the exact
+    * membership). Output is the per-language audit: totals, kept counts,
+    * and an id checksum proving the exact kept set.
+    *
+    * 100-TB shape: a bare projection + one partial-aggregated groupBy on a
+    * 5-key column; the kept subset itself never shuffles (consumers filter
+    * by the same predicate inline).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(EnRatePermille))
+      .otherwise(lit(OtherRatePermille))
+    val u = hash60(concat(lit("sample-"), col("doc_id").cast("string"))) % 1000
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), rate.as("rate"), u.as("u"))
+      .groupBy("lang")
+      .agg(
+        max(col("rate")).as("rate_permille"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("u") < col("rate"), col("doc_id"))).as("kept_id_sum"))
+  }
+
+  private val TopK = 5
+
+  /** Per-language vocabulary heavy hitters: lowercase alpha tokens, exact
+    * counts, top-`TopK` per language with (count desc, token asc)
+    * tie-breaking so the result is total-ordered.
+    *
+    * 100-TB shape: the token explosion is row-local; the count is a
+    * partial-aggregated groupBy on (lang, token); the top-k window runs on
+    * the aggregated counts (|vocab| rows, not |corpus| rows). For a corpus
+    * whose vocabulary itself is too hot, the same query runs on a
+    * count-min-sketch pre-pass — the plan shape downstream is identical.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+  }
+
+  /** Keyed pseudonymization + generalization over `customer`, with the
+    * k-anonymity report as output: names are replaced by a salted 60-bit
+    * token (deterministic, so joins on the pseudonym still work across
+    * tables scrubbed with the same key), account balance is generalized to
+    * 1000-unit buckets, and the output audits each (segment, bucket)
+    * equivalence class — its size (the k in k-anonymity), distinct
+    * pseudonyms, and a modular checksum of the tokens proving the exact
+    * mapping. The checksum is `sum(pid mod p)` with a 1e9 prime: raw 60-bit
+    * token sums would overflow BIGINT under ANSI mode at corpus scale.
+    *
+    * 100-TB shape: projection + one partial-aggregated groupBy; the salt
+    * lives in the plan, not in data.
+    */
+  def pseudonymizedSegments(s: SparkSession, dir: String): DataFrame = {
+    val pid = hash60(concat(lit("pseud-v1-"), col("c_name")))
+    Tables.customer(s, dir)
+      .select(
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        pid.as("pid"))
+      .groupBy("c_mktsegment", "bal_bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("pid")).as("n_pseudo"),
+        sum(col("pid") % 1000000007L).as("pid_checksum"))
+  }
+}

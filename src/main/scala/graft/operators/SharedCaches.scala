@@ -28,5 +28,6 @@ object SharedCaches {
   def releaseAll(s: SparkSession): Unit = {
     ShingleSets.releaseAll(s)
     AnnQueries.releaseSignatures(s)
+    DedupQueries.releaseClusterLabels(s)
   }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Corpus-curation operators: duplicate-cluster resolution invariants,
+  * deterministic sampling membership, heavy-hitter ordering, and the
+  * pseudonymization/k-anonymity report.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val dir = "/root/testdata/sf0.01"
+
+  /** Reference 60-bit hash (first 15 hex chars of md5) for spot checks. */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("dedupClusters: labels are component minima over the pair graph") {
+    val pairs = DedupQueries.minhashLsh(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "sf0.01 corpus must contain near-dup pairs")
+
+    val out = DedupQueries.dedupClusters(spark, dir).collect()
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val size = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+
+    // Exactly the docs that appear in >=1 pair are labeled.
+    assert(cluster.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // Both endpoints of every edge land in the same cluster.
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"edge ($a,$b) split across clusters")
+    }
+    // The cluster id is the minimum member id, and it is a member.
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(size(cid) == members.size)
+    }
+    // is_kept marks exactly one doc per cluster: the minimum.
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(kept == cluster.values.toSet)
+
+    // Union-find ground truth: component assignment matches exactly.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    cluster.foreach { case (doc, cid) => assert(find(doc) == cid) }
+
+    DedupQueries.releaseClusterLabels(spark)
+  }
+
+  test("stratifiedSample: hash-gated membership is exact and deterministic") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val rate = if (lang == "en") 300 else 600
+      val keptIds = rows.collect {
+        case (id, _) if hash60(s"sample-$id") % 1000 < rate => id
+      }
+      lang -> ((rows.size.toLong, keptIds.length.toLong, keptIds.sum))
+    }
+    val out = CurationQueries.stratifiedSample(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val (nTotal, nKept, keptSum) = expected(r.getString(0))
+      assert(r.getInt(1) == (if (r.getString(0) == "en") 300 else 600))
+      assert(r.getLong(2) == nTotal)
+      assert(r.getLong(3) == nKept)
+      assert(r.getLong(4) == keptSum)
+      // The sample is a real downsample, not all-or-nothing.
+      assert(nKept > 0 && nKept < nTotal)
+    }
+  }
+
+  test("heavyHitters: per-language top-5 with total tie ordering") {
+    val out = CurationQueries.heavyHitters(spark, dir)
+      .orderBy("lang", "rnk").collect()
+    val byLang = out.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).toSeq == (1 to rows.length))
+      assert(rows.length <= 5)
+      // Counts non-increasing with rank; ties broken by token ascending.
+      rows.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (nh, nl) = (hi.getLong(2), lo.getLong(2))
+          assert(nh > nl || (nh == nl && hi.getString(1) < lo.getString(1)))
+        case _ =>
+      }
+    }
+    // Tokens are the lowercase-alpha alphabet only.
+    assert(out.forall(_.getString(1).matches("[a-z]+")))
+  }
+
+  test("pseudonymize: k-anonymity report with exact keyed tokens") {
+    val out = CurationQueries.pseudonymizedSegments(spark, dir).collect()
+    val total = Tables.customer(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum == total, "every customer lands in one class")
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "distinct pseudonyms <= class size")
+    }
+    // Spot-check the keyed token for one real customer against the report.
+    val one = Tables.customer(spark, dir)
+      .select("c_name", "c_mktsegment", "c_acctbal").limit(1).collect().head
+    val pid = hash60(s"pseud-v1-${one.getString(0)}")
+    val bucket = math.floor(one.getDouble(2) / 1000).toLong
+    val row = out.find(r => r.getString(0) == one.getString(1) && r.getLong(1) == bucket).get
+    assert(row.getLong(4) >= pid % 1000000007L,
+      "class checksum must include the member's token residue")
+  }
+}
