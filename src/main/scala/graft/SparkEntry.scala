@@ -66,6 +66,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
+    "q_tfidf_keywords" -> ((s, d) =>
+      TextQueries.tfidfKeywords(s, d).orderBy("doc_id", "rnk")),
+    "q_length_quantiles" -> ((s, d) => TextQueries.lengthQuantiles(s, d).orderBy("lang")),
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => DedupQueries.dedupExact(s, d)),
     "q_dedup_minhash" -> ((s, d) => DedupQueries.minhashLsh(s, d).orderBy("d1", "d2")),
@@ -374,6 +377,31 @@ object SparkEntry {
          SELECT doc_id,
            min(('0x' || substr(md5(sh), 1, 15))::BIGINT) AS fingerprint
          FROM sh GROUP BY 1 ORDER BY 1""",
+    "q_tfidf_keywords" ->
+      """WITH tf AS (
+           SELECT doc_id, tok AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_corpus FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf,
+             round(tf * ln(CAST(n_corpus AS DOUBLE) / df), 4) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, score FROM r
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS mean_chars,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50,
+           round(quantile_cont(n_chars, 0.9), 2) AS p90,
+           round(quantile_cont(n_chars, 0.99), 2) AS p99
+         FROM documents GROUP BY 1 ORDER BY 1""",
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,

@@ -136,4 +136,53 @@ object TextQueries {
     ShingleSets(s, dir, 5)
       .select(col("doc_id"),
         array_min(transform(col("shs"), sh => hash60(sh))).as("fingerprint"))
+
+  /** TF-IDF keyword extraction: per-document top-3 terms by
+    * tf × ln(N/df) with (score desc, term asc) tie order — the classic
+    * content-tagging pass a curation pipeline runs to label documents.
+    * Scores are rounded to 4 decimals (the usual float-summation guard; the
+    * ln() inputs are exact integer ratios on both engines).
+    *
+    * 100-TB shape: term frequencies are one partial-aggregated
+    * groupBy(doc, term); document frequencies aggregate the same frame a
+    * second time (vocabulary-sized, not corpus-sized); N is a scalar
+    * broadcast with the df table; the top-k window runs per document over
+    * its own terms only — shuffle keys never exceed (doc, term).
+    */
+  def tfidfKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
+    val scored = tf.join(broadcast(docDf), "term")
+      .withColumn("score",
+        round(col("tf") * log(col("n_corpus").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "score")
+  }
+
+  /** Exact length quantiles per language (p50/p90/p99 of character counts,
+    * R-7 linear interpolation — the same definition as DuckDB's
+    * `quantile_cont`) plus the mean: the length-distribution profile used
+    * to pick truncation and packing parameters for a training run.
+    *
+    * Exact percentiles sort each group's values; at 100 TB the same output
+    * shape comes from `approx_percentile` with a bounded-error sketch —
+    * swap the aggregate, keep the query. (Exact is kept here because the
+    * oracle must hash-match; the sketch is not cross-engine deterministic.)
+    */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
+        round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
 }
