@@ -45,7 +45,15 @@ object Bench {
     graft.operators.SharedCaches.releaseAll(spark)
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Settle between timed entries: without this, cache eviction and GC
+    // debt from one query bleeds into the next's wall time (round-5 bench
+    // showed unchanged queries inflated up to 9× by a neighbor's
+    // unpersist), and a real regression would hide inside the noise. GC
+    // runs outside the timed window; the sleep lets async block-manager
+    // cleanup drain.
+    def settle(): Unit = { System.gc(); Thread.sleep(150) }
     def timed(name: String, run: () => Unit): (String, Double) = {
+      settle()
       val t0 = System.nanoTime()
       try run()
       catch { case e: Throwable =>

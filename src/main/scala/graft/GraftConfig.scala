@@ -30,6 +30,11 @@ final case class GraftConfig(
       * (`config/config.go:55-63` carries the same through the DSN).
       */
     sslMode: String = "disable",
+    /** PEM CA-bundle path for the `verify-ca`/`verify-full` tiers — libpq's
+      * `sslrootcert`. Managed-Postgres CAs are rarely in the JVM default
+      * trust store; None falls back to it.
+      */
+    sslRootCert: Option[String] = None,
     /** Port for the Prometheus text-exposition endpoint
       * (reference `config.go:35-37` MetricConfig; `internal/http/server.go`).
       */
@@ -78,6 +83,7 @@ final case class GraftConfig(
       "heartbeatTable" -> heartbeatTable,
       "maxFramesPerPartition" -> maxFramesPerPartition.toString) ++
       (if (sslMode != "disable") Map("sslmode" -> sslMode) else Map.empty) ++
+      sslRootCert.map("sslrootcert" -> _) ++
       (if (username.nonEmpty) Map("user" -> username) else Map.empty) ++
       (if (password.nonEmpty) Map("password" -> password) else Map.empty) ++
       (if (database.nonEmpty) Map("database" -> database) else Map.empty) ++

@@ -38,6 +38,7 @@ object GraftConfigFile {
     val password = m.str("password").getOrElse("")
     val database = m.str("database").getOrElse("")
     val sslMode = m.str("sslmode").getOrElse("disable")
+    val sslRootCert = m.str("sslrootcert")
 
     val pub = m.section("publication")
     val pubTables = pub.list("tables").map { item =>
@@ -137,6 +138,7 @@ object GraftConfigFile {
       maxTxnsPerTrigger = maxTxns,
       maxFramesPerPartition = maxFrames,
       sslMode = sslMode,
+      sslRootCert = sslRootCert,
       metricPort = metricPort)
     catch {
       case e: IllegalArgumentException =>

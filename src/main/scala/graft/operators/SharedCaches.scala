@@ -20,7 +20,8 @@ object SharedCaches {
   def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "prep_shingles_n5" -> ((s, d) => ShingleSets(s, d, 5)),
     "prep_shingles_n3" -> ((s, d) => ShingleSets(s, d, 3)),
-    "prep_lsh_signatures" -> ((s, d) => AnnQueries.bandedSignatures(s, d)))
+    "prep_lsh_signatures" -> ((s, d) => AnnQueries.bandedSignatures(s, d)),
+    "prep_ivf_centroids" -> ((s, d) => AnnQueries.ivfCentroidFrame(s, d)))
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).
@@ -28,6 +29,7 @@ object SharedCaches {
   def releaseAll(s: SparkSession): Unit = {
     ShingleSets.releaseAll(s)
     AnnQueries.releaseSignatures(s)
+    AnnQueries.releaseCentroids(s)
     DedupQueries.releaseClusterLabels(s)
   }
 }

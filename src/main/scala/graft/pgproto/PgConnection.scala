@@ -22,17 +22,54 @@ final class PgConnection(
     password: Option[String] = None,
     replication: Boolean = false,
     applicationName: String = "graft",
-    /** `disable` (plaintext), `require` (TLS or fail), `prefer` (TLS if the
-      * server accepts, else plaintext) — libpq's sslmode tiers, negotiated
-      * via the 8-byte SSLRequest packet before startup (public protocol
-      * docs "Message Flow → SSL Session Encryption"; the reference carries
-      * sslmode in its DSN through pgx, `config/config.go:55-63`).
+    /** `disable` (plaintext), `allow` (plaintext preferred, one TLS retry if
+      * the server rejects the plaintext session), `prefer` (TLS if the
+      * server accepts, else plaintext), `require` (TLS or fail),
+      * `verify-ca`/`verify-full` (TLS + chain / chain+hostname
+      * verification) — libpq's six sslmode tiers, negotiated via the 8-byte
+      * SSLRequest packet before startup (public protocol docs "Message Flow
+      * → SSL Session Encryption"; the reference carries sslmode in its DSN
+      * through pgx, `config/config.go:55-63`).
       */
-    sslMode: String = "disable") extends AutoCloseable {
+    sslMode: String = "disable",
+    /** PEM file of CA certificate(s) to verify the server chain against for
+      * `verify-ca`/`verify-full` — libpq's `sslrootcert`. Managed-Postgres
+      * CAs (RDS, Cloud SQL) are rarely in the JVM default trust store, so
+      * without this the verify tiers fail against exactly the servers that
+      * need them. None = the JVM default store.
+      */
+    sslRootCert: Option[String] = None) extends AutoCloseable {
 
-  private val socket = PgConnection.negotiateSocket(host, port, sslMode)
-  val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-  val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+  require(PgConnection.SslModes.contains(sslMode),
+    s"pg: unsupported sslmode '$sslMode' (${PgConnection.SslModes.toSeq.sorted.mkString("|")})")
+
+  // sslmode=allow is a CONNECTION policy, not a socket policy: try the
+  // plaintext session first, and only when the server itself rejects it
+  // (pg_hba `hostssl`-only rules surface as a startup ErrorResponse) dial
+  // again over TLS. Socket-level failures (refused, EOF) are not retried —
+  // TLS can't fix an unreachable server.
+  private val conn0: (Socket, DataInputStream, DataOutputStream) =
+    if (sslMode == "allow") {
+      try connectAttempt("disable")
+      catch { case _: PgConnection.ServerErrorException => connectAttempt("require") }
+    } else connectAttempt(sslMode)
+  private val socket = conn0._1
+  val in = conn0._2
+  val out = conn0._3
+
+  private def connectAttempt(mode: String): (Socket, DataInputStream, DataOutputStream) = {
+    val sock = PgConnection.negotiateSocket(host, port, mode, sslRootCert)
+    val sin = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val sout = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      handshake(sock, sin, sout)
+      (sock, sin, sout)
+    } catch {
+      case e: Throwable =>
+        try sock.close() catch { case _: java.io.IOException => () }
+        throw e
+    }
+  }
 
   /** True when the connection upgraded to TLS. */
   def isSsl: Boolean = socket.isInstanceOf[javax.net.ssl.SSLSocket]
@@ -40,7 +77,7 @@ final class PgConnection(
   /** RFC 5929 tls-server-end-point hash of the peer certificate — the
     * channel-binding data for SCRAM-SHA-256-PLUS; None on plaintext.
     */
-  private def peerCertHash: Option[Array[Byte]] = socket match {
+  private def peerCertHash(sock: Socket): Option[Array[Byte]] = sock match {
     case s: javax.net.ssl.SSLSocket =>
       s.getSession.getPeerCertificates.headOption.collect {
         case c: java.security.cert.X509Certificate => Scram.tlsServerEndPointHash(c)
@@ -48,9 +85,7 @@ final class PgConnection(
     case _ => None
   }
 
-  handshake()
-
-  private def handshake(): Unit = {
+  private def handshake(sock: Socket, in: DataInputStream, out: DataOutputStream): Unit = {
     val params = Seq("user" -> user, "database" -> database,
       "application_name" -> applicationName) ++
       (if (replication) Seq("replication" -> "database") else Nil)
@@ -77,7 +112,7 @@ final class PgConnection(
               // (TLS) and the server advertises -PLUS; over TLS without a
               // -PLUS offer, the "y" gs2 flag still rides inside the signed
               // auth message so a MITM-stripped mechanism list is detected.
-              val certHash = peerCertHash
+              val certHash = peerCertHash(sock)
               val (mechanism, gs2) = (certHash, mechs.contains(Scram.MechanismPlus)) match {
                 case (Some(hash), true) =>
                   (Scram.MechanismPlus, Scram.TlsServerEndPoint(hash))
@@ -170,10 +205,20 @@ object PgConnection {
     * JSSE for the handshake. No bytes beyond the response are read before
     * the upgrade, so no plaintext buffering can swallow TLS records.
     */
-  val SslModes: Set[String] = Set("disable", "prefer", "require", "verify-ca", "verify-full")
+  val SslModes: Set[String] =
+    Set("disable", "allow", "prefer", "require", "verify-ca", "verify-full")
 
-  private[pgproto] def negotiateSocket(host: String, port: Int, sslMode: String): Socket = {
-    if (!SslModes.contains(sslMode))
+  /** A rejection the SERVER sent (ErrorResponse) — distinguished from
+    * socket-level failures so sslmode=allow knows when a TLS retry could
+    * change the outcome.
+    */
+  final class ServerErrorException(msg: String) extends IllegalStateException(msg)
+
+  private[pgproto] def negotiateSocket(
+      host: String, port: Int, sslMode: String, sslRootCert: Option[String] = None): Socket = {
+    // "allow" never reaches here: the connection layer lowers it to a
+    // plaintext attempt plus a "require" retry.
+    if (!SslModes.contains(sslMode) || sslMode == "allow")
       throw new IllegalArgumentException(
         s"pg: unsupported sslmode '$sslMode' (${SslModes.toSeq.sorted.mkString("|")})")
     val plain = new Socket(host, port)
@@ -191,7 +236,7 @@ object PgConnection {
           dout.writeInt(SslRequestCode)
           dout.flush()
           plain.getInputStream.read() match {
-            case 'S' => sslUpgrade(plain, host, port, sslMode)
+            case 'S' => sslUpgrade(plain, host, port, sslMode, sslRootCert)
             case 'N' if sslMode == "prefer" => plain
             case 'N' =>
               closeAnd(new IllegalStateException(
@@ -209,15 +254,24 @@ object PgConnection {
 
   /** libpq verification tiers: `require`/`prefer` encrypt but do NOT verify
     * the chain (self-signed managed-database certs work out of the box);
-    * `verify-ca` verifies the chain against the JVM's default trust store;
-    * `verify-full` additionally verifies the hostname (the same RFC 2818
-    * rules HTTPS uses).
+    * `verify-ca` verifies the chain — against the `sslrootcert` PEM file
+    * when given, else the JVM's default trust store; `verify-full`
+    * additionally verifies the hostname (the same RFC 2818 rules HTTPS
+    * uses).
     */
-  private def sslUpgrade(plain: Socket, host: String, port: Int, sslMode: String): Socket = {
+  private def sslUpgrade(
+      plain: Socket, host: String, port: Int, sslMode: String,
+      sslRootCert: Option[String]): Socket = {
     import javax.net.ssl.{SSLContext, SSLSocket, TrustManager, X509TrustManager}
     val verifyChain = sslMode == "verify-ca" || sslMode == "verify-full"
     val ctx =
-      if (verifyChain) SSLContext.getDefault
+      if (verifyChain) sslRootCert match {
+        case Some(caFile) =>
+          val c = SSLContext.getInstance("TLS")
+          c.init(null, caTrustManagers(caFile), new java.security.SecureRandom)
+          c
+        case None => SSLContext.getDefault
+      }
       else {
         val trustAll = new X509TrustManager {
           override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
@@ -240,9 +294,29 @@ object PgConnection {
     ssl
   }
 
-  def serverError(phase: String, payload: Array[Byte]): IllegalStateException = {
+  /** Trust managers built from a PEM CA bundle — libpq's `sslrootcert`
+    * semantics: the file's certificate(s) become the ONLY trust anchors (no
+    * default-store union, same as libpq), loaded into an in-memory keystore.
+    */
+  private def caTrustManagers(caFile: String): Array[javax.net.ssl.TrustManager] = {
+    import scala.jdk.CollectionConverters._
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val fis = new java.io.FileInputStream(caFile)
+    val certs = try cf.generateCertificates(fis).asScala.toSeq finally fis.close()
+    if (certs.isEmpty)
+      throw new IllegalArgumentException(s"pg: sslrootcert '$caFile' contains no certificates")
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    certs.zipWithIndex.foreach { case (c, i) => ks.setCertificateEntry(s"graft-ca-$i", c) }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    tmf.getTrustManagers
+  }
+
+  def serverError(phase: String, payload: Array[Byte]): ServerErrorException = {
     val f = PgWire.errorFields(payload)
-    new IllegalStateException(
+    new ServerErrorException(
       s"pg: server error during $phase: ${f.getOrElse('S', "ERROR")} " +
         s"${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "(no message)")}")
   }

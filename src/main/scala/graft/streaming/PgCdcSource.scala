@@ -172,7 +172,8 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           publication = publication,
           protoVersion = options.getInt("protoVersion", 2),
           password = Option(options.get("password")),
-          sslMode = Option(options.get("sslmode")).getOrElse("disable"))
+          sslMode = Option(options.get("sslmode")).getOrElse("disable"),
+          sslRootCert = Option(options.get("sslrootcert")))
       } else {
         require(path != null,
           "pgcdc: a WalSource binding is required — 'path' (WAL frame file), " +

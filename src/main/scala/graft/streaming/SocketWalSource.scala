@@ -37,7 +37,8 @@ final class SocketWalSource(
     protoVersion: Int = 2,
     password: Option[String] = None,
     queueCapacity: Int = 1024,
-    sslMode: String = "disable") extends WalSource {
+    sslMode: String = "disable",
+    sslRootCert: Option[String] = None) extends WalSource {
 
   @volatile private var confirmed: Long = Lsn.Zero
   @volatile private var conn: PgConnection = null
@@ -64,7 +65,8 @@ final class SocketWalSource(
     if (Lsn.compare(fromLsn, confirmed) > 0) confirmed = fromLsn
 
     conn = new PgConnection(host, port, user, database, password,
-      replication = true, applicationName = "graft-pgcdc", sslMode = sslMode)
+      replication = true, applicationName = "graft-pgcdc", sslMode = sslMode,
+      sslRootCert = sslRootCert)
     identity = identifySystem()
     startReplication(confirmed)
 

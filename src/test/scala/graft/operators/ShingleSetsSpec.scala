@@ -8,7 +8,12 @@ import graft.SparkTestBase
   * cached frames per (dir, n).
   */
 class ShingleSetsSpec extends AnyFunSuite {
-  lazy val spark = SparkTestBase.spark
+  // The memo is keyed by SparkSession identity, and sibling suites running in
+  // parallel hold their own shingle caches on the shared session — counting
+  // that global state races. A private newSession() (same SparkContext,
+  // distinct session object) makes every cachedCount assertion see only this
+  // spec's entries.
+  lazy val spark = SparkTestBase.spark.newSession()
   val dir = "/root/testdata/sf0.001"
 
   test("release(dir) unpersists and forgets; a later apply rebuilds") {

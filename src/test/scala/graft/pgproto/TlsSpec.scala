@@ -13,20 +13,27 @@ import graft.streaming.FakeWalsender
   */
 class TlsSpec extends AnyFunSuite {
 
-  /** Self-signed server context, generated once per test JVM via the JDK's
-    * own keytool (no fixtures checked in, no network).
+  /** Self-signed server context + its certificate as a PEM file (the
+    * sslrootcert fixture), generated once per test JVM via the JDK's own
+    * keytool (no fixtures checked in, no network).
     */
-  private lazy val serverContext: SSLContext = {
+  private lazy val serverMaterial: (SSLContext, String) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-tls").toFile
     dir.deleteOnExit()
     val ksFile = new java.io.File(dir, "server.p12")
-    val cmd = Array("keytool", "-genkeypair", "-alias", "server",
+    def keytool(args: String*): Unit = {
+      val p = new ProcessBuilder(("keytool" +: args): _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"keytool failed: $out")
+    }
+    keytool("-genkeypair", "-alias", "server",
       "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
       "-keystore", ksFile.getAbsolutePath, "-storepass", "changeit",
       "-dname", "CN=localhost", "-validity", "2")
-    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes())
-    assert(p.waitFor() == 0, s"keytool failed: $out")
+    val pemFile = new java.io.File(dir, "server.pem")
+    keytool("-exportcert", "-rfc", "-alias", "server",
+      "-keystore", ksFile.getAbsolutePath, "-storepass", "changeit",
+      "-file", pemFile.getAbsolutePath)
     val ks = KeyStore.getInstance("PKCS12")
     val fis = new FileInputStream(ksFile)
     try ks.load(fis, "changeit".toCharArray) finally fis.close()
@@ -34,8 +41,11 @@ class TlsSpec extends AnyFunSuite {
     kmf.init(ks, "changeit".toCharArray)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
-    ctx
+    (ctx, pemFile.getAbsolutePath)
   }
+
+  private def serverContext: SSLContext = serverMaterial._1
+  private def serverCertPem: String = serverMaterial._2
 
   test("sslmode=require upgrades to TLS and the full handshake + queries run encrypted") {
     val server = new FakeWalsender(Seq.empty,
@@ -134,6 +144,87 @@ class TlsSpec extends AnyFunSuite {
         s"server must refuse the 'y' downgrade, got '${reply.tag.toChar}'")
       assert(new String(reply.payload).contains("channel binding required"))
       sock.close()
+    } finally server.close()
+  }
+
+  test("verify-ca succeeds with sslrootcert pointing at the server's CA — and only then") {
+    // The same self-signed server: the JVM default store rejects it
+    // (previous test), but handing its cert as the sslrootcert CA bundle —
+    // the managed-Postgres RDS/Cloud SQL shape — must make verify-ca pass
+    // the full handshake + SCRAM and run queries.
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("s3cret"), authMethod = "scram",
+      serverSsl = Some(serverContext),
+      sqlResults = sql =>
+        if (sql == "SELECT 7") Some((Seq("seven"), Seq(Seq(Some("7"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("s3cret"), sslMode = "verify-ca",
+        sslRootCert = Some(serverCertPem))
+      try {
+        assert(conn.isSsl)
+        assert(conn.simpleQuery("SELECT 7") === Seq(Seq("7")))
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("sslrootcert replaces the default trust anchors rather than extending them") {
+    // A CA file that does NOT contain the server's cert must still fail,
+    // proving the custom bundle is the ONLY trust source (libpq semantics).
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls-other").toFile
+    dir.deleteOnExit()
+    val other = new java.io.File(dir, "other.p12")
+    val cmd = Array("keytool", "-genkeypair", "-alias", "other",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", other.getAbsolutePath, "-storepass", "changeit",
+      "-dname", "CN=unrelated", "-validity", "2")
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    assert(p.waitFor() == 0, new String(p.getInputStream.readAllBytes()))
+    val otherPem = new java.io.File(dir, "other.pem")
+    val p2 = new ProcessBuilder("keytool", "-exportcert", "-rfc", "-alias", "other",
+      "-keystore", other.getAbsolutePath, "-storepass", "changeit",
+      "-file", otherPem.getAbsolutePath).redirectErrorStream(true).start()
+    assert(p2.waitFor() == 0, new String(p2.getInputStream.readAllBytes()))
+
+    val server = new FakeWalsender(Seq.empty, serverSsl = Some(serverContext))
+    try {
+      val e = intercept[Exception](
+        new PgConnection("localhost", server.port, "u", "db", sslMode = "verify-ca",
+          sslRootCert = Some(otherPem.getAbsolutePath)))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[javax.net.ssl.SSLException]),
+        s"wrong CA must fail the TLS handshake, got $e")
+    } finally server.close()
+  }
+
+  test("sslmode=allow stays plaintext against a server that accepts it") {
+    val server = new FakeWalsender(Seq.empty, requirePassword = Some("pw"),
+      sqlResults = sql =>
+        if (sql == "SELECT 8") Some((Seq("eight"), Seq(Seq(Some("8"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("pw"), sslMode = "allow")
+      try {
+        assert(!conn.isSsl, "allow must prefer plaintext when the server takes it")
+        assert(conn.simpleQuery("SELECT 8") === Seq(Seq("8")))
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("sslmode=allow retries over TLS when the server rejects the plaintext session") {
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("pw"), authMethod = "scram",
+      serverSsl = Some(serverContext), rejectPlaintextStartup = true,
+      sqlResults = sql =>
+        if (sql == "SELECT 9") Some((Seq("nine"), Seq(Seq(Some("9"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("pw"), sslMode = "allow")
+      try {
+        assert(conn.isSsl, "allow must fall forward to TLS after a server rejection")
+        assert(conn.simpleQuery("SELECT 9") === Seq(Seq("9")))
+      } finally conn.close()
     } finally server.close()
   }
 

@@ -40,7 +40,12 @@ final class FakeWalsender(
       * a result, None → ErrorResponse. Lets the same server back the
       * service-layer SQL executor.
       */
-    sqlResults: String => Option[(Seq[String], Seq[Seq[Option[String]]])] = _ => None) {
+    sqlResults: String => Option[(Seq[String], Seq[Seq[Option[String]]])] = _ => None,
+    /** Reject any NON-TLS session at startup with the pg_hba-style FATAL
+      * 28000 a `hostssl`-only rule produces — the server shape that makes
+      * sslmode=allow retry over TLS.
+      */
+    rejectPlaintextStartup: Boolean = false) {
 
   private val dropArmed = new java.util.concurrent.atomic.AtomicBoolean(dropAfterFrames >= 0)
 
@@ -99,6 +104,13 @@ final class FakeWalsender(
     val (proto, params) = PgWire.readStartupBody(in, len)
     require(proto == PgWire.ProtocolVersion3, s"unexpected protocol $proto")
     startupParams = params
+    if (rejectPlaintextStartup && !sock.isInstanceOf[javax.net.ssl.SSLSocket]) {
+      PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+        PgWire.errorPayload("FATAL", "28000",
+          "no pg_hba.conf entry for host, SSL off"))
+      sock.close()
+      return
+    }
 
     val localCert: Option[java.security.cert.X509Certificate] = sock match {
       case s: javax.net.ssl.SSLSocket =>
