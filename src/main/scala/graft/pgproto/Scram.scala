@@ -13,10 +13,101 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   * ("Message Flow → SASL Authentication" in the public docs); the reference
   * gets the same exchange from its pgx dependency (`go.mod` jackc/pgx/v5).
   *
-  * Passwords are used verbatim (no SASLprep normalization) — correct for
-  * ASCII passwords, which is also pgx's effective behavior for them.
+  * Passwords pass through SASLprep ([[Scram.saslPrep]], RFC 4013) before
+  * key derivation, as RFC 5802 §2.2 requires — so non-ASCII passwords
+  * produce the same keys as libpq/PostgreSQL, which normalize on both
+  * store and verify.
   */
 object Scram {
+
+  /** SASLprep (RFC 4013, the stringprep profile SCRAM mandates for
+    * passwords): map non-ASCII spaces to SPACE and drop the
+    * map-to-nothing set (soft hyphens, ZW(N)J, variation selectors …),
+    * NFKC-normalize, then reject prohibited output (control, private-use,
+    * non-character, surrogate, bidi-inappropriate code points) and mixed /
+    * misordered bidi runs.
+    *
+    * On ANY prohibition the original string is returned VERBATIM — the
+    * same fallback PostgreSQL's own `pg_saslprep` uses, so a password that
+    * was stored unprepped (pre-normalization server, exotic input) still
+    * authenticates. ASCII passwords are returned unchanged by
+    * construction, keeping the RFC 7677 "pencil" vector intact.
+    */
+  def saslPrep(password: String): String = {
+    // Step 1 (RFC 3454 §3): character mapping, on code points.
+    val mapped = new java.lang.StringBuilder(password.length)
+    var i = 0
+    while (i < password.length) {
+      val cp = password.codePointAt(i)
+      if (isMapToNothing(cp)) ()              // Table B.1
+      else if (isNonAsciiSpace(cp)) mapped.append(' ') // Table C.1.2
+      else mapped.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    // Step 2: NFKC normalization.
+    val norm = java.text.Normalizer.normalize(mapped, java.text.Normalizer.Form.NFKC)
+    // Step 3: prohibited output + bidi rules; any hit → verbatim fallback.
+    var hasRandAL = false
+    var hasL = false
+    var firstCp = -1
+    var lastCp = -1
+    var j = 0
+    while (j < norm.length) {
+      val cp = norm.codePointAt(j)
+      if (isProhibited(cp)) return password
+      val dir = Character.getDirectionality(cp)
+      if (dir == Character.DIRECTIONALITY_RIGHT_TO_LEFT ||
+          dir == Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC) hasRandAL = true
+      if (dir == Character.DIRECTIONALITY_LEFT_TO_RIGHT) hasL = true
+      if (firstCp < 0) firstCp = cp
+      lastCp = cp
+      j += Character.charCount(cp)
+    }
+    if (hasRandAL) {
+      // RFC 3454 §6: RandALCat strings must be pure and RandAL-delimited.
+      def randAL(cp: Int) = {
+        val d = Character.getDirectionality(cp)
+        d == Character.DIRECTIONALITY_RIGHT_TO_LEFT ||
+          d == Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC
+      }
+      if (hasL || !randAL(firstCp) || !randAL(lastCp)) return password
+    }
+    norm
+  }
+
+  /** RFC 3454 Table B.1 — commonly-mapped-to-nothing. */
+  private def isMapToNothing(cp: Int): Boolean = cp match {
+    case 0x00AD | 0x034F | 0x1806 | 0x180B | 0x180C | 0x180D |
+         0x200B | 0x200C | 0x200D | 0x2060 | 0xFEFF => true
+    case _ => cp >= 0xFE00 && cp <= 0xFE0F
+  }
+
+  /** RFC 3454 Table C.1.2 — non-ASCII space characters. */
+  private def isNonAsciiSpace(cp: Int): Boolean = cp match {
+    case 0x00A0 | 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+    case _ => cp >= 0x2000 && cp <= 0x200A
+  }
+
+  /** RFC 4013 §2.3 prohibited output: Tables C.2.1, C.2.2, C.3–C.9 plus
+    * unassigned code points (§2.5, stored-strings rule).
+    */
+  private def isProhibited(cp: Int): Boolean =
+    (cp <= 0x001F) || cp == 0x007F ||                    // C.2.1 ASCII control
+    (cp >= 0x0080 && cp <= 0x009F) ||                    // C.2.2 non-ASCII control
+    cp == 0x06DD || cp == 0x070F || cp == 0x180E ||
+    (cp >= 0x2060 && cp <= 0x2063) ||
+    (cp >= 0x206A && cp <= 0x206F) ||                    // also C.8
+    cp == 0xFEFF || (cp >= 0xFFF9 && cp <= 0xFFFD) ||    // + C.6
+    (cp >= 0x1D173 && cp <= 0x1D17A) ||
+    (cp >= 0xE000 && cp <= 0xF8FF) ||                    // C.3 private use
+    (cp >= 0xF0000 && cp <= 0xFFFFD) || (cp >= 0x100000 && cp <= 0x10FFFD) ||
+    (cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE || // C.4 non-chars
+    (cp >= 0xD800 && cp <= 0xDFFF) ||                    // C.5 surrogates
+    (cp >= 0x2FF0 && cp <= 0x2FFB) ||                    // C.7 ideograph desc
+    cp == 0x0340 || cp == 0x0341 || cp == 0x200E || cp == 0x200F ||
+    (cp >= 0x202A && cp <= 0x202E) ||                    // C.8 bidi controls
+    cp == 0xE0001 || (cp >= 0xE0020 && cp <= 0xE007F) || // C.9 tagging
+    !Character.isDefined(cp)                             // §2.5 unassigned
 
   val Mechanism = "SCRAM-SHA-256"
   val MechanismPlus = "SCRAM-SHA-256-PLUS"
@@ -135,7 +226,7 @@ final class ScramClient(
     val iters = a.getOrElse('i', throw new IllegalStateException("scram: no iteration count")).toInt
     if (iters < 1) throw new IllegalStateException(s"scram: bad iteration count $iters")
 
-    val salted = Scram.saltedPassword(password, salt, iters)
+    val salted = Scram.saltedPassword(Scram.saslPrep(password), salt, iters)
     val ck = Scram.clientKey(salted)
     val withoutProof = s"c=$cbindB64,r=$nonce"
     val authMessage = s"$clientFirstBare,$sf,$withoutProof".getBytes(UTF_8)

@@ -234,6 +234,26 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   // oid → latest non-streamed Relation frame; immutable so TxnGroups can hold
   // the snapshot by reference.
   private var relCache = Map.empty[Long, Array[Byte]]
+
+  // User-facing registry key for PgCdcRelations (typed-view discovery):
+  // explicit option, else the natural stream identity (slot / path / test key).
+  private val registryKey: Option[String] =
+    Option(options.get("relationRegistryKey"))
+      .orElse(Option(options.get("slot")))
+      .orElse(Option(options.get("path")))
+      .orElse(Option(options.get("testSourceKey")))
+
+  /** Decode a canonical (non-xid-prefixed) Relation frame and publish it to
+    * [[PgCdcRelations]]. Advisory: a decode failure here is ignored — the
+    * executor-side assembler will surface it with full context.
+    */
+  private def publishRelation(raw: Array[Byte]): Unit = registryKey.foreach { k =>
+    try graft.pgproto.Messages.decode(
+      java.util.Arrays.copyOfRange(raw, 25, raw.length), inStreamedTx = false) match {
+      case rel: graft.pgproto.Messages.Relation => PgCdcRelations.publish(k, rel)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
   private val maxBufferedStreamFrames =
     options.getInt("maxBufferedStreamFrames", 1 << 20)
   private var bufferedStreamFrames = 0L
@@ -377,6 +397,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
               // this txn group (or the next, for an ambient relation between
               // txns) re-registers it in original order.
               relCache = relCache.updated(readU32(raw, p + 1), raw)
+              publishRelation(raw)
               curTxn += raw
             }
           case 'S' =>
@@ -396,8 +417,11 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             // carry it. Aborted streamed txns never reach here, so a
             // rolled-back schema change is never cached.
             segs.foreach { s =>
-              if (s(0) == graft.pgproto.WalFrames.TagXLogData && s.length > p && s(p) == 'R')
-                relCache = relCache.updated(readU32(s, p + 5), stripStreamXid(s))
+              if (s(0) == graft.pgproto.WalFrames.TagXLogData && s.length > p && s(p) == 'R') {
+                val canonical = stripStreamXid(s)
+                relCache = relCache.updated(readU32(s, p + 5), canonical)
+                publishRelation(canonical)
+              }
             }
             segs += raw
             addGroup(segs.toArray, readU64(raw, p + 14))

@@ -60,6 +60,46 @@ class ScramSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("saslPrep follows the RFC 4013 \u00a73 examples") {
+    assert(Scram.saslPrep("I\u00adX") === "IX")   // soft hyphen mapped away
+    assert(Scram.saslPrep("user") === "user")      // ASCII untouched
+    assert(Scram.saslPrep("USER") === "USER")      // case preserved
+    assert(Scram.saslPrep("\u00aa") === "a")      // NFKC compatibility
+    assert(Scram.saslPrep("\u2168") === "IX")     // ROMAN NUMERAL NINE
+    assert(Scram.saslPrep("a\u00a0b") === "a b")  // NBSP \u2192 SPACE
+    // Prohibited output (control char; mixed-bidi per RFC 3454 \u00a76) falls
+    // back to the verbatim password \u2014 pg_saslprep's behavior, not an error.
+    assert(Scram.saslPrep("a\u0007b") === "a\u0007b")
+    assert(Scram.saslPrep("\u0627" + "1") === "\u0627" + "1")
+  }
+
+  test("saslPrep-equal password spellings derive the same SCRAM keys") {
+    // The soft-hyphenated and compatibility (ROMAN NUMERAL) spellings must
+    // salt to the keys of their normalized form \u2014 the interop libpq users
+    // get when the verifier was stored from a different client.
+    val salt = "QSXCR+Q6sek8bf92".getBytes(UTF_8)
+    assert(Scram.hi(Scram.saslPrep("pass\u00adword"), salt, 4096)
+      === Scram.hi("password", salt, 4096))
+    assert(Scram.hi(Scram.saslPrep("pencil\u2168"), salt, 4096)
+      === Scram.hi("pencilIX", salt, 4096))
+  }
+
+  test("a non-ASCII password authenticates across differently-normalized spellings") {
+    // Server stored its verifier from the plain spelling; the client types a
+    // form with a soft hyphen and a zero-width space. SASLprep on both sides
+    // makes the exchange agree \u2014 the round-trip RFC 5802 \u00a72.2 requires.
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("tr\u00fcffel p\u00e2t\u00e9"), authMethod = "scram",
+      sqlResults = sql =>
+        if (sql == "SELECT 5") Some((Seq("five"), Seq(Seq(Some("5"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("tr\u00fcffel\u200b p\u00e2t\u00e9\u00ad"))
+      try assert(conn.simpleQuery("SELECT 5") === Seq(Seq("5")))
+      finally conn.close()
+    } finally server.close()
+  }
+
   test("missing password and unsupported mechanism lists fail with clear errors") {
     val server = new FakeWalsender(Seq.empty,
       requirePassword = Some("s3cret"), authMethod = "scram")

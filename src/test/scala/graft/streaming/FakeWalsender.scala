@@ -264,7 +264,8 @@ final class FakeWalsender(
       s"expected SASLResponse, got '${fin.tag.toChar}'")
     val clientFinal = new String(fin.payload, UTF_8)
     val a = Scram.attrs(clientFinal)
-    val salted = Scram.hi(expected, salt, iterations)
+    // Like a real server: verifier keys derive from the SASLprep'd password.
+    val salted = Scram.hi(Scram.saslPrep(expected), salt, iterations)
     val storedKey = Scram.storedKey(Scram.clientKey(salted))
     val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
     val authMsg = s"$bare,$serverFirst,$withoutProof".getBytes(UTF_8)

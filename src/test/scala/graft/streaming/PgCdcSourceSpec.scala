@@ -180,4 +180,48 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(sawRelation, "relation message must replay on resume")
     assert(replay < total, "resume must skip already-acked frames")
   }
+
+  test("PgCdcRelations surfaces the live relation cache as typed views") {
+    val relOid = 16500L
+    val cols = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1),     // int4
+      Messages.RelationColumn("price", 1700L, -1, 0), // numeric
+      Messages.RelationColumn("title", 25L, -1, 0))  // text
+    val streamedOid = 16501L
+    val streamedCols = Seq(Messages.RelationColumn("k", 20L, -1, 1)) // int8
+    val frames = Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "books2", cols)),
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(103, T0, 7)),
+      MessageEncoder.xlogData(101, 101, T0,
+        MessageEncoder.insert(relOid, Seq(Some("1"), Some("9.50"), Some("dune")))),
+      MessageEncoder.xlogData(102, 102, T0, MessageEncoder.commit(102, 103, T0)),
+      // A relation FIRST announced inside a committed streamed txn must also
+      // land in the registry (the stripStreamXid fold-in path).
+      MessageEncoder.xlogData(110, 110, T0, MessageEncoder.streamStart(950, firstSegment = true)),
+      MessageEncoder.xlogData(111, 111, T0,
+        MessageEncoder.relation(streamedOid, "public", "streamed_rel", streamedCols, streamedXid = 950)),
+      MessageEncoder.xlogData(112, 112, T0,
+        MessageEncoder.insert(streamedOid, Seq(Some("7")), streamedXid = 950)),
+      MessageEncoder.xlogData(113, 113, T0, MessageEncoder.streamStop()),
+      MessageEncoder.xlogData(114, 114, T0, MessageEncoder.streamCommit(950, 114, 115, T0)))
+
+    PgCdcRelations.clear("rel-registry")
+    val envelope = runStream("rel-registry", frames, "cdc_rel_registry")
+
+    val rels = PgCdcRelations.relations("rel-registry")
+    assert(rels.keySet == Set("public.books2", "public.streamed_rel"))
+    assert(rels("public.books2").columns.map(_.name).toSeq == Seq("id", "price", "title"))
+
+    val views = PgCdcRelations.typedViews("rel-registry", envelope)
+    val typed = views("public.books2").collect()
+    assert(typed.length == 1)
+    val r = typed.head
+    assert(r.getAs[Int]("id") == 1)
+    assert(r.getAs[java.math.BigDecimal]("price") == new java.math.BigDecimal("9.500000000000000000"))
+    assert(r.getAs[String]("title") == "dune")
+    val streamedRow = views("public.streamed_rel").collect().head
+    assert(streamedRow.getAs[Long]("k") == 7L)
+    PgCdcRelations.clear("rel-registry")
+    assert(PgCdcRelations.relations("rel-registry").isEmpty)
+  }
 }
