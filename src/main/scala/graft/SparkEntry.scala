@@ -48,6 +48,7 @@ object SparkEntry {
       CdcQueries.heartbeatSuppression(s, d).orderBy("event_type")),
     "q_toast_coalesce" -> ((s, d) => CdcQueries.toastCoalesce(s, d).orderBy("event_type")),
     "q_latest_state" -> ((s, d) => CdcQueries.latestState(s, d).orderBy("user_id")),
+    "q_scd2_history" -> ((s, d) => CdcQueries.scd2History(s, d).orderBy("event_type")),
     "q_sessionize" -> ((s, d) => CdcQueries.sessionize(s, d).orderBy("session_len")),
     "q_monotonic_guard" -> ((s, d) => CdcQueries.monotonicGuard(s, d).orderBy("event_type")),
     "q_cdc_roundtrip" -> ((s, d) => CdcQueries.cdcRoundtrip(s, d).orderBy("op")),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
+    "q_bm25_search" -> ((s, d) => TextQueries.bm25Search(s, d)),
     "q_tfidf_keywords" -> ((s, d) =>
       TextQueries.tfidfKeywords(s, d).orderBy("doc_id", "rnk")),
     "q_length_quantiles" -> ((s, d) => TextQueries.lengthQuantiles(s, d).orderBy("lang")),
@@ -80,6 +82,10 @@ object SparkEntry {
     // ---- LLM-pipeline: corpus curation ----
     "q_sample_stratified" -> ((s, d) =>
       CurationQueries.stratifiedSample(s, d).orderBy("lang")),
+    "q_decontaminate" -> ((s, d) =>
+      CurationQueries.decontaminate(s, d).orderBy("doc_id")),
+    "q_token_budget_mix" -> ((s, d) =>
+      CurationQueries.tokenBudgetMix(s, d).orderBy("source")),
     "q_heavy_hitters" -> ((s, d) =>
       CurationQueries.heavyHitters(s, d).orderBy("lang", "rnk")),
     "q_pseudonymize" -> ((s, d) =>
@@ -214,6 +220,21 @@ object SparkEntry {
                  ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    "q_scd2_history" ->
+      """WITH v AS (
+           SELECT event_type, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM events),
+         l AS (
+           SELECT event_type, valid_to,
+             epoch_us(valid_to) // 1000000 - epoch_us(ts) // 1000000 AS life_s
+           FROM v)
+         SELECT event_type, count(*) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           CAST(sum(life_s) AS BIGINT) AS sum_life_s,
+           round(avg(life_s), 2) AS avg_life_s
+         FROM l GROUP BY 1 ORDER BY 1""",
     "q_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts, event_id,
@@ -331,6 +352,38 @@ object SparkEntry {
            round(avg(CAST(stop_cnt AS DOUBLE) / n_toks), 6) AS avg_stop_ratio,
            round(avg(CAST(sum_tok_len AS DOUBLE) / n_toks), 6) AS avg_tok_len
          FROM r GROUP BY 1 ORDER BY 1""",
+    "q_bm25_search" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+           FROM documents),
+         per AS (
+           SELECT doc_id, count(*) AS dl,
+             CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             CAST(sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+             CAST(sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+           FROM tok WHERE tok <> '' GROUP BY 1),
+         st AS (
+           SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+           FROM per),
+         sc AS (
+           SELECT doc_id, tf1, tf2, tf3,
+             ln(1.0::DOUBLE + (n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
+               * (tf1 * 2.2::DOUBLE / (tf1 + 1.2::DOUBLE *
+                  (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+             + ln(1.0::DOUBLE + (n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
+               * (tf2 * 2.2::DOUBLE / (tf2 + 1.2::DOUBLE *
+                  (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+             + ln(1.0::DOUBLE + (n - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE))
+               * (tf3 * 2.2::DOUBLE / (tf3 + 1.2::DOUBLE *
+                  (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+             AS score
+           FROM per, st)
+         SELECT doc_id, tf1, tf2, tf3, round(score, 4) AS bm25
+         FROM sc WHERE tf1 + tf2 + tf3 > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
@@ -535,6 +588,46 @@ object SparkEntry {
            CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN u < rate THEN doc_id END) AS BIGINT) AS kept_id_sum
          FROM s GROUP BY 1 ORDER BY 1""",
+    "q_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         shing AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+             FROM t)),
+         pairs AS (
+           SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+           FROM shing a JOIN shing b ON a.sh = b.sh
+           WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT doc_id, count(*) AS n_bench_hits,
+           CAST(max(n_shared) AS BIGINT) AS max_overlap,
+           CAST(sum(bench_id) AS BIGINT) AS bench_id_sum
+         FROM pairs GROUP BY 1 ORDER BY 1""",
+    "q_token_budget_mix" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\s+')) AS toks,
+             ('0x' || substr(md5('mix-' || doc_id::VARCHAR), 1, 15))::BIGINT AS pri
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, toks,
+             coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT source, count(*) AS n_total,
+           CAST(sum(toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN cum_before < 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN cum_before < 20000 THEN toks END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(CASE WHEN cum_before < 20000 THEN doc_id END) AS BIGINT)
+             AS kept_id_sum
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q_heavy_hitters" ->
       """WITH tok AS (
            SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok

@@ -121,6 +121,33 @@ object CdcQueries {
       .select(col("window.start").cast("long").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** SCD type-2 history materialization — the other standard downstream of
+    * a change feed besides [[latestState]]: every change event opens a
+    * version row valid from its own time until the key's NEXT change
+    * (`lead` over the key's history), the key's last event staying open.
+    * Output is the per-event-type audit of the version table: version
+    * counts, open (current) versions, and the total + mean closed-version
+    * lifetime.
+    *
+    * 100-TB shape: one window function partitioned by key (the same
+    * shuffle-by-key any per-key history pass costs) + one
+    * partial-aggregated groupBy; no self-join — `lead` replaces the
+    * naive "join each version to its successor".
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("valid_to", lead("ts", 1).over(byKey))
+      .withColumn("life_s",
+        col("valid_to").cast("long") - col("ts").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+        sum("life_s").as("sum_life_s"),
+        round(avg("life_s"), 2).as("avg_life_s"))
+  }
+
   /** T2 streamed (in-progress) transactions, proto v2, proven end-to-end
     * with an oracle: each partition re-encodes its events as STREAMED
     * transactions (STREAM START/segment/STOP chunks, one txn per 500 rows,

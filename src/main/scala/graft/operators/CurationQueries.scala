@@ -74,6 +74,86 @@ object CurationQueries {
       .filter(col("rnk") <= TopK)
   }
 
+  /** Minimum distinct shared shingles before a (train doc, benchmark doc)
+    * pair counts as contamination. One shared shingle is phrase reuse;
+    * repeated verbatim n-grams against the same benchmark doc is leakage.
+    * (3-token shingles at threshold 2 here — production decontamination
+    * uses 8-13-gram windows, but this synthetic corpus has near-zero
+    * verbatim cross-doc text, so those find nothing to audit; the plan is
+    * n-independent.)
+    */
+  private val ContaminationMinShingles = 2
+
+  /** Benchmark decontamination — the eval-leakage audit every training-set
+    * build runs: find training documents that share enough verbatim
+    * n-gram shingles with a held-out benchmark set that the benchmark can't
+    * be trusted on a model trained on them. The benchmark here is the
+    * deterministic ~1% slice `doc_id % 97 == 0` (standing in for e.g. an
+    * eval suite's prompts); output is one row per contaminated training doc
+    * with how many benchmark docs it hits and the worst overlap.
+    *
+    * 100-TB shape: the corpus side is ONE scan of the shared
+    * [[ShingleSets]] cache; the benchmark side is small by construction, so
+    * its exploded shingle set is BROADCAST and the join is a broadcast hash
+    * join on the shingle string (exact — no hash routing to mis-verify);
+    * the per-(doc, benchmark) overlap count partial-aggregates before the
+    * only shuffle. Nothing is corpus × corpus — cost is corpus-scan +
+    * |benchmark shingles| map lookups per row.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val shingles = ShingleSets(s, dir, 3)
+    val benchSh = shingles.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("shs")).as("sh"))
+    val trainSh = shingles.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    trainSh.join(broadcast(benchSh), "sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShingles)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bench_hits"),
+        max(col("n_shared")).as("max_overlap"),
+        sum(col("bench_id")).as("bench_id_sum"))
+  }
+
+  /** Per-source token budget for [[tokenBudgetMix]] — the target corpus-mix
+    * allotment each source may contribute.
+    */
+  private val MixTokenBudget = 20000L
+
+  /** Token-budget corpus mixing: each source contributes documents in a
+    * deterministic hash priority order until its token budget is exhausted
+    * (the first doc to cross the line is included — budgets are targets,
+    * not caps). Output is the per-source audit: docs/tokens kept vs
+    * available and an id checksum pinning the exact kept set.
+    *
+    * 100-TB shape: the cumulative sum is a window per source — fine while a
+    * source fits a sort (the exact-budget form verified here). For a
+    * source too large to sort, the documented swap is rate-gating: one
+    * aggregation computes the source's total tokens, the keep probability
+    * is budget/total, and the SAME hash draw gates membership — no sort,
+    * one scan, budget hit in expectation; the plan downstream is identical.
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"),
+        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri"))
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < MixTokenBudget)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum("toks").as("tokens_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("toks"))).as("tokens_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+  }
+
   /** Keyed pseudonymization + generalization over `customer`, with the
     * k-anonymity report as output: names are replaced by a salted 60-bit
     * token (deterministic, so joins on the pseudonym still work across

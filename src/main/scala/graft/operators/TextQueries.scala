@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -185,4 +185,60 @@ object TextQueries {
         round(percentile(col("n_chars"), lit(0.5)), 2).as("p50"),
         round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
         round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
+
+  /** BM25 query terms (fixed — lexical retrieval over the corpus). */
+  private val Bm25Terms = Seq("vector", "merge", "window")
+  // k1=1.2, b=0.75. The derived constants are spelled as literals (not
+  // computed) so the Spark plan and the DuckDB oracle hold bit-identical
+  // doubles: 2.2 as "nearest double to decimal 2.2" on both sides, rather
+  // than trusting 1.2+1.0 to round the same way.
+  private val Bm25K1 = 1.2
+  private val Bm25K1Plus1 = 2.2
+  private val Bm25OneMinusB = 0.25
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10
+
+  /** BM25 ranked retrieval — lexical search over the corpus for a fixed
+    * term set (the retrieval side of a RAG/quality-filter pipeline, and the
+    * classic baseline ANN results are compared against). Per-term
+    * frequencies are CONDITIONAL aggregates (one column per query term),
+    * not a pivot, so the three per-term score contributions add in a fixed
+    * expression order — bit-reproducible across engines where a
+    * sum-over-rows of doubles is not.
+    *
+    * 100-TB shape: one token scan partial-aggregated by doc; corpus stats
+    * (N, avgdl, per-term df) are ONE aggregated row cross-joined back as a
+    * broadcast; the final top-k is TakeOrderedAndProject — never a full
+    * sort. Query-term count scales columns, not shuffles.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = Bm25Terms
+    def tfCol(t: String) =
+      sum(when(col("tok") === t, 1L).otherwise(0L))
+    val per = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        tfCol(t1).as("tf1"), tfCol(t2).as("tf2"), tfCol(t3).as("tf3"))
+    val stats = per.agg(
+      count(lit(1)).as("n"), avg("dl").as("avgdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    def idf(df: Column) =
+      log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5)))
+    def contrib(tf: Column, df: Column) =
+      idf(df) * (tf * lit(Bm25K1Plus1) /
+        (tf + lit(Bm25K1) * (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    per.crossJoin(broadcast(stats))
+      .withColumn("score",
+        contrib(col("tf1"), col("df1")) + contrib(col("tf2"), col("df2")) +
+          contrib(col("tf3"), col("df3")))
+      .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("tf1"), col("tf2"), col("tf3"),
+        round(col("score"), 4).as("bm25"))
+  }
 }

@@ -101,6 +101,54 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1).matches("[a-z]+")))
   }
 
+  test("decontaminate: finds exactly the train docs sharing repeated shingles with the benchmark slice") {
+    val out = CurationQueries.decontaminate(spark, dir).collect()
+    assert(out.nonEmpty, "sf0.01 must surface contamination at the 3-gram/2 threshold")
+    // No benchmark doc may appear as a flagged training doc.
+    assert(out.forall(_.getLong(0) % 97 != 0))
+    // Ground truth for one flagged doc: recompute its shingle overlap
+    // against every benchmark doc directly from the text.
+    def shingles(text: String): Set[String] = {
+      val toks = text.split("\\s+", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bench = docs.filter(_._1 % 97 == 0)
+    val flagged = out.head
+    val mine = shingles(docs(flagged.getLong(0)))
+    val overlaps = bench.map { case (bid, t) => bid -> (mine & shingles(t)).size }
+      .filter(_._2 >= 2)
+    assert(flagged.getLong(1) == overlaps.size, "n_bench_hits must match ground truth")
+    assert(flagged.getLong(2) == overlaps.values.max, "max_overlap must match ground truth")
+    assert(flagged.getLong(3) == overlaps.keys.sum, "bench_id_sum must pin the exact hit set")
+  }
+
+  test("tokenBudgetMix: hash-priority prefix per source, budget as target not cap") {
+    val out = CurationQueries.tokenBudgetMix(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, dir).select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split("\\s+", -1).length.toLong))
+    out.foreach { r =>
+      val source = r.getString(0)
+      val mine = docs.filter(_._1 == source)
+        .map { case (_, id, toks) => (hash60(s"mix-$id"), id, toks) }
+        .sortBy(t => (t._1, t._2))
+      // Replay the cumulative-sum gate driver-side.
+      var cum = 0L
+      val kept = mine.takeWhile { case (_, _, toks) =>
+        val in = cum < 20000L; cum += toks; in
+      }
+      assert(r.getLong(1) == mine.length)
+      assert(r.getLong(3) == kept.length, s"$source n_kept")
+      assert(r.getLong(4) == kept.map(_._3).sum, s"$source tokens_kept")
+      assert(r.getLong(5) == kept.map(_._2).sum, s"$source kept_id_sum")
+      // Budget semantics: the kept set crosses the line by at most one doc.
+      assert(kept.map(_._3).sum >= math.min(20000L, mine.map(_._3).sum))
+    }
+  }
+
   test("pseudonymize: k-anonymity report with exact keyed tokens") {
     val out = CurationQueries.pseudonymizedSegments(spark, dir).collect()
     val total = Tables.customer(spark, dir).count()
