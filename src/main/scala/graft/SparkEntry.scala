@@ -86,6 +86,8 @@ object SparkEntry {
       CurationQueries.decontaminate(s, d).orderBy("doc_id")),
     "q_token_budget_mix" -> ((s, d) =>
       CurationQueries.tokenBudgetMix(s, d).orderBy("source")),
+    "q_seq_packing" -> ((s, d) =>
+      CurationQueries.sequencePacking(s, d).orderBy("source")),
     "q_heavy_hitters" -> ((s, d) =>
       CurationQueries.heavyHitters(s, d).orderBy("lang", "rnk")),
     "q_pseudonymize" -> ((s, d) =>
@@ -628,6 +630,28 @@ object SparkEntry {
            CAST(sum(CASE WHEN cum_before < 20000 THEN doc_id END) AS BIGINT)
              AS kept_id_sum
          FROM c GROUP BY 1 ORDER BY 1""",
+    "q_seq_packing" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\s+')) AS toks,
+             ('0x' || substr(md5('mix-' || doc_id::VARCHAR), 1, 15))::BIGINT AS pri
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, toks,
+             coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d),
+         g AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens_total,
+             CAST(max(off + toks) AS BIGINT) AS end_tok,
+             CAST(sum(CASE WHEN off // 512 <> (off + toks - 1) // 512
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+           FROM c GROUP BY 1)
+         SELECT source, n_docs, tokens_total,
+           (end_tok + 511) // 512 AS n_windows, n_straddling,
+           (512 - (end_tok % 512)) % 512 AS tail_waste
+         FROM g ORDER BY 1""",
     "q_heavy_hitters" ->
       """WITH tok AS (
            SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok

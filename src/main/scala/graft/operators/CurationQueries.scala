@@ -154,6 +154,50 @@ object CurationQueries {
         sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
   }
 
+  /** Context length for [[sequencePacking]] — the training window the
+    * packed stream is cut into.
+    */
+  private val PackWindow = 512L
+
+  /** Sequence packing — the concat-and-cut step between curation and the
+    * trainer: documents are concatenated per source in a deterministic
+    * hash order and the token stream is cut into fixed
+    * [[PackWindow]]-token windows. Output is the per-source packing audit:
+    * windows produced, how many documents straddle a cut (their spans
+    * cross a window boundary), and the tail waste (unfilled slots of the
+    * last window — the only padding concat-and-cut ever emits).
+    *
+    * 100-TB shape: token offsets are one window cumsum per source (same
+    * note as [[tokenBudgetMix]]: a per-source sort, sharded in practice by
+    * packing per (source, shard) with shard = hash-range); everything
+    * after the cumsum is arithmetic on (offset, length) — no second pass
+    * over text, no explosion to one-row-per-token.
+    */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"),
+        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri"))
+      .withColumn("off", coalesce(sum("toks").over(w), lit(0L)))
+      // `div`, not `/`: Spark's `/` on BIGINT is double division, and the
+      // window index must stay exact integer arithmetic.
+      .withColumn("straddles",
+        expr(s"(off div $PackWindow) != ((off + toks - 1) div $PackWindow)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("tokens_total"),
+        max(col("off") + col("toks")).as("end_tok"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        expr(s"(end_tok + ${PackWindow - 1}) div $PackWindow").as("n_windows"),
+        col("n_straddling"),
+        expr(s"($PackWindow - (end_tok % $PackWindow)) % $PackWindow").as("tail_waste"))
+  }
+
   /** Keyed pseudonymization + generalization over `customer`, with the
     * k-anonymity report as output: names are replaced by a salted 60-bit
     * token (deterministic, so joins on the pseudonym still work across

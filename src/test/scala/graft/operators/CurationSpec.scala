@@ -149,6 +149,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sequencePacking: window math matches a driver-side replay of the packed stream") {
+    val out = CurationQueries.sequencePacking(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, dir).select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split("\\s+", -1).length.toLong))
+    out.foreach { r =>
+      val source = r.getString(0)
+      val mine = docs.filter(_._1 == source)
+        .map { case (_, id, toks) => (hash60(s"mix-$id"), id, toks) }
+        .sortBy(t => (t._1, t._2))
+      var off = 0L
+      var straddling = 0L
+      mine.foreach { case (_, _, toks) =>
+        if (off / 512 != (off + toks - 1) / 512) straddling += 1
+        off += toks
+      }
+      assert(r.getLong(1) == mine.length)
+      assert(r.getLong(2) == off, s"$source tokens_total")
+      assert(r.getLong(3) == (off + 511) / 512, s"$source n_windows")
+      assert(r.getLong(4) == straddling, s"$source n_straddling")
+      assert(r.getLong(5) == (512 - off % 512) % 512, s"$source tail_waste")
+      // Packing invariant: window capacity covers the stream with < one
+      // window of slack.
+      assert(r.getLong(3) * 512 - r.getLong(5) == off)
+    }
+  }
+
   test("pseudonymize: k-anonymity report with exact keyed tokens") {
     val out = CurationQueries.pseudonymizedSegments(spark, dir).collect()
     val total = Tables.customer(spark, dir).count()
