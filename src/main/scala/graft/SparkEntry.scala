@@ -88,6 +88,10 @@ object SparkEntry {
       CurationQueries.tokenBudgetMix(s, d).orderBy("source")),
     "q_seq_packing" -> ((s, d) =>
       CurationQueries.sequencePacking(s, d).orderBy("source")),
+    "q_cms_tokens" -> ((s, d) =>
+      CurationQueries.cmsTokenCounts(s, d).orderBy("tok")),
+    "q_hll_distinct" -> ((s, d) =>
+      CurationQueries.hllDistinctUsers(s, d).orderBy("event_type")),
     "q_heavy_hitters" -> ((s, d) =>
       CurationQueries.heavyHitters(s, d).orderBy("lang", "rnk")),
     "q_pseudonymize" -> ((s, d) =>
@@ -652,6 +656,70 @@ object SparkEntry {
            (end_tok + 511) // 512 AS n_windows, n_straddling,
            (512 - (end_tok % 512)) % 512 AS tail_waste
          FROM g ORDER BY 1""",
+    "q_cms_tokens" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+           FROM documents),
+         cells AS (
+           SELECT r.range AS r,
+             ('0x' || substr(md5('cms' || r.range::VARCHAR || '-' || tok), 1, 15))::BIGINT
+               % 1024 AS bucket
+           FROM tok, range(4) r WHERE tok <> ''),
+         sketch AS (
+           SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         probes AS (
+           SELECT t.tok, r.range AS r,
+             ('0x' || substr(md5('cms' || r.range::VARCHAR || '-' || t.tok), 1, 15))::BIGINT
+               % 1024 AS bucket
+           FROM (SELECT unnest(['join', 'hash', 'vector', 'spark', 'the']) AS tok) t,
+             range(4) r),
+         est AS (
+           SELECT p.tok, min(coalesce(s.cnt, 0)) AS cms_estimate
+           FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+           GROUP BY 1),
+         exact AS (
+           SELECT tok, count(*) AS exact_count FROM tok
+           WHERE tok IN ('join', 'hash', 'vector', 'spark', 'the')
+           GROUP BY 1)
+         SELECT e.tok, CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+         FROM est e LEFT JOIN exact x ON e.tok = x.tok ORDER BY 1""",
+    "q_hll_distinct" ->
+      """WITH h AS (
+           SELECT event_type,
+             ('0x' || substr(md5('hll-' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events),
+         r AS (
+           SELECT event_type, h % 512 AS reg, h // 512 AS v FROM h),
+         regs AS (
+           SELECT event_type, reg,
+             max(CASE WHEN v = 0 THEN 52 ELSE 52 - length(bin(v)) END) AS m
+           FROM r GROUP BY 1, 2),
+         folded AS (
+           SELECT event_type,
+             count(*) AS n_used,
+             CAST(sum(CAST(pow(2, 52 - m) AS BIGINT)) AS BIGINT) AS s_used
+           FROM regs GROUP BY 1),
+         est AS (
+           SELECT event_type, n_used, 512 - n_used AS n_empty,
+             (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+               * 262144.0::DOUBLE
+               * (pow(2, 52) / (s_used + (512 - n_used) * CAST(pow(2, 52) AS BIGINT)))
+               AS raw
+           FROM folded),
+         fin AS (
+           SELECT event_type, n_used, n_empty,
+             CASE WHEN raw <= 2.5::DOUBLE * 512.0::DOUBLE AND n_empty > 0
+               THEN 512.0::DOUBLE * ln(512.0::DOUBLE / n_empty)
+               ELSE raw END AS e
+           FROM est),
+         exact AS (
+           SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+         SELECT f.event_type, CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           round(f.e, 2) AS hll_estimate,
+           CAST(f.n_used AS BIGINT) AS n_used, CAST(f.n_empty AS BIGINT) AS n_empty
+         FROM fin f JOIN exact x ON f.event_type = x.event_type ORDER BY 1""",
     "q_heavy_hitters" ->
       """WITH tok AS (
            SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok

@@ -198,6 +198,123 @@ object CurationQueries {
         expr(s"($PackWindow - (end_tok % $PackWindow)) % $PackWindow").as("tail_waste"))
   }
 
+  // Count-min sketch geometry: 4 hash rows × 1024 buckets (ε ≈ 2e/4096,
+  // δ ≈ e^-4). Hashes are the engine's deterministic hash60 family salted
+  // per row, so the DuckDB oracle rebuilds the identical sketch.
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+
+  /** Tokens whose counts the sketch is probed for — the same fixed probe
+    * set on both engines (in practice: the candidate heavy hitters from a
+    * first pass, or a watchlist).
+    */
+  private val CmsProbeTokens = Seq("join", "hash", "vector", "spark", "the")
+
+  /** Count-min sketch over the token stream — the bounded-memory swap for
+    * exact vocabulary counting that [[heavyHitters]]' scaladoc promises at
+    * 100 TB: the sketch is `CmsDepth × CmsWidth` counters no matter the
+    * corpus, built in ONE pass, and any token's count is read back as the
+    * minimum of its `CmsDepth` cells (an overestimate, never an under-).
+    * Output probes the sketch for a fixed token set next to the exact
+    * counts, so the ε-bound is auditable: `est >= exact` always, and the
+    * overshoot is the collision noise the geometry promises.
+    *
+    * 100-TB shape: explode tokens × depth (row-local), ONE
+    * partial-aggregated groupBy on (row, bucket) — 4096 result rows total;
+    * the probe joins a literal token list against those 4096 rows
+    * broadcast. Nothing downstream of the scan exceeds sketch size.
+    */
+  def cmsTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val rows = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("r"),
+        (hash60(concat(lit(s"cms$i-"), col("tok"))) % CmsWidth).as("bucket"))
+    }
+    val sketch = toks
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.filter(col("tok").isin(CmsProbeTokens: _*))
+      .groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    // Probe cells as a literal frame: (token, row) pairs re-hash with the
+    // same salted family the sketch build used.
+    val probeRows = for {
+      t <- CmsProbeTokens
+      i <- 0 until CmsDepth
+    } yield (t, i)
+    val probeDf = s.createDataFrame(probeRows).toDF("tok", "r")
+      .withColumn("bucket",
+        hash60(concat(lit("cms"), col("r").cast("string"), lit("-"), col("tok"))) % CmsWidth)
+    // Left join: a cell nothing hashed into reads as 0, exactly like a
+    // zero-initialized counter array.
+    probeDf.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("tok").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+      .join(exact, Seq("tok"), "left")
+      .select(col("tok"), col("cms_estimate"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
+  // HyperLogLog geometry: 2^9 = 512 registers. hash60 supplies 60 bits:
+  // low 9 pick the register, the remaining 51 feed the rank. All register
+  // state stays integer (the 2^-M register sum is carried as a BIGINT sum
+  // of 2^(52-M)), so the estimate is bit-deterministic across engines —
+  // a float sum over 512 registers would not be.
+  private val HllRegisters = 512L
+  private val HllRankWidth = 52
+
+  /** HyperLogLog distinct-count sketch — bounded-memory cardinality per
+    * group (distinct users per event type here), the swap for
+    * `count_distinct` when the distinct set itself won't fit anywhere. The
+    * full estimator is implemented: raw harmonic-mean estimate with the
+    * standard alpha bias correction, and the linear-counting branch when
+    * the raw estimate is small and empty registers remain. Output carries
+    * the exact distinct count next to the estimate, so the sketch's error
+    * is auditable row by row.
+    *
+    * 100-TB shape: one scan, one partial-aggregated groupBy on
+    * (group, register) — at most 512 rows per group survive the shuffle —
+    * then a per-group fold of 512 register values. Register state is
+    * integers; the estimate math runs on the aggregated rows only.
+    */
+  def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val h = hash60(concat(lit("hll-"), col("user_id").cast("string")))
+    val regs = Tables.events(s, dir)
+      .select(col("event_type"), h.as("h"))
+      .withColumn("reg", col("h") % HllRegisters)
+      .withColumn("v", expr(s"h div $HllRegisters"))
+      // rank = leading zeros in the 51-bit remainder + 1 = 52 − bitlength(v)
+      .withColumn("rho",
+        when(col("v") === 0, lit(HllRankWidth))
+          .otherwise(lit(HllRankWidth) - length(bin(col("v")))))
+      .groupBy("event_type", "reg")
+      .agg(max(col("rho")).as("m"))
+    val folded = regs.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(expr(s"cast(pow(2, $HllRankWidth - m) as bigint)")).as("s_used"))
+      .withColumn("n_empty", lit(HllRegisters) - col("n_used"))
+      // Empty registers contribute 2^-0 = 1 each: 2^52 in the integer sum.
+      .withColumn("s_total",
+        col("s_used") + col("n_empty") * expr(s"cast(pow(2, $HllRankWidth) as bigint)"))
+    val m2 = HllRegisters.toDouble * HllRegisters.toDouble
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllRegisters.toDouble))
+    val raw = alpha * lit(m2) *
+      (expr(s"cast(pow(2, $HllRankWidth) as double)") / col("s_total"))
+    val est = when(
+      raw <= lit(2.5) * lit(HllRegisters.toDouble) && col("n_empty") > 0,
+      lit(HllRegisters.toDouble) * log(lit(HllRegisters.toDouble) / col("n_empty")))
+      .otherwise(raw)
+    val exact = Tables.events(s, dir)
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("exact_distinct"))
+    folded
+      .withColumn("hll_estimate", round(est, 2))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"), col("hll_estimate"),
+        col("n_used"), col("n_empty"))
+  }
+
   /** Keyed pseudonymization + generalization over `customer`, with the
     * k-anonymity report as output: names are replaced by a salted 60-bit
     * token (deterministic, so joins on the pseudonym still work across

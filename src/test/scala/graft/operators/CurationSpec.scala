@@ -176,6 +176,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsTokenCounts: count-min never underestimates and stays within the eps bound") {
+    val out = CurationQueries.cmsTokenCounts(spark, dir).collect()
+    assert(out.length == 5)
+    val totalTokens = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+      .filter(col("t") =!= "").count()
+    out.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS must never underestimate")
+      // eps = e / width: overshoot bounded by eps * totalTokens whp (the
+      // 4-row min makes the bound hold with prob 1 - e^-4 per probe).
+      assert(est - exact <= math.ceil(math.E / 1024.0 * totalTokens).toLong * 4,
+        s"${r.getString(0)}: overshoot ${est - exact} beyond the CMS bound")
+    }
+  }
+
+  test("hllDistinctUsers: estimate lands within 10% of exact at this cardinality") {
+    val out = CurationQueries.hllDistinctUsers(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(2)
+      assert(r.getLong(3) + r.getLong(4) == 512L, "used + empty must cover all registers")
+      assert(math.abs(est - exact) / exact <= 0.10,
+        s"${r.getString(0)}: |$est - $exact| beyond 10%")
+    }
+  }
+
   test("pseudonymize: k-anonymity report with exact keyed tokens") {
     val out = CurationQueries.pseudonymizedSegments(spark, dir).collect()
     val total = Tables.customer(spark, dir).count()
