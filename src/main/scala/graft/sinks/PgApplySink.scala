@@ -1,0 +1,172 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.snapshot.CatalogReader.{quoteIdent, sqlLiteral}
+
+/** Change-event apply sink — the Spark-native form of the reference's
+  * in-repo example sink (`example/postgresql/main.go:43-51`: upsert on
+  * insert/update, delete on delete), the K3 "downstream connector" surface
+  * exercised end-to-end: `writeStream.foreachBatch(sink.applyBatch _)`
+  * applies each micro-batch of the pgcdc envelope to a target table.
+  *
+  * Semantics per micro-batch:
+  *  1. COMPACT: events reduce to the LAST event per key (max (lsn,
+  *     commit_lsn) within the batch) — intermediate versions of a row
+  *     never reach the target, so a batch costs one statement row per
+  *     touched key regardless of churn. A truncate anywhere in the batch
+  *     resets the table first and only events after it (by lsn) apply.
+  *  2. APPLY: surviving inserts/updates become multi-row
+  *     `INSERT … ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col`
+  *     statements ([[upsertSql]]), deletes become `DELETE … WHERE (keys)
+  *     IN (…)` statements ([[deleteSql]]), both batched `maxRowsPerStmt`
+  *     rows per statement (the reference batches its metadata writes the
+  *     same way, 1000 rows/stmt).
+  *
+  * The SQL runner is an injected per-partition factory — production passes
+  * a [[graft.pgproto.PgConnection]]-backed executor (wrapped in
+  * [[graft.services.RetryingExecutor]] for the transient-SQLSTATE policy),
+  * tests a recorder — so apply logic is provable without a live server.
+  *
+  * Exactly-once note: the sink is idempotent by construction (upserts
+  * converge, deletes of absent rows are no-ops), so Structured Streaming's
+  * at-least-once `foreachBatch` yields effectively-once application — the
+  * same story as the reference's ack-after-apply listener.
+  *
+  * 100-TB shape: compaction is one window per key over the BATCH (not the
+  * corpus); statements build and execute per partition against the
+  * executor's own connection; nothing funnels through the driver.
+  */
+final case class PgApplySink(
+    schema: String,
+    table: String,
+    keyCols: Seq[String],
+    valueCols: Seq[String],
+    execFactory: () => PgApplySink.SqlRunner,
+    maxRowsPerStmt: Int = 1000) extends Serializable {
+
+  require(keyCols.nonEmpty, "apply sink requires at least one key column")
+  require(keyCols.forall(valueCols.contains),
+    "key columns must be included in valueCols")
+
+  private def qualified: String = s"${quoteIdent(schema)}.${quoteIdent(table)}"
+
+  /** Apply one micro-batch of the pgcdc envelope. Signature matches
+    * `writeStream.foreachBatch(sink.applyBatch _)`.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    val events = batch.filter(col("schema") === schema && col("table") === table)
+
+    // Truncate handling: everything at-or-before the LAST truncate's lsn is
+    // superseded by it. The truncate lsn is a one-row aggregate (driver
+    // scalar, not data movement).
+    val truncLsn = events.filter(col("op") === "truncate")
+      .agg(max("lsn")).collect().headOption.flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val live = truncLsn match {
+      case Some(l) => events.filter(col("lsn") > l)
+      case None => events
+    }
+
+    // Batch compaction: last event per key wins. Delete rows key off the
+    // before image (their only image); everything else off after.
+    val image = when(col("op") === "delete", col("before")).otherwise(col("after"))
+    val keyed = live.filter(col("op").isin("insert", "update", "delete"))
+      .withColumn("img", image)
+      .withColumn("k", array(keyCols.map(c => col("img").getItem(c)): _*))
+    val w = Window.partitionBy("k")
+      .orderBy(col("lsn").desc, col("commit_lsn").desc)
+    val compacted = keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("op") +: valueCols.map(c => col("img").getItem(c).as(c)): _*)
+
+    val (schemaName, tableName, keys, vals, batchSize, factory) =
+      (schema, table, keyCols, valueCols, maxRowsPerStmt, execFactory)
+    val runTruncate = truncLsn.isDefined
+    compacted.repartition(col(keyCols.head)).foreachPartition {
+      (it: Iterator[Row]) =>
+        val rows = it.toVector
+        if (rows.nonEmpty || runTruncate) {
+          val run = factory()
+          try {
+            // The truncate must precede this partition's applies; issuing it
+            // per partition is safe (TRUNCATE is idempotent) and keeps the
+            // sink driver-free. Single-statement-per-connection ordering
+            // gives upserts-after-truncate.
+            if (runTruncate)
+              run(s"TRUNCATE TABLE ${quoteIdent(schemaName)}.${quoteIdent(tableName)}")
+            PgApplySink.statements(
+              rows.iterator, schemaName, tableName, keys, vals, batchSize)
+              .foreach(run(_))
+          } finally run.close()
+        }
+    }
+  }
+}
+
+object PgApplySink {
+
+  /** One SQL statement executor owned by a single partition task — close
+    * releases its connection.
+    */
+  trait SqlRunner extends AutoCloseable {
+    def apply(sql: String): Unit
+  }
+
+  /** Compacted rows (op + value columns, text form) → batched apply
+    * statements: upserts first (stable input order), then deletes. Pure —
+    * the unit-testable core of the sink.
+    */
+  def statements(
+      rows: Iterator[Row], schema: String, table: String,
+      keyCols: Seq[String], valueCols: Seq[String],
+      maxRowsPerStmt: Int): Iterator[String] = {
+    val (dels, ups) = rows.toVector.partition(_.getString(0) == "delete")
+    val upserts = ups.grouped(maxRowsPerStmt).map(g =>
+      upsertSql(schema, table, keyCols, valueCols,
+        g.map(r => valueCols.indices.map(i => Option(r.getString(i + 1))))))
+    val deletes = dels.grouped(maxRowsPerStmt).map { g =>
+      val keyIdx = keyCols.map(c => valueCols.indexOf(c) + 1)
+      deleteSql(schema, table, keyCols,
+        g.map(r => keyIdx.map(i => Option(r.getString(i)))))
+    }
+    upserts ++ deletes
+  }
+
+  /** Multi-row `INSERT … ON CONFLICT (keys) DO UPDATE` — PostgreSQL's
+    * native upsert. Values are text-form literals (the envelope carries
+    * pgoutput text format; the server casts to the column types, the same
+    * contract COPY text mode uses); None → NULL.
+    */
+  def upsertSql(
+      schema: String, table: String, keyCols: Seq[String],
+      valueCols: Seq[String], rows: Seq[Seq[Option[String]]]): String = {
+    val cols = valueCols.map(quoteIdent).mkString(", ")
+    val values = rows.map(_.map {
+      case Some(v) => sqlLiteral(v)
+      case None => "NULL"
+    }.mkString("(", ", ", ")")).mkString(", ")
+    val updates = valueCols.filterNot(keyCols.contains)
+      .map(c => s"${quoteIdent(c)} = EXCLUDED.${quoteIdent(c)}")
+    val action =
+      if (updates.isEmpty) "DO NOTHING" else s"DO UPDATE SET ${updates.mkString(", ")}"
+    s"INSERT INTO ${quoteIdent(schema)}.${quoteIdent(table)} ($cols) " +
+      s"VALUES $values ON CONFLICT (${keyCols.map(quoteIdent).mkString(", ")}) $action"
+  }
+
+  /** Batched `DELETE … WHERE (keys) IN ((…), …)` over the replica-identity
+    * key images.
+    */
+  def deleteSql(
+      schema: String, table: String, keyCols: Seq[String],
+      keys: Seq[Seq[Option[String]]]): String = {
+    val keyTuple = keyCols.map(quoteIdent).mkString("(", ", ", ")")
+    val tuples = keys.map(_.map {
+      case Some(v) => sqlLiteral(v)
+      case None => "NULL"
+    }.mkString("(", ", ", ")")).mkString(", ")
+    s"DELETE FROM ${quoteIdent(schema)}.${quoteIdent(table)} " +
+      s"WHERE $keyTuple IN ($tuples)"
+  }
+}
