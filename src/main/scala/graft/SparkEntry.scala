@@ -100,6 +100,7 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
     "q_ann_ivf" -> ((s, d) => AnnQueries.annIvf(s, d).orderBy("query_id", "rnk")),
+    "q_vec_quantize" -> ((s, d) => AnnQueries.vecQuantizeAudit(s, d).orderBy("label")),
     // ---- LLM-pipeline: multimodal columns ----
     "q_multimodal_features" -> ((s, d) =>
       MultimodalQueries.multimodalFeatures(s, d).orderBy("media_type")),
@@ -803,6 +804,36 @@ object SparkEntry {
     // Embedding near-dup audit: same 680 hyperplanes / 40x17 banding as
     // q_ann_lsh, corpus-wide self-join, exact cosine on colliding pairs,
     // histogrammed by 0.1 cosine bucket.
+    "q_vec_quantize" ->
+      """WITH vv AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         sc AS (
+           SELECT vec_id, label, v,
+             list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS amax
+           FROM vv),
+         qz AS (
+           SELECT vec_id, label, v, amax / 127.0 AS scale,
+             list_transform(v, x ->
+               least(127.0, greatest(-127.0, round(x / (amax / 127.0)))) * (amax / 127.0)) AS r
+           FROM sc WHERE amax > 0),
+         e AS (
+           SELECT label,
+             list_reduce(list_transform(generate_series(1, len(v)),
+               i -> (v[i] - r[i]) * (v[i] - r[i])), (a, b) -> a + b) AS sqerr,
+             list_reduce(list_transform(generate_series(1, len(v)),
+               i -> abs(v[i] - r[i])), (a, b) -> greatest(a, b)) AS maxerr,
+             list_reduce(list_transform(generate_series(1, len(v)),
+               i -> v[i] * r[i]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(r, y -> y * y), (a, b) -> a + b)))
+               AS cos_vr,
+             len(v) AS dim
+           FROM qz)
+         SELECT label, count(*) AS n_vecs,
+           round(avg(sqerr / dim), 8) AS mean_mse,
+           round(max(maxerr), 6) AS worst_abs_err,
+           round(avg(cos_vr), 6) AS mean_cosine
+         FROM e GROUP BY 1 ORDER BY 1""",
     "q_dedup_embedding" ->
       """WITH planes AS (
            SELECT p, list(w ORDER BY i) AS wv FROM (

@@ -216,6 +216,56 @@ object AnnQueries {
         col("nid").as("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Int8 symmetric quantization audit — the compression step vector
+    * pipelines apply before ANN serving (4× smaller index, SIMD-friendly
+    * dot products): each vector gets a per-vector scale `max|v|/127`,
+    * elements round to clamped int8, and the audit reports the damage per
+    * label — mean squared reconstruction error, worst element error, and
+    * the mean cosine between each vector and its reconstruction (the
+    * number that decides whether the quantized index can serve).
+    *
+    * All per-vector reductions are sequential `aggregate` folds (mirrored
+    * by DuckDB `list_reduce`), not engine-native array sums, so double
+    * summation order is pinned and the oracle hash-matches.
+    *
+    * 100-TB shape: one scan, all arithmetic row-local, one
+    * partial-aggregated groupBy(label) — the quantized corpus itself never
+    * shuffles.
+    */
+  def vecQuantizeAudit(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("amax",
+        expr("aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+      .filter(col("amax") > 0)
+      .withColumn("scale", col("amax") / 127.0)
+      // Reconstruction r = clamp(round(x/scale)) * scale, elementwise.
+      .withColumn("r", expr(
+        "transform(v, x -> least(cast(127 as double), greatest(cast(-127 as double), " +
+          "round(cast(x as double) / scale))) * scale)"))
+    val audited = vecs
+      .withColumn("sqerr", expr(
+        "aggregate(zip_with(v, r, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
+          "cast(0.0 as double), (a, e) -> a + e)"))
+      .withColumn("maxerr", expr(
+        "aggregate(zip_with(v, r, (x, y) -> abs(cast(x as double) - y)), " +
+          "cast(0.0 as double), (a, e) -> greatest(a, e))"))
+      .withColumn("dot_vr", expr(
+        "aggregate(zip_with(v, r, (x, y) -> cast(x as double) * y), " +
+          "cast(0.0 as double), (a, e) -> a + e)"))
+      .withColumn("n_v", expr(
+        "sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
+      .withColumn("n_r", expr(
+        "sqrt(aggregate(r, cast(0.0 as double), (a, y) -> a + y * y))"))
+      .withColumn("cos_vr", col("dot_vr") / (col("n_v") * col("n_r")))
+    audited.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("sqerr") / size(col("v"))), 8).as("mean_mse"),
+        round(max(col("maxerr")), 6).as("worst_abs_err"),
+        round(avg(col("cos_vr")), 6).as("mean_cosine"))
+  }
+
   // Band structure chosen by a measured sweep on the sf0.1 corpus. The
   // binding constraint is the RANDOM-pair candidate rate — the fraction of
   // uncorrelated pairs the bucket join admits, which decides whether

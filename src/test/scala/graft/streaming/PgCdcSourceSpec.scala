@@ -181,6 +181,41 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(replay < total, "resume must skip already-acked frames")
   }
 
+  test("schema evolution: a replacement Relation re-types subsequent events and the registry follows") {
+    val relOid = 16510L
+    val v1 = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1),
+      Messages.RelationColumn("name", 25L, -1, 0))
+    val v2 = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1),
+      Messages.RelationColumn("name", 25L, -1, 0),
+      Messages.RelationColumn("age", 23L, -1, 0)) // ALTER TABLE ADD COLUMN
+    val frames = Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "people", v1)),
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(103, T0, 7)),
+      MessageEncoder.xlogData(101, 101, T0, MessageEncoder.insert(relOid, Seq(Some("1"), Some("ada")))),
+      MessageEncoder.xlogData(102, 102, T0, MessageEncoder.commit(102, 103, T0)),
+      // DDL: server re-sends the relation with the new column list.
+      MessageEncoder.xlogData(110, 110, T0, MessageEncoder.relation(relOid, "public", "people", v2)),
+      MessageEncoder.xlogData(200, 200, T0, MessageEncoder.begin(203, T0, 8)),
+      MessageEncoder.xlogData(201, 201, T0,
+        MessageEncoder.insert(relOid, Seq(Some("2"), Some("bob"), Some("44")))),
+      MessageEncoder.xlogData(202, 202, T0, MessageEncoder.commit(202, 203, T0)))
+
+    PgCdcRelations.clear("schema-evo")
+    val out = runStream("schema-evo", frames, "cdc_schema_evo").orderBy("lsn").collect()
+    assert(out.length == 2)
+    val first = out(0).getAs[Map[String, String]]("after")
+    val second = out(1).getAs[Map[String, String]]("after")
+    assert(first == Map("id" -> "1", "name" -> "ada"), "pre-DDL event decodes with v1 columns")
+    assert(second == Map("id" -> "2", "name" -> "bob", "age" -> "44"),
+      "post-DDL event must decode with the replacement relation")
+    // The registry holds the LATEST schema (v2).
+    val rel = PgCdcRelations.relations("schema-evo")("public.people")
+    assert(rel.columns.map(_.name).toSeq == Seq("id", "name", "age"))
+    PgCdcRelations.clear("schema-evo")
+  }
+
   test("PgCdcRelations surfaces the live relation cache as typed views") {
     val relOid = 16500L
     val cols = Seq(
