@@ -21,7 +21,8 @@ object SharedCaches {
     "prep_shingles_n5" -> ((s, d) => ShingleSets(s, d, 5)),
     "prep_shingles_n3" -> ((s, d) => ShingleSets(s, d, 3)),
     "prep_lsh_signatures" -> ((s, d) => AnnQueries.bandedSignatures(s, d)),
-    "prep_ivf_centroids" -> ((s, d) => AnnQueries.ivfCentroidFrame(s, d)))
+    "prep_ivf_centroids" -> ((s, d) => AnnQueries.ivfCentroidFrame(s, d)),
+    "prep_trigram_counts" -> ((s, d) => TextQueries.triGramCounts(s, d)))
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).
@@ -31,5 +32,6 @@ object SharedCaches {
     AnnQueries.releaseSignatures(s)
     AnnQueries.releaseCentroids(s)
     DedupQueries.releaseClusterLabels(s)
+    TextQueries.releaseTrigrams(s)
   }
 }

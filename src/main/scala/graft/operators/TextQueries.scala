@@ -75,39 +75,7 @@ object TextQueries {
     * aggregation — no corpus-sized shuffle key wider than (doc_id, trigram).
     */
   def langId(s: SparkSession, dir: String, profileSize: Int = 50): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
-    // Per-document trigram counts are computed ROW-LOCALLY in an imperative
-    // partition scan (the ShingleSets rationale: the interpreted
-    // transform/sequence/substring chain plus a 20M-row explode and a
-    // (doc, trigram)-cardinality exchange measured ~3× slower). A document
-    // lives in one row, so its counts are complete with NO shuffle;
-    // semantics are byte-identical to counting substring(t, i, 3)
-    // occurrences of lower(text).
-    val triSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("lang", StringType, nullable = true),
-      StructField("g", StringType, nullable = false),
-      StructField("c", LongType, nullable = false)))
-    val docTri = Tables.documents(s, dir).select("doc_id", "lang", "text")
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val t = r.getString(2).toLowerCase(java.util.Locale.ROOT)
-          if (t.length < 3) Iterator.empty
-          else {
-            val m = new java.util.LinkedHashMap[String, Long]()
-            var i = 0
-            while (i + 3 <= t.length) {
-              m.merge(t.substring(i, i + 3), 1L, (a, b) => a + b)
-              i += 1
-            }
-            val id = r.getLong(0)
-            val lang = r.getString(1)
-            scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
-              .asScala.map(e => Row(id, lang, e.getKey, e.getValue))
-          }
-        }
-      }(Encoders.row(triSchema))
+    val docTri = triGramCounts(s, dir)
     val langTri = docTri.groupBy("lang", "g").agg(sum("c").as("n"))
     val byLang = Window.partitionBy("lang").orderBy(col("n").desc, col("g"))
     val profile = langTri
@@ -121,6 +89,59 @@ object TextQueries {
       .groupBy(col("lang").as("actual_lang"), col("plang").as("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
   }
+
+  /** Per-document trigram counts, computed ROW-LOCALLY in an imperative
+    * partition scan (the ShingleSets rationale: the interpreted
+    * transform/sequence/substring chain plus a 20M-row explode and a
+    * (doc, trigram)-cardinality exchange measured ~3× slower). A document
+    * lives in one row, so its counts are complete with NO shuffle;
+    * semantics are byte-identical to counting substring(t, i, 3)
+    * occurrences of lower(text).
+    *
+    * Memoized + persisted per (session, dir), the [[ShingleSets]] pattern:
+    * [[langId]] reads the frame from TWO differently-aliased branches
+    * (profile build and scoring join), which defeats ReuseExchange —
+    * without persistence the scan runs twice per query. Released by
+    * [[releaseTrigrams]] via [[SharedCaches.releaseAll]].
+    */
+  private val triMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def triGramCounts(s: SparkSession, dir: String): DataFrame =
+    triMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val triSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("lang", StringType, nullable = true),
+        StructField("g", StringType, nullable = false),
+        StructField("c", LongType, nullable = false)))
+      Tables.documents(s, dir).select("doc_id", "lang", "text")
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val t = r.getString(2).toLowerCase(java.util.Locale.ROOT)
+            if (t.length < 3) Iterator.empty
+            else {
+              val m = new java.util.LinkedHashMap[String, Long]()
+              var i = 0
+              while (i + 3 <= t.length) {
+                m.merge(t.substring(i, i + 3), 1L, (a, b) => a + b)
+                i += 1
+              }
+              val id = r.getLong(0)
+              val lang = r.getString(1)
+              scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+                .asScala.map(e => Row(id, lang, e.getKey, e.getValue))
+            }
+          }
+        }(Encoders.row(triSchema)).persist()
+    })
+
+  /** Unpersist and forget every cached trigram frame owned by `s`. */
+  def releaseTrigrams(s: SparkSession): Unit =
+    triMemo.keys.toSeq.filter(_._1 eq s).foreach { k =>
+      triMemo.remove(k).foreach(_.unpersist(blocking = true))
+    }
 
   /** Document fingerprint: min 60-bit hash over 5-token shingles (the k=1
     * MinHash / winnowing-style rolling fingerprint). One value per document;
