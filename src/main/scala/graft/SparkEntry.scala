@@ -68,6 +68,8 @@ object SparkEntry {
       TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
     "q_bm25_search" -> ((s, d) => TextQueries.bm25Search(s, d)),
+    "q_repetition_stats" -> ((s, d) =>
+      TextQueries.repetitionStats(s, d).orderBy("lang")),
     "q_tfidf_keywords" -> ((s, d) =>
       TextQueries.tfidfKeywords(s, d).orderBy("doc_id", "rnk")),
     "q_length_quantiles" -> ((s, d) => TextQueries.lengthQuantiles(s, d).orderBy("lang")),
@@ -391,6 +393,29 @@ object SparkEntry {
          SELECT doc_id, tf1, tf2, tf3, round(score, 4) AS bm25
          FROM sc WHERE tf1 + tf2 + tf3 > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_repetition_stats" ->
+      """WITH d AS (
+           SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT lang,
+             len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_distinct,
+             list_max(list_transform(list_distinct(toks),
+               x -> len(list_filter(toks, t -> t = x)))) AS top_cnt
+           FROM d WHERE len(toks) > 0),
+         r AS (
+           SELECT lang,
+             1.0::DOUBLE - CAST(n_distinct AS DOUBLE) / n_toks AS rep_ratio,
+             CAST(top_cnt AS DOUBLE) / n_toks AS top_share
+           FROM m)
+         SELECT lang, count(*) AS n_docs,
+           round(avg(rep_ratio), 4) AS avg_rep_ratio,
+           round(max(rep_ratio), 4) AS max_rep_ratio,
+           round(avg(top_share), 4) AS avg_top_share,
+           CAST(sum(CASE WHEN rep_ratio > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)

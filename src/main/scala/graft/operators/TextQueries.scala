@@ -207,6 +207,40 @@ object TextQueries {
         round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
         round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
 
+  /** Intra-document repetition signals — the Gopher/C4-family quality
+    * filters that catch boilerplate and degenerate generations: per
+    * document, the repeated-token fraction (1 − distinct/total) and the
+    * most-frequent-token share of all tokens; aggregated per language with
+    * the count of documents whose repetition crosses the filter threshold.
+    *
+    * 100-TB shape: both signals are row-local array expressions over the
+    * tokenized document (no per-token explode, no shuffle wider than the
+    * final per-language aggregate).
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    Tables.documents(s, dir)
+      .select(col("lang"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      // Most-frequent-token count without exploding: for each DISTINCT
+      // token, count its occurrences via a row-local filter, then take the
+      // max — O(distinct × n) per row, bounded by document size.
+      .withColumn("top_cnt", expr(
+        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))").cast("long"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_toks"))
+      .withColumn("top_share", col("top_cnt").cast("double") / col("n_toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("rep_ratio"), 4).as("avg_rep_ratio"),
+        round(max("rep_ratio"), 4).as("max_rep_ratio"),
+        round(avg("top_share"), 4).as("avg_top_share"),
+        sum(when(col("rep_ratio") > 0.5, 1L).otherwise(0L)).as("n_flagged"))
+  }
+
   /** BM25 query terms (fixed — lexical retrieval over the corpus). */
   private val Bm25Terms = Seq("vector", "merge", "window")
   // k1=1.2, b=0.75. The derived constants are spelled as literals (not
