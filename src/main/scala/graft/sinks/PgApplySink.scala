@@ -81,25 +81,27 @@ final case class PgApplySink(
       .filter(col("rn") === 1)
       .select(col("op") +: valueCols.map(c => col("img").getItem(c).as(c)): _*)
 
+    // The truncate is a DRIVER-side barrier issued once, BEFORE the
+    // distributed apply: partitions have no mutual ordering, so a
+    // per-partition truncate could run after a sibling's upserts and wipe
+    // already-applied rows. One statement on the driver is the only point
+    // that happens-before every partition task.
+    if (truncLsn.isDefined) {
+      val run = execFactory()
+      try run(s"TRUNCATE TABLE $qualified") finally run.close()
+    }
+
     val (schemaName, tableName, keys, vals, batchSize, factory) =
       (schema, table, keyCols, valueCols, maxRowsPerStmt, execFactory)
-    val runTruncate = truncLsn.isDefined
     compacted.repartition(col(keyCols.head)).foreachPartition {
       (it: Iterator[Row]) =>
         val rows = it.toVector
-        if (rows.nonEmpty || runTruncate) {
+        if (rows.nonEmpty) {
           val run = factory()
-          try {
-            // The truncate must precede this partition's applies; issuing it
-            // per partition is safe (TRUNCATE is idempotent) and keeps the
-            // sink driver-free. Single-statement-per-connection ordering
-            // gives upserts-after-truncate.
-            if (runTruncate)
-              run(s"TRUNCATE TABLE ${quoteIdent(schemaName)}.${quoteIdent(tableName)}")
-            PgApplySink.statements(
-              rows.iterator, schemaName, tableName, keys, vals, batchSize)
-              .foreach(run(_))
-          } finally run.close()
+          try PgApplySink.statements(
+            rows.iterator, schemaName, tableName, keys, vals, batchSize)
+            .foreach(run(_))
+          finally run.close()
         }
     }
   }

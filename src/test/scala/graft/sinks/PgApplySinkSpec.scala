@@ -88,10 +88,11 @@ class PgApplySinkSpec extends AnyFunSuite {
     assert(stmts.mkString.contains("'kept'"))
     assert(!stmts.mkString.contains("'gone'"),
       "events before the truncate are superseded by it")
-    // Per-runner ordering: the truncate precedes this partition's applies.
-    val i = stmts.indexWhere(_.startsWith("TRUNCATE"))
-    val j = stmts.indexWhere(_.contains("'kept'"))
-    assert(i < j)
+    // The truncate is a driver-side barrier: exactly ONE, and it precedes
+    // every partition's applies (a per-partition truncate could run after a
+    // sibling partition's upserts and wipe applied rows).
+    assert(stmts.count(_.startsWith("TRUNCATE")) == 1, s"one barrier truncate expected: $stmts")
+    assert(stmts.head.startsWith("TRUNCATE"), "truncate must happen before all applies")
   }
 
   test("foreachBatch seam: the sink applies a streaming pgcdc batch") {
