@@ -116,6 +116,27 @@ object PgApplySink {
     def apply(sql: String): Unit
   }
 
+  /** Production runner factory: each partition task dials its own
+    * wire-protocol connection ([[graft.pgproto.PgConnection]], full
+    * SCRAM/TLS support) and executes statements over the simple-query
+    * protocol. The returned closure captures only strings, so it ships to
+    * executors.
+    */
+  def pgRunner(
+      host: String, port: Int, user: String, database: String,
+      password: Option[String] = None,
+      sslMode: String = "disable",
+      sslRootCert: Option[String] = None): () => SqlRunner = { () =>
+    new SqlRunner {
+      private val conn = new graft.pgproto.PgConnection(
+        host, port, user, database, password,
+        applicationName = "graft-apply-sink",
+        sslMode = sslMode, sslRootCert = sslRootCert)
+      override def apply(sql: String): Unit = { conn.simpleQuery(sql); () }
+      override def close(): Unit = conn.close()
+    }
+  }
+
   /** Compacted rows (op + value columns, text form) → batched apply
     * statements: upserts first (stable input order), then deletes. Pure —
     * the unit-testable core of the sink.

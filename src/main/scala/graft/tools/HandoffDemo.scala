@@ -89,8 +89,11 @@ object HandoffDemo {
       .outputMode("update").start()
     q.processAllAvailable()
     q.stop()
+    // `key` is the length-prefixed composite encoding ("2:17"); the row id
+    // comes from the image map (null only for delete tombstones — none here).
     val streamed = spark.table("handoff_state")
-      .select(col("key").cast("long"), element_at(col("image"), "name"))
+      .select(element_at(col("image"), "id").cast("long"),
+        element_at(col("image"), "name"))
       .as[(Long, String)].collect().toMap
 
     val finalState = (snapRows.toMap ++ streamed).toSeq.sortBy(_._1)

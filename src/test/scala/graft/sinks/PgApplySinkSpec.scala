@@ -95,6 +95,28 @@ class PgApplySinkSpec extends AnyFunSuite {
     assert(stmts.head.startsWith("TRUNCATE"), "truncate must happen before all applies")
   }
 
+  test("pgRunner: statements flow over a real socket to the server") {
+    import graft.streaming.FakeWalsender
+    val applied = new ConcurrentLinkedQueue[String]()
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("pw"), authMethod = "scram",
+      sqlResults = sql => {
+        if (sql.startsWith("INSERT") || sql.startsWith("DELETE")) {
+          applied.add(sql); Some((Seq("ok"), Seq.empty))
+        } else None
+      })
+    try {
+      val runner = PgApplySink.pgRunner(
+        "localhost", server.port, "u", "db", password = Some("pw"))()
+      try {
+        runner("""INSERT INTO "public"."t" ("id") VALUES ('1') ON CONFLICT ("id") DO NOTHING""")
+        runner("""DELETE FROM "public"."t" WHERE ("id") IN (('2'))""")
+      } finally runner.close()
+      assert(applied.size == 2)
+      assert(applied.peek().startsWith("INSERT"))
+    } finally server.close()
+  }
+
   test("foreachBatch seam: the sink applies a streaming pgcdc batch") {
     import graft.pgproto.{Messages, MessageEncoder}
     import graft.streaming.{InMemoryWalSource, PgCdcTestHook}
