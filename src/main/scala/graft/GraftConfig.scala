@@ -94,4 +94,18 @@ final case class GraftConfig(
   /** The replication handshake command for this configuration. */
   def startReplicationSql(startLsn: Long): String =
     services.Replication.startReplicationSql(publication.name, slotName, startLsn, protoVersion)
+
+  /** A ready-to-use apply sink writing back to THIS config's server — the
+    * reference's example pg→pg sink as one line:
+    * `writeStream.foreachBatch(cfg.applySink("public","t",Seq("id"),cols).applyBatch _)`.
+    * Connections dial per partition with this config's credentials and TLS
+    * settings ([[graft.sinks.PgApplySink.pgRunner]]).
+    */
+  def applySink(
+      targetSchema: String, targetTable: String,
+      keyCols: Seq[String], valueCols: Seq[String]): graft.sinks.PgApplySink =
+    graft.sinks.PgApplySink(targetSchema, targetTable, keyCols, valueCols,
+      graft.sinks.PgApplySink.pgRunner(
+        host, port, username, database,
+        Option(password).filter(_.nonEmpty), sslMode, sslRootCert))
 }

@@ -49,6 +49,16 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(cfg.copy(sslMode = "require").sourceOptions()("sslmode") == "require")
   }
 
+  test("applySink binds the config's connection settings to the sink") {
+    val sink = cfg.applySink("public", "users_copy", Seq("id"), Seq("id", "name"))
+    assert(sink.schema == "public" && sink.table == "users_copy")
+    assert(sink.keyCols == Seq("id") && sink.valueCols == Seq("id", "name"))
+    // Key columns must be part of the value columns.
+    assert(intercept[IllegalArgumentException](
+      cfg.applySink("public", "t", Seq("id"), Seq("name"))).getMessage
+      .contains("key columns"))
+  }
+
   test("START_REPLICATION assembles reference-shaped plugin arguments") {
     assert(cfg.startReplicationSql(0xAB00L) ==
       "START_REPLICATION SLOT graft_slot LOGICAL 0/AB00 " +
