@@ -1,7 +1,8 @@
 package graft.snapshot
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Snapshot (bulk initial load) configuration, defaults per the reference
   * (`config/config.go:69-129,380-386`): chunk 8000 rows, mode initial.
@@ -55,6 +56,76 @@ object SnapshotReader {
     spark.read.jdbc(url,
       s"${CatalogReader.quoteIdent(schema)}.${CatalogReader.quoteIdent(table)}",
       SnapshotQuery.jdbcPredicates(chunks, cond), props)
+  }
+
+  /** Wire-protocol snapshot read — no JDBC driver required: one Spark
+    * partition per chunk, each dialing its own [[graft.pgproto.PgConnection]]
+    * (SCRAM/TLS supported) and running the chunk SELECT over the
+    * simple-query protocol, pinned to the exported snapshot with the
+    * reference's exact per-chunk transaction wrapper
+    * (`BEGIN ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT
+    * '<id>'` … `COMMIT`, `pq/snapshot/worker.go:283-376`). Text-format
+    * result values project through [[graft.types.PgTypes.fromText]] into
+    * the relation's Catalyst types — the same cast family the CDC typed
+    * views use, so snapshot and stream rows type identically.
+    *
+    * This makes the library self-contained end-to-end: Spark ships no
+    * PostgreSQL JDBC driver, but the snapshot and the stream both run on
+    * the in-repo wire client alone.
+    *
+    * 100-TB shape: chunk planning is driver-side metadata; each chunk is
+    * one task holding ≤ chunkSize rows before handing them to Spark;
+    * per-partition connections parallelize exactly like the reference's
+    * worker pool (Spark's scheduler is the chunk queue, B4).
+    */
+  def viaWire(
+      spark: SparkSession,
+      host: String, port: Int, user: String, database: String,
+      password: Option[String],
+      schema: String, table: String,
+      columns: Seq[graft.pgproto.Messages.RelationColumn],
+      stats: ChunkPlanner.TableStats, cfg: SnapshotConfig,
+      exportedSnapshotId: Option[String] = None,
+      orderByPk: Option[String] = None,
+      sslMode: String = "disable",
+      sslRootCert: Option[String] = None): DataFrame = {
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
+    val cond = cfg.conditionFor(table)
+    val sqls = chunks.map(ch =>
+      SnapshotQuery.chunkSql(schema, table, columns.map(_.name), ch, cond, orderByPk))
+    val pin = exportedSnapshotId.map(id =>
+      "BEGIN ISOLATION LEVEL REPEATABLE READ; " +
+        s"SET TRANSACTION SNAPSHOT ${CatalogReader.sqlLiteral(id)}")
+    val textSchema = StructType(
+      columns.map(c => StructField(c.name, StringType, nullable = true)))
+    val nCols = columns.size
+    val rowRdd = spark.sparkContext
+      .parallelize(sqls, math.max(1, sqls.size))
+      .mapPartitions { it =>
+        val mySqls = it.toVector
+        if (mySqls.isEmpty) Iterator.empty
+        else {
+          val conn = new graft.pgproto.PgConnection(
+            host, port, user, database, password,
+            applicationName = "graft-snapshot",
+            sslMode = sslMode, sslRootCert = sslRootCert)
+          try {
+            mySqls.flatMap { sql =>
+              pin.foreach(conn.simpleQuery(_))
+              val rows = conn.simpleQuery(sql)
+              pin.foreach(_ => conn.simpleQuery("COMMIT"))
+              rows.map { vals =>
+                require(vals.size == nCols,
+                  s"snapshot row has ${vals.size} columns, expected $nCols")
+                Row(vals: _*)
+              }
+            }.iterator
+          } finally conn.close()
+        }
+      }
+    spark.createDataFrame(rowRdd, textSchema)
+      .select(columns.map(c =>
+        graft.types.PgTypes.fromText(col(c.name), c.typeOid, c.typeModifier).as(c.name)): _*)
   }
 
   /** Chunk-equivalent scan over a parquet table: ONE parquet scan with a
