@@ -28,6 +28,27 @@ final class CatalogReader(exec: CatalogReader.SqlExecutor) {
             |ORDER BY a.attnum""".stripMargin)
       .collect { case Seq(name, dt) => (name, dt.toLowerCase) }
 
+  /** Full column list as pgoutput-shaped descriptors — name, type OID,
+    * typmod, and the replica-identity-key flag — in attribute order. The
+    * same `pg_attribute` read the reference's decoder cache seeds from;
+    * feeds [[SnapshotReader.viaWire]] (and typed views) without a
+    * hand-built Relation.
+    */
+  def tableColumns(schema: String, table: String): Seq[graft.pgproto.Messages.RelationColumn] =
+    exec(s"""SELECT a.attname, a.atttypid::bigint, a.atttypmod,
+            |CASE WHEN EXISTS (
+            |  SELECT 1 FROM pg_index i
+            |  WHERE i.indrelid = a.attrelid AND i.indisprimary
+            |    AND a.attnum = ANY(i.indkey)) THEN 1 ELSE 0 END
+            |FROM pg_attribute a
+            |WHERE a.attrelid = ${regclassLiteral(schema, table)}::regclass
+            |  AND a.attnum > 0 AND NOT a.attisdropped
+            |ORDER BY a.attnum""".stripMargin)
+      .collect { case Seq(name, oid, typmod, keyFlag) =>
+        graft.pgproto.Messages.RelationColumn(
+          name, oid.toLong, typmod.toInt, keyFlag.toInt)
+      }
+
   /** The single integer-typed PK column, if exactly one exists
     * (`coordinator.go:1002-1018`) — the integer_range strategy's gate.
     */

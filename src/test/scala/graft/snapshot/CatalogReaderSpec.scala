@@ -111,6 +111,22 @@ class CatalogReaderSpec extends AnyFunSuite {
       s"pk not quoted:\n${all.mkString("\n")}")
   }
 
+  test("tableColumns: pgoutput-shaped descriptors in attribute order, key flag set") {
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      assert(sql.contains("attisdropped"), s"unexpected query: $sql")
+      assert(sql.contains("""'"public"."users"'::regclass"""))
+      Seq(
+        Seq("id", "23", "-1", "1"),
+        Seq("name", "25", "-1", "0"),
+        Seq("price", "1700", "393220", "0")) // numeric(6,0): (6<<16|0)+4
+    }
+    val cols = new CatalogReader(exec).tableColumns("public", "users")
+    assert(cols.map(_.name) == Seq("id", "name", "price"))
+    assert(cols.map(_.typeOid) == Seq(23L, 25L, 1700L))
+    assert(cols.head.isKey && !cols(1).isKey)
+    assert(graft.types.PgTypes.numericPrecisionScale(cols(2).typeModifier) == ((6, 0)))
+  }
+
   test("replica identities decode (d/f/i with index name)") {
     val exec: CatalogReader.SqlExecutor = { sql =>
       assert(sql.contains("relreplident"))
