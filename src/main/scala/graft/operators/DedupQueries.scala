@@ -222,12 +222,13 @@ object DedupQueries {
     * aggregation per round); at fixpoint each vertex holds its component's
     * minimum. Rounds are O(graph diameter) — near-dup clusters are
     * shallow (a dup cluster is an almost-clique of versions of one
-    * document), so convergence is 2-4 rounds in practice; per-round frames
-    * are persisted and the previous round's dropped, the same lifecycle
-    * GraphX/GraphFrames use. For adversarially deep graphs the same loop
-    * body swaps to alternating star contractions (Kiveris et al.,
-    * "Connected Components in MapReduce") for O(log n) rounds — the
-    * per-round plan shape (join + min-aggregate) is unchanged.
+    * document), so convergence is 2-4 rounds in practice. If a
+    * pathologically deep graph is still moving after the propagation round
+    * budget, [[connectedComponents]] falls back to alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") which converges in O(log²n)
+    * rounds on ANY graph shape — spec-proven on a path graph far deeper
+    * than the budget (`DedupComponentsSpec`).
     *
     * 100-TB shape: the vertex set is only docs that appear in a near-dup
     * pair (a small fraction of the corpus by construction); each round
@@ -238,33 +239,7 @@ object DedupQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val labels = clusterMemo.getOrElseUpdate((s, dir), {
       val pairs = minhashLsh(s, dir).select(col("d1"), col("d2"))
-      val edges = pairs
-        .union(pairs.select(col("d2"), col("d1")))
-        .toDF("src", "dst")
-        .persist()
-      var cur = edges.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("lbl"))
-        .persist()
-      var converged = false
-      var rounds = 0
-      val maxRounds = 64 // diameter guard; near-dup clusters converge in 2-4
-      while (!converged && rounds < maxRounds) {
-        val prop = edges
-          .join(cur.select(col("v").as("src"), col("lbl").as("slbl")), "src")
-          .groupBy(col("dst").as("v")).agg(min(col("slbl")).as("plbl"))
-        val next = cur.join(prop, Seq("v"))
-          .select(col("v"), least(col("lbl"), col("plbl")).as("lbl"))
-          .persist()
-        converged = next.as("n")
-          .join(cur.as("o"), "v")
-          .filter(col("n.lbl") =!= col("o.lbl"))
-          .limit(1).count() == 0L
-        cur.unpersist(blocking = false)
-        cur = next
-        rounds += 1
-      }
-      edges.unpersist(blocking = false)
-      cur
+      connectedComponents(pairs.toDF("src", "dst"), propRounds = 16)
     })
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
@@ -273,5 +248,119 @@ object DedupQueries {
         col("lbl").as("cluster_id"),
         col("cluster_size"),
         (col("v") === col("lbl")).as("is_kept"))
+  }
+
+  /** Connected components over an undirected pair list (`src`, `dst`; one
+    * row per edge, either orientation). Returns one `(v, lbl)` row per
+    * vertex with `lbl` = the component's minimum vertex id, as a persisted
+    * frame (ownership passes to the caller).
+    *
+    * Two regimes, matching the two graph shapes dedup actually produces:
+    * min-label propagation (O(diameter) rounds — near-dup clusters are
+    * almost-cliques, converging in 2-4) for up to `propRounds` rounds, then
+    * the alternating large-star/small-star contraction of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (O(log²n) rounds on any
+    * graph) if a pathologically deep graph is still moving. Every round in
+    * both regimes is one shuffle join + one partial-min aggregation; the
+    * driver sees only convergence booleans (`limit(1).count()` probes),
+    * never labels.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, propRounds: Int): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+      .persist()
+    // Each round's frame is localCheckpoint'ed (eager): iterative self-joins
+    // otherwise DOUBLE the logical plan per round (next references cur twice),
+    // and by round ~15 the plan tree itself is exponential — planning cost and
+    // plan-string memory blow up long before any data does. Checkpointing
+    // truncates lineage to the materialized blocks, the same lifecycle
+    // GraphX/GraphFrames use for their iteration loops. (On a cluster with
+    // lossy executors, swap for reliable `checkpoint()` under a checkpoint
+    // dir; block cleanup is the ContextCleaner's job once a round's frame is
+    // dereferenced.)
+    var cur = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < propRounds) {
+      val prop = edges
+        .join(cur.select(col("v").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("slbl")).as("plbl"))
+      val next = cur.join(prop, Seq("v"))
+        .select(col("v"), least(col("lbl"), col("plbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(cur.as("o"), "v")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).count() == 0L
+      cur = next
+      rounds += 1
+    }
+    val out = if (converged) cur else starContract(edges)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** One large-star round: every vertex u points its strictly-larger
+    * neighbors at min(N(u) ∪ {u}). Shrinks tall branches toward each
+    * component's minimum.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst"), col("src"))).toDF("u", "v").distinct()
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+    sym.join(mins, "u")
+      .withColumn("m", least(col("u"), col("mn")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: orient each edge larger→smaller; every vertex u
+    * points its smaller neighbors (and itself) at min(N⁻(u) ∪ {u}).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val ori = e.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val mins = ori.groupBy("u").agg(min(col("v")).as("m"))
+    val leaves = ori.join(mins, "u").select(col("v").as("src"), col("m").as("dst"))
+    val centers = mins.select(col("u").as("src"), col("m").as("dst"))
+    leaves.union(centers)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Alternating star contraction to a fixpoint: the edge set converges to a
+    * union of disjoint stars whose centers are the component minima. The
+    * fixpoint probe is a symmetric `except` — both frames are deduped, so an
+    * empty difference both ways means the edge set is stable.
+    */
+  private def starContract(edges: DataFrame): DataFrame = {
+    var cur = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true) // lineage truncation per round — see above
+    var converged = false
+    var rounds = 0
+    val maxRounds = 60 // O(log²n) bound; 60 covers any conceivable corpus
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      converged = next.except(cur).limit(1).count() == 0L &&
+        cur.except(next).limit(1).count() == 0L
+      cur = next
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // Stars: every leaf row is (v, center); centers label themselves.
+    cur.select(col("src").as("v"), col("dst").as("lbl"))
+      .union(cur.select(col("dst").as("v"), col("dst").as("lbl")))
+      .distinct()
+      .persist()
   }
 }
