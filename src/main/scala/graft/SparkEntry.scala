@@ -54,6 +54,7 @@ object SparkEntry {
     "q_cdc_roundtrip" -> ((s, d) => CdcQueries.cdcRoundtrip(s, d).orderBy("op")),
     "q_snapshot_handoff" -> ((s, d) => CdcQueries.snapshotHandoff(s, d).orderBy("final_status")),
     "q_streamed_txn" -> ((s, d) => CdcQueries.streamedTxnRoundtrip(s, d)),
+    "q_logical_messages" -> ((s, d) => CdcQueries.logicalMessages(s, d).orderBy("prefix")),
     "q_event_window" -> ((s, d) => CdcQueries.eventTimeWindow(s, d).orderBy("win_start", "event_type")),
     "q_typed_view" -> ((s, d) => CdcQueries.typedViewOrders(s, d).orderBy("o_orderstatus")),
     // ---- snapshot operators (SURVEY §2.5) ----
@@ -288,6 +289,28 @@ object SparkEntry {
       """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
            count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
          FROM events WHERE (event_id % 6) % 3 <> 0""",
+    // Logical decoding messages: the oracle recomputes each prefix's count
+    // and payload bytes straight from events (the payloads are deterministic
+    // functions of event_id/user_id).
+    "q_logical_messages" ->
+      """SELECT prefix, n_messages, n_text, sum_bytes FROM (
+           SELECT 'outbox.purchase' AS prefix, count(*) AS n_messages,
+             count(*) AS n_text,
+             CAST(sum(length('{"event_id":' || event_id || ',"user_id":' || user_id || '}')) AS BIGINT) AS sum_bytes
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT 'outbox.signup', count(*), count(*),
+             CAST(sum(length('{"event_id":' || event_id || ',"user_id":' || user_id || '}')) AS BIGINT)
+           FROM events WHERE event_type = 'signup'
+           UNION ALL
+           SELECT 'audit', count(*), count(*),
+             CAST(sum(length('click:' || event_id)) AS BIGINT)
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT 'blob', count(*), CAST(0 AS BIGINT),
+             CAST(3 * count(*) AS BIGINT)
+           FROM events WHERE event_type = 'error'
+         ) ORDER BY prefix""",
     "q_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value

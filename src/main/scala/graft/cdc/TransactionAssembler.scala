@@ -281,6 +281,33 @@ final class TransactionAssembler(
           keyNameCache.getOrElse(oid, Nil), null, null)
       }
       evs.iterator.flatMap(route)
+
+    case m: LogicalMessage =>
+      // Beyond-reference (it raises on 'M'): pg_logical_emit_message, the
+      // outbox pattern's WAL payload. The payload surfaces in `after` —
+      // `content_text` when the bytes are valid UTF-8 (the JSON outbox
+      // case), always `content_hex` in bytea hex form (lossless for binary
+      // payloads). Transactional messages ride the same T1/T2 buffers as
+      // DML — commit-ordered, discarded with an aborted streamed txn;
+      // non-transactional ones bypass buffering and ship immediately at
+      // their WAL position, exactly PostgreSQL's delivery contract.
+      val after = Map(
+        "prefix" -> m.prefix,
+        "content_text" -> utf8OrNull(m.content),
+        "content_hex" -> ("\\x" + m.content.map("%02x".format(_)).mkString))
+      if (m.transactional)
+        route(ChangeEvent(walStart, if (inStreamBlock) 0L else curCommitLsn,
+          effXid(m.xid), "message", "", "", serverTimeMicros,
+          if (inStreamBlock) 0L else curCommitTimeMicros, Nil, null, after))
+      else
+        Iterator.single(ChangeEvent(walStart, 0L, 0L, "message", "", "",
+          serverTimeMicros, 0L, Nil, null, after))
+  }
+
+  private def utf8OrNull(bytes: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 
   /** Commit-stamp every event; the LAST one also gets its WAL position

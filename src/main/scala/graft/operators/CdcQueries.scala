@@ -454,4 +454,69 @@ object CdcQueries {
       count_distinct(col("user_id")).as("n_users"),
       round(sum("value"), 2).as("sum_value"))
   }
+
+  /** Logical decoding messages ('M', `pg_logical_emit_message`) end-to-end —
+    * BEYOND the reference, which raises on the tag: the outbox pattern.
+    * Each partition re-encodes its events as transactions that interleave
+    * DML-free payloads: transactional JSON outbox messages (purchase/
+    * signup), a NON-transactional audit message per click (delivered
+    * immediately, mid-transaction), and a transactional binary blob per
+    * error (invalid UTF-8 — exercises the lossless `content_hex` surface).
+    * The assembler must deliver all of them with the right payloads; the
+    * aggregate is partition-count-independent so the DuckDB oracle can
+    * recompute it straight from `events`.
+    *
+    * Scale shape: same as cdcRoundtrip — per-partition encode+decode CPU
+    * with zero shuffle until the final tiny aggregation.
+    */
+  def logicalMessages(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("prefix", StringType), StructField("is_text", BooleanType),
+      StructField("content_len", LongType)))
+    val events = Tables.events(s, dir).select("event_id", "user_id", "event_type")
+    val decoded = events.mapPartitions { it =>
+      val assembler = new TransactionAssembler()
+      var lsn = 10L
+      it.grouped(400).flatMap { txn =>
+        val frames = Seq.newBuilder[Array[Byte]]
+        val beginLsn = lsn
+        val endLsn = beginLsn + txn.size + 2L
+        frames += MessageEncoder.xlogData(beginLsn, beginLsn, 0L,
+          MessageEncoder.begin(endLsn, 0L, 7L))
+        txn.zipWithIndex.foreach { case (r, i) =>
+          val id = r.getLong(0)
+          val uid = r.getLong(1)
+          val at = beginLsn + 1 + i
+          val msg = r.getString(2) match {
+            case t @ ("purchase" | "signup") =>
+              val json = s"""{"event_id":$id,"user_id":$uid}"""
+              Some(MessageEncoder.logicalMessage(
+                s"outbox.$t", json.getBytes("UTF-8"), transactional = true, lsn = at))
+            case "click" =>
+              Some(MessageEncoder.logicalMessage(
+                "audit", s"click:$id".getBytes("UTF-8"), transactional = false, lsn = at))
+            case "error" =>
+              // 0xC3 0x28 is an invalid UTF-8 sequence by construction.
+              Some(MessageEncoder.logicalMessage(
+                "blob", Array(0xc3.toByte, 0x28.toByte, (id & 0xff).toByte),
+                transactional = true, lsn = at))
+            case _ => None // view: no message
+          }
+          msg.foreach(m => frames += MessageEncoder.xlogData(at, at, 0L, m))
+        }
+        frames += MessageEncoder.xlogData(endLsn - 1, endLsn - 1, 0L,
+          MessageEncoder.commit(endLsn - 1, endLsn, 0L))
+        lsn = endLsn
+        frames.result().flatMap(assembler.onCopyData).iterator.collect {
+          case e if e.op == "message" =>
+            val hex = e.after("content_hex")
+            Row(e.after("prefix"), e.after("content_text") != null, (hex.length - 2L) / 2L)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+    decoded.groupBy("prefix").agg(
+      count(lit(1)).as("n_messages"),
+      sum(when(col("is_text"), 1L).otherwise(0L)).as("n_text"),
+      sum("content_len").as("sum_bytes"))
+  }
 }

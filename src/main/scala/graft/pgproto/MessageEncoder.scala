@@ -113,6 +113,15 @@ object MessageEncoder {
   def streamAbort(xid: Long, subXid: Long): Array[Byte] =
     new W().byte('A').u32(xid).u32(subXid).bytes
 
+  def logicalMessage(
+      prefix: String, content: Array[Byte], transactional: Boolean,
+      lsn: Long = 0L, streamedXid: Long = -1): Array[Byte] = {
+    val w = new W().byte('M')
+    if (streamedXid >= 0) w.u32(streamedXid)
+    w.byte(if (transactional) 1 else 0).u64(lsn).cstr(prefix)
+      .u32(content.length.toLong).raw(content)
+  }.bytes
+
   /** Wrap a pgoutput message in an XLogData ('w') CopyData payload. */
   def xlogData(walStart: Long, serverWalEnd: Long, serverTimeUnixMicros: Long, msg: Array[Byte]): Array[Byte] =
     new W().byte('w').u64(walStart).u64(serverWalEnd)

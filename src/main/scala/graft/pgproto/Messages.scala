@@ -5,9 +5,10 @@ package graft.pgproto
   * Wire layouts follow the public PostgreSQL documentation ("Logical
   * Streaming Replication Protocol" → "Protocol Message Formats"). The
   * reference decodes the same tag set at `pq/message/message.go:42-73`
-  * with per-message decoders in `pq/message/format/<msg>.go`; unsupported
-  * tags ('M' logical message, 'O' origin, 'Y' type) raise, matching its
-  * behavior.
+  * with per-message decoders in `pq/message/format/<msg>.go`; of the tags
+  * the reference rejects ('M' logical message, 'O' origin, 'Y' type) we
+  * additionally decode 'M' — see [[Messages.LogicalMessage]] — and keep its
+  * stance on 'O'/'Y'.
   *
   * Proto v2 nuance: when a DML/Relation/Truncate message arrives inside a
   * streamed (in-progress) transaction chunk, the message body is prefixed
@@ -88,6 +89,23 @@ object Messages {
 
   /** 'A' — stream abort (`format/stream.go:92-107`). */
   final case class StreamAbort(xid: Long, subXid: Long) extends Msg { def tag = 'A' }
+
+  /** 'M' — logical decoding message (`pg_logical_emit_message`), sent when
+    * the subscription enables `messages 'true'`. BEYOND the reference: it
+    * raises on 'M' (`message.go:70-72`), but the outbox pattern — emitting
+    * application payloads into WAL without a backing table — is one of the
+    * main production uses of logical decoding, so we decode it.
+    * `transactional` messages are delivered with their transaction (commit
+    * order, rollback-safe); non-transactional ones are delivered
+    * immediately at their WAL position.
+    */
+  final case class LogicalMessage(
+      xid: Long, // 0 unless inside a streamed transaction
+      transactional: Boolean,
+      lsn: Long,
+      prefix: String,
+      content: Array[Byte])
+      extends Msg { def tag = 'M' }
 
   /** Decode one pgoutput message (the XLogData payload).
     *
@@ -184,9 +202,18 @@ object Messages {
       case 'A' =>
         StreamAbort(r.readUint32("xid"), r.readUint32("subXid"))
 
-      case 'M' | 'O' | 'Y' =>
-        // Same stance as the reference (`message.go:70-72`): these carry no
-        // row data; a publication we create never enables them.
+      case 'M' =>
+        val xid = streamXid()
+        val flags = r.readUint8("message flags")
+        val lsn = r.readUint64("message lsn")
+        val prefix = r.readCString("message prefix")
+        val len = r.readUint32("message content length").toInt
+        LogicalMessage(xid, (flags & 1) != 0, lsn, prefix, r.readBytes(len, "message content"))
+
+      case 'O' | 'Y' =>
+        // Same stance as the reference (`message.go:70-72`): origin and type
+        // metadata carry no row data; a publication we create never enables
+        // them.
         throw new PgProtoException(s"unsupported pgoutput message tag '$tag'")
 
       case other =>

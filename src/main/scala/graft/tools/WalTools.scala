@@ -124,6 +124,8 @@ object WalDump {
             case Messages.StreamStop => "STREAM_STOP"
             case c: Messages.StreamCommit => s"STREAM_COMMIT xid=${c.xid}"
             case a: Messages.StreamAbort => s"STREAM_ABORT xid=${a.xid}"
+            case lm: Messages.LogicalMessage =>
+              s"MESSAGE prefix=${lm.prefix} transactional=${lm.transactional} bytes=${lm.content.length}"
           }
           s"${Lsn.format(x.walStart)} $desc"
       }
