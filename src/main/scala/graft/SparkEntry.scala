@@ -104,11 +104,45 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
     "q_ann_ivf" -> ((s, d) => AnnQueries.annIvf(s, d).orderBy("query_id", "rnk")),
     "q_vec_quantize" -> ((s, d) => AnnQueries.vecQuantizeAudit(s, d).orderBy("label")),
+    "q_semantic_dedup" -> ((s, d) => AnnQueries.semanticDedup(s, d).orderBy("cell")),
     // ---- LLM-pipeline: multimodal columns ----
     "q_multimodal_features" -> ((s, d) =>
       MultimodalQueries.multimodalFeatures(s, d).orderBy("media_type")),
     "q_media_metadata" -> ((s, d) => MultimodalQueries.mediaMetadata(s, d))
   )
+
+  /** The deterministic spherical-k-means CTE chain shared by the IVF and
+    * semantic-dedup oracles: md5-ordered seeding, 3 unrolled Lloyd's
+    * iterations with means rounded to 6 decimals (so summation order can't
+    * leak), empty cells keeping their centroid; `fa` = the final
+    * (vec_id, cell) assignment.
+    */
+  private val ivfKmeansCte: String =
+    s"""vecs AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+         vn AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM vecs),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, u AS c
+           FROM vn QUALIFY cid <= 32),
+         ${Seq(1, 2, 3).map { i =>
+            s"""a$i AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
+             FROM vn, c${i - 1} c) WHERE rk = 1),
+         m$i AS (
+           SELECT a.cell AS cid, ti.range AS i, round(avg(vn.u[ti.range + 1]), 6) AS w
+           FROM a$i a JOIN vn USING (vec_id) CROSS JOIN range(64) ti GROUP BY 1, 2),
+         n$i AS (SELECT cid, list(w ORDER BY i) AS c FROM m$i GROUP BY 1),
+         c$i AS (SELECT p.cid, COALESCE(n.c, p.c) AS c FROM c${i - 1} p LEFT JOIN n$i n USING (cid))"""
+          }.mkString(",\n         ")},
+         fa AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
+             FROM vn, c3 c) WHERE rk = 1)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1005,31 +1039,7 @@ object SparkEntry {
     // probing — a hash match proves the whole trained index, not just the
     // final scoring.
     "q_ann_ivf" ->
-      s"""WITH vecs AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-           FROM embeddings),
-         vn AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM vecs),
-         c0 AS (
-           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, u AS c
-           FROM vn QUALIFY cid <= 32),
-         ${Seq(1, 2, 3).map { i =>
-            s"""a$i AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
-               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
-             FROM vn, c${i - 1} c) WHERE rk = 1),
-         m$i AS (
-           SELECT a.cell AS cid, ti.range AS i, round(avg(vn.u[ti.range + 1]), 6) AS w
-           FROM a$i a JOIN vn USING (vec_id) CROSS JOIN range(64) ti GROUP BY 1, 2),
-         n$i AS (SELECT cid, list(w ORDER BY i) AS c FROM m$i GROUP BY 1),
-         c$i AS (SELECT p.cid, COALESCE(n.c, p.c) AS c FROM c${i - 1} p LEFT JOIN n$i n USING (cid))"""
-          }.mkString(",\n         ")},
-         fa AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
-               ORDER BY list_dot_product(vn.u, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC, c.cid) AS rk
-             FROM vn, c3 c) WHERE rk = 1),
+      s"""WITH $ivfKmeansCte,
          probes AS (
            SELECT vec_id AS qid, cid AS cell FROM (
              SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
@@ -1051,6 +1061,29 @@ object SparkEntry {
            FROM sims)
          SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY 1, 2""",
+    // SemDeDup audit: same trained quantizer CTE, then within-cell pairwise
+    // cosine and the lower-id-survives drop rule.
+    "q_semantic_dedup" ->
+      s"""WITH $ivfKmeansCte,
+         pairs AS (
+           SELECT a.cell, b.vec_id AS nid2,
+             list_dot_product(av.v, bv.v) / (av.norm * bv.norm) AS sim
+           FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN vecs av ON av.vec_id = a.vec_id
+           JOIN vecs bv ON bv.vec_id = b.vec_id),
+         stats AS (
+           SELECT cell, count(*) AS n_pairs, round(max(sim), 4) AS max_sim
+           FROM pairs GROUP BY 1),
+         dropped AS (
+           SELECT cell, count(*) AS n_dropped FROM (
+             SELECT DISTINCT cell, nid2 FROM pairs WHERE sim >= 0.4) GROUP BY 1),
+         members AS (SELECT cell, count(*) AS n_members FROM fa GROUP BY 1)
+         SELECT m.cell, m.n_members,
+           CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           s.max_sim
+         FROM members m LEFT JOIN stats s USING (cell) LEFT JOIN dropped d USING (cell)
+         ORDER BY 1""",
     // ---- LLM-pipeline: multimodal columns ----
     "q_multimodal_features" ->
       """WITH m AS (

@@ -216,6 +216,52 @@ object AnnQueries {
         col("nid").as("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Cosine threshold for [[semanticDedup]]'s keep/drop rule. Production
+    * SemDeDup uses ~0.95+ on corpora with true semantic duplicates; this
+    * synthetic corpus's max pairwise cosine is ≈0.51, so the audit
+    * threshold sits where the decision is exercised.
+    */
+  private val SemDedupTau = 0.4
+
+  /** SemDeDup-style cluster-bounded semantic dedup (Abbas et al. 2023):
+    * k-means-partition the corpus with the SAME memoized spherical
+    * quantizer as [[annIvf]], compute pairwise cosine ONLY within each
+    * cell, and drop every vector that has a higher-priority (lower id)
+    * cell-mate above the similarity threshold. Output is the per-cell
+    * audit: members, pairs scored, would-drop count, max similarity.
+    *
+    * 100-TB shape: the assignment is a literal-centroid projection (no
+    * join); the only shuffle is on the cell key; the quadratic stage is
+    * bounded per cell (SemDeDup's defining trick — K scales with corpus so
+    * cell size, and thus the per-cell n², stays constant). A skewed cell
+    * would cap via per-cell sampling at scale; nothing is ever
+    * corpus-quadratic.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainCentroids(s, dir)
+    val assign = vectors(s, dir).withColumn("u", unitCol)
+      .withColumn("cell", assignCell(cents))
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    val pairs = assign.as("a")
+      .join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("nid2"),
+        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("sim"))
+    val stats = pairs.groupBy("cell").agg(
+      count(lit(1)).as("n_pairs"),
+      round(max(col("sim")), 4).as("max_sim"))
+    val dropped = pairs.filter(col("sim") >= SemDedupTau)
+      .select(col("cell"), col("nid2")).distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    assign.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(stats, Seq("cell"), "left")
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("max_sim"))
+  }
+
   /** Int8 symmetric quantization audit — the compression step vector
     * pipelines apply before ANN serving (4× smaller index, SIMD-friendly
     * dot products): each vector gets a per-vector scale `max|v|/127`,
