@@ -42,10 +42,28 @@ final class TransactionAssembler(
     heartbeatTable: Option[(String, String)] = None,
     maxBufferedStreamEvents: Int = 1 << 20,
     spillThresholdEvents: Int = 1 << 16,
-    spillDir: Option[Path] = None) extends AutoCloseable {
+    spillDir: Option[Path] = None,
+    dropForeignOrigin: Boolean = false) extends AutoCloseable {
 
   val relations = mutable.LongMap.empty[Relation]
   private val keyNameCache = mutable.LongMap.empty[Seq[String]]
+
+  /** Custom-type registry from 'Y' messages: oid → (namespace, name).
+    * Values of these types still decode as text (PostgreSQL's wire form for
+    * non-builtin OIDs); the registry tells consumers what the text IS.
+    */
+  val typeNames = mutable.LongMap.empty[(String, String)]
+
+  /** Origin name of the current transaction (from an 'O' message after
+    * Begin), null for locally-originated transactions.
+    */
+  private var curOrigin: String = null
+
+  /** Events dropped because their transaction carried a replication origin
+    * and `dropForeignOrigin` is set — the loop-breaker for bidirectional
+    * setups (PostgreSQL 16's `origin = none` subscription semantic).
+    */
+  var foreignOriginDropped: Long = 0L
 
   // current non-streamed transaction context (from Begin)
   private var curXid = 0L
@@ -207,6 +225,15 @@ final class TransactionAssembler(
       curXid = b.xid
       curCommitLsn = b.finalLsn
       curCommitTimeMicros = b.commitTimeMicros
+      curOrigin = null // an 'O' message (if any) follows this Begin
+      Iterator.empty
+
+    case o: Origin =>
+      curOrigin = o.name
+      Iterator.empty
+
+    case ty: TypeMessage =>
+      typeNames.update(ty.oid, (ty.namespace, ty.name))
       Iterator.empty
 
     case c: Commit =>
@@ -394,10 +421,16 @@ final class TransactionAssembler(
       after = if (afterTuple == null) null else tupleToMap(rel, afterTuple))
   }
 
-  /** Route one decoded event through P5 suppression and the T1/T2 buffers. */
+  /** Route one decoded event through P5 suppression, origin filtering, and
+    * the T1/T2 buffers.
+    */
   private def route(e: ChangeEvent): Iterator[ChangeEvent] = {
     if (heartbeatTable.contains((e.schema, e.table))) {
       heartbeatsSuppressed += 1
+      return Iterator.empty
+    }
+    if (dropForeignOrigin && curOrigin != null) {
+      foreignOriginDropped += 1
       return Iterator.empty
     }
     if (inStreamBlock) {

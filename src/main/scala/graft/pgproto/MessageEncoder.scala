@@ -113,6 +113,15 @@ object MessageEncoder {
   def streamAbort(xid: Long, subXid: Long): Array[Byte] =
     new W().byte('A').u32(xid).u32(subXid).bytes
 
+  def origin(commitLsn: Long, name: String): Array[Byte] =
+    new W().byte('O').u64(commitLsn).cstr(name).bytes
+
+  def typeMessage(oid: Long, namespace: String, name: String, streamedXid: Long = -1): Array[Byte] = {
+    val w = new W().byte('Y')
+    if (streamedXid >= 0) w.u32(streamedXid)
+    w.u32(oid).cstr(namespace).cstr(name)
+  }.bytes
+
   def logicalMessage(
       prefix: String, content: Array[Byte], transactional: Boolean,
       lsn: Long = 0L, streamedXid: Long = -1): Array[Byte] = {

@@ -5,10 +5,10 @@ package graft.pgproto
   * Wire layouts follow the public PostgreSQL documentation ("Logical
   * Streaming Replication Protocol" → "Protocol Message Formats"). The
   * reference decodes the same tag set at `pq/message/message.go:42-73`
-  * with per-message decoders in `pq/message/format/<msg>.go`; of the tags
-  * the reference rejects ('M' logical message, 'O' origin, 'Y' type) we
-  * additionally decode 'M' — see [[Messages.LogicalMessage]] — and keep its
-  * stance on 'O'/'Y'.
+  * with per-message decoders in `pq/message/format/<msg>.go`; the tags the
+  * reference rejects ('M' logical message, 'O' origin, 'Y' type) we decode
+  * fully — see [[Messages.LogicalMessage]], [[Messages.Origin]],
+  * [[Messages.TypeMessage]].
   *
   * Proto v2 nuance: when a DML/Relation/Truncate message arrives inside a
   * streamed (in-progress) transaction chunk, the message body is prefixed
@@ -106,6 +106,23 @@ object Messages {
       prefix: String,
       content: Array[Byte])
       extends Msg { def tag = 'M' }
+
+  /** 'O' — replication origin, sent after Begin for transactions that were
+    * themselves replicated from elsewhere (cascaded / bidirectional
+    * setups). BEYOND the reference (raises): knowing a txn's origin is how
+    * a bidirectional pipeline breaks replication loops — see
+    * [[graft.cdc.TransactionAssembler]]'s `dropForeignOrigin`.
+    */
+  final case class Origin(commitLsn: Long, name: String) extends Msg { def tag = 'O' }
+
+  /** 'Y' — type metadata for a custom (non-builtin) column type, sent
+    * before the Relation message that references it. BEYOND the reference
+    * (raises): we cache oid → qualified name so envelope consumers can see
+    * what a custom-typed column actually is (its values still decode as
+    * text, PostgreSQL's wire representation for unknown-OID types).
+    */
+  final case class TypeMessage(xid: Long, oid: Long, namespace: String, name: String)
+      extends Msg { def tag = 'Y' }
 
   /** Decode one pgoutput message (the XLogData payload).
     *
@@ -210,11 +227,13 @@ object Messages {
         val len = r.readUint32("message content length").toInt
         LogicalMessage(xid, (flags & 1) != 0, lsn, prefix, r.readBytes(len, "message content"))
 
-      case 'O' | 'Y' =>
-        // Same stance as the reference (`message.go:70-72`): origin and type
-        // metadata carry no row data; a publication we create never enables
-        // them.
-        throw new PgProtoException(s"unsupported pgoutput message tag '$tag'")
+      case 'O' =>
+        Origin(r.readUint64("origin commit lsn"), r.readCString("origin name"))
+
+      case 'Y' =>
+        val xid = streamXid()
+        TypeMessage(xid, r.readUint32("type oid"),
+          r.readCString("type namespace"), r.readCString("type name"))
 
       case other =>
         throw new PgProtoException(s"unknown pgoutput message tag '$other'")

@@ -126,6 +126,8 @@ object WalDump {
             case a: Messages.StreamAbort => s"STREAM_ABORT xid=${a.xid}"
             case lm: Messages.LogicalMessage =>
               s"MESSAGE prefix=${lm.prefix} transactional=${lm.transactional} bytes=${lm.content.length}"
+            case o: Messages.Origin => s"ORIGIN ${o.name} commitLsn=${Lsn.format(o.commitLsn)}"
+            case ty: Messages.TypeMessage => s"TYPE oid=${ty.oid} ${ty.namespace}.${ty.name}"
           }
           s"${Lsn.format(x.walStart)} $desc"
       }
