@@ -16,7 +16,7 @@ final case class ChangeEvent(
     lsn: Long,            // WAL position; last event of a txn carries txn-end LSN (T1)
     commitLsn: Long,      // the transaction's commit LSN
     xid: Long,
-    op: String,           // insert | update | delete | truncate
+    op: String,           // insert | update | delete | truncate | message
     schema: String,
     table: String,
     messageTimeMicros: Long, // server send time (Unix µs)
@@ -26,7 +26,7 @@ final case class ChangeEvent(
     after: Map[String, String])  // new image (null for delete/truncate)
 
 object ChangeEvent {
-  final val Ops = Seq("insert", "update", "delete", "truncate")
+  final val Ops = Seq("insert", "update", "delete", "truncate", "message")
 
   /** The typed per-table view (SURVEY §1.2 plan (b)): filter the envelope
     * to one relation and project its text-format row image through the

@@ -51,6 +51,37 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(out.select(min(col("message_time")).cast("long")).head.getLong(0) == T0 / 1000000L)
   }
 
+  test("logical messages, origin, and type frames flow through readStream") {
+    val relOid = 16390L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    val frames = Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "outboxed", cols)),
+      // 'Y' type metadata and an 'O' origin inside a local txn (no filter
+      // configured): both are absorbed, DML + messages flow.
+      MessageEncoder.xlogData(2, 2, T0, MessageEncoder.typeMessage(88888L, "public", "mood")),
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(106, T0, 7)),
+      MessageEncoder.xlogData(101, 101, T0,
+        MessageEncoder.logicalMessage("outbox", """{"id":1}""".getBytes("UTF-8"),
+          transactional = true, lsn = 101)),
+      MessageEncoder.xlogData(102, 102, T0, MessageEncoder.insert(relOid, Seq(Some("1")))),
+      MessageEncoder.xlogData(103, 103, T0,
+        MessageEncoder.logicalMessage("audit", "ping".getBytes("UTF-8"),
+          transactional = false, lsn = 103)),
+      MessageEncoder.xlogData(105, 105, T0, MessageEncoder.commit(105, 106, T0)))
+
+    val out = runStream("logmsg", frames, "cdc_logmsg")
+    val rows = out.orderBy("lsn").collect()
+    // Delivery order: the non-transactional audit message jumps the queue
+    // (lsn 103 but emitted immediately); transactional outbox + insert ship
+    // with the commit.
+    assert(rows.map(_.getAs[String]("op")).toSeq == Seq("message", "message", "insert"))
+    val byPrefix = rows.filter(_.getAs[String]("op") == "message")
+      .map(r => r.getAs[Map[String, String]]("after")("prefix") -> r).toMap
+    assert(byPrefix("outbox").getAs[Map[String, String]]("after")("content_text") == """{"id":1}""")
+    assert(byPrefix("audit").getAs[Long]("xid") == 0L)
+    assert(rows.last.getAs[Long]("lsn") == 106L) // insert was last in txn: T1 rewrite
+  }
+
   test("streamed txn abort never reaches the sink; commit does") {
     val relOid = 16385L
     val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
