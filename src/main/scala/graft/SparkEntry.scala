@@ -1072,17 +1072,16 @@ object SparkEntry {
            JOIN vecs av ON av.vec_id = a.vec_id
            JOIN vecs bv ON bv.vec_id = b.vec_id),
          stats AS (
-           SELECT cell, count(*) AS n_pairs, round(max(sim), 4) AS max_sim
+           SELECT cell, count(*) AS n_pairs,
+             count(DISTINCT CASE WHEN sim >= 0.4 THEN nid2 END) AS n_dropped,
+             round(max(sim), 4) AS max_sim
            FROM pairs GROUP BY 1),
-         dropped AS (
-           SELECT cell, count(*) AS n_dropped FROM (
-             SELECT DISTINCT cell, nid2 FROM pairs WHERE sim >= 0.4) GROUP BY 1),
          members AS (SELECT cell, count(*) AS n_members FROM fa GROUP BY 1)
          SELECT m.cell, m.n_members,
            CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
-           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(s.n_dropped, 0) AS BIGINT) AS n_dropped,
            s.max_sim
-         FROM members m LEFT JOIN stats s USING (cell) LEFT JOIN dropped d USING (cell)
+         FROM members m LEFT JOIN stats s USING (cell)
          ORDER BY 1""",
     // ---- LLM-pipeline: multimodal columns ----
     "q_multimodal_features" ->

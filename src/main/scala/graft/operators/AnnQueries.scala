@@ -247,15 +247,14 @@ object AnnQueries {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"), col("b.vec_id").as("nid2"),
         cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("sim"))
+    // One aggregation over the pair stream: the would-drop count folds in as
+    // count(DISTINCT nid2 | sim >= τ), so the within-cell join executes once.
     val stats = pairs.groupBy("cell").agg(
       count(lit(1)).as("n_pairs"),
+      count_distinct(when(col("sim") >= SemDedupTau, col("nid2"))).as("n_dropped"),
       round(max(col("sim")), 4).as("max_sim"))
-    val dropped = pairs.filter(col("sim") >= SemDedupTau)
-      .select(col("cell"), col("nid2")).distinct()
-      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
     assign.groupBy("cell").agg(count(lit(1)).as("n_members"))
       .join(stats, Seq("cell"), "left")
-      .join(dropped, Seq("cell"), "left")
       .select(col("cell"), col("n_members"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
