@@ -25,6 +25,11 @@ final case class GraftConfig(
     protoVersion: Int = 2,
     maxTxnsPerTrigger: Long = Long.MaxValue,
     maxFramesPerPartition: Int = 8192,
+    /** Suppress transactions that carry a replication origin ('O') —
+      * bidirectional-replication loop prevention, PostgreSQL 16's
+      * `origin = none` subscription semantic.
+      */
+    dropForeignOrigin: Boolean = false,
     /** libpq sslmode tier for every connection this config opens:
       * disable | prefer | require | verify-ca | verify-full
       * (`config/config.go:55-63` carries the same through the DSN).
@@ -82,6 +87,7 @@ final case class GraftConfig(
       "heartbeatSchema" -> heartbeatSchema,
       "heartbeatTable" -> heartbeatTable,
       "maxFramesPerPartition" -> maxFramesPerPartition.toString) ++
+      (if (dropForeignOrigin) Map("dropForeignOrigin" -> "true") else Map.empty) ++
       (if (sslMode != "disable") Map("sslmode" -> sslMode) else Map.empty) ++
       sslRootCert.map("sslrootcert" -> _) ++
       (if (username.nonEmpty) Map("user" -> username) else Map.empty) ++

@@ -60,6 +60,9 @@ import graft.pgproto.Lsn
   *                           in-memory fail-fast bound (default 1M)
   *  - `maxReconnectAttempts` / `reconnectBackoffMs`  transport recovery for
   *                           a dead feed (defaults 5 / 100 ms, doubling)
+  *  - `dropForeignOrigin`    suppress transactions carrying a replication
+  *                           origin ('O') — bidirectional-replication loop
+  *                           prevention (default false)
   */
 class PgCdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgcdc"
@@ -149,6 +152,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     math.max(1, options.getInt("spillThresholdEvents", 1 << 16))
   private val maxBufferedStreamEvents =
     math.max(1, options.getInt("maxBufferedStreamEvents", 1 << 20))
+  private val dropForeignOrigin = options.getBoolean("dropForeignOrigin", false)
 
   private val wal: WalSource = {
     val hook = Option(options.get("testSourceKey")).flatMap(PgCdcTestHook.get)
@@ -520,7 +524,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     def flush(): Unit = if (cur.nonEmpty) {
       parts += PgCdcInputPartition(
         cur.head.relPreamble.toArray, cur.map(_.frames).toArray, heartbeat,
-        maxBufferedStreamEvents, spillThresholdEvents)
+        maxBufferedStreamEvents, spillThresholdEvents, dropForeignOrigin)
       cur.clear(); frames = 0
     }
     groups.foreach { g =>
@@ -563,14 +567,16 @@ final case class PgCdcInputPartition(
     txnFrames: Array[Array[Array[Byte]]],
     heartbeat: Option[(String, String)],
     maxBufferedStreamEvents: Int = 1 << 20,
-    spillThresholdEvents: Int = 1 << 16) extends InputPartition
+    spillThresholdEvents: Int = 1 << 16,
+    dropForeignOrigin: Boolean = false) extends InputPartition
 
 object PgCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PgCdcInputPartition]
     new PartitionReader[InternalRow] {
       private val assembler = new TransactionAssembler(
-        p.heartbeat, p.maxBufferedStreamEvents, p.spillThresholdEvents)
+        p.heartbeat, p.maxBufferedStreamEvents, p.spillThresholdEvents,
+        dropForeignOrigin = p.dropForeignOrigin)
       p.relPreamble.foreach(assembler.onCopyData)
       private val events: Iterator[ChangeEvent] =
         p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))

@@ -15,10 +15,13 @@ class PgCdcSourceSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   val T0 = 1700000000000000L
 
-  private def runStream(key: String, frames: Seq[Array[Byte]], queryName: String) = {
+  private def runStream(
+      key: String, frames: Seq[Array[Byte]], queryName: String,
+      extraOptions: Map[String, String] = Map.empty) = {
     PgCdcTestHook.register(key, new InMemoryWalSource(frames))
     val q = spark.readStream.format("pgcdc")
       .option("testSourceKey", key)
+      .options(extraOptions)
       .load()
       .writeStream.format("memory").queryName(queryName).outputMode("append").start()
     q.processAllAvailable()
@@ -80,6 +83,29 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(byPrefix("outbox").getAs[Map[String, String]]("after")("content_text") == """{"id":1}""")
     assert(byPrefix("audit").getAs[Long]("xid") == 0L)
     assert(rows.last.getAs[Long]("lsn") == 106L) // insert was last in txn: T1 rewrite
+  }
+
+  test("dropForeignOrigin option suppresses originated transactions end-to-end") {
+    val relOid = 16391L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    def txn(id: String, origin: Option[String], base: Long): Seq[Array[Byte]] = {
+      val o = origin.toSeq.map(n =>
+        MessageEncoder.xlogData(base, base, T0, MessageEncoder.origin(base, n)))
+      Seq(MessageEncoder.xlogData(base, base, T0, MessageEncoder.begin(base + 10, T0, 7))) ++ o ++ Seq(
+        MessageEncoder.xlogData(base + 1, base + 1, T0,
+          MessageEncoder.insert(relOid, Seq(Some(id)))),
+        MessageEncoder.xlogData(base + 9, base + 9, T0,
+          MessageEncoder.commit(base + 9, base + 10, T0)))
+    }
+    val frames = Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "bidi", cols))) ++
+      txn("1", None, 100) ++ txn("2", Some("peer_dc"), 200) ++ txn("3", None, 300)
+
+    val out = runStream("origin_drop", frames, "cdc_origin_drop",
+      Map("dropForeignOrigin" -> "true"))
+    val ids = out.orderBy("lsn").collect()
+      .map(_.getAs[Map[String, String]]("after")("id")).toSeq
+    assert(ids == Seq("1", "3")) // the peer_dc txn never reaches the sink
   }
 
   test("streamed txn abort never reaches the sink; commit does") {
