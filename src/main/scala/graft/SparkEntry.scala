@@ -38,6 +38,7 @@ object SparkEntry {
     "q_scalar_functions" -> ((s, d) =>
       AnalyticsQueries.scalarFunctions(s, d).orderBy("yr", "mo", "prio_initial", "status_len", "price_band")),
     "q_set_ops" -> ((s, d) => AnalyticsQueries.setOps(s, d)),
+    "q_asof_custom" -> ((s, d) => AnalyticsQueries.asofCustom(s, d).orderBy("user_id")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -223,6 +224,20 @@ object SparkEntry {
             EXCEPT SELECT o_custkey FROM orders)) AS n_except,
          (SELECT count(*) FROM (SELECT c_custkey FROM customer
             UNION SELECT o_custkey FROM orders)) AS n_union""",
+    "q_asof_custom" ->
+      """WITH m AS (
+           SELECT p.user_id, p.ts,
+                  CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts) <= 3600000000
+                       THEN c.click_ts END AS click_ts
+           FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN
+                (SELECT user_id AS c_user, ts AS click_ts FROM events
+                 WHERE event_type = 'click') c
+             ON p.user_id = c.c_user AND p.ts >= c.click_ts)
+         SELECT user_id, count(*) AS n_purchase,
+                count(click_ts) AS n_matched,
+                CAST(sum(epoch_us(ts) - epoch_us(click_ts)) AS BIGINT) AS sum_gap_us
+         FROM m GROUP BY 1 ORDER BY 1""",
     "q_asof_purchase_click" ->
       """SELECT p.user_id AS user_id, count(*) AS n_matched,
          CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_gap_us

@@ -134,6 +134,28 @@ object AnalyticsQueries {
     * user ordered by time carries the last click forward — O(n log n) per
     * key, no range-join blowup. DuckDB's native ASOF JOIN is the oracle.
     */
+  /** As-of join via the custom Catalyst operator ([[graft.plans.AsOfJoinExec]]
+    * — hash co-partitioned merge, no union/window state), left-outer with a
+    * 1-hour tolerance: every purchase keeps or loses its preceding click.
+    * Contrast with [[asofPurchaseClick]], the composed-window formulation of
+    * the same semantic (inner, no tolerance).
+    */
+  def asofCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "click_ts",
+        toleranceUs = Some(3600L * 1000000L), joinType = "left")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchase"),
+        count(col("click_ts")).as("n_matched"),
+        sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("sum_gap_us"))
+  }
+
   def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val tagged = ev.filter(col("event_type").isin("purchase", "click"))
