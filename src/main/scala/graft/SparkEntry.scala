@@ -39,6 +39,7 @@ object SparkEntry {
       AnalyticsQueries.scalarFunctions(s, d).orderBy("yr", "mo", "prio_initial", "status_len", "price_band")),
     "q_set_ops" -> ((s, d) => AnalyticsQueries.setOps(s, d)),
     "q_asof_custom" -> ((s, d) => AnalyticsQueries.asofCustom(s, d).orderBy("user_id")),
+    "q_json_props" -> ((s, d) => AnalyticsQueries.jsonProps(s, d).orderBy("event_type")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => TextQueries.textStats(s, d).orderBy("lang")),
     "q_text_quality" -> ((s, d) => TextQueries.textQuality(s, d).orderBy("source")),
     "q_token_count" -> ((s, d) => TextQueries.tokenCount(s, d).orderBy("lang")),
+    "q_quality_rules" -> ((s, d) => TextQueries.qualityRules(s, d).orderBy("source")),
     "q_lang_id" -> ((s, d) =>
       TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
@@ -224,6 +226,36 @@ object SparkEntry {
             EXCEPT SELECT o_custkey FROM orders)) AS n_except,
          (SELECT count(*) FROM (SELECT c_custkey FROM customer
             UNION SELECT o_custkey FROM orders)) AS n_union""",
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_quality_rules" ->
+      """WITH d AS (
+           SELECT source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         r AS (
+           SELECT source, len(toks) AS n_toks,
+             len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS stop_cnt,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS mean_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             list_max(list_transform(toks, t -> length(t))) AS max_len
+           FROM d)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_toks BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_r_word_count,
+           CAST(sum(CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r_mean_word_len,
+           CAST(sum(CASE WHEN stop_cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r_stopwords,
+           CAST(sum(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_r_alpha_frac,
+           CAST(sum(CASE WHEN max_len <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_r_max_word_len,
+           CAST(sum(CASE WHEN n_toks BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+                          AND stop_cnt >= 2 AND alpha_frac >= 0.8 AND max_len <= 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q_asof_custom" ->
       """WITH m AS (
            SELECT p.user_id, p.ts,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Relational operator coverage (SURVEY §2.6): joins, aggregations, windows,
   * sorts/top-k, set ops, scalar functions — expressed Spark-first so Catalyst
@@ -134,6 +135,25 @@ object AnalyticsQueries {
     * user ordered by time carries the last click forward — O(n log n) per
     * key, no range-join blowup. DuckDB's native ASOF JOIN is the oracle.
     */
+  /** Semi-structured extraction: parse the `events.props` JSON payload with a
+    * declared schema (`from_json` — schema-on-read, codegen'd, no UDF) and
+    * aggregate the extracted field per event type. The 100-TB shape: JSON
+    * parsing is row-local in the scan stage; only the (event_type, k)
+    * aggregates shuffle.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        round(avg("k"), 6).as("avg_k"))
+
   /** As-of join via the custom Catalyst operator ([[graft.plans.AsOfJoinExec]]
     * — hash co-partitioned merge, no union/window state), left-outer with a
     * 1-hour tolerance: every purchase keeps or loses its preceding click.

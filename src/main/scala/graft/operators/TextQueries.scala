@@ -50,6 +50,38 @@ object TextQueries {
         round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
         round(avg("mean_tok_len"), 6).as("avg_tok_len"))
 
+  /** Gopher/C4-style quality-rule gate: five document-level heuristic rules
+    * (word count in [50, 100k], mean word length in [3, 10], >= 2 stopwords,
+    * >= 80% purely-alphabetic tokens, no token over 20 chars — the cheap
+    * pre-filter battery every LLM-data pipeline runs before model-based
+    * scoring), reported as per-source pass counts per rule plus the
+    * all-rules conjunction. One codegen'd scan, one aggregation shuffle; at
+    * 100 TB the same frame's `r_pass_all` column is the keep-mask.
+    */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      "r_word_count" -> (col("n_toks") >= 50 && col("n_toks") <= 100000),
+      "r_mean_word_len" -> (col("mean_len") >= 3.0 && col("mean_len") <= 10.0),
+      "r_stopwords" -> (col("stop_cnt") >= 2),
+      "r_alpha_frac" -> (col("alpha_frac") >= 0.8),
+      "r_max_word_len" -> (col("max_len") <= 20))
+    val flagged = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("stop_cnt", size(filter(col("toks"), t => t === "a" || t === "the")))
+      .withColumn("mean_len",
+        aggregate(col("toks"), lit(0), (a, t) => a + length(t)).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("alpha_frac",
+        size(filter(col("toks"), _.rlike("^[A-Za-z]+$"))).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("max_len", array_max(transform(col("toks"), length(_))))
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      rules.map { case (n, c) => sum(c.cast("int")).as(s"n_$n") } :+
+        sum(rules.map(_._2).reduce(_ && _).cast("int")).as("n_pass_all"): _*)
+  }
+
   /** BPE-ish token counting: a regex lexer (letter runs | digit runs | single
     * punctuation) standing in for a real tokenizer's pre-tokenization pass.
     */
