@@ -40,6 +40,7 @@ object SparkEntry {
     "q_set_ops" -> ((s, d) => AnalyticsQueries.setOps(s, d)),
     "q_asof_custom" -> ((s, d) => AnalyticsQueries.asofCustom(s, d).orderBy("user_id")),
     "q_json_props" -> ((s, d) => AnalyticsQueries.jsonProps(s, d).orderBy("event_type")),
+    "q_range_join" -> ((s, d) => AnalyticsQueries.rangeJoinClicks(s, d).orderBy("user_id")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -226,6 +227,16 @@ object SparkEntry {
             EXCEPT SELECT o_custkey FROM orders)) AS n_except,
          (SELECT count(*) FROM (SELECT c_custkey FROM customer
             UNION SELECT o_custkey FROM orders)) AS n_union""",
+    "q_range_join" ->
+      """WITH w AS (
+           SELECT event_id AS win_id, user_id, epoch_us(ts) AS t0,
+                  epoch_us(ts) + 3600000000 AS t1
+           FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT epoch_us(ts) AS pt FROM events WHERE event_type = 'click')
+         SELECT w.user_id, count(DISTINCT w.win_id) AS n_windows,
+                CAST(count(p.pt) AS BIGINT) AS n_clicks
+         FROM w LEFT JOIN p ON p.pt >= w.t0 AND p.pt < w.t1
+         GROUP BY 1 ORDER BY 1""",
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
          count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,

@@ -135,6 +135,39 @@ object AnalyticsQueries {
     * user ordered by time carries the last click forward — O(n log n) per
     * key, no range-join blowup. DuckDB's native ASOF JOIN is the oracle.
     */
+  /** Interval (range) join via bucket decomposition — the scale pattern for
+    * non-equi joins. Naively, "clicks inside each purchase's 1-hour window"
+    * is a pure inequality join: Spark plans that as broadcast-nested-loop,
+    * O(|W|·|P|), hopeless at 100 TB. Instead both sides are binned to the
+    * hour: each window explodes to the <=2 hour-bins it overlaps, each point
+    * maps to exactly ONE bin, and the join becomes an equi-join on the bin
+    * key followed by the exact containment filter. A qualifying pair meets
+    * in precisely the point's own bin, so no dedup stage is needed. Shuffle
+    * volume is O(|W| + |P|) rows on 8-byte keys; bin width tunes the
+    * replication-vs-selectivity trade exactly like Flink's interval join or
+    * the IEJoin bucketing literature.
+    */
+  def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000000L // 1-hour bins = the window length
+    val ev = Tables.events(s, dir)
+    val wins = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"), col("user_id"),
+        unix_micros(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + binUs)
+    val pts = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("pt"))
+      .withColumn("bin", floor(col("pt") / binUs))
+    val binned = wins.withColumn("bin",
+      explode(sequence(floor(col("t0") / binUs), floor((col("t1") - 1) / binUs))))
+    val hits = binned.join(pts, "bin")
+      .where(col("pt") >= col("t0") && col("pt") < col("t1"))
+      .groupBy("win_id").agg(count(lit(1)).as("n_in"))
+    wins.join(hits, Seq("win_id"), "left")
+      .na.fill(0L, Seq("n_in"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_windows"), sum("n_in").as("n_clicks"))
+  }
+
   /** Semi-structured extraction: parse the `events.props` JSON payload with a
     * declared schema (`from_json` — schema-on-read, codegen'd, no UDF) and
     * aggregate the extracted field per event type. The 100-TB shape: JSON

@@ -225,12 +225,15 @@ case class AsOfJoinExec(
 
 /** `SparkSessionExtensions` installer — the production registration path:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  * `spark.sql.extensions=graft.plans.GraftExtensions`). Installs the as-of
+  * join (strategy + pushdown rule) and the SQL bindings for graft's custom
+  * expressions ([[graft.functions.GraftFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushLeftFilterThroughAsOf)
+    graft.functions.GraftFunctions.all.foreach(e.injectFunction)
   }
 }
 

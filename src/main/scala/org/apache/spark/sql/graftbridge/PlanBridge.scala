@@ -24,4 +24,17 @@ object PlanBridge {
 
   def executedPlan(df: DataFrame): SparkPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan
+
+  /** Session-local SQL function registration for sessions built without
+    * `withExtensions` — same (identifier, info, builder) triple the
+    * extensions path injects.
+    */
+  def registerFunction(
+      s: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    s.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
 }
