@@ -41,6 +41,8 @@ object SparkEntry {
     "q_asof_custom" -> ((s, d) => AnalyticsQueries.asofCustom(s, d).orderBy("user_id")),
     "q_json_props" -> ((s, d) => AnalyticsQueries.jsonProps(s, d).orderBy("event_type")),
     "q_range_join" -> ((s, d) => AnalyticsQueries.rangeJoinClicks(s, d).orderBy("user_id")),
+    "q_gap_fill" -> ((s, d) => AnalyticsQueries.gapFillDaily(s, d).orderBy("wd")),
+    "q_pivot_orders" -> ((s, d) => AnalyticsQueries.pivotOrders(s, d).orderBy("o_orderpriority")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -227,6 +229,33 @@ object SparkEntry {
             EXCEPT SELECT o_custkey FROM orders)) AS n_except,
          (SELECT count(*) FROM (SELECT c_custkey FROM customer
             UNION SELECT o_custkey FROM orders)) AS n_union""",
+    "q_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         dense AS (
+           SELECT s.user_id,
+                  CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM spans s),
+         filled AS (
+           SELECT d.user_id, d.day, coalesce(dl.n, 0) AS n
+           FROM dense d LEFT JOIN daily dl
+             ON dl.user_id = d.user_id AND dl.day = d.day)
+         SELECT (CAST(day - DATE '1970-01-01' AS INTEGER) % 7) AS wd,
+                count(*) AS n_slots,
+                CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_slots,
+                CAST(sum(n) AS BIGINT) AS sum_events
+         FROM filled GROUP BY 1 ORDER BY 1""",
+    "q_pivot_orders" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0) AS price_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0) AS price_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0) AS price_p
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_range_join" ->
       """WITH w AS (
            SELECT event_id AS win_id, user_id, epoch_us(ts) AS t0,

@@ -135,6 +135,49 @@ object AnalyticsQueries {
     * user ordered by time carries the last click forward — O(n log n) per
     * key, no range-join blowup. DuckDB's native ASOF JOIN is the oracle.
     */
+  /** Calendar gap-fill (time-series densification): each user's sparse daily
+    * activity is expanded to a contiguous day series over their active span
+    * (`sequence` + `explode` — generation is row-local, proportional to span,
+    * never a cross join against a global calendar) and left-joined back so
+    * silent days materialize as zero rows, then rolled up by weekday. The
+    * dense frame is what training-data mixing schedules and SLA dashboards
+    * consume; at 100 TB the explode fans out inside the scan stage and only
+    * the (user, day) aggregate shuffles.
+    */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dense = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .withColumn("day", explode(expr("sequence(d0, d1, interval 1 day)")))
+      .join(daily, Seq("user_id", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    dense
+      .withColumn("wd", pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .groupBy("wd")
+      .agg(
+        count(lit(1)).as("n_slots"),
+        sum(when(col("n") === 0, 1).otherwise(0)).as("n_zero_slots"),
+        sum("n").as("sum_events"))
+  }
+
+  /** Pivot (long-to-wide): order counts and total price per priority, spread
+    * across status columns. Values are enumerated explicitly, so the pivot
+    * compiles to one pass of conditional aggregates — no distinct-values
+    * pre-query, no second scan, no extra shuffle beyond the groupBy.
+    */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("price"))
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        col("F_n").as("n_f"), col("F_price").as("price_f"),
+        col("O_n").as("n_o"), col("O_price").as("price_o"),
+        col("P_n").as("n_p"), col("P_price").as("price_p"))
+
   /** Interval (range) join via bucket decomposition — the scale pattern for
     * non-equi joins. Naively, "clicks inside each purchase's 1-hour window"
     * is a pure inequality join: Spark plans that as broadcast-nested-loop,
