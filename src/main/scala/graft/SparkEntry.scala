@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, CurationQueries, DedupQueries, MultimodalQueries, SnapshotQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, CurationQueries, DedupQueries, MultimodalQueries, ScaleOps, SnapshotQueries, Tables, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,9 @@ object SparkEntry {
     "q_json_props" -> ((s, d) => AnalyticsQueries.jsonProps(s, d).orderBy("event_type")),
     "q_range_join" -> ((s, d) => AnalyticsQueries.rangeJoinClicks(s, d).orderBy("user_id")),
     "q_gap_fill" -> ((s, d) => AnalyticsQueries.gapFillDaily(s, d).orderBy("wd")),
+    "q_salted_agg" -> ((s, d) =>
+      ScaleOps.saltedAgg(Tables.events(s, d), "event_type", 8, "n", "event_id", "sum_id")
+        .orderBy("event_type")),
     "q_pivot_orders" -> ((s, d) => AnalyticsQueries.pivotOrders(s, d).orderBy("o_orderpriority")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
@@ -229,6 +232,9 @@ object SparkEntry {
             EXCEPT SELECT o_custkey FROM orders)) AS n_except,
          (SELECT count(*) FROM (SELECT c_custkey FROM customer
             UNION SELECT o_custkey FROM orders)) AS n_union""",
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
