@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkEntry
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape lock-in for the scale properties the operators claim. These
+  * are the assertions behind "would this survive a 100× scale-up": column
+  * pruning and predicate pushdown reaching the parquet scan, partial
+  * aggregation before the exchange, broadcast on small dimensions, and
+  * partitioning reuse through the custom as-of join. A regression that
+  * silently reshapes one of these plans (a lost pushdown, an extra shuffle)
+  * fails here even though results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedString(df: DataFrame): String = {
+    df.collect() // AQE: materialize so the final plan is decided
+    // slice off AQE's "== Initial Plan ==" echo so node counts aren't doubled
+    PlanBridge.executedPlan(df).toString.split("== Initial Plan ==").head
+  }
+
+  test("projection query prunes the scan to the selected columns") {
+    val plan = executedString(SparkEntry.queries("q_column_projection")(spark, dir))
+    val scan = plan.split("\n").find(_.contains("ReadSchema")).getOrElse(plan)
+    assert(!scan.contains("text"), s"doc body not pruned from scan:\n$scan")
+  }
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val plan = executedString(SparkEntry.queries("q_op_filter")(spark, dir))
+    assert(plan.contains("PushedFilters: [In(event_type") ||
+      plan.contains("PushedFilters: [Or(EqualTo(event_type"),
+      s"event_type filter not pushed to scan:\n$plan")
+  }
+
+  test("hash aggregation splits partial/final around one exchange") {
+    val plan = executedString(SparkEntry.queries("q_pricing_summary")(spark, dir))
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange:\n$plan")
+  }
+
+  test("small dimensions broadcast in the multi-way join") {
+    val plan = executedString(SparkEntry.queries("q_shipping_priority")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("as-of join's partitioning is reused by the downstream aggregate") {
+    val plan = executedString(SparkEntry.queries("q_asof_custom")(spark, dir))
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    // exactly the two child exchanges on user keys + the final sort's range
+    // exchange; the groupBy(user_id) must NOT add a fourth
+    val hashExchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashExchanges == 2,
+      s"expected 2 hash exchanges (join children only), got $hashExchanges:\n$plan")
+  }
+}
