@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, CurationQueries, DedupQueries, MultimodalQueries, ScaleOps, SnapshotQueries, Tables, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -46,6 +47,10 @@ object SparkEntry {
       ScaleOps.saltedAgg(Tables.events(s, d), "event_type", 8, "n", "event_id", "sum_id")
         .orderBy("event_type")),
     "q_pivot_orders" -> ((s, d) => AnalyticsQueries.pivotOrders(s, d).orderBy("o_orderpriority")),
+    "q_cube_returns" -> ((s, d) =>
+      AnalyticsQueries.cubeReturns(s, d)
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_stats_moments" -> ((s, d) => AnalyticsQueries.statsMoments(s, d).orderBy("l_returnflag")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -199,6 +204,18 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube_returns" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_stats_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_samp(l_discount), 4) AS var_disc,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_top_parts" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          ORDER BY p_retailprice DESC, p_partkey LIMIT 15""",

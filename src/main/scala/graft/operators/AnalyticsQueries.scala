@@ -76,6 +76,29 @@ object AnalyticsQueries {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
 
+  /** CUBE — all 2^2 grouping-set combinations in one pass (rollup's superset;
+    * Catalyst expands to a single Expand + hash aggregate, not four scans).
+    */
+  def cubeReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+
+  /** Statistical-moment aggregates: sample stddev/variance, correlation and
+    * covariance between quantity and price, per return flag. Both engines
+    * stream these with merge-formula aggregators; results are rounded to 4
+    * decimals so low-bit summation-order noise can't surface.
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 4).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+
   /** Sort + deterministic top-k. */
   def topParts(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
