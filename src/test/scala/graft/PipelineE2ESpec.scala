@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pgproto.{Messages, MessageEncoder}
+import graft.streaming.{InMemoryWalSource, PgCdcRelations, PgCdcTestHook}
+import java.nio.file.Files
+
+/** Capstone: the full library surface composed as a user would — a CDC
+  * stream decoded to a typed table view through the live relation registry,
+  * gated by the quality rules, and exported as a partitioned corpus that
+  * reads back pruned. Every seam crossed here is public API.
+  */
+class PipelineE2ESpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val DocsOid = 16700L
+  private val Cols = Seq(
+    Messages.RelationColumn("id", 23L, -1, 1),     // int4
+    Messages.RelationColumn("lang", 25L, -1, 0),   // text
+    Messages.RelationColumn("body", 25L, -1, 0))   // text
+
+  private def insertTxn(lsnBase: Long, t: Long, id: Long, lang: String,
+      body: String): Seq[Array[Byte]] = Seq(
+    MessageEncoder.xlogData(lsnBase, lsnBase, t,
+      MessageEncoder.begin(lsnBase + 3, t, 800L + lsnBase)),
+    MessageEncoder.xlogData(lsnBase + 1, lsnBase + 1, t,
+      MessageEncoder.insert(DocsOid, Seq(Some(id.toString), Some(lang), Some(body)))),
+    MessageEncoder.xlogData(lsnBase + 2, lsnBase + 2, t,
+      MessageEncoder.commit(lsnBase + 2, lsnBase + 3, t)))
+
+  test("CDC stream -> typed view -> quality gate -> partitioned corpus") {
+    val t0 = 1700000000000000L
+    val good = "the quick brown fox jumps over a lazy dog near the quiet river bank today"
+    val short = "too short"
+    val docs = Seq(
+      (1L, "en", good), (2L, "en", short), (3L, "de", good + " again and again"),
+      (4L, "en", good + " once more"), (5L, "de", short))
+    val frames =
+      MessageEncoder.xlogData(1, 1, t0,
+        MessageEncoder.relation(DocsOid, "public", "docs", Cols)) +:
+        docs.zipWithIndex.flatMap { case ((id, lang, body), i) =>
+          insertTxn(6000L + i * 10L, t0 + i, id, lang, body) }
+
+    PgCdcTestHook.register("e2e", new InMemoryWalSource(frames))
+    PgCdcRelations.clear("e2e")
+    val envelope = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "e2e")
+      .option("relationRegistryKey", "e2e")
+      .load()
+    val q = envelope.writeStream.format("memory").queryName("e2e_env")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // typed view through the live relation registry — no hand-built schema
+    val views = PgCdcRelations.typedViews("e2e", spark.table("e2e_env"))
+    assert(views.keySet == Set("public.docs"))
+    val typed = views("public.docs").filter($"op" === "insert")
+    assert(typed.schema("id").dataType.typeName == "integer")
+
+    // quality gate: the word-count rule (>= 10 tokens here)
+    val gated = typed
+      .withColumn("n_toks", size(split($"body", "\\s+")))
+      .filter($"n_toks" >= 10)
+      .select($"id", $"lang", $"body")
+
+    val out = Files.createTempDirectory("graft-e2e").toFile
+    graft.operators.ScaleOps.writeCorpus(gated, out.getAbsolutePath,
+      partitionCols = Seq("lang"), sortCols = Seq("id"), maxRecordsPerFile = 10)
+
+    val back = spark.read.parquet(out.getAbsolutePath)
+    assert(back.count() == 3) // docs 1, 3, 4 survive the gate
+    assert(out.listFiles().map(_.getName).count(_.startsWith("lang=")) == 2)
+    val en = spark.read.parquet(out.getAbsolutePath).filter($"lang" === "en")
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(en == Seq(1, 4))
+  }
+}
