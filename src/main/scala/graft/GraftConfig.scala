@@ -40,6 +40,11 @@ final case class GraftConfig(
       * trust store; None falls back to it.
       */
     sslRootCert: Option[String] = None,
+    /** Mutual-TLS client certificate + PKCS#8 key PEM paths — libpq's
+      * `sslcert`/`sslkey`. Both or neither.
+      */
+    sslCert: Option[String] = None,
+    sslKey: Option[String] = None,
     /** Port for the Prometheus text-exposition endpoint
       * (reference `config.go:35-37` MetricConfig; `internal/http/server.go`).
       */
@@ -47,6 +52,8 @@ final case class GraftConfig(
 
   require(slotName.nonEmpty, "slot name required")
   require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
+  require(sslCert.isDefined == sslKey.isDefined,
+    "sslcert and sslkey must be configured together")
   require(graft.pgproto.PgConnection.SslModes.contains(sslMode),
     s"unsupported sslmode '$sslMode' " +
       s"(${graft.pgproto.PgConnection.SslModes.toSeq.sorted.mkString("|")})")
@@ -90,6 +97,8 @@ final case class GraftConfig(
       (if (dropForeignOrigin) Map("dropForeignOrigin" -> "true") else Map.empty) ++
       (if (sslMode != "disable") Map("sslmode" -> sslMode) else Map.empty) ++
       sslRootCert.map("sslrootcert" -> _) ++
+      sslCert.map("sslcert" -> _) ++
+      sslKey.map("sslkey" -> _) ++
       (if (username.nonEmpty) Map("user" -> username) else Map.empty) ++
       (if (password.nonEmpty) Map("password" -> password) else Map.empty) ++
       (if (database.nonEmpty) Map("database" -> database) else Map.empty) ++
@@ -113,5 +122,5 @@ final case class GraftConfig(
     graft.sinks.PgApplySink(targetSchema, targetTable, keyCols, valueCols,
       graft.sinks.PgApplySink.pgRunner(
         host, port, username, database,
-        Option(password).filter(_.nonEmpty), sslMode, sslRootCert))
+        Option(password).filter(_.nonEmpty), sslMode, sslRootCert, sslCert, sslKey))
 }

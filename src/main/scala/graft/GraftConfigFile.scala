@@ -39,6 +39,10 @@ object GraftConfigFile {
     val database = m.str("database").getOrElse("")
     val sslMode = m.str("sslmode").getOrElse("disable")
     val sslRootCert = m.str("sslrootcert")
+    val sslCert = m.str("sslcert")
+    val sslKey = m.str("sslkey")
+    if (sslCert.isDefined != sslKey.isDefined)
+      errs += "sslcert and sslkey must be configured together"
 
     val pub = m.section("publication")
     val pubTables = pub.list("tables").map { item =>
@@ -139,6 +143,8 @@ object GraftConfigFile {
       maxFramesPerPartition = maxFrames,
       sslMode = sslMode,
       sslRootCert = sslRootCert,
+      sslCert = sslCert,
+      sslKey = sslKey,
       metricPort = metricPort)
     catch {
       case e: IllegalArgumentException =>

@@ -38,7 +38,19 @@ final class PgConnection(
       * without this the verify tiers fail against exactly the servers that
       * need them. None = the JVM default store.
       */
-    sslRootCert: Option[String] = None) extends AutoCloseable {
+    sslRootCert: Option[String] = None,
+    /** PEM client certificate (chain) + PKCS#8 PEM private key — libpq's
+      * `sslcert`/`sslkey` mutual-TLS pair, presented when the server
+      * requests client auth during the handshake (pg_hba `cert` method or
+      * `clientcert=verify-*`). Both or neither; a PKCS#1 key ("BEGIN RSA
+      * PRIVATE KEY") is rejected with a re-encode hint, matching modern
+      * openssl output which is PKCS#8.
+      */
+    sslCert: Option[String] = None,
+    sslKey: Option[String] = None) extends AutoCloseable {
+
+  require(sslCert.isDefined == sslKey.isDefined,
+    "pg: sslcert and sslkey must be configured together")
 
   require(PgConnection.SslModes.contains(sslMode),
     s"pg: unsupported sslmode '$sslMode' (${PgConnection.SslModes.toSeq.sorted.mkString("|")})")
@@ -58,7 +70,7 @@ final class PgConnection(
   val out = conn0._3
 
   private def connectAttempt(mode: String): (Socket, DataInputStream, DataOutputStream) = {
-    val sock = PgConnection.negotiateSocket(host, port, mode, sslRootCert)
+    val sock = PgConnection.negotiateSocket(host, port, mode, sslRootCert, sslCert, sslKey)
     val sin = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val sout = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {
@@ -215,7 +227,8 @@ object PgConnection {
   final class ServerErrorException(msg: String) extends IllegalStateException(msg)
 
   private[pgproto] def negotiateSocket(
-      host: String, port: Int, sslMode: String, sslRootCert: Option[String] = None): Socket = {
+      host: String, port: Int, sslMode: String, sslRootCert: Option[String] = None,
+      sslCert: Option[String] = None, sslKey: Option[String] = None): Socket = {
     // "allow" never reaches here: the connection layer lowers it to a
     // plaintext attempt plus a "require" retry.
     if (!SslModes.contains(sslMode) || sslMode == "allow")
@@ -236,7 +249,7 @@ object PgConnection {
           dout.writeInt(SslRequestCode)
           dout.flush()
           plain.getInputStream.read() match {
-            case 'S' => sslUpgrade(plain, host, port, sslMode, sslRootCert)
+            case 'S' => sslUpgrade(plain, host, port, sslMode, sslRootCert, sslCert, sslKey)
             case 'N' if sslMode == "prefer" => plain
             case 'N' =>
               closeAnd(new IllegalStateException(
@@ -261,27 +274,25 @@ object PgConnection {
     */
   private def sslUpgrade(
       plain: Socket, host: String, port: Int, sslMode: String,
-      sslRootCert: Option[String]): Socket = {
+      sslRootCert: Option[String], sslCert: Option[String],
+      sslKey: Option[String]): Socket = {
     import javax.net.ssl.{SSLContext, SSLSocket, TrustManager, X509TrustManager}
     val verifyChain = sslMode == "verify-ca" || sslMode == "verify-full"
-    val ctx =
-      if (verifyChain) sslRootCert match {
-        case Some(caFile) =>
-          val c = SSLContext.getInstance("TLS")
-          c.init(null, caTrustManagers(caFile), new java.security.SecureRandom)
-          c
-        case None => SSLContext.getDefault
-      }
-      else {
-        val trustAll = new X509TrustManager {
-          override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-          override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-        }
-        val c = SSLContext.getInstance("TLS")
-        c.init(null, Array[TrustManager](trustAll), new java.security.SecureRandom)
-        c
-      }
+    // Client cert is presented whenever configured, on every tier — libpq
+    // sends it as soon as the server's handshake requests one.
+    val kms = (sslCert, sslKey) match {
+      case (Some(c), Some(k)) => clientKeyManagers(c, k)
+      case _ => null
+    }
+    val trust: Array[TrustManager] =
+      if (verifyChain) sslRootCert.map(caTrustManagers).orNull // null = JVM default store
+      else Array[TrustManager](new X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      })
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kms, trust, new java.security.SecureRandom)
     val ssl = ctx.getSocketFactory.createSocket(plain, host, port, true)
       .asInstanceOf[SSLSocket]
     ssl.setUseClientMode(true)
@@ -298,7 +309,7 @@ object PgConnection {
     * semantics: the file's certificate(s) become the ONLY trust anchors (no
     * default-store union, same as libpq), loaded into an in-memory keystore.
     */
-  private def caTrustManagers(caFile: String): Array[javax.net.ssl.TrustManager] = {
+  private[pgproto] def caTrustManagers(caFile: String): Array[javax.net.ssl.TrustManager] = {
     import scala.jdk.CollectionConverters._
     val cf = java.security.cert.CertificateFactory.getInstance("X.509")
     val fis = new java.io.FileInputStream(caFile)
@@ -312,6 +323,47 @@ object PgConnection {
       javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
     tmf.init(ks)
     tmf.getTrustManagers
+  }
+
+  /** Key managers from libpq's `sslcert`/`sslkey` pair: an X.509 PEM cert
+    * chain plus an unencrypted PKCS#8 PEM private key (RSA, EC, or Ed25519
+    * — tried in that order), loaded into an in-memory PKCS12 keystore.
+    */
+  private def clientKeyManagers(
+      certFile: String, keyFile: String): Array[javax.net.ssl.KeyManager] = {
+    import scala.jdk.CollectionConverters._
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val fis = new java.io.FileInputStream(certFile)
+    val chain: Array[java.security.cert.Certificate] =
+      try cf.generateCertificates(fis).asScala.toArray finally fis.close()
+    if (chain.isEmpty)
+      throw new IllegalArgumentException(s"pg: sslcert '$certFile' contains no certificates")
+    val pem = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(keyFile)), java.nio.charset.StandardCharsets.US_ASCII)
+    if (pem.contains("BEGIN RSA PRIVATE KEY") || pem.contains("BEGIN EC PRIVATE KEY"))
+      throw new IllegalArgumentException(
+        s"pg: sslkey '$keyFile' is PKCS#1/SEC1; re-encode with " +
+          "'openssl pkcs8 -topk8 -nocrypt' (PKCS#8, BEGIN PRIVATE KEY)")
+    val b64 = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.isBlank).mkString
+    val der =
+      try java.util.Base64.getDecoder.decode(b64)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"pg: sslkey '$keyFile' is not PEM: ${e.getMessage}")
+      }
+    val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+    val key = Seq("RSA", "EC", "Ed25519").view.flatMap { alg =>
+      try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
+      catch { case _: java.security.spec.InvalidKeySpecException => None }
+    }.headOption.getOrElse(throw new IllegalArgumentException(
+      s"pg: sslkey '$keyFile' is not an RSA/EC/Ed25519 PKCS#8 key"))
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("client", key, Array.emptyCharArray, chain)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.emptyCharArray)
+    kmf.getKeyManagers
   }
 
   def serverError(phase: String, payload: Array[Byte]): ServerErrorException = {

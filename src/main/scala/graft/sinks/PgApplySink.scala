@@ -126,12 +126,15 @@ object PgApplySink {
       host: String, port: Int, user: String, database: String,
       password: Option[String] = None,
       sslMode: String = "disable",
-      sslRootCert: Option[String] = None): () => SqlRunner = { () =>
+      sslRootCert: Option[String] = None,
+      sslCert: Option[String] = None,
+      sslKey: Option[String] = None): () => SqlRunner = { () =>
     new SqlRunner {
       private val conn = new graft.pgproto.PgConnection(
         host, port, user, database, password,
         applicationName = "graft-apply-sink",
-        sslMode = sslMode, sslRootCert = sslRootCert)
+        sslMode = sslMode, sslRootCert = sslRootCert,
+        sslCert = sslCert, sslKey = sslKey)
       override def apply(sql: String): Unit = { conn.simpleQuery(sql); () }
       override def close(): Unit = conn.close()
     }

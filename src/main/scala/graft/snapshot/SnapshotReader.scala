@@ -88,7 +88,9 @@ object SnapshotReader {
       exportedSnapshotId: Option[String] = None,
       orderByPk: Option[String] = None,
       sslMode: String = "disable",
-      sslRootCert: Option[String] = None): DataFrame = {
+      sslRootCert: Option[String] = None,
+      sslCert: Option[String] = None,
+      sslKey: Option[String] = None): DataFrame = {
     val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
     val cond = cfg.conditionFor(table)
     val sqls = chunks.map(ch =>
@@ -108,7 +110,8 @@ object SnapshotReader {
           val conn = new graft.pgproto.PgConnection(
             host, port, user, database, password,
             applicationName = "graft-snapshot",
-            sslMode = sslMode, sslRootCert = sslRootCert)
+            sslMode = sslMode, sslRootCert = sslRootCert,
+            sslCert = sslCert, sslKey = sslKey)
           try {
             mySqls.flatMap { sql =>
               pin.foreach(conn.simpleQuery(_))

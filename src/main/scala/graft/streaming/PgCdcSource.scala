@@ -177,7 +177,9 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           protoVersion = options.getInt("protoVersion", 2),
           password = Option(options.get("password")),
           sslMode = Option(options.get("sslmode")).getOrElse("disable"),
-          sslRootCert = Option(options.get("sslrootcert")))
+          sslRootCert = Option(options.get("sslrootcert")),
+          sslCert = Option(options.get("sslcert")),
+          sslKey = Option(options.get("sslkey")))
       } else {
         require(path != null,
           "pgcdc: a WalSource binding is required — 'path' (WAL frame file), " +

@@ -38,7 +38,9 @@ final class SocketWalSource(
     password: Option[String] = None,
     queueCapacity: Int = 1024,
     sslMode: String = "disable",
-    sslRootCert: Option[String] = None) extends WalSource {
+    sslRootCert: Option[String] = None,
+    sslCert: Option[String] = None,
+    sslKey: Option[String] = None) extends WalSource {
 
   @volatile private var confirmed: Long = Lsn.Zero
   @volatile private var conn: PgConnection = null
@@ -66,7 +68,7 @@ final class SocketWalSource(
 
     conn = new PgConnection(host, port, user, database, password,
       replication = true, applicationName = "graft-pgcdc", sslMode = sslMode,
-      sslRootCert = sslRootCert)
+      sslRootCert = sslRootCert, sslCert = sslCert, sslKey = sslKey)
     identity = identifySystem()
     startReplication(confirmed)
 

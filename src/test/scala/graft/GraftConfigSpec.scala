@@ -47,6 +47,12 @@ class GraftConfigSpec extends AnyFunSuite {
     // sslmode rides along only when enabled
     assert(!opts.contains("sslmode"))
     assert(cfg.copy(sslMode = "require").sourceOptions()("sslmode") == "require")
+    // mutual-TLS pair plumbs through and must come together
+    val mtls = cfg.copy(sslMode = "require",
+      sslCert = Some("/c.pem"), sslKey = Some("/k.pem")).sourceOptions()
+    assert(mtls("sslcert") == "/c.pem" && mtls("sslkey") == "/k.pem")
+    assert(intercept[IllegalArgumentException](cfg.copy(sslCert = Some("/c.pem")))
+      .getMessage.contains("together"))
   }
 
   test("applySink binds the config's connection settings to the sink") {

@@ -17,7 +17,7 @@ class TlsSpec extends AnyFunSuite {
     * sslrootcert fixture), generated once per test JVM via the JDK's own
     * keytool (no fixtures checked in, no network).
     */
-  private lazy val serverMaterial: (SSLContext, String) = {
+  private lazy val serverMaterial: (SSLContext, String, KeyManagerFactory) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-tls").toFile
     dir.deleteOnExit()
     val ksFile = new java.io.File(dir, "server.p12")
@@ -41,11 +41,42 @@ class TlsSpec extends AnyFunSuite {
     kmf.init(ks, "changeit".toCharArray)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
-    (ctx, pemFile.getAbsolutePath)
+    (ctx, pemFile.getAbsolutePath, kmf)
   }
 
   private def serverContext: SSLContext = serverMaterial._1
   private def serverCertPem: String = serverMaterial._2
+
+  /** openssl-generated client cert + PKCS#8 key (libpq's sslcert/sslkey
+    * fixture shape), plus a PKCS#1-encoded copy of the key for the
+    * rejection test.
+    */
+  private lazy val clientMaterial: (String, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mtls").toFile
+    dir.deleteOnExit()
+    def openssl(args: String*): Unit = {
+      val p = new ProcessBuilder(("openssl" +: args): _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"openssl failed: $out")
+    }
+    val cert = new java.io.File(dir, "client-cert.pem").getAbsolutePath
+    val key = new java.io.File(dir, "client-key.pem").getAbsolutePath
+    val keyP1 = new java.io.File(dir, "client-key-pkcs1.pem").getAbsolutePath
+    openssl("req", "-x509", "-newkey", "rsa:2048", "-keyout", key, "-out", cert,
+      "-days", "2", "-nodes", "-subj", "/CN=graft-client")
+    openssl("rsa", "-traditional", "-in", key, "-out", keyP1)
+    (cert, key, keyP1)
+  }
+
+  /** Server context that additionally TRUSTS the client cert — the shape a
+    * pg_hba `cert`-auth server presents.
+    */
+  private lazy val mtlsServerContext: SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(serverMaterial._3.getKeyManagers,
+      PgConnection.caTrustManagers(clientMaterial._1), null)
+    ctx
+  }
 
   test("sslmode=require upgrades to TLS and the full handshake + queries run encrypted") {
     val server = new FakeWalsender(Seq.empty,
@@ -92,6 +123,50 @@ class TlsSpec extends AnyFunSuite {
       val conn = new PgConnection("localhost", server.port, "u", "db",
         sslMode = "prefer")
       try assert(conn.isSsl) finally conn.close()
+    } finally server.close()
+  }
+
+  test("mutual TLS: sslcert/sslkey satisfy a client-cert-demanding server") {
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("s3cret"), authMethod = "scram",
+      serverSsl = Some(mtlsServerContext), requireClientCert = true,
+      sqlResults = sql =>
+        if (sql == "SELECT 7") Some((Seq("seven"), Seq(Seq(Some("7"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("s3cret"), sslMode = "require",
+        sslCert = Some(clientMaterial._1), sslKey = Some(clientMaterial._2))
+      try {
+        assert(conn.isSsl)
+        assert(conn.simpleQuery("SELECT 7") === Seq(Seq("7")))
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("mutual TLS: the same server refuses a client with no certificate") {
+    val server = new FakeWalsender(Seq.empty,
+      serverSsl = Some(mtlsServerContext), requireClientCert = true)
+    try {
+      intercept[java.io.IOException](
+        new PgConnection("localhost", server.port, "u", "db", sslMode = "require"))
+    } finally server.close()
+  }
+
+  test("sslcert without sslkey is rejected before dialing") {
+    val e = intercept[IllegalArgumentException](
+      new PgConnection("localhost", 1, "u", "db", sslMode = "require",
+        sslCert = Some("/tmp/nope.pem")))
+    assert(e.getMessage.contains("together"))
+  }
+
+  test("a PKCS#1 key is rejected with a re-encode hint") {
+    val server = new FakeWalsender(Seq.empty, serverSsl = Some(mtlsServerContext),
+      requireClientCert = true)
+    try {
+      val e = intercept[IllegalArgumentException](
+        new PgConnection("localhost", server.port, "u", "db", sslMode = "require",
+          sslCert = Some(clientMaterial._1), sslKey = Some(clientMaterial._3)))
+      assert(e.getMessage.contains("PKCS#1") && e.getMessage.contains("topk8"))
     } finally server.close()
   }
 

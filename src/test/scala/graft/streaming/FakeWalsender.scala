@@ -29,6 +29,11 @@ final class FakeWalsender(
       * 'N' like an SSL-less server.
       */
     serverSsl: Option[javax.net.ssl.SSLContext] = None,
+    /** With `serverSsl`: demand a client certificate during the handshake
+      * (pg_hba `cert` / `clientcert=verify-ca` shape) — the handshake fails
+      * unless the client presents a cert the server context trusts.
+      */
+    requireClientCert: Boolean = false,
     systemId: String = "7000000000000000001",
     timeline: Int = 1,
     xLogPos: Long = 0x1000L,
@@ -93,6 +98,7 @@ final class FakeWalsender(
             .createSocket(sock, null, sock.getPort, true)
             .asInstanceOf[javax.net.ssl.SSLSocket]
           ssl.setUseClientMode(false)
+          if (requireClientCert) ssl.setNeedClientAuth(true)
           sock = ssl
           in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
           out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
