@@ -45,6 +45,8 @@ final case class GraftConfig(
       */
     sslCert: Option[String] = None,
     sslKey: Option[String] = None,
+    /** Passphrase for an encrypted sslkey — libpq's `sslpassword`. */
+    sslPassword: Option[String] = None,
     /** Port for the Prometheus text-exposition endpoint
       * (reference `config.go:35-37` MetricConfig; `internal/http/server.go`).
       */
@@ -99,6 +101,7 @@ final case class GraftConfig(
       sslRootCert.map("sslrootcert" -> _) ++
       sslCert.map("sslcert" -> _) ++
       sslKey.map("sslkey" -> _) ++
+      sslPassword.map("sslpassword" -> _) ++
       (if (username.nonEmpty) Map("user" -> username) else Map.empty) ++
       (if (password.nonEmpty) Map("password" -> password) else Map.empty) ++
       (if (database.nonEmpty) Map("database" -> database) else Map.empty) ++
@@ -122,5 +125,6 @@ final case class GraftConfig(
     graft.sinks.PgApplySink(targetSchema, targetTable, keyCols, valueCols,
       graft.sinks.PgApplySink.pgRunner(
         host, port, username, database,
-        Option(password).filter(_.nonEmpty), sslMode, sslRootCert, sslCert, sslKey))
+        Option(password).filter(_.nonEmpty), sslMode, sslRootCert, sslCert, sslKey,
+        sslPassword))
 }

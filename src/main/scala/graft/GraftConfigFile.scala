@@ -41,6 +41,7 @@ object GraftConfigFile {
     val sslRootCert = m.str("sslrootcert")
     val sslCert = m.str("sslcert")
     val sslKey = m.str("sslkey")
+    val sslPassword = m.str("sslpassword")
     if (sslCert.isDefined != sslKey.isDefined)
       errs += "sslcert and sslkey must be configured together"
 
@@ -145,6 +146,7 @@ object GraftConfigFile {
       sslRootCert = sslRootCert,
       sslCert = sslCert,
       sslKey = sslKey,
+      sslPassword = sslPassword,
       metricPort = metricPort)
     catch {
       case e: IllegalArgumentException =>

@@ -47,7 +47,12 @@ final class PgConnection(
       * openssl output which is PKCS#8.
       */
     sslCert: Option[String] = None,
-    sslKey: Option[String] = None) extends AutoCloseable {
+    sslKey: Option[String] = None,
+    /** Passphrase for an encrypted `sslkey` ("BEGIN ENCRYPTED PRIVATE KEY")
+      * — libpq's `sslpassword`. PBES2 (OpenSSL's default encryption) is
+      * decrypted by [[Pkcs8.decrypt]]; unused for plaintext keys.
+      */
+    sslPassword: Option[String] = None) extends AutoCloseable {
 
   require(sslCert.isDefined == sslKey.isDefined,
     "pg: sslcert and sslkey must be configured together")
@@ -70,7 +75,8 @@ final class PgConnection(
   val out = conn0._3
 
   private def connectAttempt(mode: String): (Socket, DataInputStream, DataOutputStream) = {
-    val sock = PgConnection.negotiateSocket(host, port, mode, sslRootCert, sslCert, sslKey)
+    val sock = PgConnection.negotiateSocket(
+      host, port, mode, sslRootCert, sslCert, sslKey, sslPassword)
     val sin = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val sout = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {
@@ -228,7 +234,8 @@ object PgConnection {
 
   private[pgproto] def negotiateSocket(
       host: String, port: Int, sslMode: String, sslRootCert: Option[String] = None,
-      sslCert: Option[String] = None, sslKey: Option[String] = None): Socket = {
+      sslCert: Option[String] = None, sslKey: Option[String] = None,
+      sslPassword: Option[String] = None): Socket = {
     // "allow" never reaches here: the connection layer lowers it to a
     // plaintext attempt plus a "require" retry.
     if (!SslModes.contains(sslMode) || sslMode == "allow")
@@ -249,7 +256,8 @@ object PgConnection {
           dout.writeInt(SslRequestCode)
           dout.flush()
           plain.getInputStream.read() match {
-            case 'S' => sslUpgrade(plain, host, port, sslMode, sslRootCert, sslCert, sslKey)
+            case 'S' =>
+              sslUpgrade(plain, host, port, sslMode, sslRootCert, sslCert, sslKey, sslPassword)
             case 'N' if sslMode == "prefer" => plain
             case 'N' =>
               closeAnd(new IllegalStateException(
@@ -275,13 +283,13 @@ object PgConnection {
   private def sslUpgrade(
       plain: Socket, host: String, port: Int, sslMode: String,
       sslRootCert: Option[String], sslCert: Option[String],
-      sslKey: Option[String]): Socket = {
+      sslKey: Option[String], sslPassword: Option[String]): Socket = {
     import javax.net.ssl.{SSLContext, SSLSocket, TrustManager, X509TrustManager}
     val verifyChain = sslMode == "verify-ca" || sslMode == "verify-full"
     // Client cert is presented whenever configured, on every tier — libpq
     // sends it as soon as the server's handshake requests one.
     val kms = (sslCert, sslKey) match {
-      case (Some(c), Some(k)) => clientKeyManagers(c, k)
+      case (Some(c), Some(k)) => clientKeyManagers(c, k, sslPassword)
       case _ => null
     }
     val trust: Array[TrustManager] =
@@ -330,7 +338,8 @@ object PgConnection {
     * — tried in that order), loaded into an in-memory PKCS12 keystore.
     */
   private def clientKeyManagers(
-      certFile: String, keyFile: String): Array[javax.net.ssl.KeyManager] = {
+      certFile: String, keyFile: String,
+      sslPassword: Option[String]): Array[javax.net.ssl.KeyManager] = {
     import scala.jdk.CollectionConverters._
     val cf = java.security.cert.CertificateFactory.getInstance("X.509")
     val fis = new java.io.FileInputStream(certFile)
@@ -351,7 +360,12 @@ object PgConnection {
       catch { case e: IllegalArgumentException =>
         throw new IllegalArgumentException(s"pg: sslkey '$keyFile' is not PEM: ${e.getMessage}")
       }
-    val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+    val spec =
+      if (pem.contains("BEGIN ENCRYPTED PRIVATE KEY")) {
+        val pass = sslPassword.getOrElse(throw new IllegalArgumentException(
+          s"pg: sslkey '$keyFile' is encrypted — set sslpassword"))
+        Pkcs8.decrypt(der, pass)
+      } else new java.security.spec.PKCS8EncodedKeySpec(der)
     val key = Seq("RSA", "EC", "Ed25519").view.flatMap { alg =>
       try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
       catch { case _: java.security.spec.InvalidKeySpecException => None }

@@ -128,13 +128,14 @@ object PgApplySink {
       sslMode: String = "disable",
       sslRootCert: Option[String] = None,
       sslCert: Option[String] = None,
-      sslKey: Option[String] = None): () => SqlRunner = { () =>
+      sslKey: Option[String] = None,
+      sslPassword: Option[String] = None): () => SqlRunner = { () =>
     new SqlRunner {
       private val conn = new graft.pgproto.PgConnection(
         host, port, user, database, password,
         applicationName = "graft-apply-sink",
         sslMode = sslMode, sslRootCert = sslRootCert,
-        sslCert = sslCert, sslKey = sslKey)
+        sslCert = sslCert, sslKey = sslKey, sslPassword = sslPassword)
       override def apply(sql: String): Unit = { conn.simpleQuery(sql); () }
       override def close(): Unit = conn.close()
     }

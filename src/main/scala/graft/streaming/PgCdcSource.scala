@@ -179,7 +179,8 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           sslMode = Option(options.get("sslmode")).getOrElse("disable"),
           sslRootCert = Option(options.get("sslrootcert")),
           sslCert = Option(options.get("sslcert")),
-          sslKey = Option(options.get("sslkey")))
+          sslKey = Option(options.get("sslkey")),
+          sslPassword = Option(options.get("sslpassword")))
       } else {
         require(path != null,
           "pgcdc: a WalSource binding is required — 'path' (WAL frame file), " +

@@ -40,7 +40,8 @@ final class SocketWalSource(
     sslMode: String = "disable",
     sslRootCert: Option[String] = None,
     sslCert: Option[String] = None,
-    sslKey: Option[String] = None) extends WalSource {
+    sslKey: Option[String] = None,
+    sslPassword: Option[String] = None) extends WalSource {
 
   @volatile private var confirmed: Long = Lsn.Zero
   @volatile private var conn: PgConnection = null
@@ -68,7 +69,8 @@ final class SocketWalSource(
 
     conn = new PgConnection(host, port, user, database, password,
       replication = true, applicationName = "graft-pgcdc", sslMode = sslMode,
-      sslRootCert = sslRootCert, sslCert = sslCert, sslKey = sslKey)
+      sslRootCert = sslRootCert, sslCert = sslCert, sslKey = sslKey,
+      sslPassword = sslPassword)
     identity = identifySystem()
     startReplication(confirmed)
 

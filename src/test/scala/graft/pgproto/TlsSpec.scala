@@ -68,6 +68,21 @@ class TlsSpec extends AnyFunSuite {
     (cert, key, keyP1)
   }
 
+  /** The same client key re-encrypted with OpenSSL's default PBES2
+    * (PBKDF2-HmacSHA256 + AES-256-CBC) — the `sslpassword` fixture.
+    */
+  private lazy val encryptedClientKey: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mtls-enc").toFile
+    dir.deleteOnExit()
+    val out = new java.io.File(dir, "client-key-enc.pem").getAbsolutePath
+    val p = new ProcessBuilder("openssl", "pkcs8", "-topk8", "-in", clientMaterial._2,
+      "-out", out, "-passout", "pass:tr3s-s3cret").redirectErrorStream(true).start()
+    assert(p.waitFor() == 0, new String(p.getInputStream.readAllBytes()))
+    val pem = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(pem.contains("BEGIN ENCRYPTED PRIVATE KEY"))
+    out
+  }
+
   /** Server context that additionally TRUSTS the client cert — the shape a
     * pg_hba `cert`-auth server presents.
     */
@@ -149,6 +164,40 @@ class TlsSpec extends AnyFunSuite {
     try {
       intercept[java.io.IOException](
         new PgConnection("localhost", server.port, "u", "db", sslMode = "require"))
+    } finally server.close()
+  }
+
+  test("sslpassword decrypts a PBES2-encrypted sslkey (OpenSSL default)") {
+    val server = new FakeWalsender(Seq.empty,
+      requirePassword = Some("s3cret"), authMethod = "scram",
+      serverSsl = Some(mtlsServerContext), requireClientCert = true,
+      sqlResults = sql =>
+        if (sql == "SELECT 8") Some((Seq("eight"), Seq(Seq(Some("8"))))) else None)
+    try {
+      val conn = new PgConnection("localhost", server.port, "u", "db",
+        password = Some("s3cret"), sslMode = "require",
+        sslCert = Some(clientMaterial._1), sslKey = Some(encryptedClientKey),
+        sslPassword = Some("tr3s-s3cret"))
+      try {
+        assert(conn.isSsl)
+        assert(conn.simpleQuery("SELECT 8") === Seq(Seq("8")))
+      } finally conn.close()
+    } finally server.close()
+  }
+
+  test("an encrypted sslkey without/with a wrong sslpassword fails clearly") {
+    val server = new FakeWalsender(Seq.empty,
+      serverSsl = Some(mtlsServerContext), requireClientCert = true)
+    try {
+      val missing = intercept[Exception](
+        new PgConnection("localhost", server.port, "u", "db", sslMode = "require",
+          sslCert = Some(clientMaterial._1), sslKey = Some(encryptedClientKey)))
+      assert(missing.getMessage.contains("sslpassword"))
+      val wrong = intercept[Exception](
+        new PgConnection("localhost", server.port, "u", "db", sslMode = "require",
+          sslCert = Some(clientMaterial._1), sslKey = Some(encryptedClientKey),
+          sslPassword = Some("nope")))
+      assert(wrong.getMessage.contains("wrong sslpassword"))
     } finally server.close()
   }
 
