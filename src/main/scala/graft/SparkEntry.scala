@@ -51,6 +51,7 @@ object SparkEntry {
       AnalyticsQueries.cubeReturns(s, d)
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "q_stats_moments" -> ((s, d) => AnalyticsQueries.statsMoments(s, d).orderBy("l_returnflag")),
+    "q_argmax_events" -> ((s, d) => AnalyticsQueries.argmaxEvents(s, d).orderBy("event_type")),
     "q_asof_purchase_click" -> ((s, d) =>
       AnalyticsQueries.asofPurchaseClick(s, d).orderBy("user_id")),
     // ---- CDC operators (SURVEY §2.3/§2.4) ----
@@ -204,6 +205,19 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_argmax_events" ->
+      """WITH ranked AS (
+           SELECT event_type, user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id DESC) AS rv,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts ASC, event_id ASC) AS rt
+           FROM events)
+         SELECT event_type, count(*) AS n,
+           max(CASE WHEN rv = 1 THEN user_id END) AS top_value_user,
+           max(CASE WHEN rt = 1 THEN event_id END) AS first_event_id,
+           round(max(value), 6) AS max_value
+         FROM ranked GROUP BY 1 ORDER BY 1""",
     "q_cube_returns" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty

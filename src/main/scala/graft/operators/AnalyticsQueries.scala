@@ -99,6 +99,21 @@ object AnalyticsQueries {
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
 
+  /** Argmax/argmin aggregates (`max_by`/`min_by`) — "which row holds the
+    * extreme", without a window or self-join: per event type, the user who
+    * produced the highest-value event and the event id of the earliest one.
+    * Ties are broken by pairing the target with a unique tiebreaker column
+    * before aggregation, so both engines pick the same row.
+    */
+  def argmaxEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max_by(col("user_id"), struct(col("value"), col("event_id"))).as("top_value_user"),
+        min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_event_id"),
+        round(max("value"), 6).as("max_value"))
+
   /** Sort + deterministic top-k. */
   def topParts(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
