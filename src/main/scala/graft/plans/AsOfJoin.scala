@@ -153,7 +153,13 @@ case class AsOfJoinExec(
       val ltProj = UnsafeProjection.create(Seq(lTime), lOut)
       val rtProj = UnsafeProjection.create(Seq(rTime), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind against the OUTPUT attributes (right side nullability-widened
+      // for outer joins), not the children's: binding against a
+      // non-nullable child attribute elides the null check and an unmatched
+      // row's null-filled right side would read back as 0/default. (Caught
+      // by AsOfJoinPropertySpec — parquet children are nullable, so the
+      // oracle queries never tripped it.)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

@@ -49,9 +49,9 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("tolerance bounds the lookback, boundary inclusive") {
     // trade@25 vs quote@20: gap 5s. tol=5s keeps it, tol=4s drops it.
     val in = asofRows(Some(5L * 1000000), "left")
-    assert(in.exists { case (1L, t, q, _) => t.getTime == 25000 && q.contains(20L) })
+    assert(in.exists(r => r._1 == 1L && r._2.getTime == 25000 && r._3.contains(20L)))
     val outT = asofRows(Some(4L * 1000000), "left")
-    assert(outT.exists { case (1L, t, q, _) => t.getTime == 25000 && q.isEmpty })
+    assert(outT.exists(r => r._1 == 1L && r._2.getTime == 25000 && r._3.isEmpty && r._4.isEmpty))
   }
 
   test("multi-key as-of and empty build side") {
