@@ -80,6 +80,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextQueries.textQuality(s, d).orderBy("source")),
     "q_token_count" -> ((s, d) => TextQueries.tokenCount(s, d).orderBy("lang")),
     "q_quality_rules" -> ((s, d) => TextQueries.qualityRules(s, d).orderBy("source")),
+    "q_token_entropy" -> ((s, d) => TextQueries.tokenEntropy(s, d).orderBy("lang")),
     "q_lang_id" -> ((s, d) =>
       TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
@@ -311,6 +312,22 @@ object SparkEntry {
          max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
          round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_token_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT doc_id, lang, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+         per_doc AS (
+           SELECT doc_id, lang, sum(c) AS n, count(*) AS n_distinct,
+                  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+           FROM counts GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+                round(avg(entropy), 6) AS avg_entropy,
+                min(entropy) AS min_entropy,
+                max(entropy) AS max_entropy,
+                round(avg(CAST(n_distinct AS DOUBLE) / n), 6) AS avg_ttr
+         FROM per_doc GROUP BY 1 ORDER BY 1""",
     "q_quality_rules" ->
       """WITH d AS (
            SELECT source, regexp_split_to_array(text, '\s+') AS toks FROM documents),

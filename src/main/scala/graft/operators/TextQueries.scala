@@ -82,6 +82,36 @@ object TextQueries {
         sum(rules.map(_._2).reduce(_ && _).cast("int")).as("n_pass_all"): _*)
   }
 
+  /** Per-document token entropy — the Shannon entropy of each document's
+    * unigram distribution, the quality signal that separates repetitive
+    * boilerplate (low) from natural text from gibberish (high): H(doc) =
+    * -Σ (c/n)·log2(c/n) over its distinct tokens. Per-doc entropies are
+    * rounded to 6 decimals before the per-language rollup so summation
+    * order can't leak into the hash compare. 100-TB shape: explode + two
+    * partial-aggregated groupBys on (doc, tok) then (doc) — the same
+    * inverted-index shape as TF-IDF, nothing corpus-wide.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+    val perDoc = counts
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("sum_clog"))
+      // H = log2(n) - (Σ c·log2 c)/n  — one pass, no second join
+      .withColumn("entropy", round(log2(col("n")) - col("sum_clog") / col("n"), 6))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("entropy"), 6).as("avg_entropy"),
+        min("entropy").as("min_entropy"),
+        max("entropy").as("max_entropy"),
+        round(avg(col("n_distinct").cast("double") / col("n")), 6).as("avg_ttr"))
+  }
+
   /** BPE-ish token counting: a regex lexer (letter runs | digit runs | single
     * punctuation) standing in for a real tokenizer's pre-tokenization pass.
     */
