@@ -81,6 +81,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextQueries.tokenCount(s, d).orderBy("lang")),
     "q_quality_rules" -> ((s, d) => TextQueries.qualityRules(s, d).orderBy("source")),
     "q_token_entropy" -> ((s, d) => TextQueries.tokenEntropy(s, d).orderBy("lang")),
+    "q_pmi_bigrams" -> ((s, d) => TextQueries.pmiBigrams(s, d)),
     "q_lang_id" -> ((s, d) =>
       TextQueries.langId(s, d).orderBy("actual_lang", "predicted_lang")),
     "q_doc_fingerprint" -> ((s, d) => TextQueries.docFingerprint(s, d).orderBy("doc_id")),
@@ -312,6 +313,23 @@ object SparkEntry {
          max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
          round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_pmi_bigrams" ->
+      """WITH d AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+         uni AS (SELECT unnest(t) AS tok FROM d),
+         uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
+         nu AS (SELECT count(*) AS n_uni FROM uni),
+         bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> array_to_string(t[i:i+1], ' '))) AS bg
+                FROM d WHERE len(t) >= 2),
+         bc AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1 HAVING count(*) >= 20),
+         nb AS (SELECT count(*) AS n_bi FROM bi)
+         SELECT bg, c,
+           round(log2((CAST(c AS DOUBLE) / n_bi) /
+             ((CAST(ua.cu AS DOUBLE) / n_uni) * (CAST(ub.cu AS DOUBLE) / n_uni))), 4) AS pmi
+         FROM bc, nu, nb
+         JOIN uc ua ON ua.tok = split_part(bg, ' ', 1)
+         JOIN uc ub ON ub.tok = split_part(bg, ' ', 2)
+         ORDER BY pmi DESC, bg LIMIT 15""",
     "q_token_entropy" ->
       """WITH toks AS (
            SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS tok

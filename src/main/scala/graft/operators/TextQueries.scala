@@ -112,6 +112,39 @@ object TextQueries {
         round(avg(col("n_distinct").cast("double") / col("n")), 6).as("avg_ttr"))
   }
 
+  /** PMI collocations: top bigrams by pointwise mutual information,
+    * log2(p(ab) / (p(a)·p(b))) — the lexical-statistics pass that finds
+    * multi-word terms worth protecting from tokenization ("new york"-style
+    * units) in a training corpus. Support floor of 20 occurrences keeps the
+    * estimate stable; ties break on the bigram string. 100-TB shape:
+    * bigram generation is the shared shingle kernel (row-local), both count
+    * tables are partial-aggregated, the corpus totals are 1-row broadcast
+    * crossjoins, and the unigram join keys are vocabulary-sized.
+    */
+  def pmiBigrams(s: SparkSession, dir: String, minCount: Int = 20, k: Int = 15): DataFrame = {
+    val docs = Tables.documents(s, dir).select(tokens(col("text")).as("t"))
+    val uni = docs.select(explode(col("t")).as("tok"))
+    val bi = docs.select(explode(wordShingles(col("t"), 2)).as("bg"))
+    val uc = uni.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val nu = uni.agg(count(lit(1)).as("n_uni"))
+    val nb = bi.agg(count(lit(1)).as("n_bi"))
+    bc
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("a", split(col("bg"), " ")(0))
+      .withColumn("b", split(col("bg"), " ")(1))
+      .join(uc.withColumnRenamed("tok", "a").withColumnRenamed("cu", "ca"), "a")
+      .join(uc.withColumnRenamed("tok", "b").withColumnRenamed("cu", "cb"), "b")
+      .withColumn("pmi", round(
+        log2((col("c").cast("double") / col("n_bi")) /
+          ((col("ca").cast("double") / col("n_uni")) *
+            (col("cb").cast("double") / col("n_uni")))), 4))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+      .select(col("bg"), col("c"), col("pmi"))
+  }
+
   /** BPE-ish token counting: a regex lexer (letter runs | digit runs | single
     * punctuation) standing in for a real tokenizer's pre-tokenization pass.
     */
