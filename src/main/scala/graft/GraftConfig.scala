@@ -109,6 +109,17 @@ final case class GraftConfig(
         Map("maxTxnsPerTrigger" -> maxTxnsPerTrigger.toString) else Map.empty) ++
       startLsn.map(l => "startLsn" -> l.toString)
 
+  /** Publication control plane bound to this config — create-if-not-exists,
+    * live read-back, drift report, and the replica-identity write path
+    * ([[graft.services.PublicationManager.setReplicaIdentities]]). Called at
+    * startup before the slot is created, like the reference's
+    * `connector.go` CreatePublication → SetReplicaIdentities sequence.
+    */
+  def publicationManager(
+      exec: graft.snapshot.CatalogReader.SqlExecutor,
+      warn: String => Unit = _ => ()): graft.services.PublicationManager =
+    new graft.services.PublicationManager(exec, publication, warn)
+
   /** The replication handshake command for this configuration. */
   def startReplicationSql(startLsn: Long): String =
     services.Replication.startReplicationSql(publication.name, slotName, startLsn, protoVersion)
