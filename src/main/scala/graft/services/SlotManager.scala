@@ -71,6 +71,13 @@ final class SlotManager(exec: SqlExecutor, slotName: String, createIfNotExists: 
     }
   }
 
+  /** `DROP_REPLICATION_SLOT … WAIT` if the slot exists — the cleanup half of
+    * a re-snapshot: an invalidated export's slot must be dropped before
+    * [[createFresh]] can pin a new consistent point.
+    */
+  def drop(): Unit =
+    if (info().isDefined) exec(dropSql(slotName))
+
   /** CaptureSlot (`connector.go:631-652`): poll until the slot is inactive
     * (the previous holder released it), then take over. `sleep` is injected
     * so tests drive the loop with a fake clock.

@@ -61,6 +61,40 @@ object SnapshotJobStore {
   }
 }
 
+/** Snapshot-invalidation detection (`pq/snapshot/helpers.go:166-183`): an
+  * exported snapshot dies with the transaction that exported it (coordinator
+  * restart, slot drop), surfacing as SQLSTATE 22023 with "invalid snapshot
+  * identifier" — the one failure family a re-export can recover from.
+  */
+object SnapshotErrors {
+
+  /** The reference's `ErrSnapshotInvalidated` sentinel
+    * (`pq/snapshot/snapshot.go:22-25`) for callers that detect the condition
+    * themselves (e.g. a mid-chunk coordinator-restart probe).
+    */
+  final class SnapshotInvalidatedException(message: String)
+    extends RuntimeException(s"snapshot invalidated: $message")
+
+  /** True when the failure (or any cause in its chain) is the
+    * invalidated-snapshot family: SQLSTATE 22023 + "invalid snapshot
+    * identifier" on the typed path (both PgConnection and JDBC raise
+    * [[java.sql.SQLException]] with the SQLSTATE), the sentinel above, or
+    * the message fallback (`helpers.go:181-183`).
+    */
+  def isInvalidated(e: Throwable): Boolean = {
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("").toLowerCase
+    def one(t: Throwable): Boolean = t match {
+      case _: SnapshotInvalidatedException => true
+      case sql: java.sql.SQLException if sql.getSQLState == "22023" =>
+        msg(sql).contains("invalid snapshot identifier")
+      case other =>
+        msg(other).contains("invalid snapshot identifier") ||
+          msg(other).contains("snapshot invalidated")
+    }
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists(one)
+  }
+}
+
 /** B6 + B8 + the B7 glue: snapshot lifecycle events, resume/resnapshot
   * decisions, and the two-phase snapshot↔slot preparation that makes the
   * snapshot→CDC handoff exactly-once.
@@ -114,6 +148,44 @@ object SnapshotOrchestrator {
   /** Mark the snapshot done; the stream may now start from its LSN. */
   def complete(store: SnapshotJobStore, slotName: String): Unit =
     store.markCompleted(slotName)
+
+  /** Run the snapshot body with bounded re-export on invalidation —
+    * `executeSnapshotWithRetry` (`connector.go:446-487`): up to `maxRetries`
+    * attempts, 10 s initial delay doubling to a 60 s cap. Each retry DROPS
+    * the dead attempt's slot and re-prepares from scratch (fresh slot, fresh
+    * exported snapshot, job row rewritten), so the body always reads one
+    * self-consistent (snapshotId, snapshotLsn) pair — partial rows from a
+    * failed attempt are discarded with their attempt, never unioned with the
+    * retry's (the no-duplicate-rows half of the handoff guarantee). Only the
+    * invalidation family retries ([[SnapshotErrors.isInvalidated]]); any
+    * other failure propagates immediately.
+    *
+    * @param sleep injectable delay (ms) so specs drive the loop clocklessly.
+    */
+  def executeWithRetry[A](
+      slots: SlotManager, store: SnapshotJobStore, slotName: String,
+      maxRetries: Int = 5,
+      initialDelayMs: Long = 10000L, maxDelayMs: Long = 60000L,
+      sleep: Long => Unit = Thread.sleep)(body: SnapshotJob => A): A = {
+    var delay = initialDelayMs
+    var attempt = 1
+    var job = prepare(slots, store, slotName)
+    while (true) {
+      try return body(job)
+      catch {
+        case e: Throwable if SnapshotErrors.isInvalidated(e) =>
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"snapshot execution failed after maximum retries ($maxRetries)", e)
+          attempt += 1
+          sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+          slots.drop() // the invalidated export's slot pins stale WAL — release it
+          job = prepare(slots, store, slotName)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** fetchSnapshotLSN (`stream.go:642-711`): the LSN the CDC stream starts
     * from — feed it to the source's `startLsn` option. Loud unless a
