@@ -230,7 +230,8 @@ object PgConnection {
     * socket-level failures so sslmode=allow knows when a TLS retry could
     * change the outcome.
     */
-  final class ServerErrorException(msg: String) extends IllegalStateException(msg)
+  final class ServerErrorException(msg: String, val sqlState: String = "")
+    extends IllegalStateException(msg)
 
   private[pgproto] def negotiateSocket(
       host: String, port: Int, sslMode: String, sslRootCert: Option[String] = None,
@@ -384,6 +385,7 @@ object PgConnection {
     val f = PgWire.errorFields(payload)
     new ServerErrorException(
       s"pg: server error during $phase: ${f.getOrElse('S', "ERROR")} " +
-        s"${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "(no message)")}")
+        s"${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "(no message)")}",
+      sqlState = f.getOrElse('C', ""))
   }
 }

@@ -41,7 +41,16 @@ final class SocketWalSource(
     sslRootCert: Option[String] = None,
     sslCert: Option[String] = None,
     sslKey: Option[String] = None,
-    sslPassword: Option[String] = None) extends WalSource {
+    sslPassword: Option[String] = None,
+    /** Bounded re-capture on SQLSTATE 55006 (slot in use): the passive→active
+      * takeover race — the previous holder's walsender hasn't released the
+      * slot yet when we issue START_REPLICATION. The reference re-enters its
+      * capture loop (`connector.go:284-293`, `pq/replication/stream.go:126-131`);
+      * here each retry redials and reissues from scratch after a backoff.
+      */
+    captureRetries: Int = 5,
+    captureBackoffMs: Long = 1000L,
+    captureSleep: Long => Unit = Thread.sleep) extends WalSource {
 
   @volatile private var confirmed: Long = Lsn.Zero
   @volatile private var conn: PgConnection = null
@@ -67,12 +76,30 @@ final class SocketWalSource(
     failure = null
     if (Lsn.compare(fromLsn, confirmed) > 0) confirmed = fromLsn
 
-    conn = new PgConnection(host, port, user, database, password,
-      replication = true, applicationName = "graft-pgcdc", sslMode = sslMode,
-      sslRootCert = sslRootCert, sslCert = sslCert, sslKey = sslKey,
-      sslPassword = sslPassword)
-    identity = identifySystem()
-    startReplication(confirmed)
+    // Dial + START_REPLICATION, re-entering the capture loop on the 55006
+    // lose-the-race path: the slot is still held, so close this dial, back
+    // off, and try again from scratch — bounded, unlike the reference's
+    // unbounded recursion, so a genuinely-held slot fails loudly.
+    var attempt = 0
+    var capturing = true
+    while (capturing) {
+      attempt += 1
+      conn = new PgConnection(host, port, user, database, password,
+        replication = true, applicationName = "graft-pgcdc", sslMode = sslMode,
+        sslRootCert = sslRootCert, sslCert = sslCert, sslKey = sslKey,
+        sslPassword = sslPassword)
+      try {
+        identity = identifySystem()
+        startReplication(confirmed)
+        capturing = false
+      } catch {
+        case e: PgConnection.ServerErrorException
+            if e.sqlState == "55006" && attempt <= captureRetries =>
+          try conn.close() catch { case _: java.io.IOException => () }
+          conn = null
+          captureSleep(captureBackoffMs)
+      }
+    }
 
     // The reader captures ITS connection, queue, and generation — it never
     // dereferences the shared mutable fields, and a superseded generation's

@@ -50,7 +50,14 @@ final class FakeWalsender(
       * 28000 a `hostssl`-only rule produces — the server shape that makes
       * sslmode=allow retry over TLS.
       */
-    rejectPlaintextStartup: Boolean = false) {
+    rejectPlaintextStartup: Boolean = false,
+    /** Reject the first N START_REPLICATION attempts with SQLSTATE 55006
+      * (replication slot is active for PID …) — the passive→active takeover
+      * race fault injection (`pq/replication/stream.go:126-131`).
+      */
+    slotInUseRejections: Int = 0) {
+
+  private val slotInUseLeft = new java.util.concurrent.atomic.AtomicInteger(slotInUseRejections)
 
   private val dropArmed = new java.util.concurrent.atomic.AtomicBoolean(dropAfterFrames >= 0)
 
@@ -163,6 +170,13 @@ final class FakeWalsender(
               Some(systemId), Some(timeline.toString), Some(Lsn.format(xLogPos)),
               params.get("database"))))
             PgWire.writeMessage(out, PgWire.Tag.CommandComplete, PgWire.queryPayload("IDENTIFY_SYSTEM"))
+            PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+          } else if (sql.startsWith("START_REPLICATION") &&
+              slotInUseLeft.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+            // The previous holder hasn't released the slot yet.
+            PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+              PgWire.errorPayload("ERROR", "55006",
+                "replication slot \"slot\" is active for PID 4242"))
             PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
           } else if (sql.startsWith("START_REPLICATION")) {
             val fromLsn = parseStartLsn(sql)

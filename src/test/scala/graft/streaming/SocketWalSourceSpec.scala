@@ -72,6 +72,37 @@ class SocketWalSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("55006 slot-in-use race: rejected twice, third START_REPLICATION streams") {
+    val frames = WalGen.frames(2, 2).toSeq
+    val server = new FakeWalsender(frames, slotInUseRejections = 2)
+    try {
+      val sleeps = mutable.ArrayBuffer.empty[Long]
+      val src = new SocketWalSource("127.0.0.1", server.port, "u", "db", "slot1", "pub1",
+        captureBackoffMs = 250L, captureSleep = sleeps += _)
+      src.open(0L) // must not throw: the capture loop absorbs both rejections
+      assert(sleeps.toSeq == Seq(250L, 250L), "one backoff per lose-the-race attempt")
+      assert(server.queries.synchronized {
+        server.queries.count(_.startsWith("START_REPLICATION")) } == 3)
+      val got = pollAll(src, frames.size)
+      assert(got.map(_.toSeq) == frames.map(_.toSeq),
+        "the winning attempt streams every frame")
+      src.close()
+    } finally server.close()
+  }
+
+  test("55006 beyond the retry budget fails loudly") {
+    val server = new FakeWalsender(WalGen.frames(1, 1).toSeq, slotInUseRejections = 99)
+    try {
+      val src = new SocketWalSource("127.0.0.1", server.port, "u", "db", "slot1", "pub1",
+        captureRetries = 2, captureBackoffMs = 1L, captureSleep = _ => ())
+      val ex = intercept[graft.pgproto.PgConnection.ServerErrorException](src.open(0L))
+      assert(ex.sqlState == "55006")
+      assert(server.queries.synchronized {
+        server.queries.count(_.startsWith("START_REPLICATION")) } == 3,
+        "initial attempt + 2 retries, then the genuine holder wins")
+    } finally server.close()
+  }
+
   test("pgcdc end-to-end over the socket: decode, commit acks, resume") {
     val frames = WalGen.frames(4, 3).toSeq // txns end at LSN 105, 110, 115, 120
     val server = new FakeWalsender(frames)
