@@ -122,28 +122,57 @@ object CurationQueries {
     */
   private val MixTokenBudget = 20000L
 
+  /** Order-preserving shard count for the two-phase cumsums below. */
+  private val CumsumShards = 32
+
+  /** Global cumulative token offsets in (pri, doc_id) order per source,
+    * computed WITHOUT a whole-source sort: range-shard on the 60-bit
+    * priority hash (range bucketing preserves the global (pri, doc_id)
+    * order across shards — every row of shard k precedes every row of
+    * shard k+1), cumsum inside each (source, shard) window in parallel,
+    * and add broadcast per-shard base offsets. The planning collect is at
+    * most sources × [[CumsumShards]] rows — the same two-phase shape as
+    * [[SnapshotQueries.offsetChunks]]. Input needs (source, doc_id, toks,
+    * pri); output adds `cum_before` (tokens strictly before the row in the
+    * per-source order).
+    */
+  private def withTokenOffsets(s: SparkSession, docs: DataFrame): DataFrame = {
+    val width = (1L << 60) / CumsumShards // hash60 range is [0, 2^60)
+    val sharded = docs.withColumn("shard", expr(s"pri div ${width}L"))
+    // Planning pass: per-(source, shard) token totals → exclusive prefix
+    // sums per source in shard order. Tiny by construction.
+    val bases = sharded.groupBy("source", "shard")
+      .agg(sum("toks").as("shard_toks")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (src, sh, t) => val b = acc; acc += t; (src, sh, b) }
+      }
+    import s.implicits._
+    val baseDf = bases.toDF("source", "shard", "base")
+    val w = Window.partitionBy("source", "shard")
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded.join(broadcast(baseDf), Seq("source", "shard"))
+      .withColumn("cum_before", col("base") + coalesce(sum("toks").over(w), lit(0L)))
+  }
+
   /** Token-budget corpus mixing: each source contributes documents in a
     * deterministic hash priority order until its token budget is exhausted
     * (the first doc to cross the line is included — budgets are targets,
     * not caps). Output is the per-source audit: docs/tokens kept vs
     * available and an id checksum pinning the exact kept set.
     *
-    * 100-TB shape: the cumulative sum is a window per source — fine while a
-    * source fits a sort (the exact-budget form verified here). For a
-    * source too large to sort, the documented swap is rate-gating: one
-    * aggregation computes the source's total tokens, the keep probability
-    * is budget/total, and the SAME hash draw gates membership — no sort,
-    * one scan, budget hit in expectation; the plan downstream is identical.
+    * 100-TB shape: no whole-source sort — [[withTokenOffsets]] range-shards
+    * on the priority hash and cumsums per (source, shard) in parallel, so
+    * the largest single sort is one shard, not one source.
     */
   def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("pri"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    withTokenOffsets(s, Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
-        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri"))
-      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
       .withColumn("kept", col("cum_before") < MixTokenBudget)
       .groupBy("source")
       .agg(
@@ -167,21 +196,17 @@ object CurationQueries {
     * cross a window boundary), and the tail waste (unfilled slots of the
     * last window — the only padding concat-and-cut ever emits).
     *
-    * 100-TB shape: token offsets are one window cumsum per source (same
-    * note as [[tokenBudgetMix]]: a per-source sort, sharded in practice by
-    * packing per (source, shard) with shard = hash-range); everything
+    * 100-TB shape: token offsets come from [[withTokenOffsets]] — shard-
+    * local cumsums + broadcast bases, no whole-source sort; everything
     * after the cumsum is arithmetic on (offset, length) — no second pass
     * over text, no explosion to one-row-per-token.
     */
   def sequencePacking(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("pri"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    withTokenOffsets(s, Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
-        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri"))
-      .withColumn("off", coalesce(sum("toks").over(w), lit(0L)))
+        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
+      .withColumn("off", col("cum_before"))
       // `div`, not `/`: Spark's `/` on BIGINT is double division, and the
       // window index must stay exact integer arithmetic.
       .withColumn("straddles",

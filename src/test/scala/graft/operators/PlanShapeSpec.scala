@@ -49,6 +49,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("curation cumsums sort per (source, shard), never a whole source") {
+    // The de-weaked two-phase shape: every window/sort in the plan must key
+    // on the hash shard alongside source — a windowspecdefinition over
+    // source alone is the single-partition whole-source straggler coming
+    // back (round-7 verdict item 4).
+    for (q <- Seq("q_token_budget_mix", "q_seq_packing")) {
+      val plan = executedString(SparkEntry.queries(q)(spark, dir))
+      val windowSpecs = plan.split("\n").filter(_.contains("windowspecdefinition"))
+      assert(windowSpecs.nonEmpty, s"$q: expected a window cumsum in:\n$plan")
+      windowSpecs.foreach { line =>
+        assert(line.contains("shard"),
+          s"$q: window not sharded — whole-source sort regressed:\n$line")
+      }
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: shard base offsets must broadcast-join, not shuffle:\n$plan")
+    }
+  }
+
   test("as-of join's partitioning is reused by the downstream aggregate") {
     val plan = executedString(SparkEntry.queries("q_asof_custom")(spark, dir))
     assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
