@@ -13,16 +13,26 @@ object ScaleOps {
     * a hot value (think: `lang='en'` on a web corpus — 60% of 100 TB) sends
     * the hot key's entire volume to ONE reducer; AQE can split post-shuffle
     * partitions but the map output is already built. Salting fixes it at the
-    * source: phase 1 groups by (key, salt) where salt = hash(whole row) mod
-    * `salts`, spreading the hot key over `salts` reducers; phase 2 re-groups
-    * the `salts`-sized partials by key. Phase 2's input is |keys|·salts rows
-    * — negligible. Results are EXACTLY the plain aggregation's (sum/count
-    * are associative-commutative); the oracle (`q_salted_agg`) proves it.
+    * source: phase 1 groups by (key, salt) where salt = hash(whole row,
+    * row position) mod `salts`, spreading the hot key over `salts` reducers;
+    * phase 2 re-groups the `salts`-sized partials by key. Phase 2's input is
+    * |keys|·salts rows — negligible. Results are EXACTLY the plain
+    * aggregation's (sum/count are associative-commutative); the oracle
+    * (`q_salted_agg`) proves it.
+    *
+    * The salt mixes `monotonically_increasing_id()` in with the row hash:
+    * a hash of the row CONTENT alone sends fully-duplicate rows of a hot
+    * key to one salt bucket — the mitigation would degenerate exactly when
+    * the hot key's rows are identical (common for low-cardinality event
+    * rows). Position is unique per row, so duplicates spread; the final
+    * re-group by key erases any run-to-run assignment difference.
     */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
       countAs: String, sumCol: String, sumAs: String): DataFrame =
     df
-      .withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+      .withColumn("_salt", pmod(
+        xxhash64(struct(df.columns.map(col): _*), monotonically_increasing_id()),
+        lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(sumCol).as("_s"))
       .groupBy(col(key))

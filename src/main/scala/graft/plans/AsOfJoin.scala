@@ -169,10 +169,14 @@ case class AsOfJoinExec(
         private var matchKey: UnsafeRow = _
         private var matchTime = 0L
         private var pending: InternalRow = _
+        // Nullness is tracked out-of-band: an in-band sentinel (the old
+        // Long.MinValue) silently treated a legitimate MinValue time as NULL.
+        private var timeNull = false
 
         private def time(proj: UnsafeProjection, row: InternalRow): Long = {
           val t = proj(row)
-          if (t.isNullAt(0)) Long.MinValue
+          timeNull = t.isNullAt(0)
+          if (timeNull) 0L
           else if (timeIsInt) t.getInt(0).toLong
           else t.getLong(0)
         }
@@ -182,23 +186,32 @@ case class AsOfJoinExec(
             val l = lIter.next()
             val lk = lkProj(l)
             val lt = time(ltProj, l)
-            var done = lt == Long.MinValue // null probe time matches nothing
+            // SQL equi-join semantics: NULL keys never equal anything —
+            // including each other (RowOrdering compares null==null as 0,
+            // so without this guard two NULL-keyed rows would join). A
+            // NULL probe time likewise matches nothing.
+            var done = timeNull || lk.anyNull
+            val lNoMatch = done
             while (!done && rBuf.hasNext) {
-              val cmp = keyOrd.compare(rkProj(rBuf.head), lk)
-              if (cmp < 0) rBuf.next()
-              else if (cmp > 0) done = true
+              val rk = rkProj(rBuf.head)
+              if (rk.anyNull) rBuf.next() // NULL build key joins nothing
               else {
-                val rt = time(rtProj, rBuf.head)
-                if (rt == Long.MinValue) rBuf.next() // null build time: skip
-                else if (rt <= lt) {
-                  matchTime = rt
-                  matchRow = rBuf.next().copy()
-                  matchKey = lk.copy()
-                } else done = true
+                val cmp = keyOrd.compare(rk, lk)
+                if (cmp < 0) rBuf.next()
+                else if (cmp > 0) done = true
+                else {
+                  val rt = time(rtProj, rBuf.head)
+                  if (timeNull) rBuf.next() // null build time: skip
+                  else if (rt <= lt) {
+                    matchTime = rt
+                    matchRow = rBuf.next().copy()
+                    matchKey = lk.copy()
+                  } else done = true
+                }
               }
             }
-            val hit = matchRow != null && keyOrd.compare(matchKey, lk) == 0 &&
-              lt != Long.MinValue && tol.forall(lt - matchTime <= _)
+            val hit = !lNoMatch && matchRow != null &&
+              keyOrd.compare(matchKey, lk) == 0 && tol.forall(lt - matchTime <= _)
             if (hit) {
               numMatched += 1
               pending = resultProj(joined(l, matchRow))
@@ -262,6 +275,10 @@ object AsOf {
     * DateType columns). `joinType` "left" keeps unmatched probes with a null
     * right side; "inner" drops them. Output columns are left's then right's —
     * rename overlapping right columns before joining.
+    *
+    * NULL semantics match a SQL equi-join (and DuckDB's ASOF): a NULL in any
+    * key column or in the time column joins nothing — a left row with one is
+    * emitted unmatched (left) or dropped (inner).
     */
   def join(
       left: DataFrame,
@@ -288,10 +305,20 @@ object AsOf {
     val rp =
       if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
       else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    // Name matching uses the session's resolver (case-insensitive under the
+    // default spark.sql.caseSensitive=false, like every built-in API) and
+    // fails on ambiguity instead of silently picking the first duplicate.
+    val resolver = spark.sessionState.conf.resolver
     def resolve(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"asof: no column '$name' on the $side side " +
-          s"(have ${plan.output.map(_.name).mkString(", ")})"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asof: no column '$name' on the $side side " +
+            s"(have ${plan.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"asof: column '$name' is ambiguous on the $side side " +
+            s"(matches ${many.map(_.name).mkString(", ")})")
+      }
     PlanBridge.ofRows(spark, AsOfJoinPlan(
       lp, rp,
       leftOn.map(resolve(lp, _, "left")), rightOn.map(resolve(rp, _, "right")),

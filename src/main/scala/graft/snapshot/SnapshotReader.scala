@@ -90,7 +90,12 @@ object SnapshotReader {
       sslMode: String = "disable",
       sslRootCert: Option[String] = None,
       sslCert: Option[String] = None,
-      sslKey: Option[String] = None): DataFrame = {
+      sslKey: Option[String] = None,
+      /** Passphrase for an encrypted sslkey (libpq `sslpassword`) — without
+        * the passthrough an encrypted key works on the CDC/sink paths but
+        * fails here.
+        */
+      sslPassword: Option[String] = None): DataFrame = {
     val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
     val cond = cfg.conditionFor(table)
     val sqls = chunks.map(ch =>
@@ -111,7 +116,7 @@ object SnapshotReader {
             host, port, user, database, password,
             applicationName = "graft-snapshot",
             sslMode = sslMode, sslRootCert = sslRootCert,
-            sslCert = sslCert, sslKey = sslKey)
+            sslCert = sslCert, sslKey = sslKey, sslPassword = sslPassword)
           try {
             mySqls.flatMap { sql =>
               pin.foreach(conn.simpleQuery(_))

@@ -64,6 +64,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(none.count() == 2 && none.filter($"tag".isNotNull).count() == 0)
   }
 
+  test("NULL keys never match — not even each other (SQL equi-join semantics)") {
+    val l = Seq((Option(1L), 20L, "a"), (Option.empty[Long], 20L, "b"))
+      .toDF("key", "t", "tag")
+    val r = Seq((Option(1L), 10L, 1.0), (Option.empty[Long], 5L, 9.9))
+      .toDF("rkey", "rt", "px")
+    val got = AsOf.join(l, r, Seq("key"), Seq("rkey"), "t", "rt")
+      .select($"tag", $"px").collect()
+      .map(row => (row.getString(0), Option(row.get(1)))).toSet
+    assert(got == Set(("a", Some(1.0)), ("b", None)),
+      "the NULL-keyed probe must NOT pick up the NULL-keyed build row")
+    // inner drops the NULL-keyed probe entirely
+    val inner = AsOf.join(l, r, Seq("key"), Seq("rkey"), "t", "rt", joinType = "inner")
+      .select($"tag").as[String].collect().toSeq
+    assert(inner == Seq("a"))
+  }
+
+  test("Long.MinValue is a legitimate time value, not a NULL sentinel") {
+    val l = Seq((1L, Long.MinValue, "min"), (1L, 0L, "zero")).toDF("key", "t", "tag")
+    val r = Seq((1L, Long.MinValue, "r_min")).toDF("rkey", "rt", "rtag")
+    val got = AsOf.join(l, r, Seq("key"), Seq("rkey"), "t", "rt")
+      .select($"tag", $"rtag").collect()
+      .map(row => (row.getString(0), Option(row.getString(1)))).toSet
+    assert(got == Set(("min", Some("r_min")), ("zero", Some("r_min"))),
+      "a MinValue build time matches probes at-or-after it; a MinValue probe matches the equal build time")
+  }
+
+  test("column resolution is case-insensitive and ambiguity fails loudly") {
+    val got = AsOf.join(trades, quotes, Seq("KEY"), Seq("Q_Key"), "T_TS", "q_TS")
+      .count()
+    assert(got == 5, "default case-insensitive resolution, like every built-in API")
+    val dup = quotes.select($"q_key", $"q_ts", $"px".as("Q_TS"))
+    val ex = intercept[IllegalArgumentException](
+      AsOf.join(trades, dup, Seq("key"), Seq("q_key"), "t_ts", "q_ts"))
+    assert(ex.getMessage.contains("ambiguous"))
+  }
+
   test("self-join from one relation gets deduplicated attribute ids") {
     val ev = Seq((1L, 10L, "click"), (1L, 12L, "purchase")).toDF("uid", "t", "et")
     val j = AsOf.join(
