@@ -385,7 +385,7 @@ final class TransactionAssembler(
   private def effCommitTime(msgXid: Long): Long =
     if (msgXid != 0 && msgXid != curXid) 0L else curCommitTimeMicros
 
-  private def tupleToMap(rel: Relation, t: TupleData.Tuple): Map[String, String] = {
+  private[graft] def tupleToMap(rel: Relation, t: TupleData.Tuple): Map[String, String] = {
     val b = Map.newBuilder[String, String]
     var i = 0
     val n = math.min(rel.columns.length, t.cols.length)
@@ -393,8 +393,16 @@ final class TransactionAssembler(
       val c = t.cols(i)
       // 'u' (unchanged TOAST, no old image to merge from) is omitted from the
       // map — absent key ≠ null value, mirroring the reference leaving the
-      // column out of the decoded map.
-      if (!c.isToast) b += rel.columns(i).name -> (if (c.isNull) null else c.text)
+      // column out of the decoded map. Binary-format columns ('b', sent when
+      // the publication requests binary) are rendered to the same canonical
+      // text a 't' column carries, so everything downstream stays
+      // format-agnostic (beyond the reference, which length-parses but never
+      // decodes binary, tuple/data.go:63-71).
+      if (!c.isToast) b += rel.columns(i).name -> (
+        if (c.isNull) null
+        else if (c.tag == TupleData.TagBinary)
+          graft.types.PgBinary.toText(c.data, rel.columns(i).typeOid)
+        else c.text)
       i += 1
     }
     b.result()

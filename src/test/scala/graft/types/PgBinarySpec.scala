@@ -1,0 +1,121 @@
+package graft.types
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.ByteBuffer
+import graft.types.PgTypes.Oid
+
+/** Golden-bytes spec for binary-format ('b') column decode — each case is
+  * the exact big-endian send-format bytes PostgreSQL emits for the value,
+  * asserted against the canonical text the decoder must render (the same
+  * text a 't' column would carry). The reference never decodes binary
+  * (`pq/message/tuple/data.go:63-71`); these pin our beyond-parity path.
+  */
+class PgBinarySpec extends AnyFunSuite {
+
+  private def be(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+    val b = ByteBuffer.allocate(n); fill(b); b.array()
+  }
+
+  test("integers and bool") {
+    assert(PgBinary.toText(Array[Byte](1), Oid.Bool) == "t")
+    assert(PgBinary.toText(Array[Byte](0), Oid.Bool) == "f")
+    assert(PgBinary.toText(be(2)(_.putShort(-42)), Oid.Int2) == "-42")
+    assert(PgBinary.toText(be(4)(_.putInt(123456789)), Oid.Int4) == "123456789")
+    assert(PgBinary.toText(be(8)(_.putLong(-9007199254740993L)), Oid.Int8) == "-9007199254740993")
+    assert(PgBinary.toText(be(8)(_.putLong(Long.MinValue)), Oid.Int8) == Long.MinValue.toString)
+    // oid is unsigned 32-bit
+    assert(PgBinary.toText(be(4)(_.putInt(0xfffffffe)), Oid.OidT) == "4294967294")
+  }
+
+  test("floats incl. specials") {
+    assert(PgBinary.toText(be(4)(_.putFloat(1.5f)), Oid.Float4) == "1.5")
+    assert(PgBinary.toText(be(8)(_.putDouble(-2.25)), Oid.Float8) == "-2.25")
+    assert(PgBinary.toText(be(8)(_.putDouble(Double.NaN)), Oid.Float8) == "NaN")
+    assert(PgBinary.toText(be(4)(_.putFloat(Float.NegativeInfinity)), Oid.Float4) == "-Infinity")
+  }
+
+  test("uuid, bytea, text family, jsonb version header") {
+    val u = be(16) { b =>
+      b.putLong(0x123e4567e89b12d3L); b.putLong(0xa456426614174000L)
+    }
+    assert(PgBinary.toText(u, Oid.Uuid) == "123e4567-e89b-12d3-a456-426614174000")
+    assert(PgBinary.toText(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte),
+      Oid.Bytea) == "\\xdeadbeef")
+    assert(PgBinary.toText("héllo".getBytes("UTF-8"), Oid.Text) == "héllo")
+    // jsonb binary = 1-byte version (1) + json text
+    assert(PgBinary.toText((1.toByte +: """{"a":1}""".getBytes("UTF-8")).toArray,
+      Oid.Jsonb) == """{"a":1}""")
+  }
+
+  test("date and timestamps use the 2000-01-01 wire epoch") {
+    assert(PgBinary.toText(be(4)(_.putInt(0)), Oid.Date) == "2000-01-01")
+    assert(PgBinary.toText(be(4)(_.putInt(8992)), Oid.Date) == "2024-08-14")
+    assert(PgBinary.toText(be(4)(_.putInt(-1)), Oid.Date) == "1999-12-31")
+    // 2004-10-19 10:23:54.123456 UTC = 151496634123456 µs after 2000-01-01
+    val us = 151496634123456L
+    assert(PgBinary.toText(be(8)(_.putLong(us)), Oid.Timestamp) ==
+      "2004-10-19 10:23:54.123456")
+    assert(PgBinary.toText(be(8)(_.putLong(us)), Oid.Timestamptz) ==
+      "2004-10-19 10:23:54.123456+00")
+    // whole seconds drop the fraction; trailing zeros trim
+    assert(PgBinary.toText(be(8)(_.putLong(0L)), Oid.Timestamp) == "2000-01-01 00:00:00")
+    assert(PgBinary.toText(be(8)(_.putLong(1500000L)), Oid.Timestamp) ==
+      "2000-01-01 00:00:01.5")
+    // pre-epoch: floor division, not truncation
+    assert(PgBinary.toText(be(8)(_.putLong(-500000L)), Oid.Timestamp) ==
+      "1999-12-31 23:59:59.5")
+  }
+
+  test("numeric: base-10000 groups, weight, dscale, sign, NaN") {
+    def num(weight: Int, sign: Int, dscale: Int, digits: Int*): Array[Byte] =
+      be(8 + 2 * digits.size) { b =>
+        b.putShort(digits.size.toShort); b.putShort(weight.toShort)
+        b.putShort(sign.toShort); b.putShort(dscale.toShort)
+        digits.foreach(d => b.putShort(d.toShort))
+      }
+    assert(PgBinary.toText(num(0, 0, 0, 42), Oid.Numeric) == "42")
+    assert(PgBinary.toText(num(1, 0, 2, 1, 2345, 6700), Oid.Numeric) == "12345.67")
+    assert(PgBinary.toText(num(0, 0x4000, 2, 5), Oid.Numeric) == "-5.00")
+    // 0.0001: weight -1, one group of 1, dscale 4
+    assert(PgBinary.toText(num(-1, 0, 4, 1), Oid.Numeric) == "0.0001")
+    // 5e-8: weight -2 (one zero group between point and first stored group)
+    assert(PgBinary.toText(num(-2, 0, 8, 5), Oid.Numeric) == "0.00000005")
+    // trailing groups beyond ndigits are zero: 12340000 (weight 1, one group)
+    assert(PgBinary.toText(num(1, 0, 0, 1234), Oid.Numeric) == "12340000")
+    assert(PgBinary.toText(num(0, 0xC000, 0), Oid.Numeric) == "NaN")
+    // zero
+    assert(PgBinary.toText(num(0, 0, 0), Oid.Numeric) == "0")
+  }
+
+  test("NULL passes through; unknown OID fails loudly") {
+    assert(PgBinary.toText(null, Oid.Int4) == null)
+    val ex = intercept[graft.pgproto.PgProtoException](
+      PgBinary.toText(Array[Byte](1, 2), 790L)) // money: not supported
+    assert(ex.getMessage.contains("790"))
+  }
+
+  test("binary tuple columns decode through the assembler envelope map") {
+    // End-to-end through TupleData + the envelope: an INSERT whose tuple
+    // carries one binary int8 and one binary timestamptz next to a text col.
+    import graft.pgproto.TupleData
+    val cols = Array(
+      TupleData.Col(TupleData.TagBinary,
+        be(8)(_.putLong(77L))),
+      TupleData.Col(TupleData.TagText, "plain".getBytes("UTF-8")),
+      TupleData.Col(TupleData.TagBinary,
+        be(8)(_.putLong(151496634123456L))))
+    val rel = graft.pgproto.Messages.Relation(
+      xid = 0L, oid = 55L, namespace = "public", name = "t",
+      replicaIdentity = 'd'.toByte,
+      columns = Array(
+        graft.pgproto.Messages.RelationColumn("id", Oid.Int8, -1, 1),
+        graft.pgproto.Messages.RelationColumn("label", Oid.Text, -1, 0),
+        graft.pgproto.Messages.RelationColumn("at", Oid.Timestamptz, -1, 0)))
+    val asm = new graft.cdc.TransactionAssembler()
+    val m = asm.tupleToMap(rel, TupleData.Tuple(cols))
+    asm.close()
+    assert(m("id") == "77")
+    assert(m("label") == "plain")
+    assert(m("at") == "2004-10-19 10:23:54.123456+00")
+  }
+}
