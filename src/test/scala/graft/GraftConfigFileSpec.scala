@@ -100,6 +100,59 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(cfg.heartbeatTable == "cdc_heartbeat")
   }
 
+  test("replicaIdentity parses per table like the reference's yaml (table.go:33-46)") {
+    val cfg = GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: books
+        |      replicaIdentity: full
+        |    - name: users
+        |      replicaIdentity: USING INDEX
+        |      replicaIdentityIndex: users_email_idx
+        |    - name: plain
+        |slot:
+        |  name: s1
+        |""".stripMargin)
+    val byName = cfg.publication.tables.map(t => t.name -> t).toMap
+    assert(byName("books").replicaIdentity == "FULL", "case-normalized")
+    assert(byName("users").replicaIdentity == "USING INDEX")
+    assert(byName("users").replicaIdentityIndex == "users_email_idx")
+    assert(byName("plain").replicaIdentity == "", "unset = unmanaged")
+  }
+
+  test("replicaIdentity config problems are collected, mirroring Table.Validate") {
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |      replicaIdentity: SOMETIMES
+        |    - name: t2
+        |      replicaIdentity: USING INDEX
+        |    - name: t3
+        |      replicaIdentityIndex: idx
+        |    - name: t4
+        |      replicaIdentity: FULL
+        |      columns:
+        |        - id
+        |slot:
+        |  name: s1
+        |""".stripMargin))
+    assert(e.getMessage.contains("undefined option 'SOMETIMES'"))
+    assert(e.getMessage.contains("replicaIdentityIndex required"))
+    assert(e.getMessage.contains("can only be set when replicaIdentity is USING INDEX"))
+    assert(e.getMessage.contains("cannot specify columns when replicaIdentity is FULL"))
+  }
+
   test("validation collects every problem into one message") {
     val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
       """port: 5432
