@@ -91,6 +91,9 @@ object SparkEntry {
     "q_tfidf_keywords" -> ((s, d) =>
       TextQueries.tfidfKeywords(s, d).orderBy("doc_id", "rnk")),
     "q_length_quantiles" -> ((s, d) => TextQueries.lengthQuantiles(s, d).orderBy("lang")),
+    "q_lm_score" -> ((s, d) => TextQueries.lmScore(s, d).orderBy("lang")),
+    "q_pii_scan" -> ((s, d) => TextQueries.piiScan(s, d).orderBy("source")),
+    "q_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d).orderBy("lang")),
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => DedupQueries.dedupExact(s, d)),
     "q_dedup_minhash" -> ((s, d) => DedupQueries.minhashLsh(s, d).orderBy("d1", "d2")),
@@ -703,6 +706,56 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.9), 2) AS p90,
            round(quantile_cont(n_chars, 0.99), 2) AS p99
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_lm_score" ->
+      """WITH d AS (
+           SELECT doc_id, lang, lower(text) AS t FROM documents
+           WHERE length(lower(text)) >= 3),
+         tri AS (
+           SELECT doc_id, lang, unnest(
+             list_transform(generate_series(1, length(t) - 2),
+               i -> substr(t, i, 3))) AS g
+           FROM d),
+         doctri AS (SELECT doc_id, lang, g, count(*) AS c FROM tri GROUP BY 1, 2, 3),
+         corpus AS (SELECT g, sum(c) AS cg FROM doctri GROUP BY 1),
+         tot AS (SELECT sum(cg) AS n FROM corpus),
+         docbits AS (
+           SELECT doc_id, lang, -sum(c * log2(cg / tot.n)) / sum(c) AS bits
+           FROM doctri JOIN corpus USING (g), tot GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs, round(avg(bits), 4) AS avg_bits,
+                round(min(bits), 4) AS min_bits, round(max(bits), 4) AS max_bits
+         FROM docbits GROUP BY lang ORDER BY lang""",
+    "q_pii_scan" ->
+      """WITH m AS (
+           SELECT source,
+             len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+             len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digits,
+             len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+           sum(n_email) AS total_emails,
+           sum(CASE WHEN n_digits > 0 THEN 1 ELSE 0 END) AS docs_with_digit_runs,
+           sum(n_digits) AS total_digit_runs,
+           sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS docs_with_urls,
+           sum(n_url) AS total_urls
+         FROM m GROUP BY source ORDER BY source""",
+    "q_zipf_slope" ->
+      """WITH tok AS (
+           SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT lang, tok, count(*) AS f FROM tok WHERE tok <> '' GROUP BY 1, 2),
+         ranked AS (
+           SELECT lang, f, tok,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rnk
+           FROM counts),
+         top AS (
+           SELECT lang, log2(rnk) AS x, log2(f) AS y FROM ranked WHERE rnk <= 100)
+         SELECT lang, count(*) AS n_ranks,
+           round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+                 (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope
+         FROM top GROUP BY lang ORDER BY lang""",
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,

@@ -391,4 +391,92 @@ object TextQueries {
       .select(col("doc_id"), col("tf1"), col("tf2"), col("tf3"),
         round(col("score"), 4).as("bm25"))
   }
+
+  /** Character-trigram language-model scoring — the CCNet-style quality
+    * gate: each document's bits-per-trigram cross-entropy under the
+    * corpus-wide trigram unigram model (low = looks like the corpus,
+    * high = noise/garble; real pipelines threshold on it). Rolled up per
+    * language for a stable audit.
+    *
+    * 100-TB shape: reuses the memoized [[triGramCounts]] scan; the corpus
+    * model is |trigram vocab| rows (bounded by charset³ — broadcast-able at
+    * any corpus size), so scoring is one broadcast join + one partial-agg
+    * groupBy over per-doc trigram counts, never a shuffle of raw text.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tri = triGramCounts(s, dir) // (doc_id, lang, g, c)
+    val corpus = tri.groupBy("g").agg(sum("c").as("cg"))
+    val total = corpus.agg(sum("cg").as("n"))
+    val docBits = tri.join(broadcast(corpus), "g")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "lang")
+      .agg((-sum(col("c") * log2(col("cg") / col("n"))) / sum("c")).as("bits"))
+    docBits.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("bits"), 4).as("avg_bits"),
+        round(min("bits"), 4).as("min_bits"),
+        round(max("bits"), 4).as("max_bits"))
+  }
+
+  /** PII scan — the redaction-audit pass a corpus runs before release:
+    * per source, how many documents contain email-shaped, long-digit-run
+    * (id/account-number-shaped), or URL-shaped spans, and the total span
+    * counts. Patterns are deliberately engine-portable regex (character
+    * classes only — identical semantics in Java and RE2-family engines).
+    *
+    * 100-TB shape: one projection with codegen'd regexp_count + one
+    * partial-agg groupBy on the low-cardinality source key; no shuffle of
+    * text, no explosion to one-row-per-match.
+    */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val longDigits = "[0-9]{6,}"
+    val url = "https?://[^ ]+"
+    def n(p: String) = regexp_count(col("text"), lit(p))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        n(email).as("n_email"), n(longDigits).as("n_digits"), n(url).as("n_url"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum("n_email").as("total_emails"),
+        sum(when(col("n_digits") > 0, 1L).otherwise(0L)).as("docs_with_digit_runs"),
+        sum("n_digits").as("total_digit_runs"),
+        sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("docs_with_urls"),
+        sum("n_url").as("total_urls"))
+  }
+
+  /** Top ranks used for the Zipf fit — head of the rank-frequency curve. */
+  private val ZipfTopRanks = 100
+
+  /** Zipf rank-frequency slope per language: regress log2(freq) on
+    * log2(rank) over the top [[ZipfTopRanks]] token ranks (ties broken by
+    * token text for determinism). Natural language sits near slope ≈ -1;
+    * boilerplate/spam corpora flatten or steepen it — a cheap distribution-
+    * shift detector between corpus snapshots.
+    *
+    * 100-TB shape: token counting is a partial-agg groupBy; the rank
+    * window runs on the already-aggregated (lang, token) counts, and the
+    * closed-form least squares is one more tiny aggregation — raw text
+    * never shuffles.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("lang").orderBy(col("f").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ZipfTopRanks)
+      .select(col("lang"), log2(col("rnk")).as("x"), log2(col("f")).as("y"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_ranks"),
+        ((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")))
+          .as("slope_raw"))
+      .select(col("lang"), col("n_ranks"), round(col("slope_raw"), 4).as("zipf_slope"))
+  }
 }
