@@ -30,6 +30,53 @@ class PipelineE2ESpec extends AnyFunSuite {
     MessageEncoder.xlogData(lsnBase + 2, lsnBase + 2, t,
       MessageEncoder.commit(lsnBase + 2, lsnBase + 3, t)))
 
+  test("startup control plane: publication create -> replica identities -> snapshot prepare, one config") {
+    // The reference connector's boot sequence (connector.go: CreatePublication
+    // → SetReplicaIdentities → prepareSnapshotAndSlot) driven end-to-end from
+    // ONE GraftConfig over one scripted server — every call is public API.
+    import graft.services.Publication._
+    val issued = scala.collection.mutable.ArrayBuffer.empty[String]
+    var slotExists = false
+    val server: graft.snapshot.CatalogReader.SqlExecutor = { sql =>
+      issued += sql
+      if (sql.contains("pg_publication_tables")) Nil // publication missing
+      else if (sql.contains("relreplident"))
+        Seq(Seq("docs", "public", "d", null))
+      else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        slotExists = true
+        Seq(Seq("e2e_slot", "0/500", "00000003-A-1", "pgoutput"))
+      } else if (sql.startsWith("SELECT slot_name") && slotExists)
+        Seq(Seq("e2e_slot", "logical", "f", null, "0/80", "0/500", "reserved", "0/F00"))
+      else Nil
+    }
+    val cfg = GraftConfig(
+      host = "db", username = "u", password = "p", database = "d",
+      publication = Config("e2e_pub", Seq(
+        PubTable("public", "docs", replicaIdentity = ReplicaIdentity.Full))),
+      slotName = "e2e_slot")
+
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mgr = cfg.publicationManager(server, warnings += _)
+    val live = mgr.create()
+    assert(live.name == "e2e_pub" && warnings.isEmpty)
+    assert(issued.exists(_.startsWith("CREATE PUBLICATION")))
+    assert(mgr.setReplicaIdentities() ==
+      Seq("""ALTER TABLE "public"."docs" REPLICA IDENTITY FULL"""))
+
+    val store = new graft.snapshot.SnapshotJobStore.InMemory
+    val slots = new graft.services.SlotManager(server, cfg.slotName)
+    val rows = graft.snapshot.SnapshotOrchestrator.executeWithRetry(
+      slots, store, cfg.slotName, sleep = _ => ()) { job =>
+      assert(job.snapshotId == "00000003-A-1")
+      Seq("snapshot-row")
+    }
+    assert(rows == Seq("snapshot-row"))
+    graft.snapshot.SnapshotOrchestrator.complete(store, cfg.slotName)
+    assert(graft.snapshot.SnapshotOrchestrator.streamStartLsn(store, cfg.slotName) ==
+      graft.pgproto.Lsn.parse("0/500"),
+      "the stream resumes from the winning export's consistent point")
+  }
+
   test("CDC stream -> typed view -> quality gate -> partitioned corpus") {
     val t0 = 1700000000000000L
     val good = "the quick brown fox jumps over a lazy dog near the quiet river bank today"
