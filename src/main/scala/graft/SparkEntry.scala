@@ -71,6 +71,7 @@ object SparkEntry {
     "q_logical_messages" -> ((s, d) => CdcQueries.logicalMessages(s, d).orderBy("prefix")),
     "q_event_window" -> ((s, d) => CdcQueries.eventTimeWindow(s, d).orderBy("win_start", "event_type")),
     "q_typed_view" -> ((s, d) => CdcQueries.typedViewOrders(s, d).orderBy("o_orderstatus")),
+    "q_binary_roundtrip" -> ((s, d) => CdcQueries.binaryRoundtrip(s, d).orderBy("event_type")),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -485,6 +486,15 @@ object SparkEntry {
       """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
            count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
          FROM events WHERE (event_id % 6) % 3 <> 0""",
+    // Binary-format roundtrip: the oracle recomputes the aggregate straight
+    // from events — the Spark side must survive binary wire encode → PgBinary
+    // text render → fromText casts without drifting a bit.
+    "q_binary_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 2) AS sum_value,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic
     // functions of event_id/user_id).

@@ -455,6 +455,75 @@ object CdcQueries {
       round(sum("value"), 2).as("sum_value"))
   }
 
+  /** Binary-format publication roundtrip (`binary: true`) — BEYOND the
+    * reference, which length-parses but never decodes 'b' columns
+    * (`pq/message/tuple/data.go:63-71`): each partition re-encodes its
+    * events as INSERTs whose int8/float8/timestamptz columns are
+    * BINARY-format wire bytes (network order, µs-since-2000 timestamps)
+    * next to a text column, decodes them through the full assembler path
+    * ([[graft.types.PgBinary]] renders 'b' to canonical text inside
+    * `tupleToMap`), projects through the SAME [[PgTypes.fromText]] casts a
+    * typed view uses, and aggregates. The oracle recomputes the aggregate
+    * straight from `events` — any drift in byte order, epoch, or text
+    * rendering hash-mismatches.
+    *
+    * Scale shape: per-partition encode+decode CPU, zero shuffle until the
+    * final tiny aggregation.
+    */
+  def binaryRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import MessageEncoder.Col.{Bin, Text}
+    val relOid = 50100L
+    val relCols = Seq(
+      Messages.RelationColumn("event_id", 20L, -1, 1), // int8, key
+      Messages.RelationColumn("user_id", 20L, -1, 0), // int8
+      Messages.RelationColumn("event_type", 25L, -1, 0), // text
+      Messages.RelationColumn("value", 701L, -1, 0), // float8
+      Messages.RelationColumn("ts", 1184L, -1, 0)) // timestamptz
+    val textOut = StructType(relCols.map(c => StructField(c.name, StringType)))
+    def be8(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val decoded = events.mapPartitions { it =>
+      val assembler = new TransactionAssembler()
+      assembler.onCopyData(MessageEncoder.xlogData(1, 1, 0L,
+        MessageEncoder.relation(relOid, "public", "events_bin", relCols)))
+      var lsn = 10L
+      it.grouped(500).flatMap { txn =>
+        val frames = Seq.newBuilder[Array[Byte]]
+        val beginLsn = lsn
+        val endLsn = beginLsn + txn.size + 2L
+        frames += MessageEncoder.xlogData(beginLsn, beginLsn, 0L,
+          MessageEncoder.begin(endLsn, 0L, 1L))
+        txn.zipWithIndex.foreach { case (r, i) =>
+          frames += MessageEncoder.xlogData(beginLsn + 1 + i, beginLsn + 1 + i, 0L,
+            MessageEncoder.insertTagged(relOid, Seq(
+              Bin(be8(r.getLong(0))),
+              Bin(be8(r.getLong(1))),
+              Text(r.getString(2)),
+              Bin(be8(java.lang.Double.doubleToLongBits(r.getDouble(3)))),
+              Bin(be8(graft.pgproto.PgEpoch.fromUnixMicros(r.getLong(4)))))))
+        }
+        frames += MessageEncoder.xlogData(endLsn - 1, endLsn - 1, 0L,
+          MessageEncoder.commit(endLsn - 1, endLsn, 0L))
+        lsn = endLsn
+        frames.result().flatMap(assembler.onCopyData).iterator.map { e =>
+          Row(relCols.map(c => e.after(c.name)): _*)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(textOut))
+    decoded
+      .select(relCols.map(c =>
+        graft.types.PgTypes.fromText(col(c.name), c.typeOid).as(c.name)): _*)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("event_id").as("sum_id"),
+        round(sum("value"), 2).as("sum_value"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+  }
+
   /** Logical decoding messages ('M', `pg_logical_emit_message`) end-to-end —
     * BEYOND the reference, which raises on the tag: the outbox pattern.
     * Each partition re-encodes its events as transactions that interleave

@@ -74,6 +74,40 @@ object MessageEncoder {
     w.u32(relOid).byte('N').raw(tuple(values))
   }.bytes
 
+  /** Column payloads for [[tupleTagged]] — the full tag alphabet, including
+    * binary-format ('b') values a `binary: true` publication sends.
+    */
+  sealed trait Col
+  object Col {
+    final case class Text(s: String) extends Col
+    final case class Bin(bytes: Array[Byte]) extends Col
+    case object Null extends Col
+    case object Toasted extends Col
+  }
+
+  /** Like [[tuple]] but with explicit per-column tags. */
+  def tupleTagged(cols: Seq[Col]): Array[Byte] = {
+    val w = new W().u16(cols.size)
+    cols.foreach {
+      case Col.Text(s) =>
+        val b = s.getBytes(UTF_8)
+        w.byte('t').u32(b.length.toLong).raw(b)
+      case Col.Bin(bytes) => w.byte('b').u32(bytes.length.toLong).raw(bytes)
+      case Col.Null => w.byte('n')
+      case Col.Toasted => w.byte('u')
+    }
+    w.bytes
+  }
+
+  /** INSERT whose new tuple carries explicitly-tagged (possibly binary)
+    * columns.
+    */
+  def insertTagged(relOid: Long, cols: Seq[Col], streamedXid: Long = -1): Array[Byte] = {
+    val w = new W().byte('I')
+    if (streamedXid >= 0) w.u32(streamedXid)
+    w.u32(relOid).byte('N').raw(tupleTagged(cols))
+  }.bytes
+
   def update(
       relOid: Long, newValues: Seq[Option[String]],
       oldValues: Seq[Option[String]] = null, oldType: Byte = 'O',
