@@ -50,7 +50,25 @@ final case class GraftConfig(
     /** Port for the Prometheus text-exposition endpoint
       * (reference `config.go:35-37` MetricConfig; `internal/http/server.go`).
       */
-    metricPort: Int = 8080) {
+    metricPort: Int = 8080,
+    /** WAL-protection heartbeat write cadence (`config.go:80-82`:
+      * default 100 ms) — [[graft.services.HeartbeatService]]'s loop.
+      */
+    heartbeatIntervalMs: Long = 100L,
+    /** Slot-activity poll cadence for passive→active capture
+      * (`config.go:88-89`: default 1000 ms) —
+      * [[graft.services.SlotManager.capture]]'s sleep.
+      */
+    slotActivityCheckerIntervalMs: Long = 1000L,
+    /** ExtensionSupport.EnableTimeScaleDB (`config.go:44-46`): run the
+      * [[graft.services.HypertableMapper]] chunk→hypertable sync so events
+      * arrive under hypertable names.
+      */
+    enableTimescaleDb: Boolean = false,
+    /** DebugMode (`config.go:31`) — verbose logging switch; carried for
+      * config parity, binds to the caller's log level.
+      */
+    debugMode: Boolean = false) {
 
   require(slotName.nonEmpty, "slot name required")
   require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")

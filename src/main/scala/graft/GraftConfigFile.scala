@@ -91,6 +91,35 @@ object GraftConfigFile {
     val slotName = slot.str("name").getOrElse("")
     val slotCreate = slot.bool("createIfNotExists").getOrElse(true)
     val protoVersion = slot.int("protoVersion").getOrElse(2)
+
+    // Go duration strings ("100ms", "10s", "1m30s") or bare integers
+    // (milliseconds) — the two spellings a reference yaml carries.
+    def durationMs(v: Option[String], key: String): Option[Long] = v.map { s =>
+      val t = s.trim
+      if (t.matches("-?\\d+")) t.toLong
+      else {
+        val re = "(\\d+(?:\\.\\d+)?)(ns|us|µs|ms|s|m|h)".r
+        val parts = re.findAllMatchIn(t).toSeq
+        val consumed = parts.map(_.matched).mkString
+        if (parts.isEmpty || consumed != t.replace(" ", "")) {
+          errs += s"$key: cannot parse duration '$s'"
+          0L
+        } else parts.map { p =>
+          val n = p.group(1).toDouble
+          p.group(2) match {
+            case "ns" => n / 1e6
+            case "us" | "µs" => n / 1e3
+            case "ms" => n
+            case "s" => n * 1000
+            case "m" => n * 60000
+            case "h" => n * 3600000
+          }
+        }.sum.toLong
+      }
+    }
+
+    val slotActivityMs = durationMs(slot.str("slotActivityCheckerInterval"),
+      "slot.slotActivityCheckerInterval").getOrElse(1000L)
     slot.finish()
 
     val hb = m.section("heartbeat")
@@ -98,31 +127,73 @@ object GraftConfigFile {
     val hbSchema = hbTable.str("schema").getOrElse("public")
     val hbName = hbTable.str("name").getOrElse("")
     hbTable.finish()
+    val hbIntervalMs = durationMs(hb.str("interval"), "heartbeat.interval").getOrElse(100L)
     hb.finish()
 
+    def parseStrategy(raw: String, key: String): ChunkPlanner.Strategy = raw match {
+      case "auto" | "" => ChunkPlanner.Auto
+      case "integer_range" => ChunkPlanner.IntegerRange
+      case "ctid_block" => ChunkPlanner.CtidBlock
+      case "offset" => ChunkPlanner.OffsetLimit
+      case other =>
+        errs += s"$key '$other' is not one of auto|integer_range|ctid_block|offset"
+        ChunkPlanner.Auto
+    }
+
     val snap = m.section("snapshot")
+    // Reference-shaped snapshot.tables entries (`config.go:319-328`,
+    // `publication/table.go:33-46`): per-table queryCondition and
+    // snapshotPartitionStrategy bind; pure coordination keys (multi-instance
+    // chunk claiming) are accepted for yaml compatibility and have no Spark
+    // binding — Spark's scheduler is the chunk queue (SURVEY B1/B4).
+    val snapTableInfo: Seq[(String, Option[String], Option[String])] =
+      snap.list("tables").map { item =>
+        val t = item.asSection("snapshot.tables[]")
+        val name = t.str("name").getOrElse {
+          errs += "snapshot.tables[].name cannot be empty"; ""
+        }
+        val cond = t.str("queryCondition")
+        val strat = t.str("snapshotPartitionStrategy")
+        Seq("schema", "columns", "partitioned", "replicaIdentity",
+          "replicaIdentityIndex").foreach(t.accept)
+        t.finish()
+        (name, cond, strat)
+      }
+    // coordination-only keys: accepted, no binding
+    Seq("instanceId", "id", "claimTimeout", "heartbeatInterval").foreach(snap.accept)
+    val snapEnabled = snap.bool("enabled").getOrElse(true)
+    val snapMode = snap.str("mode").getOrElse("initial")
     val snapshot = SnapshotConfig(
-      mode = snap.str("mode").getOrElse("initial"),
+      // Enabled=false forces never (`config.go:107-110`).
+      mode = if (!snapEnabled) "never" else snapMode,
       chunkSize = snap.int("chunkSize").map(_.toLong).getOrElse(8000L),
-      strategy = snap.str("partitionStrategy").getOrElse("auto") match {
-        case "auto" => ChunkPlanner.Auto
-        case "integer_range" => ChunkPlanner.IntegerRange
-        case "ctid_block" => ChunkPlanner.CtidBlock
-        case "offset" => ChunkPlanner.OffsetLimit
-        case other =>
-          errs += s"snapshot.partitionStrategy '$other' is not one of auto|integer_range|ctid_block|offset"
-          ChunkPlanner.Auto
-      },
+      strategy = parseStrategy(snap.str("partitionStrategy").getOrElse("auto"),
+        "snapshot.partitionStrategy"),
       globalCondition = snap.str("queryCondition"),
       perTableCondition = snap.section("tableConditions").all.map {
         case (k, v) => k -> v.asStr(s"snapshot.tableConditions.$k").getOrElse("")
-      },
-      resnapshot = snap.bool("resnapshot").getOrElse(false))
+      } ++ snapTableInfo.flatMap { case (n, c, _) => c.map(n -> _) }.toMap,
+      resnapshot = snap.bool("resnapshot").getOrElse(false),
+      perTableStrategy = snapTableInfo.flatMap { case (n, _, st) =>
+        st.map(v => n ->
+          parseStrategy(v, "snapshot.tables[].snapshotPartitionStrategy"))
+      }.toMap)
     snap.finish()
 
     val metric = m.section("metric")
     val metricPort = metric.int("port").getOrElse(8080)
     metric.finish()
+
+    // Logger config (`config.go:39-42`): Spark owns logging; the section is
+    // accepted so a reference yaml carries over untouched.
+    val logger = m.section("logger")
+    logger.accept("level")
+    logger.finish()
+    val debugMode = m.bool("debugMode").getOrElse(false)
+    val ext = m.section("extensionSupport")
+    val enableTimescale =
+      ext.bool("enableTimescaleDB").orElse(ext.bool("enableTimeScaleDB")).getOrElse(false)
+    ext.finish()
 
     val maxTxns = m.int("maxTxnsPerTrigger").map(_.toLong).getOrElse(Long.MaxValue)
     val maxFrames = m.int("maxFramesPerPartition").getOrElse(8192)
@@ -170,7 +241,11 @@ object GraftConfigFile {
       sslCert = sslCert,
       sslKey = sslKey,
       sslPassword = sslPassword,
-      metricPort = metricPort)
+      metricPort = metricPort,
+      heartbeatIntervalMs = hbIntervalMs,
+      slotActivityCheckerIntervalMs = slotActivityMs,
+      enableTimescaleDb = enableTimescale,
+      debugMode = debugMode)
     catch {
       case e: IllegalArgumentException =>
         throw new IllegalArgumentException(s"config: ${e.getMessage}", e)
@@ -246,6 +321,12 @@ object GraftConfigFile {
           new Section(prefix + key + ".", Map.empty, errs)
       }
     }
+    /** Mark a key as consumed without binding it — reference-yaml keys that
+      * have no Spark-side meaning (accepted for drop-in compatibility, not
+      * silently ignored: callers list them explicitly).
+      */
+    def accept(key: String): Unit = seen += key
+
     /** Report any keys never consumed — typos must not become defaults. */
     def finish(): Unit =
       (map.keySet -- seen).toSeq.sorted.foreach(k => record(s"unknown key '$prefix$k'"))

@@ -13,7 +13,13 @@ final case class SnapshotConfig(
     strategy: ChunkPlanner.Strategy = ChunkPlanner.Auto,
     globalCondition: Option[String] = None,
     perTableCondition: Map[String, String] = Map.empty,
-    resnapshot: Boolean = false) {
+    resnapshot: Boolean = false,
+    /** Per-table partition-strategy override (`pq/publication/table.go:38-41`
+      * SnapshotPartitionStrategy) — for hash-shaped integer PKs where range
+      * partitioning degenerates, a single table can force ctid/offset while
+      * the rest auto-detect.
+      */
+    perTableStrategy: Map[String, ChunkPlanner.Strategy] = Map.empty) {
   require(Seq("initial", "never", "snapshot_only").contains(mode), s"bad snapshot mode: $mode")
 
   /** Per-table overrides global (`config/config.go:193-199,291-316`). */
@@ -22,6 +28,10 @@ final case class SnapshotConfig(
       SnapshotQuery.validateCondition(c).fold(
         err => throw new IllegalArgumentException(err), identity)
     }
+
+  /** Strategy for one table: its override, else the global setting. */
+  def strategyFor(table: String): ChunkPlanner.Strategy =
+    perTableStrategy.getOrElse(table, strategy)
 }
 
 /** Executes a planned snapshot as a partitioned Spark read.
@@ -46,7 +56,7 @@ object SnapshotReader {
       stats: ChunkPlanner.TableStats, cfg: SnapshotConfig,
       exportedSnapshotId: Option[String] = None,
       props: java.util.Properties = new java.util.Properties()): DataFrame = {
-    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(table))
     val cond = cfg.conditionFor(table)
     exportedSnapshotId.foreach { id =>
       props.setProperty("sessionInitStatement",
@@ -96,7 +106,7 @@ object SnapshotReader {
         * fails here.
         */
       sslPassword: Option[String] = None): DataFrame = {
-    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(table))
     val cond = cfg.conditionFor(table)
     val sqls = chunks.map(ch =>
       SnapshotQuery.chunkSql(schema, table, columns.map(_.name), ch, cond, orderByPk))
@@ -150,7 +160,7 @@ object SnapshotReader {
   def parquetChunks(
       spark: SparkSession, path: String,
       stats: ChunkPlanner.TableStats, cfg: SnapshotConfig, table: String): DataFrame = {
-    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategy)
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(table))
     require(chunks.forall(_.predicate.isDefined),
       "parquetChunks requires a predicate strategy (integer_range)")
     val pk = stats.intPkColumn.getOrElse(

@@ -100,6 +100,108 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(cfg.heartbeatTable == "cdc_heartbeat")
   }
 
+  test("a full reference-shaped yaml carries over drop-in (config.go:19-33 key surface)") {
+    val cfg = GraftConfigFile.fromYaml(
+      """logger:
+        |  level: info
+        |host: db.internal
+        |username: u
+        |password: p
+        |database: appdb
+        |debugMode: true
+        |metric:
+        |  port: 9090
+        |extensionSupport:
+        |  enableTimescaleDB: true
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: books
+        |      replicaIdentity: FULL
+        |slot:
+        |  name: s1
+        |  slotActivityCheckerInterval: 2500
+        |heartbeat:
+        |  interval: 10s
+        |  table:
+        |    name: books
+        |snapshot:
+        |  mode: initial
+        |  instanceId: worker-1
+        |  id: snap-42
+        |  claimTimeout: 30s
+        |  heartbeatInterval: 5s
+        |  enabled: true
+        |  chunkSize: 2000
+        |  tables:
+        |    - name: books
+        |      schema: public
+        |      queryCondition: "id > 0"
+        |      snapshotPartitionStrategy: ctid_block
+        |    - name: users
+        |""".stripMargin)
+    assert(cfg.debugMode)
+    assert(cfg.metricPort == 9090)
+    assert(cfg.enableTimescaleDb)
+    assert(cfg.slotActivityCheckerIntervalMs == 2500L, "bare int = milliseconds")
+    assert(cfg.heartbeatIntervalMs == 10000L, "Go duration string parses")
+    assert(cfg.snapshot.perTableCondition == Map("books" -> "id > 0"))
+    assert(cfg.snapshot.strategyFor("books") == ChunkPlanner.CtidBlock,
+      "per-table strategy override (table.go:38-41)")
+    assert(cfg.snapshot.strategyFor("users") == ChunkPlanner.Auto)
+    assert(cfg.snapshot.chunkSize == 2000L)
+
+    // enabled: false forces mode never (config.go:107-110)
+    val disabled = GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |slot:
+        |  name: s1
+        |snapshot:
+        |  mode: initial
+        |  enabled: false
+        |""".stripMargin)
+    assert(disabled.snapshot.mode == "never")
+
+    // composite Go durations and bad durations
+    val composite = GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |slot:
+        |  name: s1
+        |heartbeat:
+        |  interval: 1m30s
+        |""".stripMargin)
+    assert(composite.heartbeatIntervalMs == 90000L)
+    val bad = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |slot:
+        |  name: s1
+        |heartbeat:
+        |  interval: soon
+        |""".stripMargin))
+    assert(bad.getMessage.contains("cannot parse duration 'soon'"))
+  }
+
   test("replicaIdentity parses per table like the reference's yaml (table.go:33-46)") {
     val cfg = GraftConfigFile.fromYaml(
       """host: h
