@@ -138,6 +138,28 @@ final case class GraftConfig(
       warn: String => Unit = _ => ()): graft.services.PublicationManager =
     new graft.services.PublicationManager(exec, publication, warn)
 
+  /** Heartbeat writer bound to this config's table — drive with
+    * `run(ticks, sleep = () => Thread.sleep(cfg.heartbeatIntervalMs))`.
+    */
+  def heartbeatService(
+      exec: graft.snapshot.CatalogReader.SqlExecutor): graft.services.HeartbeatService =
+    new graft.services.HeartbeatService(exec, heartbeatSchema, heartbeatTable)
+
+  /** Slot manager bound to this config; [[slotActivityCheckerIntervalMs]] is
+    * the capture-poll cadence (`config.go:88-89`).
+    */
+  def slotManager(
+      exec: graft.snapshot.CatalogReader.SqlExecutor): graft.services.SlotManager =
+    new graft.services.SlotManager(exec, slotName, slotCreateIfNotExists)
+
+  /** TimescaleDB chunk→hypertable mapper when [[enableTimescaleDb]] is set
+    * (`config.go:44-46` ExtensionSupport), else None — callers compose the
+    * mapping into [[graft.services.Publication.renameTables]].
+    */
+  def hypertableMapper(
+      exec: graft.snapshot.CatalogReader.SqlExecutor): Option[graft.services.HypertableMapper] =
+    if (enableTimescaleDb) Some(new graft.services.HypertableMapper(exec)) else None
+
   /** The replication handshake command for this configuration. */
   def startReplicationSql(startLsn: Long): String =
     services.Replication.startReplicationSql(publication.name, slotName, startLsn, protoVersion)
