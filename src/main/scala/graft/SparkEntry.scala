@@ -112,6 +112,8 @@ object SparkEntry {
       CurationQueries.tokenBudgetMix(s, d).orderBy("source")),
     "q_seq_packing" -> ((s, d) =>
       CurationQueries.sequencePacking(s, d).orderBy("source")),
+    "q_pack_manifest" -> ((s, d) =>
+      CurationQueries.packManifest(s, d).orderBy("source", "doc_id")),
     "q_cms_tokens" -> ((s, d) =>
       CurationQueries.cmsTokenCounts(s, d).orderBy("tok")),
     "q_hll_distinct" -> ((s, d) =>
@@ -961,6 +963,23 @@ object SparkEntry {
            (end_tok + 511) // 512 AS n_windows, n_straddling,
            (512 - (end_tok % 512)) % 512 AS tail_waste
          FROM g ORDER BY 1""",
+    "q_pack_manifest" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\s+')) AS toks,
+             ('0x' || substr(md5('mix-' || doc_id::VARCHAR), 1, 15))::BIGINT AS pri
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, toks,
+             coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d)
+         SELECT source, doc_id, CAST(toks AS BIGINT) AS toks,
+           CAST(off AS BIGINT) AS off,
+           CAST(off // 512 AS BIGINT) AS first_window,
+           CAST((off + toks - 1) // 512 AS BIGINT) AS last_window,
+           off // 512 <> (off + toks - 1) // 512 AS straddles
+         FROM c ORDER BY source, doc_id""",
     "q_cms_tokens" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok

@@ -188,6 +188,23 @@ object CurationQueries {
     */
   private val PackWindow = 512L
 
+  /** Per-document packing manifest — the artifact a trainer actually
+    * consumes: each document's token offset in its source's packed stream
+    * and the window span it lands in ([[sequencePacking]] is the rollup of
+    * this). Same two-phase offsets ([[withTokenOffsets]]), so no
+    * whole-source sort; the manifest is a projection over it.
+    */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    withTokenOffsets(s, Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"),
+        hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
+      .select(col("source"), col("doc_id"), col("toks"),
+        col("cum_before").as("off"),
+        expr(s"cum_before div $PackWindow").as("first_window"),
+        expr(s"(cum_before + toks - 1) div $PackWindow").as("last_window"))
+      .withColumn("straddles", col("first_window") =!= col("last_window"))
+
   /** Sequence packing — the concat-and-cut step between curation and the
     * trainer: documents are concatenated per source in a deterministic
     * hash order and the token stream is cut into fixed
