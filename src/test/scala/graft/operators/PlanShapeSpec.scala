@@ -54,7 +54,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // on the hash shard alongside source — a windowspecdefinition over
     // source alone is the single-partition whole-source straggler coming
     // back (round-7 verdict item 4).
-    for (q <- Seq("q_token_budget_mix", "q_seq_packing")) {
+    for (q <- Seq("q_token_budget_mix", "q_seq_packing", "q_pack_manifest")) {
       val plan = executedString(SparkEntry.queries(q)(spark, dir))
       val windowSpecs = plan.split("\n").filter(_.contains("windowspecdefinition"))
       assert(windowSpecs.nonEmpty, s"$q: expected a window cumsum in:\n$plan")
