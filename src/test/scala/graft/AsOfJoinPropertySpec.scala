@@ -49,4 +49,43 @@ class AsOfJoinPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(30).withInitialSeed(Seed(7L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("NULL keys and times match nothing — fuzzed against brute force") {
+    import spark.implicits._
+    val genNullable: Gen[List[(Option[Long], Option[Long])]] =
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.zip(
+        Gen.option(Gen.choose(0L, 3L)), Gen.option(Gen.choose(0L, 20L)))))
+    val prop = Prop.forAll(genNullable, genNullable, Gen.oneOf("left", "inner")) {
+      (lRows, rRows, joinType) =>
+        val left = (lRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) } :+
+          ((Some(-2L): Option[Long], Some(0L): Option[Long], -1L)))
+          .toDF("k", "t", "idx")
+        val right = (rRows :+ ((Some(-1L): Option[Long], Some(0L): Option[Long])))
+          .toDF("rk", "rt")
+        val got = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", None, joinType)
+          .filter(col("idx") >= 0)
+          .select(col("idx"), col("rt"))
+          .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+          .toSet
+        // SQL equi-join semantics: a row with a NULL key or time joins
+        // nothing — including other NULL-keyed rows.
+        val expected = lRows.zipWithIndex.flatMap { case ((kOpt, tOpt), i) =>
+          val cands = for {
+            k <- kOpt.toList
+            t <- tOpt.toList
+            (rkOpt, rtOpt) <- rRows
+            rk <- rkOpt.toList
+            rt <- rtOpt.toList
+            if rk == k && rt <= t
+          } yield rt
+          if (cands.nonEmpty) Some((i.toLong, Some(cands.max)))
+          else if (joinType == "left") Some((i.toLong, None))
+          else None
+        }.toSet
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withInitialSeed(Seed(11L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
