@@ -126,6 +126,7 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
     "q_ann_ivf" -> ((s, d) => AnnQueries.annIvf(s, d).orderBy("query_id", "rnk")),
+    "q_centroid_drift" -> ((s, d) => AnnQueries.centroidDrift(s, d).orderBy("label")),
     "q_vec_quantize" -> ((s, d) => AnnQueries.vecQuantizeAudit(s, d).orderBy("label")),
     "q_semantic_dedup" -> ((s, d) => AnnQueries.semanticDedup(s, d).orderBy("cell")),
     // ---- LLM-pipeline: multimodal columns ----
@@ -1191,6 +1192,25 @@ object SparkEntry {
            count(*) AS n_pairs, round(max(sim), 4) AS max_sim
          FROM sims GROUP BY 1 ORDER BY 1""",
     // ---- LLM-pipeline: similarity search ----
+    "q_centroid_drift" ->
+      """WITH z AS (
+           SELECT label, vec_id % 2 AS half,
+             unnest(range(len(embedding))) AS i,
+             unnest(embedding) AS x
+           FROM embeddings),
+         pos AS (
+           SELECT label, half, i, avg(x::DOUBLE) AS m, count(*) AS n
+           FROM z GROUP BY 1, 2, 3),
+         cent AS (
+           SELECT label, half, list(m ORDER BY i) AS c,
+             CAST(max(n) AS BIGINT) AS n_vecs
+           FROM pos GROUP BY 1, 2)
+         SELECT a.label, a.n_vecs AS n_even, b.n_vecs AS n_odd,
+           round(list_dot_product(a.c, b.c) /
+             (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 4)
+             AS centroid_cos
+         FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+         ORDER BY a.label""",
     "q_ann_cosine" ->
       """WITH vecs AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -500,4 +500,41 @@ object AnnQueries {
       .select(col("qid").as("query_id"), col("rnk"),
         col("nid").as("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Embedding-distribution drift between two corpus slices — the check a
+    * pipeline runs when a new crawl lands: split by vec_id parity (standing
+    * in for old-vs-new snapshots), compute each label's per-slice centroid,
+    * and report the cosine between the two half-centroids (≈1 = stable
+    * distribution, lower = the label's embedding mass moved).
+    *
+    * 100-TB shape: per-dimension means via posexplode + partial-agg groupBy
+    * on (label, half, dim) — dims × labels × 2 rows total after the map-side
+    * combine, never a vector-sized shuffle per row; the centroid
+    * reassembly and cosine run on that tiny frame. (An `aggregate`-based
+    * elementwise array-sum fold would also work but gets no partial
+    * aggregation — the explode shape is the one that scales.)
+    */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val halves = Tables.embeddings(s, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        col("embedding"))
+    val dims = halves
+      .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "half", "i")
+      .agg(avg(col("x").cast("double")).as("m"), count(lit(1)).as("n"))
+    val cent = dims.groupBy("label", "half")
+      .agg(
+        array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"),
+        max("n").as("n_vecs"))
+      .select(col("label"), col("half"), col("n_vecs"),
+        transform(col("pairs"), p => p.getField("m")).as("c"))
+    cent.as("a").join(cent.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.half") === 0 && col("b.half") === 1)
+      .select(col("a.label").as("label"),
+        col("a.n_vecs").as("n_even"), col("b.n_vecs").as("n_odd"),
+        round(dot(col("a.c"), col("b.c")) /
+          (sqrt(dot(col("a.c"), col("a.c"))) * sqrt(dot(col("b.c"), col("b.c")))), 4)
+          .as("centroid_cos"))
+  }
 }
