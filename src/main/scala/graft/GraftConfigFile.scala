@@ -23,12 +23,51 @@ import graft.snapshot.{ChunkPlanner, SnapshotConfig}
   */
 object GraftConfigFile {
 
-  def load(path: String): GraftConfig =
-    fromYaml(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+  /** Reads YAML or (by `.json` extension) JSON — the reference ships both
+    * loaders (`config/read.go:11-41`) over one schema.
+    */
+  def load(path: String): GraftConfig = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    if (path.endsWith(".json")) fromJson(text) else fromYaml(text)
+  }
 
-  def fromYaml(text: String): GraftConfig = {
-    val root = MiniYaml.parse(text)
+  def fromYaml(text: String): GraftConfig = fromTree(MiniYaml.parse(text))
+
+  /** JSON form of the same schema (`config/read.go:28-41` ReadConfigJSON),
+    * parsed with the Jackson shipped in Spark's own jars and lowered to the
+    * YAML loader's tree shape (all scalars as strings) so validation,
+    * defaults, and unknown-key detection are IDENTICAL across both formats.
+    */
+  def fromJson(text: String): GraftConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(text)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"config: json parse: ${e.getOriginalMessage}")
+      }
+    def toPlain(n: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (n.isObject) {
+        val it = n.fields()
+        val b = scala.collection.immutable.Map.newBuilder[String, Any]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isNull) b += e.getKey -> toPlain(e.getValue)
+        }
+        b.result()
+      } else if (n.isArray)
+        (0 until n.size()).map(i => toPlain(n.get(i)))
+      else n.asText() // numbers/bools/strings all land as text, like MiniYaml
+    toPlain(root) match {
+      case m: Map[_, _] => fromTree(m.asInstanceOf[Map[String, Any]])
+      case _ => throw new IllegalArgumentException(
+        "config: json root must be an object")
+    }
+  }
+
+  private def fromTree(root: Map[String, Any]): GraftConfig = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     val m = new Section("", root, errs)
 

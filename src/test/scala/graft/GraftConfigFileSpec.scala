@@ -255,6 +255,43 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot specify columns when replicaIdentity is FULL"))
   }
 
+  test("JSON config parses identically to YAML (ReadConfigJSON parity)") {
+    val cfg = GraftConfigFile.fromJson(
+      """{
+        |  "host": "db", "port": 5433, "username": "u", "password": "p",
+        |  "database": "d", "debugMode": true,
+        |  "publication": {
+        |    "name": "pub",
+        |    "operations": ["insert", "update"],
+        |    "tables": [
+        |      {"name": "books", "replicaIdentity": "FULL"},
+        |      {"name": "users", "columns": ["id", "email"]}
+        |    ]
+        |  },
+        |  "slot": {"name": "s1", "slotActivityCheckerInterval": 1500},
+        |  "snapshot": {"mode": "initial", "chunkSize": 4000,
+        |    "tables": [{"name": "books", "snapshotPartitionStrategy": "offset"}]},
+        |  "metric": {"port": 9091}
+        |}""".stripMargin)
+    assert(cfg.port == 5433 && cfg.debugMode && cfg.metricPort == 9091)
+    assert(cfg.publication.operations == Seq("insert", "update"))
+    assert(cfg.publication.tables.head.replicaIdentity == "FULL")
+    assert(cfg.publication.tables(1).columns == Seq("id", "email"))
+    assert(cfg.slotActivityCheckerIntervalMs == 1500L)
+    assert(cfg.snapshot.chunkSize == 4000L)
+    assert(cfg.snapshot.strategyFor("books") == ChunkPlanner.OffsetLimit)
+
+    // identical validation path: unknown keys + every problem joined
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromJson(
+      """{"host": "h", "username": "u", "password": "p", "database": "d",
+        |  "publication": {"name": "pub", "tables": [{"name": "t", "chunkSiez": 1}]},
+        |  "slot": {"name": "s"}}""".stripMargin))
+    assert(e.getMessage.contains("unknown key"))
+    // malformed json fails loudly, not as a tree of defaults
+    val bad = intercept[IllegalArgumentException](GraftConfigFile.fromJson("{"))
+    assert(bad.getMessage.contains("json parse"))
+  }
+
   test("validation collects every problem into one message") {
     val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
       """port: 5432
