@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.services.{Publication, SlotManager}
+import graft.snapshot.{CatalogReader, SnapshotJobStore, SnapshotOrchestrator, SnapshotReader}
+import graft.snapshot.CatalogReader.SqlExecutor
+
+/** The reference's `cdc.NewConnector(cfg, handler)` + `Start()` experience
+  * as one call (`connector.go`: CreatePublication → SetReplicaIdentities →
+  * prepareSnapshotAndSlot → executeSnapshotWithRetry → stream): ensure the
+  * publication exists and replica identities match, decide
+  * snapshot-vs-resume from the recorded job, run the parallel wire snapshot
+  * under the exported-snapshot pin with bounded invalidation retry, and
+  * hand back the CDC stream positioned at the exactly-once handoff LSN.
+  *
+  * The snapshot is delivered through `snapshotSink` INSIDE the retry
+  * wrapper — an invalidation raised while the sink materializes a table
+  * re-exports cleanly and re-invokes the sink for every table of the fresh
+  * attempt (the reference's at-least-once worker semantics); make the sink
+  * overwrite-idempotent per table.
+  */
+object GraftConnector {
+
+  /** What `start` assembled: the live publication, any replica-identity DDL
+    * issued, the stream-handoff LSN (None when no snapshot job gates the
+    * stream), and the CDC stream itself (None for `snapshot_only`).
+    */
+  final case class Boot(
+      publication: Publication.LiveInfo,
+      replicaIdentityDdl: Seq[String],
+      startLsn: Option[Long],
+      stream: Option[DataFrame])
+
+  /** Boot the pipeline from one [[GraftConfig]].
+    *
+    * @param exec regular-SQL seam (catalog introspection, publication DDL) —
+    *             `CatalogReader.jdbcExecutor` or `PgConnection.executor`,
+    *             usually wrapped in `RetryingExecutor`.
+    * @param replExec replication-protocol seam (CREATE_REPLICATION_SLOT) —
+    *                 a `PgConnection(replication = true).executor`.
+    * @param snapshotSink receives each table's typed snapshot frame
+    *                     (`schema.table`, frame) while the exported snapshot
+    *                     is pinned; runs inside the invalidation retry.
+    */
+  def start(
+      spark: SparkSession,
+      cfg: GraftConfig,
+      store: SnapshotJobStore,
+      exec: SqlExecutor,
+      replExec: SqlExecutor,
+      snapshotSink: (String, DataFrame) => Unit = (_, _) => (),
+      warn: String => Unit = _ => ()): Boot = {
+
+    // 1. Publication: tolerate existing, create when missing; then diff and
+    //    apply replica identities (connector.go CreatePublication →
+    //    SetReplicaIdentities order).
+    val pubMgr = cfg.publicationManager(exec, warn)
+    val live = pubMgr.create()
+    val ddl = pubMgr.setReplicaIdentities()
+
+    // 2. Snapshot decision + execution under the retry wrapper.
+    val slots = cfg.slotManager(replExec)
+    val take = SnapshotOrchestrator.shouldTakeSnapshot(cfg.snapshot, store, cfg.slotName)
+    if (take) {
+      SnapshotOrchestrator.executeWithRetry(slots, store, cfg.slotName) { job =>
+        val cat = new CatalogReader(exec)
+        cfg.publication.tables.foreach { t =>
+          val cond = cfg.snapshot.conditionFor(t.name)
+          val stats = cat.tableStats(t.schema, t.name, cond)
+          val allCols = cat.tableColumns(t.schema, t.name)
+          val cols =
+            if (t.columns.isEmpty) allCols
+            else allCols.filter(c => t.columns.contains(c.name))
+          val frame = SnapshotReader.viaWire(
+            spark, cfg.host, cfg.port, cfg.username, cfg.database,
+            Option(cfg.password).filter(_.nonEmpty),
+            t.schema, t.name, cols, stats, cfg.snapshot,
+            exportedSnapshotId = Option(job.snapshotId).filter(_.nonEmpty),
+            orderByPk = stats.intPkColumn,
+            sslMode = cfg.sslMode, sslRootCert = cfg.sslRootCert,
+            sslCert = cfg.sslCert, sslKey = cfg.sslKey,
+            sslPassword = cfg.sslPassword)
+          snapshotSink(s"${t.schema}.${t.name}", frame)
+        }
+      }
+      SnapshotOrchestrator.complete(store, cfg.slotName)
+    } else if (cfg.snapshot.mode != "never") {
+      // resuming: the slot must already exist (warn-and-reuse semantics)
+      slots.create()
+    } else {
+      slots.create() // mode never: stream-only, slot created if missing
+    }
+
+    // 3. Stream, positioned at the handoff LSN when a completed job pins one.
+    val startLsn =
+      if (cfg.snapshot.mode == "never") None
+      else Some(SnapshotOrchestrator.streamStartLsn(store, cfg.slotName))
+    val stream =
+      if (!SnapshotOrchestrator.shouldStream(cfg.snapshot)) None
+      else Some(spark.readStream.format("pgcdc")
+        .options(cfg.sourceOptions(startLsn)).load())
+    Boot(live, ddl, startLsn, stream)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.services.Publication
+import graft.services.Publication.{Config, PubTable, ReplicaIdentity}
+import graft.snapshot.SnapshotJobStore
+import graft.streaming.FakeWalsender
+import graft.tools.WalGen
+
+/** The one-call boot (`GraftConnector.start`) against a single fake server:
+  * publication created, replica identity ALTERed on drift, slot created
+  * with its exported snapshot, every table snapshot delivered typed through
+  * the sink under the pin, and the CDC stream handed back at the handoff
+  * LSN — the reference's `NewConnector(cfg).Start()` sequence end-to-end
+  * with no real PostgreSQL.
+  */
+class GraftConnectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val ChunkRange = """id >= (-?\d+) AND id (<=|<) (-?\d+)""".r.unanchored
+
+  private def serve(sql: String): Option[(Seq[String], Seq[Seq[Option[String]]])] = {
+    def ok = Some((Seq("ok"), Seq.empty[Seq[Option[String]]]))
+    if (sql.contains("pg_publication_tables")) Some((Seq("pubname"), Nil)) // missing
+    else if (sql.startsWith("CREATE PUBLICATION")) ok
+    else if (sql.startsWith("ALTER TABLE")) ok
+    else if (sql.contains("relreplident"))
+      Some((Seq("relname", "nspname", "ident", "idx"),
+        Seq(Seq(Some("users"), Some("public"), Some("d"), None))))
+    else if (sql.contains("format_type")) // primary-key columns
+      Some((Seq("attname", "type"), Seq(Seq(Some("id"), Some("integer")))))
+    else if (sql.contains("atttypid")) // full column list
+      Some((Seq("attname", "oid", "typmod", "key"), Seq(
+        Seq(Some("id"), Some("23"), Some("-1"), Some("1")),
+        Seq(Some("name"), Some("25"), Some("-1"), Some("0")))))
+    else if (sql.startsWith("SELECT MIN"))
+      Some((Seq("mn", "mx"), Seq(Seq(Some("1"), Some("6")))))
+    else if (sql.startsWith("SELECT COUNT(*)"))
+      Some((Seq("n"), Seq(Seq(Some("6")))))
+    else if (sql.contains("pg_relation_size"))
+      Some((Seq("pages"), Seq(Seq(Some("1")))))
+    else if (sql.contains("reltuples"))
+      Some((Seq("t"), Seq(Seq(Some("6")))))
+    else if (sql.startsWith("SELECT slot_name")) Some((Seq("s"), Nil)) // absent
+    else if (sql.startsWith("CREATE_REPLICATION_SLOT"))
+      Some((Seq("slot_name", "consistent_point", "snapshot_name", "output_plugin"),
+        Seq(Seq(Some("graft_slot"), Some("0/10"), Some("boot-snap-1"), Some("pgoutput")))))
+    else if (sql.startsWith("BEGIN ISOLATION LEVEL REPEATABLE READ")) ok
+    else if (sql == "COMMIT") ok
+    else sql match {
+      case ChunkRange(lo, op, hi) =>
+        val last = if (op == "<=") hi.toLong else hi.toLong - 1
+        val rows = (lo.toLong to last).filter(i => i >= 1 && i <= 6)
+          .map(i => Seq(Some(i.toString), Some(s"u$i")))
+        Some((Seq("id", "name"), rows))
+      case _ => None
+    }
+  }
+
+  test("one-call boot: publication -> identities -> pinned snapshot -> stream at handoff LSN") {
+    // WAL served to the stream AFTER the snapshot: two 2-row txns, all
+    // committing past the slot's consistent point 0/10.
+    val server = new FakeWalsender(WalGen.frames(2, 2).toSeq, sqlResults = serve)
+    try {
+      val cfg = GraftConfig(
+        host = "127.0.0.1", port = server.port, username = "u", database = "db",
+        publication = Config("e2e_pub", Seq(
+          PubTable("public", "users", replicaIdentity = ReplicaIdentity.Full))),
+        slotName = "graft_slot",
+        snapshot = graft.snapshot.SnapshotConfig(chunkSize = 3L))
+
+      val exec = new graft.pgproto.PgConnection(
+        "127.0.0.1", server.port, "u", "db", None).executor
+      val replExec = new graft.pgproto.PgConnection(
+        "127.0.0.1", server.port, "u", "db", None, replication = true).executor
+
+      val delivered = scala.collection.mutable.Map.empty[String, Seq[(Int, String)]]
+      val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+      val boot = GraftConnector.start(
+        spark, cfg, new SnapshotJobStore.InMemory, exec, replExec,
+        snapshotSink = (table, df) =>
+          // materialize INSIDE the retry window, like a real overwrite sink
+          delivered(table) = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq,
+        warn = warnings += _)
+
+      assert(boot.publication.name == "e2e_pub")
+      assert(warnings.isEmpty, "publication was missing: created, not warned")
+      assert(boot.replicaIdentityDdl ==
+        Seq("""ALTER TABLE "public"."users" REPLICA IDENTITY FULL"""),
+        "identity drift d->FULL ALTERed during boot")
+      assert(delivered("public.users").sortBy(_._1) ==
+        (1 to 6).map(i => (i, s"u$i")), "snapshot delivered typed, all chunks")
+      assert(boot.startLsn.contains(graft.pgproto.Lsn.parse("0/10")),
+        "stream starts at the slot's consistent point")
+
+      // Snapshot reads ran under the exported-snapshot pin.
+      val qs = server.queries.synchronized(server.queries.toVector)
+      val pins = qs.filter(_.startsWith("BEGIN ISOLATION LEVEL REPEATABLE READ"))
+      assert(pins.nonEmpty && pins.forall(_.contains("SET TRANSACTION SNAPSHOT 'boot-snap-1'")))
+
+      // The handed-back stream decodes the post-snapshot WAL.
+      val q = boot.stream.get.writeStream.format("memory")
+        .queryName("boot_stream").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("boot_stream").count() == 4L,
+        "2 txns x 2 rows arrive through the stream")
+      val qsAfter = server.queries.synchronized(server.queries.toVector)
+      assert(qsAfter.exists(_.startsWith("START_REPLICATION SLOT graft_slot LOGICAL 0/10")),
+        "START_REPLICATION issued at the handoff LSN")
+    } finally server.close()
+  }
+
+  test("completed job resumes without re-snapshotting; snapshot_only returns no stream") {
+    val server = new FakeWalsender(Seq.empty, sqlResults = { sql =>
+      // resuming: slot EXISTS and is inactive
+      if (sql.startsWith("SELECT slot_name"))
+        Some((Seq("c"), Seq(Seq(Some("graft_slot"), Some("logical"), Some("f"), None,
+          Some("0/8"), Some("0/10"), Some("reserved"), Some("0/100")))))
+      else serve(sql)
+    })
+    try {
+      val cfg = GraftConfig(
+        host = "127.0.0.1", port = server.port, username = "u", database = "db",
+        publication = Config("e2e_pub", Seq(PubTable("public", "users"))),
+        slotName = "graft_slot")
+      val exec = new graft.pgproto.PgConnection(
+        "127.0.0.1", server.port, "u", "db", None).executor
+      val store = new SnapshotJobStore.InMemory
+      store.save(graft.snapshot.SnapshotJob("graft_slot", "old-snap", 77L, completed = true))
+
+      var sinkCalls = 0
+      val boot = GraftConnector.start(spark, cfg, store, exec, exec,
+        snapshotSink = (_, _) => sinkCalls += 1)
+      assert(sinkCalls == 0, "completed job: no re-snapshot")
+      assert(boot.startLsn.contains(77L), "stream resumes from the recorded job LSN")
+      assert(boot.stream.isDefined)
+
+      val snapOnly = cfg.copy(snapshot = graft.snapshot.SnapshotConfig(
+        mode = "snapshot_only", chunkSize = 3L))
+      // snapshot_only always snapshots; slot must be fresh for it
+      val server2Queries = server.queries
+      val boot2 = GraftConnector.start(spark,
+        snapOnly.copy(slotName = "snap_only_slot"),
+        new SnapshotJobStore.InMemory,
+        exec,
+        { sql => // fresh slot for the snapshot-only run
+          if (sql.startsWith("SELECT slot_name")) Nil
+          else if (sql.startsWith("CREATE_REPLICATION_SLOT"))
+            Seq(Seq("snap_only_slot", "0/20", "snap-2", "pgoutput"))
+          else exec(sql)
+        },
+        snapshotSink = (_, _) => sinkCalls += 1)
+      assert(sinkCalls == 1)
+      assert(boot2.stream.isEmpty, "snapshot_only runs no stream afterwards")
+    } finally server.close()
+  }
+}
