@@ -106,7 +106,12 @@ object Bench {
           if (!errors.contains(name)) {
             reruns(name) = (t, t2)
             name -> math.min(t, t2)
-          } else name -> t
+          } else {
+            // The FIRST run succeeded; a flaky rerun must not fail the
+            // whole bench — keep the first measurement, drop the noise.
+            errors.remove(name)
+            name -> t
+          }
         case _ => name -> t
       }
     }
