@@ -18,6 +18,12 @@ import graft.snapshot.CatalogReader.SqlExecutor
   * re-exports cleanly and re-invokes the sink for every table of the fresh
   * attempt (the reference's at-least-once worker semantics); make the sink
   * overwrite-idempotent per table.
+  *
+  * Background loops stay caller-driven (no hidden threads, unlike the
+  * reference's goroutines): run the WAL-protection heartbeat with
+  * `cfg.heartbeatService(exec).run(ticks, sleep = () =>
+  * Thread.sleep(cfg.heartbeatIntervalMs))` and attach metrics via
+  * [[graft.streaming.GraftMetricsServer.start]].
   */
 object GraftConnector {
 
