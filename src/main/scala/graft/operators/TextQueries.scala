@@ -457,19 +457,28 @@ object TextQueries {
     * boilerplate/spam corpora flatten or steepen it — a cheap distribution-
     * shift detector between corpus snapshots.
     *
-    * 100-TB shape: token counting is a partial-agg groupBy; the rank
-    * window runs on the already-aggregated (lang, token) counts, and the
-    * closed-form least squares is one more tiny aggregation — raw text
-    * never shuffles.
+    * 100-TB shape: token counting is a partial-agg groupBy; the top-k is
+    * TWO-PHASE so no window ever sorts a whole language's vocabulary in
+    * one partition (the same straggler the curation cumsums had): a
+    * per-(lang, token-hash-shard) top-100 in parallel, then the exact
+    * global top-100 from the ≤ shards×100 survivors — every global
+    * top-100 member is necessarily in its shard's top-100, so the
+    * two-phase result is identical to the direct sort. The closed-form
+    * least squares is one more tiny aggregation; raw text never shuffles.
     */
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
     val counts = Tables.documents(s, dir)
       .select(col("lang"), explode(toks).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
-    val w = Window.partitionBy("lang").orderBy(col("f").desc, col("tok"))
-    val ranked = counts
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("shard", pmod(xxhash64(col("tok")), lit(32)))
+    val wShard = Window.partitionBy("lang", "shard").orderBy(col("f").desc, col("tok"))
+    val survivors = counts
+      .withColumn("shard_rnk", row_number().over(wShard))
+      .filter(col("shard_rnk") <= ZipfTopRanks)
+    val wGlobal = Window.partitionBy("lang").orderBy(col("f").desc, col("tok"))
+    val ranked = survivors
+      .withColumn("rnk", row_number().over(wGlobal)) // ≤ 32×100 rows per lang
       .filter(col("rnk") <= ZipfTopRanks)
       .select(col("lang"), log2(col("rnk")).as("x"), log2(col("f")).as("y"))
     ranked.groupBy("lang")

@@ -71,5 +71,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the window runs on aggregated (lang, token) counts: the partial_count
     // must appear BELOW the first exchange (map-side combine of raw tokens)
     assert(plan.contains("partial_count"), s"token counting must map-side combine:\n$plan")
+    // two-phase top-k: the FIRST window must key on the hash shard so no
+    // partition ever sorts a whole language's vocabulary
+    val firstWindow = plan.split("\n").find(_.contains("windowspecdefinition"))
+    assert(firstWindow.isEmpty || plan.split("\n")
+      .filter(_.contains("windowspecdefinition")).last.contains("shard"),
+      s"per-shard top-k stage missing:\n$plan")
   }
 }
