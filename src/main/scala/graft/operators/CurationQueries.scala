@@ -58,8 +58,11 @@ object CurationQueries {
     * tie-breaking so the result is total-ordered.
     *
     * 100-TB shape: the token explosion is row-local; the count is a
-    * partial-aggregated groupBy on (lang, token); the top-k window runs on
-    * the aggregated counts (|vocab| rows, not |corpus| rows). For a corpus
+    * partial-aggregated groupBy on (lang, token); the top-k is TWO-PHASE —
+    * per-(lang, token-hash-shard) top-k in parallel, then the exact global
+    * top-k over the ≤ shards×k survivors — so no partition ever sorts a
+    * whole language's vocabulary (every global top-k member is in its
+    * shard's top-k; results identical to the direct sort). For a corpus
     * whose vocabulary itself is too hot, the same query runs on a
     * count-min-sketch pre-pass — the plan shape downstream is identical.
     */
@@ -69,9 +72,16 @@ object CurationQueries {
       .filter(col("tok") =!= "")
       .groupBy("lang", "tok")
       .agg(count(lit(1)).as("n"))
+      .withColumn("shard", pmod(xxhash64(col("tok")), lit(32)))
+    val wShard = Window.partitionBy("lang", "shard").orderBy(col("n").desc, col("tok"))
+    val survivors = counts
+      .withColumn("shard_rnk", row_number().over(wShard))
+      .filter(col("shard_rnk") <= TopK)
+      .drop("shard_rnk")
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
-    counts.withColumn("rnk", row_number().over(w))
+    survivors.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
+      .drop("shard")
   }
 
   /** Minimum distinct shared shingles before a (train doc, benchmark doc)
