@@ -50,7 +50,7 @@ object GraftConfigFile {
       }
     def toPlain(n: com.fasterxml.jackson.databind.JsonNode): Any =
       if (n.isObject) {
-        val it = n.fields()
+        val it = n.properties().iterator()
         val b = scala.collection.immutable.Map.newBuilder[String, Any]
         while (it.hasNext) {
           val e = it.next()

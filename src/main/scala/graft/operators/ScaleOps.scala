@@ -31,7 +31,7 @@ object ScaleOps {
       countAs: String, sumCol: String, sumAs: String): DataFrame =
     df
       .withColumn("_salt", pmod(
-        xxhash64(struct(df.columns.map(col): _*), monotonically_increasing_id()),
+        xxhash64(struct(df.columns.toIndexedSeq.map(col): _*), monotonically_increasing_id()),
         lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(sumCol).as("_s"))

@@ -20,7 +20,7 @@ object SnapshotQueries {
     */
   private def orderStats(s: SparkSession, dir: String): ChunkPlanner.TableStats = {
     val r = Tables.orders(s, dir)
-      .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1))).head
+      .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1))).head()
     ChunkPlanner.TableStats(r.getLong(2), Some("o_orderkey"), r.getLong(0), r.getLong(1))
   }
 
