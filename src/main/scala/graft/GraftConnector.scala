@@ -55,7 +55,12 @@ object GraftConnector {
       exec: SqlExecutor,
       replExec: SqlExecutor,
       snapshotSink: (String, DataFrame) => Unit = (_, _) => (),
-      warn: String => Unit = _ => ()): Boot = {
+      warn: String => Unit = _ => (),
+      /** Injectable backoff for the snapshot-invalidation retry
+        * ([[SnapshotOrchestrator.executeWithRetry]]); tests drive it
+        * clocklessly.
+        */
+      retrySleep: Long => Unit = Thread.sleep): Boot = {
 
     // 1. Publication: tolerate existing, create when missing; then diff and
     //    apply replica identities (connector.go CreatePublication →
@@ -68,7 +73,8 @@ object GraftConnector {
     val slots = cfg.slotManager(replExec)
     val take = SnapshotOrchestrator.shouldTakeSnapshot(cfg.snapshot, store, cfg.slotName)
     if (take) {
-      SnapshotOrchestrator.executeWithRetry(slots, store, cfg.slotName) { job =>
+      SnapshotOrchestrator.executeWithRetry(slots, store, cfg.slotName,
+        sleep = retrySleep) { job =>
         val cat = new CatalogReader(exec)
         cfg.publication.tables.foreach { t =>
           val cond = cfg.snapshot.conditionFor(t.name)

@@ -111,6 +111,68 @@ class GraftConnectorSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("invalidation mid-snapshot during boot: fresh export, sink re-invoked, no stale rows") {
+    // First chunk SELECT of the FIRST attempt dies with the
+    // invalidated-snapshot family; the retry re-creates the slot (fresh
+    // export) and the sink runs again against the new pin.
+    val invalidations = new java.util.concurrent.atomic.AtomicInteger(1)
+    val slotGen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val slotUp = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = new FakeWalsender(Seq.empty,
+      sqlResults = { sql =>
+        if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+          require(slotUp.compareAndSet(false, true), "CREATE on an existing slot")
+          Some((Seq("s", "cp", "snap", "plugin"), Seq(Seq(
+            Some("graft_slot"), Some("0/10"),
+            Some(s"boot-snap-${slotGen.incrementAndGet()}"), Some("pgoutput")))))
+        } else if (sql.startsWith("DROP_REPLICATION_SLOT")) {
+          slotUp.set(false); Some((Seq("ok"), Nil))
+        } else if (sql.startsWith("SELECT slot_name")) {
+          if (slotUp.get())
+            Some((Seq("c"), Seq(Seq(Some("graft_slot"), Some("logical"), Some("f"),
+              None, Some("0/8"), Some("0/10"), Some("reserved"), Some("0/100")))))
+          else Some((Seq("c"), Nil))
+        } else serve(sql)
+      },
+      sqlErrors = { sql =>
+        if (sql.startsWith("SELECT \"id\"") && invalidations.getAndDecrement() > 0)
+          Some(("22023", "invalid snapshot identifier: \"boot-snap-1\""))
+        else None
+      })
+    try {
+      val cfg = GraftConfig(
+        host = "127.0.0.1", port = server.port, username = "u", database = "db",
+        publication = Config("e2e_pub", Seq(PubTable("public", "users"))),
+        slotName = "graft_slot",
+        snapshot = graft.snapshot.SnapshotConfig(mode = "snapshot_only", chunkSize = 3L))
+      val exec = new graft.pgproto.PgConnection(
+        "127.0.0.1", server.port, "u", "db", None).executor
+      val store = new SnapshotJobStore.InMemory
+
+      var sinkInvocations = 0
+      var delivered = Seq.empty[Int]
+      val boot = GraftConnector.start(spark, cfg, store, exec, exec,
+        snapshotSink = (_, df) => {
+          sinkInvocations += 1 // the failed attempt counts: it was invoked
+          delivered = df.collect().map(_.getInt(0)).sorted.toSeq
+        },
+        retrySleep = _ => ())
+
+      assert(sinkInvocations == 2, "sink re-invoked for the retry attempt")
+      assert(delivered == (1 to 6), "the WINNING attempt delivers every row")
+      assert(slotGen.get() == 2, "retry dropped the dead slot and re-exported")
+      assert(store.load("graft_slot").exists(j =>
+        j.snapshotId == "boot-snap-2" && j.completed),
+        "job row pins the fresh export")
+      assert(boot.stream.isEmpty)
+      val qs = server.queries.synchronized(server.queries.toVector)
+      assert(qs.exists(_.startsWith("DROP_REPLICATION_SLOT graft_slot")),
+        "the invalidated attempt's slot was dropped before re-export")
+      assert(qs.exists(_.contains("SET TRANSACTION SNAPSHOT 'boot-snap-2'")),
+        "retry chunks read under the NEW exported snapshot")
+    } finally server.close()
+  }
+
   test("completed job resumes without re-snapshotting; snapshot_only returns no stream") {
     val server = new FakeWalsender(Seq.empty, sqlResults = { sql =>
       // resuming: slot EXISTS and is inactive

@@ -55,7 +55,12 @@ final class FakeWalsender(
       * (replication slot is active for PID …) — the passive→active takeover
       * race fault injection (`pq/replication/stream.go:126-131`).
       */
-    slotInUseRejections: Int = 0) {
+    slotInUseRejections: Int = 0,
+    /** Typed error injection: sql → Some((sqlstate, message)) sends an
+      * ErrorResponse with that exact SQLSTATE — e.g. the 22023
+      * invalidated-snapshot family. Checked before `sqlResults`.
+      */
+    sqlErrors: String => Option[(String, String)] = _ => None) {
 
   private val slotInUseLeft = new java.util.concurrent.atomic.AtomicInteger(slotInUseRejections)
 
@@ -199,7 +204,12 @@ final class FakeWalsender(
             if (cut) return
             // Stay in CopyBoth afterwards, consuming client CopyData
             // (status updates) until the client terminates.
-          } else sqlResults(sql) match {
+          } else sqlErrors(sql) match { // evaluated ONCE: injectors are stateful
+            case Some((state, msg)) =>
+              PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
+                PgWire.errorPayload("ERROR", state, msg))
+              PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+            case None => sqlResults(sql) match {
             case Some((cols, rows)) =>
               PgWire.writeMessage(out, PgWire.Tag.RowDescription,
                 PgWire.rowDescriptionPayload(cols))
@@ -212,6 +222,7 @@ final class FakeWalsender(
               PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
                 PgWire.errorPayload("ERROR", "42601", s"unsupported: $sql"))
               PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+            }
           }
         case PgWire.Tag.CopyData =>
           statusUpdates.synchronized { statusUpdates += m.payload }
