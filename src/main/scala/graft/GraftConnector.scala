@@ -96,11 +96,10 @@ object GraftConnector {
         }
       }
       SnapshotOrchestrator.complete(store, cfg.slotName)
-    } else if (cfg.snapshot.mode != "never") {
-      // resuming: the slot must already exist (warn-and-reuse semantics)
-      slots.create()
     } else {
-      slots.create() // mode never: stream-only, slot created if missing
+      // no snapshot this boot (resume from a completed job, or mode never):
+      // ensure the slot exists — warn-and-reuse, created when missing
+      slots.create()
     }
 
     // 3. Stream, positioned at the handoff LSN when a completed job pins one.
