@@ -103,6 +103,11 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       DedupQueries.embeddingNearDup(s, d).orderBy("bucket10")),
     "q_dedup_clusters" -> ((s, d) => DedupQueries.dedupClusters(s, d).orderBy("doc_id")),
+    // Rows-only (no oracleSql entry): stateful streaming dedup — the driver
+    // records the weaker row-count check, per the contract for ops ANSI SQL
+    // can't express.
+    "q_streaming_dedup" -> ((s, d) =>
+      DedupQueries.streamingDedupFlags(s, d).orderBy("doc_id", "band")),
     // ---- LLM-pipeline: corpus curation ----
     "q_sample_stratified" -> ((s, d) =>
       CurationQueries.stratifiedSample(s, d).orderBy("lang")),

@@ -194,6 +194,32 @@ object DedupQueries {
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Ingest-time streaming near-dup suppression driven to completion over
+    * the documents table ([[graft.streaming.StreamingDedup.nearDupFlags]]):
+    * the corpus streams through the file source, every band bucket's
+    * signature state accumulates, and the emitted flags are returned as a
+    * batch frame. Registered rows-only — stateful streaming has no
+    * ANSI-SQL oracle — but the output is deterministic: a single
+    * micro-batch processes each bucket's docs in doc_id order, so flag
+    * direction (later doc flags against the earliest best match) is fixed.
+    */
+  def streamingDedupFlags(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(s, dir).schema
+    // the file source wants a directory: stream the sf dir, glob-filtered
+    // down to the documents table's single parquet file
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val q = graft.streaming.StreamingDedup.nearDupFlags(s, docs)
+      .writeStream.format("memory").queryName("q_streaming_dedup_flags")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("q_streaming_dedup_flags")
+      .select(col("doc_id"), col("dup_of"), col("band"),
+        round(col("est_jaccard"), 3).as("est_jaccard"))
+  }
+
   /** Memoized converged component labels per (session, dir): the pair graph
     * and the iterative propagation are materialized once; verify and bench
     * consumers reuse the persisted result. Released by
