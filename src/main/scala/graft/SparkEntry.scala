@@ -103,9 +103,11 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       DedupQueries.embeddingNearDup(s, d).orderBy("bucket10")),
     "q_dedup_clusters" -> ((s, d) => DedupQueries.dedupClusters(s, d).orderBy("doc_id")),
-    // Rows-only (no oracleSql entry): stateful streaming dedup — the driver
-    // records the weaker row-count check, per the contract for ops ANSI SQL
-    // can't express.
+    // Stateful streaming dedup. The one-shot drive is deterministic (docs
+    // processed in doc_id order per bucket, oldest-first eviction beyond the
+    // 128-signature cap), so it HAS a full DuckDB oracle: the band/bucket
+    // collision + best-earlier-match rule over the same unrolled minhash
+    // signature CTE as q_dedup_minhash.
     "q_streaming_dedup" -> ((s, d) =>
       DedupQueries.streamingDedupFlags(s, d).orderBy("doc_id", "band")),
     // ---- LLM-pipeline: corpus curation ----
@@ -743,20 +745,29 @@ object SparkEntry {
                 round(min(bits), 4) AS min_bits, round(max(bits), 4) AS max_bits
          FROM docbits GROUP BY lang ORDER BY lang""",
     "q_pii_scan" ->
-      """WITH m AS (
+      """WITH corpus AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'customer_audit' AS source,
+             'contact ' || c_name || ' <' || lower(c_mktsegment) || '.' ||
+             CAST(c_custkey AS VARCHAR) || '@mail.example.com> id ' ||
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') ||
+             ' https://portal.example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
+           FROM customer),
+         m AS (
            SELECT source,
              len(regexp_extract_all(text,
                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
              len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digits,
              len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url
-           FROM documents)
-         SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-           sum(n_email) AS total_emails,
-           sum(CASE WHEN n_digits > 0 THEN 1 ELSE 0 END) AS docs_with_digit_runs,
-           sum(n_digits) AS total_digit_runs,
-           sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS docs_with_urls,
-           sum(n_url) AS total_urls
+           FROM corpus)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(CASE WHEN n_digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_digit_runs,
+           CAST(sum(n_digits) AS BIGINT) AS total_digit_runs,
+           CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_urls,
+           CAST(sum(n_url) AS BIGINT) AS total_urls
          FROM m GROUP BY source ORDER BY source""",
     "q_zipf_slope" ->
       """WITH tok AS (
@@ -828,6 +839,61 @@ object SparkEntry {
            JOIN sizes s1 ON d1 = s1.doc_id
            JOIN sizes s2 ON d2 = s2.doc_id)
          WHERE jac >= 0.8 ORDER BY d1, d2""",
+    // Streaming ingest dedup: same signature kernel as q_dedup_minhash; the
+    // one-shot drive visits docs in doc_id order per (band, bucket), keeps
+    // the newest 128 signatures (oldest-first eviction), and flags the best
+    // earlier match (ties -> earliest doc) when >= 4 of 8 components agree.
+    "q_streaming_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         shing AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(toks) >= 5
+                 THEN list_transform(generate_series(1, len(toks) - 4),
+                        i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END) AS sh
+             FROM t)),
+         hashed AS (
+           SELECT doc_id, seed,
+             xor(('0x' || substr(md5(sh), 1, 15))::BIGINT,
+                 ('0x' || substr(md5('minhash-seed-' || seed::VARCHAR), 1, 15))::BIGINT) AS h
+           FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)),
+         sig AS (
+           SELECT doc_id,
+             min(CASE WHEN seed = 0 THEN h END) AS m0,
+             min(CASE WHEN seed = 1 THEN h END) AS m1,
+             min(CASE WHEN seed = 2 THEN h END) AS m2,
+             min(CASE WHEN seed = 3 THEN h END) AS m3,
+             min(CASE WHEN seed = 4 THEN h END) AS m4,
+             min(CASE WHEN seed = 5 THEN h END) AS m5,
+             min(CASE WHEN seed = 6 THEN h END) AS m6,
+             min(CASE WHEN seed = 7 THEN h END) AS m7
+           FROM hashed GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS band, m0::VARCHAR || ',' || m1::VARCHAR AS bkey,
+                  [m0,m1,m2,m3,m4,m5,m6,m7] AS s FROM sig
+           UNION ALL SELECT doc_id, 1, m2::VARCHAR || ',' || m3::VARCHAR,
+                  [m0,m1,m2,m3,m4,m5,m6,m7] FROM sig
+           UNION ALL SELECT doc_id, 2, m4::VARCHAR || ',' || m5::VARCHAR,
+                  [m0,m1,m2,m3,m4,m5,m6,m7] FROM sig
+           UNION ALL SELECT doc_id, 3, m6::VARCHAR || ',' || m7::VARCHAR,
+                  [m0,m1,m2,m3,m4,m5,m6,m7] FROM sig),
+         pairs AS (
+           SELECT a.band, a.doc_id, b.doc_id AS dup_of,
+             row_number() OVER (PARTITION BY a.band, a.bkey, a.doc_id
+                                ORDER BY b.doc_id DESC) AS recency,
+             len(list_filter(generate_series(1, 8), i -> a.s[i] = b.s[i])) AS n_same
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id),
+         best AS (
+           SELECT band, doc_id, dup_of, n_same,
+             row_number() OVER (PARTITION BY band, doc_id
+                                ORDER BY n_same DESC, dup_of) AS rnk
+           FROM pairs WHERE recency <= 128)
+         SELECT doc_id, dup_of, band, round(n_same / 8.0, 3) AS est_jaccard
+         FROM best WHERE rnk = 1 AND n_same >= 4
+         ORDER BY doc_id, band""",
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),

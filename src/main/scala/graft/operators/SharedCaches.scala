@@ -22,7 +22,8 @@ object SharedCaches {
     "prep_shingles_n3" -> ((s, d) => ShingleSets(s, d, 3)),
     "prep_lsh_signatures" -> ((s, d) => AnnQueries.bandedSignatures(s, d)),
     "prep_ivf_centroids" -> ((s, d) => AnnQueries.ivfCentroidFrame(s, d)),
-    "prep_trigram_counts" -> ((s, d) => TextQueries.triGramCounts(s, d)))
+    "prep_trigram_counts" -> ((s, d) => TextQueries.triGramCounts(s, d)),
+    "prep_streaming_dedup" -> ((s, d) => DedupQueries.streamingDedupDrive(s, d)))
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).
@@ -32,6 +33,7 @@ object SharedCaches {
     AnnQueries.releaseSignatures(s)
     AnnQueries.releaseCentroids(s)
     DedupQueries.releaseClusterLabels(s)
+    DedupQueries.releaseStreamingFlags(s)
     TextQueries.releaseTrigrams(s)
   }
 }

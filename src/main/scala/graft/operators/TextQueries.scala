@@ -425,6 +425,15 @@ object TextQueries {
     * counts. Patterns are deliberately engine-portable regex (character
     * classes only — identical semantics in Java and RE2-family engines).
     *
+    * The synthetic documents corpus contains zero PII-shaped spans at every
+    * SF, which would make the scan vacuous (every counter 0 and the regex
+    * semantics unexercised). So alongside the raw documents the scan audits
+    * a deterministic `customer_audit` source synthesized from customer
+    * columns — each row carries exactly one email, one URL, and two long
+    * digit runs by construction (one inside the TPC-H customer name, one
+    * lpad'd account id), so nonzero counts pin the regex semantics against
+    * the oracle.
+    *
     * 100-TB shape: one projection with codegen'd regexp_count + one
     * partial-agg groupBy on the low-cardinality source key; no shuffle of
     * text, no explosion to one-row-per-match.
@@ -434,7 +443,16 @@ object TextQueries {
     val longDigits = "[0-9]{6,}"
     val url = "https?://[^ ]+"
     def n(p: String) = regexp_count(col("text"), lit(p))
-    Tables.documents(s, dir)
+    val auditText = concat(
+      lit("contact "), col("c_name"),
+      lit(" <"), lower(col("c_mktsegment")), lit("."), col("c_custkey").cast("string"),
+      lit("@mail.example.com> id "),
+      lpad(col("c_custkey").cast("string"), 8, "0"),
+      lit(" https://portal.example.com/u/"), col("c_custkey").cast("string"))
+    val audit = Tables.customer(s, dir)
+      .select(lit("customer_audit").as("source"), auditText.as("text"))
+    Tables.documents(s, dir).select(col("source"), col("text"))
+      .unionByName(audit)
       .select(col("source"),
         n(email).as("n_email"), n(longDigits).as("n_digits"), n(url).as("n_url"))
       .groupBy("source")
