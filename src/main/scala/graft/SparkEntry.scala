@@ -498,12 +498,16 @@ object SparkEntry {
          FROM events WHERE (event_id % 6) % 3 <> 0""",
     // Binary-format roundtrip: the oracle recomputes the aggregate straight
     // from events — the Spark side must survive binary wire encode → PgBinary
-    // text render → fromText casts without drifting a bit.
+    // text render → fromText casts without drifting a bit. pair_ids is a
+    // binary int8[] {event_id,user_id,NULL}: sum_pair pins element decode,
+    // n_null3 pins the NULL element surviving as SQL NULL.
     "q_binary_roundtrip" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            round(sum(value), 2) AS sum_value,
-           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(sum(event_id + user_id) AS BIGINT) AS sum_pair,
+           CAST(count(*) AS BIGINT) AS n_null3
          FROM events GROUP BY event_type ORDER BY event_type""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic

@@ -478,10 +478,22 @@ object CdcQueries {
       Messages.RelationColumn("user_id", 20L, -1, 0), // int8
       Messages.RelationColumn("event_type", 25L, -1, 0), // text
       Messages.RelationColumn("value", 701L, -1, 0), // float8
-      Messages.RelationColumn("ts", 1184L, -1, 0)) // timestamptz
+      Messages.RelationColumn("ts", 1184L, -1, 0), // timestamptz
+      Messages.RelationColumn("pair_ids", 1016L, -1, 0)) // int8[]
     val textOut = StructType(relCols.map(c => StructField(c.name, StringType)))
     def be8(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    // array_send bytes for int8[] {a,b,NULL}: exercises the binary array
+    // header, element framing, and NULL-element decode end-to-end
+    def be8arr(a: Long, bv: Long): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(48)
+      buf.putInt(1).putInt(1).putInt(20) // ndim, has-null, int8 element oid
+      buf.putInt(3).putInt(1) // one dim: 3 elements, lower bound 1
+      buf.putInt(8).putLong(a)
+      buf.putInt(8).putLong(bv)
+      buf.putInt(-1) // trailing NULL element
+      buf.array()
+    }
     val events = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
@@ -503,7 +515,8 @@ object CdcQueries {
               Bin(be8(r.getLong(1))),
               Text(r.getString(2)),
               Bin(be8(java.lang.Double.doubleToLongBits(r.getDouble(3)))),
-              Bin(be8(graft.pgproto.PgEpoch.fromUnixMicros(r.getLong(4)))))))
+              Bin(be8(graft.pgproto.PgEpoch.fromUnixMicros(r.getLong(4)))),
+              Bin(be8arr(r.getLong(0), r.getLong(1))))))
         }
         frames += MessageEncoder.xlogData(endLsn - 1, endLsn - 1, 0L,
           MessageEncoder.commit(endLsn - 1, endLsn, 0L))
@@ -521,7 +534,11 @@ object CdcQueries {
         count(lit(1)).as("n"),
         sum("event_id").as("sum_id"),
         round(sum("value"), 2).as("sum_value"),
-        max(unix_micros(col("ts"))).as("max_ts_us"))
+        max(unix_micros(col("ts"))).as("max_ts_us"),
+        sum(element_at(col("pair_ids"), 1) + element_at(col("pair_ids"), 2))
+          .as("sum_pair"),
+        sum(when(element_at(col("pair_ids"), 3).isNull, 1L).otherwise(0L))
+          .as("n_null3"))
   }
 
   /** Logical decoding messages ('M', `pg_logical_emit_message`) end-to-end —

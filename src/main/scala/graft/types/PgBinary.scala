@@ -43,9 +43,86 @@ object PgBinary {
       case Timestamp => timestampText(b.getLong)
       case Timestamptz => timestampText(b.getLong) + "+00"
       case Numeric => numericText(b)
+      case Interval => intervalText(b.getLong, b.getInt, b.getInt)
+      case a if PgTypes.arrayElementOid(a).isDefined => arrayText(b)
       case other => throw new graft.pgproto.PgProtoException(
         s"binary decode unsupported for type OID $other")
     }
+  }
+
+  /** array_send format: i32 ndim, i32 has-null flag, u32 element OID, then
+    * per dimension (i32 length, i32 lower bound), then row-major elements as
+    * i32 length (-1 = NULL) + element send-format bytes. Rendered to the
+    * canonical `{...}` text form `array_out` produces (1-based bounds — the
+    * `[lb:ub]=` prefix for exotic lower bounds is not reproduced), with
+    * array_out's quoting rule, so [[graft.functions.PgTextArray]] round-trips
+    * it exactly like a 't' column.
+    */
+  private def arrayText(b: ByteBuffer): String = {
+    val ndim = b.getInt
+    b.getInt // has-null flag: redundant with the per-element -1 lengths
+    val elemOid = b.getInt.toLong & 0xffffffffL
+    val dims = Array.fill(ndim) { val n = b.getInt; b.getInt; n }
+    def level(d: Int): String =
+      if (d == ndim - 1)
+        (0 until dims(d)).map { _ =>
+          val len = b.getInt
+          if (len < 0) "NULL"
+          else {
+            val bytes = new Array[Byte](len)
+            b.get(bytes)
+            quoteArrayElem(toText(bytes, elemOid))
+          }
+        }.mkString("{", ",", "}")
+      else (0 until dims(d)).map(_ => level(d + 1)).mkString("{", ",", "}")
+    if (ndim == 0) "{}" else level(0)
+  }
+
+  /** array_out quoting: an element is double-quoted (with `\`-escaped `"`
+    * and `\`) when empty, spelled like NULL, or containing a brace, the
+    * delimiter, a quote, a backslash, or whitespace.
+    */
+  private def quoteArrayElem(s: String): String =
+    if (s.isEmpty || s.equalsIgnoreCase("null") ||
+        s.exists(c => c == '{' || c == '}' || c == ',' || c == '"' ||
+          c == '\\' || Character.isWhitespace(c)))
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      }.mkString("\"", "", "\"")
+    else s
+
+  /** interval_send format: i64 microseconds, i32 days, i32 months — the
+    * three fields do NOT normalize into each other (1 day ≠ 24 h across
+    * DST). Rendered in pg's default `postgres` IntervalStyle:
+    * `N year(s) N mon(s) N day(s) [-]HH:MM:SS[.ffffff]`, with the time part
+    * printed when nonzero or when nothing else is.
+    */
+  private def intervalText(micros: Long, days: Int, months: Int): String = {
+    val sb = new StringBuilder
+    def unit(v: Int, name: String): Unit = if (v != 0) {
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(v).append(' ').append(name)
+      if (v != 1) sb.append('s') // pg pluralizes every value but exactly 1
+
+    }
+    unit(months / 12, "year")
+    unit(months % 12, "mon")
+    unit(days, "day")
+    if (micros != 0L || sb.isEmpty) {
+      if (sb.nonEmpty) sb.append(' ')
+      if (micros < 0L) sb.append('-')
+      val a = math.abs(micros)
+      val h = a / 3600000000L
+      val m = a / 60000000L % 60
+      val sec = a / 1000000L % 60
+      val f = a % 1000000L
+      sb.append(f"$h%02d:$m%02d:$sec%02d")
+      if (f != 0L)
+        sb.append('.').append(f"$f%06d".reverse.dropWhile(_ == '0').reverse)
+    }
+    sb.toString
   }
 
   /** Days between the Unix epoch and 2000-01-01 (the date wire epoch). */

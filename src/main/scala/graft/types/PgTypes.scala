@@ -45,6 +45,11 @@ object PgTypes {
     VarcharArr -> Varchar, Int8Arr -> Int8, Float4Arr -> Float4,
     Float8Arr -> Float8, NumericArr -> Numeric)
 
+  /** Element OID for a known array OID ([[PgBinary]] uses this to route
+    * binary array payloads before trusting the header's element OID).
+    */
+  def arrayElementOid(oid: Long): Option[Long] = arrayElem.get(oid)
+
   /** OID (+typmod) → Catalyst type; unknown OIDs → StringType, same fallback
     * stance as the reference (`data.go:100-101`).
     */

@@ -87,6 +87,72 @@ class PgBinarySpec extends AnyFunSuite {
     assert(PgBinary.toText(num(0, 0, 0), Oid.Numeric) == "0")
   }
 
+  test("interval: µs/days/months fields, postgres IntervalStyle") {
+    def iv(us: Long, days: Int, months: Int): Array[Byte] =
+      be(16) { b => b.putLong(us); b.putInt(days); b.putInt(months) }
+    assert(PgBinary.toText(iv(0L, 0, 0), Oid.Interval) == "00:00:00")
+    // 1 year 2 mons 3 days 04:05:06.789
+    assert(PgBinary.toText(iv(14706789000L, 3, 14), Oid.Interval) ==
+      "1 year 2 mons 3 days 04:05:06.789")
+    // fields do not normalize: 25h stays on the clock part
+    assert(PgBinary.toText(iv(90000000000L, 0, 0), Oid.Interval) == "25:00:00")
+    // negative components pluralize like pg (only exactly 1 is singular)
+    assert(PgBinary.toText(iv(-3600000000L, -1, -12), Oid.Interval) ==
+      "-1 years -1 days -01:00:00")
+    // days-only: no trailing zero clock
+    assert(PgBinary.toText(iv(0L, 7, 0), Oid.Interval) == "7 days")
+  }
+
+  test("arrays: header, NULL elements, nesting, quoting") {
+    // int4[] {1,NULL,3}: ndim=1, hasnull=1, elem oid 23, dim (3, lb 1)
+    val i4 = be(4 + 4 + 4 + 8 + (4 + 4) + 4 + (4 + 4)) { b =>
+      b.putInt(1); b.putInt(1); b.putInt(23)
+      b.putInt(3); b.putInt(1)
+      b.putInt(4); b.putInt(1)
+      b.putInt(-1)
+      b.putInt(4); b.putInt(3)
+    }
+    assert(PgBinary.toText(i4, Oid.Int4Arr) == "{1,NULL,3}")
+    // text[] with array_out quoting: comma, quote+backslash, empty, literal NULL
+    def tElem(s: String): Array[Byte] = {
+      val raw = s.getBytes("UTF-8")
+      be(4 + raw.length) { b => b.putInt(raw.length); b.put(raw) }
+    }
+    val elems = Seq("a,b", "say \"hi\"\\", "", "NULL", "plain")
+    val tx = be(16 + 8 + elems.map(e => 4 + e.getBytes("UTF-8").length).sum) { b =>
+      b.putInt(1); b.putInt(0); b.putInt(25)
+      b.putInt(elems.size); b.putInt(1)
+      elems.foreach(e => b.put(tElem(e)))
+    }
+    assert(PgBinary.toText(tx, Oid.TextArr) ==
+      """{"a,b","say \"hi\"\\","","NULL",plain}""")
+    // 2-D int8[]: {{1,2},{3,4}} — row-major elements
+    val i8 = be(4 + 4 + 4 + 16 + 4 * (4 + 8)) { b =>
+      b.putInt(2); b.putInt(0); b.putInt(20)
+      b.putInt(2); b.putInt(1); b.putInt(2); b.putInt(1)
+      Seq(1L, 2L, 3L, 4L).foreach { v => b.putInt(8); b.putLong(v) }
+    }
+    assert(PgBinary.toText(i8, Oid.Int8Arr) == "{{1,2},{3,4}}")
+    // empty array: ndim=0, no dims
+    val empty = be(12) { b => b.putInt(0); b.putInt(0); b.putInt(23) }
+    assert(PgBinary.toText(empty, Oid.Int4Arr) == "{}")
+  }
+
+  test("binary array text round-trips through the pg array parser") {
+    // the rendered form must parse back through PgTextArray exactly like a
+    // 't' column would (quoted NULL is the string; bare NULL is SQL null)
+    val elems = Seq("a,b", "say \"hi\"\\", "", "NULL", "plain")
+    val tx = be(16 + 8 + elems.map(e => 4 + e.getBytes("UTF-8").length).sum) { b =>
+      b.putInt(1); b.putInt(0); b.putInt(25)
+      b.putInt(elems.size); b.putInt(1)
+      elems.foreach { e =>
+        val raw = e.getBytes("UTF-8"); b.putInt(raw.length); b.put(raw)
+      }
+    }
+    val parsed = graft.functions.PgTextArray.parse(PgBinary.toText(tx, Oid.TextArr))
+    assert(parsed.toSeq == elems)
+  }
+
   test("NULL passes through; unknown OID fails loudly") {
     assert(PgBinary.toText(null, Oid.Int4) == null)
     val ex = intercept[graft.pgproto.PgProtoException](
