@@ -273,6 +273,91 @@ class PgCdcSourceSpec extends AnyFunSuite {
     PgCdcRelations.clear("schema-evo")
   }
 
+  test("mid-stream DDL: typed views re-type across a micro-batch boundary; old-batch rows still decode") {
+    // The reference replaces a relation-cache entry whenever a new 'R'
+    // arrives (`pq/message/message.go:64-69`, implicit map overwrite). This
+    // drives that semantic END-TO-END across a REAL micro-batch boundary:
+    // batch 1 commits under schema v1, the stream goes idle, then a
+    // replacement Relation (added column + widened type) arrives with batch
+    // 2's frames. The registry must follow, typedViews must re-type, and
+    // batch-1 rows already in the sink must decode through the NEW schema.
+    final class AppendableWalSource extends WalSource {
+      private val queue = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+      @volatile private var confirmed: Long = graft.pgproto.Lsn.Zero
+      def push(fs: Seq[Array[Byte]]): Unit = fs.foreach(queue.add)
+      override def open(fromLsn: Long): Unit =
+        confirmed = math.max(confirmed, fromLsn)
+      override def poll(): Option[Array[Byte]] = Option(queue.poll())
+      override def ack(lsn: Long): Unit =
+        if (graft.pgproto.Lsn.compare(lsn, confirmed) > 0) confirmed = lsn
+      override def confirmedLsn: Long = confirmed
+      override def close(): Unit = ()
+    }
+
+    val relOid = 16520L
+    val v1 = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1), // int4
+      Messages.RelationColumn("score", 23L, -1, 0)) // int4
+    // ALTER TABLE ADD COLUMN note text + ALTER COLUMN score TYPE numeric(8,2)
+    val numericTypmod = ((8 << 16) | 2) + 4
+    val v2 = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1),
+      Messages.RelationColumn("score", 1700L, numericTypmod, 0),
+      Messages.RelationColumn("note", 25L, -1, 0))
+
+    val src = new AppendableWalSource
+    src.push(Seq(
+      MessageEncoder.xlogData(1, 1, T0, MessageEncoder.relation(relOid, "public", "grades", v1)),
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(103, T0, 7)),
+      MessageEncoder.xlogData(101, 101, T0, MessageEncoder.insert(relOid, Seq(Some("1"), Some("5")))),
+      MessageEncoder.xlogData(102, 102, T0, MessageEncoder.commit(102, 103, T0))))
+
+    PgCdcRelations.clear("midstream-ddl")
+    PgCdcTestHook.register("midstream-ddl", src)
+    val q = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "midstream-ddl")
+      .load()
+      .writeStream.format("memory").queryName("cdc_midstream_ddl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: schema v1 only
+      val envelope = spark.table("cdc_midstream_ddl")
+      val v1View = PgCdcRelations.typedViews("midstream-ddl", envelope)("public.grades")
+      // the view carries the envelope columns (lsn/op/...) then the typed ones
+      assert(v1View.schema.fieldNames.takeRight(2).toSeq == Seq("id", "score"))
+      assert(v1View.schema("score").dataType.typeName == "integer")
+      assert(v1View.collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("score"))).toSeq
+        == Seq((1, 5)))
+
+      // DDL lands between batches: replacement 'R' + a v2-shaped txn.
+      src.push(Seq(
+        MessageEncoder.xlogData(110, 110, T0, MessageEncoder.relation(relOid, "public", "grades", v2)),
+        MessageEncoder.xlogData(200, 200, T0, MessageEncoder.begin(203, T0, 8)),
+        MessageEncoder.xlogData(201, 201, T0,
+          MessageEncoder.insert(relOid, Seq(Some("2"), Some("7.25"), Some("late")))),
+        MessageEncoder.xlogData(202, 202, T0, MessageEncoder.commit(202, 203, T0))))
+      q.processAllAvailable() // batch 2: decoded under v2
+
+      val after = PgCdcRelations.typedViews("midstream-ddl", spark.table("cdc_midstream_ddl"))("public.grades")
+      assert(after.schema.fieldNames.takeRight(3).toSeq == Seq("id", "score", "note"),
+        "typed view must pick up the added column")
+      assert(after.schema("score").dataType.typeName == "decimal(8,2)",
+        "typed view must pick up the widened column type")
+      val rows = after.orderBy("id").collect()
+      assert(rows.length == 2, "batch-1 rows must still decode through the new schema")
+      assert(rows(0).getAs[java.math.BigDecimal]("score").compareTo(new java.math.BigDecimal("5")) == 0)
+      assert(rows(0).isNullAt(rows(0).fieldIndex("note")), "pre-DDL row has no note column -> NULL")
+      assert(rows(1).getAs[java.math.BigDecimal]("score").compareTo(new java.math.BigDecimal("7.25")) == 0)
+      assert(rows(1).getAs[String]("note") == "late")
+      // registry holds the latest relation
+      assert(PgCdcRelations.relations("midstream-ddl")("public.grades")
+        .columns.map(_.name).toSeq == Seq("id", "score", "note"))
+    } finally {
+      q.stop()
+      PgCdcRelations.clear("midstream-ddl")
+    }
+  }
+
   test("PgCdcRelations surfaces the live relation cache as typed views") {
     val relOid = 16500L
     val cols = Seq(
