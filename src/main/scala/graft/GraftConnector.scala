@@ -67,6 +67,22 @@ object GraftConnector {
     //    SetReplicaIdentities order).
     val pubMgr = cfg.publicationManager(exec, warn)
     val live = pubMgr.create()
+    // Boot against a PRE-EXISTING publication may silently stream the wrong
+    // table/operation set (create() tolerates and reuses it untouched, like
+    // the reference, which never ALTERs a publication). Surface the
+    // config-vs-live drift to the operator — report-only, matching the
+    // reference's logging stance.
+    pubMgr.drift().filterNot(_.isEmpty).foreach { d =>
+      def names(ts: Seq[(String, String)]) =
+        ts.map { case (sch, t) => s"$sch.$t" }.mkString(", ")
+      val parts = Seq(
+        (d.missingTables, s"tables missing from publication: ${names(d.missingTables)}"),
+        (d.extraTables, s"unexpected tables in publication: ${names(d.extraTables)}"),
+        (d.missingOperations, s"operations missing: ${d.missingOperations.mkString(", ")}"),
+        (d.extraOperations, s"unexpected operations: ${d.extraOperations.mkString(", ")}"))
+        .collect { case (s, msg) if s.nonEmpty => msg }
+      warn(s"publication drift (${cfg.publication.name}): ${parts.mkString("; ")}")
+    }
     val ddl = pubMgr.setReplicaIdentities()
 
     // 2. Snapshot decision + execution under the retry wrapper.

@@ -173,6 +173,40 @@ class GraftConnectorSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("boot against a drifted pre-existing publication warns the operator") {
+    // The publication EXISTS but publishes the wrong shape: a stale table
+    // set ({public.legacy} vs the configured public.users) and no truncate.
+    // create() must tolerate-and-reuse (reference semantics: never ALTER a
+    // publication), and start() must surface the drift through `warn`.
+    val server = new FakeWalsender(Seq.empty, sqlResults = { sql =>
+      if (sql.contains("pg_publication_tables"))
+        Some((Seq("pubname", "alltables", "ins", "upd", "del", "trunc", "tables"),
+          Seq(Seq(Some("e2e_pub"), Some("f"), Some("t"), Some("t"), Some("t"),
+            Some("f"), Some("{public.legacy}")))))
+      else if (sql.startsWith("SELECT slot_name")) // slot exists, inactive
+        Some((Seq("c"), Seq(Seq(Some("graft_slot"), Some("logical"), Some("f"),
+          None, Some("0/8"), Some("0/10"), Some("reserved"), Some("0/100")))))
+      else serve(sql)
+    })
+    try {
+      val cfg = GraftConfig(
+        host = "127.0.0.1", port = server.port, username = "u", database = "db",
+        publication = Config("e2e_pub", Seq(PubTable("public", "users"))),
+        slotName = "graft_slot",
+        snapshot = graft.snapshot.SnapshotConfig(mode = "never"))
+      val exec = new graft.pgproto.PgConnection(
+        "127.0.0.1", server.port, "u", "db", None).executor
+      val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+      GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, exec, warn = warnings += _)
+      val drift = warnings.filter(_.startsWith("publication drift"))
+      assert(drift.nonEmpty, s"drift warning expected; got: $warnings")
+      assert(drift.head.contains("tables missing from publication: public.users"))
+      assert(drift.head.contains("unexpected tables in publication: public.legacy"))
+      assert(drift.head.contains("operations missing: truncate"))
+    } finally server.close()
+  }
+
   test("completed job resumes without re-snapshotting; snapshot_only returns no stream") {
     val server = new FakeWalsender(Seq.empty, sqlResults = { sql =>
       // resuming: slot EXISTS and is inactive
