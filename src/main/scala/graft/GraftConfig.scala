@@ -70,7 +70,14 @@ final case class GraftConfig(
       */
     debugMode: Boolean = false) {
 
-  require(slotName.nonEmpty, "slot name required")
+  // snapshot_only never streams, so it can run without a configured slot —
+  // it uses the dedicated [[snapshotOnlySlotName]] (reference Validate()
+  // skips the slot checks in snapshot-only mode, `config.go:148-156`).
+  require(slotName.nonEmpty || snapshot.mode == "snapshot_only", "slot name required")
+  require(heartbeatIntervalMs > 0,
+    s"heartbeat interval must be positive (got $heartbeatIntervalMs ms)")
+  require(slotActivityCheckerIntervalMs > 0,
+    s"slot activity checker interval must be positive (got $slotActivityCheckerIntervalMs ms)")
   require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
   require(sslCert.isDefined == sslKey.isDefined,
     "sslcert and sslkey must be configured together")
@@ -150,7 +157,20 @@ final case class GraftConfig(
     */
   def slotManager(
       exec: graft.snapshot.CatalogReader.SqlExecutor): graft.services.SlotManager =
-    new graft.services.SlotManager(exec, slotName, slotCreateIfNotExists)
+    new graft.services.SlotManager(exec, snapshotSlotName, slotCreateIfNotExists)
+
+  /** Dedicated snapshot-only slot/job key (`connector.go:406-414`
+    * getSnapshotOnlySlotName): `snapshot.id` when set so multi-instance
+    * deployments share one job, else `snapshot_only_<database>`.
+    */
+  def snapshotOnlySlotName: String =
+    snapshot.id.filter(_.nonEmpty).getOrElse(s"snapshot_only_$database")
+
+  /** The slot/job key this boot coordinates on: the configured slot, or the
+    * dedicated snapshot-only name when mode is `snapshot_only`.
+    */
+  def snapshotSlotName: String =
+    if (snapshot.mode == "snapshot_only") snapshotOnlySlotName else slotName
 
   /** TimescaleDB chunk→hypertable mapper when [[enableTimescaleDb]] is set
     * (`config.go:44-46` ExtensionSupport), else None — callers compose the

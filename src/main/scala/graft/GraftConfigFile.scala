@@ -135,26 +135,35 @@ object GraftConfigFile {
     // (milliseconds) — the two spellings a reference yaml carries.
     def durationMs(v: Option[String], key: String): Option[Long] = v.map { s =>
       val t = s.trim
-      if (t.matches("-?\\d+")) t.toLong
-      else {
-        val re = "(\\d+(?:\\.\\d+)?)(ns|us|µs|ms|s|m|h)".r
-        val parts = re.findAllMatchIn(t).toSeq
-        val consumed = parts.map(_.matched).mkString
-        if (parts.isEmpty || consumed != t.replace(" ", "")) {
-          errs += s"$key: cannot parse duration '$s'"
-          0L
-        } else parts.map { p =>
-          val n = p.group(1).toDouble
-          p.group(2) match {
-            case "ns" => n / 1e6
-            case "us" | "µs" => n / 1e3
-            case "ms" => n
-            case "s" => n * 1000
-            case "m" => n * 60000
-            case "h" => n * 3600000
-          }
-        }.sum.toLong
+      // None = parse error (already recorded; skip the range check)
+      val parsed: Option[Long] =
+        if (t.matches("-?\\d+")) Some(t.toLong)
+        else {
+          val re = "(\\d+(?:\\.\\d+)?)(ns|us|µs|ms|s|m|h)".r
+          val parts = re.findAllMatchIn(t).toSeq
+          val consumed = parts.map(_.matched).mkString
+          if (parts.isEmpty || consumed != t.replace(" ", "")) {
+            errs += s"$key: cannot parse duration '$s'"
+            None
+          } else Some(parts.map { p =>
+            val n = p.group(1).toDouble
+            p.group(2) match {
+              case "ns" => n / 1e6
+              case "us" | "µs" => n / 1e3
+              case "ms" => n
+              case "s" => n * 1000
+              case "m" => n * 60000
+              case "h" => n * 3600000
+            }
+          }.sum.toLong)
+        }
+      // Every duration here is a loop interval: a non-positive value only
+      // surfaces later as Thread.sleep throwing mid-heartbeat/capture —
+      // reject it at load time with the other validations instead.
+      parsed.filter(_ <= 0).foreach { ms =>
+        errs += s"$key: duration must be positive (got '$s')"
       }
+      parsed.getOrElse(0L)
     }
 
     val slotActivityMs = durationMs(slot.str("slotActivityCheckerInterval"),
@@ -191,15 +200,19 @@ object GraftConfigFile {
         val name = t.str("name").getOrElse {
           errs += "snapshot.tables[].name cannot be empty"; ""
         }
+        // Per-table settings key on the schema-QUALIFIED name (like the
+        // reference's schema-aware table config) so same-named tables in
+        // different schemas get their own condition/strategy.
+        val schema = t.str("schema").getOrElse("public")
         val cond = t.str("queryCondition")
         val strat = t.str("snapshotPartitionStrategy")
-        Seq("schema", "columns", "partitioned", "replicaIdentity",
+        Seq("columns", "partitioned", "replicaIdentity",
           "replicaIdentityIndex").foreach(t.accept)
         t.finish()
-        (name, cond, strat)
+        (s"$schema.$name", cond, strat)
       }
     // coordination-only keys: accepted, no binding
-    Seq("instanceId", "id", "claimTimeout", "heartbeatInterval").foreach(snap.accept)
+    Seq("instanceId", "claimTimeout", "heartbeatInterval").foreach(snap.accept)
     val snapEnabled = snap.bool("enabled").getOrElse(true)
     val snapMode = snap.str("mode").getOrElse("initial")
     val snapshot = SnapshotConfig(
@@ -216,7 +229,10 @@ object GraftConfigFile {
       perTableStrategy = snapTableInfo.flatMap { case (n, _, st) =>
         st.map(v => n ->
           parseStrategy(v, "snapshot.tables[].snapshotPartitionStrategy"))
-      }.toMap)
+      }.toMap,
+      // Snapshot.ID: the snapshot-only slot/job key override so
+      // multi-instance snapshot_only deployments share one job.
+      id = snap.str("id"))
     snap.finish()
 
     val metric = m.section("metric")

@@ -87,13 +87,16 @@ object GraftConnector {
 
     // 2. Snapshot decision + execution under the retry wrapper.
     val slots = cfg.slotManager(replExec)
-    val take = SnapshotOrchestrator.shouldTakeSnapshot(cfg.snapshot, store, cfg.slotName)
+    // snapshot_only coordinates on the dedicated snapshot-only job key
+    // (resume across restarts); other modes use the replication slot name.
+    val slotKey = cfg.snapshotSlotName
+    val take = SnapshotOrchestrator.shouldTakeSnapshot(cfg.snapshot, store, slotKey)
     if (take) {
-      SnapshotOrchestrator.executeWithRetry(slots, store, cfg.slotName,
+      SnapshotOrchestrator.executeWithRetry(slots, store, slotKey,
         sleep = retrySleep) { job =>
         val cat = new CatalogReader(exec)
         cfg.publication.tables.foreach { t =>
-          val cond = cfg.snapshot.conditionFor(t.name)
+          val cond = cfg.snapshot.conditionFor(t.schema, t.name)
           val stats = cat.tableStats(t.schema, t.name, cond)
           val allCols = cat.tableColumns(t.schema, t.name)
           val cols =
@@ -111,17 +114,19 @@ object GraftConnector {
           snapshotSink(s"${t.schema}.${t.name}", frame)
         }
       }
-      SnapshotOrchestrator.complete(store, cfg.slotName)
-    } else {
+      SnapshotOrchestrator.complete(store, slotKey)
+    } else if (cfg.snapshot.mode != "snapshot_only") {
       // no snapshot this boot (resume from a completed job, or mode never):
       // ensure the slot exists — warn-and-reuse, created when missing
       slots.create()
     }
+    // snapshot_only + completed job: nothing to do — the reference exits
+    // here ("snapshot-only already completed", connector.go:240-243)
 
     // 3. Stream, positioned at the handoff LSN when a completed job pins one.
     val startLsn =
       if (cfg.snapshot.mode == "never") None
-      else Some(SnapshotOrchestrator.streamStartLsn(store, cfg.slotName))
+      else Some(SnapshotOrchestrator.streamStartLsn(store, slotKey))
     val stream =
       if (!SnapshotOrchestrator.shouldStream(cfg.snapshot)) None
       else Some(spark.readStream.format("pgcdc")

@@ -108,12 +108,20 @@ object SnapshotOrchestrator {
     *    mid-snapshot) is wiped first — its exported transaction is gone and
     *    its LSN stale, so resuming it would duplicate data
     *    (`coordinator.go:32-46`);
-    *  - `snapshot_only`: always.
+    *  - `snapshot_only`: skip when a completed job exists under the
+    *    dedicated snapshot-only key (resume, `connector.go:416-443`),
+    *    honoring `resnapshot`.
     */
   def shouldTakeSnapshot(cfg: SnapshotConfig, store: SnapshotJobStore, slotName: String): Boolean =
     cfg.mode match {
       case "never" => false
-      case "snapshot_only" => true
+      case "snapshot_only" =>
+        // Resume capability (`connector.go` shouldTakeSnapshotOnly): a
+        // restarted snapshot_only deployment must NOT redo completed work —
+        // skip when the store holds a completed job, unless resnapshot asks
+        // for a fresh pass. Incomplete/missing → take (prepare() wipes).
+        if (cfg.resnapshot) { store.cleanup(slotName); true }
+        else !store.load(slotName).exists(_.completed)
       case "initial" =>
         if (cfg.resnapshot) { store.cleanup(slotName); true }
         else store.load(slotName) match {

@@ -12,26 +12,45 @@ final case class SnapshotConfig(
     chunkSize: Long = 8000L,
     strategy: ChunkPlanner.Strategy = ChunkPlanner.Auto,
     globalCondition: Option[String] = None,
+    /** Keys are either schema-qualified (`schema.table`, wins) or bare table
+      * names (applies to that table in ANY schema — the pre-r9 behavior,
+      * kept as a wildcard fallback so bare-keyed configs stay valid).
+      */
     perTableCondition: Map[String, String] = Map.empty,
     resnapshot: Boolean = false,
     /** Per-table partition-strategy override (`pq/publication/table.go:38-41`
       * SnapshotPartitionStrategy) — for hash-shaped integer PKs where range
       * partitioning degenerates, a single table can force ctid/offset while
-      * the rest auto-detect.
+      * the rest auto-detect. Same key rules as [[perTableCondition]].
       */
-    perTableStrategy: Map[String, ChunkPlanner.Strategy] = Map.empty) {
+    perTableStrategy: Map[String, ChunkPlanner.Strategy] = Map.empty,
+    /** Snapshot coordination id (`config.go` Snapshot.ID): in snapshot_only
+      * mode this names the dedicated slot/job key so multi-instance
+      * deployments share one job; empty → `snapshot_only_<database>`.
+      */
+    id: Option[String] = None) {
   require(Seq("initial", "never", "snapshot_only").contains(mode), s"bad snapshot mode: $mode")
 
-  /** Per-table overrides global (`config/config.go:193-199,291-316`). */
-  def conditionFor(table: String): Option[String] =
-    perTableCondition.get(table).orElse(globalCondition).map { c =>
+  /** Per-table overrides global (`config/config.go:193-199,291-316`);
+    * schema-qualified key overrides bare table name.
+    */
+  def conditionFor(schema: String, table: String): Option[String] =
+    lookup(perTableCondition, schema, table).orElse(globalCondition).map { c =>
       SnapshotQuery.validateCondition(c).fold(
         err => throw new IllegalArgumentException(err), identity)
     }
 
+  /** Bare-name lookup (no schema context — parquet/test paths). */
+  def conditionFor(table: String): Option[String] = conditionFor("", table)
+
   /** Strategy for one table: its override, else the global setting. */
-  def strategyFor(table: String): ChunkPlanner.Strategy =
-    perTableStrategy.getOrElse(table, strategy)
+  def strategyFor(schema: String, table: String): ChunkPlanner.Strategy =
+    lookup(perTableStrategy, schema, table).getOrElse(strategy)
+
+  def strategyFor(table: String): ChunkPlanner.Strategy = strategyFor("", table)
+
+  private def lookup[A](m: Map[String, A], schema: String, table: String): Option[A] =
+    (if (schema.nonEmpty) m.get(s"$schema.$table") else None).orElse(m.get(table))
 }
 
 /** Executes a planned snapshot as a partitioned Spark read.
@@ -56,8 +75,8 @@ object SnapshotReader {
       stats: ChunkPlanner.TableStats, cfg: SnapshotConfig,
       exportedSnapshotId: Option[String] = None,
       props: java.util.Properties = new java.util.Properties()): DataFrame = {
-    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(table))
-    val cond = cfg.conditionFor(table)
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(schema, table))
+    val cond = cfg.conditionFor(schema, table)
     exportedSnapshotId.foreach { id =>
       props.setProperty("sessionInitStatement",
         s"BEGIN; SET TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
@@ -106,8 +125,8 @@ object SnapshotReader {
         * fails here.
         */
       sslPassword: Option[String] = None): DataFrame = {
-    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(table))
-    val cond = cfg.conditionFor(table)
+    val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(schema, table))
+    val cond = cfg.conditionFor(schema, table)
     val sqls = chunks.map(ch =>
       SnapshotQuery.chunkSql(schema, table, columns.map(_.name), ch, cond, orderByPk))
     val pin = exportedSnapshotId.map(id =>

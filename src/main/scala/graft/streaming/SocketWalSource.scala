@@ -98,6 +98,14 @@ final class SocketWalSource(
           try conn.close() catch { case _: java.io.IOException => () }
           conn = null
           captureSleep(captureBackoffMs)
+        case e: Throwable =>
+          // Terminal failure (55006 past the retry budget, or any other
+          // handshake error): close the freshly-dialed socket before the
+          // exception escapes — open() failing must not leak a connection
+          // the caller never learned about.
+          try conn.close() catch { case _: java.io.IOException => () }
+          conn = null
+          throw e
       }
     }
 

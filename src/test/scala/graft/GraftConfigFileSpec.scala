@@ -145,10 +145,13 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(cfg.enableTimescaleDb)
     assert(cfg.slotActivityCheckerIntervalMs == 2500L, "bare int = milliseconds")
     assert(cfg.heartbeatIntervalMs == 10000L, "Go duration string parses")
-    assert(cfg.snapshot.perTableCondition == Map("books" -> "id > 0"))
-    assert(cfg.snapshot.strategyFor("books") == ChunkPlanner.CtidBlock,
+    // snapshot.tables[] keys are schema-qualified (default schema public)
+    assert(cfg.snapshot.perTableCondition == Map("public.books" -> "id > 0"))
+    assert(cfg.snapshot.strategyFor("public", "books") == ChunkPlanner.CtidBlock,
       "per-table strategy override (table.go:38-41)")
-    assert(cfg.snapshot.strategyFor("users") == ChunkPlanner.Auto)
+    assert(cfg.snapshot.strategyFor("other", "books") == ChunkPlanner.Auto,
+      "same-named table in another schema keeps the global strategy")
+    assert(cfg.snapshot.strategyFor("public", "users") == ChunkPlanner.Auto)
     assert(cfg.snapshot.chunkSize == 2000L)
 
     // enabled: false forces mode never (config.go:107-110)
@@ -279,7 +282,7 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(cfg.publication.tables(1).columns == Seq("id", "email"))
     assert(cfg.slotActivityCheckerIntervalMs == 1500L)
     assert(cfg.snapshot.chunkSize == 4000L)
-    assert(cfg.snapshot.strategyFor("books") == ChunkPlanner.OffsetLimit)
+    assert(cfg.snapshot.strategyFor("public", "books") == ChunkPlanner.OffsetLimit)
 
     // identical validation path: unknown keys + every problem joined
     val e = intercept[IllegalArgumentException](GraftConfigFile.fromJson(
@@ -307,6 +310,30 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("database cannot be empty"))
     assert(e.getMessage.contains("slot.name cannot be empty"))
     assert(e.getMessage.contains("5 problem(s)"))
+  }
+
+  test("non-positive durations are rejected at load time") {
+    // A negative interval would otherwise only surface as Thread.sleep
+    // throwing inside the heartbeat/capture loop.
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |slot:
+        |  name: s1
+        |  slotActivityCheckerInterval: -100
+        |heartbeat:
+        |  interval: 0ms
+        |""".stripMargin))
+    assert(e.getMessage.contains(
+      "slot.slotActivityCheckerInterval: duration must be positive (got '-100')"))
+    assert(e.getMessage.contains(
+      "heartbeat.interval: duration must be positive (got '0ms')"))
   }
 
   test("heartbeat table must be included in the publication") {

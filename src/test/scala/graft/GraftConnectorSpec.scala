@@ -144,7 +144,9 @@ class GraftConnectorSpec extends AnyFunSuite {
         host = "127.0.0.1", port = server.port, username = "u", database = "db",
         publication = Config("e2e_pub", Seq(PubTable("public", "users"))),
         slotName = "graft_slot",
-        snapshot = graft.snapshot.SnapshotConfig(mode = "snapshot_only", chunkSize = 3L))
+        // snapshot.id pins the snapshot-only job/slot key to the fake's name
+        snapshot = graft.snapshot.SnapshotConfig(
+          mode = "snapshot_only", chunkSize = 3L, id = Some("graft_slot")))
       val exec = new graft.pgproto.PgConnection(
         "127.0.0.1", server.port, "u", "db", None).executor
       val store = new SnapshotJobStore.InMemory
@@ -232,23 +234,37 @@ class GraftConnectorSpec extends AnyFunSuite {
       assert(boot.startLsn.contains(77L), "stream resumes from the recorded job LSN")
       assert(boot.stream.isDefined)
 
+      // snapshot_only coordinates on the dedicated snapshot-only key
+      // (snapshot.id here), snapshots when no completed job exists, and
+      // RESUMES (skips) on a restart with the same store.
       val snapOnly = cfg.copy(snapshot = graft.snapshot.SnapshotConfig(
-        mode = "snapshot_only", chunkSize = 3L))
-      // snapshot_only always snapshots; slot must be fresh for it
-      val server2Queries = server.queries
-      val boot2 = GraftConnector.start(spark,
-        snapOnly.copy(slotName = "snap_only_slot"),
-        new SnapshotJobStore.InMemory,
-        exec,
-        { sql => // fresh slot for the snapshot-only run
-          if (sql.startsWith("SELECT slot_name")) Nil
-          else if (sql.startsWith("CREATE_REPLICATION_SLOT"))
-            Seq(Seq("snap_only_slot", "0/20", "snap-2", "pgoutput"))
-          else exec(sql)
-        },
-        snapshotSink = (_, _) => sinkCalls += 1)
+        mode = "snapshot_only", chunkSize = 3L, id = Some("snap_only_slot")))
+      assert(snapOnly.snapshotSlotName == "snap_only_slot",
+        "snapshot.id names the snapshot-only job key")
+      assert(cfg.copy(snapshot = graft.snapshot.SnapshotConfig(mode = "snapshot_only"))
+        .snapshotSlotName == "snapshot_only_db",
+        "without snapshot.id the key derives from the database name")
+      val snapOnlyStore = new SnapshotJobStore.InMemory
+      val snapOnlyExec: graft.snapshot.CatalogReader.SqlExecutor = { sql =>
+        if (sql.startsWith("SELECT slot_name")) Nil // fresh slot
+        else if (sql.startsWith("CREATE_REPLICATION_SLOT"))
+          Seq(Seq("snap_only_slot", "0/20", "snap-2", "pgoutput"))
+        else exec(sql)
+      }
+      val boot2 = GraftConnector.start(spark, snapOnly, snapOnlyStore,
+        exec, snapOnlyExec, snapshotSink = (_, _) => sinkCalls += 1)
       assert(sinkCalls == 1)
       assert(boot2.stream.isEmpty, "snapshot_only runs no stream afterwards")
+      // restart with the same store: completed job → resume, no rework
+      GraftConnector.start(spark, snapOnly, snapOnlyStore,
+        exec, snapOnlyExec, snapshotSink = (_, _) => sinkCalls += 1)
+      assert(sinkCalls == 1, "restarted snapshot_only must not re-deliver")
+      // resnapshot forces a fresh pass
+      GraftConnector.start(spark,
+        snapOnly.copy(snapshot = snapOnly.snapshot.copy(resnapshot = true)),
+        snapOnlyStore, exec, snapOnlyExec,
+        snapshotSink = (_, _) => sinkCalls += 1)
+      assert(sinkCalls == 2, "resnapshot re-takes the snapshot-only pass")
     } finally server.close()
   }
 }

@@ -24,7 +24,14 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     st.save(SnapshotJob("s1", "snap-1", 100L, completed = true))
     assert(!shouldTakeSnapshot(SnapshotConfig(mode = "initial"), st, "s1"), "completed job → skip")
 
-    assert(shouldTakeSnapshot(SnapshotConfig(mode = "snapshot_only"), st, "s1"))
+    // snapshot_only resumes: completed job under its key → skip (reference
+    // shouldTakeSnapshotOnly); fresh key → take; resnapshot → wipe + take.
+    assert(!shouldTakeSnapshot(SnapshotConfig(mode = "snapshot_only"), st, "s1"),
+      "snapshot_only with a completed job must not redo the work")
+    assert(shouldTakeSnapshot(SnapshotConfig(mode = "snapshot_only"), st, "fresh_key"))
+    assert(shouldTakeSnapshot(
+      SnapshotConfig(mode = "snapshot_only", resnapshot = true), st, "s1"))
+    assert(st.load("s1").isEmpty, "resnapshot wiped the snapshot-only job")
     assert(!shouldStream(SnapshotConfig(mode = "snapshot_only")), "snapshot_only never streams")
   }
 

@@ -77,6 +77,10 @@ final class FakeWalsender(
   val statusUpdates = mutable.ArrayBuffer.empty[Array[Byte]]
   /** Startup parameters of the most recent connection. */
   @volatile var startupParams: Map[String, String] = Map.empty
+  /** Connections currently being served — a client-side leak shows up as a
+    * count that never drains (the serve thread stays parked on read).
+    */
+  val liveConnections = new java.util.concurrent.atomic.AtomicInteger(0)
 
   @volatile private var running = true
   private val acceptor = new Thread(() => acceptLoop(), "fake-walsender-accept")
@@ -86,8 +90,15 @@ final class FakeWalsender(
   private def acceptLoop(): Unit =
     try while (running) {
       val sock = server.accept()
-      val t = new Thread(() => try serve(sock) catch { case _: Throwable => () },
-        "fake-walsender-conn")
+      val t = new Thread(() => {
+        liveConnections.incrementAndGet()
+        try serve(sock)
+        catch { case _: Throwable => () }
+        finally {
+          liveConnections.decrementAndGet()
+          try sock.close() catch { case _: Throwable => () }
+        }
+      }, "fake-walsender-conn")
       t.setDaemon(true)
       t.start()
     } catch { case _: Throwable => () }

@@ -100,6 +100,11 @@ class SocketWalSourceSpec extends AnyFunSuite {
       assert(server.queries.synchronized {
         server.queries.count(_.startsWith("START_REPLICATION")) } == 3,
         "initial attempt + 2 retries, then the genuine holder wins")
+      // The terminal failure must not leak its freshly-dialed socket: every
+      // server-side serve thread drains once the client closes its end.
+      awaitTrue("failed open() closed its connection") {
+        server.liveConnections.get() == 0
+      }
     } finally server.close()
   }
 
