@@ -94,6 +94,8 @@ object SparkEntry {
     "q_length_quantiles" -> ((s, d) => TextQueries.lengthQuantiles(s, d).orderBy("lang")),
     "q_lm_score" -> ((s, d) => TextQueries.lmScore(s, d).orderBy("lang")),
     "q_pii_scan" -> ((s, d) => TextQueries.piiScan(s, d).orderBy("source")),
+    "q_pii_redact" -> ((s, d) => TextQueries.piiRedact(s, d).orderBy("source")),
+    "q_corpus_split" -> ((s, d) => CurationQueries.corpusSplit(s, d).orderBy("split")),
     "q_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d).orderBy("lang")),
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => DedupQueries.dedupExact(s, d)),
@@ -748,6 +750,48 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs, round(avg(bits), 4) AS avg_bits,
                 round(min(bits), 4) AS min_bits, round(max(bits), 4) AS max_bits
          FROM docbits GROUP BY lang ORDER BY lang""",
+    // PII redaction: the oracle pins the REPLACEMENT ORDER (emails and URLs
+    // before digit runs — both can contain digits) via the aggregate
+    // before/after lengths; 'g' makes DuckDB replace-all like Spark.
+    "q_pii_redact" ->
+      """WITH corpus AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'customer_audit' AS source,
+             'contact ' || c_name || ' <' || lower(c_mktsegment) || '.' ||
+             CAST(c_custkey AS VARCHAR) || '@mail.example.com> id ' ||
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') ||
+             ' https://portal.example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
+           FROM customer),
+         red AS (
+           SELECT source, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               'https?://[^ ]+', '[URL]', 'g'),
+               '[0-9]{6,}', '[NUM]', 'g') AS r
+           FROM corpus)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           CAST(sum(length(text)) AS BIGINT) AS len_before,
+           CAST(sum(length(r)) AS BIGINT) AS len_after
+         FROM red GROUP BY source ORDER BY source""",
+    // Deterministic hash split: seeded md5 nibble per doc_id — any worker
+    // computes any document's split with no RNG state or shuffle.
+    "q_corpus_split" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CASE
+               WHEN ('0x' || substr(md5('split-' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 >= 14
+                 THEN 'test'
+               WHEN ('0x' || substr(md5('split-' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 >= 12
+                 THEN 'val'
+               ELSE 'train' END AS split
+           FROM documents)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM s GROUP BY split ORDER BY split""",
     "q_pii_scan" ->
       """WITH corpus AS (
            SELECT source, text FROM documents

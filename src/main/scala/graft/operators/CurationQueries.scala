@@ -51,6 +51,29 @@ object CurationQueries {
         sum(when(col("u") < col("rate"), col("doc_id"))).as("kept_id_sum"))
   }
 
+  /** Deterministic train/val/test corpus split — the assignment a 100-TB
+    * training pipeline needs: a pure function of the doc id (seeded md5
+    * nibble), so any worker computes any document's split with NO central
+    * RNG state, no shuffle, and stable membership under re-runs and corpus
+    * appends. Buckets: nibble 0-11 train (75%), 12-13 val, 14-15 test.
+    * Reported as per-split counts/char-volume/id-range; the `split` column
+    * itself is a plain projection a pipeline would partitionBy on write.
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val nibble = hash60(concat(lit("split-"), col("doc_id").cast("string"))) % 16
+    val split = when(nibble >= 14, "test")
+      .when(nibble >= 12, "val")
+      .otherwise("train")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), split.as("split"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+  }
+
   private val TopK = 5
 
   /** Per-language vocabulary heavy hitters: lowercase alpha tokens, exact

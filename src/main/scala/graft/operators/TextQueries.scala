@@ -438,11 +438,16 @@ object TextQueries {
     * partial-agg groupBy on the low-cardinality source key; no shuffle of
     * text, no explosion to one-row-per-match.
     */
-  def piiScan(s: SparkSession, dir: String): DataFrame = {
-    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-    val longDigits = "[0-9]{6,}"
-    val url = "https?://[^ ]+"
-    def n(p: String) = regexp_count(col("text"), lit(p))
+  private val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PiiLongDigits = "[0-9]{6,}"
+  private val PiiUrl = "https?://[^ ]+"
+
+  /** The documents corpus plus the deterministic `customer_audit` source —
+    * each audit row carries exactly one email, one URL, and two long digit
+    * runs by construction, so the PII scan/redact oracles exercise real
+    * matches (the synthetic documents contain none).
+    */
+  private def corpusWithAudit(s: SparkSession, dir: String): DataFrame = {
     val auditText = concat(
       lit("contact "), col("c_name"),
       lit(" <"), lower(col("c_mktsegment")), lit("."), col("c_custkey").cast("string"),
@@ -453,6 +458,14 @@ object TextQueries {
       .select(lit("customer_audit").as("source"), auditText.as("text"))
     Tables.documents(s, dir).select(col("source"), col("text"))
       .unionByName(audit)
+  }
+
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val email = PiiEmail
+    val longDigits = PiiLongDigits
+    val url = PiiUrl
+    def n(p: String) = regexp_count(col("text"), lit(p))
+    corpusWithAudit(s, dir)
       .select(col("source"),
         n(email).as("n_email"), n(longDigits).as("n_digits"), n(url).as("n_url"))
       .groupBy("source")
@@ -464,6 +477,34 @@ object TextQueries {
         sum("n_digits").as("total_digit_runs"),
         sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("docs_with_urls"),
         sum("n_url").as("total_urls"))
+  }
+
+  /** PII REDACTION — the transform companion to [[piiScan]]: rewrite every
+    * email → `[EMAIL]`, URL → `[URL]`, then ≥6-digit run → `[NUM]` (emails
+    * and URLs are replaced first because both can contain digit runs, so
+    * the replacement order is semantically load-bearing and pinned by the
+    * oracle). Reported as per-source before/after aggregates; the redacted
+    * text itself stays a plain projection a pipeline would write back out.
+    *
+    * 100-TB shape: three codegen'd regexp_replace calls in ONE projection
+    * (no text shuffle) + a partial-agg groupBy on the low-cardinality
+    * source key. Patterns are the same engine-portable character-class
+    * regexes the scan uses.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(PiiEmail), lit("[EMAIL]")),
+        lit(PiiUrl), lit("[URL]")),
+      lit(PiiLongDigits), lit("[NUM]"))
+    corpusWithAudit(s, dir)
+      .select(col("source"), col("text"), redacted.as("red"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("red") =!= col("text"), 1L).otherwise(0L)).as("n_redacted"),
+        sum(length(col("text")).cast("long")).as("len_before"),
+        sum(length(col("red")).cast("long")).as("len_after"))
   }
 
   /** Top ranks used for the Zipf fit — head of the rank-frequency curve. */
