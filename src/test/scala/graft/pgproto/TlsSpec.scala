@@ -192,12 +192,14 @@ class TlsSpec extends AnyFunSuite {
       val missing = intercept[Exception](
         new PgConnection("localhost", server.port, "u", "db", sslMode = "require",
           sslCert = Some(clientMaterial._1), sslKey = Some(encryptedClientKey)))
-      assert(missing.getMessage.contains("sslpassword"))
+      // echo the actual exception on mismatch: this failed once under
+      // full-suite load and the bare assert hid what was really thrown
+      assert(missing.getMessage.contains("sslpassword"), s"got: $missing")
       val wrong = intercept[Exception](
         new PgConnection("localhost", server.port, "u", "db", sslMode = "require",
           sslCert = Some(clientMaterial._1), sslKey = Some(encryptedClientKey),
           sslPassword = Some("nope")))
-      assert(wrong.getMessage.contains("wrong sslpassword"))
+      assert(wrong.getMessage.contains("wrong sslpassword"), s"got: $wrong")
     } finally server.close()
   }
 
