@@ -135,6 +135,7 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, d) => AnnQueries.annCosine(s, d).orderBy("query_id", "rnk")),
     "q_ann_lsh" -> ((s, d) => AnnQueries.annLsh(s, d).orderBy("query_id", "rnk")),
     "q_ann_ivf" -> ((s, d) => AnnQueries.annIvf(s, d).orderBy("query_id", "rnk")),
+    "q_ann_pq" -> ((s, d) => AnnQueries.annPq(s, d).orderBy("query_id", "rnk")),
     "q_centroid_drift" -> ((s, d) => AnnQueries.centroidDrift(s, d).orderBy("label")),
     "q_vec_quantize" -> ((s, d) => AnnQueries.vecQuantizeAudit(s, d).orderBy("label")),
     "q_semantic_dedup" -> ((s, d) => AnnQueries.semanticDedup(s, d).orderBy("cell")),
@@ -150,6 +151,52 @@ object SparkEntry {
     * leak), empty cells keeping their centroid; `fa` = the final
     * (vec_id, cell) assignment.
     */
+  /** Generated per-subspace k-means CTE chain for the PQ oracle — the same
+    * deterministic recipe as [[ivfKmeansCte]] (md5-ordered seeding, 3
+    * unrolled Lloyd's iterations, 6-decimal means, empty cells keep their
+    * codeword) run independently on each 16-dim slice with L2 assignment
+    * (`‖c‖² − 2·x·c` ordering, ties to the lowest code). `pq{m}c3` is
+    * subspace m's final codebook; `enc` carries every vector's 4 codes.
+    */
+  private val pqKmeansCte: String = {
+    val subs = (0 until 4).map { m =>
+      val lo = m * 16 + 1
+      val hi = (m + 1) * 16
+      val chain = Seq(1, 2, 3).map { i =>
+        s"""pq${m}a$i AS (
+           SELECT vec_id, cid AS code FROM (
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(vn.u[$lo:$hi], c.c), c.cid) AS rk
+             FROM vn, pq${m}c${i - 1} c) WHERE rk = 1),
+         pq${m}m$i AS (
+           SELECT a.code AS cid, ti.range AS i2, round(avg(vn.u[$lo + ti.range]), 6) AS w
+           FROM pq${m}a$i a JOIN vn USING (vec_id) CROSS JOIN range(16) ti GROUP BY 1, 2),
+         pq${m}n$i AS (SELECT cid, list(w ORDER BY i2) AS c FROM pq${m}m$i GROUP BY 1),
+         pq${m}c$i AS (SELECT p.cid, COALESCE(n.c, p.c) AS c FROM pq${m}c${i - 1} p LEFT JOIN pq${m}n$i n USING (cid))"""
+      }.mkString(",\n         ")
+      s"""pq${m}c0 AS (SELECT cid, u[$lo:$hi] AS c FROM pqseeds),
+         $chain,
+         pq${m}f AS (
+           SELECT vec_id, cid AS code FROM (
+             SELECT vn.vec_id, c.cid, row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(vn.u[$lo:$hi], c.c), c.cid) AS rk
+             FROM vn, pq${m}c3 c) WHERE rk = 1)"""
+    }.mkString(",\n         ")
+    s"""vecs AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+         vn AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM vecs),
+         pqseeds AS (
+           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, u
+           FROM vn QUALIFY cid <= 16),
+         $subs,
+         enc AS (
+           SELECT f0.vec_id, f0.code AS k0, f1.code AS k1, f2.code AS k2, f3.code AS k3
+           FROM pq0f f0 JOIN pq1f f1 USING (vec_id)
+           JOIN pq2f f2 USING (vec_id) JOIN pq3f f3 USING (vec_id))"""
+  }
+
   private val ivfKmeansCte: String =
     s"""vecs AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1435,6 +1482,41 @@ object SparkEntry {
            FROM cand c
            JOIN vecs qv ON qv.vec_id = c.qid
            JOIN vecs nv ON nv.vec_id = c.nid),
+         ranked AS (
+           SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           FROM sims)
+         SELECT qid AS query_id, rnk, nid AS neighbor_id, round(sim, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY 1, 2""",
+    // PQ/ADC with exact re-rank: per-subspace codebooks trained by the
+    // generated k-means CTEs, every vector encoded as 4 codes, queries
+    // shortlist 128 candidates by the FIXED-ORDER subspace sum (left-assoc
+    // in both engines -> bit-identical doubles), then exact cosine on the
+    // shortlist only.
+    "q_ann_pq" ->
+      s"""WITH $pqKmeansCte,
+         q AS (SELECT vec_id AS qid, u FROM vn WHERE vec_id % 41 = 0),
+         scored AS (
+           SELECT q.qid, e.vec_id AS nid,
+             list_dot_product(q.u[1:16], b0.c) + list_dot_product(q.u[17:32], b1.c)
+               + list_dot_product(q.u[33:48], b2.c) + list_dot_product(q.u[49:64], b3.c) AS approx
+           FROM enc e
+           JOIN pq0c3 b0 ON b0.cid = e.k0
+           JOIN pq1c3 b1 ON b1.cid = e.k1
+           JOIN pq2c3 b2 ON b2.cid = e.k2
+           JOIN pq3c3 b3 ON b3.cid = e.k3
+           CROSS JOIN q WHERE e.vec_id <> q.qid),
+         shortlist AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nid) AS ark
+             FROM scored) WHERE ark <= 128),
+         sims AS (
+           SELECT sl.qid, sl.nid,
+             list_dot_product(qv.v, nv.v) / (qv.norm * nv.norm) AS sim
+           FROM shortlist sl
+           JOIN vecs qv ON qv.vec_id = sl.qid
+           JOIN vecs nv ON nv.vec_id = sl.nid),
          ranked AS (
            SELECT qid, nid, sim,
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk

@@ -32,6 +32,7 @@ object SharedCaches {
     ShingleSets.releaseAll(s)
     AnnQueries.releaseSignatures(s)
     AnnQueries.releaseCentroids(s)
+    AnnQueries.releasePqCodebooks(s)
     DedupQueries.releaseClusterLabels(s)
     DedupQueries.releaseStreamingFlags(s)
     TextQueries.releaseTrigrams(s)

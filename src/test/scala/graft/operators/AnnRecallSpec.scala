@@ -109,4 +109,19 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"IVF top-3 recall vs exact: ${recall * 100}%.1f%% (${ivf.intersect(exact).size}/${exact.size})")
     assert(recall >= 0.60, f"trained-IVF recall $recall%.3f below the 60%% bar")
   }
+
+  test("PQ+rerank top-3 recall >= 45% on sf0.1 (128-deep ADC shortlist)") {
+    // 64 dims -> 4 code bytes (64x compression) is a brutal quantization on
+    // a corpus whose exact top-3 sit at cosine 0.33-0.5 with tiny gaps;
+    // measured 51.0% recall with the exact re-rank touching only the
+    // 128-candidate shortlist (6.4% of the corpus). ADC-only top-3 (no
+    // re-rank) measures ~5% here — the re-rank stage IS the recall, which
+    // is exactly the production PQ shape. On a clustered corpus the same
+    // index runs a far shallower shortlist.
+    val exact = topPairs(AnnQueries.annCosine(spark, dir))
+    val pq = topPairs(AnnQueries.annPq(spark, dir))
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(f"PQ top-3 recall vs exact: ${recall * 100}%.1f%% (${pq.intersect(exact).size}/${exact.size})")
+    assert(recall >= 0.45, f"PQ+rerank recall $recall%.3f below the 45%% bar")
+  }
 }
