@@ -153,6 +153,8 @@ class GraftConfigFileSpec extends AnyFunSuite {
       "same-named table in another schema keeps the global strategy")
     assert(cfg.snapshot.strategyFor("public", "users") == ChunkPlanner.Auto)
     assert(cfg.snapshot.chunkSize == 2000L)
+    // snapshot.id binds (snapshot-only job key override, connector.go:409-413)
+    assert(cfg.snapshot.id.contains("snap-42"))
 
     // enabled: false forces mode never (config.go:107-110)
     val disabled = GraftConfigFile.fromYaml(
