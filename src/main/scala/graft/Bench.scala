@@ -151,12 +151,19 @@ object Bench {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val total = results.map(_._2).sum
-    // The driver keeps the LAST 2000 characters of output; shrink until the
-    // line fits — 3-decimal values, then 2-decimal, then drop the reruns
-    // echo (the TSV always has full precision).
-    def render(decimals: Int, withReruns: Boolean): String = {
+    // The driver keeps the LAST 2000 characters of output — and sbt prints
+    // "[success] Total time: …" AFTER our line (~80 chars), so the window
+    // cuts the line's HEAD when line+trailer > 2000: round 8 shipped all 82
+    // entries in the tail yet `parsed: null` because `{"metric":…` itself
+    // fell outside the window. Budget 1900, not 1990. Shrink ladder:
+    // 3-decimal values, then 2, then drop the reruns echo, then 1, then
+    // drop the prep_* entries from stdout (they are index-build
+    // attribution, preserved at full precision in the history TSV; the
+    // graded per-query numbers stay).
+    def render(decimals: Int, withReruns: Boolean, withPreps: Boolean): String = {
       def r(v: Double): String = s"%.${decimals}f".format(v)
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
+      val kept = results.filter { case (k, _) => withPreps || !k.startsWith("prep_") }
+      val qs = kept.map { case (k, v) => s"\"" + k + "\":" + r(v) }
         .mkString("{", ",", "}")
       val errField =
         if (errors.isEmpty) ""
@@ -168,8 +175,10 @@ object Bench {
           s""""$k":[${r(a)},${r(b)}]""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$errField$rerunField,"sf":"$sfBase"}"""
     }
-    val line = Seq(render(3, true), render(2, true), render(2, false), render(1, false))
-      .find(_.length <= 1990).getOrElse(render(1, false))
+    val line = Seq(
+      render(3, true, true), render(2, true, true), render(2, false, true),
+      render(1, false, true), render(1, false, false))
+      .find(_.length <= 1900).getOrElse(render(1, false, false))
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
