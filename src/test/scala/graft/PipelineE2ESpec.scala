@@ -113,8 +113,15 @@ class PipelineE2ESpec extends AnyFunSuite {
       .filter($"n_toks" >= 10)
       .select($"id", $"lang", $"body")
 
+    // deterministic split assignment rides the same projection a training
+    // export would partitionBy on — seeded md5 nibble, no RNG state
+    val nibble = conv(substring(md5(concat(lit("split-"), $"id".cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 16
+    val withSplit = gated.withColumn("split",
+      when(nibble >= 14, "test").when(nibble >= 12, "val").otherwise("train"))
+
     val out = Files.createTempDirectory("graft-e2e").toFile
-    graft.operators.ScaleOps.writeCorpus(gated, out.getAbsolutePath,
+    graft.operators.ScaleOps.writeCorpus(withSplit, out.getAbsolutePath,
       partitionCols = Seq("lang"), sortCols = Seq("id"), maxRecordsPerFile = 10)
 
     val back = spark.read.parquet(out.getAbsolutePath)
@@ -123,5 +130,13 @@ class PipelineE2ESpec extends AnyFunSuite {
     val en = spark.read.parquet(out.getAbsolutePath).filter($"lang" === "en")
       .select("id").as[Int].collect().sorted.toSeq
     assert(en == Seq(1, 4))
+    // split column survives the round-trip and stays deterministic
+    val splits = back.select("id", "split").as[(Int, String)].collect().toMap
+    assert(splits.keySet == Set(1, 3, 4))
+    assert(splits.values.forall(Set("train", "val", "test")),
+      s"unexpected split values: $splits")
+    val again = spark.read.parquet(out.getAbsolutePath)
+      .select("id", "split").as[(Int, String)].collect().toMap
+    assert(again == splits, "split membership must be re-run-stable")
   }
 }
