@@ -88,13 +88,17 @@ object Bench {
     val histFile = new java.io.File(histDir, s"latest_$sfBase.tsv")
     def readTimes(f: java.io.File): Map[String, Double] =
       if (!f.exists()) Map.empty
-      else scala.io.Source.fromFile(f).getLines()
-        .flatMap { line =>
-          line.split("\t") match {
-            case Array(n, t, _*) => scala.util.Try(n -> t.toDouble).toOption
-            case _ => None
-          }
-        }.toMap
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines()
+          .flatMap { line =>
+            line.split("\t") match {
+              case Array(n, t, _*) => scala.util.Try(n -> t.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+        finally src.close()
+      }
     val prev: Map[String, Double] =
       readTimes(histFile) ++ readTimes(new java.io.File(histDir, s"baseline_$sfBase.tsv"))
 
@@ -163,6 +167,12 @@ object Bench {
       val kept = results.filter { case (k, _) => withPreps || !k.startsWith("prep_") }
       val qs = kept.map { case (k, v) => s"\"" + k + "\":" + r(v) }
         .mkString("{", ",", "}")
+      // when preps drop out of the map, their total stays reconcilable:
+      // value ≈ sum(queries) + prep_sec
+      val prepField =
+        if (withPreps) ""
+        else ",\"prep_sec\":" + r(
+          results.collect { case (k, v) if k.startsWith("prep_") => v }.sum)
       val errField =
         if (errors.isEmpty) ""
         else ",\"errors\":" + errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -171,7 +181,7 @@ object Bench {
         if (reruns.isEmpty || !withReruns) ""
         else ",\"reruns\":" + reruns.map { case (k, (a, b)) =>
           s""""$k":[${r(a)},${r(b)}]""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$errField$rerunField,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$prepField$errField$rerunField,"sf":"$sfBase"}"""
     }
     val line = Seq(
       render(3, true, true), render(2, true, true), render(2, false, true),

@@ -74,6 +74,14 @@ final case class GraftConfig(
   // it uses the dedicated [[snapshotOnlySlotName]] (reference Validate()
   // skips the slot checks in snapshot-only mode, `config.go:148-156`).
   require(slotName.nonEmpty || snapshot.mode == "snapshot_only", "slot name required")
+  // Slot names interpolate RAW into CREATE_REPLICATION_SLOT (a replication
+  // command with no quoting form), so reject anything outside PostgreSQL's
+  // slot-name charset at construction instead of as a server parse error.
+  require(slotName.isEmpty || GraftConfig.isValidSlotName(slotName),
+    s"slot name '$slotName' must match [a-z0-9_]{1,63}")
+  require(snapshot.id.forall(id => id.isEmpty || GraftConfig.isValidSlotName(id)),
+    s"snapshot.id '${snapshot.id.getOrElse("")}' must match [a-z0-9_]{1,63} " +
+      "(it names the snapshot-only replication slot)")
   require(heartbeatIntervalMs > 0,
     s"heartbeat interval must be positive (got $heartbeatIntervalMs ms)")
   require(slotActivityCheckerIntervalMs > 0,
@@ -161,10 +169,17 @@ final case class GraftConfig(
 
   /** Dedicated snapshot-only slot/job key (`connector.go:406-414`
     * getSnapshotOnlySlotName): `snapshot.id` when set so multi-instance
-    * deployments share one job, else `snapshot_only_<database>`.
+    * deployments share one job, else `snapshot_only_<database>` with the
+    * database name sanitized into the slot charset (a legal database name
+    * like `my-db` is not a legal slot name; the reference interpolates it
+    * raw and fails server-side).
     */
   def snapshotOnlySlotName: String =
-    snapshot.id.filter(_.nonEmpty).getOrElse(s"snapshot_only_$database")
+    snapshot.id.filter(_.nonEmpty).getOrElse {
+      val sanitized = database.toLowerCase.map(c =>
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c else '_')
+      s"snapshot_only_$sanitized".take(63)
+    }
 
   /** The slot/job key this boot coordinates on: the configured slot, or the
     * dedicated snapshot-only name when mode is `snapshot_only`.
@@ -198,4 +213,11 @@ final case class GraftConfig(
         host, port, username, database,
         Option(password).filter(_.nonEmpty), sslMode, sslRootCert, sslCert, sslKey,
         sslPassword))
+}
+
+object GraftConfig {
+  /** PostgreSQL replication-slot name rules: lower-case letters, digits,
+    * underscore, ≤ 63 bytes (NAMEDATALEN − 1).
+    */
+  def isValidSlotName(s: String): Boolean = s.matches("[a-z0-9_]{1,63}")
 }

@@ -145,17 +145,23 @@ object GraftConfigFile {
           if (parts.isEmpty || consumed != t.replace(" ", "")) {
             errs += s"$key: cannot parse duration '$s'"
             None
-          } else Some(parts.map { p =>
-            val n = p.group(1).toDouble
-            p.group(2) match {
-              case "ns" => n / 1e6
-              case "us" | "µs" => n / 1e3
-              case "ms" => n
-              case "s" => n * 1000
-              case "m" => n * 60000
-              case "h" => n * 3600000
-            }
-          }.sum.toLong)
+          } else {
+            val exact = parts.map { p =>
+              val n = p.group(1).toDouble
+              p.group(2) match {
+                case "ns" => n / 1e6
+                case "us" | "µs" => n / 1e3
+                case "ms" => n
+                case "s" => n * 1000
+                case "m" => n * 60000
+                case "h" => n * 3600000
+              }
+            }.sum
+            // positive sub-millisecond ("500us") rounds UP to 1 ms rather
+            // than truncating to 0 and tripping the positivity check below
+            Some(if (exact > 0) math.max(1L, math.ceil(exact).toLong)
+            else exact.toLong)
+          }
         }
       // Every duration here is a loop interval: a non-positive value only
       // surfaces later as Thread.sleep throwing mid-heartbeat/capture —
@@ -231,8 +237,14 @@ object GraftConfigFile {
           parseStrategy(v, "snapshot.tables[].snapshotPartitionStrategy"))
       }.toMap,
       // Snapshot.ID: the snapshot-only slot/job key override so
-      // multi-instance snapshot_only deployments share one job.
+      // multi-instance snapshot_only deployments share one job. It names a
+      // replication slot, so it must satisfy slot-name rules.
       id = snap.str("id"))
+    snapshot.id.filter(_.nonEmpty).foreach { id =>
+      if (!GraftConfig.isValidSlotName(id))
+        errs += s"snapshot.id '$id' must match [a-z0-9_]{1,63} " +
+          "(it names the snapshot-only replication slot)"
+    }
     snap.finish()
 
     val metric = m.section("metric")
@@ -264,6 +276,10 @@ object GraftConfigFile {
       if (pubName.trim.isEmpty) errs += "publication.name cannot be empty"
       if (pubTables.isEmpty) errs += "publication.tables cannot be empty"
       if (slotName.trim.isEmpty) errs += "slot.name cannot be empty"
+      // Slot names interpolate raw into CREATE_REPLICATION_SLOT: reject a
+      // bad one here, not as a server parse error mid-boot.
+      else if (!GraftConfig.isValidSlotName(slotName))
+        errs += s"slot.name '$slotName' must match [a-z0-9_]{1,63}"
       val badOps = pubOps.filterNot(Publication.ValidOperations.contains)
       if (badOps.nonEmpty)
         errs += s"invalid publication operations: ${badOps.mkString(",")}"

@@ -71,8 +71,10 @@ object GraftConnector {
     // table/operation set (create() tolerates and reuses it untouched, like
     // the reference, which never ALTERs a publication). Surface the
     // config-vs-live drift to the operator — report-only, matching the
-    // reference's logging stance.
-    pubMgr.drift().filterNot(_.isEmpty).foreach { d =>
+    // reference's logging stance. Computed from the live shape create()
+    // already fetched: no second round-trip, and the report reflects the
+    // same server state the create decision saw.
+    Some(pubMgr.driftFrom(live)).filterNot(_.isEmpty).foreach { d =>
       def names(ts: Seq[(String, String)]) =
         ts.map { case (sch, t) => s"$sch.$t" }.mkString(", ")
       val parts = Seq(

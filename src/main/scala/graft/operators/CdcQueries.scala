@@ -537,7 +537,11 @@ object CdcQueries {
         max(unix_micros(col("ts"))).as("max_ts_us"),
         sum(element_at(col("pair_ids"), 1) + element_at(col("pair_ids"), 2))
           .as("sum_pair"),
-        sum(when(element_at(col("pair_ids"), 3).isNull, 1L).otherwise(0L))
+        // size()==3 is load-bearing: element_at past the end is ALSO null
+        // (ANSI off), so without it a renderer that silently DROPS the
+        // trailing NULL element would still count 3 and stay green
+        sum(when(size(col("pair_ids")) === 3 &&
+          element_at(col("pair_ids"), 3).isNull, 1L).otherwise(0L))
           .as("n_null3"))
   }
 

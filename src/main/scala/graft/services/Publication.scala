@@ -216,7 +216,13 @@ final class PublicationManager(
     }
 
   /** Config-vs-live drift report; None when the publication doesn't exist. */
-  def drift(): Option[Drift] = info().map { live =>
+  def drift(): Option[Drift] = info().map(driftFrom)
+
+  /** Pure drift computation against an already-fetched live shape — boot
+    * paths that just ran [[create]] use this instead of re-querying, so the
+    * report reflects the same server state the create decision saw.
+    */
+  def driftFrom(live: LiveInfo): Drift = {
     val want = cfg.tables.map(t => (t.schema, t.name))
     val have = live.tables
     Drift(

@@ -128,7 +128,7 @@ class GraftConfigFileSpec extends AnyFunSuite {
         |snapshot:
         |  mode: initial
         |  instanceId: worker-1
-        |  id: snap-42
+        |  id: snap_42
         |  claimTimeout: 30s
         |  heartbeatInterval: 5s
         |  enabled: true
@@ -154,7 +154,7 @@ class GraftConfigFileSpec extends AnyFunSuite {
     assert(cfg.snapshot.strategyFor("public", "users") == ChunkPlanner.Auto)
     assert(cfg.snapshot.chunkSize == 2000L)
     // snapshot.id binds (snapshot-only job key override, connector.go:409-413)
-    assert(cfg.snapshot.id.contains("snap-42"))
+    assert(cfg.snapshot.id.contains("snap_42"))
 
     // enabled: false forces mode never (config.go:107-110)
     val disabled = GraftConfigFile.fromYaml(
@@ -336,6 +336,28 @@ class GraftConfigFileSpec extends AnyFunSuite {
       "slot.slotActivityCheckerInterval: duration must be positive (got '-100')"))
     assert(e.getMessage.contains(
       "heartbeat.interval: duration must be positive (got '0ms')"))
+  }
+
+  test("slot names outside [a-z0-9_]{1,63} are rejected at load time") {
+    // Slot names interpolate raw into CREATE_REPLICATION_SLOT — there is no
+    // quoting form, so a hyphen would only fail server-side mid-boot.
+    val e = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+      """host: h
+        |username: u
+        |password: p
+        |database: d
+        |publication:
+        |  name: pub
+        |  tables:
+        |    - name: t1
+        |slot:
+        |  name: My-Slot
+        |snapshot:
+        |  mode: initial
+        |  id: snap-42
+        |""".stripMargin))
+    assert(e.getMessage.contains("slot.name 'My-Slot' must match [a-z0-9_]{1,63}"))
+    assert(e.getMessage.contains("snapshot.id 'snap-42' must match [a-z0-9_]{1,63}"))
   }
 
   test("heartbeat table must be included in the publication") {
