@@ -105,6 +105,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       DedupQueries.embeddingNearDup(s, d).orderBy("bucket10")),
     "q_dedup_clusters" -> ((s, d) => DedupQueries.dedupClusters(s, d).orderBy("doc_id")),
+    "q_span_dedup" -> ((s, d) => DedupQueries.spanDedup(s, d).orderBy("source")),
     // Stateful streaming dedup. The one-shot drive is deterministic (docs
     // processed in doc_id order per bucket, oldest-first eviction beyond the
     // 128-signature cap), so it HAS a full DuckDB oracle: the band/bucket
@@ -884,6 +885,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
          count(*) - count(DISTINCT md5(text)) AS n_dup_rows FROM documents""",
+    "q_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         segs AS (
+           SELECT doc_id, source,
+             array_to_string(toks[(10*(i-1)+1):(10*i)], ' ') AS seg
+           FROM t, LATERAL unnest(
+             generate_series(1, CAST(floor(len(toks)/10) AS BIGINT))) AS u(i)),
+         c AS (
+           SELECT md5(seg) AS seg_h, count(DISTINCT doc_id) AS nd
+           FROM segs GROUP BY 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segs,
+           CAST(sum(CASE WHEN nd > 1 THEN length(seg) ELSE 0 END) AS BIGINT) AS dup_chars
+         FROM segs JOIN c ON md5(seg) = seg_h
+         GROUP BY source ORDER BY source""",
     "q_dedup_minhash" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),

@@ -194,6 +194,53 @@ object DedupQueries {
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Tokens per duplicate-passage segment — 10 is the C4/RefinedWeb-style
+    * span width: long enough that a repeat is boilerplate, short enough to
+    * catch partial-document copies that doc-level dedup misses.
+    */
+  private val SpanTokens = 10
+
+  /** Duplicate-PASSAGE detection (exact span dedup): chop every document
+    * into non-overlapping [[SpanTokens]]-token segments and report, per
+    * source, how many segments reappear verbatim in ANOTHER document —
+    * the line/passage-level dedup step (à la C4's duplicate-line removal
+    * and Lee et al. 2022's exact substring dedup) that doc-level hashing
+    * cannot see: a page that copies one paragraph from elsewhere is a
+    * unique document with duplicated spans.
+    *
+    * 100-TB shape: segments explode row-locally (×len/10, one codegen'd
+    * projection — raw text never shuffles twice); occurrence counting is
+    * a partial-agg groupBy on the 128-bit md5 digest of the segment (the
+    * only thing shuffled, 16 bytes/row); the mark-back is an equi-join on
+    * that digest with both sides hash-partitioned on it; the per-source
+    * rollup is a low-cardinality partial agg. No n², no broadcast of
+    * anything corpus-sized. md5 (not xxhash64) so the DuckDB oracle
+    * reproduces the digest bit-for-bit.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val nSegs = floor(size(col("toks")) / SpanTokens).cast("int")
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(when(nSegs >= 1, sequence(lit(1), nSegs))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("source"),
+        array_join(slice(col("toks"),
+          (col("i") - 1) * SpanTokens + 1, lit(SpanTokens)), " ").as("seg"))
+      .select(col("doc_id"), col("source"),
+        md5(col("seg")).as("seg_h"), length(col("seg")).cast("long").as("seg_len"))
+    val counts = segs.groupBy("seg_h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    segs.join(counts, "seg_h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_segs"),
+        sum(when(col("nd") > 1, col("seg_len")).otherwise(0L)).as("dup_chars"))
+  }
+
   /** Memoized streaming-dedup drive results per (session, dir): the
     * Structured Streaming cold start (temp checkpoint + state-store init)
     * dominates the one-shot drive's wall time, so it is paid ONCE and

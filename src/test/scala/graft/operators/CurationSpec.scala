@@ -220,4 +220,46 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getLong(4) >= pid % 1000000007L,
       "class checksum must include the member's token residue")
   }
+
+  test("spanDedup: per-source stats match a brute-force span count") {
+    // Ground truth: brute-force the 10-token segment occurrence counts on
+    // the collected corpus and re-derive every per-source aggregate.
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val segsOf = (text: String) => {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (0 until toks.length / 10).map(i => toks.slice(10 * i, 10 * i + 10).mkString(" "))
+    }
+    val perDocSegs = docs.map { case (id, src, text) => (id, src, segsOf(text)) }
+    val docsPerSeg = perDocSegs
+      .flatMap { case (id, _, segs) => segs.map(sg => (sg, id)) }
+      .groupBy(_._1).map { case (sg, xs) => sg -> xs.map(_._2).distinct.size }
+    val expected = perDocSegs
+      .flatMap { case (_, src, segs) => segs.map(sg => (src, sg)) }
+      .groupBy(_._1)
+      .map { case (src, xs) =>
+        val dups = xs.map(_._2).filter(sg => docsPerSeg(sg) > 1)
+        src -> ((xs.size.toLong, dups.size.toLong, dups.map(_.length.toLong).sum))
+      }
+
+    val out = DedupQueries.spanDedup(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val (nSegs, dupSegs, dupChars) = expected(r.getString(0))
+      assert(r.getLong(1) == nSegs, s"n_segs mismatch for ${r.getString(0)}")
+      assert(r.getLong(2) == dupSegs, s"dup_segs mismatch for ${r.getString(0)}")
+      assert(r.getLong(3) == dupChars, s"dup_chars mismatch for ${r.getString(0)}")
+    }
+    // Non-vacuity: the corpus contains injected duplicate passages.
+    assert(out.map(_.getLong(2)).sum > 0, "corpus must contain duplicated spans")
+
+    // Scale shape: the mark-back join must be keyed (no cartesian/BNLJ) and
+    // nothing corpus-sized may broadcast — the count side aggregates on the
+    // 16-byte digest, so the join is a shuffle/SMJ on seg_h at scale.
+    val plan = org.apache.spark.sql.graftbridge.PlanBridge
+      .executedPlan(DedupQueries.spanDedup(spark, dir)).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span mark-back must be an equi-join on seg_h:\n$plan")
+  }
 }
