@@ -118,6 +118,7 @@ object SparkEntry {
       CurationQueries.stratifiedSample(s, d).orderBy("lang")),
     "q_decontaminate" -> ((s, d) =>
       CurationQueries.decontaminate(s, d).orderBy("doc_id")),
+    "q_bloom_decon" -> ((s, d) => CurationQueries.bloomDecon(s, d).orderBy("source")),
     "q_token_budget_mix" -> ((s, d) =>
       CurationQueries.tokenBudgetMix(s, d).orderBy("source")),
     "q_seq_packing" -> ((s, d) =>
@@ -1107,6 +1108,45 @@ object SparkEntry {
            CAST(max(n_shared) AS BIGINT) AS max_overlap,
            CAST(sum(bench_id) AS BIGINT) AS bench_id_sum
          FROM pairs GROUP BY 1 ORDER BY 1""",
+    "q_bloom_decon" ->
+      """WITH t AS (
+           SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks
+           FROM documents),
+         sp AS (
+           SELECT doc_id, source, toks,
+             (('0x' || substr(md5('split-' || doc_id::VARCHAR), 1, 15))::BIGINT % 16)
+               AS nib
+           FROM t),
+         shing AS (
+           SELECT DISTINCT doc_id, source, nib, sh FROM (
+             SELECT doc_id, source, nib, unnest(
+               CASE WHEN len(toks) >= 5
+                 THEN list_transform(generate_series(1, len(toks) - 4),
+                        i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END) AS sh
+             FROM sp)),
+         train AS (SELECT DISTINCT sh FROM shing WHERE nib < 12),
+         bits AS (
+           SELECT DISTINCT b FROM train, LATERAL unnest([
+             ('0x' || substr(md5('bloom0-' || sh), 1, 15))::BIGINT % 1048576,
+             ('0x' || substr(md5('bloom1-' || sh), 1, 15))::BIGINT % 1048576,
+             ('0x' || substr(md5('bloom2-' || sh), 1, 15))::BIGINT % 1048576]) AS u(b)),
+         probe AS (
+           SELECT doc_id, source, sh,
+             sum(CASE WHEN b IN (SELECT b FROM bits) THEN 1 ELSE 0 END) AS nset
+           FROM (
+             SELECT doc_id, source, sh, unnest([
+               ('0x' || substr(md5('bloom0-' || sh), 1, 15))::BIGINT % 1048576,
+               ('0x' || substr(md5('bloom1-' || sh), 1, 15))::BIGINT % 1048576,
+               ('0x' || substr(md5('bloom2-' || sh), 1, 15))::BIGINT % 1048576]) AS b
+             FROM shing WHERE nib >= 14)
+           GROUP BY 1, 2, 3)
+         SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+           CAST(sum(CASE WHEN sh IN (SELECT sh FROM train) THEN 1 ELSE 0 END)
+             AS BIGINT) AS exact_hits
+         FROM probe GROUP BY source ORDER BY source""",
     "q_token_budget_mix" ->
       """WITH d AS (
            SELECT source, doc_id,

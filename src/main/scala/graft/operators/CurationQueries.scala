@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -148,6 +148,74 @@ object CurationQueries {
         count(lit(1)).as("n_bench_hits"),
         max(col("n_shared")).as("max_overlap"),
         sum(col("bench_id")).as("bench_id_sum"))
+  }
+
+  /** Bloom filter geometry for [[bloomDecon]]: m = 2^20 bit positions,
+    * k = 3 seeded hash functions. At the synthetic corpus's ~10^5 train
+    * shingles the load factor stays under 0.25, putting the per-probe
+    * false-positive rate near (load)^k ≈ 1% — low enough that the exact
+    * audit column shows a visible-but-small FP margin.
+    */
+  private val BloomBits = 1L << 20
+  private val BloomK = 3
+
+  /** Bloom-filter decontamination — the SCALE path of the eval-leakage
+    * audit: instead of joining eval text against the full training corpus
+    * (what [[decontaminate]] does, fine when the benchmark is small),
+    * compress the train split's 5-gram shingle set into an m-bit Bloom
+    * filter and probe each test-split shingle against it. A shingle is a
+    * Bloom hit when all k seeded bit positions are set; per source the
+    * report carries the Bloom hit count NEXT TO the exact-join hit count,
+    * so the filter's false-positive margin (bloom_hits - exact_hits ≥ 0)
+    * is visible and auditable in the same row. Splits are the same
+    * deterministic md5-nibble assignment as [[corpusSplit]].
+    *
+    * 100-TB shape: the filter is built as a DISTINCT bit-position frame —
+    * a partial-agg distinct capped at m = 2^20 rows (~8 MB) regardless of
+    * corpus size, the whole point of the structure — which AQE then
+    * broadcasts to the probe join; probe bits explode row-locally (×k).
+    * The exact-hit column joins probe shingles against the train shingle
+    * set — corpus-sized, the join Bloom avoids — which is affordable here
+    * ONLY because the probe side is the small test split; a production run
+    * drops that audit column and keeps the Bloom side untouched.
+    */
+  def bloomDecon(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (hash60(concat(lit("split-"), col("doc_id").cast("string"))) % 16).as("nib"))
+    val shing = ShingleSets(s, dir, 5).join(meta, "doc_id")
+    def bitsOf(sh: Column): Column = array((0 until BloomK).map(j =>
+      hash60(concat(lit(s"bloom$j-"), sh)) % BloomBits): _*)
+    val bits = shing.filter(col("nib") < 12)
+      .select(explode(col("shs")).as("sh"))
+      .select(explode(bitsOf(col("sh"))).as("bit"))
+      .distinct()
+    val trainSh = shing.filter(col("nib") < 12)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val testSh = shing.filter(col("nib") >= 14)
+      .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
+    val bloomPerDoc = testSh
+      .select(col("doc_id"), col("sh"), explode(bitsOf(col("sh"))).as("bit"))
+      // bits is bounded at m = 2^20 rows by construction — the Bloom
+      // filter's defining property — so broadcasting is always safe and
+      // spares the (potentially corpus-scale) probe side its shuffle.
+      .join(broadcast(bits), Seq("bit"), "left_semi")
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === BloomK)
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val exactPerDoc = testSh
+      .join(trainSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    testSh.groupBy("doc_id", "source").agg(count(lit(1)).as("n_sh"))
+      .join(bloomPerDoc, Seq("doc_id"), "left")
+      .join(exactPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("bloom_hits", "exact_hits"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_sh").as("n_sh"),
+        sum("bloom_hits").as("bloom_hits"),
+        sum("exact_hits").as("exact_hits"))
   }
 
   /** Per-source token budget for [[tokenBudgetMix]] — the target corpus-mix

@@ -221,6 +221,52 @@ class CurationSpec extends AnyFunSuite {
       "class checksum must include the member's token residue")
   }
 
+  test("bloomDecon: per-source probe stats match a brute-force Bloom simulation") {
+    // Ground truth: simulate the m=2^20/k=3 Bloom over the train split's
+    // 5-gram shingles and probe the test split, entirely in local Scala.
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val shinglesOf = (text: String) => {
+      val toks = text.split("\\s+", -1)
+      (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).distinct
+    }
+    val nibOf = (id: Long) => hash60(s"split-$id") % 16
+    val bitsOf = (sh: String) => (0 until 3).map(j => hash60(s"bloom$j-$sh") % (1L << 20))
+    val train = docs.filter(d => nibOf(d._1) < 12).flatMap(d => shinglesOf(d._3)).toSet
+    val setBits = train.flatMap(bitsOf)
+    val expected = docs.filter(d => nibOf(d._1) >= 14)
+      .map { case (id, src, text) => (id, src, shinglesOf(text)) }
+      .filter(_._3.nonEmpty)
+      .groupBy(_._2)
+      .map { case (src, ds) =>
+        val shs = ds.flatMap(_._3)
+        src -> ((ds.length.toLong, shs.length.toLong,
+          shs.count(sh => bitsOf(sh).forall(setBits)).toLong,
+          shs.count(train).toLong))
+      }
+
+    val out = CurationQueries.bloomDecon(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val (nDocs, nSh, bloomHits, exactHits) = expected(r.getString(0))
+      assert(r.getLong(1) == nDocs && r.getLong(2) == nSh,
+        s"probe totals mismatch for ${r.getString(0)}")
+      assert(r.getLong(3) == bloomHits, s"bloom_hits mismatch for ${r.getString(0)}")
+      assert(r.getLong(4) == exactHits, s"exact_hits mismatch for ${r.getString(0)}")
+      // The defining Bloom guarantee: no false negatives, only false positives.
+      assert(r.getLong(3) >= r.getLong(4),
+        s"bloom_hits < exact_hits for ${r.getString(0)} — impossible for a Bloom filter")
+    }
+    // Non-vacuity: the split boundary must actually cut through near-dup text.
+    assert(out.map(_.getLong(4)).sum > 0, "corpus must contain cross-split leakage")
+
+    val plan = org.apache.spark.sql.graftbridge.PlanBridge
+      .executedPlan(CurationQueries.bloomDecon(spark, dir)).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bloom probe must stay keyed joins:\n$plan")
+  }
+
   test("spanDedup: per-source stats match a brute-force span count") {
     // Ground truth: brute-force the 10-token segment occurrence counts on
     // the collected corpus and re-derive every per-source aggregate.
