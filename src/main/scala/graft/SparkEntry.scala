@@ -160,6 +160,22 @@ object SparkEntry {
     * (`‖c‖² − 2·x·c` ordering, ties to the lowest code). `pq{m}c3` is
     * subspace m's final codebook; `enc` carries every vector's 4 codes.
     */
+  /** The synthesized customer-audit corpus shared by the `q_pii_scan` and
+    * `q_pii_redact` oracles — the ONE SQL mirror of
+    * [[graft.operators.TextQueries]]' `corpusWithAudit`, hoisted so the
+    * audit-text shape can never drift between the two oracle queries.
+    */
+  private val auditCorpusCte: String =
+    """corpus AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'customer_audit' AS source,
+             'contact ' || c_name || ' <' || lower(c_mktsegment) || '.' ||
+             CAST(c_custkey AS VARCHAR) || '@mail.example.com> id ' ||
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') ||
+             ' https://portal.example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
+           FROM customer)"""
+
   private val pqKmeansCte: String = {
     val subs = (0 until 4).map { m =>
       val lo = m * 16 + 1
@@ -803,15 +819,7 @@ object SparkEntry {
     // before digit runs — both can contain digits) via the aggregate
     // before/after lengths; 'g' makes DuckDB replace-all like Spark.
     "q_pii_redact" ->
-      """WITH corpus AS (
-           SELECT source, text FROM documents
-           UNION ALL
-           SELECT 'customer_audit' AS source,
-             'contact ' || c_name || ' <' || lower(c_mktsegment) || '.' ||
-             CAST(c_custkey AS VARCHAR) || '@mail.example.com> id ' ||
-             lpad(CAST(c_custkey AS VARCHAR), 8, '0') ||
-             ' https://portal.example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
-           FROM customer),
+      raw"""WITH $auditCorpusCte,
          red AS (
            SELECT source, text,
              regexp_replace(regexp_replace(regexp_replace(text,
@@ -842,15 +850,7 @@ object SparkEntry {
            CAST(max(doc_id) AS BIGINT) AS max_doc
          FROM s GROUP BY split ORDER BY split""",
     "q_pii_scan" ->
-      """WITH corpus AS (
-           SELECT source, text FROM documents
-           UNION ALL
-           SELECT 'customer_audit' AS source,
-             'contact ' || c_name || ' <' || lower(c_mktsegment) || '.' ||
-             CAST(c_custkey AS VARCHAR) || '@mail.example.com> id ' ||
-             lpad(CAST(c_custkey AS VARCHAR), 8, '0') ||
-             ' https://portal.example.com/u/' || CAST(c_custkey AS VARCHAR) AS text
-           FROM customer),
+      raw"""WITH $auditCorpusCte,
          m AS (
            SELECT source,
              len(regexp_extract_all(text,

@@ -309,6 +309,13 @@ object AnnQueries {
     */
   private[operators] val PqShortlist = 128
 
+  /** Build (memoized) and expose the PQ code table — the named
+    * `prep_pq_index` bench entry, so codebook training + code-table
+    * materialization is attributed to index build (a one-off job at scale)
+    * instead of to the first ADC query.
+    */
+  def pqCodeFrame(s: SparkSession, dir: String): DataFrame = pqIndex(s, dir)._2
+
   /** PQ/ADC approximate nearest neighbors with exact re-rank — the
     * production two-stage shape: every corpus vector is encoded as `PqM`
     * code bytes (64 dims → 4 bytes, 64× compression); queries SHORTLIST by
@@ -325,13 +332,6 @@ object AnnQueries {
     * vectors. Training cost is memoized per session (a one-off index-build
     * job at scale).
     */
-  /** Build (memoized) and expose the PQ code table — the named
-    * `prep_pq_index` bench entry, so codebook training + code-table
-    * materialization is attributed to index build (a one-off job at scale)
-    * instead of to the first ADC query.
-    */
-  def pqCodeFrame(s: SparkSession, dir: String): DataFrame = pqIndex(s, dir)._2
-
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val (books, codes) = pqIndex(s, dir)
     val vecs = vectors(s, dir)

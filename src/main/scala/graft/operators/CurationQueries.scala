@@ -59,8 +59,15 @@ object CurationQueries {
     * Reported as per-split counts/char-volume/id-range; the `split` column
     * itself is a plain projection a pipeline would partitionBy on write.
     */
+  /** The deterministic split nibble (0-15) for a doc id — the ONE
+    * definition both [[corpusSplit]] and [[bloomDecon]] key on, so the
+    * decontamination boundary can never drift from the reported split.
+    */
+  private def splitNibble(docId: Column): Column =
+    hash60(concat(lit("split-"), docId.cast("string"))) % 16
+
   def corpusSplit(s: SparkSession, dir: String): DataFrame = {
-    val nibble = hash60(concat(lit("split-"), col("doc_id").cast("string"))) % 16
+    val nibble = splitNibble(col("doc_id"))
     val split = when(nibble >= 14, "test")
       .when(nibble >= 12, "val")
       .otherwise("train")
@@ -181,17 +188,17 @@ object CurationQueries {
     */
   def bloomDecon(s: SparkSession, dir: String): DataFrame = {
     val meta = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        (hash60(concat(lit("split-"), col("doc_id").cast("string"))) % 16).as("nib"))
+      .select(col("doc_id"), col("source"), splitNibble(col("doc_id")).as("nib"))
     val shing = ShingleSets(s, dir, 5).join(meta, "doc_id")
     def bitsOf(sh: Column): Column = array((0 until BloomK).map(j =>
       hash60(concat(lit(s"bloom$j-"), sh)) % BloomBits): _*)
-    val bits = shing.filter(col("nib") < 12)
-      .select(explode(col("shs")).as("sh"))
-      .select(explode(bitsOf(col("sh"))).as("bit"))
-      .distinct()
     val trainSh = shing.filter(col("nib") < 12)
       .select(explode(col("shs")).as("sh")).distinct()
+    // Hash AFTER the distinct: bits per distinct shingle, not per
+    // occurrence — at corpus scale occurrences dwarf the vocabulary.
+    val bits = trainSh
+      .select(explode(bitsOf(col("sh"))).as("bit"))
+      .distinct()
     val testSh = shing.filter(col("nib") >= 14)
       .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
     val bloomPerDoc = testSh

@@ -443,9 +443,12 @@ object TextQueries {
   private val PiiUrl = "https?://[^ ]+"
 
   /** The documents corpus plus the deterministic `customer_audit` source —
-    * each audit row carries exactly one email, one URL, and two long digit
-    * runs by construction, so the PII scan/redact oracles exercise real
-    * matches (the synthetic documents contain none).
+    * each audit row carries at least one email, one URL, and two long
+    * digit runs by construction (exactly those counts while c_custkey
+    * stays under 6 digits, i.e. below sf1 — past that the key itself
+    * becomes an extra [0-9]{6,} run inside the email and URL), so the PII
+    * scan/redact oracles exercise real matches (the synthetic documents
+    * contain none).
     */
   private def corpusWithAudit(s: SparkSession, dir: String): DataFrame = {
     val auditText = concat(

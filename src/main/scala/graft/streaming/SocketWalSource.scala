@@ -102,8 +102,10 @@ final class SocketWalSource(
           // Terminal failure (55006 past the retry budget, or any other
           // handshake error): close the freshly-dialed socket before the
           // exception escapes — open() failing must not leak a connection
-          // the caller never learned about.
-          try conn.close() catch { case _: java.io.IOException => () }
+          // the caller never learned about. Swallow ANY teardown error
+          // (not just IO): a close()-time artifact must never replace the
+          // original handshake failure the operator needs to see.
+          try conn.close() catch { case scala.util.control.NonFatal(_) => () }
           conn = null
           throw e
       }
