@@ -270,6 +270,11 @@ object DedupQueries {
       // cardinality; here the state is 8 bands × |docs| rows.)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // One-shot drive: retain a single checkpoint batch and push state
+      // maintenance past the drive's lifetime — both are steady-state
+      // services a run-to-completion drive never benefits from.
+      ss.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+      ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       val schema = Tables.documents(ss, dir).schema
       // the file source wants a directory: stream the sf dir, glob-filtered
       // down to the documents table's single parquet file
