@@ -217,10 +217,17 @@ object DedupQueries {
     * anything corpus-sized. md5 (not xxhash64) so the DuckDB oracle
     * reproduces the digest bit-for-bit.
     */
-  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupFrame(Tables.documents(s, dir).select("doc_id", "source", "text"))
+
+  /** [[spanDedup]] over any `(doc_id, source, text)` frame — the composable
+    * library entry a pipeline calls on its OWN corpus (e.g. the partitioned
+    * export the e2e spec writes), not just the benchmark tables.
+    */
+  def spanDedupFrame(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val nSegs = floor(size(col("toks")) / SpanTokens).cast("int")
-    val segs = Tables.documents(s, dir)
+    val segs = docs
       .select(col("doc_id"), col("source"), toks.as("toks"))
       .select(col("doc_id"), col("source"),
         explode(when(nSegs >= 1, sequence(lit(1), nSegs))

@@ -138,5 +138,17 @@ class PipelineE2ESpec extends AnyFunSuite {
     val again = spark.read.parquet(out.getAbsolutePath)
       .select("id", "split").as[(Int, String)].collect().toMap
     assert(again == splits, "split membership must be re-run-stable")
+
+    // curation over the pipeline's OWN output: the three surviving docs
+    // share their first 15 tokens (the `good` sentence), so the first
+    // 10-token span of each is a verbatim corpus-wide duplicate — the
+    // passage-level signal doc hashing can't see, computed straight off
+    // the exported corpus through the frame-based library entry.
+    val spans = graft.operators.DedupQueries.spanDedupFrame(
+        back.select($"id".cast("long").as("doc_id"),
+          $"lang".as("source"), $"body".as("text")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(spans == Map("en" -> ((2L, 2L)), "de" -> ((1L, 1L))),
+      s"duplicate-passage stats over the exported corpus: $spans")
   }
 }
