@@ -273,21 +273,7 @@ class CurationSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val segsOf = (text: String) => {
-      val toks = text.split("\\s+").filter(_.nonEmpty)
-      (0 until toks.length / 10).map(i => toks.slice(10 * i, 10 * i + 10).mkString(" "))
-    }
-    val perDocSegs = docs.map { case (id, src, text) => (id, src, segsOf(text)) }
-    val docsPerSeg = perDocSegs
-      .flatMap { case (id, _, segs) => segs.map(sg => (sg, id)) }
-      .groupBy(_._1).map { case (sg, xs) => sg -> xs.map(_._2).distinct.size }
-    val expected = perDocSegs
-      .flatMap { case (_, src, segs) => segs.map(sg => (src, sg)) }
-      .groupBy(_._1)
-      .map { case (src, xs) =>
-        val dups = xs.map(_._2).filter(sg => docsPerSeg(sg) > 1)
-        src -> ((xs.size.toLong, dups.size.toLong, dups.map(_.length.toLong).sum))
-      }
+    val expected = SpanBrute(docs.toSeq)
 
     val out = DedupQueries.spanDedup(spark, dir).collect()
     assert(out.map(_.getString(0)).toSet == expected.keySet)

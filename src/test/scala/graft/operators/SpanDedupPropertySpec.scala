@@ -40,35 +40,13 @@ class SpanDedupPropertySpec extends AnyFunSuite {
         })
     }
 
-  private def brute(corpus: List[(Long, String, String)]): Map[String, (Long, Long, Long)] = {
-    val segsOf = (text: String) => {
-      val toks = text.split("\\s+").filter(_.nonEmpty)
-      (0 until toks.length / 10).map(i => toks.slice(10 * i, 10 * i + 10).mkString(" "))
-    }
-    val perDoc = corpus.map { case (id, src, text) => (id, src, segsOf(text)) }
-    val docsPerSeg = perDoc
-      .flatMap { case (id, _, segs) => segs.map(sg => (sg, id)) }
-      .groupBy(_._1).map { case (sg, xs) => sg -> xs.map(_._2).distinct.size }
-    perDoc
-      .flatMap { case (_, src, segs) => segs.map(sg => (src, sg)) }
-      .groupBy(_._1)
-      .map { case (src, xs) =>
-        val dups = xs.map(_._2).filter(sg => docsPerSeg(sg) > 1)
-        src -> ((xs.size.toLong, dups.size.toLong, dups.map(_.length.toLong).sum))
-      }
-  }
-
   test("matches the brute-force reference on random whitespace-adversarial corpora") {
     val prop = Prop.forAll(genCorpus) { corpus =>
-      // sentinel keeps createDataFrame's schema inference alive when every
-      // generated doc is empty; its source never collides with s0/s1/s2 and
-      // is dropped from the comparison
-      val df = spark.createDataFrame(corpus :+ ((-1L, "zz", "x " * 12)))
-        .toDF("doc_id", "source", "text")
+      val df = spark.createDataFrame(corpus).toDF("doc_id", "source", "text")
       val got = DedupQueries.spanDedupFrame(df)
         .collect().map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap - "zz"
-      got == brute(corpus)
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      got == SpanBrute(corpus)
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(30).withInitialSeed(Seed(20260813L)),
