@@ -76,12 +76,24 @@ final class TransactionAssembler(
   private var streamXid = 0L
   private val streamedTxns = mutable.LongMap.empty[StreamBuf]
   private var streamedCount = 0L
+  // Two-phase (protocol v3 `two_phase`): open PREPARED transactions keyed by
+  // gid, buffered through the same spill-backed machinery (and counted
+  // against the same in-memory bound) as streamed txns until the gid's
+  // COMMIT PREPARED / ROLLBACK PREPARED decision arrives. curGid is non-null
+  // between BeginPrepare and Prepare — the data section being buffered.
+  private val preparedTxns = mutable.LinkedHashMap.empty[String, StreamBuf]
+  private var curGid: String = null
 
   /** Count of events dropped as heartbeats (P5) — progress still advances. */
   var heartbeatsSuppressed: Long = 0L
 
-  /** Events currently buffered IN MEMORY for open streamed txns. */
+  /** Events currently buffered IN MEMORY for open streamed + prepared txns. */
   def bufferedStreamEvents: Long = streamedCount
+
+  /** Open prepared (two-phase) transactions awaiting COMMIT/ROLLBACK
+    * PREPARED — metrics/test visibility.
+    */
+  def openPreparedTxns: Int = preparedTxns.size
 
   /** Events currently spilled to disk for open streamed txns. */
   def spilledStreamEvents: Long = streamedTxns.values.map(_.spilledCount).sum
@@ -222,10 +234,65 @@ final class TransactionAssembler(
       // delivered txn (its Commit flushed it); a leftover here means a
       // protocol violation — reference discards on Begin (`stream.go:447`).
       pending = null
+      curGid = null
       curXid = b.xid
       curCommitLsn = b.finalLsn
       curCommitTimeMicros = b.commitTimeMicros
       curOrigin = null // an 'O' message (if any) follows this Begin
+      Iterator.empty
+
+    case bp: BeginPrepare =>
+      // Two-phase data section opens: DML until 'P' buffers under the gid
+      // (NOTHING may emit before COMMIT PREPARED — the rollback-safe
+      // contract). A replayed BeginPrepare (restart mid-prepare) replaces
+      // the gid's buffer wholesale, keeping the rebuild idempotent.
+      pending = null
+      curXid = bp.xid
+      curCommitLsn = 0L // stamped by the gid's CommitPrepared
+      curCommitTimeMicros = 0L
+      curOrigin = null
+      preparedTxns.remove(bp.gid).foreach(_.discard())
+      preparedTxns.update(bp.gid, new StreamBuf)
+      curGid = bp.gid
+      Iterator.empty
+
+    case _: Prepare =>
+      // PREPARE TRANSACTION: the data section is complete; the buffer waits
+      // on the gid's commit/rollback decision (arbitrarily later).
+      curGid = null
+      Iterator.empty
+
+    case cp: CommitPrepared =>
+      // COMMIT PREPARED: the gid's events become visible NOW — stamped with
+      // the commit-prepared LSN/time, last event rewritten to the txn end
+      // LSN (the same T1/T2 ack-the-whole-txn rewrite). An unknown gid
+      // (prepared before this slot's start position) emits nothing, exactly
+      // PostgreSQL's contract for a subscriber that already holds the
+      // prepared data.
+      preparedTxns.remove(cp.gid) match {
+        case Some(buf) if buf.totalCount > 0 =>
+          streamedCount -= buf.mem.length
+          stampAndRewriteLast(buf.iterator, cp.commitLsn, cp.commitTimeMicros, cp.endLsn)
+        case Some(buf) =>
+          buf.discard()
+          Iterator.empty
+        case None => Iterator.empty
+      }
+
+    case rp: RollbackPrepared =>
+      // ROLLBACK PREPARED: discard wholesale (spill file included) —
+      // consumers never observe a rolled-back prepared transaction.
+      preparedTxns.remove(rp.gid).foreach(_.discard())
+      Iterator.empty
+
+    case sp: StreamPrepare =>
+      // A streamed (v2) transaction ended in PREPARE TRANSACTION: its
+      // buffered chunks move to the prepared ledger as-is and await
+      // 'K'/'r'; nothing emits yet.
+      streamedTxns.remove(sp.xid).foreach { buf =>
+        preparedTxns.remove(sp.gid).foreach(_.discard())
+        preparedTxns.update(sp.gid, buf)
+      }
       Iterator.empty
 
     case o: Origin =>
@@ -371,6 +438,8 @@ final class TransactionAssembler(
   override def close(): Unit = {
     streamedTxns.values.foreach(_.discard())
     streamedTxns.clear()
+    preparedTxns.values.foreach(_.discard())
+    preparedTxns.clear()
     liveSpills.foreach(_.delete())
     liveSpills.clear()
   }
@@ -448,6 +517,16 @@ final class TransactionAssembler(
         throw new PgProtoException(
           s"streamed-transaction buffer exceeded $maxBufferedStreamEvents in-memory events " +
             s"(xid=$streamXid); raise maxBufferedStreamEvents or lower spillThresholdEvents")
+      Iterator.empty
+    } else if (curGid != null) {
+      // Two-phase data section: buffer under the gid (spill-backed), emit
+      // nothing until COMMIT PREPARED.
+      val buf = preparedTxns.getOrElseUpdate(curGid, new StreamBuf)
+      buf.add(e)
+      if (streamedCount > maxBufferedStreamEvents)
+        throw new PgProtoException(
+          s"prepared-transaction buffer exceeded $maxBufferedStreamEvents in-memory events " +
+            s"(gid=$curGid); raise maxBufferedStreamEvents or lower spillThresholdEvents")
       Iterator.empty
     } else {
       // T1 look-ahead: hold this event, release the previous one.

@@ -150,6 +150,35 @@ object MessageEncoder {
   def origin(commitLsn: Long, name: String): Array[Byte] =
     new W().byte('O').u64(commitLsn).cstr(name).bytes
 
+  // ---- two-phase (protocol v3 `two_phase`) prepared-transaction tags ----
+
+  def beginPrepare(prepareLsn: Long, endLsn: Long, prepareTimeUnixMicros: Long,
+      xid: Long, gid: String): Array[Byte] =
+    new W().byte('b').u64(prepareLsn).u64(endLsn)
+      .u64(PgEpoch.fromUnixMicros(prepareTimeUnixMicros)).u32(xid).cstr(gid).bytes
+
+  def prepare(prepareLsn: Long, endLsn: Long, prepareTimeUnixMicros: Long,
+      xid: Long, gid: String, flags: Int = 0): Array[Byte] =
+    new W().byte('P').byte(flags).u64(prepareLsn).u64(endLsn)
+      .u64(PgEpoch.fromUnixMicros(prepareTimeUnixMicros)).u32(xid).cstr(gid).bytes
+
+  def commitPrepared(commitLsn: Long, endLsn: Long, commitTimeUnixMicros: Long,
+      xid: Long, gid: String, flags: Int = 0): Array[Byte] =
+    new W().byte('K').byte(flags).u64(commitLsn).u64(endLsn)
+      .u64(PgEpoch.fromUnixMicros(commitTimeUnixMicros)).u32(xid).cstr(gid).bytes
+
+  def rollbackPrepared(prepareEndLsn: Long, rollbackEndLsn: Long,
+      prepareTimeUnixMicros: Long, rollbackTimeUnixMicros: Long,
+      xid: Long, gid: String, flags: Int = 0): Array[Byte] =
+    new W().byte('r').byte(flags).u64(prepareEndLsn).u64(rollbackEndLsn)
+      .u64(PgEpoch.fromUnixMicros(prepareTimeUnixMicros))
+      .u64(PgEpoch.fromUnixMicros(rollbackTimeUnixMicros)).u32(xid).cstr(gid).bytes
+
+  def streamPrepare(prepareLsn: Long, endLsn: Long, prepareTimeUnixMicros: Long,
+      xid: Long, gid: String, flags: Int = 0): Array[Byte] =
+    new W().byte('p').byte(flags).u64(prepareLsn).u64(endLsn)
+      .u64(PgEpoch.fromUnixMicros(prepareTimeUnixMicros)).u32(xid).cstr(gid).bytes
+
   def typeMessage(oid: Long, namespace: String, name: String, streamedXid: Long = -1): Array[Byte] = {
     val w = new W().byte('Y')
     if (streamedXid >= 0) w.u32(streamedXid)

@@ -1,6 +1,7 @@
 package graft.pgproto
 
-/** Typed pgoutput logical-replication messages (protocol v1 + v2).
+/** Typed pgoutput logical-replication messages (protocol v1 + v2, plus the
+  * protocol-v3 `two_phase` prepared-transaction tags 'b'/'P'/'K'/'r'/'p').
   *
   * Wire layouts follow the public PostgreSQL documentation ("Logical
   * Streaming Replication Protocol" → "Protocol Message Formats"). The
@@ -124,6 +125,52 @@ object Messages {
   final case class TypeMessage(xid: Long, oid: Long, namespace: String, name: String)
       extends Msg { def tag = 'Y' }
 
+  /** 'b' — begin of a PREPARED transaction's data section (protocol v3,
+    * `two_phase` publications). BEYOND the reference (raises on the tag —
+    * two-phase distributed commits never reach it): the body that follows
+    * is decoded AND buffered until the matching [[CommitPrepared]] /
+    * [[RollbackPrepared]] arrives, which may be arbitrarily later.
+    * Layout per the public docs ("Protocol Message Formats", Begin Prepare).
+    */
+  final case class BeginPrepare(
+      prepareLsn: Long, endLsn: Long, prepareTimeMicros: Long, xid: Long, gid: String)
+      extends Msg { def tag = 'b' }
+
+  /** 'P' — end of the prepared transaction's data section (PREPARE
+    * TRANSACTION itself). Nothing is emitted downstream until the gid's
+    * commit/rollback decision arrives.
+    */
+  final case class Prepare(
+      flags: Int, prepareLsn: Long, endLsn: Long, prepareTimeMicros: Long,
+      xid: Long, gid: String)
+      extends Msg { def tag = 'P' }
+
+  /** 'K' — COMMIT PREPARED: the gid's buffered events become visible,
+    * commit-stamped with THIS message's LSN/time (not the prepare's).
+    */
+  final case class CommitPrepared(
+      flags: Int, commitLsn: Long, endLsn: Long, commitTimeMicros: Long,
+      xid: Long, gid: String)
+      extends Msg { def tag = 'K' }
+
+  /** 'r' — ROLLBACK PREPARED: the gid's buffered events are discarded
+    * wholesale; consumers never observe them.
+    */
+  final case class RollbackPrepared(
+      flags: Int, prepareEndLsn: Long, rollbackEndLsn: Long,
+      prepareTimeMicros: Long, rollbackTimeMicros: Long, xid: Long, gid: String)
+      extends Msg { def tag = 'r' }
+
+  /** 'p' — STREAM PREPARE: a streamed (v2 in-progress) transaction ends in
+    * PREPARE TRANSACTION instead of a stream commit; its buffered chunks
+    * move to the prepared-gid ledger and await 'K'/'r' like a plain
+    * prepared transaction.
+    */
+  final case class StreamPrepare(
+      flags: Int, prepareLsn: Long, endLsn: Long, prepareTimeMicros: Long,
+      xid: Long, gid: String)
+      extends Msg { def tag = 'p' }
+
   /** Decode one pgoutput message (the XLogData payload).
     *
     * @param inStreamedTx true when between STREAM START and STREAM STOP —
@@ -229,6 +276,51 @@ object Messages {
 
       case 'O' =>
         Origin(r.readUint64("origin commit lsn"), r.readCString("origin name"))
+
+      case 'b' =>
+        BeginPrepare(
+          r.readUint64("prepareLsn"),
+          r.readUint64("prepareEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("prepareTime")),
+          r.readUint32("xid"),
+          r.readCString("gid"))
+
+      case 'P' =>
+        Prepare(
+          r.readUint8("flags"),
+          r.readUint64("prepareLsn"),
+          r.readUint64("prepareEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("prepareTime")),
+          r.readUint32("xid"),
+          r.readCString("gid"))
+
+      case 'K' =>
+        CommitPrepared(
+          r.readUint8("flags"),
+          r.readUint64("commitLsn"),
+          r.readUint64("commitEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("commitTime")),
+          r.readUint32("xid"),
+          r.readCString("gid"))
+
+      case 'r' =>
+        RollbackPrepared(
+          r.readUint8("flags"),
+          r.readUint64("prepareEndLsn"),
+          r.readUint64("rollbackEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("prepareTime")),
+          PgEpoch.toUnixMicros(r.readUint64("rollbackTime")),
+          r.readUint32("xid"),
+          r.readCString("gid"))
+
+      case 'p' =>
+        StreamPrepare(
+          r.readUint8("flags"),
+          r.readUint64("prepareLsn"),
+          r.readUint64("prepareEndLsn"),
+          PgEpoch.toUnixMicros(r.readUint64("prepareTime")),
+          r.readUint32("xid"),
+          r.readCString("gid"))
 
       case 'Y' =>
         val xid = streamXid()

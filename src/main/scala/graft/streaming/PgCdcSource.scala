@@ -97,19 +97,32 @@ class PgCdcTable extends Table with SupportsRead {
 }
 
 /** Durable streaming offset (checkpointed as JSON by Spark): `seq` counts
-  * committed transactions delivered, `resumeLsn` is the commit end-LSN of the
-  * last one. On restart the source reopens the feed from `resumeLsn` — whole
-  * transactions committing after it replay (reference
-  * `pq/replication/stream.go:95-98,148`): no duplicates, no loss.
+  * committed transactions delivered, `resumeLsn` is where the feed reopens
+  * on restart, `deliveredLsn` is the commit end-LSN of the last delivered
+  * transaction. The two LSNs are equal except while a two-phase PREPARED
+  * transaction is open: then `resumeLsn` is held back to the prepared
+  * section's start (pgoutput does NOT re-send a prepared body once the
+  * confirmed position passes its PREPARE — the feed must reopen below it to
+  * rebuild the gid ledger), and transactions replayed between the two
+  * positions are skipped by `deliveredLsn`: no duplicates, no loss. The
+  * JSON omits `"skip"` when the LSNs coincide, so checkpoints written
+  * before two-phase support parse unchanged.
   */
-case class CdcOffset(seq: Long, resumeLsn: Long) extends Offset {
-  override def json(): String = s"""{"seq":$seq,"lsn":$resumeLsn}"""
+case class CdcOffset(seq: Long, resumeLsn: Long, skipTo: Long = -1L) extends Offset {
+  /** Commit end-LSN of the last DELIVERED transaction (≥ resumeLsn). */
+  def deliveredLsn: Long = if (skipTo >= 0L) skipTo else resumeLsn
+  override def json(): String =
+    if (skipTo >= 0L && skipTo != resumeLsn)
+      s"""{"seq":$seq,"lsn":$resumeLsn,"skip":$skipTo}"""
+    else s"""{"seq":$seq,"lsn":$resumeLsn}"""
 }
 
 object CdcOffset {
   private val Pat = """\{"seq":(\d+),"lsn":(\d+)\}""".r
+  private val PatSkip = """\{"seq":(\d+),"lsn":(\d+),"skip":(\d+)\}""".r
   def fromJson(json: String): CdcOffset = json.trim match {
     case Pat(s, l) => CdcOffset(s.toLong, l.toLong)
+    case PatSkip(s, l, k) => CdcOffset(s.toLong, l.toLong, k.toLong)
     case other => throw new IllegalArgumentException(s"pgcdc: malformed offset json '$other'")
   }
 }
@@ -124,6 +137,14 @@ private[streaming] final case class TxnGroup(
     frames: Array[Array[Byte]],
     endLsn: Long,
     relPreamble: Seq[Array[Byte]])
+
+/** A complete two-phase prepared section (b..P ingested, COMMIT/ROLLBACK
+  * PREPARED pending). `firstWal` is the section's first frame position — the
+  * resume hold-back while the gid is open; `streamed` marks groups whose
+  * frames carry v2 xid prefixes (relation folding happens at 'K').
+  */
+private[streaming] final case class PreparedGroup(
+    frames: Array[Array[Byte]], firstWal: Long, streamed: Boolean)
 
 class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
@@ -225,6 +246,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     m.put("confirmedLsn", Lsn.format(wal.confirmedLsn))
     m.put("txnsDelivered", txnsDelivered.toString)
     m.put("openStreamedTxns", openStreamed.size.toString)
+    m.put("openPreparedTxns", preparedGroups.size.toString)
     m.put("bufferedStreamFrames", bufferedStreamFrames.toString)
     if (lastServerTimeMicros > 0L)
       m.put("cdcLatencyMs",
@@ -238,6 +260,13 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private var curTxn = mutable.ArrayBuffer.empty[Array[Byte]]
   private val openStreamed = mutable.LongMap.empty[mutable.ArrayBuffer[Array[Byte]]]
   private var openStreamXid = -1L
+  // Two-phase: complete prepared sections (b..P ingested, COMMIT/ROLLBACK
+  // PREPARED pending) keyed by gid — see [[PreparedGroup]].
+  private val preparedGroups = mutable.LinkedHashMap.empty[String, PreparedGroup]
+  // Groups replayed at/below this commit end-LSN were delivered before the
+  // last reopen — drop them instead of re-buffering (set from the restored
+  // offset's deliveredLsn / the reconnect point).
+  private var replayFloor = 0L
   // oid → latest non-streamed Relation frame; immutable so TxnGroups can hold
   // the snapshot by reference.
   private var relCache = Map.empty[Long, Array[Byte]]
@@ -265,10 +294,26 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     options.getInt("maxBufferedStreamFrames", 1 << 20)
   private var bufferedStreamFrames = 0L
 
+  /** Oldest open prepared section's first frame LSN — the resume hold-back
+    * while any two-phase gid awaits its commit/rollback decision.
+    */
+  private def preparedFloorLsn: Long =
+    if (preparedGroups.isEmpty) Long.MaxValue
+    else preparedGroups.valuesIterator.map(_.firstWal).min
+
+  private def capResume(lsn: Long): Long = math.min(lsn, preparedFloorLsn)
+
+  private def readCStr(a: Array[Byte], off: Int): String = {
+    var end = off
+    while (end < a.length && a(end) != 0) end += 1
+    new String(a, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   private def ensureOpen(start: CdcOffset): Unit = if (!opened) {
     wal.open(start.resumeLsn)
     baseSeq = start.seq
-    floorLsn = start.resumeLsn
+    floorLsn = start.deliveredLsn
+    replayFloor = start.deliveredLsn
     opened = true
   }
 
@@ -302,8 +347,14 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     openStreamed.clear()
     bufferedStreamFrames = 0
     openStreamXid = -1L
-    val resumeLsn = if (buffer.nonEmpty) buffer.last.endLsn else floorLsn
-    wal.open(resumeLsn) // throws → the next attempt backs off longer
+    val delivered = if (buffer.nonEmpty) buffer.last.endLsn else floorLsn
+    // Reopen below any open prepared section (its ledger rebuilds from the
+    // replayed b..P frames); groups already buffered replay too and are
+    // skipped by the floor.
+    val reopenAt = capResume(delivered)
+    preparedGroups.clear()
+    replayFloor = delivered
+    wal.open(reopenAt) // throws → the next attempt backs off longer
   }
 
   /** wal.poll() with reconnect-on-failure; also treats an unexpectedly dead
@@ -348,6 +399,9 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   private def addGroup(frames: Array[Array[Byte]], endLsn: Long): Unit = {
+    // Replay dedupe: after a reopen below the delivered point (two-phase
+    // hold-back), already-delivered transactions re-group here — drop them.
+    if (Lsn.compare(endLsn, replayFloor) <= 0) return
     buffer += TxnGroup(frames, endLsn, relCache.values.toSeq)
     var i = 0
     while (i < frames.length) { bufferedBytes += frames(i).length; i += 1 }
@@ -438,7 +492,60 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             if (subXid == xid || subXid == 0L)
               openStreamed.remove(xid).foreach(b => bufferedStreamFrames -= b.length)
             else appendStreamed(xid, raw) // subtxn abort rides with the group
-          case _ => // DML / Truncate
+          case 'P' =>
+            // Two-phase: the b..P section (accumulated in curTxn — 'b' and
+            // its DML ride the default case) parks under the gid until the
+            // commit/rollback decision; nothing is delivered yet. A replayed
+            // section (reopen below an open prepare) replaces its gid entry.
+            curTxn += raw
+            val gid = readCStr(raw, p + 30)
+            // The replay floor is the 'b' frame's position, not curTxn.head:
+            // ambient Relation frames may precede it in the group, and
+            // relations always replay regardless of the reopen point.
+            val beginPrepareWal = curTxn
+              .find(f => f.length > p && f(p) == 'b')
+              .map(readU64(_, 1))
+              .getOrElse(readU64(curTxn.head, 1))
+            preparedGroups.update(gid,
+              PreparedGroup(curTxn.toArray, beginPrepareWal, streamed = false))
+            curTxn = mutable.ArrayBuffer.empty
+          case 'K' =>
+            // COMMIT PREPARED: deliver the parked section + this frame as
+            // one group at the commit-prepared end LSN. An unknown gid
+            // (prepared before this slot's start) has nothing to deliver.
+            val gid = readCStr(raw, p + 30)
+            preparedGroups.remove(gid).foreach { g =>
+              if (g.streamed) {
+                bufferedStreamFrames -= g.frames.length - 1 // all but the 'p' frame
+                g.frames.foreach { s =>
+                  if (s(0) == graft.pgproto.WalFrames.TagXLogData && s.length > p && s(p) == 'R') {
+                    val canonical = stripStreamXid(s)
+                    relCache = relCache.updated(readU32(s, p + 5), canonical)
+                    publishRelation(canonical)
+                  }
+                }
+              }
+              addGroup(g.frames :+ raw, readU64(raw, p + 10))
+            }
+          case 'r' =>
+            // ROLLBACK PREPARED: drop the parked section unseen.
+            val gid = readCStr(raw, p + 38)
+            preparedGroups.remove(gid).foreach { g =>
+              if (g.streamed) bufferedStreamFrames -= g.frames.length - 1
+            }
+          case 'p' =>
+            // STREAM PREPARE: the streamed txn's chunks park under the gid
+            // (still counted against the stream-frame cap until resolved).
+            val xid = readU32(raw, p + 26)
+            val gid = readCStr(raw, p + 30)
+            val segs = openStreamed.remove(xid).getOrElse(mutable.ArrayBuffer.empty)
+            val firstWal = if (segs.nonEmpty) readU64(segs.head, 1) else readU64(raw, 1)
+            segs += raw
+            preparedGroups.remove(gid).foreach { old =>
+              if (old.streamed) bufferedStreamFrames -= old.frames.length - 1
+            }
+            preparedGroups.update(gid, PreparedGroup(segs.toArray, firstWal, streamed = true))
+          case _ => // DML / Truncate / 'b' BeginPrepare
             if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
             else curTxn += raw
         }
@@ -480,8 +587,13 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
 
   private def offsetFor(seq: Long): CdcOffset = {
     val i = seq - baseSeq
-    if (i <= 0) CdcOffset(seq, floorLsn)
-    else CdcOffset(seq, buffer((i - 1).toInt).endLsn)
+    val delivered = if (i <= 0) floorLsn else buffer((i - 1).toInt).endLsn
+    val reopenAt = capResume(delivered)
+    // skipTo is only carried while a prepared section holds the resume back
+    // (keeps the JSON — and equality with pre-two-phase offsets — unchanged
+    // on the common path).
+    if (reopenAt == delivered) CdcOffset(seq, delivered)
+    else CdcOffset(seq, reopenAt, delivered)
   }
 
   override def initialOffset(): Offset = CdcOffset(0L, startLsn)
@@ -549,8 +661,10 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
       s"pgcdc: commit($e) outside buffered range [$baseSeq, ${baseSeq + buffer.size}]")
     if (n == 0) return
     floorLsn = buffer((n - 1).toInt).endLsn
-    // T3: ack the last delivered txn's commit end LSN (monotonic in WalSource).
-    wal.ack(floorLsn)
+    // T3: ack the last delivered txn's commit end LSN (monotonic in
+    // WalSource) — held below any open prepared section so the server keeps
+    // its body replayable until COMMIT/ROLLBACK PREPARED resolves it.
+    wal.ack(capResume(floorLsn))
     var i = 0
     while (i < n) {
       buffer(i.toInt).frames.foreach(f => bufferedBytes -= f.length)

@@ -90,6 +90,31 @@ object ResumeFilter {
                 MessageEncoder.streamAbort(xid, xid)
             }
           case 'S' | 'E' | 'A' => raw // stream segment control passes
+          case 'b' =>
+            // Two-phase: a prepared txn's body is re-sent only while the
+            // confirmed position is below its PREPARE end — exactly
+            // PostgreSQL's two_phase contract (a subscriber confirmed past
+            // the prepare is assumed to hold the data durably).
+            dropTxn = Lsn.compare(readU64(raw, p + 9), fromLsn) <= 0
+            if (dropTxn) null else raw
+          case 'P' =>
+            val keep = !dropTxn
+            dropTxn = false
+            if (keep) raw else null
+          case 'K' | 'r' =>
+            // Commit/rollback-prepared at or below confirmed: already
+            // processed downstream — drop the decision frame.
+            if (Lsn.compare(readU64(raw, p + 10), fromLsn) > 0) raw else null
+          case 'p' =>
+            // Stream-prepare already confirmed: the chunks that preceded it
+            // replayed above (segments always pass) — rewrite to an abort so
+            // the buffer frees and nothing re-emits, like the 'c' case.
+            if (Lsn.compare(readU64(raw, p + 10), fromLsn) > 0) raw
+            else {
+              val xid = readU32(raw, p + 26)
+              java.util.Arrays.copyOfRange(raw, 0, p) ++
+                MessageEncoder.streamAbort(xid, xid)
+            }
           case _ => // DML/Truncate: streamed ones pass (decided at 'c'), plain ones follow dropTxn
             if (dropTxn) null else raw
         }

@@ -128,6 +128,14 @@ object WalDump {
               s"MESSAGE prefix=${lm.prefix} transactional=${lm.transactional} bytes=${lm.content.length}"
             case o: Messages.Origin => s"ORIGIN ${o.name} commitLsn=${Lsn.format(o.commitLsn)}"
             case ty: Messages.TypeMessage => s"TYPE oid=${ty.oid} ${ty.namespace}.${ty.name}"
+            case bp: Messages.BeginPrepare =>
+              s"BEGIN_PREPARE xid=${bp.xid} gid=${bp.gid} endLsn=${Lsn.format(bp.endLsn)}"
+            case pp: Messages.Prepare => s"PREPARE xid=${pp.xid} gid=${pp.gid}"
+            case k: Messages.CommitPrepared =>
+              s"COMMIT_PREPARED gid=${k.gid} endLsn=${Lsn.format(k.endLsn)}"
+            case rp: Messages.RollbackPrepared => s"ROLLBACK_PREPARED gid=${rp.gid}"
+            case sp: Messages.StreamPrepare =>
+              s"STREAM_PREPARE xid=${sp.xid} gid=${sp.gid}"
           }
           s"${Lsn.format(x.walStart)} $desc"
       }
