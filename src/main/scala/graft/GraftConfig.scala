@@ -86,7 +86,8 @@ final case class GraftConfig(
     s"heartbeat interval must be positive (got $heartbeatIntervalMs ms)")
   require(slotActivityCheckerIntervalMs > 0,
     s"slot activity checker interval must be positive (got $slotActivityCheckerIntervalMs ms)")
-  require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
+  require(protoVersion >= 1 && protoVersion <= 4,
+    s"unsupported proto_version $protoVersion (1-4; 3+ enables two-phase decode)")
   require(sslCert.isDefined == sslKey.isDefined,
     "sslcert and sslkey must be configured together")
   require(graft.pgproto.PgConnection.SslModes.contains(sslMode),

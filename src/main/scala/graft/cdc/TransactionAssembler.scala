@@ -83,6 +83,13 @@ final class TransactionAssembler(
   // between BeginPrepare and Prepare — the data section being buffered.
   private val preparedTxns = mutable.LinkedHashMap.empty[String, StreamBuf]
   private var curGid: String = null
+  // Relations sent INSIDE a prepared data section describe the section's
+  // uncommitted catalog — they must register immediately (the section's own
+  // DML decodes against them) but must not survive a ROLLBACK PREPARED.
+  // Per-gid undo ledger: oid → the registration that preceded the section
+  // (None = the oid was unknown). First-prior wins across a replayed section.
+  private val preparedRelUndo =
+    mutable.HashMap.empty[String, mutable.HashMap[Long, Option[Relation]]]
 
   /** Count of events dropped as heartbeats (P5) — progress still advances. */
   var heartbeatsSuppressed: Long = 0L
@@ -269,6 +276,7 @@ final class TransactionAssembler(
       // (prepared before this slot's start position) emits nothing, exactly
       // PostgreSQL's contract for a subscriber that already holds the
       // prepared data.
+      preparedRelUndo.remove(cp.gid) // the decision makes the schema real
       preparedTxns.remove(cp.gid) match {
         case Some(buf) if buf.totalCount > 0 =>
           streamedCount -= buf.mem.length
@@ -281,7 +289,16 @@ final class TransactionAssembler(
 
     case rp: RollbackPrepared =>
       // ROLLBACK PREPARED: discard wholesale (spill file included) —
-      // consumers never observe a rolled-back prepared transaction.
+      // consumers never observe a rolled-back prepared transaction, and the
+      // section's Relation registrations roll back with it.
+      preparedRelUndo.remove(rp.gid).foreach(_.foreach {
+        case (oid, Some(prior)) =>
+          relations.update(oid, prior)
+          keyNameCache.update(oid, prior.columns.filter(_.isKey).map(_.name).toSeq)
+        case (oid, None) =>
+          relations.remove(oid)
+          keyNameCache.remove(oid)
+      })
       preparedTxns.remove(rp.gid).foreach(_.discard())
       Iterator.empty
 
@@ -312,6 +329,10 @@ final class TransactionAssembler(
       } else Iterator.empty
 
     case r: Relation =>
+      if (curGid != null) {
+        val undo = preparedRelUndo.getOrElseUpdate(curGid, mutable.HashMap.empty)
+        if (!undo.contains(r.oid)) undo.update(r.oid, relations.get(r.oid))
+      }
       relations.update(r.oid, r)
       keyNameCache.update(r.oid, r.columns.filter(_.isKey).map(_.name).toSeq)
       Iterator.empty
@@ -440,6 +461,7 @@ final class TransactionAssembler(
     streamedTxns.clear()
     preparedTxns.values.foreach(_.discard())
     preparedTxns.clear()
+    preparedRelUndo.clear()
     liveSpills.foreach(_.delete())
     liveSpills.clear()
   }

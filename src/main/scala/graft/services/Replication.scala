@@ -34,16 +34,21 @@ object Replication {
     }
 
   /** `START_REPLICATION SLOT <s> LOGICAL <lsn> (proto_version 'N'
-    * [, messages 'true', streaming 'true'], publication_names '<p>')` —
-    * exactly the reference's plugin-argument assembly
-    * (`replication.go:23-41`): v2+ additionally enables logical messages and
-    * in-progress (streamed) transactions.
+    * [, messages 'true', streaming 'true'[, two_phase 'true']],
+    * publication_names '<p>')` — the reference's plugin-argument assembly
+    * (`replication.go:23-41`) extended past its v1/v2 ceiling: v2+ enables
+    * logical messages and in-progress (streamed) transactions, v3+
+    * additionally asks pgoutput for two-phase messages ('b'/'P'/'K'/'r'/'p'
+    * — the decode this engine ships is unreachable without it), and v4
+    * (PostgreSQL 16+) permits parallel-apply streaming, for which plain
+    * `streaming 'true'` remains a valid setting.
     */
   def startReplicationSql(
       publication: String, slot: String, startLsn: Long, protoVersion: Int = 2): String = {
-    require(protoVersion == 1 || protoVersion == 2, s"unsupported proto_version $protoVersion")
+    require(protoVersion >= 1 && protoVersion <= 4, s"unsupported proto_version $protoVersion")
     val args = Seq(s"proto_version '$protoVersion'") ++
       (if (protoVersion >= 2) Seq("messages 'true'", "streaming 'true'") else Nil) ++
+      (if (protoVersion >= 3) Seq("two_phase 'true'") else Nil) ++
       Seq(s"publication_names '$publication'")
     s"START_REPLICATION SLOT $slot LOGICAL ${Lsn.format(startLsn)} (${args.mkString(",")})"
   }

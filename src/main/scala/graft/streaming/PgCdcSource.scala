@@ -109,17 +109,24 @@ class PgCdcTable extends Table with SupportsRead {
   * before two-phase support parse unchanged.
   */
 case class CdcOffset(seq: Long, resumeLsn: Long, skipTo: Long = -1L) extends Offset {
-  /** Commit end-LSN of the last DELIVERED transaction (≥ resumeLsn). */
-  def deliveredLsn: Long = if (skipTo >= 0L) skipTo else resumeLsn
+  /** Commit end-LSN of the last DELIVERED transaction (≥ resumeLsn). The
+    * sentinel is the one LSN PostgreSQL can never assign
+    * (`0xFFFFFFFF/FFFFFFFF` = InvalidXLogRecPtr's complement), not "any
+    * negative": LSNs are unsigned 64-bit, so a top-bit-set value is a valid
+    * position, not an unset marker.
+    */
+  def deliveredLsn: Long = if (skipTo != -1L) skipTo else resumeLsn
   override def json(): String =
-    if (skipTo >= 0L && skipTo != resumeLsn)
+    if (skipTo != -1L && skipTo != resumeLsn)
       s"""{"seq":$seq,"lsn":$resumeLsn,"skip":$skipTo}"""
     else s"""{"seq":$seq,"lsn":$resumeLsn}"""
 }
 
 object CdcOffset {
-  private val Pat = """\{"seq":(\d+),"lsn":(\d+)\}""".r
-  private val PatSkip = """\{"seq":(\d+),"lsn":(\d+),"skip":(\d+)\}""".r
+  // LSNs serialize as SIGNED decimal (Long.toString), so a top-bit-set
+  // position round-trips through a leading '-'.
+  private val Pat = """\{"seq":(\d+),"lsn":(-?\d+)\}""".r
+  private val PatSkip = """\{"seq":(\d+),"lsn":(-?\d+),"skip":(-?\d+)\}""".r
   def fromJson(json: String): CdcOffset = json.trim match {
     case Pat(s, l) => CdcOffset(s.toLong, l.toLong)
     case PatSkip(s, l, k) => CdcOffset(s.toLong, l.toLong, k.toLong)
@@ -247,6 +254,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     m.put("txnsDelivered", txnsDelivered.toString)
     m.put("openStreamedTxns", openStreamed.size.toString)
     m.put("openPreparedTxns", preparedGroups.size.toString)
+    m.put("bufferedPreparedBytes", preparedBytes.toString)
     m.put("bufferedStreamFrames", bufferedStreamFrames.toString)
     if (lastServerTimeMicros > 0L)
       m.put("cdcLatencyMs",
@@ -261,8 +269,18 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private val openStreamed = mutable.LongMap.empty[mutable.ArrayBuffer[Array[Byte]]]
   private var openStreamXid = -1L
   // Two-phase: complete prepared sections (b..P ingested, COMMIT/ROLLBACK
-  // PREPARED pending) keyed by gid — see [[PreparedGroup]].
+  // PREPARED pending) keyed by gid — see [[PreparedGroup]]. Mutate ONLY via
+  // park/unpark so the byte/frame accounting can't drift.
   private val preparedGroups = mutable.LinkedHashMap.empty[String, PreparedGroup]
+  // Inside a non-streamed BeginPrepare..Prepare section: Relation frames ride
+  // the section and fold into the cache only at COMMIT PREPARED — a
+  // rolled-back schema change must never be cached or published.
+  private var inPrepare = false
+  // Parked in-doubt bytes. An in-doubt 2PC decision can take arbitrarily long
+  // and only MORE reading resolves it, so backpressure would deadlock —
+  // this is a fail-fast bound instead (same contract as
+  // maxBufferedStreamFrames).
+  private var preparedBytes = 0L
   // Groups replayed at/below this commit end-LSN were delivered before the
   // last reopen — drop them instead of re-buffering (set from the restored
   // offset's deliveredLsn / the reconnect point).
@@ -293,15 +311,66 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private val maxBufferedStreamFrames =
     options.getInt("maxBufferedStreamFrames", 1 << 20)
   private var bufferedStreamFrames = 0L
+  private val maxBufferedPreparedBytes =
+    math.max(1L, options.getLong("maxBufferedPreparedBytes", 256L << 20))
+
+  /** Remove a gid's parked section, releasing its byte/frame accounting.
+    * Streamed sections keep their frames counted in `bufferedStreamFrames`
+    * while parked (all but the trailing 'p' frame) — release that too.
+    */
+  private def unpark(gid: String): Option[PreparedGroup] = {
+    val old = preparedGroups.remove(gid)
+    old.foreach { g =>
+      var i = 0
+      while (i < g.frames.length) { preparedBytes -= g.frames(i).length; i += 1 }
+      if (g.streamed) bufferedStreamFrames -= g.frames.length - 1
+    }
+    old
+  }
+
+  /** Park a complete prepared section under its gid. A replayed or reused
+    * gid replaces the old entry AND releases its accounting (a replaced
+    * streamed entry's frame count must not leak). Clears the restored
+    * hold-back once the replayed section re-establishes the floor it stood
+    * for. Fail-fast past the in-doubt byte bound — see [[preparedBytes]].
+    */
+  private def park(gid: String, g: PreparedGroup): Unit = {
+    unpark(gid)
+    preparedGroups.update(gid, g)
+    var i = 0
+    while (i < g.frames.length) { preparedBytes += g.frames(i).length; i += 1 }
+    if (pendingHoldback != -1L && Lsn.compare(g.firstWal, pendingHoldback) <= 0)
+      pendingHoldback = -1L
+    if (preparedBytes > maxBufferedPreparedBytes)
+      throw new IllegalStateException(
+        s"pgcdc: in-doubt prepared transactions exceed $maxBufferedPreparedBytes buffered bytes " +
+          s"(open gids: ${preparedGroups.keys.mkString(",")}) — resolve them or raise " +
+          "maxBufferedPreparedBytes")
+  }
+
+  private def unsignedMin(a: Long, b: Long): Long = if (Lsn.compare(a, b) <= 0) a else b
+
+  /** Restored/reconnect hold-back: a checkpoint whose `resumeLsn` sits below
+    * `deliveredLsn` proves a prepared section was open when it was written.
+    * Until the replayed b..P frames re-register the gid, `preparedGroups` is
+    * empty — without this carry-over an offset emitted in that window would
+    * silently drop the hold-back, and checkpointing it would lose the
+    * prepared transaction on the next restart. Cleared when a replayed
+    * section re-establishes a floor at (or below) the same position.
+    * Sentinel -1 = none (the one invalid LSN, see [[CdcOffset.deliveredLsn]]).
+    */
+  private var pendingHoldback = -1L
 
   /** Oldest open prepared section's first frame LSN — the resume hold-back
-    * while any two-phase gid awaits its commit/rollback decision.
+    * while any two-phase gid awaits its commit/rollback decision. Unsigned
+    * min: LSNs compare as unsigned 64-bit everywhere in this codebase.
     */
-  private def preparedFloorLsn: Long =
-    if (preparedGroups.isEmpty) Long.MaxValue
-    else preparedGroups.valuesIterator.map(_.firstWal).min
-
-  private def capResume(lsn: Long): Long = math.min(lsn, preparedFloorLsn)
+  private def capResume(lsn: Long): Long = {
+    val f =
+      if (preparedGroups.isEmpty) lsn
+      else unsignedMin(lsn, preparedGroups.valuesIterator.map(_.firstWal).reduce(unsignedMin))
+    if (pendingHoldback != -1L) unsignedMin(f, pendingHoldback) else f
+  }
 
   private def readCStr(a: Array[Byte], off: Int): String = {
     var end = off
@@ -314,6 +383,11 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     baseSeq = start.seq
     floorLsn = start.deliveredLsn
     replayFloor = start.deliveredLsn
+    // resumeLsn below deliveredLsn ⇒ the checkpoint was written while a
+    // prepared gid was open. Hold the resume there until the replayed b..P
+    // re-registers it — an offset emitted before the replay arrives must not
+    // lose the hold-back (checkpointing it would strand the prepared txn).
+    if (start.resumeLsn != start.deliveredLsn) pendingHoldback = start.resumeLsn
     opened = true
   }
 
@@ -347,12 +421,16 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     openStreamed.clear()
     bufferedStreamFrames = 0
     openStreamXid = -1L
+    inPrepare = false
     val delivered = if (buffer.nonEmpty) buffer.last.endLsn else floorLsn
     // Reopen below any open prepared section (its ledger rebuilds from the
     // replayed b..P frames); groups already buffered replay too and are
-    // skipped by the floor.
+    // skipped by the floor. Same hold-back carry-over as ensureOpen: until
+    // the replay re-registers the gid, offsets must keep reopening here.
     val reopenAt = capResume(delivered)
     preparedGroups.clear()
+    preparedBytes = 0L
+    pendingHoldback = if (reopenAt != delivered) reopenAt else -1L
     replayFloor = delivered
     wal.open(reopenAt) // throws → the next attempt backs off longer
   }
@@ -453,6 +531,7 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             curTxn = mutable.ArrayBuffer.empty
           case 'R' =>
             if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
+            else if (inPrepare) curTxn += raw // folds at 'K', never on 'r'
             else {
               // Non-streamed relation: cache for preambles AND keep in-line so
               // this txn group (or the next, for an ambient relation between
@@ -498,41 +577,40 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             // commit/rollback decision; nothing is delivered yet. A replayed
             // section (reopen below an open prepare) replaces its gid entry.
             curTxn += raw
+            inPrepare = false
             val gid = readCStr(raw, p + 30)
             // The replay floor is the 'b' frame's position, not curTxn.head:
             // ambient Relation frames may precede it in the group, and
-            // relations always replay regardless of the reopen point.
+            // relations always replay regardless of the reopen point. A
+            // Prepare with no preceding section (feed started mid-section)
+            // floors at its own position rather than crashing on an empty
+            // buffer.
             val beginPrepareWal = curTxn
               .find(f => f.length > p && f(p) == 'b')
               .map(readU64(_, 1))
-              .getOrElse(readU64(curTxn.head, 1))
-            preparedGroups.update(gid,
-              PreparedGroup(curTxn.toArray, beginPrepareWal, streamed = false))
+              .getOrElse(readU64(curTxn.head, 1)) // curTxn holds ≥ this 'P' frame
+            park(gid, PreparedGroup(curTxn.toArray, beginPrepareWal, streamed = false))
             curTxn = mutable.ArrayBuffer.empty
           case 'K' =>
             // COMMIT PREPARED: deliver the parked section + this frame as
-            // one group at the commit-prepared end LSN. An unknown gid
-            // (prepared before this slot's start) has nothing to deliver.
+            // one group at the commit-prepared end LSN, and only NOW fold
+            // the section's Relation frames into the cache — the decision is
+            // what makes its schema real. An unknown gid (prepared before
+            // this slot's start) has nothing to deliver.
             val gid = readCStr(raw, p + 30)
-            preparedGroups.remove(gid).foreach { g =>
-              if (g.streamed) {
-                bufferedStreamFrames -= g.frames.length - 1 // all but the 'p' frame
-                g.frames.foreach { s =>
-                  if (s(0) == graft.pgproto.WalFrames.TagXLogData && s.length > p && s(p) == 'R') {
-                    val canonical = stripStreamXid(s)
-                    relCache = relCache.updated(readU32(s, p + 5), canonical)
-                    publishRelation(canonical)
-                  }
+            unpark(gid).foreach { g =>
+              g.frames.foreach { s =>
+                if (s(0) == graft.pgproto.WalFrames.TagXLogData && s.length > p && s(p) == 'R') {
+                  val canonical = if (g.streamed) stripStreamXid(s) else s
+                  relCache = relCache.updated(readU32(canonical, p + 1), canonical)
+                  publishRelation(canonical)
                 }
               }
               addGroup(g.frames :+ raw, readU64(raw, p + 10))
             }
           case 'r' =>
             // ROLLBACK PREPARED: drop the parked section unseen.
-            val gid = readCStr(raw, p + 38)
-            preparedGroups.remove(gid).foreach { g =>
-              if (g.streamed) bufferedStreamFrames -= g.frames.length - 1
-            }
+            unpark(readCStr(raw, p + 38))
           case 'p' =>
             // STREAM PREPARE: the streamed txn's chunks park under the gid
             // (still counted against the stream-frame cap until resolved).
@@ -541,11 +619,11 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
             val segs = openStreamed.remove(xid).getOrElse(mutable.ArrayBuffer.empty)
             val firstWal = if (segs.nonEmpty) readU64(segs.head, 1) else readU64(raw, 1)
             segs += raw
-            preparedGroups.remove(gid).foreach { old =>
-              if (old.streamed) bufferedStreamFrames -= old.frames.length - 1
-            }
-            preparedGroups.update(gid, PreparedGroup(segs.toArray, firstWal, streamed = true))
-          case _ => // DML / Truncate / 'b' BeginPrepare
+            park(gid, PreparedGroup(segs.toArray, firstWal, streamed = true))
+          case 'b' => // BeginPrepare opens the two-phase data section
+            inPrepare = true
+            curTxn += raw
+          case _ => // DML / Truncate / logical message
             if (openStreamXid >= 0) appendStreamed(openStreamXid, raw)
             else curTxn += raw
         }

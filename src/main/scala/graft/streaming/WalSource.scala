@@ -55,7 +55,7 @@ final class FileWalSource(path: String) extends WalSource {
   @volatile private var confirmed: Long = Lsn.Zero
 
   override def open(fromLsn: Long): Unit = {
-    confirmed = math.max(confirmed, fromLsn)
+    if (Lsn.compare(fromLsn, confirmed) > 0) confirmed = fromLsn // unsigned, like ack
     it = ResumeFilter(WalFile.read(path), fromLsn)
   }
 
@@ -76,7 +76,7 @@ final class InMemoryWalSource(frames: Seq[Array[Byte]]) extends WalSource {
   private var it: Iterator[Array[Byte]] = Iterator.empty
   @volatile private var confirmed: Long = Lsn.Zero
   override def open(fromLsn: Long): Unit = {
-    confirmed = math.max(confirmed, fromLsn)
+    if (Lsn.compare(fromLsn, confirmed) > 0) confirmed = fromLsn // unsigned, like ack
     it = ResumeFilter(frames.iterator, fromLsn)
   }
   override def poll(): Option[Array[Byte]] = if (it.hasNext) Some(it.next()) else None

@@ -72,6 +72,15 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(cfg.copy(protoVersion = 1).startReplicationSql(0L) ==
       "START_REPLICATION SLOT graft_slot LOGICAL 0/0 " +
         "(proto_version '1',publication_names 'graft_pub')")
+    // v3 negotiates the two-phase tags this engine decodes; v4 (pg16+) keeps
+    // the same options and remains accepted.
+    assert(cfg.copy(protoVersion = 3).startReplicationSql(0L) ==
+      "START_REPLICATION SLOT graft_slot LOGICAL 0/0 " +
+        "(proto_version '3',messages 'true',streaming 'true',two_phase 'true'," +
+        "publication_names 'graft_pub')")
+    assert(cfg.copy(protoVersion = 4).startReplicationSql(0L).contains("two_phase 'true'"))
+    assert(intercept[IllegalArgumentException](cfg.copy(protoVersion = 5))
+      .getMessage.contains("proto_version"))
   }
 
   test("IDENTIFY_SYSTEM parses the four-column row") {

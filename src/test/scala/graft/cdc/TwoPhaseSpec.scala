@@ -141,4 +141,50 @@ class TwoPhaseSpec extends AnyFunSuite {
       MessageEncoder.xlogData(300, 300, T0, MessageEncoder.commitPrepared(300, 310, T0 + 9, 7, "g4")))
     assert(evs.map(_.after("id")) == Seq("1"), "replay must not double the events")
   }
+
+  test("ROLLBACK PREPARED rolls back the section's Relation registrations too") {
+    // A Relation inside the prepared section describes its UNCOMMITTED
+    // catalog: it must decode the section's own DML, but on rollback the
+    // prior registration is restored — later transactions re-decode against
+    // the schema that actually exists.
+    val a = newAssembler()
+    val colsV2 = Cols :+ Messages.RelationColumn("extra", 25L, -1, 0)
+    feed(a,
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.beginPrepare(108, 110, T0, 7, "g5")),
+      MessageEncoder.xlogData(105, 105, T0,
+        MessageEncoder.relation(RelOid, "public", "books", colsV2)),
+      MessageEncoder.xlogData(106, 106, T0,
+        MessageEncoder.insert(RelOid, Seq(Some("1"), Some("a"), Some("x")))),
+      MessageEncoder.xlogData(109, 109, T0, MessageEncoder.prepare(108, 110, T0, 7, "g5")))
+    assert(a.relations(RelOid).columns.map(_.name).toSeq == Seq("id", "name", "extra"),
+      "the section's own DML decodes against the in-section schema")
+    feed(a, MessageEncoder.xlogData(400, 400, T0,
+      MessageEncoder.rollbackPrepared(110, 410, T0, T0 + 9, 7, "g5")))
+    assert(a.relations(RelOid).columns.map(_.name).toSeq == Seq("id", "name"),
+      "rollback restores the pre-section registration")
+    // And a later plain txn decodes against the restored (v1) schema.
+    val evs = feed(a,
+      MessageEncoder.xlogData(500, 500, T0, MessageEncoder.begin(510, T0 + 2, 9)),
+      MessageEncoder.xlogData(501, 501, T0,
+        MessageEncoder.insert(RelOid, Seq(Some("9"), Some("v9")))),
+      MessageEncoder.xlogData(509, 509, T0, MessageEncoder.commit(509, 510, T0 + 2)))
+    assert(evs.map(_.after("id")) == Seq("9"))
+  }
+
+  test("COMMIT PREPARED keeps the section's Relation registrations") {
+    val a = newAssembler()
+    val colsV2 = Cols :+ Messages.RelationColumn("extra", 25L, -1, 0)
+    feed(a,
+      MessageEncoder.xlogData(100, 100, T0, MessageEncoder.beginPrepare(108, 110, T0, 7, "g6")),
+      MessageEncoder.xlogData(105, 105, T0,
+        MessageEncoder.relation(RelOid, "public", "books", colsV2)),
+      MessageEncoder.xlogData(106, 106, T0,
+        MessageEncoder.insert(RelOid, Seq(Some("1"), Some("a"), Some("x")))),
+      MessageEncoder.xlogData(109, 109, T0, MessageEncoder.prepare(108, 110, T0, 7, "g6")))
+    val evs = feed(a, MessageEncoder.xlogData(300, 300, T0,
+      MessageEncoder.commitPrepared(300, 310, T0 + 9, 7, "g6")))
+    assert(evs.map(_.after("extra")) == Seq("x"))
+    assert(a.relations(RelOid).columns.map(_.name).toSeq == Seq("id", "name", "extra"),
+      "the committed section's schema stays registered")
+  }
 }
