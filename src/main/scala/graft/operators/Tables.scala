@@ -15,20 +15,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests all do) —
-    * set at session construction, NOT mutated here, so no other read's
-    * semantics silently change mid-session. The raw nanos convert to a µs
-    * TimestampType column — lossless: the generator emits whole microseconds
-    * (verified: epoch_ns % 1000 == 0 across all SFs), so ordering/tie
-    * semantics match DuckDB's TIMESTAMP_NS.
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (read as raw-nanos LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or plain TIMESTAMP.
+    * Normalize all three to a µs TimestampType column so downstream
+    * operators see one stable type. Lossless in every case: the nanos
+    * generator emitted whole microseconds (epoch_ns % 1000 == 0 across all
+    * SFs), and every session here pins spark.sql.session.timeZone=UTC, so
+    * the NTZ→LTZ cast preserves the stored micros bit-for-bit — ordering
+    * and tie semantics match DuckDB reading the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet carries TIMESTAMP(NANOS))")
-    apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy nanos-as-long read
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
