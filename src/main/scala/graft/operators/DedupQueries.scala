@@ -327,6 +327,20 @@ object DedupQueries {
       clusterMemo.remove(k).foreach(_.unpersist(blocking = true))
     }
 
+  /** Converged component labels over the minhash pair graph — the memo
+    * build behind [[dedupClusters]], exposed so `graft.Bench` can time the
+    * pair detection + propagation as its own `prep_cc_labels` entry. At
+    * 100 TB this IS a separate job (you materialize the label table once
+    * and every consumer joins it); without the prep entry the whole build
+    * lands on whichever query first touches the memo, and that attribution
+    * swung 4.3 s ↔ 0.26 s across rounds purely on map iteration order.
+    */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.getOrElseUpdate((s, dir), {
+      val pairs = minhashLsh(s, dir).select(col("d1"), col("d2"))
+      connectedComponents(pairs.toDF("src", "dst"), propRounds = 16)
+    })
+
   /** Duplicate-cluster resolution — the step every dedup pipeline needs
     * AFTER pair detection: near-dup pairs only say "A≈B"; dropping one doc
     * per PAIR over-deletes (A≈B, B≈C kills two of three docs even when the
@@ -356,10 +370,7 @@ object DedupQueries {
     * existence probe, not by moving labels.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val labels = clusterMemo.getOrElseUpdate((s, dir), {
-      val pairs = minhashLsh(s, dir).select(col("d1"), col("d2"))
-      connectedComponents(pairs.toDF("src", "dst"), propRounds = 16)
-    })
+    val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(
@@ -407,14 +418,17 @@ object DedupQueries {
       val prop = edges
         .join(cur.select(col("v").as("src"), col("lbl").as("slbl")), "src")
         .groupBy(col("dst").as("v")).agg(min(col("slbl")).as("plbl"))
+      // Carry the pre-round label through the checkpointed frame: the
+      // convergence probe is then a filter over blocks this round already
+      // materialized — one fewer shuffle join + scheduler round-trip per
+      // iteration than re-joining next against cur (the probe dominated
+      // wall time at small SF: ~2× fewer jobs per round).
       val next = cur.join(prop, Seq("v"))
-        .select(col("v"), least(col("lbl"), col("plbl")).as("lbl"))
+        .select(col("v"), least(col("lbl"), col("plbl")).as("lbl"),
+          col("lbl").as("olbl"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(cur.as("o"), "v")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).count() == 0L
-      cur = next
+      converged = next.filter(col("lbl") =!= col("olbl")).limit(1).count() == 0L
+      cur = next.select(col("v"), col("lbl"))
       rounds += 1
     }
     val out = if (converged) cur else starContract(edges)

@@ -24,7 +24,8 @@ object SharedCaches {
     "prep_ivf_centroids" -> ((s, d) => AnnQueries.ivfCentroidFrame(s, d)),
     "prep_trigram_counts" -> ((s, d) => TextQueries.triGramCounts(s, d)),
     "prep_streaming_dedup" -> ((s, d) => DedupQueries.streamingDedupDrive(s, d)),
-    "prep_pq_index" -> ((s, d) => AnnQueries.pqCodeFrame(s, d)))
+    "prep_pq_index" -> ((s, d) => AnnQueries.pqCodeFrame(s, d)),
+    "prep_cc_labels" -> ((s, d) => DedupQueries.clusterLabels(s, d)))
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).
