@@ -41,6 +41,12 @@ final class FakeWalsender(
       * abruptly) after this many frames — the reconnect fault injection.
       */
     dropAfterFrames: Int = -1,
+    /** Multi-cut fault schedule: the k-th replication stream (0-based) is
+      * cut abruptly after `dropSchedule(k)` frames; streams past the
+      * schedule's end run to completion. `dropAfterFrames` is the
+      * schedule-of-one special case (kept for the single-drop specs).
+      */
+    dropSchedule: Seq[Int] = Nil,
     /** Generic simple-query handler: sql → Some((colNames, rows)) to serve
       * a result, None → ErrorResponse. Lets the same server back the
       * service-layer SQL executor.
@@ -64,7 +70,9 @@ final class FakeWalsender(
 
   private val slotInUseLeft = new java.util.concurrent.atomic.AtomicInteger(slotInUseRejections)
 
-  private val dropArmed = new java.util.concurrent.atomic.AtomicBoolean(dropAfterFrames >= 0)
+  private val dropPlan: Vector[Int] =
+    if (dropAfterFrames >= 0) Vector(dropAfterFrames) else dropSchedule.toVector
+  private val dropIdx = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
@@ -199,12 +207,15 @@ final class FakeWalsender(
             PgWire.writeMessage(out, PgWire.Tag.CopyBothResponse, PgWire.CopyBothAllText)
             // Same replay semantics as a slot restart point: whole txns
             // committing after the confirmed LSN, relations always.
-            val drop = dropArmed.getAndSet(false)
+            val dropAt = {
+              val i = dropIdx.getAndIncrement()
+              if (i < dropPlan.length) dropPlan(i) else -1
+            }
             var sent = 0
             val it = ResumeFilter(frames.iterator, fromLsn)
             var cut = false
             while (it.hasNext && !cut) {
-              if (drop && sent >= dropAfterFrames) {
+              if (dropAt >= 0 && sent >= dropAt) {
                 sock.close() // abrupt: no CopyDone, no Terminate
                 cut = true
               } else {
