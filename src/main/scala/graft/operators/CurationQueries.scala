@@ -177,52 +177,81 @@ object CurationQueries {
     * is visible and auditable in the same row. Splits are the same
     * deterministic md5-nibble assignment as [[corpusSplit]].
     *
-    * 100-TB shape: the filter is built as a DISTINCT bit-position frame —
-    * a partial-agg distinct capped at m = 2^20 rows (~8 MB) regardless of
-    * corpus size, the whole point of the structure — which AQE then
-    * broadcasts to the probe join; probe bits explode row-locally (×k).
-    * The exact-hit column joins probe shingles against the train shingle
-    * set — corpus-sized, the join Bloom avoids — which is affordable here
-    * ONLY because the probe side is the small test split; a production run
-    * drops that audit column and keeps the Bloom side untouched.
+    * 100-TB shape: the filter is a distinct bit-position frame (capped at
+    * m = 2^20 rows regardless of corpus size — the whole point of the
+    * structure) folded into a 128 KB dense bitmap by partial-aggregated
+    * per-word ORs and pulled once to the driver (a bounded planning pull,
+    * like the IVF centroid collect); probing is a row-local codegen'd
+    * lambda against the bitmap literal, so the probe side never shuffles.
+    * The exact-hit audit joins the test vocabulary against the train
+    * shingle set — affordable ONLY because the probe side is the small
+    * test split; a production run drops the audit column.
     */
   def bloomDecon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val meta = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), splitNibble(col("doc_id")).as("nib"))
     val shing = ShingleSets(s, dir, 5).join(meta, "doc_id")
     def bitsOf(sh: Column): Column = array((0 until BloomK).map(j =>
       hash60(concat(lit(s"bloom$j-"), sh)) % BloomBits): _*)
+    // The train vocabulary feeds BOTH the filter build and the exact-hit
+    // audit; checkpoint it so the explode+distinct runs once (vocab-sized
+    // blocks — at production scale this is the "write the shingle table
+    // once, every consumer reads it" job the class doc describes).
     val trainSh = shing.filter(col("nib") < 12)
       .select(explode(col("shs")).as("sh")).distinct()
+      .localCheckpoint(true)
     // Hash AFTER the distinct: bits per distinct shingle, not per
     // occurrence — at corpus scale occurrences dwarf the vocabulary.
-    val bits = trainSh
+    // Then fold the distinct positions into the REAL m-bit bitmap: 2^14
+    // words of 64 bits ≈ 128 KB, independent of corpus size — that bound
+    // is the Bloom filter's defining property, which is what makes the
+    // driver-side pull safe (same bounded-planning-pull class as the
+    // K×dim IVF centroid collect). Per-word ORs partial-aggregate across
+    // the cluster; the union pins all 2^14 word slots so the ordered
+    // collect is a dense, positionally-indexed bitmap. An earlier shape
+    // broadcast the raw bit positions as a ~0.5M-row hash relation and
+    // stalled unpredictably on the relation build (2–10 s swings);
+    // a map-typed bitmap was worse still (Catalyst's element_at on a map
+    // is a LINEAR scan — O(m/64) per probe; on an array it is O(1)).
+    val allWords = s.range(0, BloomBits / 64)
+      .select(col("id").cast("int").as("w"), lit(0L).as("m"))
+    val bm: Array[Long] = trainSh
       .select(explode(bitsOf(col("sh"))).as("bit"))
       .distinct()
+      .groupBy(expr("cast(bit div 64 as int)").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit % 64 as int)))").as("m"))
+      .unionByName(allWords)
+      .groupBy("w").agg(expr("bit_or(m)").as("m"))
+      .orderBy("w").select("m").as[Long].collect()
     val testSh = shing.filter(col("nib") >= 14)
       .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
-    val bloomPerDoc = testSh
-      .select(col("doc_id"), col("sh"), explode(bitsOf(col("sh"))).as("bit"))
-      // bits is bounded at m = 2^20 rows by construction — the Bloom
-      // filter's defining property — so broadcasting is always safe and
-      // spares the (potentially corpus-scale) probe side its shuffle.
-      .join(broadcast(bits), Seq("bit"), "left_semi")
-      .groupBy("doc_id", "sh").agg(count(lit(1)).as("nset"))
-      .filter(col("nset") === BloomK)
-      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
-    val exactPerDoc = testSh
+    // Probe row-locally against the bitmap literal (one Literal node
+    // codegen references — no join, no shuffle, nothing per-row): a
+    // shingle is a Bloom hit when all k of its bit positions are set.
+    val testFlagged = testSh
+      .withColumn("bits", bitsOf(col("sh")))
+      .withColumn("bm", typedLit(bm))
+      .withColumn("bloom_hit", expr(
+        """cast(forall(bits, b ->
+          |  (shiftright(element_at(bm, cast(b div 64 as int) + 1),
+          |              cast(b % 64 as int)) & 1) = 1) as bigint)""".stripMargin))
+      .drop("bits", "bm")
+    // The exact audit probes the test vocabulary against the checkpointed
+    // train vocabulary — affordable ONLY because the test split (an eval
+    // benchmark) is small; a production run drops the audit column.
+    val exactSh = testSh.select("sh").distinct()
       .join(trainSh, Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
-    testSh.groupBy("doc_id", "source").agg(count(lit(1)).as("n_sh"))
-      .join(bloomPerDoc, Seq("doc_id"), "left")
-      .join(exactPerDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("bloom_hits", "exact_hits"))
+      .select(col("sh"), lit(1L).as("exact_hit"))
+    testFlagged
+      .join(broadcast(exactSh), Seq("sh"), "left")
+      .na.fill(0L, Seq("exact_hit"))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_sh").as("n_sh"),
-        sum("bloom_hits").as("bloom_hits"),
-        sum("exact_hits").as("exact_hits"))
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_sh"),
+        sum("bloom_hit").as("bloom_hits"),
+        sum("exact_hit").as("exact_hits"))
   }
 
   /** Per-source token budget for [[tokenBudgetMix]] — the target corpus-mix
