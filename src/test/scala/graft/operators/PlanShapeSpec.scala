@@ -77,6 +77,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 2 hash exchanges (join children only), got $hashExchanges:\n$plan")
   }
 
+  test("bloom decon probes via a row-local bitmap literal, never a shuffle join") {
+    // The Bloom membership test must be a codegen'd lambda over the dense
+    // bitmap literal — a join-based probe either builds a ~m-row broadcast
+    // relation (driver stalls) or falls back to a sort-merge join at scale.
+    val plan = executedString(SparkEntry.queries("q_bloom_decon")(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom probe fell back to a shuffle join:\n$plan")
+    assert(plan.contains("forall"),
+      s"bitmap probe lambda missing from the plan:\n$plan")
+  }
+
   test("PQ shortlist scans the materialized code table, not re-encoded vectors") {
     // The encode projection (argmax over PqK codewords per subspace) must
     // NOT be collapsed into the query-side join — that re-evaluates it per
