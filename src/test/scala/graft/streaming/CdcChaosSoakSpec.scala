@@ -10,10 +10,11 @@ import graft.pgproto.Messages
 /** Randomized chaos soak over the socket walsender path — the closest local
   * stand-in for the reference's dockerized integration soak
   * (`integration_test/main_test.go:34-121`, which this sandbox cannot run):
-  * a seeded random workload of plain, streamed-multi-segment (committed and
-  * aborted), and two-phase (committed and rolled-back) transactions is
-  * served over a real socket while the connection is cut abruptly at a
-  * random schedule of points. The invariants checked across every seed:
+  * a seeded random workload of plain, streamed-multi-segment (committed,
+  * aborted, and stream-PREPARED), and two-phase (committed and rolled-back)
+  * transactions is served over a real socket while the connection is cut
+  * abruptly at a random schedule of points. The invariants checked across
+  * every seed:
   *
   *  - exactly-once: the delivered id set equals the committed id set — no
   *    loss, no duplicate — regardless of where the cuts land (mid-txn,
@@ -100,13 +101,23 @@ class CdcChaosSoakSpec extends AnyFunSuite {
     def decideStream(): Unit = if (open.nonEmpty) {
       val k = open.keys.toSeq(rnd.nextInt(open.size))
       val ids = open.remove(k).get
-      if (rnd.nextInt(4) == 0) {
-        fs += x(at(), MessageEncoder.streamAbort(k, k))
-      } else {
-        val commitAt = at()
-        val endLsn = at()
-        fs += x(commitAt, MessageEncoder.streamCommit(k, commitAt, endLsn, T0))
-        expect ++= ids
+      rnd.nextInt(5) match {
+        case 0 =>
+          fs += x(at(), MessageEncoder.streamAbort(k, k))
+        case 1 =>
+          // Stream-prepare ('p'): the streamed buffer moves to the
+          // prepared ledger and waits for COMMIT/ROLLBACK PREPARED.
+          val g = s"sgid-$k"
+          val pField = at()
+          val pFrame = at()
+          val pEnd = at()
+          fs += x(pFrame, MessageEncoder.streamPrepare(pField, pEnd, T0, k, g))
+          prepared += ((k, g, ids.toSeq, pEnd))
+        case _ =>
+          val commitAt = at()
+          val endLsn = at()
+          fs += x(commitAt, MessageEncoder.streamCommit(k, commitAt, endLsn, T0))
+          expect ++= ids
       }
     }
 
