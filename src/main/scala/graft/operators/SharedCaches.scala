@@ -37,6 +37,7 @@ object SharedCaches {
     AnnQueries.releasePqCodebooks(s)
     DedupQueries.releaseClusterLabels(s)
     DedupQueries.releaseStreamingFlags(s)
+    CurationQueries.releaseTrainVocab(s)
     TextQueries.releaseTrigrams(s)
   }
 }

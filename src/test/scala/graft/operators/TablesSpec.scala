@@ -21,36 +21,36 @@ class TablesSpec extends AnyFunSuite {
   // 2024-01-02T03:04:05.678901 UTC, as epoch microseconds.
   private val Micros = 1704164645678901L
 
-  private def write(df: org.apache.spark.sql.DataFrame): String = {
-    val dir = Files.createTempDirectory("tables-spec").toString
-    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
-    dir
-  }
-
-  private def readBack(dir: String): (DataType, Long) = {
-    val ev = Tables.events(spark, dir)
-    assert(ev.schema("ts").dataType == TimestampType,
-      s"events.ts must normalize to TimestampType, got ${ev.schema("ts").dataType}")
-    val micros = ev.select(unix_micros(col("ts"))).head().getLong(0)
-    (ev.schema("ts").dataType, micros)
+  private def withEvents(df: org.apache.spark.sql.DataFrame)(check: Long => Unit): Unit = {
+    val dir = Files.createTempDirectory("tables-spec")
+    try {
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val ev = Tables.events(spark, dir.toString)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"events.ts must normalize to TimestampType, got ${ev.schema("ts").dataType}")
+      check(ev.select(unix_micros(col("ts"))).head().getLong(0))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 
   test("legacy nanos-as-long generation normalizes to µs timestamps") {
-    val dir = write(spark.range(1).select(
-      col("id").as("event_id"), lit(Micros * 1000L).as("ts")))
-    assert(readBack(dir)._2 == Micros)
+    withEvents(spark.range(1).select(
+      col("id").as("event_id"), lit(Micros * 1000L).as("ts")))(m =>
+      assert(m == Micros))
   }
 
   test("TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) generation normalizes") {
-    val dir = write(spark.range(1).select(
+    withEvents(spark.range(1).select(
       col("id").as("event_id"),
-      timestamp_micros(lit(Micros)).cast(TimestampNTZType).as("ts")))
-    assert(readBack(dir)._2 == Micros)
+      timestamp_micros(lit(Micros)).cast(TimestampNTZType).as("ts")))(m =>
+      assert(m == Micros))
   }
 
   test("plain TimestampType generation passes through unchanged") {
-    val dir = write(spark.range(1).select(
-      col("id").as("event_id"), timestamp_micros(lit(Micros)).as("ts")))
-    assert(readBack(dir)._2 == Micros)
+    withEvents(spark.range(1).select(
+      col("id").as("event_id"), timestamp_micros(lit(Micros)).as("ts")))(m =>
+      assert(m == Micros))
   }
 }

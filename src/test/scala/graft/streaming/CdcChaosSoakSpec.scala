@@ -199,8 +199,9 @@ class CdcChaosSoakSpec extends AnyFunSuite {
       val w = genWorkload(seed)
       assert(w.frames.size > 40, "workload is large enough for cuts to land")
       val server = new FakeWalsender(w.frames, dropSchedule = w.drops)
+      var s: PgCdcMicroBatchStream = null
       try {
-        val s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(java.util.Map.of(
+        s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(java.util.Map.of(
           "host", "127.0.0.1", "port", server.port.toString,
           "slot", "s1", "publication", "p1",
           "spillThresholdEvents", "8",
@@ -224,7 +225,12 @@ class CdcChaosSoakSpec extends AnyFunSuite {
         assert(starts.size >= 2, s"seed=$seed: at least one cut must have fired ($starts)")
         assert(starts == starts.sorted,
           s"seed=$seed: resume LSNs must never move backwards: $starts")
-        s.stop()
-      } finally server.close()
+      } finally {
+        // Stop the stream even when an assertion fired — a live feed
+        // thread spinning reconnects against the closed port would bleed
+        // noise into every later suite in this JVM.
+        if (s != null) try s.stop() catch { case _: Throwable => () }
+        server.close()
+      }
     }
 }

@@ -70,6 +70,8 @@ final class FakeWalsender(
 
   private val slotInUseLeft = new java.util.concurrent.atomic.AtomicInteger(slotInUseRejections)
 
+  require(dropAfterFrames < 0 || dropSchedule.isEmpty,
+    "pass either dropAfterFrames or dropSchedule, not both")
   private val dropPlan: Vector[Int] =
     if (dropAfterFrames >= 0) Vector(dropAfterFrames) else dropSchedule.toVector
   private val dropIdx = new java.util.concurrent.atomic.AtomicInteger(0)
