@@ -198,7 +198,8 @@ class CdcChaosSoakSpec extends AnyFunSuite {
     test(s"chaos soak seed=$seed: random txn mix + scheduled cuts stay exactly-once") {
       val w = genWorkload(seed)
       assert(w.frames.size > 40, "workload is large enough for cuts to land")
-      val server = new FakeWalsender(w.frames, dropSchedule = w.drops)
+      val server = new FakeWalsender(w.frames, dropSchedule = w.drops,
+        keepaliveEvery = 7)
       var s: PgCdcMicroBatchStream = null
       try {
         s = new PgCdcMicroBatchStream(new CaseInsensitiveStringMap(java.util.Map.of(
@@ -225,6 +226,10 @@ class CdcChaosSoakSpec extends AnyFunSuite {
         assert(starts.size >= 2, s"seed=$seed: at least one cut must have fired ($starts)")
         assert(starts == starts.sorted,
           s"seed=$seed: resume LSNs must never move backwards: $starts")
+        // Interleaved reply-requested keepalives must have drawn standby
+        // status updates through the chaos (liveness under fault load).
+        assert(server.statusUpdates.synchronized { server.statusUpdates.nonEmpty },
+          s"seed=$seed: no standby status update despite reply-requested keepalives")
       } finally {
         // Stop the stream even when an assertion fired — a live feed
         // thread spinning reconnects against the closed port would bleed

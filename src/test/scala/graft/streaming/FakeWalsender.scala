@@ -47,6 +47,11 @@ final class FakeWalsender(
       * schedule-of-one special case (kept for the single-drop specs).
       */
     dropSchedule: Seq[Int] = Nil,
+    /** When > 0: interleave a primary-keepalive ('k', reply requested)
+      * after every N served data frames — the chatter a real walsender
+      * mixes into the stream, exercising the client's reply path.
+      */
+    keepaliveEvery: Int = 0,
     /** Generic simple-query handler: sql → Some((colNames, rows)) to serve
       * a result, None → ErrorResponse. Lets the same server back the
       * service-layer SQL executor.
@@ -223,6 +228,10 @@ final class FakeWalsender(
               } else {
                 PgWire.writeMessage(out, PgWire.Tag.CopyData, it.next())
                 sent += 1
+                if (keepaliveEvery > 0 && sent % keepaliveEvery == 0)
+                  PgWire.writeMessage(out, PgWire.Tag.CopyData,
+                    graft.pgproto.MessageEncoder.keepalive(
+                      xLogPos, 1700000000000000L, replyRequested = true))
               }
             }
             if (cut) return
