@@ -55,6 +55,9 @@ final class ByteReader(buf: Array[Byte], private var pos: Int = 0) {
   }
 
   def readBytes(n: Int, what: String = "bytes"): Array[Byte] = {
+    if (n < 0)
+      throw new PgProtoException(
+        s"negative length $n for $what at offset $pos")
     need(n, what)
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
     pos += n

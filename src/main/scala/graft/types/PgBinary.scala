@@ -24,6 +24,17 @@ object PgBinary {
   def toText(data: Array[Byte], oid: Long): String = {
     if (data == null) return null
     val b = ByteBuffer.wrap(data) // big-endian by default: the wire order
+    try decode(b, data, oid)
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        // truncated frame: fail like every other wire decode, not with a
+        // nio internal the caller has no reason to expect
+        throw new graft.pgproto.PgProtoException(
+          s"binary value for type OID $oid: short frame (${data.length} bytes)")
+    }
+  }
+
+  private def decode(b: ByteBuffer, data: Array[Byte], oid: Long): String = {
     oid match {
       case Bool => if (data(0) != 0) "t" else "f"
       case Int2 => b.getShort.toString
@@ -60,14 +71,30 @@ object PgBinary {
     */
   private def arrayText(b: ByteBuffer): String = {
     val ndim = b.getInt
+    // pg's MAXDIM is 6 (src/include/utils/array.h); anything past it is a
+    // corrupt frame, and trusting it would pre-allocate attacker-sized arrays.
+    if (ndim < 0 || ndim > 6)
+      throw new graft.pgproto.PgProtoException(
+        s"binary array: implausible ndim $ndim (pg MAXDIM is 6)")
     b.getInt // has-null flag: redundant with the per-element -1 lengths
     val elemOid = b.getInt.toLong & 0xffffffffL
-    val dims = Array.fill(ndim) { val n = b.getInt; b.getInt; n }
+    val dims = Array.fill(ndim) {
+      val n = b.getInt; b.getInt
+      // each element costs ≥4 bytes (its length prefix), so a dimension can
+      // never exceed remaining/4 — reject before the traversal allocates.
+      if (n < 0 || n.toLong * 4L > b.remaining)
+        throw new graft.pgproto.PgProtoException(
+          s"binary array: dimension $n exceeds frame (${b.remaining} bytes left)")
+      n
+    }
     def level(d: Int): String =
       if (d == ndim - 1)
         (0 until dims(d)).map { _ =>
           val len = b.getInt
           if (len < 0) "NULL"
+          else if (len > b.remaining)
+            throw new graft.pgproto.PgProtoException(
+              s"binary array: element length $len exceeds frame (${b.remaining} bytes left)")
           else {
             val bytes = new Array[Byte](len)
             b.get(bytes)

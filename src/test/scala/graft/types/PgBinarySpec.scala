@@ -153,6 +153,46 @@ class PgBinarySpec extends AnyFunSuite {
     assert(parsed.toSeq == elems)
   }
 
+  test("corrupt frames fail with PgProtoException, never with allocation") {
+    import graft.pgproto.PgProtoException
+    // truncated scalar: 2 bytes where int8 needs 8 — uniform wire error,
+    // not a leaked java.nio BufferUnderflowException
+    val short = intercept[PgProtoException](
+      PgBinary.toText(Array[Byte](1, 2), Oid.Int8))
+    assert(short.getMessage.contains("short frame"))
+
+    // implausible ndim (pg MAXDIM is 6): must reject BEFORE sizing any
+    // dimension array off attacker-controlled bytes
+    val hugeNdim = be(12) { b => b.putInt(0x7fffffff); b.putInt(0); b.putInt(25) }
+    val nd = intercept[PgProtoException](PgBinary.toText(hugeNdim, Oid.TextArr))
+    assert(nd.getMessage.contains("ndim"))
+
+    // dimension length far beyond the frame: rejected by the ≥4-bytes-per-
+    // element bound, again before any element traversal
+    val hugeDim = be(24) { b =>
+      b.putInt(1); b.putInt(0); b.putInt(25); b.putInt(0x10000000); b.putInt(1)
+    }
+    val dm = intercept[PgProtoException](PgBinary.toText(hugeDim, Oid.TextArr))
+    assert(dm.getMessage.contains("dimension"))
+
+    // element length claiming 2 GB with 4 bytes left: rejected pre-allocation
+    val hugeElem = be(28) { b =>
+      b.putInt(1); b.putInt(0); b.putInt(25); b.putInt(1); b.putInt(1)
+      b.putInt(0x7ffffff0)
+    }
+    val el = intercept[PgProtoException](PgBinary.toText(hugeElem, Oid.TextArr))
+    assert(el.getMessage.contains("element length"))
+
+    // tuple column with length 0xFFFFFFFF (-1 after toInt): the reader
+    // rejects negative lengths instead of tripping copyOfRange internals
+    val tup = be(11) { b =>
+      b.putShort(1); b.put('t'.toByte); b.putInt(0xffffffff)
+    }
+    val tl = intercept[PgProtoException](
+      graft.pgproto.TupleData.read(new graft.pgproto.ByteReader(tup)))
+    assert(tl.getMessage.contains("negative length"))
+  }
+
   test("NULL passes through; unknown OID fails loudly") {
     assert(PgBinary.toText(null, Oid.Int4) == null)
     val ex = intercept[graft.pgproto.PgProtoException](
