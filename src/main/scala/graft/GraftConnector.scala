@@ -60,7 +60,12 @@ object GraftConnector {
         * ([[SnapshotOrchestrator.executeWithRetry]]); tests drive it
         * clocklessly.
         */
-      retrySleep: Long => Unit = Thread.sleep): Boot = {
+      retrySleep: Long => Unit = Thread.sleep,
+      /** Snapshot-phase gauges ([[graft.snapshot.SnapshotProgress]]) —
+        * begin/chunk/table/end lifecycle is driven here; serve via
+        * [[graft.streaming.GraftMetricsServer]].
+        */
+      progress: Option[graft.snapshot.SnapshotProgress] = None): Boot = {
 
     // 1. Publication: tolerate existing, create when missing; then diff and
     //    apply replica identities (connector.go CreatePublication →
@@ -97,6 +102,11 @@ object GraftConnector {
       SnapshotOrchestrator.executeWithRetry(slots, store, slotKey,
         sleep = retrySleep) { job =>
         val cat = new CatalogReader(exec)
+        // a retry attempt restarts the gauges with the fresh attempt's plan
+        progress.foreach(_.begin(cfg.publication.tables.size))
+        // tag snapshot jobs so active_workers counts only snapshot tasks
+        spark.sparkContext.setJobGroup(
+          graft.snapshot.SnapshotProgress.JobGroup, "graft snapshot bulk load")
         cfg.publication.tables.foreach { t =>
           val cond = cfg.snapshot.conditionFor(t.schema, t.name)
           val stats = cat.tableStats(t.schema, t.name, cond)
@@ -112,10 +122,14 @@ object GraftConnector {
             orderByPk = stats.intPkColumn,
             sslMode = cfg.sslMode, sslRootCert = cfg.sslRootCert,
             sslCert = cfg.sslCert, sslKey = cfg.sslKey,
-            sslPassword = cfg.sslPassword)
+            sslPassword = cfg.sslPassword,
+            progress = progress)
           snapshotSink(s"${t.schema}.${t.name}", frame)
+          progress.foreach(_.tableDone())
         }
+        spark.sparkContext.clearJobGroup()
       }
+      progress.foreach(_.end())
       SnapshotOrchestrator.complete(store, slotKey)
     } else if (cfg.snapshot.mode != "snapshot_only") {
       // no snapshot this boot (resume from a completed job, or mode never):

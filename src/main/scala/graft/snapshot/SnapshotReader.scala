@@ -124,8 +124,17 @@ object SnapshotReader {
         * the passthrough an encrypted key works on the CDC/sink paths but
         * fails here.
         */
-      sslPassword: Option[String] = None): DataFrame = {
+      sslPassword: Option[String] = None,
+      /** Snapshot-phase gauges ([[SnapshotProgress]]): planned chunks are
+        * reported here at plan time; completed chunks/rows tick on the
+        * executors as partitions drain.
+        */
+      progress: Option[SnapshotProgress] = None): DataFrame = {
     val chunks = ChunkPlanner.plan(stats, cfg.chunkSize, cfg.strategyFor(schema, table))
+    progress.foreach(_.addPlannedChunks(chunks.size.toLong))
+    // only the (serializable) accumulators ride into the closure
+    val chunkAcc = progress.map(_.completedChunks)
+    val rowAcc = progress.map(_.rowsRead)
     val cond = cfg.conditionFor(schema, table)
     val sqls = chunks.map(ch =>
       SnapshotQuery.chunkSql(schema, table, columns.map(_.name), ch, cond, orderByPk))
@@ -151,6 +160,8 @@ object SnapshotReader {
               pin.foreach(conn.simpleQuery(_))
               val rows = conn.simpleQuery(sql)
               pin.foreach(_ => conn.simpleQuery("COMMIT"))
+              chunkAcc.foreach(_.add(1L))
+              rowAcc.foreach(_.add(rows.size.toLong))
               rows.map { vals =>
                 require(vals.size == nCols,
                   s"snapshot row has ${vals.size} columns, expected $nCols")

@@ -33,20 +33,41 @@ object GraftMetrics {
     override def name(): String = "streamEventsSpilled"
     override def description(): String = "streamed-txn events spilled to local disk"
   }
+  // Per-op counters — the reference's totalInsert/totalUpdate/totalDelete
+  // (`internal/metric/metric.go:42-44`). Counted where decode happens (on
+  // the executors), summed by Spark across tasks.
+  final class InsertsDecodedMetric extends CustomSumMetric {
+    override def name(): String = "insertsDecoded"
+    override def description(): String = "INSERT change events decoded"
+  }
+  final class UpdatesDecodedMetric extends CustomSumMetric {
+    override def name(): String = "updatesDecoded"
+    override def description(): String = "UPDATE change events decoded"
+  }
+  final class DeletesDecodedMetric extends CustomSumMetric {
+    override def name(): String = "deletesDecoded"
+    override def description(): String = "DELETE change events decoded"
+  }
 
   val supported: Array[CustomMetric] =
-    Array(new EventsDecodedMetric, new HeartbeatsSuppressedMetric, new StreamEventsSpilledMetric)
+    Array(new EventsDecodedMetric, new HeartbeatsSuppressedMetric,
+      new StreamEventsSpilledMetric, new InsertsDecodedMetric,
+      new UpdatesDecodedMetric, new DeletesDecodedMetric)
 
   private final case class TaskMetric(metricName: String, metricValue: Long) extends CustomTaskMetric {
     override def name(): String = metricName
     override def value(): Long = metricValue
   }
 
-  def taskMetrics(eventsDecoded: Long, heartbeatsSuppressed: Long, spilled: Long): Array[CustomTaskMetric] =
+  def taskMetrics(eventsDecoded: Long, heartbeatsSuppressed: Long, spilled: Long,
+      inserts: Long = 0L, updates: Long = 0L, deletes: Long = 0L): Array[CustomTaskMetric] =
     Array(
       TaskMetric("eventsDecoded", eventsDecoded),
       TaskMetric("heartbeatsSuppressed", heartbeatsSuppressed),
-      TaskMetric("streamEventsSpilled", spilled))
+      TaskMetric("streamEventsSpilled", spilled),
+      TaskMetric("insertsDecoded", inserts),
+      TaskMetric("updatesDecoded", updates),
+      TaskMetric("deletesDecoded", deletes))
 }
 
 /** Aggregating [[StreamingQueryListener]]: retains the latest progress and

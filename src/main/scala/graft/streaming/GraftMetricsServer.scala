@@ -28,7 +28,12 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
       * `() => slotManager.info()` here; None → 503 like the reference's
       * nil provider.
       */
-    slotInfo: Option[() => Option[graft.services.SlotManager.SlotInfo]] = None)
+    slotInfo: Option[() => Option[graft.services.SlotManager.SlotInfo]] = None,
+    /** Snapshot-phase gauges ([[graft.snapshot.SnapshotProgress]]) — when
+      * wired, `/metrics` also serves `graft_snapshot_*` series mirroring the
+      * reference's `go_pq_cdc_snapshot_*` set (`internal/metric/metric.go:57-66`).
+      */
+    snapshot: Option[graft.snapshot.SnapshotProgress] = None)
   extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -90,8 +95,17 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
           s"pgcdc source gauge $k", num)
       }
     }
+    snapshot.foreach(_.gauges.foreach { case (suffix, value) =>
+      val mtype = if (suffix == "rows_total") "counter" else "gauge"
+      series("graft_snapshot_" + suffix, mtype,
+        s"snapshot $suffix", renderDouble(value))
+    })
     sb.toString
   }
+
+  /** Integral-valued gauges print without a trailing `.0`. */
+  private def renderDouble(d: Double): String =
+    if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
 
   /** Gauge values arrive as strings; LSNs render as their numeric WAL
     * position, non-numeric values are skipped rather than emitted invalid.

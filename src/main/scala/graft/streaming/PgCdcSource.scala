@@ -777,12 +777,25 @@ object PgCdcReaderFactory extends PartitionReaderFactory {
         p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))
       private var cur: ChangeEvent = null
       private var decoded = 0L
+      private var inserts = 0L
+      private var updates = 0L
+      private var deletes = 0L
       override def next(): Boolean =
-        if (events.hasNext) { cur = events.next(); decoded += 1; true } else false
+        if (events.hasNext) {
+          cur = events.next(); decoded += 1
+          cur.op match {
+            case "insert" => inserts += 1
+            case "update" => updates += 1
+            case "delete" => deletes += 1
+            case _ => ()
+          }
+          true
+        } else false
       override def get(): InternalRow = toInternalRow(cur)
       override def currentMetricsValues(): Array[CustomTaskMetric] =
         GraftMetrics.taskMetrics(
-          decoded, assembler.heartbeatsSuppressed, assembler.totalSpilledEvents)
+          decoded, assembler.heartbeatsSuppressed, assembler.totalSpilledEvents,
+          inserts, updates, deletes)
       // Releases any open streamed buffers + spill files on task end.
       override def close(): Unit = assembler.close()
     }

@@ -76,12 +76,14 @@ class GraftConnectorSpec extends AnyFunSuite {
 
       val delivered = scala.collection.mutable.Map.empty[String, Seq[(Int, String)]]
       val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+      val progress = new graft.snapshot.SnapshotProgress(spark.sparkContext)
       val boot = GraftConnector.start(
         spark, cfg, new SnapshotJobStore.InMemory, exec, replExec,
         snapshotSink = (table, df) =>
           // materialize INSIDE the retry window, like a real overwrite sink
           delivered(table) = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq,
-        warn = warnings += _)
+        warn = warnings += _,
+        progress = Some(progress))
 
       assert(boot.publication.name == "e2e_pub")
       assert(warnings.isEmpty, "publication was missing: created, not warned")
@@ -92,6 +94,14 @@ class GraftConnectorSpec extends AnyFunSuite {
         (1 to 6).map(i => (i, s"u$i")), "snapshot delivered typed, all chunks")
       assert(boot.startLsn.contains(graft.pgproto.Lsn.parse("0/10")),
         "stream starts at the slot's consistent point")
+
+      // Snapshot-phase gauges tracked the real bulk load (6 rows / chunk 3
+      // -> 2 chunks): chunk+row counts came back from executor tasks.
+      val g = progress.gauges.toMap
+      assert(g("in_progress") == 0.0 && g("total_tables") == 1.0 &&
+        g("completed_tables") == 1.0 && g("total_chunks") == 2.0 &&
+        g("completed_chunks") == 2.0 && g("rows_total") == 6.0,
+        s"snapshot gauges after boot: $g")
 
       // Snapshot reads ran under the exported-snapshot pin.
       val qs = server.queries.synchronized(server.queries.toVector)

@@ -150,18 +150,79 @@ class GraftMetricsSpec extends AnyFunSuite {
       MessageEncoder.xlogData(101, 101, T0, MessageEncoder.insert(relOid, Seq(Some("1")))),
       MessageEncoder.xlogData(102, 102, T0, MessageEncoder.insert(hbOid, Seq(Some("9")))),
       MessageEncoder.xlogData(103, 103, T0, MessageEncoder.insert(relOid, Seq(Some("2")))),
-      MessageEncoder.xlogData(105, 105, T0, MessageEncoder.commit(105, 106, T0)))
+      MessageEncoder.xlogData(104, 104, T0,
+        MessageEncoder.update(relOid, Seq(Some("3")), Seq(Some("2")))),
+      MessageEncoder.xlogData(105, 105, T0,
+        MessageEncoder.delete(relOid, Seq(Some("3")))),
+      MessageEncoder.xlogData(106, 106, T0, MessageEncoder.commit(106, 107, T0)))
     val part = PgCdcInputPartition(
       Array(frames.head, frames(1)), Array(frames.drop(2).toArray),
       heartbeat = Some(("graft", "heartbeat")))
     val r = PgCdcReaderFactory.createReader(part)
     var n = 0
     while (r.next()) n += 1
-    assert(n == 2, "heartbeat row suppressed from output")
+    assert(n == 4, "heartbeat row suppressed from output")
     val m = r.currentMetricsValues().map(tm => tm.name() -> tm.value()).toMap
-    assert(m("eventsDecoded") == 2L)
+    assert(m("eventsDecoded") == 4L)
     assert(m("heartbeatsSuppressed") == 1L)
     assert(m("streamEventsSpilled") == 0L)
+    // per-op counters — the reference's totalInsert/totalUpdate/totalDelete
+    // (`internal/metric/metric.go:42-44`); the suppressed heartbeat insert
+    // must NOT count
+    assert(m("insertsDecoded") == 2L)
+    assert(m("updatesDecoded") == 1L)
+    assert(m("deletesDecoded") == 1L)
     r.close()
+  }
+
+  test("snapshot progress gauges serve under graft_snapshot_* on /metrics") {
+    import graft.snapshot.SnapshotProgress
+    val sc = spark.sparkContext
+    val progress = new SnapshotProgress(sc)
+    val listener = new GraftMetricsListener
+    val server = new GraftMetricsServer(listener, port = 0, snapshot = Some(progress))
+    def scrape(): String = {
+      val url = java.net.URI.create(
+        s"http://localhost:${server.boundPort}/metrics").toURL
+      val in = url.openStream()
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    try {
+      val idle = scrape()
+      assert(idle.contains("graft_snapshot_in_progress 0"))
+
+      progress.begin(tables = 2)
+      progress.addPlannedChunks(8)
+      // executor-side ticks: a real job updates the accumulators from tasks,
+      // exactly how viaWire's partitions report
+      val chunkAcc = progress.completedChunks
+      val rowAcc = progress.rowsRead
+      sc.parallelize(1 to 8, 4).foreach { _ =>
+        chunkAcc.add(1L); rowAcc.add(100L)
+      }
+      progress.tableDone()
+
+      val mid = scrape()
+      assert(mid.contains("graft_snapshot_in_progress 1"))
+      assert(mid.contains("graft_snapshot_total_tables 2"))
+      assert(mid.contains("graft_snapshot_completed_tables 1"))
+      assert(mid.contains("graft_snapshot_total_chunks 8"))
+      assert(mid.contains("graft_snapshot_completed_chunks 8"))
+      assert(mid.contains("graft_snapshot_rows_total 800"))
+      assert(mid.contains("# TYPE graft_snapshot_rows_total counter"))
+
+      progress.tableDone()
+      progress.end()
+      val done = scrape()
+      assert(done.contains("graft_snapshot_in_progress 0"))
+      assert(done.contains("graft_snapshot_completed_tables 2"))
+      assert(done.contains("graft_snapshot_active_workers 0"))
+      // duration froze at end(): two scrapes render the same value
+      val d1 = done.linesIterator.find(_.startsWith("graft_snapshot_duration_seconds")).get
+      Thread.sleep(30)
+      val d2 = scrape().linesIterator.find(_.startsWith("graft_snapshot_duration_seconds")).get
+      assert(d1 == d2, "duration must freeze once the snapshot ends")
+    } finally server.close()
   }
 }
