@@ -57,4 +57,45 @@ class PgBinaryArrayPropertySpec extends AnyFunSuite {
       prop)
     assert(res.passed, s"property falsified: ${res.status}")
   }
+
+  test("corrupted frames decode or fail with PgProtoException — nothing else") {
+    // Wire bytes are untrusted input: any truncation or byte flip of a valid
+    // frame must either still decode (the damage landed in a payload) or
+    // raise the uniform wire error. Anything else — OOM from trusting a
+    // length header, NegativeArraySize, a leaked nio internal — is a decoder
+    // hole. Exercised across the supported OIDs, not just arrays.
+    val oids = Seq(Oid.TextArr, Oid.Int8, Oid.Numeric, Oid.Uuid,
+      Oid.Timestamp, Oid.Interval, Oid.Date)
+    val frameGen: Gen[(Array[Byte], Long)] = for {
+      elems <- Gen.listOf(elemGen)
+      oid <- Gen.oneOf(oids)
+      valid = if (oid == Oid.TextArr) binTextArray(elems)
+        else Array.tabulate[Byte](16)(i => i.toByte)
+      mode <- Gen.choose(0, 2)
+      cut <- Gen.choose(0, valid.length)
+      idx <- Gen.choose(0, math.max(0, valid.length - 1))
+      flip <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield {
+      val bytes = mode match {
+        case 0 => valid.take(cut) // truncate
+        case 1 => // flip one byte (length headers included)
+          if (valid.isEmpty) valid
+          else { val c = valid.clone(); c(idx) = flip; c }
+        case _ => valid ++ Array(flip) // trailing garbage: must not crash
+      }
+      (bytes, oid)
+    }
+    val prop = Prop.forAll(frameGen) { case (bytes, oid) =>
+      try { PgBinary.toText(bytes, oid); true }
+      catch {
+        case _: graft.pgproto.PgProtoException => true
+        case _: Throwable => false
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(Seed(20260814L)),
+      prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
 }
