@@ -95,6 +95,12 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
           s"pgcdc source gauge $k", num)
       }
     }
+    // the reference's process_latency (`internal/metric/metric.go:48-49`):
+    // wall time spent executing the last trigger
+    listener.lastProgress
+      .flatMap(p => Option(p.durationMs).flatMap(d => Option(d.get("triggerExecution"))))
+      .foreach(ms => series("graft_pgcdc_process_latency_ms", "gauge",
+        "last trigger execution wall time (ms)", ms.toString))
     snapshot.foreach(_.gauges.foreach { case (suffix, value) =>
       val mtype = if (suffix == "rows_total") "counter" else "gauge"
       series("graft_snapshot_" + suffix, mtype,

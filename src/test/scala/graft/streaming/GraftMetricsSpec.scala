@@ -103,6 +103,8 @@ class GraftMetricsSpec extends AnyFunSuite {
       assert(gauge("backlog_txns") + gauge("txns_delivered") == 5L)
       // LSN gauges are numeric WAL positions, not "X/X" strings
       assert(gauge("confirmed_lsn") >= 0L)
+      // process latency (reference metric.go:48-49): last trigger wall time
+      assert(gauge("process_latency_ms") >= 0L)
     } finally {
       server.close()
       spark.streams.removeListener(listener)
