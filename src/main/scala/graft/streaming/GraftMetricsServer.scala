@@ -106,6 +106,20 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
       series("graft_snapshot_" + suffix, mtype,
         s"snapshot $suffix", renderDouble(value))
     })
+    // slot gauges (reference `internal/metric/metric.go:50-54`): the same
+    // facts `/slot` serves as JSON, scrapeable as numeric series
+    slotInfo.flatMap(f => try f() catch { case scala.util.control.NonFatal(_) => None })
+      .foreach { i =>
+        Seq[(String, Double)](
+          "slot_activity" -> (if (i.active) 1.0 else 0.0),
+          "slot_confirmed_flush_lsn" -> i.confirmedFlushLsn.toDouble,
+          "slot_current_lsn" -> i.currentLsn.toDouble,
+          "slot_retained_wal_size" -> i.retainedWalSize.toDouble,
+          "slot_lag" -> i.lag.toDouble
+        ).foreach { case (name, v) =>
+          series("graft_" + name, "gauge", s"replication $name", renderDouble(v))
+        }
+      }
     sb.toString
   }
 

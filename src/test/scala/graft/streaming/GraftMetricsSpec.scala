@@ -132,6 +132,15 @@ class GraftMetricsSpec extends AnyFunSuite {
       assert(body.contains("\"name\":\"graft_slot\"") && body.contains("\"active\":true"))
       assert(body.contains("\"confirmedFlushLsn\":\"0/1800\""))
       assert(body.contains("\"retainedWalSize\":4096") && body.contains("\"lag\":2048"))
+      // the same slot facts serve as numeric gauges on /metrics
+      // (reference metric.go:50-54)
+      val (mc, metrics) = get(withProvider.boundPort, "/metrics")
+      assert(mc == 200)
+      assert(metrics.contains("graft_slot_activity 1"))
+      assert(metrics.contains(s"graft_slot_confirmed_flush_lsn ${0x1800L}"))
+      assert(metrics.contains(s"graft_slot_current_lsn ${0x2000L}"))
+      assert(metrics.contains("graft_slot_retained_wal_size 4096"))
+      assert(metrics.contains("graft_slot_lag 2048"))
     } finally withProvider.close()
 
     val without = new GraftMetricsServer(listener, 0)
