@@ -65,7 +65,13 @@ object GraftConnector {
         * begin/chunk/table/end lifecycle is driven here; serve via
         * [[graft.streaming.GraftMetricsServer]].
         */
-      progress: Option[graft.snapshot.SnapshotProgress] = None): Boot = {
+      progress: Option[graft.snapshot.SnapshotProgress] = None,
+      /** Opt-in drift remediation: when true, a drifted pre-existing
+        * publication is ALTERed to match the config
+        * ([[Publication.PublicationManager.alignFrom]]) instead of only
+        * warned about. Default false — the reference's report-only stance.
+        */
+      alignPublication: Boolean = false): Boot = {
 
     // 1. Publication: tolerate existing, create when missing; then diff and
     //    apply replica identities (connector.go CreatePublication →
@@ -89,6 +95,11 @@ object GraftConnector {
         (d.extraOperations, s"unexpected operations: ${d.extraOperations.mkString(", ")}"))
         .collect { case (s, msg) if s.nonEmpty => msg }
       warn(s"publication drift (${cfg.publication.name}): ${parts.mkString("; ")}")
+      if (alignPublication) {
+        val ddl = pubMgr.alignFrom(live)
+        if (ddl.nonEmpty)
+          warn(s"publication aligned (${cfg.publication.name}): ${ddl.mkString("; ")}")
+      }
     }
     val ddl = pubMgr.setReplicaIdentities()
 

@@ -232,6 +232,43 @@ final class PublicationManager(
       extraOperations = live.operations.filterNot(cfg.operations.contains))
   }
 
+  /** Opt-in drift remediation — one step BEYOND the reference, which only
+    * reports (`publication.go` never ALTERs a publication): issue
+    * `ALTER PUBLICATION … ADD/DROP TABLE` and `SET (publish = …)` until the
+    * live publication matches the config. Returns the DDL actually issued
+    * (empty = no drift). FOR ALL TABLES publications are refused with a
+    * warning — their table list is server-derived and not alterable.
+    */
+  def align(): Seq[String] = info() match {
+    case None => Nil // nothing live to align; create() is the path for that
+    case Some(live) => alignFrom(live)
+  }
+
+  /** [[align]] against an already-fetched live shape (boot paths reuse the
+    * create()-time read, like [[driftFrom]]).
+    */
+  def alignFrom(live: LiveInfo): Seq[String] = {
+    if (live.allTables) {
+      warn(s"publication ${cfg.name} is FOR ALL TABLES — table list not alterable, skipping align")
+      return Nil
+    }
+    val d = driftFrom(live)
+    if (d.isEmpty) return Nil
+    def tableList(ts: Seq[(String, String)]) =
+      ts.map { case (s, t) => s"${quoteIdent(s)}.${quoteIdent(t)}" }.mkString(", ")
+    val pub = quoteIdent(cfg.name)
+    val ddl = Seq.newBuilder[String]
+    if (d.missingTables.nonEmpty)
+      ddl += s"ALTER PUBLICATION $pub ADD TABLE ${tableList(d.missingTables)}"
+    if (d.extraTables.nonEmpty)
+      ddl += s"ALTER PUBLICATION $pub DROP TABLE ${tableList(d.extraTables)}"
+    if (d.missingOperations.nonEmpty || d.extraOperations.nonEmpty)
+      ddl += s"ALTER PUBLICATION $pub SET (publish = '${cfg.operations.mkString(", ")}')"
+    val out = ddl.result()
+    out.foreach(exec(_))
+    out
+  }
+
   /** The replica-identity write path (`replica_identity.go:33-58`): read
     * current identities for every table that configures one, diff, and
     * ALTER only the drifted ones. Returns the DDL actually issued (empty =

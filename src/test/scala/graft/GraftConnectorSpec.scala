@@ -191,7 +191,8 @@ class GraftConnectorSpec extends AnyFunSuite {
     // create() must tolerate-and-reuse (reference semantics: never ALTER a
     // publication), and start() must surface the drift through `warn`.
     val server = new FakeWalsender(Seq.empty, sqlResults = { sql =>
-      if (sql.contains("pg_publication_tables"))
+      if (sql.startsWith("ALTER PUBLICATION")) Some((Seq.empty, Seq.empty))
+      else if (sql.contains("pg_publication_tables"))
         Some((Seq("pubname", "alltables", "ins", "upd", "del", "trunc", "tables"),
           Seq(Seq(Some("e2e_pub"), Some("f"), Some("t"), Some("t"), Some("t"),
             Some("f"), Some("{public.legacy}")))))
@@ -216,6 +217,20 @@ class GraftConnectorSpec extends AnyFunSuite {
       assert(drift.head.contains("tables missing from publication: public.users"))
       assert(drift.head.contains("unexpected tables in publication: public.legacy"))
       assert(drift.head.contains("operations missing: truncate"))
+      assert(!warnings.exists(_.startsWith("publication aligned")),
+        "report-only by default: no remediation without the opt-in")
+
+      // Opt-in remediation: the same drifted boot with alignPublication=true
+      // ALTERs the publication to the configured shape and says so.
+      val w2 = scala.collection.mutable.ArrayBuffer.empty[String]
+      GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, exec, warn = w2 += _, alignPublication = true)
+      assert(w2.exists(_.startsWith("publication aligned")), s"got: $w2")
+      val qs = server.queries.synchronized(server.queries.toVector)
+      assert(qs.contains("""ALTER PUBLICATION "e2e_pub" ADD TABLE "public"."users""""))
+      assert(qs.contains("""ALTER PUBLICATION "e2e_pub" DROP TABLE "public"."legacy""""))
+      assert(qs.contains(
+        """ALTER PUBLICATION "e2e_pub" SET (publish = 'insert, update, delete, truncate')"""))
     } finally server.close()
   }
 

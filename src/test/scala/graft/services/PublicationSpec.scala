@@ -25,6 +25,42 @@ class PublicationSpec extends AnyFunSuite {
     assert(flat.dropQuery == """DROP PUBLICATION IF EXISTS "p2"""")
   }
 
+  test("align issues ADD/DROP TABLE and SET publish only for the actual drift") {
+    val cfg = Config("pub", Seq(
+      PubTable("public", "a"), PubTable("public", "b")),
+      operations = Seq("insert", "update"))
+    val issued = scala.collection.mutable.ArrayBuffer.empty[String]
+    // live: has a+c (c extra, b missing), publishes insert only
+    val exec: graft.snapshot.CatalogReader.SqlExecutor = sql => {
+      issued += sql
+      if (sql == cfg.infoQuery)
+        Seq(Seq("pub", "f", "t", "f", "f", "f", "{public.a,public.c}"))
+      else Nil
+    }
+    val mgr = new PublicationManager(exec, cfg)
+    val ddl = mgr.align()
+    assert(ddl == Seq(
+      """ALTER PUBLICATION "pub" ADD TABLE "public"."b"""",
+      """ALTER PUBLICATION "pub" DROP TABLE "public"."c"""",
+      """ALTER PUBLICATION "pub" SET (publish = 'insert, update')"""))
+    assert(issued.containsSlice(ddl), "every statement actually executed")
+
+    // already aligned: read-only, no DDL
+    val aligned: graft.snapshot.CatalogReader.SqlExecutor = sql =>
+      if (sql == cfg.infoQuery)
+        Seq(Seq("pub", "f", "t", "t", "f", "f", "{public.a,public.b}"))
+      else fail(s"unexpected DDL on aligned publication: $sql")
+    assert(new PublicationManager(aligned, cfg).align().isEmpty)
+
+    // FOR ALL TABLES: refused with a warning, nothing issued
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val forAll: graft.snapshot.CatalogReader.SqlExecutor = sql =>
+      if (sql == cfg.infoQuery) Seq(Seq("pub", "t", "t", "f", "f", "f", "{}"))
+      else fail(s"unexpected DDL on FOR ALL TABLES: $sql")
+    assert(new PublicationManager(forAll, cfg, warnings += _).align().isEmpty)
+    assert(warnings.exists(_.contains("FOR ALL TABLES")))
+  }
+
   test("operation validation fails loudly on unknown DML kinds") {
     val ex = intercept[IllegalArgumentException](
       Config("p", Seq(PubTable("public", "t")), operations = Seq("insert", "upsert")))
