@@ -51,6 +51,23 @@ object StreamingDedup {
       maxBucketDocs: Int = 128,
       idleTimeoutMillis: Option[Long] = None): Dataset[DupFlag] = {
     import s.implicits._
+    val timeoutConf =
+      if (idleTimeoutMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    bandedSignatures(s, docs, numHashes, rowsPerBand, shingleN)
+      .groupByKey { case (band, bkey, _, _) => (band, bkey) }
+      .flatMapGroupsWithState[BucketState, DupFlag](OutputMode.Append(), timeoutConf)(
+        updateBucket(numHashes, minEstJaccard, maxBucketDocs, idleTimeoutMillis))
+  }
+
+  /** The shared signature kernel: (band, bucket-key, doc_id, signature)
+    * rows, one per band per shingleable document — both stateful backends
+    * consume exactly this frame.
+    */
+  private[streaming] def bandedSignatures(
+      s: SparkSession, docs: DataFrame,
+      numHashes: Int, rowsPerBand: Int, shingleN: Int): Dataset[(Int, String, Long, Seq[Long])] = {
+    import s.implicits._
     require(numHashes % rowsPerBand == 0, "numHashes must split into equal bands")
     val nBands = numHashes / rowsPerBand
     val seeds = (0 until numHashes).map(i => graft.functions.Hash60(s"minhash-seed-$i"))
@@ -64,20 +81,69 @@ object StreamingDedup {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id") +: sigCols: _*)
       .withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map(j =>
         concat_ws(",", (0 until rowsPerBand).map(r =>
           col(s"m${j * rowsPerBand + r}")): _*)): _*)).as(Seq("band", "bkey")))
-
-    val timeoutConf =
-      if (idleTimeoutMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    banded
       .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
       .as[(Int, String, Long, Seq[Long])]
+  }
+
+  /** [[nearDupFlags]] on the `transformWithState` API (Spark 4 arbitrary
+    * state v2) — same signatures, same per-bucket math ([[bucketStep]]), so
+    * the two backends emit identical flags. What the new API buys at scale:
+    * state lives in a named `ValueState` on the RocksDB provider (the API
+    * REQUIRES RocksDB — pair with [[StateBackends.rocksDb]]), and idle
+    * buckets expire via store-enforced native TTL instead of per-key timeout
+    * bookkeeping in the transition function.
+    */
+  def nearDupFlagsTws(
+      s: SparkSession,
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 5,
+      minEstJaccard: Double = 0.5,
+      maxBucketDocs: Int = 128,
+      stateTtl: Option[java.time.Duration] = None): Dataset[DupFlag] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    // TTL is clocked by processing time; without one, no clock is needed
+    val timeMode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    bandedSignatures(s, docs, numHashes, rowsPerBand, shingleN)
       .groupByKey { case (band, bkey, _, _) => (band, bkey) }
-      .flatMapGroupsWithState[BucketState, DupFlag](OutputMode.Append(), timeoutConf)(
-        updateBucket(numHashes, minEstJaccard, maxBucketDocs, idleTimeoutMillis))
+      .transformWithState(
+        new BucketProcessor(numHashes, minEstJaccard, maxBucketDocs, stateTtl),
+        timeMode, OutputMode.Append())
+  }
+
+  /** Per-bucket `StatefulProcessor`: one `ValueState[BucketState]` per
+    * (band, bucket), stepped by the shared [[bucketStep]] kernel.
+    */
+  private[streaming] final class BucketProcessor(
+      numHashes: Int, minEstJaccard: Double, maxBucketDocs: Int,
+      stateTtl: Option[java.time.Duration])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, String), (Int, String, Long, Seq[Long]), DupFlag] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+
+    @transient private var bucket: ValueState[BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getValueState[BucketState]("bucket",
+        org.apache.spark.sql.Encoders.product[BucketState],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: (Int, String),
+        rows: Iterator[(Int, String, Long, Seq[Long])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DupFlag] = {
+      val docs = if (bucket.exists()) bucket.get().docs else Nil
+      val (flags, next) =
+        bucketStep(numHashes, minEstJaccard, maxBucketDocs)(docs, rows.toSeq)
+      bucket.update(BucketState(next))
+      flags.iterator
+    }
   }
 
   /** The per-bucket transition, extracted so specs drive it directly with
@@ -95,29 +161,44 @@ object StreamingDedup {
       state.remove()
       Iterator.empty
     } else {
-      var docs = state.getOption.map(_.docs).getOrElse(Nil)
-      val flags = List.newBuilder[DupFlag]
-      // Deterministic order inside the batch: micro-batch iterators carry
-      // no ordering guarantee, and flag direction (who is "dup_of" whom)
-      // must not depend on shuffle arrival order.
-      rows.toSeq.sortBy(_._3).foreach { case (band, _, docId, sig) =>
-        if (!docs.exists(_._1 == docId)) {
-          val best = docs.iterator.map { case (prevId, prevSig) =>
-            val same = (0 until numHashes).count(i => sig(i) == prevSig(i))
-            (prevId, same.toDouble / numHashes)
-          }.foldLeft(Option.empty[(Long, Double)]) {
-            case (acc, cur) if acc.forall(_._2 < cur._2) => Some(cur)
-            case (acc, _) => acc
-          }
-          best.filter(_._2 >= minEstJaccard).foreach { case (prevId, est) =>
-            flags += DupFlag(docId, prevId, band, est)
-          }
-          docs = (docs :+ (docId -> sig)).takeRight(maxBucketDocs)
-        }
-      }
-      state.update(BucketState(docs))
+      val docs = state.getOption.map(_.docs).getOrElse(Nil)
+      val (flags, next) =
+        bucketStep(numHashes, minEstJaccard, maxBucketDocs)(docs, rows.toSeq)
+      state.update(BucketState(next))
       idleTimeoutMillis.foreach(state.setTimeoutDuration)
-      flags.result().iterator
+      flags.iterator
     }
+  }
+
+  /** The pure per-bucket step both stateful backends share: fold a batch's
+    * rows (doc_id-sorted for deterministic flag direction) over the retained
+    * signatures; returns (flags emitted, new retained list). Eviction drops
+    * the OLDEST entries beyond the cap.
+    */
+  private[streaming] def bucketStep(
+      numHashes: Int, minEstJaccard: Double, maxBucketDocs: Int)(
+      retained: List[(Long, Seq[Long])],
+      rows: Seq[(Int, String, Long, Seq[Long])]): (List[DupFlag], List[(Long, Seq[Long])]) = {
+    var docs = retained
+    val flags = List.newBuilder[DupFlag]
+    // Deterministic order inside the batch: micro-batch iterators carry
+    // no ordering guarantee, and flag direction (who is "dup_of" whom)
+    // must not depend on shuffle arrival order.
+    rows.sortBy(_._3).foreach { case (band, _, docId, sig) =>
+      if (!docs.exists(_._1 == docId)) {
+        val best = docs.iterator.map { case (prevId, prevSig) =>
+          val same = (0 until numHashes).count(i => sig(i) == prevSig(i))
+          (prevId, same.toDouble / numHashes)
+        }.foldLeft(Option.empty[(Long, Double)]) {
+          case (acc, cur) if acc.forall(_._2 < cur._2) => Some(cur)
+          case (acc, _) => acc
+        }
+        best.filter(_._2 >= minEstJaccard).foreach { case (prevId, est) =>
+          flags += DupFlag(docId, prevId, band, est)
+        }
+        docs = (docs :+ (docId -> sig)).takeRight(maxBucketDocs)
+      }
+    }
+    (flags.result(), docs)
   }
 }
