@@ -95,11 +95,12 @@ final case class PgApplySink(
       (schema, table, keyCols, valueCols, maxRowsPerStmt, execFactory)
     compacted.repartition(col(keyCols.head)).foreachPartition {
       (it: Iterator[Row]) =>
-        val rows = it.toVector
-        if (rows.nonEmpty) {
+        // stream the partition straight into statement batches — no
+        // partition-sized materialization between Spark and the connection
+        if (it.hasNext) {
           val run = factory()
           try PgApplySink.statements(
-            rows.iterator, schemaName, tableName, keys, vals, batchSize)
+            it, schemaName, tableName, keys, vals, batchSize)
             .foreach(run(_))
           finally run.close()
         }
