@@ -150,16 +150,22 @@ object PgApplySink {
       rows: Iterator[Row], schema: String, table: String,
       keyCols: Seq[String], valueCols: Seq[String],
       maxRowsPerStmt: Int): Iterator[String] = {
-    val (dels, ups) = rows.toVector.partition(_.getString(0) == "delete")
+    // Upserts stream through in input order one batch at a time; only the
+    // delete key images buffer (their statements must trail every upsert),
+    // so memory is O(deletes + one batch), not O(partition).
+    val keyIdx = keyCols.map(c => valueCols.indexOf(c) + 1)
+    val dels = Vector.newBuilder[Seq[Option[String]]]
+    val ups = rows.filter { r =>
+      val isDelete = r.getString(0) == "delete"
+      if (isDelete) dels += keyIdx.map(i => Option(r.getString(i)))
+      !isDelete
+    }
     val upserts = ups.grouped(maxRowsPerStmt).map(g =>
       upsertSql(schema, table, keyCols, valueCols,
         g.map(r => valueCols.indices.map(i => Option(r.getString(i + 1))))))
-    val deletes = dels.grouped(maxRowsPerStmt).map { g =>
-      val keyIdx = keyCols.map(c => valueCols.indexOf(c) + 1)
-      deleteSql(schema, table, keyCols,
-        g.map(r => keyIdx.map(i => Option(r.getString(i)))))
-    }
-    upserts ++ deletes
+    // by-name ++: the delete builder only drains after upserts exhaust
+    upserts ++ dels.result().grouped(maxRowsPerStmt)
+      .map(deleteSql(schema, table, keyCols, _))
   }
 
   /** Multi-row `INSERT … ON CONFLICT (keys) DO UPDATE` — PostgreSQL's
