@@ -163,14 +163,22 @@ class GraftConnectorSpec extends AnyFunSuite {
 
       var sinkInvocations = 0
       var delivered = Seq.empty[Int]
+      val progress = new graft.snapshot.SnapshotProgress(spark.sparkContext)
       val boot = GraftConnector.start(spark, cfg, store, exec, exec,
         snapshotSink = (_, df) => {
           sinkInvocations += 1 // the failed attempt counts: it was invoked
           delivered = df.collect().map(_.getInt(0)).sorted.toSeq
         },
-        retrySleep = _ => ())
+        retrySleep = _ => (),
+        progress = Some(progress))
 
       assert(sinkInvocations == 2, "sink re-invoked for the retry attempt")
+      // gauges restart with each attempt: the failed first attempt's partial
+      // counts must not inflate the winning attempt's numbers
+      val g = progress.gauges.toMap
+      assert(g("rows_total") == 6.0 && g("completed_chunks") == 2.0 &&
+        g("in_progress") == 0.0,
+        s"gauges must reflect the WINNING attempt only: $g")
       assert(delivered == (1 to 6), "the WINNING attempt delivers every row")
       assert(slotGen.get() == 2, "retry dropped the dead slot and re-exported")
       assert(store.load("graft_slot").exists(j =>
