@@ -247,6 +247,11 @@ object Messages {
       case 'T' =>
         val xid = streamXid()
         val nrel = r.readUint32("truncate relation count").toInt
+        // each relation OID costs 4 bytes, so the count can never exceed
+        // remaining/4 — reject a corrupt header before Array.fill trusts it
+        if (nrel < 0 || nrel.toLong * 4L > r.remaining)
+          throw new PgProtoException(
+            s"truncate relation count $nrel exceeds frame (${r.remaining} bytes left)")
         val options = r.readUint8("truncate options")
         Truncate(xid, options, Array.fill(nrel)(r.readUint32("truncate relation oid")))
 

@@ -120,4 +120,50 @@ class WireRoundtripPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(200).withInitialSeed(Seed(19L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("arbitrary and corrupted frames decode or raise PgProtoException only") {
+    // The decoder faces network bytes: pure garbage, a valid frame cut
+    // short, or a valid frame with one byte flipped must either decode (the
+    // damage landed in a payload) or raise the uniform wire error — never a
+    // runtime exception from trusting a length/count header.
+    val genValid: Gen[Array[Byte]] = for {
+      oid <- Gen.chooseNum(1L, 0xffffffffL)
+      vals <- Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, genValue))
+      pick <- Gen.oneOf(0, 1, 2)
+      cols <- genCols
+    } yield pick match {
+      case 0 => MessageEncoder.insert(oid, vals)
+      case 1 => MessageEncoder.relation(oid, "public", "t",
+        cols.map { case (n, o, m, k) => Messages.RelationColumn(n, o, m, k) })
+      case _ => MessageEncoder.update(oid, vals, vals)
+    }
+    val genFrame: Gen[(Array[Byte], Boolean)] = for {
+      valid <- genValid
+      mode <- Gen.choose(0, 3)
+      cut <- Gen.choose(0, valid.length)
+      idx <- Gen.choose(0, valid.length - 1)
+      flip <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      garbage <- Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+      streamed <- Gen.oneOf(true, false)
+    } yield (mode match {
+      case 0 => valid.take(cut)
+      case 1 => { val c = valid.clone(); c(idx) = flip; c }
+      case 2 => garbage
+      case _ => valid ++ garbage // trailing junk after a full frame
+    }, streamed)
+    val prop = Prop.forAll(genFrame) { case (bytes, streamed) =>
+      try { if (bytes.nonEmpty) Messages.decode(bytes, streamed); true }
+      catch {
+        case _: PgProtoException => true
+        case e: Throwable =>
+          println(s"decoder hole: ${e.getClass.getName}: ${e.getMessage} " +
+            s"streamed=$streamed bytes=${bytes.map(b => f"$b%02x").mkString}")
+          false
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(600).withInitialSeed(Seed(20260814L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
