@@ -41,10 +41,17 @@ object PgWire {
   final case class Message(tag: Byte, payload: Array[Byte])
 
   /** Read one tagged message (blocks). Throws EOFException at stream end. */
+  /** Largest message body accepted from the peer: PostgreSQL's own field
+    * limit is 1 GiB, so nothing a real server sends exceeds this — but a
+    * corrupt length header otherwise pre-allocates up to 2 GiB on trust.
+    */
+  final val MaxMessageBytes: Int = 1 << 30
+
   def readMessage(in: DataInputStream): Message = {
     val tag = in.readByte()
     val len = in.readInt()
-    require(len >= 4, s"pgwire: bad message length $len for tag '${tag.toChar}'")
+    require(len >= 4 && len - 4 <= MaxMessageBytes,
+      s"pgwire: bad message length $len for tag '${tag.toChar}'")
     val payload = new Array[Byte](len - 4)
     in.readFully(payload)
     Message(tag, payload)

@@ -83,5 +83,12 @@ class PgWireSpec extends AnyFunSuite {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val ex = intercept[IllegalArgumentException] { PgWire.readMessage(in) }
     assert(ex.getMessage.contains("bad message length"))
+
+    // a length past pg's 1 GiB field limit is a corrupt header — reject
+    // BEFORE allocating the 2 GiB it claims
+    val huge = Array[Byte]('D', 0x7f, -1, -1, -1)
+    val in2 = new DataInputStream(new ByteArrayInputStream(huge))
+    val ex2 = intercept[IllegalArgumentException] { PgWire.readMessage(in2) }
+    assert(ex2.getMessage.contains("bad message length"))
   }
 }
