@@ -414,6 +414,46 @@ class GraftConfigFileSpec extends AnyFunSuite {
       GraftConfigFile.fromYaml("host: h\nhost: i\n")).getMessage.contains("duplicate key"))
   }
 
+  test("mutated YAML loads or raises IllegalArgumentException — nothing else") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // A config file is operator input: any deletion, flip, splice, or pure
+    // garbage must produce a config or the loader's declared error (with
+    // every problem joined into the message) — never a parser internal.
+    val lines = full.linesIterator.toVector
+    val genMutant: Gen[String] = Gen.choose(0, 4).flatMap {
+      case 0 => Gen.choose(0, lines.size - 1).map(i => // drop a line
+        lines.patch(i, Nil, 1).mkString("\n"))
+      case 1 => for { // flip one char
+        i <- Gen.choose(0, full.length - 1)
+        c <- Gen.oneOf(':', '-', '#', '{', '[', '"', '\'', 'x', ' ')
+      } yield full.updated(i, c)
+      case 2 => for { // splice a random fragment mid-file
+        i <- Gen.choose(0, lines.size - 1)
+        frag <- Gen.oneOf("  nonsense: [", "foo", ": bar", "- - -",
+          "snapshot: 12", "tables: oops", "   deep:\n     deeper: x")
+      } yield lines.patch(i, Seq(frag), 0).mkString("\n")
+      case 3 => Gen.listOfN(12, Gen.asciiPrintableChar).map(_.mkString) // garbage
+      case _ => for { // duplicate a line elsewhere
+        i <- Gen.choose(0, lines.size - 1)
+        j <- Gen.choose(0, lines.size - 1)
+      } yield lines.patch(j, Seq(lines(i)), 0).mkString("\n")
+    }
+    val prop = Prop.forAll(genMutant) { yaml =>
+      try { GraftConfigFile.fromYaml(yaml); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case e: Throwable =>
+          println(s"config loader hole: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(Seed(20260814L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("load() reads from disk") {
     val f = java.nio.file.Files.createTempFile("graft-cfg", ".yaml")
     java.nio.file.Files.writeString(f, full)

@@ -73,4 +73,30 @@ class PgArrayPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(300).withInitialSeed(Seed(19L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("arbitrary strings parse or raise IllegalArgumentException — nothing else") {
+    // The parser faces whatever a 't' column carries; malformed literals
+    // (unbalanced quotes/braces, stray backslashes, random garbage) must
+    // fail with the parser's declared error or return a best-effort result,
+    // never an index/NPE escape.
+    val gen: Gen[String] = Gen.frequency(
+      3 -> Gen.listOf(Gen.oneOf('{', '}', '"', '\\', ',', ' ', 'a', 'é', 'N'))
+        .map(_.mkString),
+      1 -> Gen.asciiPrintableStr,
+      1 -> Gen.const(""),
+      1 -> Gen.const("{"), 1 -> Gen.const("}"), 1 -> Gen.const("{\""),
+      1 -> Gen.const("{\"a"), 1 -> Gen.const("{a,"), 1 -> Gen.const("{\\"))
+    val prop = Prop.forAll(gen) { s =>
+      try { graft.functions.PgTextArray.parse(s); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case e: Throwable =>
+          println(s"array parser hole: ${e.getClass.getName}: ${e.getMessage} input=${s.take(40)}")
+          false
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500).withInitialSeed(Seed(20260814L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
