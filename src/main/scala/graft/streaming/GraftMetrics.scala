@@ -77,12 +77,20 @@ object GraftMetrics {
   */
 final class GraftMetricsListener extends StreamingQueryListener {
   @volatile private var last: StreamingQueryProgress = null
+  @volatile private var lastPgcdc: Map[String, String] = Map.empty
   private val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
   private val batches = new java.util.concurrent.atomic.AtomicLong(0L)
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
     last = event.progress
+    // retain the newest gauge map from a PGCDC source specifically
+    // (identified by its gauge signature): another stream's progress in the
+    // same session must not shadow the CDC gauges with an empty map
+    event.progress.sources.iterator
+      .map(s => Option(s.metrics).map(_.asScala.toMap).getOrElse(Map.empty))
+      .find(_.contains("backlogTxns"))
+      .foreach(lastPgcdc = _)
     inputRows.addAndGet(event.progress.numInputRows)
     batches.incrementAndGet()
     ()
@@ -93,12 +101,8 @@ final class GraftMetricsListener extends StreamingQueryListener {
   def totalInputRows: Long = inputRows.get()
   def batchCount: Long = batches.get()
 
-  /** The pgcdc gauge map from the most recent progress (empty before the
-    * first trigger).
+  /** The pgcdc gauge map from the most recent progress of a pgcdc-sourced
+    * query (empty before the first trigger).
     */
-  def sourceMetrics: Map[String, String] =
-    Option(last).flatMap(_.sources.headOption)
-      .flatMap(s => Option(s.metrics))
-      .map(_.asScala.toMap)
-      .getOrElse(Map.empty)
+  def sourceMetrics: Map[String, String] = lastPgcdc
 }

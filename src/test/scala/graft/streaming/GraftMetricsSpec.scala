@@ -60,6 +60,23 @@ class GraftMetricsSpec extends AnyFunSuite {
       val gauges = listener.sourceMetrics
       assert(gauges.contains("txnsDelivered") && gauges.contains("backlogTxns"),
         s"pgcdc gauges must surface in progress, got $gauges")
+
+      // an unrelated stream on the same session must NOT shadow the CDC
+      // gauges with its own (gauge-less) source metrics
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[Long]
+      val other = mem.toDF().writeStream.format("memory")
+        .queryName("metrics_other").outputMode("append").start()
+      mem.addData(1L, 2L)
+      other.processAllAvailable()
+      other.stop()
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (listener.totalInputRows < 17L && System.currentTimeMillis() < deadline2)
+        Thread.sleep(20)
+      assert(listener.sourceMetrics.contains("backlogTxns"),
+        "pgcdc gauges retained across another query's progress")
     } finally spark.streams.removeListener(listener)
   }
 
