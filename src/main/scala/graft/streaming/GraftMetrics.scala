@@ -70,6 +70,53 @@ object GraftMetrics {
       TaskMetric("deletesDecoded", deletes))
 }
 
+/** Driver-side totals of the executor task counters — the scrapeable
+  * `*_total` series the reference's dashboard plots
+  * (`go_pq_cdc_insert_total` etc., `grafana/dashboard.json`). DSv2 custom
+  * task metrics surface as named task accumulators; this `SparkListener`
+  * sums their per-task updates as tasks finish. Register with
+  * `spark.sparkContext.addSparkListener` (done by
+  * [[GraftMetricsServer.start]]).
+  */
+final class GraftTaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  import GraftMetrics._
+  // task-accumulator display name (the CustomMetric description) → series
+  private val tracked: Map[String, String] = Map(
+    new EventsDecodedMetric().description() -> "events_decoded_total",
+    new HeartbeatsSuppressedMetric().description() -> "heartbeats_suppressed_total",
+    new StreamEventsSpilledMetric().description() -> "stream_events_spilled_total",
+    new InsertsDecodedMetric().description() -> "insert_total",
+    new UpdatesDecodedMetric().description() -> "update_total",
+    new DeletesDecodedMetric().description() -> "delete_total")
+  private val totals =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    e.taskInfo.accumulables.foreach { acc =>
+      for {
+        name <- acc.name
+        series <- tracked.get(name)
+        update <- acc.update
+      } update match {
+        case n: java.lang.Long =>
+          totals.computeIfAbsent(series,
+            _ => new java.util.concurrent.atomic.AtomicLong()).addAndGet(n)
+          ()
+        case _ => ()
+      }
+    }
+
+  /** series suffix → cumulative value (prefixed `graft_pgcdc_` by the
+    * server). Every tracked series is present — counters that haven't
+    * ticked read 0 (a task reports no accumulator update for them at all).
+    */
+  def counters: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    tracked.values.map(_ -> 0L).toMap ++
+      totals.asScala.map { case (k, v) => k -> v.get() }
+  }
+}
+
 /** Aggregating [[StreamingQueryListener]]: retains the latest progress and
   * cumulative input-row count, and exposes the pgcdc source's gauge map —
   * the hook an ops integration (StatsD, Prometheus bridge, log shipper)

@@ -33,7 +33,12 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
       * wired, `/metrics` also serves `graft_snapshot_*` series mirroring the
       * reference's `go_pq_cdc_snapshot_*` set (`internal/metric/metric.go:57-66`).
       */
-    snapshot: Option[graft.snapshot.SnapshotProgress] = None)
+    snapshot: Option[graft.snapshot.SnapshotProgress] = None,
+    /** Executor task-counter totals ([[GraftTaskMetricsListener]]) — when
+      * wired, `/metrics` also serves the reference dashboard's `*_total`
+      * counters (`graft_pgcdc_insert_total` etc.).
+      */
+    taskCounters: Option[GraftTaskMetricsListener] = None)
   extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -106,6 +111,12 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
       series("graft_snapshot_" + suffix, mtype,
         s"snapshot $suffix", renderDouble(value))
     })
+    // per-op + decode counters summed from executor task metrics — the
+    // reference dashboard's `*_total` series (`grafana/dashboard.json`)
+    taskCounters.foreach(_.counters.toSeq.sortBy(_._1).foreach { case (suffix, v) =>
+      series("graft_pgcdc_" + suffix, "counter",
+        s"executor counter $suffix", v.toString)
+    })
     // slot gauges (reference `internal/metric/metric.go:50-54`): the same
     // facts `/slot` serves as JSON, scrapeable as numeric series
     slotInfo.flatMap(f => try f() catch { case scala.util.control.NonFatal(_) => None })
@@ -149,6 +160,9 @@ object GraftMetricsServer {
       cfg: graft.GraftConfig): (GraftMetricsListener, GraftMetricsServer) = {
     val listener = new GraftMetricsListener
     spark.streams.addListener(listener)
-    (listener, new GraftMetricsServer(listener, cfg.metricPort))
+    val tasks = new GraftTaskMetricsListener
+    spark.sparkContext.addSparkListener(tasks)
+    (listener, new GraftMetricsServer(listener, cfg.metricPort,
+      taskCounters = Some(tasks)))
   }
 }

@@ -23,9 +23,11 @@ object MetricsDemo {
 
     val listener = new graft.streaming.GraftMetricsListener
     spark.streams.addListener(listener)
+    val tasks = new graft.streaming.GraftTaskMetricsListener
+    spark.sparkContext.addSparkListener(tasks)
     val snapshot = new graft.snapshot.SnapshotProgress(spark.sparkContext)
     val server = new graft.streaming.GraftMetricsServer(
-      listener, port = 0, snapshot = Some(snapshot))
+      listener, port = 0, snapshot = Some(snapshot), taskCounters = Some(tasks))
     println(s"-- serving /metrics on port ${server.boundPort}")
 
     // simulate a completed 1-table snapshot ahead of the stream, so the

@@ -85,7 +85,9 @@ class GraftMetricsSpec extends AnyFunSuite {
     WalFile.write(wal, WalGen.frames(5, 3))
     val listener = new GraftMetricsListener
     spark.streams.addListener(listener)
-    val server = new GraftMetricsServer(listener, port = 0)
+    val tasks = new GraftTaskMetricsListener
+    spark.sparkContext.addSparkListener(tasks)
+    val server = new GraftMetricsServer(listener, port = 0, taskCounters = Some(tasks))
     def scrape(path: String): String = {
       val url = java.net.URI.create(
         s"http://localhost:${server.boundPort}$path").toURL
@@ -122,6 +124,18 @@ class GraftMetricsSpec extends AnyFunSuite {
       assert(gauge("confirmed_lsn") >= 0L)
       // process latency (reference metric.go:48-49): last trigger wall time
       assert(gauge("process_latency_ms") >= 0L)
+      // executor task counters aggregate into the dashboard's *_total
+      // series (task-end events arrive on the async listener bus — poll)
+      def counter(name: String): Long =
+        scrape("/metrics").linesIterator
+          .find(_.startsWith(s"graft_pgcdc_$name "))
+          .map(_.split(" ")(1).toLong).getOrElse(-1L)
+      val deadlineC = System.currentTimeMillis() + 10000
+      while (counter("insert_total") < 15L && System.currentTimeMillis() < deadlineC)
+        Thread.sleep(20)
+      assert(counter("insert_total") == 15L)
+      assert(counter("events_decoded_total") == 15L)
+      assert(counter("update_total") == 0L && counter("delete_total") == 0L)
     } finally {
       server.close()
       spark.streams.removeListener(listener)
