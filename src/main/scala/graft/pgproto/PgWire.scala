@@ -28,6 +28,7 @@ object PgWire {
     val DataRow: Byte = 'D'
     val CommandComplete: Byte = 'C'
     val CopyBothResponse: Byte = 'W'
+    val CopyInResponse: Byte = 'G'
     val CopyData: Byte = 'd'
     val CopyDone: Byte = 'c'
     val ErrorResponse: Byte = 'E'
@@ -249,6 +250,16 @@ object PgWire {
 
   /** CopyBothResponse payload: overall text format, ncols 0. */
   val CopyBothAllText: Array[Byte] = Array[Byte](0, 0, 0)
+
+  /** CopyInResponse payload: int8 overall format (0 = text), int16 column
+    * count, int16 per-column format codes (all text).
+    */
+  def copyInResponsePayload(numCols: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(3 + 2 * numCols)
+    b.put(0.toByte).putShort(numCols.toShort)
+    (0 until numCols).foreach(_ => b.putShort(0))
+    b.array()
+  }
 
   /** First field ('M' message, 'S' severity, 'C' code...) of an
     * ErrorResponse payload, for diagnostics.

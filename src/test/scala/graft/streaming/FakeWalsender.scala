@@ -90,6 +90,10 @@ final class FakeWalsender(
   @volatile var lastAuthMechanism: String = null
   /** Raw standby-status-update ('r') CopyData payloads received. */
   val statusUpdates = mutable.ArrayBuffer.empty[Array[Byte]]
+  /** Rows received through `COPY … FROM STDIN`, decoded from the text
+    * format (None = `\N` NULL), tagged with the COPY statement.
+    */
+  val copiedRows = mutable.ArrayBuffer.empty[(String, Seq[Option[String]])]
   /** Startup parameters of the most recent connection. */
   @volatile var startupParams: Map[String, String] = Map.empty
   /** Connections currently being served — a client-side leak shows up as a
@@ -117,6 +121,30 @@ final class FakeWalsender(
       t.setDaemon(true)
       t.start()
     } catch { case _: Throwable => () }
+
+  /** COPY text-format unescape: `\N` alone is SQL NULL; `\t`/`\n`/`\r`/`\\`
+    * decode to their characters.
+    */
+  private def unescapeCopy(field: String): Option[String] =
+    if (field == "\\N") None
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < field.length) {
+        val c = field.charAt(i)
+        if (c == '\\' && i + 1 < field.length) {
+          field.charAt(i + 1) match {
+            case 't' => sb += '\t'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case '\\' => sb += '\\'
+            case other => sb += other
+          }
+          i += 2
+        } else { sb += c; i += 1 }
+      }
+      Some(sb.result())
+    }
 
   private def serve(sock0: Socket): Unit = {
     var sock = sock0
@@ -186,6 +214,9 @@ final class FakeWalsender(
     PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
 
     var open = true
+    // COPY FROM STDIN mode: buffer CopyData until CopyDone, then parse
+    var copyInSql: String = null
+    val copyInBuf = new java.io.ByteArrayOutputStream()
     while (open) {
       val m =
         try PgWire.readMessage(in)
@@ -237,6 +268,12 @@ final class FakeWalsender(
             if (cut) return
             // Stay in CopyBoth afterwards, consuming client CopyData
             // (status updates) until the client terminates.
+          } else if (sql.toUpperCase.startsWith("COPY ") &&
+              sql.toUpperCase.contains("FROM STDIN")) {
+            copyInSql = sql
+            copyInBuf.reset()
+            PgWire.writeMessage(out, PgWire.Tag.CopyInResponse,
+              PgWire.copyInResponsePayload(0))
           } else sqlErrors(sql) match { // evaluated ONCE: injectors are stateful
             case Some((state, msg)) =>
               PgWire.writeMessage(out, PgWire.Tag.ErrorResponse,
@@ -258,7 +295,24 @@ final class FakeWalsender(
             }
           }
         case PgWire.Tag.CopyData =>
-          statusUpdates.synchronized { statusUpdates += m.payload }
+          if (copyInSql != null) copyInBuf.write(m.payload, 0, m.payload.length)
+          else statusUpdates.synchronized { statusUpdates += m.payload }
+        case PgWire.Tag.CopyDone =>
+          if (copyInSql != null) {
+            val text = new String(copyInBuf.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val rows = text.split("\n").filter(_.nonEmpty).map { line =>
+              line.split("\t", -1).toSeq.map(unescapeCopy)
+            }
+            copiedRows.synchronized {
+              rows.foreach(r => copiedRows += ((copyInSql, r)))
+            }
+            PgWire.writeMessage(out, PgWire.Tag.CommandComplete,
+              PgWire.queryPayload(s"COPY ${rows.length}"))
+            PgWire.writeMessage(out, PgWire.Tag.ReadyForQuery, PgWire.ReadyIdle)
+            copyInSql = null
+            copyInBuf.reset()
+          }
         case PgWire.Tag.Terminate =>
           sock.close()
           open = false
