@@ -88,6 +88,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bitmap probe lambda missing from the plan:\n$plan")
   }
 
+  test("salted aggregation keeps two phases: salt groupBy then key groupBy") {
+    // The skew defense is structural: a first aggregate keyed on
+    // (key, salt) fans a hot key over `salts` reducers, a second one on the
+    // key alone merges. Losing either phase (an optimizer collapse, a
+    // refactor) restores the single-hot-reducer straggler.
+    val plan = executedString(SparkEntry.queries("q_salted_agg")(spark, dir))
+    assert(plan.contains("_salt"), s"salt column gone from the plan:\n$plan")
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 2,
+      s"expected the two aggregation exchanges (salted + merge), got $exchanges:\n$plan")
+  }
+
+  test("heavy hitters ranks shard-locally before the per-lang ranking") {
+    // The round-8 fix made top-k two-phase: shard-local row_number prunes
+    // the vocabulary to 32×K survivors before the per-language window — a
+    // single windowspec over lang alone ranks the WHOLE vocabulary in one
+    // partition per language.
+    val plan = executedString(SparkEntry.queries("q_heavy_hitters")(spark, dir))
+    val specs = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(specs.exists(_.contains("shard")),
+      s"shard-local pre-ranking missing — whole-vocab window regressed:\n$plan")
+  }
+
   test("PQ shortlist scans the materialized code table, not re-encoded vectors") {
     // The encode projection (argmax over PqK codewords per subspace) must
     // NOT be collapsed into the query-side join — that re-evaluates it per
