@@ -1613,16 +1613,25 @@ object SparkEntry {
                   WHEN source = 'src3' THEN 'video'
                   ELSE 'document' END AS media_type,
              octet_length(CAST(text AS BLOB)) AS n_bytes,
+             octet_length(CAST(text AS BLOB)) % 640 AS w,
+             octet_length(CAST(text AS BLOB)) % 480 AS h,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
            FROM documents),
          f AS (
            SELECT media_type, n_bytes,
-             (n_bytes + 63) // 64 AS n_frames, fingerprint
+             (n_bytes + 63) // 64 AS n_frames, fingerprint,
+             greatest(w, h) AS long_side,
+             CASE WHEN greatest(w, h) <= 256 THEN w
+                  ELSE greatest(1, (w * 256) // greatest(w, h)) END AS resize_w,
+             CASE WHEN greatest(w, h) <= 256 THEN h
+                  ELSE greatest(1, (h * 256) // greatest(w, h)) END AS resize_h
            FROM m)
          SELECT media_type, count(*) AS n_docs,
            CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
            CAST(sum(n_frames) AS BIGINT) AS sum_frames,
            CAST(sum((n_frames + 3) // 4) AS BIGINT) AS sum_sampled,
+           CAST(sum(resize_w) AS BIGINT) AS sum_rw,
+           CAST(sum(resize_h) AS BIGINT) AS sum_rh,
            min(fingerprint) AS min_fp
          FROM f GROUP BY 1 ORDER BY 1""",
     // The kernel parses PNG/JPEG/GIF/WAV headers from binary payloads that

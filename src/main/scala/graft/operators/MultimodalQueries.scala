@@ -201,11 +201,27 @@ object MultimodalQueries {
       .withColumn("n_sampled",
         expr(s"(n_frames + ${DecodeStub.SampleEvery - 1}) div ${DecodeStub.SampleEvery}"))
       .withColumn("fingerprint", hash60(col("payload").cast("string")))
+      // resize stage (brief: decode / feature-extract / RESIZE /
+      // frame-sample): aspect-preserving fit into a 256×256 box, integer
+      // math only so the oracle reproduces it bit-for-bit. Only downscales;
+      // media already inside the box keeps its dimensions.
+      .withColumn("long_side", greatest(col("width"), col("height")).cast("long"))
+      .withColumn("resize_w", expr(
+        s"CASE WHEN long_side <= $ResizeBox THEN width " +
+          s"ELSE greatest(1L, (CAST(width AS BIGINT) * $ResizeBox) div long_side) END"))
+      .withColumn("resize_h", expr(
+        s"CASE WHEN long_side <= $ResizeBox THEN height " +
+          s"ELSE greatest(1L, (CAST(height AS BIGINT) * $ResizeBox) div long_side) END"))
       .groupBy("media_type")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_bytes").as("sum_bytes"),
         sum("n_frames").as("sum_frames"),
         sum("n_sampled").as("sum_sampled"),
+        sum("resize_w").as("sum_rw"),
+        sum("resize_h").as("sum_rh"),
         min("fingerprint").as("min_fp"))
+
+  /** Resize target box (longest side after the aspect-preserving fit). */
+  val ResizeBox = 256
 }
