@@ -150,5 +150,18 @@ class PipelineE2ESpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(spans == Map("en" -> ((2L, 2L)), "de" -> ((1L, 1L))),
       s"duplicate-passage stats over the exported corpus: $spans")
+
+    // final leg: bulk-deliver the curated corpus to a downstream pg over
+    // COPY FROM STDIN — partition-parallel, server-confirmed counts
+    val server = new graft.streaming.FakeWalsender(Seq.empty)
+    try {
+      val n = graft.sinks.PgCopyLoader.load(
+        back.select($"id", $"lang", $"split"), "public", "corpus",
+        "127.0.0.1", server.port, "u", "db", None)
+      assert(n == 3L, "every gated doc delivered")
+      val ids = server.copiedRows.synchronized(
+        server.copiedRows.map(_._2.head.get.toLong).sorted.toSeq)
+      assert(ids == Seq(1L, 3L, 4L), s"delivered rows: $ids")
+    } finally server.close()
   }
 }
