@@ -71,6 +71,19 @@ final class SlotManager(exec: SqlExecutor, slotName: String, createIfNotExists: 
     }
   }
 
+  /** Pin a consistent point + exported snapshot on a TEMPORARY slot (no
+    * exists-check: the name is caller-chosen and the server holds it only
+    * for this connection's lifetime). Same result row as [[createFresh]].
+    */
+  def createTemporary(): CreatedSlot =
+    exec(SlotManager.createTemporarySql(slotName)).headOption match {
+      case Some(Seq(name, cp, snap, _)) =>
+        SlotManager.CreatedSlot(name, Lsn.parse(cp), Option(snap).filter(_.nonEmpty))
+      case other => throw new IllegalStateException(
+        s"CREATE_REPLICATION_SLOT TEMPORARY: expected (slot_name, consistent_point, " +
+          s"snapshot_name, output_plugin), got $other")
+    }
+
   /** `DROP_REPLICATION_SLOT … WAIT` if the slot exists — the cleanup half of
     * a re-snapshot: an invalidated export's slot must be dropped before
     * [[createFresh]] can pin a new consistent point.
@@ -138,6 +151,15 @@ object SlotManager {
 
   def createSql(name: String): String =
     s"CREATE_REPLICATION_SLOT $name LOGICAL pgoutput"
+
+  /** Temporary slot: pins a consistent point + exported snapshot for the
+    * lifetime of the creating connection, then vanishes server-side — no
+    * cleanup obligation, no stranded-WAL hazard. The pinning tool for
+    * side-channel snapshots (e.g. adding a table to a running pipeline)
+    * that must never interfere with the durable slot.
+    */
+  def createTemporarySql(name: String): String =
+    s"CREATE_REPLICATION_SLOT $name TEMPORARY LOGICAL pgoutput"
 
   def dropSql(name: String): String =
     s"DROP_REPLICATION_SLOT $name WAIT"
