@@ -117,6 +117,26 @@ object TableAddition {
       afterMap.as("after"))
   }
 
+  /** The symmetric removal: unpublish the table so the walsender stops
+    * emitting its changes. Returns the DDL issued (empty when it wasn't
+    * published). Downstream state (materialized views, sink tables) is the
+    * consumer's to retire — nothing here deletes data.
+    */
+  def removeTable(
+      cfg: GraftConfig, exec: SqlExecutor,
+      schema: String, table: String, warn: String => Unit = _ => ()): Seq[String] = {
+    import Publication.quoteIdent
+    val pubMgr = cfg.publicationManager(exec, warn)
+    val live = pubMgr.info().getOrElse(return Nil)
+    if (live.allTables || !live.tables.contains((schema, table))) Nil
+    else {
+      val stmt = s"ALTER PUBLICATION ${quoteIdent(cfg.publication.name)} " +
+        s"DROP TABLE ${quoteIdent(schema)}.${quoteIdent(table)}"
+      exec(stmt)
+      Seq(stmt)
+    }
+  }
+
   /** Exactly-once merge across the addition seam: the table's stream
     * events at or below the consistent point are dropped (the snapshot
     * already contains their effect); everything else — other tables

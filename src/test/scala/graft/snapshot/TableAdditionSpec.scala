@@ -127,6 +127,11 @@ class TableAdditionSpec extends AnyFunSuite {
         "1" -> "as-of-pin-1", "2" -> "post-pin",
         "3" -> "as-of-pin-3", "4" -> "as-of-pin-4"))
       assert(merged.filter($"table" === "users").count() == 1, "other tables untouched")
+
+      // the symmetric removal unpublishes; repeating it is a no-op
+      assert(TableAddition.removeTable(cfg, exec, "public", "users") ==
+        Seq("""ALTER PUBLICATION "e2e_pub" DROP TABLE "public"."users""""))
+      assert(TableAddition.removeTable(cfg, exec, "public", "ghost").isEmpty)
     } finally server.close()
   }
 }
