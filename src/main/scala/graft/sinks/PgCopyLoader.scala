@@ -46,9 +46,19 @@ object PgCopyLoader {
           h, p, u, db, pw, applicationName = "graft-copy",
           sslMode = sm, sslRootCert = ca, sslCert = cert, sslKey = key,
           sslPassword = kpw)
-        try acc.add(conn.copyIn(sql,
-          it.map(r => (0 until n).map(i => Option(r.getString(i))))))
-        finally conn.close()
+        try {
+          // transaction bracket: a task that dies mid-stream rolls its
+          // partial rows back server-side, so Spark's task RETRY starts
+          // from zero instead of duplicating the prefix. (Speculative
+          // execution must stay off for this stage — two SUCCESSFUL
+          // attempts would both commit; retry-after-failure is the case
+          // this makes safe.)
+          conn.simpleQuery("BEGIN")
+          acc.add(conn.copyIn(sql,
+            it.map(r => (0 until n).map(i => Option(r.getString(i))))))
+          conn.simpleQuery("COMMIT")
+          ()
+        } finally conn.close()
       }
     }
     acc.value

@@ -153,7 +153,11 @@ class PipelineE2ESpec extends AnyFunSuite {
 
     // final leg: bulk-deliver the curated corpus to a downstream pg over
     // COPY FROM STDIN — partition-parallel, server-confirmed counts
-    val server = new graft.streaming.FakeWalsender(Seq.empty)
+    val server = new graft.streaming.FakeWalsender(Seq.empty, sqlResults = { sql =>
+      if (sql == "BEGIN" || sql == "COMMIT")
+        Some((Seq("ok"), Seq.empty[Seq[Option[String]]]))
+      else None
+    })
     try {
       val n = graft.sinks.PgCopyLoader.load(
         back.select($"id", $"lang", $"split"), "public", "corpus",

@@ -36,7 +36,11 @@ class PgCopyLoaderSpec extends AnyFunSuite {
   }
 
   test("load() bulk-loads a typed frame partition-parallel") {
-    val server = new FakeWalsender(Seq.empty)
+    val server = new FakeWalsender(Seq.empty, sqlResults = { sql =>
+      if (sql == "BEGIN" || sql == "COMMIT")
+        Some((Seq("ok"), Seq.empty[Seq[Option[String]]]))
+      else None
+    })
     try {
       import spark.implicits._
       val df = (1 to 100).map(i =>
@@ -52,6 +56,13 @@ class PgCopyLoaderSpec extends AnyFunSuite {
       assert(byId(42L)(1).contains("name42"))
       // each non-empty partition used its own COPY channel
       assert(got.map(_._1).distinct.head.contains("\"users\""))
+      // every partition's COPY ran inside a transaction bracket, so a
+      // failed task's partial rows roll back before Spark retries it
+      val qs = server.queries.synchronized(server.queries.toVector)
+      assert(qs.count(_ == "BEGIN") == qs.count(_ == "COMMIT"),
+        s"unbalanced transaction brackets: $qs")
+      assert(qs.count(_ == "BEGIN") >= 1 && qs.count(_ == "BEGIN") <= 4,
+        "one bracket per non-empty partition")
     } finally server.close()
   }
 }
