@@ -92,6 +92,12 @@ final class PgConnection(
   /** True when the connection upgraded to TLS. */
   def isSsl: Boolean = socket.isInstanceOf[javax.net.ssl.SSLSocket]
 
+  /** Socket read deadline (0 = block forever): a blocked read throws
+    * `SocketTimeoutException` after `ms` of silence — the liveness
+    * primitive for detecting a peer that died without a FIN.
+    */
+  def setReadTimeout(ms: Int): Unit = socket.setSoTimeout(ms)
+
   /** RFC 5929 tls-server-end-point hash of the peer certificate — the
     * channel-binding data for SCRAM-SHA-256-PLUS; None on plaintext.
     */

@@ -208,7 +208,8 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
           sslRootCert = Option(options.get("sslrootcert")),
           sslCert = Option(options.get("sslcert")),
           sslKey = Option(options.get("sslkey")),
-          sslPassword = Option(options.get("sslpassword")))
+          sslPassword = Option(options.get("sslpassword")),
+          readTimeoutMs = options.getInt("readTimeoutMs", 60000))
       } else {
         require(path != null,
           "pgcdc: a WalSource binding is required — 'path' (WAL frame file), " +

@@ -50,7 +50,15 @@ final class SocketWalSource(
       */
     captureRetries: Int = 5,
     captureBackoffMs: Long = 1000L,
-    captureSleep: Long => Unit = Thread.sleep) extends WalSource {
+    captureSleep: Long => Unit = Thread.sleep,
+    /** Liveness deadline: with no bytes from the walsender for this long,
+      * the connection is presumed dead (a peer that dies without a FIN
+      * otherwise blocks the reader forever — the reference's 300 ms read
+      * deadline + keepalive liveness, `stream.go:304`). A healthy server
+      * sends keepalives at wal_sender_timeout/2 (≤30 s by default), so a
+      * minute of TOTAL silence means the link is gone. 0 disables.
+      */
+    readTimeoutMs: Int = 60000) extends WalSource {
 
   @volatile private var confirmed: Long = Lsn.Zero
   @volatile private var conn: PgConnection = null
@@ -110,6 +118,10 @@ final class SocketWalSource(
           throw e
       }
     }
+
+    // Liveness deadline arms only once streaming starts: the handshake
+    // above used its own blocking reads.
+    if (readTimeoutMs > 0) conn.setReadTimeout(readTimeoutMs)
 
     // The reader captures ITS connection, queue, and generation — it never
     // dereferences the shared mutable fields, and a superseded generation's
@@ -179,6 +191,12 @@ final class SocketWalSource(
       }
       if (current) streamEnded = true
     } catch {
+      case _: java.net.SocketTimeoutException =>
+        // the liveness deadline: total silence past readTimeoutMs — the
+        // peer died without a FIN; surface a reconnectable failure
+        fail(new java.io.IOException(
+          s"pgcdc: no traffic from walsender for $readTimeoutMs ms — connection presumed dead"))
+        if (current) streamEnded = true
       case _: EOFException => if (current) streamEnded = true
       case _: java.net.SocketException => if (current) streamEnded = true // closed under us
       case _: InterruptedException => if (current) streamEnded = true // close() interrupt

@@ -72,6 +72,27 @@ class SocketWalSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("a silently-dead walsender trips the liveness deadline") {
+    // The fake stays connected but silent after serving its frames — the
+    // no-FIN death shape. Without a read deadline the reader would block
+    // forever and `healthy` would stay true, stalling the stream with no
+    // reconnect; with one, silence past the deadline surfaces as a
+    // reconnectable failure.
+    val frames = WalGen.frames(1, 1).toSeq
+    val server = new FakeWalsender(frames)
+    try {
+      val src = new SocketWalSource("127.0.0.1", server.port, "u", "db",
+        "slot_live", "pub1", readTimeoutMs = 300)
+      src.open(0L)
+      assert(pollAll(src, frames.size).size == frames.size)
+      awaitTrue("liveness deadline fires on silence")(!src.healthy)
+      val ex = intercept[IllegalStateException](src.poll())
+      assert(ex.getCause.getMessage.contains("presumed dead"),
+        s"got: ${ex.getCause}")
+      src.close()
+    } finally server.close()
+  }
+
   test("55006 slot-in-use race: rejected twice, third START_REPLICATION streams") {
     val frames = WalGen.frames(2, 2).toSeq
     val server = new FakeWalsender(frames, slotInUseRejections = 2)
