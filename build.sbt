@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with the memoized prep frames (shingles, LSH signatures, PQ
+  // index, CC labels, streaming-dedup state) needs real headroom: at 8g the
+  // full bench sweep spent so long in GC that unchanged queries drifted
+  // 1.5-4× (q_typed_view 2.1→8.5 s). The box has 125 GiB; 24g keeps the
+  // sweep out of GC without pretending executors get the whole machine.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -332,9 +332,17 @@ object CdcQueries {
     * casts — hash-verifies every cast family end-to-end.
     */
   def typedViewOrders(s: SparkSession, dir: String): DataFrame = {
+    // Pin o_orderdate to TIMESTAMP_NTZ before the row accessor below: the
+    // testdata generator has already flipped one temporal column's physical
+    // type between rounds (events.ts, see Tables.events), and the
+    // getAs[LocalDateTime] in the encoder would throw on a DATE or
+    // LTZ-timestamp generation. The cast is a no-op on the current files.
     val orders = Tables.orders(s, dir).select(
-      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-      "o_orderdate", "o_orderpriority")
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      col("o_orderdate").cast(org.apache.spark.sql.types.TimestampNTZType)
+        .as("o_orderdate"),
+      col("o_orderpriority"))
     val envelope = orders.mapPartitions { it =>
       val tsFmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)

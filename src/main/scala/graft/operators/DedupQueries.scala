@@ -285,10 +285,18 @@ object DedupQueries {
       val schema = Tables.documents(ss, dir).schema
       // the file source wants a directory: stream the sf dir, glob-filtered
       // down to the documents table's single parquet file
+      // The file source hands the single documents parquet to ONE task, so
+      // the signature kernel (higher-order transform()s — interpreted, not
+      // whole-stage-codegen) ran serially and dominated the drive (~9 s of
+      // a ~10 s batch, JFR-verified). A real ingest source (Kafka, many
+      // files) arrives already partitioned; stand in for that with an
+      // explicit spread over the cores. Determinism is unaffected:
+      // bucketStep sorts each bucket's rows by doc_id before stepping.
       val docs = ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
         .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
       val q = graft.streaming.StreamingDedup.nearDupFlags(ss, docs)
         .writeStream.format("memory").queryName("q_streaming_dedup_flags")
         .outputMode("append").start()

@@ -63,6 +63,21 @@ object StreamingDedup {
   /** The shared signature kernel: (band, bucket-key, doc_id, signature)
     * rows, one per band per shingleable document — both stateful backends
     * consume exactly this frame.
+    *
+    * Imperative per-partition loop for the same reason as the batch
+    * [[graft.operators.ShingleSets]]: the higher-order-function expression
+    * chain (`transform`/`slice`/`array_join`) is interpreted, not
+    * whole-stage-codegen'd, and here it was worse than the batch case —
+    * predicate pushdown substituted the whole shingle+md5 expression into
+    * the `size(hs) > 0` filter (doubling it), and `slice(split(text))`
+    * inside the shingle lambda re-ran the regex split once PER SHINGLE
+    * POSITION. JFR put ~9 s of a ~10 s micro-batch in UTF8String.split /
+    * regex for sf0.1's 5000 docs; this loop computes each piece exactly
+    * once. Semantics are byte-identical to the expression form the DuckDB
+    * oracle pins: split("\\s+", -1), n-token shingles joined by single
+    * spaces, distinct, [[graft.functions.Hash60]] (= conv(substring(md5,
+    * 1,15),16,10)), per-hash seeded-XOR minimum, "," band keys; documents
+    * with fewer than `shingleN` tokens drop.
     */
   private[streaming] def bandedSignatures(
       s: SparkSession, docs: DataFrame,
@@ -70,23 +85,51 @@ object StreamingDedup {
     import s.implicits._
     require(numHashes % rowsPerBand == 0, "numHashes must split into equal bands")
     val nBands = numHashes / rowsPerBand
-    val seeds = (0 until numHashes).map(i => graft.functions.Hash60(s"minhash-seed-$i"))
+    val seeds = (0 until numHashes).map(i => graft.functions.Hash60(s"minhash-seed-$i")).toArray
 
-    val shs = array_distinct(wordShingles(split(col("text"), "\\s+"), shingleN))
-    val hs = transform(shs, sh => hash60(sh))
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seeds(i))))).as(s"m$i"))
-    val sig = docs
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
-    sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until nBands).map(j =>
-        concat_ws(",", (0 until rowsPerBand).map(r =>
-          col(s"m${j * rowsPerBand + r}")): _*)): _*)).as(Seq("band", "bkey")))
-      .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
-      .as[(Int, String, Long, Seq[Long])]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = text.split("\\s+", -1)
+            if (toks.length < shingleN) Iterator.empty
+            else {
+              // distinct shingles; order is irrelevant downstream (min-fold)
+              val shs = new java.util.HashSet[String](math.max(16, toks.length * 2))
+              val sb = new java.lang.StringBuilder(64)
+              val mins = Array.fill(numHashes)(Long.MaxValue)
+              var i = 0
+              while (i + shingleN <= toks.length) {
+                sb.setLength(0)
+                var k = 0
+                while (k < shingleN) {
+                  if (k > 0) sb.append(' ')
+                  sb.append(toks(i + k))
+                  k += 1
+                }
+                val sh = sb.toString
+                if (shs.add(sh)) {
+                  val h = graft.functions.Hash60(sh)
+                  var j = 0
+                  while (j < numHashes) {
+                    val v = h ^ seeds(j)
+                    if (v < mins(j)) mins(j) = v
+                    j += 1
+                  }
+                }
+                i += 1
+              }
+              val sig: Seq[Long] = mins.toSeq
+              (0 until nBands).iterator.map { b =>
+                val bkey = (0 until rowsPerBand)
+                  .map(r => mins(b * rowsPerBand + r)).mkString(",")
+                (b, bkey, docId, sig)
+              }
+            }
+          }
+        }
+      }
   }
 
   /** [[nearDupFlags]] on the `transformWithState` API (Spark 4 arbitrary
