@@ -201,6 +201,18 @@ object CurationQueries {
         .select(explode(col("shs")).as("sh")).distinct()
         .localCheckpoint(true))
 
+  /** The memoized train-split shingle vocabulary as a standalone build —
+    * a [[SharedCaches]] `prep_` entry, so the bench attributes the
+    * explode+distinct+checkpoint to the shared-index build it is (the
+    * "write the shingle table once" job) instead of billing whichever
+    * consumer touches it first.
+    */
+  def trainVocabFrame(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id"), splitNibble(col("doc_id")).as("nib"))
+    trainVocab(s, dir, ShingleSets(s, dir, 5).join(meta, "doc_id"))
+  }
+
   /** Forget every cached train-vocabulary frame owned by `s` — the
     * checkpoint blocks free via the ContextCleaner once dereferenced
     * (Dataset.unpersist does not reach localCheckpoint RDD blocks).

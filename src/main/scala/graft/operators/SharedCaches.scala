@@ -25,7 +25,8 @@ object SharedCaches {
     "prep_trigram_counts" -> ((s, d) => TextQueries.triGramCounts(s, d)),
     "prep_streaming_dedup" -> ((s, d) => DedupQueries.streamingDedupDrive(s, d)),
     "prep_pq_index" -> ((s, d) => AnnQueries.pqCodeFrame(s, d)),
-    "prep_cc_labels" -> ((s, d) => DedupQueries.clusterLabels(s, d)))
+    "prep_cc_labels" -> ((s, d) => DedupQueries.clusterLabels(s, d)),
+    "prep_train_vocab" -> ((s, d) => CurationQueries.trainVocabFrame(s, d)))
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).

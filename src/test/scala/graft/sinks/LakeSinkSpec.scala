@@ -1,0 +1,177 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+
+/** The lake sink: exactly-once batch commits (marker protocol, replay,
+  * half-written batch invisibility), truncate-aware latest-state fold, and
+  * the compact→vacuum lifecycle preserving reader-visible state.
+  */
+class LakeSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+  private def ev(
+      lsn: Long, op: String, table: String,
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", table, T, T, Seq("id"),
+      if (before == null) null else before,
+      if (after == null) null else after)
+
+  private def withSink(body: (LakeSink, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-sink").toString
+    try body(new LakeSink(dir), dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  private def stateMap(sink: LakeSink): Map[String, String] =
+    sink.latestState(spark, "public", "users")
+      .select(col("k"), element_at(col("after"), "name").as("name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("appendBatch commits exactly once: replayed ids are no-ops") {
+    withSink { (sink, _) =>
+      val b0 = envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")),
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b"))))
+      sink.appendBatch(b0, 0L)
+      sink.appendBatch(b0, 0L) // at-least-once redelivery of the same epoch
+      assert(sink.committedBatchIds(spark) == Seq(0L))
+      assert(sink.changelog(spark).count() == 2)
+    }
+  }
+
+  test("a half-written batch (no marker) is invisible until its retry commits") {
+    withSink { (sink, dir) =>
+      // simulate the crash window: parquet landed, marker never created
+      envelope(Seq(ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a"))))
+        .write.parquet(s"$dir/changelog/batch_id=5")
+      assert(sink.committedBatchIds(spark).isEmpty)
+      assert(sink.changelog(spark).count() == 0)
+      // the retry overwrites the same dir and commits it
+      sink.appendBatch(
+        envelope(Seq(ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "x")))), 5L)
+      assert(sink.committedBatchIds(spark) == Seq(5L))
+      val names = sink.changelog(spark)
+        .select(element_at(col("after"), "name")).collect().map(_.getString(0)).toSeq
+      assert(names == Seq("x"), "retry content wins, no duplicate from the partial write")
+    }
+  }
+
+  test("latestState folds inserts/updates/deletes per key across batches") {
+    withSink { (sink, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")),
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")),
+        ev(3, "insert", "other", null, Map("id" -> "9", "name" -> "zz")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", "users", null, Map("id" -> "1", "name" -> "a2")),
+        ev(5, "delete", "users", Map("id" -> "2", "name" -> null), null),
+        ev(6, "insert", "users", null, Map("id" -> "3", "name" -> "c")))), 1L)
+      assert(stateMap(sink) == Map("1" -> "a2", "3" -> "c"))
+      // other table untouched by the users fold
+      assert(sink.latestState(spark, "public", "other").count() == 1)
+    }
+  }
+
+  test("truncate wipes earlier state; later events survive") {
+    withSink { (sink, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")),
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "truncate", "users", null, null),
+        ev(4, "insert", "users", null, Map("id" -> "2", "name" -> "b2")))), 1L)
+      assert(stateMap(sink) == Map("2" -> "b2"))
+    }
+  }
+
+  test("compact + vacuum: base absorbs the log, state is unchanged, tail keeps winning") {
+    withSink { (sink, dir) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")),
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "update", "users", null, Map("id" -> "1", "name" -> "a2")))), 1L)
+      val before = stateMap(sink)
+      sink.compact(spark)
+      assert(sink.watermark(spark) == 1L)
+      assert(stateMap(sink) == before, "fold over base must equal fold over log")
+      sink.vacuum(spark)
+      assert(sink.committedBatchIds(spark).isEmpty, "folded batches vacuumed")
+      assert(new java.io.File(s"$dir/base/schema=public/table=users").exists())
+      assert(stateMap(sink) == before, "state survives vacuum via base")
+      // post-compaction tail supersedes base rows and a replayed OLD batch id
+      // (below the watermark) must still be a no-op after vacuum
+      sink.appendBatch(envelope(Seq(
+        ev(4, "delete", "users", Map("id" -> "1", "name" -> null), null))), 2L)
+      assert(stateMap(sink) == (before - "1"))
+      // a replay from a stale checkpoint: batch 0's marker was vacuumed but
+      // its content lives in base — re-landing it must be a no-op
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "stale")))), 0L)
+      assert(sink.committedBatchIds(spark) == Seq(2L))
+      assert(stateMap(sink) == (before - "1"))
+      sink.compact(spark)
+      sink.vacuum(spark)
+      assert(stateMap(sink) == (before - "1"))
+    }
+  }
+
+  test("end-to-end: pgcdc stream → foreachBatch → lake, replay-safe across restart") {
+    val wal = Files.createTempFile("wal-lake", ".bin").toString
+    val ckpt = Files.createTempDirectory("ckpt-lake").toString
+    graft.tools.WalFile.write(wal, graft.tools.WalGen.frames(6, 2)) // 12 inserts
+    withSink { (sink, _) =>
+      @volatile var failOnce = true
+      def run(): Unit = {
+        val q = spark.readStream.format("pgcdc")
+          .option("path", wal)
+          .option("maxTxnsPerTrigger", "2")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink.appendBatch(df, batchId)
+            // crash AFTER the commit marker: the restart replays this epoch
+            // and the sink must swallow the duplicate
+            if (batchId == 1 && failOnce) {
+              failOnce = false
+              throw new RuntimeException("injected post-commit crash")
+            }
+          }
+          .start()
+        try { q.processAllAvailable(); q.stop() }
+        catch { case _: Throwable => () }
+      }
+      run() // dies on batch 1
+      run() // restart: replays batch 1, finishes the stream
+      val state = sink.latestState(spark, "public", "users")
+      assert(state.count() == 12, "one live row per inserted id, no replay dupes")
+      val ids = state.select(element_at(col("after"), "id").cast("long"))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == (1L to 12L).toSet)
+    }
+  }
+
+  test("multi-column keys join with a separator no text value contains") {
+    withSink { (sink, _) =>
+      val row = Row(1L, 1L, 7L, "insert", "public", "pairs", T, T,
+        Seq("a", "b"), null, Map("a" -> "x y", "b" -> "z", "v" -> "1"))
+      val row2 = Row(2L, 2L, 7L, "insert", "public", "pairs", T, T,
+        Seq("a", "b"), null, Map("a" -> "x", "b" -> "y z", "v" -> "2"))
+      sink.appendBatch(envelope(Seq(row, row2)), 0L)
+      // "x y"+"z" and "x"+"y z" must remain DISTINCT keys
+      assert(sink.latestState(spark, "public", "pairs").count() == 2)
+    }
+  }
+}
