@@ -163,6 +163,30 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted relation schema types the lake fold without a live stream") {
+    import graft.pgproto.Messages.{Relation, RelationColumn}
+    withSink { (sink, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a", "bal" -> "10.50")),
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b", "bal" -> null)))), 0L)
+      sink.writeRelations(spark, Seq(Relation(0L, 16384L, "public", "users", 'd',
+        Array(RelationColumn("id", 20L, -1, 1),      // int8, key
+          RelationColumn("name", 25L, -1, 0),        // text
+          RelationColumn("bal", 701L, -1, 0)))))     // float8
+      val typed = sink.latestStateTyped(spark, "public", "users")
+      assert(typed.schema("id").dataType.typeName == "long")
+      assert(typed.schema("bal").dataType.typeName == "double")
+      val byId = typed.collect().map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).getDouble(2) == 10.5)
+      assert(byId(2L).isNullAt(2))
+      // round-trip of the schema record itself
+      val rel = sink.readRelation(spark, "public", "users").get
+      assert(rel.columns.map(_.name).toSeq == Seq("id", "name", "bal"))
+      assert(rel.replicaIdentity == 'd'.toByte)
+      assert(sink.readRelation(spark, "public", "absent").isEmpty)
+    }
+  }
+
   test("multi-column keys join with a separator no text value contains") {
     withSink { (sink, _) =>
       val row = Row(1L, 1L, 7L, "insert", "public", "pairs", T, T,
