@@ -163,6 +163,32 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("appendSnapshot: snapshot + stream fold as one log, redelivery idempotent") {
+    import spark.implicits._
+    withSink { (sink, _) =>
+      val snap = Seq((1L, "a", true), (2L, "b", false), (3L, "c", true))
+        .toDF("id", "name", "flag")
+      sink.appendSnapshot("public.users", snap, Seq("id"), 100L, -1L)
+      // invalidation-retry redelivery of the same table reuses the id
+      sink.appendSnapshot("public.users", snap, Seq("id"), 100L, -1L)
+      assert(sink.changelog(spark).count() == 3)
+      // stream events after the consistent point supersede the image
+      sink.appendBatch(envelope(Seq(
+        ev(150, "update", "users", null, Map("id" -> "1", "name" -> "a2", "flag" -> "f")),
+        ev(151, "delete", "users", Map("id" -> "3", "name" -> null, "flag" -> null), null))), 0L)
+      assert(stateMap(sink) == Map("1" -> "a2", "2" -> "b"))
+      // booleans render in pg text form so snapshot and stream rows agree
+      val flags = sink.latestState(spark, "public", "users")
+        .select(col("k"), element_at(col("after"), "flag"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(flags == Map("1" -> "f", "2" -> "f"))
+      // compaction folds the mixed log and a post-compact replay stays a no-op
+      sink.compact(spark); sink.vacuum(spark)
+      sink.appendSnapshot("public.users", snap, Seq("id"), 100L, -1L)
+      assert(stateMap(sink) == Map("1" -> "a2", "2" -> "b"))
+    }
+  }
+
   test("persisted relation schema types the lake fold without a live stream") {
     import graft.pgproto.Messages.{Relation, RelationColumn}
     withSink { (sink, _) =>
