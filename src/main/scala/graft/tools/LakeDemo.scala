@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable face of the lake sink: snapshot + CDC landed as one parquet
+  * changelog, folded, compacted, vacuumed, and read back typed.
+  *
+  * Usage: LakeDemo <wal-file> [lakeDir]
+  *
+  * Drives the full lifecycle against a WalGen frame file: a synthetic
+  * 3-row `public.users` snapshot at the consistent point, the WAL's
+  * inserts as stream batches via foreachBatch, then latestState before
+  * and after compact+vacuum (must agree), and the typed read through the
+  * persisted relation schema.
+  */
+object LakeDemo {
+  def main(args: Array[String]): Unit = {
+    val walFile = args(0)
+    val lakeDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("lake-demo").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("lake-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val lake = new graft.sinks.LakeSink(lakeDir)
+
+    // Initial snapshot: ids -3..-1 so the WAL's 1..N inserts are disjoint.
+    val snap = Seq((-3L, "snap3"), (-2L, "snap2"), (-1L, "snap1")).toDF("id", "name")
+    lake.appendSnapshot("public.users", snap, Seq("id"), 100L, -1L)
+    lake.writeRelations(spark, Seq(graft.pgproto.Messages.Relation(
+      0L, WalGen.UsersRelOid, "public", "users", 'd', WalGen.UsersColumns.toArray)))
+
+    val q = spark.readStream.format("pgcdc")
+      .option("path", walFile)
+      .load()
+      .writeStream
+      .foreachBatch(lake.appendBatch _)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val before = lake.latestState(spark, "public", "users")
+      .orderBy("k").collect().map(r => r.getString(0)).toSeq
+    println(s"-- changelog: ${lake.changelog(spark).count()} events in " +
+      s"batches ${lake.committedBatchIds(spark).mkString(",")}")
+    lake.compact(spark)
+    lake.vacuum(spark)
+    val after = lake.latestState(spark, "public", "users")
+      .orderBy("k").collect().map(r => r.getString(0)).toSeq
+    println(s"-- latest state: ${before.size} live keys; " +
+      s"compact+vacuum preserved=${before == after} " +
+      s"(watermark ${lake.watermark(spark)})")
+    val typed = lake.latestStateTyped(spark, "public", "users")
+    typed.orderBy("id").show(8, truncate = false)
+    println(s"-- typed read: ${typed.count()} rows, " +
+      s"id is ${typed.schema("id").dataType.simpleString}")
+    spark.stop()
+  }
+}
