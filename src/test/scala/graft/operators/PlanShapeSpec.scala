@@ -126,4 +126,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"encode argmax collapsed into the query-side join:\n$plan")
     AnnQueries.releasePqCodebooks(spark)
   }
+
+  test("lake fold shuffles exactly once, on the replica-identity key") {
+    // latestState is one window over k: any second exchange means the
+    // union/base read or the truncate filter introduced a redundant
+    // shuffle that scales with corpus churn.
+    val tmp = java.nio.file.Files.createTempDirectory("lake-plan").toString
+    try {
+      val sink = new graft.sinks.LakeSink(tmp)
+      val rows = (1 to 8).map(i => org.apache.spark.sql.Row(
+        i.toLong, i.toLong, 7L, "insert", "public", "t",
+        new java.sql.Timestamp(0L), new java.sql.Timestamp(0L),
+        Seq("id"), null, Map("id" -> i.toString, "v" -> i.toString)))
+      sink.appendBatch(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        graft.cdc.ChangeEvent.schema), 0L)
+      val plan = executedString(sink.latestState(spark, "public", "t"))
+      val exchanges = plan.split("Exchange hashpartitioning").length - 1
+      assert(exchanges == 1, s"expected one key exchange, got $exchanges:\n$plan")
+      assert(plan.contains("hashpartitioning(k#"),
+        s"window not keyed on the joined key column:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
