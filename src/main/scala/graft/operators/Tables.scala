@@ -8,8 +8,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Pin a column to its canonical logical type with a cast that is a
+    * no-op against today's files (SimplifyCasts erases it from the plan, so
+    * pushdown/pruning are untouched) but holds the type steady if a future
+    * testdata generation flips the physical encoding — the round-9 lesson
+    * (events.ts became TIMESTAMP_NTZ and every imperative
+    * `getLong`/`getAs[LocalDateTime]` row accessor downstream broke for a
+    * full round). Applied to exactly the columns the mapPartitions wire
+    * encoders read positionally.
+    */
+  private def pin(df: DataFrame, types: (String, String)*): DataFrame =
+    types.foldLeft(df) { case (acc, (c, t)) =>
+      // tolerate reduced-schema fixtures (specs write minimal tables)
+      if (acc.columns.contains(c)) acc.withColumn(c, col(c).cast(t)) else acc
+    }
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def orders(s: SparkSession, d: String): DataFrame =
+    pin(apply(s, d, "orders"),
+      "o_orderkey" -> "long", "o_custkey" -> "long", "o_totalprice" -> "double")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
@@ -27,7 +44,8 @@ object Tables {
     * and tie semantics match DuckDB reading the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
+    val raw = pin(apply(s, d, "events"),
+      "event_id" -> "long", "user_id" -> "long", "value" -> "double")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // legacy nanos-as-long read
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -36,6 +54,9 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    pin(apply(s, d, "documents"), "doc_id" -> "long", "n_chars" -> "long")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    pin(apply(s, d, "embeddings"),
+      "vec_id" -> "long", "embedding" -> "array<float>")
 }
