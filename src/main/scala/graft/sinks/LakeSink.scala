@@ -277,6 +277,54 @@ final class LakeSink(root: String) extends Serializable {
     finally out.close()
   }
 
+  /** Incremental changelog consumption with a durable named cursor — the
+    * pull-based face of the log for downstream batch jobs (dedup-on-
+    * arrival, curation, packing) that want "every committed batch exactly
+    * once" without running a continuous stream. `poll` hands the consumer
+    * everything committed past its cursor and advances the cursor only
+    * AFTER the callback returns — a crash mid-callback re-delivers the
+    * same span (at-least-once; pair with an idempotent consumer for
+    * exactly-once, the same contract foreachBatch gives the sink side).
+    *
+    * Vacuum safety: a consumer whose cursor falls below the compaction
+    * watermark has MISSED vacuumed batches — that is detected and thrown
+    * (the consumer must re-bootstrap from [[latestState]]), never silently
+    * skipped. Run [[vacuum]] on the producer side only after every
+    * registered consumer's cursor has passed the watermark.
+    */
+  def cursor(spark: SparkSession, name: String): Long = {
+    val f = fs(spark)
+    val p = new Path(new Path(root, "_graft_cursors"), name)
+    if (!f.exists(p)) Long.MinValue
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Deliver all committed batches past `name`'s cursor to `fn`, then
+    * advance the cursor. Returns the number of NEW batches delivered
+    * (0 = up to date, `fn` not invoked).
+    */
+  def poll(spark: SparkSession, name: String)(fn: DataFrame => Unit): Int = {
+    val from = cursor(spark, name)
+    val wm = watermark(spark)
+    if (from < wm && committedBatchIds(spark).headOption.forall(_ > from))
+      throw new IllegalStateException(
+        s"lake consumer '$name' cursor $from is below the compaction watermark $wm " +
+          "and the batches in between were vacuumed — re-bootstrap from latestState")
+    val ids = committedBatchIds(spark).filter(_ > from)
+    if (ids.isEmpty) return 0
+    fn(changelog(spark, from))
+    val f = fs(spark)
+    f.mkdirs(new Path(root, "_graft_cursors"))
+    val out = f.create(new Path(new Path(root, "_graft_cursors"), name), true)
+    try out.write(ids.max.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ids.size
+  }
+
   /** Drop changelog batches already folded into BASE (id ≤ watermark),
     * markers included. Safe any time after [[compact]]: readers resolve
     * state as BASE + post-watermark tail and never look below it.

@@ -213,6 +213,39 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("poll: named cursors deliver each committed batch exactly once, vacuum gap detected") {
+    withSink { (sink, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 1L)
+      var seen = Vector.empty[Long]
+      def drain(): Int = sink.poll(spark, "c1") { df =>
+        seen = seen ++ df.select("lsn").collect().map(_.getLong(0)).sorted
+      }
+      assert(drain() == 2 && seen == Vector(1L, 2L))
+      assert(drain() == 0, "cursor advanced: nothing re-delivered")
+      // crash mid-callback: cursor does NOT advance, span re-delivers
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "users", null, Map("id" -> "3", "name" -> "c")))), 2L)
+      intercept[RuntimeException](sink.poll(spark, "c1")(_ =>
+        throw new RuntimeException("consumer crash")))
+      assert(drain() == 1 && seen == Vector(1L, 2L, 3L))
+      // an independent cursor starts from the beginning
+      var n = 0L
+      sink.poll(spark, "c2")(df => n = df.count())
+      assert(n == 3)
+      // a lagging consumer whose span was vacuumed fails loudly
+      sink.compact(spark); sink.vacuum(spark)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", "users", null, Map("id" -> "4", "name" -> "d")))), 3L)
+      val e = intercept[IllegalStateException](sink.poll(spark, "c3")(_ => ()))
+      assert(e.getMessage.contains("re-bootstrap"))
+      // caught-up consumers keep working past the vacuum
+      assert(drain() == 1 && seen == Vector(1L, 2L, 3L, 4L))
+    }
+  }
+
   test("multi-column keys join with a separator no text value contains") {
     withSink { (sink, _) =>
       val row = Row(1L, 1L, 7L, "insert", "public", "pairs", T, T,
