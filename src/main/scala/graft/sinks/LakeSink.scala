@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *    (commit_lsn, lsn) it was folded at so later events supersede it in
   *    the same window the tail fold uses.
   *
+  * Single-writer per root: batch ids are the streaming query's epoch ids,
+  * so one lake root belongs to one writing query (its checkpoint already
+  * guarantees a single active instance). Readers and the compact/vacuum
+  * maintenance job may run concurrently with the writer — the staged
+  * base swap and the commit-log resolution keep every reader on a
+  * consistent view.
+  *
   * 100-TB shape: append is a straight executor-parallel parquet write (no
   * driver data movement; the only driver I/O is one marker create). The
   * latest-state fold shuffles once on the replica-identity key; with
