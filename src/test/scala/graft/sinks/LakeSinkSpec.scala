@@ -246,6 +246,29 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution on the lake: a replacement relation re-types old rows") {
+    import graft.pgproto.Messages.{Relation, RelationColumn}
+    withSink { (sink, _) =>
+      // v1 rows land without the column a later ALTER adds
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", "users", null,
+          Map("id" -> "2", "name" -> "b", "score" -> "7.5")))), 1L)
+      // latest-wins schema write, mirroring the live registry's replacement
+      sink.writeRelations(spark, Seq(Relation(0L, 16384L, "public", "users", 'd',
+        Array(RelationColumn("id", 20L, -1, 1), RelationColumn("name", 25L, -1, 0)))))
+      sink.writeRelations(spark, Seq(Relation(0L, 16384L, "public", "users", 'd',
+        Array(RelationColumn("id", 20L, -1, 1), RelationColumn("name", 25L, -1, 0),
+          RelationColumn("score", 701L, -1, 0)))))
+      val typed = sink.latestStateTyped(spark, "public", "users")
+      assert(typed.schema.fieldNames.toSeq.take(3) == Seq("id", "name", "score"))
+      val byId = typed.collect().map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).isNullAt(2), "pre-ALTER row types through the new schema as NULL")
+      assert(byId(2L).getDouble(2) == 7.5)
+    }
+  }
+
   test("multi-column keys join with a separator no text value contains") {
     withSink { (sink, _) =>
       val row = Row(1L, 1L, 7L, "insert", "public", "pairs", T, T,
