@@ -202,6 +202,30 @@ final class LakeSink(root: String) extends Serializable {
     appendBatch(envelope, batchId)
   }
 
+  /** Drop every snapshot batch (negative ids) and its marker — the
+    * snapshot-INVALIDATION path: when the orchestrator's export is
+    * invalidated mid-delivery and retried, the NEW export must re-land
+    * from scratch, and [[appendSnapshot]]'s idempotence would otherwise
+    * skip tables the aborted export already committed (stale image rows
+    * under the fresh export's LSN). Call at the start of each export
+    * attempt. Refuses after compaction has folded snapshot batches into
+    * BASE — at that point the old image is no longer separable and the
+    * lake must be re-rooted (matching the orchestrator's clean re-export
+    * semantics, which never compacts mid-snapshot).
+    */
+  def clearSnapshot(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    val snapIds = committedBatchIds(spark).filter(_ < 0)
+    if (watermark(spark) >= snapIds.headOption.getOrElse(Long.MaxValue))
+      throw new IllegalStateException(
+        "snapshot batches were already compacted into base — cannot clear a " +
+          "delivered snapshot; use a fresh lake root for the re-export")
+    snapIds.foreach { id =>
+      f.delete(new Path(changelogDir, s"batch_id=$id"), true)
+      f.delete(new Path(commitDir, id.toString), false)
+    }
+  }
+
   /** Persist relation schemas next to the log (one row per column,
     * latest-wins overwrite — the same replacement semantics as the live
     * registry), so BATCH consumers can type the text-map images without a

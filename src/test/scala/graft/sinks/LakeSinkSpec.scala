@@ -246,6 +246,24 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("clearSnapshot: an invalidated export re-lands fresh, compacted snapshots refuse") {
+    import spark.implicits._
+    withSink { (sink, _) =>
+      // attempt 1 delivers one table, then the export is invalidated
+      sink.appendSnapshot("public.users",
+        Seq((1L, "stale")).toDF("id", "name"), Seq("id"), 100L, -1L)
+      // attempt 2: clear, then the NEW export's rows must actually land
+      sink.clearSnapshot(spark)
+      sink.appendSnapshot("public.users",
+        Seq((1L, "fresh"), (2L, "new")).toDF("id", "name"), Seq("id"), 120L, -1L)
+      assert(stateMap(sink) == Map("1" -> "fresh", "2" -> "new"))
+      // once compacted into base, the image is no longer separable
+      sink.compact(spark)
+      val e = intercept[IllegalStateException](sink.clearSnapshot(spark))
+      assert(e.getMessage.contains("fresh lake root"))
+    }
+  }
+
   test("schema evolution on the lake: a replacement relation re-types old rows") {
     import graft.pgproto.Messages.{Relation, RelationColumn}
     withSink { (sink, _) =>
