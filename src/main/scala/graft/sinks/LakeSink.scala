@@ -124,6 +124,11 @@ final class LakeSink(root: String) extends Serializable {
     * winning image per key. Returns the envelope image columns
     * (`key`, `after`, `commit_lsn`, `lsn`) — project through
     * [[graft.types.PgTypes.typedColumns]] for a typed frame.
+    *
+    * Keyless rows (REPLICA IDENTITY NOTHING relations ship `key_names`
+    * null) get a synthetic per-row key from their WAL position, so an
+    * append-only table folds to ALL its rows — its actual latest state —
+    * instead of every row silently collapsing into one null-key group.
     */
   def latestState(spark: SparkSession, schemaName: String, table: String): DataFrame = {
     val f = fs(spark)
@@ -133,8 +138,10 @@ final class LakeSink(root: String) extends Serializable {
       .withColumn("img",
         when(col("op") === "delete", col("before")).otherwise(col("after")))
       .select(col("op"), col("commit_lsn"), col("lsn"),
-        array_join(transform(col("key_names"),
-          k => coalesce(element_at(col("img"), k), lit(""))), LakeSink.KeySep).as("k"),
+        coalesce(
+          array_join(transform(col("key_names"),
+            k => coalesce(element_at(col("img"), k), lit(""))), LakeSink.KeySep),
+          concat(lit("wal" + LakeSink.KeySep), col("commit_lsn"), lit("/"), col("lsn"))).as("k"),
         col("after"))
     val tablePath = new Path(baseDir, s"schema=$schemaName/table=$table")
     val base =

@@ -287,6 +287,24 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("keyless (replica-identity-nothing) rows fold append-only; empty batches are harmless") {
+    withSink { (sink, _) =>
+      // key_names null: each row must survive the fold as its own key
+      val rows = Seq(
+        Row(1L, 1L, 7L, "insert", "public", "log", T, T, null,
+          null, Map("msg" -> "a")),
+        Row(2L, 2L, 7L, "insert", "public", "log", T, T, null,
+          null, Map("msg" -> "a"))) // identical image, distinct WAL position
+      sink.appendBatch(envelope(rows), 0L)
+      // an empty micro-batch (idle trigger flushed by foreachBatch) commits fine
+      sink.appendBatch(envelope(Seq.empty), 1L)
+      assert(sink.committedBatchIds(spark) == Seq(0L, 1L))
+      assert(sink.latestState(spark, "public", "log").count() == 2)
+      sink.compact(spark); sink.vacuum(spark)
+      assert(sink.latestState(spark, "public", "log").count() == 2)
+    }
+  }
+
   test("multi-column keys join with a separator no text value contains") {
     withSink { (sink, _) =>
       val row = Row(1L, 1L, 7L, "insert", "public", "pairs", T, T,
