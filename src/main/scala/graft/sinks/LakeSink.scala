@@ -363,6 +363,21 @@ final class LakeSink(root: String) extends Serializable {
     ids.size
   }
 
+  /** Scrapeable gauges for [[graft.streaming.GraftMetricsServer]]'s
+    * `graft_lake_*` family: wire `lakeGauges = Some(() =>
+    * lake.gauges(spark))`. One commit-log listing per scrape — driver-side
+    * metadata only.
+    */
+  def gauges(spark: SparkSession): Seq[(String, Double)] = {
+    val ids = committedBatchIds(spark)
+    val wm = watermark(spark)
+    Seq(
+      "batches_total" -> ids.size.toDouble,
+      "snapshot_batches" -> ids.count(_ < 0).toDouble,
+      "last_batch_id" -> ids.filter(_ >= 0).lastOption.getOrElse(-1L).toDouble,
+      "watermark" -> (if (wm == Long.MinValue) -1.0 else wm.toDouble))
+  }
+
   /** Drop changelog batches already folded into BASE (id ≤ watermark),
     * markers included. Safe any time after [[compact]]: readers resolve
     * state as BASE + post-watermark tail and never look below it.

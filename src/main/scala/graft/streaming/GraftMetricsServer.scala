@@ -38,7 +38,13 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
       * wired, `/metrics` also serves the reference dashboard's `*_total`
       * counters (`graft_pgcdc_insert_total` etc.).
       */
-    taskCounters: Option[GraftTaskMetricsListener] = None)
+    taskCounters: Option[GraftTaskMetricsListener] = None,
+    /** Lake-sink gauges (`graft.sinks.LakeSink.gauges`) — when wired,
+      * `/metrics` serves `graft_lake_*` series (committed batches, last
+      * batch id, compaction watermark). Provider-shaped like `slotInfo` so
+      * a listing failure degrades to absent series, not a scrape error.
+      */
+    lakeGauges: Option[() => Seq[(String, Double)]] = None)
   extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -131,6 +137,11 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
           series("graft_" + name, "gauge", s"replication $name", renderDouble(v))
         }
       }
+    lakeGauges.map(f => try f() catch { case scala.util.control.NonFatal(_) => Seq.empty })
+      .foreach(_.foreach { case (suffix, v) =>
+        val mtype = if (suffix.endsWith("_total")) "counter" else "gauge"
+        series("graft_lake_" + suffix, mtype, s"lake sink $suffix", renderDouble(v))
+      })
     sb.toString
   }
 

@@ -267,4 +267,40 @@ class GraftMetricsSpec extends AnyFunSuite {
       assert(d1 == d2, "duration must freeze once the snapshot ends")
     } finally server.close()
   }
+
+  test("lake sink gauges serve under graft_lake_* on /metrics") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("lake-metrics").toString
+    val lake = new graft.sinks.LakeSink(dir)
+    val server = new GraftMetricsServer(new GraftMetricsListener, port = 0,
+      lakeGauges = Some(() => lake.gauges(spark)))
+    def scrape(): String = {
+      val url = java.net.URI.create(
+        s"http://localhost:${server.boundPort}/metrics").toURL
+      val in = url.openStream()
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    try {
+      val idle = scrape()
+      assert(idle.contains("graft_lake_batches_total 0"))
+      assert(idle.contains("graft_lake_watermark -1"))
+      val rows = Seq(Row(1L, 1L, 7L, "insert", "public", "t",
+        new java.sql.Timestamp(0L), new java.sql.Timestamp(0L),
+        Seq("id"), null, Map("id" -> "1")))
+      lake.appendBatch(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        graft.cdc.ChangeEvent.schema), 0L)
+      lake.compact(spark)
+      val after = scrape()
+      assert(after.contains("graft_lake_batches_total 1"))
+      assert(after.contains("graft_lake_last_batch_id 0"))
+      assert(after.contains("graft_lake_watermark 0"))
+      assert(after.contains("# TYPE graft_lake_batches_total counter"))
+    } finally {
+      server.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
