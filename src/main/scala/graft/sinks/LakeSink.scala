@@ -233,6 +233,28 @@ final class LakeSink(root: String) extends Serializable {
     }
   }
 
+  /** Retry-aware `snapshotSink` closure for
+    * `GraftConnector.start(snapshotSink = lake.connectorSnapshotSink(...))`:
+    * lands every table of each export attempt in the negative-id space;
+    * seeing `firstTable` again means a FRESH export attempt (the
+    * orchestrator's snapshot-invalidation retry restarts delivery from the
+    * first configured table), so the previous attempt's batches clear
+    * before the new image lands. Snapshot rows are stamped at LSN 0 —
+    * strictly below every stream event, which is all the fold's ordering
+    * needs (the stream starts at the handoff LSN, always > 0).
+    */
+  def connectorSnapshotSink(
+      spark: SparkSession,
+      firstTable: String,
+      keyColsOf: String => Seq[String]): (String, DataFrame) => Unit = {
+    var snapId = 0L
+    (table, frame) => {
+      if (table == firstTable) { clearSnapshot(spark); snapId = 0L }
+      snapId -= 1
+      appendSnapshot(table, frame, keyColsOf(table), 0L, snapId)
+    }
+  }
+
   /** Persist relation schemas next to the log (one row per column,
     * latest-wins overwrite — the same replacement semantics as the live
     * registry), so BATCH consumers can type the text-map images without a

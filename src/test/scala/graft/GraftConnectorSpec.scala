@@ -300,4 +300,67 @@ class GraftConnectorSpec extends AnyFunSuite {
       assert(sinkCalls == 2, "resnapshot re-takes the snapshot-only pass")
     } finally server.close()
   }
+
+  test("boot delivers an invalidated-then-retried snapshot into the lake without stale rows") {
+    // Same invalidation shape as the sink-re-invocation test, but delivery
+    // goes through LakeSink.connectorSnapshotSink: the winning export's
+    // image must be the ONLY thing on the lake — the aborted attempt's
+    // batches clear when the retry re-lands from the first table.
+    val invalidations = new java.util.concurrent.atomic.AtomicInteger(1)
+    val slotGen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val slotUp = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = new FakeWalsender(Seq.empty,
+      sqlResults = { sql =>
+        if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+          require(slotUp.compareAndSet(false, true), "CREATE on an existing slot")
+          Some((Seq("s", "cp", "snap", "plugin"), Seq(Seq(
+            Some("graft_slot"), Some("0/10"),
+            Some(s"lake-snap-${slotGen.incrementAndGet()}"), Some("pgoutput")))))
+        } else if (sql.startsWith("DROP_REPLICATION_SLOT")) {
+          slotUp.set(false); Some((Seq("ok"), Nil))
+        } else if (sql.startsWith("SELECT slot_name")) {
+          if (slotUp.get())
+            Some((Seq("c"), Seq(Seq(Some("graft_slot"), Some("logical"), Some("f"),
+              None, Some("0/8"), Some("0/10"), Some("reserved"), Some("0/100")))))
+          else Some((Seq("c"), Nil))
+        } else serve(sql)
+      },
+      sqlErrors = { sql =>
+        if (sql.startsWith("SELECT \"id\"") && invalidations.getAndDecrement() > 0)
+          Some(("22023", "invalid snapshot identifier: \"lake-snap-1\""))
+        else None
+      })
+    val lakeDir = java.nio.file.Files.createTempDirectory("lake-boot").toString
+    try {
+      val cfg = GraftConfig(
+        host = "127.0.0.1", port = server.port, username = "u", database = "db",
+        publication = Config("e2e_pub", Seq(PubTable("public", "users"))),
+        slotName = "graft_slot",
+        snapshot = graft.snapshot.SnapshotConfig(
+          mode = "snapshot_only", chunkSize = 3L, id = Some("graft_slot")))
+      val exec = new graft.pgproto.PgConnection(
+        "127.0.0.1", server.port, "u", "db", None).executor
+      val store = new SnapshotJobStore.InMemory
+      val lake = new graft.sinks.LakeSink(lakeDir)
+
+      GraftConnector.start(spark, cfg, store, exec, exec,
+        snapshotSink = lake.connectorSnapshotSink(spark, "public.users", _ => Seq("id")),
+        retrySleep = _ => ())
+
+      // exactly one snapshot batch set on the lake: the winning export's
+      val ids = lake.committedBatchIds(spark)
+      assert(ids.nonEmpty && ids.forall(_ < 0), s"only snapshot batches expected: $ids")
+      val state = lake.latestState(spark, "public", "users")
+      import org.apache.spark.sql.functions.{col, element_at}
+      val byId = state
+        .select(element_at(col("after"), "id").cast("long"),
+          element_at(col("after"), "name"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byId == (1 to 6).map(i => i.toLong -> s"u$i").toMap,
+        s"winning export's 6 rows, no stale attempt-1 rows: $byId")
+    } finally {
+      server.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
+    }
+  }
 }
