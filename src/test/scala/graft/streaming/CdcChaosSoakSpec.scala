@@ -228,6 +228,12 @@ class CdcChaosSoakSpec extends AnyFunSuite {
           s"seed=$seed: resume LSNs must never move backwards: $starts")
         // Interleaved reply-requested keepalives must have drawn standby
         // status updates through the chaos (liveness under fault load).
+        // The 'r' frame is written by the async pump after commit() records
+        // the confirmed LSN, so poll with a bounded deadline rather than
+        // racing the socket right after the final commit().
+        val statusDeadline = System.currentTimeMillis + 10000
+        while (server.statusUpdates.synchronized { server.statusUpdates.isEmpty } &&
+            System.currentTimeMillis < statusDeadline) Thread.sleep(20)
         assert(server.statusUpdates.synchronized { server.statusUpdates.nonEmpty },
           s"seed=$seed: no standby status update despite reply-requested keepalives")
       } finally {
