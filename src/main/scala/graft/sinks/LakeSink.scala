@@ -1,9 +1,10 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 
 /** CDC → data-lake parquet sink: lands the pgcdc envelope as an
   * append-only parquet CHANGELOG with exactly-once batch commits, folds it
@@ -27,19 +28,27 @@ import org.apache.spark.sql.functions._
   *    same epoch id, making replay idempotent (exactly-once commits over
   *    an at-least-once channel, same story as the reference's
   *    ack-after-apply listener).
-  *  - `_graft_commits/_watermark` — highest batch id folded into BASE by
-  *    [[compact]]; committed batches at-or-below it are BASE's content
-  *    and may be [[vacuum]]ed.
-  *  - `base/` — the folded latest-state table, partitioned by
-  *    (schema, table): one image row per live key, stamped with the
-  *    (commit_lsn, lsn) it was folded at so later events supersede it in
-  *    the same window the tail fold uses.
+  *  - `_graft_commits/_base_manifest.<v>` — the BASE pointer: one
+  *    immutable manifest file per compaction, naming the folded
+  *    watermark, the bucket count, and the data directory of every
+  *    (schema, table, bucket) slice. Written to a temp name and renamed
+  *    into place (rename-to-fresh-path is atomic), so a reader sees
+  *    either the previous manifest or the complete new one — never a
+  *    missing or half-written base.
+  *  - `_base_data/v<v>/schema=<s>/table=<t>/bucket=<b>/` — immutable
+  *    folded-state slices. BASE rows are hash-bucketed on the fold key
+  *    (`pmod(hash(k), buckets)`), so a compaction rewrites ONLY the
+  *    buckets whose keys appear in the post-watermark tail; untouched
+  *    buckets carry forward by manifest reference, byte-identical.
+  *    Superseded slices are garbage-collected one compaction later (the
+  *    previous manifest's exclusive slices are retained through one
+  *    cycle for in-flight readers).
   *
   * Single-writer per root: batch ids are the streaming query's epoch ids,
   * so one lake root belongs to one writing query (its checkpoint already
   * guarantees a single active instance). Readers and the compact/vacuum
-  * maintenance job may run concurrently with the writer — the staged
-  * base swap and the commit-log resolution keep every reader on a
+  * maintenance job may run concurrently with the writer — the immutable
+  * manifest swap and the commit-log resolution keep every reader on a
   * consistent view.
   *
   * 100-TB shape: append is a straight executor-parallel parquet write (no
@@ -47,21 +56,25 @@ import org.apache.spark.sql.functions._
   * latest-state fold shuffles once on the replica-identity key; with
   * periodic [[compact]] runs the fold input is BASE (pre-folded, one row
   * per key) plus the post-watermark tail — bounded by churn since the last
-  * compaction, not by stream lifetime. Readers never list more than the
-  * commit-log directory (one small file per batch, vacuumed with its
-  * batch).
+  * compaction, not by stream lifetime. Compaction cost is churn-
+  * proportional too: a 10 TB table with one updated row rewrites one
+  * bucket (~1/buckets of the table), not the table. Readers never list
+  * more than the commit-log directory (one small file per batch, vacuumed
+  * with its batch).
   */
-final class LakeSink(root: String) extends Serializable {
+final class LakeSink(root: String, baseBuckets: Int = 16) extends Serializable {
 
   import LakeSink._
+
+  require(baseBuckets > 0, s"baseBuckets must be positive, got $baseBuckets")
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def commitDir = new Path(root, "_graft_commits")
   private def changelogDir = new Path(root, "changelog")
-  private def baseDir = new Path(root, "base")
-  private def watermarkFile = new Path(commitDir, "_watermark")
+  private def baseDataDir = new Path(root, "_base_data")
+  private def vacuumedFile = new Path(commitDir, "_vacuumed")
 
   /** `writeStream.foreachBatch(sink.appendBatch _)` target: land one
     * micro-batch of the envelope, exactly once. A replayed batch id whose
@@ -94,15 +107,19 @@ final class LakeSink(root: String) extends Serializable {
   /** Highest batch id folded into BASE (Long.MinValue before the first
     * compaction — NOT -1, which is a legal snapshot batch id).
     */
-  def watermark(spark: SparkSession): Long = {
-    val f = fs(spark)
-    if (!f.exists(watermarkFile)) Long.MinValue
-    else {
-      val in = f.open(watermarkFile)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+  def watermark(spark: SparkSession): Long =
+    readManifest(fs(spark)).map(_.watermark).getOrElse(Long.MinValue)
+
+  /** Current BASE manifest version (0 before the first compaction). */
+  def baseVersion(spark: SparkSession): Long =
+    readManifest(fs(spark)).map(_.version).getOrElse(0L)
+
+  /** Current BASE slice map: (schema, table, bucket) → data directory
+    * path relative to the lake root. Introspection for operators and the
+    * churn-proportionality specs; the paths are immutable once published.
+    */
+  def baseEntries(spark: SparkSession): Map[(String, String, Int), String] =
+    readManifest(fs(spark)).map(_.entries).getOrElse(Map.empty)
 
   /** The committed changelog (optionally only batches AFTER `fromBatch`).
     * Uncommitted / half-written batch directories are filtered out by the
@@ -119,45 +136,32 @@ final class LakeSink(root: String) extends Serializable {
         .parquet(ids.map(i => new Path(changelogDir, s"batch_id=$i").toString): _*)
   }
 
-  /** Latest state per replica-identity key for one table: BASE (if any)
-    * unioned with the post-watermark tail, truncate-aware, folded to the
-    * winning image per key. Returns the envelope image columns
-    * (`key`, `after`, `commit_lsn`, `lsn`) — project through
-    * [[graft.types.PgTypes.typedColumns]] for a typed frame.
-    *
-    * Keyless rows (REPLICA IDENTITY NOTHING relations ship `key_names`
-    * null) get a synthetic per-row key from their WAL position, so an
+  /** Envelope rows keyed for the fold: (schema, table, op, commit_lsn,
+    * lsn, k, after). Keyless rows (REPLICA IDENTITY NOTHING relations ship
+    * `key_names` null — and a defensive empty array is treated the same)
+    * get a synthetic per-row key from their WAL position, so an
     * append-only table folds to ALL its rows — its actual latest state —
-    * instead of every row silently collapsing into one null-key group.
+    * instead of every row silently collapsing into one key.
     */
-  def latestState(spark: SparkSession, schemaName: String, table: String): DataFrame = {
-    val f = fs(spark)
-    val tail = changelog(spark, watermark(spark))
-      .filter(col("schema") === schemaName && col("table") === table)
-      .filter(col("op").isin("insert", "update", "delete", "truncate"))
+  private def keyedEvents(df: DataFrame): DataFrame =
+    df.filter(col("op").isin("insert", "update", "delete", "truncate"))
       .withColumn("img",
         when(col("op") === "delete", col("before")).otherwise(col("after")))
-      .select(col("op"), col("commit_lsn"), col("lsn"),
+      .select(col("schema"), col("table"), col("op"),
+        col("commit_lsn"), col("lsn"),
         coalesce(
-          array_join(transform(col("key_names"),
-            k => coalesce(element_at(col("img"), k), lit(""))), LakeSink.KeySep),
-          concat(lit("wal" + LakeSink.KeySep), col("commit_lsn"), lit("/"), col("lsn"))).as("k"),
+          when(size(col("key_names")) > 0,
+            array_join(transform(col("key_names"),
+              k => coalesce(element_at(col("img"), k), lit(""))), KeySep)),
+          concat(lit("wal" + KeySep), col("commit_lsn"), lit("/"), col("lsn"))).as("k"),
         col("after"))
-    val tablePath = new Path(baseDir, s"schema=$schemaName/table=$table")
-    val base =
-      if (!f.exists(tablePath)) None
-      else Some(spark.read.parquet(tablePath.toString)
-        .select(lit("insert").as("op"), col("commit_lsn"), col("lsn"),
-          col("k"), col("after")))
-    val all = base.map(_.unionByName(tail)).getOrElse(tail)
 
-    // A truncate supersedes everything at-or-before it in commit order
-    // (one-row scalar aggregate, same bounded pull as PgApplySink).
-    val trunc = all.filter(col("op") === "truncate")
-      .agg(max(struct(col("commit_lsn"), col("lsn")))).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else
-        Some((r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))))
-    val live = trunc match {
+  /** Fold keyed rows (op, commit_lsn, lsn, k, after) to the winning image
+    * per key. `truncAt` — the position of the latest truncate, if any —
+    * supersedes every row at-or-before it in commit order.
+    */
+  private def foldImages(all: DataFrame, truncAt: Option[(Long, Long)]): DataFrame = {
+    val live = truncAt match {
       case Some((cl, l)) =>
         all.filter(struct(col("commit_lsn"), col("lsn")) >
           struct(lit(cl), lit(l)))
@@ -169,6 +173,49 @@ final class LakeSink(root: String) extends Serializable {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "delete")
       .select(col("k"), col("after"), col("commit_lsn"), col("lsn"))
+  }
+
+  /** Position of the latest truncate in `keyed`, if any (one-row scalar
+    * aggregate, same bounded pull as PgApplySink).
+    */
+  private def maxTruncate(keyed: DataFrame): Option[(Long, Long)] =
+    keyed.filter(col("op") === "truncate")
+      .agg(max(struct(col("commit_lsn"), col("lsn")))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else
+        Some((r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))))
+
+  /** BASE slices of one table as fold input, per the current manifest. */
+  private def baseFor(
+      spark: SparkSession, m: Option[Manifest],
+      schemaName: String, table: String): Option[DataFrame] = {
+    val dirs = m.toSeq.flatMap(_.entries.collect {
+      case ((s, t, _), rel) if s == schemaName && t == table =>
+        new Path(root, rel).toString
+    })
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(ImageSchema).parquet(dirs: _*)
+      .select(lit("insert").as("op"), col("commit_lsn"), col("lsn"),
+        col("k"), col("after")))
+  }
+
+  /** Latest state per replica-identity key for one table: BASE (if any)
+    * unioned with the post-watermark tail, truncate-aware, folded to the
+    * winning image per key. Returns the envelope image columns
+    * (`key`, `after`, `commit_lsn`, `lsn`) — project through
+    * [[graft.types.PgTypes.typedColumns]] for a typed frame.
+    */
+  def latestState(spark: SparkSession, schemaName: String, table: String): DataFrame = {
+    val m = readManifest(fs(spark))
+    val wm = m.map(_.watermark).getOrElse(Long.MinValue)
+    val tail = keyedEvents(changelog(spark, wm)
+        .filter(col("schema") === schemaName && col("table") === table))
+      .drop("schema", "table")
+    // BASE holds no truncate rows (they fold away), so the tail alone
+    // determines the supersession point.
+    val truncAt = maxTruncate(tail)
+    val all = baseFor(spark, m, schemaName, table)
+      .map(_.unionByName(tail)).getOrElse(tail)
+    foldImages(all, truncAt)
   }
 
   /** Land one table's initial-snapshot frame as envelope rows, so the lake
@@ -183,6 +230,13 @@ final class LakeSink(root: String) extends Serializable {
     * Typed values render to the text forms the CDC envelope carries
     * (booleans as t/f — key equality across snapshot and stream rows is
     * what the fold depends on).
+    *
+    * Keyless tables (REPLICA IDENTITY NOTHING; `keyNames` empty) ship
+    * `key_names` null and a UNIQUE per-row `lsn` (consistent-point base +
+    * a per-row offset), so the fold's synthetic WAL-position key keeps
+    * every snapshot row — the same append-only semantics keyless CDC rows
+    * get. The `commit_lsn` stays at the consistent point, which alone
+    * decides ordering against stream events and truncates.
     */
   def appendSnapshot(
       table: String, frame: DataFrame,
@@ -198,12 +252,17 @@ final class LakeSink(root: String) extends Serializable {
       }
       struct(lit(f.name), s)
     }
+    val keyless = keyNames.isEmpty
+    val keyNamesCol: Column =
+      if (keyless) lit(null).cast("array<string>") else typedLit(keyNames)
+    val lsnCol: Column =
+      if (keyless) lit(lsn) + monotonically_increasing_id() else lit(lsn)
     val envelope = frame.select(
-      lit(lsn).as("lsn"), lit(lsn).as("commit_lsn"), lit(0L).as("xid"),
+      lsnCol.as("lsn"), lit(lsn).as("commit_lsn"), lit(0L).as("xid"),
       lit("insert").as("op"), lit(sch).as("schema"), lit(tbl).as("table"),
       timestamp_micros(lit(0L)).as("message_time"),
       timestamp_micros(lit(0L)).as("commit_time"),
-      typedLit(keyNames).as("key_names"),
+      keyNamesCol.as("key_names"),
       lit(null).cast("map<string,string>").as("before"),
       map_from_entries(array(textCols: _*)).as("after"))
     appendBatch(envelope, batchId)
@@ -306,35 +365,99 @@ final class LakeSink(root: String) extends Serializable {
         col("commit_lsn") :+ col("lsn"): _*)
   }
 
-  /** Fold every committed batch into BASE and advance the watermark. The
-    * new BASE is written to a staging dir and swapped in with two renames,
-    * so a concurrent reader sees either the old or the new BASE (plus a
-    * tail that covers the difference — the fold is idempotent under that
-    * overlap because newer (commit_lsn, lsn) always wins).
+  /** Fold the committed post-watermark tail into BASE and advance the
+    * watermark — CHURN-PROPORTIONALLY. Only buckets whose keys appear in
+    * the tail are re-folded and rewritten (a truncate touches all of its
+    * table's buckets); every other slice carries into the new manifest by
+    * reference, its files untouched. The new manifest is published with
+    * one atomic rename, so a concurrent reader sees either the old or the
+    * new BASE in full (plus a tail that covers the difference — the fold
+    * is idempotent under that overlap because newer (commit_lsn, lsn)
+    * always wins). Slices superseded by THIS compaction are retained
+    * until the NEXT one (in-flight readers of the previous manifest),
+    * then garbage-collected.
+    *
+    * Planning collects are bounded: one (tables × buckets)-row touched-
+    * bucket summary, plus per-table output-directory listings.
     */
   def compact(spark: SparkSession): Unit = {
+    val f = fs(spark)
     val ids = committedBatchIds(spark)
     if (ids.isEmpty) return
+    val m = readManifest(f)
+    val wm = m.map(_.watermark).getOrElse(Long.MinValue)
     val hi = ids.max
-    val tables = changelog(spark)
-      .select("schema", "table").distinct().collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val staging = new Path(root, "_base_staging")
-    val f = fs(spark)
-    f.delete(staging, true)
-    tables.foreach { case (sch, tbl) =>
-      latestState(spark, sch, tbl)
-        .write.mode("overwrite")
-        .parquet(new Path(staging, s"schema=$sch/table=$tbl").toString)
+    if (hi <= wm) return
+    val n = m.map(_.buckets).getOrElse(baseBuckets)
+    val newV = m.map(_.version + 1).getOrElse(1L)
+    val oldEntries = m.map(_.entries).getOrElse(Map.empty[(String, String, Int), String])
+
+    val tail = keyedEvents(changelog(spark, wm))
+    // Touched buckets + truncate position per table: ≤ tables × (buckets+2)
+    // cells — planning-scale, bounded by the schema, not the data.
+    val perTable = tail.groupBy(col("schema"), col("table"))
+      .agg(
+        collect_set(when(col("op") =!= "truncate",
+          pmod(hash(col("k")), lit(n)))).as("bks"),
+        max(col("op") === "truncate").as("has_trunc"),
+        max(when(col("op") === "truncate",
+          struct(col("commit_lsn"), col("lsn")))).as("trunc_at"))
+      .collect()
+
+    var entries = oldEntries
+    perTable.foreach { r =>
+      val (sch, tbl) = (r.getString(0), r.getString(1))
+      val hasTrunc = r.getBoolean(3)
+      val touched: Set[Int] =
+        if (hasTrunc) (0 until n).toSet
+        else r.getSeq[Int](2).toSet
+      val truncAt =
+        if (r.isNullAt(4)) None
+        else Some((r.getStruct(4).getLong(0), r.getStruct(4).getLong(1)))
+      val oldForTable = oldEntries.collect {
+        case ((s, t, b), rel) if s == sch && t == tbl => b -> rel
+      }
+      val baseDirs = touched.toSeq.sorted.flatMap(oldForTable.get)
+        .map(rel => new Path(root, rel).toString)
+      val base =
+        if (baseDirs.isEmpty) None
+        else Some(spark.read.schema(ImageSchema).parquet(baseDirs: _*)
+          .select(lit("insert").as("op"), col("commit_lsn"), col("lsn"),
+            col("k"), col("after")))
+      val tailT = tail
+        .filter(col("schema") === sch && col("table") === tbl &&
+          col("op") =!= "truncate")
+        .filter(pmod(hash(col("k")), lit(n)).isin(touched.toSeq: _*))
+        .select("op", "commit_lsn", "lsn", "k", "after")
+      val all = base.map(_.unionByName(tailT)).getOrElse(tailT)
+      val outDir = new Path(baseDataDir, s"v$newV/schema=$sch/table=$tbl")
+      f.delete(outDir, true) // leftovers of a crashed prior attempt at this version
+      foldImages(all, truncAt)
+        .withColumn("bucket", pmod(hash(col("k")), lit(n)))
+        .write.partitionBy("bucket")
+        .parquet(outDir.toString)
+      // Buckets that folded to empty write no files — they drop out of the
+      // manifest entirely (a missing slice reads as an empty slice).
+      val written: Set[Int] =
+        if (!f.exists(outDir)) Set.empty
+        else f.listStatus(outDir).toSeq.filter(_.isDirectory)
+          .flatMap(st => st.getPath.getName.stripPrefix("bucket=").toIntOption)
+          .toSet
+      entries = entries.filterNot { case ((s, t, b), _) =>
+        s == sch && t == tbl && touched.contains(b)
+      } ++ written.map(b =>
+        (sch, tbl, b) -> s"_base_data/v$newV/schema=$sch/table=$tbl/bucket=$b")
     }
-    val old = new Path(root, "_base_old")
-    f.delete(old, true)
-    if (f.exists(baseDir)) f.rename(baseDir, old)
-    f.rename(staging, baseDir)
-    f.delete(old, true)
-    val out = f.create(watermarkFile, true)
-    try out.write(hi.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+
+    val newManifest = Manifest(newV, hi, n, entries)
+    writeManifest(f, newManifest)
+    // GC: keep the new manifest and its predecessor (in-flight readers of
+    // the old manifest may still be scanning its exclusive slices); drop
+    // everything older, and every data slice neither manifest references.
+    val keepRefs = newManifest.entries.values.toSet ++
+      m.map(_.entries.values.toSet).getOrElse(Set.empty)
+    val keepVersions = Set(newV) ++ m.map(_.version).toSet
+    gcBase(f, keepRefs, keepVersions)
   }
 
   /** Incremental changelog consumption with a durable named cursor — the
@@ -346,22 +469,18 @@ final class LakeSink(root: String) extends Serializable {
     * same span (at-least-once; pair with an idempotent consumer for
     * exactly-once, the same contract foreachBatch gives the sink side).
     *
-    * Vacuum safety: a consumer whose cursor falls below the compaction
-    * watermark has MISSED vacuumed batches — that is detected and thrown
-    * (the consumer must re-bootstrap from [[latestState]]), never silently
-    * skipped. Run [[vacuum]] on the producer side only after every
-    * registered consumer's cursor has passed the watermark.
+    * Vacuum safety: a consumer whose cursor lies below a batch id that
+    * [[vacuum]] actually deleted has MISSED data — that is detected and
+    * thrown (the consumer must re-bootstrap from [[latestState]]), never
+    * silently skipped. Compaction alone never trips it: until vacuum
+    * runs, the full changelog is still present and a new consumer may
+    * legitimately read all of it. Run [[vacuum]] on the producer side
+    * only after every registered consumer's cursor has passed the
+    * watermark.
     */
-  def cursor(spark: SparkSession, name: String): Long = {
-    val f = fs(spark)
-    val p = new Path(new Path(root, "_graft_cursors"), name)
-    if (!f.exists(p)) Long.MinValue
-    else {
-      val in = f.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+  def cursor(spark: SparkSession, name: String): Long =
+    readLongFile(fs(spark), new Path(new Path(root, "_graft_cursors"), name),
+      Long.MinValue)
 
   /** Deliver all committed batches past `name`'s cursor to `fn`, then
     * advance the cursor. Returns the number of NEW batches delivered
@@ -369,48 +488,184 @@ final class LakeSink(root: String) extends Serializable {
     */
   def poll(spark: SparkSession, name: String)(fn: DataFrame => Unit): Int = {
     val from = cursor(spark, name)
-    val wm = watermark(spark)
-    if (from < wm && committedBatchIds(spark).headOption.forall(_ > from))
+    val vh = vacuumHighWater(spark)
+    if (from < vh)
       throw new IllegalStateException(
-        s"lake consumer '$name' cursor $from is below the compaction watermark $wm " +
-          "and the batches in between were vacuumed — re-bootstrap from latestState")
+        s"lake consumer '$name' cursor $from is below the vacuum high-water " +
+          s"mark $vh — the batches in between were deleted; re-bootstrap " +
+          "from latestState")
     val ids = committedBatchIds(spark).filter(_ > from)
     if (ids.isEmpty) return 0
     fn(changelog(spark, from))
     val f = fs(spark)
     f.mkdirs(new Path(root, "_graft_cursors"))
-    val out = f.create(new Path(new Path(root, "_graft_cursors"), name), true)
-    try out.write(ids.max.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeLongAtomic(f, new Path(new Path(root, "_graft_cursors"), name), ids.max)
     ids.size
   }
+
+  /** Highest batch id [[vacuum]] has ever deleted (Long.MinValue if none —
+    * compaction alone leaves the changelog intact and moves this nowhere).
+    */
+  def vacuumHighWater(spark: SparkSession): Long =
+    readLongFile(fs(spark), vacuumedFile, Long.MinValue)
 
   /** Scrapeable gauges for [[graft.streaming.GraftMetricsServer]]'s
     * `graft_lake_*` family: wire `lakeGauges = Some(() =>
     * lake.gauges(spark))`. One commit-log listing per scrape — driver-side
-    * metadata only.
+    * metadata only. Batch counts are CURRENT-STATE gauges (they shrink on
+    * vacuum/clearSnapshot), deliberately not `_total`-suffixed so the
+    * server renders them as gauges — a shrinking counter would corrupt
+    * `rate()`/`increase()`.
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
     val ids = committedBatchIds(spark)
     val wm = watermark(spark)
     Seq(
-      "batches_total" -> ids.size.toDouble,
+      "committed_batches" -> ids.size.toDouble,
       "snapshot_batches" -> ids.count(_ < 0).toDouble,
       "last_batch_id" -> ids.filter(_ >= 0).lastOption.getOrElse(-1L).toDouble,
+      "base_version" -> baseVersion(spark).toDouble,
       "watermark" -> (if (wm == Long.MinValue) -1.0 else wm.toDouble))
   }
 
   /** Drop changelog batches already folded into BASE (id ≤ watermark),
-    * markers included. Safe any time after [[compact]]: readers resolve
-    * state as BASE + post-watermark tail and never look below it.
+    * markers included, and advance the vacuum high-water mark. Safe any
+    * time after [[compact]]: readers resolve state as BASE +
+    * post-watermark tail and never look below it.
     */
   def vacuum(spark: SparkSession): Unit = {
     val wm = watermark(spark)
     val f = fs(spark)
-    committedBatchIds(spark).filter(_ <= wm).foreach { id =>
+    val dropped = committedBatchIds(spark).filter(_ <= wm)
+    dropped.foreach { id =>
       f.delete(new Path(changelogDir, s"batch_id=$id"), true)
       f.delete(new Path(commitDir, id.toString), false)
     }
+    if (dropped.nonEmpty) {
+      val newHigh = math.max(dropped.max, vacuumHighWater(spark))
+      writeLongAtomic(f, vacuumedFile, newHigh)
+    }
+  }
+
+  // ---- manifest + atomic small-file plumbing ------------------------------
+
+  private def manifestVersionOf(name: String): Option[Long] =
+    if (name.startsWith(ManifestPrefix) && !name.endsWith(".tmp"))
+      name.stripPrefix(ManifestPrefix).toLongOption
+    else None
+
+  /** Newest committed manifest, if any compaction has published one. */
+  private def readManifest(f: FileSystem): Option[Manifest] = {
+    if (!f.exists(commitDir)) return None
+    val versions = f.listStatus(commitDir).toSeq
+      .flatMap(st => manifestVersionOf(st.getPath.getName))
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = f.open(new Path(commitDir, ManifestPrefix + v))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val Array(wm, n) = lines.head.split("\t")
+    val entries = lines.tail.map { l =>
+      val Array(s, t, b, rel) = l.split("\t", 4)
+      (s, t, b.toInt) -> rel
+    }.toMap
+    Some(Manifest(v, wm.toLong, n.toInt, entries))
+  }
+
+  /** Publish a manifest: full content to a temp name, then one rename to
+    * the (fresh) versioned name — atomic on every Hadoop filesystem, so a
+    * reader never observes a partial manifest.
+    */
+  private def writeManifest(f: FileSystem, m: Manifest): Unit = {
+    f.mkdirs(commitDir)
+    val dst = new Path(commitDir, ManifestPrefix + m.version)
+    val tmp = new Path(commitDir, ManifestPrefix + m.version + ".tmp")
+    val sb = new StringBuilder
+    sb.append(m.watermark).append('\t').append(m.buckets).append('\n')
+    m.entries.toSeq.sortBy { case ((s, t, b), _) => (s, t, b) }
+      .foreach { case ((s, t, b), rel) =>
+        sb.append(s).append('\t').append(t).append('\t')
+          .append(b).append('\t').append(rel).append('\n')
+      }
+    val out = f.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false) // crashed prior attempt at this version
+    f.rename(tmp, dst)
+  }
+
+  /** Delete superseded manifests and every base slice neither kept
+    * manifest references (including crashed-compaction orphans).
+    */
+  private def gcBase(f: FileSystem, keepRefs: Set[String], keepVersions: Set[Long]): Unit = {
+    f.listStatus(commitDir).foreach { st =>
+      val name = st.getPath.getName
+      manifestVersionOf(name).foreach { v =>
+        if (!keepVersions.contains(v)) f.delete(st.getPath, false)
+      }
+      if (name.startsWith(ManifestPrefix) && name.endsWith(".tmp"))
+        f.delete(st.getPath, false)
+    }
+    if (!f.exists(baseDataDir)) return
+    val slices = f.globStatus(
+      new Path(baseDataDir, "v*/schema=*/table=*/bucket=*"))
+    val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    slices.foreach { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (!keepRefs.contains(rel)) f.delete(st.getPath, true)
+    }
+    // prune version/table/schema dirs emptied by slice deletion
+    f.listStatus(baseDataDir).filter(_.isDirectory).foreach { vd =>
+      def pruneEmpty(p: Path): Boolean = {
+        val kids = f.listStatus(p)
+        val emptyKids = kids.filter(_.isDirectory).filter(k => pruneEmpty(k.getPath))
+        if (kids.length == emptyKids.length) { f.delete(p, true); true } else false
+      }
+      pruneEmpty(vd.getPath)
+    }
+  }
+
+  /** Atomic overwrite of a small long-valued file: temp + rename (the
+    * delete-before-rename window is covered on the read side, which
+    * retries while the temp file exists).
+    */
+  private def writeLongAtomic(f: FileSystem, p: Path, v: Long): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  /** Read a small long-valued file written by [[writeLongAtomic]].
+    * Tolerates a concurrent swap: an absent file with its temp sibling
+    * present, or an empty/half read, retries briefly before giving up.
+    */
+  private def readLongFile(f: FileSystem, p: Path, default: Long): Long = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    var attempt = 0
+    while (true) {
+      if (!f.exists(p)) {
+        if (!f.exists(tmp) || attempt >= 10) return default
+      } else {
+        val in = f.open(p)
+        val s =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        s.toLongOption match {
+          case Some(v) => return v
+          case None if attempt >= 10 =>
+            throw new IllegalStateException(s"unreadable lake state file $p: '$s'")
+          case None => // mid-write; retry
+        }
+      }
+      attempt += 1
+      Thread.sleep(10)
+    }
+    default // unreachable
   }
 }
 
@@ -419,4 +674,22 @@ object LakeSink {
     * text-format values of key types) into one shuffle-friendly string.
     */
   private[sinks] val KeySep = "\u0000"
+
+  private[sinks] val ManifestPrefix = "_base_manifest."
+
+  /** The BASE pointer: folded watermark, bucket count, and the slice map
+    * (schema, table, bucket) → data dir relative to the lake root.
+    */
+  private[sinks] final case class Manifest(
+      version: Long, watermark: Long, buckets: Int,
+      entries: Map[(String, String, Int), String])
+
+  /** Folded-image slice schema — read with it explicitly so empty slices
+    * and empty folds never trip schema inference.
+    */
+  private[sinks] val ImageSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("after", MapType(StringType, StringType)),
+    StructField("commit_lsn", LongType),
+    StructField("lsn", LongType)))
 }

@@ -108,7 +108,9 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(stateMap(sink) == before, "fold over base must equal fold over log")
       sink.vacuum(spark)
       assert(sink.committedBatchIds(spark).isEmpty, "folded batches vacuumed")
-      assert(new java.io.File(s"$dir/base/schema=public/table=users").exists())
+      assert(sink.baseEntries(spark).keys.exists {
+        case (s, t, _) => s == "public" && t == "users" })
+      assert(new java.io.File(s"$dir/_base_data/v1/schema=public/table=users").exists())
       assert(stateMap(sink) == before, "state survives vacuum via base")
       // post-compaction tail supersedes base rows and a replayed OLD batch id
       // (below the watermark) must still be a no-op after vacuum
@@ -302,6 +304,116 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(sink.latestState(spark, "public", "log").count() == 2)
       sink.compact(spark); sink.vacuum(spark)
       assert(sink.latestState(spark, "public", "log").count() == 2)
+    }
+  }
+
+  test("compact is churn-proportional: untouched buckets carry forward byte-identical") {
+    val dir = Files.createTempDirectory("lake-sink").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 8)
+      // spread keys across buckets, fold them into base v1
+      sink.appendBatch(envelope((1 to 64).map(i =>
+        ev(i, "insert", "users", null, Map("id" -> i.toString, "name" -> s"n$i")))), 0L)
+      sink.compact(spark)
+      assert(sink.baseVersion(spark) == 1L)
+      val v1 = sink.baseEntries(spark)
+      assert(v1.nonEmpty && v1.keys.forall(_._3 < 8))
+      def fileStamps(rel: String): Map[String, Long] = {
+        val d = new java.io.File(dir, rel)
+        d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      }
+      val stampsBefore = v1.map { case (k, rel) => k -> fileStamps(rel) }
+      // touch exactly one key → exactly one bucket is dirty
+      sink.appendBatch(envelope(Seq(
+        ev(100, "update", "users", null, Map("id" -> "1", "name" -> "n1x")))), 1L)
+      val dirtyBucket = spark.range(1)
+        .select(pmod(hash(lit("1")), lit(8))).collect().head.getInt(0)
+      sink.compact(spark)
+      val v2 = sink.baseEntries(spark)
+      assert(sink.baseVersion(spark) == 2L)
+      // the dirty bucket moved to a v2 slice; every other slice is the SAME
+      // path with the SAME untouched files
+      assert(v2((("public"), "users", dirtyBucket)) !=
+        v1(("public", "users", dirtyBucket)))
+      assert(v2(("public", "users", dirtyBucket)).contains("/v2/"))
+      v1.foreach { case (k @ (_, _, b), rel) =>
+        if (b != dirtyBucket) {
+          assert(v2(k) == rel, s"clean bucket $b was rewritten")
+          assert(fileStamps(rel) == stampsBefore(k),
+            s"clean bucket $b files changed on disk")
+        }
+      }
+      // fold is still correct across the carried-forward + rewritten slices
+      val state = sink.latestState(spark, "public", "users")
+        .select(col("k"), element_at(col("after"), "name")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(state.size == 64 && state("1") == "n1x" && state("2") == "n2")
+      // superseded v1 slice of the dirty bucket survives ONE cycle for
+      // in-flight readers, then GCs on the next compact
+      assert(new java.io.File(dir, v1(("public", "users", dirtyBucket))).exists())
+      sink.appendBatch(envelope(Seq(
+        ev(101, "update", "users", null, Map("id" -> "2", "name" -> "n2x")))), 2L)
+      sink.compact(spark)
+      assert(!new java.io.File(dir, v1(("public", "users", dirtyBucket))).exists(),
+        "v1 slice superseded two compactions ago must be garbage-collected")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("truncate in the tail dirties all of its table's buckets and wipes base state") {
+    val dir = Files.createTempDirectory("lake-sink").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      sink.appendBatch(envelope((1 to 16).map(i =>
+        ev(i, "insert", "users", null, Map("id" -> i.toString, "name" -> s"n$i")))), 0L)
+      sink.compact(spark)
+      sink.appendBatch(envelope(Seq(
+        ev(100, "truncate", "users", null, null),
+        ev(101, "insert", "users", null, Map("id" -> "7", "name" -> "only")))), 1L)
+      sink.compact(spark); sink.vacuum(spark)
+      val state = sink.latestState(spark, "public", "users")
+        .select(element_at(col("after"), "name")).collect().map(_.getString(0)).toSeq
+      assert(state == Seq("only"), s"truncate must wipe compacted base state: $state")
+      // every surviving slice is post-truncate: only one bucket has rows
+      assert(sink.baseEntries(spark).count { case ((_, t, _), _) => t == "users" } == 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("keyless snapshot folds append-only (one row per snapshot row, not one key)") {
+    import spark.implicits._
+    withSink { (sink, _) =>
+      // REPLICA IDENTITY NOTHING table: no key columns at all
+      val snap = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("msg", "n")
+      sink.appendSnapshot("public.log", snap, Seq.empty, 0L, -1L)
+      assert(sink.latestState(spark, "public", "log").count() == 3,
+        "every keyless snapshot row is its own key — even identical images")
+      // keyless CDC rows after the handoff append alongside, never collide
+      sink.appendBatch(envelope(Seq(
+        Row(50L, 50L, 7L, "insert", "public", "log", T, T, null,
+          null, Map("msg" -> "c", "n" -> "3")))), 0L)
+      assert(sink.latestState(spark, "public", "log").count() == 4)
+      sink.compact(spark); sink.vacuum(spark)
+      assert(sink.latestState(spark, "public", "log").count() == 4)
+    }
+  }
+
+  test("a new consumer may read the full changelog after compact alone; vacuum gates it") {
+    withSink { (sink, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      sink.compact(spark) // NO vacuum: the full changelog is still on disk
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 1L)
+      var n = 0L
+      assert(sink.poll(spark, "fresh")(df => n = df.count()) == 2,
+        "compaction alone must not refuse a brand-new consumer the history")
+      assert(n == 2)
+      // after vacuum actually deletes batches, a new consumer is refused
+      sink.vacuum(spark) // watermark is 0 → only batch 0 is deleted
+      assert(sink.vacuumHighWater(spark) == 0L)
+      val e = intercept[IllegalStateException](sink.poll(spark, "late")(_ => ()))
+      assert(e.getMessage.contains("re-bootstrap"))
+      // the already-caught-up consumer keeps polling fine
+      assert(sink.poll(spark, "fresh")(_ => ()) == 0)
     }
   }
 

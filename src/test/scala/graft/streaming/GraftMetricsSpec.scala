@@ -283,7 +283,7 @@ class GraftMetricsSpec extends AnyFunSuite {
     }
     try {
       val idle = scrape()
-      assert(idle.contains("graft_lake_batches_total 0"))
+      assert(idle.contains("graft_lake_committed_batches 0"))
       assert(idle.contains("graft_lake_watermark -1"))
       val rows = Seq(Row(1L, 1L, 7L, "insert", "public", "t",
         new java.sql.Timestamp(0L), new java.sql.Timestamp(0L),
@@ -294,10 +294,12 @@ class GraftMetricsSpec extends AnyFunSuite {
         graft.cdc.ChangeEvent.schema), 0L)
       lake.compact(spark)
       val after = scrape()
-      assert(after.contains("graft_lake_batches_total 1"))
+      assert(after.contains("graft_lake_committed_batches 1"))
       assert(after.contains("graft_lake_last_batch_id 0"))
       assert(after.contains("graft_lake_watermark 0"))
-      assert(after.contains("# TYPE graft_lake_batches_total counter"))
+      // current-state counts shrink on vacuum, so they must render as
+      // gauges — a _total-suffixed shrinking counter corrupts rate()
+      assert(after.contains("# TYPE graft_lake_committed_batches gauge"))
     } finally {
       server.close()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
