@@ -1,0 +1,166 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Seeded chaos soak of the lake sink's crash windows: a random op mix of
+  * appends, stale replays, half-written batches (crash between parquet
+  * write and marker), crashed-compaction leftovers (orphan version dirs,
+  * torn manifest temp files, torn cursor temp files), compact, vacuum —
+  * with a named-cursor consumer polling throughout and the fold checked
+  * against a sequential in-memory replay oracle after every maintenance
+  * op. Invariants:
+  *
+  *  - the consumer sees every committed batch EXACTLY once, in id order,
+  *    and never sees an uncommitted (markerless) batch;
+  *  - latestState always equals the oracle fold of exactly the committed
+  *    events — half-written and stale-replayed content is invisible;
+  *  - compact/vacuum/GC never break either invariant, no matter what
+  *    crash debris the op mix left on disk.
+  */
+class LakeChaosSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private def ev(lsn: Long, op: String, key: String, v: String): Row =
+    Row(lsn, lsn, 7L, op, "public", "t", T, T, Seq("id"),
+      if (op == "delete") Map("id" -> key, "v" -> null) else null,
+      if (op == "delete") null else Map("id" -> key, "v" -> v))
+
+  for (seed <- Seq(0xBEEFL, 20260814L, 777L))
+    test(s"chaos soak seed=$seed: crash debris never double-delivers or corrupts the fold") {
+      val rnd = new Random(seed)
+      val dir = Files.createTempDirectory("lake-chaos").toString
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      try {
+        var lsn = 100L
+        var nextId = 0L
+        // sequential replay oracle: committed events in commit order
+        val oracle = mutable.LinkedHashMap.empty[String, String]
+        val delivered = mutable.ArrayBuffer.empty[Long]
+        val committed = mutable.ArrayBuffer.empty[Long]
+        var pendingHalf: Option[(Long, Seq[Row])] = None
+
+        def randomRows(): Seq[Row] = (0 until (1 + rnd.nextInt(5))).map { _ =>
+          lsn += 1 + rnd.nextInt(3)
+          val key = (1 + rnd.nextInt(12)).toString
+          rnd.nextInt(10) match {
+            case 0 => ev(lsn, "delete", key, null)
+            case _ => ev(lsn, if (rnd.nextBoolean()) "insert" else "update",
+              key, s"v$lsn")
+          }
+        }
+
+        def applyToOracle(rows: Seq[Row]): Unit = rows.foreach { r =>
+          val op = r.getString(3)
+          if (op == "delete")
+            oracle.remove(r.getMap[String, String](9)("id"))
+          else {
+            val m = r.getMap[String, String](10)
+            oracle(m("id")) = m("v")
+          }
+        }
+
+        def commitBatch(id: Long, rows: Seq[Row]): Unit = {
+          sink.appendBatch(envelope(rows), id)
+          committed += id
+          applyToOracle(rows)
+        }
+
+        def drain(): Unit = {
+          sink.poll(spark, "soak") { df =>
+            val ids = df.select(col("batch_id").cast("long")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            delivered ++= ids
+          }
+          ()
+        }
+
+        def checkFold(): Unit = {
+          val got = sink.latestState(spark, "public", "t")
+            .select(col("k"), element_at(col("after"), "v"))
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          assert(got == oracle.toMap,
+            s"seed=$seed: fold diverged from the sequential oracle " +
+              s"(missing=${oracle.keySet -- got.keySet} extra=${got.keySet -- oracle.keySet})")
+        }
+
+        val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+        (0 until 60).foreach { step =>
+          rnd.nextInt(10) match {
+            case 0 | 1 | 2 | 3 => // plain committed append — epochs are
+              // SEQUENTIAL per stream: a pending half-written epoch always
+              // replays (restart) before any later epoch can run
+              pendingHalf.foreach { case (id, rows) => commitBatch(id, rows) }
+              pendingHalf = None
+              commitBatch(nextId, randomRows()); nextId += 1
+            case 4 => // stale replay of an already-committed id: must be a no-op
+              if (committed.nonEmpty) {
+                val id = committed(rnd.nextInt(committed.size))
+                sink.appendBatch(envelope(Seq(ev(1L, "insert", "99", "stale"))), id)
+              }
+            case 5 => // crash between parquet write and marker: half-written
+              // batch — a repeat crash re-tears the SAME epoch (epochs are
+              // sequential; a crashed epoch retries, it cannot be skipped)
+              val id = pendingHalf.map(_._1).getOrElse { nextId += 1; nextId - 1 }
+              val rows = randomRows()
+              envelope(rows).write.mode("overwrite")
+                .parquet(s"$dir/changelog/batch_id=$id")
+              pendingHalf = Some((id, rows))
+            case 6 => // the foreachBatch retry lands the half-written batch
+              pendingHalf.foreach { case (id, rows) => commitBatch(id, rows) }
+              pendingHalf = None
+            case 7 => // crashed compaction debris + torn small-file temps
+              val v = sink.baseVersion(spark) + 1
+              f.mkdirs(new Path(dir, s"_base_data/v$v/schema=public/table=t/bucket=0"))
+              val junk = f.create(new Path(dir,
+                s"_base_data/v$v/schema=public/table=t/bucket=0/part-junk.parquet"), true)
+              junk.write("torn".getBytes); junk.close()
+              val tmp = f.create(new Path(dir,
+                s"_graft_commits/_base_manifest.$v.tmp"), true)
+              tmp.write("torn".getBytes); tmp.close()
+              sink.compact(spark)
+              checkFold()
+            case 8 => // maintenance: compact (+ vacuum once the consumer caught up)
+              sink.compact(spark)
+              drain()
+              sink.vacuum(spark)
+              checkFold()
+            case 9 => // reader progress + fold audit
+              drain()
+              checkFold()
+          }
+        }
+        // land any dangling half-written batch, then final audit
+        pendingHalf.foreach { case (id, rows) => commitBatch(id, rows) }
+        drain()
+        checkFold()
+        assert(delivered.toSeq == delivered.toSeq.sorted,
+          s"seed=$seed: delivery must be in batch-id order")
+        assert(delivered.distinct.size == delivered.size,
+          s"seed=$seed: a batch was delivered twice: " +
+            delivered.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted)
+        assert(delivered.toSet == committed.toSet,
+          s"seed=$seed: committed and delivered diverge " +
+            s"(missing=${committed.toSet -- delivered.toSet} " +
+            s"phantom=${delivered.toSet -- committed.toSet})")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+}
