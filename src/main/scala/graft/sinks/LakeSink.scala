@@ -218,6 +218,48 @@ final class LakeSink(root: String, baseBuckets: Int = 16) extends Serializable {
     foldImages(all, truncAt)
   }
 
+  /** TIME TRAVEL: latest state per key for one table AS OF batch `asOf`
+    * (inclusive) — the table exactly as [[latestState]] would have
+    * returned it right after that batch committed. Snapshot batches
+    * (negative ids) are part of history like any other batch.
+    *
+    * Resolution: fold from the newest RETAINED manifest whose watermark is
+    * ≤ `asOf` (GC keeps the current manifest and its predecessor) plus the
+    * changelog batches in `(watermark, asOf]`; with no qualifying manifest
+    * the fold rebuilds from the raw changelog. Either way the result is
+    * only available while the needed history is retained — if [[vacuum]]
+    * has deleted batches past the chosen fold point this throws rather
+    * than silently returning a state with holes. Retention is therefore
+    * operator-controlled: delay `vacuum` (and `compact`) as far back as
+    * time-travel reads must reach.
+    *
+    * Scale shape: identical to [[latestState]] — one shuffle on the fold
+    * key over base + bounded tail; `asOf` only tightens the tail's
+    * batch-id predicate (partition-pruned on `batch_id`).
+    */
+  def stateAsOf(
+      spark: SparkSession, schemaName: String, table: String,
+      asOf: Long): DataFrame = {
+    val f = fs(spark)
+    val m = manifestVersions(f).map(readManifestVersion(f, _))
+      .filter(_.watermark <= asOf).lastOption
+    val wm = m.map(_.watermark).getOrElse(Long.MinValue)
+    val vh = vacuumHighWater(spark)
+    if (vh > wm)
+      throw new IllegalStateException(
+        s"state as of batch $asOf needs the changelog after fold point $wm, " +
+          s"but vacuum has deleted batches through $vh — that history is " +
+          "no longer retained (run time-travel reads before vacuum passes them)")
+    val tail = keyedEvents(changelog(spark, wm)
+        .filter(col("batch_id") <= asOf)
+        .filter(col("schema") === schemaName && col("table") === table))
+      .drop("schema", "table")
+    val truncAt = maxTruncate(tail)
+    val all = baseFor(spark, m, schemaName, table)
+      .map(_.unionByName(tail)).getOrElse(tail)
+    foldImages(all, truncAt)
+  }
+
   /** Land one table's initial-snapshot frame as envelope rows, so the lake
     * holds snapshot + CDC as ONE log (`GraftConnector.start(snapshotSink =
     * lake.appendSnapshot(_, _, keys, lsn, id))`). Rows become `insert`
@@ -554,13 +596,16 @@ final class LakeSink(root: String, baseBuckets: Int = 16) extends Serializable {
       name.stripPrefix(ManifestPrefix).toLongOption
     else None
 
-  /** Newest committed manifest, if any compaction has published one. */
-  private def readManifest(f: FileSystem): Option[Manifest] = {
-    if (!f.exists(commitDir)) return None
-    val versions = f.listStatus(commitDir).toSeq
-      .flatMap(st => manifestVersionOf(st.getPath.getName))
-    if (versions.isEmpty) return None
-    val v = versions.max
+  /** Committed manifest versions on disk, ascending (the current one and —
+    * between GC cycles — its predecessor).
+    */
+  private def manifestVersions(f: FileSystem): Seq[Long] =
+    if (!f.exists(commitDir)) Seq.empty
+    else f.listStatus(commitDir).toSeq
+      .flatMap(st => manifestVersionOf(st.getPath.getName)).sorted
+
+  /** Read one committed manifest by version. */
+  private def readManifestVersion(f: FileSystem, v: Long): Manifest = {
     val in = f.open(new Path(commitDir, ManifestPrefix + v))
     val text =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
@@ -571,8 +616,12 @@ final class LakeSink(root: String, baseBuckets: Int = 16) extends Serializable {
       val Array(s, t, b, rel) = l.split("\t", 4)
       (s, t, b.toInt) -> rel
     }.toMap
-    Some(Manifest(v, wm.toLong, n.toInt, entries))
+    Manifest(v, wm.toLong, n.toInt, entries)
   }
+
+  /** Newest committed manifest, if any compaction has published one. */
+  private def readManifest(f: FileSystem): Option[Manifest] =
+    manifestVersions(f).lastOption.map(readManifestVersion(f, _))
 
   /** Publish a manifest: full content to a temp name, then one rename to
     * the (fresh) versioned name — atomic on every Hadoop filesystem, so a

@@ -428,4 +428,59 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(sink.latestState(spark, "public", "pairs").count() == 2)
     }
   }
+
+  test("stateAsOf time-travels to every batch boundary, across compactions and a truncate") {
+    withSink { (sink, _) =>
+      // six batches of user mutations; compact after 2 and after 4 so the
+      // as-of reads cross raw-changelog, predecessor-manifest, and
+      // current-manifest resolution paths
+      val batches: Seq[Seq[(Long, String, String, String)]] = Seq(
+        Seq((1, "insert", "1", "a"), (2, "insert", "2", "b")),
+        Seq((3, "update", "1", "a2"), (4, "insert", "3", "c")),
+        Seq((5, "delete", "2", null), (6, "insert", "4", "d")),
+        Seq((7, "update", "3", "c2")),
+        Seq((8, "truncate", null, null), (9, "insert", "5", "e")),
+        Seq((10, "insert", "6", "f"), (11, "update", "5", "e2")))
+      def toRow(e: (Long, String, String, String)): Row = e match {
+        case (lsn, "truncate", _, _) => ev(lsn, "truncate", "users", null, null)
+        case (lsn, "delete", id, _) =>
+          ev(lsn, "delete", "users", Map("id" -> id, "name" -> null), null)
+        case (lsn, op, id, name) =>
+          ev(lsn, op, "users", null, Map("id" -> id, "name" -> name))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        sink.appendBatch(envelope(b.map(toRow)), i.toLong)
+        if (i == 2 || i == 4) sink.compact(spark)
+      }
+      // pure-Scala replay oracle: state after applying batches 0..asOf
+      def replay(asOf: Int): Map[String, String] = {
+        var st = Map.empty[String, String]
+        batches.take(asOf + 1).flatten.foreach {
+          case (_, "insert", id, name) => st += id -> name
+          case (_, "update", id, name) => st += id -> name
+          case (_, "delete", id, _)    => st -= id
+          case (_, "truncate", _, _)   => st = Map.empty
+        }
+        st
+      }
+      (0 until batches.size).foreach { asOf =>
+        val got = sink.stateAsOf(spark, "public", "users", asOf.toLong)
+          .select(col("k"), element_at(col("after"), "name").as("name"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == replay(asOf), s"asOf=$asOf")
+      }
+      // vacuum deletes the changelog through the current watermark (4):
+      // pre-watermark as-of reads now lack history and must THROW, not
+      // silently return holes; reads at/after the watermark still work
+      sink.vacuum(spark)
+      val e = intercept[IllegalStateException] {
+        sink.stateAsOf(spark, "public", "users", 3L).collect()
+      }
+      assert(e.getMessage.contains("vacuum"))
+      val after = sink.stateAsOf(spark, "public", "users", 5L)
+        .select(col("k"), element_at(col("after"), "name").as("name"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(after == replay(5))
+    }
+  }
 }
