@@ -72,6 +72,7 @@ object SparkEntry {
     "q_event_window" -> ((s, d) => CdcQueries.eventTimeWindow(s, d).orderBy("win_start", "event_type")),
     "q_typed_view" -> ((s, d) => CdcQueries.typedViewOrders(s, d).orderBy("o_orderstatus")),
     "q_binary_roundtrip" -> ((s, d) => CdcQueries.binaryRoundtrip(s, d).orderBy("event_type")),
+    "q_ivm" -> ((s, d) => CdcQueries.incrementalAgg(s, d).orderBy("o_orderstatus")),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -576,6 +577,19 @@ object SparkEntry {
            CAST(sum(event_id + user_id) AS BIGINT) AS sum_pair,
            CAST(count(*) AS BIGINT) AS n_null3
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // IVM: the maintained aggregate must equal a direct aggregate over the
+    // final table state (inserts, then *1.1 updates on keys %7=0, then
+    // deletes of keys %13=0).
+    "q_ivm" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS sum_price,
+           round(min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS min_price,
+           round(max(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS max_price
+         FROM orders WHERE o_orderkey % 13 <> 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic
     // functions of event_id/user_id).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -616,5 +616,52 @@ object CdcQueries {
       count(lit(1)).as("n_messages"),
       sum(when(col("is_text"), 1L).otherwise(0L)).as("n_text"),
       sum("content_len").as("sum_bytes"))
+  }
+
+  /** Incremental view maintenance over a deterministic 3-batch changelog
+    * derived from `orders`: (0) insert every order, (1) update
+    * `o_totalprice *= 1.1` where `o_orderkey % 7 = 0` — retract+insert,
+    * with dirty-group min/max recompute when an update touches a group
+    * extreme — (2) delete where `o_orderkey % 13 = 0`. The maintained
+    * count/sum/min/max per `o_orderstatus` must equal the oracle's direct
+    * aggregate over the final table — any drift in the delta arithmetic,
+    * the retraction handling, or the dirty-group recompute breaks the
+    * hash. See [[IncrementalAgg]] for the maintenance semantics.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val mapT = "map<string,string>"
+    def img(price: Column): Column = map(
+      lit("o_orderstatus"), col("o_orderstatus"),
+      lit("o_totalprice"), price.cast("string"))
+    val newPrice = col("o_totalprice") * 1.1
+    val curPrice =
+      when(col("o_orderkey") % 7 === 0, newPrice).otherwise(col("o_totalprice"))
+    val b0 = orders.select(lit("insert").as("op"),
+      lit(null).cast(mapT).as("before"), img(col("o_totalprice")).as("after"))
+    val b1 = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(lit("update").as("op"), img(col("o_totalprice")).as("before"),
+        img(newPrice).as("after"))
+    val b2 = orders.filter(col("o_orderkey") % 13 === 0)
+      .select(lit("delete").as("op"), img(curPrice).as("before"),
+        lit(null).cast(mapT).as("after"))
+    val cur0 = orders.select(img(col("o_totalprice")).as("after"))
+    val cur1 = orders.select(img(curPrice).as("after"))
+    val cur2 = orders.filter(col("o_orderkey") % 13 =!= 0)
+      .select(img(curPrice).as("after"))
+    val price = (im: Column) => element_at(im, "o_totalprice").cast("double")
+    val agg = new IncrementalAgg(
+      group = Seq("o_orderstatus" -> (im => element_at(im, "o_orderstatus"))),
+      sums = Seq("price" -> price),
+      mins = Seq("price" -> price),
+      maxs = Seq("price" -> price))
+    val st = Seq((b0, cur0), (b1, cur1), (b2, cur2))
+      .foldLeft(agg.init(s)) { case (state, (batch, cur)) =>
+        agg.step(state, batch, cur)
+      }
+    agg.view(st).select(col("o_orderstatus"), col("n"),
+      round(col("sum_price"), 2).as("sum_price"),
+      round(col("min_price"), 2).as("min_price"),
+      round(col("max_price"), 2).as("max_price"))
   }
 }
