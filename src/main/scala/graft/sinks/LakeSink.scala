@@ -62,7 +62,7 @@ import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, S
   * more than the commit-log directory (one small file per batch, vacuumed
   * with its batch).
   */
-final class LakeSink(root: String, baseBuckets: Int = 16) extends Serializable {
+final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializable {
 
   import LakeSink._
 

@@ -1,0 +1,130 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+import graft.operators.IncrementalAgg
+
+/** The lake-composed maintained view: cursor-driven refresh, span
+  * telescoping, dirty-group recompute through time travel, and crash-replay
+  * idempotence across the state-commit / cursor-advance window.
+  */
+class MaintainedViewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+  private def ev(
+      lsn: Long, op: String,
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", "users", T, T, Seq("id"), before, after)
+
+  private def row(id: String, grp: String, v: String): Map[String, String] =
+    Map("id" -> id, "grp" -> grp, "v" -> v)
+
+  private val vEx: Column => Column = im => element_at(im, "v").cast("double")
+  private def mkAgg = new IncrementalAgg(
+    group = Seq("grp" -> (im => element_at(im, "grp"))),
+    sums = Seq("v" -> vEx), mins = Seq("v" -> vEx), maxs = Seq("v" -> vEx))
+
+  private def withView(body: (LakeSink, MaintainedView, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-mv").toString
+    try {
+      val sink = new LakeSink(dir)
+      body(sink, new MaintainedView(sink, mkAgg, "public", "users", "by_grp"), dir)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  private def viewMap(mv: MaintainedView): Map[String, (Long, Double, Double, Double)] =
+    mv.read(spark).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    }.toMap
+
+  test("refresh maintains the aggregate across insert/update/delete spans") {
+    withView { (sink, mv, _) =>
+      assert(viewMap(mv).isEmpty, "unrefreshed view is empty")
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "1")),
+        ev(2, "insert", null, row("2", "a", "5")),
+        ev(3, "insert", null, row("3", "b", "7")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((2L, 6d, 1d, 5d)), "b" -> ((1L, 7d, 7d, 7d))))
+      assert(mv.refresh(spark) == 0, "no new batches, no work")
+      // one refresh over TWO batches: an extreme-retracting update (dirty
+      // min recompute through stateAsOf) and a group-emptying delete
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", row("1", "a", "1"), row("1", "a", "9")))), 1L)
+      sink.appendBatch(envelope(Seq(
+        ev(5, "delete", row("3", "b", "7"), null))), 2L)
+      assert(mv.refresh(spark) == 2)
+      assert(viewMap(mv) == Map("a" -> ((2L, 14d, 5d, 9d))))
+    }
+  }
+
+  test("consecutive updates of one key telescope across a polled span") {
+    withView { (sink, mv, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "10")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "update", row("1", "a", "10"), row("1", "a", "20")))), 1L)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "update", row("1", "a", "20"), row("1", "a", "30")))), 2L)
+      // all three batches in one span: -10+20 and -20+30 telescope to +30
+      assert(mv.refresh(spark) == 3)
+      assert(viewMap(mv) == Map("a" -> ((1L, 30d, 30d, 30d))))
+    }
+  }
+
+  test("replay after a lost cursor advance is idempotent and heals") {
+    withView { (sink, mv, root) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "insert", null, row("2", "a", "4")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "delete", row("1", "a", "3"), null))), 1L)
+      assert(mv.refresh(spark) == 1)
+      val healthy = viewMap(mv)
+      assert(healthy == Map("a" -> ((1L, 4d, 4d, 4d))))
+      // simulate the crash window: state for batch 1 committed, cursor
+      // advance lost — rewind the cursor to its pre-refresh value
+      val cursorFile = new java.io.File(s"$root/_graft_cursors/view_by_grp")
+      // the raw write bypasses Hadoop's checksum sidecar — drop it too
+      new java.io.File(s"$root/_graft_cursors/.view_by_grp.crc").delete()
+      java.nio.file.Files.write(cursorFile.toPath, "0".getBytes)
+      assert(sink.cursor(spark, "view_by_grp") == 0L)
+      // the replayed span must not double-apply the delete
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == healthy)
+      assert(sink.cursor(spark, "view_by_grp") == 1L, "cursor healed")
+      assert(mv.refresh(spark) == 0)
+    }
+  }
+
+  test("the view survives lake compaction and vacuum") {
+    withView { (sink, mv, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "2")),
+        ev(2, "insert", null, row("2", "b", "6")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      sink.compact(spark)
+      sink.vacuum(spark)
+      // post-vacuum batches keep flowing; the view's cursor is past the
+      // vacuumed span so poll never trips the gap check
+      sink.appendBatch(envelope(Seq(
+        ev(3, "update", row("2", "b", "6"), row("2", "b", "8")))), 1L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((1L, 2d, 2d, 2d)), "b" -> ((1L, 8d, 8d, 8d))))
+    }
+  }
+}
