@@ -46,6 +46,23 @@ object LakeDemo {
     q.processAllAvailable()
     q.stop()
 
+    // maintained view: count + max(id) per table, refreshed from the
+    // changelog through a durable cursor BEFORE compaction reshapes the log
+    val idEx = (im: org.apache.spark.sql.Column) =>
+      element_at(im, "id").cast("long")
+    val mv = new graft.sinks.MaintainedView(
+      lake,
+      new graft.operators.IncrementalAgg(
+        group = Seq("tbl" -> (_ => lit("users"))),
+        sums = Seq("id" -> idEx), maxs = Seq("id" -> idEx)),
+      "public", "users", "users_stats")
+    val applied = mv.refresh(spark)
+    val mvRow = mv.read(spark).collect().head
+    println(s"-- maintained view: $applied batches applied, " +
+      s"n=${mvRow.getLong(1)} max_id=${mvRow.getLong(3)}")
+    println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
+      s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
+
     val before = lake.latestState(spark, "public", "users")
       .orderBy("k").collect().map(r => r.getString(0)).toSeq
     println(s"-- changelog: ${lake.changelog(spark).count()} events in " +
@@ -61,6 +78,12 @@ object LakeDemo {
     typed.orderBy("id").show(8, truncate = false)
     println(s"-- typed read: ${typed.count()} rows, " +
       s"id is ${typed.schema("id").dataType.simpleString}")
+    // time travel: the snapshot-only state (batch -1) is just the 3
+    // synthetic rows, readable as long as vacuum hasn't passed it
+    val asOfSnap =
+      try lake.stateAsOf(spark, "public", "users", -1L).count().toString
+      catch { case e: IllegalStateException => s"gone (${e.getMessage.take(40)}…)" }
+    println(s"-- stateAsOf(snapshot batch): $asOfSnap")
     spark.stop()
   }
 }
