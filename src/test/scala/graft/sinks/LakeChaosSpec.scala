@@ -41,6 +41,16 @@ class LakeChaosSpec extends AnyFunSuite {
       if (op == "delete") Map("id" -> key, "v" -> null) else null,
       if (op == "delete") null else Map("id" -> key, "v" -> v))
 
+  /** Full-image event (REPLICA IDENTITY FULL shape) so the maintained
+    * view's retraction arithmetic has the before images it requires.
+    */
+  private def evFull(
+      lsn: Long, op: String, key: String,
+      beforeV: String, afterV: String): Row =
+    Row(lsn, lsn, 7L, op, "public", "t", T, T, Seq("id"),
+      if (beforeV == null) null else Map("id" -> key, "v" -> beforeV),
+      if (afterV == null) null else Map("id" -> key, "v" -> afterV))
+
   for (seed <- Seq(0xBEEFL, 20260814L, 777L))
     test(s"chaos soak seed=$seed: crash debris never double-delivers or corrupts the fold") {
       val rnd = new Random(seed)
@@ -55,13 +65,24 @@ class LakeChaosSpec extends AnyFunSuite {
         val committed = mutable.ArrayBuffer.empty[Long]
         var pendingHalf: Option[(Long, Seq[Row])] = None
 
+        // IVM-consistent generation: insert only absent keys, update/delete
+        // only present ones WITH their true prior image (REPLICA IDENTITY
+        // FULL) — fold semantics are unchanged (it treats insert/update as
+        // upserts), but the maintained view's retractions need honesty
+        val gen = mutable.Map.empty[String, String]
         def randomRows(): Seq[Row] = (0 until (1 + rnd.nextInt(5))).map { _ =>
           lsn += 1 + rnd.nextInt(3)
           val key = (1 + rnd.nextInt(12)).toString
-          rnd.nextInt(10) match {
-            case 0 => ev(lsn, "delete", key, null)
-            case _ => ev(lsn, if (rnd.nextBoolean()) "insert" else "update",
-              key, s"v$lsn")
+          gen.get(key) match {
+            case Some(prev) if rnd.nextInt(10) == 0 =>
+              gen.remove(key)
+              evFull(lsn, "delete", key, prev, null)
+            case Some(prev) =>
+              val v = s"v$lsn"; gen(key) = v
+              evFull(lsn, "update", key, prev, v)
+            case None =>
+              val v = s"v$lsn"; gen(key) = v
+              evFull(lsn, "insert", key, null, v)
           }
         }
 
@@ -97,6 +118,41 @@ class LakeChaosSpec extends AnyFunSuite {
           assert(got == oracle.toMap,
             s"seed=$seed: fold diverged from the sequential oracle " +
               s"(missing=${oracle.keySet -- got.keySet} extra=${got.keySet -- oracle.keySet})")
+        }
+
+        // a maintained view polling the same changelog: count/sum/min/max
+        // of id per id%3 group, with dirty-group recomputes going through
+        // stateAsOf — chaos here soaks IVM and time travel together
+        val idEx: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          im => element_at(im, "id").cast("long")
+        val mv = new MaintainedView(sink,
+          new graft.operators.IncrementalAgg(
+            group = Seq("g" -> (im => idEx(im) % 3)),
+            sums = Seq("id" -> idEx), mins = Seq("id" -> idEx),
+            maxs = Seq("id" -> idEx)),
+          "public", "t", "soakview")
+
+        def checkView(): Unit = {
+          val pre = sink.cursor(spark, "view_soakview")
+          mv.refresh(spark)
+          if (rnd.nextInt(3) == 0) {
+            // crash window: view state committed, cursor advance lost —
+            // rewind the cursor and replay; the view must not double-apply
+            val cf = new java.io.File(s"$dir/_graft_cursors/view_soakview")
+            new java.io.File(s"$dir/_graft_cursors/.view_soakview.crc").delete()
+            if (pre == Long.MinValue) cf.delete()
+            else java.nio.file.Files.write(cf.toPath, pre.toString.getBytes)
+            mv.refresh(spark)
+          }
+          val got = mv.read(spark).collect().map { r =>
+            r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+          }.toMap
+          val want = oracle.keysIterator.map(_.toLong).toSeq
+            .groupBy(_ % 3).map { case (g, ids) =>
+              g -> ((ids.size.toLong, ids.map(_.toDouble).sum, ids.min, ids.max))
+            }
+          assert(got == want,
+            s"seed=$seed: maintained view diverged (got=$got want=$want)")
         }
 
         val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,20 +192,23 @@ class LakeChaosSpec extends AnyFunSuite {
               tmp.write("torn".getBytes); tmp.close()
               sink.compact(spark)
               checkFold()
-            case 8 => // maintenance: compact (+ vacuum once the consumer caught up)
+            case 8 => // maintenance: compact (+ vacuum once consumers caught up)
               sink.compact(spark)
               drain()
+              checkView() // the view's cursor must pass the watermark too
               sink.vacuum(spark)
               checkFold()
-            case 9 => // reader progress + fold audit
+            case 9 => // reader progress + fold/view audit
               drain()
               checkFold()
+              checkView()
           }
         }
         // land any dangling half-written batch, then final audit
         pendingHalf.foreach { case (id, rows) => commitBatch(id, rows) }
         drain()
         checkFold()
+        checkView()
         assert(delivered.toSeq == delivered.toSeq.sorted,
           s"seed=$seed: delivery must be in batch-id order")
         assert(delivered.distinct.size == delivered.size,
