@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.IncrementalAgg
@@ -36,20 +36,8 @@ final class MaintainedView(
     lake: LakeSink, agg: IncrementalAgg,
     schemaName: String, table: String, name: String) {
 
-  private def viewDir = new Path(lake.root, s"_graft_views/$name")
-  private def commitsDir = new Path(viewDir, "_commits")
+  private val states = new StateLog(new Path(lake.root, s"_graft_views/$name"))
   private def cursorName = s"view_$name"
-
-  private def fs(spark: SparkSession): FileSystem =
-    viewDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committedStates(f: FileSystem): Seq[Long] =
-    if (!f.exists(commitsDir)) Seq.empty
-    else f.listStatus(commitsDir).toSeq
-      .flatMap(st => st.getPath.getName.toLongOption).sorted
-
-  private def stateAt(spark: SparkSession, asOf: Long): DataFrame =
-    spark.read.parquet(new Path(viewDir, s"asof=$asOf").toString)
 
   /** Apply every newly committed lake batch to the view. Returns the
     * number of batches applied (0 = already current).
@@ -57,29 +45,23 @@ final class MaintainedView(
   def refresh(spark: SparkSession): Int = {
     val from = lake.cursor(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
-      val f = fs(spark)
+      val f = states.fs(spark)
       // partition-column inference can type small batch_id values as int
       val hi = span.agg(max(col("batch_id").cast("long"))).head().getLong(0)
       // replay where only the cursor advance was lost: the state for this
       // span is already committed — rewriting it would tear a concurrent
       // read; just let poll re-advance the cursor
-      if (!f.exists(new Path(commitsDir, hi.toString))) {
-        val prev = committedStates(f).filter(_ <= from).lastOption
-          .map(stateAt(spark, _)).getOrElse(agg.init(spark))
+      if (!states.isCommitted(f, hi)) {
+        val prev = states.committed(f).filter(_ <= from).lastOption
+          .map(states.read(spark, _)).getOrElse(agg.init(spark))
         val events = span.filter(
           col("schema") === schemaName && col("table") === table)
         val next = agg.step(prev, events,
           lake.stateAsOf(spark, schemaName, table, hi).select(col("after")))
-        val out = new Path(viewDir, s"asof=$hi")
-        next.write.mode("overwrite").parquet(out.toString)
-        f.mkdirs(commitsDir)
-        f.create(new Path(commitsDir, hi.toString), true).close()
+        states.commit(f, next, hi)
       }
       // previous states below the replay horizon are unreachable now
-      committedStates(f).filter(_ < from).foreach { v =>
-        f.delete(new Path(viewDir, s"asof=$v"), true)
-        f.delete(new Path(commitsDir, v.toString), false)
-      }
+      states.gcBelow(f, from)
     }
   }
 
@@ -87,8 +69,8 @@ final class MaintainedView(
     * `max_<m>` — group-cardinality, no fold, no scan of the table.
     */
   def read(spark: SparkSession): DataFrame =
-    committedStates(fs(spark)).lastOption match {
-      case Some(v) => agg.view(stateAt(spark, v))
+    states.committed(states.fs(spark)).lastOption match {
+      case Some(v) => agg.view(states.read(spark, v))
       case None    => agg.view(agg.init(spark))
     }
 }

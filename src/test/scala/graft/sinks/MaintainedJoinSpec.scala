@@ -1,0 +1,157 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+
+/** The maintained two-table join: dirty-key recompute, key-changing
+  * updates, deletes, truncate fallback, and replay idempotence — each
+  * refresh checked against a direct latestState-join recompute.
+  */
+class MaintainedJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+  private def ev(lsn: Long, op: String, table: String, keys: Seq[String],
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", table, T, T, keys, before, after)
+
+  private def user(id: String, name: String): Map[String, String] =
+    Map("id" -> id, "name" -> name)
+  private def order(oid: String, uid: String, amt: String): Map[String, String] =
+    Map("oid" -> oid, "uid" -> uid, "amt" -> amt)
+
+  private def withJoin(body: (LakeSink, MaintainedJoin) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-mj").toString
+    try {
+      val sink = new LakeSink(dir)
+      val mj = new MaintainedJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "orders_by_user")
+      body(sink, mj)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  /** (oid, user name, amt) triples of the maintained join. */
+  private def joinSet(mj: MaintainedJoin): Set[(String, String, String)] =
+    mj.read(spark).collect().map { r =>
+      val l = r.getMap[String, String](1)
+      val rr = r.getMap[String, String](2)
+      (rr("oid"), l("name"), rr("amt"))
+    }.toSet
+
+  /** Direct recompute: latestState join latestState — the oracle. */
+  private def expected(sink: LakeSink): Set[(String, String, String)] = {
+    val u = sink.latestState(spark, "public", "u")
+      .select(element_at(col("after"), "id").as("jk"),
+        element_at(col("after"), "name").as("name"))
+    val o = sink.latestState(spark, "public", "o")
+      .select(element_at(col("after"), "uid").as("jk"),
+        element_at(col("after"), "oid").as("oid"),
+        element_at(col("after"), "amt").as("amt"))
+    u.join(o, "jk").collect()
+      .map(r => (r.getString(2), r.getString(1), r.getString(3))).toSet
+  }
+
+  test("inserts, updates, key-changing updates, and deletes maintain the join") {
+    withJoin { (sink, mj) =>
+      assert(joinSet(mj).isEmpty)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "u", Seq("id"), null, user("2", "bo")),
+        ev(3, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(4, "insert", "o", Seq("oid"), null, order("b", "1", "20")),
+        ev(5, "insert", "o", Seq("oid"), null, order("c", "2", "30")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(
+        ("a", "alice", "10"), ("b", "alice", "20"), ("c", "bo", "30")))
+      assert(joinSet(mj) == expected(sink))
+
+      // rename a user (left update), move order c to user 1 (key-changing
+      // right update: both old key 2 and new key 1 are dirty)
+      sink.appendBatch(envelope(Seq(
+        ev(6, "update", "u", Seq("id"), user("2", "bo"), user("2", "bob")),
+        ev(7, "update", "o", Seq("oid"),
+          order("c", "2", "30"), order("c", "1", "35")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(
+        ("a", "alice", "10"), ("b", "alice", "20"), ("c", "alice", "35")))
+      assert(joinSet(mj) == expected(sink))
+
+      // delete user 1: all their orders drop out of the inner join
+      sink.appendBatch(envelope(Seq(
+        ev(8, "delete", "u", Seq("id"), user("1", "alice"), null))), 2L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj).isEmpty)
+      assert(joinSet(mj) == expected(sink))
+
+      // orders are still live; re-inserting the user revives the join
+      sink.appendBatch(envelope(Seq(
+        ev(9, "insert", "u", Seq("id"), null, user("1", "alina")))), 3L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(
+        ("a", "alina", "10"), ("b", "alina", "20"), ("c", "alina", "35")))
+    }
+  }
+
+  test("a span covering several batches refreshes once, consistently") {
+    withJoin { (sink, mj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", "o", Seq("oid"), null, order("x", "1", "5")))), 1L)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "update", "o", Seq("oid"),
+          order("x", "1", "5"), order("x", "1", "7")))), 2L)
+      assert(mj.refresh(spark) == 3)
+      assert(joinSet(mj) == Set(("x", "ann", "7")))
+    }
+  }
+
+  test("replay after a lost cursor advance is idempotent") {
+    withJoin { (sink, mj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("x", "1", "5")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "delete", "o", Seq("oid"), order("x", "1", "5"), null))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj).isEmpty)
+      val root = sink.root
+      new java.io.File(s"$root/_graft_cursors/.join_orders_by_user.crc").delete()
+      java.nio.file.Files.write(
+        new java.io.File(s"$root/_graft_cursors/join_orders_by_user").toPath,
+        "0".getBytes)
+      assert(mj.refresh(spark) == 1, "replayed span")
+      assert(joinSet(mj).isEmpty, "no double-apply")
+      assert(mj.refresh(spark) == 0)
+    }
+  }
+
+  test("truncate on one side falls back to a full recompute at the boundary") {
+    withJoin { (sink, mj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("x", "1", "5")),
+        ev(3, "insert", "o", Seq("oid"), null, order("y", "1", "6")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "truncate", "o", Seq("oid"), null, null),
+        ev(5, "insert", "o", Seq("oid"), null, order("z", "1", "9")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(("z", "ann", "9")))
+      assert(joinSet(mj) == expected(sink))
+    }
+  }
+}
