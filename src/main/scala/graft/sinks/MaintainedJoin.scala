@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * which is broadcast-sized by construction.
   *
   * State rows are `jk` (the join key), `left_after`, `right_after` (the
-  * two image maps) — an INNER join; project what you need downstream.
-  * Commit protocol and crash safety are [[StateLog]]'s marker-then-cursor
-  * story, identical to [[MaintainedView]].
+  * two image maps); `joinType` may be inner (default), left_outer,
+  * right_outer, or full_outer — dirty-key recompute carries a key's full
+  * row set including null-extended rows, so every type maintains the same
+  * way. Commit protocol and crash safety are [[StateLog]]'s
+  * marker-then-cursor story, identical to [[MaintainedView]].
   *
   * Prerequisite: each side's join key must be extractable from its before
   * images too — i.e. the key columns are part of the replica identity
@@ -30,7 +32,10 @@ final class MaintainedJoin(
     lake: LakeSink,
     left: (String, String), right: (String, String),
     leftKey: Column => Column, rightKey: Column => Column,
-    name: String) {
+    name: String, joinType: String = "inner") {
+
+  require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+    s"unsupported joinType '$joinType'")
 
   private val states = new StateLog(new Path(lake.root, s"_graft_joins/$name"))
   private def cursorName = s"join_$name"
@@ -54,8 +59,11 @@ final class MaintainedJoin(
       .select(key(col("after")).as("jk"), col("after").as(out))
       .filter(col("jk").isNotNull)
 
+  // dirty-key recompute is join-type agnostic: a recomputed key carries
+  // its full row set for ANY join type, including null-extended rows
   private def joined(l: DataFrame, r: DataFrame): DataFrame =
-    l.join(r, "jk").select(col("jk"), col("left_after"), col("right_after"))
+    l.join(r, Seq("jk"), joinType)
+      .select(col("jk"), col("left_after"), col("right_after"))
 
   /** Apply every newly committed lake batch to the join. Returns the
     * number of batches applied (0 = already current).
@@ -89,6 +97,18 @@ final class MaintainedJoin(
       }
       states.gcBelow(f, from)
     }
+  }
+
+  /** Ops gauges for the `graft_lake_*` family — concatenate with the
+    * sink's, like [[MaintainedView.gauges]].
+    */
+  def gauges(spark: SparkSession): Seq[(String, Double)] = {
+    val asOf = states.committed(states.fs(spark)).lastOption
+    val lag = lake.committedBatchIds(spark)
+      .count(_ > lake.cursor(spark, cursorName))
+    Seq(
+      s"join_${name}_asof" -> asOf.getOrElse(-1L).toDouble,
+      s"join_${name}_lag_batches" -> lag.toDouble)
   }
 
   /** The current join: `jk`, `left_after`, `right_after`. */

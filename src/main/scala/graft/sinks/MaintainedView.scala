@@ -73,4 +73,17 @@ final class MaintainedView(
       case Some(v) => agg.view(states.read(spark, v))
       case None    => agg.view(agg.init(spark))
     }
+
+  /** Ops gauges for the `graft_lake_*` family — concatenate with the
+    * sink's: `lakeGauges = Some(() => lake.gauges(spark) ++
+    * view.gauges(spark))`. Driver-side metadata listings only.
+    */
+  def gauges(spark: SparkSession): Seq[(String, Double)] = {
+    val asOf = states.committed(states.fs(spark)).lastOption
+    val lag = lake.committedBatchIds(spark)
+      .count(_ > lake.cursor(spark, cursorName))
+    Seq(
+      s"view_${name}_asof" -> asOf.getOrElse(-1L).toDouble,
+      s"view_${name}_lag_batches" -> lag.toDouble)
+  }
 }

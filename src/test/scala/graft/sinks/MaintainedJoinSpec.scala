@@ -139,6 +139,39 @@ class MaintainedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("left_outer: null-extended rows appear, fill in, and re-extend on delete") {
+    val dir = Files.createTempDirectory("lake-mjo").toString
+    try {
+      val sink = new LakeSink(dir)
+      val mj = new MaintainedJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "lo", joinType = "left_outer")
+      def rows: Set[(String, String)] = mj.read(spark).collect().map { r =>
+        (r.getMap[String, String](1)("name"),
+          Option(r.getMap[String, String](2)).map(_("oid")).orNull)
+      }.toSet
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "u", Seq("id"), null, user("2", "bob")),
+        ev(3, "insert", "o", Seq("oid"), null, order("x", "1", "5")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      assert(rows == Set(("ann", "x"), ("bob", null)))
+      // bob gets an order: the null-extended row is replaced for that key
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", "o", Seq("oid"), null, order("y", "2", "7")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(rows == Set(("ann", "x"), ("bob", "y")))
+      // and loses it again: back to null-extended
+      sink.appendBatch(envelope(Seq(
+        ev(5, "delete", "o", Seq("oid"), order("y", "2", "7"), null))), 2L)
+      assert(mj.refresh(spark) == 1)
+      assert(rows == Set(("ann", "x"), ("bob", null)))
+      val g = mj.gauges(spark).toMap
+      assert(g("join_lo_asof") == 2.0 && g("join_lo_lag_batches") == 0.0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("truncate on one side falls back to a full recompute at the boundary") {
     withJoin { (sink, mj) =>
       sink.appendBatch(envelope(Seq(
