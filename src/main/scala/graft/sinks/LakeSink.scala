@@ -131,8 +131,11 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.cdc.ChangeEvent.schema.add("batch_id", "long"))
     else
+      // Explicit schema: without it, partition-column inference types
+      // `batch_id` int-or-long depending on the ids present.
       spark.read
         .option("basePath", changelogDir.toString)
+        .schema(graft.cdc.ChangeEvent.schema.add("batch_id", "long"))
         .parquet(ids.map(i => new Path(changelogDir, s"batch_id=$i").toString): _*)
   }
 

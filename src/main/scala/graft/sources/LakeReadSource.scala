@@ -1,0 +1,275 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.sinks.LakeSink
+
+/** `format("graft-lake")` — the Spark-native READ face of [[LakeSink]]'s
+  * lake root, so downstream jobs consume the landed CDC log through
+  * `spark.read` / `spark.readStream` instead of calling sink methods.
+  * The reference's consumption surface is a push callback
+  * (`pq/replication/stream.go:33-38`); on the lake the same feed becomes
+  * a first-class Spark source with Spark-managed progress:
+  *
+  * Batch (`spark.read.format("graft-lake").option("path", root)`):
+  *  - `.option("table", "public.users")` — latest folded state per
+  *    replica-identity key ([[LakeSink.latestState]]); add
+  *    `.option("typed", "true")` for the relation-schema projection
+  *    ([[LakeSink.latestStateTyped]]), `.option("asOfBatch", n)` for
+  *    time travel ([[LakeSink.stateAsOf]]).
+  *  - no `table` — the committed changelog (all tables, envelope rows +
+  *    `batch_id`); `.option("fromBatch", n)` reads only batches after n.
+  *
+  * Streaming (`spark.readStream.format("graft-lake").option("path", root)`):
+  * tails the committed changelog exactly once, offsets checkpointed by
+  * Structured Streaming itself (no named cursors — [[LakeSink.poll]] is
+  * the pull-based alternative). Options: `tables` (comma-separated
+  * `schema.table` filter, pushed to the parquet scan) and
+  * `maxBatchesPerTrigger` (admission cap per micro-batch).
+  *
+  * Offsets are the two ends of the CONTIGUOUS id interval delivered so
+  * far: stream epochs count up from 0 while snapshot batches count down
+  * from -1 ([[LakeSink.appendSnapshot]]), so `[neg, pos]` covers both
+  * growth directions and a mid-stream table addition's late snapshot
+  * batch still gets delivered. Vacuum safety matches [[LakeSink.poll]]:
+  * a restart whose next undelivered batch was vacuumed throws rather
+  * than silently skipping (re-bootstrap from `latestState`).
+  *
+  * 100-TB shape: planning I/O is one commit-log listing per trigger
+  * (one small file per batch); data moves only executor-side, straight
+  * from the batch parquet dirs, partition-pruned to exactly the new ids.
+  */
+final class LakeReadSourceProvider
+    extends RelationProvider with StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def opt(parameters: Map[String, String], key: String): Option[String] = {
+    val lower = key.toLowerCase(java.util.Locale.ROOT)
+    parameters.collectFirst {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == lower => v
+    }
+  }
+
+  private def rootOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-lake requires .option(\"path\", <lake root>)"))
+
+  // ---- batch ---------------------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val sink = new LakeSink(rootOf(parameters))
+    def frame(): DataFrame = opt(parameters, "table") match {
+      case Some(qualified) =>
+        val Array(sch, tbl) = qualified.split("\\.", 2)
+        val asOf = opt(parameters, "asofbatch").map(_.toLong)
+        val typed = opt(parameters, "typed").exists(_.toBoolean)
+        (asOf, typed) match {
+          case (Some(b), false) => sink.stateAsOf(spark, sch, tbl, b)
+          case (None, true) => sink.latestStateTyped(spark, sch, tbl)
+          case (None, false) => sink.latestState(spark, sch, tbl)
+          case (Some(_), true) => throw new IllegalArgumentException(
+            "asOfBatch and typed cannot be combined (relation schemas are " +
+              "recorded latest-only, so a typed historical view could lie)")
+        }
+      case None =>
+        val from = opt(parameters, "frombatch").map(_.toLong).getOrElse(Long.MinValue)
+        sink.changelog(spark, from)
+    }
+    val planned = frame()
+    val outer = sqlContext
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = outer
+      override val schema: StructType = planned.schema
+      // Re-plan per scan so repeated queries over one relation object see
+      // the current manifest/commit log, like re-reading a file path does.
+      override def buildScan(): RDD[Row] = frame().rdd
+    }
+  }
+
+  // ---- streaming -----------------------------------------------------------
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-lake defines its own schema (the CDC envelope)")
+    rootOf(parameters) // fail fast on a missing path
+    (shortName(), LakeReadSource.changelogSchema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val tables = opt(parameters, "tables").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val maxBatches = opt(parameters, "maxbatchespertrigger").map(_.toInt)
+    new LakeReadSource(
+      sqlContext.sparkSession, rootOf(parameters), tables, maxBatches)
+  }
+}
+
+/** Contiguous delivered-id interval `[neg, pos]` over the lake's two-sided
+  * batch-id space (snapshots ≤ -1, stream epochs ≥ 0). `LakeOffset(0, -1)`
+  * is the empty interval.
+  */
+final case class LakeOffset(neg: Long, pos: Long) extends OffsetV1 {
+  override def json: String = s"""{"neg":$neg,"pos":$pos}"""
+}
+
+object LakeOffset {
+  val empty: LakeOffset = LakeOffset(0L, -1L)
+  private val Pattern: Regex = """\{"neg":(-?\d+),"pos":(-?\d+)\}""".r
+
+  def fromJson(s: String): LakeOffset = s match {
+    case Pattern(n, p) => LakeOffset(n.toLong, p.toLong)
+    case other => throw new IllegalArgumentException(s"not a LakeOffset: $other")
+  }
+
+  /** v1 sources receive checkpoint-restored offsets as [[SerializedOffset]]. */
+  def of(o: OffsetV1): LakeOffset = o match {
+    case l: LakeOffset => l
+    case SerializedOffset(json) => fromJson(json)
+    case other => fromJson(other.json)
+  }
+}
+
+final class LakeReadSource(
+    spark: SparkSession, root: String,
+    tables: Seq[String], maxBatchesPerTrigger: Option[Int])
+    extends Source with SupportsTriggerAvailableNow {
+
+  private val sink = new LakeSink(root)
+  // Ids already admitted but possibly not yet committed downstream —
+  // admission must be monotone across triggers.
+  @volatile private var planned: LakeOffset = LakeOffset.empty
+  // Trigger.AvailableNow ceiling: ids committed after prepare() wait for
+  // the next run.
+  @volatile private var availableNowTarget: Option[LakeOffset] = None
+
+  override def schema: StructType = LakeReadSource.changelogSchema
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val ids = sink.committedBatchIds(spark)
+    availableNowTarget = Some(
+      if (ids.isEmpty) planned
+      else LakeOffset(
+        math.min(planned.neg, math.min(ids.min, 0L)),
+        math.max(planned.pos, ids.max)))
+  }
+
+  /** Admission-control path (the engine prefers it over [[getOffset]]):
+    * `start` is the checkpointed offset, so a capped plan can never land
+    * behind what a previous instance delivered.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    if (start != null) merge(LakeOffset.fromJson(start.json))
+    advance(capped = true).orNull
+  }
+
+  /** DSv1 fallback path. No `start` is provided here, so a COLD instance
+    * admits everything uncapped: a capped first offset could land BEHIND a
+    * checkpoint this instance doesn't know about, and committing a
+    * regressive offset would re-deliver the difference next trigger.
+    */
+  override def getOffset: Option[OffsetV1] =
+    advance(capped = planned != LakeOffset.empty)
+
+  private def advance(capped: Boolean): Option[LakeOffset] = synchronized {
+    val all = sink.committedBatchIds(spark)
+    val committed = availableNowTarget match {
+      case Some(t) => all.filter(id => id >= t.neg && id <= t.pos)
+      case None => all
+    }
+    if (committed.isEmpty && planned == LakeOffset.empty) return None
+    val fresh = committed.filter(id => id < planned.neg || id > planned.pos)
+    if (fresh.isEmpty) {
+      if (planned == LakeOffset.empty) None else Some(planned)
+    } else {
+      // Downward growth admits newest-first, upward oldest-first, so the
+      // admitted set stays a contiguous interval under any per-trigger cap.
+      val ordered = fresh.filter(_ < planned.neg).sorted.reverse ++
+        fresh.filter(_ > planned.pos).sorted
+      val admitted =
+        if (capped) maxBatchesPerTrigger.fold(ordered)(ordered.take) else ordered
+      planned = LakeOffset(
+        math.min(planned.neg, admitted.min), math.max(planned.pos, admitted.max))
+      Some(planned)
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val s = start.map(LakeOffset.of).getOrElse(LakeOffset.empty)
+    val e = LakeOffset.of(end)
+    // Restart path: the checkpoint may be ahead of this fresh instance.
+    merge(e)
+    val vh = sink.vacuumHighWater(spark)
+    if (s.pos < vh)
+      throw new IllegalStateException(
+        s"graft-lake stream restarted at ${s.json} but vacuum has deleted " +
+          s"batches through $vh — the gap is unrecoverable; re-bootstrap " +
+          "the consumer from latestState and a fresh checkpoint")
+    val ids = sink.committedBatchIds(spark)
+      .filter(id => id >= e.neg && id <= e.pos)
+      .filter(id => id < s.neg || id > s.pos)
+    val batch =
+      if (ids.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], LakeReadSource.changelogSchema)
+      else {
+        val dirs = ids.map(i =>
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(root, "changelog"), s"batch_id=$i").toString)
+        spark.read
+          .option("basePath", new org.apache.hadoop.fs.Path(root, "changelog").toString)
+          .schema(LakeReadSource.changelogSchema)
+          .parquet(dirs: _*)
+      }
+    val filtered =
+      if (tables.isEmpty) batch
+      else batch.filter(
+        org.apache.spark.sql.functions.concat_ws(".", col("schema"), col("table"))
+          .isin(tables: _*))
+    val aligned = filtered.select(
+      LakeReadSource.changelogSchema.fieldNames.map(col).toSeq: _*)
+    StreamBridge.streamingDataFrame(
+      spark, StreamBridge.toRdd(aligned), LakeReadSource.changelogSchema)
+  }
+
+  // commit() seeds `planned` on restart (the engine replays the last
+  // committed offset into the source), so the admission cap never plans
+  // behind the checkpoint.
+  override def commit(offset: OffsetV1): Unit = merge(LakeOffset.of(offset))
+  override def commit(offset: OffsetV2): Unit = merge(LakeOffset.fromJson(offset.json))
+
+  private def merge(o: LakeOffset): Unit = synchronized {
+    planned = LakeOffset(math.min(planned.neg, o.neg), math.max(planned.pos, o.pos))
+  }
+  override def initialOffset(): OffsetV2 = LakeOffset.empty
+  override def deserializeOffset(json: String): OffsetV2 = LakeOffset.fromJson(json)
+  override def stop(): Unit = ()
+}
+
+object LakeReadSource {
+  /** Envelope + the lake's `batch_id` partition column, all-nullable (the
+    * parquet round trip erases the envelope's tighter nullability).
+    */
+  val changelogSchema: StructType = StructType(
+    graft.cdc.ChangeEvent.schema.fields.map(_.copy(nullable = true)) :+
+      org.apache.spark.sql.types.StructField("batch_id", LongType, nullable = true))
+}
