@@ -46,6 +46,22 @@ object LakeDemo {
     q.processAllAvailable()
     q.stop()
 
+    // the graft-lake read format fronts the same log: stream the committed
+    // changelog back out with Spark-managed offsets, then batch-read state
+    var streamed = 0L
+    val rq = spark.readStream.format("graft-lake")
+      .option("path", lakeDir).option("tables", "public.users").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => streamed += df.count() }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    rq.awaitTermination(60000)
+    val viaFormat = spark.read.format("graft-lake")
+      .option("path", lakeDir).option("table", "public.users").load().count()
+    println(s"-- graft-lake format: streamed $streamed events, " +
+      s"batch state read $viaFormat rows")
+
     // maintained view: count + max(id) per table, refreshed from the
     // changelog through a durable cursor BEFORE compaction reshapes the log
     val idEx = (im: org.apache.spark.sql.Column) =>
