@@ -196,6 +196,20 @@ final class LakeReadSource(
       case Some(t) => all.filter(id => id >= t.neg && id <= t.pos)
       case None => all
     }
+    // Vacuum safety, enforced at ADMISSION (not in getBatch — the engine
+    // legitimately replays the last committed span through getBatch on
+    // every restart, and that replay may cross already-vacuumed history).
+    // By now `planned` holds the truly-delivered interval (seeded from the
+    // checkpoint via that replay / commit()), so a vacuum high-water mark
+    // beyond it means UNDELIVERED batches were deleted — unrecoverable.
+    // A consumer with no history yet (planned empty) is exempt: nothing
+    // was promised to it, it may legally start from the surviving tail.
+    val vh = sink.vacuumHighWater(spark)
+    if (planned != LakeOffset.empty && vh > planned.pos)
+      throw new IllegalStateException(
+        s"graft-lake stream is at ${planned.json} but vacuum has deleted " +
+          s"batches through $vh — the gap is unrecoverable; re-bootstrap " +
+          "the consumer from latestState and a fresh checkpoint")
     if (committed.isEmpty && planned == LakeOffset.empty) return None
     val fresh = committed.filter(id => id < planned.neg || id > planned.pos)
     if (fresh.isEmpty) {
@@ -216,14 +230,13 @@ final class LakeReadSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val s = start.map(LakeOffset.of).getOrElse(LakeOffset.empty)
     val e = LakeOffset.of(end)
-    // Restart path: the checkpoint may be ahead of this fresh instance.
+    // Restart path: the checkpoint may be ahead of this fresh instance —
+    // the engine replays the last committed span through here before the
+    // first admission, which also seeds `planned` with the true delivered
+    // interval. Missing (vacuumed) ids in a replayed span contribute no
+    // rows; gap DETECTION lives in the admission path, where delivered
+    // and deleted can be told apart.
     merge(e)
-    val vh = sink.vacuumHighWater(spark)
-    if (s.pos < vh)
-      throw new IllegalStateException(
-        s"graft-lake stream restarted at ${s.json} but vacuum has deleted " +
-          s"batches through $vh — the gap is unrecoverable; re-bootstrap " +
-          "the consumer from latestState and a fresh checkpoint")
     val ids = sink.committedBatchIds(spark)
       .filter(id => id >= e.neg && id <= e.pos)
       .filter(id => id < s.neg || id > s.pos)

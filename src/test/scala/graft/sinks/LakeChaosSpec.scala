@@ -222,4 +222,86 @@ class LakeChaosSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
+
+  test("chaos soak seed=0xFEED: a graft-lake stream consumer sees every batch exactly once") {
+    // Same crash windows as the poll soak, but the consumer is a REAL
+    // Structured Streaming query over format("graft-lake"), restarted from
+    // its checkpoint at every drain — cold-start admission, offset
+    // recovery, and the commit-log resolution all go through the engine.
+    val rnd = new Random(0xFEEDL)
+    val dir = Files.createTempDirectory("lake-chaos-stream").toString
+    val ckpt = Files.createTempDirectory("lake-chaos-stream-ckpt").toString
+    val sink = new LakeSink(dir, baseBuckets = 4)
+    try {
+      var lsn = 100L
+      var nextId = 0L
+      val committed = mutable.ArrayBuffer.empty[Long]
+      val streamDelivered = mutable.ArrayBuffer.empty[Long]
+      var pendingHalf: Option[Long] = None
+
+      def rows(): Seq[Row] = (0 until (1 + rnd.nextInt(4))).map { _ =>
+        lsn += 1
+        ev(lsn, "insert", (1 + rnd.nextInt(12)).toString, s"v$lsn")
+      }
+
+      def streamDrain(): Unit = {
+        val q = spark.readStream.format("graft-lake").option("path", dir)
+          .option("maxBatchesPerTrigger", "2").load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            val ids = df.select(col("batch_id")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            streamDelivered.synchronized { streamDelivered ++= ids }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+      }
+
+      (0 until 40).foreach { _ =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 | 3 =>
+            pendingHalf.foreach { id =>
+              sink.appendBatch(envelope(rows()), id); committed += id
+            }
+            pendingHalf = None
+            sink.appendBatch(envelope(rows()), nextId)
+            committed += nextId; nextId += 1
+          case 4 => // stale replay must be a no-op
+            if (committed.nonEmpty)
+              sink.appendBatch(envelope(Seq(ev(1L, "insert", "99", "stale"))),
+                committed(rnd.nextInt(committed.size)))
+          case 5 => // half-written: parquet landed, no marker — invisible
+            val id = pendingHalf.getOrElse { nextId += 1; nextId - 1 }
+            envelope(rows()).write.mode("overwrite")
+              .parquet(s"$dir/changelog/batch_id=$id")
+            pendingHalf = Some(id)
+          case 6 => // maintenance after the consumer caught up
+            streamDrain()
+            sink.compact(spark)
+            sink.vacuum(spark)
+          case 7 =>
+            streamDrain()
+        }
+      }
+      pendingHalf.foreach { id =>
+        sink.appendBatch(envelope(rows()), id); committed += id
+      }
+      streamDrain()
+
+      val got = streamDelivered.toSeq
+      assert(got == got.sorted, "stream delivery must be in batch-id order")
+      assert(got.distinct.size == got.size,
+        s"a batch was streamed twice: " +
+          got.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted)
+      assert(got.toSet == committed.toSet,
+        s"committed and streamed diverge (missing=${committed.toSet -- got.toSet} " +
+          s"phantom=${got.toSet -- committed.toSet})")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
