@@ -34,8 +34,12 @@ import graft.sinks.LakeSink
   * tails the committed changelog exactly once, offsets checkpointed by
   * Structured Streaming itself (no named cursors — [[LakeSink.poll]] is
   * the pull-based alternative). Options: `tables` (comma-separated
-  * `schema.table` filter, pushed to the parquet scan) and
-  * `maxBatchesPerTrigger` (admission cap per micro-batch).
+  * `schema.table` filter, pushed to the parquet scan),
+  * `maxBatchesPerTrigger` (admission cap per micro-batch), and
+  * `table` + `typed=true` for a TYPED change feed of one table — the
+  * same projection as the live registry's typed views, schema resolved
+  * from the persisted relation ([[LakeSink.writeRelations]]) at query
+  * (re)start.
   *
   * Offsets are the two ends of the CONTIGUOUS id interval delivered so
   * far: stream epochs count up from 0 while snapshot batches count down
@@ -102,23 +106,44 @@ final class LakeReadSourceProvider
 
   // ---- streaming -----------------------------------------------------------
 
+  /** Typed streaming (`table` + `typed=true`): the persisted relation
+    * schema, resolved latest-wins at query (re)start.
+    */
+  private def typedRelOf(
+      spark: SparkSession, parameters: Map[String, String]): Option[graft.pgproto.Messages.Relation] =
+    if (!opt(parameters, "typed").exists(_.toBoolean)) None
+    else {
+      val qualified = opt(parameters, "table").getOrElse(
+        throw new IllegalArgumentException(
+          "typed streaming requires .option(\"table\", \"schema.table\")"))
+      val Array(sch, tbl) = qualified.split("\\.", 2)
+      Some(new LakeSink(rootOf(parameters)).readRelation(spark, sch, tbl).getOrElse(
+        throw new IllegalStateException(
+          s"no persisted relation schema for $qualified — call writeRelations first")))
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-lake defines its own schema (the CDC envelope)")
     rootOf(parameters) // fail fast on a missing path
-    (shortName(), LakeReadSource.changelogSchema)
+    val out = typedRelOf(sqlContext.sparkSession, parameters) match {
+      case Some(rel) => LakeReadSource.typedSchema(sqlContext.sparkSession, rel)
+      case None => LakeReadSource.changelogSchema
+    }
+    (shortName(), out)
   }
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val tables = opt(parameters, "tables").toSeq
+    val tables = (opt(parameters, "tables").toSeq ++ opt(parameters, "table").toSeq)
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val maxBatches = opt(parameters, "maxbatchespertrigger").map(_.toInt)
     new LakeReadSource(
-      sqlContext.sparkSession, rootOf(parameters), tables, maxBatches)
+      sqlContext.sparkSession, rootOf(parameters), tables, maxBatches,
+      typedRelOf(sqlContext.sparkSession, parameters))
   }
 }
 
@@ -149,7 +174,8 @@ object LakeOffset {
 
 final class LakeReadSource(
     spark: SparkSession, root: String,
-    tables: Seq[String], maxBatchesPerTrigger: Option[Int])
+    tables: Seq[String], maxBatchesPerTrigger: Option[Int],
+    typedRel: Option[graft.pgproto.Messages.Relation] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val sink = new LakeSink(root)
@@ -160,7 +186,10 @@ final class LakeReadSource(
   // the next run.
   @volatile private var availableNowTarget: Option[LakeOffset] = None
 
-  override def schema: StructType = LakeReadSource.changelogSchema
+  override def schema: StructType = typedRel match {
+    case Some(rel) => LakeReadSource.typedSchema(spark, rel)
+    case None => LakeReadSource.changelogSchema
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -258,10 +287,12 @@ final class LakeReadSource(
       else batch.filter(
         org.apache.spark.sql.functions.concat_ws(".", col("schema"), col("table"))
           .isin(tables: _*))
-    val aligned = filtered.select(
-      LakeReadSource.changelogSchema.fieldNames.map(col).toSeq: _*)
-    StreamBridge.streamingDataFrame(
-      spark, StreamBridge.toRdd(aligned), LakeReadSource.changelogSchema)
+    val aligned = typedRel match {
+      case Some(rel) => LakeReadSource.typedProject(filtered, rel)
+      case None =>
+        filtered.select(LakeReadSource.changelogSchema.fieldNames.map(col).toSeq: _*)
+    }
+    StreamBridge.streamingDataFrame(spark, StreamBridge.toRdd(aligned), schema)
   }
 
   // commit() seeds `planned` on restart (the engine replays the last
@@ -285,4 +316,26 @@ object LakeReadSource {
   val changelogSchema: StructType = StructType(
     graft.cdc.ChangeEvent.schema.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField("batch_id", LongType, nullable = true))
+
+  /** Typed change feed: the same projection as the live registry's typed
+    * views ([[graft.cdc.ChangeEvent.typedView]] — delete rows carry their
+    * `before` image, everything else `after`), plus `batch_id`.
+    */
+  def typedProject(envelope: DataFrame, rel: graft.pgproto.Messages.Relation): DataFrame = {
+    val image = org.apache.spark.sql.functions
+      .when(col("op") === "delete", col("before")).otherwise(col("after"))
+    envelope
+      .filter(col("schema") === rel.namespace && col("table") === rel.name)
+      .select(Seq(col("lsn"), col("commit_lsn"), col("xid"), col("op"),
+        col("commit_time")) ++
+        graft.types.PgTypes.typedColumns(rel, image) :+ col("batch_id"): _*)
+  }
+
+  /** The typed feed's schema, derived from the projection itself so it can
+    * never drift from what [[typedProject]] produces.
+    */
+  def typedSchema(spark: SparkSession, rel: graft.pgproto.Messages.Relation): StructType =
+    typedProject(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], changelogSchema), rel).schema
 }

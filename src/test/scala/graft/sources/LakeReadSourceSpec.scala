@@ -169,6 +169,43 @@ class LakeReadSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: typed change feed projects through the persisted relation schema") {
+    withLake { (sink, dir) =>
+      sink.writeRelations(spark, Seq(graft.pgproto.Messages.Relation(
+        0L, 9001L, "public", "users", 'f'.toByte,
+        Array(
+          graft.pgproto.Messages.RelationColumn("id", 23L, -1, 1),
+          graft.pgproto.Messages.RelationColumn("name", 25L, -1, 0)))))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")),
+        ev(2, "insert", "orders", null, Map("id" -> "7", "total" -> "9.5")),
+        ev(3, "delete", "users", Map("id" -> "1", "name" -> "a"), null))), 0L)
+      val ckpt = Files.createTempDirectory("lake-read-ckpt4").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String)]()
+      try {
+        val df = spark.readStream.format("graft-lake").option("path", dir)
+          .option("table", "public.users").option("typed", "true").load()
+        assert(df.schema("id").dataType ==
+          org.apache.spark.sql.types.IntegerType, "typed id column")
+        val q = df.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            b.select("id", "name", "op").collect()
+              .foreach(r => got.add((r.getInt(0), r.getString(1), r.getString(2))))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+        val rows = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(got.iterator()).asScala.toSeq.sortBy(_._3)
+        assert(rows == Seq((1, "a", "delete"), (1, "a", "insert")),
+          s"typed rows with the delete carrying its before image; got $rows")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      }
+    }
+  }
+
   test("streaming: a restart below the vacuum high-water mark refuses the gap") {
     withLake { (sink, dir) =>
       seed(sink)
