@@ -35,17 +35,27 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
       s"ordered_pairs requires array<bigint> input, got ${other.catalogString}")
   }
 
+  // Null slots are SKIPPED (pairs are over the non-null elements): a null
+  // slot read through getLong returns garbage, which would fabricate pair
+  // ids — so the elements compact into a dense buffer first.
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
-    var k = 0
+    val vals = new Array[Long](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val d1 = a.getLong(i)
+      if (!a.isNullAt(i)) { vals(m) = a.getLong(i); m += 1 }
+      i += 1
+    }
+    val out = new Array[Any](OrderedPairs.javaOutSize(m))
+    var k = 0
+    i = 0
+    while (i < m) {
+      val d1 = vals(i)
       var j = i + 1
-      while (j < n) {
-        out(k) = new GenericInternalRow(Array[Any](d1, a.getLong(j)))
+      while (j < m) {
+        out(k) = new GenericInternalRow(Array[Any](d1, vals(j)))
         k += 1
         j += 1
       }
@@ -57,6 +67,8 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
+      val vals = ctx.freshName("vals")
+      val m = ctx.freshName("m")
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -64,13 +76,19 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
       val d1 = ctx.freshName("d1")
       s"""
          |int $n = $a.numElements();
-         |Object[] $out = new Object[$n * ($n - 1) / 2];
-         |int $k = 0;
+         |long[] $vals = new long[$n];
+         |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $d1 = $a.getLong($i);
-         |  for (int $j = $i + 1; $j < $n; $j++) {
+         |  if (!$a.isNullAt($i)) { $vals[$m++] = $a.getLong($i); }
+         |}
+         |Object[] $out = new Object[
+         |  graft.functions.OrderedPairs$$.MODULE$$.javaOutSize($m)];
+         |int $k = 0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $d1 = $vals[$i];
+         |  for (int $j = $i + 1; $j < $m; $j++) {
          |    $out[$k++] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |      new Object[] { $d1, $a.getLong($j) });
+         |      new Object[] { $d1, $vals[$j] });
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -80,6 +98,20 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
     copy(child = newChild)
   override def prettyName: String = "ordered_pairs"
+}
+
+object OrderedPairs {
+  /** n·(n-1)/2 in long arithmetic — 46_341 elements already overflows the
+    * int form into a negative allocation size. Called from generated code.
+    */
+  def javaOutSize(n: Int): Int = {
+    val m = n.toLong * (n - 1L) / 2L
+    if (m > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"ordered_pairs input of $n elements would emit $m pairs — cap the " +
+          "list upstream (the dedup path df-caps it)")
+    m.toInt
+  }
 }
 
 /** Count of common elements between two ASCENDING-sorted long arrays, each

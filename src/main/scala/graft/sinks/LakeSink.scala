@@ -75,6 +75,7 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
   private def changelogDir = new Path(root, "changelog")
   private def baseDataDir = new Path(root, "_base_data")
   private def vacuumedFile = new Path(commitDir, "_vacuumed")
+  private def vacuumedLowFile = new Path(commitDir, "_vacuumed_low")
 
   /** `writeStream.foreachBatch(sink.appendBatch _)` target: land one
     * micro-batch of the envelope, exactly once. A replayed batch id whose
@@ -88,7 +89,12 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     if (f.exists(marker)) return // committed by a previous attempt
     // A vacuumed batch's marker is gone but its content lives in BASE; a
     // replay from a stale checkpoint must not re-land it as new data.
-    if (batchId <= watermark(spark)) return
+    // The folded set is the interval [minFolded, watermark] — a LATE
+    // snapshot batch (id below every previously folded id, e.g. a
+    // mid-stream table addition after a compaction) is genuinely new and
+    // must land, not be mistaken for a replay.
+    val m = readManifest(f)
+    if (m.exists(mm => batchId <= mm.watermark && batchId >= mm.minFolded)) return
     batch.write.mode("overwrite")
       .parquet(new Path(changelogDir, s"batch_id=$batchId").toString)
     f.mkdirs(commitDir)
@@ -110,6 +116,13 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
   def watermark(spark: SparkSession): Long =
     readManifest(fs(spark)).map(_.watermark).getOrElse(Long.MinValue)
 
+  /** Lowest batch id folded into BASE (Long.MinValue before the first
+    * compaction). The folded set is exactly `[foldedLow, watermark]`;
+    * committed ids OUTSIDE that interval are the fold's changelog tail.
+    */
+  def foldedLow(spark: SparkSession): Long =
+    readManifest(fs(spark)).map(_.minFolded).getOrElse(Long.MinValue)
+
   /** Current BASE manifest version (0 before the first compaction). */
   def baseVersion(spark: SparkSession): Long =
     readManifest(fs(spark)).map(_.version).getOrElse(0L)
@@ -125,8 +138,17 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     * Uncommitted / half-written batch directories are filtered out by the
     * commit log, not by file inspection.
     */
-  def changelog(spark: SparkSession, fromBatch: Long = Long.MinValue): DataFrame = {
-    val ids = committedBatchIds(spark).filter(_ > fromBatch)
+  def changelog(spark: SparkSession, fromBatch: Long = Long.MinValue): DataFrame =
+    changelogOf(spark, committedBatchIds(spark).filter(_ > fromBatch))
+
+  /** The committed changelog OUTSIDE the id interval `[lo, hi]` — the fold
+    * tail relative to a folded/delivered interval in the two-sided id
+    * space (late snapshot batches sit below `lo`, new epochs above `hi`).
+    */
+  def changelogOutside(spark: SparkSession, lo: Long, hi: Long): DataFrame =
+    changelogOf(spark, committedBatchIds(spark).filter(id => id < lo || id > hi))
+
+  private def changelogOf(spark: SparkSession, ids: Seq[Long]): DataFrame = {
     if (ids.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.cdc.ChangeEvent.schema.add("batch_id", "long"))
@@ -210,7 +232,8 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
   def latestState(spark: SparkSession, schemaName: String, table: String): DataFrame = {
     val m = readManifest(fs(spark))
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
-    val tail = keyedEvents(changelog(spark, wm)
+    val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
+    val tail = keyedEvents(changelogOutside(spark, lo, wm)
         .filter(col("schema") === schemaName && col("table") === table))
       .drop("schema", "table")
     // BASE holds no truncate rows (they fold away), so the tail alone
@@ -242,19 +265,30 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     */
   def stateAsOf(
       spark: SparkSession, schemaName: String, table: String,
-      asOf: Long): DataFrame = {
+      asOf: Long, floor: Long = Long.MinValue): DataFrame = {
     val f = fs(spark)
+    // `floor` additionally bounds the read from BELOW in the two-sided id
+    // space (maintained views pin their recompute to exactly the interval
+    // they have applied, so a concurrently landing late snapshot batch
+    // cannot tear a dirty-group rebuild). Manifests whose fold dips under
+    // the floor are skipped — older manifests have equal-or-higher floors.
     val m = manifestVersions(f).map(readManifestVersion(f, _))
-      .filter(_.watermark <= asOf).lastOption
+      .filter(mm => mm.watermark <= asOf && mm.minFolded >= floor).lastOption
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
+    val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
     val vh = vacuumHighWater(spark)
     if (vh > wm)
       throw new IllegalStateException(
         s"state as of batch $asOf needs the changelog after fold point $wm, " +
           s"but vacuum has deleted batches through $vh — that history is " +
           "no longer retained (run time-travel reads before vacuum passes them)")
-    val tail = keyedEvents(changelog(spark, wm)
-        .filter(col("batch_id") <= asOf)
+    if (vacuumLowWater(spark) < math.max(lo, floor))
+      throw new IllegalStateException(
+        s"state as of batch $asOf needs the changelog below fold floor $lo, " +
+          "but vacuum has deleted snapshot batches beneath it — that history " +
+          "is no longer retained")
+    val tail = keyedEvents(changelogOutside(spark, lo, wm)
+        .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
         .filter(col("schema") === schemaName && col("table") === table))
       .drop("schema", "table")
     val truncAt = maxTruncate(tail)
@@ -431,13 +465,18 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     if (ids.isEmpty) return
     val m = readManifest(f)
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
-    val hi = ids.max
-    if (hi <= wm) return
+    val mf = m.map(_.minFolded).getOrElse(Long.MaxValue)
+    // new work on EITHER side of the folded interval: epochs above the
+    // watermark, or a late snapshot batch below the fold floor
+    if (ids.max <= wm && ids.min >= mf) return
+    val hi = math.max(ids.max, wm)
+    val newLow = math.min(ids.min, mf)
     val n = m.map(_.buckets).getOrElse(baseBuckets)
     val newV = m.map(_.version + 1).getOrElse(1L)
     val oldEntries = m.map(_.entries).getOrElse(Map.empty[(String, String, Int), String])
 
-    val tail = keyedEvents(changelog(spark, wm))
+    val tail = keyedEvents(changelogOutside(
+      spark, m.map(_.minFolded).getOrElse(Long.MinValue), wm))
     // Touched buckets + truncate position per table: ≤ tables × (buckets+2)
     // cells — planning-scale, bounded by the schema, not the data.
     val perTable = tail.groupBy(col("schema"), col("table"))
@@ -494,7 +533,7 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
         (sch, tbl, b) -> s"_base_data/v$newV/schema=$sch/table=$tbl/bucket=$b")
     }
 
-    val newManifest = Manifest(newV, hi, n, entries)
+    val newManifest = Manifest(newV, hi, n, entries, newLow)
     writeManifest(f, newManifest)
     // GC: keep the new manifest and its predecessor (in-flight readers of
     // the old manifest may still be scanning its exclusive slices); drop
@@ -524,27 +563,51 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     * watermark.
     */
   def cursor(spark: SparkSession, name: String): Long =
-    readLongFile(fs(spark), new Path(new Path(root, "_graft_cursors"), name),
-      Long.MinValue)
+    cursorInterval(spark, name)._2
 
-  /** Deliver all committed batches past `name`'s cursor to `fn`, then
-    * advance the cursor. Returns the number of NEW batches delivered
-    * (0 = up to date, `fn` not invoked).
+  /** The full two-sided cursor: the id interval `[neg, pos]` this consumer
+    * has been delivered ((0, Long.MinValue) = nothing yet). The id space
+    * grows BOTH ways — epochs up from 0, snapshot batches down from -1 —
+    * so a single max-id cursor would silently skip a late snapshot batch
+    * (a mid-stream table addition) forever.
+    */
+  def cursorInterval(spark: SparkSession, name: String): (Long, Long) = {
+    val p = new Path(new Path(root, "_graft_cursors"), name)
+    readSmallFile(fs(spark), p) match {
+      case None => (0L, Long.MinValue)
+      case Some(s) => s.split(":") match {
+        case Array(a, b) => (a.toLong, b.toLong)
+        case Array(a) => (0L, a.toLong) // legacy single-ended cursor
+        case _ => throw new IllegalStateException(s"unreadable cursor $p: '$s'")
+      }
+    }
+  }
+
+  /** Deliver all committed batches OUTSIDE `name`'s cursor interval to
+    * `fn` — new epochs above it and late snapshot batches below it — then
+    * advance the cursor both ways. Returns the number of NEW batches
+    * delivered (0 = up to date, `fn` not invoked).
     */
   def poll(spark: SparkSession, name: String)(fn: DataFrame => Unit): Int = {
-    val from = cursor(spark, name)
+    val (neg, pos) = cursorInterval(spark, name)
     val vh = vacuumHighWater(spark)
-    if (from < vh)
+    if (pos < vh)
       throw new IllegalStateException(
-        s"lake consumer '$name' cursor $from is below the vacuum high-water " +
+        s"lake consumer '$name' cursor $pos is below the vacuum high-water " +
           s"mark $vh — the batches in between were deleted; re-bootstrap " +
           "from latestState")
-    val ids = committedBatchIds(spark).filter(_ > from)
+    if (vacuumLowWater(spark) < neg)
+      throw new IllegalStateException(
+        s"lake consumer '$name' floor $neg is above the vacuum low-water " +
+          s"mark ${vacuumLowWater(spark)} — a snapshot batch beneath it was " +
+          "deleted before delivery; re-bootstrap from latestState")
+    val ids = committedBatchIds(spark).filter(id => id < neg || id > pos)
     if (ids.isEmpty) return 0
-    fn(changelog(spark, from))
+    fn(changelogOutside(spark, neg, pos))
     val f = fs(spark)
     f.mkdirs(new Path(root, "_graft_cursors"))
-    writeLongAtomic(f, new Path(new Path(root, "_graft_cursors"), name), ids.max)
+    writeStringAtomic(f, new Path(new Path(root, "_graft_cursors"), name),
+      s"${math.min(neg, ids.min)}:${math.max(pos, ids.max)}")
     ids.size
   }
 
@@ -553,6 +616,14 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     */
   def vacuumHighWater(spark: SparkSession): Long =
     readLongFile(fs(spark), vacuumedFile, Long.MinValue)
+
+  /** Lowest batch id [[vacuum]] has ever deleted (Long.MaxValue if none).
+    * The negative-side counterpart of [[vacuumHighWater]]: a consumer
+    * whose delivered floor lies ABOVE it may have missed a vacuumed
+    * snapshot batch.
+    */
+  def vacuumLowWater(spark: SparkSession): Long =
+    readLongFile(fs(spark), vacuumedLowFile, Long.MaxValue)
 
   /** Scrapeable gauges for [[graft.streaming.GraftMetricsServer]]'s
     * `graft_lake_*` family: wire `lakeGauges = Some(() =>
@@ -573,15 +644,18 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       "watermark" -> (if (wm == Long.MinValue) -1.0 else wm.toDouble))
   }
 
-  /** Drop changelog batches already folded into BASE (id ≤ watermark),
-    * markers included, and advance the vacuum high-water mark. Safe any
-    * time after [[compact]]: readers resolve state as BASE +
-    * post-watermark tail and never look below it.
+  /** Drop changelog batches already folded into BASE — exactly the ids in
+    * `[foldedLow, watermark]` — markers included, and advance the vacuum
+    * high- and low-water marks. Safe any time after [[compact]]: readers
+    * resolve state as BASE + the outside-the-interval tail and never look
+    * inside it. A LATE snapshot batch below the fold floor is NOT folded
+    * yet and survives until the next compaction absorbs it.
     */
   def vacuum(spark: SparkSession): Unit = {
     val wm = watermark(spark)
+    val lo = foldedLow(spark)
     val f = fs(spark)
-    val dropped = committedBatchIds(spark).filter(_ <= wm)
+    val dropped = committedBatchIds(spark).filter(id => id >= lo && id <= wm)
     dropped.foreach { id =>
       f.delete(new Path(changelogDir, s"batch_id=$id"), true)
       f.delete(new Path(commitDir, id.toString), false)
@@ -589,6 +663,8 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     if (dropped.nonEmpty) {
       val newHigh = math.max(dropped.max, vacuumHighWater(spark))
       writeLongAtomic(f, vacuumedFile, newHigh)
+      val newLow = math.min(dropped.min, vacuumLowWater(spark))
+      writeLongAtomic(f, vacuumedLowFile, newLow)
     }
   }
 
@@ -614,17 +690,33 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
-    val Array(wm, n) = lines.head.split("\t")
+    val head = lines.head.split("\t")
+    val (wm, n) = (head(0).toLong, head(1).toInt)
+    val minFolded = if (head.length > 2) head(2).toLong else Long.MinValue
     val entries = lines.tail.map { l =>
       val Array(s, t, b, rel) = l.split("\t", 4)
       (s, t, b.toInt) -> rel
     }.toMap
-    Manifest(v, wm.toLong, n.toInt, entries)
+    Manifest(v, wm, n, entries, minFolded)
   }
 
-  /** Newest committed manifest, if any compaction has published one. */
+  /** Newest committed manifest, if any compaction has published one.
+    * Refuses a PRE-MANIFEST lake root (a `base/` dir or `_watermark` file
+    * from the old two-rename layout with no manifest): silently ignoring
+    * the old base would fold tail-only state — quiet data loss for any
+    * already-vacuumed root.
+    */
   private def readManifest(f: FileSystem): Option[Manifest] =
-    manifestVersions(f).lastOption.map(readManifestVersion(f, _))
+    manifestVersions(f).lastOption.map(readManifestVersion(f, _)).orElse {
+      if (f.exists(new Path(root, "base")) ||
+          f.exists(new Path(commitDir, "_watermark")))
+        throw new IllegalStateException(
+          s"lake root $root uses the pre-manifest base layout (base/ dir or " +
+            "_watermark file, no _base_manifest.*) — its folded state is not " +
+            "readable by this version; re-root the lake or rebuild base by " +
+            "re-landing the changelog")
+      None
+    }
 
   /** Publish a manifest: full content to a temp name, then one rename to
     * the (fresh) versioned name — atomic on every Hadoop filesystem, so a
@@ -635,7 +727,8 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     val dst = new Path(commitDir, ManifestPrefix + m.version)
     val tmp = new Path(commitDir, ManifestPrefix + m.version + ".tmp")
     val sb = new StringBuilder
-    sb.append(m.watermark).append('\t').append(m.buckets).append('\n')
+    sb.append(m.watermark).append('\t').append(m.buckets)
+      .append('\t').append(m.minFolded).append('\n')
     m.entries.toSeq.sortBy { case ((s, t, b), _) => (s, t, b) }
       .foreach { case ((s, t, b), rel) =>
         sb.append(s).append('\t').append(t).append('\t')
@@ -683,13 +776,40 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     * delete-before-rename window is covered on the read side, which
     * retries while the temp file exists).
     */
-  private def writeLongAtomic(f: FileSystem, p: Path, v: Long): Unit = {
+  private def writeLongAtomic(f: FileSystem, p: Path, v: Long): Unit =
+    writeStringAtomic(f, p, v.toString)
+
+  private def writeStringAtomic(f: FileSystem, p: Path, s: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (f.exists(p)) f.delete(p, false)
     f.rename(tmp, p)
+  }
+
+  /** Read a small state file written by [[writeStringAtomic]], tolerating
+    * a concurrent swap like [[readLongFile]] (absent-with-temp-sibling or
+    * empty reads retry briefly). None = genuinely absent.
+    */
+  private def readSmallFile(f: FileSystem, p: Path): Option[String] = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    var attempt = 0
+    while (true) {
+      if (!f.exists(p)) {
+        if (!f.exists(tmp) || attempt >= 10) return None
+      } else {
+        val in = f.open(p)
+        val s =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        if (s.nonEmpty) return Some(s)
+        if (attempt >= 10) return None // torn write with nothing recoverable
+      }
+      attempt += 1
+      Thread.sleep(10)
+    }
+    None // unreachable
   }
 
   /** Read a small long-valued file written by [[writeLongAtomic]].
@@ -732,9 +852,19 @@ object LakeSink {
   /** The BASE pointer: folded watermark, bucket count, and the slice map
     * (schema, table, bucket) → data dir relative to the lake root.
     */
+  /** `minFolded` is the LOWEST batch id folded into this base — the folded
+    * set is exactly the id interval `[minFolded, watermark]`. Needed
+    * because the id space is two-sided (snapshots count down from -1,
+    * epochs up from 0): a late snapshot landing after a compaction sits
+    * BELOW the folded interval, and every reader folds it from the
+    * changelog until the next compaction absorbs it. Legacy manifests
+    * without the field read as Long.MinValue (one-sided, pre-two-sided
+    * behavior).
+    */
   private[sinks] final case class Manifest(
       version: Long, watermark: Long, buckets: Int,
-      entries: Map[(String, String, Int), String])
+      entries: Map[(String, String, Int), String],
+      minFolded: Long = Long.MinValue)
 
   /** Folded-image slice schema — read with it explicitly so empty slices
     * and empty folds never trip schema inference.

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * two image maps); `joinType` may be inner (default), left_outer,
   * right_outer, or full_outer — dirty-key recompute carries a key's full
   * row set including null-extended rows, so every type maintains the same
-  * way. Commit protocol and crash safety are [[StateLog]]'s
-  * marker-then-cursor story, identical to [[MaintainedView]].
+  * way. Rows whose join key is NULL never equi-match, but the outer types
+  * still null-extend them: they form their own segment of the state
+  * (`jk` null), carried forward untouched and recomputed whole whenever a
+  * span touches a null-keyed row on a preserved side. Commit protocol and
+  * crash safety are [[StateLog]]'s marker-then-cursor story, identical to
+  * [[MaintainedView]].
   *
   * Prerequisite: each side's join key must be extractable from its before
   * images too — i.e. the key columns are part of the replica identity
@@ -52,10 +56,44 @@ final class MaintainedJoin(
       .select(explode(array(key(col("before")), key(col("after")))).as("jk"))
       .filter(col("jk").isNotNull).distinct()
 
-  /** One side's current rows keyed for the join, at a batch boundary. */
+  /** Did a span's events touch a NULL-keyed row on either side? A null
+    * join key never equi-matches, but outer types must still null-extend
+    * such rows, so they form their own dirty segment. An absent image
+    * (insert's `before`, delete's `after`) is not a null key.
+    */
+  private def nullTouched(span: DataFrame, side: (String, String),
+      key: Column => Column): Boolean =
+    !tableEvents(span, side).filter(
+      (col("before").isNotNull && key(col("before")).isNull) ||
+        (col("after").isNotNull && key(col("after")).isNull)).isEmpty
+
+  /** The null-keyed segment at a boundary: rows whose join key is null,
+    * null-extended on the other side — contributed only by the sides an
+    * outer type preserves (inner contributes none).
+    */
+  private def nullSegment(
+      spark: SparkSession, asOf: Long, floor: Long): Option[DataFrame] = {
+    def side(s: (String, String), key: Column => Column, own: String,
+        other: String): DataFrame =
+      lake.stateAsOf(spark, s._1, s._2, asOf, floor)
+        .filter(key(col("after")).isNull)
+        .select(key(col("after")).as("jk"), col("after").as(own))
+        .withColumn(other, lit(null).cast("map<string,string>"))
+        .select(col("jk"), col("left_after"), col("right_after"))
+    val parts =
+      (if (joinType == "left_outer" || joinType == "full_outer")
+        Seq(side(left, leftKey, "left_after", "right_after")) else Seq.empty) ++
+      (if (joinType == "right_outer" || joinType == "full_outer")
+        Seq(side(right, rightKey, "right_after", "left_after")) else Seq.empty)
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  /** One side's current rows keyed for the join, pinned to the applied
+    * interval `[floor, asOf]`.
+    */
   private def sideAsOf(spark: SparkSession, side: (String, String),
-      key: Column => Column, asOf: Long, out: String): DataFrame =
-    lake.stateAsOf(spark, side._1, side._2, asOf)
+      key: Column => Column, asOf: Long, floor: Long, out: String): DataFrame =
+    lake.stateAsOf(spark, side._1, side._2, asOf, floor)
       .select(key(col("after")).as("jk"), col("after").as(out))
       .filter(col("jk").isNotNull)
 
@@ -65,37 +103,55 @@ final class MaintainedJoin(
     l.join(r, Seq("jk"), joinType)
       .select(col("jk"), col("left_after"), col("right_after"))
 
-  /** Apply every newly committed lake batch to the join. Returns the
-    * number of batches applied (0 = already current).
+  /** Apply every newly committed lake batch to the join (including a late
+    * snapshot batch below the cursor's floor — a mid-stream table
+    * addition). Returns the number of batches applied (0 = already
+    * current).
     */
   def refresh(spark: SparkSession): Int = {
-    val from = lake.cursor(spark, cursorName)
+    val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
-      val hi = span.agg(max(col("batch_id").cast("long"))).head().getLong(0)
-      if (!states.isCommitted(f, hi)) {
-        val lNew = sideAsOf(spark, left, leftKey, hi, "left_after")
-        val rNew = sideAsOf(spark, right, rightKey, hi, "right_after")
+      val bounds = span
+        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
+        .head()
+      val key = (math.min(from._1, bounds.getLong(0)),
+        math.max(from._2, bounds.getLong(1)))
+      if (!states.isCommitted(f, key)) {
+        val lNew = sideAsOf(spark, left, leftKey, key._2, key._1, "left_after")
+        val rNew = sideAsOf(spark, right, rightKey, key._2, key._1, "right_after")
         val truncated = !span.filter(col("op") === "truncate" &&
           (col("schema") === left._1 && col("table") === left._2 ||
             col("schema") === right._1 && col("table") === right._2)).isEmpty
         val next =
-          if (truncated) joined(lNew, rNew) // rare: rebuild at the boundary
-          else {
+          if (truncated) { // rare: rebuild at the boundary
+            val rebuilt = joined(lNew, rNew)
+            nullSegment(spark, key._2, key._1)
+              .map(rebuilt.unionByName(_)).getOrElse(rebuilt)
+          } else {
             val touched = touchedKeys(span, left, leftKey)
               .union(touchedKeys(span, right, rightKey)).distinct()
-            val prev = states.committed(f).filter(_ <= from).lastOption
+            val prev = states.latestWithin(f, from)
               .map(states.read(spark, _))
               .getOrElse(joined(lNew.limit(0), rNew.limit(0)))
             val recomputed = joined(
               lNew.join(touched, Seq("jk"), "left_semi"),
               rNew.join(touched, Seq("jk"), "left_semi"))
-            prev.join(broadcast(touched), Seq("jk"), "left_anti")
+            // a null jk never matches the anti join, so the clean null
+            // segment carries forward with the untouched keys; when a
+            // span touches a null-keyed row, the segment recomputes whole
+            val spliced = prev.join(broadcast(touched), Seq("jk"), "left_anti")
               .unionByName(recomputed)
+            if (nullTouched(span, left, leftKey) ||
+                nullTouched(span, right, rightKey)) {
+              val keyedOnly = spliced.filter(col("jk").isNotNull)
+              nullSegment(spark, key._2, key._1)
+                .map(keyedOnly.unionByName(_)).getOrElse(keyedOnly)
+            } else spliced
           }
-        states.commit(f, next, hi)
+        states.commit(f, next, key)
       }
-      states.gcBelow(f, from)
+      states.gcWithin(f, from)
     }
   }
 
@@ -103,17 +159,17 @@ final class MaintainedJoin(
     * sink's, like [[MaintainedView.gauges]].
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
-    val asOf = states.committed(states.fs(spark)).lastOption
-    val lag = lake.committedBatchIds(spark)
-      .count(_ > lake.cursor(spark, cursorName))
+    val asOf = states.latest(states.fs(spark))
+    val (neg, pos) = lake.cursorInterval(spark, cursorName)
+    val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(
-      s"join_${name}_asof" -> asOf.getOrElse(-1L).toDouble,
+      s"join_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
       s"join_${name}_lag_batches" -> lag.toDouble)
   }
 
   /** The current join: `jk`, `left_after`, `right_after`. */
   def read(spark: SparkSession): DataFrame =
-    states.committed(states.fs(spark)).lastOption
+    states.latest(states.fs(spark))
       .map(states.read(spark, _))
       .getOrElse {
         val empty = spark.createDataFrame(

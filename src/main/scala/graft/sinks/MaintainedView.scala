@@ -39,29 +39,39 @@ final class MaintainedView(
   private val states = new StateLog(new Path(lake.root, s"_graft_views/$name"))
   private def cursorName = s"view_$name"
 
-  /** Apply every newly committed lake batch to the view. Returns the
-    * number of batches applied (0 = already current).
+  /** Apply every newly committed lake batch to the view (including a LATE
+    * snapshot batch below the cursor's floor — a mid-stream table
+    * addition). Returns the number of batches applied (0 = already
+    * current).
     */
   def refresh(spark: SparkSession): Int = {
-    val from = lake.cursor(spark, cursorName)
+    val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
       // partition-column inference can type small batch_id values as int
-      val hi = span.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      val bounds = span
+        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
+        .head()
+      val key = (math.min(from._1, bounds.getLong(0)),
+        math.max(from._2, bounds.getLong(1)))
       // replay where only the cursor advance was lost: the state for this
       // span is already committed — rewriting it would tear a concurrent
       // read; just let poll re-advance the cursor
-      if (!states.isCommitted(f, hi)) {
-        val prev = states.committed(f).filter(_ <= from).lastOption
+      if (!states.isCommitted(f, key)) {
+        val prev = states.latestWithin(f, from)
           .map(states.read(spark, _)).getOrElse(agg.init(spark))
         val events = span.filter(
           col("schema") === schemaName && col("table") === table)
+        // recompute source pinned to exactly the applied interval: asOf
+        // bounds the top, the floor keeps a concurrently landing late
+        // snapshot (not in this span) out of the dirty-group rebuild
         val next = agg.step(prev, events,
-          lake.stateAsOf(spark, schemaName, table, hi).select(col("after")))
-        states.commit(f, next, hi)
+          lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+            .select(col("after")))
+        states.commit(f, next, key)
       }
-      // previous states below the replay horizon are unreachable now
-      states.gcBelow(f, from)
+      // previous states inside the replay horizon are unreachable now
+      states.gcWithin(f, from)
     }
   }
 
@@ -69,7 +79,7 @@ final class MaintainedView(
     * `max_<m>` — group-cardinality, no fold, no scan of the table.
     */
   def read(spark: SparkSession): DataFrame =
-    states.committed(states.fs(spark)).lastOption match {
+    states.latest(states.fs(spark)) match {
       case Some(v) => agg.view(states.read(spark, v))
       case None    => agg.view(agg.init(spark))
     }
@@ -79,11 +89,11 @@ final class MaintainedView(
     * view.gauges(spark))`. Driver-side metadata listings only.
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
-    val asOf = states.committed(states.fs(spark)).lastOption
-    val lag = lake.committedBatchIds(spark)
-      .count(_ > lake.cursor(spark, cursorName))
+    val asOf = states.latest(states.fs(spark))
+    val (neg, pos) = lake.cursorInterval(spark, cursorName)
+    val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(
-      s"view_${name}_asof" -> asOf.getOrElse(-1L).toDouble,
+      s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
       s"view_${name}_lag_batches" -> lag.toDouble)
   }
 }

@@ -5,42 +5,85 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Marker-committed parquet state versions under one directory — the
   * shared persistence protocol of the maintained views: state for a span
-  * lands under `asof=<hi>` and becomes visible only once its marker in
-  * `_commits/<hi>` exists, so a crash mid-write is invisible and a replay
+  * lands under `asof=<neg>_<pos>` and becomes visible only once its marker
+  * in `_commits/` exists, so a crash mid-write is invisible and a replay
   * that finds its marker skips the rewrite (concurrent reads never see a
   * committed version torn).
+  *
+  * Versions are keyed by the consumer's CURSOR INTERVAL after the span —
+  * the two-sided `[neg, pos]` batch-id range applied so far (epochs count
+  * up from 0, snapshot batches down from -1). Intervals only ever grow,
+  * so version order is containment order: the latest state is the maximal
+  * interval, and the replay-prev for a span is the maximal version
+  * contained in the pre-span cursor. A legacy single-ended version
+  * `asof=<hi>` reads as `[0, hi]`.
   */
 private[sinks] final class StateLog(dir: Path) {
 
   private def commitsDir = new Path(dir, "_commits")
 
+  private def keyOf(name: String): Option[(Long, Long)] =
+    name.split("_") match {
+      case Array(a, b) => for (n <- a.toLongOption; p <- b.toLongOption) yield (n, p)
+      case Array(a) => a.toLongOption.map(v => (0L, v))
+      case _ => None
+    }
+
+  private def nameOf(key: (Long, Long)): String = s"${key._1}_${key._2}"
+
   def fs(spark: SparkSession): FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed state versions, ascending. */
-  def committed(f: FileSystem): Seq[Long] =
+  /** Committed versions in containment order (latest = last). */
+  def committed(f: FileSystem): Seq[(Long, Long)] =
     if (!f.exists(commitsDir)) Seq.empty
     else f.listStatus(commitsDir).toSeq
-      .flatMap(st => st.getPath.getName.toLongOption).sorted
+      .flatMap(st => keyOf(st.getPath.getName))
+      .sortBy { case (n, p) => (p, -n) }
 
-  def read(spark: SparkSession, asOf: Long): DataFrame =
-    spark.read.parquet(new Path(dir, s"asof=$asOf").toString)
+  /** The newest committed version, if any. */
+  def latest(f: FileSystem): Option[(Long, Long)] = committed(f).lastOption
 
-  def isCommitted(f: FileSystem, asOf: Long): Boolean =
-    f.exists(new Path(commitsDir, asOf.toString))
+  /** The replay-prev: the maximal committed version CONTAINED in the
+    * pre-span cursor interval (so a replayed span recomputes from the
+    * state before it, never from its own output).
+    */
+  def latestWithin(f: FileSystem, from: (Long, Long)): Option[(Long, Long)] =
+    committed(f).filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
 
-  /** Write one state version and commit it with a marker. */
-  def commit(f: FileSystem, state: DataFrame, asOf: Long): Unit = {
-    state.write.mode("overwrite")
-      .parquet(new Path(dir, s"asof=$asOf").toString)
-    f.mkdirs(commitsDir)
-    f.create(new Path(commitsDir, asOf.toString), true).close()
+  def read(spark: SparkSession, key: (Long, Long)): DataFrame = {
+    val legacy = new Path(dir, s"asof=${key._2}")
+    val p = if (key._1 == 0 && fs(spark).exists(legacy)) legacy
+      else new Path(dir, s"asof=${nameOf(key)}")
+    spark.read.parquet(p.toString)
   }
 
-  /** Drop versions strictly below the replay horizon. */
-  def gcBelow(f: FileSystem, horizon: Long): Unit =
-    committed(f).filter(_ < horizon).foreach { v =>
-      f.delete(new Path(dir, s"asof=$v"), true)
-      f.delete(new Path(commitsDir, v.toString), false)
+  def isCommitted(f: FileSystem, key: (Long, Long)): Boolean =
+    f.exists(new Path(commitsDir, nameOf(key))) ||
+      (key._1 == 0 && f.exists(new Path(commitsDir, key._2.toString)))
+
+  /** Write one state version and commit it with a marker. */
+  def commit(f: FileSystem, state: DataFrame, key: (Long, Long)): Unit = {
+    state.write.mode("overwrite")
+      .parquet(new Path(dir, s"asof=${nameOf(key)}").toString)
+    f.mkdirs(commitsDir)
+    f.create(new Path(commitsDir, nameOf(key)), true).close()
+  }
+
+  /** Drop versions strictly contained in the replay horizon, except the
+    * maximal one (the replay-prev stays until the horizon passes it).
+    */
+  def gcWithin(f: FileSystem, from: (Long, Long)): Unit = {
+    val within = committed(f)
+      .filter { case (n, p) => n >= from._1 && p <= from._2 }
+    within.dropRight(1).foreach { key =>
+      val legacyName = if (key._1 == 0) Some(key._2.toString) else None
+      f.delete(new Path(dir, s"asof=${nameOf(key)}"), true)
+      f.delete(new Path(commitsDir, nameOf(key)), false)
+      legacyName.foreach { n =>
+        f.delete(new Path(dir, s"asof=$n"), true)
+        f.delete(new Path(commitsDir, n), false)
+      }
     }
+  }
 }

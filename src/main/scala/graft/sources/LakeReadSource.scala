@@ -149,18 +149,28 @@ final class LakeReadSourceProvider
 
 /** Contiguous delivered-id interval `[neg, pos]` over the lake's two-sided
   * batch-id space (snapshots ≤ -1, stream epochs ≥ 0). `LakeOffset(0, -1)`
-  * is the empty interval.
+  * is the empty interval. `vl` rides along as the vacuum low-water mark
+  * this consumer has ACKNOWLEDGED as innocent (deleted-but-delivered or
+  * pre-birth) — checkpointing it is what lets a restart tell a gap that
+  * opened while the query was down from history vacuumed before it ever
+  * existed. Long.MaxValue = nothing acknowledged yet.
   */
-final case class LakeOffset(neg: Long, pos: Long) extends OffsetV1 {
-  override def json: String = s"""{"neg":$neg,"pos":$pos}"""
+final case class LakeOffset(neg: Long, pos: Long, vl: Long = Long.MaxValue)
+    extends OffsetV1 {
+  override def json: String =
+    if (vl == Long.MaxValue) s"""{"neg":$neg,"pos":$pos}"""
+    else s"""{"neg":$neg,"pos":$pos,"vl":$vl}"""
 }
 
 object LakeOffset {
   val empty: LakeOffset = LakeOffset(0L, -1L)
-  private val Pattern: Regex = """\{"neg":(-?\d+),"pos":(-?\d+)\}""".r
+  private val Pattern: Regex =
+    """\{"neg":(-?\d+),"pos":(-?\d+)(?:,"vl":(-?\d+))?\}""".r
 
   def fromJson(s: String): LakeOffset = s match {
-    case Pattern(n, p) => LakeOffset(n.toLong, p.toLong)
+    case Pattern(n, p, v) =>
+      LakeOffset(n.toLong, p.toLong,
+        Option(v).map(_.toLong).getOrElse(Long.MaxValue))
     case other => throw new IllegalArgumentException(s"not a LakeOffset: $other")
   }
 
@@ -182,6 +192,10 @@ final class LakeReadSource(
   // Ids already admitted but possibly not yet committed downstream —
   // admission must be monotone across triggers.
   @volatile private var planned: LakeOffset = LakeOffset.empty
+  // Vacuum low-water mark acknowledged as innocent (see LakeOffset.vl);
+  // MaxValue until first contact (fresh query or a pre-vl checkpoint,
+  // both amnestied at the next admission).
+  @volatile private var ackedVl: Long = Long.MaxValue
   // Trigger.AvailableNow ceiling: ids committed after prepare() wait for
   // the next run.
   @volatile private var availableNowTarget: Option[LakeOffset] = None
@@ -239,10 +253,30 @@ final class LakeReadSource(
         s"graft-lake stream is at ${planned.json} but vacuum has deleted " +
           s"batches through $vh — the gap is unrecoverable; re-bootstrap " +
           "the consumer from latestState and a fresh checkpoint")
+    // Negative side: vacuum reaching BELOW both the delivered floor and
+    // the acknowledged mark means a late snapshot batch was deleted
+    // before this consumer ever saw it. History vacuumed before first
+    // contact is amnestied (nothing was promised yet).
+    val curVl = sink.vacuumLowWater(spark)
+    // Amnesty is keyed on EMPTY delivery history, not on ackedVl being
+    // unset: a running consumer that saw no vacuum at first contact
+    // (ackedVl still MaxValue) must still treat the first vacuum that
+    // reaches below its floor as a gap, not as pre-birth history.
+    if (planned == LakeOffset.empty) ackedVl = curVl
+    else if (curVl < ackedVl) {
+      if (curVl < planned.neg)
+        throw new IllegalStateException(
+          s"graft-lake stream floor is ${planned.neg} but vacuum has " +
+            s"deleted snapshot batches down to $curVl — an undelivered " +
+            "snapshot batch is gone; re-bootstrap the consumer from " +
+            "latestState and a fresh checkpoint")
+      ackedVl = curVl
+    }
     if (committed.isEmpty && planned == LakeOffset.empty) return None
     val fresh = committed.filter(id => id < planned.neg || id > planned.pos)
     if (fresh.isEmpty) {
-      if (planned == LakeOffset.empty) None else Some(planned)
+      if (planned == LakeOffset.empty) None
+      else Some(planned.copy(vl = ackedVl))
     } else {
       // Downward growth admits newest-first, upward oldest-first, so the
       // admitted set stays a contiguous interval under any per-trigger cap.
@@ -252,7 +286,7 @@ final class LakeReadSource(
         if (capped) maxBatchesPerTrigger.fold(ordered)(ordered.take) else ordered
       planned = LakeOffset(
         math.min(planned.neg, admitted.min), math.max(planned.pos, admitted.max))
-      Some(planned)
+      Some(planned.copy(vl = ackedVl))
     }
   }
 
@@ -303,6 +337,7 @@ final class LakeReadSource(
 
   private def merge(o: LakeOffset): Unit = synchronized {
     planned = LakeOffset(math.min(planned.neg, o.neg), math.max(planned.pos, o.pos))
+    ackedVl = math.min(ackedVl, o.vl)
   }
   override def initialOffset(): OffsetV2 = LakeOffset.empty
   override def deserializeOffset(json: String): OffsetV2 = LakeOffset.fromJson(json)

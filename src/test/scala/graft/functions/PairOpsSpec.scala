@@ -39,6 +39,15 @@ class PairOpsSpec extends AnyFunSuite {
     assert(df.select(explode(PairOps.orderedPairs(col("ds")))).count() == 0)
   }
 
+  test("ordered_pairs skips null slots instead of reading garbage through them") {
+    val df = Seq(Seq[Option[Long]](Some(1L), None, Some(2L), Some(3L))).toDF("ds")
+    val got = df.select(explode(PairOps.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.d1"), col("p.d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      "pairs are over the non-null elements only — no fabricated id 0")
+  }
+
   test("sorted_intersect_count matches size(array_intersect) on sorted distinct arrays") {
     val df = spark.range(200).select(
       array_sort(array_distinct(transform(

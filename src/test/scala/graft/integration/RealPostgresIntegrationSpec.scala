@@ -164,7 +164,9 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
       exec("ROLLBACK")
       exec("INSERT INTO public.graft_it_rollback VALUES (9999, 'survivor')")
       val got = streamRows(boot, "it_rollback", expectRows = 1)
-      assert(got == Seq(("insert", "9999", "survivor", got.head._4, got.head._5)),
+      // take(3) not head: an empty result must fail the assertion with the
+      // diagnostic, not crash it with NoSuchElementException
+      assert(got.map(r => (r._1, r._2, r._3)) == Seq(("insert", "9999", "survivor")),
         s"only the committed marker row arrives — no rolled-back rows: ${got.take(5)}")
     }
   }

@@ -215,6 +215,53 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("late snapshot after compaction: lands, folds, survives vacuum, absorbed next compact") {
+    withSink { (sink, _) =>
+      import spark.implicits._
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 1L)
+      var polled = Vector.empty[Long]
+      def drain(): Int = sink.poll(spark, "c") { df =>
+        polled = polled ++ df.select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+      }
+      drain()
+      sink.compact(spark)
+      sink.vacuum(spark)
+      assert(sink.watermark(spark) == 1L && sink.foldedLow(spark) == 0L)
+      // a mid-stream table addition lands its snapshot BELOW the folded
+      // interval — it must not be mistaken for a replay of vacuumed history
+      val snap = Seq((7L, "bolt"), (8L, "nut")).toDF("id", "pname")
+      sink.appendSnapshot("public.parts", snap, Seq("id"), 0L, -1L)
+      assert(sink.committedBatchIds(spark) == Seq(-1L), "snapshot batch landed")
+      assert(sink.latestState(spark, "public", "parts").count() == 2,
+        "fold includes the unabsorbed late snapshot")
+      assert(sink.latestState(spark, "public", "users").count() == 2,
+        "base state unaffected")
+      // two-sided poll delivers the late batch to an existing consumer
+      assert(drain() == 1 && polled.last == -1L)
+      // vacuum before the next compact must NOT delete the unfolded batch
+      sink.vacuum(spark)
+      assert(sink.committedBatchIds(spark) == Seq(-1L),
+        "vacuum keeps batches below the fold floor")
+      // the next compaction absorbs it; state is unchanged; vacuum may
+      // then drop it, and a consumer that never saw it fails loudly
+      sink.compact(spark)
+      assert(sink.foldedLow(spark) == -1L)
+      assert(sink.latestState(spark, "public", "parts").count() == 2)
+      sink.vacuum(spark)
+      assert(sink.committedBatchIds(spark).isEmpty)
+      assert(sink.vacuumLowWater(spark) == -1L)
+      assert(sink.latestState(spark, "public", "parts").count() == 2)
+      val e = intercept[IllegalStateException](sink.poll(spark, "late")(_ => ()))
+      assert(e.getMessage.contains("re-bootstrap"))
+      // the caught-up consumer keeps working
+      assert(drain() == 0)
+    }
+  }
+
   test("poll: named cursors deliver each committed batch exactly once, vacuum gap detected") {
     withSink { (sink, _) =>
       sink.appendBatch(envelope(Seq(

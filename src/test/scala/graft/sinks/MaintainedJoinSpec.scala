@@ -172,6 +172,48 @@ class MaintainedJoinSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("left_outer: NULL-keyed rows null-extend, follow key updates, and drop for inner") {
+    val dir = Files.createTempDirectory("lake-mjn").toString
+    try {
+      val sink = new LakeSink(dir)
+      def mk(jt: String, nm: String) = new MaintainedJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "ref"), im => element_at(im, "uid"),
+        nm, joinType = jt)
+      val lo = mk("left_outer", "lon")
+      val inner = mk("inner", "inn")
+      def rows(mj: MaintainedJoin): Set[(String, String)] =
+        mj.read(spark).collect().map { r =>
+          (r.getMap[String, String](1)("name"),
+            Option(r.getMap[String, String](2)).map(_("oid")).orNull)
+        }.toSet
+      // carol's join key (ref) is NULL: SQL left join null-extends her
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null,
+          Map("id" -> "1", "ref" -> "r1", "name" -> "ann")),
+        ev(2, "insert", "u", Seq("id"), null,
+          Map("id" -> "2", "ref" -> null, "name" -> "carol")),
+        ev(3, "insert", "o", Seq("oid"), null, order("x", "r1", "5")))), 0L)
+      assert(lo.refresh(spark) == 1 && inner.refresh(spark) == 1)
+      assert(rows(lo) == Set(("ann", "x"), ("carol", null)),
+        "null-keyed row is null-extended, not dropped")
+      assert(rows(inner) == Set(("ann", "x")), "inner keeps equi-matches only")
+      // an update NULLS ann's key: she leaves the equi-join and joins the
+      // null segment; the reverse for carol
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", "u", Seq("id"),
+          Map("id" -> "1", "ref" -> "r1", "name" -> "ann"),
+          Map("id" -> "1", "ref" -> null, "name" -> "ann")),
+        ev(5, "update", "u", Seq("id"),
+          Map("id" -> "2", "ref" -> null, "name" -> "carol"),
+          Map("id" -> "2", "ref" -> "r1", "name" -> "carol")))), 1L)
+      assert(lo.refresh(spark) == 1 && inner.refresh(spark) == 1)
+      assert(rows(lo) == Set(("ann", null), ("carol", "x")),
+        "rows move between the null segment and the equi-join on key updates")
+      assert(rows(inner) == Set(("carol", "x")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("truncate on one side falls back to a full recompute at the boundary") {
     withJoin { (sink, mj) =>
       sink.appendBatch(envelope(Seq(

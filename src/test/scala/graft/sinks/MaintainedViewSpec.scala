@@ -127,4 +127,38 @@ class MaintainedViewSpec extends AnyFunSuite {
         "a" -> ((1L, 2d, 2d, 2d)), "b" -> ((1L, 8d, 8d, 8d))))
     }
   }
+
+  test("a late snapshot batch below the cursor floor reaches the view") {
+    withView { (sink, mv, _) =>
+      import spark.implicits._
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "1")),
+        ev(2, "insert", null, row("2", "b", "7")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((1L, 1d, 1d, 1d)), "b" -> ((1L, 7d, 7d, 7d))))
+      // the view's own table is added mid-stream style: its snapshot lands
+      // as a NEGATIVE batch id, below the cursor's floor — the two-sided
+      // poll must still deliver it and the interval-keyed state apply it
+      sink.appendSnapshot("public.users",
+        Seq(("9", "a", "4.0"), ("10", "c", "2.0")).toDF("id", "grp", "v"),
+        Seq("id"), 0L, -1L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((2L, 5d, 1d, 4d)),
+        "b" -> ((1L, 7d, 7d, 7d)),
+        "c" -> ((1L, 2d, 2d, 2d))),
+        "snapshot rows joined the aggregate")
+      // replay the same late span (cursor rewound): must not double-apply
+      val cf = new java.io.File(s"${sink.root}/_graft_cursors/view_by_grp")
+      new java.io.File(s"${sink.root}/_graft_cursors/.view_by_grp.crc").delete()
+      java.nio.file.Files.write(cf.toPath, "0:0".getBytes)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((2L, 5d, 1d, 4d)),
+        "b" -> ((1L, 7d, 7d, 7d)),
+        "c" -> ((1L, 2d, 2d, 2d))),
+        "replayed snapshot span is idempotent")
+    }
+  }
 }

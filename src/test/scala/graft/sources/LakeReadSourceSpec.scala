@@ -206,6 +206,49 @@ class LakeReadSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: a vacuumed undelivered late snapshot batch refuses the negative-side gap") {
+    withLake { (sink, dir) =>
+      seed(sink)
+      val ckpt = Files.createTempDirectory("lake-read-ckpt5").toString
+      try {
+        val (got1, _) = drain(dir, ckpt, Trigger.AvailableNow())
+        assert(got1.size == 4)
+        // a late snapshot lands, is folded and vacuumed before the stream
+        // ever sees it — restart must refuse, not silently skip
+        sink.appendSnapshot("public.parts",
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+              .SeqHasAsJava(Seq(Row(41, "bolt"))).asJava),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("pname",
+                org.apache.spark.sql.types.StringType)))),
+          Seq("id"), 0L, -1L)
+        sink.compact(spark)
+        sink.vacuum(spark)
+        assert(sink.vacuumLowWater(spark) == -1L)
+        val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          val q = spark.readStream.format("graft-lake").option("path", dir).load()
+            .writeStream
+            .foreachBatch { (_: org.apache.spark.sql.Dataset[Row], _: Long) => () }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(60000)
+          fail("query finished without refusing the negative-side gap")
+        }
+        def causes(t: Throwable): Seq[Throwable] =
+          Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+        assert(causes(err).exists(c =>
+          c.isInstanceOf[IllegalStateException] &&
+            c.getMessage.contains("deleted snapshot batches")),
+          s"expected the negative-side refusal, got: ${err.getMessage}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      }
+    }
+  }
+
   test("streaming: a restart below the vacuum high-water mark refuses the gap") {
     withLake { (sink, dir) =>
       seed(sink)
