@@ -235,6 +235,7 @@ class LakeChaosSpec extends AnyFunSuite {
     try {
       var lsn = 100L
       var nextId = 0L
+      var nextSnapId = -1L
       val committed = mutable.ArrayBuffer.empty[Long]
       val streamDelivered = mutable.ArrayBuffer.empty[Long]
       var pendingHalf: Option[Long] = None
@@ -261,7 +262,7 @@ class LakeChaosSpec extends AnyFunSuite {
       }
 
       (0 until 40).foreach { _ =>
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 | 1 | 2 | 3 =>
             pendingHalf.foreach { id =>
               sink.appendBatch(envelope(rows()), id); committed += id
@@ -273,6 +274,12 @@ class LakeChaosSpec extends AnyFunSuite {
             if (committed.nonEmpty)
               sink.appendBatch(envelope(Seq(ev(1L, "insert", "99", "stale"))),
                 committed(rnd.nextInt(committed.size)))
+          case 8 => // mid-stream table addition: a LATE snapshot batch in
+            // the downward id space — possibly below an already-compacted
+            // fold floor — must still reach the stream exactly once
+            sink.appendBatch(envelope(Seq(
+              ev(50L, "insert", s"s$nextSnapId", "snap"))), nextSnapId)
+            committed += nextSnapId; nextSnapId -= 1
           case 5 => // half-written: parquet landed, no marker — invisible
             val id = pendingHalf.getOrElse { nextId += 1; nextId - 1 }
             envelope(rows()).write.mode("overwrite")
@@ -292,7 +299,13 @@ class LakeChaosSpec extends AnyFunSuite {
       streamDrain()
 
       val got = streamDelivered.toSeq
-      assert(got == got.sorted, "stream delivery must be in batch-id order")
+      // Each growth direction delivers in order: epochs ascending, late
+      // snapshots newest-first (descending ids); the two interleave.
+      val epochs = got.filter(_ >= 0)
+      val snaps = got.filter(_ < 0)
+      assert(epochs == epochs.sorted, "epoch delivery must be in batch-id order")
+      assert(snaps == snaps.sorted.reverse,
+        "snapshot delivery must be newest-first (interval growth downward)")
       assert(got.distinct.size == got.size,
         s"a batch was streamed twice: " +
           got.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted)
