@@ -361,7 +361,13 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
   def clearSnapshot(spark: SparkSession): Unit = {
     val f = fs(spark)
     val snapIds = committedBatchIds(spark).filter(_ < 0)
-    if (watermark(spark) >= snapIds.headOption.getOrElse(Long.MaxValue))
+    // "compacted" means INSIDE the folded interval — a late snapshot
+    // batch below the fold floor is unfolded and fully separable, and a
+    // lake whose only compactions predate every snapshot id refuses
+    // nothing it doesn't have to.
+    val wm = watermark(spark)
+    val lo = foldedLow(spark)
+    if (snapIds.exists(id => id >= lo && id <= wm))
       throw new IllegalStateException(
         "snapshot batches were already compacted into base — cannot clear a " +
           "delivered snapshot; use a fresh lake root for the re-export")
@@ -385,9 +391,18 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       spark: SparkSession,
       firstTable: String,
       keyColsOf: String => Seq[String]): (String, DataFrame) => Unit = {
-    var snapId = 0L
+    // Ids continue BELOW everything the lake has ever seen (committed or
+    // already folded) — a later connector run delivering a mid-stream
+    // table addition must not reuse an id appendBatch would silently drop
+    // as a replay of the first export.
+    def floor(): Long = {
+      val folded = Some(foldedLow(spark)).filter(_ != Long.MinValue)
+      (committedBatchIds(spark).filter(_ < 0) ++ folded)
+        .minOption.getOrElse(0L).min(0L)
+    }
+    var snapId = floor()
     (table, frame) => {
-      if (table == firstTable) { clearSnapshot(spark); snapId = 0L }
+      if (table == firstTable) { clearSnapshot(spark); snapId = floor() }
       snapId -= 1
       appendSnapshot(table, frame, keyColsOf(table), 0L, snapId)
     }
@@ -571,16 +586,40 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     * so a single max-id cursor would silently skip a late snapshot batch
     * (a mid-stream table addition) forever.
     */
-  def cursorInterval(spark: SparkSession, name: String): (Long, Long) = {
+  def cursorInterval(spark: SparkSession, name: String): (Long, Long) =
+    readCursor(spark, name)._1
+
+  /** Cursor interval plus whether it came from a LEGACY single-ended
+    * file. The old poll delivered everything at or below its cursor, so
+    * every id that existed then — snapshot batches included — was
+    * delivered: the faithful floor is the lowest id the lake has ever
+    * seen (re-delivering an already-applied snapshot would double-apply
+    * it in a maintained view). [[poll]] PINS the migrated interval on
+    * first contact, so ids landing later are not silently absorbed into
+    * "already delivered" by this lazy computation.
+    */
+  private def readCursor(spark: SparkSession, name: String): ((Long, Long), Boolean) = {
     val p = new Path(new Path(root, "_graft_cursors"), name)
     readSmallFile(fs(spark), p) match {
-      case None => (0L, Long.MinValue)
+      case None => ((0L, Long.MinValue), false)
       case Some(s) => s.split(":") match {
-        case Array(a, b) => (a.toLong, b.toLong)
-        case Array(a) => (0L, a.toLong) // legacy single-ended cursor
+        case Array(a, b) => ((a.toLong, b.toLong), false)
+        case Array(a) =>
+          val folded = Some(foldedLow(spark)).filter(_ != Long.MinValue)
+          val low = (committedBatchIds(spark).filter(_ < 0) ++ folded)
+            .minOption.getOrElse(0L).min(0L)
+          ((low, a.toLong), true)
         case _ => throw new IllegalStateException(s"unreadable cursor $p: '$s'")
       }
     }
+  }
+
+  private def writeCursor(
+      spark: SparkSession, name: String, neg: Long, pos: Long): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(root, "_graft_cursors"))
+    writeStringAtomic(f, new Path(new Path(root, "_graft_cursors"), name),
+      s"$neg:$pos")
   }
 
   /** Deliver all committed batches OUTSIDE `name`'s cursor interval to
@@ -589,7 +628,7 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     * delivered (0 = up to date, `fn` not invoked).
     */
   def poll(spark: SparkSession, name: String)(fn: DataFrame => Unit): Int = {
-    val (neg, pos) = cursorInterval(spark, name)
+    val ((neg, pos), legacy) = readCursor(spark, name)
     val vh = vacuumHighWater(spark)
     if (pos < vh)
       throw new IllegalStateException(
@@ -602,12 +641,15 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
           s"mark ${vacuumLowWater(spark)} — a snapshot batch beneath it was " +
           "deleted before delivery; re-bootstrap from latestState")
     val ids = committedBatchIds(spark).filter(id => id < neg || id > pos)
-    if (ids.isEmpty) return 0
+    if (ids.isEmpty) {
+      // pin a legacy cursor's migrated floor NOW — left lazy, a snapshot
+      // batch landing before the next poll would be absorbed into
+      // "already delivered" by the floor recomputation
+      if (legacy) writeCursor(spark, name, neg, pos)
+      return 0
+    }
     fn(changelogOutside(spark, neg, pos))
-    val f = fs(spark)
-    f.mkdirs(new Path(root, "_graft_cursors"))
-    writeStringAtomic(f, new Path(new Path(root, "_graft_cursors"), name),
-      s"${math.min(neg, ids.min)}:${math.max(pos, ids.max)}")
+    writeCursor(spark, name, math.min(neg, ids.min), math.max(pos, ids.max))
     ids.size
   }
 
@@ -661,10 +703,13 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       f.delete(new Path(commitDir, id.toString), false)
     }
     if (dropped.nonEmpty) {
-      val newHigh = math.max(dropped.max, vacuumHighWater(spark))
-      writeLongAtomic(f, vacuumedFile, newHigh)
+      // LOW mark first: a crash between the two writes then reads as a
+      // conservative false-positive on the negative side, never as a
+      // silently skippable gap.
       val newLow = math.min(dropped.min, vacuumLowWater(spark))
       writeLongAtomic(f, vacuumedLowFile, newLow)
+      val newHigh = math.max(dropped.max, vacuumHighWater(spark))
+      writeLongAtomic(f, vacuumedFile, newHigh)
     }
   }
 
@@ -812,33 +857,15 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     None // unreachable
   }
 
-  /** Read a small long-valued file written by [[writeLongAtomic]].
-    * Tolerates a concurrent swap: an absent file with its temp sibling
-    * present, or an empty/half read, retries briefly before giving up.
+  /** Read a small long-valued file written by [[writeLongAtomic]] —
+    * [[readSmallFile]]'s swap tolerance plus the numeric parse.
     */
-  private def readLongFile(f: FileSystem, p: Path, default: Long): Long = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
-    var attempt = 0
-    while (true) {
-      if (!f.exists(p)) {
-        if (!f.exists(tmp) || attempt >= 10) return default
-      } else {
-        val in = f.open(p)
-        val s =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-          finally in.close()
-        s.toLongOption match {
-          case Some(v) => return v
-          case None if attempt >= 10 =>
-            throw new IllegalStateException(s"unreadable lake state file $p: '$s'")
-          case None => // mid-write; retry
-        }
-      }
-      attempt += 1
-      Thread.sleep(10)
+  private def readLongFile(f: FileSystem, p: Path, default: Long): Long =
+    readSmallFile(f, p) match {
+      case None => default
+      case Some(s) => s.toLongOption.getOrElse(
+        throw new IllegalStateException(s"unreadable lake state file $p: '$s'"))
     }
-    default // unreachable
-  }
 }
 
 object LakeSink {

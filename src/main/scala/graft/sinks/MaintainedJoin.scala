@@ -115,6 +115,9 @@ final class MaintainedJoin(
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
         .head()
+      // a span of only EMPTY batches (zero rows) has null bounds: no
+      // deltas to apply — just let poll advance the cursor past them
+      if (!bounds.isNullAt(0)) {
       val key = (math.min(from._1, bounds.getLong(0)),
         math.max(from._2, bounds.getLong(1)))
       if (!states.isCommitted(f, key)) {
@@ -139,11 +142,19 @@ final class MaintainedJoin(
               rNew.join(touched, Seq("jk"), "left_semi"))
             // a null jk never matches the anti join, so the clean null
             // segment carries forward with the untouched keys; when a
-            // span touches a null-keyed row, the segment recomputes whole
+            // span touches a null-keyed row on a PRESERVED side, that
+            // segment recomputes whole (inner joins — and non-preserved
+            // sides — skip the span scans entirely: nothing to maintain)
             val spliced = prev.join(broadcast(touched), Seq("jk"), "left_anti")
               .unionByName(recomputed)
-            if (nullTouched(span, left, leftKey) ||
-                nullTouched(span, right, rightKey)) {
+            val preservesLeft =
+              joinType == "left_outer" || joinType == "full_outer"
+            val preservesRight =
+              joinType == "right_outer" || joinType == "full_outer"
+            val nullDirty =
+              (preservesLeft && nullTouched(span, left, leftKey)) ||
+                (preservesRight && nullTouched(span, right, rightKey))
+            if (nullDirty) {
               val keyedOnly = spliced.filter(col("jk").isNotNull)
               nullSegment(spark, key._2, key._1)
                 .map(keyedOnly.unionByName(_)).getOrElse(keyedOnly)
@@ -152,6 +163,7 @@ final class MaintainedJoin(
         states.commit(f, next, key)
       }
       states.gcWithin(f, from)
+      }
     }
   }
 

@@ -52,26 +52,30 @@ final class MaintainedView(
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
         .head()
-      val key = (math.min(from._1, bounds.getLong(0)),
-        math.max(from._2, bounds.getLong(1)))
-      // replay where only the cursor advance was lost: the state for this
-      // span is already committed — rewriting it would tear a concurrent
-      // read; just let poll re-advance the cursor
-      if (!states.isCommitted(f, key)) {
-        val prev = states.latestWithin(f, from)
-          .map(states.read(spark, _)).getOrElse(agg.init(spark))
-        val events = span.filter(
-          col("schema") === schemaName && col("table") === table)
-        // recompute source pinned to exactly the applied interval: asOf
-        // bounds the top, the floor keeps a concurrently landing late
-        // snapshot (not in this span) out of the dirty-group rebuild
-        val next = agg.step(prev, events,
-          lake.stateAsOf(spark, schemaName, table, key._2, key._1)
-            .select(col("after")))
-        states.commit(f, next, key)
+      // a span of only EMPTY batches (zero rows) has null bounds: no
+      // deltas to apply — just let poll advance the cursor past them
+      if (!bounds.isNullAt(0)) {
+        val key = (math.min(from._1, bounds.getLong(0)),
+          math.max(from._2, bounds.getLong(1)))
+        // replay where only the cursor advance was lost: the state for
+        // this span is already committed — rewriting it would tear a
+        // concurrent read; just let poll re-advance the cursor
+        if (!states.isCommitted(f, key)) {
+          val prev = states.latestWithin(f, from)
+            .map(states.read(spark, _)).getOrElse(agg.init(spark))
+          val events = span.filter(
+            col("schema") === schemaName && col("table") === table)
+          // recompute source pinned to exactly the applied interval: asOf
+          // bounds the top, the floor keeps a concurrently landing late
+          // snapshot (not in this span) out of the dirty-group rebuild
+          val next = agg.step(prev, events,
+            lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+              .select(col("after")))
+          states.commit(f, next, key)
+        }
+        // previous states inside the replay horizon are unreachable now
+        states.gcWithin(f, from)
       }
-      // previous states inside the replay horizon are unreachable now
-      states.gcWithin(f, from)
     }
   }
 

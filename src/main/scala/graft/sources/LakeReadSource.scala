@@ -200,10 +200,13 @@ final class LakeReadSource(
   // the next run.
   @volatile private var availableNowTarget: Option[LakeOffset] = None
 
-  override def schema: StructType = typedRel match {
+  // cached: deriving the typed schema analyzes the full projection plan,
+  // and schema is consulted on the per-trigger hot path
+  private lazy val schema0: StructType = typedRel match {
     case Some(rel) => LakeReadSource.typedSchema(spark, rel)
     case None => LakeReadSource.changelogSchema
   }
+  override def schema: StructType = schema0
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

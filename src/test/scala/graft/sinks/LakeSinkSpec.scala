@@ -262,6 +262,69 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("clearSnapshot after compaction clears UNFOLDED late snapshots; snapshot ids never reuse") {
+    withSink { (sink, dir) =>
+      import spark.implicits._
+      // first export via the production sink: ids -1, -2
+      val sinkFn = sink.connectorSnapshotSink(spark, "public.a",
+        _ => Seq("id"))
+      sinkFn("public.a", Seq((1L, "x")).toDF("id", "v"))
+      sinkFn("public.b", Seq((2L, "y")).toDF("id", "v"))
+      assert(sink.committedBatchIds(spark) == Seq(-2L, -1L))
+      // stream epoch, compact: folded interval [-2, 0]
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      sink.compact(spark)
+      sink.vacuum(spark)
+      assert(sink.foldedLow(spark) == -2L && sink.watermark(spark) == 0L)
+      // a LATER connector run adds a table: its snapshot id continues
+      // BELOW everything ever seen — not a reused -1 appendBatch would drop
+      val sinkFn2 = sink.connectorSnapshotSink(spark, "public.a",
+        _ => Seq("id"))
+      sinkFn2("public.c", Seq((3L, "z")).toDF("id", "v"))
+      assert(sink.committedBatchIds(spark).min == -3L,
+        "snapshot ids continue below the folded floor")
+      assert(sink.latestState(spark, "public", "c").count() == 1)
+      // the late (unfolded) snapshot is separable: clearSnapshot removes
+      // it without refusing — folded snapshots are untouched in BASE
+      sink.clearSnapshot(spark)
+      assert(sink.committedBatchIds(spark).forall(_ >= 0))
+      assert(sink.latestState(spark, "public", "a").count() == 1,
+        "folded first-export snapshot survives in BASE")
+      // but once the late snapshot is folded too, clearing refuses
+      val sinkFn3 = sink.connectorSnapshotSink(spark, "public.a", _ => Seq("id"))
+      sinkFn3("public.d", Seq((4L, "w")).toDF("id", "v"))
+      sink.compact(spark)
+      val e = intercept[IllegalStateException](sink.clearSnapshot(spark))
+      assert(e.getMessage.contains("compacted into base"))
+    }
+  }
+
+  test("legacy single-ended cursor migrates with the lake's lowest-ever id as its floor") {
+    withSink { (sink, dir) =>
+      import spark.implicits._
+      sink.appendSnapshot("public.a", Seq((1L, "x")).toDF("id", "v"),
+        Seq("id"), 0L, -1L)
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      // a pre-upgrade cursor file: one value, "everything <= 0 delivered"
+      val cdir = new java.io.File(s"$dir/_graft_cursors")
+      cdir.mkdirs()
+      java.nio.file.Files.write(new java.io.File(cdir, "old").toPath, "0".getBytes)
+      assert(sink.cursorInterval(spark, "old") == (-1L, 0L),
+        "the already-delivered snapshot batch is NOT re-delivered")
+      assert(sink.poll(spark, "old")(_ => fail("nothing new to deliver")) == 0)
+      // a snapshot landing AFTER the upgrade still reaches the consumer
+      sink.appendSnapshot("public.b", Seq((2L, "y")).toDF("id", "v"),
+        Seq("id"), 0L, -2L)
+      var got = Seq.empty[Long]
+      sink.poll(spark, "old") { df =>
+        got = df.select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSeq
+      }
+      assert(got == Seq(-2L))
+    }
+  }
+
   test("poll: named cursors deliver each committed batch exactly once, vacuum gap detected") {
     withSink { (sink, _) =>
       sink.appendBatch(envelope(Seq(

@@ -128,6 +128,24 @@ class MaintainedViewSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty committed batch advances the cursor without touching state") {
+    withView { (sink, mv, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "1")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      // foreachBatch can land a zero-row micro-batch; its marker still
+      // commits and the view must stride over it, not NPE on null bounds
+      sink.appendBatch(envelope(Seq.empty), 1L)
+      assert(mv.refresh(spark) == 1, "the empty batch is consumed")
+      assert(viewMap(mv) == Map("a" -> ((1L, 1d, 1d, 1d))))
+      assert(mv.refresh(spark) == 0, "cursor advanced past the empty batch")
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", null, row("2", "a", "2")))), 2L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map("a" -> ((2L, 3d, 1d, 2d))))
+    }
+  }
+
   test("a late snapshot batch below the cursor floor reaches the view") {
     withView { (sink, mv, _) =>
       import spark.implicits._
