@@ -4,12 +4,13 @@ import scala.util.matching.Regex
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink => SinkV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.sinks.LakeSink
@@ -54,7 +55,8 @@ import graft.sinks.LakeSink
   * from the batch parquet dirs, partition-pruned to exactly the new ids.
   */
 final class LakeReadSourceProvider
-    extends RelationProvider with StreamSourceProvider with DataSourceRegister {
+    extends RelationProvider with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -132,6 +134,43 @@ final class LakeReadSourceProvider
       case None => LakeReadSource.changelogSchema
     }
     (shortName(), out)
+  }
+
+  // ---- streaming sink --------------------------------------------------
+
+  /** `envelope.writeStream.format("graft-lake")` — the sink face of the
+    * same root: each micro-batch lands through [[LakeSink.appendBatch]]'s
+    * marker protocol (epoch ids = batch ids, replay idempotent), replacing
+    * the `foreachBatch(lake.appendBatch _)` wiring with a plain format
+    * string. Append-only: the changelog is an event log, update/complete
+    * modes have no meaning over it.
+    */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): SinkV1 = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-lake sink is append-only (the changelog is an event log), got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-lake lays out the changelog itself; partitionBy is not supported")
+    val root = rootOf(parameters)
+    val sink = new LakeSink(root,
+      opt(parameters, "basebuckets").map(_.toInt).getOrElse(16))
+    new SinkV1 {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val missing = LakeReadSource.changelogSchema.fieldNames
+          .filterNot(_ == "batch_id").filterNot(data.columns.contains)
+        require(missing.isEmpty,
+          s"graft-lake sink expects the CDC envelope; missing columns: " +
+            missing.mkString(", "))
+        // the engine hands a streaming-flagged frame; re-wrap its rows as
+        // a batch frame so appendBatch's ordinary write is permitted
+        val batch = StreamBridge.batchDataFrame(
+          data.sparkSession, StreamBridge.toRdd(data), data.schema)
+        sink.appendBatch(batch, batchId)
+      }
+      override def name(): String = s"graft-lake[$root]"
+      override def toString: String = name()
+    }
   }
 
   override def createSource(

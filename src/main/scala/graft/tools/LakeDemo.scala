@@ -37,11 +37,15 @@ object LakeDemo {
     lake.writeRelations(spark, Seq(graft.pgproto.Messages.Relation(
       0L, WalGen.UsersRelOid, "public", "users", 'd', WalGen.UsersColumns.toArray)))
 
+    // format-to-format pipeline: pgcdc source straight into the lake sink
+    // (the foreachBatch(lake.appendBatch _) wiring works identically)
     val q = spark.readStream.format("pgcdc")
       .option("path", walFile)
       .load()
       .writeStream
-      .foreachBatch(lake.appendBatch _)
+      .format("graft-lake").option("path", lakeDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lake-demo-ckpt").toString)
       .start()
     q.processAllAvailable()
     q.stop()

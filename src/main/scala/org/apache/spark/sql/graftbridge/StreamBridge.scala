@@ -23,4 +23,13 @@ object StreamBridge {
       s: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     s.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse hop for v1 `Sink.addBatch`: its incoming frame is
+    * streaming-flagged, which forbids ordinary write actions — re-wrap
+    * the same rows as a batch frame.
+    */
+  def batchDataFrame(
+      s: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    s.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

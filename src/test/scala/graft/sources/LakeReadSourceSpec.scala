@@ -206,6 +206,52 @@ class LakeReadSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("sink: writeStream.format(graft-lake) lands the envelope with exactly-once batches") {
+    withLake { (src, srcDir) =>
+      withLake { (dst, dstDir) =>
+        seed(src)
+        val ckpt = Files.createTempDirectory("lake-sink-ckpt").toString
+        try {
+          def pump(): Unit = {
+            val q = spark.readStream.format("graft-lake").option("path", srcDir).load()
+              .drop("batch_id") // the sink assigns its own epoch ids
+              .writeStream.format("graft-lake").option("path", dstDir)
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination(60000)
+          }
+          pump()
+          assert(dst.changelog(spark).count() == 4,
+            "all source events landed in the destination lake")
+          // re-pump with nothing new: checkpoint + markers keep it at 4
+          pump()
+          assert(dst.changelog(spark).count() == 4)
+          src.appendBatch(envelope(Seq(
+            ev(9, "insert", "users", null, Map("id" -> "3", "name" -> "c")))), 2L)
+          pump()
+          assert(dst.changelog(spark).count() == 5)
+          val folded = dst.latestState(spark, "public", "users")
+            .select(col("k")).collect().map(_.getString(0)).toSet
+          assert(folded == Set("1", "2", "3"), "destination lake folds like the source")
+          // the event log is append-only: other output modes refuse
+          val e = intercept[Exception] {
+            spark.readStream.format("graft-lake").option("path", srcDir).load()
+              .groupBy("table").count()
+              .writeStream.format("graft-lake").option("path", dstDir)
+              .outputMode("complete")
+              .option("checkpointLocation",
+                Files.createTempDirectory("lake-sink-ckpt2").toString)
+              .trigger(Trigger.AvailableNow()).start()
+          }
+          assert(e.getMessage.contains("append-only") ||
+            e.getMessage.toLowerCase.contains("complete"))
+        } finally {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+        }
+      }
+    }
+  }
+
   test("streaming: a vacuumed undelivered late snapshot batch refuses the negative-side gap") {
     withLake { (sink, dir) =>
       seed(sink)
