@@ -171,6 +171,42 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("PG to lake: the format pipeline folds to the live table's rows") {
+    scenario("lake") { (d, exec, cfg) =>
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      val lakeDir = java.nio.file.Files.createTempDirectory("graft-it-lake").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-it-lake-ckpt").toString
+      val lake = new graft.sinks.LakeSink(lakeDir)
+      try {
+        val q = boot.stream.get.writeStream
+          .format("graft-lake").option("path", lakeDir)
+          .option("checkpointLocation", ckpt).start()
+        exec("INSERT INTO public.graft_it_lake " +
+          "SELECT i, 'v' || i FROM generate_series(1, 50) i")
+        exec("UPDATE public.graft_it_lake SET v = 'changed' WHERE id <= 10")
+        exec("DELETE FROM public.graft_it_lake WHERE id > 45")
+        def folded() = lake.latestState(spark, "public", "graft_it_lake")
+          .select(col("k"), element_at(col("after"), "v").as("v"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val deadline = System.currentTimeMillis + 30000
+        while (folded().size != 45 && System.currentTimeMillis < deadline) {
+          q.processAllAvailable(); Thread.sleep(250)
+        }
+        q.processAllAvailable(); q.stop()
+        val want = (1 to 45).map(i =>
+          i.toString -> (if (i <= 10) "changed" else s"v$i")).toMap
+        assert(folded() == want, "lake fold equals the live table's rows")
+        // maintenance preserves the reader-visible state
+        lake.compact(spark); lake.vacuum(spark)
+        assert(folded() == want, "compact+vacuum preserve the fold")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      }
+    }
+  }
+
   test("snapshot vs stream split exactly at the consistent point — no duplicates") {
     scenario("snapconsist") { (d, exec, cfg0) =>
       // seed rows BEFORE boot; they belong to the snapshot
