@@ -678,12 +678,30 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
     val ids = committedBatchIds(spark)
     val wm = watermark(spark)
+    val lo = foldedLow(spark)
+    // vacuum-safety signal: [[vacuum]] deletes the folded interval, so a
+    // registered consumer whose cursor does not yet COVER it would be
+    // stranded (poll throws its re-bootstrap error). Alert on nonzero
+    // before running vacuum.
+    val f = fs(spark)
+    val cursorDir = new Path(root, "_graft_cursors")
+    val cursors =
+      if (!f.exists(cursorDir)) Seq.empty[(Long, Long)]
+      else f.listStatus(cursorDir).toSeq
+        .map(_.getPath.getName)
+        .filterNot(n => n.endsWith(".tmp") || n.startsWith(".")) // checksum siblings
+        .map(cursorInterval(spark, _))
+    val atRisk =
+      if (wm == Long.MinValue) 0
+      else cursors.count { case (neg, pos) => pos < wm || neg > lo }
     Seq(
       "committed_batches" -> ids.size.toDouble,
       "snapshot_batches" -> ids.count(_ < 0).toDouble,
       "last_batch_id" -> ids.filter(_ >= 0).lastOption.getOrElse(-1L).toDouble,
       "base_version" -> baseVersion(spark).toDouble,
-      "watermark" -> (if (wm == Long.MinValue) -1.0 else wm.toDouble))
+      "watermark" -> (if (wm == Long.MinValue) -1.0 else wm.toDouble),
+      "consumers" -> cursors.size.toDouble,
+      "consumers_at_risk_on_vacuum" -> atRisk.toDouble)
   }
 
   /** Drop changelog batches already folded into BASE — exactly the ids in

@@ -300,6 +300,21 @@ class GraftMetricsSpec extends AnyFunSuite {
       // current-state counts shrink on vacuum, so they must render as
       // gauges — a _total-suffixed shrinking counter corrupts rate()
       assert(after.contains("# TYPE graft_lake_committed_batches gauge"))
+      // vacuum-safety signal: a consumer that has not covered the folded
+      // interval counts as at-risk until its cursor catches up
+      assert(after.contains("graft_lake_consumers 0"))
+      var n = 0L
+      lake.poll(spark, "lagging")(df => n = df.count()) // catches up fully
+      val caught = scrape()
+      assert(caught.contains("graft_lake_consumers 1"))
+      assert(caught.contains("graft_lake_consumers_at_risk_on_vacuum 0"))
+      lake.appendBatch(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        graft.cdc.ChangeEvent.schema), 1L)
+      lake.compact(spark) // watermark moves past the lagging cursor
+      assert(scrape().contains("graft_lake_consumers_at_risk_on_vacuum 1"),
+        "a cursor behind the folded interval flags before vacuum strands it")
     } finally {
       server.close()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
