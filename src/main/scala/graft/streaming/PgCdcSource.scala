@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -154,7 +154,7 @@ private[streaming] final case class PreparedGroup(
     frames: Array[Array[Byte]], firstWal: Long, streamed: Boolean)
 
 class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
+    extends MicroBatchStream with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val maxFramesPerPartition =
     math.max(1, options.getInt("maxFramesPerPartition", 8192))
@@ -685,11 +685,29 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("pgcdc implements SupportsAdmissionControl")
 
+  // Trigger.AvailableNow: drain what the feed has buffered when the query
+  // starts, then stop — transactions committing later wait for the next
+  // run. The pin is taken lazily at the first latestOffset (the feed can
+  // only open once the engine hands the start offset); without this the
+  // engine falls back to SINGLE-batch execution, which under a
+  // maxTxnsPerTrigger cap would stop after one capped batch.
+  @volatile private var pinAvailableNow = false
+  @volatile private var availableNowTarget = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit = {
+    pinAvailableNow = true
+    availableNowTarget = Long.MaxValue
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset]
     ensureOpen(s)
     pump()
-    val available = baseSeq + buffer.size
+    if (pinAvailableNow && availableNowTarget == Long.MaxValue)
+      availableNowTarget = baseSeq + buffer.size
+    // never below the start the engine handed us (a restored checkpoint
+    // may already sit past a stale pin)
+    val available =
+      math.max(s.seq, math.min(baseSeq + buffer.size, availableNowTarget))
     val capped = limit match {
       case r: ReadMaxRows => math.min(available, s.seq + r.maxRows())
       case _ => available

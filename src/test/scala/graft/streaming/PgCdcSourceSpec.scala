@@ -54,6 +54,41 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(out.select(min(col("message_time")).cast("long")).head.getLong(0) == T0 / 1000000L)
   }
 
+  test("Trigger.AvailableNow drains the whole feed under a maxTxnsPerTrigger cap") {
+    val relOid = 16390L
+    val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
+    def txn(i: Int): Seq[Array[Byte]] = {
+      val base = 100L + i * 10
+      Seq(
+        MessageEncoder.xlogData(base, base, T0, MessageEncoder.begin(base + 5, T0, 7 + i)),
+        MessageEncoder.xlogData(base + 1, base + 1, T0,
+          MessageEncoder.insert(relOid, Seq(Some(i.toString)))),
+        MessageEncoder.xlogData(base + 4, base + 4, T0,
+          MessageEncoder.commit(base + 4, base + 5, T0)))
+    }
+    val frames =
+      MessageEncoder.xlogData(1, 1, T0,
+        MessageEncoder.relation(relOid, "public", "an", cols)) +: (0 until 6).flatMap(txn)
+    PgCdcTestHook.register("availnow", new InMemoryWalSource(frames))
+    // Without SupportsTriggerAvailableNow the engine falls back to SINGLE
+    // batch execution: one capped batch of 2 txns and the query ends with
+    // 4 transactions never delivered.
+    val q = spark.readStream.format("pgcdc")
+      .option("testSourceKey", "availnow")
+      .option("maxTxnsPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdc_availnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("cdc_availnow")
+      .select(element_at(col("after"), "id")).collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == (0 until 6).map(_.toString).sorted,
+      "every buffered transaction drains before the query self-terminates")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "the cap spreads the drain over multiple triggers")
+  }
+
   test("logical messages, origin, and type frames flow through readStream") {
     val relOid = 16390L
     val cols = Seq(Messages.RelationColumn("id", 23L, -1, 1))
