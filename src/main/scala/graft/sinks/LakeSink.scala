@@ -679,21 +679,35 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     val ids = committedBatchIds(spark)
     val wm = watermark(spark)
     val lo = foldedLow(spark)
-    // vacuum-safety signal: [[vacuum]] deletes the folded interval, so a
-    // registered consumer whose cursor does not yet COVER it would be
-    // stranded (poll throws its re-bootstrap error). Alert on nonzero
-    // before running vacuum.
+    // vacuum-safety signal: [[vacuum]] would delete exactly the committed
+    // ids inside the folded interval — a registered consumer is at risk
+    // iff one of those ids lies OUTSIDE its cursor (undelivered), which
+    // would strand it (poll throws its re-bootstrap error). Computed from
+    // the id list directly, so a legacy manifest's Long.MinValue fold
+    // floor cannot flag caught-up consumers forever. Per scrape this
+    // costs the commit-log listing plus one cursor-dir listing and one
+    // small read per consumer (legacy cursors parsed against the already
+    // listed ids, no extra listing).
     val f = fs(spark)
+    val wouldDrop = ids.filter(id => id >= lo && id <= wm)
     val cursorDir = new Path(root, "_graft_cursors")
+    val negFloor = // legacy single-ended cursors migrate with this floor
+      (ids.filter(_ < 0) ++ Some(lo).filter(_ != Long.MinValue))
+        .minOption.getOrElse(0L).min(0L)
     val cursors =
       if (!f.exists(cursorDir)) Seq.empty[(Long, Long)]
       else f.listStatus(cursorDir).toSeq
         .map(_.getPath.getName)
         .filterNot(n => n.endsWith(".tmp") || n.startsWith(".")) // checksum siblings
-        .map(cursorInterval(spark, _))
-    val atRisk =
-      if (wm == Long.MinValue) 0
-      else cursors.count { case (neg, pos) => pos < wm || neg > lo }
+        .flatMap(n => readSmallFile(f, new Path(cursorDir, n)))
+        .map(_.split(":") match {
+          case Array(a, b) => (a.toLong, b.toLong)
+          case Array(a) => (negFloor, a.toLong)
+          case _ => (0L, Long.MinValue)
+        })
+    val atRisk = cursors.count { case (neg, pos) =>
+      wouldDrop.exists(id => id < neg || id > pos)
+    }
     Seq(
       "committed_batches" -> ids.size.toDouble,
       "snapshot_batches" -> ids.count(_ < 0).toDouble,

@@ -157,11 +157,24 @@ final class LakeReadSourceProvider
       opt(parameters, "basebuckets").map(_.toInt).getOrElse(16))
     new SinkV1 {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
-        val missing = LakeReadSource.changelogSchema.fieldNames
-          .filterNot(_ == "batch_id").filterNot(data.columns.contains)
-        require(missing.isEmpty,
-          s"graft-lake sink expects the CDC envelope; missing columns: " +
-            missing.mkString(", "))
+        // validate names AND types (case-insensitively, like resolution):
+        // one mistyped landed batch would poison every subsequent
+        // fixed-schema read of the whole lake
+        val have = data.schema.fields
+          .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+        val problems = LakeReadSource.changelogSchema.fields
+          .filterNot(_.name == "batch_id").flatMap { f =>
+            have.get(f.name) match {
+              case None => Some(s"missing column ${f.name}")
+              // catalogString ignores nullability flags, which legitimately
+              // vary with how the frame was constructed
+              case Some(dt) if dt.catalogString != f.dataType.catalogString =>
+                Some(s"${f.name} is ${dt.simpleString}, expected ${f.dataType.simpleString}")
+              case _ => None
+            }
+          }
+        require(problems.isEmpty,
+          s"graft-lake sink expects the CDC envelope; ${problems.mkString("; ")}")
         // the engine hands a streaming-flagged frame; re-wrap its rows as
         // a batch frame so appendBatch's ordinary write is permitted
         val batch = StreamBridge.batchDataFrame(

@@ -685,29 +685,25 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("pgcdc implements SupportsAdmissionControl")
 
-  // Trigger.AvailableNow: drain what the feed has buffered when the query
-  // starts, then stop — transactions committing later wait for the next
-  // run. The pin is taken lazily at the first latestOffset (the feed can
-  // only open once the engine hands the start offset); without this the
-  // engine falls back to SINGLE-batch execution, which under a
-  // maxTxnsPerTrigger cap would stop after one capped batch.
-  @volatile private var pinAvailableNow = false
-  @volatile private var availableNowTarget = Long.MaxValue
-  override def prepareForTriggerAvailableNow(): Unit = {
-    pinAvailableNow = true
-    availableNowTarget = Long.MaxValue
-  }
+  // Trigger.AvailableNow: DRAIN-UNTIL-IDLE. A replication feed's
+  // "available" set is not enumerable up front (the server streams the
+  // backlog; an early pin would terminate the run having delivered
+  // whatever happened to cross the socket first, and a pin taken at the
+  // backpressure cap would strand everything beyond it), so no target is
+  // pinned: the engine keeps triggering while latestOffset advances and
+  // self-terminates at the first trigger that finds the feed idle — the
+  // natural catch-up semantic. Without declaring the capability at all,
+  // the engine falls back to SINGLE-batch execution, which under a
+  // maxTxnsPerTrigger cap stops after one capped batch with the backlog
+  // undelivered. On a feed that never goes idle the run keeps going —
+  // AvailableNow on a firehose is a bounded-lag drain, not a fixed set.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset]
     ensureOpen(s)
     pump()
-    if (pinAvailableNow && availableNowTarget == Long.MaxValue)
-      availableNowTarget = baseSeq + buffer.size
-    // never below the start the engine handed us (a restored checkpoint
-    // may already sit past a stale pin)
-    val available =
-      math.max(s.seq, math.min(baseSeq + buffer.size, availableNowTarget))
+    val available = baseSeq + buffer.size
     val capped = limit match {
       case r: ReadMaxRows => math.min(available, s.seq + r.maxRows())
       case _ => available

@@ -39,16 +39,17 @@ object LakeDemo {
 
     // format-to-format pipeline: pgcdc source straight into the lake sink
     // (the foreachBatch(lake.appendBatch _) wiring works identically)
+    val ckptDir = java.nio.file.Files.createTempDirectory("lake-demo-ckpt")
     val q = spark.readStream.format("pgcdc")
       .option("path", walFile)
       .load()
       .writeStream
       .format("graft-lake").option("path", lakeDir)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("lake-demo-ckpt").toString)
+      .option("checkpointLocation", ckptDir.toString)
       .start()
     q.processAllAvailable()
     q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(ckptDir.toFile)
 
     // the graft-lake read format fronts the same log: stream the committed
     // changelog back out with Spark-managed offsets, then batch-read state
