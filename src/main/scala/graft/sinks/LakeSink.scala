@@ -322,7 +322,7 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       keyNames: Seq[String], lsn: Long, batchId: Long): Unit = {
     require(batchId < 0, s"snapshot batch ids are negative, got $batchId")
     val Array(sch, tbl) = table.split("\\.", 2)
-    val textCols = frame.schema.fields.map { f =>
+    val textCols = frame.schema.fields.toSeq.map { f =>
       val c = col(f.name)
       val s = f.dataType match {
         case org.apache.spark.sql.types.BooleanType =>
