@@ -622,6 +622,28 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       s"$neg:$pos")
   }
 
+  /** The packaged RE-BOOTSTRAP every vacuum-gap refusal points at: pin a
+    * NEW (or stranded) consumer at the lake's current end and return the
+    * pin. Seed its downstream state from `stateAsOf(pin._2)` (or
+    * [[latestState]]) per table — that fold is readable regardless of how
+    * much changelog vacuum has deleted, because it resolves through BASE —
+    * then [[poll]] delivers only batches landing after the pin. Epochs or
+    * late snapshots committed between the pin and the seed read are
+    * double-applied on the next poll, which is why seeded consumers must
+    * be idempotent appliers (upsert/delete semantics, e.g.
+    * [[PgApplySink]]) — the same at-least-once contract poll already has.
+    */
+  def seedCursor(spark: SparkSession, name: String): (Long, Long) = {
+    val ids = committedBatchIds(spark)
+    val lo = foldedLow(spark)
+    val neg = math.min(
+      math.min(ids.minOption.getOrElse(0L), 0L),
+      if (lo == Long.MinValue) 0L else lo)
+    val pos = math.max(ids.maxOption.getOrElse(Long.MinValue), watermark(spark))
+    writeCursor(spark, name, neg, pos)
+    (neg, pos)
+  }
+
   /** Deliver all committed batches OUTSIDE `name`'s cursor interval to
     * `fn` — new epochs above it and late snapshot batches below it — then
     * advance the cursor both ways. Returns the number of NEW batches

@@ -300,6 +300,39 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("seedCursor re-bootstraps a consumer past vacuumed history, then polls incrementally") {
+    withSink { (sink, _) =>
+      import spark.implicits._
+      sink.appendSnapshot("public.users",
+        Seq((100L, "snap")).toDF("id", "name"), Seq("id"), 0L, -1L)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 1L)
+      sink.compact(spark)
+      sink.vacuum(spark)
+      // the stranded-consumer problem every gap error points at:
+      intercept[IllegalStateException](sink.poll(spark, "rebuild")(_ => ()))
+      // the packaged fix: pin at the current end, seed from the fold
+      val pin = sink.seedCursor(spark, "rebuild")
+      assert(pin == (-1L, 1L))
+      val seed = sink.stateAsOf(spark, "public", "users", pin._2)
+      assert(seed.count() == 3, "seed reads through BASE despite the vacuum")
+      // from here on: incremental, both directions of the id space
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "users", null, Map("id" -> "3", "name" -> "c")))), 2L)
+      sink.appendSnapshot("public.parts",
+        Seq((7L, "bolt")).toDF("id", "pname"), Seq("id"), 0L, -2L)
+      var got = Seq.empty[Long]
+      val n = sink.poll(spark, "rebuild") { df =>
+        got = df.select(col("batch_id")).distinct().collect().map(_.getLong(0)).sorted
+      }
+      assert(n == 2 && got == Seq(-2L, 2L),
+        s"exactly the post-pin batches deliver, got $got")
+      assert(sink.poll(spark, "rebuild")(_ => ()) == 0)
+    }
+  }
+
   test("legacy single-ended cursor migrates with the lake's lowest-ever id as its floor") {
     withSink { (sink, dir) =>
       import spark.implicits._
