@@ -100,9 +100,14 @@ final class LakeReadSourceProvider
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = outer
       override val schema: StructType = planned.schema
+      // InternalRow pass-through: with needConversion=false Spark consumes
+      // the physical rows directly — `.rdd` would deserialize every row to
+      // an external Row only for Spark to convert it straight back.
+      override def needConversion: Boolean = false
       // Re-plan per scan so repeated queries over one relation object see
       // the current manifest/commit log, like re-reading a file path does.
-      override def buildScan(): RDD[Row] = frame().rdd
+      override def buildScan(): RDD[Row] =
+        StreamBridge.toRdd(frame()).asInstanceOf[RDD[Row]]
     }
   }
 
