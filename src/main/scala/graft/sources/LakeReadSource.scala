@@ -72,10 +72,26 @@ final class LakeReadSourceProvider
       throw new IllegalArgumentException(
         "graft-lake requires .option(\"path\", <lake root>)"))
 
+  /** A typo'd option silently falling back to a default is worse than an
+    * error — reject anything outside the path's known set (plus the
+    * engine-routed write options that ride along in `parameters`).
+    */
+  private def checkOptions(
+      parameters: Map[String, String], allowed: Set[String], path: String): Unit = {
+    val engine = Set("checkpointlocation", "queryname", "path")
+    val unknown = parameters.keySet
+      .map(_.toLowerCase(java.util.Locale.ROOT)) -- allowed -- engine
+    require(unknown.isEmpty,
+      s"unknown graft-lake $path option(s): ${unknown.mkString(", ")} — " +
+        s"supported: ${allowed.toSeq.sorted.mkString(", ")}")
+  }
+
   // ---- batch ---------------------------------------------------------------
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    checkOptions(parameters,
+      Set("table", "typed", "asofbatch", "frombatch"), "batch read")
     val spark = sqlContext.sparkSession
     val sink = new LakeSink(rootOf(parameters))
     def frame(): DataFrame = opt(parameters, "table") match {
@@ -133,7 +149,11 @@ final class LakeReadSourceProvider
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-lake defines its own schema (the CDC envelope)")
-    rootOf(parameters) // fail fast on a missing path
+    // fail fast at load() on a missing path or a typo'd option —
+    // createSource only runs at query start
+    checkOptions(parameters,
+      Set("tables", "table", "typed", "maxbatchespertrigger"), "stream")
+    rootOf(parameters)
     val out = typedRelOf(sqlContext.sparkSession, parameters) match {
       case Some(rel) => LakeReadSource.typedSchema(sqlContext.sparkSession, rel)
       case None => LakeReadSource.changelogSchema
@@ -157,6 +177,7 @@ final class LakeReadSourceProvider
       s"graft-lake sink is append-only (the changelog is an event log), got $outputMode")
     require(partitionColumns.isEmpty,
       "graft-lake lays out the changelog itself; partitionBy is not supported")
+    checkOptions(parameters, Set("basebuckets"), "sink")
     val root = rootOf(parameters)
     val sink = new LakeSink(root,
       opt(parameters, "basebuckets").map(_.toInt).getOrElse(16))
@@ -195,6 +216,8 @@ final class LakeReadSourceProvider
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
+    checkOptions(parameters,
+      Set("tables", "table", "typed", "maxbatchespertrigger"), "stream")
     val tables = (opt(parameters, "tables").toSeq ++ opt(parameters, "table").toSeq)
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val maxBatches = opt(parameters, "maxbatchespertrigger").map(_.toInt)

@@ -65,6 +65,23 @@ class LakeReadSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a typo'd option is a loud error, not a silent default") {
+    withLake { (sink, dir) =>
+      seed(sink)
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft-lake").option("path", dir)
+          .option("table", "public.users").option("asOfBach", "0").load()
+      }
+      assert(e.getMessage.contains("asofbach") &&
+        e.getMessage.contains("asofbatch"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.readStream.format("graft-lake").option("path", dir)
+          .option("maxBatchesPerTriger", "1").load()
+      }
+      assert(e2.getMessage.contains("maxbatchespertriger"), e2.getMessage)
+    }
+  }
+
   test("batch: changelog read, fromBatch filter, and a fresh batch on re-scan") {
     withLake { (sink, dir) =>
       seed(sink)
