@@ -747,11 +747,22 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     * inside it. A LATE snapshot batch below the fold floor is NOT folded
     * yet and survives until the next compaction absorbs it.
     */
-  def vacuum(spark: SparkSession): Unit = {
+  def vacuum(spark: SparkSession): Unit = vacuum(spark, keepLast = 0)
+
+  /** [[vacuum]] with RETENTION: keep the newest `keepLast` folded batches
+    * in the changelog even though BASE already covers them — they are the
+    * lake's time-travel depth ([[stateAsOf]] can rebuild any boundary the
+    * changelog still reaches) and the replay window for consumers that
+    * have not caught up. `keepLast = 0` is the plain "drop everything
+    * folded" vacuum.
+    */
+  def vacuum(spark: SparkSession, keepLast: Int): Unit = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val wm = watermark(spark)
     val lo = foldedLow(spark)
     val f = fs(spark)
-    val dropped = committedBatchIds(spark).filter(id => id >= lo && id <= wm)
+    val folded = committedBatchIds(spark).filter(id => id >= lo && id <= wm)
+    val dropped = folded.dropRight(keepLast)
     dropped.foreach { id =>
       f.delete(new Path(changelogDir, s"batch_id=$id"), true)
       f.delete(new Path(commitDir, id.toString), false)

@@ -300,6 +300,32 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum with retention keeps time-travel depth; older boundaries refuse") {
+    withSink { (sink, _) =>
+      def land(i: Int): Unit = sink.appendBatch(envelope(Seq(
+        ev(i + 1, "insert", "users", null,
+          Map("id" -> s"$i", "name" -> s"n$i")))), i.toLong)
+      land(0); land(1)
+      sink.compact(spark) // manifest v1, wm=1 (retained through the next GC)
+      land(2); land(3)
+      sink.compact(spark) // manifest v2, wm=3
+      sink.vacuum(spark, keepLast = 2) // batches 2,3 stay readable history
+      assert(sink.committedBatchIds(spark) == Seq(2L, 3L))
+      assert(sink.vacuumHighWater(spark) == 1L)
+      // retained depth: previous manifest + kept tail reach batches 1..3
+      assert(sink.stateAsOf(spark, "public", "users", 2L).count() == 3)
+      assert(sink.stateAsOf(spark, "public", "users", 1L).count() == 2)
+      // a boundary the vacuum passed refuses rather than folding holes
+      intercept[IllegalStateException](
+        sink.stateAsOf(spark, "public", "users", 0L).count())
+      // full state unaffected, and a later plain vacuum drops the rest
+      assert(sink.latestState(spark, "public", "users").count() == 4)
+      sink.vacuum(spark)
+      assert(sink.committedBatchIds(spark).isEmpty)
+      assert(sink.latestState(spark, "public", "users").count() == 4)
+    }
+  }
+
   test("seedCursor re-bootstraps a consumer past vacuumed history, then polls incrementally") {
     withSink { (sink, _) =>
       import spark.implicits._
