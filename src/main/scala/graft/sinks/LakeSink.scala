@@ -62,11 +62,16 @@ import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, S
   * more than the commit-log directory (one small file per batch, vacuumed
   * with its batch).
   */
-final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializable {
+final class LakeSink(
+    val root: String, baseBuckets: Int = 16,
+    retainManifests: Int = 2) extends Serializable {
 
   import LakeSink._
 
   require(baseBuckets > 0, s"baseBuckets must be positive, got $baseBuckets")
+  require(retainManifests >= 2,
+    s"retainManifests must be >= 2 (current + in-flight readers' previous), " +
+      s"got $retainManifests")
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -276,17 +281,45 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
       .filter(mm => mm.watermark <= asOf && mm.minFolded >= floor).lastOption
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
     val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
-    val vh = vacuumHighWater(spark)
-    if (vh > wm)
-      throw new IllegalStateException(
-        s"state as of batch $asOf needs the changelog after fold point $wm, " +
-          s"but vacuum has deleted batches through $vh — that history is " +
-          "no longer retained (run time-travel reads before vacuum passes them)")
-    if (vacuumLowWater(spark) < math.max(lo, floor))
-      throw new IllegalStateException(
-        s"state as of batch $asOf needs the changelog below fold floor $lo, " +
-          "but vacuum has deleted snapshot batches beneath it — that history " +
-          "is no longer retained")
+    // Retention check — PRECISE, not mark-based: batch ids are dense per
+    // growth direction (stream epochs 0,1,2,…; snapshot ids -1,-2,… from
+    // appendSnapshot's allocators), so the fold needs exactly the integer
+    // ids in (wm, asOf] above the base and [max(floor, minEver), lo) below
+    // it, and "present" is a count over the committed list. A vacuum that
+    // deleted only ids the chosen BASE already covers (a retention vacuum
+    // paired with retainManifests) passes; one that ate a needed id
+    // refuses rather than folding holes.
+    val committed = committedBatchIds(spark)
+    val curM = readManifest(f)
+    val maxEver = math.max(curM.map(_.watermark).getOrElse(Long.MinValue),
+      committed.maxOption.getOrElse(Long.MinValue))
+    val curLo = curM.map(_.minFolded).getOrElse(0L)
+    if (curLo == Long.MinValue) {
+      // legacy manifest: the ever-seen floor is unknowable — fall back to
+      // the conservative marks
+      if (vacuumHighWater(spark) > wm || vacuumLowWater(spark) < math.max(lo, floor))
+        throw new IllegalStateException(
+          s"state as of batch $asOf needs history a vacuum has deleted " +
+            "(legacy manifest, conservative check) — no longer retained")
+    } else {
+      val minEver = math.min(math.min(curLo, 0L),
+        committed.minOption.getOrElse(0L).min(0L))
+      def missing(from: Long, to: Long): Boolean =
+        from <= to && committed.count(id => id >= from && id <= to) < to - from + 1
+      val posMissing = missing(math.max(wm + 1, 0L), math.min(asOf, maxEver))
+      // below the base: every negative id under the chosen fold floor is
+      // needed; with NO base (m = None) that is every negative id ≤ asOf
+      val negHi =
+        if (lo == Long.MinValue) math.min(-1L, asOf)
+        else Seq(-1L, asOf, lo - 1).min
+      val negMissing = missing(math.max(minEver, floor), negHi)
+      if (posMissing || negMissing)
+        throw new IllegalStateException(
+          s"state as of batch $asOf needs changelog batches outside the " +
+            s"chosen base fold [$lo, $wm] that vacuum has deleted — that " +
+            "history is no longer retained (retain more manifests or vacuum " +
+            "with keepLast)")
+    }
     val tail = keyedEvents(changelogOutside(spark, lo, wm)
         .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
         .filter(col("schema") === schemaName && col("table") === table))
@@ -553,10 +586,18 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     // GC: keep the new manifest and its predecessor (in-flight readers of
     // the old manifest may still be scanning its exclusive slices); drop
     // everything older, and every data slice neither manifest references.
-    val keepRefs = newManifest.entries.values.toSet ++
-      m.map(_.entries.values.toSet).getOrElse(Set.empty)
-    val keepVersions = Set(newV) ++ m.map(_.version).toSet
-    gcBase(f, keepRefs, keepVersions)
+    // retainManifests manifests stay readable (current + predecessors):
+    // each is a TIME-TRAVEL anchor — stateAsOf resolves from the newest
+    // retained manifest at-or-below the target, so manifest retention ×
+    // compaction cadence (together with vacuum's keepLast) is the lake's
+    // history depth. Slices any retained manifest references survive.
+    val retained = (manifestVersions(f) :+ newV).distinct.sorted
+      .takeRight(retainManifests)
+    val keepRefs = retained.map {
+      case v if v == newV => newManifest.entries.values.toSet
+      case v => readManifestVersion(f, v).entries.values.toSet
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    gcBase(f, keepRefs, retained.toSet)
   }
 
   /** Incremental changelog consumption with a durable named cursor — the
@@ -635,11 +676,19 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     */
   def seedCursor(spark: SparkSession, name: String): (Long, Long) = {
     val ids = committedBatchIds(spark)
-    val lo = foldedLow(spark)
-    val neg = math.min(
-      math.min(ids.minOption.getOrElse(0L), 0L),
-      if (lo == Long.MinValue) 0L else lo)
-    val pos = math.max(ids.maxOption.getOrElse(Long.MinValue), watermark(spark))
+    val m = readManifest(fs(spark)) // one read serves both bounds
+    val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
+    // clamp to the vacuum low mark too: on a legacy-manifest lake the fold
+    // floor reads MinValue, and a seed floor ABOVE already-vacuumed
+    // snapshot ids would make the very next poll refuse the gap the seed
+    // exists to escape
+    val vl = vacuumLowWater(spark)
+    val neg = Seq(
+      ids.minOption.getOrElse(0L), 0L,
+      if (lo == Long.MinValue) 0L else lo,
+      if (vl == Long.MaxValue) 0L else vl).min
+    val pos = math.max(ids.maxOption.getOrElse(Long.MinValue),
+      m.map(_.watermark).getOrElse(Long.MinValue))
     writeCursor(spark, name, neg, pos)
     (neg, pos)
   }
@@ -701,12 +750,14 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     val ids = committedBatchIds(spark)
     val wm = watermark(spark)
     val lo = foldedLow(spark)
-    // vacuum-safety signal: [[vacuum]] would delete exactly the committed
-    // ids inside the folded interval — a registered consumer is at risk
-    // iff one of those ids lies OUTSIDE its cursor (undelivered), which
-    // would strand it (poll throws its re-bootstrap error). Computed from
-    // the id list directly, so a legacy manifest's Long.MinValue fold
-    // floor cannot flag caught-up consumers forever. Per scrape this
+    // vacuum-safety signal: a FULL [[vacuum]] would delete exactly the
+    // committed ids inside the folded interval — a registered consumer is
+    // at risk iff one of those ids lies OUTSIDE its cursor (undelivered),
+    // which would strand it (poll throws its re-bootstrap error).
+    // Deliberately models keepLast = 0 (the worst case): a retention
+    // vacuum strands fewer, so the gauge errs toward alerting. Computed
+    // from the id list directly, so a legacy manifest's Long.MinValue
+    // fold floor cannot flag caught-up consumers forever. Per scrape this
     // costs the commit-log listing plus one cursor-dir listing and one
     // small read per consumer (legacy cursors parsed against the already
     // listed ids, no extra listing).
@@ -750,11 +801,16 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
   def vacuum(spark: SparkSession): Unit = vacuum(spark, keepLast = 0)
 
   /** [[vacuum]] with RETENTION: keep the newest `keepLast` folded batches
-    * in the changelog even though BASE already covers them — they are the
-    * lake's time-travel depth ([[stateAsOf]] can rebuild any boundary the
-    * changelog still reaches) and the replay window for consumers that
-    * have not caught up. `keepLast = 0` is the plain "drop everything
-    * folded" vacuum.
+    * PER GROWTH DIRECTION — the `keepLast` highest epochs and the
+    * `keepLast` lowest (most recently landed) snapshot batches — in the
+    * changelog even though BASE already covers them. They are the replay
+    * window for consumers that have not caught up, and together with the
+    * retained manifests the lake's TIME-TRAVEL depth: [[stateAsOf]]
+    * resolves from the newest retained manifest at-or-below the target
+    * plus the surviving tail, so size `retainManifests` × compaction
+    * cadence to the history you need (`keepLast` alone cannot reach below
+    * the oldest retained manifest's watermark). `keepLast = 0` is the
+    * plain "drop everything folded" vacuum.
     */
   def vacuum(spark: SparkSession, keepLast: Int): Unit = {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
@@ -762,7 +818,12 @@ final class LakeSink(val root: String, baseBuckets: Int = 16) extends Serializab
     val lo = foldedLow(spark)
     val f = fs(spark)
     val folded = committedBatchIds(spark).filter(id => id >= lo && id <= wm)
-    val dropped = folded.dropRight(keepLast)
+    // snapshot ids DECREASE over time, so ascending order lists the newest
+    // snapshots first: keep the head of the negatives and the tail of the
+    // epochs (a plain dropRight would delete a just-landed table
+    // addition's snapshot before week-old epochs)
+    val dropped = folded.filter(_ < 0).drop(keepLast) ++
+      folded.filter(_ >= 0).dropRight(keepLast)
     dropped.foreach { id =>
       f.delete(new Path(changelogDir, s"batch_id=$id"), true)
       f.delete(new Path(commitDir, id.toString), false)

@@ -76,6 +76,10 @@ final class LakeReadSourceProvider
     * error — reject anything outside the path's known set (plus the
     * engine-routed write options that ride along in `parameters`).
     */
+  private val StreamOptions = Set("tables", "table", "typed", "maxbatchespertrigger")
+  private val BatchOptions = Set("table", "typed", "asofbatch", "frombatch")
+  private val SinkOptions = Set("basebuckets")
+
   private def checkOptions(
       parameters: Map[String, String], allowed: Set[String], path: String): Unit = {
     val engine = Set("checkpointlocation", "queryname", "path")
@@ -90,8 +94,7 @@ final class LakeReadSourceProvider
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    checkOptions(parameters,
-      Set("table", "typed", "asofbatch", "frombatch"), "batch read")
+    checkOptions(parameters, BatchOptions, "batch read")
     val spark = sqlContext.sparkSession
     val sink = new LakeSink(rootOf(parameters))
     def frame(): DataFrame = opt(parameters, "table") match {
@@ -151,8 +154,7 @@ final class LakeReadSourceProvider
     require(schema.isEmpty, "graft-lake defines its own schema (the CDC envelope)")
     // fail fast at load() on a missing path or a typo'd option —
     // createSource only runs at query start
-    checkOptions(parameters,
-      Set("tables", "table", "typed", "maxbatchespertrigger"), "stream")
+    checkOptions(parameters, StreamOptions, "stream")
     rootOf(parameters)
     val out = typedRelOf(sqlContext.sparkSession, parameters) match {
       case Some(rel) => LakeReadSource.typedSchema(sqlContext.sparkSession, rel)
@@ -177,7 +179,7 @@ final class LakeReadSourceProvider
       s"graft-lake sink is append-only (the changelog is an event log), got $outputMode")
     require(partitionColumns.isEmpty,
       "graft-lake lays out the changelog itself; partitionBy is not supported")
-    checkOptions(parameters, Set("basebuckets"), "sink")
+    checkOptions(parameters, SinkOptions, "sink")
     val root = rootOf(parameters)
     val sink = new LakeSink(root,
       opt(parameters, "basebuckets").map(_.toInt).getOrElse(16))
@@ -216,8 +218,7 @@ final class LakeReadSourceProvider
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    checkOptions(parameters,
-      Set("tables", "table", "typed", "maxbatchespertrigger"), "stream")
+    checkOptions(parameters, StreamOptions, "stream")
     val tables = (opt(parameters, "tables").toSeq ++ opt(parameters, "table").toSeq)
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val maxBatches = opt(parameters, "maxbatchespertrigger").map(_.toInt)

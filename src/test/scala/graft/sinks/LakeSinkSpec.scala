@@ -326,6 +326,33 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("retention is per growth direction; deeper manifests extend time travel") {
+    val dir = Files.createTempDirectory("lake-retain").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4, retainManifests = 3)
+      import org.apache.spark.sql.functions.col
+      def land(i: Int): Unit = sink.appendBatch(envelope(Seq(
+        ev(i + 1, "insert", "users", null,
+          Map("id" -> s"$i", "name" -> s"n$i")))), i.toLong)
+      land(0); land(1); sink.compact(spark) // v1 wm=1
+      land(2); sink.compact(spark)          // v2 wm=2
+      // a just-landed table addition's snapshot + one more epoch
+      import spark.implicits._
+      sink.appendSnapshot("public.parts",
+        Seq((7L, "bolt")).toDF("id", "pname"), Seq("id"), 0L, -1L)
+      land(3); sink.compact(spark)          // v3 wm=3, minFolded=-1
+      sink.vacuum(spark, keepLast = 1)
+      // keeps the newest EPOCH and the newest SNAPSHOT — a plain
+      // "newest by id" would have deleted the snapshot first
+      assert(sink.committedBatchIds(spark) == Seq(-1L, 3L))
+      // three retained manifests: time travel reaches v1's watermark
+      assert(sink.stateAsOf(spark, "public", "users", 1L).count() == 2)
+      assert(sink.stateAsOf(spark, "public", "users", 3L).count() == 4)
+      intercept[IllegalStateException](
+        sink.stateAsOf(spark, "public", "users", 0L).count())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("seedCursor re-bootstraps a consumer past vacuumed history, then polls incrementally") {
     withSink { (sink, _) =>
       import spark.implicits._
