@@ -281,45 +281,34 @@ final class LakeSink(
       .filter(mm => mm.watermark <= asOf && mm.minFolded >= floor).lastOption
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
     val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
-    // Retention check — PRECISE, not mark-based: batch ids are dense per
-    // growth direction (stream epochs 0,1,2,…; snapshot ids -1,-2,… from
-    // appendSnapshot's allocators), so the fold needs exactly the integer
-    // ids in (wm, asOf] above the base and [max(floor, minEver), lo) below
-    // it, and "present" is a count over the committed list. A vacuum that
-    // deleted only ids the chosen BASE already covers (a retention vacuum
-    // paired with retainManifests) passes; one that ate a needed id
-    // refuses rather than folding holes.
+    // Retention check — PRECISE: the fold needs the ids in (wm, asOf]
+    // above the chosen base and [floor, min(lo-1, asOf)] below it, and an
+    // id can only be MISSING-because-deleted if it lies inside the vacuum
+    // marks [vl, vh] (vacuum records the extremes of everything it ever
+    // dropped) yet is absent from the commit log. Intersecting the
+    // required ranges with the marks before counting makes the check
+    // independent of how ids were allocated (no density assumption) and
+    // lets a retention vacuum that only ate base-covered ids pass, while
+    // one that ate a needed id refuses rather than folding holes.
     val committed = committedBatchIds(spark)
-    val curM = readManifest(f)
-    val maxEver = math.max(curM.map(_.watermark).getOrElse(Long.MinValue),
-      committed.maxOption.getOrElse(Long.MinValue))
-    val curLo = curM.map(_.minFolded).getOrElse(0L)
-    if (curLo == Long.MinValue) {
-      // legacy manifest: the ever-seen floor is unknowable — fall back to
-      // the conservative marks
-      if (vacuumHighWater(spark) > wm || vacuumLowWater(spark) < math.max(lo, floor))
-        throw new IllegalStateException(
-          s"state as of batch $asOf needs history a vacuum has deleted " +
-            "(legacy manifest, conservative check) — no longer retained")
-    } else {
-      val minEver = math.min(math.min(curLo, 0L),
-        committed.minOption.getOrElse(0L).min(0L))
-      def missing(from: Long, to: Long): Boolean =
-        from <= to && committed.count(id => id >= from && id <= to) < to - from + 1
-      val posMissing = missing(math.max(wm + 1, 0L), math.min(asOf, maxEver))
-      // below the base: every negative id under the chosen fold floor is
-      // needed; with NO base (m = None) that is every negative id ≤ asOf
-      val negHi =
-        if (lo == Long.MinValue) math.min(-1L, asOf)
-        else Seq(-1L, asOf, lo - 1).min
-      val negMissing = missing(math.max(minEver, floor), negHi)
-      if (posMissing || negMissing)
-        throw new IllegalStateException(
-          s"state as of batch $asOf needs changelog batches outside the " +
-            s"chosen base fold [$lo, $wm] that vacuum has deleted — that " +
-            "history is no longer retained (retain more manifests or vacuum " +
-            "with keepLast)")
+    val vl = vacuumLowWater(spark)
+    val vh = vacuumHighWater(spark)
+    def deletedWithin(from: Long, to: Long): Boolean = {
+      val f2 = math.max(from, vl)
+      val t2 = math.min(to, vh)
+      f2 <= t2 && committed.count(id => id >= f2 && id <= t2) < t2 - f2 + 1
     }
+    val posMissing = deletedWithin(math.max(wm + 1, 0L), asOf)
+    val negHi =
+      if (lo == Long.MinValue) math.min(-1L, asOf)
+      else Seq(-1L, asOf, lo - 1).min
+    val negMissing = deletedWithin(floor, negHi)
+    if (posMissing || negMissing)
+      throw new IllegalStateException(
+        s"state as of batch $asOf needs changelog batches outside the " +
+          s"chosen base fold [$lo, $wm] that vacuum has deleted — that " +
+          "history is no longer retained (retain more manifests or vacuum " +
+          "with keepLast)")
     val tail = keyedEvents(changelogOutside(spark, lo, wm)
         .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
         .filter(col("schema") === schemaName && col("table") === table))
@@ -595,6 +584,7 @@ final class LakeSink(
       .takeRight(retainManifests)
     val keepRefs = retained.map {
       case v if v == newV => newManifest.entries.values.toSet
+      case v if m.exists(_.version == v) => m.get.entries.values.toSet
       case v => readManifestVersion(f, v).entries.values.toSet
     }.foldLeft(Set.empty[String])(_ ++ _)
     gcBase(f, keepRefs, retained.toSet)
@@ -809,8 +799,13 @@ final class LakeSink(
     * resolves from the newest retained manifest at-or-below the target
     * plus the surviving tail, so size `retainManifests` × compaction
     * cadence to the history you need (`keepLast` alone cannot reach below
-    * the oldest retained manifest's watermark). `keepLast = 0` is the
-    * plain "drop everything folded" vacuum.
+    * the oldest retained manifest's watermark). One caveat on the
+    * snapshot side: an OLDER anchor's tail includes every snapshot batch
+    * below its fold floor, so once retention drops a snapshot, anchors
+    * that predate it refuse (precisely — [[stateAsOf]] checks the actual
+    * ids) even though newer anchors still serve. Size `keepLast` past the
+    * snapshots landed since the oldest anchor you need. `keepLast = 0` is
+    * the plain "drop everything folded" vacuum.
     */
   def vacuum(spark: SparkSession, keepLast: Int): Unit = {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")

@@ -326,6 +326,25 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("retention checks are presence-based, not density-based") {
+    withSink { (sink, _) =>
+      import spark.implicits._
+      // sparse hand-chosen snapshot id and epochs not starting at 0 —
+      // neither is vacuumed, so nothing may refuse
+      sink.appendSnapshot("public.users",
+        Seq((9L, "snap")).toDF("id", "name"), Seq("id"), 0L, -5L)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")))), 57L)
+      assert(sink.stateAsOf(spark, "public", "users", 57L).count() == 2)
+      assert(sink.stateAsOf(spark, "public", "users", -5L).count() == 1)
+      // after fold + full vacuum the history IS gone — still refuses
+      sink.compact(spark); sink.vacuum(spark)
+      assert(sink.latestState(spark, "public", "users").count() == 2)
+      intercept[IllegalStateException](
+        sink.stateAsOf(spark, "public", "users", -5L).count())
+    }
+  }
+
   test("retention is per growth direction; deeper manifests extend time travel") {
     val dir = Files.createTempDirectory("lake-retain").toString
     try {
