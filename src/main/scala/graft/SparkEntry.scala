@@ -584,6 +584,8 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
            round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
                           ELSE o_totalprice END), 2) AS sum_price,
+           CAST(sum(CAST(o_orderkey AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_key_dec,
            round(min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
                           ELSE o_totalprice END), 2) AS min_price,
            round(max(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1

@@ -633,6 +633,7 @@ object CdcQueries {
     val mapT = "map<string,string>"
     def img(price: Column): Column = map(
       lit("o_orderstatus"), col("o_orderstatus"),
+      lit("o_orderkey"), col("o_orderkey").cast("string"),
       lit("o_totalprice"), price.cast("string"))
     val newPrice = col("o_totalprice") * 1.1
     val curPrice =
@@ -650,9 +651,13 @@ object CdcQueries {
     val cur2 = orders.filter(col("o_orderkey") % 13 =!= 0)
       .select(img(curPrice).as("after"))
     val price = (im: Column) => element_at(im, "o_totalprice").cast("double")
+    // decimal measure: sums must stay DECIMAL-EXACT through retraction
+    // arithmetic over the whole horizon — a double accumulator would pass
+    // rounded compares but drift at scale; the oracle pins the exact sum
+    val keyDec = (im: Column) => element_at(im, "o_orderkey").cast("decimal(18,2)")
     val agg = new IncrementalAgg(
       group = Seq("o_orderstatus" -> (im => element_at(im, "o_orderstatus"))),
-      sums = Seq("price" -> price),
+      sums = Seq("price" -> price, "key_dec" -> keyDec),
       mins = Seq("price" -> price),
       maxs = Seq("price" -> price))
     val st = Seq((b0, cur0), (b1, cur1), (b2, cur2))
@@ -661,6 +666,7 @@ object CdcQueries {
       }
     agg.view(st).select(col("o_orderstatus"), col("n"),
       round(col("sum_price"), 2).as("sum_price"),
+      col("sum_key_dec").cast("decimal(18,2)").as("sum_key_dec"),
       round(col("min_price"), 2).as("min_price"),
       round(col("max_price"), 2).as("max_price"))
   }

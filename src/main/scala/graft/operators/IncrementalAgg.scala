@@ -122,11 +122,19 @@ final class IncrementalAgg(
       coalesce(col(s"s.$nm"), col(s"d.$nm")).as(nm) }
     val inState = col("s.n").isNotNull
     val nNew = coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n_d"), lit(0L))
-    val sumCols = sums.flatMap { case (nm, _) => Seq(
-      (coalesce(col(s"s.s_$nm"), lit(0d)) + coalesce(col(s"d.s_${nm}_d"), lit(0d)))
-        .as(s"s_$nm"),
-      (coalesce(col(s"s.c_$nm"), lit(0L)) + coalesce(col(s"d.c_${nm}_d"), lit(0L)))
-        .as(s"c_$nm")) }
+    // sum merge is TYPE-PRESERVING: no double-typed zero literal in the
+    // arithmetic, so a DecimalType extractor's sum stays decimal-exact
+    // across arbitrarily long maintenance horizons (a double accumulator
+    // would drift); the null/null case needs no zero — c_ stays 0 and the
+    // view masks the sum to NULL per SQL
+    val sumCols = sums.flatMap { case (nm, _) =>
+      val sSum = col(s"s.s_$nm")
+      val dSum = col(s"d.s_${nm}_d")
+      Seq(
+        when(sSum.isNull, dSum).when(dSum.isNull, sSum)
+          .otherwise(sSum + dSum).as(s"s_$nm"),
+        (coalesce(col(s"s.c_$nm"), lit(0L)) + coalesce(col(s"d.c_${nm}_d"), lit(0L)))
+          .as(s"c_$nm")) }
     // a group is dirty when a retraction could have removed its stored
     // extreme — or when retractions hit a group state has no row for
     // (intra-batch insert+delete pairing is lost in the aggregated delta)
@@ -195,7 +203,10 @@ final class IncrementalAgg(
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
       sums.flatMap { case (nm, ex) => Seq(
-        coalesce(sum(ex(col("after"))), lit(0d)).as(s"s_$nm"),
+        // keep the extractor's own type (decimal stays decimal); a group
+        // of all-null measures recomputes to NULL with c_ = 0, exactly
+        // the state the delta path maintains
+        sum(ex(col("after"))).as(s"s_$nm"),
         count(ex(col("after"))).as(s"c_$nm")) } ++
       mins.map { case (nm, ex) => min(ex(col("after"))).as(s"min_$nm") } ++
       maxs.map { case (nm, ex) => max(ex(col("after"))).as(s"max_$nm") }

@@ -1,0 +1,191 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [[StateLog]]'s churn-proportional sibling: marker-committed state
+  * versions whose rows are HASH-BUCKETED on a key, so committing a new
+  * version rewrites only the buckets the refresh touched — untouched
+  * buckets carry into the new version by manifest reference, their files
+  * byte-identical. The same slice/manifest construction [[LakeSink]]'s
+  * `compact` uses for BASE, applied to maintained-operator state: without
+  * it a maintained join over a 10 TB state would rewrite 10 TB per
+  * refresh regardless of churn.
+  *
+  * Layout under `dir`:
+  *  - `v<neg>_<pos>/bucket=<b>/` — immutable parquet slices written by
+  *    the version that (re)computed bucket `b`.
+  *  - `_commits/manifest.<neg>_<pos>` — the version's manifest: one
+  *    `bucket \t relative-slice-path` line per NON-EMPTY bucket, written
+  *    to a temp name and renamed into place (atomic), so the manifest's
+  *    existence IS the commit marker and a reader never sees it torn.
+  *
+  * Versions are keyed by the consumer's cursor interval exactly like
+  * [[StateLog]] (containment order; replay-prev = maximal version inside
+  * the pre-span cursor). A replayed span whose manifest exists skips the
+  * rewrite; a crash mid-write leaves an unreferenced `v.../` directory
+  * that the next GC sweeps.
+  */
+private[sinks] final class BucketedStateLog(dir: Path, val buckets: Int) {
+
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
+  private def commitsDir = new Path(dir, "_commits")
+  private val ManifestPrefix = "manifest."
+
+  private def nameOf(key: (Long, Long)): String = s"${key._1}_${key._2}"
+
+  private def keyOf(name: String): Option[(Long, Long)] =
+    name.split("_") match {
+      case Array(a, b) => for (n <- a.toLongOption; p <- b.toLongOption) yield (n, p)
+      case _ => None
+    }
+
+  def fs(spark: SparkSession): FileSystem =
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The bucket a key value (or a NULL key — `hash(null)` is the constant
+    * seed, one deterministic bucket) lands in, as a Column over `jk`.
+    */
+  def bucketCol(jk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(jk), lit(buckets))
+
+  /** The bucket NULL-keyed rows land in. */
+  lazy val nullBucket: Int = {
+    // hash(null) is Murmur3's seed (42) — compute it the engine's way
+    // rather than hard-coding, so a seed change can't silently split the
+    // null segment across buckets
+    val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        null, org.apache.spark.sql.types.StringType))).eval(null)
+    math.floorMod(h.asInstanceOf[Int], buckets)
+  }
+
+  /** Committed versions in containment order (latest = last). */
+  def committed(f: FileSystem): Seq[(Long, Long)] =
+    if (!f.exists(commitsDir)) Seq.empty
+    else f.listStatus(commitsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith(".tmp"))
+      .flatMap(n => keyOf(n.stripPrefix(ManifestPrefix)))
+      .sortBy { case (n, p) => (p, -n) }
+
+  def latest(f: FileSystem): Option[(Long, Long)] = committed(f).lastOption
+
+  def latestWithin(f: FileSystem, from: (Long, Long)): Option[(Long, Long)] =
+    committed(f).filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
+
+  def isCommitted(f: FileSystem, key: (Long, Long)): Boolean =
+    f.exists(new Path(commitsDir, ManifestPrefix + nameOf(key)))
+
+  /** bucket → slice path relative to `dir` for one committed version. */
+  def entries(f: FileSystem, key: (Long, Long)): Map[Int, String] = {
+    val in = f.open(new Path(commitsDir, ManifestPrefix + nameOf(key)))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(b, rel) = l.split("\t", 2)
+      b.toInt -> rel
+    }.toMap
+  }
+
+  private def sliceDirs(key: (Long, Long), only: Option[Set[Int]],
+      f: FileSystem): Seq[String] =
+    entries(f, key).toSeq.sortBy(_._1)
+      .collect { case (b, rel) if only.forall(_.contains(b)) =>
+        new Path(dir, rel).toString }
+
+  /** One committed version's full state (pass `schema` so an all-empty
+    * version — zero non-empty buckets — reads as an empty frame, never a
+    * schema-inference failure).
+    */
+  def read(spark: SparkSession, key: (Long, Long),
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readBuckets(spark, key, None, schema)
+
+  /** A version's state restricted to a bucket subset — the refresh reads
+    * ONLY the touched buckets' slices, never the whole state.
+    */
+  def readBuckets(spark: SparkSession, key: (Long, Long),
+      only: Option[Set[Int]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dirs = sliceDirs(key, only, fs(spark))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** Commit one version: write `touchedState` (must contain ONLY rows of
+    * `touchedBuckets`) hash-sliced under this version's directory, carry
+    * every other bucket forward from `prevKey`'s manifest by reference,
+    * and publish the manifest atomically. `prevKey = None` (or
+    * `touchedBuckets` covering everything) is a full rewrite.
+    */
+  def commit(f: FileSystem, touchedState: DataFrame,
+      touchedBuckets: Set[Int], prevKey: Option[(Long, Long)],
+      key: (Long, Long)): Unit = {
+    val vDir = new Path(dir, s"v${nameOf(key)}")
+    f.delete(vDir, true) // crashed prior attempt at this version
+    touchedState
+      .withColumn("bucket", bucketCol(col(touchedState.columns.head)))
+      .write.partitionBy("bucket").parquet(vDir.toString)
+    val written: Map[Int, String] =
+      if (!f.exists(vDir)) Map.empty
+      else f.listStatus(vDir).toSeq.filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName.stripPrefix("bucket=").toIntOption)
+        .map(b => b -> s"v${nameOf(key)}/bucket=$b").toMap
+    val carried = prevKey.map(entries(f, _)).getOrElse(Map.empty)
+      .filterNot { case (b, _) => touchedBuckets.contains(b) }
+    writeManifest(f, key, carried ++ written)
+  }
+
+  private def writeManifest(f: FileSystem, key: (Long, Long),
+      m: Map[Int, String]): Unit = {
+    f.mkdirs(commitsDir)
+    val dst = new Path(commitsDir, ManifestPrefix + nameOf(key))
+    val tmp = new Path(commitsDir, ManifestPrefix + nameOf(key) + ".tmp")
+    val sb = new StringBuilder
+    m.toSeq.sortBy(_._1).foreach { case (b, rel) =>
+      sb.append(b).append('\t').append(rel).append('\n')
+    }
+    val out = f.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    f.rename(tmp, dst)
+  }
+
+  /** Drop versions strictly inside the replay horizon except the maximal
+    * one (the replay-prev), then sweep every slice directory no retained
+    * manifest references — including crashed-commit orphans.
+    */
+  def gcWithin(f: FileSystem, from: (Long, Long)): Unit = {
+    val all = committed(f)
+    val within = all.filter { case (n, p) => n >= from._1 && p <= from._2 }
+    val drop = within.dropRight(1).toSet
+    drop.foreach { k =>
+      f.delete(new Path(commitsDir, ManifestPrefix + nameOf(k)), false)
+    }
+    val keepRefs = (all.filterNot(drop.contains))
+      .flatMap(k => entries(f, k).values).toSet
+    if (!f.exists(dir)) return
+    f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .foreach { vd =>
+        val slices = f.listStatus(vd.getPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        var kept = false
+        slices.foreach { s =>
+          val rel = s"${vd.getPath.getName}/${s.getPath.getName}"
+          if (!keepRefs.contains(rel)) f.delete(s.getPath, true) else kept = true
+        }
+        // tmp-marker debris aside, an emptied version dir goes whole
+        if (!kept &&
+            !f.listStatus(vd.getPath).exists(_.isDirectory))
+          f.delete(vd.getPath, true)
+      }
+  }
+}

@@ -296,13 +296,24 @@ final class LakeSink(
     def deletedWithin(from: Long, to: Long): Boolean = {
       val f2 = math.max(from, vl)
       val t2 = math.min(to, vh)
-      f2 <= t2 && committed.count(id => id >= f2 && id <= t2) < t2 - f2 + 1
+      // f2 == MinValue only when the required range AND the vacuum extent
+      // are both unbounded below (legacy single-mark vacuum): presence
+      // cannot be verified by counting an infinite range — refuse.
+      f2 <= t2 && (f2 == Long.MinValue ||
+        committed.count(id => id >= f2 && id <= t2) < t2 - f2 + 1)
     }
     val posMissing = deletedWithin(math.max(wm + 1, 0L), asOf)
-    val negHi =
-      if (lo == Long.MinValue) math.min(-1L, asOf)
-      else Seq(-1L, asOf, lo - 1).min
-    val negMissing = deletedWithin(floor, negHi)
+    // Below-base requirement: the ids in [floor, min(-1, asOf, lo-1)].
+    // A LEGACY one-sided manifest (minFolded = MinValue) folded EVERYTHING
+    // at-or-below its watermark — its below-base required range is EMPTY,
+    // distinct from "no manifest chosen" (m.isEmpty, raw-changelog
+    // rebuild), which needs every negative id at-or-below asOf.
+    val negHi = m match {
+      case Some(mm) if mm.minFolded == Long.MinValue => Long.MinValue // empty
+      case Some(mm) => Seq(-1L, asOf, mm.minFolded - 1).min
+      case None => math.min(-1L, asOf)
+    }
+    val negMissing = negHi != Long.MinValue && deletedWithin(floor, negHi)
     if (posMissing || negMissing)
       throw new IllegalStateException(
         s"state as of batch $asOf needs changelog batches outside the " +
@@ -413,13 +424,17 @@ final class LakeSink(
       spark: SparkSession,
       firstTable: String,
       keyColsOf: String => Seq[String]): (String, DataFrame) => Unit = {
-    // Ids continue BELOW everything the lake has ever seen (committed or
-    // already folded) — a later connector run delivering a mid-stream
-    // table addition must not reuse an id appendBatch would silently drop
-    // as a replay of the first export.
+    // Ids continue BELOW everything the lake has ever seen (committed,
+    // already folded, or already VACUUMED — a vacuumed snapshot id has no
+    // marker left, but reusing it would sit inside consumers' delivered
+    // intervals and be silently absorbed) — a later connector run
+    // delivering a mid-stream table addition must not reuse an id
+    // appendBatch would silently drop as a replay of the first export.
     def floor(): Long = {
       val folded = Some(foldedLow(spark)).filter(_ != Long.MinValue)
-      (committedBatchIds(spark).filter(_ < 0) ++ folded)
+      val vacuumed = Some(vacuumLowWater(spark))
+        .filter(v => v != Long.MaxValue && v != Long.MinValue)
+      (committedBatchIds(spark).filter(_ < 0) ++ folded ++ vacuumed)
         .minOption.getOrElse(0L).min(0L)
     }
     var snapId = floor()
@@ -507,7 +522,22 @@ final class LakeSink(
     // watermark, or a late snapshot batch below the fold floor
     if (ids.max <= wm && ids.min >= mf) return
     val hi = math.max(ids.max, wm)
-    val newLow = math.min(ids.min, mf)
+    // A LEGACY one-sided manifest reads minFolded = MinValue; propagating
+    // it would keep the manifest legacy forever (and stateAsOf's
+    // below-base range check permanently unbounded). Upgrade to the REAL
+    // folded minimum: the lowest id the legacy base can cover — the
+    // lowest surviving committed id, or the vacuum low mark if a vacuum
+    // already dropped lower folded ids. Only a legacy-unknown vacuum
+    // extent (vl = MinValue) keeps the manifest legacy.
+    val mfReal =
+      if (mf != Long.MinValue) mf
+      else {
+        val vl = vacuumLowWater(spark)
+        if (vl == Long.MinValue) Long.MinValue
+        else if (vl == Long.MaxValue) ids.min
+        else math.min(ids.min, vl)
+      }
+    val newLow = math.min(ids.min, mfReal)
     val n = m.map(_.buckets).getOrElse(baseBuckets)
     val newV = m.map(_.version + 1).getOrElse(1L)
     val oldEntries = m.map(_.entries).getOrElse(Map.empty[(String, String, Int), String])
@@ -724,9 +754,21 @@ final class LakeSink(
     * The negative-side counterpart of [[vacuumHighWater]]: a consumer
     * whose delivered floor lies ABOVE it may have missed a vacuumed
     * snapshot batch.
+    *
+    * LEGACY repair: a lake vacuumed by the single-mark code has
+    * `_vacuumed` but no `_vacuumed_low`, and that vacuum dropped folded
+    * ids on BOTH sides of zero — the low extent is unknown. Reading it as
+    * "nothing dropped low" (MaxValue) would make [[stateAsOf]]'s
+    * retention intersection empty and silently fold state with holes, so
+    * an absent low mark next to a present high mark reads as
+    * Long.MinValue: everything below the high mark is POTENTIALLY gone,
+    * and readers refuse (conservative) instead of skipping.
     */
-  def vacuumLowWater(spark: SparkSession): Long =
-    readLongFile(fs(spark), vacuumedLowFile, Long.MaxValue)
+  def vacuumLowWater(spark: SparkSession): Long = {
+    val f = fs(spark)
+    val low = readLongFile(f, vacuumedLowFile, Long.MaxValue)
+    if (low == Long.MaxValue && f.exists(vacuumedFile)) Long.MinValue else low
+  }
 
   /** Scrapeable gauges for [[graft.streaming.GraftMetricsServer]]'s
     * `graft_lake_*` family: wire `lakeGauges = Some(() =>
@@ -819,18 +861,21 @@ final class LakeSink(
     // addition's snapshot before week-old epochs)
     val dropped = folded.filter(_ < 0).drop(keepLast) ++
       folded.filter(_ >= 0).dropRight(keepLast)
-    dropped.foreach { id =>
-      f.delete(new Path(changelogDir, s"batch_id=$id"), true)
-      f.delete(new Path(commitDir, id.toString), false)
-    }
     if (dropped.nonEmpty) {
-      // LOW mark first: a crash between the two writes then reads as a
-      // conservative false-positive on the negative side, never as a
-      // silently skippable gap.
+      // Marks FIRST, from the PLANNED drop set, deletes after — and low
+      // before high. A crash anywhere in this sequence then reads as a
+      // conservative over-statement (marks cover ids still present, which
+      // the retention check verifies against the commit log and passes;
+      // poll at worst refuses and re-bootstraps) — never as a deletion the
+      // marks don't record, which readers would silently skip.
       val newLow = math.min(dropped.min, vacuumLowWater(spark))
       writeLongAtomic(f, vacuumedLowFile, newLow)
       val newHigh = math.max(dropped.max, vacuumHighWater(spark))
       writeLongAtomic(f, vacuumedFile, newHigh)
+      dropped.foreach { id =>
+        f.delete(new Path(changelogDir, s"batch_id=$id"), true)
+        f.delete(new Path(commitDir, id.toString), false)
+      }
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   * `stateAsOf(span end)` of BOTH tables — one consistent batch boundary —
   * and splices the result over the previous state (untouched keys carry
   * forward unread). Work per refresh is churn × join fan-out, never
-  * state-sized; the splice's anti join is against the touched-key set,
-  * which is broadcast-sized by construction.
+  * state-sized.
+  *
+  * State PERSISTENCE is churn-proportional too: rows live in a
+  * [[BucketedStateLog]] — hash-bucketed on `jk` under a versioned
+  * manifest, the same slice/manifest construction [[LakeSink.compact]]
+  * uses for BASE — and a refresh reads and rewrites ONLY the buckets
+  * containing touched keys; every other bucket carries into the new
+  * version by manifest reference, its files byte-identical. A 10 TB
+  * maintained join with one dirty key rewrites ~1/buckets of the state,
+  * not the state.
   *
   * State rows are `jk` (the join key), `left_after`, `right_after` (the
   * two image maps); `joinType` may be inner (default), left_outer,
@@ -21,10 +29,12 @@ import org.apache.spark.sql.functions._
   * row set including null-extended rows, so every type maintains the same
   * way. Rows whose join key is NULL never equi-match, but the outer types
   * still null-extend them: they form their own segment of the state
-  * (`jk` null), carried forward untouched and recomputed whole whenever a
-  * span touches a null-keyed row on a preserved side. Commit protocol and
-  * crash safety are [[StateLog]]'s marker-then-cursor story, identical to
-  * [[MaintainedView]].
+  * (`jk` null — one deterministic bucket, `hash(null)` is constant),
+  * carried forward untouched and recomputed whole whenever a span touches
+  * a null-keyed row on a preserved side. Commit protocol and crash safety
+  * are the manifest-rename marker story; the lake cursor advances only
+  * after the state commits, so a crash between the two re-delivers the
+  * span and the already-committed manifest short-circuits the rewrite.
   *
   * Prerequisite: each side's join key must be extractable from its before
   * images too — i.e. the key columns are part of the replica identity
@@ -36,12 +46,17 @@ final class MaintainedJoin(
     lake: LakeSink,
     left: (String, String), right: (String, String),
     leftKey: Column => Column, rightKey: Column => Column,
-    name: String, joinType: String = "inner") {
+    name: String, joinType: String = "inner",
+    stateBuckets: Int = 16) {
 
   require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
     s"unsupported joinType '$joinType'")
 
-  private val states = new StateLog(new Path(lake.root, s"_graft_joins/$name"))
+  private val stateDir = new Path(lake.root, s"_graft_joins/$name")
+  private val states = new BucketedStateLog(stateDir, stateBuckets)
+  // pre-bucketing state versions (whole-state parquet under asof=*) —
+  // read once for migration, then retired
+  private val legacyStates = new StateLog(stateDir)
   private def cursorName = s"join_$name"
 
   private def tableEvents(span: DataFrame, side: (String, String)): DataFrame =
@@ -103,6 +118,39 @@ final class MaintainedJoin(
     l.join(r, Seq("jk"), joinType)
       .select(col("jk"), col("left_after"), col("right_after"))
 
+  private def emptyJoin(spark: SparkSession): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.cdc.ChangeEvent.schema)
+    joined(
+      empty.select(leftKey(col("after")).as("jk"), col("after").as("left_after")),
+      empty.select(rightKey(col("after")).as("jk"), col("after").as("right_after")))
+  }
+
+  /** One-time in-place upgrade of a pre-bucketing state directory: lift
+    * the legacy whole-state version into the bucketed log as a full
+    * rewrite under the same interval key, then retire the legacy files —
+    * without this, an upgraded deployment's first refresh would see no
+    * prior state while the lake cursor says "delivered" and silently
+    * rebuild only the touched keys.
+    */
+  private def migrateLegacy(spark: SparkSession, f: FileSystem): Unit = {
+    if (states.committed(f).nonEmpty) return
+    val legacy = legacyStates.committed(f)
+    legacy.lastOption.foreach { lk =>
+      states.commit(f, legacyStates.read(spark, lk),
+        (0 until stateBuckets).toSet, None, lk)
+    }
+    legacy.foreach { k =>
+      f.delete(new Path(stateDir, s"asof=${k._1}_${k._2}"), true)
+      f.delete(new Path(new Path(stateDir, "_commits"), s"${k._1}_${k._2}"), false)
+      if (k._1 == 0) {
+        f.delete(new Path(stateDir, s"asof=${k._2}"), true)
+        f.delete(new Path(new Path(stateDir, "_commits"), k._2.toString), false)
+      }
+    }
+  }
+
   /** Apply every newly committed lake batch to the join (including a late
     * snapshot batch below the cursor's floor — a mid-stream table
     * addition). Returns the number of batches applied (0 = already
@@ -112,6 +160,7 @@ final class MaintainedJoin(
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
+      migrateLegacy(spark, f)
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
         .head()
@@ -123,44 +172,54 @@ final class MaintainedJoin(
       if (!states.isCommitted(f, key)) {
         val lNew = sideAsOf(spark, left, leftKey, key._2, key._1, "left_after")
         val rNew = sideAsOf(spark, right, rightKey, key._2, key._1, "right_after")
+        val schema = emptyJoin(spark).schema
         val truncated = !span.filter(col("op") === "truncate" &&
           (col("schema") === left._1 && col("table") === left._2 ||
             col("schema") === right._1 && col("table") === right._2)).isEmpty
-        val next =
-          if (truncated) { // rare: rebuild at the boundary
-            val rebuilt = joined(lNew, rNew)
-            nullSegment(spark, key._2, key._1)
-              .map(rebuilt.unionByName(_)).getOrElse(rebuilt)
-          } else {
-            val touched = touchedKeys(span, left, leftKey)
-              .union(touchedKeys(span, right, rightKey)).distinct()
-            val prev = states.latestWithin(f, from)
-              .map(states.read(spark, _))
-              .getOrElse(joined(lNew.limit(0), rNew.limit(0)))
-            val recomputed = joined(
-              lNew.join(touched, Seq("jk"), "left_semi"),
-              rNew.join(touched, Seq("jk"), "left_semi"))
-            // a null jk never matches the anti join, so the clean null
-            // segment carries forward with the untouched keys; when a
-            // span touches a null-keyed row on a PRESERVED side, that
-            // segment recomputes whole (inner joins — and non-preserved
-            // sides — skip the span scans entirely: nothing to maintain)
-            val spliced = prev.join(broadcast(touched), Seq("jk"), "left_anti")
-              .unionByName(recomputed)
-            val preservesLeft =
-              joinType == "left_outer" || joinType == "full_outer"
-            val preservesRight =
-              joinType == "right_outer" || joinType == "full_outer"
-            val nullDirty =
-              (preservesLeft && nullTouched(span, left, leftKey)) ||
-                (preservesRight && nullTouched(span, right, rightKey))
+        if (truncated) { // rare: rebuild at the boundary, all buckets rewritten
+          val rebuilt = joined(lNew, rNew)
+          val next = nullSegment(spark, key._2, key._1)
+            .map(rebuilt.unionByName(_)).getOrElse(rebuilt)
+          states.commit(f, next, (0 until stateBuckets).toSet, None, key)
+        } else {
+          val touched = touchedKeys(span, left, leftKey)
+            .union(touchedKeys(span, right, rightKey)).distinct()
+          val preservesLeft =
+            joinType == "left_outer" || joinType == "full_outer"
+          val preservesRight =
+            joinType == "right_outer" || joinType == "full_outer"
+          val nullDirty =
+            (preservesLeft && nullTouched(span, left, leftKey)) ||
+              (preservesRight && nullTouched(span, right, rightKey))
+          // bounded planning pull: ≤ stateBuckets distinct values
+          val touchedBuckets = touched
+            .select(states.bucketCol(col("jk")).as("b")).distinct()
+            .collect().map(_.getInt(0)).toSet ++
+            (if (nullDirty) Set(states.nullBucket) else Set.empty)
+          val prevKey = states.latestWithin(f, from)
+          // ONLY the touched buckets' slices are read — the splice's
+          // input is bucket-bounded, never the whole state
+          val prevTouched = prevKey
+            .map(states.readBuckets(spark, _, Some(touchedBuckets), schema))
+            .getOrElse(emptyJoin(spark))
+          val recomputed = joined(
+            lNew.join(touched, Seq("jk"), "left_semi"),
+            rNew.join(touched, Seq("jk"), "left_semi"))
+          // a null jk never matches the anti join, so clean null-segment
+          // rows inside a touched bucket carry forward with the untouched
+          // keys; when a span touches a null-keyed row on a PRESERVED
+          // side, that segment recomputes whole (its bucket is in the
+          // touched set then)
+          val spliced = prevTouched.join(broadcast(touched), Seq("jk"), "left_anti")
+            .unionByName(recomputed)
+          val next =
             if (nullDirty) {
               val keyedOnly = spliced.filter(col("jk").isNotNull)
               nullSegment(spark, key._2, key._1)
                 .map(keyedOnly.unionByName(_)).getOrElse(keyedOnly)
             } else spliced
-          }
-        states.commit(f, next, key)
+          states.commit(f, next, touchedBuckets, prevKey, key)
+        }
       }
       states.gcWithin(f, from)
       }
@@ -180,15 +239,16 @@ final class MaintainedJoin(
   }
 
   /** The current join: `jk`, `left_after`, `right_after`. */
-  def read(spark: SparkSession): DataFrame =
-    states.latest(states.fs(spark))
-      .map(states.read(spark, _))
-      .getOrElse {
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          graft.cdc.ChangeEvent.schema)
-        joined(
-          empty.select(leftKey(col("after")).as("jk"), col("after").as("left_after")),
-          empty.select(rightKey(col("after")).as("jk"), col("after").as("right_after")))
-      }
+  def read(spark: SparkSession): DataFrame = {
+    val f = states.fs(spark)
+    states.latest(f) match {
+      case Some(k) => states.read(spark, k, emptyJoin(spark).schema)
+      case None =>
+        if (legacyStates.latest(f).isDefined) { // upgraded binary, un-migrated dir
+          migrateLegacy(spark, f)
+          states.latest(f).map(states.read(spark, _, emptyJoin(spark).schema))
+            .getOrElse(emptyJoin(spark))
+        } else emptyJoin(spark)
+    }
+  }
 }

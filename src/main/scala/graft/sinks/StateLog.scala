@@ -52,8 +52,17 @@ private[sinks] final class StateLog(dir: Path) {
     committed(f).filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
 
   def read(spark: SparkSession, key: (Long, Long)): DataFrame = {
-    val legacy = new Path(dir, s"asof=${key._2}")
-    val p = if (key._1 == 0 && fs(spark).exists(legacy)) legacy
+    // Mirror [[isCommitted]]: fall back to the LEGACY single-ended
+    // directory only when its MARKER exists (and the two-sided marker
+    // does not). Keying on directory existence alone would let
+    // uncommitted crash debris from the old code (parquet landed, no
+    // marker) shadow a version newly committed under the two-sided name.
+    val f = fs(spark)
+    val newCommitted = f.exists(new Path(commitsDir, nameOf(key)))
+    val p =
+      if (!newCommitted && key._1 == 0 &&
+          f.exists(new Path(commitsDir, key._2.toString)))
+        new Path(dir, s"asof=${key._2}")
       else new Path(dir, s"asof=${nameOf(key)}")
     spark.read.parquet(p.toString)
   }

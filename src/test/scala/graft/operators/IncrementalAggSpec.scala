@@ -160,6 +160,30 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(e.getMessage.contains("REPLICA IDENTITY FULL"))
   }
 
+  test("decimal sums are carried in the measure's own type, exactly") {
+    val decEx: Column => Column = im => element_at(im, "v").cast("decimal(10,2)")
+    val a = new IncrementalAgg(
+      group = Seq("g" -> (im => element_at(im, "g"))),
+      sums = Seq("v" -> decEx))
+    // 0.10 + 0.20 + 0.30 is NOT 0.60 in binary floating point — a double
+    // accumulator would show 0.6000000000000001; decimal must stay exact
+    val s0 = a.step(a.init(spark), env(
+      ("insert", null, img("x", "0.10")),
+      ("insert", null, img("x", "0.20")),
+      ("insert", null, img("x", "0.30"))),
+      sys.error("no recompute expected"))
+    val sumField = a.view(s0).schema("sum_v")
+    assert(sumField.dataType.isInstanceOf[DecimalType],
+      s"sum must stay decimal, got ${sumField.dataType}")
+    val v0 = a.view(s0).collect().head.getDecimal(2)
+    assert(v0.compareTo(new java.math.BigDecimal("0.60")) == 0, s"got $v0")
+    // retraction arithmetic stays exact too
+    val s1 = a.step(s0, env(("delete", img("x", "0.30"), null)),
+      sys.error("no recompute expected"))
+    val v1 = a.view(s1).collect().head.getDecimal(2)
+    assert(v1.compareTo(new java.math.BigDecimal("0.30")) == 0, s"got $v1")
+  }
+
   test("a retraction for rows never added fails loudly") {
     val a = agg
     val e = intercept[Exception] {

@@ -214,6 +214,103 @@ class MaintainedJoinSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  /** Every parquet data file under the join's state dir: path → mtime. */
+  private def stateFiles(sink: LakeSink, name: String): Map[String, Long] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) walk(f) else Seq(f)
+      }
+    walk(new java.io.File(s"${sink.root}/_graft_joins/$name"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("a refresh rewrites ONLY buckets containing touched keys — untouched slices are byte-identical") {
+    val dir = Files.createTempDirectory("lake-mjb").toString
+    try {
+      val sink = new LakeSink(dir)
+      val mj = new MaintainedJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "churn", stateBuckets = 8)
+      // 32 users × 1 order each → keys spread over all 8 buckets
+      val users = (1 to 32).map(i =>
+        ev(i, "insert", "u", Seq("id"), null, user(i.toString, s"name$i")))
+      val orders = (1 to 32).map(i =>
+        ev(100 + i, "insert", "o", Seq("oid"), null,
+          order(s"o$i", i.toString, (i * 10).toString)))
+      sink.appendBatch(envelope(users ++ orders), 0L)
+      assert(mj.refresh(spark) == 1)
+      val before = stateFiles(sink, "churn")
+      assert(before.nonEmpty)
+      // touch ONE key: only its bucket may be rewritten
+      sink.appendBatch(envelope(Seq(
+        ev(200, "update", "o", Seq("oid"),
+          order("o5", "5", "50"), order("o5", "5", "55")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      val after = stateFiles(sink, "churn")
+      val carried = before.keySet.intersect(after.keySet)
+      assert(carried.nonEmpty, "untouched slices must carry forward by reference")
+      carried.foreach { p =>
+        assert(before(p) == after(p), s"carried slice rewritten: $p")
+      }
+      // ≥ 7 of 8 buckets' files survive verbatim (only key 5's bucket moved)
+      val fresh = after.keySet.diff(before.keySet)
+      val freshBuckets = fresh.flatMap(p =>
+        "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))
+      assert(freshBuckets.size <= 1,
+        s"one touched key must rewrite at most one bucket, got $freshBuckets")
+      assert(joinSet(mj) == expected(sink), "content still correct")
+      // GC after one more refresh leaves no unreferenced version debris:
+      // every remaining file is referenced by a retained manifest
+      sink.appendBatch(envelope(Seq(
+        ev(201, "update", "o", Seq("oid"),
+          order("o6", "6", "60"), order("o6", "6", "66")))), 2L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == expected(sink))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a legacy whole-state version migrates into the bucketed log once, losing nothing") {
+    val dir = Files.createTempDirectory("lake-mjm").toString
+    try {
+      val sink = new LakeSink(dir)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("x", "1", "5")))), 0L)
+      // hand-build the PRE-BUCKETING state layout for an applied batch 0:
+      // whole-state parquet under asof=0_0 + bare marker, cursor advanced
+      val legacy = new StateLog(new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_joins/mig"))
+      val f = legacy.fs(spark)
+      val state = sink.latestState(spark, "public", "u")
+        .select(element_at(col("after"), "id").as("jk"),
+          col("after").as("left_after"))
+        .join(sink.latestState(spark, "public", "o")
+          .select(element_at(col("after"), "uid").as("jk"),
+            col("after").as("right_after")), Seq("jk"), "inner")
+      legacy.commit(f, state, (0L, 0L))
+      java.nio.file.Files.createDirectories(
+        new java.io.File(s"$dir/_graft_cursors").toPath)
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/_graft_cursors/join_mig").toPath,
+        "0:0".getBytes)
+      val mj = new MaintainedJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"), "mig")
+      // read() before any refresh serves the migrated state
+      assert(joinSet(mj) == Set(("x", "ann", "5")))
+      // an incremental refresh builds ON the migrated state, not from empty
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "o", Seq("oid"), null, order("y", "1", "6")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(("x", "ann", "5"), ("y", "ann", "6")))
+      assert(joinSet(mj) == expected(sink))
+      assert(!new java.io.File(s"$dir/_graft_joins/mig/asof=0_0").exists(),
+        "legacy version dir retired after migration")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("truncate on one side falls back to a full recompute at the boundary") {
     withJoin { (sink, mj) =>
       sink.appendBatch(envelope(Seq(
