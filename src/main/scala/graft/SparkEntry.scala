@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, CurationQueries, DedupQueries, MultimodalQueries, ScaleOps, SnapshotQueries, Tables, TextQueries}
+import graft.operators.{AnalyticsQueries, AnnQueries, CdcQueries, CurationQueries, DedupQueries, LakeQueries, MultimodalQueries, ScaleOps, SnapshotQueries, Tables, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,9 +27,9 @@ object SparkEntry {
     "q_pricing_summary" -> ((s, d) =>
       AnalyticsQueries.pricingSummary(s, d).orderBy("l_returnflag", "l_linestatus")),
     "q_shipping_priority" -> ((s, d) => AnalyticsQueries.shippingPriority(s, d)),
-    "q_local_supplier_volume" -> ((s, d) =>
+    "q_local_volume" -> ((s, d) =>
       AnalyticsQueries.localSupplierVolume(s, d).orderBy("n_name")),
-    "q_window_first_shipment" -> ((s, d) =>
+    "q_first_ship" -> ((s, d) =>
       AnalyticsQueries.windowFirstShipment(s, d).orderBy("l_suppkey")),
     "q_rollup_returns" -> ((s, d) =>
       AnalyticsQueries.rollupReturns(s, d).orderBy("l_returnflag", "l_linestatus")),
@@ -58,7 +58,7 @@ object SparkEntry {
     "q_op_filter" -> ((s, d) => CdcQueries.opFilter(s, d).orderBy("event_type")),
     "q_table_filter" -> ((s, d) => CdcQueries.tableFilter(s, d).orderBy("source")),
     "q_column_projection" -> ((s, d) => CdcQueries.columnProjection(s, d).orderBy("doc_id")),
-    "q_heartbeat_suppression" -> ((s, d) =>
+    "q_heartbeat" -> ((s, d) =>
       CdcQueries.heartbeatSuppression(s, d).orderBy("event_type")),
     "q_toast_coalesce" -> ((s, d) => CdcQueries.toastCoalesce(s, d).orderBy("event_type")),
     "q_latest_state" -> ((s, d) => CdcQueries.latestState(s, d).orderBy("user_id")),
@@ -73,9 +73,12 @@ object SparkEntry {
     "q_typed_view" -> ((s, d) => CdcQueries.typedViewOrders(s, d).orderBy("o_orderstatus")),
     "q_binary_roundtrip" -> ((s, d) => CdcQueries.binaryRoundtrip(s, d).orderBy("event_type")),
     "q_ivm" -> ((s, d) => CdcQueries.incrementalAgg(s, d).orderBy("o_orderstatus")),
+    // ---- lake changelog sink: fold, compaction, vacuum, time travel ----
+    "q_lake_state" -> ((s, d) => LakeQueries.lakeState(s, d)),
+    "q_lake_asof" -> ((s, d) => LakeQueries.lakeAsOf(s, d)),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
-    "q_chunked_scan_condition" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
+    "q_chunked_cond" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
     "q_offset_chunks" -> ((s, d) => SnapshotQueries.offsetChunks(s, d).orderBy("chunk_index")),
     // ---- LLM-pipeline: text analysis ----
     "q_text_stats" -> ((s, d) => TextQueries.textStats(s, d).orderBy("lang")),
@@ -266,7 +269,7 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1995-03-15'
            AND l_shipdate > TIMESTAMP '1995-03-15'
          GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
-    "q_local_supplier_volume" ->
+    "q_local_volume" ->
       """SELECT n_name,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          count(*) AS n_items
@@ -276,7 +279,7 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
-    "q_window_first_shipment" ->
+    "q_first_ship" ->
       """SELECT l_suppkey, l_orderkey AS first_orderkey,
          CAST(l_shipdate AS DATE) AS first_shipdate
          FROM (SELECT l_suppkey, l_orderkey, l_shipdate,
@@ -481,7 +484,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_column_projection" ->
       "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
-    "q_heartbeat_suppression" ->
+    "q_heartbeat" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE event_type <> 'error' GROUP BY 1 ORDER BY 1""",
     "q_toast_coalesce" ->
@@ -592,6 +595,33 @@ object SparkEntry {
                           ELSE o_totalprice END), 2) AS max_price
          FROM orders WHERE o_orderkey % 13 <> 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Lake fold: latest state after insert-all / update(%7 → *1.1) /
+    // delete(%13) batches with a compaction after the inserts and a full
+    // vacuum — the Spark side folds BASE + changelog tail through the
+    // manifest; the oracle aggregates the equivalent final table directly.
+    // Price sums go string→DECIMAL(18,2) on BOTH sides (the envelope
+    // carries shortest-roundtrip strings): decimal sums are exact, where
+    // a rounded double sum at ~1e9 flips cents with aggregation order.
+    "q_lake_state" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(sum(CAST(CAST(CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice * 1.1 ELSE o_totalprice END
+                     AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_price
+         FROM orders WHERE o_orderkey % 13 <> 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Lake time travel to the end of batch 1: updates applied, deletes
+    // not yet — resolved through the retained manifest + vacuum marks.
+    "q_lake_asof" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(sum(CAST(CAST(CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice * 1.1 ELSE o_totalprice END
+                     AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_price
+         FROM orders
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic
     // functions of event_id/user_id).
@@ -658,7 +688,7 @@ object SparkEntry {
          count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY 1""",
-    "q_chunked_scan_condition" ->
+    "q_chunked_cond" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000""",
     "q_offset_chunks" ->

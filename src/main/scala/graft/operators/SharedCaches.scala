@@ -26,7 +26,14 @@ object SharedCaches {
     "prep_streaming_dedup" -> ((s, d) => DedupQueries.streamingDedupDrive(s, d)),
     "prep_pq_index" -> ((s, d) => AnnQueries.pqCodeFrame(s, d)),
     "prep_cc_labels" -> ((s, d) => DedupQueries.clusterLabels(s, d)),
-    "prep_train_vocab" -> ((s, d) => CurationQueries.trainVocabFrame(s, d)))
+    "prep_train_vocab" -> ((s, d) => CurationQueries.trainVocabFrame(s, d)),
+    // the lake build (3 changelog batches + compact + vacuum) that
+    // q_lake_state / q_lake_asof read — a separate write job at scale
+    "prep_lake" -> { (s, d) =>
+      val sink = LakeQueries.lakeFor(s, d)
+      import s.implicits._
+      sink.committedBatchIds(s).toDF("batch_id")
+    })
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).

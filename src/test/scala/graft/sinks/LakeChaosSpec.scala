@@ -43,13 +43,18 @@ class LakeChaosSpec extends AnyFunSuite {
 
   /** Full-image event (REPLICA IDENTITY FULL shape) so the maintained
     * view's retraction arithmetic has the before images it requires.
+    * `t` images carry a `ref` foreign key (possibly null) into table `u`
+    * so the maintained JOIN soaks alongside the view.
     */
   private def evFull(
       lsn: Long, op: String, key: String,
-      beforeV: String, afterV: String): Row =
-    Row(lsn, lsn, 7L, op, "public", "t", T, T, Seq("id"),
-      if (beforeV == null) null else Map("id" -> key, "v" -> beforeV),
-      if (afterV == null) null else Map("id" -> key, "v" -> afterV))
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", "t", T, T, Seq("id"), before, after)
+
+  private def evU(
+      lsn: Long, op: String,
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", "u", T, T, Seq("id"), before, after)
 
   for (seed <- Seq(0xBEEFL, 20260814L, 777L))
     test(s"chaos soak seed=$seed: crash debris never double-delivers or corrupts the fold") {
@@ -60,7 +65,7 @@ class LakeChaosSpec extends AnyFunSuite {
         var lsn = 100L
         var nextId = 0L
         // sequential replay oracle: committed events in commit order
-        val oracle = mutable.LinkedHashMap.empty[String, String]
+        val oracle = mutable.LinkedHashMap.empty[String, (String, String)]
         val delivered = mutable.ArrayBuffer.empty[Long]
         val committed = mutable.ArrayBuffer.empty[Long]
         var pendingHalf: Option[(Long, Seq[Row])] = None
@@ -68,31 +73,62 @@ class LakeChaosSpec extends AnyFunSuite {
         // IVM-consistent generation: insert only absent keys, update/delete
         // only present ones WITH their true prior image (REPLICA IDENTITY
         // FULL) — fold semantics are unchanged (it treats insert/update as
-        // upserts), but the maintained view's retractions need honesty
-        val gen = mutable.Map.empty[String, String]
-        def randomRows(): Seq[Row] = (0 until (1 + rnd.nextInt(5))).map { _ =>
-          lsn += 1 + rnd.nextInt(3)
-          val key = (1 + rnd.nextInt(12)).toString
-          gen.get(key) match {
-            case Some(prev) if rnd.nextInt(10) == 0 =>
-              gen.remove(key)
-              evFull(lsn, "delete", key, prev, null)
-            case Some(prev) =>
-              val v = s"v$lsn"; gen(key) = v
-              evFull(lsn, "update", key, prev, v)
-            case None =>
-              val v = s"v$lsn"; gen(key) = v
-              evFull(lsn, "insert", key, null, v)
+        // upserts), but the maintained view's and join's retractions need
+        // honesty. `t` rows carry a `ref` FK into `u` (sometimes null —
+        // the join's null segment); `u` rows churn too.
+        val gen = mutable.Map.empty[String, (String, String)] // id -> (v, ref)
+        val uGen = mutable.Map.empty[String, String]          // uid -> name
+        def imgT(key: String, vr: (String, String)): Map[String, String] =
+          Map("id" -> key, "v" -> vr._1, "ref" -> vr._2)
+        def randomRows(): Seq[Row] = {
+          val tRows = (0 until (1 + rnd.nextInt(5))).map { _ =>
+            lsn += 1 + rnd.nextInt(3)
+            val key = (1 + rnd.nextInt(12)).toString
+            val ref = if (rnd.nextInt(5) == 0) null
+              else (1 + rnd.nextInt(4)).toString
+            gen.get(key) match {
+              case Some(prev) if rnd.nextInt(10) == 0 =>
+                gen.remove(key)
+                evFull(lsn, "delete", key, imgT(key, prev), null)
+              case Some(prev) =>
+                val next = (s"v$lsn", ref); gen(key) = next
+                evFull(lsn, "update", key, imgT(key, prev), imgT(key, next))
+              case None =>
+                val next = (s"v$lsn", ref); gen(key) = next
+                evFull(lsn, "insert", key, null, imgT(key, next))
+            }
           }
+          val uRows = if (rnd.nextInt(3) != 0) Seq.empty else {
+            lsn += 1
+            val uid = (1 + rnd.nextInt(4)).toString
+            def uImg(nm: String) = Map("id" -> uid, "name" -> nm)
+            uGen.get(uid) match {
+              case Some(prev) if rnd.nextInt(6) == 0 =>
+                uGen.remove(uid)
+                Seq(evU(lsn, "delete", uImg(prev), null))
+              case Some(prev) =>
+                val nm = s"n$lsn"; uGen(uid) = nm
+                Seq(evU(lsn, "update", uImg(prev), uImg(nm)))
+              case None =>
+                val nm = s"n$lsn"; uGen(uid) = nm
+                Seq(evU(lsn, "insert", null, uImg(nm)))
+            }
+          }
+          tRows ++ uRows
         }
 
+        // oracle: t id -> (v, ref); uOracle: uid -> name
+        val uOracle = mutable.LinkedHashMap.empty[String, String]
         def applyToOracle(rows: Seq[Row]): Unit = rows.foreach { r =>
           val op = r.getString(3)
-          if (op == "delete")
-            oracle.remove(r.getMap[String, String](9)("id"))
-          else {
+          val table = r.getString(5)
+          if (op == "delete") {
+            val k = r.getMap[String, String](9)("id")
+            if (table == "u") uOracle.remove(k) else oracle.remove(k)
+          } else {
             val m = r.getMap[String, String](10)
-            oracle(m("id")) = m("v")
+            if (table == "u") uOracle(m("id")) = m("name")
+            else oracle(m("id")) = (m("v"), m("ref"))
           }
         }
 
@@ -115,7 +151,7 @@ class LakeChaosSpec extends AnyFunSuite {
           val got = sink.latestState(spark, "public", "t")
             .select(col("k"), element_at(col("after"), "v"))
             .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-          assert(got == oracle.toMap,
+          assert(got == oracle.view.mapValues(_._1).toMap,
             s"seed=$seed: fold diverged from the sequential oracle " +
               s"(missing=${oracle.keySet -- got.keySet} extra=${got.keySet -- oracle.keySet})")
         }
@@ -144,15 +180,53 @@ class LakeChaosSpec extends AnyFunSuite {
             else java.nio.file.Files.write(cf.toPath, pre.toString.getBytes)
             mv.refresh(spark)
           }
+          // sums carry the extractor's own type: a long measure sums as LONG
           val got = mv.read(spark).collect().map { r =>
-            r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+            r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
           }.toMap
           val want = oracle.keysIterator.map(_.toLong).toSeq
             .groupBy(_ % 3).map { case (g, ids) =>
-              g -> ((ids.size.toLong, ids.map(_.toDouble).sum, ids.min, ids.max))
+              g -> ((ids.size.toLong, ids.sum, ids.min, ids.max))
             }
           assert(got == want,
             s"seed=$seed: maintained view diverged (got=$got want=$want)")
+        }
+
+        // a maintained JOIN polling the same changelog: u (users) RIGHT
+        // OUTER t on t.ref — the preserved right side null-extends both
+        // unmatched refs and NULL refs, so the null segment, dirty-key
+        // recompute, and bucketed state splice all soak under the same
+        // crash windows as the view, audited against the sequential
+        // oracle's join at every boundary
+        val mj = new MaintainedJoin(sink,
+          ("public", "u"), ("public", "t"),
+          im => element_at(im, "id"), im => element_at(im, "ref"),
+          "soakjoin", joinType = "right_outer", stateBuckets = 4)
+
+        def checkJoin(): Unit = {
+          val preJ = sink.cursorInterval(spark, "join_soakjoin")
+          mj.refresh(spark)
+          if (rnd.nextInt(3) == 0) {
+            // crash window: join state committed, cursor advance lost —
+            // rewind and replay; the committed manifest must short-circuit
+            val cf = new java.io.File(s"$dir/_graft_cursors/join_soakjoin")
+            new java.io.File(s"$dir/_graft_cursors/.join_soakjoin.crc").delete()
+            if (preJ == ((0L, Long.MinValue))) cf.delete()
+            else java.nio.file.Files.write(cf.toPath,
+              s"${preJ._1}:${preJ._2}".getBytes)
+            mj.refresh(spark)
+          }
+          val got = mj.read(spark).collect().map { r =>
+            val l = r.getMap[String, String](1)
+            val t = r.getMap[String, String](2)
+            (if (l == null) null else l("name"), t("id"))
+          }.toSet
+          val want: Set[(String, String)] = oracle.toSeq.map { case (id, (_, ref)) =>
+            (if (ref == null) null else uOracle.getOrElse(ref, null), id)
+          }.toSet
+          assert(got == want,
+            s"seed=$seed: maintained join diverged " +
+              s"(missing=${want -- got} extra=${got -- want})")
         }
 
         val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -203,13 +277,15 @@ class LakeChaosSpec extends AnyFunSuite {
             case 8 => // maintenance: compact (+ vacuum once consumers caught up)
               sink.compact(spark)
               drain()
-              checkView() // the view's cursor must pass the watermark too
+              checkView() // the view's and join's cursors must pass the
+              checkJoin() // watermark before vacuum may drop the folded tail
               sink.vacuum(spark)
               checkFold()
-            case 9 => // reader progress + fold/view audit
+            case 9 => // reader progress + fold/view/join audit
               drain()
               checkFold()
               checkView()
+              checkJoin()
           }
         }
         // land any dangling half-written batch, then final audit
@@ -217,6 +293,7 @@ class LakeChaosSpec extends AnyFunSuite {
         drain()
         checkFold()
         checkView()
+        checkJoin()
         // epochs deliver in ascending id order (snapshot ids interleave
         // with no intra-span order — the drain helper sorts per span; the
         // stream soak asserts per-trigger order precisely)
