@@ -445,13 +445,22 @@ final class LakeSink(
     }
   }
 
-  /** Persist relation schemas next to the log (one row per column,
-    * latest-wins overwrite — the same replacement semantics as the live
-    * registry), so BATCH consumers can type the text-map images without a
-    * running stream. Feed it from [[graft.streaming.PgCdcRelations]]'s
-    * registry, or any decoded 'R' messages.
+  /** Persist relation schemas next to the log, VERSIONED by the batch id
+    * from which they are in force, so BATCH consumers can type the
+    * text-map images without a running stream — and typed TIME TRAVEL
+    * resolves each read through the schema of its own era, not
+    * latest-wins. Feed it from [[graft.streaming.PgCdcRelations]]'s
+    * registry, or any decoded 'R' messages: on a mid-stream DDL, call
+    * again with the changed relation and the first batch id carrying the
+    * new shape.
+    *
+    * Layout: `_graft_schema/era=<validFromBatch>/` per boundary
+    * (replaying the same boundary overwrites idempotently); a
+    * pre-versioning root written by the old latest-wins code reads as the
+    * era at the bottom of the id space.
     */
-  def writeRelations(spark: SparkSession, rels: Seq[graft.pgproto.Messages.Relation]): Unit = {
+  def writeRelations(spark: SparkSession, rels: Seq[graft.pgproto.Messages.Relation],
+      validFromBatch: Long = Long.MinValue): Unit = {
     import spark.implicits._
     rels.flatMap { r =>
       r.columns.toSeq.zipWithIndex.map { case (c, i) =>
@@ -461,20 +470,45 @@ final class LakeSink(
     }.toDF("namespace", "name", "oid", "replica_identity",
         "col_idx", "col_name", "type_oid", "type_modifier", "flags")
       .coalesce(1)
-      .write.mode("overwrite").parquet(new Path(root, "_graft_schema").toString)
+      .write.mode("overwrite").parquet(
+        new Path(root, s"_graft_schema/era=$validFromBatch").toString)
   }
 
-  /** Read back one table's persisted relation schema, if recorded. */
+  /** Read back one table's persisted relation schema as in force AT
+    * `asOf` (default: the newest): the newest era at-or-below `asOf`
+    * that records the table — or, for reads that predate every recorded
+    * era (prehistory), the earliest known one, the best available guess.
+    * None if no era records the table at all.
+    */
   def readRelation(
-      spark: SparkSession, namespace: String, name: String): Option[graft.pgproto.Messages.Relation] = {
+      spark: SparkSession, namespace: String, name: String,
+      asOf: Long = Long.MaxValue): Option[graft.pgproto.Messages.Relation] = {
     val f = fs(spark)
     val p = new Path(root, "_graft_schema")
     if (!f.exists(p)) return None
-    val rows = spark.read.parquet(p.toString)
+    val entries = f.listStatus(p).toSeq
+    val eraDirs = entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("era="))
+      .flatMap(st => st.getPath.getName.stripPrefix("era=").toLongOption
+        .map(_ -> st.getPath.toString))
+    // legacy latest-wins root files (pre-versioning) = the bottom era
+    val legacyFiles = entries
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val eras: Seq[(Long, DataFrame)] =
+      eraDirs.map { case (e, d) => e -> spark.read.parquet(d) } ++
+        (if (legacyFiles.isEmpty) Seq.empty
+         else Seq(Long.MinValue -> spark.read.parquet(legacyFiles: _*)))
+    def rowsOf(df: DataFrame) = df
       .filter(col("namespace") === namespace && col("name") === name)
       .orderBy("col_idx").collect()
-    if (rows.isEmpty) None
-    else Some(graft.pgproto.Messages.Relation(
+    // bounded planning pull: eras × columns rows for ONE table
+    val recorded = eras.sortBy(_._1).map { case (e, df) => e -> rowsOf(df) }
+      .filter(_._2.nonEmpty)
+    if (recorded.isEmpty) return None
+    val rows = recorded.filter(_._1 <= asOf).lastOption
+      .getOrElse(recorded.head)._2
+    Some(graft.pgproto.Messages.Relation(
       0L, rows.head.getAs[Long]("oid"), namespace, name,
       rows.head.getAs[Int]("replica_identity").toByte,
       rows.map(r => graft.pgproto.Messages.RelationColumn(
@@ -492,6 +526,22 @@ final class LakeSink(
       throw new IllegalStateException(
         s"no persisted relation schema for $schemaName.$table — call writeRelations first"))
     latestState(spark, schemaName, table)
+      .select(graft.types.PgTypes.typedColumns(rel, col("after")) :+
+        col("commit_lsn") :+ col("lsn"): _*)
+  }
+
+  /** [[stateAsOf]] projected through the relation schema IN FORCE at that
+    * batch boundary — typed time travel across mid-stream DDL: a read
+    * before a column add has no phantom null column, and a read before a
+    * column TYPE change casts through the old type, never the new one.
+    */
+  def stateAsOfTyped(
+      spark: SparkSession, schemaName: String, table: String,
+      asOf: Long, floor: Long = Long.MinValue): DataFrame = {
+    val rel = readRelation(spark, schemaName, table, asOf).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted relation schema for $schemaName.$table — call writeRelations first"))
+    stateAsOf(spark, schemaName, table, asOf, floor)
       .select(graft.types.PgTypes.typedColumns(rel, col("after")) :+
         col("commit_lsn") :+ col("lsn"): _*)
   }

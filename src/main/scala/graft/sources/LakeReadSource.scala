@@ -1,17 +1,22 @@
 package graft.sources
 
+import java.util
+
 import scala.util.matching.Regex
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink => SinkV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Sink => SinkV1}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sinks.LakeSink
 
@@ -27,15 +32,18 @@ import graft.sinks.LakeSink
   *    replica-identity key ([[LakeSink.latestState]]); add
   *    `.option("typed", "true")` for the relation-schema projection
   *    ([[LakeSink.latestStateTyped]]), `.option("asOfBatch", n)` for
-  *    time travel ([[LakeSink.stateAsOf]]).
+  *    time travel ([[LakeSink.stateAsOf]]) — combinable with `typed`
+  *    since relation schemas are versioned by batch id.
   *  - no `table` — the committed changelog (all tables, envelope rows +
   *    `batch_id`); `.option("fromBatch", n)` reads only batches after n.
   *
   * Streaming (`spark.readStream.format("graft-lake").option("path", root)`):
-  * tails the committed changelog exactly once, offsets checkpointed by
-  * Structured Streaming itself (no named cursors — [[LakeSink.poll]] is
-  * the pull-based alternative). Options: `tables` (comma-separated
-  * `schema.table` filter, pushed to the parquet scan),
+  * tails the committed changelog exactly once as a DataSource V2
+  * micro-batch stream ([[LakeMicroBatchStream]]) — offsets checkpointed
+  * by Structured Streaming itself (no named cursors — [[LakeSink.poll]]
+  * is the pull-based alternative), partition planning pruned to exactly
+  * the new batch ids' files. Options: `tables` (comma-separated
+  * `schema.table` filter, applied row-local in the partition readers),
   * `maxBatchesPerTrigger` (admission cap per micro-batch), and
   * `table` + `typed=true` for a TYPED change feed of one table — the
   * same projection as the live registry's typed views, schema resolved
@@ -50,12 +58,12 @@ import graft.sinks.LakeSink
   * a restart whose next undelivered batch was vacuumed throws rather
   * than silently skipping (re-bootstrap from `latestState`).
   *
-  * 100-TB shape: planning I/O is one commit-log listing per trigger
-  * (one small file per batch); data moves only executor-side, straight
-  * from the batch parquet dirs, partition-pruned to exactly the new ids.
+  * 100-TB shape: planning I/O is one commit-log listing plus the new
+  * batches' file listings per trigger; data moves only executor-side,
+  * straight from the batch parquet files, pruned to exactly the new ids.
   */
 final class LakeReadSourceProvider
-    extends RelationProvider with StreamSourceProvider with StreamSinkProvider
+    extends RelationProvider with StreamSinkProvider with TableProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
@@ -90,7 +98,8 @@ final class LakeReadSourceProvider
         s"supported: ${allowed.toSeq.sorted.mkString(", ")}")
   }
 
-  // ---- batch ---------------------------------------------------------------
+  // ---- batch (DSv1 relation; the DSv2 table declares no BATCH_READ, so
+  // spark.read falls back here) ---------------------------------------------
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
@@ -106,9 +115,9 @@ final class LakeReadSourceProvider
           case (Some(b), false) => sink.stateAsOf(spark, sch, tbl, b)
           case (None, true) => sink.latestStateTyped(spark, sch, tbl)
           case (None, false) => sink.latestState(spark, sch, tbl)
-          case (Some(_), true) => throw new IllegalArgumentException(
-            "asOfBatch and typed cannot be combined (relation schemas are " +
-              "recorded latest-only, so a typed historical view could lie)")
+          // relation schemas are VERSIONED by batch id, so a typed
+          // historical view projects through the schema of its own era
+          case (Some(b), true) => sink.stateAsOfTyped(spark, sch, tbl, b)
         }
       case None =>
         val from = opt(parameters, "frombatch").map(_.toLong).getOrElse(Long.MinValue)
@@ -130,7 +139,7 @@ final class LakeReadSourceProvider
     }
   }
 
-  // ---- streaming -----------------------------------------------------------
+  // ---- streaming source (DSv2) ---------------------------------------------
 
   /** Typed streaming (`table` + `typed=true`): the persisted relation
     * schema, resolved latest-wins at query (re)start.
@@ -148,19 +157,42 @@ final class LakeReadSourceProvider
           s"no persisted relation schema for $qualified — call writeRelations first")))
     }
 
-  override def sourceSchema(
-      sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty, "graft-lake defines its own schema (the CDC envelope)")
-    // fail fast at load() on a missing path or a typo'd option —
-    // createSource only runs at query start
-    checkOptions(parameters, StreamOptions, "stream")
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // BOTH spark.read and spark.readStream route through here (batch
+    // falls back to the v1 relation only after the table reports no
+    // BATCH_READ), so validate against the union — each path re-checks
+    // its own strict set where it materializes (createRelation / streamOf)
+    val parameters = scala.jdk.CollectionConverters.MapHasAsScala(options).asScala.toMap
+    checkOptions(parameters, StreamOptions ++ BatchOptions, "")
     rootOf(parameters)
-    val out = typedRelOf(sqlContext.sparkSession, parameters) match {
-      case Some(rel) => LakeReadSource.typedSchema(sqlContext.sparkSession, rel)
+    // batch-only options mean the inferred (streaming) schema is about to
+    // be discarded by the v1 fallback — don't resolve a typed projection
+    // against options the stream path would reject
+    if (parameters.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+        .exists(k => k == "asofbatch" || k == "frombatch"))
+      LakeReadSource.changelogSchema
+    else typedRelOf(SparkSession.active, parameters) match {
+      case Some(rel) => LakeReadSource.typedSchema(SparkSession.active, rel)
       case None => LakeReadSource.changelogSchema
     }
-    (shortName(), out)
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val parameters = scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
+    new LakeTable(schema, rootOf(parameters), parameters, this)
+  }
+
+  private[sources] def streamOf(
+      parameters: Map[String, String]): LakeMicroBatchStream = {
+    checkOptions(parameters, StreamOptions, "stream")
+    val tables = (opt(parameters, "tables").toSeq ++ opt(parameters, "table").toSeq)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new LakeMicroBatchStream(
+      rootOf(parameters), tables,
+      opt(parameters, "maxbatchespertrigger").map(_.toInt),
+      typedRelOf(SparkSession.active, parameters))
   }
 
   // ---- streaming sink --------------------------------------------------
@@ -213,19 +245,30 @@ final class LakeReadSourceProvider
       override def toString: String = name()
     }
   }
+}
 
-  override def createSource(
-      sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    checkOptions(parameters, StreamOptions, "stream")
-    val tables = (opt(parameters, "tables").toSeq ++ opt(parameters, "table").toSeq)
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val maxBatches = opt(parameters, "maxbatchespertrigger").map(_.toInt)
-    new LakeReadSource(
-      sqlContext.sparkSession, rootOf(parameters), tables, maxBatches,
-      typedRelOf(sqlContext.sparkSession, parameters))
-  }
+/** DSv2 table for the STREAMING face only: no BATCH_READ capability, so
+  * `spark.read` falls back to the v1 relation (which serves the folded
+  * state / time travel / changelog shapes a Scan cannot express as one
+  * fixed schema).
+  */
+final class LakeTable(
+    schema0: StructType, root: String, parameters: Map[String, String],
+    provider: LakeReadSourceProvider) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-lake[$root]"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          provider.streamOf(parameters)
+      }
+    }
 }
 
 /** Contiguous delivered-id interval `[neg, pos]` over the lake's two-sided
@@ -237,7 +280,7 @@ final class LakeReadSourceProvider
   * existed. Long.MaxValue = nothing acknowledged yet.
   */
 final case class LakeOffset(neg: Long, pos: Long, vl: Long = Long.MaxValue)
-    extends OffsetV1 {
+    extends OffsetV2 {
   override def json: String =
     if (vl == Long.MaxValue) s"""{"neg":$neg,"pos":$pos}"""
     else s"""{"neg":$neg,"pos":$pos,"vl":$vl}"""
@@ -254,178 +297,6 @@ object LakeOffset {
         Option(v).map(_.toLong).getOrElse(Long.MaxValue))
     case other => throw new IllegalArgumentException(s"not a LakeOffset: $other")
   }
-
-  /** v1 sources receive checkpoint-restored offsets as [[SerializedOffset]]. */
-  def of(o: OffsetV1): LakeOffset = o match {
-    case l: LakeOffset => l
-    case SerializedOffset(json) => fromJson(json)
-    case other => fromJson(other.json)
-  }
-}
-
-final class LakeReadSource(
-    spark: SparkSession, root: String,
-    tables: Seq[String], maxBatchesPerTrigger: Option[Int],
-    typedRel: Option[graft.pgproto.Messages.Relation] = None)
-    extends Source with SupportsTriggerAvailableNow {
-
-  private val sink = new LakeSink(root)
-  // Ids already admitted but possibly not yet committed downstream —
-  // admission must be monotone across triggers.
-  @volatile private var planned: LakeOffset = LakeOffset.empty
-  // Vacuum low-water mark acknowledged as innocent (see LakeOffset.vl);
-  // MaxValue until first contact (fresh query or a pre-vl checkpoint,
-  // both amnestied at the next admission).
-  @volatile private var ackedVl: Long = Long.MaxValue
-  // Trigger.AvailableNow ceiling: ids committed after prepare() wait for
-  // the next run.
-  @volatile private var availableNowTarget: Option[LakeOffset] = None
-
-  // cached: deriving the typed schema analyzes the full projection plan,
-  // and schema is consulted on the per-trigger hot path
-  private lazy val schema0: StructType = typedRel match {
-    case Some(rel) => LakeReadSource.typedSchema(spark, rel)
-    case None => LakeReadSource.changelogSchema
-  }
-  override def schema: StructType = schema0
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-
-  override def prepareForTriggerAvailableNow(): Unit = {
-    val ids = sink.committedBatchIds(spark)
-    availableNowTarget = Some(
-      if (ids.isEmpty) planned
-      else LakeOffset(
-        math.min(planned.neg, math.min(ids.min, 0L)),
-        math.max(planned.pos, ids.max)))
-  }
-
-  /** Admission-control path (the engine prefers it over [[getOffset]]):
-    * `start` is the checkpointed offset, so a capped plan can never land
-    * behind what a previous instance delivered.
-    */
-  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    if (start != null) merge(LakeOffset.fromJson(start.json))
-    advance(capped = true).orNull
-  }
-
-  /** DSv1 fallback path. No `start` is provided here, so a COLD instance
-    * admits everything uncapped: a capped first offset could land BEHIND a
-    * checkpoint this instance doesn't know about, and committing a
-    * regressive offset would re-deliver the difference next trigger.
-    */
-  override def getOffset: Option[OffsetV1] =
-    advance(capped = planned != LakeOffset.empty)
-
-  private def advance(capped: Boolean): Option[LakeOffset] = synchronized {
-    val all = sink.committedBatchIds(spark)
-    val committed = availableNowTarget match {
-      case Some(t) => all.filter(id => id >= t.neg && id <= t.pos)
-      case None => all
-    }
-    // Vacuum safety, enforced at ADMISSION (not in getBatch — the engine
-    // legitimately replays the last committed span through getBatch on
-    // every restart, and that replay may cross already-vacuumed history).
-    // By now `planned` holds the truly-delivered interval (seeded from the
-    // checkpoint via that replay / commit()), so a vacuum high-water mark
-    // beyond it means UNDELIVERED batches were deleted — unrecoverable.
-    // A consumer with no history yet (planned empty) is exempt: nothing
-    // was promised to it, it may legally start from the surviving tail.
-    val vh = sink.vacuumHighWater(spark)
-    if (planned != LakeOffset.empty && vh > planned.pos)
-      throw new IllegalStateException(
-        s"graft-lake stream is at ${planned.json} but vacuum has deleted " +
-          s"batches through $vh — the gap is unrecoverable; re-bootstrap " +
-          "the consumer from latestState and a fresh checkpoint")
-    // Negative side: vacuum reaching BELOW both the delivered floor and
-    // the acknowledged mark means a late snapshot batch was deleted
-    // before this consumer ever saw it. History vacuumed before first
-    // contact is amnestied (nothing was promised yet).
-    val curVl = sink.vacuumLowWater(spark)
-    // Amnesty is keyed on EMPTY delivery history, not on ackedVl being
-    // unset: a running consumer that saw no vacuum at first contact
-    // (ackedVl still MaxValue) must still treat the first vacuum that
-    // reaches below its floor as a gap, not as pre-birth history.
-    if (planned == LakeOffset.empty) ackedVl = curVl
-    else if (curVl < ackedVl) {
-      if (curVl < planned.neg)
-        throw new IllegalStateException(
-          s"graft-lake stream floor is ${planned.neg} but vacuum has " +
-            s"deleted snapshot batches down to $curVl — an undelivered " +
-            "snapshot batch is gone; re-bootstrap the consumer from " +
-            "latestState and a fresh checkpoint")
-      ackedVl = curVl
-    }
-    if (committed.isEmpty && planned == LakeOffset.empty) return None
-    val fresh = committed.filter(id => id < planned.neg || id > planned.pos)
-    if (fresh.isEmpty) {
-      if (planned == LakeOffset.empty) None
-      else Some(planned.copy(vl = ackedVl))
-    } else {
-      // Downward growth admits newest-first, upward oldest-first, so the
-      // admitted set stays a contiguous interval under any per-trigger cap.
-      val ordered = fresh.filter(_ < planned.neg).sorted.reverse ++
-        fresh.filter(_ > planned.pos).sorted
-      val admitted =
-        if (capped) maxBatchesPerTrigger.fold(ordered)(ordered.take) else ordered
-      planned = LakeOffset(
-        math.min(planned.neg, admitted.min), math.max(planned.pos, admitted.max))
-      Some(planned.copy(vl = ackedVl))
-    }
-  }
-
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val s = start.map(LakeOffset.of).getOrElse(LakeOffset.empty)
-    val e = LakeOffset.of(end)
-    // Restart path: the checkpoint may be ahead of this fresh instance —
-    // the engine replays the last committed span through here before the
-    // first admission, which also seeds `planned` with the true delivered
-    // interval. Missing (vacuumed) ids in a replayed span contribute no
-    // rows; gap DETECTION lives in the admission path, where delivered
-    // and deleted can be told apart.
-    merge(e)
-    val ids = sink.committedBatchIds(spark)
-      .filter(id => id >= e.neg && id <= e.pos)
-      .filter(id => id < s.neg || id > s.pos)
-    val batch =
-      if (ids.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], LakeReadSource.changelogSchema)
-      else {
-        val dirs = ids.map(i =>
-          new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(root, "changelog"), s"batch_id=$i").toString)
-        spark.read
-          .option("basePath", new org.apache.hadoop.fs.Path(root, "changelog").toString)
-          .schema(LakeReadSource.changelogSchema)
-          .parquet(dirs: _*)
-      }
-    val filtered =
-      if (tables.isEmpty) batch
-      else batch.filter(
-        org.apache.spark.sql.functions.concat_ws(".", col("schema"), col("table"))
-          .isin(tables: _*))
-    val aligned = typedRel match {
-      case Some(rel) => LakeReadSource.typedProject(filtered, rel)
-      case None =>
-        filtered.select(LakeReadSource.changelogSchema.fieldNames.map(col).toSeq: _*)
-    }
-    StreamBridge.streamingDataFrame(spark, StreamBridge.toRdd(aligned), schema)
-  }
-
-  // commit() seeds `planned` on restart (the engine replays the last
-  // committed offset into the source), so the admission cap never plans
-  // behind the checkpoint.
-  override def commit(offset: OffsetV1): Unit = merge(LakeOffset.of(offset))
-  override def commit(offset: OffsetV2): Unit = merge(LakeOffset.fromJson(offset.json))
-
-  private def merge(o: LakeOffset): Unit = synchronized {
-    planned = LakeOffset(math.min(planned.neg, o.neg), math.max(planned.pos, o.pos))
-    ackedVl = math.min(ackedVl, o.vl)
-  }
-  override def initialOffset(): OffsetV2 = LakeOffset.empty
-  override def deserializeOffset(json: String): OffsetV2 = LakeOffset.fromJson(json)
-  override def stop(): Unit = ()
 }
 
 object LakeReadSource {
@@ -436,19 +307,25 @@ object LakeReadSource {
     graft.cdc.ChangeEvent.schema.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField("batch_id", LongType, nullable = true))
 
-  /** Typed change feed: the same projection as the live registry's typed
-    * views ([[graft.cdc.ChangeEvent.typedView]] — delete rows carry their
-    * `before` image, everything else `after`), plus `batch_id`.
+  /** The typed feed's column set over changelog rows: the same projection
+    * as the live registry's typed views ([[graft.cdc.ChangeEvent.typedView]]
+    * — delete rows carry their `before` image, everything else `after`),
+    * plus `batch_id`. Shared by [[typedProject]] (DataFrame face) and the
+    * DSv2 partition readers (bound-expression face).
     */
-  def typedProject(envelope: DataFrame, rel: graft.pgproto.Messages.Relation): DataFrame = {
+  def typedColumnsFor(rel: graft.pgproto.Messages.Relation): Seq[Column] = {
     val image = org.apache.spark.sql.functions
       .when(col("op") === "delete", col("before")).otherwise(col("after"))
+    Seq(col("lsn"), col("commit_lsn"), col("xid"), col("op"),
+      col("commit_time")) ++
+      graft.types.PgTypes.typedColumns(rel, image) :+ col("batch_id")
+  }
+
+  /** Typed change feed as a DataFrame transform (batch-side use). */
+  def typedProject(envelope: DataFrame, rel: graft.pgproto.Messages.Relation): DataFrame =
     envelope
       .filter(col("schema") === rel.namespace && col("table") === rel.name)
-      .select(Seq(col("lsn"), col("commit_lsn"), col("xid"), col("op"),
-        col("commit_time")) ++
-        graft.types.PgTypes.typedColumns(rel, image) :+ col("batch_id"): _*)
-  }
+      .select(typedColumnsFor(rel): _*)
 
   /** The typed feed's schema, derived from the projection itself so it can
     * never drift from what [[typedProject]] produces.

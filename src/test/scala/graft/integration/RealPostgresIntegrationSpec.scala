@@ -105,6 +105,65 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
       r.getString(2), r.getLong(4), r.getLong(5))).toSeq
   }
 
+  /** Like [[scenario]] but with caller-supplied DDL, publication tables,
+    * and protocol version — the shape the reference's wider matrices need
+    * (identity matrix, column lists, partition routing, two-phase).
+    */
+  private def scenario2(
+      tag: String, createSql: Seq[String], dropSql: Seq[String],
+      pubTables: Seq[PubTable], proto: Int = 2)(
+      body: (Dsn, String => Seq[Seq[String]], GraftConfig) => Unit): Unit = {
+    assume(dsn.nonEmpty, "PG_DSN not set — real-PostgreSQL integration skipped")
+    val d = dsn.get
+    val cfg = GraftConfig(
+      host = d.host, port = d.port, username = d.user, password = d.password,
+      database = d.db,
+      publication = Config(s"graft_it_pub_$tag", pubTables),
+      slotName = s"graft_it_slot_$tag",
+      snapshot = SnapshotConfig(mode = "never"),
+      protoVersion = proto)
+    val conn = connect(d)
+    val exec = conn.executor
+    dropSql.foreach(s => try exec(s) catch { case _: Exception => () })
+    createSql.foreach(exec)
+    try body(d, exec, cfg)
+    finally {
+      def tryDrop(sql: String): Unit = {
+        var attempts = 0
+        while (attempts < 20 &&
+            (try { exec(sql); false } catch { case _: Exception => true })) {
+          attempts += 1; Thread.sleep(250)
+        }
+      }
+      tryDrop(s"SELECT pg_drop_replication_slot('${cfg.slotName}') " +
+        s"WHERE EXISTS (SELECT 1 FROM pg_replication_slots WHERE slot_name = '${cfg.slotName}')")
+      try exec(s"DROP PUBLICATION IF EXISTS ${cfg.publication.name}") catch { case _: Exception => () }
+      dropSql.foreach(s => try exec(s) catch { case _: Exception => () })
+      conn.close()
+    }
+  }
+
+  /** Stream collector carrying the envelope shape the matrix scenarios
+    * assert on: (table, op, key_names, before-json, after-json).
+    */
+  private def streamShapes(
+      boot: GraftConnector.Boot, name: String, expectRows: Int,
+      timeoutMs: Long = 30000): Seq[(String, String, Seq[String], String, String)] = {
+    val q = boot.stream.get
+      .select(col("table"), col("op"), col("key_names"),
+        to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val deadline = System.currentTimeMillis + timeoutMs
+    def dml = spark.table(name).filter(col("op").isin("insert", "update", "delete"))
+    while (dml.count() < expectRows && System.currentTimeMillis < deadline)
+      Thread.sleep(250)
+    q.processAllAvailable()
+    q.stop()
+    dml.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getSeq[String](2)).map(_.toSeq).orNull,
+      r.getString(3), r.getString(4))).toSeq
+  }
+
   test("basic DML round-trip: insert/update/delete arrive decoded, in order") {
     scenario("basic") { (d, exec, cfg) =>
       val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
@@ -230,6 +289,158 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
       assert(snapshot.toSet.intersect(streamIds.toSet).isEmpty,
         "no row is delivered by BOTH snapshot and stream")
       assert(boot.startLsn.nonEmpty, "handoff LSN pinned by the snapshot job")
+    }
+  }
+
+  test("replica identity matrix: DEFAULT / FULL / NOTHING / USING INDEX shape the images") {
+    // `integration_test/system_identity_full_test.go:19-352`: what the
+    // before image and key_names carry is a pure function of the table's
+    // replica identity — all four settings through ONE publication/stream.
+    scenario2("ident",
+      createSql = Seq(
+        "CREATE TABLE public.graft_it_id_def (id int PRIMARY KEY, v text)",
+        "CREATE TABLE public.graft_it_id_full (id int PRIMARY KEY, v text)",
+        "CREATE TABLE public.graft_it_id_none (id int, v text)",
+        "CREATE TABLE public.graft_it_id_idx (id int, u text NOT NULL, v text)",
+        "CREATE UNIQUE INDEX graft_it_id_idx_u ON public.graft_it_id_idx (u)"),
+      dropSql = Seq(
+        "DROP TABLE IF EXISTS public.graft_it_id_def",
+        "DROP TABLE IF EXISTS public.graft_it_id_full",
+        "DROP TABLE IF EXISTS public.graft_it_id_none",
+        "DROP TABLE IF EXISTS public.graft_it_id_idx"),
+      pubTables = Seq(
+        PubTable("public", "graft_it_id_def"),
+        PubTable("public", "graft_it_id_full", replicaIdentity = ReplicaIdentity.Full),
+        PubTable("public", "graft_it_id_none", replicaIdentity = ReplicaIdentity.Nothing),
+        PubTable("public", "graft_it_id_idx",
+          replicaIdentity = ReplicaIdentity.UsingIndex,
+          replicaIdentityIndex = "graft_it_id_idx_u"))) { (d, exec, cfg) =>
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      exec("INSERT INTO public.graft_it_id_def VALUES (1, 'a')")
+      exec("DELETE FROM public.graft_it_id_def WHERE id = 1")
+      exec("INSERT INTO public.graft_it_id_full VALUES (2, 'b')")
+      exec("UPDATE public.graft_it_id_full SET v = 'b2' WHERE id = 2")
+      exec("INSERT INTO public.graft_it_id_none VALUES (3, 'c')")
+      // RI NOTHING forbids UPDATE/DELETE on a published table — inserts only
+      exec("INSERT INTO public.graft_it_id_idx VALUES (4, 'u4', 'd')")
+      exec("DELETE FROM public.graft_it_id_idx WHERE id = 4")
+      val got = streamShapes(boot, "it_ident", expectRows = 7)
+      def one(table: String, op: String) =
+        got.find(r => r._1 == table && r._2 == op).getOrElse(
+          fail(s"missing $table/$op in $got"))
+      // DEFAULT: delete's before carries ONLY the key; key_names = PK
+      val delDef = one("graft_it_id_def", "delete")
+      assert(delDef._3 == Seq("id"))
+      assert(delDef._4.contains("\"id\":\"1\"") && !delDef._4.contains("\"v\""),
+        s"DEFAULT delete ships key-only before: ${delDef._4}")
+      // FULL: update's before carries the whole old row
+      val updFull = one("graft_it_id_full", "update")
+      assert(updFull._3 == Seq("id"))
+      assert(updFull._4.contains("\"v\":\"b\"") && updFull._5.contains("\"v\":\"b2\""),
+        s"FULL update ships full before+after: $updFull")
+      // NOTHING: no key columns at all
+      val insNone = one("graft_it_id_none", "insert")
+      assert(insNone._3 == null || insNone._3.isEmpty,
+        s"RI NOTHING ships no key_names: $insNone")
+      // USING INDEX: the index column is the identity
+      val delIdx = one("graft_it_id_idx", "delete")
+      assert(delIdx._3 == Seq("u"),
+        s"USING INDEX identity is the index's column set: $delIdx")
+      assert(delIdx._4.contains("\"u\":\"u4\"") && !delIdx._4.contains("\"v\""),
+        s"USING INDEX delete ships index-columns-only before: ${delIdx._4}")
+    }
+  }
+
+  test("publication column list: events carry ONLY the listed columns") {
+    // `integration_test/publication_column_list_test.go:21-244`
+    scenario2("collist",
+      createSql = Seq(
+        "CREATE TABLE public.graft_it_cols (id int PRIMARY KEY, a text, b text, secret text)"),
+      dropSql = Seq("DROP TABLE IF EXISTS public.graft_it_cols"),
+      pubTables = Seq(
+        PubTable("public", "graft_it_cols", columns = Seq("id", "a", "b")))) { (d, exec, cfg) =>
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      exec("INSERT INTO public.graft_it_cols VALUES (1, 'a1', 'b1', 'hidden')")
+      exec("UPDATE public.graft_it_cols SET a = 'a2', secret = 'hidden2' WHERE id = 1")
+      val got = streamShapes(boot, "it_collist", expectRows = 2)
+      got.foreach { r =>
+        assert(!r._5.contains("secret"),
+          s"unlisted column must never cross the wire: $r")
+      }
+      val upd = got.find(_._2 == "update").get
+      assert(upd._5.contains("\"a\":\"a2\"") && upd._5.contains("\"b\":\"b1\""),
+        s"listed columns all present on update: $upd")
+    }
+  }
+
+  test("partition-root routing: partition rows arrive under the root relation") {
+    // publish_via_partition_root (`services/Publication` P7; reference
+    // partition tests): writes into different partitions surface under the
+    // ROOT table name, so downstream consumers see one logical table.
+    scenario2("proot",
+      createSql = Seq(
+        "CREATE TABLE public.graft_it_part (id int, v text) PARTITION BY RANGE (id)",
+        "CREATE TABLE public.graft_it_part_lo PARTITION OF public.graft_it_part " +
+          "FOR VALUES FROM (0) TO (100)",
+        "CREATE TABLE public.graft_it_part_hi PARTITION OF public.graft_it_part " +
+          "FOR VALUES FROM (100) TO (200)"),
+      dropSql = Seq("DROP TABLE IF EXISTS public.graft_it_part"),
+      pubTables = Seq(
+        PubTable("public", "graft_it_part", partitioned = true))) { (d, exec, cfg) =>
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      exec("INSERT INTO public.graft_it_part VALUES (5, 'lo'), (150, 'hi')")
+      val got = streamShapes(boot, "it_proot", expectRows = 2)
+      assert(got.map(_._1).toSet == Set("graft_it_part"),
+        s"every partition row must surface under the ROOT relation: $got")
+      assert(got.map(_._5).exists(_.contains("\"v\":\"lo\"")) &&
+        got.map(_._5).exists(_.contains("\"v\":\"hi\"")))
+    }
+  }
+
+  test("two-phase: a PREPAREd transaction delivers only at COMMIT PREPARED; ROLLBACK PREPARED suppresses") {
+    // protocol v3 `two_phase` against a real server (PG 15+,
+    // max_prepared_transactions > 0) — the in-repo TwoPhaseSpec drives the
+    // same tags over synthetic frames; this proves them against walsender.
+    scenario2("twopc",
+      createSql = Seq(
+        "CREATE TABLE public.graft_it_2pc (id int PRIMARY KEY, v text)"),
+      dropSql = Seq("DROP TABLE IF EXISTS public.graft_it_2pc"),
+      pubTables = Seq(PubTable("public", "graft_it_2pc",
+        replicaIdentity = ReplicaIdentity.Full)),
+      proto = 3) { (d, exec, cfg) =>
+      val maxPrepared = exec("SHOW max_prepared_transactions").head.head.toInt
+      assume(maxPrepared > 0,
+        "server has max_prepared_transactions = 0 — two-phase scenario skipped")
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      exec("BEGIN")
+      exec("INSERT INTO public.graft_it_2pc VALUES (1, 'prepared')")
+      exec("PREPARE TRANSACTION 'graft_it_g1'")
+      // the prepared body must NOT surface before its outcome
+      exec("INSERT INTO public.graft_it_2pc VALUES (50, 'marker')")
+      val first = streamRows(boot, "it_twopc_a", expectRows = 1)
+      assert(first.map(_._2) == Seq("50"),
+        s"only the independent marker arrives while g1 is open: $first")
+      exec("COMMIT PREPARED 'graft_it_g1'")
+      // a fresh query resumes from the held-below-the-prepare LSN, so what
+      // replays besides g1's body depends on ack timing — assert delivery
+      // and count, not the replay set
+      val second = streamRows(boot, "it_twopc_b", expectRows = 1)
+      assert(second.map(_._2).count(_ == "1") == 1,
+        s"g1's row arrives exactly once after COMMIT PREPARED: $second")
+      // an aborted prepared txn is suppressed entirely
+      exec("BEGIN")
+      exec("INSERT INTO public.graft_it_2pc VALUES (2, 'doomed')")
+      exec("PREPARE TRANSACTION 'graft_it_g2'")
+      exec("ROLLBACK PREPARED 'graft_it_g2'")
+      exec("INSERT INTO public.graft_it_2pc VALUES (51, 'after')")
+      val third = streamRows(boot, "it_twopc_c", expectRows = 1)
+      assert(!third.map(_._2).contains("2"),
+        s"ROLLBACK PREPARED leaves no trace of the aborted body: $third")
+      assert(third.map(_._2).contains("51"), s"post-abort marker arrives: $third")
     }
   }
 }

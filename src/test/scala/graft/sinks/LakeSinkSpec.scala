@@ -504,6 +504,43 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned relation schemas: typed time travel projects each era through its own schema") {
+    import graft.pgproto.Messages.{Relation, RelationColumn}
+    withSink { (sink, _) =>
+      // era A (from the bottom of the id space): v is TEXT
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "v" -> "low")))), 0L)
+      sink.writeRelations(spark, Seq(Relation(0L, 16384L, "public", "users", 'd',
+        Array(RelationColumn("id", 20L, -1, 1), RelationColumn("v", 25L, -1, 0)))))
+      // DDL in force from batch 1: v becomes INT8 and a score column appears
+      sink.appendBatch(envelope(Seq(
+        ev(2, "update", "users", Map("id" -> "1", "v" -> "low"),
+          Map("id" -> "1", "v" -> "42", "score" -> "7.5")))), 1L)
+      sink.writeRelations(spark, Seq(Relation(0L, 16384L, "public", "users", 'd',
+        Array(RelationColumn("id", 20L, -1, 1), RelationColumn("v", 20L, -1, 0),
+          RelationColumn("score", 701L, -1, 0)))), validFromBatch = 1L)
+      // pre-DDL read: old era's schema — v is text, NO phantom score column
+      val t0 = sink.stateAsOfTyped(spark, "public", "users", asOf = 0L)
+      assert(t0.schema("v").dataType.typeName == "string")
+      assert(!t0.schema.fieldNames.contains("score"),
+        "a column added later must not appear in a pre-DDL read")
+      assert(t0.collect().head.getString(1) == "low")
+      // post-DDL read (and latest): new era's schema
+      val t1 = sink.stateAsOfTyped(spark, "public", "users", asOf = 1L)
+      assert(t1.schema("v").dataType.typeName == "long")
+      val r1 = t1.collect().head
+      assert(r1.getLong(1) == 42L && r1.getDouble(2) == 7.5)
+      assert(sink.latestStateTyped(spark, "public", "users")
+        .schema("v").dataType.typeName == "long")
+      // the graft-lake format combines asOfBatch+typed now that eras exist
+      val viaFormat = spark.read.format("graft-lake")
+        .option("path", sink.root).option("table", "public.users")
+        .option("asOfBatch", "0").option("typed", "true").load()
+      assert(viaFormat.schema("v").dataType.typeName == "string")
+      assert(viaFormat.collect().head.getString(1) == "low")
+    }
+  }
+
   test("keyless (replica-identity-nothing) rows fold append-only; empty batches are harmless") {
     withSink { (sink, _) =>
       // key_names null: each row must survive the fold as its own key
