@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * rewrite; a crash mid-write leaves an unreferenced `v.../` directory
   * that the next GC sweeps.
   */
-private[sinks] final class BucketedStateLog(dir: Path, val buckets: Int) {
+private[sinks] final class BucketedStateLog(
+    dir: Path, val buckets: Int, keyCol: String = "jk") {
 
   require(buckets > 0, s"buckets must be positive, got $buckets")
 
@@ -130,7 +131,7 @@ private[sinks] final class BucketedStateLog(dir: Path, val buckets: Int) {
     val vDir = new Path(dir, s"v${nameOf(key)}")
     f.delete(vDir, true) // crashed prior attempt at this version
     touchedState
-      .withColumn("bucket", bucketCol(col(touchedState.columns.head)))
+      .withColumn("bucket", bucketCol(col(keyCol)))
       .write.partitionBy("bucket").parquet(vDir.toString)
     val written: Map[Int, String] =
       if (!f.exists(vDir)) Map.empty
@@ -169,6 +170,13 @@ private[sinks] final class BucketedStateLog(dir: Path, val buckets: Int) {
     drop.foreach { k =>
       f.delete(new Path(commitsDir, ManifestPrefix + nameOf(k)), false)
     }
+    // crashed-commit debris: a writeManifest that died between create(tmp)
+    // and rename leaves a .tmp that would otherwise accumulate forever
+    if (f.exists(commitsDir))
+      f.listStatus(commitsDir).toSeq
+        .filter(st => st.getPath.getName.startsWith(ManifestPrefix) &&
+          st.getPath.getName.endsWith(".tmp"))
+        .foreach(st => f.delete(st.getPath, false))
     val keepRefs = (all.filterNot(drop.contains))
       .flatMap(k => entries(f, k).values).toSet
     if (!f.exists(dir)) return

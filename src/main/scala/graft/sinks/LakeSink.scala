@@ -495,19 +495,29 @@ final class LakeSink(
     val legacyFiles = entries
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    val eras: Seq[(Long, DataFrame)] =
-      eraDirs.map { case (e, d) => e -> spark.read.parquet(d) } ++
-        (if (legacyFiles.isEmpty) Seq.empty
-         else Seq(Long.MinValue -> spark.read.parquet(legacyFiles: _*)))
-    def rowsOf(df: DataFrame) = df
+    // LEGACY latest-wins root files sort FIRST at the bottom-era key, so
+    // a freshly written `era=Long.MinValue` directory (the default
+    // validFromBatch) supersedes stale pre-versioning files instead of
+    // being shadowed by them (the sort below is stable).
+    val eras: Seq[(Long, () => DataFrame)] =
+      ((if (legacyFiles.isEmpty) Seq.empty
+        else Seq(Long.MinValue -> (() => spark.read.parquet(legacyFiles: _*)))) ++
+        eraDirs.map { case (e, d) => e -> (() => spark.read.parquet(d)) })
+        .sortBy(_._1)
+    def rowsOf(mk: () => DataFrame) = mk()
       .filter(col("namespace") === namespace && col("name") === name)
       .orderBy("col_idx").collect()
-    // bounded planning pull: eras × columns rows for ONE table
-    val recorded = eras.sortBy(_._1).map { case (e, df) => e -> rowsOf(df) }
-      .filter(_._2.nonEmpty)
-    if (recorded.isEmpty) return None
-    val rows = recorded.filter(_._1 <= asOf).lastOption
-      .getOrElse(recorded.head)._2
+    // Resolve LAZILY, newest-first at-or-below asOf, stopping at the
+    // first era that records the table (each probe is one bounded
+    // columns-for-one-table pull) — a long DDL history costs one or two
+    // era reads per typed read, not one per era. Prehistory fallback:
+    // the EARLIEST recorded era above asOf.
+    val below = eras.filter(_._1 <= asOf).reverseIterator
+      .map(e => rowsOf(e._2)).find(_.nonEmpty)
+    val rows = below.orElse(
+        eras.filter(_._1 > asOf).iterator
+          .map(e => rowsOf(e._2)).find(_.nonEmpty))
+      .getOrElse(return None)
     Some(graft.pgproto.Messages.Relation(
       0L, rows.head.getAs[Long]("oid"), namespace, name,
       rows.head.getAs[Int]("replica_identity").toByte,
@@ -700,37 +710,52 @@ final class LakeSink(
   def cursorInterval(spark: SparkSession, name: String): (Long, Long) =
     readCursor(spark, name)._1
 
-  /** Cursor interval plus whether it came from a LEGACY single-ended
-    * file. The old poll delivered everything at or below its cursor, so
-    * every id that existed then — snapshot batches included — was
-    * delivered: the faithful floor is the lowest id the lake has ever
-    * seen (re-delivering an already-applied snapshot would double-apply
-    * it in a maintained view). [[poll]] PINS the migrated interval on
-    * first contact, so ids landing later are not silently absorbed into
-    * "already delivered" by this lazy computation.
+  /** The vacuum low extent this consumer has acknowledged as innocent
+    * (Long.MaxValue = none — any vacuum below the floor refuses).
     */
-  private def readCursor(spark: SparkSession, name: String): ((Long, Long), Boolean) = {
+  def cursorAckedVacuumLow(spark: SparkSession, name: String): Long =
+    readCursor(spark, name)._2
+
+  /** Cursor interval, the ACKNOWLEDGED vacuum low mark (see below), and
+    * whether the file was a LEGACY single-ended one. The old poll
+    * delivered everything at or below its cursor, so every id that
+    * existed then — snapshot batches included — was delivered: the
+    * faithful floor is the lowest id the lake has ever seen
+    * (re-delivering an already-applied snapshot would double-apply it in
+    * a maintained view). [[poll]] PINS the migrated interval on first
+    * contact, so ids landing later are not silently absorbed into
+    * "already delivered" by this lazy computation.
+    *
+    * The acknowledged mark is the same construction the streaming
+    * source's `LakeOffset.vl` carries: the vacuum low extent this
+    * consumer has accepted as innocent (delivered-or-seeded history).
+    * Long.MaxValue = nothing acknowledged — poll then refuses ANY vacuum
+    * below the floor, the pre-acknowledgment behavior.
+    */
+  private def readCursor(spark: SparkSession, name: String): ((Long, Long), Long, Boolean) = {
     val p = new Path(new Path(root, "_graft_cursors"), name)
     readSmallFile(fs(spark), p) match {
-      case None => ((0L, Long.MinValue), false)
+      case None => ((0L, Long.MinValue), Long.MaxValue, false)
       case Some(s) => s.split(":") match {
-        case Array(a, b) => ((a.toLong, b.toLong), false)
+        case Array(a, b) => ((a.toLong, b.toLong), Long.MaxValue, false)
+        case Array(a, b, v) => ((a.toLong, b.toLong), v.toLong, false)
         case Array(a) =>
           val folded = Some(foldedLow(spark)).filter(_ != Long.MinValue)
           val low = (committedBatchIds(spark).filter(_ < 0) ++ folded)
             .minOption.getOrElse(0L).min(0L)
-          ((low, a.toLong), true)
+          ((low, a.toLong), Long.MaxValue, true)
         case _ => throw new IllegalStateException(s"unreadable cursor $p: '$s'")
       }
     }
   }
 
   private def writeCursor(
-      spark: SparkSession, name: String, neg: Long, pos: Long): Unit = {
+      spark: SparkSession, name: String, neg: Long, pos: Long,
+      ackedVl: Long = Long.MaxValue): Unit = {
     val f = fs(spark)
     f.mkdirs(new Path(root, "_graft_cursors"))
     writeStringAtomic(f, new Path(new Path(root, "_graft_cursors"), name),
-      s"$neg:$pos")
+      if (ackedVl == Long.MaxValue) s"$neg:$pos" else s"$neg:$pos:$ackedVl")
   }
 
   /** The packaged RE-BOOTSTRAP every vacuum-gap refusal points at: pin a
@@ -751,15 +776,21 @@ final class LakeSink(
     // clamp to the vacuum low mark too: on a legacy-manifest lake the fold
     // floor reads MinValue, and a seed floor ABOVE already-vacuumed
     // snapshot ids would make the very next poll refuse the gap the seed
-    // exists to escape
+    // exists to escape. The MinValue sentinel (legacy single-mark vacuum,
+    // unknown extent) must NOT become the floor — a floor of MinValue
+    // would absorb every FUTURE late snapshot batch into "already
+    // delivered" and silently drop it; the unknown extent is instead
+    // ACKNOWLEDGED below, which is what poll's refusal checks against.
     val vl = vacuumLowWater(spark)
     val neg = Seq(
       ids.minOption.getOrElse(0L), 0L,
       if (lo == Long.MinValue) 0L else lo,
-      if (vl == Long.MaxValue) 0L else vl).min
+      if (vl == Long.MaxValue || vl == Long.MinValue) 0L else vl).min
     val pos = math.max(ids.maxOption.getOrElse(Long.MinValue),
       m.map(_.watermark).getOrElse(Long.MinValue))
-    writeCursor(spark, name, neg, pos)
+    // acknowledge the CURRENT vacuum extent as innocent: the seed read
+    // (stateAsOf/latestState through BASE) covers everything it deleted
+    writeCursor(spark, name, neg, pos, ackedVl = vl)
     (neg, pos)
   }
 
@@ -769,28 +800,39 @@ final class LakeSink(
     * delivered (0 = up to date, `fn` not invoked).
     */
   def poll(spark: SparkSession, name: String)(fn: DataFrame => Unit): Int = {
-    val ((neg, pos), legacy) = readCursor(spark, name)
+    val ((neg, pos), acked, legacy) = readCursor(spark, name)
     val vh = vacuumHighWater(spark)
     if (pos < vh)
       throw new IllegalStateException(
         s"lake consumer '$name' cursor $pos is below the vacuum high-water " +
           s"mark $vh — the batches in between were deleted; re-bootstrap " +
           "from latestState")
-    if (vacuumLowWater(spark) < neg)
+    // Low side: refuse only a vacuum extent BELOW the floor that the
+    // consumer has not acknowledged — [[seedCursor]] acknowledges the
+    // extent its seed read covered, the same contract as the streaming
+    // source's checkpointed `vl` (an unacknowledged extent always
+    // refuses, including the legacy-unknown MinValue sentinel).
+    val vl = vacuumLowWater(spark)
+    if (vl < neg && vl < acked)
       throw new IllegalStateException(
         s"lake consumer '$name' floor $neg is above the vacuum low-water " +
-          s"mark ${vacuumLowWater(spark)} — a snapshot batch beneath it was " +
+          s"mark $vl — a snapshot batch beneath it was " +
           "deleted before delivery; re-bootstrap from latestState")
+    // a vacuum that stayed inside delivered history is innocent — extend
+    // the acknowledgment so gauges/debugging reflect it
+    val newAcked = if (vl < acked) vl else acked
     val ids = committedBatchIds(spark).filter(id => id < neg || id > pos)
     if (ids.isEmpty) {
       // pin a legacy cursor's migrated floor NOW — left lazy, a snapshot
       // batch landing before the next poll would be absorbed into
       // "already delivered" by the floor recomputation
-      if (legacy) writeCursor(spark, name, neg, pos)
+      if (legacy || newAcked != acked)
+        writeCursor(spark, name, neg, pos, newAcked)
       return 0
     }
     fn(changelogOutside(spark, neg, pos))
-    writeCursor(spark, name, math.min(neg, ids.min), math.max(pos, ids.max))
+    writeCursor(spark, name, math.min(neg, ids.min), math.max(pos, ids.max),
+      newAcked)
     ids.size
   }
 
@@ -857,6 +899,7 @@ final class LakeSink(
         .flatMap(n => readSmallFile(f, new Path(cursorDir, n)))
         .map(_.split(":") match {
           case Array(a, b) => (a.toLong, b.toLong)
+          case Array(a, b, _) => (a.toLong, b.toLong) // acked mark rides along
           case Array(a) => (negFloor, a.toLong)
           case _ => (0L, Long.MinValue)
         })

@@ -238,17 +238,21 @@ final class MaintainedJoin(
       s"join_${name}_lag_batches" -> lag.toDouble)
   }
 
-  /** The current join: `jk`, `left_after`, `right_after`. */
+  /** The current join: `jk`, `left_after`, `right_after`. PURE reader —
+    * an un-migrated legacy state dir is served directly from its own
+    * committed version (migration writes happen only inside [[refresh]],
+    * the single-maintainer path; a reader that also wrote would race a
+    * concurrent refresh's migration and could tear the slice write).
+    */
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
     states.latest(f) match {
       case Some(k) => states.read(spark, k, emptyJoin(spark).schema)
       case None =>
-        if (legacyStates.latest(f).isDefined) { // upgraded binary, un-migrated dir
-          migrateLegacy(spark, f)
-          states.latest(f).map(states.read(spark, _, emptyJoin(spark).schema))
-            .getOrElse(emptyJoin(spark))
-        } else emptyJoin(spark)
+        legacyStates.latest(f) match {
+          case Some(lk) => legacyStates.read(spark, lk) // upgraded binary, un-migrated dir
+          case None => emptyJoin(spark)
+        }
     }
   }
 }

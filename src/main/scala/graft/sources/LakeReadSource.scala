@@ -160,8 +160,11 @@ final class LakeReadSourceProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // BOTH spark.read and spark.readStream route through here (batch
     // falls back to the v1 relation only after the table reports no
-    // BATCH_READ), so validate against the union — each path re-checks
-    // its own strict set where it materializes (createRelation / streamOf)
+    // BATCH_READ) and the engine gives no read-vs-readStream signal, so
+    // validate against the union — each path re-checks its own strict
+    // set where it materializes (createRelation at load(), streamOf at
+    // query start; the one asymmetry is a batch-only option on
+    // readStream, which surfaces at start() instead of load())
     val parameters = scala.jdk.CollectionConverters.MapHasAsScala(options).asScala.toMap
     checkOptions(parameters, StreamOptions ++ BatchOptions, "")
     rootOf(parameters)

@@ -71,6 +71,42 @@ class LakeLegacySpec extends AnyFunSuite {
       }
       assert(e2.getMessage.contains("re-bootstrap") &&
         e2.getMessage.contains("low-water"), e2.getMessage)
+      // the packaged re-bootstrap ESCAPES the refusal: seedCursor
+      // acknowledges the unknown extent (it must NOT pin the floor at
+      // MinValue — that would absorb every future snapshot batch), and a
+      // snapshot batch landing after the seed still delivers
+      val (negSeed, _) = sink.seedCursor(spark, "legacyc")
+      assert(negSeed != Long.MinValue, "seed floor must stay finite")
+      assert(sink.poll(spark, "legacyc") { _ => () } == 0, "caught up after seed")
+      sink.appendBatch(envelope(Seq(ev(9, "insert", "s9", "snap"))), -1L)
+      var sawSnap = false
+      assert(sink.poll(spark, "legacyc") { df =>
+        sawSnap = df.filter(col("batch_id") === -1L).count() == 1
+      } == 1)
+      assert(sawSnap, "a post-seed late snapshot batch must be delivered, not absorbed")
+    }
+  }
+
+  test("a fresh bottom-era schema write supersedes stale pre-versioning root files") {
+    import graft.pgproto.Messages.{Relation, RelationColumn}
+    withLake { (sink, dir) =>
+      import spark.implicits._
+      // stale pre-versioning layout: rows directly under _graft_schema/
+      Seq(("public", "t", 16384L, 100, 0, "id", 20L, -1, 1),
+          ("public", "t", 16384L, 100, 1, "v", 25L, -1, 0))
+        .toDF("namespace", "name", "oid", "replica_identity",
+          "col_idx", "col_name", "type_oid", "type_modifier", "flags")
+        .coalesce(1).write.parquet(s"$dir/_graft_schema")
+      assert(sink.readRelation(spark, "public", "t").get
+        .columns.map(_.name).toSeq == Seq("id", "v"))
+      // a corrected write with the DEFAULT era must WIN the bottom-era
+      // tie against the stale files, not be shadowed by them
+      sink.writeRelations(spark, Seq(Relation(0L, 16384L, "public", "t", 'd',
+        Array(RelationColumn("id", 20L, -1, 1),
+          RelationColumn("v", 20L, -1, 0))))) // v re-typed int8
+      val rel = sink.readRelation(spark, "public", "t").get
+      assert(rel.columns.find(_.name == "v").get.typeOid == 20L,
+        "fresh bottom-era write supersedes the legacy files")
     }
   }
 
