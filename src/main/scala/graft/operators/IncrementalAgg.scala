@@ -107,11 +107,26 @@ final class IncrementalAgg(
     * a truncate, and never otherwise evaluated.
     */
   def step(state: DataFrame, envelope: DataFrame, current: => DataFrame): DataFrame = {
-    val spark = state.sparkSession
     val hasTruncate = !envelope.filter(col("op") === "truncate").isEmpty
     if (hasTruncate) return recomputeAll(current)
+    stepMerge(state, delta(envelope), current)
+  }
 
-    val d = delta(envelope)
+  /** Group column names, in declaration order (state partitioning keys
+    * for bucketed persistence).
+    */
+  def groupCols: Seq[String] = group.map(_._1)
+
+  /** [[step]] with a PRECOMPUTED delta and no truncate handling — the
+    * seam bucketed maintainers use: they compute the delta first, derive
+    * the touched buckets from its group keys, and hand in only those
+    * buckets' state rows (every group the delta mentions is in the
+    * subset by construction, so the merge and the negative-count check
+    * see exactly the rows they need).
+    */
+  private[graft] def stepMerge(
+      state: DataFrame, d: DataFrame, current: => DataFrame): DataFrame = {
+    val spark = state.sparkSession
     val s = state.alias("s")
     val dd = d.alias("d")
     val joinCond = group.map { case (nm, _) =>
@@ -215,6 +230,6 @@ final class IncrementalAgg(
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  private def recomputeAll(current: DataFrame): DataFrame =
+  private[graft] def recomputeAll(current: DataFrame): DataFrame =
     aggregateImages(current.select(col("after")))
 }

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * that the next GC sweeps.
   */
 private[sinks] final class BucketedStateLog(
-    dir: Path, val buckets: Int, keyCol: String = "jk") {
+    dir: Path, val buckets: Int, keyCols: Seq[String] = Seq("jk")) {
 
   require(buckets > 0, s"buckets must be positive, got $buckets")
+  require(keyCols.nonEmpty, "at least one key column")
 
   private def commitsDir = new Path(dir, "_commits")
   private val ManifestPrefix = "manifest."
@@ -46,11 +47,16 @@ private[sinks] final class BucketedStateLog(
   def fs(spark: SparkSession): FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The bucket a key value (or a NULL key — `hash(null)` is the constant
-    * seed, one deterministic bucket) lands in, as a Column over `jk`.
+  /** The bucket a key tuple (or a NULL key — `hash(null)` is the constant
+    * seed, one deterministic bucket) lands in, as a Column over the key
+    * columns in declaration order.
     */
+  def bucketExpr(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    pmod(hash(cols: _*), lit(buckets))
+
+  /** Single-key convenience of [[bucketExpr]]. */
   def bucketCol(jk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(hash(jk), lit(buckets))
+    bucketExpr(Seq(jk))
 
   /** The bucket NULL-keyed rows land in. */
   lazy val nullBucket: Int = {
@@ -131,7 +137,7 @@ private[sinks] final class BucketedStateLog(
     val vDir = new Path(dir, s"v${nameOf(key)}")
     f.delete(vDir, true) // crashed prior attempt at this version
     touchedState
-      .withColumn("bucket", bucketCol(col(keyCol)))
+      .withColumn("bucket", bucketExpr(keyCols.map(col)))
       .write.partitionBy("bucket").parquet(vDir.toString)
     val written: Map[Int, String] =
       if (!f.exists(vDir)) Map.empty

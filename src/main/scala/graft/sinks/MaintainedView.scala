@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.IncrementalAgg
@@ -15,29 +15,66 @@ import graft.operators.IncrementalAgg
   * read [[read]] — group-cardinality parquet — instead of refolding the
   * table.
   *
+  * State persistence is CHURN-PROPORTIONAL, like [[MaintainedJoin]]'s:
+  * rows live in a [[BucketedStateLog]] hash-bucketed on the group key,
+  * and a refresh reads and rewrites only the buckets containing groups
+  * the span's delta touched — every other bucket carries into the new
+  * version by manifest reference. The merge itself is bucket-restricted
+  * too: [[IncrementalAgg.stepMerge]] runs over the touched buckets' rows
+  * against the precomputed delta, so a refresh over a billion-group view
+  * with one churned group reads ~1/buckets of the state, not the state.
+  * Pre-bucketing state dirs (whole-state `asof=*` parquet) migrate in
+  * place at the first refresh.
+  *
   * Consistency: the dirty-group recompute source is `stateAsOf(span end)`,
   * NOT `latestState` — the writer may land new batches while a refresh
   * runs, and folding those into recomputed groups while clean groups lag
   * would tear the view. Time travel pins every group to the same batch
   * boundary.
   *
-  * Crash safety: state lands under `_graft_views/<name>/asof=<hi>` with a
-  * commit marker, keyed by the span's last batch id, BEFORE the lake
-  * cursor advances. A crash between the two re-delivers the same span,
-  * which recomputes from the still-retained previous state and overwrites
-  * `asof=<hi>` with identical content — idempotent, same at-least-once →
-  * exactly-once story as the changelog itself. States older than the
-  * cursor are garbage-collected at the next refresh.
+  * Crash safety: state versions commit by atomic manifest rename BEFORE
+  * the lake cursor advances. A crash between the two re-delivers the
+  * same span, which finds its version already committed and skips the
+  * rewrite — idempotent, same at-least-once → exactly-once story as the
+  * changelog itself. Versions older than the cursor are garbage-collected
+  * at the next refresh.
   *
   * Prerequisite (same as [[IncrementalAgg]]): tables with updates/deletes
   * need REPLICA IDENTITY FULL so retractions carry their full old image.
   */
 final class MaintainedView(
     lake: LakeSink, agg: IncrementalAgg,
-    schemaName: String, table: String, name: String) {
+    schemaName: String, table: String, name: String,
+    stateBuckets: Int = 16) {
 
-  private val states = new StateLog(new Path(lake.root, s"_graft_views/$name"))
+  private val stateDir = new Path(lake.root, s"_graft_views/$name")
+  private val states = new BucketedStateLog(stateDir, stateBuckets, agg.groupCols)
+  // pre-bucketing state versions (whole-state parquet under asof=*) —
+  // read once for migration, then retired
+  private val legacyStates = new StateLog(stateDir)
   private def cursorName = s"view_$name"
+
+  private def stateSchema(spark: SparkSession) = agg.init(spark).schema
+
+  /** One-time in-place upgrade of a pre-bucketing state directory (see
+    * [[MaintainedJoin.migrateLegacy]] — same protocol).
+    */
+  private def migrateLegacy(spark: SparkSession, f: FileSystem): Unit = {
+    if (states.committed(f).nonEmpty) return
+    val legacy = legacyStates.committed(f)
+    legacy.lastOption.foreach { lk =>
+      states.commit(f, legacyStates.read(spark, lk),
+        (0 until stateBuckets).toSet, None, lk)
+    }
+    legacy.foreach { k =>
+      f.delete(new Path(stateDir, s"asof=${k._1}_${k._2}"), true)
+      f.delete(new Path(new Path(stateDir, "_commits"), s"${k._1}_${k._2}"), false)
+      if (k._1 == 0) {
+        f.delete(new Path(stateDir, s"asof=${k._2}"), true)
+        f.delete(new Path(new Path(stateDir, "_commits"), k._2.toString), false)
+      }
+    }
+  }
 
   /** Apply every newly committed lake batch to the view (including a LATE
     * snapshot batch below the cursor's floor — a mid-stream table
@@ -48,6 +85,7 @@ final class MaintainedView(
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
+      migrateLegacy(spark, f)
       // partition-column inference can type small batch_id values as int
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
@@ -61,17 +99,39 @@ final class MaintainedView(
         // this span is already committed — rewriting it would tear a
         // concurrent read; just let poll re-advance the cursor
         if (!states.isCommitted(f, key)) {
-          val prev = states.latestWithin(f, from)
-            .map(states.read(spark, _)).getOrElse(agg.init(spark))
+          val prevKey = states.latestWithin(f, from)
           val events = span.filter(
             col("schema") === schemaName && col("table") === table)
           // recompute source pinned to exactly the applied interval: asOf
           // bounds the top, the floor keeps a concurrently landing late
           // snapshot (not in this span) out of the dirty-group rebuild
-          val next = agg.step(prev, events,
-            lake.stateAsOf(spark, schemaName, table, key._2, key._1)
-              .select(col("after")))
-          states.commit(f, next, key)
+          def current = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+            .select(col("after"))
+          val hasTruncate = !events.filter(col("op") === "truncate").isEmpty
+          if (hasTruncate) {
+            // rare: rebuild from the boundary, all buckets rewritten
+            states.commit(f, agg.recomputeAll(current),
+              (0 until stateBuckets).toSet, None, key)
+          } else {
+            val d = agg.delta(events).localCheckpoint()
+            // bounded planning pull: ≤ stateBuckets distinct values
+            val touched = d
+              .select(states.bucketExpr(agg.groupCols.map(col)).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            if (touched.isEmpty) {
+              // span had rows but no DML for THIS table: state unchanged —
+              // publish the new version as pure carry-forward
+              states.commit(f, stateEmpty(spark), Set.empty, prevKey, key)
+            } else {
+              // ONLY the touched buckets' rows feed the merge — the
+              // delta's groups are all inside them by construction
+              val prevTouched = prevKey
+                .map(states.readBuckets(spark, _, Some(touched), stateSchema(spark)))
+                .getOrElse(agg.init(spark))
+              val next = agg.stepMerge(prevTouched, d, current)
+              states.commit(f, next, touched, prevKey, key)
+            }
+          }
         }
         // previous states inside the replay horizon are unreachable now
         states.gcWithin(f, from)
@@ -79,14 +139,24 @@ final class MaintainedView(
     }
   }
 
+  private def stateEmpty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema(spark))
+
   /** The current view: group columns, `n`, `sum_<m>`, `min_<m>`,
     * `max_<m>` — group-cardinality, no fold, no scan of the table.
+    * PURE reader: an un-migrated legacy state dir is served directly.
     */
-  def read(spark: SparkSession): DataFrame =
-    states.latest(states.fs(spark)) match {
-      case Some(v) => agg.view(states.read(spark, v))
-      case None    => agg.view(agg.init(spark))
+  def read(spark: SparkSession): DataFrame = {
+    val f = states.fs(spark)
+    states.latest(f) match {
+      case Some(v) => agg.view(states.read(spark, v, stateSchema(spark)))
+      case None => legacyStates.latest(f) match {
+        case Some(lk) => agg.view(legacyStates.read(spark, lk))
+        case None => agg.view(agg.init(spark))
+      }
     }
+  }
 
   /** Ops gauges for the `graft_lake_*` family — concatenate with the
     * sink's: `lakeGauges = Some(() => lake.gauges(spark) ++
@@ -94,6 +164,7 @@ final class MaintainedView(
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
     val asOf = states.latest(states.fs(spark))
+      .orElse(legacyStates.latest(states.fs(spark)))
     val (neg, pos) = lake.cursorInterval(spark, cursorName)
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(

@@ -179,4 +179,74 @@ class MaintainedViewSpec extends AnyFunSuite {
         "replayed snapshot span is idempotent")
     }
   }
+
+  /** Every parquet data file under the view's state dir: path → mtime. */
+  private def stateFiles(sink: LakeSink): Map[String, Long] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) walk(f) else Seq(f)
+      }
+    walk(new java.io.File(s"${sink.root}/_graft_views/by_grp"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("a refresh rewrites ONLY buckets containing touched groups — untouched slices carry forward") {
+    val dir = Files.createTempDirectory("lake-mvb").toString
+    try {
+      val sink = new LakeSink(dir)
+      val mv = new MaintainedView(sink, mkAgg, "public", "users", "by_grp",
+        stateBuckets = 8)
+      // 32 groups spread over all 8 buckets
+      sink.appendBatch(envelope((1 to 32).map(i =>
+        ev(i, "insert", null, row(i.toString, s"g$i", i.toString)))), 0L)
+      assert(mv.refresh(spark) == 1)
+      val before = stateFiles(sink)
+      assert(before.nonEmpty)
+      // touch ONE group
+      sink.appendBatch(envelope(Seq(
+        ev(100, "insert", null, row("100", "g5", "50")))), 1L)
+      assert(mv.refresh(spark) == 1)
+      val after = stateFiles(sink)
+      val carried = before.keySet.intersect(after.keySet)
+      assert(carried.nonEmpty, "untouched slices must carry forward by reference")
+      carried.foreach(p => assert(before(p) == after(p), s"carried slice rewritten: $p"))
+      val freshBuckets = after.keySet.diff(before.keySet).flatMap(p =>
+        "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))
+      assert(freshBuckets.size <= 1,
+        s"one touched group must rewrite at most one bucket, got $freshBuckets")
+      assert(viewMap(mv)("g5") == ((2L, 55d, 5d, 50d)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a legacy whole-state version serves reads and migrates at the first refresh") {
+    val dir = Files.createTempDirectory("lake-mvm").toString
+    try {
+      val sink = new LakeSink(dir)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")))), 0L)
+      // hand-build the pre-bucketing layout for an applied batch 0
+      val agg = mkAgg
+      val legacy = new StateLog(new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_views/by_grp"))
+      val f = legacy.fs(spark)
+      legacy.commit(f, agg.recomputeAll(
+        sink.latestState(spark, "public", "users").select(col("after"))), (0L, 0L))
+      java.nio.file.Files.createDirectories(
+        new java.io.File(s"$dir/_graft_cursors").toPath)
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/_graft_cursors/view_by_grp").toPath,
+        "0:0".getBytes)
+      val mv = new MaintainedView(sink, mkAgg, "public", "users", "by_grp")
+      // PURE read before any refresh serves the legacy state directly
+      assert(viewMap(mv) == Map("a" -> ((1L, 3d, 3d, 3d))))
+      // an incremental refresh builds ON the migrated state
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", null, row("2", "a", "5")))), 1L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map("a" -> ((2L, 8d, 3d, 5d))))
+      assert(!new java.io.File(s"$dir/_graft_views/by_grp/asof=0_0").exists(),
+        "legacy version dir retired after migration")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
