@@ -231,6 +231,7 @@ final class MaintainedJoin(
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
     val asOf = states.latest(states.fs(spark))
+      .orElse(legacyStates.latest(states.fs(spark))) // un-migrated dir
     val (neg, pos) = lake.cursorInterval(spark, cursorName)
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(

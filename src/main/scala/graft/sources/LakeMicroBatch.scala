@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, 
 import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,7 +41,8 @@ import graft.sinks.LakeSink
 final class LakeMicroBatchStream(
     root: String, tables: Seq[String], maxBatchesPerTrigger: Option[Int],
     typedRel: Option[graft.pgproto.Messages.Relation])
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   private val spark = SparkSession.active
   private val sink = new LakeSink(root)
@@ -200,6 +201,23 @@ final class LakeMicroBatchStream(
   override def initialOffset(): Offset = LakeOffset.empty
   override def deserializeOffset(json: String): Offset = LakeOffset.fromJson(json)
   override def stop(): Unit = ()
+
+  /** StreamingQueryProgress `sources[i].metrics` gauges, mirroring the
+    * pgcdc source's family: the delivered interval plus the commit-log
+    * backlog outside it. One commit-log listing per progress event —
+    * driver-side metadata only, same cost class as [[LakeSink.gauges]].
+    */
+  override def metrics(
+      latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val p = planned
+    m.put("deliveredFloor", p.neg.toString)
+    m.put("deliveredCeiling", p.pos.toString)
+    m.put("backlogBatches",
+      sink.committedBatchIds(spark)
+        .count(id => id < p.neg || id > p.pos).toString)
+    m
+  }
 }
 
 /** One changelog parquet data file (its batch id rides along — the lake

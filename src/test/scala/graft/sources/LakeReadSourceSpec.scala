@@ -119,6 +119,13 @@ class LakeReadSourceSpec extends AnyFunSuite {
       .trigger(trigger).start()
     q.awaitTermination(60000)
     val triggers = q.recentProgress.count(_.numInputRows > 0)
+    // ReportsSourceMetrics surface: every progress event carries the
+    // delivered interval + backlog gauges
+    q.recentProgress.lastOption.foreach { pr =>
+      val m = pr.sources.head.metrics
+      assert(m.containsKey("deliveredFloor") && m.containsKey("backlogBatches"),
+        s"source metrics missing: $m")
+    }
     (scala.jdk.CollectionConverters.IteratorHasAsScala(buf.iterator()).asScala.toSeq.sorted,
       triggers)
   }
