@@ -162,7 +162,8 @@ object Bench {
     // drop the prep_* entries from stdout (they are index-build
     // attribution, preserved at full precision in the history TSV; the
     // graded per-query numbers stay).
-    def render(decimals: Int, withReruns: Boolean, withPreps: Boolean): String = {
+    def render(decimals: Int, withReruns: Boolean, withPreps: Boolean,
+        withPrepSec: Boolean = true): String = {
       def r(v: Double): String = s"%.${decimals}f".format(v)
       val kept = results.filter { case (k, _) => withPreps || !k.startsWith("prep_") }
       val qs = kept.map { case (k, v) => s"\"" + k + "\":" + r(v) }
@@ -170,7 +171,7 @@ object Bench {
       // when preps drop out of the map, their total stays reconcilable:
       // value ≈ sum(queries) + prep_sec
       val prepField =
-        if (withPreps) ""
+        if (withPreps || !withPrepSec) ""
         else ",\"prep_sec\":" + r(
           results.collect { case (k, v) if k.startsWith("prep_") => v }.sum)
       val errField =
@@ -183,10 +184,13 @@ object Bench {
           s""""$k":[${r(a)},${r(b)}]""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$prepField$errField$rerunField,"sf":"$sfBase"}"""
     }
+    // last resort: drop prep_sec too (full precision stays in the TSV)
     val line = Seq(
       render(3, true, true), render(2, true, true), render(2, false, true),
-      render(1, false, true), render(1, false, false))
-      .find(_.length <= 1900).getOrElse(render(1, false, false))
+      render(1, false, true), render(1, false, false),
+      render(1, false, false, withPrepSec = false))
+      .find(_.length <= 1900)
+      .getOrElse(render(1, false, false, withPrepSec = false))
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

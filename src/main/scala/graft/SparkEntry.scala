@@ -76,6 +76,7 @@ object SparkEntry {
     // ---- lake changelog sink: fold, compaction, vacuum, time travel ----
     "q_lake_state" -> ((s, d) => LakeQueries.lakeState(s, d)),
     "q_lake_asof" -> ((s, d) => LakeQueries.lakeAsOf(s, d)),
+    "q_mv" -> ((s, d) => LakeQueries.mvOrders(s, d)),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_cond" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -621,6 +622,23 @@ object SparkEntry {
                      AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2))
              AS sum_price
          FROM orders
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Maintained view: after three refresh cycles (insert-all, *1.1
+    // updates on %7 keys, deletes of %13 keys) the served state must
+    // equal a direct aggregate over the final table. Same decimal-via-
+    // shortest-roundtrip-string discipline as q_lake_state; min/max
+    // compare parsed decimals, no rounding anywhere.
+    "q_mv" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(sum(pd) AS DECIMAL(18,2)) AS sum_price,
+           CAST(min(pd) AS DECIMAL(18,2)) AS min_price,
+           CAST(max(pd) AS DECIMAL(18,2)) AS max_price
+         FROM (SELECT o_orderstatus, o_orderkey,
+                 CAST(CAST(CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice * 1.1 ELSE o_totalprice END
+                     AS VARCHAR) AS DECIMAL(18,2)) AS pd
+               FROM orders WHERE o_orderkey % 13 <> 0)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic

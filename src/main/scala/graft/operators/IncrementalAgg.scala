@@ -145,9 +145,14 @@ final class IncrementalAgg(
     val sumCols = sums.flatMap { case (nm, _) =>
       val sSum = col(s"s.s_$nm")
       val dSum = col(s"d.s_${nm}_d")
+      // cast back to the STATE's own column type: decimal arithmetic
+      // widens precision (28,2 + delta → 38,2), and persisted state must
+      // be a schema fixed point across refreshes or a schema-pinned
+      // reader of an earlier version rejects the file
+      val tpe = state.schema(s"s_$nm").dataType
       Seq(
         when(sSum.isNull, dSum).when(dSum.isNull, sSum)
-          .otherwise(sSum + dSum).as(s"s_$nm"),
+          .otherwise(sSum + dSum).cast(tpe).as(s"s_$nm"),
         (coalesce(col(s"s.c_$nm"), lit(0L)) + coalesce(col(s"d.c_${nm}_d"), lit(0L)))
           .as(s"c_$nm")) }
     // a group is dirty when a retraction could have removed its stored

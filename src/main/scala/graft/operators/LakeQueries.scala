@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sinks.LakeSink
+import graft.sinks.{LakeSink, MaintainedView}
 
 /** Driver-gated lake queries: put the changelog → fold → compact → vacuum
   * → time-travel pipeline of [[graft.sinks.LakeSink]] under the same
@@ -115,4 +115,76 @@ object LakeQueries {
   /** Time travel to the end of batch 1: updates applied, deletes not. */
   def lakeAsOf(s: SparkSession, dir: String): DataFrame =
     aggState(lakeFor(s, dir).stateAsOf(s, "public", "orders", asOf = 1L))
+
+  // ---------------------------------------------------------------------
+  // q_mv — the MAINTAINED-VIEW runtime loop under the oracle gate.
+  //
+  // q_ivm drives IncrementalAgg.step directly on in-memory frames; this
+  // drives the full persistence loop around it: the lake's durable named
+  // cursor, MaintainedView.refresh polling one committed batch per call,
+  // the bucketed state log (only touched buckets rewritten per refresh),
+  // and the stateAsOf-pinned dirty-group recompute that min/max
+  // retraction triggers. Same deterministic three-batch churn as
+  // q_lake_state, but on its OWN lake root so a refresh runs AFTER EACH
+  // batch (the shared lake vacuums batch 0's changelog before any view
+  // could poll it).
+
+  private val builtViews =
+    new java.util.concurrent.ConcurrentHashMap[String, MaintainedView]()
+
+  private def viewFor(s: SparkSession, dir: String): MaintainedView =
+    builtViews.computeIfAbsent(dir, d => buildView(s, d))
+
+  private def buildView(s: SparkSession, dir: String): MaintainedView = {
+    val root = new Path(
+      new Path(System.getProperty("java.io.tmpdir")),
+      "graft_lake_mv_" + Integer.toHexString(dir.hashCode)).toString
+    val rootPath = new Path(root)
+    val f = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(rootPath, true)
+    val sink = new LakeSink(root, baseBuckets = 8)
+    val priceDec = (i: Column) =>
+      element_at(i, "o_totalprice").cast("decimal(18,2)")
+    val agg = new IncrementalAgg(
+      group = Seq("o_orderstatus" -> (i => element_at(i, "o_orderstatus"))),
+      sums = Seq(
+        "key" -> (i => element_at(i, "o_orderkey").cast("long")),
+        "price" -> priceDec),
+      mins = Seq("price" -> priceDec),
+      maxs = Seq("price" -> priceDec))
+    val view =
+      new MaintainedView(sink, agg, "public", "orders", "mv", stateBuckets = 8)
+    val orders = Tables.orders(s, dir)
+    val mapT = "map<string,string>"
+    val newPrice = col("o_totalprice") * 1.1
+    val curPrice =
+      when(col("o_orderkey") % 7 === 0, newPrice).otherwise(col("o_totalprice"))
+    sink.appendBatch(envelope(orders, "insert", L0,
+      lit(null).cast(mapT), img(col("o_totalprice"))), 0L)
+    view.refresh(s) // full-state seed: every bucket written once
+    sink.compact(s) // later recomputes resolve batch 0 through BASE
+    sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
+      "update", L1, img(col("o_totalprice")), img(newPrice)), 1L)
+    view.refresh(s) // signed update deltas, touched buckets only
+    sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 13 === 0),
+      "delete", L2, img(curPrice), lit(null).cast(mapT)), 2L)
+    view.refresh(s) // retractions: min/max dirty groups recompute from
+                    // stateAsOf(2) — through BASE + tail, not latestState
+    sink.vacuum(s)  // the view must keep serving after its source's
+                    // folded changelog is gone
+    view
+  }
+
+  /** The maintained view's served contents — a pure group-cardinality
+    * state read, no fold, no scan of `orders`.
+    */
+  def mvOrders(s: SparkSession, dir: String): DataFrame =
+    viewFor(s, dir).read(s).select(
+      col("o_orderstatus"),
+      col("n").cast("long").as("n"),
+      col("sum_key").cast("long").as("sum_key"),
+      col("sum_price").cast("decimal(18,2)").as("sum_price"),
+      col("min_price").cast("decimal(18,2)").as("min_price"),
+      col("max_price").cast("decimal(18,2)").as("max_price"))
+      .orderBy("o_orderstatus")
 }
