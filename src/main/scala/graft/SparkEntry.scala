@@ -77,6 +77,7 @@ object SparkEntry {
     "q_lake_state" -> ((s, d) => LakeQueries.lakeState(s, d)),
     "q_lake_asof" -> ((s, d) => LakeQueries.lakeAsOf(s, d)),
     "q_mv" -> ((s, d) => LakeQueries.mvOrders(s, d)),
+    "q_mj" -> ((s, d) => LakeQueries.mjOrders(s, d)),
     // ---- snapshot operators (SURVEY §2.5) ----
     "q_chunked_scan" -> ((s, d) => SnapshotQueries.chunkedScan(s, d).orderBy("chunk_index")),
     "q_chunked_cond" -> ((s, d) => SnapshotQueries.chunkedScanWithCondition(s, d)),
@@ -640,6 +641,28 @@ object SparkEntry {
                      AS VARCHAR) AS DECIMAL(18,2)) AS pd
                FROM orders WHERE o_orderkey % 13 <> 0)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Maintained left-outer join: after both-side churn (price/acctbal
+    // *1.1 updates, order AND customer deletes) the served join state
+    // must equal a direct left join over the final tables — surviving
+    // orders of deleted customers land in the UNMATCHED segment.
+    "q_mj" ->
+      """SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(b) AS BIGINT) AS n_matched,
+           CAST(sum(p) AS DECIMAL(18,2)) AS sum_price,
+           CAST(sum(b) AS DECIMAL(18,2)) AS sum_bal
+         FROM (
+           SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS seg,
+             CAST(CAST(CASE WHEN o.o_orderkey % 7 = 0
+                   THEN o.o_totalprice * 1.1 ELSE o.o_totalprice END
+                 AS VARCHAR) AS DECIMAL(18,2)) AS p,
+             CAST(CAST(CASE WHEN c.c_custkey % 5 = 0
+                   THEN c.c_acctbal * 1.1 ELSE c.c_acctbal END
+                 AS VARCHAR) AS DECIMAL(18,2)) AS b
+           FROM orders o
+           LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 11 <> 0) c
+             ON o.o_custkey = c.c_custkey
+           WHERE o.o_orderkey % 13 <> 0)
+         GROUP BY seg ORDER BY seg""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic
     // functions of event_id/user_id).

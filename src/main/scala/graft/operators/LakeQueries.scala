@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sinks.{LakeSink, MaintainedView}
+import graft.sinks.{LakeSink, MaintainedJoin, MaintainedView}
 
 /** Driver-gated lake queries: put the changelog → fold → compact → vacuum
   * → time-travel pipeline of [[graft.sinks.LakeSink]] under the same
@@ -187,4 +187,128 @@ object LakeQueries {
       col("min_price").cast("decimal(18,2)").as("min_price"),
       col("max_price").cast("decimal(18,2)").as("max_price"))
       .orderBy("o_orderstatus")
+
+  // ---------------------------------------------------------------------
+  // q_mj — the MAINTAINED two-table equi-JOIN under the oracle gate.
+  //
+  // orders LEFT OUTER customer on custkey, maintained by dirty-key
+  // recompute across three churn batches, each touching BOTH sides:
+  //
+  //  - batch 0: insert every customer + every order  → refresh (seed)
+  //  - batch 1: update o_totalprice *= 1.1 (%7 keys) and
+  //             c_acctbal *= 1.1 (%5 custkeys)        → refresh
+  //  - batch 2: delete orders (%13 keys) and
+  //             CUSTOMERS (%11 custkeys)              → refresh
+  //
+  // The customer deletes are the interesting part: left_outer must flip
+  // the surviving orders of a deleted customer from matched to
+  // null-extended — exactly the transition a naive "recompute only
+  // changed rows" maintenance misses. The final read aggregates the
+  // served join state by market segment with the null-extended rows in
+  // their own bucket; the oracle recomputes the same left join over the
+  // equivalently churned tables.
+
+  private val builtJoins =
+    new java.util.concurrent.ConcurrentHashMap[String, MaintainedJoin]()
+
+  private def joinFor(s: SparkSession, dir: String): MaintainedJoin =
+    builtJoins.computeIfAbsent(dir, d => buildJoin(s, d))
+
+  private def cimg(bal: Column): Column = map(
+    lit("c_custkey"), col("c_custkey").cast("string"),
+    lit("c_mktsegment"), col("c_mktsegment"),
+    lit("c_acctbal"), bal.cast("string"))
+
+  private def oimg(price: Column): Column = map(
+    lit("o_orderkey"), col("o_orderkey").cast("string"),
+    lit("o_custkey"), col("o_custkey").cast("string"),
+    lit("o_orderstatus"), col("o_orderstatus"),
+    lit("o_totalprice"), price.cast("string"))
+
+  private def cenv(df: DataFrame, op: String, commitLsn: Long,
+      before: Column, after: Column): DataFrame =
+    df.select(
+      (lit(commitLsn) + col("c_custkey")).as("lsn"),
+      lit(commitLsn).as("commit_lsn"), lit(0L).as("xid"),
+      lit(op).as("op"), lit("public").as("schema"), lit("customer").as("table"),
+      timestamp_micros(lit(0L)).as("message_time"),
+      timestamp_micros(lit(0L)).as("commit_time"),
+      typedLit(Seq("c_custkey")).as("key_names"),
+      before.as("before"), after.as("after"))
+
+  private def oenv(df: DataFrame, op: String, commitLsn: Long,
+      before: Column, after: Column): DataFrame =
+    df.select(
+      (lit(commitLsn) + col("o_orderkey")).as("lsn"),
+      lit(commitLsn).as("commit_lsn"), lit(0L).as("xid"),
+      lit(op).as("op"), lit("public").as("schema"), lit("orders").as("table"),
+      timestamp_micros(lit(0L)).as("message_time"),
+      timestamp_micros(lit(0L)).as("commit_time"),
+      typedLit(Seq("o_orderkey")).as("key_names"),
+      before.as("before"), after.as("after"))
+
+  private def buildJoin(s: SparkSession, dir: String): MaintainedJoin = {
+    val root = new Path(
+      new Path(System.getProperty("java.io.tmpdir")),
+      "graft_lake_mj_" + Integer.toHexString(dir.hashCode)).toString
+    val rootPath = new Path(root)
+    val f = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(rootPath, true)
+    val sink = new LakeSink(root, baseBuckets = 8)
+    val join = new MaintainedJoin(sink,
+      left = ("public", "orders"), right = ("public", "customer"),
+      leftKey = i => element_at(i, "o_custkey"),
+      rightKey = i => element_at(i, "c_custkey"),
+      name = "mj", joinType = "left_outer", stateBuckets = 8)
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val mapT = "map<string,string>"
+    val newPrice = col("o_totalprice") * 1.1
+    val curPrice =
+      when(col("o_orderkey") % 7 === 0, newPrice).otherwise(col("o_totalprice"))
+    val newBal = col("c_acctbal") * 1.1
+    sink.appendBatch(
+      cenv(cust, "insert", L0, lit(null).cast(mapT), cimg(col("c_acctbal")))
+        .unionByName(oenv(orders, "insert", L0 + 50000000L,
+          lit(null).cast(mapT), oimg(col("o_totalprice")))), 0L)
+    join.refresh(s) // seed: every bucket written once
+    sink.compact(s) // later dirty-key recomputes resolve batch 0 via BASE
+    sink.appendBatch(
+      cenv(cust.filter(col("c_custkey") % 5 === 0), "update", L1,
+        cimg(col("c_acctbal")), cimg(newBal))
+        .unionByName(oenv(orders.filter(col("o_orderkey") % 7 === 0),
+          "update", L1 + 50000000L,
+          oimg(col("o_totalprice")), oimg(newPrice))), 1L)
+    join.refresh(s) // both-side updates: touched custkeys only
+    sink.appendBatch(
+      cenv(cust.filter(col("c_custkey") % 11 === 0), "delete", L2,
+        cimg(when(col("c_custkey") % 5 === 0, newBal)
+          .otherwise(col("c_acctbal"))), lit(null).cast(mapT))
+        .unionByName(oenv(orders.filter(col("o_orderkey") % 13 === 0),
+          "delete", L2 + 50000000L,
+          oimg(curPrice), lit(null).cast(mapT))), 2L)
+    join.refresh(s) // deletes: surviving orders of dropped customers must
+                    // flip matched → null-extended within their buckets
+    sink.vacuum(s)
+    join
+  }
+
+  /** Aggregate of the served join state by market segment (null-extended
+    * rows under 'UNMATCHED') — a state read plus one group-by, no refold
+    * of either table.
+    */
+  def mjOrders(s: SparkSession, dir: String): DataFrame =
+    joinFor(s, dir).read(s).select(
+        coalesce(element_at(col("right_after"), "c_mktsegment"),
+          lit("UNMATCHED")).as("seg"),
+        element_at(col("left_after"), "o_totalprice")
+          .cast("decimal(18,2)").as("p"),
+        element_at(col("right_after"), "c_acctbal")
+          .cast("decimal(18,2)").as("b"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        count(col("b")).as("n_matched"),
+        sum(col("p")).cast("decimal(18,2)").as("sum_price"),
+        sum(col("b")).cast("decimal(18,2)").as("sum_bal"))
+      .orderBy("seg")
 }

@@ -33,7 +33,13 @@ object SharedCaches {
       val sink = LakeQueries.lakeFor(s, d)
       import s.implicits._
       sink.committedBatchIds(s).toDF("batch_id")
-    })
+    },
+    // the maintained-view / maintained-join pipelines (their own lakes,
+    // three churn batches with a refresh after each): at scale these are
+    // long-lived maintenance jobs, not per-query work — q_mv / q_mj
+    // measure the SERVED state read
+    "prep_mv" -> ((s, d) => LakeQueries.mvOrders(s, d)),
+    "prep_mj" -> ((s, d) => LakeQueries.mjOrders(s, d)))
 
   /** Drop every shared cache owned by the session (bench hygiene between
     * the warm-up corpus and the measured corpus).
