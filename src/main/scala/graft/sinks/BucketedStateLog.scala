@@ -149,6 +149,27 @@ private[sinks] final class BucketedStateLog(
     writeManifest(f, key, carried ++ written)
   }
 
+  /** One-time in-place upgrade of a pre-bucketing state directory: lift
+    * EVERY committed legacy whole-state version into this log as a full
+    * rewrite under its own interval key, then retire the legacy files.
+    * Lifting only the newest would destroy the replay-prev the legacy
+    * crash protocol depends on — old code could commit state for a span
+    * and crash before the cursor advanced, and the replayed span's
+    * splice finds its prev via [[latestWithin]] over the PRE-span
+    * cursor; with the prev gone, the spliced commit would carry nothing
+    * forward and silently drop every untouched key. Legacy gc kept at
+    * most the replay horizon, so this is a bounded number of versions,
+    * each garbage-collected by [[gcWithin]] as the horizon passes.
+    */
+  def migrateFrom(spark: SparkSession, f: FileSystem, legacy: StateLog): Unit = {
+    if (committed(f).nonEmpty) return
+    val keys = legacy.committed(f)
+    keys.foreach { k =>
+      commit(f, legacy.read(spark, k), (0 until buckets).toSet, None, k)
+    }
+    keys.foreach(legacy.retire(f, _))
+  }
+
   private def writeManifest(f: FileSystem, key: (Long, Long),
       m: Map[Int, String]): Unit = {
     f.mkdirs(commitsDir)

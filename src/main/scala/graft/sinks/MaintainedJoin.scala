@@ -127,29 +127,12 @@ final class MaintainedJoin(
       empty.select(rightKey(col("after")).as("jk"), col("after").as("right_after")))
   }
 
-  /** One-time in-place upgrade of a pre-bucketing state directory: lift
-    * the legacy whole-state version into the bucketed log as a full
-    * rewrite under the same interval key, then retire the legacy files —
-    * without this, an upgraded deployment's first refresh would see no
-    * prior state while the lake cursor says "delivered" and silently
-    * rebuild only the touched keys.
+  /** One-time in-place upgrade of a pre-bucketing state directory — see
+    * [[BucketedStateLog.migrateFrom]] (every legacy version lifts, so
+    * the legacy crash protocol's replay-prev survives the upgrade).
     */
-  private def migrateLegacy(spark: SparkSession, f: FileSystem): Unit = {
-    if (states.committed(f).nonEmpty) return
-    val legacy = legacyStates.committed(f)
-    legacy.lastOption.foreach { lk =>
-      states.commit(f, legacyStates.read(spark, lk),
-        (0 until stateBuckets).toSet, None, lk)
-    }
-    legacy.foreach { k =>
-      f.delete(new Path(stateDir, s"asof=${k._1}_${k._2}"), true)
-      f.delete(new Path(new Path(stateDir, "_commits"), s"${k._1}_${k._2}"), false)
-      if (k._1 == 0) {
-        f.delete(new Path(stateDir, s"asof=${k._2}"), true)
-        f.delete(new Path(new Path(stateDir, "_commits"), k._2.toString), false)
-      }
-    }
-  }
+  private def migrateLegacy(spark: SparkSession, f: FileSystem): Unit =
+    states.migrateFrom(spark, f, legacyStates)
 
   /** Apply every newly committed lake batch to the join (including a late
     * snapshot batch below the cursor's floor — a mid-stream table

@@ -56,25 +56,12 @@ final class MaintainedView(
 
   private def stateSchema(spark: SparkSession) = agg.init(spark).schema
 
-  /** One-time in-place upgrade of a pre-bucketing state directory (see
-    * [[MaintainedJoin.migrateLegacy]] — same protocol).
+  /** One-time in-place upgrade of a pre-bucketing state directory — see
+    * [[BucketedStateLog.migrateFrom]] (every legacy version lifts, so
+    * the legacy crash protocol's replay-prev survives the upgrade).
     */
-  private def migrateLegacy(spark: SparkSession, f: FileSystem): Unit = {
-    if (states.committed(f).nonEmpty) return
-    val legacy = legacyStates.committed(f)
-    legacy.lastOption.foreach { lk =>
-      states.commit(f, legacyStates.read(spark, lk),
-        (0 until stateBuckets).toSet, None, lk)
-    }
-    legacy.foreach { k =>
-      f.delete(new Path(stateDir, s"asof=${k._1}_${k._2}"), true)
-      f.delete(new Path(new Path(stateDir, "_commits"), s"${k._1}_${k._2}"), false)
-      if (k._1 == 0) {
-        f.delete(new Path(stateDir, s"asof=${k._2}"), true)
-        f.delete(new Path(new Path(stateDir, "_commits"), k._2.toString), false)
-      }
-    }
-  }
+  private def migrateLegacy(spark: SparkSession, f: FileSystem): Unit =
+    states.migrateFrom(spark, f, legacyStates)
 
   /** Apply every newly committed lake batch to the view (including a LATE
     * snapshot batch below the cursor's floor — a mid-stream table

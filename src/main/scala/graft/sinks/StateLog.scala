@@ -79,6 +79,18 @@ private[sinks] final class StateLog(dir: Path) {
     f.create(new Path(commitsDir, nameOf(key)), true).close()
   }
 
+  /** Delete one version's data and markers (including the legacy
+    * single-ended spelling of a `[0, hi]` key).
+    */
+  def retire(f: FileSystem, key: (Long, Long)): Unit = {
+    f.delete(new Path(dir, s"asof=${nameOf(key)}"), true)
+    f.delete(new Path(commitsDir, nameOf(key)), false)
+    if (key._1 == 0) {
+      f.delete(new Path(dir, s"asof=${key._2}"), true)
+      f.delete(new Path(commitsDir, key._2.toString), false)
+    }
+  }
+
   /** Drop versions strictly contained in the replay horizon, except the
     * maximal one (the replay-prev stays until the horizon passes it).
     */

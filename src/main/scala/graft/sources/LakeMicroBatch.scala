@@ -343,7 +343,22 @@ final class LakePartitionReader(
         val nanosOfDay = buf.getLong
         val julianDay = buf.getInt
         (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-      case PrimitiveTypeName.INT64 => g.getLong(field, 0)
+      case PrimitiveTypeName.INT64 =>
+        // honor the logical-type UNIT: Spark legally writes INT64
+        // timestamps as millis (outputTimestampType=TIMESTAMP_MILLIS)
+        // or micros — treating raw millis as micros would shift every
+        // event 1000x toward 1970
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val v = g.getLong(field, 0)
+        g.getType.getType(field).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+            }
+          case _ => v // no annotation: Spark's default is micros
+        }
       case other => throw new IllegalStateException(
         s"unexpected parquet type $other for timestamp column $field in ${p.file}")
     }

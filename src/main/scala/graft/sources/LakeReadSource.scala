@@ -158,15 +158,18 @@ final class LakeReadSourceProvider
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // BOTH spark.read and spark.readStream route through here (batch
-    // falls back to the v1 relation only after the table reports no
-    // BATCH_READ) and the engine gives no read-vs-readStream signal, so
-    // validate against the union — each path re-checks its own strict
+    // spark.read, spark.readStream AND writeStream all route through
+    // here (batch falls back to the v1 relation only after the table
+    // reports no BATCH_READ; DataStreamWriter resolves the provider's
+    // table — and so its schema — BEFORE falling back to the v1 sink)
+    // and the engine gives no direction signal, so validate against the
+    // union of every path's options — each path re-checks its own strict
     // set where it materializes (createRelation at load(), streamOf at
-    // query start; the one asymmetry is a batch-only option on
-    // readStream, which surfaces at start() instead of load())
+    // query start, createSink at start(); the asymmetries are a
+    // wrong-direction option, which surfaces at start()/load() instead
+    // of here)
     val parameters = scala.jdk.CollectionConverters.MapHasAsScala(options).asScala.toMap
-    checkOptions(parameters, StreamOptions ++ BatchOptions, "")
+    checkOptions(parameters, StreamOptions ++ BatchOptions ++ SinkOptions, "")
     rootOf(parameters)
     // batch-only options mean the inferred (streaming) schema is about to
     // be discarded by the v1 fallback — don't resolve a typed projection

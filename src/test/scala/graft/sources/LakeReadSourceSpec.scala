@@ -47,6 +47,30 @@ class LakeReadSourceSpec extends AnyFunSuite {
       ev(4, "insert", "orders", null, Map("id" -> "7", "total" -> "9.5")))), 1L)
   }
 
+  test("streaming: INT64/MILLIS parquet timestamps read as the written instant") {
+    // a lake written under outputTimestampType=TIMESTAMP_MILLIS stores
+    // message_time/commit_time as INT64 millis — the stream reader must
+    // honor the logical-type unit, not assume micros
+    withLake { (sink, dir) =>
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      try seed(sink)
+      finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val ckpt = Files.createTempDirectory("lake-ts-ckpt").toString
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.sql.Timestamp]()
+      val q = spark.readStream.format("graft-lake").option("path", dir).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.select("commit_time").collect().foreach(r => buf.add(r.getTimestamp(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val got = scala.jdk.CollectionConverters.IteratorHasAsScala(buf.iterator())
+        .asScala.toSet
+      assert(got == Set(T), s"expected $T, got $got")
+    }
+  }
+
   test("batch: state read equals latestState; asOfBatch equals stateAsOf") {
     withLake { (sink, dir) =>
       seed(sink)
@@ -240,6 +264,10 @@ class LakeReadSourceSpec extends AnyFunSuite {
             val q = spark.readStream.format("graft-lake").option("path", srcDir).load()
               .drop("batch_id") // the sink assigns its own epoch ids
               .writeStream.format("graft-lake").option("path", dstDir)
+              // the sink's tuning option must survive the provider's
+              // schema-inference validation (DataStreamWriter resolves
+              // the table BEFORE the v1 sink fallback)
+              .option("baseBuckets", "8")
               .option("checkpointLocation", ckpt)
               .trigger(Trigger.AvailableNow()).start()
             q.awaitTermination(60000)
