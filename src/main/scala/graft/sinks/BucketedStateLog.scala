@@ -36,13 +36,7 @@ private[sinks] final class BucketedStateLog(
   private def commitsDir = new Path(dir, "_commits")
   private val ManifestPrefix = "manifest."
 
-  private def nameOf(key: (Long, Long)): String = s"${key._1}_${key._2}"
-
-  private def keyOf(name: String): Option[(Long, Long)] =
-    name.split("_") match {
-      case Array(a, b) => for (n <- a.toLongOption; p <- b.toLongOption) yield (n, p)
-      case _ => None
-    }
+  private def nameOf(key: (Long, Long)): String = IntervalKeys.name(key)
 
   def fs(spark: SparkSession): FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,16 +66,15 @@ private[sinks] final class BucketedStateLog(
   /** Committed versions in containment order (latest = last). */
   def committed(f: FileSystem): Seq[(Long, Long)] =
     if (!f.exists(commitsDir)) Seq.empty
-    else f.listStatus(commitsDir).toSeq
+    else IntervalKeys.sorted(f.listStatus(commitsDir).toSeq
       .map(_.getPath.getName)
       .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith(".tmp"))
-      .flatMap(n => keyOf(n.stripPrefix(ManifestPrefix)))
-      .sortBy { case (n, p) => (p, -n) }
+      .flatMap(n => IntervalKeys.parse(n.stripPrefix(ManifestPrefix))))
 
   def latest(f: FileSystem): Option[(Long, Long)] = committed(f).lastOption
 
   def latestWithin(f: FileSystem, from: (Long, Long)): Option[(Long, Long)] =
-    committed(f).filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
+    IntervalKeys.within(committed(f), from)
 
   def isCommitted(f: FileSystem, key: (Long, Long)): Boolean =
     f.exists(new Path(commitsDir, ManifestPrefix + nameOf(key)))

@@ -18,18 +18,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contained in the pre-span cursor. A legacy single-ended version
   * `asof=<hi>` reads as `[0, hi]`.
   */
+/** The `[neg, pos]` interval-key protocol both state logs share: one
+  * spelling, one containment order, one replay-prev rule — a single
+  * definition so the logs can never silently diverge.
+  */
+private[sinks] object IntervalKeys {
+
+  def name(key: (Long, Long)): String = s"${key._1}_${key._2}"
+
+  def parse(name: String): Option[(Long, Long)] =
+    name.split("_") match {
+      case Array(a, b) => for (n <- a.toLongOption; p <- b.toLongOption) yield (n, p)
+      case _ => None
+    }
+
+  /** Intervals only grow, so containment order IS `(pos, -neg)`. */
+  def sorted(keys: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    keys.sortBy { case (n, p) => (p, -n) }
+
+  /** The maximal key contained in `from` — the replay-prev. */
+  def within(sortedKeys: Seq[(Long, Long)], from: (Long, Long)): Option[(Long, Long)] =
+    sortedKeys.filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
+}
+
 private[sinks] final class StateLog(dir: Path) {
 
   private def commitsDir = new Path(dir, "_commits")
 
   private def keyOf(name: String): Option[(Long, Long)] =
-    name.split("_") match {
-      case Array(a, b) => for (n <- a.toLongOption; p <- b.toLongOption) yield (n, p)
-      case Array(a) => a.toLongOption.map(v => (0L, v))
-      case _ => None
-    }
+    IntervalKeys.parse(name).orElse(
+      // legacy single-ended spelling `asof=<hi>` reads as [0, hi]
+      if (name.contains("_")) None
+      else name.toLongOption.map(v => (0L, v)))
 
-  private def nameOf(key: (Long, Long)): String = s"${key._1}_${key._2}"
+  private def nameOf(key: (Long, Long)): String = IntervalKeys.name(key)
 
   def fs(spark: SparkSession): FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -37,9 +59,8 @@ private[sinks] final class StateLog(dir: Path) {
   /** Committed versions in containment order (latest = last). */
   def committed(f: FileSystem): Seq[(Long, Long)] =
     if (!f.exists(commitsDir)) Seq.empty
-    else f.listStatus(commitsDir).toSeq
-      .flatMap(st => keyOf(st.getPath.getName))
-      .sortBy { case (n, p) => (p, -n) }
+    else IntervalKeys.sorted(
+      f.listStatus(commitsDir).toSeq.flatMap(st => keyOf(st.getPath.getName)))
 
   /** The newest committed version, if any. */
   def latest(f: FileSystem): Option[(Long, Long)] = committed(f).lastOption
@@ -49,7 +70,7 @@ private[sinks] final class StateLog(dir: Path) {
     * state before it, never from its own output).
     */
   def latestWithin(f: FileSystem, from: (Long, Long)): Option[(Long, Long)] =
-    committed(f).filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
+    IntervalKeys.within(committed(f), from)
 
   def read(spark: SparkSession, key: (Long, Long)): DataFrame = {
     // Mirror [[isCommitted]]: fall back to the LEGACY single-ended
