@@ -249,4 +249,39 @@ class MaintainedViewSpec extends AnyFunSuite {
         "legacy version dir retired after migration")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("migration keeps the legacy replay-prev: crash-before-cursor plus new batches loses nothing") {
+    // same edge as the join's spec: old code committed (0,1) and crashed
+    // before the cursor advanced past batch 0, then batch 2 landed under
+    // the new binary. The replayed span (0,2) must splice against the
+    // migrated (0,0) replay-prev — untouched group 'b' survives.
+    val dir = Files.createTempDirectory("lake-mvrp").toString
+    try {
+      val sink = new LakeSink(dir)
+      val agg = mkAgg
+      val legacy = new StateLog(new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_views/by_grp"))
+      val f = legacy.fs(spark)
+      def stateNow() = agg.recomputeAll(
+        sink.latestState(spark, "public", "users").select(col("after")))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "insert", null, row("2", "b", "7")))), 0L)
+      legacy.commit(f, stateNow(), (0L, 0L))
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, row("3", "a", "5")))), 1L)
+      legacy.commit(f, stateNow(), (0L, 1L))
+      java.nio.file.Files.createDirectories(
+        new java.io.File(s"$dir/_graft_cursors").toPath)
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/_graft_cursors/view_by_grp").toPath,
+        "0:0".getBytes)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", null, row("4", "a", "1")))), 2L)
+      val mv = new MaintainedView(sink, mkAgg, "public", "users", "by_grp")
+      assert(mv.refresh(spark) == 2)
+      assert(viewMap(mv) == Map(
+        "a" -> ((3L, 9d, 1d, 5d)), "b" -> ((1L, 7d, 7d, 7d))))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
