@@ -259,7 +259,10 @@ object LakeQueries {
       left = ("public", "orders"), right = ("public", "customer"),
       leftKey = i => element_at(i, "o_custkey"),
       rightKey = i => element_at(i, "c_custkey"),
-      name = "mj", joinType = "left_outer", stateBuckets = 8)
+      name = "mj", joinType = "left_outer", stateBuckets = 8,
+      // custkey IS customer's replica key: the dim side recomputes via
+      // the key-restricted fold (touched buckets of BASE, not the table)
+      rightKeyIsRowKey = true)
     val orders = Tables.orders(s, dir)
     val cust = Tables.customer(s, dir)
     val mapT = "map<string,string>"

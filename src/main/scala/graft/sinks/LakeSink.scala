@@ -217,15 +217,32 @@ final class LakeSink(
   /** BASE slices of one table as fold input, per the current manifest. */
   private def baseFor(
       spark: SparkSession, m: Option[Manifest],
-      schemaName: String, table: String): Option[DataFrame] = {
-    val dirs = m.toSeq.flatMap(_.entries.collect {
-      case ((s, t, _), rel) if s == schemaName && t == table =>
-        new Path(root, rel).toString
+      schemaName: String, table: String,
+      restrictToKeys: Option[DataFrame] = None): Option[DataFrame] = {
+    val relevant = m.toSeq.flatMap(_.entries.collect {
+      case ((s, t, b), rel) if s == schemaName && t == table =>
+        b -> new Path(root, rel).toString
     })
-    if (dirs.isEmpty) None
-    else Some(spark.read.schema(ImageSchema).parquet(dirs: _*)
-      .select(lit("insert").as("op"), col("commit_lsn"), col("lsn"),
-        col("k"), col("after")))
+    // a key restriction prunes BASE to the slices its keys hash into
+    // (bounded planning pull: ≤ buckets distinct values) — a restricted
+    // fold over a billion-key base reads ~|touched buckets|/buckets of it
+    val pruned = (m, restrictToKeys) match {
+      case (Some(mm), Some(ks)) =>
+        val want = ks.select(pmod(hash(col("k")), lit(mm.buckets)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        relevant.filter { case (b, _) => want.contains(b) }
+      case _ => relevant
+    }
+    if (pruned.isEmpty) None
+    else {
+      val base = spark.read.schema(ImageSchema)
+        .parquet(pruned.map(_._2): _*)
+        .select(lit("insert").as("op"), col("commit_lsn"), col("lsn"),
+          col("k"), col("after"))
+      Some(restrictToKeys
+        .map(ks => base.join(broadcast(ks), Seq("k"), "left_semi"))
+        .getOrElse(base))
+    }
   }
 
   /** Latest state per replica-identity key for one table: BASE (if any)
@@ -270,7 +287,8 @@ final class LakeSink(
     */
   def stateAsOf(
       spark: SparkSession, schemaName: String, table: String,
-      asOf: Long, floor: Long = Long.MinValue): DataFrame = {
+      asOf: Long, floor: Long = Long.MinValue,
+      restrictToKeys: Option[DataFrame] = None): DataFrame = {
     val f = fs(spark)
     // `floor` additionally bounds the read from BELOW in the two-sided id
     // space (maintained views pin their recompute to exactly the interval
@@ -320,12 +338,23 @@ final class LakeSink(
           s"chosen base fold [$lo, $wm] that vacuum has deleted — that " +
           "history is no longer retained (retain more manifests or vacuum " +
           "with keepLast)")
-    val tail = keyedEvents(changelogOutside(spark, lo, wm)
+    val tail0 = keyedEvents(changelogOutside(spark, lo, wm)
         .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
         .filter(col("schema") === schemaName && col("table") === table))
       .drop("schema", "table")
-    val truncAt = maxTruncate(tail)
-    val all = baseFor(spark, m, schemaName, table)
+    // truncate detection stays on the UNRESTRICTED tail: truncates carry
+    // no key, and must supersede restricted rows too
+    val truncAt = maxTruncate(tail0)
+    // `restrictToKeys` (a single-column `k` frame spelled like the fold
+    // key) prunes the fold to those keys' histories. SOUND ONLY for
+    // restriction on the replica-identity key itself — the fold groups by
+    // exactly `k`, so a key's whole history stays or goes together; a
+    // predicate over any OTHER column could drop the newest version of a
+    // key while keeping an older one and resurrect stale state.
+    val tail = restrictToKeys
+      .map(ks => tail0.join(broadcast(ks), Seq("k"), "left_semi"))
+      .getOrElse(tail0)
+    val all = baseFor(spark, m, schemaName, table, restrictToKeys)
       .map(_.unionByName(tail)).getOrElse(tail)
     foldImages(all, truncAt)
   }

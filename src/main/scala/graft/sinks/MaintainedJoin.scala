@@ -47,7 +47,18 @@ final class MaintainedJoin(
     left: (String, String), right: (String, String),
     leftKey: Column => Column, rightKey: Column => Column,
     name: String, joinType: String = "inner",
-    stateBuckets: Int = 16) {
+    stateBuckets: Int = 16,
+    /** Set when a side's join key IS its table's single-column
+      * replica-identity key (the dimension side of a FK join, typically):
+      * the dirty-key recompute then uses a KEY-RESTRICTED fold —
+      * `LakeSink.stateAsOf(restrictToKeys)` prunes BASE to the touched
+      * keys' hash buckets and semi-joins the tail before folding, so the
+      * side's recompute reads ~churn, not the table. Leave false when the
+      * join key is any other column (restricting the fold on a non-key
+      * column could resurrect stale versions — see stateAsOf's contract).
+      */
+    leftKeyIsRowKey: Boolean = false,
+    rightKeyIsRowKey: Boolean = false) {
 
   require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
     s"unsupported joinType '$joinType'")
@@ -71,16 +82,15 @@ final class MaintainedJoin(
       .select(explode(array(key(col("before")), key(col("after")))).as("jk"))
       .filter(col("jk").isNotNull).distinct()
 
-  /** Did a span's events touch a NULL-keyed row on either side? A null
-    * join key never equi-matches, but outer types must still null-extend
-    * such rows, so they form their own dirty segment. An absent image
+  /** Does an event row of `side` touch a NULL-keyed row? A null join key
+    * never equi-matches, but outer types must still null-extend such
+    * rows, so they form their own dirty segment. An absent image
     * (insert's `before`, delete's `after`) is not a null key.
     */
-  private def nullTouched(span: DataFrame, side: (String, String),
-      key: Column => Column): Boolean =
-    !tableEvents(span, side).filter(
+  private def nullTouch(side: (String, String), key: Column => Column): Column =
+    col("schema") === side._1 && col("table") === side._2 && (
       (col("before").isNotNull && key(col("before")).isNull) ||
-        (col("after").isNotNull && key(col("after")).isNull)).isEmpty
+        (col("after").isNotNull && key(col("after")).isNull))
 
   /** The null-keyed segment at a boundary: rows whose join key is null,
     * null-extended on the other side — contributed only by the sides an
@@ -107,8 +117,9 @@ final class MaintainedJoin(
     * interval `[floor, asOf]`.
     */
   private def sideAsOf(spark: SparkSession, side: (String, String),
-      key: Column => Column, asOf: Long, floor: Long, out: String): DataFrame =
-    lake.stateAsOf(spark, side._1, side._2, asOf, floor)
+      key: Column => Column, asOf: Long, floor: Long, out: String,
+      restrict: Option[DataFrame] = None): DataFrame =
+    lake.stateAsOf(spark, side._1, side._2, asOf, floor, restrict)
       .select(key(col("after")).as("jk"), col("after").as(out))
       .filter(col("jk").isNotNull)
 
@@ -144,8 +155,15 @@ final class MaintainedJoin(
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
       migrateLegacy(spark, f)
+      // ONE pass over the span for bounds + truncate + null-touch flags
+      // (three separate scans would each reread the span's parquet)
+      def flag(c: Column) = max(when(c, 1).otherwise(0))
       val bounds = span
-        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
+        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
+          flag(col("op") === "truncate" &&
+            (col("schema") === left._1 && col("table") === left._2 ||
+              col("schema") === right._1 && col("table") === right._2)),
+          flag(nullTouch(left, leftKey)), flag(nullTouch(right, rightKey)))
         .head()
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
@@ -156,24 +174,25 @@ final class MaintainedJoin(
         val lNew = sideAsOf(spark, left, leftKey, key._2, key._1, "left_after")
         val rNew = sideAsOf(spark, right, rightKey, key._2, key._1, "right_after")
         val schema = emptyJoin(spark).schema
-        val truncated = !span.filter(col("op") === "truncate" &&
-          (col("schema") === left._1 && col("table") === left._2 ||
-            col("schema") === right._1 && col("table") === right._2)).isEmpty
+        val truncated = bounds.getInt(2) == 1
         if (truncated) { // rare: rebuild at the boundary, all buckets rewritten
           val rebuilt = joined(lNew, rNew)
           val next = nullSegment(spark, key._2, key._1)
             .map(rebuilt.unionByName(_)).getOrElse(rebuilt)
           states.commit(f, next, (0 until stateBuckets).toSet, None, key)
         } else {
+          // materialized: feeds the bucket probe, both recompute
+          // restrictions, and the splice's anti join below
           val touched = touchedKeys(span, left, leftKey)
             .union(touchedKeys(span, right, rightKey)).distinct()
+            .localCheckpoint()
           val preservesLeft =
             joinType == "left_outer" || joinType == "full_outer"
           val preservesRight =
             joinType == "right_outer" || joinType == "full_outer"
           val nullDirty =
-            (preservesLeft && nullTouched(span, left, leftKey)) ||
-              (preservesRight && nullTouched(span, right, rightKey))
+            (preservesLeft && bounds.getInt(3) == 1) ||
+              (preservesRight && bounds.getInt(4) == 1)
           // bounded planning pull: ≤ stateBuckets distinct values
           val touchedBuckets = touched
             .select(states.bucketCol(col("jk")).as("b")).distinct()
@@ -185,9 +204,21 @@ final class MaintainedJoin(
           val prevTouched = prevKey
             .map(states.readBuckets(spark, _, Some(touchedBuckets), schema))
             .getOrElse(emptyJoin(spark))
+          // a row-key side folds ONLY the touched keys' histories; the
+          // jk semi-join stays on both paths so the recomputed set is
+          // exactly `touched` (the splice's invariant)
+          val restrict = Some(touched.select(col("jk").as("k")))
+          val lRec =
+            if (leftKeyIsRowKey)
+              sideAsOf(spark, left, leftKey, key._2, key._1, "left_after", restrict)
+            else lNew
+          val rRec =
+            if (rightKeyIsRowKey)
+              sideAsOf(spark, right, rightKey, key._2, key._1, "right_after", restrict)
+            else rNew
           val recomputed = joined(
-            lNew.join(touched, Seq("jk"), "left_semi"),
-            rNew.join(touched, Seq("jk"), "left_semi"))
+            lRec.join(touched, Seq("jk"), "left_semi"),
+            rRec.join(touched, Seq("jk"), "left_semi"))
           // a null jk never matches the anti join, so clean null-segment
           // rows inside a touched bucket carry forward with the untouched
           // keys; when a span touches a null-keyed row on a PRESERVED

@@ -73,9 +73,12 @@ final class MaintainedView(
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
       migrateLegacy(spark, f)
-      // partition-column inference can type small batch_id values as int
+      // partition-column inference can type small batch_id values as int;
+      // bounds + the truncate flag ride one pass over the span
       val bounds = span
-        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")))
+        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
+          max(when(col("schema") === schemaName && col("table") === table &&
+            col("op") === "truncate", 1).otherwise(0)))
         .head()
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
@@ -94,7 +97,7 @@ final class MaintainedView(
           // snapshot (not in this span) out of the dirty-group rebuild
           def current = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
             .select(col("after"))
-          val hasTruncate = !events.filter(col("op") === "truncate").isEmpty
+          val hasTruncate = bounds.getInt(2) == 1
           if (hasTruncate) {
             // rare: rebuild from the boundary, all buckets rewritten
             states.commit(f, agg.recomputeAll(current),

@@ -311,6 +311,46 @@ class MaintainedJoinSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("row-key-restricted recompute matches the full fold through churn, compaction, and deletes") {
+    // `leftKeyIsRowKey`: u's join key IS its replica key, so the dirty
+    // recompute folds only the touched keys' histories — BASE slices
+    // pruned by key hash, tail semi-joined before the fold. Every refresh
+    // must still equal the direct latestState-join oracle.
+    val dir = Files.createTempDirectory("lake-mjrk").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mj = new MaintainedJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "rk", leftKeyIsRowKey = true)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "u", Seq("id"), null, user("2", "bo")),
+        ev(3, "insert", "u", Seq("id"), null, user("3", "cy")),
+        ev(4, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(5, "insert", "o", Seq("oid"), null, order("b", "2", "20")),
+        ev(6, "insert", "o", Seq("oid"), null, order("c", "3", "30")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == expected(sink))
+      sink.compact(spark) // restricted folds now resolve through BASE
+      // touch ONLY user 1 (rename) and user 2 (delete): the restricted
+      // fold must read just those keys' buckets, and the result must
+      // still carry cy's untouched row and null-extend bo's orphan
+      sink.appendBatch(envelope(Seq(
+        ev(7, "update", "u", Seq("id"), user("1", "alice"), user("1", "alicia")),
+        ev(8, "delete", "u", Seq("id"), user("2", "bo"), null))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(("a", "alicia", "10"), ("c", "cy", "30")),
+        "rename applied, bo's pair gone, cy's untouched row carried")
+      assert(joinSet(mj) == expected(sink))
+      // a key-changing order update dirties old AND new custkey
+      sink.appendBatch(envelope(Seq(
+        ev(9, "update", "o", Seq("oid"), order("c", "3", "30"), order("c", "1", "30")))), 2L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == expected(sink))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("migration keeps the legacy replay-prev: crash-before-cursor plus new batches loses nothing") {
     // the legacy crash protocol: old code commits state for a span, then
     // crashes BEFORE the cursor advances. The replayed span must splice
