@@ -155,10 +155,15 @@ private[sinks] final class BucketedStateLog(
     * each garbage-collected by [[gcWithin]] as the horizon passes.
     */
   def migrateFrom(spark: SparkSession, f: FileSystem, legacy: StateLog): Unit = {
-    if (committed(f).nonEmpty) return
     val keys = legacy.committed(f)
+    // CRASH-RESUMABLE: skip per-version, never wholesale — a crash
+    // mid-migration must not leave later legacy versions unlifted behind
+    // an "anything committed" guard (the next refresh would splice from
+    // a stale prev). Legacy files retire only after every lift landed;
+    // normal post-migration refreshes see no legacy versions and return.
     keys.foreach { k =>
-      commit(f, legacy.read(spark, k), (0 until buckets).toSet, None, k)
+      if (!isCommitted(f, k))
+        commit(f, legacy.read(spark, k), (0 until buckets).toSet, None, k)
     }
     keys.foreach(legacy.retire(f, _))
   }

@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
   * Prerequisite: each side's join key must be extractable from its before
   * images too — i.e. the key columns are part of the replica identity
   * (always true when the join key IS the table's key; REPLICA IDENTITY
-  * FULL works for any key). A truncate on either side falls back to a
+  * FULL works for any key, but is incompatible with the row-key
+  * restriction flags below — those require a single-column identity,
+  * enforced at refresh). A truncate on either side falls back to a
   * full recompute at the span boundary.
   */
 final class MaintainedJoin(
@@ -158,21 +160,43 @@ final class MaintainedJoin(
       // ONE pass over the span for bounds + truncate + null-touch flags
       // (three separate scans would each reread the span's parquet)
       def flag(c: Column) = max(when(c, 1).otherwise(0))
+      def isSide(s: (String, String)) =
+        col("schema") === s._1 && col("table") === s._2
+      // multi-column (or absent) key_names on a row-key-flagged side:
+      // the fold key would not be the single join-key value and the
+      // restricted fold would silently match nothing — fail loud instead
+      def badRowKey(s: (String, String)) =
+        isSide(s) && col("op").isin("insert", "update", "delete") &&
+          (col("key_names").isNull || size(col("key_names")) =!= 1)
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
-          flag(col("op") === "truncate" &&
-            (col("schema") === left._1 && col("table") === left._2 ||
-              col("schema") === right._1 && col("table") === right._2)),
-          flag(nullTouch(left, leftKey)), flag(nullTouch(right, rightKey)))
+          flag(col("op") === "truncate" && (isSide(left) || isSide(right))),
+          flag(nullTouch(left, leftKey)), flag(nullTouch(right, rightKey)),
+          flag(badRowKey(left)), flag(badRowKey(right)))
         .head()
+      if (leftKeyIsRowKey && bounds.getInt(5) == 1)
+        throw new IllegalStateException(
+          s"leftKeyIsRowKey is set but ${left._1}.${left._2} events carry " +
+            "a non-single-column replica identity (e.g. FULL) — the " +
+            "restricted fold keys on the replica identity, so the flag " +
+            "requires a single-column identity that IS the join key")
+      if (rightKeyIsRowKey && bounds.getInt(6) == 1)
+        throw new IllegalStateException(
+          s"rightKeyIsRowKey is set but ${right._1}.${right._2} events " +
+            "carry a non-single-column replica identity (e.g. FULL) — the " +
+            "restricted fold keys on the replica identity, so the flag " +
+            "requires a single-column identity that IS the join key")
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
       if (!bounds.isNullAt(0)) {
       val key = (math.min(from._1, bounds.getLong(0)),
         math.max(from._2, bounds.getLong(1)))
       if (!states.isCommitted(f, key)) {
-        val lNew = sideAsOf(spark, left, leftKey, key._2, key._1, "left_after")
-        val rNew = sideAsOf(spark, right, rightKey, key._2, key._1, "right_after")
+        // lazy: stateAsOf does driver-side manifest/commit-log/mark reads
+        // at CONSTRUCTION time, and a row-key-restricted side never needs
+        // its full fold outside the rare truncate rebuild
+        lazy val lNew = sideAsOf(spark, left, leftKey, key._2, key._1, "left_after")
+        lazy val rNew = sideAsOf(spark, right, rightKey, key._2, key._1, "right_after")
         val schema = emptyJoin(spark).schema
         val truncated = bounds.getInt(2) == 1
         if (truncated) { // rare: rebuild at the boundary, all buckets rewritten

@@ -115,17 +115,8 @@ private[sinks] final class StateLog(dir: Path) {
   /** Drop versions strictly contained in the replay horizon, except the
     * maximal one (the replay-prev stays until the horizon passes it).
     */
-  def gcWithin(f: FileSystem, from: (Long, Long)): Unit = {
-    val within = committed(f)
+  def gcWithin(f: FileSystem, from: (Long, Long)): Unit =
+    committed(f)
       .filter { case (n, p) => n >= from._1 && p <= from._2 }
-    within.dropRight(1).foreach { key =>
-      val legacyName = if (key._1 == 0) Some(key._2.toString) else None
-      f.delete(new Path(dir, s"asof=${nameOf(key)}"), true)
-      f.delete(new Path(commitsDir, nameOf(key)), false)
-      legacyName.foreach { n =>
-        f.delete(new Path(dir, s"asof=$n"), true)
-        f.delete(new Path(commitsDir, n), false)
-      }
-    }
-  }
+      .dropRight(1).foreach(retire(f, _))
 }

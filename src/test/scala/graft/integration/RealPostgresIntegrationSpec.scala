@@ -456,11 +456,13 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
         chunkSize = 100L,
         perTableStrategy = Map("graft_it_ctid" -> graft.snapshot.ChunkPlanner.CtidBlock)))
       val snapshot = mutable.ArrayBuffer.empty[Int]
+      // the sink is called ONCE per table; the planned chunks are the
+      // frame's PARTITIONS (SnapshotReader parallelizes one SQL per chunk)
       val chunks = new java.util.concurrent.atomic.AtomicInteger
       val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
         exec, connect(d, replication = true).executor,
         snapshotSink = (_, df) => {
-          chunks.incrementAndGet()
+          chunks.addAndGet(df.rdd.getNumPartitions)
           snapshot ++= df.select("id").collect().map(_.getInt(0))
         })
       val got = streamRows(boot, "it_ctid", expectRows = 0, timeoutMs = 2000)

@@ -52,9 +52,17 @@ class LakeReadSourceSpec extends AnyFunSuite {
     // message_time/commit_time as INT64 millis — the stream reader must
     // honor the logical-type unit, not assume micros
     withLake { (sink, dir) =>
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      // restore the PRIOR session value, not a hardcoded one — overwriting
+      // the shared session's default would silently change what parquet
+      // encoding every later test exercises
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
       try seed(sink)
-      finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
       val ckpt = Files.createTempDirectory("lake-ts-ckpt").toString
       val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.sql.Timestamp]()
       val q = spark.readStream.format("graft-lake").option("path", dir).load()
