@@ -284,4 +284,46 @@ class MaintainedViewSpec extends AnyFunSuite {
         "a" -> ((3L, 9d, 1d, 5d)), "b" -> ((1L, 7d, 7d, 7d))))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("a crash mid-migration resumes: already-lifted versions skip, the rest still lift") {
+    // partial-migration debris: the OLDER legacy version is already in
+    // the bucketed log (the crashed run lifted it), the newer one is
+    // not. The resumed migration must lift the newer version too — an
+    // "anything committed → done" guard would splice the next refresh
+    // from the stale prev and lose batch 1's effects.
+    val dir = Files.createTempDirectory("lake-mvcr").toString
+    try {
+      val sink = new LakeSink(dir)
+      val agg = mkAgg
+      val stateDir = new org.apache.hadoop.fs.Path(s"$dir/_graft_views/by_grp")
+      val legacy = new StateLog(stateDir)
+      val f = legacy.fs(spark)
+      def stateNow() = agg.recomputeAll(
+        sink.latestState(spark, "public", "users").select(col("after")))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "insert", null, row("2", "b", "7")))), 0L)
+      legacy.commit(f, stateNow(), (0L, 0L))
+      val v00 = stateNow().localCheckpoint() // snapshot BEFORE batch 1
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, row("3", "a", "5")))), 1L)
+      legacy.commit(f, stateNow(), (0L, 1L))
+      java.nio.file.Files.createDirectories(
+        new java.io.File(s"$dir/_graft_cursors").toPath)
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/_graft_cursors/view_by_grp").toPath,
+        "0:1".getBytes)
+      // the crashed migration lifted ONLY (0,0) into the bucketed log
+      val bucketed = new BucketedStateLog(stateDir, 16, agg.groupCols)
+      bucketed.commit(f, v00, (0 until 16).toSet, None, (0L, 0L))
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", null, row("4", "b", "1")))), 2L)
+      val mv = new MaintainedView(sink, mkAgg, "public", "users", "by_grp")
+      assert(mv.refresh(spark) == 1)
+      // group a is untouched by batch 2: its value must include batch 1
+      // (the resumed lift of (0,1)), not the stale (0,0) snapshot
+      assert(viewMap(mv) == Map(
+        "a" -> ((2L, 8d, 3d, 5d)), "b" -> ((2L, 8d, 1d, 7d))))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
