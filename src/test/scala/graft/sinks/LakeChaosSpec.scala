@@ -198,10 +198,13 @@ class LakeChaosSpec extends AnyFunSuite {
         // recompute, and bucketed state splice all soak under the same
         // crash windows as the view, audited against the sequential
         // oracle's join at every boundary
+        // u's join key IS its single-column replica key, so the soak also
+        // exercises the KEY-RESTRICTED recompute fold under crash windows
         val mj = new MaintainedJoin(sink,
           ("public", "u"), ("public", "t"),
           im => element_at(im, "id"), im => element_at(im, "ref"),
-          "soakjoin", joinType = "right_outer", stateBuckets = 4)
+          "soakjoin", joinType = "right_outer", stateBuckets = 4,
+          leftKeyIsRowKey = true)
 
         def checkJoin(): Unit = {
           val preJ = sink.cursorInterval(spark, "join_soakjoin")
