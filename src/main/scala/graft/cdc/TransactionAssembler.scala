@@ -43,10 +43,36 @@ final class TransactionAssembler(
     maxBufferedStreamEvents: Int = 1 << 20,
     spillThresholdEvents: Int = 1 << 16,
     spillDir: Option[Path] = None,
-    dropForeignOrigin: Boolean = false) extends AutoCloseable {
+    dropForeignOrigin: Boolean = false,
+    /** (schema, table) → the ROW-KEY columns to record as `key_names`
+      * instead of the wire's replica-identity flags. Under REPLICA
+      * IDENTITY FULL pgoutput flags EVERY column as identity ("REPLICA
+      * IDENTITY FULL means all columns are sent as part of key",
+      * backend/replication/logical/proto.c) — right for image
+      * completeness, wrong as a row key: a consumer keying on
+      * `key_names` (the lake fold, pg→pg apply) would treat every row
+      * VERSION as a distinct key and never coalesce updates.
+      * `GraftConnector.start` fills this from the catalog's primary keys
+      * for tables it configures FULL; standalone `pgcdc` readers pass
+      * the `keyOverrides` source option.
+      */
+    keyNameOverrides: Map[(String, String), Seq[String]] = Map.empty)
+    extends AutoCloseable {
 
   val relations = mutable.LongMap.empty[Relation]
   private val keyNameCache = mutable.LongMap.empty[Seq[String]]
+
+  /** Recorded key columns for a relation: the override when one is
+    * present and matches the relation's live column set (a stale
+    * override after DDL falls back to the wire flags), else the wire's
+    * identity flags.
+    */
+  private def keyNamesFor(r: Relation): Seq[String] =
+    keyNameOverrides.get((r.namespace, r.name)) match {
+      case Some(cols) if cols.nonEmpty &&
+          cols.forall(c => r.columns.exists(_.name == c)) => cols
+      case _ => r.columns.filter(_.isKey).map(_.name).toSeq
+    }
 
   /** Custom-type registry from 'Y' messages: oid → (namespace, name).
     * Values of these types still decode as text (PostgreSQL's wire form for
@@ -294,7 +320,7 @@ final class TransactionAssembler(
       preparedRelUndo.remove(rp.gid).foreach(_.foreach {
         case (oid, Some(prior)) =>
           relations.update(oid, prior)
-          keyNameCache.update(oid, prior.columns.filter(_.isKey).map(_.name).toSeq)
+          keyNameCache.update(oid, keyNamesFor(prior))
         case (oid, None) =>
           relations.remove(oid)
           keyNameCache.remove(oid)
@@ -334,7 +360,7 @@ final class TransactionAssembler(
         if (!undo.contains(r.oid)) undo.update(r.oid, relations.get(r.oid))
       }
       relations.update(r.oid, r)
-      keyNameCache.update(r.oid, r.columns.filter(_.isKey).map(_.name).toSeq)
+      keyNameCache.update(r.oid, keyNamesFor(r))
       Iterator.empty
 
     case s: StreamStart =>
@@ -557,4 +583,29 @@ final class TransactionAssembler(
       if (out != null) Iterator.single(out) else Iterator.empty
     }
   }
+}
+
+object TransactionAssembler {
+
+  /** String codec for the key override map, so it can ride a DataSource
+    * option: `schema.table=col1+col2;schema2.t2=id`. Table and column
+    * names with `. = + ;` in them are not representable — pass the map
+    * directly (GraftConnector does) for exotic identifiers.
+    */
+  def encodeKeyOverrides(m: Map[(String, String), Seq[String]]): String =
+    m.toSeq.sortBy { case ((s, t), _) => (s, t) }
+      .map { case ((s, t), cols) => s"$s.$t=${cols.mkString("+")}" }
+      .mkString(";")
+
+  def parseKeyOverrides(s: String): Map[(String, String), Seq[String]] =
+    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).flatMap { entry =>
+      entry.split("=", 2) match {
+        case Array(qual, cols) => qual.split("\\.", 2) match {
+          case Array(sch, tbl) =>
+            Some((sch, tbl) -> cols.split("\\+").toSeq.filter(_.nonEmpty))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
 }

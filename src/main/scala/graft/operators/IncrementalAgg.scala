@@ -125,7 +125,27 @@ final class IncrementalAgg(
     * see exactly the rows they need).
     */
   private[graft] def stepMerge(
-      state: DataFrame, d: DataFrame, current: => DataFrame): DataFrame = {
+      state: DataFrame, d: DataFrame, current: => DataFrame): DataFrame =
+    stepMergeWith(state, d, dirtyKeys => {
+      // default recompute source: the dirty groups' rows semi-joined out
+      // of the FULL current state
+      val cur = current.alias("c")
+      val dk = dirtyKeys.alias("k")
+      val semiCond = group.map { case (nm, ex) =>
+        ex(col("c.after")) <=> col(s"k.$nm") }.reduce(_ && _)
+      cur.join(dk, semiCond, "left_semi").select(col("after"))
+    })
+
+  /** [[stepMerge]] with a caller-supplied recompute source: `imagesFor`
+    * receives the dirty group keys (group-cardinality, one column per
+    * group col) and must return exactly those groups' image rows (an
+    * `after` column). Lets a caller whose group key can be pushed into
+    * its store (e.g. a key-restricted lake fold) avoid materializing the
+    * whole current state for a handful of dirty groups.
+    */
+  private[graft] def stepMergeWith(
+      state: DataFrame, d: DataFrame,
+      imagesFor: DataFrame => DataFrame): DataFrame = {
     val spark = state.sparkSession
     val s = state.alias("s")
     val dd = d.alias("d")
@@ -188,18 +208,14 @@ final class IncrementalAgg(
     else {
       val dirtyKeys = stepped.filter(col("_dirty"))
         .select(group.map { case (nm, _) => col(nm) }: _*)
-      // `current` must stay unevaluated unless something is actually dirty
-      // — this is one small action over a group-cardinality frame
+      // the recompute source must stay untouched unless something is
+      // actually dirty — this is one small action over a
+      // group-cardinality frame
       if (dirtyKeys.isEmpty) stepped.drop("_dirty")
       else {
         val clean = stepped.filter(!col("_dirty")).drop("_dirty")
-        // bounded recompute: only the dirty groups' rows, via a semi join
-        val cur = current.alias("c")
-        val dk = dirtyKeys.alias("k")
-        val semiCond = group.map { case (nm, ex) =>
-          ex(col("c.after")) <=> col(s"k.$nm") }.reduce(_ && _)
-        val recomputed = aggregateImages(
-          cur.join(dk, semiCond, "left_semi").select(col("after")))
+        // bounded recompute: only the dirty groups' image rows
+        val recomputed = aggregateImages(imagesFor(dirtyKeys))
         clean.unionByName(recomputed)
       }
     }

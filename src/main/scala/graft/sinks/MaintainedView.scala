@@ -45,7 +45,20 @@ import graft.operators.IncrementalAgg
 final class MaintainedView(
     lake: LakeSink, agg: IncrementalAgg,
     schemaName: String, table: String, name: String,
-    stateBuckets: Int = 16) {
+    stateBuckets: Int = 16,
+    /** Set when the view's single group column IS the table's
+      * single-column replica-identity key, extracted verbatim (a per-key
+      * "latest value" view): the dirty-group recompute then uses the
+      * KEY-RESTRICTED lake fold — touched BASE buckets + a semi-joined
+      * tail — instead of folding the whole table for a handful of dirty
+      * groups. Enforced at refresh like [[MaintainedJoin]]'s row-key
+      * flags (a multi-column identity errors loudly); a NULL dirty group
+      * key falls back to the unrestricted fold for that refresh.
+      */
+    groupIsRowKey: Boolean = false) {
+
+  require(!groupIsRowKey || agg.groupCols.size == 1,
+    "groupIsRowKey requires exactly one group column (the replica key)")
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, agg.groupCols)
@@ -74,12 +87,23 @@ final class MaintainedView(
       val f = states.fs(spark)
       migrateLegacy(spark, f)
       // partition-column inference can type small batch_id values as int;
-      // bounds + the truncate flag ride one pass over the span
+      // bounds + the truncate + row-key-shape flags ride one span pass
+      val isTable = col("schema") === schemaName && col("table") === table
+      val gc = agg.groupCols.head
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
-          max(when(col("schema") === schemaName && col("table") === table &&
-            col("op") === "truncate", 1).otherwise(0)))
+          max(when(isTable && col("op") === "truncate", 1).otherwise(0)),
+          // groupIsRowKey contract: key_names must be exactly [group col]
+          max(when(isTable && col("op").isin("insert", "update", "delete") &&
+            !(size(col("key_names")) === 1 &&
+              element_at(col("key_names"), 1) === gc), 1).otherwise(0)))
         .head()
+      if (groupIsRowKey && !bounds.isNullAt(0) && bounds.getInt(3) == 1)
+        throw new IllegalStateException(
+          s"groupIsRowKey is set but $schemaName.$table events carry " +
+            s"key_names other than ['$gc'] (e.g. a multi-column or FULL " +
+            "identity) — the restricted fold keys on the replica " +
+            "identity, so the flag requires key_names == the group column")
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
       if (!bounds.isNullAt(0)) {
@@ -118,7 +142,28 @@ final class MaintainedView(
               val prevTouched = prevKey
                 .map(states.readBuckets(spark, _, Some(touched), stateSchema(spark)))
                 .getOrElse(agg.init(spark))
-              val next = agg.stepMerge(prevTouched, d, current)
+              val next =
+                if (groupIsRowKey)
+                  // per-key view: fetch the dirty keys' histories via the
+                  // KEY-RESTRICTED fold instead of folding the table.
+                  // Contract (validated above): the group column is the
+                  // replica key, extracted verbatim — so the fold key
+                  // spelling equals the group value.
+                  agg.stepMergeWith(prevTouched, d, dirtyKeys => {
+                    val hasNull = !dirtyKeys.filter(col(gc).isNull).isEmpty
+                    if (hasNull)
+                      // a NULL dirty group can't be fetched by key —
+                      // whole fold, semi-joined by the verbatim extractor
+                      current.join(
+                        broadcast(dirtyKeys.withColumnRenamed(gc, "_dk")),
+                        element_at(col("after"), gc) <=> col("_dk"),
+                        "left_semi")
+                    else
+                      lake.stateAsOf(spark, schemaName, table, key._2, key._1,
+                        Some(dirtyKeys.select(col(gc).cast("string").as("k"))))
+                        .select(col("after"))
+                  })
+                else agg.stepMerge(prevTouched, d, current)
               states.commit(f, next, touched, prevKey, key)
             }
           }

@@ -181,6 +181,10 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private val maxBufferedStreamEvents =
     math.max(1, options.getInt("maxBufferedStreamEvents", 1 << 20))
   private val dropForeignOrigin = options.getBoolean("dropForeignOrigin", false)
+  // `schema.table=col1+col2;…` — row-key columns recorded as key_names in
+  // place of the wire identity flags (REPLICA IDENTITY FULL flags every
+  // column); see TransactionAssembler.keyNameOverrides
+  private val keyOverrides = Option(options.get("keyOverrides")).getOrElse("")
 
   private val wal: WalSource = {
     val hook = Option(options.get("testSourceKey")).flatMap(PgCdcTestHook.get)
@@ -732,7 +736,8 @@ class PgCdcMicroBatchStream(options: CaseInsensitiveStringMap)
     def flush(): Unit = if (cur.nonEmpty) {
       parts += PgCdcInputPartition(
         cur.head.relPreamble.toArray, cur.map(_.frames).toArray, heartbeat,
-        maxBufferedStreamEvents, spillThresholdEvents, dropForeignOrigin)
+        maxBufferedStreamEvents, spillThresholdEvents, dropForeignOrigin,
+        keyOverrides)
       cur.clear(); frames = 0
     }
     groups.foreach { g =>
@@ -778,7 +783,8 @@ final case class PgCdcInputPartition(
     heartbeat: Option[(String, String)],
     maxBufferedStreamEvents: Int = 1 << 20,
     spillThresholdEvents: Int = 1 << 16,
-    dropForeignOrigin: Boolean = false) extends InputPartition
+    dropForeignOrigin: Boolean = false,
+    keyOverrides: String = "") extends InputPartition
 
 object PgCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -786,7 +792,9 @@ object PgCdcReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val assembler = new TransactionAssembler(
         p.heartbeat, p.maxBufferedStreamEvents, p.spillThresholdEvents,
-        dropForeignOrigin = p.dropForeignOrigin)
+        dropForeignOrigin = p.dropForeignOrigin,
+        keyNameOverrides =
+          graft.cdc.TransactionAssembler.parseKeyOverrides(p.keyOverrides))
       p.relPreamble.foreach(assembler.onCopyData)
       private val events: Iterator[ChangeEvent] =
         p.txnFrames.iterator.flatMap(_.iterator.flatMap(assembler.onCopyData))

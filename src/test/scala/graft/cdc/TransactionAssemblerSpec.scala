@@ -44,6 +44,35 @@ class TransactionAssemblerSpec extends AnyFunSuite {
     assert(evs.head.keyNames == Seq("id"))
   }
 
+  test("REPLICA IDENTITY FULL key flags: all columns by default, PK via keyNameOverrides") {
+    // pgoutput under FULL flags EVERY column as identity — the wire truth.
+    val fullCols = Seq(
+      Messages.RelationColumn("id", 23L, -1, 1),
+      Messages.RelationColumn("name", 25L, -1, 1))
+    def drive(a: TransactionAssembler): Seq[ChangeEvent] = {
+      a.onCopyData(MessageEncoder.xlogData(1, 1, T0,
+        MessageEncoder.relation(RelOid, "public", "books", fullCols, 'f')))
+      feed(a,
+        MessageEncoder.xlogData(100, 100, T0, MessageEncoder.begin(110, T0, 7)),
+        MessageEncoder.xlogData(101, 101, T0,
+          MessageEncoder.insert(RelOid, Seq(Some("1"), Some("a")))),
+        MessageEncoder.xlogData(109, 109, T0, MessageEncoder.commit(109, 110, T0)))
+    }
+    // no override: the wire flags stand — every column is a key column
+    assert(drive(new TransactionAssembler()).head.keyNames == Seq("id", "name"))
+    // override: the catalog PK is recorded instead, so key-folding
+    // consumers (the lake, pg→pg apply) coalesce row versions
+    assert(drive(new TransactionAssembler(keyNameOverrides =
+      Map(("public", "books") -> Seq("id")))).head.keyNames == Seq("id"))
+    // a STALE override (column renamed away) falls back to the wire flags
+    assert(drive(new TransactionAssembler(keyNameOverrides =
+      Map(("public", "books") -> Seq("gone")))).head.keyNames == Seq("id", "name"))
+    // the source-option codec round-trips
+    val m = Map(("public", "books") -> Seq("id"), ("s2", "t2") -> Seq("a", "b"))
+    assert(TransactionAssembler.parseKeyOverrides(
+      TransactionAssembler.encodeKeyOverrides(m)) == m)
+  }
+
   test("interleaved commits stay commit-ordered (concurrent_tx_ordering)") {
     // WAL is already commit-ordered for non-streamed txns; assert we don't
     // reorder: txn B commits before txn A in WAL order.

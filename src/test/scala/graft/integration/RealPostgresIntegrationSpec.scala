@@ -334,7 +334,11 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
       assert(delDef._3 == Seq("id"))
       assert(delDef._4.contains("\"id\":\"1\"") && !delDef._4.contains("\"v\""),
         s"DEFAULT delete ships key-only before: ${delDef._4}")
-      // FULL: update's before carries the whole old row
+      // FULL: update's before carries the whole old row. The WIRE flags
+      // every column as identity under FULL; key_names is ["id"] here
+      // because GraftConnector.start records the catalog PRIMARY KEY for
+      // tables it configures FULL (TransactionAssembler.keyNameOverrides)
+      // — the row key the lake fold and pg→pg apply need.
       val updFull = one("graft_it_id_full", "update")
       assert(updFull._3 == Seq("id"))
       assert(updFull._4.contains("\"v\":\"b\"") && updFull._5.contains("\"v\":\"b2\""),

@@ -285,6 +285,39 @@ class MaintainedViewSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("groupIsRowKey: a per-key view maintains through the restricted fold") {
+    // group col == replica key ("id", extracted verbatim): dirty groups
+    // fetch via the key-restricted lake fold — BASE bucket-pruned — not
+    // a whole-table fold. Updates retract the stored max (dirty path),
+    // deletes remove the group, untouched keys carry forward.
+    val dir = Files.createTempDirectory("lake-mvrk").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val vEx2: Column => Column = im => element_at(im, "v").cast("double")
+      val perKey = new IncrementalAgg(
+        group = Seq("id" -> (im => element_at(im, "id"))),
+        sums = Seq("v" -> vEx2), maxs = Seq("v" -> vEx2))
+      val mv = new MaintainedView(sink, perKey, "public", "users", "by_id",
+        stateBuckets = 4, groupIsRowKey = true)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "insert", null, row("2", "a", "7")),
+        ev(3, "insert", null, row("3", "b", "9")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      sink.compact(spark) // restricted fetches now resolve through BASE
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", row("1", "a", "3"), row("1", "a", "5")), // max retracts
+        ev(5, "delete", row("2", "a", "7"), null))), 1L)
+      assert(mv.refresh(spark) == 1)
+      val got = mv.read(spark).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      assert(got == Map(
+        "1" -> ((1L, 5d, 5d)), "3" -> ((1L, 9d, 9d))),
+        s"per-key view after churn: $got")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("a crash mid-migration resumes: already-lifted versions skip, the rest still lift") {
     // partial-migration debris: the OLDER legacy version is already in
     // the bucketed log (the crashed run lifted it), the newer one is
