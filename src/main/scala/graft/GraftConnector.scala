@@ -154,26 +154,32 @@ object GraftConnector {
     val startLsn =
       if (cfg.snapshot.mode == "never") None
       else Some(SnapshotOrchestrator.streamStartLsn(store, slotKey))
-    // Tables configured REPLICA IDENTITY FULL get their PRIMARY KEY
-    // recorded as key_names: pgoutput's FULL relation message flags every
-    // column as identity — right for image completeness, useless as a
-    // row key for the lake fold / pg→pg apply. One catalog query per
-    // FULL table at boot.
-    val keyOv = cfg.publication.tables
-      .filter(_.replicaIdentity == Publication.ReplicaIdentity.Full)
-      .flatMap { t =>
-        val pk = new CatalogReader(exec).primaryKeyColumns(t.schema, t.name)
-          .map(_._1)
-        if (pk.nonEmpty) Some((t.schema, t.name) -> pk) else None
-      }.toMap
-    val keyOvOpt =
-      if (keyOv.isEmpty) Map.empty[String, String]
-      else Map("keyOverrides" ->
-        graft.cdc.TransactionAssembler.encodeKeyOverrides(keyOv))
     val stream =
       if (!SnapshotOrchestrator.shouldStream(cfg.snapshot)) None
-      else Some(spark.readStream.format("pgcdc")
-        .options(cfg.sourceOptions(startLsn) ++ keyOvOpt).load())
+      else {
+        // Tables whose LIVE replica identity is FULL (set by us or by a
+        // DBA out-of-band — read from pg_class, not the config) get
+        // their PRIMARY KEY recorded as key_names: pgoutput's FULL
+        // relation message flags every column as identity — right for
+        // image completeness, useless as a row key for the lake fold /
+        // pg→pg apply. One identity query + one PK query per FULL
+        // table, only when a stream is actually built.
+        val cat = new CatalogReader(exec)
+        val liveIdent = cat.replicaIdentities(
+          cfg.publication.tables.map(t => (t.schema, t.name)))
+        val keyOv = cfg.publication.tables
+          .filter(t => liveIdent.get((t.schema, t.name)).exists(_._1 == "f"))
+          .flatMap { t =>
+            val pk = cat.primaryKeyColumns(t.schema, t.name).map(_._1)
+            if (pk.nonEmpty) Some((t.schema, t.name) -> pk) else None
+          }.toMap
+        val keyOvOpt =
+          if (keyOv.isEmpty) Map.empty[String, String]
+          else Map("keyOverrides" ->
+            graft.cdc.TransactionAssembler.encodeKeyOverrides(keyOv))
+        Some(spark.readStream.format("pgcdc")
+          .options(cfg.sourceOptions(startLsn) ++ keyOvOpt).load())
+      }
     Boot(live, ddl, startLsn, stream)
   }
 }

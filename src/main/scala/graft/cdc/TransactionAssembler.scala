@@ -598,14 +598,19 @@ object TransactionAssembler {
       .mkString(";")
 
   def parseKeyOverrides(s: String): Map[(String, String), Seq[String]] =
-    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).flatMap { entry =>
+    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      // FAIL LOUD on a malformed entry: silently dropping it would leave
+      // the whole-row fold key in place — the exact corruption the
+      // option exists to prevent — behind a one-character typo
       entry.split("=", 2) match {
-        case Array(qual, cols) => qual.split("\\.", 2) match {
-          case Array(sch, tbl) =>
-            Some((sch, tbl) -> cols.split("\\+").toSeq.filter(_.nonEmpty))
-          case _ => None
+        case Array(qual, cols) if cols.nonEmpty => qual.split("\\.", 2) match {
+          case Array(sch, tbl) if sch.nonEmpty && tbl.nonEmpty =>
+            (sch, tbl) -> cols.split("\\+").toSeq.filter(_.nonEmpty)
+          case _ => throw new IllegalArgumentException(
+            s"keyOverrides entry '$entry' is not schema.table=col1+col2")
         }
-        case _ => None
+        case _ => throw new IllegalArgumentException(
+          s"keyOverrides entry '$entry' is not schema.table=col1+col2")
       }
     }.toMap
 }

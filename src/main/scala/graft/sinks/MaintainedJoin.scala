@@ -58,6 +58,12 @@ final class MaintainedJoin(
       * side's recompute reads ~churn, not the table. Leave false when the
       * join key is any other column (restricting the fold on a non-key
       * column could resurrect stale versions — see stateAsOf's contract).
+      * Refresh validates the contract against each span's events
+      * (single-column key_names AND the extractor matching that column's
+      * value); it canNOT see history already folded into BASE — a lake
+      * whose early history was keyed differently (e.g. whole-row keys
+      * from a pre-keyOverrides FULL table) must be re-bootstrapped
+      * first (docs/MIGRATION.md, "Upgrade caveat").
       */
     leftKeyIsRowKey: Boolean = false,
     rightKeyIsRowKey: Boolean = false) {
@@ -162,17 +168,25 @@ final class MaintainedJoin(
       def flag(c: Column) = max(when(c, 1).otherwise(0))
       def isSide(s: (String, String)) =
         col("schema") === s._1 && col("table") === s._2
-      // multi-column (or absent) key_names on a row-key-flagged side:
-      // the fold key would not be the single join-key value and the
-      // restricted fold would silently match nothing — fail loud instead
-      def badRowKey(s: (String, String)) =
-        isSide(s) && col("op").isin("insert", "update", "delete") &&
-          (col("key_names").isNull || size(col("key_names")) =!= 1)
+      // A row-key-flagged side must have (a) a SINGLE-column identity
+      // (FULL flags every column → the fold key is the whole row) and
+      // (b) a join-key extractor that matches that identity column's
+      // value (a wrong-column flag would make the restricted fold match
+      // nothing) — fail loud on either. Computed only when a flag is
+      // set (lit(false) folds the branch away otherwise).
+      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) =
+        if (!on) lit(false)
+        else isSide(s) && col("op").isin("insert", "update", "delete") && (
+          col("key_names").isNull || size(col("key_names")) =!= 1 ||
+            (col("after").isNotNull &&
+              !(key(col("after")) <=>
+                element_at(col("after"), element_at(col("key_names"), 1)))))
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           flag(col("op") === "truncate" && (isSide(left) || isSide(right))),
           flag(nullTouch(left, leftKey)), flag(nullTouch(right, rightKey)),
-          flag(badRowKey(left)), flag(badRowKey(right)))
+          flag(badRowKey(left, leftKey, leftKeyIsRowKey)),
+          flag(badRowKey(right, rightKey, rightKeyIsRowKey)))
         .head()
       if (leftKeyIsRowKey && bounds.getInt(5) == 1)
         throw new IllegalStateException(
@@ -230,8 +244,11 @@ final class MaintainedJoin(
             .getOrElse(emptyJoin(spark))
           // a row-key side folds ONLY the touched keys' histories; the
           // jk semi-join stays on both paths so the recomputed set is
-          // exactly `touched` (the splice's invariant)
-          val restrict = Some(touched.select(col("jk").as("k")))
+          // exactly `touched` (the splice's invariant). Cast to STRING:
+          // the lake's fold key is StringType and BASE bucket pruning
+          // hashes it — a typed extractor's raw value would hash into
+          // the wrong buckets and prune the right slices away
+          val restrict = Some(touched.select(col("jk").cast("string").as("k")))
           val lRec =
             if (leftKeyIsRowKey)
               sideAsOf(spark, left, leftKey, key._2, key._1, "left_after", restrict)
@@ -268,8 +285,9 @@ final class MaintainedJoin(
     * sink's, like [[MaintainedView.gauges]].
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
-    val asOf = states.latest(states.fs(spark))
-      .orElse(legacyStates.latest(states.fs(spark))) // un-migrated dir
+    val f = states.fs(spark)
+    val asOf = IntervalKeys.sorted(
+      Seq(states.latest(f), legacyStates.latest(f)).flatten).lastOption
     val (neg, pos) = lake.cursorInterval(spark, cursorName)
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(
@@ -285,13 +303,16 @@ final class MaintainedJoin(
     */
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
-    states.latest(f) match {
-      case Some(k) => states.read(spark, k, emptyJoin(spark).schema)
-      case None =>
-        legacyStates.latest(f) match {
-          case Some(lk) => legacyStates.read(spark, lk) // upgraded binary, un-migrated dir
-          case None => emptyJoin(spark)
-        }
+    // serve the MAXIMAL interval across BOTH logs: a crash mid-migration
+    // can leave an older lifted version in the bucketed log while the
+    // legacy log still holds newer committed state (retired only after
+    // every lift lands)
+    (states.latest(f), legacyStates.latest(f)) match {
+      case (Some(bk), Some(lk)) if IntervalKeys.succeeds(lk, bk) =>
+        legacyStates.read(spark, lk)
+      case (Some(bk), _) => states.read(spark, bk, emptyJoin(spark).schema)
+      case (None, Some(lk)) => legacyStates.read(spark, lk)
+      case (None, None) => emptyJoin(spark)
     }
   }
 }

@@ -90,13 +90,18 @@ final class MaintainedView(
       // bounds + the truncate + row-key-shape flags ride one span pass
       val isTable = col("schema") === schemaName && col("table") === table
       val gc = agg.groupCols.head
+      // groupIsRowKey contract: key_names must be exactly [group col] —
+      // evaluated per row only when the flag is set (lit(false) folds
+      // the expression away for ordinary views)
+      val badShape =
+        if (!groupIsRowKey) lit(false)
+        else isTable && col("op").isin("insert", "update", "delete") &&
+          !(size(col("key_names")) === 1 &&
+            element_at(col("key_names"), 1) === gc)
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           max(when(isTable && col("op") === "truncate", 1).otherwise(0)),
-          // groupIsRowKey contract: key_names must be exactly [group col]
-          max(when(isTable && col("op").isin("insert", "update", "delete") &&
-            !(size(col("key_names")) === 1 &&
-              element_at(col("key_names"), 1) === gc), 1).otherwise(0)))
+          max(when(badShape, 1).otherwise(0)))
         .head()
       if (groupIsRowKey && !bounds.isNullAt(0) && bounds.getInt(3) == 1)
         throw new IllegalStateException(
@@ -184,12 +189,13 @@ final class MaintainedView(
     */
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
-    states.latest(f) match {
-      case Some(v) => agg.view(states.read(spark, v, stateSchema(spark)))
-      case None => legacyStates.latest(f) match {
-        case Some(lk) => agg.view(legacyStates.read(spark, lk))
-        case None => agg.view(agg.init(spark))
-      }
+    // maximal interval across BOTH logs — see [[MaintainedJoin.read]]
+    (states.latest(f), legacyStates.latest(f)) match {
+      case (Some(bk), Some(lk)) if IntervalKeys.succeeds(lk, bk) =>
+        agg.view(legacyStates.read(spark, lk))
+      case (Some(bk), _) => agg.view(states.read(spark, bk, stateSchema(spark)))
+      case (None, Some(lk)) => agg.view(legacyStates.read(spark, lk))
+      case (None, None) => agg.view(agg.init(spark))
     }
   }
 
@@ -198,8 +204,9 @@ final class MaintainedView(
     * view.gauges(spark))`. Driver-side metadata listings only.
     */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
-    val asOf = states.latest(states.fs(spark))
-      .orElse(legacyStates.latest(states.fs(spark)))
+    val f = states.fs(spark)
+    val asOf = IntervalKeys.sorted(
+      Seq(states.latest(f), legacyStates.latest(f)).flatten).lastOption
     val (neg, pos) = lake.cursorInterval(spark, cursorName)
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(

@@ -39,6 +39,10 @@ private[sinks] object IntervalKeys {
   /** The maximal key contained in `from` — the replay-prev. */
   def within(sortedKeys: Seq[(Long, Long)], from: (Long, Long)): Option[(Long, Long)] =
     sortedKeys.filter { case (n, p) => n >= from._1 && p <= from._2 }.lastOption
+
+  /** True when `a` strictly succeeds `b` in containment order. */
+  def succeeds(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
 }
 
 private[sinks] final class StateLog(dir: Path) {
