@@ -12,7 +12,7 @@ import graft.sinks.{LakeSink, MaintainedJoin, MaintainedView}
   * three-batch changelog derived from `orders` —
   *
   *  - batch 0: insert every order,
-  *  - batch 1: update `o_totalprice *= 1.1` where `o_orderkey % 7 = 0`,
+  *  - batch 1: bump the price ~10% where `o_orderkey % 7 = 0`,
   *  - batch 2: delete where `o_orderkey % 13 = 0`,
   *
   * with a COMPACTION after batch 0 (so the fold reads BASE + a two-batch
@@ -41,10 +41,33 @@ object LakeQueries {
   private val L1 = 200000000L
   private val L2 = 300000000L
 
-  private def img(price: Column): Column = map(
+  /** Integer-cents money discipline (round 13). The round-12 gates carried
+    * churned prices as doubles rendered to strings, and the driver's DuckDB
+    * rendered the same double differently often enough to flip a cent after
+    * DECIMAL parsing — an engine-pair property, not a code property. Every
+    * churned measure is now derived ONCE as `BIGINT` cents with an
+    * expression both engines evaluate bit-identically
+    * (`floor(x*100 + 0.5)` over the same IEEE double), churned in pure
+    * integer space, and summed as `BIGINT`: no aggregation-order
+    * sensitivity, no rendering, no rounding anywhere.
+    */
+  private[operators] def cents(x: Column): Column =
+    floor(x * 100 + lit(0.5)).cast("long")
+
+  /** `(c*11) div 10` — the ~10% bump in truncating integer division,
+    * written as `(t - t%10)/10` so Spark and DuckDB (both C-style `%`,
+    * exact double division of a 10-divisible value) agree even on
+    * negative cents (acctbal can be negative).
+    */
+  private[operators] def bump(c: Column): Column = {
+    val t = c * 11
+    ((t - (t % 10)) / 10).cast("long")
+  }
+
+  private def img(priceCents: Column): Column = map(
     lit("o_orderkey"), col("o_orderkey").cast("string"),
     lit("o_orderstatus"), col("o_orderstatus"),
-    lit("o_totalprice"), price.cast("string"))
+    lit("o_totalprice_cents"), priceCents.cast("string"))
 
   /** One batch of envelope rows over a filtered orders frame. `before` /
     * `after` null-ness encodes the op like the wire decoder produces.
@@ -75,37 +98,36 @@ object LakeQueries {
     val sink = new LakeSink(root, baseBuckets = 16)
     val orders = Tables.orders(s, dir)
     val mapT = "map<string,string>"
-    val newPrice = col("o_totalprice") * 1.1
-    val curPrice =
-      when(col("o_orderkey") % 7 === 0, newPrice).otherwise(col("o_totalprice"))
+    val cents0 = cents(col("o_totalprice"))
+    val newCents = bump(cents0)
+    val curCents =
+      when(col("o_orderkey") % 7 === 0, newCents).otherwise(cents0)
     sink.appendBatch(envelope(orders, "insert", L0,
-      lit(null).cast(mapT), img(col("o_totalprice"))), 0L)
+      lit(null).cast(mapT), img(cents0)), 0L)
     sink.compact(s) // BASE covers batch 0; batches 1-2 are the fold tail
     sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
-      "update", L1, img(col("o_totalprice")), img(newPrice)), 1L)
+      "update", L1, img(cents0), img(newCents)), 1L)
     sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 13 === 0),
-      "delete", L2, img(curPrice), lit(null).cast(mapT)), 2L)
+      "delete", L2, img(curCents), lit(null).cast(mapT)), 2L)
     // batch 0's changelog is deletable (BASE covers it): every later read
     // must survive on manifest + marks alone
     sink.vacuum(s)
     sink
   }
 
-  // Price sums go through DECIMAL, not double: at sf0.01 the per-group sum
-  // is ~1.2e9 where double partial-aggregation ORDER shifts the last cent,
-  // so a round(sum(double), 2) is not oracle-stable. The envelope already
-  // carries the price as its shortest-roundtrip STRING; both engines parse
-  // that string to DECIMAL(18,2) (identical nearest-rounding — `*1.1`
-  // doubles never land on a decimal tie) and sum exactly.
+  // Price sums stay in BIGINT cents end to end (see [[cents]]): integer
+  // sums are exact under any aggregation order and need no rendering or
+  // rounding agreement between the engines — the r12 double→string→
+  // DECIMAL discipline flipped cents at the driver's DuckDB/JDK pair.
   private def aggState(st: DataFrame): DataFrame =
     st.select(
         element_at(col("after"), "o_orderstatus").as("o_orderstatus"),
         element_at(col("after"), "o_orderkey").cast("long").as("k"),
-        element_at(col("after"), "o_totalprice").cast("decimal(18,2)").as("p"))
+        element_at(col("after"), "o_totalprice_cents").cast("long").as("pc"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(col("k")).cast("long").as("sum_key"),
-        sum(col("p")).cast("decimal(18,2)").as("sum_price"))
+        sum(col("pc")).cast("long").as("sum_price_cents"))
       .orderBy("o_orderstatus")
 
   /** Latest state after all three batches: BASE + tail fold, post-vacuum. */
