@@ -583,85 +583,102 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_null3
          FROM events GROUP BY event_type ORDER BY event_type""",
     // IVM: the maintained aggregate must equal a direct aggregate over the
-    // final table state (inserts, then *1.1 updates on keys %7=0, then
-    // deletes of keys %13=0).
+    // final table state (inserts, then ~10% bumps on keys %7=0, then
+    // deletes of keys %13=0). Money is INTEGER CENTS end to end (see
+    // LakeQueries.cents): both engines derive the same BIGINT cents from
+    // the same IEEE double via floor(x*100 + 0.5), bump in pure integer
+    // arithmetic ((c*11) div 10, spelled with an explicit %-remainder so
+    // the division is exact), and sum as BIGINT — no double aggregation
+    // order, no rendering, no rounding anywhere. sum_key_dec stays a
+    // DECIMAL sum to pin the decimal accumulator path.
     "q_ivm" ->
       """SELECT o_orderstatus, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
-                          ELSE o_totalprice END), 2) AS sum_price,
+           CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(sum(CAST(o_orderkey AS DECIMAL(18,2))) AS DECIMAL(18,2))
              AS sum_key_dec,
-           round(min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
-                          ELSE o_totalprice END), 2) AS min_price,
-           round(max(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
-                          ELSE o_totalprice END), 2) AS max_price
-         FROM orders WHERE o_orderkey % 13 <> 0
+           CAST(min(pc) AS BIGINT) AS min_price_cents,
+           CAST(max(pc) AS BIGINT) AS max_price_cents
+         FROM (SELECT o_orderstatus, o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                   THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
+               FROM (SELECT o_orderstatus, o_orderkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+                     FROM orders)
+               WHERE o_orderkey % 13 <> 0)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // Lake fold: latest state after insert-all / update(%7 → *1.1) /
-    // delete(%13) batches with a compaction after the inserts and a full
-    // vacuum — the Spark side folds BASE + changelog tail through the
-    // manifest; the oracle aggregates the equivalent final table directly.
-    // Price sums go string→DECIMAL(18,2) on BOTH sides (the envelope
-    // carries shortest-roundtrip strings): decimal sums are exact, where
-    // a rounded double sum at ~1e9 flips cents with aggregation order.
+    // Lake fold: latest state after insert-all / bump(%7) / delete(%13)
+    // batches with a compaction after the inserts and a full vacuum — the
+    // Spark side folds BASE + changelog tail through the manifest; the
+    // oracle aggregates the equivalent final table directly. Same
+    // integer-cents discipline as q_ivm.
     "q_lake_state" ->
       """SELECT o_orderstatus, count(*) AS n,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-           CAST(sum(CAST(CAST(CASE WHEN o_orderkey % 7 = 0
-                       THEN o_totalprice * 1.1 ELSE o_totalprice END
-                     AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS sum_price
-         FROM orders WHERE o_orderkey % 13 <> 0
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0
+                 THEN (c*11 - (c*11) % 10) // 10 ELSE c END) AS BIGINT)
+             AS sum_price_cents
+         FROM (SELECT o_orderstatus, o_orderkey,
+                 CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+               FROM orders)
+         WHERE o_orderkey % 13 <> 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // Lake time travel to the end of batch 1: updates applied, deletes
     // not yet — resolved through the retained manifest + vacuum marks.
     "q_lake_asof" ->
       """SELECT o_orderstatus, count(*) AS n,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-           CAST(sum(CAST(CAST(CASE WHEN o_orderkey % 7 = 0
-                       THEN o_totalprice * 1.1 ELSE o_totalprice END
-                     AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS sum_price
-         FROM orders
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0
+                 THEN (c*11 - (c*11) % 10) // 10 ELSE c END) AS BIGINT)
+             AS sum_price_cents
+         FROM (SELECT o_orderstatus, o_orderkey,
+                 CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+               FROM orders)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // Maintained view: after three refresh cycles (insert-all, *1.1
-    // updates on %7 keys, deletes of %13 keys) the served state must
-    // equal a direct aggregate over the final table. Same decimal-via-
-    // shortest-roundtrip-string discipline as q_lake_state; min/max
-    // compare parsed decimals, no rounding anywhere.
+    // Maintained view: after three refresh cycles (insert-all, ~10% bumps
+    // on %7 keys, deletes of %13 keys) the served state must equal a
+    // direct aggregate over the final table. Integer-cents end to end;
+    // min/max compare exact BIGINTs.
     "q_mv" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-           CAST(sum(pd) AS DECIMAL(18,2)) AS sum_price,
-           CAST(min(pd) AS DECIMAL(18,2)) AS min_price,
-           CAST(max(pd) AS DECIMAL(18,2)) AS max_price
+           CAST(sum(pc) AS BIGINT) AS sum_price_cents,
+           CAST(min(pc) AS BIGINT) AS min_price_cents,
+           CAST(max(pc) AS BIGINT) AS max_price_cents
          FROM (SELECT o_orderstatus, o_orderkey,
-                 CAST(CAST(CASE WHEN o_orderkey % 7 = 0
-                       THEN o_totalprice * 1.1 ELSE o_totalprice END
-                     AS VARCHAR) AS DECIMAL(18,2)) AS pd
-               FROM orders WHERE o_orderkey % 13 <> 0)
+                 CASE WHEN o_orderkey % 7 = 0
+                   THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
+               FROM (SELECT o_orderstatus, o_orderkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+                     FROM orders)
+               WHERE o_orderkey % 13 <> 0)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // Maintained left-outer join: after both-side churn (price/acctbal
-    // *1.1 updates, order AND customer deletes) the served join state
-    // must equal a direct left join over the final tables — surviving
-    // orders of deleted customers land in the UNMATCHED segment.
+    // Maintained left-outer join: after both-side churn (~10% cents bumps
+    // on %97 orderkeys / %53 custkeys, deletes of %89 orderkeys AND %101
+    // custkeys) the served join state must equal a direct left join over
+    // the final tables — surviving orders of deleted customers land in
+    // the UNMATCHED segment. Integer cents on both measures; c_acctbal
+    // exercises the bump on NEGATIVE cents. Churn moduli are sparse
+    // primes so the bench times a churn-proportional refresh, not a
+    // disguised full recompute.
     "q_mj" ->
       """SELECT seg, CAST(count(*) AS BIGINT) AS n,
            CAST(count(b) AS BIGINT) AS n_matched,
-           CAST(sum(p) AS DECIMAL(18,2)) AS sum_price,
-           CAST(sum(b) AS DECIMAL(18,2)) AS sum_bal
+           CAST(sum(p) AS BIGINT) AS sum_price_cents,
+           CAST(sum(b) AS BIGINT) AS sum_bal_cents
          FROM (
            SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS seg,
-             CAST(CAST(CASE WHEN o.o_orderkey % 7 = 0
-                   THEN o.o_totalprice * 1.1 ELSE o.o_totalprice END
-                 AS VARCHAR) AS DECIMAL(18,2)) AS p,
-             CAST(CAST(CASE WHEN c.c_custkey % 5 = 0
-                   THEN c.c_acctbal * 1.1 ELSE c.c_acctbal END
-                 AS VARCHAR) AS DECIMAL(18,2)) AS b
-           FROM orders o
-           LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 11 <> 0) c
+             CASE WHEN o.o_orderkey % 97 = 0
+               THEN (o.oc*11 - (o.oc*11) % 10) // 10 ELSE o.oc END AS p,
+             CASE WHEN c.c_custkey % 53 = 0
+               THEN (c.cc*11 - (c.cc*11) % 10) // 10 ELSE c.cc END AS b
+           FROM (SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS oc
+                 FROM orders) o
+           LEFT JOIN (SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cc
+                 FROM customer WHERE c_custkey % 101 <> 0) c
              ON o.o_custkey = c.c_custkey
-           WHERE o.o_orderkey % 13 <> 0)
+           WHERE o.o_orderkey % 89 <> 0)
          GROUP BY seg ORDER BY seg""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic

@@ -619,8 +619,9 @@ object CdcQueries {
   }
 
   /** Incremental view maintenance over a deterministic 3-batch changelog
-    * derived from `orders`: (0) insert every order, (1) update
-    * `o_totalprice *= 1.1` where `o_orderkey % 7 = 0` — retract+insert,
+    * derived from `orders`: (0) insert every order, (1) bump
+    * `o_totalprice` ~10% (in integer cents) where `o_orderkey % 7 = 0` —
+    * retract+insert,
     * with dirty-group min/max recompute when an update touches a group
     * extreme — (2) delete where `o_orderkey % 13 = 0`. The maintained
     * count/sum/min/max per `o_orderstatus` must equal the oracle's direct
@@ -631,43 +632,50 @@ object CdcQueries {
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
     val mapT = "map<string,string>"
-    def img(price: Column): Column = map(
+    // integer-cents money discipline (see [[LakeQueries.cents]]): the
+    // envelope carries BIGINT cents and the maintained sum/min/max stay
+    // long — exact under any retraction order, no rendering or rounding
+    // agreement needed between the engines (the r12-r13 double `* 1.1` /
+    // `round(sum(double), 2)` construction was engine-pair-sensitive and
+    // went driver-red twice)
+    def img(priceCents: Column): Column = map(
       lit("o_orderstatus"), col("o_orderstatus"),
       lit("o_orderkey"), col("o_orderkey").cast("string"),
-      lit("o_totalprice"), price.cast("string"))
-    val newPrice = col("o_totalprice") * 1.1
-    val curPrice =
-      when(col("o_orderkey") % 7 === 0, newPrice).otherwise(col("o_totalprice"))
+      lit("o_totalprice_cents"), priceCents.cast("string"))
+    val cents0 = LakeQueries.cents(col("o_totalprice"))
+    val newCents = LakeQueries.bump(cents0)
+    val curCents =
+      when(col("o_orderkey") % 7 === 0, newCents).otherwise(cents0)
     val b0 = orders.select(lit("insert").as("op"),
-      lit(null).cast(mapT).as("before"), img(col("o_totalprice")).as("after"))
+      lit(null).cast(mapT).as("before"), img(cents0).as("after"))
     val b1 = orders.filter(col("o_orderkey") % 7 === 0)
-      .select(lit("update").as("op"), img(col("o_totalprice")).as("before"),
-        img(newPrice).as("after"))
+      .select(lit("update").as("op"), img(cents0).as("before"),
+        img(newCents).as("after"))
     val b2 = orders.filter(col("o_orderkey") % 13 === 0)
-      .select(lit("delete").as("op"), img(curPrice).as("before"),
+      .select(lit("delete").as("op"), img(curCents).as("before"),
         lit(null).cast(mapT).as("after"))
-    val cur0 = orders.select(img(col("o_totalprice")).as("after"))
-    val cur1 = orders.select(img(curPrice).as("after"))
+    val cur0 = orders.select(img(cents0).as("after"))
+    val cur1 = orders.select(img(curCents).as("after"))
     val cur2 = orders.filter(col("o_orderkey") % 13 =!= 0)
-      .select(img(curPrice).as("after"))
-    val price = (im: Column) => element_at(im, "o_totalprice").cast("double")
-    // decimal measure: sums must stay DECIMAL-EXACT through retraction
-    // arithmetic over the whole horizon — a double accumulator would pass
-    // rounded compares but drift at scale; the oracle pins the exact sum
+      .select(img(curCents).as("after"))
+    val price = (im: Column) => element_at(im, "o_totalprice_cents").cast("long")
+    // decimal measure kept alongside the cents: sums must stay
+    // DECIMAL-EXACT through retraction arithmetic over the whole horizon —
+    // this pins IncrementalAgg's type-preserving decimal accumulator
     val keyDec = (im: Column) => element_at(im, "o_orderkey").cast("decimal(18,2)")
     val agg = new IncrementalAgg(
       group = Seq("o_orderstatus" -> (im => element_at(im, "o_orderstatus"))),
-      sums = Seq("price" -> price, "key_dec" -> keyDec),
-      mins = Seq("price" -> price),
-      maxs = Seq("price" -> price))
+      sums = Seq("price_cents" -> price, "key_dec" -> keyDec),
+      mins = Seq("price_cents" -> price),
+      maxs = Seq("price_cents" -> price))
     val st = Seq((b0, cur0), (b1, cur1), (b2, cur2))
       .foldLeft(agg.init(s)) { case (state, (batch, cur)) =>
         agg.step(state, batch, cur)
       }
     agg.view(st).select(col("o_orderstatus"), col("n"),
-      round(col("sum_price"), 2).as("sum_price"),
+      col("sum_price_cents").cast("long").as("sum_price_cents"),
       col("sum_key_dec").cast("decimal(18,2)").as("sum_key_dec"),
-      round(col("min_price"), 2).as("min_price"),
-      round(col("max_price"), 2).as("max_price"))
+      col("min_price_cents").cast("long").as("min_price_cents"),
+      col("max_price_cents").cast("long").as("max_price_cents"))
   }
 }

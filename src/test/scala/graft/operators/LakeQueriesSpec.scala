@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Puts the oracle-gate builders themselves under `sbt test` — round 13
+  * shipped a NULL-producing q_mv regression through a fully green suite
+  * because nothing in `src/test` touched [[LakeQueries]]. Each gate query
+  * is checked two ways at sf0.001:
+  *
+  *  1. NO NULLS anywhere in the served frame (the r13 failure mode was a
+  *     renamed envelope key turning every price lookup NULL);
+  *  2. EXACT equality with an independent in-test recomputation from the
+  *     raw `orders`/`customer` parquet, using the same integer-cents
+  *     churn the builders declare (a Spark-side restatement of the DuckDB
+  *     oracle SQL, so a drift in either the builders or the maintenance
+  *     machinery fails here before the driver ever runs).
+  *
+  * Plus unit pins for the cents/bump money discipline, including the
+  * truncating division on NEGATIVE cents that q_mj's acctbal churn relies
+  * on (the bump docstring's claim, previously untested).
+  */
+class LakeQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def assertNoNulls(df: DataFrame, name: String): Unit = {
+    val rows = df.collect()
+    assert(rows.nonEmpty, s"$name served zero rows")
+    rows.foreach { r =>
+      (0 until r.length).foreach { i =>
+        assert(!r.isNullAt(i),
+          s"$name has a NULL in column '${df.columns(i)}' of row $r")
+      }
+    }
+  }
+
+  private def assertSame(got: DataFrame, want: DataFrame, name: String): Unit = {
+    assert(got.columns.toSeq == want.columns.toSeq,
+      s"$name column mismatch: ${got.columns.toSeq} vs ${want.columns.toSeq}")
+    assert(rowsOf(got) == rowsOf(want), s"$name rows diverge from recompute")
+  }
+
+  // the same derivation the builders use: BIGINT cents, ~10% integer bump
+  private def pc(key: String, price: String, mod: Int) = {
+    val c = LakeQueries.cents(col(price))
+    when(col(key) % mod === 0, LakeQueries.bump(c)).otherwise(c)
+  }
+
+  test("cents/bump are exact integer arithmetic, negatives included") {
+    import spark.implicits._
+    // (input cents, expected (c*11) div 10 with truncation toward zero)
+    val cases = Seq(100L -> 110L, 57L -> 62L, -57L -> -62L, 0L -> 0L,
+      -99999L -> -109998L, 9999999L -> 10999998L, 1L -> 1L, -1L -> -1L)
+    val got = cases.map(_._1).toDF("c")
+      .select(LakeQueries.bump(col("c"))).as[Long].collect().toSeq
+    assert(got == cases.map(_._2))
+    // cents() matches floor(x*100 + 0.5) on exactly-representable edges
+    val centsGot = Seq(1.005, -993.37, 0.0, 104225.96).toDF("x")
+      .select(LakeQueries.cents(col("x"))).as[Long].collect().toSeq
+    assert(centsGot == Seq(100L, -99337L, 0L, 10422596L))
+  }
+
+  test("q_lake_state equals a direct recompute of the churned table") {
+    val got = LakeQueries.lakeState(spark, dir)
+    assertNoNulls(got, "q_lake_state")
+    val want = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        sum(pc("o_orderkey", "o_totalprice", 7)).cast("long")
+          .as("sum_price_cents"))
+      .orderBy("o_orderstatus")
+    assertSame(got, want, "q_lake_state")
+  }
+
+  test("q_lake_asof equals the pre-delete churned table") {
+    val got = LakeQueries.lakeAsOf(spark, dir)
+    assertNoNulls(got, "q_lake_asof")
+    val want = Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        sum(pc("o_orderkey", "o_totalprice", 7)).cast("long")
+          .as("sum_price_cents"))
+      .orderBy("o_orderstatus")
+    assertSame(got, want, "q_lake_asof")
+  }
+
+  test("q_mv serves non-null aggregates equal to a direct recompute") {
+    val got = LakeQueries.mvOrders(spark, dir)
+    assertNoNulls(got, "q_mv")
+    val p = pc("o_orderkey", "o_totalprice", 7)
+    val want = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        sum(p).cast("long").as("sum_price_cents"),
+        min(p).cast("long").as("min_price_cents"),
+        max(p).cast("long").as("max_price_cents"))
+      .orderBy("o_orderstatus")
+    assertSame(got, want, "q_mv")
+  }
+
+  test("q_mj equals a direct left join over the churned tables") {
+    val got = LakeQueries.mjOrders(spark, dir)
+    // sum_bal_cents is NULL for the UNMATCHED segment by construction —
+    // the no-null check applies to the matched segments and to the price
+    // column everywhere
+    val rows = got.collect()
+    assert(rows.nonEmpty, "q_mj served zero rows")
+    rows.foreach { r =>
+      assert(!r.isNullAt(got.columns.indexOf("sum_price_cents")),
+        s"q_mj sum_price_cents NULL in $r")
+      if (r.getString(0) != "UNMATCHED")
+        assert(!r.isNullAt(got.columns.indexOf("sum_bal_cents")),
+          s"q_mj sum_bal_cents NULL in matched segment $r")
+    }
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_custkey"),
+        pc("o_orderkey", "o_totalprice", 97).as("p"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 101 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        pc("c_custkey", "c_acctbal", 53).as("b"))
+    val want = o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      .select(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("seg"),
+        col("p"), col("b"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), count(col("b")).as("n_matched"),
+        sum(col("p")).cast("long").as("sum_price_cents"),
+        sum(col("b")).cast("long").as("sum_bal_cents"))
+      .orderBy("seg")
+    assertSame(got, want, "q_mj")
+  }
+
+  test("q_ivm equals a direct recompute, cents exact") {
+    val got = CdcQueries.incrementalAgg(spark, dir).orderBy("o_orderstatus")
+    assertNoNulls(got, "q_ivm")
+    val p = pc("o_orderkey", "o_totalprice", 7)
+    val want = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(p).cast("long").as("sum_price_cents"),
+        sum(col("o_orderkey").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_key_dec"),
+        min(p).cast("long").as("min_price_cents"),
+        max(p).cast("long").as("max_price_cents"))
+      .orderBy("o_orderstatus")
+    assertSame(got, want, "q_ivm")
+  }
+}
