@@ -172,15 +172,20 @@ final class MaintainedJoin(
       // (FULL flags every column → the fold key is the whole row) and
       // (b) a join-key extractor that matches that identity column's
       // value (a wrong-column flag would make the restricted fold match
-      // nothing) — fail loud on either. Computed only when a flag is
+      // nothing) — fail loud on either. BOTH images are validated: a
+      // delete carries only `before`, and a delete whose extractor
+      // diverges from the identity column would silently miss its dirty
+      // key if only `after` were checked. Computed only when a flag is
       // set (lit(false) folds the branch away otherwise).
-      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) =
+      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) = {
+        def badImage(im: String) = col(im).isNotNull &&
+          !(key(col(im)) <=>
+            element_at(col(im), element_at(col("key_names"), 1)))
         if (!on) lit(false)
         else isSide(s) && col("op").isin("insert", "update", "delete") && (
           col("key_names").isNull || size(col("key_names")) =!= 1 ||
-            (col("after").isNotNull &&
-              !(key(col("after")) <=>
-                element_at(col("after"), element_at(col("key_names"), 1)))))
+            badImage("after") || badImage("before"))
+      }
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           flag(col("op") === "truncate" && (isSide(left) || isSide(right))),
@@ -188,13 +193,16 @@ final class MaintainedJoin(
           flag(badRowKey(left, leftKey, leftKeyIsRowKey)),
           flag(badRowKey(right, rightKey, rightKeyIsRowKey)))
         .head()
-      if (leftKeyIsRowKey && bounds.getInt(5) == 1)
+      // flag reads guard on the empty-span null bounds FIRST (an all-empty
+      // span aggregates every column to NULL, and Row.getInt on a NULL
+      // NPEs inside the poll callback → crash-looping refresh)
+      if (leftKeyIsRowKey && !bounds.isNullAt(0) && bounds.getInt(5) == 1)
         throw new IllegalStateException(
           s"leftKeyIsRowKey is set but ${left._1}.${left._2} events carry " +
             "a non-single-column replica identity (e.g. FULL) — the " +
             "restricted fold keys on the replica identity, so the flag " +
             "requires a single-column identity that IS the join key")
-      if (rightKeyIsRowKey && bounds.getInt(6) == 1)
+      if (rightKeyIsRowKey && !bounds.isNullAt(0) && bounds.getInt(6) == 1)
         throw new IllegalStateException(
           s"rightKeyIsRowKey is set but ${right._1}.${right._2} events " +
             "carry a non-single-column replica identity (e.g. FULL) — the " +

@@ -92,12 +92,16 @@ final class MaintainedView(
       val gc = agg.groupCols.head
       // groupIsRowKey contract: key_names must be exactly [group col] —
       // evaluated per row only when the flag is set (lit(false) folds
-      // the expression away for ordinary views)
+      // the expression away for ordinary views). NULL key_names (REPLICA
+      // IDENTITY NOTHING) must flag too: size(NULL)===1 is NULL, and a
+      // NULL riding through when(...,1).otherwise(0) reads as 0 — the
+      // shape violation would silently pass and the synthetic-keyed rows
+      // would vanish from dirty-group recomputes
       val badShape =
         if (!groupIsRowKey) lit(false)
-        else isTable && col("op").isin("insert", "update", "delete") &&
-          !(size(col("key_names")) === 1 &&
-            element_at(col("key_names"), 1) === gc)
+        else isTable && col("op").isin("insert", "update", "delete") && (
+          col("key_names").isNull || size(col("key_names")) =!= 1 ||
+            !(element_at(col("key_names"), 1) <=> gc))
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           max(when(isTable && col("op") === "truncate", 1).otherwise(0)),

@@ -417,4 +417,43 @@ class MaintainedJoinSpec extends AnyFunSuite {
       assert(joinSet(mj) == expected(sink))
     }
   }
+
+  test("an all-empty span with a row-key flag set refreshes without error") {
+    // regression: the row-key-shape flags used to be read from the span's
+    // aggregate row BEFORE the empty-span null guard — an all-empty span
+    // aggregates every column to NULL and Row.getInt(NULL) NPEd inside
+    // the poll callback, crash-looping the refresh
+    val dir = Files.createTempDirectory("lake-mjes").toString
+    try {
+      val sink = new LakeSink(dir)
+      val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "empty_span", leftKeyIsRowKey = true)
+      sink.appendBatch(envelope(Seq.empty), 0L)
+      assert(mj.refresh(spark) == 1)
+      assert(mj.read(spark).collect().isEmpty)
+      // and the cursor advanced: nothing left to poll
+      assert(mj.refresh(spark) == 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a delete whose extractor diverges from the flagged identity fails loud") {
+    // regression: badRowKey used to validate only the AFTER image, so a
+    // delete (before only) with an extractor reading the wrong column
+    // slipped past the contract check — its dirty key would then be
+    // spelled differently from the fold key and the restricted recompute
+    // would silently miss it
+    val dir = Files.createTempDirectory("lake-mjbd").toString
+    try {
+      val sink = new LakeSink(dir)
+      val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "name"), // wrong column: identity is "id"
+        im => element_at(im, "uid"),
+        "bad_del", leftKeyIsRowKey = true)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "delete", "u", Seq("id"), user("1", "alice"), null))), 0L)
+      val e = intercept[IllegalStateException](mj.refresh(spark))
+      assert(e.getMessage.contains("leftKeyIsRowKey"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

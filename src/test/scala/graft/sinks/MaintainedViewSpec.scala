@@ -359,4 +359,26 @@ class MaintainedViewSpec extends AnyFunSuite {
         "a" -> ((2L, 8d, 3d, 5d)), "b" -> ((2L, 8d, 1d, 7d))))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("groupIsRowKey: NULL key_names (REPLICA IDENTITY NOTHING) fails loud") {
+    // regression: badShape was built from size(key_names) === 1, which is
+    // NULL (not false) for NULL key_names — the NULL rode through
+    // when(...).otherwise(0) as 0, REPLICA IDENTITY NOTHING events passed
+    // the groupIsRowKey contract check, and their synthetic-keyed rows
+    // silently vanished from dirty-group recomputes
+    val dir = Files.createTempDirectory("lake-mvnk").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val perKey = new IncrementalAgg(
+        group = Seq("id" -> (im => element_at(im, "id"))),
+        sums = Seq("v" -> vEx))
+      val mv = new MaintainedView(sink, perKey, "public", "users", "by_id_nk",
+        stateBuckets = 4, groupIsRowKey = true)
+      sink.appendBatch(envelope(Seq(
+        Row(1L, 1L, 7L, "insert", "public", "users", T, T,
+          null, null, row("1", "a", "3")))), 0L)
+      val e = intercept[IllegalStateException](mv.refresh(spark))
+      assert(e.getMessage.contains("groupIsRowKey"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
