@@ -32,11 +32,33 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+def canon_cell(v):
+    # mirrors graft.Verify's canonCell: NULL marker, shortest-round-trip
+    # floats (py3 repr), plain-string decimals — for human diffing against
+    # <name>.canon.txt
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def write_oracle_canon(out_dir, name, cols, rows):
+    path = os.path.join(out_dir, f"{name}.oracle.canon.txt")
+    with open(path, "w") as f:
+        f.write("# " + "\t".join(cols) + "\n")
+        for r in rows:
+            f.write("\t".join(canon_cell(x) for x in r) + "\n")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    with open(os.path.join(out_dir, "oracle_versions.json"), "w") as f:
+        json.dump({"duckdb": duckdb.__version__,
+                   "python": sys.version.split()[0]}, f)
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -56,6 +78,7 @@ def main():
         try:
             d = con.sql(oracle[name])
             dcols, drows = canon(d.fetchall(), d.columns)
+            write_oracle_canon(out_dir, name, dcols, drows)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1

@@ -2,8 +2,64 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Besides the parquet the driver hashes, every query also gets a CANONICAL
+  * text dump (`<name>.canon.txt`) rendered from the parquet just written —
+  * columns sorted by name, rows sorted null-first-then-lexicographically
+  * (the driver's own hash order), decimals via BigDecimal.toPlainString at
+  * their declared scale, doubles via java.lang.Double.toString (shortest
+  * round-trip) — plus a `versions.json` recording the JVM/Spark/Scala the
+  * dump was produced under. A hash red in CORRECTNESS_r{N} can then be
+  * diffed to the exact column and row of the DRIVER's run instead of
+  * re-rolled blind (q_ivm was driver-red/judge-green for two rounds with
+  * nothing to diff).
+  */
 object Verify {
+  /** One canonical cell rendering, documented once: NULL marker, decimal
+    * plain string at declared scale, shortest-round-trip doubles/floats,
+    * instant-UTC timestamps, hex bytes, recursively for arrays/maps.
+    */
+  private def canonCell(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: java.lang.Double => java.lang.Double.toString(d)
+    case f: java.lang.Float => java.lang.Float.toString(f)
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toString
+    case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+    case s: scala.collection.Seq[_] =>
+      s.map(canonCell).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => canonCell(k) + "=" + canonCell(mv) }
+        .toSeq.sorted.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(canonCell).mkString("(", ",", ")")
+    case x => x.toString
+  }
+
+  private def writeCanon(spark: SparkSession, outDir: String, name: String): Unit = {
+    // render from the parquet just written — canon reflects exactly the
+    // bytes the driver hashes, not a recomputation that could diverge
+    val df = spark.read.parquet(s"$outDir/$name")
+    val order = df.schema.fields.zipWithIndex.sortBy(_._1.name).map(_._2)
+    val header = order.map(i =>
+      df.schema.fields(i).name + ":" + df.schema.fields(i).dataType.simpleString)
+      .mkString("\t")
+    val rows = df.collect().map { r =>
+      order.map(i => canonCell(r.get(i))).toSeq
+    }
+    // the driver sorts rows by (isNull, str) per cell, columns already
+    // name-ordered — mirror it so line N here is row N of its compare
+    implicit val ord: Ordering[Seq[(Int, String)]] =
+      Ordering.Implicits.seqOrdering[Seq, (Int, String)]
+    val sorted = rows.sortBy(cells =>
+      cells.map(c => (if (c == "NULL") 0 else 1, c)): Seq[(Int, String)])
+    val sb = new StringBuilder
+    sb.append("# ").append(header).append('\n')
+    sorted.foreach { cells => sb.append(cells.mkString("\t")).append('\n') }
+    Files.writeString(Paths.get(s"$outDir/$name.canon.txt"), sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // Optional trailing query names restrict the dump (local dev loop);
@@ -21,9 +77,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      else try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        writeCanon(spark, outDir, name)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +100,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val versions = Seq(
+      "jdk" -> System.getProperty("java.version"),
+      "jvm" -> System.getProperty("java.vm.version"),
+      "spark" -> spark.version,
+      "scala" -> scala.util.Properties.versionNumberString,
+      "timezone" -> "UTC",
+      "double_format" -> "java.lang.Double.toString (shortest round-trip)",
+      "decimal_format" -> "java.math.BigDecimal.toPlainString (declared scale)")
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/versions.json"), versions)
     spark.stop()
   }
 }
