@@ -221,7 +221,17 @@ final class MaintainedJoin(
         lazy val rNew = sideAsOf(spark, right, rightKey, key._2, key._1, "right_after")
         val schema = emptyJoin(spark).schema
         val truncated = bounds.getInt(2) == 1
-        if (truncated) { // rare: rebuild at the boundary, all buckets rewritten
+        // SEED (no prior state) rebuilds like a truncate, for two reasons:
+        //  - correctness: the dirty-key path derives touched keys from the
+        //    SPAN, but a lake compacted+vacuumed before the first refresh
+        //    holds keys only in BASE — no surviving changelog row mentions
+        //    them, so a span-driven seed would silently omit them forever;
+        //    the rebuild folds stateAsOf, which reads BASE.
+        //  - cost: at seed every key is touched anyway — the probe /
+        //    semi-join / anti-splice machinery degenerates to the full
+        //    join with several extra shuffles.
+        val seeding = states.latestWithin(f, from).isEmpty
+        if (truncated || seeding) { // rebuild at the boundary, all buckets written
           val rebuilt = joined(lNew, rNew)
           val next = nullSegment(spark, key._2, key._1)
             .map(rebuilt.unionByName(_)).getOrElse(rebuilt)

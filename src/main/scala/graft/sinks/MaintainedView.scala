@@ -131,8 +131,15 @@ final class MaintainedView(
           def current = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
             .select(col("after"))
           val hasTruncate = bounds.getInt(2) == 1
-          if (hasTruncate) {
-            // rare: rebuild from the boundary, all buckets rewritten
+          // SEED (no prior state) recomputes from the fold rather than
+          // applying span deltas: a lake compacted+vacuumed before the
+          // first refresh holds groups only in BASE — no surviving
+          // changelog row mentions them, so a span-delta seed would
+          // silently omit those groups forever; recomputeAll(current)
+          // reads through BASE. (Same reasoning as MaintainedJoin's
+          // seed rebuild.)
+          if (hasTruncate || prevKey.isEmpty) {
+            // rebuild from the boundary, all buckets rewritten
             states.commit(f, agg.recomputeAll(current),
               (0 until stateBuckets).toSet, None, key)
           } else {

@@ -437,6 +437,27 @@ class MaintainedJoinSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("first refresh after seedCursor on a vacuumed lake rebuilds from BASE") {
+    // regression: the seed used to run the dirty-key path with touched
+    // keys derived from the SPAN — after seedCursor on a compacted+
+    // vacuumed lake the span holds only post-seed batches, so keys
+    // living only in BASE were silently omitted from the join forever.
+    // The seed now rebuilds from stateAsOf, which reads through BASE.
+    withJoin { (sink, mj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")))), 0L)
+      sink.compact(spark)
+      sink.vacuum(spark) // batch 0's changelog is gone; only BASE has it
+      sink.seedCursor(spark, "join_orders_by_user")
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "1", "20")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      // order "a" exists only in BASE — a span-driven seed would miss it
+      assert(joinSet(mj) == Set(("a", "alice", "10"), ("b", "alice", "20")))
+    }
+  }
+
   test("a delete whose extractor diverges from the flagged identity fails loud") {
     // regression: badRowKey used to validate only the AFTER image, so a
     // delete (before only) with an extractor reading the wrong column

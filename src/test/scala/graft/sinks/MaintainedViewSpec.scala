@@ -360,6 +360,27 @@ class MaintainedViewSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("first refresh after seedCursor on a vacuumed lake rebuilds from BASE") {
+    // regression: the seed used to apply span DELTAS against empty state —
+    // after seedCursor on a compacted+vacuumed lake the span holds only
+    // post-seed batches, so groups living only in BASE never got a state
+    // row. The seed now recomputes from the fold, which reads BASE.
+    withView { (sink, mv, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "insert", null, row("2", "b", "7")))), 0L)
+      sink.compact(spark)
+      sink.vacuum(spark) // batch 0's changelog is gone; only BASE has it
+      sink.seedCursor(spark, "view_by_grp")
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, row("3", "a", "5")))), 1L)
+      assert(mv.refresh(spark) == 1)
+      // group "b" exists only in BASE — a span-delta seed would miss it
+      assert(viewMap(mv) == Map(
+        "a" -> ((2L, 8d, 3d, 5d)), "b" -> ((1L, 7d, 7d, 7d))))
+    }
+  }
+
   test("groupIsRowKey: NULL key_names (REPLICA IDENTITY NOTHING) fails loud") {
     // regression: badShape was built from size(key_names) === 1, which is
     // NULL (not false) for NULL key_names — the NULL rode through
