@@ -161,17 +161,25 @@ object Bench {
     // 3-decimal values, then 2, then drop the reruns echo, then 1, then
     // drop the prep_* entries from stdout (they are index-build
     // attribution, preserved at full precision in the history TSV; the
-    // graded per-query numbers stay).
-    def render(decimals: Int, withReruns: Boolean, withPreps: Boolean,
-        withPrepSec: Boolean = true): String = {
-      def r(v: Double): String = s"%.${decimals}f".format(v)
+    // graded per-query numbers stay), then 0-decimal values as the
+    // guaranteed-fit terminal. `prep_sec` is NEVER dropped: without it
+    // ~30 s of prep is invisible to the driver (total ≫ sum(queries),
+    // round-13 verdict #5) — integral values render without ".0" to buy
+    // the field its room at the 1-decimal rung.
+    def render(decimals: Int, withReruns: Boolean, withPreps: Boolean): String = {
+      def r(v: Double): String = {
+        val s0 = s"%.${decimals}f".format(v)
+        if (decimals > 0 && s0.endsWith("." + "0" * decimals))
+          s0.dropRight(decimals + 1)
+        else s0
+      }
       val kept = results.filter { case (k, _) => withPreps || !k.startsWith("prep_") }
       val qs = kept.map { case (k, v) => s"\"" + k + "\":" + r(v) }
         .mkString("{", ",", "}")
       // when preps drop out of the map, their total stays reconcilable:
       // value ≈ sum(queries) + prep_sec
       val prepField =
-        if (withPreps || !withPrepSec) ""
+        if (withPreps) ""
         else ",\"prep_sec\":" + r(
           results.collect { case (k, v) if k.startsWith("prep_") => v }.sum)
       val errField =
@@ -184,13 +192,11 @@ object Bench {
           s""""$k":[${r(a)},${r(b)}]""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$prepField$errField$rerunField,"sf":"$sfBase"}"""
     }
-    // last resort: drop prep_sec too (full precision stays in the TSV)
     val line = Seq(
       render(3, true, true), render(2, true, true), render(2, false, true),
-      render(1, false, true), render(1, false, false),
-      render(1, false, false, withPrepSec = false))
+      render(1, false, true), render(1, false, false), render(0, false, false))
       .find(_.length <= 1900)
-      .getOrElse(render(1, false, false, withPrepSec = false))
+      .getOrElse(render(0, false, false))
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

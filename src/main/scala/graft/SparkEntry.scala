@@ -652,14 +652,18 @@ object SparkEntry {
                      FROM orders)
                WHERE o_orderkey % 13 <> 0)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // Maintained left-outer join: after both-side churn (~10% cents bumps
-    // on %97 orderkeys / %53 custkeys, deletes of %89 orderkeys AND %101
-    // custkeys) the served join state must equal a direct left join over
-    // the final tables — surviving orders of deleted customers land in
-    // the UNMATCHED segment. Integer cents on both measures; c_acctbal
-    // exercises the bump on NEGATIVE cents. Churn moduli are sparse
-    // primes so the bench times a churn-proportional refresh, not a
-    // disguised full recompute.
+    // Maintained left-outer join over a declared 25% orders subset
+    // (o_orderkey % 4 = 0; the fact-side recompute folds on o_orderkey,
+    // which custkey restriction cannot prune, so the gate's table is
+    // gate-sized): after both-side churn (~10% cents bumps on %97
+    // orderkeys / %53 custkeys, deletes of %89 orderkeys AND %101
+    // custkeys, batches 1-2 applied by ONE spanning refresh) the served
+    // join state must equal a direct left join over the final tables —
+    // surviving orders of deleted customers land in the UNMATCHED
+    // segment. Integer cents on both measures; c_acctbal exercises the
+    // bump on NEGATIVE cents. Churn moduli are sparse primes so the
+    // bench times a churn-proportional refresh, not a disguised full
+    // recompute.
     "q_mj" ->
       """SELECT seg, CAST(count(*) AS BIGINT) AS n,
            CAST(count(b) AS BIGINT) AS n_matched,
@@ -673,7 +677,7 @@ object SparkEntry {
                THEN (c.cc*11 - (c.cc*11) % 10) // 10 ELSE c.cc END AS b
            FROM (SELECT o_orderkey, o_custkey,
                    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS oc
-                 FROM orders) o
+                 FROM orders WHERE o_orderkey % 4 = 0) o
            LEFT JOIN (SELECT c_custkey, c_mktsegment,
                    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cc
                  FROM customer WHERE c_custkey % 101 <> 0) c

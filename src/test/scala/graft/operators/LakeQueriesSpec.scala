@@ -124,6 +124,7 @@ class LakeQueriesSpec extends AnyFunSuite {
           s"q_mj sum_bal_cents NULL in matched segment $r")
     }
     val o = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 === 0) // the declared fact-side subset
       .filter(col("o_orderkey") % 89 =!= 0)
       .select(col("o_custkey"),
         pc("o_orderkey", "o_totalprice", 97).as("p"))
