@@ -35,6 +35,39 @@ object SnapshotJobStore {
     */
   final class Sql(exec: SqlExecutor, table: String = "cdc_snapshot_job") extends SnapshotJobStore {
     private def lit(s: String) = CatalogReader.sqlLiteral(s)
+
+    /** Create the job table when missing — and MIGRATE a reference-era
+      * table in place (`snapshot_migration_test.go:20-204`): the
+      * reference's older schema carries extra NOT-NULL columns with no
+      * default (`started_at TIMESTAMP NOT NULL`, chunk-progress counters),
+      * so this store's four-column INSERT would fail against it. Any
+      * extra NOT-NULL default-less column gets a type-appropriate DEFAULT
+      * instead of being dropped — the reference can keep reading its own
+      * columns while this store reads and writes the core four.
+      */
+    def ensureSchema(): Unit = {
+      val core = Set("slot_name", "snapshot_id", "snapshot_lsn", "completed")
+      val cols = exec(
+        "SELECT column_name, is_nullable, column_default, data_type " +
+          s"FROM information_schema.columns WHERE table_name = ${lit(table)}")
+      if (cols.isEmpty)
+        exec(s"CREATE TABLE $table (slot_name TEXT PRIMARY KEY, " +
+          "snapshot_id TEXT NOT NULL, snapshot_lsn TEXT NOT NULL, " +
+          "completed BOOLEAN NOT NULL DEFAULT FALSE)")
+      else cols.foreach {
+        case Seq(name, nullable, default, dataType)
+            if !core.contains(name) && nullable == "NO" &&
+              (default == null || default.isEmpty) =>
+          val d = dataType match {
+            case t if t.startsWith("timestamp") => "now()"
+            case "integer" | "bigint" | "smallint" | "numeric" => "0"
+            case "boolean" => "FALSE"
+            case _ => "''"
+          }
+          exec(s"ALTER TABLE $table ALTER COLUMN $name SET DEFAULT $d")
+        case _ => ()
+      }
+    }
     override def load(slotName: String): Option[SnapshotJob] =
       exec(s"SELECT slot_name, snapshot_id, snapshot_lsn, completed FROM $table " +
         s"WHERE slot_name = ${lit(slotName)}")

@@ -2,9 +2,9 @@ package graft.integration
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.{GraftConfig, GraftConnector, SparkTestBase}
+import graft.{GraftConfig, GraftConfigFile, GraftConnector, SparkTestBase}
 import graft.services.Publication.{Config, PubTable, ReplicaIdentity}
-import graft.snapshot.{SnapshotConfig, SnapshotJobStore}
+import graft.snapshot.{SnapshotConfig, SnapshotJob, SnapshotJobStore}
 
 import scala.collection.mutable
 
@@ -553,6 +553,249 @@ class RealPostgresIntegrationSpec extends AnyFunSuite {
         .digest(inJson.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       assert(digest == server, "restored TOAST bytes equal the live row's")
+    }
+  }
+
+  /** Retry-drop a replication slot by name (deactivation lags stop()). */
+  private def dropSlot(exec: String => Seq[Seq[String]], slot: String): Unit = {
+    var attempts = 0
+    val sql = s"SELECT pg_drop_replication_slot('$slot') WHERE EXISTS " +
+      s"(SELECT 1 FROM pg_replication_slots WHERE slot_name = '$slot')"
+    while (attempts < 20 &&
+        (try { exec(sql); false } catch { case _: Exception => true })) {
+      attempts += 1; Thread.sleep(250)
+    }
+  }
+
+  private def confirmedLsn(exec: String => Seq[Seq[String]], slot: String): String =
+    exec("SELECT coalesce(confirmed_flush_lsn::text, '') FROM " +
+      s"pg_replication_slots WHERE slot_name = '$slot'")
+      .headOption.flatMap(_.headOption).getOrElse("")
+
+  test("snapshot_only: pods share one durable job — the second pod skips, no stream runs") {
+    // `integration_test/snapshot_only_test.go:23-928`: snapshot_only mode
+    // coordinates on the dedicated job key through the SQL job store, so a
+    // multi-pod deployment bulk-loads exactly once and never streams.
+    scenario("sonly") { (d, exec, cfg0) =>
+      exec("INSERT INTO public.graft_it_sonly VALUES (1,'a'), (2,'b'), (3,'c')")
+      exec("DROP TABLE IF EXISTS public.graft_it_sojob")
+      val store = new SnapshotJobStore.Sql(exec, "graft_it_sojob")
+      store.ensureSchema()
+      val jobKey = "graft_it_sonly_job"
+      val cfg = cfg0.copy(snapshot = SnapshotConfig(
+        mode = "snapshot_only", chunkSize = 2L, id = Some(jobKey)))
+      try {
+        val podA = mutable.ArrayBuffer.empty[Int]
+        val bootA = GraftConnector.start(spark, cfg, store, exec,
+          connect(d, replication = true).executor,
+          snapshotSink = (_, df) =>
+            podA ++= df.select("id").collect().map(_.getInt(0)))
+        assert(bootA.stream.isEmpty, "snapshot_only runs no stream")
+        assert(podA.sorted == Seq(1, 2, 3), s"pod A bulk-loads every row: $podA")
+        assert(store.load(jobKey).exists(_.completed),
+          "the durable job row is marked completed")
+        // pod B shares the store: the completed job dedups its snapshot
+        val podB = mutable.ArrayBuffer.empty[Int]
+        val bootB = GraftConnector.start(spark, cfg, store, exec,
+          connect(d, replication = true).executor,
+          snapshotSink = (_, df) =>
+            podB ++= df.select("id").collect().map(_.getInt(0)))
+        assert(podB.isEmpty, "pod B must not repeat the completed snapshot")
+        assert(bootB.stream.isEmpty)
+      } finally {
+        dropSlot(exec, jobKey)
+        try exec("DROP TABLE IF EXISTS public.graft_it_sojob") catch { case _: Exception => () }
+      }
+    }
+  }
+
+  test("force resnapshot wipes ONLY its slot's job and reprocesses everything") {
+    // `integration_test/snapshot_force_resnapshot_test.go:23-340`: completed
+    // job → no snapshot; resnapshot=true → full re-read including new rows;
+    // another consumer's job row in the same store survives the wipe.
+    scenario("resnap") { (d, exec, cfg0) =>
+      exec("INSERT INTO public.graft_it_resnap VALUES (1,'a'), (2,'b'), (3,'c')")
+      exec("DROP TABLE IF EXISTS public.graft_it_rsjob")
+      val store = new SnapshotJobStore.Sql(exec, "graft_it_rsjob")
+      store.ensureSchema()
+      store.save(SnapshotJob("graft_it_other_slot", "snap-x", 123L, completed = true))
+      def bootOnce(resnap: Boolean): Seq[Int] = {
+        val got = mutable.ArrayBuffer.empty[Int]
+        GraftConnector.start(spark,
+          cfg0.copy(snapshot = SnapshotConfig(
+            mode = "initial", chunkSize = 2L, resnapshot = resnap)),
+          store, exec, connect(d, replication = true).executor,
+          snapshotSink = (_, df) =>
+            got ++= df.select("id").collect().map(_.getInt(0)))
+        got.toSeq
+      }
+      try {
+        assert(bootOnce(resnap = false).sorted == Seq(1, 2, 3),
+          "first boot snapshots the seed rows")
+        exec("INSERT INTO public.graft_it_resnap VALUES (4,'d'), (5,'e')")
+        assert(bootOnce(resnap = false).isEmpty,
+          "completed job suppresses the second boot's snapshot")
+        assert(bootOnce(resnap = true).sorted == Seq(1, 2, 3, 4, 5),
+          "force resnapshot re-reads ALL rows including post-completion ones")
+        val other = store.load("graft_it_other_slot")
+        assert(other.exists(j => j.completed && j.snapshotLsn == 123L),
+          s"resnapshot wiped only its own slot's job: $other")
+      } finally {
+        try exec("DROP TABLE IF EXISTS public.graft_it_rsjob") catch { case _: Exception => () }
+      }
+    }
+  }
+
+  test("a pre-existing FOR ALL TABLES publication boots and streams every table") {
+    // `integration_test/publication_for_all_tables_test.go:17-158`: create()
+    // tolerates the FOR ALL TABLES publication (table list not alterable,
+    // drift is report-only), Info() surfaces allTables, and DML from every
+    // table reaches the stream.
+    scenario2("fat",
+      createSql = Seq(
+        "CREATE TABLE public.graft_it_fat1 (id int PRIMARY KEY, v text)",
+        "CREATE TABLE public.graft_it_fat2 (id int PRIMARY KEY, v text)",
+        "CREATE PUBLICATION graft_it_pub_fat FOR ALL TABLES"),
+      dropSql = Seq(
+        "DROP PUBLICATION IF EXISTS graft_it_pub_fat",
+        "DROP TABLE IF EXISTS public.graft_it_fat1",
+        "DROP TABLE IF EXISTS public.graft_it_fat2"),
+      pubTables = Seq(
+        PubTable("public", "graft_it_fat1"),
+        PubTable("public", "graft_it_fat2"))) { (d, exec, cfg) =>
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      assert(boot.publication.allTables,
+        s"live read-back surfaces FOR ALL TABLES: ${boot.publication}")
+      exec("INSERT INTO public.graft_it_fat1 VALUES (1, 'one')")
+      exec("INSERT INTO public.graft_it_fat2 VALUES (2, 'two')")
+      val got = streamShapes(boot, "it_fat", expectRows = 2)
+      assert(got.map(_._1).toSet == Set("graft_it_fat1", "graft_it_fat2"),
+        s"both tables' rows arrive under FOR ALL TABLES: $got")
+    }
+  }
+
+  test("heartbeat: misconfig fails startup validation; published heartbeat advances the slot, suppressed") {
+    // `integration_test/heartbeat_test.go:18-152`: a heartbeat table absent
+    // from the publication must fail before anything connects; a published
+    // one advances confirmed_flush_lsn with ONLY heartbeat writes flowing,
+    // and its events never surface in the stream (P5 suppression + auto-ack).
+    scenario2("hb",
+      createSql = Seq(
+        "CREATE TABLE public.graft_it_hb (id int PRIMARY KEY, v text)",
+        "CREATE TABLE public.graft_it_hbt (id INTEGER PRIMARY KEY DEFAULT 1, " +
+          "last_heartbeat TIMESTAMPTZ NOT NULL DEFAULT NOW(), " +
+          "CONSTRAINT graft_it_hbt_single_row CHECK (id = 1))"),
+      dropSql = Seq(
+        "DROP TABLE IF EXISTS public.graft_it_hb",
+        "DROP TABLE IF EXISTS public.graft_it_hbt"),
+      pubTables = Seq(
+        PubTable("public", "graft_it_hb"),
+        PubTable("public", "graft_it_hbt"))) { (d, exec, cfg0) =>
+      // the reference's startup refusal, at this library's validation seam
+      val bad = intercept[IllegalArgumentException](GraftConfigFile.fromYaml(
+        s"""host: ${d.host}
+           |username: ${d.user}
+           |database: ${d.db}
+           |publication:
+           |  name: p
+           |  tables:
+           |    - name: graft_it_hb
+           |slot:
+           |  name: s
+           |heartbeat:
+           |  table:
+           |    name: graft_it_hbt
+           |""".stripMargin))
+      assert(bad.getMessage.contains("is not included in publication"),
+        s"heartbeat-not-published must fail startup validation: ${bad.getMessage}")
+      // corrected config: heartbeat published → beats advance the slot
+      val cfg = cfg0.copy(heartbeatSchema = "public", heartbeatTable = "graft_it_hbt")
+      val hb = cfg.heartbeatService(exec)
+      hb.ensureTable()
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      val q = boot.stream.get.select(col("table"), col("op"))
+        .writeStream.format("memory").queryName("it_hb").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val before = confirmedLsn(exec, cfg.slotName)
+        assert(hb.run(5, sleep = () => Thread.sleep(200)) == 0, "all beats wrote")
+        val deadline = System.currentTimeMillis + 15000
+        var after = confirmedLsn(exec, cfg.slotName)
+        while ((after.isEmpty || after == before) &&
+            System.currentTimeMillis < deadline) {
+          q.processAllAvailable(); Thread.sleep(250)
+          after = confirmedLsn(exec, cfg.slotName)
+        }
+        assert(after.nonEmpty && after != before,
+          s"confirmed_flush_lsn advances on heartbeat-only traffic: $before → $after")
+        q.processAllAvailable()
+        val leaked = spark.table("it_hb")
+          .filter(col("table") === "graft_it_hbt").count()
+        assert(leaked == 0, "heartbeat events are suppressed from the stream")
+      } finally q.stop()
+    }
+  }
+
+  test("graceful stop flushes the confirmed LSN — a restart never redelivers acked rows") {
+    // `integration_test/sigterm_lsn_flush_test.go:18`: shutdown must leave
+    // the server's confirmed_flush_lsn at-or-past everything delivered, so
+    // the next boot resumes cleanly. Asserted at the strongest observable:
+    // the restarted stream sees only post-stop rows.
+    scenario("lsnflush") { (d, exec, cfg) =>
+      val boot = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      exec("INSERT INTO public.graft_it_lsnflush VALUES (1, 'a')")
+      val got = streamRows(boot, "it_lsnflush", expectRows = 1)
+      assert(got.map(_._2) == Seq("1"))
+      val flushed = confirmedLsn(exec, cfg.slotName)
+      assert(flushed.nonEmpty,
+        "slot carries a confirmed LSN after the graceful stop")
+      exec("INSERT INTO public.graft_it_lsnflush VALUES (2, 'b')")
+      val boot2 = GraftConnector.start(spark, cfg, new SnapshotJobStore.InMemory,
+        exec, connect(d, replication = true).executor)
+      val got2 = streamRows(boot2, "it_lsnflush2", expectRows = 1)
+      assert(got2.map(_._2).contains("2"), s"post-stop row arrives: $got2")
+      assert(!got2.map(_._2).contains("1"),
+        s"acked row 1 must NOT redeliver after restart — the stop flushed its LSN: $got2")
+    }
+  }
+
+  test("a reference-era cdc_snapshot_job table migrates in place; the snapshot completes through it") {
+    // `integration_test/snapshot_migration_test.go:20,204`: metadata written
+    // by the reference's OLD schema (started_at NOT NULL without default,
+    // chunk counters) must not break this store — ensureSchema defaults the
+    // era columns and the four-column protocol proceeds.
+    scenario("migr") { (d, exec, cfg0) =>
+      exec("INSERT INTO public.graft_it_migr VALUES (1,'Alice'), (2,'Bob'), (3,'Charlie')")
+      exec("DROP TABLE IF EXISTS public.graft_it_mjob")
+      exec("""CREATE TABLE graft_it_mjob (
+             |  slot_name TEXT PRIMARY KEY,
+             |  snapshot_id TEXT NOT NULL,
+             |  snapshot_lsn TEXT NOT NULL,
+             |  started_at TIMESTAMP NOT NULL,
+             |  completed BOOLEAN DEFAULT FALSE,
+             |  total_chunks INT NOT NULL DEFAULT 0,
+             |  completed_chunks INT NOT NULL DEFAULT 0)""".stripMargin)
+      val store = new SnapshotJobStore.Sql(exec, "graft_it_mjob")
+      store.ensureSchema() // era columns get defaults; nothing is dropped
+      val snap = mutable.ArrayBuffer.empty[Int]
+      try {
+        GraftConnector.start(spark,
+          cfg0.copy(snapshot = SnapshotConfig(mode = "initial", chunkSize = 2L)),
+          store, exec, connect(d, replication = true).executor,
+          snapshotSink = (_, df) =>
+            snap ++= df.select("id").collect().map(_.getInt(0)))
+        assert(snap.sorted == Seq(1, 2, 3), s"snapshot ran through the migrated table: $snap")
+        assert(store.load(cfg0.slotName).exists(_.completed))
+        val era = exec("SELECT started_at IS NOT NULL, total_chunks " +
+          s"FROM graft_it_mjob WHERE slot_name = '${cfg0.slotName}'").head
+        assert(era == Seq("t", "0"),
+          s"reference-era columns survived with their defaults: $era")
+      } finally {
+        try exec("DROP TABLE IF EXISTS public.graft_it_mjob") catch { case _: Exception => () }
+      }
     }
   }
 }

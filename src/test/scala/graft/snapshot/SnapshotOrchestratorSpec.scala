@@ -124,4 +124,39 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     assert(sqls.exists(_.startsWith("UPDATE cdc_snapshot_job SET completed = true")))
     assert(sqls.exists(_.startsWith("DELETE FROM cdc_snapshot_job")))
   }
+
+  test("Sql store ensureSchema: creates when missing, defaults reference-era NOT-NULL columns") {
+    val issued = Seq.newBuilder[String]
+    var cols: Seq[Seq[String]] = Seq.empty
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      issued += sql
+      if (sql.contains("information_schema.columns")) cols else Seq.empty
+    }
+    val st = new SnapshotJobStore.Sql(exec)
+    // missing table → minimal CREATE
+    st.ensureSchema()
+    assert(issued.result().exists(_.startsWith("CREATE TABLE cdc_snapshot_job")))
+    // reference-era table: started_at NOT NULL without default must get a
+    // now() default; core and already-defaulted columns stay untouched
+    issued.clear()
+    cols = Seq(
+      Seq("slot_name", "NO", null, "text"),
+      Seq("snapshot_id", "NO", null, "text"),
+      Seq("snapshot_lsn", "NO", null, "text"),
+      Seq("completed", "YES", "false", "boolean"),
+      Seq("started_at", "NO", null, "timestamp without time zone"),
+      Seq("total_chunks", "NO", "0", "integer"),
+      Seq("claimed_by", "YES", null, "text"))
+    st.ensureSchema()
+    val sqls2 = issued.result()
+    assert(sqls2.exists(_ ==
+      "ALTER TABLE cdc_snapshot_job ALTER COLUMN started_at SET DEFAULT now()"),
+      s"era column gets a type-appropriate default: $sqls2")
+    assert(!sqls2.exists(_.contains("total_chunks")),
+      "already-defaulted era columns are left alone")
+    assert(!sqls2.exists(_.contains("slot_name SET DEFAULT")),
+      "core columns are never touched")
+    assert(!sqls2.exists(_.startsWith("CREATE TABLE")),
+      "an existing table is migrated, not recreated")
+  }
 }
