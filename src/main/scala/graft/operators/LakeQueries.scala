@@ -315,7 +315,13 @@ object LakeQueries {
       name = "mj", joinType = "left_outer", stateBuckets = 4,
       // custkey IS customer's replica key: the dim side recomputes via
       // the key-restricted fold (touched buckets of BASE, not the table)
-      rightKeyIsRowKey = true)
+      rightKeyIsRowKey = true,
+      // o_custkey never changes across an order's versions and every
+      // image carries it: the FACT side's recompute prunes its fold
+      // input to the touched custkeys instead of folding all of orders —
+      // the churn-proportional shape for FK joins at scale, and this
+      // gate proves it against the DuckDB oracle
+      leftKeyImmutable = true)
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
     val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)

@@ -288,7 +288,29 @@ final class LakeSink(
   def stateAsOf(
       spark: SparkSession, schemaName: String, table: String,
       asOf: Long, floor: Long = Long.MinValue,
-      restrictToKeys: Option[DataFrame] = None): DataFrame = {
+      restrictToKeys: Option[DataFrame] = None,
+      /** Prune the fold INPUT by a declared-IMMUTABLE image column: the
+        * extractor runs over each event's image (before for deletes,
+        * after otherwise) and only rows whose value is in the `k` frame
+        * feed the fold — shuffle and fold work become proportional to the
+        * restriction, not the table (the scan itself still reads BASE:
+        * the slices are bucketed on the ROW key, which a non-key column
+        * cannot prune).
+        *
+        * SOUND ONLY under the immutability contract: the extracted value
+        * never changes across a row's versions (NULL→value is tolerated —
+        * the NULL-imaged versions are superseded by the kept newer ones)
+        * and is present in delete images (REPLICA IDENTITY FULL, or the
+        * column part of the identity). A value→value or value→NULL
+        * transition, or a delete image lacking the column, could
+        * resurrect a stale version — maintainers validate the contract
+        * per span and fail loud ([[MaintainedJoin]] `*KeyImmutable`);
+        * like the row-key flags, history already folded into BASE cannot
+        * be re-validated.
+        */
+      restrictToImmutable: Option[(Column => Column, DataFrame)] = None): DataFrame = {
+    require(restrictToKeys.isEmpty || restrictToImmutable.isEmpty,
+      "restrictToKeys and restrictToImmutable are mutually exclusive")
     val f = fs(spark)
     // `floor` additionally bounds the read from BELOW in the two-sided id
     // space (maintained views pin their recompute to exactly the interval
@@ -338,24 +360,43 @@ final class LakeSink(
           s"chosen base fold [$lo, $wm] that vacuum has deleted — that " +
           "history is no longer retained (retain more manifests or vacuum " +
           "with keepLast)")
-    val tail0 = keyedEvents(changelogOutside(spark, lo, wm)
-        .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
-        .filter(col("schema") === schemaName && col("table") === table))
-      .drop("schema", "table")
+    val env = changelogOutside(spark, lo, wm)
+      .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
+      .filter(col("schema") === schemaName && col("table") === table)
+    val tail0 = keyedEvents(env).drop("schema", "table")
     // truncate detection stays on the UNRESTRICTED tail: truncates carry
-    // no key, and must supersede restricted rows too
+    // no key, and must supersede restricted rows too (restricted frames
+    // may drop truncate rows freely — foldImages only reads them through
+    // the `truncAt` position computed here)
     val truncAt = maxTruncate(tail0)
     // `restrictToKeys` (a single-column `k` frame spelled like the fold
     // key) prunes the fold to those keys' histories. SOUND ONLY for
     // restriction on the replica-identity key itself — the fold groups by
     // exactly `k`, so a key's whole history stays or goes together; a
     // predicate over any OTHER column could drop the newest version of a
-    // key while keeping an older one and resurrect stale state.
-    val tail = restrictToKeys
-      .map(ks => tail0.join(broadcast(ks), Seq("k"), "left_semi"))
-      .getOrElse(tail0)
-    val all = baseFor(spark, m, schemaName, table, restrictToKeys)
-      .map(_.unionByName(tail)).getOrElse(tail)
+    // key while keeping an older one and resurrect stale state. For a
+    // declared-immutable non-key column, `restrictToImmutable` restores
+    // the stays-or-goes-together property (see the parameter contract)
+    // and filters the ENVELOPE (delete keys live in `before`, which
+    // keyedEvents' output no longer carries).
+    val tail = (restrictToKeys, restrictToImmutable) match {
+      case (Some(ks), _) => tail0.join(broadcast(ks), Seq("k"), "left_semi")
+      case (_, Some((ex, ks))) =>
+        val img = when(col("op") === "delete", col("before")).otherwise(col("after"))
+        keyedEvents(env.join(broadcast(ks.select(col("k").as("_imm"))),
+            ex(img).cast("string") <=> col("_imm"), "left_semi"))
+          .drop("schema", "table")
+      case _ => tail0
+    }
+    val base0 = baseFor(spark, m, schemaName, table, restrictToKeys)
+    val base = (base0, restrictToImmutable) match {
+      case (Some(b), Some((ex, ks))) =>
+        // BASE rows are folded inserts: the image is `after`
+        Some(b.join(broadcast(ks.select(col("k").as("_imm"))),
+          ex(col("after")).cast("string") <=> col("_imm"), "left_semi"))
+      case _ => base0
+    }
+    val all = base.map(_.unionByName(tail)).getOrElse(tail)
     foldImages(all, truncAt)
   }
 

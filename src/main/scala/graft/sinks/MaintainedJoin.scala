@@ -66,7 +66,24 @@ final class MaintainedJoin(
       * first (docs/MIGRATION.md, "Upgrade caveat").
       */
     leftKeyIsRowKey: Boolean = false,
-    rightKeyIsRowKey: Boolean = false) {
+    rightKeyIsRowKey: Boolean = false,
+    /** Set when a side's join key is NOT its row key but IS immutable per
+      * row (the FK side of a fact→dimension join, typically): the
+      * dirty-key recompute then prunes the side's fold INPUT to the
+      * touched keys via `stateAsOf(restrictToImmutable)` — shuffle and
+      * fold work become churn-proportional even though the fold is keyed
+      * on the row key (the scan still reads the side's BASE; buckets hash
+      * the row key, which a non-key column cannot prune). Contract,
+      * validated against every span (fail-loud): the extracted key never
+      * changes across a row's versions (NULL→value is fine) and delete
+      * images carry it (REPLICA IDENTITY FULL, or the column in the
+      * identity). Ignored when the row-key flag for the same side is set
+      * — that restriction is strictly stronger (it also prunes BASE
+      * buckets). Like the row-key flags, history already folded into
+      * BASE cannot be re-validated.
+      */
+    leftKeyImmutable: Boolean = false,
+    rightKeyImmutable: Boolean = false) {
 
   require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
     s"unsupported joinType '$joinType'")
@@ -126,8 +143,10 @@ final class MaintainedJoin(
     */
   private def sideAsOf(spark: SparkSession, side: (String, String),
       key: Column => Column, asOf: Long, floor: Long, out: String,
-      restrict: Option[DataFrame] = None): DataFrame =
-    lake.stateAsOf(spark, side._1, side._2, asOf, floor, restrict)
+      restrict: Option[DataFrame] = None,
+      restrictImm: Option[DataFrame] = None): DataFrame =
+    lake.stateAsOf(spark, side._1, side._2, asOf, floor, restrict,
+        restrictImm.map(ks => (key, ks)))
       .select(key(col("after")).as("jk"), col("after").as(out))
       .filter(col("jk").isNotNull)
 
@@ -186,12 +205,28 @@ final class MaintainedJoin(
           col("key_names").isNull || size(col("key_names")) =!= 1 ||
             badImage("after") || badImage("before"))
       }
+      // The immutability contract's observable violations: a delete whose
+      // image lacks the key (the restricted fold would drop the delete and
+      // resurrect the row), or an update whose key changes value→value or
+      // value→NULL (the newer version could be pruned while an older one
+      // survives). NULL→value is legal: the NULL-imaged versions are
+      // never kept by the filter, so they cannot shadow anything.
+      def badImmutable(s: (String, String), key: Column => Column, on: Boolean) =
+        if (!on) lit(false)
+        else isSide(s) && (
+          (col("op") === "delete" &&
+            (col("before").isNull || key(col("before")).isNull)) ||
+          (col("op") === "update" && col("before").isNotNull &&
+            key(col("before")).isNotNull &&
+            !(key(col("before")) <=> key(col("after")))))
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           flag(col("op") === "truncate" && (isSide(left) || isSide(right))),
           flag(nullTouch(left, leftKey)), flag(nullTouch(right, rightKey)),
           flag(badRowKey(left, leftKey, leftKeyIsRowKey)),
-          flag(badRowKey(right, rightKey, rightKeyIsRowKey)))
+          flag(badRowKey(right, rightKey, rightKeyIsRowKey)),
+          flag(badImmutable(left, leftKey, leftKeyImmutable && !leftKeyIsRowKey)),
+          flag(badImmutable(right, rightKey, rightKeyImmutable && !rightKeyIsRowKey)))
         .head()
       // flag reads guard on the empty-span null bounds FIRST (an all-empty
       // span aggregates every column to NULL, and Row.getInt on a NULL
@@ -208,6 +243,16 @@ final class MaintainedJoin(
             "carry a non-single-column replica identity (e.g. FULL) — the " +
             "restricted fold keys on the replica identity, so the flag " +
             "requires a single-column identity that IS the join key")
+      def immutableViolation(side: (String, String)) = new IllegalStateException(
+        s"KeyImmutable is set for ${side._1}.${side._2} but the span " +
+          "carries an event violating the contract — a join-key-changing " +
+          "update, or a delete whose image lacks the key (REPLICA " +
+          "IDENTITY FULL, or the key column in the identity, is required) " +
+          "— the immutable-restricted fold could resurrect stale versions")
+      if (leftKeyImmutable && !leftKeyIsRowKey && !bounds.isNullAt(0) &&
+          bounds.getInt(7) == 1) throw immutableViolation(left)
+      if (rightKeyImmutable && !rightKeyIsRowKey && !bounds.isNullAt(0) &&
+          bounds.getInt(8) == 1) throw immutableViolation(right)
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
       if (!bounds.isNullAt(0)) {
@@ -267,13 +312,22 @@ final class MaintainedJoin(
           // hashes it — a typed extractor's raw value would hash into
           // the wrong buckets and prune the right slices away
           val restrict = Some(touched.select(col("jk").cast("string").as("k")))
+          // restriction strength order per side: row-key (prunes BASE
+          // buckets too) > declared-immutable (prunes fold input, scans
+          // BASE whole) > none (full fold, semi-joined after)
           val lRec =
             if (leftKeyIsRowKey)
               sideAsOf(spark, left, leftKey, key._2, key._1, "left_after", restrict)
+            else if (leftKeyImmutable)
+              sideAsOf(spark, left, leftKey, key._2, key._1, "left_after",
+                restrictImm = restrict)
             else lNew
           val rRec =
             if (rightKeyIsRowKey)
               sideAsOf(spark, right, rightKey, key._2, key._1, "right_after", restrict)
+            else if (rightKeyImmutable)
+              sideAsOf(spark, right, rightKey, key._2, key._1, "right_after",
+                restrictImm = restrict)
             else rNew
           val recomputed = joined(
             lRec.join(touched, Seq("jk"), "left_semi"),

@@ -458,6 +458,76 @@ class MaintainedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("immutable-FK recompute matches the full fold through churn, compaction, and deletes") {
+    // rightKeyImmutable on the fact-like side ("o" joins on uid, which
+    // never changes per order): the recompute prunes o's fold input to
+    // the touched uids instead of folding the table — results must be
+    // indistinguishable from the unrestricted path at every boundary.
+    val dir = Files.createTempDirectory("lake-mjimm").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "imm", stateBuckets = 4,
+        leftKeyIsRowKey = true, rightKeyImmutable = true)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "u", Seq("id"), null, user("2", "bo")),
+        ev(3, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(4, "insert", "o", Seq("oid"), null, order("b", "2", "20")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == expected(sink))
+      sink.compact(spark) // the immutable filter must keep BASE rows too
+      sink.appendBatch(envelope(Seq(
+        ev(5, "update", "o", Seq("oid"),
+          order("a", "1", "10"), order("a", "1", "11")), // amt only, uid fixed
+        ev(6, "insert", "o", Seq("oid"), null, order("c", "1", "30")))), 1L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(
+        ("a", "alice", "11"), ("b", "bo", "20"), ("c", "alice", "30")))
+      assert(joinSet(mj) == expected(sink))
+      sink.appendBatch(envelope(Seq(
+        ev(7, "delete", "o", Seq("oid"), order("b", "2", "20"), null))), 2L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(("a", "alice", "11"), ("c", "alice", "30")))
+      assert(joinSet(mj) == expected(sink))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("immutable-FK contract violations fail loud: key-changing update, key-less delete image") {
+    def freshJoin(dir: String) = {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "immv", stateBuckets = 4, rightKeyImmutable = true)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      (sink, mj)
+    }
+    val d1 = Files.createTempDirectory("lake-mjiv1").toString
+    try {
+      val (sink, mj) = freshJoin(d1)
+      // moving order a from user 1 to user 2 changes the declared-immutable key
+      sink.appendBatch(envelope(Seq(
+        ev(3, "update", "o", Seq("oid"),
+          order("a", "1", "10"), order("a", "2", "10")))), 1L)
+      val e = intercept[IllegalStateException](mj.refresh(spark))
+      assert(e.getMessage.contains("KeyImmutable"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d1))
+    val d2 = Files.createTempDirectory("lake-mjiv2").toString
+    try {
+      val (sink, mj) = freshJoin(d2)
+      // a delete whose before image lacks uid: the restricted fold would
+      // drop the retraction and resurrect the row
+      sink.appendBatch(envelope(Seq(
+        ev(3, "delete", "o", Seq("oid"), Map("oid" -> "a"), null))), 1L)
+      val e = intercept[IllegalStateException](mj.refresh(spark))
+      assert(e.getMessage.contains("KeyImmutable"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d2))
+  }
+
   test("a delete whose extractor diverges from the flagged identity fails loud") {
     // regression: badRowKey used to validate only the AFTER image, so a
     // delete (before only) with an extractor reading the wrong column

@@ -115,4 +115,78 @@ class RestrictedFoldPropertySpec extends AnyFunSuite {
       prop)
     assert(res.passed, res.status.toString)
   }
+
+  // -------------------------------------------------------------------
+  // The IMMUTABLE-column restriction (`restrictToImmutable`): rows carry
+  // a `grp` column that is a pure function of the row key (so it honors
+  // the immutability contract by construction, NULL for some keys), and
+  // the fold restricted by grp must equal the full fold filtered to
+  // those grp values — across deletes, truncates, re-inserts, and a
+  // compact+vacuum point (BASE rows must pass the filter too).
+
+  private def grpOf(k: Int): String = if (k % 4 == 3) null else ("g" + (k % 3))
+
+  private def toRowG(op: Op, lsn: Long): Row = op match {
+    case Upsert(k, v) =>
+      Row(lsn, lsn, 7L, "insert", "public", "t", T, T, Seq("id"), null,
+        Map("id" -> k.toString, "grp" -> grpOf(k), "v" -> v.toString))
+    case Delete(k) =>
+      Row(lsn, lsn, 7L, "delete", "public", "t", T, T, Seq("id"),
+        Map("id" -> k.toString, "grp" -> grpOf(k), "v" -> null), null)
+    case KeyMove(a, _, v) => // reuse as a plain update of `v` (grp fixed)
+      Row(lsn, lsn, 7L, "update", "public", "t", T, T, Seq("id"),
+        Map("id" -> a.toString, "grp" -> grpOf(a), "v" -> "old"),
+        Map("id" -> a.toString, "grp" -> grpOf(a), "v" -> v.toString))
+    case Truncate =>
+      Row(lsn, lsn, 7L, "truncate", "public", "t", T, T, Seq("id"), null, null)
+  }
+
+  private val genCaseG: Gen[(List[Op], Int, Int, Set[String])] = for {
+    ops <- Gen.listOfN(26, genOp)
+    nBatches <- Gen.choose(1, 6)
+    compactAfter <- Gen.choose(0, nBatches)
+    restrict <- Gen.someOf(Seq("g0", "g1", "g2"))
+  } yield (ops, nBatches, compactAfter, restrict.toSet)
+
+  test("immutable-column-restricted fold == unrestricted fold filtered, any history") {
+    val prop = Prop.forAll(genCaseG) { case (ops, nBatches, compactAfter, restrict) =>
+      val dir = Files.createTempDirectory("lake-iprop").toString
+      try {
+        val sink = new LakeSink(dir, baseBuckets = 4)
+        val rows = ops.zipWithIndex.map { case (op, i) => toRowG(op, 10L + i) }
+        val per = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+        var last = -1L
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, id) =>
+          sink.appendBatch(envelope(chunk), id.toLong)
+          last = id.toLong
+          if (id + 1 == compactAfter) { sink.compact(spark); sink.vacuum(spark) }
+        }
+        val ksDF = {
+          import spark.implicits._
+          restrict.toSeq.sorted.toDF("k")
+        }
+        val restricted = stateMap(sink.stateAsOf(
+          spark, "public", "t", asOf = last,
+          restrictToImmutable = Some(((i: org.apache.spark.sql.Column) =>
+            element_at(i, "grp"), ksDF))))
+        val full = sink.stateAsOf(spark, "public", "t", asOf = last)
+          .select(col("k"), element_at(col("after"), "v"),
+            element_at(col("after"), "grp"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        val want = full.filter(r => r._3 != null && restrict.contains(r._3))
+          .map(r => r._1 -> r._2).toMap
+        val ok = restricted == want
+        if (!ok) info(s"MISMATCH ops=$ops nBatches=$nBatches " +
+          s"compactAfter=$compactAfter restrict=$restrict " +
+          s"restricted=$restricted want=$want")
+        ok
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(32).withInitialSeed(Seed(41L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
 }
