@@ -7,7 +7,7 @@ sorting columns by name and rows by value (the driver hashes in that order).
 
 Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, math, os, sys
+import datetime, decimal, json, math, os, sys
 
 import duckdb
 
@@ -32,14 +32,68 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+def _java_double(v):
+    # java.lang.Double.toString: shortest round-trip digits, decimal
+    # notation for 1e-3 <= |v| < 1e7, else "d.dddEk" scientific; NaN /
+    # Infinity spelled out; -0.0 kept. Python repr uses the same shortest
+    # digits but different notation thresholds ('1e+16' vs '1.0E16'), so
+    # reformat per the Java rules. (Rare pre-JDK19 Double.toString outputs
+    # carry an extra digit vs true-shortest — cosmetic in a diagnostic diff.)
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    sign = "-" if math.copysign(1.0, v) < 0 else ""
+    if v == 0.0:
+        return sign + "0.0"
+    t = decimal.Decimal(repr(abs(v))).normalize().as_tuple()
+    digits = "".join(map(str, t.digits))
+    exp10 = t.exponent + len(digits)  # |v| = 0.<digits> * 10^exp10
+    if -2 <= exp10 <= 7:  # 1e-3 <= |v| < 1e7
+        if exp10 <= 0:
+            return sign + "0." + "0" * (-exp10) + digits
+        if exp10 >= len(digits):
+            return sign + digits + "0" * (exp10 - len(digits)) + ".0"
+        return sign + digits[:exp10] + "." + digits[exp10:]
+    return sign + digits[0] + "." + (digits[1:] or "0") + "E" + str(exp10 - 1)
+
+
+def _java_instant(v):
+    # java.time.Instant.toString: ISO-8601 Z, fraction trimmed to groups
+    # of three digits with trailing zero groups dropped
+    s = v.isoformat()
+    if "." in s:
+        base, frac = s.split(".")
+        frac = frac.ljust(9, "0")[:9]
+        while frac.endswith("000"):
+            frac = frac[:-3]
+        s = base + ("." + frac if frac else "")
+    return s + "Z"
+
+
 def canon_cell(v):
-    # mirrors graft.Verify's canonCell: NULL marker, shortest-round-trip
-    # floats (py3 repr), plain-string decimals — for human diffing against
-    # <name>.canon.txt
+    # mirrors graft.Verify's canonCell rendering exactly (one documented
+    # format per type) — for human diffing against <name>.canon.txt
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
     if isinstance(v, float):
-        return repr(v)
+        return _java_double(v)
+    if isinstance(v, decimal.Decimal):
+        return format(v, "f")  # toPlainString, declared scale kept
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, datetime.datetime):
+        return _java_instant(v)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            sorted(canon_cell(k) + "=" + canon_cell(x)
+                   for k, x in v.items())) + "}"
     return str(v)
 
 

@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
   *
   * Besides the parquet the driver hashes, every query also gets a CANONICAL
   * text dump (`<name>.canon.txt`) rendered from the parquet just written —
-  * columns sorted by name, rows sorted null-first-then-lexicographically
-  * (the driver's own hash order), decimals via BigDecimal.toPlainString at
+  * columns sorted by name, rows sorted lexicographically with NULL cells
+  * LAST (the driver's own hash order: (isNull, str) per cell, False<True —
+  * local_verify.py's canon() mirrors the same), decimals via BigDecimal.toPlainString at
   * their declared scale, doubles via java.lang.Double.toString (shortest
   * round-trip) — plus a `versions.json` recording the JVM/Spark/Scala the
   * dump was produced under. A hash red in CORRECTNESS_r{N} can then be
@@ -45,19 +46,24 @@ object Verify {
     val header = order.map(i =>
       df.schema.fields(i).name + ":" + df.schema.fields(i).dataType.simpleString)
       .mkString("\t")
-    val rows = df.collect().map { r =>
-      order.map(i => canonCell(r.get(i))).toSeq
-    }
-    // the driver sorts rows by (isNull, str) per cell, columns already
-    // name-ordered — mirror it so line N here is row N of its compare
+    // the driver sorts rows by (isNull, str) per cell — NULLs LAST
+    // (False<True in the python tuple) — columns already name-ordered;
+    // mirror it so line N here is row N of its compare. Rendering and
+    // sorting run IN SPARK and the file is written from a partition-at-
+    // a-time iterator: a per-row dump at a big sf never materializes the
+    // whole result (or a second copy as text) on the driver.
     implicit val ord: Ordering[Seq[(Int, String)]] =
       Ordering.Implicits.seqOrdering[Seq, (Int, String)]
-    val sorted = rows.sortBy(cells =>
-      cells.map(c => (if (c == "NULL") 0 else 1, c)): Seq[(Int, String)])
-    val sb = new StringBuilder
-    sb.append("# ").append(header).append('\n')
-    sorted.foreach { cells => sb.append(cells.mkString("\t")).append('\n') }
-    Files.writeString(Paths.get(s"$outDir/$name.canon.txt"), sb.toString)
+    val lines = df.rdd.map { r =>
+        val cells = order.map(i => canonCell(r.get(i)))
+        (cells.map(c => (if (c == "NULL") 1 else 0, c)).toSeq,
+          cells.mkString("\t"))
+      }.sortBy(_._1).map(_._2)
+    val w = Files.newBufferedWriter(Paths.get(s"$outDir/$name.canon.txt"))
+    try {
+      w.write("# " + header); w.newLine()
+      lines.toLocalIterator.foreach { l => w.write(l); w.newLine() }
+    } finally w.close()
   }
 
   def main(args: Array[String]): Unit = {

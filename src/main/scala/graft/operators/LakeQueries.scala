@@ -321,7 +321,7 @@ object LakeQueries {
       // input to the touched custkeys instead of folding all of orders —
       // the churn-proportional shape for FK joins at scale, and this
       // gate proves it against the DuckDB oracle
-      leftKeyImmutable = true)
+      leftKeyImmutable = true, leftKeyCol = Some("o_custkey"))
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
     val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)

@@ -76,14 +76,35 @@ final class MaintainedJoin(
       * the row key, which a non-key column cannot prune). Contract,
       * validated against every span (fail-loud): the extracted key never
       * changes across a row's versions (NULL→value is fine) and delete
-      * images carry it (REPLICA IDENTITY FULL, or the column in the
-      * identity). Ignored when the row-key flag for the same side is set
-      * — that restriction is strictly stronger (it also prunes BASE
-      * buckets). Like the row-key flags, history already folded into
-      * BASE cannot be re-validated.
+      * images carry the COLUMN (REPLICA IDENTITY FULL, or the column in
+      * the identity) — a genuinely NULL key value is fine: NULL-keyed
+      * rows are served by the null segment, never the restricted fold,
+      * so dropping their history cannot resurrect anything. Ignored when
+      * the row-key flag for the same side is set — that restriction is
+      * strictly stronger (it also prunes BASE buckets). Like the row-key
+      * flags, history already folded into BASE cannot be re-validated.
       */
     leftKeyImmutable: Boolean = false,
-    rightKeyImmutable: Boolean = false) {
+    rightKeyImmutable: Boolean = false,
+    /** The image-map entry the side's join key is read from — REQUIRED
+      * with the matching `*KeyImmutable` flag (the extractor is opaque,
+      * so delete validation needs the name to tell a genuinely NULL key
+      * — column present, value NULL; benign — from an image that LACKS
+      * the column — replica identity without it; the restricted fold
+      * would drop the delete and serve the row forever). Image maps
+      * carry NULL columns as present-with-null ([[graft.cdc.
+      * TransactionAssembler.tupleToMap]] omits only unchanged TOAST), so
+      * `map_contains_key` is exactly this test.
+      */
+    leftKeyCol: Option[String] = None,
+    rightKeyCol: Option[String] = None) {
+
+  require(!leftKeyImmutable || leftKeyIsRowKey || leftKeyCol.nonEmpty,
+    "leftKeyImmutable requires leftKeyCol (the image-map column name) so " +
+      "delete validation can tell a NULL key value from a missing column")
+  require(!rightKeyImmutable || rightKeyIsRowKey || rightKeyCol.nonEmpty,
+    "rightKeyImmutable requires rightKeyCol (the image-map column name) so " +
+      "delete validation can tell a NULL key value from a missing column")
 
   require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
     s"unsupported joinType '$joinType'")
@@ -206,16 +227,21 @@ final class MaintainedJoin(
             badImage("after") || badImage("before"))
       }
       // The immutability contract's observable violations: a delete whose
-      // image lacks the key (the restricted fold would drop the delete and
-      // resurrect the row), or an update whose key changes value→value or
-      // value→NULL (the newer version could be pruned while an older one
-      // survives). NULL→value is legal: the NULL-imaged versions are
-      // never kept by the filter, so they cannot shadow anything.
-      def badImmutable(s: (String, String), key: Column => Column, on: Boolean) =
+      // image lacks the key COLUMN (the restricted fold would drop the
+      // delete and resurrect the row), or an update whose key changes
+      // value→value or value→NULL (the newer version could be pruned
+      // while an older one survives). NULL→value is legal, and so is a
+      // delete whose key column is present with a NULL value: NULL-keyed
+      // versions are never served by the restricted fold (the null
+      // segment recomputes them unrestricted), so dropping them cannot
+      // shadow or resurrect anything.
+      def badImmutable(s: (String, String), key: Column => Column,
+          keyCol: Option[String], on: Boolean) =
         if (!on) lit(false)
         else isSide(s) && (
           (col("op") === "delete" &&
-            (col("before").isNull || key(col("before")).isNull)) ||
+            (col("before").isNull || (key(col("before")).isNull &&
+              !map_contains_key(col("before"), lit(keyCol.get))))) ||
           (col("op") === "update" && col("before").isNotNull &&
             key(col("before")).isNotNull &&
             !(key(col("before")) <=> key(col("after")))))
@@ -225,8 +251,10 @@ final class MaintainedJoin(
           flag(nullTouch(left, leftKey)), flag(nullTouch(right, rightKey)),
           flag(badRowKey(left, leftKey, leftKeyIsRowKey)),
           flag(badRowKey(right, rightKey, rightKeyIsRowKey)),
-          flag(badImmutable(left, leftKey, leftKeyImmutable && !leftKeyIsRowKey)),
-          flag(badImmutable(right, rightKey, rightKeyImmutable && !rightKeyIsRowKey)))
+          flag(badImmutable(left, leftKey, leftKeyCol,
+            leftKeyImmutable && !leftKeyIsRowKey)),
+          flag(badImmutable(right, rightKey, rightKeyCol,
+            rightKeyImmutable && !rightKeyIsRowKey)))
         .head()
       // flag reads guard on the empty-span null bounds FIRST (an all-empty
       // span aggregates every column to NULL, and Row.getInt on a NULL
@@ -246,8 +274,9 @@ final class MaintainedJoin(
       def immutableViolation(side: (String, String)) = new IllegalStateException(
         s"KeyImmutable is set for ${side._1}.${side._2} but the span " +
           "carries an event violating the contract — a join-key-changing " +
-          "update, or a delete whose image lacks the key (REPLICA " +
-          "IDENTITY FULL, or the key column in the identity, is required) " +
+          "update, or a delete whose image lacks the key COLUMN (REPLICA " +
+          "IDENTITY FULL, or the key column in the identity, is required; " +
+          "a present column with a NULL value is fine) " +
           "— the immutable-restricted fold could resurrect stale versions")
       if (leftKeyImmutable && !leftKeyIsRowKey && !bounds.isNullAt(0) &&
           bounds.getInt(7) == 1) throw immutableViolation(left)
@@ -275,7 +304,11 @@ final class MaintainedJoin(
         //  - cost: at seed every key is touched anyway — the probe /
         //    semi-join / anti-splice machinery degenerates to the full
         //    join with several extra shuffles.
-        val seeding = states.latestWithin(f, from).isEmpty
+        // one commit-log listing serves both the seed test and the
+        // dirty-key path's previous-state read (a listing per refresh is
+        // a network round-trip on object-store-backed lakes)
+        val prevKey = states.latestWithin(f, from)
+        val seeding = prevKey.isEmpty
         if (truncated || seeding) { // rebuild at the boundary, all buckets written
           val rebuilt = joined(lNew, rNew)
           val next = nullSegment(spark, key._2, key._1)
@@ -299,7 +332,6 @@ final class MaintainedJoin(
             .select(states.bucketCol(col("jk")).as("b")).distinct()
             .collect().map(_.getInt(0)).toSet ++
             (if (nullDirty) Set(states.nullBucket) else Set.empty)
-          val prevKey = states.latestWithin(f, from)
           // ONLY the touched buckets' slices are read — the splice's
           // input is bucket-bounded, never the whole state
           val prevTouched = prevKey

@@ -47,9 +47,18 @@ object SnapshotJobStore {
       */
     def ensureSchema(): Unit = {
       val core = Set("slot_name", "snapshot_id", "snapshot_lsn", "completed")
+      // to_regclass resolves the SAME relation the unqualified ALTER /
+      // INSERT below will hit (search_path order, qualified names too) —
+      // an information_schema.columns match on table_name alone would see
+      // a same-named table in ANY schema, suppress the CREATE, and leave
+      // load()/save() failing on a relation that does not exist here
       val cols = exec(
-        "SELECT column_name, is_nullable, column_default, data_type " +
-          s"FROM information_schema.columns WHERE table_name = ${lit(table)}")
+        "SELECT a.attname, CASE WHEN a.attnotnull THEN 'NO' ELSE 'YES' END, " +
+          "pg_get_expr(d.adbin, d.adrelid), format_type(a.atttypid, a.atttypmod) " +
+          "FROM pg_attribute a " +
+          "LEFT JOIN pg_attrdef d ON d.adrelid = a.attrelid AND d.adnum = a.attnum " +
+          s"WHERE a.attrelid = to_regclass(${lit(table)}) " +
+          "AND a.attnum > 0 AND NOT a.attisdropped")
       if (cols.isEmpty)
         exec(s"CREATE TABLE $table (slot_name TEXT PRIMARY KEY, " +
           "snapshot_id TEXT NOT NULL, snapshot_lsn TEXT NOT NULL, " +
@@ -58,10 +67,22 @@ object SnapshotJobStore {
         case Seq(name, nullable, default, dataType)
             if !core.contains(name) && nullable == "NO" &&
               (default == null || default.isEmpty) =>
+          // the DEFAULT must be assignable to the column's type — a
+          // catch-all '' would make the ALTER itself fail on uuid/date/
+          // jsonb/bytea columns and abort the migration mid-way
           val d = dataType match {
             case t if t.startsWith("timestamp") => "now()"
-            case "integer" | "bigint" | "smallint" | "numeric" => "0"
+            case "date" => "CURRENT_DATE"
+            case t if t.startsWith("time") => "CURRENT_TIME"
+            case t if t.startsWith("numeric") => "0"
+            case "integer" | "bigint" | "smallint" |
+                 "double precision" | "real" | "oid" => "0"
             case "boolean" => "FALSE"
+            case "uuid" => "gen_random_uuid()"
+            case "json" | "jsonb" => "'{}'"
+            case "bytea" => "'\\x'"
+            case "interval" => "'0'"
+            case t if t.endsWith("[]") => "'{}'"
             case _ => "''"
           }
           exec(s"ALTER TABLE $table ALTER COLUMN $name SET DEFAULT $d")

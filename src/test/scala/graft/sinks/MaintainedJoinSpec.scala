@@ -469,7 +469,8 @@ class MaintainedJoinSpec extends AnyFunSuite {
       val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
         im => element_at(im, "id"), im => element_at(im, "uid"),
         "imm", stateBuckets = 4,
-        leftKeyIsRowKey = true, rightKeyImmutable = true)
+        leftKeyIsRowKey = true, rightKeyImmutable = true,
+        rightKeyCol = Some("uid"))
       sink.appendBatch(envelope(Seq(
         ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
         ev(2, "insert", "u", Seq("id"), null, user("2", "bo")),
@@ -499,7 +500,8 @@ class MaintainedJoinSpec extends AnyFunSuite {
       val sink = new LakeSink(dir, baseBuckets = 4)
       val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
         im => element_at(im, "id"), im => element_at(im, "uid"),
-        "immv", stateBuckets = 4, rightKeyImmutable = true)
+        "immv", stateBuckets = 4, rightKeyImmutable = true,
+        rightKeyCol = Some("uid"))
       sink.appendBatch(envelope(Seq(
         ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
         ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")))), 0L)
@@ -526,6 +528,47 @@ class MaintainedJoinSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](mj.refresh(spark))
       assert(e.getMessage.contains("KeyImmutable"), e.getMessage)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d2))
+  }
+
+  test("a genuinely NULL immutable key is not a violation: NULL-keyed rows insert and delete cleanly") {
+    // An order whose uid is genuinely NULL (column PRESENT in the image,
+    // value null — a nullable FK under REPLICA IDENTITY FULL). Its delete
+    // extracts a NULL key, which r14's first cut flagged as a contract
+    // violation — wedging refresh in a crash-loop on a data shape the
+    // join supports (NULL-keyed rows live in the null segment, never the
+    // restricted fold). map_contains_key distinguishes it from the
+    // truly-dangerous image-lacks-the-column delete above.
+    val dir = Files.createTempDirectory("lake-mjnull").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "immn", stateBuckets = 4, rightKeyImmutable = true,
+        rightKeyCol = Some("uid"))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(3, "insert", "o", Seq("oid"), null, order("n", null, "99")))), 0L)
+      assert(mj.refresh(spark) == 1)
+      assert(joinSet(mj) == Set(("a", "alice", "10")))
+      // delete the NULL-keyed order: before image CARRIES uid (null value)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "delete", "o", Seq("oid"), order("n", null, "99"), null),
+        ev(5, "insert", "o", Seq("oid"), null, order("b", "1", "20")))), 1L)
+      assert(mj.refresh(spark) == 1) // must not throw
+      assert(joinSet(mj) == Set(("a", "alice", "10"), ("b", "alice", "20")))
+      assert(joinSet(mj) == expected(sink))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("KeyImmutable without the image column name is rejected at construction") {
+    val sink = new LakeSink(Files.createTempDirectory("lake-mjreq").toString)
+    val e = intercept[IllegalArgumentException] {
+      new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "immr", rightKeyImmutable = true)
+    }
+    assert(e.getMessage.contains("rightKeyCol"), e.getMessage)
   }
 
   test("a delete whose extractor diverges from the flagged identity fails loud") {

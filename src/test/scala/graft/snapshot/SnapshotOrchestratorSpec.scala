@@ -130,14 +130,20 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     var cols: Seq[Seq[String]] = Seq.empty
     val exec: CatalogReader.SqlExecutor = { sql =>
       issued += sql
-      if (sql.contains("information_schema.columns")) cols else Seq.empty
+      if (sql.contains("pg_attribute")) cols else Seq.empty
     }
     val st = new SnapshotJobStore.Sql(exec)
-    // missing table → minimal CREATE
+    // missing table → minimal CREATE; introspection must resolve through
+    // to_regclass (search_path-exact — the relation the unqualified DML
+    // hits), not a schema-blind information_schema table_name match
     st.ensureSchema()
-    assert(issued.result().exists(_.startsWith("CREATE TABLE cdc_snapshot_job")))
-    // reference-era table: started_at NOT NULL without default must get a
-    // now() default; core and already-defaulted columns stay untouched
+    val sqls1 = issued.result()
+    assert(sqls1.exists(_.contains("to_regclass('cdc_snapshot_job')")),
+      s"introspection resolves via to_regclass: $sqls1")
+    assert(sqls1.exists(_.startsWith("CREATE TABLE cdc_snapshot_job")))
+    // reference-era table: NOT-NULL default-less columns get TYPE-
+    // APPROPRIATE defaults (a catch-all '' fails the ALTER itself on
+    // uuid/date/jsonb); core and already-defaulted columns stay untouched
     issued.clear()
     cols = Seq(
       Seq("slot_name", "NO", null, "text"),
@@ -145,13 +151,19 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
       Seq("snapshot_lsn", "NO", null, "text"),
       Seq("completed", "YES", "false", "boolean"),
       Seq("started_at", "NO", null, "timestamp without time zone"),
+      Seq("claim_id", "NO", null, "uuid"),
+      Seq("progress_doc", "NO", null, "jsonb"),
+      Seq("started_on", "NO", null, "date"),
       Seq("total_chunks", "NO", "0", "integer"),
       Seq("claimed_by", "YES", null, "text"))
     st.ensureSchema()
     val sqls2 = issued.result()
-    assert(sqls2.exists(_ ==
-      "ALTER TABLE cdc_snapshot_job ALTER COLUMN started_at SET DEFAULT now()"),
-      s"era column gets a type-appropriate default: $sqls2")
+    def altered(c: String, d: String) = sqls2.contains(
+      s"ALTER TABLE cdc_snapshot_job ALTER COLUMN $c SET DEFAULT $d")
+    assert(altered("started_at", "now()"), s"timestamp default: $sqls2")
+    assert(altered("claim_id", "gen_random_uuid()"), s"uuid default: $sqls2")
+    assert(altered("progress_doc", "'{}'"), s"jsonb default: $sqls2")
+    assert(altered("started_on", "CURRENT_DATE"), s"date default: $sqls2")
     assert(!sqls2.exists(_.contains("total_chunks")),
       "already-defaulted era columns are left alone")
     assert(!sqls2.exists(_.contains("slot_name SET DEFAULT")),
