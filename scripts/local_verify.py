@@ -60,7 +60,12 @@ def _java_double(v):
 
 def _java_instant(v):
     # java.time.Instant.toString: ISO-8601 Z, fraction trimmed to groups
-    # of three digits with trailing zero groups dropped
+    # of three digits with trailing zero groups dropped. tz-aware inputs
+    # (duckdb's TIMESTAMPTZ fetch) normalize to UTC and drop the offset
+    # first — isoformat() would otherwise append '+00:00', whose
+    # trailing ':00' the zero-group trimmer then eats.
+    if v.tzinfo is not None:
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     s = v.isoformat()
     if "." in s:
         base, frac = s.split(".")
@@ -98,11 +103,19 @@ def canon_cell(v):
 
 
 def write_oracle_canon(out_dir, name, cols, rows):
+    # rows re-sort by the RENDERED cells (NULLs last) — the same key
+    # graft.Verify's writeCanon uses — so equal content aligns data
+    # lines one-to-one and a red diffs line-to-line. canon()'s
+    # str(raw)-keyed order (the hash compare) can differ from this only
+    # for scientific-notation doubles, where order is cosmetic.
+    rendered = sorted(
+        (tuple(canon_cell(x) for x in r) for r in rows),
+        key=lambda cells: tuple((c == "NULL", c) for c in cells))
     path = os.path.join(out_dir, f"{name}.oracle.canon.txt")
     with open(path, "w") as f:
         f.write("# " + "\t".join(cols) + "\n")
-        for r in rows:
-            f.write("\t".join(canon_cell(x) for x in r) + "\n")
+        for cells in rendered:
+            f.write("\t".join(cells) + "\n")
 
 
 def main():

@@ -6,9 +6,12 @@ import java.nio.file.{Files, Paths}
   *
   * Besides the parquet the driver hashes, every query also gets a CANONICAL
   * text dump (`<name>.canon.txt`) rendered from the parquet just written —
-  * columns sorted by name, rows sorted lexicographically with NULL cells
-  * LAST (the driver's own hash order: (isNull, str) per cell, False<True —
-  * local_verify.py's canon() mirrors the same), decimals via BigDecimal.toPlainString at
+  * columns sorted by name, rows sorted lexicographically on the RENDERED
+  * cells with NULL cells LAST (local_verify.py's oracle canon dump sorts
+  * by the same key, so the two files diff line-to-line; the driver's
+  * hash order — (isNull, str(raw)) per cell — agrees except on
+  * scientific-notation doubles, where only row ORDER can differ, never
+  * the compared multiset), decimals via BigDecimal.toPlainString at
   * their declared scale, doubles via java.lang.Double.toString (shortest
   * round-trip) — plus a `versions.json` recording the JVM/Spark/Scala the
   * dump was produced under. A hash red in CORRECTNESS_r{N} can then be
@@ -25,7 +28,11 @@ object Verify {
     case null => "NULL"
     case d: java.math.BigDecimal => d.toPlainString
     case d: java.lang.Double => java.lang.Double.toString(d)
-    case f: java.lang.Float => java.lang.Float.toString(f)
+    // floats render WIDENED: DuckDB hands local_verify the parquet
+    // float32 as a python double, so Float.toString's short form
+    // ("1.1") would diff against the widened repr
+    // ("1.100000023841858") on every float cell
+    case f: java.lang.Float => java.lang.Double.toString(f.toDouble)
     case t: java.sql.Timestamp => t.toInstant.toString
     case d: java.sql.Date => d.toString
     case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
@@ -46,12 +53,17 @@ object Verify {
     val header = order.map(i =>
       df.schema.fields(i).name + ":" + df.schema.fields(i).dataType.simpleString)
       .mkString("\t")
-    // the driver sorts rows by (isNull, str) per cell — NULLs LAST
-    // (False<True in the python tuple) — columns already name-ordered;
-    // mirror it so line N here is row N of its compare. Rendering and
-    // sorting run IN SPARK and the file is written from a partition-at-
-    // a-time iterator: a per-row dump at a big sf never materializes the
-    // whole result (or a second copy as text) on the driver.
+    // rows sort by (isNull, renderedCell) — NULLs LAST, columns already
+    // name-ordered. local_verify.py's oracle canon dump sorts by the
+    // SAME rendered-cell key, so equal content aligns data lines
+    // one-to-one and a red diffs line-to-line (only the '#' header
+    // differs — this side annotates Spark types). (The driver's internal hash
+    // order sorts by python str(raw value) instead — identical except
+    // for scientific-notation doubles, where only the ORDER differs,
+    // never the multiset of rows being compared.) Rendering and sorting
+    // run IN SPARK and the file is written from a partition-at-a-time
+    // iterator: a per-row dump at a big sf never materializes the whole
+    // result (or a second copy as text) on the driver.
     implicit val ord: Ordering[Seq[(Int, String)]] =
       Ordering.Implicits.seqOrdering[Seq, (Int, String)]
     val lines = df.rdd.map { r =>

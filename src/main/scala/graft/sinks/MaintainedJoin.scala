@@ -236,15 +236,27 @@ final class MaintainedJoin(
       // segment recomputes them unrestricted), so dropping them cannot
       // shadow or resurrect anything.
       def badImmutable(s: (String, String), key: Column => Column,
-          keyCol: Option[String], on: Boolean) =
+          keyCol: Option[String], on: Boolean) = {
+        // the declared keyCol must be the entry the extractor reads —
+        // checked wherever an image CARRIES the column (TOAST-omitted
+        // images skip it). A misdeclared name would make the delete
+        // check below vacuously benign — map_contains_key would test a
+        // column the fold never reads — and the restricted fold would
+        // silently resurrect deleted rows; fail loud instead, like
+        // badRowKey does for the row-key flags.
+        def misdeclared(im: String) = col(im).isNotNull &&
+          map_contains_key(col(im), lit(keyCol.get)) &&
+          !(key(col(im)) <=> element_at(col(im), lit(keyCol.get)))
         if (!on) lit(false)
         else isSide(s) && (
+          misdeclared("after") || misdeclared("before") ||
           (col("op") === "delete" &&
             (col("before").isNull || (key(col("before")).isNull &&
               !map_contains_key(col("before"), lit(keyCol.get))))) ||
           (col("op") === "update" && col("before").isNotNull &&
             key(col("before")).isNotNull &&
             !(key(col("before")) <=> key(col("after")))))
+      }
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           flag(col("op") === "truncate" && (isSide(left) || isSide(right))),
@@ -274,9 +286,10 @@ final class MaintainedJoin(
       def immutableViolation(side: (String, String)) = new IllegalStateException(
         s"KeyImmutable is set for ${side._1}.${side._2} but the span " +
           "carries an event violating the contract — a join-key-changing " +
-          "update, or a delete whose image lacks the key COLUMN (REPLICA " +
+          "update, a delete whose image lacks the key COLUMN (REPLICA " +
           "IDENTITY FULL, or the key column in the identity, is required; " +
-          "a present column with a NULL value is fine) " +
+          "a present column with a NULL value is fine), or a declared " +
+          "*KeyCol that does not match what the key extractor reads " +
           "— the immutable-restricted fold could resurrect stale versions")
       if (leftKeyImmutable && !leftKeyIsRowKey && !bounds.isNullAt(0) &&
           bounds.getInt(7) == 1) throw immutableViolation(left)

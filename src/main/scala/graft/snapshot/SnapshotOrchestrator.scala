@@ -69,23 +69,41 @@ object SnapshotJobStore {
               (default == null || default.isEmpty) =>
           // the DEFAULT must be assignable to the column's type — a
           // catch-all '' would make the ALTER itself fail on uuid/date/
-          // jsonb/bytea columns and abort the migration mid-way
-          val d = dataType match {
-            case t if t.startsWith("timestamp") => "now()"
-            case "date" => "CURRENT_DATE"
-            case t if t.startsWith("time") => "CURRENT_TIME"
-            case t if t.startsWith("numeric") => "0"
-            case "integer" | "bigint" | "smallint" |
-                 "double precision" | "real" | "oid" => "0"
-            case "boolean" => "FALSE"
-            case "uuid" => "gen_random_uuid()"
-            case "json" | "jsonb" => "'{}'"
-            case "bytea" => "'\\x'"
-            case "interval" => "'0'"
-            case t if t.endsWith("[]") => "'{}'"
-            case _ => "''"
-          }
-          exec(s"ALTER TABLE $table ALTER COLUMN $name SET DEFAULT $d")
+          // jsonb/bytea columns and abort the migration mid-way. typmod
+          // is stripped first (format_type renders 'interval(3)',
+          // 'numeric(10,2)', 'character varying(64)'); the uuid default
+          // is a constant literal (gen_random_uuid() needs PG 13+ or
+          // pgcrypto — a failing ALTER would abort mid-migration); a
+          // genuinely unknown type (enum, domain, bit(n)) gets DROP NOT
+          // NULL instead of a default that cannot be synthesized safely
+          // — era columns are only written by OLDER deployments, so
+          // nullable is the conservative way to keep this deployment's
+          // INSERTs valid
+          val base = dataType.replaceAll("\\(.*?\\)", "").trim
+          val d =
+            if (base.endsWith("[]")) Some("'{}'")
+            else base match {
+              case t if t.startsWith("timestamp") => Some("now()")
+              case "date" => Some("CURRENT_DATE")
+              case t if t.startsWith("time") => Some("CURRENT_TIME")
+              case "numeric" | "decimal" => Some("0")
+              case "integer" | "bigint" | "smallint" |
+                   "double precision" | "real" | "oid" => Some("0")
+              case "boolean" => Some("FALSE")
+              case "uuid" => Some("'00000000-0000-0000-0000-000000000000'")
+              case "json" | "jsonb" => Some("'{}'")
+              case "bytea" => Some("'\\x'")
+              case t if t.startsWith("interval") => Some("'0'")
+              case "text" | "name" => Some("''")
+              case t if t.startsWith("character") => Some("''")
+              case _ => None
+            }
+          exec(d match {
+            case Some(v) =>
+              s"ALTER TABLE $table ALTER COLUMN $name SET DEFAULT $v"
+            case None =>
+              s"ALTER TABLE $table ALTER COLUMN $name DROP NOT NULL"
+          })
         case _ => ()
       }
     }

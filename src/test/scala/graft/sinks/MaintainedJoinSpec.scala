@@ -561,6 +561,29 @@ class MaintainedJoinSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("a KeyCol that does not match the extractor's column fails loud at refresh") {
+    // rightKeyCol declares "oid" (the row key — present in every image)
+    // while the extractor reads "uid". Before the misdeclared check,
+    // this config passed delete validation vacuously (map_contains_key
+    // tested a column the fold never reads), and a delete under an
+    // identity lacking uid would be dropped from the restricted fold —
+    // the deleted row served forever. Now the mismatch itself trips the
+    // contract on the FIRST span carrying the side's rows.
+    val dir = Files.createTempDirectory("lake-mjmis").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mj = new MaintainedJoin(sink, ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "immm", stateBuckets = 4, rightKeyImmutable = true,
+        rightKeyCol = Some("oid"))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")))), 0L)
+      val e = intercept[IllegalStateException] { mj.refresh(spark) }
+      assert(e.getMessage.contains("KeyCol"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("KeyImmutable without the image column name is rejected at construction") {
     val sink = new LakeSink(Files.createTempDirectory("lake-mjreq").toString)
     val e = intercept[IllegalArgumentException] {

@@ -154,6 +154,9 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
       Seq("claim_id", "NO", null, "uuid"),
       Seq("progress_doc", "NO", null, "jsonb"),
       Seq("started_on", "NO", null, "date"),
+      Seq("retry_window", "NO", null, "interval(3)"),
+      Seq("pod_label", "NO", null, "character varying(64)"),
+      Seq("shard_tags", "NO", null, "text[]"),
       Seq("total_chunks", "NO", "0", "integer"),
       Seq("claimed_by", "YES", null, "text"))
     st.ensureSchema()
@@ -161,14 +164,50 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     def altered(c: String, d: String) = sqls2.contains(
       s"ALTER TABLE cdc_snapshot_job ALTER COLUMN $c SET DEFAULT $d")
     assert(altered("started_at", "now()"), s"timestamp default: $sqls2")
-    assert(altered("claim_id", "gen_random_uuid()"), s"uuid default: $sqls2")
+    // uuid gets a CONSTANT literal: gen_random_uuid() needs PG 13+ or
+    // pgcrypto, and a failing ALTER would abort the migration mid-way
+    assert(altered("claim_id", "'00000000-0000-0000-0000-000000000000'"),
+      s"uuid default: $sqls2")
     assert(altered("progress_doc", "'{}'"), s"jsonb default: $sqls2")
     assert(altered("started_on", "CURRENT_DATE"), s"date default: $sqls2")
+    // typmod-carrying renderings (format_type output) still match their
+    // base type — these used to fall into the catch-all '' whose ALTER
+    // fails at the server
+    assert(altered("retry_window", "'0'"), s"interval(3) default: $sqls2")
+    assert(altered("pod_label", "''"), s"varchar(64) default: $sqls2")
+    assert(altered("shard_tags", "'{}'"), s"text[] default: $sqls2")
     assert(!sqls2.exists(_.contains("total_chunks")),
       "already-defaulted era columns are left alone")
     assert(!sqls2.exists(_.contains("slot_name SET DEFAULT")),
       "core columns are never touched")
     assert(!sqls2.exists(_.startsWith("CREATE TABLE")),
       "an existing table is migrated, not recreated")
+  }
+
+  test("Sql store ensureSchema: unknown-typed era columns drop NOT NULL instead of failing the ALTER") {
+    val issued = Seq.newBuilder[String]
+    val cols = Seq(
+      Seq("slot_name", "NO", null, "text"),
+      Seq("snapshot_id", "NO", null, "text"),
+      Seq("snapshot_lsn", "NO", null, "text"),
+      Seq("completed", "YES", "false", "boolean"),
+      Seq("phase", "NO", null, "snapshot_phase"), // an enum
+      Seq("flags", "NO", null, "bit(8)"))
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      issued += sql
+      if (sql.contains("pg_attribute")) cols else Seq.empty
+    }
+    new SnapshotJobStore.Sql(exec).ensureSchema()
+    val sqls = issued.result()
+    // no synthesizable default exists (an enum's labels are unknown;
+    // bit(n)'s width is column-specific) — the column must become
+    // nullable so this deployment's INSERTs stay valid, never get a
+    // DEFAULT whose ALTER the server rejects
+    def dropped(c: String) = sqls.contains(
+      s"ALTER TABLE cdc_snapshot_job ALTER COLUMN $c DROP NOT NULL")
+    assert(dropped("phase"), s"enum column drops NOT NULL: $sqls")
+    assert(dropped("flags"), s"bit(8) column drops NOT NULL: $sqls")
+    assert(!sqls.exists(s => s.contains("phase SET DEFAULT") ||
+      s.contains("flags SET DEFAULT")), "no unassignable DEFAULT is issued")
   }
 }
