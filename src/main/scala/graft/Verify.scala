@@ -27,11 +27,16 @@ object Verify {
   private def canonCell(v: Any): String = v match {
     case null => "NULL"
     case d: java.math.BigDecimal => d.toPlainString
+    // -0.0 renders as 0.0: the compare (local_verify.canon) normalizes
+    // both sides before hashing, so keeping the sign here would leave a
+    // "-0.0 vs 0.0" diff between canon files on queries the gate PASSES
+    case d: java.lang.Double if d.doubleValue == 0.0 => "0.0"
     case d: java.lang.Double => java.lang.Double.toString(d)
     // floats render WIDENED: DuckDB hands local_verify the parquet
     // float32 as a python double, so Float.toString's short form
     // ("1.1") would diff against the widened repr
     // ("1.100000023841858") on every float cell
+    case f: java.lang.Float if f.floatValue == 0.0f => "0.0"
     case f: java.lang.Float => java.lang.Double.toString(f.toDouble)
     case t: java.sql.Timestamp => t.toInstant.toString
     case d: java.sql.Date => d.toString
@@ -41,8 +46,41 @@ object Verify {
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => canonCell(k) + "=" + canonCell(mv) }
         .toSeq.sorted.mkString("{", ",", "}")
+    // structs render like the python side's DuckDB dict fetch
+    // ("{k=v,...}" sorted on the rendered entry) when field names are
+    // available; schemaless nested rows fall back to positional
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      r.schema.fieldNames.zip(r.toSeq)
+        .map { case (k, fv) => k + "=" + canonCell(fv) }
+        .sorted.mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row => r.toSeq.map(canonCell).mkString("(", ",", ")")
     case x => x.toString
+  }
+
+  /** Compare strings by Unicode CODE POINT, matching python `sorted()`
+    * (local_verify's row key) — Java's natural `compareTo` orders by
+    * UTF-16 code unit, which flips rows when one cell holds a
+    * supplementary-plane character (surrogates D800-DFFF sort BELOW
+    * E000-FFFF in UTF-16 but their code points U+10000+ sort above all
+    * of the BMP). Standard remap: code units at-or-above E000 shift
+    * down by 0x800, putting surrogate pairs after every BMP char.
+    */
+  private object CodePointOrder extends Ordering[String] with Serializable {
+    def compare(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val ca = a.charAt(i)
+        val cb = b.charAt(i)
+        if (ca != cb) {
+          val xa = if (ca >= 0xE000) ca - 0x800 else ca.toInt
+          val xb = if (cb >= 0xE000) cb - 0x800 else cb.toInt
+          return xa - xb
+        }
+        i += 1
+      }
+      a.length - b.length
+    }
   }
 
   private def writeCanon(spark: SparkSession, outDir: String, name: String): Unit = {
@@ -64,6 +102,8 @@ object Verify {
     // run IN SPARK and the file is written from a partition-at-a-time
     // iterator: a per-row dump at a big sf never materializes the whole
     // result (or a second copy as text) on the driver.
+    implicit val cellOrd: Ordering[(Int, String)] =
+      Ordering.Tuple2(Ordering.Int, CodePointOrder)
     implicit val ord: Ordering[Seq[(Int, String)]] =
       Ordering.Implicits.seqOrdering[Seq, (Int, String)]
     val lines = df.rdd.map { r =>

@@ -95,6 +95,18 @@ final class MaintainedJoin(
       * carry NULL columns as present-with-null ([[graft.cdc.
       * TransactionAssembler.tupleToMap]] omits only unchanged TOAST), so
       * `map_contains_key` is exactly this test.
+      *
+      * With the immutable flag the extractor MUST be a direct read of
+      * this column (a type cast is fine; Spark compares the cast against
+      * the raw entry with coercion). TRANSFORMING extractors — coalesce
+      * to a sentinel, trim/upper, arithmetic — are rejected by the span
+      * validation BY DESIGN, not as a false positive: a transform that
+      * maps a MISSING column to a non-NULL key (coalesce is exactly
+      * this) defeats both delete checks — the extracted key is non-NULL
+      * so the lacks-the-column test never fires, yet the fold's
+      * semi-join probes the transformed value and silently drops the
+      * delete. Normalize the column upstream (in the source projection)
+      * if a derived key is needed.
       */
     leftKeyCol: Option[String] = None,
     rightKeyCol: Option[String] = None) {

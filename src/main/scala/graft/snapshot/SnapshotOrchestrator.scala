@@ -52,10 +52,18 @@ object SnapshotJobStore {
       // an information_schema.columns match on table_name alone would see
       // a same-named table in ANY schema, suppress the CREATE, and leave
       // load()/save() failing on a relation that does not exist here
+      // domains resolve to their BASE type (typtype 'd' → typbasetype):
+      // a domain over text gets the text default, which the domain
+      // accepts — only genuinely opaque types (enums, bit(n)) fall to
+      // the DROP-NOT-NULL branch below
       val cols = exec(
         "SELECT a.attname, CASE WHEN a.attnotnull THEN 'NO' ELSE 'YES' END, " +
-          "pg_get_expr(d.adbin, d.adrelid), format_type(a.atttypid, a.atttypmod) " +
+          "pg_get_expr(d.adbin, d.adrelid), " +
+          "CASE WHEN t.typtype = 'd' " +
+          "THEN format_type(t.typbasetype, t.typbasetypmod) " +
+          "ELSE format_type(a.atttypid, a.atttypmod) END " +
           "FROM pg_attribute a " +
+          "JOIN pg_type t ON t.oid = a.atttypid " +
           "LEFT JOIN pg_attrdef d ON d.adrelid = a.attrelid AND d.adnum = a.attnum " +
           s"WHERE a.attrelid = to_regclass(${lit(table)}) " +
           "AND a.attnum > 0 AND NOT a.attisdropped")
@@ -74,7 +82,7 @@ object SnapshotJobStore {
           // 'numeric(10,2)', 'character varying(64)'); the uuid default
           // is a constant literal (gen_random_uuid() needs PG 13+ or
           // pgcrypto — a failing ALTER would abort mid-migration); a
-          // genuinely unknown type (enum, domain, bit(n)) gets DROP NOT
+          // genuinely unknown type (enum, bit(n)) gets DROP NOT
           // NULL instead of a default that cannot be synthesized safely
           // — era columns are only written by OLDER deployments, so
           // nullable is the conservative way to keep this deployment's
@@ -90,7 +98,12 @@ object SnapshotJobStore {
               case "integer" | "bigint" | "smallint" |
                    "double precision" | "real" | "oid" => Some("0")
               case "boolean" => Some("FALSE")
-              case "uuid" => Some("'00000000-0000-0000-0000-000000000000'")
+              // unique per row WITHOUT extensions or PG 13+
+              // (gen_random_uuid() needs either): the classic pre-13
+              // idiom — a constant literal would collide on the first
+              // era table whose uuid column carries UNIQUE
+              case "uuid" => Some(
+                "md5(random()::text || clock_timestamp()::text)::uuid")
               case "json" | "jsonb" => Some("'{}'")
               case "bytea" => Some("'\\x'")
               case t if t.startsWith("interval") => Some("'0'")

@@ -140,6 +140,11 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     val sqls1 = issued.result()
     assert(sqls1.exists(_.contains("to_regclass('cdc_snapshot_job')")),
       s"introspection resolves via to_regclass: $sqls1")
+    // domains must arrive resolved to their BASE type (a domain over
+    // text gets the text default — DROP NOT NULL would not satisfy a
+    // NOT-NULL domain at insert time)
+    assert(sqls1.exists(s => s.contains("typtype") && s.contains("typbasetype")),
+      s"introspection resolves domains to base types: $sqls1")
     assert(sqls1.exists(_.startsWith("CREATE TABLE cdc_snapshot_job")))
     // reference-era table: NOT-NULL default-less columns get TYPE-
     // APPROPRIATE defaults (a catch-all '' fails the ALTER itself on
@@ -164,9 +169,11 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     def altered(c: String, d: String) = sqls2.contains(
       s"ALTER TABLE cdc_snapshot_job ALTER COLUMN $c SET DEFAULT $d")
     assert(altered("started_at", "now()"), s"timestamp default: $sqls2")
-    // uuid gets a CONSTANT literal: gen_random_uuid() needs PG 13+ or
-    // pgcrypto, and a failing ALTER would abort the migration mid-way
-    assert(altered("claim_id", "'00000000-0000-0000-0000-000000000000'"),
+    // uuid gets the pre-13 unique idiom: gen_random_uuid() needs PG 13+
+    // or pgcrypto (a failing ALTER aborts the migration mid-way), and a
+    // constant literal would collide on a UNIQUE era column
+    assert(altered("claim_id",
+      "md5(random()::text || clock_timestamp()::text)::uuid"),
       s"uuid default: $sqls2")
     assert(altered("progress_doc", "'{}'"), s"jsonb default: $sqls2")
     assert(altered("started_on", "CURRENT_DATE"), s"date default: $sqls2")
