@@ -117,6 +117,13 @@ final class IncrementalAgg(
     */
   def groupCols: Seq[String] = group.map(_._1)
 
+  /** Group extractors, in declaration order — the span-validation and
+    * fold-restriction hooks for maintainers that prune dirty-group
+    * recomputes by a group column ([[graft.sinks.MaintainedView]]
+    * `groupIsImmutable`).
+    */
+  private[graft] def groupExprs: Seq[Column => Column] = group.map(_._2)
+
   /** [[step]] with a PRECOMPUTED delta and no truncate handling — the
     * seam bucketed maintainers use: they compute the delta first, derive
     * the touched buckets from its group keys, and hand in only those

@@ -179,8 +179,14 @@ object LakeQueries {
         "price_cents" -> priceCents),
       mins = Seq("price_cents" -> priceCents),
       maxs = Seq("price_cents" -> priceCents))
+    // o_orderstatus is immutable per row in this churn (updates bump
+    // price only) and every image carries it — so the min/max-retraction
+    // dirty-group recompute runs GROUP-RESTRICTED (fold input pruned to
+    // the dirty statuses) instead of folding all of orders, and the
+    // oracle gate proves the restricted path end-to-end
     val view =
-      new MaintainedView(sink, agg, "public", "orders", "mv", stateBuckets = 8)
+      new MaintainedView(sink, agg, "public", "orders", "mv", stateBuckets = 8,
+        groupIsImmutable = true, groupCol = Some("o_orderstatus"))
     val orders = Tables.orders(s, dir)
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))

@@ -55,10 +55,47 @@ final class MaintainedView(
       * flags (a multi-column identity errors loudly); a NULL dirty group
       * key falls back to the unrestricted fold for that refresh.
       */
-    groupIsRowKey: Boolean = false) {
+    groupIsRowKey: Boolean = false,
+    /** Set when the view's single group column is IMMUTABLE per row —
+      * never changes across a row's versions (NULL→value is fine), and
+      * delete images carry the COLUMN (REPLICA IDENTITY FULL, or the
+      * column in the identity; present-with-NULL is fine) — e.g. a
+      * grouping by region, shard, or any attribute fixed at insert. The
+      * dirty-group recompute then prunes the fold INPUT by the dirty
+      * group values (`stateAsOf(restrictToImmutable)`) instead of
+      * folding the whole table: for a non-row-key grouping this is the
+      * difference between churn-proportional and table-proportional
+      * refresh at scale. Requires [[groupCol]]; the contract is
+      * validated per span and fails loud, exactly like
+      * [[MaintainedJoin]]'s `*KeyImmutable` (a group-changing update or
+      * a column-less delete image could resurrect stale versions inside
+      * a group recompute). Ignored when [[groupIsRowKey]] is set — the
+      * key restriction is strictly stronger (it also prunes BASE
+      * buckets). A NULL dirty group falls back to the unrestricted fold
+      * for that refresh.
+      */
+    groupIsImmutable: Boolean = false,
+    /** The image-map entry the group extractor reads — REQUIRED with
+      * [[groupIsImmutable]] (delete validation needs the name to tell a
+      * genuinely NULL group — present, value NULL; benign — from an
+      * image LACKING the column, which the restricted fold would
+      * silently drop). The extractor MUST be a direct read of this
+      * column (a cast is fine — the restriction routes dirty keys and
+      * fold rows through the SAME extractor, so canonicalizing casts
+      * agree); transforming extractors are rejected by the span
+      * validation BY DESIGN — a transform mapping a missing column to a
+      * non-NULL group defeats the delete-safety check (see
+      * [[MaintainedJoin]]'s keyCol contract).
+      */
+    groupCol: Option[String] = None) {
 
   require(!groupIsRowKey || agg.groupCols.size == 1,
     "groupIsRowKey requires exactly one group column (the replica key)")
+  require(!groupIsImmutable || agg.groupCols.size == 1,
+    "groupIsImmutable requires exactly one group column")
+  require(!groupIsImmutable || groupIsRowKey || groupCol.nonEmpty,
+    "groupIsImmutable requires groupCol (the image-map column name) so " +
+      "delete validation can tell a NULL group value from a missing column")
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, agg.groupCols)
@@ -102,10 +139,35 @@ final class MaintainedView(
         else isTable && col("op").isin("insert", "update", "delete") && (
           col("key_names").isNull || size(col("key_names")) =!= 1 ||
             !(element_at(col("key_names"), 1) <=> gc))
+      // groupIsImmutable contract — mirror of MaintainedJoin.badImmutable:
+      // the declared groupCol must be the entry the extractor reads
+      // (misdeclared names would make the delete check vacuous), deletes
+      // must CARRY the column (present-with-NULL is benign: NULL-group
+      // versions are never kept by the restricted filter), and a group
+      // may never change value→value or value→NULL across a row's
+      // versions (the restriction would keep an old version while
+      // dropping the newer one inside a group recompute)
+      val ge = agg.groupExprs.head
+      val badImmutable =
+        if (!groupIsImmutable || groupIsRowKey) lit(false)
+        else {
+          def misdeclared(im: String) = col(im).isNotNull &&
+            map_contains_key(col(im), lit(groupCol.get)) &&
+            !(ge(col(im)) <=> element_at(col(im), lit(groupCol.get)))
+          isTable && (
+            misdeclared("after") || misdeclared("before") ||
+            (col("op") === "delete" &&
+              (col("before").isNull || (ge(col("before")).isNull &&
+                !map_contains_key(col("before"), lit(groupCol.get))))) ||
+            (col("op") === "update" && col("before").isNotNull &&
+              ge(col("before")).isNotNull &&
+              !(ge(col("before")) <=> ge(col("after")))))
+        }
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           max(when(isTable && col("op") === "truncate", 1).otherwise(0)),
-          max(when(badShape, 1).otherwise(0)))
+          max(when(badShape, 1).otherwise(0)),
+          max(when(badImmutable, 1).otherwise(0)))
         .head()
       if (groupIsRowKey && !bounds.isNullAt(0) && bounds.getInt(3) == 1)
         throw new IllegalStateException(
@@ -113,6 +175,16 @@ final class MaintainedView(
             s"key_names other than ['$gc'] (e.g. a multi-column or FULL " +
             "identity) — the restricted fold keys on the replica " +
             "identity, so the flag requires key_names == the group column")
+      if (groupIsImmutable && !groupIsRowKey && !bounds.isNullAt(0) &&
+          bounds.getInt(4) == 1)
+        throw new IllegalStateException(
+          s"groupIsImmutable is set but a $schemaName.$table span carries " +
+            "an event violating the contract — a group-changing update, a " +
+            "delete whose image lacks the group COLUMN (REPLICA IDENTITY " +
+            "FULL, or the column in the identity, is required; a present " +
+            "column with a NULL value is fine), or a declared groupCol " +
+            "that does not match what the group extractor reads — the " +
+            "group-restricted fold could resurrect stale versions")
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
       if (!bounds.isNullAt(0)) {
@@ -177,6 +249,28 @@ final class MaintainedView(
                     else
                       lake.stateAsOf(spark, schemaName, table, key._2, key._1,
                         Some(dirtyKeys.select(col(gc).cast("string").as("k"))))
+                        .select(col("after"))
+                  })
+                else if (groupIsImmutable)
+                  // immutable non-key grouping: prune the fold INPUT by
+                  // the dirty group values — churn-proportional where
+                  // the default below folds the whole table. Dirty keys
+                  // and fold rows route through the SAME extractor, so
+                  // a canonicalizing cast (e.g. "05" → 5) agrees on
+                  // both sides of the semi-join.
+                  agg.stepMergeWith(prevTouched, d, dirtyKeys => {
+                    val hasNull = !dirtyKeys.filter(col(gc).isNull).isEmpty
+                    if (hasNull)
+                      // a NULL dirty group can't ride the restriction
+                      // (NULL never <=>-matches a key frame value) —
+                      // whole fold, semi-joined by the extractor
+                      current.join(
+                        broadcast(dirtyKeys.withColumnRenamed(gc, "_dk")),
+                        ge(col("after")) <=> col("_dk"), "left_semi")
+                    else
+                      lake.stateAsOf(spark, schemaName, table, key._2, key._1,
+                        restrictToImmutable = Some((ge,
+                          dirtyKeys.select(col(gc).cast("string").as("k")))))
                         .select(col("after"))
                   })
                 else agg.stepMerge(prevTouched, d, current)

@@ -318,6 +318,116 @@ class MaintainedViewSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("groupIsImmutable: dirty groups recompute through the group-restricted fold, through BASE") {
+    // grp is immutable per row: min/max-retraction dirty groups prune
+    // the fold INPUT to the dirty group values (stateAsOf
+    // restrictToImmutable) instead of folding the whole table — the
+    // compact+vacuum before the churn makes BASE rows load-bearing for
+    // the restricted read.
+    val dir = Files.createTempDirectory("lake-mvgi").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mv = new MaintainedView(sink, mkAgg, "public", "users", "gi",
+        stateBuckets = 4, groupIsImmutable = true, groupCol = Some("grp"))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "1")),
+        ev(2, "insert", null, row("2", "a", "5")),
+        ev(3, "insert", null, row("3", "b", "7")),
+        ev(4, "insert", null, row("4", "b", "2")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      sink.compact(spark); sink.vacuum(spark)
+      // delete group a's min → dirty → restricted recompute (BASE + tail)
+      sink.appendBatch(envelope(Seq(
+        ev(5, "delete", row("1", "a", "1"), null))), 1L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((1L, 5d, 5d, 5d)), "b" -> ((2L, 9d, 2d, 7d))))
+      // update retracting group a's min again, same restricted path
+      sink.appendBatch(envelope(Seq(
+        ev(6, "update", row("2", "a", "5"), row("2", "a", "9")))), 2L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map(
+        "a" -> ((1L, 9d, 9d, 9d)), "b" -> ((2L, 9d, 2d, 7d))))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("groupIsImmutable: a NULL dirty group falls back to the unrestricted fold") {
+    val dir = Files.createTempDirectory("lake-mvgn").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val mv = new MaintainedView(sink, mkAgg, "public", "users", "gin",
+        stateBuckets = 4, groupIsImmutable = true, groupCol = Some("grp"))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", null, "3")),
+        ev(2, "insert", null, row("2", "a", "5")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      // deleting the NULL group's min dirties the NULL group — it cannot
+      // ride the keyed restriction, so this refresh must take the
+      // whole-fold fallback and still converge
+      sink.appendBatch(envelope(Seq(
+        ev(3, "delete", row("1", null, "3"), null))), 1L)
+      assert(mv.refresh(spark) == 1)
+      assert(viewMap(mv) == Map("a" -> ((1L, 5d, 5d, 5d))))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("groupIsImmutable violations fail loud: group-changing update, column-less delete, misdeclared groupCol") {
+    def mk(name: String, gcol: String = "grp") = {
+      val dir = Files.createTempDirectory("lake-mvgv").toString
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      (dir, sink, new MaintainedView(sink, mkAgg, "public", "users", name,
+        stateBuckets = 4, groupIsImmutable = true, groupCol = Some(gcol)))
+    }
+    // group-changing update: would let a group recompute resurrect the
+    // pre-move version inside the old group
+    val (d1, s1, v1) = mk("gv1")
+    try {
+      s1.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "update", row("1", "a", "3"), row("1", "b", "3")))), 0L)
+      val e = intercept[IllegalStateException] { v1.refresh(spark) }
+      assert(e.getMessage.contains("groupIsImmutable"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d1))
+    // delete whose image LACKS the grp column (identity without it) —
+    // the restricted fold would silently drop the delete
+    val (d2, s2, v2) = mk("gv2")
+    try {
+      s2.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "delete", Map("id" -> "1", "v" -> "3"), null))), 0L)
+      val e = intercept[IllegalStateException] { v2.refresh(spark) }
+      assert(e.getMessage.contains("groupIsImmutable"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d2))
+    // present-with-NULL delete image is BENIGN (nullable group under
+    // REPLICA IDENTITY FULL)
+    val (d3, s3, v3) = mk("gv3")
+    try {
+      s3.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", null, "3")),
+        ev(2, "delete", row("1", null, "3"), null))), 0L)
+      assert(v3.refresh(spark) == 1) // must not throw
+      assert(viewMap(v3).isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d3))
+    // misdeclared groupCol: extractor reads grp, declaration says v —
+    // the delete check would be vacuous, so the mismatch itself throws
+    val (d4, s4, v4) = mk("gv4", gcol = "v")
+    try {
+      s4.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")))), 0L)
+      val e = intercept[IllegalStateException] { v4.refresh(spark) }
+      assert(e.getMessage.contains("groupCol"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d4))
+    // construction without groupCol is rejected
+    val d5 = Files.createTempDirectory("lake-mvgr").toString
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new MaintainedView(new LakeSink(d5), mkAgg, "public", "users", "gv5",
+          groupIsImmutable = true)
+      }
+      assert(e.getMessage.contains("groupCol"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d5))
+  }
+
   test("a crash mid-migration resumes: already-lifted versions skip, the rest still lift") {
     // partial-migration debris: the OLDER legacy version is already in
     // the bucketed log (the crashed run lifted it), the newer one is
