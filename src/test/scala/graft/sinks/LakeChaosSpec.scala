@@ -78,8 +78,14 @@ class LakeChaosSpec extends AnyFunSuite {
         // the join's null segment); `u` rows churn too.
         val gen = mutable.Map.empty[String, (String, String)] // id -> (v, ref)
         val uGen = mutable.Map.empty[String, String]          // uid -> name
+        // shard is a PURE FUNCTION of the row key — immutable per row by
+        // construction (NULL for %5 keys, soaking the fallback), which is
+        // exactly the contract the immutable-group view below declares
+        def shardOf(key: String): String =
+          if (key.toLong % 5 == 0) null else "s" + (key.toLong % 3)
         def imgT(key: String, vr: (String, String)): Map[String, String] =
-          Map("id" -> key, "v" -> vr._1, "ref" -> vr._2)
+          Map("id" -> key, "v" -> vr._1, "ref" -> vr._2,
+            "shard" -> shardOf(key))
         def randomRows(): Seq[Row] = {
           val tRows = (0 until (1 + rnd.nextInt(5))).map { _ =>
             lsn += 1 + rnd.nextInt(3)
@@ -192,6 +198,42 @@ class LakeChaosSpec extends AnyFunSuite {
             s"seed=$seed: maintained view diverged (got=$got want=$want)")
         }
 
+        // a view grouped on an IMMUTABLE NON-KEY attribute: min/max
+        // retractions recompute their dirty groups through the
+        // GROUP-RESTRICTED fold (stateAsOf restrictToImmutable) under the
+        // same crash windows; the NULL shard soaks the whole-fold
+        // fallback on the refreshes that dirty it
+        val mvi = new MaintainedView(sink,
+          new graft.operators.IncrementalAgg(
+            group = Seq("shard" -> (im => element_at(im, "shard"))),
+            sums = Seq("id" -> idEx), mins = Seq("id" -> idEx),
+            maxs = Seq("id" -> idEx)),
+          "public", "t", "soakshard", stateBuckets = 4,
+          groupIsImmutable = true, groupCol = Some("shard"))
+
+        def checkShardView(): Unit = {
+          val pre = sink.cursor(spark, "view_soakshard")
+          mvi.refresh(spark)
+          if (rnd.nextInt(3) == 0) {
+            // crash window: state committed, cursor advance lost
+            val cf = new java.io.File(s"$dir/_graft_cursors/view_soakshard")
+            new java.io.File(s"$dir/_graft_cursors/.view_soakshard.crc").delete()
+            if (pre == Long.MinValue) cf.delete()
+            else java.nio.file.Files.write(cf.toPath, pre.toString.getBytes)
+            mvi.refresh(spark)
+          }
+          val got = mvi.read(spark).collect().map { r =>
+            Option(r.getString(0)) ->
+              ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          }.toMap
+          val want = oracle.keysIterator.map(_.toLong).toSeq
+            .groupBy(id => Option(shardOf(id.toString)))
+            .map { case (sh, ids) =>
+              sh -> ((ids.size.toLong, ids.sum, ids.min, ids.max)) }
+          assert(got == want,
+            s"seed=$seed: immutable-group view diverged (got=$got want=$want)")
+        }
+
         // a maintained JOIN polling the same changelog: u (users) RIGHT
         // OUTER t on t.ref — the preserved right side null-extends both
         // unmatched refs and NULL refs, so the null segment, dirty-key
@@ -280,14 +322,16 @@ class LakeChaosSpec extends AnyFunSuite {
             case 8 => // maintenance: compact (+ vacuum once consumers caught up)
               sink.compact(spark)
               drain()
-              checkView() // the view's and join's cursors must pass the
-              checkJoin() // watermark before vacuum may drop the folded tail
+              checkView() // every maintainer's cursor must pass the
+              checkShardView() // watermark before vacuum may drop the
+              checkJoin()      // folded tail
               sink.vacuum(spark)
               checkFold()
             case 9 => // reader progress + fold/view/join audit
               drain()
               checkFold()
               checkView()
+              checkShardView()
               checkJoin()
           }
         }
@@ -296,6 +340,7 @@ class LakeChaosSpec extends AnyFunSuite {
         drain()
         checkFold()
         checkView()
+        checkShardView()
         checkJoin()
         // epochs deliver in ascending id order (snapshot ids interleave
         // with no intra-span order — the drain helper sorts per span; the
