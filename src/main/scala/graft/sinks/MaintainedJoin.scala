@@ -4,6 +4,38 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Span-scan expression for the declared-IMMUTABLE-column contract shared
+  * by [[MaintainedJoin]]'s `*KeyImmutable` and [[MaintainedView]]'s
+  * `groupIsImmutable`: the one place the observable violations are
+  * spelled, so the two maintainers cannot drift on this null-safety-
+  * sensitive logic.
+  *
+  * Flags: a MISDECLARED column (the extractor's value differs from the
+  * declared image entry wherever an image carries it — a wrong name
+  * would make the delete check vacuous and let the restricted fold
+  * silently resurrect deleted rows; TOAST-omitted images skip it), a
+  * delete whose image LACKS the column (REPLICA IDENTITY FULL or the
+  * column in the identity is required; present-with-NULL is benign —
+  * NULL-valued versions are never kept by the restricted filter), and a
+  * value-changing update (value→value or value→NULL; NULL→value is
+  * legal, superseded NULL-imaged versions cannot shadow anything).
+  */
+private[sinks] object ImmutableContract {
+  def violation(onTable: Column, ex: Column => Column, colName: String): Column = {
+    def misdeclared(im: String) = col(im).isNotNull &&
+      map_contains_key(col(im), lit(colName)) &&
+      !(ex(col(im)) <=> element_at(col(im), lit(colName)))
+    onTable && (
+      misdeclared("after") || misdeclared("before") ||
+      (col("op") === "delete" &&
+        (col("before").isNull || (ex(col("before")).isNull &&
+          !map_contains_key(col("before"), lit(colName))))) ||
+      (col("op") === "update" && col("before").isNotNull &&
+        ex(col("before")).isNotNull &&
+        !(ex(col("before")) <=> ex(col("after")))))
+  }
+}
+
 /** A continuously-maintained two-table equi-JOIN over the lake — IVM for
   * joins by DIRTY-KEY recompute rather than the three-term delta algebra:
   * a refresh collects the join keys touched by the polled span (from both
@@ -247,28 +279,14 @@ final class MaintainedJoin(
       // versions are never served by the restricted fold (the null
       // segment recomputes them unrestricted), so dropping them cannot
       // shadow or resurrect anything.
+      // the observable contract violations — misdeclared keyCol,
+      // column-less delete image, key-changing update — are spelled
+      // ONCE in [[ImmutableContract.violation]], shared with the view's
+      // groupIsImmutable
       def badImmutable(s: (String, String), key: Column => Column,
-          keyCol: Option[String], on: Boolean) = {
-        // the declared keyCol must be the entry the extractor reads —
-        // checked wherever an image CARRIES the column (TOAST-omitted
-        // images skip it). A misdeclared name would make the delete
-        // check below vacuously benign — map_contains_key would test a
-        // column the fold never reads — and the restricted fold would
-        // silently resurrect deleted rows; fail loud instead, like
-        // badRowKey does for the row-key flags.
-        def misdeclared(im: String) = col(im).isNotNull &&
-          map_contains_key(col(im), lit(keyCol.get)) &&
-          !(key(col(im)) <=> element_at(col(im), lit(keyCol.get)))
+          keyCol: Option[String], on: Boolean) =
         if (!on) lit(false)
-        else isSide(s) && (
-          misdeclared("after") || misdeclared("before") ||
-          (col("op") === "delete" &&
-            (col("before").isNull || (key(col("before")).isNull &&
-              !map_contains_key(col("before"), lit(keyCol.get))))) ||
-          (col("op") === "update" && col("before").isNotNull &&
-            key(col("before")).isNotNull &&
-            !(key(col("before")) <=> key(col("after")))))
-      }
+        else ImmutableContract.violation(isSide(s), key, keyCol.get)
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           flag(col("op") === "truncate" && (isSide(left) || isSide(right))),

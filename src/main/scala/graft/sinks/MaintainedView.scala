@@ -139,30 +139,14 @@ final class MaintainedView(
         else isTable && col("op").isin("insert", "update", "delete") && (
           col("key_names").isNull || size(col("key_names")) =!= 1 ||
             !(element_at(col("key_names"), 1) <=> gc))
-      // groupIsImmutable contract — mirror of MaintainedJoin.badImmutable:
-      // the declared groupCol must be the entry the extractor reads
-      // (misdeclared names would make the delete check vacuous), deletes
-      // must CARRY the column (present-with-NULL is benign: NULL-group
-      // versions are never kept by the restricted filter), and a group
-      // may never change value→value or value→NULL across a row's
-      // versions (the restriction would keep an old version while
-      // dropping the newer one inside a group recompute)
+      // groupIsImmutable contract — the violations (misdeclared groupCol,
+      // column-less delete image, group-changing update) are spelled
+      // ONCE in [[ImmutableContract.violation]], shared with the join's
+      // *KeyImmutable flags
       val ge = agg.groupExprs.head
       val badImmutable =
         if (!groupIsImmutable || groupIsRowKey) lit(false)
-        else {
-          def misdeclared(im: String) = col(im).isNotNull &&
-            map_contains_key(col(im), lit(groupCol.get)) &&
-            !(ge(col(im)) <=> element_at(col(im), lit(groupCol.get)))
-          isTable && (
-            misdeclared("after") || misdeclared("before") ||
-            (col("op") === "delete" &&
-              (col("before").isNull || (ge(col("before")).isNull &&
-                !map_contains_key(col("before"), lit(groupCol.get))))) ||
-            (col("op") === "update" && col("before").isNotNull &&
-              ge(col("before")).isNotNull &&
-              !(ge(col("before")) <=> ge(col("after")))))
-        }
+        else ImmutableContract.violation(isTable, ge, groupCol.get)
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           max(when(isTable && col("op") === "truncate", 1).otherwise(0)),
@@ -230,48 +214,36 @@ final class MaintainedView(
               val prevTouched = prevKey
                 .map(states.readBuckets(spark, _, Some(touched), stateSchema(spark)))
                 .getOrElse(agg.init(spark))
+              // RESTRICTED dirty-group recompute, one callback for both
+              // flags: per-key views (groupIsRowKey — the group IS the
+              // replica key, extracted verbatim, so ge(after) equals the
+              // fold key) fetch dirty keys via the KEY-restricted fold
+              // (BASE bucket-pruned); immutable non-key groupings prune
+              // the fold INPUT by the dirty group values instead of
+              // folding the table. Dirty keys and fold rows route
+              // through the SAME extractor, so a canonicalizing cast
+              // (e.g. "05" → 5) agrees on both sides of the semi-join.
               val next =
-                if (groupIsRowKey)
-                  // per-key view: fetch the dirty keys' histories via the
-                  // KEY-RESTRICTED fold instead of folding the table.
-                  // Contract (validated above): the group column is the
-                  // replica key, extracted verbatim — so the fold key
-                  // spelling equals the group value.
+                if (groupIsRowKey || groupIsImmutable)
                   agg.stepMergeWith(prevTouched, d, dirtyKeys => {
                     val hasNull = !dirtyKeys.filter(col(gc).isNull).isEmpty
                     if (hasNull)
-                      // a NULL dirty group can't be fetched by key —
-                      // whole fold, semi-joined by the verbatim extractor
-                      current.join(
-                        broadcast(dirtyKeys.withColumnRenamed(gc, "_dk")),
-                        element_at(col("after"), gc) <=> col("_dk"),
-                        "left_semi")
-                    else
-                      lake.stateAsOf(spark, schemaName, table, key._2, key._1,
-                        Some(dirtyKeys.select(col(gc).cast("string").as("k"))))
-                        .select(col("after"))
-                  })
-                else if (groupIsImmutable)
-                  // immutable non-key grouping: prune the fold INPUT by
-                  // the dirty group values — churn-proportional where
-                  // the default below folds the whole table. Dirty keys
-                  // and fold rows route through the SAME extractor, so
-                  // a canonicalizing cast (e.g. "05" → 5) agrees on
-                  // both sides of the semi-join.
-                  agg.stepMergeWith(prevTouched, d, dirtyKeys => {
-                    val hasNull = !dirtyKeys.filter(col(gc).isNull).isEmpty
-                    if (hasNull)
-                      // a NULL dirty group can't ride the restriction
+                      // a NULL dirty group can't ride either restriction
                       // (NULL never <=>-matches a key frame value) —
                       // whole fold, semi-joined by the extractor
                       current.join(
                         broadcast(dirtyKeys.withColumnRenamed(gc, "_dk")),
                         ge(col("after")) <=> col("_dk"), "left_semi")
-                    else
-                      lake.stateAsOf(spark, schemaName, table, key._2, key._1,
-                        restrictToImmutable = Some((ge,
-                          dirtyKeys.select(col(gc).cast("string").as("k")))))
+                    else {
+                      val ks = dirtyKeys.select(col(gc).cast("string").as("k"))
+                      (if (groupIsRowKey)
+                        lake.stateAsOf(spark, schemaName, table, key._2, key._1,
+                          restrictToKeys = Some(ks))
+                      else
+                        lake.stateAsOf(spark, schemaName, table, key._2, key._1,
+                          restrictToImmutable = Some((ge, ks))))
                         .select(col("after"))
+                    }
                   })
                 else agg.stepMerge(prevTouched, d, current)
               states.commit(f, next, touched, prevKey, key)
