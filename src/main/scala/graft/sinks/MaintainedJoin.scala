@@ -270,15 +270,6 @@ final class MaintainedJoin(
           col("key_names").isNull || size(col("key_names")) =!= 1 ||
             badImage("after") || badImage("before"))
       }
-      // The immutability contract's observable violations: a delete whose
-      // image lacks the key COLUMN (the restricted fold would drop the
-      // delete and resurrect the row), or an update whose key changes
-      // value→value or value→NULL (the newer version could be pruned
-      // while an older one survives). NULL→value is legal, and so is a
-      // delete whose key column is present with a NULL value: NULL-keyed
-      // versions are never served by the restricted fold (the null
-      // segment recomputes them unrestricted), so dropping them cannot
-      // shadow or resurrect anything.
       // the observable contract violations — misdeclared keyCol,
       // column-less delete image, key-changing update — are spelled
       // ONCE in [[ImmutableContract.violation]], shared with the view's

@@ -127,23 +127,33 @@ final class MaintainedView(
       // bounds + the truncate + row-key-shape flags ride one span pass
       val isTable = col("schema") === schemaName && col("table") === table
       val gc = agg.groupCols.head
+      val ge = agg.groupExprs.head
       // groupIsRowKey contract: key_names must be exactly [group col] —
       // evaluated per row only when the flag is set (lit(false) folds
       // the expression away for ordinary views). NULL key_names (REPLICA
       // IDENTITY NOTHING) must flag too: size(NULL)===1 is NULL, and a
       // NULL riding through when(...,1).otherwise(0) reads as 0 — the
       // shape violation would silently pass and the synthetic-keyed rows
-      // would vanish from dirty-group recomputes
+      // would vanish from dirty-group recomputes. The extractor is also
+      // VALUE-checked against the identity column wherever an image is
+      // present (MaintainedJoin.badRowKey's badImage analog): a group
+      // NAMED for the key but extracted from another column would hand
+      // dirtyKeys the wrong values and the key-restricted fold would
+      // silently return nothing for genuinely dirty groups
       val badShape =
         if (!groupIsRowKey) lit(false)
-        else isTable && col("op").isin("insert", "update", "delete") && (
-          col("key_names").isNull || size(col("key_names")) =!= 1 ||
-            !(element_at(col("key_names"), 1) <=> gc))
+        else {
+          def badImage(im: String) = col(im).isNotNull &&
+            !(ge(col(im)) <=> element_at(col(im), element_at(col("key_names"), 1)))
+          isTable && col("op").isin("insert", "update", "delete") && (
+            col("key_names").isNull || size(col("key_names")) =!= 1 ||
+              !(element_at(col("key_names"), 1) <=> gc) ||
+              badImage("after") || badImage("before"))
+        }
       // groupIsImmutable contract — the violations (misdeclared groupCol,
       // column-less delete image, group-changing update) are spelled
       // ONCE in [[ImmutableContract.violation]], shared with the join's
       // *KeyImmutable flags
-      val ge = agg.groupExprs.head
       val badImmutable =
         if (!groupIsImmutable || groupIsRowKey) lit(false)
         else ImmutableContract.violation(isTable, ge, groupCol.get)
@@ -157,8 +167,10 @@ final class MaintainedView(
         throw new IllegalStateException(
           s"groupIsRowKey is set but $schemaName.$table events carry " +
             s"key_names other than ['$gc'] (e.g. a multi-column or FULL " +
-            "identity) — the restricted fold keys on the replica " +
-            "identity, so the flag requires key_names == the group column")
+            "identity), or a group extractor whose value differs from " +
+            "that identity column — the restricted fold keys on the " +
+            "replica identity, so the flag requires key_names == the " +
+            "group column, extracted verbatim")
       if (groupIsImmutable && !groupIsRowKey && !bounds.isNullAt(0) &&
           bounds.getInt(4) == 1)
         throw new IllegalStateException(

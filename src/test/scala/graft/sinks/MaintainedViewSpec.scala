@@ -318,6 +318,28 @@ class MaintainedViewSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("groupIsRowKey: an extractor whose value diverges from the identity column fails loud") {
+    // the group is NAMED "id" (so key_names == [group col] passes) but
+    // the extractor reads grp — dirtyKeys would carry grp values that
+    // the key-restricted fold (keyed on verbatim id strings) can never
+    // match, silently returning nothing for genuinely dirty groups.
+    // badShape's value check (badImage analog of MaintainedJoin's
+    // badRowKey) must trip on the first span instead.
+    val dir = Files.createTempDirectory("lake-mvbx").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val wrong = new IncrementalAgg(
+        group = Seq("id" -> (im => element_at(im, "grp"))),
+        sums = Seq("v" -> vEx), mins = Seq("v" -> vEx))
+      val mv = new MaintainedView(sink, wrong, "public", "users", "bx",
+        stateBuckets = 4, groupIsRowKey = true)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")))), 0L)
+      val e = intercept[IllegalStateException] { mv.refresh(spark) }
+      assert(e.getMessage.contains("groupIsRowKey"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("groupIsImmutable: dirty groups recompute through the group-restricted fold, through BASE") {
     // grp is immutable per row: min/max-retraction dirty groups prune
     // the fold INPUT to the dirty group values (stateAsOf
