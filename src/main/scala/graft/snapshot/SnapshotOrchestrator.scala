@@ -35,6 +35,13 @@ object SnapshotJobStore {
     */
   final class Sql(exec: SqlExecutor, table: String = "cdc_snapshot_job") extends SnapshotJobStore {
     private def lit(s: String) = CatalogReader.sqlLiteral(s)
+    // every statement-position use of the configured table name is
+    // identifier-quoted (per dotted segment, so schema-qualified config
+    // keeps working) — a reserved-word or mixed-case table name must not
+    // break DDL/DML; to_regclass keeps the raw literal (it parses its
+    // argument as an identifier sequence itself)
+    private val qtable =
+      table.split('.').map(CatalogReader.quoteIdent).mkString(".")
 
     /** Create the job table when missing — and MIGRATE a reference-era
       * table in place (`snapshot_migration_test.go:20-204`): the
@@ -68,7 +75,7 @@ object SnapshotJobStore {
           s"WHERE a.attrelid = to_regclass(${lit(table)}) " +
           "AND a.attnum > 0 AND NOT a.attisdropped")
       if (cols.isEmpty)
-        exec(s"CREATE TABLE $table (slot_name TEXT PRIMARY KEY, " +
+        exec(s"CREATE TABLE $qtable (slot_name TEXT PRIMARY KEY, " +
           "snapshot_id TEXT NOT NULL, snapshot_lsn TEXT NOT NULL, " +
           "completed BOOLEAN NOT NULL DEFAULT FALSE)")
       else cols.foreach {
@@ -111,29 +118,33 @@ object SnapshotJobStore {
               case t if t.startsWith("character") => Some("''")
               case _ => None
             }
+          // identifier-quote the catalog-sourced column name too — a
+          // reference-era column like "Started At" or "user" would
+          // otherwise make the ALTER fail and abort the migration mid-way
+          val qname = CatalogReader.quoteIdent(name)
           exec(d match {
             case Some(v) =>
-              s"ALTER TABLE $table ALTER COLUMN $name SET DEFAULT $v"
+              s"ALTER TABLE $qtable ALTER COLUMN $qname SET DEFAULT $v"
             case None =>
-              s"ALTER TABLE $table ALTER COLUMN $name DROP NOT NULL"
+              s"ALTER TABLE $qtable ALTER COLUMN $qname DROP NOT NULL"
           })
         case _ => ()
       }
     }
     override def load(slotName: String): Option[SnapshotJob] =
-      exec(s"SELECT slot_name, snapshot_id, snapshot_lsn, completed FROM $table " +
+      exec(s"SELECT slot_name, snapshot_id, snapshot_lsn, completed FROM $qtable " +
         s"WHERE slot_name = ${lit(slotName)}")
         .headOption.map { r =>
           SnapshotJob(r(0), r(1), Lsn.parse(r(2)), r(3) == "t" || r(3) == "true")
         }
     override def save(job: SnapshotJob): Unit =
-      exec(s"INSERT INTO $table (slot_name, snapshot_id, snapshot_lsn, completed) VALUES " +
+      exec(s"INSERT INTO $qtable (slot_name, snapshot_id, snapshot_lsn, completed) VALUES " +
         s"(${lit(job.slotName)}, ${lit(job.snapshotId)}, " +
         s"${lit(Lsn.format(job.snapshotLsn))}, ${job.completed})")
     override def markCompleted(slotName: String): Unit =
-      exec(s"UPDATE $table SET completed = true WHERE slot_name = ${lit(slotName)}")
+      exec(s"UPDATE $qtable SET completed = true WHERE slot_name = ${lit(slotName)}")
     override def cleanup(slotName: String): Unit =
-      exec(s"DELETE FROM $table WHERE slot_name = ${lit(slotName)}")
+      exec(s"DELETE FROM $qtable WHERE slot_name = ${lit(slotName)}")
   }
 
   final class InMemory extends SnapshotJobStore {

@@ -152,8 +152,8 @@ class LakeQueriesSpec extends AnyFunSuite {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(p).cast("long").as("sum_price_cents"),
-        sum(col("o_orderkey").cast("decimal(18,2)")).cast("decimal(18,2)")
-          .as("sum_key_dec"),
+        sum(col("o_orderkey").cast("decimal(18,2)")).multiply(100)
+          .cast("long").as("sum_key_c"),
         min(p).cast("long").as("min_price_cents"),
         max(p).cast("long").as("max_price_cents"))
       .orderBy("o_orderstatus")

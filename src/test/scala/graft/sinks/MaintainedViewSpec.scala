@@ -430,6 +430,18 @@ class MaintainedViewSpec extends AnyFunSuite {
       assert(v3.refresh(spark) == 1) // must not throw
       assert(viewMap(v3).isEmpty)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d3))
+    // update whose AFTER image lacks the grp column (unchanged-TOAST
+    // omission under REPLICA IDENTITY DEFAULT — no before image either):
+    // the restricted fold would silently drop the version and serve the
+    // stale older image, so the span validation fails loud (ADVICE r14)
+    val (d6, s6, v6) = mk("gv6")
+    try {
+      s6.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "3")),
+        ev(2, "update", null, Map("id" -> "1", "v" -> "4")))), 0L)
+      val e = intercept[IllegalStateException] { v6.refresh(spark) }
+      assert(e.getMessage.contains("groupIsImmutable"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d6))
     // misdeclared groupCol: extractor reads grp, declaration says v —
     // the delete check would be vacuous, so the mismatch itself throws
     val (d4, s4, v4) = mk("gv4", gcol = "v")

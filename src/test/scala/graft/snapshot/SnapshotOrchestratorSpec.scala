@@ -120,9 +120,11 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     st.markCompleted("s1")
     st.cleanup("s1")
     val sqls = issued.result()
-    assert(sqls.exists(s => s.startsWith("INSERT INTO cdc_snapshot_job") && s.contains("'0/AB00'")))
-    assert(sqls.exists(_.startsWith("UPDATE cdc_snapshot_job SET completed = true")))
-    assert(sqls.exists(_.startsWith("DELETE FROM cdc_snapshot_job")))
+    // statement-position table names are identifier-quoted (reserved
+    // words / mixed case must not break DML)
+    assert(sqls.exists(s => s.startsWith("INSERT INTO \"cdc_snapshot_job\"") && s.contains("'0/AB00'")))
+    assert(sqls.exists(_.startsWith("UPDATE \"cdc_snapshot_job\" SET completed = true")))
+    assert(sqls.exists(_.startsWith("DELETE FROM \"cdc_snapshot_job\"")))
   }
 
   test("Sql store ensureSchema: creates when missing, defaults reference-era NOT-NULL columns") {
@@ -145,7 +147,7 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     // NOT-NULL domain at insert time)
     assert(sqls1.exists(s => s.contains("typtype") && s.contains("typbasetype")),
       s"introspection resolves domains to base types: $sqls1")
-    assert(sqls1.exists(_.startsWith("CREATE TABLE cdc_snapshot_job")))
+    assert(sqls1.exists(_.startsWith("CREATE TABLE \"cdc_snapshot_job\"")))
     // reference-era table: NOT-NULL default-less columns get TYPE-
     // APPROPRIATE defaults (a catch-all '' fails the ALTER itself on
     // uuid/date/jsonb); core and already-defaulted columns stay untouched
@@ -167,7 +169,7 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     st.ensureSchema()
     val sqls2 = issued.result()
     def altered(c: String, d: String) = sqls2.contains(
-      s"ALTER TABLE cdc_snapshot_job ALTER COLUMN $c SET DEFAULT $d")
+      s"""ALTER TABLE "cdc_snapshot_job" ALTER COLUMN "$c" SET DEFAULT $d""")
     assert(altered("started_at", "now()"), s"timestamp default: $sqls2")
     // uuid gets the pre-13 unique idiom: gen_random_uuid() needs PG 13+
     // or pgcrypto (a failing ALTER aborts the migration mid-way), and a
@@ -211,10 +213,47 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     // nullable so this deployment's INSERTs stay valid, never get a
     // DEFAULT whose ALTER the server rejects
     def dropped(c: String) = sqls.contains(
-      s"ALTER TABLE cdc_snapshot_job ALTER COLUMN $c DROP NOT NULL")
+      s"""ALTER TABLE "cdc_snapshot_job" ALTER COLUMN "$c" DROP NOT NULL""")
     assert(dropped("phase"), s"enum column drops NOT NULL: $sqls")
     assert(dropped("flags"), s"bit(8) column drops NOT NULL: $sqls")
     assert(!sqls.exists(s => s.contains("phase SET DEFAULT") ||
       s.contains("flags SET DEFAULT")), "no unassignable DEFAULT is issued")
+  }
+
+  test("Sql store: reserved-word / mixed-case / spaced era identifiers are quoted") {
+    // the ADVICE scenario: a reference-era column named "Started At" (or
+    // a reserved word like "user") would make an unquoted ALTER fail at
+    // the server and abort the migration mid-way; a reserved-word TABLE
+    // name breaks every statement. quote_ident-style quoting (double-
+    // quote, double embedded quotes) must reach both positions.
+    val issued = Seq.newBuilder[String]
+    val cols = Seq(
+      Seq("slot_name", "NO", null, "text"),
+      Seq("snapshot_id", "NO", null, "text"),
+      Seq("snapshot_lsn", "NO", null, "text"),
+      Seq("completed", "YES", "false", "boolean"),
+      Seq("Started At", "NO", null, "timestamp without time zone"),
+      Seq("user", "NO", null, "text"))
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      issued += sql
+      if (sql.contains("pg_attribute")) cols else Seq.empty
+    }
+    val st = new SnapshotJobStore.Sql(exec, table = "public.user")
+    st.ensureSchema()
+    st.save(SnapshotJob("s1", "snap-1", 0xAB00L, completed = false))
+    val sqls = issued.result()
+    // dotted config splits into per-segment quoted identifiers
+    assert(sqls.exists(_.contains(
+      """ALTER TABLE "public"."user" ALTER COLUMN "Started At" SET DEFAULT now()""")),
+      s"spaced column name is quoted: $sqls")
+    assert(sqls.exists(_.contains(
+      """ALTER TABLE "public"."user" ALTER COLUMN "user" SET DEFAULT ''""")),
+      s"reserved-word column name is quoted: $sqls")
+    assert(sqls.exists(_.startsWith("""INSERT INTO "public"."user"""")),
+      s"DML table position is quoted: $sqls")
+    // to_regclass keeps the raw literal — it parses its argument as an
+    // identifier sequence itself
+    assert(sqls.exists(_.contains("to_regclass('public.user')")),
+      s"introspection literal unchanged: $sqls")
   }
 }
