@@ -596,15 +596,16 @@ object SparkEntry {
     // (r12-r14) while judge-green bit-for-bit.
     "q_ivm" ->
       """SELECT o_orderstatus, count(*) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(sum(CAST(o_orderkey AS DECIMAL(18,2))) * 100 AS BIGINT)
              AS sum_key_c,
            CAST(min(pc) AS BIGINT) AS min_price_cents,
            CAST(max(pc) AS BIGINT) AS max_price_cents
-         FROM (SELECT o_orderstatus, o_orderkey,
+         FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
                  CASE WHEN o_orderkey % 7 = 0
                    THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
-               FROM (SELECT o_orderstatus, o_orderkey,
+               FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
                        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
                      FROM orders)
                WHERE o_orderkey % 13 <> 0)

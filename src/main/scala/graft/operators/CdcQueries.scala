@@ -641,6 +641,7 @@ object CdcQueries {
     def img(priceCents: Column): Column = map(
       lit("o_orderstatus"), col("o_orderstatus"),
       lit("o_orderkey"), col("o_orderkey").cast("string"),
+      lit("o_custkey"), col("o_custkey").cast("string"),
       lit("o_totalprice_cents"), priceCents.cast("string"))
     val cents0 = LakeQueries.cents(col("o_totalprice"))
     val newCents = LakeQueries.bump(cents0)
@@ -672,15 +673,30 @@ object CdcQueries {
       .foldLeft(agg.init(s)) { case (state, (batch, cur)) =>
         agg.step(state, batch, cur)
       }
+    // maintained count(DISTINCT o_custkey) rides the same churn through
+    // the refcount state — updates keep the custkey (net-zero refcount
+    // delta), deletes decrement it, and the final count must equal the
+    // oracle's direct DISTINCT over the surviving table
+    val dist = new IncrementalDistinct(
+      group = Seq("o_orderstatus" -> (im => element_at(im, "o_orderstatus"))),
+      name = "cust",
+      value = im => element_at(im, "o_custkey").cast("long"))
+    val dst = Seq((b0, cur0), (b1, cur1), (b2, cur2))
+      .foldLeft(dist.init(s)) { case (state, (batch, cur)) =>
+        dist.step(state, batch, cur)
+      }
     // the decimal accumulator runs the whole maintenance horizon in
     // DECIMAL(18,2) (pinned by LakeQueriesSpec and
     // IncrementalAggPropertySpec); only the RENDERED cell is scaled to
     // BIGINT here — a DECIMAL-sum output column proved gate-portable
     // nowhere while every all-BIGINT cents gate went green immediately
-    agg.view(st).select(col("o_orderstatus"), col("n"),
-      col("sum_price_cents").cast("long").as("sum_price_cents"),
-      col("sum_key_dec").multiply(100).cast("long").as("sum_key_c"),
-      col("min_price_cents").cast("long").as("min_price_cents"),
-      col("max_price_cents").cast("long").as("max_price_cents"))
+    agg.view(st)
+      .join(dist.view(dst), Seq("o_orderstatus"), "left_outer")
+      .select(col("o_orderstatus"), col("n"),
+        coalesce(col("nd_cust"), lit(0L)).as("n_cust"),
+        col("sum_price_cents").cast("long").as("sum_price_cents"),
+        col("sum_key_dec").multiply(100).cast("long").as("sum_key_c"),
+        col("min_price_cents").cast("long").as("min_price_cents"),
+        col("max_price_cents").cast("long").as("max_price_cents"))
   }
 }

@@ -1,0 +1,125 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalDistinct
+
+/** A continuously-maintained per-group `count(DISTINCT value)` over one
+  * lake table — [[MaintainedView]]'s composition applied to
+  * [[IncrementalDistinct]]'s refcount state. Dashboards over CDC lakes
+  * routinely need distinct counts (active users per segment, distinct
+  * SKUs per warehouse), which the scalar count/sum/min/max state of
+  * [[graft.operators.IncrementalAgg]] cannot maintain under retraction;
+  * this maintainer keeps the per-(group, value) refcounts durable and
+  * serves the distinct count group-cardinality at read time.
+  *
+  * Same persistence story as the other maintainers: refcount rows live
+  * in a [[BucketedStateLog]] hash-bucketed on the GROUP key under a
+  * versioned manifest, a refresh reads and rewrites only the buckets
+  * whose groups the span's delta touched, and versions commit by atomic
+  * manifest rename BEFORE the lake cursor advances — crash replay finds
+  * the version committed and skips the rewrite. Refcounts need no
+  * dirty-group recompute (the merge is exact arithmetic), so the only
+  * full-rebuild triggers are `truncate` and the SEED refresh (the first
+  * span after a compacted lake holds groups only in BASE, so the seed
+  * recomputes from `stateAsOf` like [[MaintainedView]]'s).
+  *
+  * Compose with a [[MaintainedView]] over the same table for a combined
+  * dashboard frame: both advance independent named cursors on the same
+  * committed batches, so their reads agree at every shared boundary.
+  *
+  * Prerequisite (same as [[IncrementalDistinct]]): tables with
+  * updates/deletes need REPLICA IDENTITY FULL so retractions carry the
+  * counted value.
+  */
+final class MaintainedDistinct(
+    lake: LakeSink, dist: IncrementalDistinct,
+    schemaName: String, table: String, name: String,
+    stateBuckets: Int = 16) {
+
+  private val stateDir = new Path(lake.root, s"_graft_views/$name")
+  private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
+  private def cursorName = s"view_$name"
+
+  private def stateSchema(spark: SparkSession) = dist.init(spark).schema
+
+  /** Apply every newly committed lake batch. Returns the number of
+    * batches applied (0 = already current).
+    */
+  def refresh(spark: SparkSession): Int = {
+    val from = lake.cursorInterval(spark, cursorName)
+    lake.poll(spark, cursorName) { span =>
+      val f = states.fs(spark)
+      val isTable = col("schema") === schemaName && col("table") === table
+      val bounds = span
+        .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
+          max(when(isTable && col("op") === "truncate", 1).otherwise(0)))
+        .head()
+      // a span of only EMPTY batches has null bounds — let poll advance
+      if (!bounds.isNullAt(0)) {
+        val key = (math.min(from._1, bounds.getLong(0)),
+          math.max(from._2, bounds.getLong(1)))
+        if (!states.isCommitted(f, key)) {
+          val prevKey = states.latestWithin(f, from)
+          val events = span.filter(isTable)
+          // recompute source pinned to exactly the applied interval —
+          // same tear-avoidance as MaintainedView.refresh
+          def current = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+            .select(col("after"))
+          val hasTruncate = bounds.getInt(2) == 1
+          // SEED recomputes through BASE (a compacted+vacuumed lake holds
+          // groups no surviving changelog row mentions)
+          if (hasTruncate || prevKey.isEmpty) {
+            states.commit(f, dist.recomputeAll(current),
+              (0 until stateBuckets).toSet, None, key)
+          } else {
+            val d = dist.delta(events).localCheckpoint()
+            // bounded planning pull: ≤ stateBuckets distinct values
+            val touched = d
+              .select(states.bucketExpr(dist.groupCols.map(col)).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            if (touched.isEmpty) {
+              // span had rows but no DML for THIS table — pure carry-forward
+              states.commit(f, stateEmpty(spark), Set.empty, prevKey, key)
+            } else {
+              val prevTouched = prevKey
+                .map(states.readBuckets(spark, _, Some(touched), stateSchema(spark)))
+                .getOrElse(dist.init(spark))
+              states.commit(f, dist.stepMerge(prevTouched, d), touched, prevKey, key)
+            }
+          }
+        }
+        states.gcWithin(f, from)
+      }
+    }
+  }
+
+  private def stateEmpty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema(spark))
+
+  /** The current view: group columns plus `nd_<measure>` — group
+    * cardinality, no fold, no scan of the table.
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val f = states.fs(spark)
+    states.latest(f) match {
+      case Some(k) => dist.view(states.read(spark, k, stateSchema(spark)))
+      case None => dist.view(dist.init(spark))
+    }
+  }
+
+  /** Ops gauges for the `graft_lake_*` family — same shape as
+    * [[MaintainedView.gauges]]. Driver-side metadata listings only.
+    */
+  def gauges(spark: SparkSession): Seq[(String, Double)] = {
+    val f = states.fs(spark)
+    val asOf = states.latest(f)
+    val (neg, pos) = lake.cursorInterval(spark, cursorName)
+    val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
+    Seq(
+      s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
+      s"view_${name}_lag_batches" -> lag.toDouble)
+  }
+}

@@ -151,6 +151,7 @@ class LakeQueriesSpec extends AnyFunSuite {
       .filter(col("o_orderkey") % 13 =!= 0)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).cast("long").as("n_cust"),
         sum(p).cast("long").as("sum_price_cents"),
         sum(col("o_orderkey").cast("decimal(18,2)")).multiply(100)
           .cast("long").as("sum_key_c"),
