@@ -681,9 +681,15 @@ object CdcQueries {
       group = Seq("o_orderstatus" -> (im => element_at(im, "o_orderstatus"))),
       name = "cust",
       value = im => element_at(im, "o_custkey").cast("long"))
-    val dst = Seq((b0, cur0), (b1, cur1), (b2, cur2))
-      .foldLeft(dist.init(s)) { case (state, (batch, cur)) =>
-        dist.step(state, batch, cur)
+    // the synthesized batches are statically truncate-free, so the fold
+    // rides the maintainer seam (precomputed delta, lazy merge): three
+    // chained merges plan as ONE job instead of per-step probe +
+    // checkpoint jobs (r15 verdict: those actions alone cost q_ivm
+    // 2.2 s); the truncate/step path is property-gated in
+    // IncrementalDistinctPropertySpec
+    val dst = Seq(b0, b1, b2)
+      .foldLeft(dist.init(s)) { (state, batch) =>
+        dist.stepMerge(state, dist.delta(batch))
       }
     // the decimal accumulator runs the whole maintenance horizon in
     // DECIMAL(18,2) (pinned by LakeQueriesSpec and

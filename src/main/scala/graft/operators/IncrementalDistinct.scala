@@ -49,6 +49,10 @@ final class IncrementalDistinct(
     value: Column => Column) {
 
   require(group.nonEmpty, "at least one group column")
+  // the refcount state reserves these two column names; a group column
+  // sharing one would collide in delta's groupBy and mis-key the merge
+  require(!group.exists(g => g._1 == "v" || g._1 == "rc"),
+    "group column names 'v' and 'rc' are reserved for the refcount state")
 
   /** Group column names, in declaration order (state partitioning keys
     * for bucketed persistence).
@@ -101,7 +105,11 @@ final class IncrementalDistinct(
   def step(state: DataFrame, envelope: DataFrame, current: => DataFrame): DataFrame = {
     val hasTruncate = !envelope.filter(col("op") === "truncate").isEmpty
     if (hasTruncate) return recomputeAll(current)
-    stepMerge(state, delta(envelope))
+    // materialize here (bounded by state ∪ delta cardinality) so reads
+    // don't re-run the merge and lineage doesn't chain across steps; the
+    // maintainer seam below skips this — its caller writes the merged
+    // frame straight to the state log, one pass, no extra job
+    stepMerge(state, delta(envelope)).localCheckpoint()
   }
 
   /** [[step]] with a PRECOMPUTED delta and no truncate handling — the
@@ -120,13 +128,14 @@ final class IncrementalDistinct(
       lit("IncrementalDistinct: negative refcount — a retraction arrived " +
         "for a value never added (feed is not a consistent changelog)")))
       .otherwise(rcNew)
-    // materialize (bounded by state ∪ delta cardinality) so reads don't
-    // re-run the merge and lineage doesn't chain across steps
+    // LAZY on purpose: [[graft.sinks.MaintainedDistinct]] writes this
+    // frame straight into the bucketed state log, so a checkpoint here
+    // would materialize every merge twice ([[step]] adds one for the
+    // in-memory chaining case)
     s.join(dd, joinCond, "full_outer")
       .select(keys.map(nm =>
         coalesce(col(s"s.$nm"), col(s"d.$nm")).as(nm)) :+ rcChecked.as("rc"): _*)
       .filter(col("rc") > 0)
-      .localCheckpoint()
   }
 
   /** The user-facing view: group columns plus `nd_<name>` — the number

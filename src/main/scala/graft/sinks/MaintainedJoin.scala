@@ -35,12 +35,14 @@ private[sinks] object ImmutableContract {
     // constructing it makes Spark log a "Constructing trivially true
     // equals predicate" WARN per span scan, a storm that sits directly
     // above the bench stdout JSON and threatens its capture window.
-    // Detect that identity shape once (semanticEquals on a probe column)
-    // and skip the disjunct entirely instead of building it.
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val identityExtractor = ColumnBridge.expression(ex(col("after")))
-      .semanticEquals(
-        ColumnBridge.expression(element_at(col("after"), lit(colName))))
+    // Detect that identity shape exactly the way Spark's own
+    // checkTrivialPredicate does — Column equality, which compares the
+    // unresolved column NODES structurally (semanticEquals on the
+    // bridged Catalyst expressions is always false pre-analysis, so a
+    // probe built on it never fires) — and skip the disjunct entirely
+    // instead of building it.
+    val identityExtractor =
+      ex(col("after")) == element_at(col("after"), lit(colName))
     val misdecl =
       if (identityExtractor) lit(false)
       else misdeclared("after") || misdeclared("before")

@@ -1,7 +1,6 @@
 package graft.sinks
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.scalatest.funsuite.AnyFunSuite
@@ -40,12 +39,73 @@ class ImmutableContractSpec extends AnyFunSuite {
     // stdout JSON. The contract must skip the disjunct instead.
     val c = ImmutableContract.violation(
       lit(true), im => element_at(im, "grp"), "grp")
-    val trivial = ColumnBridge.expression(c).collect {
-      case e: EqualNullSafe if e.left.semanticEquals(e.right) => e
-      case e: EqualTo if e.left.semanticEquals(e.right) => e
-    }
+    // the r15 probe bug slipped through a Catalyst-tree walk: pre-analysis
+    // the bridged expression is one lazy ColumnNodeExpression leaf (and
+    // semanticEquals is always false on unresolved trees), so both the
+    // probe and the old assertion were vacuous. The COLUMN-NODE walk sees
+    // the real shape — the same one Spark's checkTrivialPredicate warns on.
+    val trivial = ColumnBridge.trivialEqualities(c)
     assert(trivial.isEmpty,
       s"vacuous self-comparison survives in the contract predicate: $trivial")
+  }
+
+  test("a groupIsImmutable refresh with a verbatim extractor logs ZERO trivially-true WARNs") {
+    // end-to-end storm check: capture WARNs through a log4j2 appender
+    // while a real groupIsImmutable MaintainedView (verbatim element_at
+    // extractor — the common declaration) refreshes over churn that
+    // takes the dirty-group recompute path. Spark's Column.===/<=> logs
+    // "Constructing trivially true equals predicate" whenever both sides
+    // compare node-equal; one WARN here means the skip probe regressed
+    // and every span scan at scale re-emits the storm that previously
+    // threatened the bench stdout capture.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val app = new AbstractAppender(
+      "graft-warn-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        captured.add(e.getMessage.getFormattedMessage); ()
+      }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    val dir = java.nio.file.Files.createTempDirectory("lake-warncap").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val vEx: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        im => element_at(im, "v").cast("long")
+      val mv = new MaintainedView(sink,
+        new graft.operators.IncrementalAgg(
+          group = Seq("grp" -> (im => element_at(im, "grp"))),
+          sums = Nil, mins = Seq("v" -> vEx)),
+        "public", "users", "warncap",
+        stateBuckets = 4, groupIsImmutable = true, groupCol = Some("grp"))
+      def im(id: String, grp: String, v: String) =
+        Map("id" -> id, "grp" -> grp, "v" -> v)
+      sink.appendBatch(envelope(Seq(
+        ev("insert", null, im("1", "a", "1")),
+        ev("insert", null, im("2", "a", "5")))), 0L)
+      assert(mv.refresh(spark) == 1)
+      // min retraction → dirty group → the restricted recompute span scan
+      sink.appendBatch(envelope(Seq(
+        ev("delete", im("1", "a", "1"), null))), 1L)
+      assert(mv.refresh(spark) == 1)
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-warn-capture")
+      ctx.updateLoggers()
+      app.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    val storms = scala.jdk.CollectionConverters.ListHasAsScala(captured)
+      .asScala.filter(_.contains("trivially true"))
+    assert(storms.isEmpty,
+      s"trivially-true WARN storm regressed (${storms.size} WARNs): ${storms.headOption}")
   }
 
   test("identity extractor still flags the real violations") {
