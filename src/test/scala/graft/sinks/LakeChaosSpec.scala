@@ -274,6 +274,43 @@ class LakeChaosSpec extends AnyFunSuite {
               s"(missing=${want -- got} extra=${got -- want})")
         }
 
+        // a maintained DISTINCT count polling the same changelog:
+        // count(DISTINCT ref) per shard — refcount state, bucketed
+        // commits, NULL refs dropped per SQL, NULL shards first-class —
+        // soaking under the same crash windows as the other maintainers,
+        // audited against the sequential oracle at every boundary
+        val mdd = new MaintainedDistinct(sink,
+          new graft.operators.IncrementalDistinct(
+            group = Seq("shard" -> (im => element_at(im, "shard"))),
+            name = "ref",
+            value = im => element_at(im, "ref")),
+          "public", "t", "soakdist", stateBuckets = 4)
+
+        def checkDistinct(): Unit = {
+          val pre = sink.cursorInterval(spark, "view_soakdist")
+          mdd.refresh(spark)
+          if (rnd.nextInt(3) == 0) {
+            // crash window: refcount state committed, cursor advance lost —
+            // rewind and replay; a double-applied retraction would either
+            // trip the negative-refcount check or drop counts
+            val cf = new java.io.File(s"$dir/_graft_cursors/view_soakdist")
+            new java.io.File(s"$dir/_graft_cursors/.view_soakdist.crc").delete()
+            if (pre == ((0L, Long.MinValue))) cf.delete()
+            else java.nio.file.Files.write(cf.toPath,
+              s"${pre._1}:${pre._2}".getBytes)
+            mdd.refresh(spark)
+          }
+          val got = mdd.read(spark).collect().map { r =>
+            Option(r.getString(0)) -> r.getLong(1) }.toMap
+          val want = oracle.toSeq
+            .collect { case (id, (_, ref)) if ref != null =>
+              (Option(shardOf(id)), ref) }
+            .groupBy(_._1)
+            .map { case (sh, vs) => sh -> vs.map(_._2).distinct.size.toLong }
+          assert(got == want,
+            s"seed=$seed: maintained distinct diverged (got=$got want=$want)")
+        }
+
         val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
         var nextSnapId = -1L
@@ -298,10 +335,16 @@ class LakeChaosSpec extends AnyFunSuite {
                 sink.appendBatch(envelope(Seq(ev(1L, "insert", "99", "stale"))), id)
               }
             case 5 => // crash between parquet write and marker: half-written
-              // batch — a repeat crash re-tears the SAME epoch (epochs are
-              // sequential; a crashed epoch retries, it cannot be skipped)
-              val id = pendingHalf.map(_._1).getOrElse { nextId += 1; nextId - 1 }
-              val rows = randomRows()
+              // batch — a repeat crash re-tears the SAME epoch with the
+              // SAME rows (epochs are sequential and a retry re-reads the
+              // same slot offsets, so the WAL content cannot change;
+              // regenerating fresh rows here would mutate the generator
+              // from content that never commits, making the committed
+              // changelog reference uncommitted versions — an inconsistent
+              // feed the value-sensitive distinct maintainer rejects loud)
+              val (id, rows) = pendingHalf.getOrElse {
+                nextId += 1; (nextId - 1, randomRows())
+              }
               envelope(rows).write.mode("overwrite")
                 .parquet(s"$dir/changelog/batch_id=$id")
               pendingHalf = Some((id, rows))
@@ -325,14 +368,16 @@ class LakeChaosSpec extends AnyFunSuite {
               checkView() // every maintainer's cursor must pass the
               checkShardView() // watermark before vacuum may drop the
               checkJoin()      // folded tail
+              checkDistinct()
               sink.vacuum(spark)
               checkFold()
-            case 9 => // reader progress + fold/view/join audit
+            case 9 => // reader progress + fold/view/join/distinct audit
               drain()
               checkFold()
               checkView()
               checkShardView()
               checkJoin()
+              checkDistinct()
           }
         }
         // land any dangling half-written batch, then final audit
@@ -342,6 +387,7 @@ class LakeChaosSpec extends AnyFunSuite {
         checkView()
         checkShardView()
         checkJoin()
+        checkDistinct()
         // epochs deliver in ascending id order (snapshot ids interleave
         // with no intra-span order — the drain helper sorts per span; the
         // stream soak asserts per-trigger order precisely)

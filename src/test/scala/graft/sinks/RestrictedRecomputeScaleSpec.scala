@@ -46,9 +46,12 @@ class RestrictedRecomputeScaleSpec extends AnyFunSuite {
   private val PER_GROUP = 6
   private def grpName(g: Int) = f"g$g%04d"
 
-  /** Sum of shuffle records written across the final executed plan — the
-    * fold input (one shuffle on `k`; the restriction semi-joins are
-    * broadcast, writing no shuffle records).
+  /** Shuffle records written by the FOLD's shuffle specifically — the one
+    * hash-partitioned on the replica key `k` (LakeSink.foldImages's
+    * window). Identified by its partitioning rather than summed over every
+    * exchange in the plan: the restriction semi-joins normally broadcast,
+    * but an AQE/threshold change that shuffles them must not inflate the
+    * measurement and flake the proportionality assertion (r15 ADVICE).
     */
   private def foldInputRows(df: DataFrame): Long = {
     df.collect()
@@ -62,11 +65,16 @@ class RestrictedRecomputeScaleSpec extends AnyFunSuite {
       }
       p +: (p.children ++ nested).flatMap(flatten)
     }
-    val shuffles = flatten(df.queryExecution.executedPlan).collect {
-      case e: ShuffleExchangeLike => e
+    val folds = flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike
+        if (e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.exists(_.references.exists(_.name == "k"))
+          case _ => false
+        }) => e
     }
-    assert(shuffles.nonEmpty, "expected the fold's shuffle in the plan")
-    shuffles.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+    assert(folds.nonEmpty, "expected the fold's k-partitioned shuffle in the plan")
+    folds.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
   }
 
   test("1,000-group view: dirty-group fold input scales with the dirty groups, not the table") {
