@@ -38,8 +38,11 @@ object SnapshotJobStore {
     // every statement-position use of the configured table name is
     // identifier-quoted (per dotted segment, so schema-qualified config
     // keeps working) — a reserved-word or mixed-case table name must not
-    // break DDL/DML; to_regclass keeps the raw literal (it parses its
-    // argument as an identifier sequence itself)
+    // break DDL/DML; to_regclass receives the QUOTED form as its literal
+    // (regclass input parses embedded double-quoted segments), so
+    // introspection resolves the same case-preserved relation the DDL/DML
+    // target — the raw literal would case-fold a mixed-case config, miss
+    // the quoted table, and re-issue CREATE TABLE into 'already exists'
     private val qtable =
       table.split('.').map(CatalogReader.quoteIdent).mkString(".")
 
@@ -72,7 +75,7 @@ object SnapshotJobStore {
           "FROM pg_attribute a " +
           "JOIN pg_type t ON t.oid = a.atttypid " +
           "LEFT JOIN pg_attrdef d ON d.adrelid = a.attrelid AND d.adnum = a.attnum " +
-          s"WHERE a.attrelid = to_regclass(${lit(table)}) " +
+          s"WHERE a.attrelid = to_regclass(${lit(qtable)}) " +
           "AND a.attnum > 0 AND NOT a.attisdropped")
       if (cols.isEmpty)
         exec(s"CREATE TABLE $qtable (slot_name TEXT PRIMARY KEY, " +

@@ -140,8 +140,8 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
     // hits), not a schema-blind information_schema table_name match
     st.ensureSchema()
     val sqls1 = issued.result()
-    assert(sqls1.exists(_.contains("to_regclass('cdc_snapshot_job')")),
-      s"introspection resolves via to_regclass: $sqls1")
+    assert(sqls1.exists(_.contains("to_regclass('\"cdc_snapshot_job\"')")),
+      s"introspection resolves via to_regclass on the QUOTED form: $sqls1")
     // domains must arrive resolved to their BASE type (a domain over
     // text gets the text default — DROP NOT NULL would not satisfy a
     // NOT-NULL domain at insert time)
@@ -251,9 +251,29 @@ class SnapshotOrchestratorSpec extends AnyFunSuite {
       s"reserved-word column name is quoted: $sqls")
     assert(sqls.exists(_.startsWith("""INSERT INTO "public"."user"""")),
       s"DML table position is quoted: $sqls")
-    // to_regclass keeps the raw literal — it parses its argument as an
-    // identifier sequence itself
-    assert(sqls.exists(_.contains("to_regclass('public.user')")),
-      s"introspection literal unchanged: $sqls")
+    // to_regclass receives the QUOTED form — regclass input parses
+    // embedded double-quoted segments, and the raw literal would resolve
+    // a DIFFERENT (case-folded) relation than the quoted DDL/DML target
+    assert(sqls.exists(_.contains("to_regclass('\"public\".\"user\"')")),
+      s"introspection literal is the quoted form: $sqls")
+  }
+
+  test("Sql store: mixed-case config introspects the same relation its DDL creates") {
+    // r15 ADVICE: to_regclass('MySchema.MyTable') case-folds to
+    // myschema.mytable while CREATE TABLE preserves case via quoting —
+    // the second ensureSchema would miss the table and re-issue CREATE
+    // into 'relation already exists'. The quoted regclass literal
+    // resolves the case-preserved relation.
+    val issued = Seq.newBuilder[String]
+    val exec: CatalogReader.SqlExecutor = { sql =>
+      issued += sql; Seq.empty
+    }
+    val st = new SnapshotJobStore.Sql(exec, table = "MySchema.MyTable")
+    st.ensureSchema()
+    val sqls = issued.result()
+    assert(sqls.exists(_.contains("to_regclass('\"MySchema\".\"MyTable\"')")),
+      s"introspection preserves case through quoting: $sqls")
+    assert(sqls.exists(_.startsWith("CREATE TABLE \"MySchema\".\"MyTable\"")),
+      s"DDL quotes per segment: $sqls")
   }
 }
