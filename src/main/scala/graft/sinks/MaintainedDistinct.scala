@@ -40,6 +40,7 @@ final class MaintainedDistinct(
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
+  private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
 
   private def stateSchema(spark: SparkSession) = dist.init(spark).schema
@@ -48,16 +49,26 @@ final class MaintainedDistinct(
     * batches applied (0 = already current).
     */
   def refresh(spark: SparkSession): Int = {
+    val t0 = System.nanoTime
+    val n = refreshSpans(spark)
+    ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
+    n
+  }
+
+  private def refreshSpans(spark: SparkSession): Int = {
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
       val isTable = col("schema") === schemaName && col("table") === table
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
-          max(when(isTable && col("op") === "truncate", 1).otherwise(0)))
+          max(when(isTable && col("op") === "truncate", 1).otherwise(0)),
+          // span rows for THIS table — rides the same one-pass aggregate
+          sum(when(isTable, 1L).otherwise(0L)))
         .head()
       // a span of only EMPTY batches has null bounds — let poll advance
       if (!bounds.isNullAt(0)) {
+        val spanRows = bounds.getLong(3)
         val key = (math.min(from._1, bounds.getLong(0)),
           math.max(from._2, bounds.getLong(1)))
         if (!states.isCommitted(f, key)) {
@@ -73,20 +84,28 @@ final class MaintainedDistinct(
           if (hasTruncate || prevKey.isEmpty) {
             states.commit(f, dist.recomputeAll(current),
               (0 until stateBuckets).toSet, None, key)
+            ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
           } else {
             val d = dist.delta(events).localCheckpoint()
-            // bounded planning pull: ≤ stateBuckets distinct values
-            val touched = d
-              .select(states.bucketExpr(dist.groupCols.map(col)).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
+            // bounded planning pull: ≤ stateBuckets rows — per-bucket
+            // counts give the touched set AND the delta's (group, value)
+            // cardinality (the dirty-keys gauge) in one job
+            val perBucket = d
+              .groupBy(states.bucketExpr(dist.groupCols.map(col)).as("b"))
+              .count().collect()
+            val touched = perBucket.map(_.getInt(0)).toSet
+            val deltaPairs = perBucket.map(_.getLong(1)).sum
             if (touched.isEmpty) {
               // span had rows but no DML for THIS table — pure carry-forward
               states.commit(f, stateEmpty(spark), Set.empty, prevKey, key)
+              ops.recordSpan(spanRows, 0, 0, stateBuckets)
             } else {
               val prevTouched = prevKey
                 .map(states.readBuckets(spark, _, Some(touched), stateSchema(spark)))
                 .getOrElse(dist.init(spark))
               states.commit(f, dist.stepMerge(prevTouched, d), touched, prevKey, key)
+              ops.recordSpan(spanRows, deltaPairs,
+                touched.size, stateBuckets - touched.size)
             }
           }
         }
@@ -120,6 +139,6 @@ final class MaintainedDistinct(
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(
       s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
-      s"view_${name}_lag_batches" -> lag.toDouble)
+      s"view_${name}_lag_batches" -> lag.toDouble) ++ ops.gauges
   }
 }

@@ -179,6 +179,7 @@ final class MaintainedJoin(
 
   private val stateDir = new Path(lake.root, s"_graft_joins/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets)
+  private val ops = new MaintainerOps("join", name)
   // pre-bucketing state versions (whole-state parquet under asof=*) —
   // read once for migration, then retired
   private val legacyStates = new StateLog(stateDir)
@@ -267,6 +268,13 @@ final class MaintainedJoin(
     * current).
     */
   def refresh(spark: SparkSession): Int = {
+    val t0 = System.nanoTime
+    val n = refreshSpans(spark)
+    ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
+    n
+  }
+
+  private def refreshSpans(spark: SparkSession): Int = {
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
@@ -311,7 +319,10 @@ final class MaintainedJoin(
           flag(badImmutable(left, leftKey, leftKeyCol,
             leftKeyImmutable && !leftKeyIsRowKey)),
           flag(badImmutable(right, rightKey, rightKeyCol,
-            rightKeyImmutable && !rightKeyIsRowKey)))
+            rightKeyImmutable && !rightKeyIsRowKey)),
+          // span rows for EITHER side — rides the same one-pass aggregate
+          // (ops gauge; never an extra scan)
+          sum(when(isSide(left) || isSide(right), 1L).otherwise(0L)))
         .head()
       // flag reads guard on the empty-span null bounds FIRST (an all-empty
       // span aggregates every column to NULL, and Row.getInt on a NULL
@@ -344,6 +355,7 @@ final class MaintainedJoin(
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
       if (!bounds.isNullAt(0)) {
+      val spanRows = bounds.getLong(9)
       val key = (math.min(from._1, bounds.getLong(0)),
         math.max(from._2, bounds.getLong(1)))
       if (!states.isCommitted(f, key)) {
@@ -373,6 +385,7 @@ final class MaintainedJoin(
           val next = nullSegment(spark, key._2, key._1)
             .map(rebuilt.unionByName(_)).getOrElse(rebuilt)
           states.commit(f, next, (0 until stateBuckets).toSet, None, key)
+          ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
         } else {
           // materialized: feeds the bucket probe, both recompute
           // restrictions, and the splice's anti join below
@@ -386,10 +399,13 @@ final class MaintainedJoin(
           val nullDirty =
             (preservesLeft && bounds.getInt(3) == 1) ||
               (preservesRight && bounds.getInt(4) == 1)
-          // bounded planning pull: ≤ stateBuckets distinct values
-          val touchedBuckets = touched
-            .select(states.bucketCol(col("jk")).as("b")).distinct()
-            .collect().map(_.getInt(0)).toSet ++
+          // bounded planning pull: ≤ stateBuckets rows — per-bucket counts
+          // give the touched set AND the dirty-key cardinality (the ops
+          // gauge) in the one job the bucket probe always ran
+          val perBucket = touched
+            .groupBy(states.bucketCol(col("jk")).as("b")).count().collect()
+          val dirtyKeys = perBucket.map(_.getLong(1)).sum
+          val touchedBuckets = perBucket.map(_.getInt(0)).toSet ++
             (if (nullDirty) Set(states.nullBucket) else Set.empty)
           // ONLY the touched buckets' slices are read — the splice's
           // input is bucket-bounded, never the whole state
@@ -437,6 +453,8 @@ final class MaintainedJoin(
                 .map(keyedOnly.unionByName(_)).getOrElse(keyedOnly)
             } else spliced
           states.commit(f, next, touchedBuckets, prevKey, key)
+          ops.recordSpan(spanRows, dirtyKeys,
+            touchedBuckets.size, stateBuckets - touchedBuckets.size)
         }
       }
       states.gcWithin(f, from)
@@ -455,7 +473,7 @@ final class MaintainedJoin(
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(
       s"join_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
-      s"join_${name}_lag_batches" -> lag.toDouble)
+      s"join_${name}_lag_batches" -> lag.toDouble) ++ ops.gauges
   }
 
   /** The current join: `jk`, `left_after`, `right_after`. PURE reader —

@@ -99,6 +99,7 @@ final class MaintainedView(
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, agg.groupCols)
+  private val ops = new MaintainerOps("view", name)
   // pre-bucketing state versions (whole-state parquet under asof=*) —
   // read once for migration, then retired
   private val legacyStates = new StateLog(stateDir)
@@ -119,6 +120,13 @@ final class MaintainedView(
     * current).
     */
   def refresh(spark: SparkSession): Int = {
+    val t0 = System.nanoTime
+    val n = refreshSpans(spark)
+    ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
+    n
+  }
+
+  private def refreshSpans(spark: SparkSession): Int = {
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
@@ -161,7 +169,10 @@ final class MaintainedView(
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
           max(when(isTable && col("op") === "truncate", 1).otherwise(0)),
           max(when(badShape, 1).otherwise(0)),
-          max(when(badImmutable, 1).otherwise(0)))
+          max(when(badImmutable, 1).otherwise(0)),
+          // span rows for THIS table — rides the same one-pass aggregate
+          // (ops gauge; never an extra scan)
+          sum(when(isTable, 1L).otherwise(0L)))
         .head()
       if (groupIsRowKey && !bounds.isNullAt(0) && bounds.getInt(3) == 1)
         throw new IllegalStateException(
@@ -185,6 +196,7 @@ final class MaintainedView(
       // a span of only EMPTY batches (zero rows) has null bounds: no
       // deltas to apply — just let poll advance the cursor past them
       if (!bounds.isNullAt(0)) {
+        val spanRows = bounds.getLong(5)
         val key = (math.min(from._1, bounds.getLong(0)),
           math.max(from._2, bounds.getLong(1)))
         // replay where only the cursor advance was lost: the state for
@@ -211,16 +223,23 @@ final class MaintainedView(
             // rebuild from the boundary, all buckets rewritten
             states.commit(f, agg.recomputeAll(current),
               (0 until stateBuckets).toSet, None, key)
+            ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
           } else {
             val d = agg.delta(events).localCheckpoint()
-            // bounded planning pull: ≤ stateBuckets distinct values
-            val touched = d
-              .select(states.bucketExpr(agg.groupCols.map(col)).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
+            // bounded planning pull: ≤ stateBuckets rows — per-bucket
+            // counts give the touched set AND the delta's group
+            // cardinality (the dirty-keys gauge) in the one job the
+            // touched probe always ran
+            val perBucket = d
+              .groupBy(states.bucketExpr(agg.groupCols.map(col)).as("b"))
+              .count().collect()
+            val touched = perBucket.map(_.getInt(0)).toSet
+            val deltaGroups = perBucket.map(_.getLong(1)).sum
             if (touched.isEmpty) {
               // span had rows but no DML for THIS table: state unchanged —
               // publish the new version as pure carry-forward
               states.commit(f, stateEmpty(spark), Set.empty, prevKey, key)
+              ops.recordSpan(spanRows, 0, 0, stateBuckets)
             } else {
               // ONLY the touched buckets' rows feed the merge — the
               // delta's groups are all inside them by construction
@@ -260,6 +279,8 @@ final class MaintainedView(
                   })
                 else agg.stepMerge(prevTouched, d, current)
               states.commit(f, next, touched, prevKey, key)
+              ops.recordSpan(spanRows, deltaGroups,
+                touched.size, stateBuckets - touched.size)
             }
           }
         }
@@ -301,6 +322,6 @@ final class MaintainedView(
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(
       s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
-      s"view_${name}_lag_batches" -> lag.toDouble)
+      s"view_${name}_lag_batches" -> lag.toDouble) ++ ops.gauges
   }
 }

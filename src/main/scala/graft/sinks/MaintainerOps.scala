@@ -1,0 +1,61 @@
+package graft.sinks
+
+/** Per-refresh ops facts a maintainer records — the observability a
+  * 100-TB deployment needs to operate a maintainer it cannot read whole:
+  * how long the last refresh took, how much churn it applied (span
+  * batches/rows, dirty keys), and how much state it physically rewrote
+  * vs carried forward by manifest reference. The reference ships the
+  * equivalent pipeline gauge set for its CDC loop
+  * (`internal/metric/metric.go:16-38`); these are the maintainer-side
+  * analogues.
+  *
+  * Every field is recorded from values the refresh already computes (the
+  * span bounds aggregate, the delta's per-bucket counts, the
+  * touched-bucket set), so recording adds NO extra Spark actions.
+  *
+  * Rendered as LABELED Prometheus series — `view_refresh_ms{view="x"}` —
+  * so the series NAME is deployment-stable and one dashboard panel plots
+  * every maintainer of a kind without knowing its name.
+  */
+private[sinks] final class MaintainerOps(kind: String, name: String) {
+  @volatile private var lastRefreshMs: Double = -1
+  @volatile private var lastSpanBatches: Double = 0
+  @volatile private var lastSpanRows: Double = 0
+  @volatile private var lastDirtyKeys: Double = 0
+  @volatile private var lastBucketsRewritten: Double = 0
+  @volatile private var lastBucketsCarried: Double = 0
+  private val applied = new java.util.concurrent.atomic.AtomicLong
+
+  /** Record one applied (non-empty) span: events for the maintained
+    * table(s), delta/dirty-key cardinality, and the physical rewrite
+    * split. A full rebuild (seed/truncate) reports every bucket
+    * rewritten; a pure carry-forward reports zero.
+    */
+  def recordSpan(rows: Long, dirty: Long, rewritten: Int, carried: Int): Unit = {
+    lastSpanRows = rows.toDouble
+    lastDirtyKeys = dirty.toDouble
+    lastBucketsRewritten = rewritten.toDouble
+    lastBucketsCarried = carried.toDouble
+  }
+
+  /** Record one refresh() call: wall time and batches applied. */
+  def recordRefresh(ms: Double, batches: Int): Unit = {
+    lastRefreshMs = ms
+    lastSpanBatches = batches.toDouble
+    if (batches > 0) { applied.addAndGet(batches.toLong); () }
+  }
+
+  private def esc(s: String) =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def lbl(suffix: String) = s"""${kind}_$suffix{$kind="${esc(name)}"}"""
+
+  /** Labeled gauge suffixes for the `graft_lake_*` family. */
+  def gauges: Seq[(String, Double)] = Seq(
+    lbl("refresh_ms") -> lastRefreshMs,
+    lbl("span_batches") -> lastSpanBatches,
+    lbl("span_rows") -> lastSpanRows,
+    lbl("dirty_keys") -> lastDirtyKeys,
+    lbl("buckets_rewritten") -> lastBucketsRewritten,
+    lbl("buckets_carried") -> lastBucketsCarried,
+    lbl("batches_applied_total") -> applied.get.toDouble)
+}

@@ -137,11 +137,26 @@ final class GraftMetricsServer(listener: GraftMetricsListener, port: Int,
           series("graft_" + name, "gauge", s"replication $name", renderDouble(v))
         }
       }
+    // lake + maintainer gauges. A suffix may carry Prometheus labels
+    // (`view_refresh_ms{view="x"}` — MaintainerOps series): HELP/TYPE are
+    // emitted once per BARE name (duplicate TYPE lines are invalid
+    // exposition when several maintainers share a series), then every
+    // labeled sample under it.
     lakeGauges.map(f => try f() catch { case scala.util.control.NonFatal(_) => Seq.empty })
-      .foreach(_.foreach { case (suffix, v) =>
-        val mtype = if (suffix.endsWith("_total")) "counter" else "gauge"
-        series("graft_lake_" + suffix, mtype, s"lake sink $suffix", renderDouble(v))
-      })
+      .foreach { gs =>
+        gs.groupBy { case (suffix, _) => suffix.takeWhile(_ != '{') }
+          .toSeq.sortBy(_._1).foreach { case (bare, samples) =>
+            val mtype = if (bare.endsWith("_total")) "counter" else "gauge"
+            sb.append("# HELP graft_lake_").append(bare)
+              .append(" lake sink ").append(bare).append('\n')
+            sb.append("# TYPE graft_lake_").append(bare)
+              .append(' ').append(mtype).append('\n')
+            samples.foreach { case (suffix, v) =>
+              sb.append("graft_lake_").append(suffix).append(' ')
+                .append(renderDouble(v)).append('\n')
+            }
+          }
+      }
     sb.toString
   }
 

@@ -81,6 +81,24 @@ object LakeDemo {
     val mvRow = mv.read(spark).collect().head
     println(s"-- maintained view: $applied batches applied, " +
       s"n=${mvRow.getLong(1)} max_id=${mvRow.getLong(3)}")
+
+    // maintainer ops on /metrics: refresh duration, span batches/rows,
+    // dirty groups, buckets rewritten vs carried — the graft_lake_* series
+    // grafana/dashboard.json's maintainer panels plot
+    val mListener = new graft.streaming.GraftMetricsListener
+    val mServer = new graft.streaming.GraftMetricsServer(mListener, port = 0,
+      lakeGauges = Some(() => lake.gauges(spark) ++ mv.gauges(spark)))
+    val scraped = {
+      val in = java.net.URI.create(
+        s"http://localhost:${mServer.boundPort}/metrics").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    mServer.close()
+    val opsLines = scraped.linesIterator
+      .filter(l => l.startsWith("graft_lake_view_") && !l.contains("users_stats_"))
+      .toSeq
+    println(s"-- maintainer ops series (${opsLines.size}):")
+    opsLines.foreach(l => println(s"   $l"))
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 

@@ -22,7 +22,9 @@ class DashboardConsistencySpec extends AnyFunSuite {
       .toSet
     assert(series.size >= 20, s"dashboard should plot a rich series set, found: $series")
 
-    // a full ops stack: stream + listener + task counters + snapshot + slot
+    // a full ops stack: stream + listener + task counters + snapshot +
+    // slot + a lake with one maintainer of each kind (view/join/distinct),
+    // refreshed once so every MaintainerOps series carries a sample
     val wal = Files.createTempFile("wal-dash", ".bin").toString
     WalFile.write(wal, WalGen.frames(3, 2))
     val listener = new GraftMetricsListener
@@ -34,9 +36,39 @@ class DashboardConsistencySpec extends AnyFunSuite {
       "s", "logical", active = true, activePid = None,
       restartLsn = 0x10L, confirmedFlushLsn = 0x20L,
       walStatus = "reserved", currentLsn = 0x30L)
+    val lakeDir = Files.createTempDirectory("lake-dash").toString
+    val sink = new graft.sinks.LakeSink(lakeDir)
+    val T = new java.sql.Timestamp(1700000000000L)
+    def lev(lsn: Long, table: String, m: Map[String, String]) =
+      org.apache.spark.sql.Row(lsn, lsn, 7L, "insert", "public", table,
+        T, T, Seq("id"), null, m)
+    sink.appendBatch(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+          lev(1, "t", Map("id" -> "1", "grp" -> "a", "ref" -> "9")),
+          lev(2, "u", Map("id" -> "9", "name" -> "n")))).asJava),
+      graft.cdc.ChangeEvent.schema), 0L)
+    import org.apache.spark.sql.functions.element_at
+    val mv = new graft.sinks.MaintainedView(sink,
+      new graft.operators.IncrementalAgg(
+        group = Seq("grp" -> (im => element_at(im, "grp"))), sums = Nil),
+      "public", "t", "dashview")
+    val mj = new graft.sinks.MaintainedJoin(sink,
+      ("public", "u"), ("public", "t"),
+      im => element_at(im, "id"), im => element_at(im, "ref"), "dashjoin")
+    val mdd = new graft.sinks.MaintainedDistinct(sink,
+      new graft.operators.IncrementalDistinct(
+        group = Seq("grp" -> (im => element_at(im, "grp"))),
+        name = "ref", value = im => element_at(im, "ref")),
+      "public", "t", "dashdist")
+    assert(mv.refresh(spark) == 1)
+    assert(mj.refresh(spark) == 1)
+    assert(mdd.refresh(spark) == 1)
     val server = new GraftMetricsServer(listener, port = 0,
       slotInfo = Some(() => Some(slotInfo)),
-      snapshot = Some(snapshot), taskCounters = Some(tasks))
+      snapshot = Some(snapshot), taskCounters = Some(tasks),
+      lakeGauges = Some(() => sink.gauges(spark) ++ mv.gauges(spark) ++
+        mj.gauges(spark) ++ mdd.gauges(spark)))
     try {
       val q = spark.readStream.format("pgcdc").option("path", wal)
         .load().writeStream.format("memory").queryName("dash_sink")
@@ -51,8 +83,11 @@ class DashboardConsistencySpec extends AnyFunSuite {
       }
       var served = Set.empty[String]
       while ({
+        // a sample line may carry labels (view_refresh_ms{view="x"}) —
+        // the dashboard matches on the bare series NAME
         served = scrape().linesIterator.filterNot(_.startsWith("#"))
-          .flatMap(l => l.split(" ").headOption).toSet
+          .flatMap(l => l.split(" ").headOption)
+          .map(_.takeWhile(_ != '{')).toSet
         !series.subsetOf(served) && System.currentTimeMillis() < deadline
       }) Thread.sleep(50)
       val missing = series -- served
@@ -61,6 +96,7 @@ class DashboardConsistencySpec extends AnyFunSuite {
     } finally {
       server.close()
       spark.streams.removeListener(listener)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
     }
   }
 }
