@@ -641,17 +641,22 @@ object SparkEntry {
     // Maintained view: after three refresh cycles (insert-all, ~10% bumps
     // on %7 keys, deletes of %13 keys) the served state must equal a
     // direct aggregate over the final table. Integer-cents end to end;
-    // min/max compare exact BIGINTs.
+    // min/max compare exact BIGINTs. `n_cust` is served from the
+    // MaintainedDistinct refcount state riding the same lake on its own
+    // cursor — the %13 deletes decrement refcounts that mostly stay
+    // positive (a customer holds several orders per status), so the
+    // distinct count must NOT drop with every deleted order.
     "q_mv" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
            CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(min(pc) AS BIGINT) AS min_price_cents,
            CAST(max(pc) AS BIGINT) AS max_price_cents
-         FROM (SELECT o_orderstatus, o_orderkey,
+         FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
                  CASE WHEN o_orderkey % 7 = 0
                    THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
-               FROM (SELECT o_orderstatus, o_orderkey,
+               FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
                        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
                      FROM orders)
                WHERE o_orderkey % 13 <> 0)

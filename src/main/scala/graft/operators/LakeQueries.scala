@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sinks.{LakeSink, MaintainedJoin, MaintainedView}
+import graft.sinks.{LakeSink, MaintainedDistinct, MaintainedJoin, MaintainedView}
 
 /** Driver-gated lake queries: put the changelog → fold → compact → vacuum
   * → time-travel pipeline of [[graft.sinks.LakeSink]] under the same
@@ -69,6 +69,7 @@ object LakeQueries {
   private def img(priceCents: Column): Column = map(
     lit("o_orderkey"), col("o_orderkey").cast("string"),
     lit("o_orderstatus"), col("o_orderstatus"),
+    lit("o_custkey"), col("o_custkey").cast("string"),
     lit("o_totalprice_cents"), priceCents.cast("string"))
 
   /** One batch of envelope rows over a filtered orders frame. `before` /
@@ -154,12 +155,12 @@ object LakeQueries {
   // could poll it).
 
   private val builtViews =
-    new java.util.concurrent.ConcurrentHashMap[String, MaintainedView]()
+    new java.util.concurrent.ConcurrentHashMap[String, (MaintainedView, MaintainedDistinct)]()
 
-  private def viewFor(s: SparkSession, dir: String): MaintainedView =
+  private def viewFor(s: SparkSession, dir: String): (MaintainedView, MaintainedDistinct) =
     builtViews.computeIfAbsent(dir, d => buildView(s, d))
 
-  private def buildView(s: SparkSession, dir: String): MaintainedView = {
+  private def buildView(s: SparkSession, dir: String): (MaintainedView, MaintainedDistinct) = {
     val root = new Path(
       new Path(System.getProperty("java.io.tmpdir")),
       "graft_lake_mv_" + Integer.toHexString(dir.hashCode)).toString
@@ -187,6 +188,19 @@ object LakeQueries {
     val view =
       new MaintainedView(sink, agg, "public", "orders", "mv", stateBuckets = 8,
         groupIsImmutable = true, groupCol = Some("o_orderstatus"))
+    // the PERSISTENCE maintainer for count(DISTINCT o_custkey) rides the
+    // same lake and churn on its own cursor — this puts
+    // MaintainedDistinct's full loop (bucketed refcount state, replay
+    // skip, carry-forward, gc) under the driver oracle, not just the
+    // in-memory fold q_ivm gates. A customer holds several orders per
+    // status, so the %13 deletes decrement refcounts that mostly stay
+    // positive — the distinct count must NOT drop with them.
+    val dist = new MaintainedDistinct(sink,
+      new IncrementalDistinct(
+        group = Seq("o_orderstatus" -> (i => element_at(i, "o_orderstatus"))),
+        name = "cust",
+        value = i => element_at(i, "o_custkey").cast("long")),
+      "public", "orders", "mvd", stateBuckets = 8)
     val orders = Tables.orders(s, dir)
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))
@@ -196,6 +210,7 @@ object LakeQueries {
     sink.appendBatch(envelope(orders, "insert", L0,
       lit(null).cast(mapT), img(cents0)), 0L)
     view.refresh(s) // full-state seed: every bucket written once
+    dist.refresh(s) // refcount seed through the same span
     sink.compact(s) // later recomputes resolve batch 0 through BASE
     sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
       "update", L1, img(cents0), img(newCents)), 1L)
@@ -204,23 +219,32 @@ object LakeQueries {
       "delete", L2, img(curCents), lit(null).cast(mapT)), 2L)
     view.refresh(s) // retractions: min/max dirty groups recompute from
                     // stateAsOf(2) — through BASE + tail, not latestState
-    sink.vacuum(s)  // the view must keep serving after its source's
-                    // folded changelog is gone
-    view
+    dist.refresh(s) // ONE spanning refresh over batches 1-2: the bump's
+                    // net-zero refcount deltas telescope away and the
+                    // delete decrements land in the same merge; counts
+                    // drop only at refcount zero
+    sink.vacuum(s)  // both maintainers must keep serving after their
+                    // source's folded changelog is gone
+    (view, dist)
   }
 
   /** The maintained view's served contents — a pure group-cardinality
-    * state read, no fold, no scan of `orders`.
+    * state read, no fold, no scan of `orders` — joined with the
+    * maintained distinct custkey count served from its refcount state.
     */
-  def mvOrders(s: SparkSession, dir: String): DataFrame =
-    viewFor(s, dir).read(s).select(
-      col("o_orderstatus"),
-      col("n").cast("long").as("n"),
-      col("sum_key").cast("long").as("sum_key"),
-      col("sum_price_cents").cast("long").as("sum_price_cents"),
-      col("min_price_cents").cast("long").as("min_price_cents"),
-      col("max_price_cents").cast("long").as("max_price_cents"))
+  def mvOrders(s: SparkSession, dir: String): DataFrame = {
+    val (view, dist) = viewFor(s, dir)
+    view.read(s).join(dist.read(s), Seq("o_orderstatus"), "left_outer")
+      .select(
+        col("o_orderstatus"),
+        col("n").cast("long").as("n"),
+        coalesce(col("nd_cust"), lit(0L)).cast("long").as("n_cust"),
+        col("sum_key").cast("long").as("sum_key"),
+        col("sum_price_cents").cast("long").as("sum_price_cents"),
+        col("min_price_cents").cast("long").as("min_price_cents"),
+        col("max_price_cents").cast("long").as("max_price_cents"))
       .orderBy("o_orderstatus")
+  }
 
   // ---------------------------------------------------------------------
   // q_mj — the MAINTAINED two-table equi-JOIN under the oracle gate.

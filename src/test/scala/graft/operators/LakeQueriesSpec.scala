@@ -97,10 +97,13 @@ class LakeQueriesSpec extends AnyFunSuite {
     val got = LakeQueries.mvOrders(spark, dir)
     assertNoNulls(got, "q_mv")
     val p = pc("o_orderkey", "o_totalprice", 7)
+    // n_cust is served from the MaintainedDistinct refcount state — the
+    // recompute's count(DISTINCT) over the surviving table must agree
     val want = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 13 =!= 0)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
+        count_distinct(col("o_custkey")).cast("long").as("n_cust"),
         sum(col("o_orderkey")).cast("long").as("sum_key"),
         sum(p).cast("long").as("sum_price_cents"),
         min(p).cast("long").as("min_price_cents"),
