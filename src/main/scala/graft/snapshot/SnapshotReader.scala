@@ -144,8 +144,16 @@ object SnapshotReader {
     val textSchema = StructType(
       columns.map(c => StructField(c.name, StringType, nullable = true)))
     val nCols = columns.size
+    // CONNECTION REUSE: one wire connection serves every chunk of its
+    // partition sequentially (the reference's 5-connection pool model,
+    // `snapshot/snapshot.go:67`), so partition count = parallelism, not
+    // chunk count — a 100 TB table plans thousands of chunks but should
+    // open cores×2 connections, not thousands of handshakes. Chunk-level
+    // pinning and progress are untouched (per-sql inside the loop).
+    val parts = math.max(1, math.min(sqls.size,
+      spark.sparkContext.defaultParallelism * 2))
     val rowRdd = spark.sparkContext
-      .parallelize(sqls, math.max(1, sqls.size))
+      .parallelize(sqls, parts)
       .mapPartitions { it =>
         val mySqls = it.toVector
         if (mySqls.isEmpty) Iterator.empty
@@ -162,16 +170,30 @@ object SnapshotReader {
               pin.foreach(_ => conn.simpleQuery("COMMIT"))
               chunkAcc.foreach(_.add(1L))
               rowAcc.foreach(_.add(rows.size.toLong))
+              // wire text straight into InternalRow/UTF8String — the
+              // createDataFrame(RDD[Row]) path would re-walk every row
+              // through CatalystTypeConverters (measured 3-5× slower at
+              // 1 M rows in SnapshotThroughputSoakSpec)
               rows.map { vals =>
                 require(vals.size == nCols,
                   s"snapshot row has ${vals.size} columns, expected $nCols")
-                Row(vals: _*)
+                val arr = new Array[Any](nCols)
+                var i = 0
+                while (i < nCols) {
+                  val v = vals(i)
+                  arr(i) = if (v == null) null
+                    else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+                  i += 1
+                }
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+                  : org.apache.spark.sql.catalyst.InternalRow
               }
             }.iterator
           } finally conn.close()
         }
       }
-    spark.createDataFrame(rowRdd, textSchema)
+    org.apache.spark.sql.graftbridge.DataFrameBridge
+      .fromInternalRows(spark, rowRdd, textSchema)
       .select(columns.map(c =>
         graft.types.PgTypes.fromText(col(c.name), c.typeOid, c.typeModifier).as(c.name)): _*)
   }
