@@ -6,9 +6,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Spark 4.x removed `Column.expr` / `new Column(Expression)` from the public
   * API; the sanctioned internal seam is `classic.ExpressionUtils`, which is
-  * `private[sql]`. This one-file bridge lives inside the `org.apache.spark.sql`
-  * namespace solely to re-export the two conversions our custom Catalyst
-  * expressions need. Nothing else may go in this package.
+  * `private[sql]`. This bridge lives inside the `org.apache.spark.sql`
+  * namespace solely to re-export the conversions our custom Catalyst
+  * expressions need. The package holds exactly two seams — this one and
+  * [[DataFrameBridge]] (`internalCreateDataFrame`); nothing else may go
+  * in it.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
