@@ -247,6 +247,19 @@ class MaintainedDistinctSpec extends AnyFunSuite {
       val got = viewMap(md)
       assert(got(Some("g5")) == 3L)
       assert(got(Some("g6")) == 2L)
+      // ops gauges carry the refresh's real facts: one touched group =
+      // one delta pair landing in one rewritten bucket, 7 carried, one
+      // span row, and cumulative batches applied across both refreshes
+      val g = md.gauges(spark).toMap
+      assert(g("""distinct_span_rows{distinct="nd_b"}""") == 1.0)
+      assert(g("""distinct_dirty_keys{distinct="nd_b"}""") == 1.0)
+      assert(g("""distinct_buckets_rewritten{distinct="nd_b"}""") == 1.0)
+      assert(g("""distinct_buckets_carried{distinct="nd_b"}""") == 7.0)
+      assert(g("""distinct_span_batches{distinct="nd_b"}""") == 1.0)
+      assert(g("""distinct_batches_applied_total{distinct="nd_b"}""") == 2.0)
+      assert(g("""distinct_refresh_ms{distinct="nd_b"}""") > 0.0)
+      assert(g("view_nd_b_asof") == 1.0)
+      assert(g("view_nd_b_lag_batches") == 0.0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

@@ -261,6 +261,15 @@ class MaintainedJoinSpec extends AnyFunSuite {
       assert(freshBuckets.size <= 1,
         s"one touched key must rewrite at most one bucket, got $freshBuckets")
       assert(joinSet(mj) == expected(sink), "content still correct")
+      // ops gauges carry the refresh's real facts: one span row dirtying
+      // one key in one rewritten bucket, 7 carried by reference
+      val g = mj.gauges(spark).toMap
+      assert(g("""join_span_rows{join="churn"}""") == 1.0)
+      assert(g("""join_dirty_keys{join="churn"}""") == 1.0)
+      assert(g("""join_buckets_rewritten{join="churn"}""") == 1.0)
+      assert(g("""join_buckets_carried{join="churn"}""") == 7.0)
+      assert(g("""join_batches_applied_total{join="churn"}""") == 2.0)
+      assert(g("""join_refresh_ms{join="churn"}""") > 0.0)
       // GC after one more refresh leaves no unreferenced version debris:
       // every remaining file is referenced by a retained manifest
       sink.appendBatch(envelope(Seq(

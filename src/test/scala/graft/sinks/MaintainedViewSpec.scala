@@ -216,6 +216,15 @@ class MaintainedViewSpec extends AnyFunSuite {
       assert(freshBuckets.size <= 1,
         s"one touched group must rewrite at most one bucket, got $freshBuckets")
       assert(viewMap(mv)("g5") == ((2L, 55d, 5d, 50d)))
+      // ops gauges carry the refresh's real facts: one span row touching
+      // one group in one rewritten bucket, 7 carried by reference
+      val g = mv.gauges(spark).toMap
+      assert(g("""view_span_rows{view="by_grp"}""") == 1.0)
+      assert(g("""view_dirty_keys{view="by_grp"}""") == 1.0)
+      assert(g("""view_buckets_rewritten{view="by_grp"}""") == 1.0)
+      assert(g("""view_buckets_carried{view="by_grp"}""") == 7.0)
+      assert(g("""view_batches_applied_total{view="by_grp"}""") == 2.0)
+      assert(g("""view_refresh_ms{view="by_grp"}""") > 0.0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
