@@ -146,6 +146,30 @@ final class IncrementalDistinct(
     state.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(s"nd_$name"))
 
+  /** Second view over the SAME refcount state at zero extra maintenance
+    * cost: the top-k most frequent values per group (`<name>` + `freq` +
+    * `rank`; refcount desc, value asc tiebreak, so the result is
+    * deterministic). Exact under retraction — the classic hard case for
+    * streaming top-k (an evicted heavy hitter must let the next-heaviest
+    * value surface, which sketch-based top-k cannot do) — because the
+    * state holds the full surviving (group, value) multiset.
+    *
+    * 100-TB shape: one window shuffle on the group key over
+    * group-cardinality × values state rows; a bucketed maintainer's
+    * state is already hash-partitioned on the group key, so the read
+    * stays state-proportional, never table-proportional.
+    */
+  def viewTopK(state: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("rc").desc, col("v").asc)
+    state.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(groupCols.map(col) ++
+        Seq(col("v").as(name), col("rc").as("freq"), col("rank")): _*)
+  }
+
   /** Full refcount state of image rows (an `after` map column). */
   private[graft] def recomputeAll(current: DataFrame): DataFrame = {
     val imgs = current.select(col("after"))

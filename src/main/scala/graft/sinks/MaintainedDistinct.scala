@@ -129,6 +129,17 @@ final class MaintainedDistinct(
     }
   }
 
+  /** Top-k most frequent values per group, served from the SAME refcount
+    * state — exact under retraction (see [[IncrementalDistinct.viewTopK]]).
+    */
+  def readTopK(spark: SparkSession, k: Int): DataFrame = {
+    val f = states.fs(spark)
+    states.latest(f) match {
+      case Some(key) => dist.viewTopK(states.read(spark, key, stateSchema(spark)), k)
+      case None => dist.viewTopK(dist.init(spark), k)
+    }
+  }
+
   /** Ops gauges for the `graft_lake_*` family — same shape as
     * [[MaintainedView.gauges]]. Driver-side metadata listings only.
     */

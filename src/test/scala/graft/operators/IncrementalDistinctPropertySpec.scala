@@ -108,6 +108,23 @@ class IncrementalDistinctPropertySpec extends AnyFunSuite {
       .map { case (g, vs) => (g, vs.map(_._2).distinct.size.toLong) }
       .toSet
 
+  private def topKSet(state: DataFrame, k: Int): Set[(Option[String], Long, Long, Int)] =
+    dist.viewTopK(state, k).collect().map { r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getInt(3))
+    }.toSet
+
+  /** Model top-k per group: frequency desc, value asc tiebreak. */
+  private def modelTopK(table: Table, k: Int): Set[(Option[String], Long, Long, Int)] =
+    table.values.toSeq
+      .collect { case (g, Some(w)) => (g, w.toLong) }
+      .groupBy(_._1)
+      .flatMap { case (g, vs) =>
+        vs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (w, f) => (-f, w) }
+          .take(k).zipWithIndex
+          .map { case ((w, f), i) => (g, w, f, i + 1) }
+      }.toSet
+
   test("maintained distinct count == from-scratch recompute after every batch, any history") {
     val d = dist
     val prop = Prop.forAll(genCase) { case (ops, nBatches) =>
@@ -126,8 +143,14 @@ class IncrementalDistinctPropertySpec extends AnyFunSuite {
         val got = viewSet(state)
         val want = viewSet(d.recomputeAll(cur))
         val model = modelSet(table)
-        if (got != want || got != model) {
-          info(s"MISMATCH ops=$ops nBatches=$nBatches got=$got want=$want model=$model")
+        // the top-k view over the SAME maintained state must match the
+        // model's exact frequency ranking too — retractions that evict a
+        // heavy hitter must surface the next-heaviest value
+        val gotTop = topKSet(state, 2)
+        val modelTop = modelTopK(table, 2)
+        if (got != want || got != model || gotTop != modelTop) {
+          info(s"MISMATCH ops=$ops nBatches=$nBatches got=$got want=$want " +
+            s"model=$model gotTop=$gotTop modelTop=$modelTop")
           ok = false
         }
       }

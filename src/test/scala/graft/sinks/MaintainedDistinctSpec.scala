@@ -79,6 +79,31 @@ class MaintainedDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("readTopK serves the exact frequency ranking; evictions surface the next-heaviest") {
+    withDistinct { (sink, md, _) =>
+      // group a: x in 3 rows, y in 2, z in 1
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row("1", "a", "x")),
+        ev(2, "insert", null, row("2", "a", "x")),
+        ev(3, "insert", null, row("3", "a", "x")),
+        ev(4, "insert", null, row("4", "a", "y")),
+        ev(5, "insert", null, row("5", "a", "y")),
+        ev(6, "insert", null, row("6", "a", "z")))), 0L)
+      assert(md.refresh(spark) == 1)
+      def top2 = md.readTopK(spark, 2).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      assert(top2 == Set(("a", "x", 3L, 1), ("a", "y", 2L, 2)))
+      // evict the heavy hitter: x drops to 1 — y takes rank 1 and the
+      // x/z tie at freq 1 resolves value-asc (the hard retraction case
+      // sketch-based top-k cannot serve exactly)
+      sink.appendBatch(envelope(Seq(
+        ev(7, "delete", row("1", "a", "x"), null),
+        ev(8, "delete", row("2", "a", "x"), null))), 1L)
+      assert(md.refresh(spark) == 1)
+      assert(top2 == Set(("a", "y", 2L, 1), ("a", "x", 1L, 2)))
+    }
+  }
+
   test("NULL values never count; NULL groups count as their own group") {
     withDistinct { (sink, md, _) =>
       sink.appendBatch(envelope(Seq(
