@@ -36,7 +36,18 @@ import graft.operators.IncrementalDistinct
 final class MaintainedDistinct(
     lake: LakeSink, dist: IncrementalDistinct,
     schemaName: String, table: String, name: String,
-    stateBuckets: Int = 16) {
+    stateBuckets: Int = 16,
+    /** Envelope→envelope pre-transform applied before the refcount delta
+      * (and, wrapped as an insert-envelope, before seed/truncate
+      * recomputes): the seam derived-state maintainers ride — e.g.
+      * [[MaintainedLshIndex]] explodes each document event into one row
+      * per LSH band with images reduced to {id, band, sig}. Must be
+      * DETERMINISTIC per image (a retraction recomputes the same derived
+      * rows its insert produced) and must preserve the op/before/after
+      * envelope shape. Identity for plain distinct counts.
+      */
+    transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      identity) {
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
@@ -73,11 +84,19 @@ final class MaintainedDistinct(
           math.max(from._2, bounds.getLong(1)))
         if (!states.isCommitted(f, key)) {
           val prevKey = states.latestWithin(f, from)
-          val events = span.filter(isTable)
+          val events = transform(span.filter(isTable))
           // recompute source pinned to exactly the applied interval —
-          // same tear-avoidance as MaintainedView.refresh
-          def current = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
-            .select(col("after"))
+          // same tear-avoidance as MaintainedView.refresh. The transform
+          // sees the current rows as an insert-envelope so one transform
+          // covers both the delta and the recompute paths.
+          def current = {
+            val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+              .select(col("after"))
+            transform(cur.select(
+              lit("insert").as("op"),
+              lit(null).cast(cur.schema("after").dataType).as("before"),
+              col("after"))).select(col("after"))
+          }
           val hasTruncate = bounds.getInt(2) == 1
           // SEED recomputes through BASE (a compacted+vacuumed lake holds
           // groups no surviving changelog row mentions)
@@ -126,6 +145,19 @@ final class MaintainedDistinct(
     states.latest(f) match {
       case Some(k) => dist.view(states.read(spark, k, stateSchema(spark)))
       case None => dist.view(dist.init(spark))
+    }
+  }
+
+  /** The raw refcount state rows (group cols, `v`, `rc`) of the latest
+    * committed version — the seam derived readers build on
+    * ([[MaintainedLshIndex.candidatePairs]] pairs doc ids within a
+    * bucket's rows).
+    */
+  private[sinks] def entries(spark: SparkSession): DataFrame = {
+    val f = states.fs(spark)
+    states.latest(f) match {
+      case Some(k) => states.read(spark, k, stateSchema(spark))
+      case None => dist.init(spark)
     }
   }
 

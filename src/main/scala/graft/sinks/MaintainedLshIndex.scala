@@ -1,0 +1,146 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalDistinct
+
+/** A continuously-maintained MinHash-LSH near-duplicate index over one
+  * lake table — the marriage of this repo's two halves: the batch dedup
+  * pipeline detects near-dups by rebuilding signatures over the whole
+  * corpus; at 100 TB a training-data lake cannot re-shingle a petabyte
+  * nightly because 0.1% of documents churned. This maintainer keeps the
+  * LSH band index ITSELF incrementally correct from the CDC changelog:
+  * an inserted document adds its (band, signature) rows, a deleted one
+  * retracts exactly the rows its insert produced (signatures are a
+  * deterministic function of the text), an edit retracts the old
+  * signatures and adds the new — so candidate lookups are always exact
+  * for the CURRENT corpus, at churn-proportional maintenance cost.
+  *
+  * Construction: each document event explodes into one envelope row per
+  * band with images reduced to {id, band, sig} ([[MaintainedLshIndex
+  * .explodeBands]]); an [[IncrementalDistinct]] refcount state keyed on
+  * (band, sig) with the doc id as the counted value then maintains the
+  * bucket membership — the whole crash/replay/seed/carry-forward/
+  * bucketed-persistence discipline is inherited from
+  * [[MaintainedDistinct]] verbatim (its specs, chaos soak, and scale pin
+  * cover this loop). Signature family mirrors the batch pipeline
+  * (`operators/DedupQueries.minhashLsh`): distinct n-token shingles,
+  * per-band minhash pairs under fixed XOR seeds — but hashed with
+  * codegen'd xxhash64 (the index needs determinism, not the batch
+  * oracle's cross-engine md5 reproducibility).
+  *
+  * Reads: [[buckets]] (per-(band, sig) doc counts — `nd_docs` ≥ 2 means
+  * a collision), [[candidatePairs]] (distinct candidate id pairs from
+  * colliding buckets, row-local pair explode, df-capped like the batch
+  * index so a degenerate signature cannot go quadratic). Candidates are
+  * CANDIDATES — verify with exact Jaccard downstream, same as batch LSH.
+  *
+  * Prerequisites: REPLICA IDENTITY FULL (retraction recomputes
+  * signatures from the before image's text) — inherited fail-loud from
+  * [[IncrementalDistinct.delta]]; documents shorter than `shingleN`
+  * tokens contribute no signatures (same drop rule as the batch scan).
+  */
+final class MaintainedLshIndex(
+    lake: LakeSink, schemaName: String, table: String, name: String,
+    /** Image-map keys for the document id and text columns. */
+    idKey: String, textKey: String,
+    bands: Int = 4, shingleN: Int = 5, stateBuckets: Int = 16,
+    /** Collision buckets larger than this are dropped from
+      * [[candidatePairs]] (a stop-phrase signature shared by thousands of
+      * documents would explode quadratically; the batch index df-caps the
+      * same way). [[buckets]] still reports them, so the cap is
+      * observable, never silent.
+      */
+    maxBucket: Int = 64) {
+
+  require(bands > 0 && shingleN > 0 && maxBucket >= 2,
+    s"bands=$bands shingleN=$shingleN maxBucket=$maxBucket out of range")
+
+  private val dist = new IncrementalDistinct(
+    group = Seq(
+      "band" -> (im => element_at(im, "band").cast("int")),
+      "sig" -> (im => element_at(im, "sig").cast("long"))),
+    name = "docs",
+    value = im => element_at(im, "id"))
+
+  private val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
+    stateBuckets, transform = explodeBands)
+
+  /** Per-band signature array of one image's text — the batch pipeline's
+    * family (distinct n-shingles → minhash pair per band) on codegen'd
+    * xxhash64. NULL (no contribution) when the text is absent or shorter
+    * than n tokens.
+    */
+  private def sigArray(im: Column): Column = {
+    val toks = split(element_at(im, textKey), "\\s+", -1)
+    val shs = array_distinct(transform(
+      sequence(lit(0), size(toks) - lit(shingleN)),
+      i => array_join(slice(toks, i + lit(1), lit(shingleN)), " ")))
+    val hs = transform(shs, sh => xxhash64(sh))
+    val sigs = array((0 until bands).map { b =>
+      val m1 = array_min(transform(hs,
+        h => h.bitwiseXOR(lit(graft.functions.Hash60(s"lsh-$name-seed-${2 * b}")))))
+      val m2 = array_min(transform(hs,
+        h => h.bitwiseXOR(lit(graft.functions.Hash60(s"lsh-$name-seed-${2 * b + 1}")))))
+      xxhash64(m1, m2)
+    }: _*)
+    when(element_at(im, textKey).isNotNull && size(toks) >= shingleN, sigs)
+  }
+
+  /** Envelope→envelope: one row per (event, band), images reduced to
+    * {id, band, sig}. A side with no signatures (short/absent text, or a
+    * NULL image) becomes a NULL image on that side, so an insert of a
+    * short document contributes nothing and an edit ONTO a short text is
+    * a pure retraction of the old signatures.
+    */
+  private def explodeBands(env: DataFrame): DataFrame = {
+    def img(im: Column, sigs: Column, b: Column): Column =
+      when(im.isNotNull && sigs.isNotNull, map(
+        lit("id"), element_at(im, idKey),
+        lit("band"), b.cast("string"),
+        lit("sig"), element_at(sigs, b + 1).cast("string")))
+    env
+      .withColumn("_bsigs", sigArray(col("before")))
+      .withColumn("_asigs", sigArray(col("after")))
+      // an event whose BOTH sides carry no signatures contributes nothing
+      .filter(col("_bsigs").isNotNull || col("_asigs").isNotNull ||
+        col("op") === "truncate")
+      .select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("_band"))
+      .withColumn("before", img(col("before"), col("_bsigs"), col("_band")))
+      .withColumn("after", img(col("after"), col("_asigs"), col("_band")))
+      // the refcount delta reads ops literally: a one-sided update (short
+      // text on one side) must become the pure insert/delete it is
+      .withColumn("op",
+        when(col("op") === "update" && col("before").isNull, lit("insert"))
+          .when(col("op") === "update" && col("after").isNull, lit("delete"))
+          .otherwise(col("op")))
+      .filter(col("op") =!= "update" ||
+        col("before").isNotNull || col("after").isNotNull)
+      .drop("_bsigs", "_asigs", "_band")
+  }
+
+  /** Apply every newly committed lake batch. */
+  def refresh(spark: SparkSession): Int = md.refresh(spark)
+
+  /** Per-(band, sig) doc counts — `nd_docs` ≥ 2 is a collision bucket. */
+  def buckets(spark: SparkSession): DataFrame = md.read(spark)
+
+  /** Distinct candidate near-duplicate id pairs (`d1` < `d2`) for the
+    * CURRENT corpus: row-local pair explode inside each colliding bucket,
+    * deduplicated across bands. Buckets larger than `maxBucket` are
+    * excluded (observable via [[buckets]]).
+    */
+  def candidatePairs(spark: SparkSession): DataFrame = {
+    val ids = md.entries(spark)
+      .groupBy("band", "sig").agg(sort_array(collect_list(col("v"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    ids.select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+  }
+
+  /** Ops gauges — the underlying maintainer's family. */
+  def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
+}

@@ -1,0 +1,203 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+
+/** The CDC-maintained LSH near-dup index: candidate pairs stay exact for
+  * the CURRENT corpus under insert/edit/delete churn, crash replay,
+  * compaction, truncate — and always equal a from-scratch index rebuild
+  * of the surviving documents.
+  */
+class MaintainedLshIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+  private def ev(
+      lsn: Long, op: String,
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", "docs", T, T, Seq("id"), before, after)
+  private def doc(id: String, text: String): Map[String, String] =
+    Map("id" -> id, "text" -> text)
+
+  private val TextA = "the quick brown fox jumps over the lazy dog tonight"
+  private val TextB = "completely different words about winter mountain hiking trails today"
+  private val Short = "too few tokens" // < 5 tokens: contributes nothing
+
+  private def mkIndex(sink: LakeSink, name: String = "lsh") =
+    new MaintainedLshIndex(sink, "public", "docs", name,
+      idKey = "id", textKey = "text", stateBuckets = 8)
+
+  private def pairs(ix: MaintainedLshIndex): Set[(String, String)] =
+    ix.candidatePairs(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def withIndex(body: (LakeSink, MaintainedLshIndex, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-lsh").toString
+    try {
+      val sink = new LakeSink(dir)
+      body(sink, mkIndex(sink), dir)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("exact duplicates collide; edits and deletes retract their signatures") {
+    withIndex { (sink, ix, _) =>
+      // a1/a2 share TextA (all bands collide — deterministic); c differs
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)),
+        ev(3, "insert", null, doc("c", TextB)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix) == Set(("a1", "a2")))
+      // edit a2 away (to a text sharing no shingles with anything —
+      // an overlap with TextB would legitimately pair it with c): its
+      // old signatures retract, the pair disappears
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", doc("a2", TextA),
+          doc("a2", "seven orange submarines quietly measure distant galactic harmonics")))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty, s"pair must retract with the edit: ${pairs(ix)}")
+      // a NEW duplicate of a1 re-collides
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", null, doc("d", TextA)))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix) == Set(("a1", "d")))
+      // deleting a1 removes exactly its rows
+      sink.appendBatch(envelope(Seq(
+        ev(6, "delete", doc("a1", TextA), null))), 3L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+      // the collision-bucket view agrees: no bucket holds 2 docs now
+      assert(ix.buckets(spark).filter("nd_docs >= 2").isEmpty)
+    }
+  }
+
+  test("short documents contribute nothing; short<->long edits are pure insert/delete") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("s", Short)),
+        ev(2, "insert", null, doc("a", TextA)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+      assert(ix.buckets(spark).count() == 4L, "only the long doc's 4 bands")
+      // short -> long: the edit is a pure signature insert, and it
+      // duplicates TextA -> pair appears
+      sink.appendBatch(envelope(Seq(
+        ev(3, "update", doc("s", Short), doc("s", TextA)))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix) == Set(("a", "s")))
+      // long -> short: pure signature retraction
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", doc("s", TextA), doc("s", Short)))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+    }
+  }
+
+  test("replay after a lost cursor advance is idempotent") {
+    withIndex { (sink, ix, root) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "delete", doc("a2", TextA), null))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+      // crash window: state committed, cursor advance lost — a replayed
+      // retraction would trip the negative-refcount check if double-applied
+      val cf = new java.io.File(s"$root/_graft_cursors/view_lsh")
+      new java.io.File(s"$root/_graft_cursors/.view_lsh.crc").delete()
+      java.nio.file.Files.write(cf.toPath, "0".getBytes)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+    }
+  }
+
+  test("seed after compact+vacuum indexes BASE-only documents") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("c", TextB)))), 0L)
+      sink.compact(spark)
+      sink.vacuum(spark) // batch 0's changelog gone; docs live only in BASE
+      sink.seedCursor(spark, "view_lsh")
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, doc("a2", TextA)))), 1L)
+      assert(ix.refresh(spark) == 1)
+      // a1 exists only in BASE — the seed recompute must index it
+      assert(pairs(ix) == Set(("a1", "a2")))
+    }
+  }
+
+  test("truncate resets the index") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix) == Set(("a1", "a2")))
+      sink.appendBatch(envelope(Seq(
+        ev(3, "truncate", null, null),
+        ev(4, "insert", null, doc("z", TextB)))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+      assert(ix.buckets(spark).count() == 4L, "only the post-truncate doc")
+    }
+  }
+
+  test("maintained index equals a from-scratch rebuild after arbitrary churn") {
+    // random-ish churn over a small doc pool (deterministic seed), then:
+    // maintained candidatePairs == the pairs of a FRESH index fed the
+    // surviving corpus as one insert batch — maintenance must be
+    // indistinguishable from rebuild
+    val texts = Seq(
+      TextA, TextB, Short,
+      "alpha beta gamma delta epsilon zeta eta theta",
+      TextA + " extra", "one two three four five six seven eight nine")
+    withIndex { (sink, ix, _) =>
+      val rnd = new scala.util.Random(16L)
+      val live = scala.collection.mutable.Map.empty[String, String]
+      var lsn = 10L
+      (0 until 6).foreach { batch =>
+        val rows = (0 until 3).map { _ =>
+          lsn += 1
+          val id = s"d${rnd.nextInt(8)}"
+          live.get(id) match {
+            case Some(old) if rnd.nextInt(4) == 0 =>
+              live.remove(id); ev(lsn, "delete", doc(id, old), null)
+            case Some(old) =>
+              val t = texts(rnd.nextInt(texts.size))
+              live(id) = t; ev(lsn, "update", doc(id, old), doc(id, t))
+            case None =>
+              val t = texts(rnd.nextInt(texts.size))
+              live(id) = t; ev(lsn, "insert", null, doc(id, t))
+          }
+        }
+        sink.appendBatch(envelope(rows), batch.toLong)
+        assert(ix.refresh(spark) == 1)
+        // rebuild from scratch on a fresh lake with the surviving corpus
+        val dir2 = Files.createTempDirectory("lake-lsh-rebuild").toString
+        try {
+          val sink2 = new LakeSink(dir2)
+          val fresh = mkIndex(sink2, "lsh")
+          sink2.appendBatch(envelope(live.toSeq.zipWithIndex.map {
+            case ((id, t), i) => ev(1000L + i, "insert", null, doc(id, t))
+          }), 0L)
+          fresh.refresh(spark)
+          assert(pairs(ix) == pairs(fresh),
+            s"batch $batch: maintained != rebuilt (live=$live)")
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir2))
+      }
+    }
+  }
+}
