@@ -161,6 +161,23 @@ final class MaintainedDistinct(
     }
   }
 
+  /** [[entries]] restricted to a bucket subset — point readers that know
+    * their group keys prune to those keys' buckets
+    * ([[BucketedStateLog.bucketOf]]) and never scan the state.
+    */
+  private[sinks] def entriesBuckets(spark: SparkSession, only: Set[Int]): DataFrame = {
+    val f = states.fs(spark)
+    states.latest(f) match {
+      case Some(k) => states.readBuckets(spark, k, Some(only), stateSchema(spark))
+      case None => dist.init(spark)
+    }
+  }
+
+  /** The state log's bucket geometry, for [[BucketedStateLog.bucketOf]]
+    * callers (group-key → bucket, driver-side).
+    */
+  private[sinks] def stateLog: BucketedStateLog = states
+
   /** Top-k most frequent values per group, served from the SAME refcount
     * state — exact under retraction (see [[IncrementalDistinct.viewTopK]]).
     */

@@ -1,0 +1,136 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalDistinct
+
+/** A continuously-maintained IVF posting index over one lake table's
+  * embedding column — [[MaintainedLshIndex]]'s sibling for the ANN half:
+  * at 100 TB a vector corpus cannot re-assign a petabyte of embeddings
+  * nightly because 0.1% of documents churned. Centroids are TRAINED
+  * OFFLINE and passed in (the batch pipeline's `prep_ivf_centroids`
+  * model — retraining cadence is an offline concern; assignment is not);
+  * this maintainer keeps the posting lists (centroid cell → doc ids)
+  * incrementally exact from the CDC changelog: an insert adds the doc to
+  * its nearest cell, a delete retracts it from exactly the cell its
+  * insert chose (assignment is deterministic per image), an
+  * embedding-changing update retracts the old cell and adds the new, and
+  * an update that keeps the embedding telescopes to a zero-net delta.
+  *
+  * Same construction as the LSH index: each document event maps to an
+  * envelope row whose images reduce to {id, cell}, and an
+  * [[IncrementalDistinct]] refcount state keyed on `cell` maintains the
+  * posting membership — crash/replay/seed/carry-forward/bucketed
+  * persistence inherited verbatim from [[MaintainedDistinct]].
+  *
+  * [[search]] is the scale-right read: the query embedding is assigned
+  * to its `nprobe` nearest cells ON THE DRIVER (centroids are a bounded
+  * in-memory model), those cells map to their state-log hash buckets
+  * ([[BucketedStateLog.bucketOf]] — the same Murmur3 the engine
+  * applies), and ONLY those buckets' slices are read — a point lookup
+  * over a billion-document index reads ~nprobe/buckets of the state,
+  * never the state. Returned ids are IVF candidates — exact re-rank
+  * downstream, same as the batch `q_ann_ivf` pipeline.
+  *
+  * Distance is squared L2 (ties break on the lower cell index, so
+  * assignment is deterministic); L2-normalize embeddings upstream for
+  * cosine ranking. Prerequisite: REPLICA IDENTITY FULL (retraction
+  * re-assigns from the before image's embedding), fail-loud inherited
+  * from [[IncrementalDistinct.delta]].
+  */
+final class MaintainedIvfIndex(
+    lake: LakeSink, schemaName: String, table: String, name: String,
+    /** Image-map keys: the doc id and the comma-separated float
+      * embedding.
+      */
+    idKey: String, embKey: String,
+    /** The trained centroid model, cell index = position. */
+    centroids: Seq[Seq[Float]],
+    stateBuckets: Int = 16) {
+
+  require(centroids.nonEmpty, "at least one centroid")
+  require(centroids.map(_.size).distinct.size == 1,
+    "all centroids must share one dimensionality")
+
+  private val dim = centroids.head.size
+
+  private val dist = new IncrementalDistinct(
+    group = Seq("cell" -> (im => element_at(im, "cell").cast("int"))),
+    name = "docs",
+    value = im => element_at(im, "id"))
+
+  private val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
+    stateBuckets, transform = assignCells)
+
+  /** Nearest-centroid cell of one image's embedding — squared L2 against
+    * the centroid literal, `array_position` of the minimum (first match,
+    * so ties deterministically take the lower cell). NULL (no
+    * contribution) when the embedding is absent or mis-dimensioned.
+    */
+  private def cellOf(im: Column): Column = {
+    // try_cast: an unparseable component must degrade to "no usable
+    // embedding" (ANSI cast would fail the whole refresh on one bad row)
+    val v = transform(split(element_at(im, embKey), ","),
+      s => s.try_cast("float"))
+    val cents = typedLit(centroids)
+    val dists = transform(cents, c =>
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))
+    when(element_at(im, embKey).isNotNull && size(v) === dim &&
+        !exists(v, x => x.isNull),
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** Envelope→envelope: images reduce to {id, cell}; a side with no
+    * usable embedding becomes NULL, so edits onto/off a missing embedding
+    * degrade to the pure insert/delete they are.
+    */
+  private def assignCells(env: DataFrame): DataFrame = {
+    def img(im: Column, cell: Column): Column =
+      when(im.isNotNull && cell.isNotNull, map(
+        lit("id"), element_at(im, idKey),
+        lit("cell"), cell.cast("string")))
+    env
+      .withColumn("before", img(col("before"), cellOf(col("before"))))
+      .withColumn("after", img(col("after"), cellOf(col("after"))))
+      .filter(col("before").isNotNull || col("after").isNotNull ||
+        col("op") === "truncate")
+      .withColumn("op",
+        when(col("op") === "update" && col("before").isNull, lit("insert"))
+          .when(col("op") === "update" && col("after").isNull, lit("delete"))
+          .otherwise(col("op")))
+  }
+
+  /** Apply every newly committed lake batch. */
+  def refresh(spark: SparkSession): Int = md.refresh(spark)
+
+  /** Per-cell posting counts (`cell`, `nd_docs`). */
+  def cells(spark: SparkSession): DataFrame = md.read(spark)
+
+  /** The driver-side assignment of an arbitrary embedding — exposed so
+    * writers and tests agree with the engine's expression bit-for-bit.
+    */
+  def nearestCells(query: Seq[Float], nprobe: Int): Seq[Int] = {
+    require(query.size == dim, s"query dim ${query.size} != $dim")
+    centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) =>
+        val d = (a - b).toDouble; d * d }.sum, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+  }
+
+  /** IVF candidate ids for a query embedding: assign to `nprobe` nearest
+    * cells on the driver, read ONLY those cells' state-log buckets, and
+    * return the posting ids (`id`, `cell`). Exact re-rank downstream.
+    */
+  def search(spark: SparkSession, query: Seq[Float], nprobe: Int): DataFrame = {
+    val cells = nearestCells(query, nprobe)
+    val buckets = cells.map(c => md.stateLog.bucketOf(
+      Seq((c, org.apache.spark.sql.types.IntegerType)))).toSet
+    md.entriesBuckets(spark, buckets)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("v").as("id"), col("cell"))
+  }
+
+  /** Ops gauges — the underlying maintainer's family. */
+  def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
+}

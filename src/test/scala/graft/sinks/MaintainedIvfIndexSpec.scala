@@ -1,0 +1,186 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+
+/** The CDC-maintained IVF posting index: postings stay exact for the
+  * CURRENT corpus under embedding churn, the driver-side bucket pruning
+  * agrees with the engine's hash, and maintenance is indistinguishable
+  * from a from-scratch rebuild.
+  */
+class MaintainedIvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+  private def ev(
+      lsn: Long, op: String,
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", "vecs", T, T, Seq("id"), before, after)
+  private def doc(id: String, emb: String): Map[String, String] =
+    Map("id" -> id, "emb" -> emb)
+
+  // three well-separated 2-D centroids
+  private val Cents = Seq(Seq(0f, 0f), Seq(10f, 10f), Seq(20f, 0f))
+
+  private def mkIndex(sink: LakeSink, name: String = "ivf") =
+    new MaintainedIvfIndex(sink, "public", "vecs", name,
+      idKey = "id", embKey = "emb", centroids = Cents, stateBuckets = 8)
+
+  private def hits(ix: MaintainedIvfIndex, q: Seq[Float], nprobe: Int = 1): Set[String] =
+    ix.search(spark, q, nprobe).collect().map(_.getString(0)).toSet
+
+  private def withIndex(body: (LakeSink, MaintainedIvfIndex, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-ivf").toString
+    try {
+      val sink = new LakeSink(dir)
+      body(sink, mkIndex(sink), dir)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("postings assign to the nearest cell; churn moves and retracts them") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "0.5,0.5")),     // cell 0
+        ev(2, "insert", null, doc("b", "1.0,0.0")),     // cell 0
+        ev(3, "insert", null, doc("c", "9.5,10.5")))), 0L) // cell 1
+      assert(ix.refresh(spark) == 1)
+      assert(hits(ix, Seq(0.2f, 0.1f)) == Set("a", "b"))
+      assert(hits(ix, Seq(10f, 10f)) == Set("c"))
+      assert(hits(ix, Seq(0.2f, 0.1f), nprobe = 2) == Set("a", "b", "c"))
+      // an embedding edit MOVES the posting: b migrates cell 0 -> cell 2
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", doc("b", "1.0,0.0"), doc("b", "19.5,0.5")))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(hits(ix, Seq(0.2f, 0.1f)) == Set("a"))
+      assert(hits(ix, Seq(20f, 0f)) == Set("b"))
+      // a delete retracts exactly its posting
+      sink.appendBatch(envelope(Seq(
+        ev(5, "delete", doc("a", "0.5,0.5"), null))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assert(hits(ix, Seq(0.2f, 0.1f)).isEmpty)
+      val cells = ix.cells(spark).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(cells == Map(1 -> 1L, 2 -> 1L))
+    }
+  }
+
+  test("missing or mis-dimensioned embeddings contribute nothing; edits onto/off behave as insert/delete") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("m", "")),          // unparseable
+        ev(2, "insert", null, doc("w", "1.0")),       // wrong dim
+        ev(3, "insert", null, Map("id" -> "n")))), 0L) // absent
+      assert(ix.refresh(spark) == 1)
+      assert(ix.cells(spark).isEmpty)
+      // gaining a valid embedding is a pure posting insert
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", doc("w", "1.0"), doc("w", "0.1,0.1")))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(hits(ix, Seq(0f, 0f)) == Set("w"))
+      // losing it again is a pure posting delete
+      sink.appendBatch(envelope(Seq(
+        ev(5, "update", doc("w", "0.1,0.1"), doc("w", "0.1")))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assert(ix.cells(spark).isEmpty)
+    }
+  }
+
+  test("replay after a lost cursor advance is idempotent") {
+    withIndex { (sink, ix, root) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "0.5,0.5")))), 0L)
+      assert(ix.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "delete", doc("a", "0.5,0.5"), null))), 1L)
+      assert(ix.refresh(spark) == 1)
+      val cf = new java.io.File(s"$root/_graft_cursors/view_ivf")
+      new java.io.File(s"$root/_graft_cursors/.view_ivf.crc").delete()
+      java.nio.file.Files.write(cf.toPath, "0".getBytes)
+      assert(ix.refresh(spark) == 1)
+      assert(ix.cells(spark).isEmpty)
+    }
+  }
+
+  test("seed after compact+vacuum indexes BASE-only documents") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "0.5,0.5")))), 0L)
+      sink.compact(spark)
+      sink.vacuum(spark)
+      sink.seedCursor(spark, "view_ivf")
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", null, doc("c", "10.5,9.5")))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(hits(ix, Seq(0f, 0f)) == Set("a"), "BASE-only doc must be indexed")
+      assert(hits(ix, Seq(10f, 10f)) == Set("c"))
+    }
+  }
+
+  test("driver-side bucketOf agrees with the engine's bucketExpr for every cell") {
+    // the search path prunes state buckets with a DRIVER-evaluATED hash;
+    // disagreement with the engine would silently prune the wrong slices
+    // and lose postings — pin the two bit-for-bit over all cells
+    import spark.implicits._
+    val log = new BucketedStateLog(
+      new org.apache.hadoop.fs.Path("/tmp/unused-bucketof"), 8, Seq("cell"))
+    val engine = Cents.indices.toDF("cell")
+      .select(col("cell"), log.bucketExpr(Seq(col("cell"))).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    Cents.indices.foreach { c =>
+      assert(log.bucketOf(Seq((c, org.apache.spark.sql.types.IntegerType))) == engine(c),
+        s"driver/engine bucket disagreement for cell $c")
+    }
+  }
+
+  test("maintained index equals a from-scratch rebuild after arbitrary churn") {
+    val embs = Seq("0.5,0.5", "1.0,0.2", "10.2,9.7", "9.1,10.4", "19.5,0.3", "1.0")
+    withIndex { (sink, ix, _) =>
+      val rnd = new scala.util.Random(61L)
+      val live = scala.collection.mutable.Map.empty[String, String]
+      var lsn = 10L
+      (0 until 6).foreach { batch =>
+        val rows = (0 until 3).map { _ =>
+          lsn += 1
+          val id = s"v${rnd.nextInt(8)}"
+          live.get(id) match {
+            case Some(old) if rnd.nextInt(4) == 0 =>
+              live.remove(id); ev(lsn, "delete", doc(id, old), null)
+            case Some(old) =>
+              val e = embs(rnd.nextInt(embs.size))
+              live(id) = e; ev(lsn, "update", doc(id, old), doc(id, e))
+            case None =>
+              val e = embs(rnd.nextInt(embs.size))
+              live(id) = e; ev(lsn, "insert", null, doc(id, e))
+          }
+        }
+        sink.appendBatch(envelope(rows), batch.toLong)
+        assert(ix.refresh(spark) == 1)
+        val dir2 = Files.createTempDirectory("lake-ivf-rebuild").toString
+        try {
+          val sink2 = new LakeSink(dir2)
+          val fresh = mkIndex(sink2)
+          sink2.appendBatch(envelope(live.toSeq.zipWithIndex.map {
+            case ((id, e), i) => ev(1000L + i, "insert", null, doc(id, e))
+          }), 0L)
+          fresh.refresh(spark)
+          def postings(x: MaintainedIvfIndex): Set[(Int, String)] =
+            x.search(spark, Seq(0f, 0f), nprobe = Cents.size).collect()
+              .map(r => (r.getInt(1), r.getString(0))).toSet
+          assert(postings(ix) == postings(fresh),
+            s"batch $batch: maintained != rebuilt (live=$live)")
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir2))
+      }
+    }
+  }
+}
