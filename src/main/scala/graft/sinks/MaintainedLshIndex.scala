@@ -141,6 +141,42 @@ final class MaintainedLshIndex(
       .distinct()
   }
 
+  /** Candidate near-duplicate ids of ONE probe text — the online point
+    * lookup ("what in the corpus near-dups THIS new document?"), and the
+    * scale-right read: the probe's band signatures are computed by
+    * evaluating the SAME engine expression on a one-row frame (so the
+    * probe agrees with the indexed signatures bit-for-bit — a
+    * driver-side reimplementation of xxhash64/shingling could drift),
+    * each (band, sig) maps to its state-log hash bucket
+    * ([[BucketedStateLog.bucketOf]]), and ONLY those ≤ `bands` buckets'
+    * slices are read — never the index. Empty for short probes.
+    */
+  def candidatesFor(spark: SparkSession, text: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList(Seq(org.apache.spark.sql.Row(
+        Map("id" -> "_probe", textKey -> text))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("im",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))))
+    val sigRow = probe.select(sigArray(col("im")).as("sigs")).head()
+    if (sigRow.isNullAt(0)) return md.entries(spark).filter(lit(false))
+      .select(col("v").as("id"), col("band").cast("int").as("band"))
+    val sigs = sigRow.getSeq[Long](0)
+    val keys = sigs.zipWithIndex.map { case (s, b) => (b, s) }
+    val buckets = keys.map { case (b, s) => md.stateLog.bucketOf(Seq(
+      (b, org.apache.spark.sql.types.IntegerType),
+      (s, org.apache.spark.sql.types.LongType))) }.toSet
+    val hit = keys.map { case (b, s) =>
+      col("band") === b && col("sig") === s }.reduce(_ || _)
+    md.entriesBuckets(spark, buckets)
+      .filter(hit)
+      .select(col("v").as("id"), col("band").cast("int").as("band"))
+      .groupBy("id").agg(count(lit(1)).cast("int").as("bands_hit"))
+  }
+
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
 }

@@ -102,6 +102,24 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("candidatesFor: bucket-pruned point lookup finds duplicates of a probe text") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)),
+        ev(3, "insert", null, doc("c", TextB)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      // an exact-duplicate probe hits both copies in every band
+      val got = ix.candidatesFor(spark, TextA).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == Map("a1" -> 4, "a2" -> 4), s"probe hits: $got")
+      // an unrelated probe hits nothing; a short probe contributes nothing
+      assert(ix.candidatesFor(spark,
+        "nine silent purple engines rehearse underwater chess openings").isEmpty)
+      assert(ix.candidatesFor(spark, Short).isEmpty)
+    }
+  }
+
   test("replay after a lost cursor advance is idempotent") {
     withIndex { (sink, ix, root) =>
       sink.appendBatch(envelope(Seq(
