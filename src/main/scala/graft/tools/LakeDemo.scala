@@ -99,6 +99,39 @@ object LakeDemo {
       .toSeq
     println(s"-- maintainer ops series (${opsLines.size}):")
     opsLines.foreach(l => println(s"   $l"))
+
+    // CDC-maintained LSH near-dup index: land a documents batch, index
+    // it, point-probe it, then watch an edit retract its signatures
+    val dT = new java.sql.Timestamp(0L)
+    def docEv(lsn: Long, op: String, before: Map[String, String],
+        after: Map[String, String]) =
+      org.apache.spark.sql.Row(lsn, lsn, 7L, op, "public", "docs", dT, dT,
+        Seq("id"), before, after)
+    def d(id: String, text: String) = Map("id" -> id, "text" -> text)
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    lake.appendBatch(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        docEv(900, "insert", null, d("doc-1", textA)),
+        docEv(901, "insert", null, d("doc-2", textA)),
+        docEv(902, "insert", null,
+          d("doc-3", "completely different words about winter mountain trails")))).asJava),
+      graft.cdc.ChangeEvent.schema), 100L)
+    val lsh = new graft.sinks.MaintainedLshIndex(
+      lake, "public", "docs", "demo_lsh", idKey = "id", textKey = "text")
+    lsh.refresh(spark)
+    val pairs0 = lsh.candidatePairs(spark).collect()
+      .map(r => s"${r.getString(0)}~${r.getString(1)}").sorted.mkString(",")
+    val probe = lsh.candidatesFor(spark, textA).collect()
+      .map(r => s"${r.getString(0)}(${r.getInt(1)} bands)").sorted.mkString(",")
+    lake.appendBatch(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        docEv(903, "update", d("doc-2", textA),
+          d("doc-2", "seven orange submarines quietly measure distant galactic harmonics")))).asJava),
+      graft.cdc.ChangeEvent.schema), 101L)
+    lsh.refresh(spark)
+    val pairs1 = lsh.candidatePairs(spark).count()
+    println(s"-- maintained LSH index: pairs=[$pairs0] probe(textA)=[$probe] " +
+      s"after-edit pairs=$pairs1")
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 
