@@ -113,8 +113,13 @@ final class MaintainedIvfIndex(
   def nearestCells(query: Seq[Float], nprobe: Int): Seq[Int] = {
     require(query.size == dim, s"query dim ${query.size} != $dim")
     centroids.zipWithIndex.map { case (c, i) =>
+      // mirror the engine's arithmetic exactly: [[cellOf]] squares the
+      // difference in FLOAT ((a-b)*(a-b) over float arrays) and only the
+      // accumulate widens to double — squaring in double here would
+      // resolve near-ties the engine's float square collapses, assigning
+      // a near-tie embedding to a different cell than its posting
       (c.zip(query).map { case (a, b) =>
-        val d = (a - b).toDouble; d * d }.sum, i)
+        val d = a - b; (d * d).toDouble }.sum, i)
     }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
   }
 

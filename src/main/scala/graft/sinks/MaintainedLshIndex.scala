@@ -162,8 +162,12 @@ final class MaintainedLshIndex(
             org.apache.spark.sql.types.StringType,
             org.apache.spark.sql.types.StringType)))))
     val sigRow = probe.select(sigArray(col("im")).as("sigs")).head()
+    // short/absent probe: empty result in the SAME (id, bands_hit) shape
+    // as the normal path — a schema that differed by branch would throw
+    // AnalysisException on callers exactly and only for short probes
     if (sigRow.isNullAt(0)) return md.entries(spark).filter(lit(false))
-      .select(col("v").as("id"), col("band").cast("int").as("band"))
+      .select(col("v").as("id"))
+      .groupBy("id").agg(count(lit(1)).cast("int").as("bands_hit"))
     val sigs = sigRow.getSeq[Long](0)
     val keys = sigs.zipWithIndex.map { case (s, b) => (b, s) }
     val buckets = keys.map { case (b, s) => md.stateLog.bucketOf(Seq(

@@ -155,41 +155,40 @@ object SnapshotReader {
     val rowRdd = spark.sparkContext
       .parallelize(sqls, parts)
       .mapPartitions { it =>
-        val mySqls = it.toVector
-        if (mySqls.isEmpty) Iterator.empty
+        if (!it.hasNext) Iterator.empty
         else {
           val conn = new graft.pgproto.PgConnection(
             host, port, user, database, password,
             applicationName = "graft-snapshot",
             sslMode = sslMode, sslRootCert = sslRootCert,
             sslCert = sslCert, sslKey = sslKey, sslPassword = sslPassword)
-          try {
-            mySqls.flatMap { sql =>
+          // close via the task-completion listener, not try/finally: the
+          // chunk stream below is LAZY (one chunk's rows in memory at a
+          // time — ≤ chunkSize peak per task, the method doc's promise;
+          // an eager flatMap would buffer the partition's every chunk,
+          // tableRows/parts rows per task: guaranteed executor OOM at the
+          // 100-TB target). The listener fires on success, failure, and
+          // cancellation alike.
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => conn.close())
+          val stream = lazyChunkRows(
+            sql => {
               pin.foreach(conn.simpleQuery(_))
               val rows = conn.simpleQuery(sql)
               pin.foreach(_ => conn.simpleQuery("COMMIT"))
-              chunkAcc.foreach(_.add(1L))
-              rowAcc.foreach(_.add(rows.size.toLong))
-              // wire text straight into InternalRow/UTF8String — the
-              // createDataFrame(RDD[Row]) path would re-walk every row
-              // through CatalystTypeConverters (measured 3-5× slower at
-              // 1 M rows in SnapshotThroughputSoakSpec)
-              rows.map { vals =>
-                require(vals.size == nCols,
-                  s"snapshot row has ${vals.size} columns, expected $nCols")
-                val arr = new Array[Any](nCols)
-                var i = 0
-                while (i < nCols) {
-                  val v = vals(i)
-                  arr(i) = if (v == null) null
-                    else org.apache.spark.unsafe.types.UTF8String.fromString(v)
-                  i += 1
-                }
-                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
-                  : org.apache.spark.sql.catalyst.InternalRow
-              }
-            }.iterator
-          } finally conn.close()
+              rows
+            }, it, chunkAcc, rowAcc, nCols)
+          // no TaskContext (direct iterator drive outside a task, e.g. a
+          // unit test): fall back to closing when the stream is exhausted
+          if (tc != null) stream
+          else new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+            def hasNext: Boolean = {
+              val h = stream.hasNext
+              if (!h) conn.close()
+              h
+            }
+            def next(): org.apache.spark.sql.catalyst.InternalRow = stream.next()
+          }
         }
       }
     org.apache.spark.sql.graftbridge.DataFrameBridge
@@ -197,6 +196,42 @@ object SnapshotReader {
       .select(columns.map(c =>
         graft.types.PgTypes.fromText(col(c.name), c.typeOid, c.typeModifier).as(c.name)): _*)
   }
+
+  /** The lazy chunk→row stream one snapshot task drives: `runChunk`
+    * executes ONE chunk SELECT (≤ chunkSize rows), whose rows are emitted
+    * before the next chunk is fetched — the per-task memory peak is one
+    * chunk, never the partition's whole chunk set (tableRows/parts rows:
+    * executor OOM at the 100-TB target). Laziness is pinned by
+    * `SnapshotWireSpec`. Wire text goes straight into
+    * InternalRow/UTF8String — the createDataFrame(RDD[Row]) path would
+    * re-walk every row through CatalystTypeConverters (measured 3-5×
+    * slower at 1 M rows in SnapshotThroughputSoakSpec).
+    */
+  private[snapshot] def lazyChunkRows(
+      runChunk: String => Seq[Seq[String]],
+      sqls: Iterator[String],
+      chunkAcc: Option[org.apache.spark.util.LongAccumulator],
+      rowAcc: Option[org.apache.spark.util.LongAccumulator],
+      nCols: Int): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    sqls.flatMap { sql =>
+      val rows = runChunk(sql)
+      chunkAcc.foreach(_.add(1L))
+      rowAcc.foreach(_.add(rows.size.toLong))
+      rows.iterator.map { vals =>
+        require(vals.size == nCols,
+          s"snapshot row has ${vals.size} columns, expected $nCols")
+        val arr = new Array[Any](nCols)
+        var i = 0
+        while (i < nCols) {
+          val v = vals(i)
+          arr(i) = if (v == null) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
 
   /** Chunk-equivalent scan over a parquet table: ONE parquet scan with a
     * derived `chunk_index` column instead of a union of per-chunk filtered

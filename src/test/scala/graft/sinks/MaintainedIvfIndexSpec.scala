@@ -142,6 +142,36 @@ class MaintainedIvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("driver nearestCells mirrors the engine's float arithmetic on near-tie embeddings") {
+    // Two centroids whose distances to the origin TIE in the engine's
+    // arithmetic (float-squared components, double accumulate:
+    // fl(x0²)+fl(y0²) == fl(x1²)+fl(y1²) exactly) but differ when the
+    // squares are taken in double — cell 1 is truly nearer by ~1.5e-8.
+    // The engine breaks its tie to the LOWER cell; a driver that squared
+    // in double would resolve the tie to cell 1 and probe the wrong
+    // bucket, silently missing the exact-match document at nprobe=1.
+    val tieCents = Seq(
+      Seq(0.7379646301269531f, 1.04422926902771f),
+      Seq(0.7379644513130188f, 1.0442293882369995f))
+    val dir = Files.createTempDirectory("lake-ivf-tie").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = new MaintainedIvfIndex(sink, "public", "vecs", "ivftie",
+        idKey = "id", embKey = "emb", centroids = tieCents, stateBuckets = 8)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("t", "0,0")))), 0L)
+      assert(ix.refresh(spark) == 1)
+      // the engine assigned the doc to cell 0 (tie -> lower index)
+      val cells = ix.cells(spark).collect().map(r => r.getInt(0)).toSeq
+      assert(cells == Seq(0), s"engine must tie-break to cell 0, got $cells")
+      // the driver agrees — and the end-to-end point lookup finds the doc
+      assert(ix.nearestCells(Seq(0f, 0f), 1) == Seq(0),
+        "driver must reproduce the engine's float-square tie, not resolve " +
+          "it in double")
+      assert(hits(ix, Seq(0f, 0f)) == Set("t"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("maintained index equals a from-scratch rebuild after arbitrary churn") {
     val embs = Seq("0.5,0.5", "1.0,0.2", "10.2,9.7", "9.1,10.4", "19.5,0.3", "1.0")
     withIndex { (sink, ix, _) =>

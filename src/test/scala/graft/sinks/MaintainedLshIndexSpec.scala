@@ -117,6 +117,12 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
       assert(ix.candidatesFor(spark,
         "nine silent purple engines rehearse underwater chess openings").isEmpty)
       assert(ix.candidatesFor(spark, Short).isEmpty)
+      // BOTH branches must return the same (id, bands_hit) shape — a
+      // short-probe schema that differed would throw AnalysisException on
+      // callers selecting bands_hit exactly and only for short probes
+      assert(ix.candidatesFor(spark, Short).schema ==
+        ix.candidatesFor(spark, TextA).schema,
+        "short-probe branch must match the normal result schema")
     }
   }
 

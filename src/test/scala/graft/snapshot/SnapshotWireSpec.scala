@@ -64,4 +64,31 @@ class SnapshotWireSpec extends AnyFunSuite {
         _.startsWith("""SELECT "id", "name", "active" FROM "public"."users"""")))
     } finally server.close()
   }
+
+  test("lazyChunkRows pulls one chunk at a time — never the partition's chunk set") {
+    // the per-task memory contract (<= chunkSize rows) depends on the
+    // chunk stream being LAZY: chunk N+1's SELECT must not run until
+    // chunk N's rows have been emitted downstream. An eager flatMap here
+    // buffers tableRows/parts rows per task — executor OOM at 100 TB.
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chunkRows = Map(
+      "c0" -> Seq(Seq("a"), Seq("b")),
+      "c1" -> Seq(Seq("c")),
+      "c2" -> Seq(Seq("d")))
+    val it = SnapshotReader.lazyChunkRows(
+      sql => { fetched += sql; chunkRows(sql) },
+      Iterator("c0", "c1", "c2"), None, None, nCols = 1)
+    assert(fetched.isEmpty, "no chunk may be fetched before the first pull")
+    assert(it.next().getString(0) == "a")
+    assert(fetched.toSeq == Seq("c0"),
+      s"first pull must fetch only chunk 0, got $fetched")
+    assert(it.next().getString(0) == "b")
+    assert(fetched.toSeq == Seq("c0"), "still inside chunk 0's rows")
+    assert(it.next().getString(0) == "c")
+    assert(fetched.toSeq == Seq("c0", "c1"),
+      "crossing the chunk boundary fetches exactly the next chunk")
+    assert(it.next().getString(0) == "d")
+    assert(!it.hasNext)
+    assert(fetched.toSeq == Seq("c0", "c1", "c2"))
+  }
 }
