@@ -47,12 +47,69 @@ final class MaintainedDistinct(
       * envelope shape. Identity for plain distinct counts.
       */
     transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      identity) {
+      identity,
+    /** Parameter/model fingerprint of the `transform` (e.g. an IVF
+      * index's centroid hash, an LSH index's bands/shingleN/seed
+      * family). Persisted beside the state manifest at first refresh;
+      * a later open whose fingerprint differs REFUSES to serve or
+      * advance the state — without the guard, new events would post
+      * under the new model while existing state rows sit under the old,
+      * silently mixing two assignment families in one index (lookups
+      * miss documents with no error until the first retraction of an
+      * old row trips the refcount check). [[rebuild]] is the prescribed
+      * migration: a full seed-style recompute that adopts the new
+      * fingerprint. `None` (plain distinct counts, parameterless
+      * transforms) skips the guard entirely.
+      */
+    fingerprint: Option[String] = None) {
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
   private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
+
+  private def fpPath = new Path(stateDir, "_fingerprint")
+
+  private def readFp(f: org.apache.hadoop.fs.FileSystem): Option[String] =
+    if (!f.exists(fpPath)) None
+    else {
+      val in = f.open(fpPath)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  private def writeFp(f: org.apache.hadoop.fs.FileSystem, fp: String): Unit = {
+    f.mkdirs(stateDir)
+    val tmp = new Path(stateDir, "_fingerprint.tmp")
+    val out = f.create(tmp, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(fpPath)) f.delete(fpPath, false)
+    f.rename(tmp, fpPath)
+  }
+
+  /** Refuse a mismatched open. `adoptIfAbsent` (the refresh path) writes
+    * the fingerprint on first contact; read paths leave an absent file
+    * absent (they must not write).
+    */
+  private def checkFp(f: org.apache.hadoop.fs.FileSystem,
+      adoptIfAbsent: Boolean): Unit = fingerprint.foreach { fp =>
+    readFp(f) match {
+      case Some(stored) if stored != fp =>
+        throw new IllegalStateException(
+          s"maintained state '$name' was built under different parameters " +
+            s"(stored fingerprint: $stored; this instance: $fp) — serving " +
+            "or advancing it would silently mix two assignment families " +
+            "in one index (new rows posted under the new model, existing " +
+            "state under the old: point lookups silently miss documents). " +
+            "Rebuild under the new parameters with rebuild(spark) — a " +
+            "full seed-style recompute that adopts the new fingerprint — " +
+            "or construct with the original parameters.")
+      case Some(_) => ()
+      case None => if (adoptIfAbsent) writeFp(f, fp)
+    }
+  }
 
   private def stateSchema(spark: SparkSession) = dist.init(spark).schema
 
@@ -60,10 +117,43 @@ final class MaintainedDistinct(
     * batches applied (0 = already current).
     */
   def refresh(spark: SparkSession): Int = {
+    checkFp(states.fs(spark), adoptIfAbsent = true)
     val t0 = System.nanoTime
     val n = refreshSpans(spark)
     ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
     n
+  }
+
+  /** Full recompute of the state from the source table as of the applied
+    * interval, committed as a full rewrite under the SAME version key,
+    * ADOPTING the configured fingerprint — the prescribed migration after
+    * changing the transform's parameters/model (retrained IVF centroids,
+    * changed LSH bands) over an existing state dir. Cost is one
+    * seed-style fold of the table — the same work the first refresh did —
+    * and the cursor is untouched, so subsequent refreshes continue
+    * incrementally under the new parameters.
+    */
+  def rebuild(spark: SparkSession): Unit = {
+    val f = states.fs(spark)
+    states.latest(f).foreach { key =>
+      states.commit(f, dist.recomputeAll(currentAsOf(spark, key)),
+        (0 until stateBuckets).toSet, None, key)
+    }
+    fingerprint.foreach(writeFp(f, _))
+  }
+
+  /** The table's image rows as of the applied interval `key`, wrapped as
+    * an insert-envelope through `transform` — the recompute source the
+    * seed/truncate/[[rebuild]] paths share (pinned to exactly the applied
+    * interval: same tear-avoidance as MaintainedView.refresh).
+    */
+  private def currentAsOf(spark: SparkSession, key: (Long, Long)): DataFrame = {
+    val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+      .select(col("after"))
+    transform(cur.select(
+      lit("insert").as("op"),
+      lit(null).cast(cur.schema("after").dataType).as("before"),
+      col("after"))).select(col("after"))
   }
 
   private def refreshSpans(spark: SparkSession): Int = {
@@ -85,18 +175,10 @@ final class MaintainedDistinct(
         if (!states.isCommitted(f, key)) {
           val prevKey = states.latestWithin(f, from)
           val events = transform(span.filter(isTable))
-          // recompute source pinned to exactly the applied interval —
-          // same tear-avoidance as MaintainedView.refresh. The transform
-          // sees the current rows as an insert-envelope so one transform
-          // covers both the delta and the recompute paths.
-          def current = {
-            val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
-              .select(col("after"))
-            transform(cur.select(
-              lit("insert").as("op"),
-              lit(null).cast(cur.schema("after").dataType).as("before"),
-              col("after"))).select(col("after"))
-          }
+          // recompute source: see [[currentAsOf]] — the transform sees
+          // the current rows as an insert-envelope so one transform
+          // covers both the delta and the recompute paths
+          def current = currentAsOf(spark, key)
           val hasTruncate = bounds.getInt(2) == 1
           // SEED recomputes through BASE (a compacted+vacuumed lake holds
           // groups no surviving changelog row mentions)
@@ -142,6 +224,7 @@ final class MaintainedDistinct(
     */
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
+    checkFp(f, adoptIfAbsent = false)
     states.latest(f) match {
       case Some(k) => dist.view(states.read(spark, k, stateSchema(spark)))
       case None => dist.view(dist.init(spark))
@@ -155,6 +238,7 @@ final class MaintainedDistinct(
     */
   private[sinks] def entries(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
+    checkFp(f, adoptIfAbsent = false)
     states.latest(f) match {
       case Some(k) => states.read(spark, k, stateSchema(spark))
       case None => dist.init(spark)
@@ -167,6 +251,7 @@ final class MaintainedDistinct(
     */
   private[sinks] def entriesBuckets(spark: SparkSession, only: Set[Int]): DataFrame = {
     val f = states.fs(spark)
+    checkFp(f, adoptIfAbsent = false)
     states.latest(f) match {
       case Some(k) => states.readBuckets(spark, k, Some(only), stateSchema(spark))
       case None => dist.init(spark)
@@ -183,6 +268,7 @@ final class MaintainedDistinct(
     */
   def readTopK(spark: SparkSession, k: Int): DataFrame = {
     val f = states.fs(spark)
+    checkFp(f, adoptIfAbsent = false)
     states.latest(f) match {
       case Some(key) => dist.viewTopK(states.read(spark, key, stateSchema(spark)), k)
       case None => dist.viewTopK(dist.init(spark), k)

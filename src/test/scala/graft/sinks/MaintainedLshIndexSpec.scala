@@ -178,6 +178,39 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("changed bands/shingleN over an existing state refuse loudly; rebuild migrates") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix) == Set(("a1", "a2")))
+      // same state dir, different signature family (8 bands instead of
+      // 4): an unguarded open would post future events under 8-band
+      // signatures on top of 4-band state rows
+      val ix8 = new MaintainedLshIndex(sink, "public", "docs", "lsh",
+        idKey = "id", textKey = "text", bands = 8, stateBuckets = 8)
+      val e = intercept[IllegalStateException](ix8.refresh(spark))
+      assert(e.getMessage.contains("different parameters") &&
+        e.getMessage.contains("rebuild"),
+        s"refusal must name the rebuild path: ${e.getMessage}")
+      intercept[IllegalStateException](ix8.candidatePairs(spark))
+      intercept[IllegalStateException](ix8.buckets(spark))
+      // the prescribed migration: full re-shingle under the new family
+      ix8.rebuild(spark)
+      assert(ix8.buckets(spark).count() == 8L,
+        "both docs re-shingled under 8 shared bands")
+      assert(pairs(ix8) == Set(("a1", "a2")))
+      val got = ix8.candidatesFor(spark, TextA).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == Map("a1" -> 8, "a2" -> 8),
+        s"probe must agree with the new family end-to-end: $got")
+      // the original 4-band instance is now the mismatched one
+      intercept[IllegalStateException](ix.refresh(spark))
+      intercept[IllegalStateException](ix.buckets(spark))
+    }
+  }
+
   test("maintained index equals a from-scratch rebuild after arbitrary churn") {
     // random-ish churn over a small doc pool (deterministic seed), then:
     // maintained candidatePairs == the pairs of a FRESH index fed the
