@@ -263,6 +263,33 @@ final class MaintainedDistinct(
     */
   private[sinks] def stateLog: BucketedStateLog = states
 
+  /** The source table's image rows (`after` map column) AS OF this
+    * maintainer's applied interval, optionally restricted to a set of
+    * replica-identity keys (a single-column `k` frame) — the seam the
+    * index verification reads use to fetch candidate documents' payloads:
+    * the restricted fold reads only those keys' bucket slices of the lake
+    * ([[LakeSink.stateAsOf]] `restrictToKeys`), churn-proportional, never
+    * a table scan. Pinning to the applied interval keeps the fetch
+    * consistent with the index state it verifies (no tear against batches
+    * the index has not applied). Empty before the first refresh.
+    */
+  private[sinks] def corpusAsOf(spark: SparkSession,
+      restrictToKeys: Option[DataFrame] = None): DataFrame = {
+    val f = states.fs(spark)
+    checkFp(f, adoptIfAbsent = false)
+    states.latest(f) match {
+      case Some(key) =>
+        lake.stateAsOf(spark, schemaName, table, key._2, key._1, restrictToKeys)
+          .select(col("after"))
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("after",
+              graft.cdc.ChangeEvent.schema("after").dataType))))
+    }
+  }
+
   /** Top-k most frequent values per group, served from the SAME refcount
     * state — exact under retraction (see [[IncrementalDistinct.viewTopK]]).
     */

@@ -164,6 +164,39 @@ final class MaintainedIvfIndex(
       .select(col("v").as("id"), col("cell"))
   }
 
+  /** [[search]] FINISHED the way the batch `q_ann_ivf` pipeline finishes
+    * (`AnnQueries`): exact distance re-rank of the candidates against
+    * their CURRENT embeddings, top `k`. The embeddings are fetched via
+    * the key-restricted state fold pinned to the index's applied interval
+    * ([[MaintainedDistinct.corpusAsOf]]): only the candidate ids' bucket
+    * slices of the lake are read — candidate-proportional, never a table
+    * scan. Distance is exact squared L2 in the engine's arithmetic family
+    * (float component differences squared in float, double accumulate —
+    * identical to assignment, so ranking and assignment cannot disagree);
+    * ascending, ties on id. Returns (id, dist).
+    *
+    * Prerequisite: `idKey` must be the table's replica-identity key (the
+    * fold key the restricted read prunes on) — already required for
+    * retraction.
+    */
+  def searchTopK(spark: SparkSession, query: Seq[Float], nprobe: Int,
+      k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(query.size == dim, s"query dim ${query.size} != $dim")
+    val cand = search(spark, query, nprobe).localCheckpoint()
+    val docs = md.corpusAsOf(spark,
+      Some(cand.select(col("id").as("k")).distinct()))
+    val v = transform(split(element_at(col("after"), embKey), ","),
+      s => s.try_cast("float"))
+    val dist = aggregate(zip_with(v, typedLit(query), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    docs
+      .select(element_at(col("after"), idKey).as("id"), dist.as("dist"))
+      .join(cand.select("id"), Seq("id"), "left_semi")
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
+
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
 }

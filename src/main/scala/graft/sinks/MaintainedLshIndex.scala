@@ -85,11 +85,22 @@ final class MaintainedLshIndex(
     * xxhash64. NULL (no contribution) when the text is absent or shorter
     * than n tokens.
     */
-  private def sigArray(im: Column): Column = {
+  /** Distinct n-token shingles of one image's text — the exact sets the
+    * signatures hash, un-hashed, shared by [[sigArray]] and the exact-
+    * Jaccard verification reads (so verification and indexing cannot
+    * disagree on tokenization). NULL when the text is absent or shorter
+    * than n tokens.
+    */
+  private def shingleArr(im: Column): Column = {
     val toks = split(element_at(im, textKey), "\\s+", -1)
     val shs = array_distinct(transform(
       sequence(lit(0), size(toks) - lit(shingleN)),
       i => array_join(slice(toks, i + lit(1), lit(shingleN)), " ")))
+    when(element_at(im, textKey).isNotNull && size(toks) >= shingleN, shs)
+  }
+
+  private def sigArray(im: Column): Column = {
+    val shs = shingleArr(im)
     val hs = transform(shs, sh => xxhash64(sh))
     val sigs = array((0 until bands).map { b =>
       val m1 = array_min(transform(hs,
@@ -98,7 +109,7 @@ final class MaintainedLshIndex(
         h => h.bitwiseXOR(lit(graft.functions.Hash60(s"lsh-$name-seed-${2 * b + 1}")))))
       xxhash64(m1, m2)
     }: _*)
-    when(element_at(im, textKey).isNotNull && size(toks) >= shingleN, sigs)
+    when(shs.isNotNull, sigs)
   }
 
   /** Envelope→envelope: one row per (event, band), images reduced to
@@ -165,9 +176,13 @@ final class MaintainedLshIndex(
     * ([[BucketedStateLog.bucketOf]]), and ONLY those ≤ `bands` buckets'
     * slices are read — never the index. Empty for short probes.
     */
-  def candidatesFor(spark: SparkSession, text: String): DataFrame = {
+  /** One-row frame carrying the probe text as an image map — probes
+    * evaluate the SAME engine expressions the index applied to documents
+    * (signatures AND shingles), so they agree bit-for-bit.
+    */
+  private def probeFrame(spark: SparkSession, text: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val probe = spark.createDataFrame(
+    spark.createDataFrame(
       new java.util.ArrayList(Seq(org.apache.spark.sql.Row(
         Map("id" -> "_probe", textKey -> text))).asJava),
       org.apache.spark.sql.types.StructType(Seq(
@@ -175,6 +190,10 @@ final class MaintainedLshIndex(
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
             org.apache.spark.sql.types.StringType)))))
+  }
+
+  def candidatesFor(spark: SparkSession, text: String): DataFrame = {
+    val probe = probeFrame(spark, text)
     val sigRow = probe.select(sigArray(col("im")).as("sigs")).head()
     // short/absent probe: empty result in the SAME (id, bands_hit) shape
     // as the normal path — a schema that differed by branch would throw
@@ -194,6 +213,66 @@ final class MaintainedLshIndex(
       .select(col("v").as("id"), col("band").cast("int").as("band"))
       .groupBy("id").agg(count(lit(1)).cast("int").as("bands_hit"))
   }
+
+  /** [[candidatePairs]] FINISHED, not just candidated: exact n-gram
+    * Jaccard computed over the candidates' CURRENT texts, keeping pairs
+    * at or above `threshold` — the same candidate→verify shape as the
+    * batch pipeline (`DedupQueries.minhashLsh`), served from the
+    * maintained index. The texts are fetched via the key-restricted
+    * state fold pinned to the index's applied interval
+    * ([[MaintainedDistinct.corpusAsOf]]): only the candidate ids' bucket
+    * slices of the lake are read — candidate-proportional, never a table
+    * scan. Returns (d1, d2, jaccard), exact values.
+    *
+    * Prerequisite: `idKey` must be the table's replica-identity key (it
+    * is the fold key the restricted read prunes on) — true for any table
+    * this index can maintain at all, since retraction needs identity.
+    */
+  def verifiedPairs(spark: SparkSession, threshold: Double = 0.8): DataFrame = {
+    val cand = candidatePairs(spark).localCheckpoint()
+    val keys = cand.select(explode(array(col("d1"), col("d2"))).as("k")).distinct()
+    val docs = docShingles(spark, keys)
+    cand
+      .join(docs.select(col("id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(docs.select(col("id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** [[candidatesFor]] finished: exact Jaccard between the probe text and
+    * each candidate's current text (fetched key-restricted, as in
+    * [[verifiedPairs]]), kept at or above `threshold`. Returns
+    * (id, bands_hit, jaccard); empty (same schema) for short probes.
+    */
+  def verifiedCandidatesFor(spark: SparkSession, text: String,
+      threshold: Double = 0.8): DataFrame = {
+    val cand = candidatesFor(spark, text).localCheckpoint()
+    val shRow = probeFrame(spark, text)
+      .select(shingleArr(col("im")).as("sh")).head()
+    if (shRow.isNullAt(0))
+      return cand.withColumn("jaccard", lit(0.0d)).filter(lit(false))
+    val probeSh = typedLit(shRow.getSeq[String](0))
+    docShingles(spark, cand.select(col("id").as("k")).distinct())
+      .join(cand, Seq("id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), probeSh)).cast("double") /
+          size(array_union(col("sh"), probeSh)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("bands_hit"), col("jaccard"))
+  }
+
+  /** (id, shingle-set) of the docs whose replica keys are in `keys` —
+    * fetched via the restricted fold, shingled by the same expression the
+    * signatures hash.
+    */
+  private def docShingles(spark: SparkSession, keys: DataFrame): DataFrame =
+    md.corpusAsOf(spark, Some(keys))
+      .select(element_at(col("after"), idKey).as("id"),
+        shingleArr(col("after")).as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)

@@ -123,6 +123,11 @@ object LakeDemo {
       .map(r => s"${r.getString(0)}~${r.getString(1)}").sorted.mkString(",")
     val probe = lsh.candidatesFor(spark, textA).collect()
       .map(r => s"${r.getString(0)}(${r.getInt(1)} bands)").sorted.mkString(",")
+    // candidates FINISHED: exact Jaccard over the candidates' texts,
+    // fetched via the key-restricted fold (verification read)
+    val verified = lsh.verifiedPairs(spark, 0.9).collect()
+      .map(r => f"${r.getString(0)}~${r.getString(1)}@${r.getDouble(2)}%.2f")
+      .sorted.mkString(",")
     lake.appendBatch(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
         docEv(903, "update", d("doc-2", textA),
@@ -131,7 +136,7 @@ object LakeDemo {
     lsh.refresh(spark)
     val pairs1 = lsh.candidatePairs(spark).count()
     println(s"-- maintained LSH index: pairs=[$pairs0] probe(textA)=[$probe] " +
-      s"after-edit pairs=$pairs1")
+      s"verified(0.9)=[$verified] after-edit pairs=$pairs1")
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 

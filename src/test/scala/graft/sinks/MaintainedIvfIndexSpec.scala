@@ -142,6 +142,38 @@ class MaintainedIvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchTopK: exact re-rank over fetched embeddings matches brute force after churn") {
+    withIndex { (sink, ix, _) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "0.5,0.5")),      // cell 0 (deleted below)
+        ev(2, "insert", null, doc("b", "1.0,0.0")),      // cell 0 -> moves to 1
+        ev(3, "insert", null, doc("c", "9.5,10.5")),     // cell 1
+        ev(4, "insert", null, doc("c2", "10.5,9.5")),    // cell 1 — ties c at (10,10)
+        ev(5, "insert", null, doc("e", "19.5,0.5")))), 0L) // cell 2
+      assert(ix.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(6, "update", doc("b", "1.0,0.0"), doc("b", "10.5,9.0")),
+        ev(7, "delete", doc("a", "0.5,0.5"), null))), 1L)
+      assert(ix.refresh(spark) == 1)
+      // survivors and exact squared-L2 distances to (10,10):
+      //   d(c)=0.5  d(c2)=0.5  d(b)=1.25  d(e)=180.5 — a is GONE
+      def top(q: Seq[Float], nprobe: Int, k: Int): Seq[(String, Double)] =
+        ix.searchTopK(spark, q, nprobe, k).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(top(Seq(10f, 10f), nprobe = 3, k = 10) ==
+        Seq(("c", 0.5), ("c2", 0.5), ("b", 1.25), ("e", 180.5)),
+        "full-probe ranking must equal brute force over the surviving corpus")
+      // k cuts; the 0.5 tie breaks on id (c < c2)
+      assert(top(Seq(10f, 10f), nprobe = 3, k = 2) == Seq(("c", 0.5), ("c2", 0.5)))
+      assert(top(Seq(10f, 10f), nprobe = 3, k = 3) ==
+        Seq(("c", 0.5), ("c2", 0.5), ("b", 1.25)))
+      // nprobe=1 re-ranks only the probed cell's postings
+      assert(top(Seq(20f, 0f), nprobe = 1, k = 10) == Seq(("e", 0.5)))
+      assert(top(Seq(10f, 10f), nprobe = 1, k = 10) ==
+        Seq(("c", 0.5), ("c2", 0.5), ("b", 1.25)), "cell 1's three postings only")
+    }
+  }
+
   test("retrained centroids over an existing state refuse loudly; rebuild migrates") {
     withIndex { (sink, ix, _) =>
       sink.appendBatch(envelope(Seq(

@@ -178,6 +178,52 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("verifiedPairs/verifiedCandidatesFor: exact Jaccard finishes the candidates") {
+    withIndex { (sink, ix, _) =>
+      // `near` shares 6 of its 7 shingles with TextA (one appended token):
+      // LSH candidates it, exact Jaccard = 6/7 — kept at 0.5, REJECTED at
+      // 0.95 (the planted candidate-but-not-duplicate the candidates-only
+      // read would hand a user as a false positive)
+      val near = TextA + " again"
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)),
+        ev(3, "insert", null, doc("n", near)),
+        ev(4, "insert", null, doc("c", TextB)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).contains(("a1", "n")),
+        s"the near-dup must be an LSH candidate for this test to bite: ${pairs(ix)}")
+      val strict = ix.verifiedPairs(spark, 0.95).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(strict == Set(("a1", "a2")),
+        s"0.95 keeps only the exact duplicate: $strict")
+      val loose = ix.verifiedPairs(spark, 0.5).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+      assert(loose.keySet == Set(("a1", "a2"), ("a1", "n"), ("a2", "n")))
+      assert(loose(("a1", "a2")) == 1.0)
+      assert(math.abs(loose(("a1", "n")) - 6.0 / 7) < 1e-12,
+        s"Jaccard must be exact: ${loose(("a1", "n"))}")
+      // churn: delete a2 — its verified pairs retract with it
+      sink.appendBatch(envelope(Seq(
+        ev(5, "delete", doc("a2", TextA), null))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(ix.verifiedPairs(spark, 0.5).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet == Set(("a1", "n")))
+      // the verified point probe: candidates Jaccard-checked against the
+      // probe text itself
+      assert(ix.verifiedCandidatesFor(spark, TextA, 0.95).collect()
+        .map(_.getString(0)).toSet == Set("a1"))
+      val vc = ix.verifiedCandidatesFor(spark, TextA, 0.5).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(vc.keySet == Set("a1", "n") && vc("a1") == 1.0 &&
+        math.abs(vc("n") - 6.0 / 7) < 1e-12, s"verified probe: $vc")
+      // short probe: empty, full verified schema on both branches
+      val short = ix.verifiedCandidatesFor(spark, Short, 0.5)
+      assert(short.isEmpty &&
+        short.columns.toSeq == Seq("id", "bands_hit", "jaccard"))
+    }
+  }
+
   test("changed bands/shingleN over an existing state refuse loudly; rebuild migrates") {
     withIndex { (sink, ix, _) =>
       sink.appendBatch(envelope(Seq(
