@@ -646,21 +646,43 @@ object SparkEntry {
     // cursor — the %13 deletes decrement refcounts that mostly stay
     // positive (a customer holds several orders per status), so the
     // distinct count must NOT drop with every deleted order.
+    // ivf_c0..2 are the maintained IVF posting index's per-cell counts
+    // riding q_mv as constant columns: the oracle recomputes the
+    // squared-L2 argmin assignment (centroids (3,3) (13,4) (8,14), ties
+    // to the lower cell) over the churned orders' derived embedding
+    // (o_orderkey % 19, current-price-cents % 17) — components are small
+    // integers, exact in float and double alike
     "q_mv" ->
-      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      """WITH churned AS (
+           SELECT o_orderstatus, o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
+           FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+                 FROM orders)
+           WHERE o_orderkey % 13 <> 0),
+         ivf AS (
+           SELECT CAST(sum(CASE WHEN cell = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c0,
+                  CAST(sum(CASE WHEN cell = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c1,
+                  CAST(sum(CASE WHEN cell = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c2
+           FROM (SELECT CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                             WHEN d1 <= d2 THEN 1 ELSE 2 END AS cell
+                 FROM (SELECT (e1-3)*(e1-3) + (e2-3)*(e2-3) AS d0,
+                              (e1-13)*(e1-13) + (e2-4)*(e2-4) AS d1,
+                              (e1-8)*(e1-8) + (e2-14)*(e2-14) AS d2
+                       FROM (SELECT CAST(o_orderkey % 19 AS DOUBLE) AS e1,
+                                    CAST(pc % 17 AS DOUBLE) AS e2
+                             FROM churned))))
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
            CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(min(pc) AS BIGINT) AS min_price_cents,
-           CAST(max(pc) AS BIGINT) AS max_price_cents
-         FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
-                 CASE WHEN o_orderkey % 7 = 0
-                   THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
-               FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
-                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
-                     FROM orders)
-               WHERE o_orderkey % 13 <> 0)
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+           CAST(max(pc) AS BIGINT) AS max_price_cents,
+           ivf_c0, ivf_c1, ivf_c2
+         FROM churned CROSS JOIN ivf
+         GROUP BY o_orderstatus, ivf_c0, ivf_c1, ivf_c2
+         ORDER BY o_orderstatus""",
     // Maintained left-outer join over a declared 25% orders subset
     // (o_orderkey % 4 = 0; the fact-side recompute folds on o_orderkey,
     // which custkey restriction cannot prune, so the gate's table is

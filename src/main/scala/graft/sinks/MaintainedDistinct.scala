@@ -263,6 +263,31 @@ final class MaintainedDistinct(
     */
   private[sinks] def stateLog: BucketedStateLog = states
 
+  /** FAIL-LOUD maintenance-equivalence check: the maintained state must
+    * equal a seed-style recompute of the source as of the applied
+    * interval, row for row. Intended for gated query builds
+    * ([[graft.operators.LakeQueries]] runs it on the maintained LSH
+    * index, whose xxhash64 signatures have no cross-engine oracle) so
+    * incremental drift turns the DRIVER's oracle red, not just a spec.
+    * Cost is one recompute fold plus two anti-joins — call it where a
+    * correctness gate justifies the work, not per refresh.
+    */
+  def verifyAgainstRebuild(spark: SparkSession): Unit = {
+    val f = states.fs(spark)
+    checkFp(f, adoptIfAbsent = false)
+    states.latest(f).foreach { key =>
+      val want = dist.recomputeAll(currentAsOf(spark, key)).localCheckpoint()
+      val got = states.read(spark, key, stateSchema(spark))
+      val extra = got.exceptAll(want).count()
+      val missing = want.exceptAll(got).count()
+      if (extra != 0 || missing != 0)
+        throw new IllegalStateException(
+          s"maintained state '$name' diverged from a from-scratch " +
+            s"recompute of interval $key: $extra extra and $missing " +
+            "missing state rows — incremental maintenance drifted")
+    }
+  }
+
   /** The source table's image rows (`after` map column) AS OF this
     * maintainer's applied interval, optionally restricted to a set of
     * replica-identity keys (a single-column `k` frame) — the seam the

@@ -274,6 +274,15 @@ final class MaintainedLshIndex(
         shingleArr(col("after")).as("sh"))
       .filter(col("sh").isNotNull)
 
+  /** Fail-loud equivalence of the maintained signature state with a
+    * seed-style re-shingle of the surviving corpus — see
+    * [[MaintainedDistinct.verifyAgainstRebuild]]. The driver-gated
+    * `q_mv` build runs this (LSH signatures have no cross-engine
+    * oracle), so maintenance drift turns the driver red.
+    */
+  def assertConsistent(spark: SparkSession): Unit =
+    md.verifyAgainstRebuild(spark)
+
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
 }

@@ -97,10 +97,25 @@ class LakeQueriesSpec extends AnyFunSuite {
     val got = LakeQueries.mvOrders(spark, dir)
     assertNoNulls(got, "q_mv")
     val p = pc("o_orderkey", "o_totalprice", 7)
+    // the maintained IVF index's per-cell counts ride q_mv as constant
+    // columns: recompute the squared-L2 argmin assignment (centroids
+    // (3,3) (13,4) (8,14), ties to the lower cell) over the churned
+    // orders' derived embedding — the Spark-side restatement of the
+    // oracle SQL's ivf CTE
+    val survivors = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 =!= 0)
+    val e1 = (col("o_orderkey") % 19).cast("double")
+    val e2 = (p % 17).cast("double")
+    def d(cx: Int, cy: Int) =
+      (e1 - cx) * (e1 - cx) + (e2 - cy) * (e2 - cy)
+    val (d0, d1, d2) = (d(3, 3), d(13, 4), d(8, 14))
+    val cell = when(d0 <= d1 && d0 <= d2, 0).when(d1 <= d2, 1).otherwise(2)
+    val cellCounts = survivors.select(cell.as("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // n_cust is served from the MaintainedDistinct refcount state — the
     // recompute's count(DISTINCT) over the surviving table must agree
-    val want = Tables.orders(spark, dir)
-      .filter(col("o_orderkey") % 13 =!= 0)
+    val want = survivors
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         count_distinct(col("o_custkey")).cast("long").as("n_cust"),
@@ -108,8 +123,15 @@ class LakeQueriesSpec extends AnyFunSuite {
         sum(p).cast("long").as("sum_price_cents"),
         min(p).cast("long").as("min_price_cents"),
         max(p).cast("long").as("max_price_cents"))
+      .withColumn("ivf_c0", lit(cellCounts.getOrElse(0, 0L)))
+      .withColumn("ivf_c1", lit(cellCounts.getOrElse(1, 0L)))
+      .withColumn("ivf_c2", lit(cellCounts.getOrElse(2, 0L)))
       .orderBy("o_orderstatus")
     assertSame(got, want, "q_mv")
+    // the gate must not be vacuous: churn must land postings in more
+    // than one cell, or the assignment check would pass trivially
+    assert(cellCounts.size >= 2,
+      s"derived embeddings collapsed into one cell: $cellCounts")
   }
 
   test("q_mj equals a direct left join over the churned tables") {
