@@ -56,14 +56,14 @@ final class MaintainedLshIndex(
   require(bands > 0 && shingleN > 0 && maxBucket >= 2,
     s"bands=$bands shingleN=$shingleN maxBucket=$maxBucket out of range")
 
-  private val dist = new IncrementalDistinct(
+  private[sinks] val dist = new IncrementalDistinct(
     group = Seq(
       "band" -> (im => element_at(im, "band").cast("int")),
       "sig" -> (im => element_at(im, "sig").cast("long"))),
     name = "docs",
     value = im => element_at(im, "id"))
 
-  private val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
+  private[sinks] val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
     stateBuckets, transform = explodeBands,
     // signatures are a function of (bands, shingleN, the name-derived
     // seed family, the id/text keys); opening an existing state with any
@@ -80,11 +80,6 @@ final class MaintainedLshIndex(
     */
   def rebuild(spark: SparkSession): Unit = md.rebuild(spark)
 
-  /** Per-band signature array of one image's text — the batch pipeline's
-    * family (distinct n-shingles → minhash pair per band) on codegen'd
-    * xxhash64. NULL (no contribution) when the text is absent or shorter
-    * than n tokens.
-    */
   /** Distinct n-token shingles of one image's text — the exact sets the
     * signatures hash, un-hashed, shared by [[sigArray]] and the exact-
     * Jaccard verification reads (so verification and indexing cannot
@@ -99,6 +94,11 @@ final class MaintainedLshIndex(
     when(element_at(im, textKey).isNotNull && size(toks) >= shingleN, shs)
   }
 
+  /** Per-band signature array of one image's text — the batch pipeline's
+    * family (distinct n-shingles → minhash pair per band) on codegen'd
+    * xxhash64. NULL (no contribution) when the text is absent or shorter
+    * than n tokens.
+    */
   private def sigArray(im: Column): Column = {
     val shs = shingleArr(im)
     val hs = transform(shs, sh => xxhash64(sh))
@@ -118,7 +118,7 @@ final class MaintainedLshIndex(
     * short document contributes nothing and an edit ONTO a short text is
     * a pure retraction of the old signatures.
     */
-  private def explodeBands(env: DataFrame): DataFrame = {
+  private[sinks] def explodeBands(env: DataFrame): DataFrame = {
     def img(im: Column, sigs: Column, b: Column): Column =
       when(im.isNotNull && sigs.isNotNull, map(
         lit("id"), element_at(im, idKey),
