@@ -142,8 +142,17 @@ private[sinks] final class BucketedStateLog(
     */
   def commit(f: FileSystem, touchedState: DataFrame,
       touchedBuckets: Set[Int], prevKey: Option[(Long, Long)],
-      key: (Long, Long)): Unit = {
-    val vDir = new Path(dir, s"v${nameOf(key)}")
+      key: (Long, Long),
+      /** Distinguishes the slice directory of an in-place REWRITE of an
+        * already-committed version ([[graft.sinks.MaintainedDistinct
+        * .rebuild]] passes a unique tag): the live version's referenced
+        * slices must never be deleted out from under its manifest — the
+        * manifest replace is the atomic cut-over, and an orphaned
+        * half-written tagged directory is swept by the next [[gcWithin]].
+        */
+      dirTag: String = ""): Unit = {
+    val vName = s"v${nameOf(key)}$dirTag"
+    val vDir = new Path(dir, vName)
     f.delete(vDir, true) // crashed prior attempt at this version
     touchedState
       .withColumn("bucket", bucketExpr(keyCols.map(col)))
@@ -152,7 +161,7 @@ private[sinks] final class BucketedStateLog(
       if (!f.exists(vDir)) Map.empty
       else f.listStatus(vDir).toSeq.filter(_.isDirectory)
         .flatMap(st => st.getPath.getName.stripPrefix("bucket=").toIntOption)
-        .map(b => b -> s"v${nameOf(key)}/bucket=$b").toMap
+        .map(b => b -> s"$vName/bucket=$b").toMap
     val carried = prevKey.map(entries(f, _)).getOrElse(Map.empty)
       .filterNot { case (b, _) => touchedBuckets.contains(b) }
     writeManifest(f, key, carried ++ written)
@@ -196,8 +205,7 @@ private[sinks] final class BucketedStateLog(
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    f.rename(tmp, dst)
+    BucketedStateLog.renameOverwrite(f, tmp, dst)
   }
 
   /** Drop versions strictly inside the replay horizon except the maximal
@@ -237,4 +245,21 @@ private[sinks] final class BucketedStateLog(
           f.delete(vd.getPath, true)
       }
   }
+}
+
+private[sinks] object BucketedStateLog {
+  /** Atomic replace of `dst` with `tmp`: a plain FileSystem.rename fails
+    * when dst exists, and delete-then-rename leaves a crash window where
+    * NEITHER file exists (a vanished manifest hides a committed version;
+    * a vanished fingerprint lets the next opener adopt its own params
+    * over foreign-model state). FileContext's OVERWRITE rename is the
+    * posix-atomic primitive for exactly this.
+    */
+  def renameOverwrite(f: FileSystem, tmp: Path, dst: Path): Unit =
+    if (!f.exists(dst)) { f.rename(tmp, dst); () }
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, f.getConf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
 }

@@ -85,8 +85,9 @@ final class MaintainedDistinct(
     val out = f.create(tmp, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(fpPath)) f.delete(fpPath, false)
-    f.rename(tmp, fpPath)
+    // atomic replace: a delete-then-rename window with NO fingerprint
+    // would let the next opener adopt its own params over foreign state
+    BucketedStateLog.renameOverwrite(f, tmp, fpPath)
   }
 
   /** Refuse a mismatched open. `adoptIfAbsent` (the refresh path) writes
@@ -135,11 +136,28 @@ final class MaintainedDistinct(
     */
   def rebuild(spark: SparkSession): Unit = {
     val f = states.fs(spark)
-    states.latest(f).foreach { key =>
-      states.commit(f, dist.recomputeAll(currentAsOf(spark, key)),
-        (0 until stateBuckets).toSet, None, key)
+    states.latest(f) match {
+      case None => fingerprint.foreach(writeFp(f, _))
+      case Some(key) =>
+        // Two-phase fingerprint: the in-progress marker matches NEITHER
+        // the old nor the new params, so a crash anywhere inside the
+        // rebuild leaves EVERY instance refusing loudly (and this method
+        // re-runnable) — adopting before the commit would let the new
+        // family advance old-model state after a crash; adopting only
+        // after (the naive order) would let the OLD family advance
+        // new-model state.
+        fingerprint.foreach(fp => writeFp(f, s"rebuilding->$fp"))
+        // The recompute commits under a UNIQUELY-TAGGED slice directory:
+        // the live version's referenced slices are never deleted out
+        // from under its manifest (readers keep working mid-rebuild),
+        // the manifest replace is the atomic cut-over, and a crashed
+        // half-written tagged directory is unreferenced debris the next
+        // gc sweeps.
+        states.commit(f, dist.recomputeAll(currentAsOf(spark, key)),
+          (0 until stateBuckets).toSet, None, key,
+          dirTag = s".r${java.lang.Long.toHexString(System.nanoTime)}")
+        fingerprint.foreach(writeFp(f, _))
     }
-    fingerprint.foreach(writeFp(f, _))
   }
 
   /** The table's image rows as of the applied interval `key`, wrapped as
@@ -236,26 +254,41 @@ final class MaintainedDistinct(
     * ([[MaintainedLshIndex.candidatePairs]] pairs doc ids within a
     * bucket's rows).
     */
-  private[sinks] def entries(spark: SparkSession): DataFrame = {
+  private[sinks] def entries(spark: SparkSession): DataFrame =
+    entriesAt(spark, latestKey(spark))
+
+  /** The latest committed state version key (the applied interval), or
+    * None before the first refresh. Multi-read operations (a candidate
+    * lookup plus the corpus fetch that verifies it) resolve this ONCE and
+    * thread it through `*At` reads — re-resolving per read would let a
+    * refresh committing in between serve candidates from one interval
+    * and payloads from another.
+    */
+  private[sinks] def latestKey(spark: SparkSession): Option[(Long, Long)] = {
     val f = states.fs(spark)
     checkFp(f, adoptIfAbsent = false)
-    states.latest(f) match {
-      case Some(k) => states.read(spark, k, stateSchema(spark))
-      case None => dist.init(spark)
-    }
+    states.latest(f)
+  }
+
+  /** [[entries]] pinned to an explicit version key from [[latestKey]]. */
+  private[sinks] def entriesAt(spark: SparkSession,
+      key: Option[(Long, Long)]): DataFrame = key match {
+    case Some(k) => states.read(spark, k, stateSchema(spark))
+    case None => dist.init(spark)
   }
 
   /** [[entries]] restricted to a bucket subset — point readers that know
     * their group keys prune to those keys' buckets
     * ([[BucketedStateLog.bucketOf]]) and never scan the state.
     */
-  private[sinks] def entriesBuckets(spark: SparkSession, only: Set[Int]): DataFrame = {
-    val f = states.fs(spark)
-    checkFp(f, adoptIfAbsent = false)
-    states.latest(f) match {
-      case Some(k) => states.readBuckets(spark, k, Some(only), stateSchema(spark))
-      case None => dist.init(spark)
-    }
+  private[sinks] def entriesBuckets(spark: SparkSession, only: Set[Int]): DataFrame =
+    entriesBucketsAt(spark, latestKey(spark), only)
+
+  /** [[entriesBuckets]] pinned to an explicit version key. */
+  private[sinks] def entriesBucketsAt(spark: SparkSession,
+      key: Option[(Long, Long)], only: Set[Int]): DataFrame = key match {
+    case Some(k) => states.readBuckets(spark, k, Some(only), stateSchema(spark))
+    case None => dist.init(spark)
   }
 
   /** The state log's bucket geometry, for [[BucketedStateLog.bucketOf]]
@@ -288,31 +321,28 @@ final class MaintainedDistinct(
     }
   }
 
-  /** The source table's image rows (`after` map column) AS OF this
-    * maintainer's applied interval, optionally restricted to a set of
+  /** The source table's image rows (`after` map column) AS OF the given
+    * state version key (from [[latestKey]] — the SAME key the caller's
+    * candidate read used, so the fetch cannot tear against a refresh
+    * committing in between), optionally restricted to a set of
     * replica-identity keys (a single-column `k` frame) — the seam the
     * index verification reads use to fetch candidate documents' payloads:
     * the restricted fold reads only those keys' bucket slices of the lake
     * ([[LakeSink.stateAsOf]] `restrictToKeys`), churn-proportional, never
-    * a table scan. Pinning to the applied interval keeps the fetch
-    * consistent with the index state it verifies (no tear against batches
-    * the index has not applied). Empty before the first refresh.
+    * a table scan. Empty for `None` (before the first refresh).
     */
   private[sinks] def corpusAsOf(spark: SparkSession,
-      restrictToKeys: Option[DataFrame] = None): DataFrame = {
-    val f = states.fs(spark)
-    checkFp(f, adoptIfAbsent = false)
-    states.latest(f) match {
-      case Some(key) =>
-        lake.stateAsOf(spark, schemaName, table, key._2, key._1, restrictToKeys)
-          .select(col("after"))
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("after",
-              graft.cdc.ChangeEvent.schema("after").dataType))))
-    }
+      key: Option[(Long, Long)],
+      restrictToKeys: Option[DataFrame] = None): DataFrame = key match {
+    case Some(k) =>
+      lake.stateAsOf(spark, schemaName, table, k._2, k._1, restrictToKeys)
+        .select(col("after"))
+    case None =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("after",
+            graft.cdc.ChangeEvent.schema("after").dataType))))
   }
 
   /** Top-k most frequent values per group, served from the SAME refcount

@@ -155,11 +155,15 @@ final class MaintainedIvfIndex(
     * cells on the driver, read ONLY those cells' state-log buckets, and
     * return the posting ids (`id`, `cell`). Exact re-rank downstream.
     */
-  def search(spark: SparkSession, query: Seq[Float], nprobe: Int): DataFrame = {
+  def search(spark: SparkSession, query: Seq[Float], nprobe: Int): DataFrame =
+    searchAt(spark, md.latestKey(spark), query, nprobe)
+
+  private def searchAt(spark: SparkSession, key: Option[(Long, Long)],
+      query: Seq[Float], nprobe: Int): DataFrame = {
     val cells = nearestCells(query, nprobe)
     val buckets = cells.map(c => md.stateLog.bucketOf(
       Seq((c, org.apache.spark.sql.types.IntegerType)))).toSet
-    md.entriesBuckets(spark, buckets)
+    md.entriesBucketsAt(spark, key, buckets)
       .filter(col("cell").isin(cells: _*))
       .select(col("v").as("id"), col("cell"))
   }
@@ -183,8 +187,11 @@ final class MaintainedIvfIndex(
       k: Int): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     require(query.size == dim, s"query dim ${query.size} != $dim")
-    val cand = search(spark, query, nprobe).localCheckpoint()
-    val docs = md.corpusAsOf(spark,
+    // ONE key threads the candidate read and the embedding fetch — see
+    // MaintainedLshIndex.verifiedPairs for the tear this prevents
+    val key = md.latestKey(spark)
+    val cand = searchAt(spark, key, query, nprobe).localCheckpoint()
+    val docs = md.corpusAsOf(spark, key,
       Some(cand.select(col("id").as("k")).distinct()))
     val v = transform(split(element_at(col("after"), embKey), ","),
       s => s.try_cast("float"))

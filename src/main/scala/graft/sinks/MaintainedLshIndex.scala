@@ -155,8 +155,12 @@ final class MaintainedLshIndex(
     * deduplicated across bands. Buckets larger than `maxBucket` are
     * excluded (observable via [[buckets]]).
     */
-  def candidatePairs(spark: SparkSession): DataFrame = {
-    val ids = md.entries(spark)
+  def candidatePairs(spark: SparkSession): DataFrame =
+    candidatePairsAt(spark, md.latestKey(spark))
+
+  private def candidatePairsAt(spark: SparkSession,
+      key: Option[(Long, Long)]): DataFrame = {
+    val ids = md.entriesAt(spark, key)
       .groupBy("band", "sig").agg(sort_array(collect_list(col("v"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     ids.select(explode(flatten(transform(col("ids"), (a, i) =>
@@ -193,22 +197,32 @@ final class MaintainedLshIndex(
   }
 
   def candidatesFor(spark: SparkSession, text: String): DataFrame = {
-    val probe = probeFrame(spark, text)
-    val sigRow = probe.select(sigArray(col("im")).as("sigs")).head()
-    // short/absent probe: empty result in the SAME (id, bands_hit) shape
-    // as the normal path — a schema that differed by branch would throw
-    // AnalysisException on callers exactly and only for short probes
-    if (sigRow.isNullAt(0)) return md.entries(spark).filter(lit(false))
+    val sigRow = probeFrame(spark, text)
+      .select(sigArray(col("im")).as("sigs")).head()
+    val key = md.latestKey(spark)
+    if (sigRow.isNullAt(0)) emptyCandidates(spark, key)
+    else candidatesForAt(spark, key, sigRow.getSeq[Long](0))
+  }
+
+  /** Empty candidates in the SAME (id, bands_hit) shape as the normal
+    * path — a schema that differed by branch would throw
+    * AnalysisException on callers exactly and only for short probes.
+    */
+  private def emptyCandidates(spark: SparkSession,
+      key: Option[(Long, Long)]): DataFrame =
+    md.entriesAt(spark, key).filter(lit(false))
       .select(col("v").as("id"))
       .groupBy("id").agg(count(lit(1)).cast("int").as("bands_hit"))
-    val sigs = sigRow.getSeq[Long](0)
+
+  private def candidatesForAt(spark: SparkSession,
+      key: Option[(Long, Long)], sigs: Seq[Long]): DataFrame = {
     val keys = sigs.zipWithIndex.map { case (s, b) => (b, s) }
     val buckets = keys.map { case (b, s) => md.stateLog.bucketOf(Seq(
       (b, org.apache.spark.sql.types.IntegerType),
       (s, org.apache.spark.sql.types.LongType))) }.toSet
     val hit = keys.map { case (b, s) =>
       col("band") === b && col("sig") === s }.reduce(_ || _)
-    md.entriesBuckets(spark, buckets)
+    md.entriesBucketsAt(spark, key, buckets)
       .filter(hit)
       .select(col("v").as("id"), col("band").cast("int").as("band"))
       .groupBy("id").agg(count(lit(1)).cast("int").as("bands_hit"))
@@ -229,9 +243,13 @@ final class MaintainedLshIndex(
     * this index can maintain at all, since retraction needs identity.
     */
   def verifiedPairs(spark: SparkSession, threshold: Double = 0.8): DataFrame = {
-    val cand = candidatePairs(spark).localCheckpoint()
+    // ONE key threads the candidate read and the corpus fetch — resolving
+    // latest twice would let a refresh committing in between verify K1
+    // candidates against K2 texts
+    val key = md.latestKey(spark)
+    val cand = candidatePairsAt(spark, key).localCheckpoint()
     val keys = cand.select(explode(array(col("d1"), col("d2"))).as("k")).distinct()
-    val docs = docShingles(spark, keys)
+    val docs = docShingles(spark, key, keys)
     cand
       .join(docs.select(col("id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(docs.select(col("id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -249,13 +267,20 @@ final class MaintainedLshIndex(
     */
   def verifiedCandidatesFor(spark: SparkSession, text: String,
       threshold: Double = 0.8): DataFrame = {
-    val cand = candidatesFor(spark, text).localCheckpoint()
-    val shRow = probeFrame(spark, text)
-      .select(shingleArr(col("im")).as("sh")).head()
-    if (shRow.isNullAt(0))
-      return cand.withColumn("jaccard", lit(0.0d)).filter(lit(false))
-    val probeSh = typedLit(shRow.getSeq[String](0))
-    docShingles(spark, cand.select(col("id").as("k")).distinct())
+    // one probe job serves both the signatures (bucket lookup) and the
+    // shingles (Jaccard) — sigArray derives from shingleArr, so a second
+    // probe-frame job would recompute the shingling for nothing
+    val row = probeFrame(spark, text)
+      .select(sigArray(col("im")).as("sigs"), shingleArr(col("im")).as("sh"))
+      .head()
+    val key = md.latestKey(spark)
+    if (row.isNullAt(0))
+      return emptyCandidates(spark, key)
+        .withColumn("jaccard", lit(0.0d)).filter(lit(false))
+    val cand = candidatesForAt(spark, key, row.getSeq[Long](0))
+      .localCheckpoint()
+    val probeSh = typedLit(row.getSeq[String](1))
+    docShingles(spark, key, cand.select(col("id").as("k")).distinct())
       .join(cand, Seq("id"))
       .withColumn("jaccard",
         size(array_intersect(col("sh"), probeSh)).cast("double") /
@@ -265,11 +290,12 @@ final class MaintainedLshIndex(
   }
 
   /** (id, shingle-set) of the docs whose replica keys are in `keys` —
-    * fetched via the restricted fold, shingled by the same expression the
-    * signatures hash.
+    * fetched via the restricted fold at the SAME state version key as the
+    * candidate read, shingled by the same expression the signatures hash.
     */
-  private def docShingles(spark: SparkSession, keys: DataFrame): DataFrame =
-    md.corpusAsOf(spark, Some(keys))
+  private def docShingles(spark: SparkSession, key: Option[(Long, Long)],
+      keys: DataFrame): DataFrame =
+    md.corpusAsOf(spark, key, Some(keys))
       .select(element_at(col("after"), idKey).as("id"),
         shingleArr(col("after")).as("sh"))
       .filter(col("sh").isNotNull)

@@ -173,10 +173,16 @@ object SnapshotReader {
           if (tc != null) tc.addTaskCompletionListener[Unit](_ => conn.close())
           val stream = lazyChunkRows(
             sql => {
-              pin.foreach(conn.simpleQuery(_))
-              val rows = conn.simpleQuery(sql)
-              pin.foreach(_ => conn.simpleQuery("COMMIT"))
-              rows
+              // close on a failed chunk too (close() is idempotent, so
+              // the task listener firing afterwards is harmless) — on the
+              // no-TaskContext fallback path an exception would otherwise
+              // leak the socket and its pinned transaction
+              try {
+                pin.foreach(conn.simpleQuery(_))
+                val rows = conn.simpleQuery(sql)
+                pin.foreach(_ => conn.simpleQuery("COMMIT"))
+                rows
+              } catch { case t: Throwable => conn.close(); throw t }
             }, it, chunkAcc, rowAcc, nCols)
           // no TaskContext (direct iterator drive outside a task, e.g. a
           // unit test): fall back to closing when the stream is exhausted

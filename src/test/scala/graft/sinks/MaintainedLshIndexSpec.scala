@@ -225,7 +225,7 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
   }
 
   test("changed bands/shingleN over an existing state refuse loudly; rebuild migrates") {
-    withIndex { (sink, ix, _) =>
+    withIndex { (sink, ix, root) =>
       sink.appendBatch(envelope(Seq(
         ev(1, "insert", null, doc("a1", TextA)),
         ev(2, "insert", null, doc("a2", TextA)))), 0L)
@@ -254,6 +254,24 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
       // the original 4-band instance is now the mismatched one
       intercept[IllegalStateException](ix.refresh(spark))
       intercept[IllegalStateException](ix.buckets(spark))
+      // rebuild is re-runnable (each run commits under a fresh uniquely
+      // tagged slice dir — the live version is never deleted mid-flight)
+      ix8.rebuild(spark)
+      assert(pairs(ix8) == Set(("a1", "a2")))
+      // a crash MID-rebuild leaves the in-progress marker: EVERY instance
+      // (old and new family alike) refuses until a rebuild completes —
+      // adopting before/after the commit alone would let one family
+      // silently advance a half-migrated state
+      new java.io.File(s"$root/_graft_views/lsh/._fingerprint.crc").delete()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/_graft_views/lsh/_fingerprint"),
+        "rebuilding->interrupted".getBytes)
+      intercept[IllegalStateException](ix8.refresh(spark))
+      intercept[IllegalStateException](ix8.buckets(spark))
+      intercept[IllegalStateException](ix.refresh(spark))
+      ix8.rebuild(spark) // re-run completes the migration and adopts
+      assert(pairs(ix8) == Set(("a1", "a2")))
+      assert(ix8.refresh(spark) == 0) // incremental loop healthy again
     }
   }
 
