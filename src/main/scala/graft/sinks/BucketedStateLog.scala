@@ -205,7 +205,18 @@ private[sinks] final class BucketedStateLog(
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    BucketedStateLog.renameOverwrite(f, tmp, dst)
+    // Overwrite (delete+rename) happens ONLY on a rebuild's in-place
+    // recommit of an existing version; a crash between the delete and
+    // the rename loses the manifest, which the rebuild protocol makes
+    // LOUD, not silent: the in-progress fingerprint marker written
+    // before this refuses every reader/refresher until a re-run
+    // completes, and rebuild itself falls back to the cursor's applied
+    // interval when the latest version vanished. (FileContext's
+    // "atomic" OVERWRITE rename is delete-then-rename on file:// too,
+    // and throws on stores with no AbstractFileSystem binding — it
+    // would buy portability problems, not atomicity.)
+    if (f.exists(dst)) f.delete(dst, false)
+    f.rename(tmp, dst)
   }
 
   /** Drop versions strictly inside the replay horizon except the maximal
@@ -239,27 +250,11 @@ private[sinks] final class BucketedStateLog(
           val rel = s"${vd.getPath.getName}/${s.getPath.getName}"
           if (!keepRefs.contains(rel)) f.delete(s.getPath, true) else kept = true
         }
-        // tmp-marker debris aside, an emptied version dir goes whole
-        if (!kept &&
-            !f.listStatus(vd.getPath).exists(_.isDirectory))
-          f.delete(vd.getPath, true)
+        // with no kept slices, everything left in the version dir is
+        // debris — including a crashed write's _temporary/ staging dir
+        // (a killed tagged rebuild never retries the same dir name, so
+        // a subdirectory-presence guard here would leak it forever)
+        if (!kept) f.delete(vd.getPath, true)
       }
   }
-}
-
-private[sinks] object BucketedStateLog {
-  /** Atomic replace of `dst` with `tmp`: a plain FileSystem.rename fails
-    * when dst exists, and delete-then-rename leaves a crash window where
-    * NEITHER file exists (a vanished manifest hides a committed version;
-    * a vanished fingerprint lets the next opener adopt its own params
-    * over foreign-model state). FileContext's OVERWRITE rename is the
-    * posix-atomic primitive for exactly this.
-    */
-  def renameOverwrite(f: FileSystem, tmp: Path, dst: Path): Unit =
-    if (!f.exists(dst)) { f.rename(tmp, dst); () }
-    else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, f.getConf)
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
 }

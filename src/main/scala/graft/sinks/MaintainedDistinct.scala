@@ -68,26 +68,43 @@ final class MaintainedDistinct(
   private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
 
-  private def fpPath = new Path(stateDir, "_fingerprint")
+  // The fingerprint is GENERATION-FILED, never overwritten in place:
+  // `_fingerprint` is generation 0, updates write `_fingerprint.g<n+1>`
+  // via tmp + rename-to-a-fresh-name (the destination never exists, so
+  // no delete-then-rename window where NO fingerprint is present — a
+  // vanished fingerprint would let the next opener silently adopt its
+  // own params over foreign-model state). Readers take the highest
+  // generation; older generations are best-effort-deleted only AFTER
+  // the new one is in place (a crash leaves both, newest wins).
+  private def fpGenPath(n: Long) =
+    new Path(stateDir, if (n == 0) "_fingerprint" else s"_fingerprint.g$n")
+
+  private def fpGenerations(f: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    if (!f.exists(stateDir)) Seq.empty
+    else f.listStatus(stateDir).toSeq.map(_.getPath.getName).collect {
+      case "_fingerprint" => 0L
+      case n if n.startsWith("_fingerprint.g") =>
+        n.stripPrefix("_fingerprint.g").toLongOption.getOrElse(-1L)
+    }.filter(_ >= 0).sorted
 
   private def readFp(f: org.apache.hadoop.fs.FileSystem): Option[String] =
-    if (!f.exists(fpPath)) None
-    else {
-      val in = f.open(fpPath)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8))
+    fpGenerations(f).lastOption.map { n =>
+      val in = f.open(fpGenPath(n))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
 
   private def writeFp(f: org.apache.hadoop.fs.FileSystem, fp: String): Unit = {
     f.mkdirs(stateDir)
-    val tmp = new Path(stateDir, "_fingerprint.tmp")
+    val gens = fpGenerations(f)
+    val next = gens.lastOption.getOrElse(-1L) + 1
+    val tmp = new Path(stateDir, s"_fingerprint.g$next.tmp")
     val out = f.create(tmp, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // atomic replace: a delete-then-rename window with NO fingerprint
-    // would let the next opener adopt its own params over foreign state
-    BucketedStateLog.renameOverwrite(f, tmp, fpPath)
+    f.rename(tmp, fpGenPath(next))
+    gens.foreach(n => f.delete(fpGenPath(n), false)) // superseded
   }
 
   /** Refuse a mismatched open. `adoptIfAbsent` (the refresh path) writes
@@ -133,10 +150,24 @@ final class MaintainedDistinct(
     * seed-style fold of the table — the same work the first refresh did —
     * and the cursor is untouched, so subsequent refreshes continue
     * incrementally under the new parameters.
+    *
+    * Run it with the maintainer's refresh loop QUIESCED — the same
+    * single-writer-per-cursor assumption every refresh already carries: a
+    * refresh in flight in another process when the rebuild starts could
+    * commit an old-model span after the new fingerprint is adopted (the
+    * per-span re-check narrows but cannot close that window without
+    * filesystem-level locking).
     */
   def rebuild(spark: SparkSession): Unit = {
     val f = states.fs(spark)
-    states.latest(f) match {
+    // target interval: the latest committed version — or, when a crashed
+    // rebuild's manifest replace lost the only version, the cursor's
+    // applied interval (the span is the same; only the state vanished)
+    val target = states.latest(f).orElse {
+      val from = lake.cursorInterval(spark, cursorName)
+      if (from._2 == Long.MinValue) None else Some(from)
+    }
+    target match {
       case None => fingerprint.foreach(writeFp(f, _))
       case Some(key) =>
         // Two-phase fingerprint: the in-progress marker matches NEITHER
@@ -178,6 +209,13 @@ final class MaintainedDistinct(
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName) { span =>
       val f = states.fs(spark)
+      // re-check per span, right before any commit: narrows (cannot
+      // fully close — the maintainer contract is single-writer per
+      // cursor, like every refresh here) the window where a refresh
+      // that passed the entry check races a concurrent rebuild's
+      // fingerprint adoption and merges old-model deltas into the
+      // rebuilt state
+      checkFp(f, adoptIfAbsent = false)
       val isTable = col("schema") === schemaName && col("table") === table
       val bounds = span
         .agg(min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),

@@ -249,7 +249,9 @@ final class MaintainedLshIndex(
     val key = md.latestKey(spark)
     val cand = candidatePairsAt(spark, key).localCheckpoint()
     val keys = cand.select(explode(array(col("d1"), col("d2"))).as("k")).distinct()
-    val docs = docShingles(spark, key, keys)
+    // checkpointed: the frame joins twice (d1 and d2 sides) — without it
+    // the key-restricted fold + shingling would execute twice per call
+    val docs = docShingles(spark, key, keys).localCheckpoint()
     cand
       .join(docs.select(col("id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(docs.select(col("id").as("d2"), col("sh").as("sh2")), Seq("d2"))

@@ -261,8 +261,11 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
       // a crash MID-rebuild leaves the in-progress marker: EVERY instance
       // (old and new family alike) refuses until a rebuild completes —
       // adopting before/after the commit alone would let one family
-      // silently advance a half-migrated state
-      new java.io.File(s"$root/_graft_views/lsh/._fingerprint.crc").delete()
+      // silently advance a half-migrated state. (Drop every existing
+      // generation file first — the guard reads the HIGHEST generation.)
+      val viewDir = new java.io.File(s"$root/_graft_views/lsh")
+      viewDir.listFiles().filter(_.getName.contains("_fingerprint"))
+        .foreach(_.delete())
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$root/_graft_views/lsh/_fingerprint"),
         "rebuilding->interrupted".getBytes)
