@@ -216,7 +216,12 @@ private[sinks] final class BucketedStateLog(
     // and throws on stores with no AbstractFileSystem binding — it
     // would buy portability problems, not atomicity.)
     if (f.exists(dst)) f.delete(dst, false)
-    f.rename(tmp, dst)
+    // rename reports several failure modes by RETURNING FALSE, not
+    // throwing — silently continuing after the delete above would lose
+    // the manifest while the caller (a rebuild) clears its loud marker
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"failed to publish manifest ${dst.getName} (rename returned false)")
   }
 
   /** Drop versions strictly inside the replay horizon except the maximal
@@ -253,8 +258,25 @@ private[sinks] final class BucketedStateLog(
         // with no kept slices, everything left in the version dir is
         // debris — including a crashed write's _temporary/ staging dir
         // (a killed tagged rebuild never retries the same dir name, so
-        // a subdirectory-presence guard here would leak it forever)
-        if (!kept) f.delete(vd.getPath, true)
+        // a subdirectory-presence guard would leak it forever). A GRACE
+        // PERIOD protects a LIVE write's staging dir from a gc running
+        // in violation of the single-writer/quiesce contract: fresh
+        // subdirectories defer the sweep; a crashed write's ages out.
+        if (!kept) {
+          val rest = f.listStatus(vd.getPath).toSeq.filter(_.isDirectory)
+          val cutoff = System.currentTimeMillis - BucketedStateLog.StagingGraceMs
+          if (rest.isEmpty || rest.forall(_.getModificationTime < cutoff))
+            f.delete(vd.getPath, true)
+        }
       }
   }
+}
+
+private[sinks] object BucketedStateLog {
+  /** How old an unreferenced version dir's leftover subdirectories (e.g.
+    * a parquet write's `_temporary/`) must be before [[BucketedStateLog
+    * .gcWithin]] sweeps the dir: young staging dirs may belong to a LIVE
+    * write racing the gc; crashed ones age past this and get collected.
+    */
+  val StagingGraceMs: Long = 60L * 60 * 1000
 }

@@ -87,23 +87,54 @@ final class MaintainedDistinct(
         n.stripPrefix("_fingerprint.g").toLongOption.getOrElse(-1L)
     }.filter(_ >= 0).sorted
 
-  private def readFp(f: org.apache.hadoop.fs.FileSystem): Option[String] =
-    fpGenerations(f).lastOption.map { n =>
-      val in = f.open(fpGenPath(n))
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
+  private def readFp(f: org.apache.hadoop.fs.FileSystem): Option[String] = {
+    // tolerate the cross-process race where a concurrent writeFp deletes
+    // the generation we listed between our list and open — re-list and
+    // read the newer one (same tolerant-retry shape as readSmallFile)
+    @annotation.tailrec
+    def attempt(retries: Int): Option[String] =
+      fpGenerations(f).lastOption match {
+        case None => None
+        case Some(n) =>
+          val read =
+            try {
+              val in = f.open(fpGenPath(n))
+              try Some(new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally in.close()
+            } catch {
+              case _: java.io.FileNotFoundException if retries > 0 => None
+            }
+          read match {
+            case Some(s) => Some(s)
+            case None => attempt(retries - 1)
+          }
+      }
+    attempt(3)
+  }
 
   private def writeFp(f: org.apache.hadoop.fs.FileSystem, fp: String): Unit = {
     f.mkdirs(stateDir)
     val gens = fpGenerations(f)
     val next = gens.lastOption.getOrElse(-1L) + 1
     val tmp = new Path(stateDir, s"_fingerprint.g$next.tmp")
+    // sweep tmp debris from crashed prior writes (fresh generation names
+    // mean a crashed tmp is never reused, so it would accumulate forever)
+    f.listStatus(stateDir).toSeq.map(_.getPath).foreach { p =>
+      if (p.getName.startsWith("_fingerprint.") && p.getName.endsWith(".tmp") &&
+          p.getName != tmp.getName) f.delete(p, false)
+    }
     val out = f.create(tmp, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.rename(tmp, fpGenPath(next))
+    // FileSystem.rename reports several failure modes by RETURNING FALSE,
+    // not throwing; proceeding to delete the old generations after a
+    // silent rename failure would leave NO fingerprint — the next opener
+    // would adopt its own params over foreign-model state
+    if (!f.rename(tmp, fpGenPath(next)))
+      throw new IllegalStateException(
+        s"failed to publish fingerprint generation $next for '$name' " +
+          s"(rename returned false); existing generations left in place")
     gens.foreach(n => f.delete(fpGenPath(n), false)) // superseded
   }
 
@@ -159,13 +190,28 @@ final class MaintainedDistinct(
     * filesystem-level locking).
     */
   def rebuild(spark: SparkSession): Unit = {
+    // Parameterless maintainers have nothing to migrate — and no
+    // fingerprint marker to make a crashed in-place recommit refuse
+    // loudly, so allowing rebuild for them would trade a non-existent
+    // need for a silent manifest-loss window.
+    require(fingerprint.nonEmpty,
+      s"rebuild('$name') is the parameter-migration path; this maintainer " +
+        "has no parameter fingerprint — its state follows the changelog " +
+        "and has nothing to migrate")
     val f = states.fs(spark)
-    // target interval: the latest committed version — or, when a crashed
-    // rebuild's manifest replace lost the only version, the cursor's
-    // applied interval (the span is the same; only the state vanished)
-    val target = states.latest(f).orElse {
-      val from = lake.cursorInterval(spark, cursorName)
-      if (from._2 == Long.MinValue) None else Some(from)
+    // Target interval: the UNION of the latest committed version and the
+    // cursor's applied interval. Normally they coincide; after a crashed
+    // rebuild lost the newest manifest, the surviving version is an older
+    // replay-prev while the cursor already covers the wider span —
+    // recommitting at the survivor's key would silently drop the batches
+    // between them (poll never re-delivers inside the cursor).
+    val latest = states.latest(f)
+    val from = lake.cursorInterval(spark, cursorName)
+    val cursorKey = if (from._2 == Long.MinValue) None else Some(from)
+    val target = (latest, cursorKey) match {
+      case (Some(k), Some(c)) =>
+        Some((math.min(k._1, c._1), math.max(k._2, c._2)))
+      case (k, c) => k.orElse(c)
     }
     target match {
       case None => fingerprint.foreach(writeFp(f, _))
