@@ -215,13 +215,7 @@ private[sinks] final class BucketedStateLog(
     // "atomic" OVERWRITE rename is delete-then-rename on file:// too,
     // and throws on stores with no AbstractFileSystem binding — it
     // would buy portability problems, not atomicity.)
-    if (f.exists(dst)) f.delete(dst, false)
-    // rename reports several failure modes by RETURNING FALSE, not
-    // throwing — silently continuing after the delete above would lose
-    // the manifest while the caller (a rebuild) clears its loud marker
-    if (!f.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"failed to publish manifest ${dst.getName} (rename returned false)")
+    BucketedStateLog.publishReplace(f, tmp, dst)
   }
 
   /** Drop versions strictly inside the replay horizon except the maximal
@@ -258,10 +252,15 @@ private[sinks] final class BucketedStateLog(
         // with no kept slices, everything left in the version dir is
         // debris — including a crashed write's _temporary/ staging dir
         // (a killed tagged rebuild never retries the same dir name, so
-        // a subdirectory-presence guard would leak it forever). A GRACE
-        // PERIOD protects a LIVE write's staging dir from a gc running
-        // in violation of the single-writer/quiesce contract: fresh
-        // subdirectories defer the sweep; a crashed write's ages out.
+        // a subdirectory-presence guard would leak it forever). The
+        // GRACE PERIOD below is BEST-EFFORT courtesy only — it defers
+        // the dir sweep while staging subdirectories are fresh, but a
+        // gc racing a live writer can still delete just-published
+        // unreferenced slices (the loop above), and deep-tree writes do
+        // not refresh a top-level _temporary's mtime on every store.
+        // The actual safety contract is unchanged: one writer per state
+        // dir (refresh loop quiesced during rebuild), same as every
+        // maintainer operation here.
         if (!kept) {
           val rest = f.listStatus(vd.getPath).toSeq.filter(_.isDirectory)
           val cutoff = System.currentTimeMillis - BucketedStateLog.StagingGraceMs
@@ -279,4 +278,21 @@ private[sinks] object BucketedStateLog {
     * write racing the gc; crashed ones age past this and get collected.
     */
   val StagingGraceMs: Long = 60L * 60 * 1000
+
+  /** Publish `tmp` at `dst` (replacing any existing file), THROWING when
+    * rename reports failure by RETURNING FALSE — Hadoop signals several
+    * failure modes that way, and silently continuing after the delete
+    * would lose the published file (manifest / cursor / fingerprint)
+    * with no error. The shared checked primitive for every small-file
+    * publish site in the sink layer. The delete+rename crash window
+    * (neither file present) remains; each call site's protocol makes it
+    * loud or recoverable — see the writeManifest comment.
+    */
+  def publishReplace(f: FileSystem, tmp: Path, dst: Path): Unit = {
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"failed to publish ${dst.getName} (rename returned false); " +
+          "the temp file is left in place")
+  }
 }

@@ -1111,8 +1111,9 @@ final class LakeSink(
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(dst)) f.delete(dst, false) // crashed prior attempt at this version
-    f.rename(tmp, dst)
+    // crashed prior attempt at this version may have left dst; checked
+    // rename — a false return must not silently lose the manifest
+    BucketedStateLog.publishReplace(f, tmp, dst)
   }
 
   /** Delete superseded manifests and every base slice neither kept
@@ -1158,8 +1159,10 @@ final class LakeSink(
     val out = f.create(tmp, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
+    // checked rename: a false return after the delete would leave NO
+    // cursor file — readCursor would see the fresh-cursor sentinel and
+    // the next poll would re-deliver (and double-apply) every batch
+    BucketedStateLog.publishReplace(f, tmp, p)
   }
 
   /** Read a small state file written by [[writeStringAtomic]], tolerating

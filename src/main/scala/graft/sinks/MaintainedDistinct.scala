@@ -79,13 +79,18 @@ final class MaintainedDistinct(
   private def fpGenPath(n: Long) =
     new Path(stateDir, if (n == 0) "_fingerprint" else s"_fingerprint.g$n")
 
-  private def fpGenerations(f: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+  private def fpNames(f: org.apache.hadoop.fs.FileSystem): Seq[String] =
     if (!f.exists(stateDir)) Seq.empty
-    else f.listStatus(stateDir).toSeq.map(_.getPath.getName).collect {
-      case "_fingerprint" => 0L
-      case n if n.startsWith("_fingerprint.g") =>
-        n.stripPrefix("_fingerprint.g").toLongOption.getOrElse(-1L)
-    }.filter(_ >= 0).sorted
+    else f.listStatus(stateDir).toSeq.map(_.getPath.getName)
+
+  private def fpGens(names: Seq[String]): Seq[Long] = names.collect {
+    case "_fingerprint" => 0L
+    case n if n.startsWith("_fingerprint.g") =>
+      n.stripPrefix("_fingerprint.g").toLongOption.getOrElse(-1L)
+  }.filter(_ >= 0).sorted
+
+  private def fpGenerations(f: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    fpGens(fpNames(f))
 
   private def readFp(f: org.apache.hadoop.fs.FileSystem): Option[String] = {
     // tolerate the cross-process race where a concurrent writeFp deletes
@@ -115,26 +120,22 @@ final class MaintainedDistinct(
 
   private def writeFp(f: org.apache.hadoop.fs.FileSystem, fp: String): Unit = {
     f.mkdirs(stateDir)
-    val gens = fpGenerations(f)
+    val names = fpNames(f) // ONE listing serves generations and tmp sweep
+    val gens = fpGens(names)
     val next = gens.lastOption.getOrElse(-1L) + 1
     val tmp = new Path(stateDir, s"_fingerprint.g$next.tmp")
     // sweep tmp debris from crashed prior writes (fresh generation names
     // mean a crashed tmp is never reused, so it would accumulate forever)
-    f.listStatus(stateDir).toSeq.map(_.getPath).foreach { p =>
-      if (p.getName.startsWith("_fingerprint.") && p.getName.endsWith(".tmp") &&
-          p.getName != tmp.getName) f.delete(p, false)
-    }
+    names.filter(n => n.startsWith("_fingerprint.") && n.endsWith(".tmp") &&
+        n != tmp.getName)
+      .foreach(n => f.delete(new Path(stateDir, n), false))
     val out = f.create(tmp, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // FileSystem.rename reports several failure modes by RETURNING FALSE,
-    // not throwing; proceeding to delete the old generations after a
-    // silent rename failure would leave NO fingerprint — the next opener
-    // would adopt its own params over foreign-model state
-    if (!f.rename(tmp, fpGenPath(next)))
-      throw new IllegalStateException(
-        s"failed to publish fingerprint generation $next for '$name' " +
-          s"(rename returned false); existing generations left in place")
+    // checked publish: a silently failed rename followed by the deletes
+    // below would leave NO fingerprint — the next opener would adopt its
+    // own params over foreign-model state
+    BucketedStateLog.publishReplace(f, tmp, fpGenPath(next))
     gens.foreach(n => f.delete(fpGenPath(n), false)) // superseded
   }
 

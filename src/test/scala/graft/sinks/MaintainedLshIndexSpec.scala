@@ -278,6 +278,48 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild after a crashed manifest replace recovers the full cursor span") {
+    withIndex { (sink, ix, root) =>
+      // two refreshes leave the replay-prev v(0,0) AND the latest v(0,1)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "delete", doc("a2", TextA), null))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix).isEmpty)
+      // crash window: a rebuild died after deleting the NEWEST manifest
+      // (in-place recommit's delete+rename) and left its marker
+      val commits = new java.io.File(s"$root/_graft_views/lsh/_commits")
+      val newest = commits.listFiles()
+        .filter(_.getName.startsWith("manifest.")).map(_.getName).sorted.last
+      new java.io.File(commits, newest).delete()
+      new java.io.File(commits, s".$newest.crc").delete()
+      val viewDir = new java.io.File(s"$root/_graft_views/lsh")
+      viewDir.listFiles().filter(_.getName.contains("_fingerprint"))
+        .foreach(_.delete())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/_graft_views/lsh/_fingerprint"),
+        "rebuilding->interrupted".getBytes)
+      intercept[IllegalStateException](ix.refresh(spark))
+      // re-run: the target must be the UNION of the surviving replay-prev
+      // and the cursor's applied interval — recommitting at the
+      // survivor's key would silently drop batch 1's delete forever
+      // (poll never re-delivers inside the cursor)
+      ix.rebuild(spark)
+      assert(pairs(ix).isEmpty,
+        "recovered state must include batch 1's delete, not just v(0,0)")
+      assert(ix.buckets(spark).count() == 4L, "only a1's 4 bands survive")
+      assert(ix.refresh(spark) == 0)
+      // and the loop is fully healthy: new churn still applies
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", null, doc("d", TextA)))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assert(pairs(ix) == Set(("a1", "d")))
+    }
+  }
+
   test("maintained index equals a from-scratch rebuild after arbitrary churn") {
     // random-ish churn over a small doc pool (deterministic seed), then:
     // maintained candidatePairs == the pairs of a FRESH index fed the
