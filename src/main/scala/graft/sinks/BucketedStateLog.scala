@@ -290,9 +290,20 @@ private[sinks] object BucketedStateLog {
     */
   def publishReplace(f: FileSystem, tmp: Path, dst: Path): Unit = {
     if (f.exists(dst)) f.delete(dst, false)
+    publishFresh(f, tmp, dst)
+  }
+
+  /** Checked rename to a destination that must NOT exist — the strictly
+    * safer variant for generation-filed publishes ([[graft.sinks
+    * .MaintainedDistinct]]'s fingerprint): no delete precedes the rename,
+    * so there is never a window with no file present, and two racing
+    * writers cannot delete each other's just-published generation — the
+    * loser's rename onto the existing name fails LOUDLY instead.
+    */
+  def publishFresh(f: FileSystem, tmp: Path, dst: Path): Unit =
     if (!f.rename(tmp, dst))
       throw new IllegalStateException(
-        s"failed to publish ${dst.getName} (rename returned false); " +
-          "the temp file is left in place")
-  }
+        s"failed to publish $dst (rename returned false); " +
+          "the temp file and any existing versions are left in place — " +
+          "safe to re-run")
 }

@@ -132,10 +132,12 @@ final class MaintainedDistinct(
     val out = f.create(tmp, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // checked publish: a silently failed rename followed by the deletes
-    // below would leave NO fingerprint — the next opener would adopt its
-    // own params over foreign-model state
-    BucketedStateLog.publishReplace(f, tmp, fpGenPath(next))
+    // FRESH-destination checked publish (no delete precedes the rename):
+    // a silently failed rename followed by the deletes below would leave
+    // NO fingerprint — the next opener would adopt its own params over
+    // foreign-model state; and a racing writer that computed the same
+    // generation number fails loudly instead of deleting ours
+    BucketedStateLog.publishFresh(f, tmp, fpGenPath(next))
     gens.foreach(n => f.delete(fpGenPath(n), false)) // superseded
   }
 
