@@ -107,14 +107,18 @@ object LakeDemo {
         after: Map[String, String]) =
       org.apache.spark.sql.Row(lsn, lsn, 7L, op, "public", "docs", dT, dT,
         Seq("id"), before, after)
-    def d(id: String, text: String) = Map("id" -> id, "text" -> text)
+    def d(id: String, text: String, emb: String = null) = {
+      val base = Map("id" -> id, "text" -> text)
+      if (emb == null) base else base + ("emb" -> emb)
+    }
     val textA = "the quick brown fox jumps over the lazy dog tonight"
     lake.appendBatch(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
-        docEv(900, "insert", null, d("doc-1", textA)),
-        docEv(901, "insert", null, d("doc-2", textA)),
+        docEv(900, "insert", null, d("doc-1", textA, "0.5,0.5")),
+        docEv(901, "insert", null, d("doc-2", textA, "9.8,10.1")),
         docEv(902, "insert", null,
-          d("doc-3", "completely different words about winter mountain trails")))).asJava),
+          d("doc-3", "completely different words about winter mountain trails",
+            "10.2,9.9")))).asJava),
       graft.cdc.ChangeEvent.schema), 100L)
     val lsh = new graft.sinks.MaintainedLshIndex(
       lake, "public", "docs", "demo_lsh", idKey = "id", textKey = "text")
@@ -130,13 +134,27 @@ object LakeDemo {
       .sorted.mkString(",")
     lake.appendBatch(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
-        docEv(903, "update", d("doc-2", textA),
-          d("doc-2", "seven orange submarines quietly measure distant galactic harmonics")))).asJava),
+        docEv(903, "update", d("doc-2", textA, "9.8,10.1"),
+          d("doc-2", "seven orange submarines quietly measure distant galactic harmonics",
+            "9.8,10.1")))).asJava),
       graft.cdc.ChangeEvent.schema), 101L)
     lsh.refresh(spark)
     val pairs1 = lsh.candidatePairs(spark).count()
     println(s"-- maintained LSH index: pairs=[$pairs0] probe(textA)=[$probe] " +
       s"verified(0.9)=[$verified] after-edit pairs=$pairs1")
+    // CDC-maintained IVF posting index over the same docs' embeddings:
+    // nprobe-pruned candidate read + exact-distance top-k re-rank
+    val ivf = new graft.sinks.MaintainedIvfIndex(
+      lake, "public", "docs", "demo_ivf", idKey = "id", embKey = "emb",
+      centroids = Seq(Seq(0f, 0f), Seq(10f, 10f)))
+    ivf.refresh(spark)
+    val cellsStr = ivf.cells(spark).collect()
+      .map(r => s"${r.getInt(0)}:${r.getLong(1)}").sorted.mkString(",")
+    val topk = ivf.searchTopK(spark, Seq(10f, 10f), nprobe = 1, k = 2)
+      .collect().map(r => f"${r.getString(0)}@${r.getDouble(1)}%.2f")
+      .mkString(",")
+    println(s"-- maintained IVF index: cells=[$cellsStr] " +
+      s"topk(10,10)=[$topk]")
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 
