@@ -398,13 +398,17 @@ final class MaintainedDistinct(
     states.latest(f).foreach { key =>
       val want = dist.recomputeAll(currentAsOf(spark, key)).localCheckpoint()
       val got = states.read(spark, key, stateSchema(spark))
-      val extra = got.exceptAll(want).count()
-      val missing = want.exceptAll(got).count()
-      if (extra != 0 || missing != 0)
+      // both directions of the symmetric difference in ONE action
+      val diff = got.exceptAll(want).select(lit("extra").as("side"))
+        .unionAll(want.exceptAll(got).select(lit("missing").as("side")))
+        .groupBy("side").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (diff.nonEmpty)
         throw new IllegalStateException(
           s"maintained state '$name' diverged from a from-scratch " +
-            s"recompute of interval $key: $extra extra and $missing " +
-            "missing state rows — incremental maintenance drifted")
+            s"recompute of interval $key: ${diff.getOrElse("extra", 0L)} " +
+            s"extra and ${diff.getOrElse("missing", 0L)} missing state " +
+            "rows — incremental maintenance drifted")
     }
   }
 
