@@ -155,6 +155,16 @@ object LakeDemo {
       .mkString(",")
     println(s"-- maintained IVF index: cells=[$cellsStr] " +
       s"topk(10,10)=[$topk]")
+    // CDC-maintained BM25 index over the same docs' texts: bucket-pruned
+    // lexical retrieval (tf postings ARE the refcount state)
+    val bm = new graft.sinks.MaintainedBm25Index(
+      lake, "public", "docs", "demo_bm25", idKey = "id", textKey = "text")
+    bm.refresh(spark)
+    val hits = bm.search(spark, "quick brown fox", 2).collect()
+      .map(r => f"${r.getString(0)}@${r.getDouble(1)}%.3f").mkString(",")
+    val (nd, avgdl) = bm.corpusStats(spark)
+    println(f"-- maintained BM25 index: n=$nd avgdl=$avgdl%.1f " +
+      s"search(quick brown fox)=[$hits]")
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 

@@ -1,0 +1,201 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.cdc.ChangeEvent
+
+/** The CDC-maintained BM25 index: tf postings stay exact for the CURRENT
+  * corpus under insert/edit/delete churn, the bucket-pruned search ranks
+  * by the reference formula, and everything matches an independent
+  * in-test brute force after every batch.
+  */
+class MaintainedBm25IndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def envelope(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      ChangeEvent.schema)
+
+  private val T = new java.sql.Timestamp(1700000000000L)
+  private def ev(lsn: Long, op: String,
+      before: Map[String, String], after: Map[String, String]): Row =
+    Row(lsn, lsn, 7L, op, "public", "docs", T, T, Seq("id"), before, after)
+  private def doc(id: String, text: String): Map[String, String] =
+    Map("id" -> id, "text" -> text)
+
+  private def mkIndex(sink: LakeSink) =
+    new MaintainedBm25Index(sink, "public", "docs", "bm",
+      idKey = "id", textKey = "text", stateBuckets = 8)
+
+  /** Independent model: the same tokenizer and reference formula,
+    * computed in plain Scala over the live corpus.
+    */
+  private def brute(corpus: Map[String, String], query: String,
+      k1: Double = 1.2, b: Double = 0.75): Map[String, Double] = {
+    def toks(s: String) =
+      s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val docs = corpus.map { case (id, t) => id -> toks(t) }
+      .filter(_._2.nonEmpty)
+    if (docs.isEmpty) return Map.empty
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val q = toks(query).distinct
+    docs.flatMap { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val score = q.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = docs.values.count(_.contains(t)).toDouble
+          math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+        }
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }
+  }
+
+  private def got(ix: MaintainedBm25Index, q: String, k: Int = 10): Seq[(String, Double)] =
+    ix.search(spark, q, k).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  private def assertSearch(ix: MaintainedBm25Index,
+      corpus: Map[String, String], q: String): Unit = {
+    val want = brute(corpus, q).toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    val g = got(ix, q)
+    assert(g.map(_._1) == want.map(_._1),
+      s"ranking for '$q': got ${g.map(_._1)}, want ${want.map(_._1)}")
+    g.zip(want).foreach { case ((_, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) < 1e-9, s"score for '$q': $gs vs $ws")
+    }
+  }
+
+  test("postings are term frequencies; search matches an independent brute force") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      val corpus = Map(
+        "d1" -> "apple banana apple",
+        "d2" -> "banana cherry",
+        "d3" -> "apple cherry cherry date here",
+        "d4" -> "Zebra! zebra?? ZEBRA")
+      sink.appendBatch(envelope(corpus.toSeq.zipWithIndex.map {
+        case ((id, t), i) => ev(i + 1L, "insert", null, doc(id, t))
+      }), 0L)
+      assert(ix.refresh(spark) == 1)
+      // tf postings: rc IS the term frequency (tokenizer folds case/punct)
+      val posts = ix.postings(spark).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(posts(("apple", "d1")) == 2L)
+      assert(posts(("zebra", "d4")) == 3L)
+      assert(posts(("cherry", "d3")) == 2L)
+      assert(!posts.contains(("apple", "d2")))
+      val (n, avgdl) = ix.corpusStats(spark)
+      assert(n == 4L && math.abs(avgdl - (3 + 2 + 5 + 3) / 4.0) < 1e-12)
+      assertSearch(ix, corpus, "apple cherry")
+      assertSearch(ix, corpus, "banana")
+      assertSearch(ix, corpus, "zebra date")
+      // a term nowhere in the corpus contributes nothing, never errors
+      assertSearch(ix, corpus, "apple nonexistent")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("churn: edits move tf, deletes retract, unchanged text telescopes; equals brute force after every batch") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      var corpus = Map(
+        "d1" -> "apple banana apple",
+        "d2" -> "banana cherry",
+        "d3" -> "apple cherry cherry date here")
+      sink.appendBatch(envelope(corpus.toSeq.zipWithIndex.map {
+        case ((id, t), i) => ev(i + 1L, "insert", null, doc(id, t))
+      }), 0L)
+      assert(ix.refresh(spark) == 1)
+      // batch 1: d1 loses both apples (tf retraction), d3 deleted, d5 new
+      sink.appendBatch(envelope(Seq(
+        ev(10, "update", doc("d1", corpus("d1")), doc("d1", "banana banana")),
+        ev(11, "delete", doc("d3", corpus("d3")), null),
+        ev(12, "insert", null, doc("d5", "date apple")))), 1L)
+      corpus = corpus - "d3" + ("d1" -> "banana banana") + ("d5" -> "date apple")
+      assert(ix.refresh(spark) == 1)
+      assertSearch(ix, corpus, "apple")
+      assertSearch(ix, corpus, "banana date")
+      // apple's only posting is now d5 with tf 1
+      val posts = ix.postings(spark).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(posts.get(("apple", "d1")).isEmpty && posts(("apple", "d5")) == 1L)
+      // batch 2: a text-UNCHANGED update must telescope to a zero-net
+      // delta (and everything still equals brute force + a full rebuild)
+      sink.appendBatch(envelope(Seq(
+        ev(20, "update", doc("d2", corpus("d2")), doc("d2", corpus("d2"))))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assertSearch(ix, corpus, "banana cherry")
+      ix.assertConsistent(spark)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("seed after compact+vacuum indexes BASE-only documents") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "apple banana")))), 0L)
+      sink.compact(spark)
+      sink.vacuum(spark) // batch 0's changelog gone; doc lives only in BASE
+      sink.seedCursor(spark, "view_bm")
+      sink.seedCursor(spark, "view_bm_stats")
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", null, doc("b", "apple cherry")))), 1L)
+      assert(ix.refresh(spark) == 1)
+      val corpus = Map("a" -> "apple banana", "b" -> "apple cherry")
+      assertSearch(ix, corpus, "apple banana")
+      assert(ix.corpusStats(spark) == ((2L, 2.0)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("no-token queries, token-less docs, and the empty index are all safe") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      // empty index: same (id, score) schema, zero rows
+      val empty0 = ix.search(spark, "anything", 5)
+      assert(empty0.isEmpty && empty0.columns.toSeq == Seq("id", "score"))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "apple banana")),
+        ev(2, "insert", null, doc("z", "123 456 !!!")), // no alpha tokens
+        ev(3, "insert", null, Map("id" -> "m")))), 0L)  // no text at all
+      assert(ix.refresh(spark) == 1)
+      // token-less docs contribute nothing — not even to N/avgdl
+      assert(ix.corpusStats(spark) == ((1L, 2.0)))
+      val empty1 = ix.search(spark, "42 --- 17", 5)
+      assert(empty1.isEmpty && empty1.columns.toSeq == Seq("id", "score"))
+      assert(got(ix, "apple").map(_._1) == Seq("a"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("length normalization: equal tf, shorter document scores higher") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("short", "apple pie")),
+        ev(2, "insert", null, doc("long",
+          "apple pie with a very long tail of extra words about nothing")))), 0L)
+      assert(ix.refresh(spark) == 1)
+      val r = got(ix, "apple")
+      assert(r.map(_._1) == Seq("short", "long"),
+        s"b-normalization must favor the shorter doc at equal tf: $r")
+      assert(r(0)._2 > r(1)._2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
