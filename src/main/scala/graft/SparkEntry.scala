@@ -654,10 +654,11 @@ object SparkEntry {
     // integers, exact in float and double alike
     "q_mv" ->
       """WITH churned AS (
-           SELECT o_orderstatus, o_orderkey, o_custkey,
+           SELECT o_orderstatus, o_orderpriority, o_orderkey, o_custkey,
              CASE WHEN o_orderkey % 7 = 0
                THEN (c*11 - (c*11) % 10) // 10 ELSE c END AS pc
-           FROM (SELECT o_orderstatus, o_orderkey, o_custkey,
+           FROM (SELECT o_orderstatus, o_orderpriority, o_orderkey,
+                   o_custkey,
                    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
                  FROM orders)
            WHERE o_orderkey % 13 <> 0),
@@ -672,16 +673,28 @@ object SparkEntry {
                               (e1-8)*(e1-8) + (e2-14)*(e2-14) AS d2
                        FROM (SELECT CAST(o_orderkey % 19 AS DOUBLE) AS e1,
                                     CAST(pc % 17 AS DOUBLE) AS e2
-                             FROM churned))))
+                             FROM churned)))),
+         bm AS (
+           SELECT CAST(count(*) AS BIGINT) AS bm_postings,
+                  CAST(coalesce(sum(tf), 0) AS BIGINT) AS bm_tf
+           FROM (SELECT term, o_orderkey, count(*) AS tf
+                 FROM (SELECT o_orderkey,
+                         unnest(string_split_regex(lower(
+                           concat_ws(' ', o_orderstatus, o_orderpriority,
+                             CAST(o_orderkey % 40 AS VARCHAR),
+                             CAST(o_custkey % 20 AS VARCHAR),
+                             'lake order text')), '[^a-z]+')) AS term
+                       FROM churned WHERE o_orderkey % 10 = 0)
+                 WHERE term <> '' GROUP BY term, o_orderkey))
          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
            CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(min(pc) AS BIGINT) AS min_price_cents,
            CAST(max(pc) AS BIGINT) AS max_price_cents,
-           ivf_c0, ivf_c1, ivf_c2
-         FROM churned CROSS JOIN ivf
-         GROUP BY o_orderstatus, ivf_c0, ivf_c1, ivf_c2
+           ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf
+         FROM churned CROSS JOIN ivf CROSS JOIN bm
+         GROUP BY o_orderstatus, ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf
          ORDER BY o_orderstatus""",
     // Maintained left-outer join over a declared 25% orders subset
     // (o_orderkey % 4 = 0; the fact-side recompute folds on o_orderkey,

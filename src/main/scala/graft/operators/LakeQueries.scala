@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sinks.{LakeSink, MaintainedDistinct, MaintainedIvfIndex,
-  MaintainedJoin, MaintainedLshIndex, MaintainedView}
+import graft.sinks.{LakeSink, MaintainedBm25Index, MaintainedDistinct,
+  MaintainedIvfIndex, MaintainedJoin, MaintainedLshIndex, MaintainedView}
 
 /** Driver-gated lake queries: put the changelog → fold → compact → vacuum
   * → time-travel pipeline of [[graft.sinks.LakeSink]] under the same
@@ -209,14 +209,15 @@ object LakeQueries {
     lit("o_text"), mvText)
 
   private val builtViews = new java.util.concurrent.ConcurrentHashMap[
-    String, (MaintainedView, MaintainedDistinct, MaintainedIvfIndex)]()
+    String,
+    (MaintainedView, MaintainedDistinct, MaintainedIvfIndex, MaintainedBm25Index)]()
 
   private def viewFor(s: SparkSession, dir: String)
-      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex) =
+      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex, MaintainedBm25Index) =
     builtViews.computeIfAbsent(dir, d => buildView(s, d))
 
   private def buildView(s: SparkSession, dir: String)
-      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex) = {
+      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex, MaintainedBm25Index) = {
     val root = new Path(
       new Path(System.getProperty("java.io.tmpdir")),
       "graft_lake_mv_" + Integer.toHexString(dir.hashCode)).toString
@@ -264,6 +265,12 @@ object LakeQueries {
       centroids = MvCentroids, stateBuckets = 8)
     val lsh = new MaintainedLshIndex(sink, "public", "orders", "mvlsh",
       idKey = "o_orderkey", textKey = "o_text", stateBuckets = 8)
+    // the BM25 postings maintainer shares the same 10% text subset; its
+    // tf postings ARE DuckDB-expressible (the proven string_split_regex
+    // tokenizer), so q_mv carries (postings, Σtf) as oracle-checked
+    // constant columns AND the churn==rebuild equivalence runs in-build
+    val bm = new MaintainedBm25Index(sink, "public", "orders", "mvbm",
+      idKey = "o_orderkey", textKey = "o_text", stateBuckets = 8)
     val orders = Tables.orders(s, dir)
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))
@@ -276,6 +283,7 @@ object LakeQueries {
     dist.refresh(s) // refcount seed through the same span
     ivf.refresh(s)  // posting seed: every order assigned once
     lsh.refresh(s)  // signature seed: every order shingled once
+    bm.refresh(s)   // tf-posting seed: every subset order tokenized once
     sink.compact(s) // later recomputes resolve batch 0 through BASE
     sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
       "update", L1, imgMv(cents0), imgMv(newCents)), 1L)
@@ -292,16 +300,21 @@ object LakeQueries {
                     // (retract old cell, add new), deletes retract
     lsh.refresh(s)  // same span: price-only churn telescopes to zero-net
                     // signature deltas; deletes retract
-    // the LSH gate: maintained signature state must equal a seed-style
-    // recompute of the surviving corpus — drift throws HERE, inside the
-    // driver-gated q_mv build. The emptiness check keeps the equivalence
-    // non-vacuous (an empty state trivially equals an empty recompute).
+    bm.refresh(s)   // same span: text-unchanged updates telescope to
+                    // zero-net tf deltas; deletes retract occurrences
+    // the LSH and BM25 maintenance gates: maintained state must equal a
+    // seed-style recompute of the surviving corpus — drift throws HERE,
+    // inside the driver-gated q_mv build. The emptiness checks keep the
+    // equivalences non-vacuous (an empty state trivially equals an empty
+    // recompute); BM25's posting/Σtf COUNTS are additionally
+    // oracle-checked as q_mv columns (the tokenizer is cross-engine).
     lsh.assertConsistent(s)
     require(!lsh.buckets(s).isEmpty,
       "LSH gate vacuous: no signatures in the maintained index state")
+    bm.assertConsistent(s)
     sink.vacuum(s)  // all maintainers must keep serving after their
                     // source's folded changelog is gone
-    (view, dist, ivf)
+    (view, dist, ivf, bm)
   }
 
   /** The maintained view's served contents — a pure group-cardinality
@@ -309,12 +322,19 @@ object LakeQueries {
     * maintained distinct custkey count served from its refcount state.
     */
   def mvOrders(s: SparkSession, dir: String): DataFrame = {
-    val (view, dist, ivf) = viewFor(s, dir)
+    val (view, dist, ivf, bm) = viewFor(s, dir)
     // bounded planning pull (≤ |centroids| = 3 rows): the maintained IVF
     // index's per-cell posting counts ride q_mv as constant columns, hash-
     // checked against the oracle's squared-L2 argmin recompute
     val cells = ivf.cells(s).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // one-row pull: the BM25 index's (distinct postings, Σtf) — the
+    // oracle recomputes both from the same tokenizer over the churned
+    // subset texts, so tf maintenance drift turns the driver red
+    val bmRow = bm.postings(s)
+      .agg(count(lit(1)).cast("long"), sum(col("tf")).cast("long")).head()
+    val (bmPostings, bmTf) =
+      if (bmRow.isNullAt(1)) (0L, 0L) else (bmRow.getLong(0), bmRow.getLong(1))
     view.read(s).join(dist.read(s), Seq("o_orderstatus"), "left_outer")
       .select(
         col("o_orderstatus"),
@@ -326,7 +346,9 @@ object LakeQueries {
         col("max_price_cents").cast("long").as("max_price_cents"),
         lit(cells.getOrElse(0, 0L)).as("ivf_c0"),
         lit(cells.getOrElse(1, 0L)).as("ivf_c1"),
-        lit(cells.getOrElse(2, 0L)).as("ivf_c2"))
+        lit(cells.getOrElse(2, 0L)).as("ivf_c2"),
+        lit(bmPostings).as("bm_postings"),
+        lit(bmTf).as("bm_tf"))
       .orderBy("o_orderstatus")
   }
 

@@ -31,10 +31,13 @@ import graft.operators.{IncrementalAgg, IncrementalDistinct}
   * SAME engine expression on a one-row frame, each distinct term maps to
   * its state-log hash bucket ([[BucketedStateLog.bucketOf]]), and ONLY
   * those ≤ |query terms| buckets' slices are read; document lengths come
-  * from the lake's key-restricted fold over just the candidate ids
-  * (pinned to the same state version key — no tear against a concurrent
-  * refresh); df per term is exact within the pruned read (it covers
-  * every posting of those terms); N/avgdl are a one-row state pull.
+  * from the lake's key-restricted fold over just the candidate ids,
+  * pinned to the same POSTINGS state version key (tf, df, and dl can
+  * never tear against a concurrent refresh). N/avgdl are a one-row pull
+  * from the stats view's own cursor, which [[refresh]] advances in the
+  * same call — the two reads agree at every shared refresh boundary
+  * (the q_mv composition caveat); between the two commits of one
+  * in-flight refresh, N/avgdl may lag the postings by that one span.
   * Scoring is the reference formula (`idf = ln(1+(N-df+0.5)/(df+0.5))`,
   * `tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))`), ties on doc id.
   *
@@ -131,6 +134,9 @@ final class MaintainedBm25Index(
 
   /** (n_docs, avgdl) of the current corpus — a one-row state read. */
   def corpusStats(spark: SparkSession): (Long, Double) = {
+    // the stats view carries no fingerprint of its own — route the read
+    // through the postings guard so a mismatched open refuses here too
+    md.latestKey(spark)
     val rows = statsView.read(spark).filter(col("corpus") === "all")
       .select(col("n").cast("long"), col("sum_len").cast("long")).collect()
     rows.headOption.map(r => (r.getLong(0),
@@ -146,9 +152,16 @@ final class MaintainedBm25Index(
     md.verifyAgainstRebuild(spark)
 
   /** Full re-tokenization adopting the current fingerprint — the
-    * migration path a mismatched open names.
+    * migration path a mismatched open names. The corpus-stats view
+    * (whose state is ALSO a function of the tokenizer and textKey)
+    * rebuilds INSIDE the postings maintainer's fingerprint-marker
+    * window, so a crash anywhere in the composite migration leaves
+    * every instance refusing loudly and this method re-runnable —
+    * migrating only the postings would leave N/avgdl silently computed
+    * under the old parameters.
     */
-  def rebuild(spark: SparkSession): Unit = md.rebuild(spark)
+  def rebuild(spark: SparkSession): Unit =
+    md.rebuild(spark, s => statsView.rebuild(s))
 
   /** Top-k BM25 retrieval for a free-text query: (id, score), score
     * descending, ties on id. Empty (same schema) when the query has no
@@ -156,17 +169,10 @@ final class MaintainedBm25Index(
     */
   def search(spark: SparkSession, query: String, k: Int): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
-    import scala.jdk.CollectionConverters._
-    val probe = spark.createDataFrame(
-      new java.util.ArrayList(Seq(org.apache.spark.sql.Row(
-        Map("id" -> "_probe", textKey -> query))).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("im",
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)))))
     // the query tokenizes through the SAME engine expression as documents
-    val qTerms = probe.select(array_distinct(termsOf(col("im"))).as("t"))
+    val qTerms = ImageProbes
+      .frame(spark, Map("id" -> "_probe", textKey -> query))
+      .select(array_distinct(termsOf(col("im"))).as("t"))
       .head().getSeq[String](0)
     val key = md.latestKey(spark)
     def empty: DataFrame = md.entriesAt(spark, key).filter(lit(false))

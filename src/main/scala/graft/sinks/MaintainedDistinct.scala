@@ -192,7 +192,16 @@ final class MaintainedDistinct(
     * per-span re-check narrows but cannot close that window without
     * filesystem-level locking).
     */
-  def rebuild(spark: SparkSession): Unit = {
+  def rebuild(spark: SparkSession,
+      /** Companion-state migration executed INSIDE the fingerprint-marker
+        * window (after the marker is written, before the new fingerprint
+        * is adopted): a composite index whose derived state spans several
+        * maintainers ([[MaintainedBm25Index]]'s corpus-stats view) hooks
+        * its other halves here, so a crash anywhere in the composite
+        * migration still leaves every instance refusing loudly and the
+        * whole rebuild re-runnable.
+        */
+      alsoRebuild: SparkSession => Unit = _ => ()): Unit = {
     // Parameterless maintainers have nothing to migrate — and no
     // fingerprint marker to make a crashed in-place recommit refuse
     // loudly, so allowing rebuild for them would trade a non-existent
@@ -227,6 +236,7 @@ final class MaintainedDistinct(
         // after (the naive order) would let the OLD family advance
         // new-model state.
         fingerprint.foreach(fp => writeFp(f, s"rebuilding->$fp"))
+        alsoRebuild(spark) // companion states migrate inside the marker
         // The recompute commits under a UNIQUELY-TAGGED slice directory:
         // the live version's referenced slices are never deleted out
         // from under its manifest (readers keep working mid-rebuild),

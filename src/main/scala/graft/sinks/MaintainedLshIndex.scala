@@ -180,21 +180,8 @@ final class MaintainedLshIndex(
     * ([[BucketedStateLog.bucketOf]]), and ONLY those ≤ `bands` buckets'
     * slices are read — never the index. Empty for short probes.
     */
-  /** One-row frame carrying the probe text as an image map — probes
-    * evaluate the SAME engine expressions the index applied to documents
-    * (signatures AND shingles), so they agree bit-for-bit.
-    */
-  private def probeFrame(spark: SparkSession, text: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      new java.util.ArrayList(Seq(org.apache.spark.sql.Row(
-        Map("id" -> "_probe", textKey -> text))).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("im",
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)))))
-  }
+  private def probeFrame(spark: SparkSession, text: String): DataFrame =
+    ImageProbes.frame(spark, Map("id" -> "_probe", textKey -> text))
 
   def candidatesFor(spark: SparkSession, text: String): DataFrame = {
     val sigRow = probeFrame(spark, text)
@@ -313,4 +300,23 @@ final class MaintainedLshIndex(
 
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
+}
+
+/** One-row frame carrying a synthetic image map under column `im` — the
+  * shared probe seam of the maintained-index family: probes evaluate the
+  * SAME engine expressions the index applied to documents (signatures,
+  * shingles, tokens), so probe and index can never drift bit-for-bit the
+  * way a driver-side reimplementation could.
+  */
+private[sinks] object ImageProbes {
+  def frame(spark: SparkSession, im: Map[String, String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      new java.util.ArrayList(Seq(org.apache.spark.sql.Row(im)).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("im",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))))
+  }
 }

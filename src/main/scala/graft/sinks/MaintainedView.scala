@@ -298,6 +298,36 @@ final class MaintainedView(
     * `max_<m>` — group-cardinality, no fold, no scan of the table.
     * PURE reader: an un-migrated legacy state dir is served directly.
     */
+  /** Full recompute of the view state from the source as of the applied
+    * interval, committed as a full rewrite under a uniquely-tagged slice
+    * dir — the companion-state half of a composite index migration
+    * ([[MaintainedBm25Index.rebuild]] runs this INSIDE its postings
+    * maintainer's fingerprint-marker window, which is what makes the
+    * composite crash-safe; this view carries no fingerprint of its own,
+    * so it is deliberately not public). Targets the union of the latest
+    * version and the cursor interval, like [[MaintainedDistinct
+    * .rebuild]]. No-op before the first refresh.
+    */
+  private[sinks] def rebuild(spark: SparkSession): Unit = {
+    val f = states.fs(spark)
+    migrateLegacy(spark, f)
+    val latest = states.latest(f)
+    val from = lake.cursorInterval(spark, cursorName)
+    val cursorKey = if (from._2 == Long.MinValue) None else Some(from)
+    val target = (latest, cursorKey) match {
+      case (Some(k), Some(c)) =>
+        Some((math.min(k._1, c._1), math.max(k._2, c._2)))
+      case (k, c) => k.orElse(c)
+    }
+    target.foreach { key =>
+      val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+        .select(col("after"))
+      states.commit(f, agg.recomputeAll(cur),
+        (0 until stateBuckets).toSet, None, key,
+        dirTag = s".r${java.lang.Long.toHexString(System.nanoTime)}")
+    }
+  }
+
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
     // maximal interval across BOTH logs — see [[MaintainedJoin.read]]

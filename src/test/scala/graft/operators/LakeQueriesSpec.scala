@@ -113,6 +113,22 @@ class LakeQueriesSpec extends AnyFunSuite {
     val cellCounts = survivors.select(cell.as("cell"))
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the BM25 maintainer's (postings, Σtf) over the declared 10% text
+    // subset — the Spark restatement of the oracle's bm CTE
+    val bmText = concat_ws(" ",
+      col("o_orderstatus"), col("o_orderpriority"),
+      (col("o_orderkey") % 40).cast("string"),
+      (col("o_custkey") % 20).cast("string"),
+      lit("lake order text"))
+    val bmRow = survivors.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        explode(split(lower(bmText), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "o_orderkey").agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).cast("long"), sum("tf").cast("long")).head()
+    val (bmPostings, bmTf) = (bmRow.getLong(0), bmRow.getLong(1))
+    assert(bmPostings > 0 && bmTf >= bmPostings,
+      s"BM25 gate vacuous: postings=$bmPostings tf=$bmTf")
     // n_cust is served from the MaintainedDistinct refcount state — the
     // recompute's count(DISTINCT) over the surviving table must agree
     val want = survivors
@@ -126,6 +142,8 @@ class LakeQueriesSpec extends AnyFunSuite {
       .withColumn("ivf_c0", lit(cellCounts.getOrElse(0, 0L)))
       .withColumn("ivf_c1", lit(cellCounts.getOrElse(1, 0L)))
       .withColumn("ivf_c2", lit(cellCounts.getOrElse(2, 0L)))
+      .withColumn("bm_postings", lit(bmPostings))
+      .withColumn("bm_tf", lit(bmTf))
       .orderBy("o_orderstatus")
     assertSame(got, want, "q_mv")
     // the gate must not be vacuous: churn must land postings in more

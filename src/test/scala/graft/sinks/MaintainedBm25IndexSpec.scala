@@ -182,6 +182,49 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("changed textKey refuses; composite rebuild migrates the stats view too") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink) // textKey = "text"
+      // docs carry BOTH text columns, with different token lengths
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, Map("id" -> "a", "text" -> "apple banana",
+          "body" -> "apple apple apple banana cherry")),
+        ev(2, "insert", null, Map("id" -> "b", "text" -> "cherry",
+          "body" -> "banana date")))), 0L)
+      assert(ix.refresh(spark) == 1)
+      assert(ix.corpusStats(spark) == ((2L, 1.5))) // "text" lengths 2, 1
+      // reopen tokenizing the OTHER column: every read and refresh refuses
+      val ix2 = new MaintainedBm25Index(sink, "public", "docs", "bm",
+        idKey = "id", textKey = "body", stateBuckets = 8)
+      intercept[IllegalStateException](ix2.refresh(spark))
+      intercept[IllegalStateException](ix2.search(spark, "apple", 3))
+      intercept[IllegalStateException](ix2.postings(spark))
+      intercept[IllegalStateException](ix2.corpusStats(spark))
+      // the composite migration re-derives BOTH the postings AND the
+      // corpus stats from "body" — a postings-only rebuild would leave
+      // N/avgdl silently computed from "text" (idf and length
+      // normalization skewed on every subsequent search)
+      ix2.rebuild(spark)
+      assert(ix2.corpusStats(spark) == ((2L, 3.5))) // "body" lengths 5, 2
+      val posts = ix2.postings(spark).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(posts(("apple", "a")) == 3L && posts(("date", "b")) == 1L)
+      val bodyCorpus = Map(
+        "a" -> "apple apple apple banana cherry", "b" -> "banana date")
+      assertSearch(ix2, bodyCorpus, "apple date")
+      // incremental maintenance continues under the new key; the ORIGINAL
+      // instance is now the mismatched one
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, Map("id" -> "c", "body" -> "cherry cherry")))), 1L)
+      assert(ix2.refresh(spark) == 1)
+      assertSearch(ix2, bodyCorpus + ("c" -> "cherry cherry"), "cherry")
+      intercept[IllegalStateException](ix.search(spark, "apple", 1))
+      intercept[IllegalStateException](ix.corpusStats(spark))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("length normalization: equal tf, shorter document scores higher") {
     val dir = Files.createTempDirectory("lake-bm25").toString
     try {
