@@ -683,7 +683,7 @@ object SparkEntry {
                            concat_ws(' ', o_orderstatus, o_orderpriority,
                              CAST(o_orderkey % 40 AS VARCHAR),
                              CAST(o_custkey % 20 AS VARCHAR),
-                             'lake order text')), '[^a-z]+')) AS term
+                             'lake order lake text')), '[^a-z]+')) AS term
                        FROM churned WHERE o_orderkey % 10 = 0)
                  WHERE term <> '' GROUP BY term, o_orderkey))
          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

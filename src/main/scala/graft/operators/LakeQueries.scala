@@ -198,7 +198,11 @@ object LakeQueries {
     col("o_orderstatus"), col("o_orderpriority"),
     (col("o_orderkey") % 40).cast("string"),
     (col("o_custkey") % 20).cast("string"),
-    lit("lake order text")))
+    // "lake" appears twice: every subset doc carries a tf=2 posting, so
+    // the oracle's bm_tf column is strictly greater than bm_postings and
+    // genuinely load-bearing (all-unique tokens would make sum(tf) ==
+    // count(postings) and let tf-corruption drift pass the gate)
+    lit("lake order lake text")))
 
   private def imgMv(priceCents: Column): Column = map(
     lit("o_orderkey"), col("o_orderkey").cast("string"),

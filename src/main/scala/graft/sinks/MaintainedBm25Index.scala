@@ -137,6 +137,15 @@ final class MaintainedBm25Index(
     // the stats view carries no fingerprint of its own — route the read
     // through the postings guard so a mismatched open refuses here too
     md.latestKey(spark)
+    corpusStatsGuarded(spark)
+  }
+
+  /** [[corpusStats]] for callers that already passed the fingerprint
+    * guard this call ([[search]] resolves `latestKey` itself — a second
+    * guard would repeat the fingerprint read and manifest listing on the
+    * hot path for no added safety).
+    */
+  private def corpusStatsGuarded(spark: SparkSession): (Long, Double) = {
     val rows = statsView.read(spark).filter(col("corpus") === "all")
       .select(col("n").cast("long"), col("sum_len").cast("long")).collect()
     rows.headOption.map(r => (r.getLong(0),
@@ -178,7 +187,7 @@ final class MaintainedBm25Index(
     def empty: DataFrame = md.entriesAt(spark, key).filter(lit(false))
       .select(col("v").as("id"), lit(0.0d).as("score"))
     if (qTerms.isEmpty) return empty
-    val (nDocs, avgdl) = corpusStats(spark)
+    val (nDocs, avgdl) = corpusStatsGuarded(spark)
     if (nDocs == 0L) return empty
     // bucket-pruned postings read: ≤ |query terms| buckets, never the index
     val buckets = qTerms.map(t => md.stateLog.bucketOf(Seq(

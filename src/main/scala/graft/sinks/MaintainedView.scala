@@ -294,10 +294,6 @@ final class MaintainedView(
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema(spark))
 
-  /** The current view: group columns, `n`, `sum_<m>`, `min_<m>`,
-    * `max_<m>` — group-cardinality, no fold, no scan of the table.
-    * PURE reader: an un-migrated legacy state dir is served directly.
-    */
   /** Full recompute of the view state from the source as of the applied
     * interval, committed as a full rewrite under a uniquely-tagged slice
     * dir — the companion-state half of a composite index migration
@@ -328,6 +324,10 @@ final class MaintainedView(
     }
   }
 
+  /** The current view: group columns, `n`, `sum_<m>`, `min_<m>`,
+    * `max_<m>` — group-cardinality, no fold, no scan of the table.
+    * PURE reader: an un-migrated legacy state dir is served directly.
+    */
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
     // maximal interval across BOTH logs — see [[MaintainedJoin.read]]

@@ -119,7 +119,7 @@ class LakeQueriesSpec extends AnyFunSuite {
       col("o_orderstatus"), col("o_orderpriority"),
       (col("o_orderkey") % 40).cast("string"),
       (col("o_custkey") % 20).cast("string"),
-      lit("lake order text"))
+      lit("lake order lake text"))
     val bmRow = survivors.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"),
         explode(split(lower(bmText), "[^a-z]+")).as("term"))
@@ -127,7 +127,10 @@ class LakeQueriesSpec extends AnyFunSuite {
       .groupBy("term", "o_orderkey").agg(count(lit(1)).as("tf"))
       .agg(count(lit(1)).cast("long"), sum("tf").cast("long")).head()
     val (bmPostings, bmTf) = (bmRow.getLong(0), bmRow.getLong(1))
-    assert(bmPostings > 0 && bmTf >= bmPostings,
+    // STRICT inequality: "lake" repeats in every subset text, so a tf
+    // maintenance drift that collapses counts to 1 fails here (and the
+    // oracle), not just in the index's own spec
+    assert(bmPostings > 0 && bmTf > bmPostings,
       s"BM25 gate vacuous: postings=$bmPostings tf=$bmTf")
     // n_cust is served from the MaintainedDistinct refcount state — the
     // recompute's count(DISTINCT) over the surviving table must agree
