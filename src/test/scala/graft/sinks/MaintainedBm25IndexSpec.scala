@@ -179,6 +179,24 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
       val empty1 = ix.search(spark, "42 --- 17", 5)
       assert(empty1.isEmpty && empty1.columns.toSeq == Seq("id", "score"))
       assert(got(ix, "apple").map(_._1) == Seq("a"))
+      // churn across the token-less boundary: z gains tokens (N must
+      // grow), the text-less m deletes (N must NOT shrink — it never
+      // counted)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "update", Map("id" -> "z", "text" -> "123 456 !!!"),
+          doc("z", "apple apple")),
+        ev(5, "delete", Map("id" -> "m"), null))), 1L)
+      assert(ix.refresh(spark) == 1)
+      assert(ix.corpusStats(spark) == ((2L, 2.0)))
+      assertSearch(ix,
+        Map("a" -> "apple banana", "z" -> "apple apple"), "apple")
+      // and back: z loses its tokens again — pure stats retraction
+      sink.appendBatch(envelope(Seq(
+        ev(6, "update", doc("z", "apple apple"),
+          Map("id" -> "z", "text" -> "9 9 9")))), 2L)
+      assert(ix.refresh(spark) == 1)
+      assert(ix.corpusStats(spark) == ((1L, 2.0)))
+      assert(got(ix, "apple").map(_._1) == Seq("a"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
