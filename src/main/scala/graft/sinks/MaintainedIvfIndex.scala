@@ -90,6 +90,12 @@ final class MaintainedIvfIndex(
     */
   def rebuild(spark: SparkSession): Unit = md.rebuild(spark)
 
+  /** One-time fingerprint adoption over a pre-guard-era state dir KNOWN
+    * to have been built with exactly these centroids/parameters — see
+    * [[MaintainedDistinct.adoptFingerprint]]; when in doubt, [[rebuild]].
+    */
+  def adoptFingerprint(spark: SparkSession): Unit = md.adoptFingerprint(spark)
+
   /** Nearest-centroid cell of one image's embedding — squared L2 against
     * the centroid literal, `array_position` of the minimum (first match,
     * so ties deterministically take the lower cell). NULL (no

@@ -278,6 +278,53 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("committed state with NO fingerprint refuses — adopt is explicit, rebuild migrates") {
+    withIndex { (sink, ix, root) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", TextA)),
+        ev(2, "insert", null, doc("a2", TextA)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      // simulate a pre-guard-era state dir: committed versions exist but
+      // the fingerprint file is gone
+      val viewDir = new java.io.File(s"$root/_graft_views/lsh")
+      viewDir.listFiles().filter(_.getName.contains("_fingerprint"))
+        .foreach(_.delete())
+      // an opener with CHANGED params must NOT silently stamp its own
+      // fingerprint over the unknown-model state (the pre-fix hole:
+      // adoptIfAbsent blessed it on the next refresh)
+      val ix8 = new MaintainedLshIndex(sink, "public", "docs", "lsh",
+        idKey = "id", textKey = "text", bands = 8, stateBuckets = 8)
+      val e = intercept[IllegalStateException](ix8.refresh(spark))
+      assert(e.getMessage.contains("no parameter fingerprint") &&
+        e.getMessage.contains("adoptFingerprint") &&
+        e.getMessage.contains("rebuild"),
+        s"refusal must name both migration paths: ${e.getMessage}")
+      intercept[IllegalStateException](ix8.candidatePairs(spark))
+      // the SAME-params instance cannot be distinguished either — it
+      // refuses too, until the operator decides
+      intercept[IllegalStateException](ix.refresh(spark))
+      intercept[IllegalStateException](ix.buckets(spark))
+      // explicit adopt: the operator KNOWS the state was built under the
+      // original 4-band params — serving resumes with no recompute
+      ix.adoptFingerprint(spark)
+      assert(pairs(ix) == Set(("a1", "a2")))
+      assert(ix.refresh(spark) == 0)
+      // with a fingerprint present again, adopt on a MISMATCHED instance
+      // is a real parameter change and still refuses
+      val e2 = intercept[IllegalStateException](ix8.adoptFingerprint(spark))
+      assert(e2.getMessage.contains("rebuild"))
+      // and a matching adopt is an idempotent no-op
+      ix.adoptFingerprint(spark)
+      assert(pairs(ix) == Set(("a1", "a2")))
+      // rebuild remains the no-trust path over a fingerprintless dir
+      viewDir.listFiles().filter(_.getName.contains("_fingerprint"))
+        .foreach(_.delete())
+      ix8.rebuild(spark)
+      assert(ix8.buckets(spark).count() == 8L)
+      intercept[IllegalStateException](ix.refresh(spark))
+    }
+  }
+
   test("rebuild after a crashed manifest replace recovers the full cursor span") {
     withIndex { (sink, ix, root) =>
       // two refreshes leave the replay-prev v(0,0) AND the latest v(0,1)
