@@ -676,7 +676,8 @@ object SparkEntry {
                              FROM churned)))),
          bm AS (
            SELECT CAST(count(*) AS BIGINT) AS bm_postings,
-                  CAST(coalesce(sum(tf), 0) AS BIGINT) AS bm_tf
+                  CAST(coalesce(sum(tf), 0) AS BIGINT) AS bm_tf,
+                  CAST(count(DISTINCT term) AS BIGINT) AS bm_vocab
            FROM (SELECT term, o_orderkey, count(*) AS tf
                  FROM (SELECT o_orderkey,
                          unnest(string_split_regex(lower(
@@ -692,9 +693,10 @@ object SparkEntry {
            CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(min(pc) AS BIGINT) AS min_price_cents,
            CAST(max(pc) AS BIGINT) AS max_price_cents,
-           ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf
+           ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf, bm_vocab
          FROM churned CROSS JOIN ivf CROSS JOIN bm
-         GROUP BY o_orderstatus, ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf
+         GROUP BY o_orderstatus, ivf_c0, ivf_c1, ivf_c2, bm_postings,
+           bm_tf, bm_vocab
          ORDER BY o_orderstatus""",
     // Maintained left-outer join over a declared 25% orders subset
     // (o_orderkey % 4 = 0; the fact-side recompute folds on o_orderkey,

@@ -77,6 +77,26 @@ final class MaintainedBm25Index(
       sums = Seq("len" -> (im => size(termsOf(im)).cast("long")))),
     schemaName, table, s"${name}_stats", stateBuckets = 1)
 
+  /** Per-term DOCUMENT FREQUENCY, maintained as its own vocabulary-sized
+    * view: each document event explodes into one envelope row per
+    * DISTINCT term ([[explodeDistinctTerms]]), so the per-term count `n`
+    * IS df — +1 when a doc gains a term, −1 when it loses it, telescoped
+    * to zero for text-unchanged updates. The state holds ONE row per
+    * term (vocabulary-sized, not postings-sized) and is bucketed on
+    * `term` with the SAME bucket count as the postings, so [[search]]
+    * can answer "is this a stop term?" by reading ≤ |query terms|
+    * buckets of a tiny state BEFORE deciding to fetch a posting list —
+    * the bounded-read gate that keeps a stop-word query from reading a
+    * corpus-sized posting bucket at 100 TB. Self-seeds on the first
+    * refresh over a pre-existing postings state (upgrade path: until
+    * then, [[search]] simply skips the pruning).
+    */
+  private val dfView = new MaintainedView(lake,
+    new IncrementalAgg(
+      group = Seq("term" -> (im => element_at(im, "term"))), sums = Nil),
+    schemaName, table, s"${name}_df", stateBuckets = stateBuckets,
+    transform = Some(explodeDistinctTerms))
+
   /** The batch pipeline's exact tokenizer: lowercase, split on runs of
     * non-letters, drop empties. NULL text → NULL (no contribution).
     */
@@ -92,7 +112,18 @@ final class MaintainedBm25Index(
     * Fail-loud: an update/delete without its before image raises (the
     * retraction cannot re-tokenize).
     */
-  private[sinks] def explodeTerms(env: DataFrame): DataFrame = {
+  private[sinks] def explodeTerms(env: DataFrame): DataFrame =
+    explodeWith(env, termsOf)
+
+  /** [[explodeTerms]]'s DISTINCT sibling — one row per (event, distinct
+    * term), the df view's delta source: a doc's repeated token must move
+    * df by one, not tf.
+    */
+  private[sinks] def explodeDistinctTerms(env: DataFrame): DataFrame =
+    explodeWith(env, im => array_distinct(termsOf(im)))
+
+  private def explodeWith(env: DataFrame,
+      terms: Column => Column): DataFrame = {
     def img(im: Column, t: Column): Column =
       map(lit("id"), element_at(im, idKey), lit("term"), t)
     val nullImg = lit(null).cast("map<string,string>")
@@ -102,14 +133,14 @@ final class MaintainedBm25Index(
         "REPLICA IDENTITY FULL for incremental maintenance"))))
       .otherwise(col("before"))
     val dels = env.filter(col("op").isin("update", "delete"))
-      .withColumn("_bt", termsOf(checkedBefore))
+      .withColumn("_bt", terms(checkedBefore))
       .select(col("*"), explode(col("_bt")).as("_t"))
       .withColumn("op", lit("delete"))
       .withColumn("before", img(col("before"), col("_t")))
       .withColumn("after", nullImg)
       .drop("_bt", "_t")
     val ins = env.filter(col("op").isin("update", "insert"))
-      .select(col("*"), explode(termsOf(col("after"))).as("_t"))
+      .select(col("*"), explode(terms(col("after"))).as("_t"))
       .withColumn("op", lit("insert"))
       .withColumn("after", img(col("after"), col("_t")))
       .withColumn("before", nullImg)
@@ -118,12 +149,16 @@ final class MaintainedBm25Index(
       .unionByName(env.filter(col("op") === "truncate"))
   }
 
-  /** Apply every newly committed lake batch to BOTH the postings and the
-    * corpus-stats cursor. Returns the postings batches applied.
+  /** Apply every newly committed lake batch to the postings, the
+    * corpus-stats, and the df cursors (postings FIRST — the companion
+    * views' versions must always lie within the postings interval so
+    * pinned reads can thread one key). Returns the postings batches
+    * applied.
     */
   def refresh(spark: SparkSession): Int = {
     val n = md.refresh(spark)
     statsView.refresh(spark)
+    dfView.refresh(spark)
     n
   }
 
@@ -132,33 +167,89 @@ final class MaintainedBm25Index(
     md.entries(spark).select(col("term"), col("v").as("id"),
       col("rc").as("tf"))
 
-  /** (n_docs, avgdl) of the current corpus — a one-row state read. */
-  def corpusStats(spark: SparkSession): (Long, Double) = {
-    // the stats view carries no fingerprint of its own — route the read
-    // through the postings guard so a mismatched open refuses here too
-    md.latestKey(spark)
-    corpusStatsGuarded(spark)
-  }
-
-  /** [[corpusStats]] for callers that already passed the fingerprint
-    * guard this call ([[search]] resolves `latestKey` itself — a second
-    * guard would repeat the fingerprint read and manifest listing on the
-    * hot path for no added safety).
+  /** (n_docs, avgdl) of the current corpus — a one-row state read,
+    * pinned within the postings' applied interval.
     */
-  private def corpusStatsGuarded(spark: SparkSession): (Long, Double) = {
-    val rows = statsView.read(spark).filter(col("corpus") === "all")
+  def corpusStats(spark: SparkSession): (Long, Double) =
+    // the stats view carries no fingerprint of its own — latestKey routes
+    // the read through the postings guard so a mismatched open refuses
+    // here too
+    corpusStatsAt(spark, md.latestKey(spark))
+
+  /** [[corpusStats]] pinned WITHIN an already-resolved postings key
+    * ([[search]] resolves `latestKey` itself): the stats version read is
+    * the newest one whose interval lies inside the postings interval, so
+    * a refresh committing between the postings read and this one — or a
+    * crash between `md.refresh` and `statsView.refresh` — cannot score
+    * with N/avgdl from a LATER interval than the postings (the companion
+    * refreshes after the postings, so its versions are always within;
+    * within the two commits of one in-flight refresh the stats may lag
+    * the postings by that one span, the documented direction).
+    */
+  private def corpusStatsAt(spark: SparkSession,
+      key: Option[(Long, Long)]): (Long, Double) = {
+    val sKey = key.flatMap(k => statsView.latestKeyWithin(spark, k))
+    val rows = statsView.readAt(spark, sKey).filter(col("corpus") === "all")
       .select(col("n").cast("long"), col("sum_len").cast("long")).collect()
     rows.headOption.map(r => (r.getLong(0),
       if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)))
       .getOrElse((0L, 0.0))
   }
 
+  /** The per-term document frequencies (term, df) served from the df
+    * view's vocabulary-sized state, pinned within the postings interval.
+    */
+  def termDfs(spark: SparkSession): DataFrame = {
+    val key = md.latestKey(spark) // fingerprint guard rides along
+    dfView.readAt(spark, key.flatMap(k => dfView.latestKeyWithin(spark, k)))
+      .select(col("term"), col("n").cast("long").as("df"))
+  }
+
+  /** The query terms surviving the df cap: terms whose df view entry
+    * exceeds `dfCap` are dropped BEFORE their posting lists are read —
+    * a stop word's postings ("the": df ≈ N) live entirely in one state
+    * bucket, so without the gate the most common query shape there is
+    * degrades to a corpus-proportional read through one skewed bucket.
+    * The lookup reads ≤ |terms| buckets of the VOCABULARY-sized df
+    * state (a bounded planning pull, ≤ |terms| rows). When the df view
+    * has no version within the postings interval (a pre-df-era state
+    * not yet refreshed), pruning is skipped — reads degrade to the
+    * uncapped cost, never to a wrong answer.
+    */
+  private[sinks] def cappedTerms(spark: SparkSession,
+      key: Option[(Long, Long)], terms: Seq[String],
+      dfCap: Long): Seq[String] = {
+    if (dfCap == Long.MaxValue || terms.isEmpty) return terms
+    require(dfCap > 0, s"dfCap must be positive, got $dfCap")
+    val dKey = key.flatMap(k => dfView.latestKeyWithin(spark, k))
+    if (dKey.isEmpty) return terms
+    val buckets = terms.map(t => dfView.stateLog.bucketOf(Seq(
+      (t, org.apache.spark.sql.types.StringType)))).toSet
+    val dfs = dfView.readBucketsAt(spark, dKey, buckets)
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("n").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.filter(t => dfs.getOrElse(t, 0L) <= dfCap)
+  }
+
   /** Fail-loud maintenance-equivalence of the postings state with a
     * from-scratch re-tokenization — see
-    * [[MaintainedDistinct.verifyAgainstRebuild]].
+    * [[MaintainedDistinct.verifyAgainstRebuild]]. Returns the number of
+    * state rows compared. `sampleMod` > 1 restricts both sides to the
+    * deterministic document sample `xxhash64(id) % sampleMod == 0` (the
+    * re-tokenization then reads ~1/sampleMod of the corpus) — sound
+    * per-document; pair with the full-state oracle columns
+    * (q_mv's `bm_postings`/`bm_tf`/`bm_vocab`) for drift outside the
+    * sample.
     */
-  def assertConsistent(spark: SparkSession): Unit =
-    md.verifyAgainstRebuild(spark)
+  def assertConsistent(spark: SparkSession, sampleMod: Int = 1): Long = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val restrict = if (sampleMod == 1) None else Some((
+      pmod(xxhash64(element_at(col("after"), idKey)),
+        lit(sampleMod.toLong)) === 0L,
+      pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === 0L))
+    md.verifyAgainstRebuild(spark, restrict)
+  }
 
   /** Full re-tokenization adopting the current fingerprint — the
     * migration path a mismatched open names. The corpus-stats view
@@ -170,7 +261,7 @@ final class MaintainedBm25Index(
     * under the old parameters.
     */
   def rebuild(spark: SparkSession): Unit =
-    md.rebuild(spark, s => statsView.rebuild(s))
+    md.rebuild(spark, s => { statsView.rebuild(s); dfView.rebuild(s) })
 
   /** One-time fingerprint adoption over a pre-guard-era postings state
     * KNOWN to have been built with exactly these parameters — see
@@ -182,20 +273,34 @@ final class MaintainedBm25Index(
   /** Top-k BM25 retrieval for a free-text query: (id, score), score
     * descending, ties on id. Empty (same schema) when the query has no
     * alphabetic tokens or the index is empty.
+    *
+    * `dfCap` bounds the read: terms whose document frequency exceeds it
+    * are dropped BEFORE their posting lists are fetched (see
+    * [[cappedTerms]]). Score semantics of a capped term: it contributes
+    * NOTHING — the result is exactly the uncapped search for the same
+    * query with that term removed (spec-pinned). That is the honest
+    * approximation: a term with df > cap has
+    * idf ≤ ln(1 + (N−cap+0.5)/(cap+0.5)), ≈ 0 for any cap that is a
+    * sizable fraction of N — dropping it moves every score by ≈ 0 while
+    * turning a corpus-proportional read into no read at all. The
+    * default (Long.MaxValue) reads every term's postings uncapped.
     */
-  def search(spark: SparkSession, query: String, k: Int): DataFrame = {
+  def search(spark: SparkSession, query: String, k: Int,
+      dfCap: Long = Long.MaxValue): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     // the query tokenizes through the SAME engine expression as documents
-    val qTerms = ImageProbes
+    val allTerms = ImageProbes
       .frame(spark, Map("id" -> "_probe", textKey -> query))
       .select(array_distinct(termsOf(col("im"))).as("t"))
       .head().getSeq[String](0)
     val key = md.latestKey(spark)
     def empty: DataFrame = md.entriesAt(spark, key).filter(lit(false))
       .select(col("v").as("id"), lit(0.0d).as("score"))
-    if (qTerms.isEmpty) return empty
-    val (nDocs, avgdl) = corpusStatsGuarded(spark)
+    if (allTerms.isEmpty) return empty
+    val (nDocs, avgdl) = corpusStatsAt(spark, key)
     if (nDocs == 0L) return empty
+    val qTerms = cappedTerms(spark, key, allTerms, dfCap)
+    if (qTerms.isEmpty) return empty
     // bucket-pruned postings read: ≤ |query terms| buckets, never the index
     val buckets = qTerms.map(t => md.stateLog.bucketOf(Seq(
       (t, org.apache.spark.sql.types.StringType)))).toSet
@@ -224,7 +329,7 @@ final class MaintainedBm25Index(
       .limit(k)
   }
 
-  /** Ops gauges — both underlying maintainers' families. */
+  /** Ops gauges — all three underlying maintainers' families. */
   def gauges(spark: SparkSession): Seq[(String, Double)] =
-    md.gauges(spark) ++ statsView.gauges(spark)
+    md.gauges(spark) ++ statsView.gauges(spark) ++ dfView.gauges(spark)
 }

@@ -297,9 +297,11 @@ final class MaintainedDistinct(
     * seed/truncate/[[rebuild]] paths share (pinned to exactly the applied
     * interval: same tear-avoidance as MaintainedView.refresh).
     */
-  private def currentAsOf(spark: SparkSession, key: (Long, Long)): DataFrame = {
-    val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+  private def currentAsOf(spark: SparkSession, key: (Long, Long),
+      srcFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val cur0 = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
       .select(col("after"))
+    val cur = srcFilter.fold(cur0)(cur0.filter)
     transform(cur.select(
       lit("insert").as("op"),
       lit(null).cast(cur.schema("after").dataType).as("before"),
@@ -444,24 +446,47 @@ final class MaintainedDistinct(
     * Cost is one recompute fold plus two anti-joins — call it where a
     * correctness gate justifies the work, not per refresh.
     */
-  def verifyAgainstRebuild(spark: SparkSession): Unit = {
+  def verifyAgainstRebuild(spark: SparkSession,
+      /** Optional DETERMINISTIC sample restriction, as a pair of
+        * predicates selecting the SAME documents on both sides: the
+        * first over the recompute source's `after` image (applied
+        * BEFORE the transform — the recompute then derives/tokenizes
+        * only the sampled docs, which is where the cost lives), the
+        * second over the state rows' counted value `v`. Sound when the
+        * transform derives each doc's state rows from that doc alone
+        * (true for every index in the family — signatures, cells, and
+        * postings are per-document functions) and the two predicates
+        * agree (e.g. both hash the doc id). Drift OUTSIDE the sample
+        * escapes this check by construction — pair a sampled in-build
+        * gate with full-state oracle columns, as q_mv does.
+        */
+      restrict: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)] = None): Long = {
     val f = states.fs(spark)
     checkFp(f, adoptIfAbsent = false)
-    states.latest(f).foreach { key =>
-      val want = dist.recomputeAll(currentAsOf(spark, key)).localCheckpoint()
-      val got = states.read(spark, key, stateSchema(spark))
-      // both directions of the symmetric difference in ONE action
-      val diff = got.exceptAll(want).select(lit("extra").as("side"))
+    states.latest(f).map { key =>
+      val want = dist.recomputeAll(
+        currentAsOf(spark, key, restrict.map(_._1))).localCheckpoint()
+      val got0 = states.read(spark, key, stateSchema(spark))
+      val got = restrict.fold(got0)(r => got0.filter(r._2))
+      // both directions of the symmetric difference in ONE action,
+      // with the compared-row count riding along (the caller's
+      // non-vacuity check — a sampled gate that compared zero rows
+      // proves nothing)
+      val counted = got.select(lit("compared").as("side"))
+        .unionAll(got.exceptAll(want).select(lit("extra").as("side")))
         .unionAll(want.exceptAll(got).select(lit("missing").as("side")))
         .groupBy("side").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val diff = counted - "compared"
       if (diff.nonEmpty)
         throw new IllegalStateException(
           s"maintained state '$name' diverged from a from-scratch " +
             s"recompute of interval $key: ${diff.getOrElse("extra", 0L)} " +
             s"extra and ${diff.getOrElse("missing", 0L)} missing state " +
             "rows — incremental maintenance drifted")
-    }
+      counted.getOrElse("compared", 0L)
+    }.getOrElse(0L)
   }
 
   /** The source table's image rows (`after` map column) AS OF the given

@@ -299,10 +299,25 @@ final class MaintainedLshIndex(
     * seed-style re-shingle of the surviving corpus — see
     * [[MaintainedDistinct.verifyAgainstRebuild]]. The driver-gated
     * `q_mv` build runs this (LSH signatures have no cross-engine
-    * oracle), so maintenance drift turns the driver red.
+    * oracle), so maintenance drift turns the driver red. Returns the
+    * number of state rows compared (assert it > 0 where vacuity
+    * matters).
+    *
+    * `sampleMod` > 1 restricts BOTH sides to the deterministic document
+    * sample `xxhash64(id) % sampleMod == 0` — the re-shingle (the
+    * expensive half) then touches only ~1/sampleMod of the corpus.
+    * Sound per-document (each doc's signature rows derive from that doc
+    * alone); drift outside the sample escapes, so sampled gates lean on
+    * full-state oracle columns for the rest (q_mv's construction).
     */
-  def assertConsistent(spark: SparkSession): Unit =
-    md.verifyAgainstRebuild(spark)
+  def assertConsistent(spark: SparkSession, sampleMod: Int = 1): Long = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val restrict = if (sampleMod == 1) None else Some((
+      pmod(xxhash64(element_at(col("after"), idKey)),
+        lit(sampleMod.toLong)) === 0L,
+      pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === 0L))
+    md.verifyAgainstRebuild(spark, restrict)
+  }
 
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)

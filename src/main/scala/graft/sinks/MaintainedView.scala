@@ -87,10 +87,26 @@ final class MaintainedView(
       * non-NULL group defeats the delete-safety check (see
       * [[MaintainedJoin]]'s keyCol contract).
       */
-    groupCol: Option[String] = None) {
+    groupCol: Option[String] = None,
+    /** Envelope→envelope pre-transform applied before the delta (and,
+      * wrapped as an insert-envelope, before seed/truncate/[[rebuild]]
+      * recomputes) — the same seam as [[MaintainedDistinct]]'s
+      * `transform`: derived-state views ride it
+      * ([[MaintainedBm25Index]]'s per-term document-frequency view
+      * explodes each document event into one row per DISTINCT term, so
+      * the per-term count IS df). Must be deterministic per image and
+      * preserve the op/before/after envelope shape; truncates must pass
+      * through. Incompatible with [[groupIsRowKey]]/[[groupIsImmutable]]
+      * (their span validation and restricted folds read RAW table
+      * images).
+      */
+    transform: Option[DataFrame => DataFrame] = None) {
 
   require(!groupIsRowKey || agg.groupCols.size == 1,
     "groupIsRowKey requires exactly one group column (the replica key)")
+  require(transform.isEmpty || (!groupIsRowKey && !groupIsImmutable),
+    "transform is incompatible with groupIsRowKey/groupIsImmutable — " +
+      "the restricted folds and span validation read raw table images")
   require(!groupIsImmutable || agg.groupCols.size == 1,
     "groupIsImmutable requires exactly one group column")
   require(!groupIsImmutable || groupIsRowKey || groupCol.nonEmpty,
@@ -204,13 +220,12 @@ final class MaintainedView(
         // concurrent read; just let poll re-advance the cursor
         if (!states.isCommitted(f, key)) {
           val prevKey = states.latestWithin(f, from)
-          val events = span.filter(
-            col("schema") === schemaName && col("table") === table)
+          val events = applyTransform(span.filter(
+            col("schema") === schemaName && col("table") === table))
           // recompute source pinned to exactly the applied interval: asOf
           // bounds the top, the floor keeps a concurrently landing late
           // snapshot (not in this span) out of the dirty-group rebuild
-          def current = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
-            .select(col("after"))
+          def current = currentImages(spark, key)
           val hasTruncate = bounds.getInt(2) == 1
           // SEED (no prior state) recomputes from the fold rather than
           // applying span deltas: a lake compacted+vacuumed before the
@@ -294,6 +309,27 @@ final class MaintainedView(
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema(spark))
 
+  private def applyTransform(env: DataFrame): DataFrame =
+    transform.fold(env)(t => t(env))
+
+  /** The table's image rows as of the applied interval `key`, routed
+    * through `transform` wrapped as an insert-envelope — the recompute
+    * source seed/truncate/[[rebuild]] and the dirty-group fallback share
+    * (same shape as [[MaintainedDistinct]]'s `currentAsOf`; identity
+    * when no transform is configured).
+    */
+  private def currentImages(spark: SparkSession, key: (Long, Long)): DataFrame = {
+    val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
+      .select(col("after"))
+    transform match {
+      case None => cur
+      case Some(t) => t(cur.select(
+        lit("insert").as("op"),
+        lit(null).cast(cur.schema("after").dataType).as("before"),
+        col("after"))).select(col("after"))
+    }
+  }
+
   /** Full recompute of the view state from the source as of the applied
     * interval, committed as a full rewrite under a uniquely-tagged slice
     * dir — the companion-state half of a composite index migration
@@ -316,13 +352,50 @@ final class MaintainedView(
       case (k, c) => k.orElse(c)
     }
     target.foreach { key =>
-      val cur = lake.stateAsOf(spark, schemaName, table, key._2, key._1)
-        .select(col("after"))
-      states.commit(f, agg.recomputeAll(cur),
+      states.commit(f, agg.recomputeAll(currentImages(spark, key)),
         (0 until stateBuckets).toSet, None, key,
         dirTag = s".r${java.lang.Long.toHexString(System.nanoTime)}")
     }
   }
+
+  /** The newest committed state version whose applied interval lies
+    * WITHIN `from` — the pinned-read seam composite indexes use to keep
+    * companion-view reads coherent with their primary state's version
+    * ([[MaintainedBm25Index]] threads its POSTINGS key here so N/avgdl
+    * and df can never come from a later interval than the postings a
+    * search scored; the companion refreshes after the primary, so its
+    * versions always lie within the primary's interval). Bucketed-log
+    * versions only: views created as composite companions never carry a
+    * pre-bucketing legacy dir.
+    */
+  private[sinks] def latestKeyWithin(spark: SparkSession,
+      from: (Long, Long)): Option[(Long, Long)] =
+    states.latestWithin(states.fs(spark), from)
+
+  /** [[read]] pinned to an explicit version key from [[latestKeyWithin]]
+    * (empty view shape for `None`). Bucketed-log versions only.
+    */
+  private[sinks] def readAt(spark: SparkSession,
+      key: Option[(Long, Long)]): DataFrame = key match {
+    case Some(k) => agg.view(states.read(spark, k, stateSchema(spark)))
+    case None => agg.view(agg.init(spark))
+  }
+
+  /** [[readAt]] restricted to a bucket subset — point readers that know
+    * their group keys ([[BucketedStateLog.bucketOf]] via [[stateLog]])
+    * prune to those keys' buckets and never scan the state.
+    */
+  private[sinks] def readBucketsAt(spark: SparkSession,
+      key: Option[(Long, Long)], only: Set[Int]): DataFrame = key match {
+    case Some(k) =>
+      agg.view(states.readBuckets(spark, k, Some(only), stateSchema(spark)))
+    case None => agg.view(agg.init(spark))
+  }
+
+  /** The state log's bucket geometry, for [[BucketedStateLog.bucketOf]]
+    * callers (group-key → bucket, driver-side).
+    */
+  private[sinks] def stateLog: BucketedStateLog = states
 
   /** The current view: group columns, `n`, `sum_<m>`, `min_<m>`,
     * `max_<m>` — group-cardinality, no fold, no scan of the table.

@@ -148,4 +148,65 @@ class MaintainedBm25IndexScaleSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  /** The stop-term READ bound (r17 verdict's named scale-killer): a term
+    * in every document makes its posting list corpus-sized and entirely
+    * resident in ONE state bucket — the df cap must drop it BEFORE that
+    * bucket is read, leaving the read candidate-proportional, while the
+    * scores stay EXACTLY the stop-term-less query's.
+    */
+  test("10,000-doc BM25 index: df cap keeps a stop-term query's state read candidate-proportional") {
+    val dir = Files.createTempDirectory("lake-bmstop").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      val ix = new MaintainedBm25Index(sink, "public", "docs", "bmstop",
+        idKey = "id", textKey = "text", stateBuckets = BUCKETS)
+      // every document carries the planted stop term "the"
+      sink.appendBatch(envelope((0 until DOCS).map(i =>
+        ev(i.toLong, "insert", null, doc(s"d$i", s"the ${text(i)}")))), 0L)
+      assert(ix.refresh(spark) == 1)
+
+      val probe = s"the qa${enc(5 % 997)}" // stop term + one tail term
+      val key = ix.md.latestKey(spark)
+      // the df gate: "the" (df = DOCS) is dropped before any postings
+      // read; the tail term survives
+      val surviving = ix.cappedTerms(spark, key,
+        Seq("the", s"qa${enc(5 % 997)}"), dfCap = 1000L)
+      assert(surviving == Seq(s"qa${enc(5 % 997)}"),
+        s"df cap must drop the planted stop term: $surviving")
+
+      // read cost = rows RESIDENT in the state buckets the search would
+      // scan (bucket pruning is directory-level — pushed filters don't
+      // change which slices are fetched)
+      def residentRows(terms: Seq[String]): Long = {
+        val buckets = terms.map(t => ix.md.stateLog.bucketOf(Seq(
+          (t, org.apache.spark.sql.types.StringType)))).toSet
+        ix.md.entriesBucketsAt(spark, key, buckets).count()
+      }
+      val capped = residentRows(surviving)
+      val uncapped = residentRows(Seq("the", s"qa${enc(5 % 997)}"))
+      assert(uncapped >= DOCS.toLong,
+        s"the stop term's bucket must be corpus-sized, got $uncapped")
+      // the tail term's bucket holds ~ (9 unique-ish terms × DOCS)/BUCKETS
+      // rows; the point is the CORPUS-SIZED posting list is gone
+      val bound = 4L * DOCS * 9 / BUCKETS
+      assert(capped <= bound,
+        s"capped read must be bucket-sized, got $capped (bound $bound)")
+      val ratio = uncapped.toDouble / capped
+      info(f"state read: capped=$capped uncapped=$uncapped " +
+        f"reduction=$ratio%.1fx")
+      assert(ratio > 5,
+        s"df cap must cut the stop-term read >5x (got $ratio)")
+
+      // exactness: the capped search == the stop-term-less search,
+      // score for score; and the df lookup itself reads ≤ |terms| rows
+      val got = ix.search(spark, probe, 5, dfCap = 1000L).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val want = ix.search(spark, s"qa${enc(5 % 997)}", 5).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == want,
+        "capped search must equal the query minus the stop term exactly")
+      assert(got.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -152,6 +152,7 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
       sink.vacuum(spark) // batch 0's changelog gone; doc lives only in BASE
       sink.seedCursor(spark, "view_bm")
       sink.seedCursor(spark, "view_bm_stats")
+      sink.seedCursor(spark, "view_bm_df")
       sink.appendBatch(envelope(Seq(
         ev(2, "insert", null, doc("b", "apple cherry")))), 1L)
       assert(ix.refresh(spark) == 1)
@@ -229,6 +230,12 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
       val posts = ix2.postings(spark).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(posts(("apple", "a")) == 3L && posts(("date", "b")) == 1L)
+      // the df view migrated inside the same marker window: df now
+      // counts "body" vocabulary (apple df 1 though tf 3; banana df 2)
+      val dfs2 = ix2.termDfs(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfs2 == Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 1L,
+        "date" -> 1L), s"df view must re-derive from body: $dfs2")
       val bodyCorpus = Map(
         "a" -> "apple apple apple banana cherry", "b" -> "banana date")
       assertSearch(ix2, bodyCorpus, "apple date")
@@ -240,8 +247,72 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
       assertSearch(ix2, bodyCorpus + ("c" -> "cherry cherry"), "cherry")
       intercept[IllegalStateException](ix.search(spark, "apple", 1))
       intercept[IllegalStateException](ix.corpusStats(spark))
+      intercept[IllegalStateException](ix.termDfs(spark))
+      // incremental df maintenance continued under the new key: c's
+      // cherry joined the vocabulary
+      assert(ix2.termDfs(spark).filter("term = 'cherry'").head().getLong(1) == 2L)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("df view tracks document frequency under churn; dfCap drops a term EXACTLY like removing it from the query") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      var corpus = Map(
+        "d1" -> "the apple orchard the",   // "the" repeated: df 1, tf 2
+        "d2" -> "the banana grove",
+        "d3" -> "the cherry tree",
+        "d4" -> "the date palm apple")
+      sink.appendBatch(envelope(corpus.toSeq.zipWithIndex.map {
+        case ((id, t), i) => ev(i + 1L, "insert", null, doc(id, t))
+      }), 0L)
+      assert(ix.refresh(spark) == 1)
+      def dfs(): Map[String, Long] = ix.termDfs(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // df counts DOCUMENTS, not occurrences: d1's repeated "the" is 1
+      assert(dfs()("the") == 4L && dfs()("apple") == 2L && dfs()("cherry") == 1L)
+      // Σ df over the view == distinct postings (the two states agree)
+      assert(dfs().values.sum == ix.postings(spark).count())
+      // capping at df ≤ 3 drops exactly "the"; scores equal the
+      // stop-term-less query EXACTLY (the documented semantics)
+      val capped = got3(ix, "the apple palm", dfCap = 3)
+      val minus = got3(ix, "apple palm")
+      assert(capped == minus,
+        s"capped query must equal the query minus the capped term: $capped vs $minus")
+      // the capped ranking is sane on its own: d4 matches both terms
+      assert(capped.head._1 == "d4")
+      // a query of ONLY capped terms returns empty, never errors
+      val onlyStop = ix.search(spark, "the", 5, dfCap = 3)
+      assert(onlyStop.isEmpty && onlyStop.columns.toSeq == Seq("id", "score"))
+      // churn: d2 loses "the" and d4 (the+apple+palm) deletes — "the"
+      // drops to df 2 (d1, d3), under the cap; d5 adds a new apple doc
+      // so apple stays at df 2 (d1, d5)
+      sink.appendBatch(envelope(Seq(
+        ev(10, "update", doc("d2", corpus("d2")), doc("d2", "banana grove")),
+        ev(11, "insert", null, doc("d5", "apple pie")),
+        ev(12, "delete", doc("d4", corpus("d4")), null))), 1L)
+      corpus = corpus - "d4" + ("d2" -> "banana grove") + ("d5" -> "apple pie")
+      assert(ix.refresh(spark) == 1)
+      assert(dfs()("the") == 2L && dfs()("apple") == 2L &&
+        !dfs().contains("palm"))
+      assert(dfs().values.sum == ix.postings(spark).count())
+      // with "the" at df 2 ≤ cap, the capped search now INCLUDES it and
+      // equals the uncapped search exactly
+      assert(got3(ix, "the apple", dfCap = 3) == got3(ix, "the apple"))
+      assertSearch(ix, corpus, "the apple")
+      // pre-df-era state (upgrade path): with the df view state gone,
+      // pruning is silently skipped — same answer at uncapped cost
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_graft_views/bm_df"))
+      assert(got3(ix, "the apple", dfCap = 1) == got3(ix, "the apple"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  private def got3(ix: MaintainedBm25Index, q: String,
+      dfCap: Long = Long.MaxValue): Seq[(String, Double)] =
+    ix.search(spark, q, 10, dfCap).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
   test("length normalization: equal tf, shorter document scores higher") {
     val dir = Files.createTempDirectory("lake-bm25").toString

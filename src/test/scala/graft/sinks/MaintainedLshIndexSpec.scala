@@ -278,6 +278,41 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled equivalence check is non-vacuous and still catches planted drift inside the sample") {
+    withIndex { (sink, ix, _) =>
+      // ten docs so the 25% sample (xxhash64(id) % 4 == 0) is non-empty
+      val ids = (0 until 10).map(i => s"doc$i")
+      sink.appendBatch(envelope(ids.zipWithIndex.map { case (id, i) =>
+        ev(i + 1L, "insert", null, doc(id, TextA + " " + id))
+      }), 0L)
+      assert(ix.refresh(spark) == 1)
+      // full and sampled checks both pass and report their coverage
+      val full = ix.assertConsistent(spark)
+      val sampled = ix.assertConsistent(spark, sampleMod = 4)
+      assert(full == 40L, s"10 docs x 4 bands: $full") // 4 bands per doc
+      assert(sampled > 0 && sampled < full,
+        s"sample must be a strict non-empty subset: $sampled of $full")
+      // plant drift on a doc INSIDE the sample: doctor the committed
+      // state version, dropping that doc's signature rows
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val victim = ids.find { id =>
+        spark.range(1).select(
+          pmod(xxhash64(lit(id)), lit(4L)).as("h")).head().getLong(0) == 0L
+      }.get
+      val states = ix.md.stateLog
+      val f = states.fs(spark)
+      val key = states.latest(f).get
+      val schema = ix.dist.init(spark).schema
+      val doctored = states.read(spark, key, schema)
+        .filter(col("v") =!= victim).localCheckpoint()
+      states.commit(f, doctored, (0 until 8).toSet, None, key, dirTag = ".x")
+      val e = intercept[IllegalStateException](
+        ix.assertConsistent(spark, sampleMod = 4))
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+      intercept[IllegalStateException](ix.assertConsistent(spark))
+    }
+  }
+
   test("committed state with NO fingerprint refuses — adopt is explicit, rebuild migrates") {
     withIndex { (sink, ix, root) =>
       sink.appendBatch(envelope(Seq(
