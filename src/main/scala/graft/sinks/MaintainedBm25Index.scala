@@ -101,7 +101,13 @@ final class MaintainedBm25Index(
     * non-letters, drop empties. NULL text → NULL (no contribution).
     */
   private def termsOf(im: Column): Column =
-    filter(split(lower(element_at(im, textKey)), "[^a-z]+"), t => t =!= "")
+    termsOfText(element_at(im, textKey))
+
+  /** [[termsOf]] over a raw text column — the probe-frame variant
+    * ([[searchAll]] tokenizes the caller's query column directly).
+    */
+  private def termsOfText(t: Column): Column =
+    filter(split(lower(t), "[^a-z]+"), x => x =!= "")
 
   /** Envelope→envelope: each event splits into one DELETE row per
     * before-token occurrence and one INSERT row per after-token
@@ -327,6 +333,90 @@ final class MaintainedBm25Index(
       .groupBy("id").agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** SET-ORIENTED [[search]]: top-k BM25 retrieval for EVERY probe row
+    * in ONE job — the nightly-pipeline shape ("rank corpus matches for
+    * these 1M queries") that a per-probe driver loop would pay a
+    * fingerprint read + manifest listing + job apiece for. Probe
+    * queries tokenize through the SAME engine expression as documents;
+    * the df cap applies set-wise (a join against the vocabulary-sized
+    * df view read at the probed terms' buckets, skipped when the df
+    * view has no version within the postings interval); the postings
+    * read is pruned to the DISTINCT surviving terms' buckets (bounded
+    * planning pull, ≤ stateBuckets rows) and semi-joined to the probed
+    * terms, so it is probed-bucket-proportional, never probes × state;
+    * df/dl/N/avgdl come from the same one-key-threaded reads as
+    * [[search]]. Returns (probe_id, id, score), top-k per probe by
+    * (score desc, id asc); probes with no alphabetic tokens (or whose
+    * every term is capped) produce no output rows.
+    */
+  def searchAll(spark: SparkSession, probes: DataFrame,
+      idCol: String, queryCol: String, k: Int,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(dfCap > 0, s"dfCap must be positive, got $dfCap")
+    val key = md.latestKey(spark)
+    def empty: DataFrame = probes
+      .select(col(idCol).cast("string").as("probe_id"),
+        lit(null).cast("string").as("id"), lit(0.0d).as("score"))
+      .filter(lit(false))
+    val (nDocs, avgdl) = corpusStatsAt(spark, key)
+    if (nDocs == 0L) return empty
+    val pterms0 = probes
+      .select(col(idCol).cast("string").as("probe_id"),
+        array_distinct(termsOfText(col(queryCol))).as("qts"))
+      .filter(col("qts").isNotNull)
+      .select(col("probe_id"), explode(col("qts")).as("term"))
+    // the df cap, set-wise: pinned to the df view version within the
+    // postings interval; absent (pre-df-era state) → no pruning
+    val dKey =
+      if (dfCap == Long.MaxValue) None
+      else key.flatMap(kk => dfView.latestKeyWithin(spark, kk))
+    val pterms = (dKey match {
+      case None => pterms0
+      case Some(_) =>
+        val dfBuckets = pterms0
+          .select(dfView.stateLog.bucketExpr(Seq(col("term"))).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val dfs = dfView.readBucketsAt(spark, dKey, dfBuckets)
+          .select(col("term"), col("n").cast("long").as("_df"))
+        pterms0.join(dfs, Seq("term"), "left_outer")
+          .filter(coalesce(col("_df"), lit(0L)) <= dfCap)
+          .select(col("probe_id"), col("term"))
+    }).localCheckpoint() // feeds bucket planning, the postings semi
+                         // join, and the hits join
+    val probed = pterms
+      .select(md.stateLog.bucketExpr(Seq(col("term"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // checkpointed: feeds df-per-term, the hits join, and (via hits)
+    // the candidate-restricted length fetch
+    val post = md.entriesBucketsAt(spark, key, probed)
+      .join(pterms.select("term").distinct(), Seq("term"), "left_semi")
+      .select(col("term"), col("v").as("id"), col("rc").as("tf"))
+      .localCheckpoint()
+    // df is exact within the pruned read: it covers EVERY posting of
+    // each surviving probed term
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val hits = pterms.join(post, Seq("term"))
+    val dls = md.corpusAsOf(spark, key,
+        Some(post.select(col("id").as("k")).distinct()))
+      .select(element_at(col("after"), idKey).as("id"),
+        size(termsOf(col("after"))).cast("double").as("dl"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("score").desc, col("id").asc)
+    hits
+      .join(broadcast(dfs), Seq("term"))
+      .join(dls, Seq("id"))
+      .withColumn("contrib", idf * (col("tf") * lit(k1 + 1) / norm))
+      .groupBy("probe_id", "id").agg(sum(col("contrib")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("id"), col("score"))
   }
 
   /** Ops gauges — all three underlying maintainers' families. */

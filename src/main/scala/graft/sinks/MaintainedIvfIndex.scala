@@ -210,6 +210,75 @@ final class MaintainedIvfIndex(
       .limit(k)
   }
 
+  /** SET-ORIENTED [[searchTopK]]: exact-re-ranked top-k for EVERY probe
+    * row in ONE job — the nightly-pipeline shape ("nearest corpus
+    * neighbors of these 1M new embeddings") that a per-probe driver
+    * loop would pay a fingerprint read + manifest listing + job apiece
+    * for. Each probe's `nprobe` nearest cells are computed ENGINE-side
+    * in the same arithmetic family as [[cellOf]] (float squared
+    * differences, double accumulate, ties to the lower cell — bit-equal
+    * to [[nearestCells]]); the postings read is pruned to the DISTINCT
+    * probed cells' buckets (bounded planning pull, ≤ stateBuckets
+    * rows); candidates re-rank against their current embeddings fetched
+    * candidate-restricted at the SAME state version key; top-k per
+    * probe is one windowed rank over (dist, id). Returns
+    * (probe_id, id, dist); probes with absent/mis-dimensioned
+    * embeddings produce no output rows. `embCol` holds the
+    * comma-separated float embedding (the image-map encoding).
+    */
+  def searchTopKAll(spark: SparkSession, probes: DataFrame,
+      idCol: String, embCol: String, nprobe: Int, k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val key = md.latestKey(spark)
+    val v = transform(split(col(embCol), ","), s => s.try_cast("float"))
+    val pv = probes
+      .select(col(idCol).cast("string").as("probe_id"),
+        when(col(embCol).isNotNull && size(v) === dim &&
+          !exists(v, x => x.isNull), v).as("qv"))
+      .filter(col("qv").isNotNull)
+      // materialized once: feeds cell assignment, bucket planning, and
+      // the re-rank join
+      .localCheckpoint()
+    val cents = typedLit(centroids)
+    // struct(dist, cell) sorted lexicographically = ascending distance,
+    // ties to the lower cell — [[nearestCells]]'s exact order
+    val cellsOf = transform(cents, (c, i) => struct(
+      aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x).as("d"),
+      i.as("cell")))
+    val probeCells = pv
+      .select(col("probe_id"),
+        explode(slice(array_sort(cellsOf), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("pc.cell").cast("int").as("cell"))
+      .localCheckpoint()
+    val probed = probeCells
+      .select(md.stateLog.bucketExpr(Seq(col("cell"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // checkpointed: referenced by both the restricted embedding fetch
+    // and the re-rank join — without it the bucket read would run twice
+    val cand = md.entriesBucketsAt(spark, key, probed)
+      .join(probeCells, Seq("cell"))
+      .select(col("probe_id"), col("v").as("id"))
+      .localCheckpoint()
+    val dv = transform(split(element_at(col("after"), embKey), ","),
+      s => s.try_cast("float"))
+    val docs = md.corpusAsOf(spark, key,
+        Some(cand.select(col("id").as("k")).distinct()))
+      .select(element_at(col("after"), idKey).as("id"), dv.as("dv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("dist").asc, col("id").asc)
+    cand
+      .join(docs, Seq("id"))
+      .join(pv, Seq("probe_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("dv"), col("qv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("id"), col("dist"))
+  }
+
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
 }

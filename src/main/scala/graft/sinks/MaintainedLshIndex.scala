@@ -92,12 +92,19 @@ final class MaintainedLshIndex(
     * disagree on tokenization). NULL when the text is absent or shorter
     * than n tokens.
     */
-  private def shingleArr(im: Column): Column = {
-    val toks = split(element_at(im, textKey), "\\s+", -1)
+  private def shingleArr(im: Column): Column =
+    shingleArrOfText(element_at(im, textKey))
+
+  /** [[shingleArr]] over a raw text column — the probe-frame variant
+    * ([[candidatesForAll]] evaluates it on the caller's text column
+    * directly, no synthetic image map needed).
+    */
+  private def shingleArrOfText(t: Column): Column = {
+    val toks = split(t, "\\s+", -1)
     val shs = array_distinct(transform(
       sequence(lit(0), size(toks) - lit(shingleN)),
       i => array_join(slice(toks, i + lit(1), lit(shingleN)), " ")))
-    when(element_at(im, textKey).isNotNull && size(toks) >= shingleN, shs)
+    when(t.isNotNull && size(toks) >= shingleN, shs)
   }
 
   /** Per-band signature array of one image's text — the batch pipeline's
@@ -105,8 +112,11 @@ final class MaintainedLshIndex(
     * xxhash64. NULL (no contribution) when the text is absent or shorter
     * than n tokens.
     */
-  private def sigArray(im: Column): Column = {
-    val shs = shingleArr(im)
+  private def sigArray(im: Column): Column =
+    sigArrayOfText(element_at(im, textKey))
+
+  private def sigArrayOfText(t: Column): Column = {
+    val shs = shingleArrOfText(t)
     val hs = transform(shs, sh => xxhash64(sh))
     val sigs = array((0 until bands).map { b =>
       val m1 = array_min(transform(hs,
@@ -253,6 +263,41 @@ final class MaintainedLshIndex(
           size(array_union(col("sh1"), col("sh2"))))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** SET-ORIENTED [[candidatesFor]]: candidate ids for EVERY probe row
+    * in ONE job — the nightly-pipeline shape ("which of these 1M
+    * incoming documents near-dup the corpus?") that a per-probe driver
+    * loop would pay a fingerprint read + manifest listing + Spark job
+    * apiece for. The probes' band signatures are computed by the SAME
+    * engine expression the index applied to documents, exploded to
+    * (probe, band, sig) keys, and joined against the state read pruned
+    * to the DISTINCT probed buckets (a bounded planning pull,
+    * ≤ stateBuckets rows) — the state read is probed-bucket-
+    * proportional, never probes × state. Returns
+    * (probe_id, id, bands_hit); probes whose text is short/absent
+    * produce no output rows (the per-probe API returns an empty frame
+    * for those). `idCol`/`textCol` name the probe frame's columns.
+    */
+  def candidatesForAll(spark: SparkSession, probes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val key = md.latestKey(spark)
+    val keys = probes
+      .select(col(idCol).cast("string").as("probe_id"),
+        sigArrayOfText(col(textCol)).as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col("probe_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      // materialized once: the frame feeds both the bucket-planning pull
+      // and the join (re-deriving it would re-shingle every probe)
+      .localCheckpoint()
+    val probed = keys
+      .select(md.stateLog.bucketExpr(Seq(col("band"), col("sig"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    md.entriesBucketsAt(spark, key, probed)
+      .join(keys, Seq("band", "sig"))
+      .groupBy(col("probe_id"), col("v").as("id"))
+      .agg(count(lit(1)).cast("int").as("bands_hit"))
+      .select(col("probe_id"), col("id"), col("bands_hit"))
   }
 
   /** [[candidatesFor]] finished: exact Jaccard between the probe text and
