@@ -210,6 +210,104 @@ final class MaintainedIvfIndex(
       .limit(k)
   }
 
+  /** The corpus' current usable embeddings (id, v float array) as of the
+    * index's applied interval — the shared read of the drift gauge and
+    * the retrainer.
+    */
+  private def corpusVectors(spark: SparkSession): DataFrame = {
+    val v = transform(split(element_at(col("after"), embKey), ","),
+      s => s.try_cast("float"))
+    md.corpusAsOf(spark, md.latestKey(spark))
+      .select(element_at(col("after"), idKey).as("id"), v.as("v"),
+        element_at(col("after"), embKey).isNotNull.as("has"))
+      .filter(col("has") && size(col("v")) === dim &&
+        !exists(col("v"), x => x.isNull))
+      .select("id", "v")
+  }
+
+  /** Mean squared-L2 distance from each corpus embedding to its nearest
+    * centroid — the DRIFT gauge of the documented operating loop: record
+    * it after (re)training, re-check on a cadence, and when it climbs
+    * past your tolerance run [[retrainAndRebuild]]. One corpus fold in
+    * the engine's arithmetic family (same cost class as the rebuild
+    * decision it informs — an offline check, not a per-query read).
+    * 0.0 on an empty corpus.
+    */
+  def quantizationError(spark: SparkSession): Double = {
+    val cents = typedLit(centroids)
+    val dists = transform(cents, c =>
+      aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))
+    val r = corpusVectors(spark)
+      .agg(avg(array_min(dists))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Deterministic Lloyd's k-means over the lake's CURRENT embeddings —
+    * the offline retrainer of the operating loop. Seeding takes the
+    * `kCells` lowest-xxhash64(id) docs (a deterministic pseudo-random
+    * draw); each iteration assigns every doc through the SAME
+    * float-square/double-accumulate expression family as [[cellOf]]
+    * against driver-literal centroids, then averages per (cell, dim)
+    * with means rounded to 6 decimals so partial-aggregation order
+    * cannot leak into the model; empty cells keep their previous
+    * centroid. Only kCells×dim rounded means ever reach the driver per
+    * iteration — at 100 TB each iteration is one scan-projection plus a
+    * cells×dim-cardinality aggregate.
+    */
+  def trainCentroidsFromCorpus(spark: SparkSession, kCells: Int,
+      iters: Int = 3): Seq[Seq[Float]] = {
+    require(kCells > 0, s"kCells must be positive, got $kCells")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val docs = corpusVectors(spark).persist()
+    try {
+      val seed = docs.orderBy(xxhash64(col("id")), col("id")).limit(kCells)
+        .select("v").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(seed.nonEmpty, "cannot retrain on an empty corpus")
+      var cents: Array[Array[Double]] = seed
+      for (_ <- 1 to iters) {
+        val cl = typedLit(cents.map(_.map(_.toFloat).toSeq).toSeq)
+        val dists = transform(cl, c =>
+          aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+            lit(0.0d), (acc, x) => acc + x))
+        val cellCol = (array_position(dists, array_min(dists)) - 1).cast("int")
+        val dimAvgs = (0 until dim).map(i =>
+          round(avg(element_at(col("v"), i + 1)), 6).as(s"w$i"))
+        val means = docs.withColumn("cell", cellCol)
+          .groupBy("cell").agg(dimAvgs.head, dimAvgs.tail: _*).collect()
+        val byCell = means.map(r => r.getInt(0) -> r).toMap
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          byCell.get(i)
+            .map(r => Array.tabulate(dim)(j => r.getDouble(j + 1)))
+            .getOrElse(old)
+        }
+      }
+      cents.map(_.map(_.toFloat).toSeq).toSeq
+    } finally docs.unpersist(blocking = true)
+  }
+
+  /** The COMPOSED retrain workflow (drift detected → new model → migrated
+    * index in one call): train fresh centroids from the lake's current
+    * state ([[trainCentroidsFromCorpus]]), construct the successor index
+    * under them — its centroid-content fingerprint differs, so nothing
+    * can mix the families — and run the crash-safe [[rebuild]] so the
+    * whole corpus re-assigns and the new fingerprint is adopted. Returns
+    * the successor; THIS instance (and any other holder of the old
+    * centroids) refuses every read and refresh from the moment the
+    * rebuild's marker lands. Run with the refresh loop quiesced, like
+    * rebuild itself.
+    */
+  def retrainAndRebuild(spark: SparkSession, kCells: Int,
+      iters: Int = 3): MaintainedIvfIndex = {
+    val trained = trainCentroidsFromCorpus(spark, kCells, iters)
+    val next = new MaintainedIvfIndex(lake, schemaName, table, name,
+      idKey = idKey, embKey = embKey, centroids = trained,
+      stateBuckets = stateBuckets)
+    next.rebuild(spark)
+    next
+  }
+
   /** SET-ORIENTED [[searchTopK]]: exact-re-ranked top-k for EVERY probe
     * row in ONE job — the nightly-pipeline shape ("nearest corpus
     * neighbors of these 1M new embeddings") that a per-probe driver

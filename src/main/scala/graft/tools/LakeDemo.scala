@@ -155,6 +155,17 @@ object LakeDemo {
       .mkString(",")
     println(s"-- maintained IVF index: cells=[$cellsStr] " +
       s"topk(10,10)=[$topk]")
+    // the composed operating loop: drift gauge -> retrain from the
+    // lake's current state -> crash-safe rebuild under the new
+    // fingerprint; the OLD instance refuses from the marker on
+    val qe0 = ivf.quantizationError(spark)
+    val ivf2 = ivf.retrainAndRebuild(spark, kCells = 2)
+    val qe1 = ivf2.quantizationError(spark)
+    val oldRefuses =
+      try { ivf.cells(spark); false }
+      catch { case _: IllegalStateException => true }
+    println(f"-- IVF retrain loop: qerr $qe0%.3f -> $qe1%.3f " +
+      s"(old instance refuses=$oldRefuses)")
     // CDC-maintained BM25 index over the same docs' texts: bucket-pruned
     // lexical retrieval (tf postings ARE the refcount state)
     val bm = new graft.sinks.MaintainedBm25Index(
@@ -165,6 +176,16 @@ object LakeDemo {
     val (nd, avgdl) = bm.corpusStats(spark)
     println(f"-- maintained BM25 index: n=$nd avgdl=$avgdl%.1f " +
       s"search(quick brown fox)=[$hits]")
+    // set-oriented probes: N queries against the maintained indexes in
+    // ONE job apiece (the nightly-pipeline read)
+    val qdf = spark.createDataFrame(Seq(
+      ("q1", "quick brown fox"), ("q2", "galactic harmonics"))).toDF("pid", "q")
+    val setHits = bm.searchAll(spark, qdf, "pid", "q", 1).collect()
+      .map(r => s"${r.getString(0)}->${r.getString(1)}").sorted.mkString(",")
+    val tdf = spark.createDataFrame(Seq(("pa", textA))).toDF("pid", "t")
+    val setCands = lsh.candidatesForAll(spark, tdf, "pid", "t").collect()
+      .map(r => s"${r.getString(0)}->${r.getString(1)}").sorted.mkString(",")
+    println(s"-- set probes: bm25[$setHits] lsh[$setCands]")
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 

@@ -47,6 +47,54 @@ class MaintainedIvfIndexSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("drift -> retrainAndRebuild: error drops, searches serve under the new model, the old instance refuses") {
+    val dir = Files.createTempDirectory("lake-ivf-rt").toString
+    try {
+      val sink = new LakeSink(dir)
+      // a deliberately BAD model: both centroids far from every doc
+      val bad = new MaintainedIvfIndex(sink, "public", "vecs", "rt",
+        idKey = "id", embKey = "emb",
+        centroids = Seq(Seq(100f, 100f), Seq(120f, 100f)), stateBuckets = 8)
+      // two tight real clusters around (0,0) and (10,10)
+      val docs = (0 until 8).map { i =>
+        val (bx, by) = if (i % 2 == 0) (0f, 0f) else (10f, 10f)
+        ev(i + 1L, "insert", null,
+          doc(s"v$i", s"${bx + i * 0.01f},${by - i * 0.01f}"))
+      }
+      sink.appendBatch(envelope(docs), 0L)
+      assert(bad.refresh(spark) == 1)
+      // the drift gauge: huge under the bad model
+      val qe0 = bad.quantizationError(spark)
+      assert(qe0 > 5000, s"bad model must show large quantization error: $qe0")
+      // the composed loop: train from the lake's current state, rebuild
+      // under the new fingerprint, return the successor
+      val good = bad.retrainAndRebuild(spark, kCells = 2)
+      val qe1 = good.quantizationError(spark)
+      assert(qe1 < 1.0, s"retrained model must fit the two clusters: $qe1")
+      assert(qe1 < qe0 / 1000)
+      // searches serve under the new model: each cluster is one cell
+      val near0 = good.searchTopK(spark, Seq(0f, 0f), nprobe = 1, k = 8)
+        .collect().map(_.getString(0)).toSet
+      assert(near0 == (0 until 8 by 2).map(i => s"v$i").toSet, s"$near0")
+      // the OLD instance refuses everything from the marker on
+      intercept[IllegalStateException](bad.search(spark, Seq(0f, 0f), 1))
+      intercept[IllegalStateException](bad.refresh(spark))
+      intercept[IllegalStateException](bad.quantizationError(spark))
+      // incremental maintenance continues under the successor
+      sink.appendBatch(envelope(Seq(
+        ev(100, "insert", null, doc("v9", "9.9,10.2")))), 1L)
+      assert(good.refresh(spark) == 1)
+      // v9 joined cluster (10,10)'s cell (v1 at (10.01, 9.99) stays the
+      // closest — the re-rank is exact)
+      val near10 = good.searchTopK(spark, Seq(10f, 10f), nprobe = 1, k = 5)
+        .collect().map(_.getString(0)).toSeq
+      assert(near10.head == "v1" && near10.contains("v9"), s"$near10")
+      // the retrainer is deterministic: same corpus, same model
+      assert(good.trainCentroidsFromCorpus(spark, 2) ==
+        good.trainCentroidsFromCorpus(spark, 2))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("postings assign to the nearest cell; churn moves and retracts them") {
     withIndex { (sink, ix, _) =>
       sink.appendBatch(envelope(Seq(
