@@ -218,6 +218,21 @@ private[sinks] final class BucketedStateLog(
     BucketedStateLog.publishReplace(f, tmp, dst)
   }
 
+  /** (max, median) bytes across one committed version's non-empty bucket
+    * slices — driver-side listings only (one listStatus per referenced
+    * slice dir): the ops-visible SKEW gauge that makes a hot bucket (a
+    * stop term's posting list, a skewed hash family) visible on the
+    * dashboard before it becomes a read stall. (0, 0) when the version
+    * references no slices; a slice racing gc reads as 0.
+    */
+  def bucketSizeStats(f: FileSystem, key: (Long, Long)): (Long, Long) = {
+    val sizes = entries(f, key).values.toSeq.map { rel =>
+      try f.listStatus(new Path(dir, rel)).filter(_.isFile).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sorted
+    if (sizes.isEmpty) (0L, 0L) else (sizes.last, sizes(sizes.size / 2))
+  }
+
   /** Drop versions strictly inside the replay horizon except the maximal
     * one (the replay-prev), then sweep every slice directory no retained
     * manifest references — including crashed-commit orphans.
@@ -263,9 +278,23 @@ private[sinks] final class BucketedStateLog(
         // maintainer operation here.
         if (!kept) {
           val rest = f.listStatus(vd.getPath).toSeq.filter(_.isDirectory)
-          val cutoff = System.currentTimeMillis - BucketedStateLog.StagingGraceMs
-          if (rest.isEmpty || rest.forall(_.getModificationTime < cutoff))
+          val cutoff = System.currentTimeMillis - BucketedStateLog.stagingGraceMs
+          if (rest.isEmpty || rest.forall(_.getModificationTime < cutoff)) {
+            // a NON-empty sweep is worth a line: under the single-writer
+            // contract these are crashed-write leftovers, but an operator
+            // seeing this fire while a >grace-period write was live has
+            // just learned the contract was violated
+            if (rest.nonEmpty)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                "gc sweeping unreferenced version dir {} with {} aged " +
+                  "staging subdir(s) older than {} ms — expected only for " +
+                  "crashed writes; a live >grace-period writer to this " +
+                  "state dir would violate the single-writer contract " +
+                  "(grace is tunable via -Dgraft.staging.grace.ms)",
+                vd.getPath, rest.size.toString,
+                BucketedStateLog.stagingGraceMs.toString)
             f.delete(vd.getPath, true)
+          }
         }
       }
   }
@@ -276,8 +305,15 @@ private[sinks] object BucketedStateLog {
     * a parquet write's `_temporary/`) must be before [[BucketedStateLog
     * .gcWithin]] sweeps the dir: young staging dirs may belong to a LIVE
     * write racing the gc; crashed ones age past this and get collected.
+    * Tunable per deployment (`-Dgraft.staging.grace.ms=...`) — raise it
+    * where a legitimate single commit/rebuild write can exceed an hour;
+    * the sweep logs when it collects a non-empty dir either way.
     */
   val StagingGraceMs: Long = 60L * 60 * 1000
+
+  private[sinks] def stagingGraceMs: Long =
+    sys.props.get("graft.staging.grace.ms").flatMap(_.toLongOption)
+      .getOrElse(StagingGraceMs)
 
   /** Publish `tmp` at `dst` (replacing any existing file), THROWING when
     * rename reports failure by RETURNING FALSE — Hadoop signals several

@@ -533,8 +533,14 @@ final class MaintainedDistinct(
     val asOf = states.latest(f)
     val (neg, pos) = lake.cursorInterval(spark, cursorName)
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
+    // bucket-size skew: max vs median slice bytes of the served version —
+    // a hot bucket (stop-term posting list, skewed hash) shows up here
+    // long before it becomes a read stall
+    val (mx, p50) = asOf.map(states.bucketSizeStats(f, _)).getOrElse((0L, 0L))
     Seq(
       s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
-      s"view_${name}_lag_batches" -> lag.toDouble) ++ ops.gauges
+      s"view_${name}_lag_batches" -> lag.toDouble,
+      s"view_${name}_bucket_max_bytes" -> mx.toDouble,
+      s"view_${name}_bucket_p50_bytes" -> p50.toDouble) ++ ops.gauges
   }
 }

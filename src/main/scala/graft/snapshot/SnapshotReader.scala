@@ -184,16 +184,27 @@ object SnapshotReader {
                 rows
               } catch { case t: Throwable => conn.close(); throw t }
             }, it, chunkAcc, rowAcc, nCols)
-          // no TaskContext (direct iterator drive outside a task, e.g. a
+          // No TaskContext (direct iterator drive outside a task, e.g. a
           // unit test): fall back to closing when the stream is exhausted
+          // OR when hasNext/next throws. MUST-DRAIN contract: a caller
+          // that abandons this iterator early without an exception
+          // (take/limit-style) leaks the socket and its pinned
+          // exported-snapshot transaction — there is no task-completion
+          // hook to fire on this path. Inside Spark (every production
+          // read) the listener above owns the close and this wrapper is
+          // never constructed.
           if (tc != null) stream
           else new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
-            def hasNext: Boolean = {
+            private def closing[A](body: => A): A =
+              try body
+              catch { case t: Throwable => conn.close(); throw t }
+            def hasNext: Boolean = closing {
               val h = stream.hasNext
               if (!h) conn.close()
               h
             }
-            def next(): org.apache.spark.sql.catalyst.InternalRow = stream.next()
+            def next(): org.apache.spark.sql.catalyst.InternalRow =
+              closing(stream.next())
           }
         }
       }

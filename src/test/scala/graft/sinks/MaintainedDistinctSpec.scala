@@ -285,6 +285,9 @@ class MaintainedDistinctSpec extends AnyFunSuite {
       assert(g("""distinct_refresh_ms{distinct="nd_b"}""") > 0.0)
       assert(g("view_nd_b_asof") == 1.0)
       assert(g("view_nd_b_lag_batches") == 0.0)
+      // the skew gauge: served-version slice bytes, max >= median > 0
+      assert(g("view_nd_b_bucket_max_bytes") >= g("view_nd_b_bucket_p50_bytes"))
+      assert(g("view_nd_b_bucket_p50_bytes") > 0.0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
