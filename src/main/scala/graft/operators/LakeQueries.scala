@@ -309,15 +309,19 @@ object LakeQueries {
     // the LSH and BM25 maintenance gates: maintained state must equal a
     // seed-style recompute of the surviving corpus — drift throws HERE,
     // inside the driver-gated q_mv build, on a DETERMINISTIC 25% doc
-    // sample (xxhash64(id) % 4 == 0): the sampled recompute re-derives
-    // only ~1/4 of the subset's signatures/postings (r17 verdict: the
-    // two full recomputes were 58% of all bench prep), while full-state
-    // drift stays covered cross-engine by the oracle columns — IVF cell
-    // counts and BM25 postings/Σtf/vocab are recomputed by DuckDB from
-    // scratch, so ANY posting/assignment drift (sampled or not) turns
-    // the driver red. The compared-row requirements keep the sampled
-    // equivalences non-vacuous (a sample that matched zero docs would
-    // prove nothing).
+    // sample whose residue rotates with the applied interval: the
+    // sampled recompute re-derives only ~1/4 of the subset's
+    // signatures/postings (r17 verdict: the two full recomputes were
+    // 58% of all bench prep). Coverage split, stated honestly: the
+    // cross-engine oracle columns (IVF cell counts, BM25
+    // postings/Σtf/vocab, all recomputed by DuckDB from scratch) catch
+    // any drift that moves a COUNT; count-preserving drift (a posting
+    // or cell assignment swapped between two docs) is caught by the
+    // sampled equivalence only when a victim doc falls in the round's
+    // sample (~44% per round at mod 4) — but the rotating residue means
+    // a persisting swap cannot hide across refresh horizons. The
+    // compared-row requirements keep the sampled equivalences
+    // non-vacuous (a sample matching zero docs would prove nothing).
     require(lsh.assertConsistent(s, sampleMod = 4) > 0,
       "LSH gate vacuous: sampled equivalence compared no state rows")
     require(!lsh.buckets(s).isEmpty,

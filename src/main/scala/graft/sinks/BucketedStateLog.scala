@@ -226,9 +226,13 @@ private[sinks] final class BucketedStateLog(
     * references no slices; a slice racing gc reads as 0.
     */
   def bucketSizeStats(f: FileSystem, key: (Long, Long)): (Long, Long) = {
-    val sizes = entries(f, key).values.toSeq.map { rel =>
-      try f.listStatus(new Path(dir, rel)).filter(_.isFile).map(_.getLen).sum
-      catch { case _: java.io.FileNotFoundException => 0L }
+    val sizes = entries(f, key).values.toSeq.flatMap { rel =>
+      // a slice racing gc is DROPPED from the sample, not counted as 0 —
+      // a zero sentinel would deflate the median and inflate apparent
+      // skew for that scrape
+      try Some(f.listStatus(new Path(dir, rel)).filter(_.isFile)
+        .map(_.getLen).sum)
+      catch { case _: java.io.FileNotFoundException => None }
     }.sorted
     if (sizes.isEmpty) (0L, 0L) else (sizes.last, sizes(sizes.size / 2))
   }
@@ -312,8 +316,11 @@ private[sinks] object BucketedStateLog {
   val StagingGraceMs: Long = 60L * 60 * 1000
 
   private[sinks] def stagingGraceMs: Long =
+    // non-positive values are rejected, not honored: grace 0 would let
+    // gc delete a LIVE write's staging dirs — the exact hazard the
+    // window exists to prevent, enabled by a typo'd tuning knob
     sys.props.get("graft.staging.grace.ms").flatMap(_.toLongOption)
-      .getOrElse(StagingGraceMs)
+      .filter(_ > 0).getOrElse(StagingGraceMs)
 
   /** Publish `tmp` at `dst` (replacing any existing file), THROWING when
     * rename reports failure by RETURNING FALSE — Hadoop signals several

@@ -242,18 +242,23 @@ final class MaintainedBm25Index(
     * from-scratch re-tokenization — see
     * [[MaintainedDistinct.verifyAgainstRebuild]]. Returns the number of
     * state rows compared. `sampleMod` > 1 restricts both sides to the
-    * deterministic document sample `xxhash64(id) % sampleMod == 0` (the
-    * re-tokenization then reads ~1/sampleMod of the corpus) — sound
-    * per-document; pair with the full-state oracle columns
-    * (q_mv's `bm_postings`/`bm_tf`/`bm_vocab`) for drift outside the
-    * sample.
+    * deterministic document sample `xxhash64(id) % sampleMod == rem`
+    * (the re-tokenization then reads ~1/sampleMod of the corpus), with
+    * the remainder ROTATING on the applied interval so the blind spot
+    * moves every refresh horizon — sound per-document; pair with the
+    * full-state oracle columns (q_mv's `bm_postings`/`bm_tf`/`bm_vocab`)
+    * for same-horizon coverage outside the sample.
     */
   def assertConsistent(spark: SparkSession, sampleMod: Int = 1): Long = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val restrict = if (sampleMod == 1) None else Some((
-      pmod(xxhash64(element_at(col("after"), idKey)),
-        lit(sampleMod.toLong)) === 0L,
-      pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === 0L))
+    val restrict = if (sampleMod == 1) None else {
+      val rem = md.latestKey(spark)
+        .map(k => math.floorMod(k._2, sampleMod.toLong)).getOrElse(0L)
+      Some((
+        pmod(xxhash64(element_at(col("after"), idKey)),
+          lit(sampleMod.toLong)) === rem,
+        pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === rem))
+    }
     md.verifyAgainstRebuild(spark, restrict)
   }
 
@@ -363,17 +368,21 @@ final class MaintainedBm25Index(
       .filter(lit(false))
     val (nDocs, avgdl) = corpusStatsAt(spark, key)
     if (nDocs == 0L) return empty
-    val pterms0 = probes
-      .select(col(idCol).cast("string").as("probe_id"),
-        array_distinct(termsOfText(col(queryCol))).as("qts"))
+    // materialized once: probes tokenize exactly one time, whether the
+    // frame then feeds the df-cap planning pull + join or goes straight
+    // to postings-bucket planning
+    val pterms0 = ProbeFrames.unique(probes, idCol, queryCol)
+      .select(col("probe_id"),
+        array_distinct(termsOfText(col("_payload"))).as("qts"))
       .filter(col("qts").isNotNull)
       .select(col("probe_id"), explode(col("qts")).as("term"))
+      .localCheckpoint()
     // the df cap, set-wise: pinned to the df view version within the
     // postings interval; absent (pre-df-era state) → no pruning
     val dKey =
       if (dfCap == Long.MaxValue) None
       else key.flatMap(kk => dfView.latestKeyWithin(spark, kk))
-    val pterms = (dKey match {
+    val pterms = dKey match {
       case None => pterms0
       case Some(_) =>
         val dfBuckets = pterms0
@@ -384,8 +393,9 @@ final class MaintainedBm25Index(
         pterms0.join(dfs, Seq("term"), "left_outer")
           .filter(coalesce(col("_df"), lit(0L)) <= dfCap)
           .select(col("probe_id"), col("term"))
-    }).localCheckpoint() // feeds bucket planning, the postings semi
-                         // join, and the hits join
+          .localCheckpoint() // feeds bucket planning, the postings
+                             // semi join, and the hits join
+    }
     val probed = pterms
       .select(md.stateLog.bucketExpr(Seq(col("term"))).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet

@@ -67,6 +67,8 @@ final class MaintainedDistinct(
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
   private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
+  // (version key, (max, p50) slice bytes) of the last skew-gauge scrape
+  @volatile private var skewMemo: Option[((Long, Long), (Long, Long))] = None
 
   // The fingerprint is GENERATION-FILED, never overwritten in place:
   // `_fingerprint` is generation 0, updates write `_fingerprint.g<n+1>`
@@ -535,8 +537,18 @@ final class MaintainedDistinct(
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     // bucket-size skew: max vs median slice bytes of the served version —
     // a hot bucket (stop-term posting list, skewed hash) shows up here
-    // long before it becomes a read stall
-    val (mx, p50) = asOf.map(states.bucketSizeStats(f, _)).getOrElse((0L, 0L))
+    // long before it becomes a read stall. Memoized per version key: the
+    // stats of a COMMITTED version are immutable, so steady-state scrapes
+    // (asof unchanged) cost zero listings instead of one per slice.
+    val (mx, p50) = asOf.map { k =>
+      skewMemo match {
+        case Some((`k`, cached)) => cached
+        case _ =>
+          val s = states.bucketSizeStats(f, k)
+          skewMemo = Some((k, s))
+          s
+      }
+    }.getOrElse((0L, 0L))
     Seq(
       s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
       s"view_${name}_lag_batches" -> lag.toDouble,

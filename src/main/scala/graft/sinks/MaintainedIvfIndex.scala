@@ -101,15 +101,26 @@ final class MaintainedIvfIndex(
     * so ties deterministically take the lower cell). NULL (no
     * contribution) when the embedding is absent or mis-dimensioned.
     */
+  /** Squared L2 between two float-array columns in THE arithmetic family
+    * every read and write here shares: component differences squared in
+    * FLOAT, accumulated in double. ONE definition by construction —
+    * assignment ([[cellOf]]), ranking ([[searchTopK]]/[[searchTopKAll]]),
+    * training, and the drift gauge must agree bit-for-bit or a near-tie
+    * embedding ranks under one family and posts under another
+    * ([[nearestCells]] mirrors it driver-side; the near-tie spec pins
+    * the pairing).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
   private def cellOf(im: Column): Column = {
     // try_cast: an unparseable component must degrade to "no usable
     // embedding" (ANSI cast would fail the whole refresh on one bad row)
     val v = transform(split(element_at(im, embKey), ","),
       s => s.try_cast("float"))
     val cents = typedLit(centroids)
-    val dists = transform(cents, c =>
-      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x))
+    val dists = transform(cents, c => sqDist(v, c))
     when(element_at(im, embKey).isNotNull && size(v) === dim &&
         !exists(v, x => x.isNull),
       (array_position(dists, array_min(dists)) - 1).cast("int"))
@@ -201,8 +212,7 @@ final class MaintainedIvfIndex(
       Some(cand.select(col("id").as("k")).distinct()))
     val v = transform(split(element_at(col("after"), embKey), ","),
       s => s.try_cast("float"))
-    val dist = aggregate(zip_with(v, typedLit(query), (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    val dist = sqDist(v, typedLit(query))
     docs
       .select(element_at(col("after"), idKey).as("id"), dist.as("dist"))
       .join(cand.select("id"), Seq("id"), "left_semi")
@@ -235,9 +245,7 @@ final class MaintainedIvfIndex(
     */
   def quantizationError(spark: SparkSession): Double = {
     val cents = typedLit(centroids)
-    val dists = transform(cents, c =>
-      aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x))
+    val dists = transform(cents, c => sqDist(col("v"), c))
     val r = corpusVectors(spark)
       .agg(avg(array_min(dists))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
@@ -268,9 +276,7 @@ final class MaintainedIvfIndex(
       var cents: Array[Array[Double]] = seed
       for (_ <- 1 to iters) {
         val cl = typedLit(cents.map(_.map(_.toFloat).toSeq).toSeq)
-        val dists = transform(cl, c =>
-          aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
-            lit(0.0d), (acc, x) => acc + x))
+        val dists = transform(cl, c => sqDist(col("v"), c))
         val cellCol = (array_position(dists, array_min(dists)) - 1).cast("int")
         val dimAvgs = (0 until dim).map(i =>
           round(avg(element_at(col("v"), i + 1)), 6).as(s"w$i"))
@@ -329,10 +335,10 @@ final class MaintainedIvfIndex(
     require(k > 0, s"top-k needs k > 0, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val key = md.latestKey(spark)
-    val v = transform(split(col(embCol), ","), s => s.try_cast("float"))
-    val pv = probes
-      .select(col(idCol).cast("string").as("probe_id"),
-        when(col(embCol).isNotNull && size(v) === dim &&
+    val v = transform(split(col("_payload"), ","), s => s.try_cast("float"))
+    val pv = ProbeFrames.unique(probes, idCol, embCol)
+      .select(col("probe_id"),
+        when(col("_payload").isNotNull && size(v) === dim &&
           !exists(v, x => x.isNull), v).as("qv"))
       .filter(col("qv").isNotNull)
       // materialized once: feeds cell assignment, bucket planning, and
@@ -342,9 +348,7 @@ final class MaintainedIvfIndex(
     // struct(dist, cell) sorted lexicographically = ascending distance,
     // ties to the lower cell — [[nearestCells]]'s exact order
     val cellsOf = transform(cents, (c, i) => struct(
-      aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x).as("d"),
-      i.as("cell")))
+      sqDist(col("qv"), c).as("d"), i.as("cell")))
     val probeCells = pv
       .select(col("probe_id"),
         explode(slice(array_sort(cellsOf), 1, nprobe)).as("pc"))
@@ -369,9 +373,7 @@ final class MaintainedIvfIndex(
     cand
       .join(docs, Seq("id"))
       .join(pv, Seq("probe_id"))
-      .withColumn("dist",
-        aggregate(zip_with(col("dv"), col("qv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dist", sqDist(col("dv"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("id"), col("dist"))

@@ -282,9 +282,8 @@ final class MaintainedLshIndex(
   def candidatesForAll(spark: SparkSession, probes: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val key = md.latestKey(spark)
-    val keys = probes
-      .select(col(idCol).cast("string").as("probe_id"),
-        sigArrayOfText(col(textCol)).as("sigs"))
+    val keys = ProbeFrames.unique(probes, idCol, textCol)
+      .select(col("probe_id"), sigArrayOfText(col("_payload")).as("sigs"))
       .filter(col("sigs").isNotNull)
       .select(col("probe_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
       // materialized once: the frame feeds both the bucket-planning pull
@@ -349,18 +348,26 @@ final class MaintainedLshIndex(
     * matters).
     *
     * `sampleMod` > 1 restricts BOTH sides to the deterministic document
-    * sample `xxhash64(id) % sampleMod == 0` — the re-shingle (the
-    * expensive half) then touches only ~1/sampleMod of the corpus.
-    * Sound per-document (each doc's signature rows derive from that doc
-    * alone); drift outside the sample escapes, so sampled gates lean on
-    * full-state oracle columns for the rest (q_mv's construction).
+    * sample `xxhash64(id) % sampleMod == rem` — the re-shingle (the
+    * expensive half) then touches only ~1/sampleMod of the corpus. The
+    * remainder ROTATES with the applied interval (`pos % sampleMod`),
+    * so the sampled blind spot moves every refresh horizon — drift
+    * outside today's sample lands inside a later one rather than hiding
+    * in a fixed residue class forever. Sound per-document (each doc's
+    * signature rows derive from that doc alone); sampled gates still
+    * lean on full-state oracle columns for same-horizon coverage
+    * (q_mv's construction).
     */
   def assertConsistent(spark: SparkSession, sampleMod: Int = 1): Long = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val restrict = if (sampleMod == 1) None else Some((
-      pmod(xxhash64(element_at(col("after"), idKey)),
-        lit(sampleMod.toLong)) === 0L,
-      pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === 0L))
+    val restrict = if (sampleMod == 1) None else {
+      val rem = md.latestKey(spark)
+        .map(k => math.floorMod(k._2, sampleMod.toLong)).getOrElse(0L)
+      Some((
+        pmod(xxhash64(element_at(col("after"), idKey)),
+          lit(sampleMod.toLong)) === rem,
+        pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === rem))
+    }
     md.verifyAgainstRebuild(spark, restrict)
   }
 
@@ -374,6 +381,34 @@ final class MaintainedLshIndex(
   * shingles, tokens), so probe and index can never drift bit-for-bit the
   * way a driver-side reimplementation could.
   */
+/** Shared intake of the set-oriented probe APIs: exact-duplicate probe
+  * rows collapse (same id, same payload — harmless re-sends), and a
+  * probe id carried by DIFFERING payloads fails loudly — every set API
+  * keys its output on probe_id, so two payloads under one id would
+  * silently merge into one garbled result row (doubled bands_hit,
+  * double-counted term contributions, cross-matched re-ranks). Returns
+  * a materialized (probe_id, _payload) frame.
+  */
+private[sinks] object ProbeFrames {
+  def unique(probes: org.apache.spark.sql.DataFrame, idCol: String,
+      payloadCol: String): org.apache.spark.sql.DataFrame = {
+    val src = probes
+      .select(col(idCol).cast("string").as("probe_id"),
+        col(payloadCol).as("_payload"))
+      .distinct().localCheckpoint()
+    val dup = src.groupBy("probe_id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"probe frame carries id '${dup(0).getString(0)}' with " +
+          s"${dup(0).getLong(1)} differing payloads — set-probe results " +
+          "are keyed on the probe id, so duplicate ids with different " +
+          "payloads would silently merge into one garbled row; " +
+          "deduplicate or re-key the probe frame")
+    src
+  }
+}
+
 private[sinks] object ImageProbes {
   def frame(spark: SparkSession, im: Map[String, String]): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -167,6 +167,49 @@ class SetProbeSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("duplicate probe ids: exact duplicates collapse, differing payloads refuse") {
+    val dir = Files.createTempDirectory("lake-setdup").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = new MaintainedBm25Index(sink, "public", "docs", "sdup",
+        idKey = "id", textKey = "text", stateBuckets = 8)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, Map("id" -> "d1", "text" -> "apple pie")),
+        ev(2, "insert", null, Map("id" -> "d2", "text" -> "banana split")))), 0L)
+      assert(ix.refresh(spark) == 1)
+      // an exact re-send of the same probe row is harmless — it must
+      // NOT double-count term contributions
+      val dup = ix.searchAll(spark,
+        probeFrame("p1" -> "apple", "p1" -> "apple", "p2" -> "banana"),
+        "pid", "payload", k = 5).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).sortBy(_._1)
+      val clean = ix.searchAll(spark,
+        probeFrame("p1" -> "apple", "p2" -> "banana"),
+        "pid", "payload", k = 5).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).sortBy(_._1)
+      assert(dup.toSeq == clean.toSeq, s"$dup vs $clean")
+      // one id, two DIFFERENT payloads: results are keyed on the id, so
+      // this must refuse loudly instead of merging two garbled rows
+      val e = intercept[IllegalArgumentException](ix.searchAll(spark,
+        probeFrame("p1" -> "apple", "p1" -> "banana"),
+        "pid", "payload", k = 5).collect())
+      assert(e.getMessage.contains("differing payloads"), e.getMessage)
+      val lsh = new MaintainedLshIndex(sink, "public", "docs", "sduplsh",
+        idKey = "id", textKey = "text", stateBuckets = 8)
+      lsh.refresh(spark)
+      intercept[IllegalArgumentException](lsh.candidatesForAll(spark,
+        probeFrame("p1" -> "five tokens of text here",
+          "p1" -> "five other tokens right here"), "pid", "payload").collect())
+      val cents = Seq(Seq(0f, 0f), Seq(10f, 10f))
+      val ivf = new MaintainedIvfIndex(sink, "public", "docs", "sdupivf",
+        idKey = "id", embKey = "emb", centroids = cents, stateBuckets = 8)
+      ivf.refresh(spark)
+      intercept[IllegalArgumentException](ivf.searchTopKAll(spark,
+        probeFrame("p1" -> "1,1", "p1" -> "9,9"),
+        "pid", "payload", nprobe = 1, k = 1).collect())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   /** The scale pin: N probes against a 2,000-doc corpus must read only
     * the probed terms' buckets of the postings state — resident rows in
     * the scanned slices stay a small fraction of the state, and the
