@@ -223,7 +223,8 @@ private[sinks] final class BucketedStateLog(
     * slice dir): the ops-visible SKEW gauge that makes a hot bucket (a
     * stop term's posting list, a skewed hash family) visible on the
     * dashboard before it becomes a read stall. (0, 0) when the version
-    * references no slices; a slice racing gc reads as 0.
+    * references no slices; a slice racing gc is dropped from the sample
+    * (a zero sentinel would deflate the median for that scrape).
     */
   def bucketSizeStats(f: FileSystem, key: (Long, Long)): (Long, Long) = {
     val sizes = entries(f, key).values.toSeq.flatMap { rel =>
@@ -316,11 +317,19 @@ private[sinks] object BucketedStateLog {
   val StagingGraceMs: Long = 60L * 60 * 1000
 
   private[sinks] def stagingGraceMs: Long =
-    // non-positive values are rejected, not honored: grace 0 would let
-    // gc delete a LIVE write's staging dirs — the exact hazard the
-    // window exists to prevent, enabled by a typo'd tuning knob
-    sys.props.get("graft.staging.grace.ms").flatMap(_.toLongOption)
-      .filter(_ > 0).getOrElse(StagingGraceMs)
+    // non-positive values are rejected LOUDLY, not honored: grace 0
+    // would let gc delete a LIVE write's staging dirs — the exact
+    // hazard the window exists to prevent, enabled by a typo'd knob
+    sys.props.get("graft.staging.grace.ms").flatMap(_.toLongOption) match {
+      case Some(ms) if ms > 0 => ms
+      case Some(bad) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "ignoring graft.staging.grace.ms={} (must be > 0 — a zero " +
+            "grace would let gc sweep a live write's staging dirs); " +
+            "using the default {} ms", bad.toString, StagingGraceMs.toString)
+        StagingGraceMs
+      case None => StagingGraceMs
+    }
 
   /** Publish `tmp` at `dst` (replacing any existing file), THROWING when
     * rename reports failure by RETURNING FALSE — Hadoop signals several

@@ -244,22 +244,24 @@ final class MaintainedBm25Index(
     * state rows compared. `sampleMod` > 1 restricts both sides to the
     * deterministic document sample `xxhash64(id) % sampleMod == rem`
     * (the re-tokenization then reads ~1/sampleMod of the corpus), with
-    * the remainder ROTATING on the applied interval so the blind spot
-    * moves every refresh horizon — sound per-document; pair with the
-    * full-state oracle columns (q_mv's `bm_postings`/`bm_tf`/`bm_vocab`)
-    * for same-horizon coverage outside the sample.
+    * the remainder rotating on the verified interval
+    * ([[SampleResidues.of]] — see [[MaintainedLshIndex
+    * .assertConsistent]] for the rotation's reach and limits); pair
+    * with the full-state oracle columns
+    * (q_mv's `bm_postings`/`bm_tf`/`bm_vocab`) for same-horizon
+    * coverage outside the sample.
     */
   def assertConsistent(spark: SparkSession, sampleMod: Int = 1): Long = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val restrict = if (sampleMod == 1) None else {
-      val rem = md.latestKey(spark)
-        .map(k => math.floorMod(k._2, sampleMod.toLong)).getOrElse(0L)
-      Some((
-        pmod(xxhash64(element_at(col("after"), idKey)),
-          lit(sampleMod.toLong)) === rem,
-        pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === rem))
-    }
-    md.verifyAgainstRebuild(spark, restrict)
+    md.verifyAgainstRebuild(spark, key =>
+      if (sampleMod == 1) None
+      else {
+        val rem = SampleResidues.of(key, sampleMod)
+        Some((
+          pmod(xxhash64(element_at(col("after"), idKey)),
+            lit(sampleMod.toLong)) === rem,
+          pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === rem))
+      })
   }
 
   /** Full re-tokenization adopting the current fingerprint — the
@@ -366,12 +368,16 @@ final class MaintainedBm25Index(
       .select(col(idCol).cast("string").as("probe_id"),
         lit(null).cast("string").as("id"), lit(0.0d).as("score"))
       .filter(lit(false))
+    // intake validation runs BEFORE the empty-corpus early return: a
+    // malformed probe frame must refuse on the pipeline's very first
+    // (still-empty-index) run, not start failing once the corpus fills
+    val src = ProbeFrames.unique(probes, idCol, queryCol)
     val (nDocs, avgdl) = corpusStatsAt(spark, key)
     if (nDocs == 0L) return empty
     // materialized once: probes tokenize exactly one time, whether the
     // frame then feeds the df-cap planning pull + join or goes straight
     // to postings-bucket planning
-    val pterms0 = ProbeFrames.unique(probes, idCol, queryCol)
+    val pterms0 = src
       .select(col("probe_id"),
         array_distinct(termsOfText(col("_payload"))).as("qts"))
       .filter(col("qts").isNotNull)

@@ -291,6 +291,10 @@ final class MaintainedDistinct(
           (0 until stateBuckets).toSet, None, key,
           dirTag = s".r${java.lang.Long.toHexString(System.nanoTime)}")
         fingerprint.foreach(writeFp(f, _))
+        // an in-place recommit changes slice sizes UNDER the same
+        // version key — the skew-gauge memo keyed on that key must not
+        // keep serving the pre-rebuild numbers
+        skewMemo = None
     }
   }
 
@@ -449,24 +453,28 @@ final class MaintainedDistinct(
     * correctness gate justifies the work, not per refresh.
     */
   def verifyAgainstRebuild(spark: SparkSession,
-      /** Optional DETERMINISTIC sample restriction, as a pair of
-        * predicates selecting the SAME documents on both sides: the
-        * first over the recompute source's `after` image (applied
-        * BEFORE the transform — the recompute then derives/tokenizes
-        * only the sampled docs, which is where the cost lives), the
-        * second over the state rows' counted value `v`. Sound when the
-        * transform derives each doc's state rows from that doc alone
-        * (true for every index in the family — signatures, cells, and
-        * postings are per-document functions) and the two predicates
-        * agree (e.g. both hash the doc id). Drift OUTSIDE the sample
-        * escapes this check by construction — pair a sampled in-build
-        * gate with full-state oracle columns, as q_mv does.
+      /** Optional DETERMINISTIC sample restriction, built FROM the
+        * version key being verified (so a residue derived from the key
+        * can never race a refresh committing between key resolution and
+        * the check): returns a pair of predicates selecting the SAME
+        * documents on both sides — the first over the recompute
+        * source's `after` image (applied BEFORE the transform — the
+        * recompute then derives/tokenizes only the sampled docs, which
+        * is where the cost lives), the second over the state rows'
+        * counted value `v`. Sound when the transform derives each doc's
+        * state rows from that doc alone (true for every index in the
+        * family — signatures, cells, and postings are per-document
+        * functions) and the two predicates agree (e.g. both hash the
+        * doc id). Drift OUTSIDE the sample escapes this check by
+        * construction — pair a sampled in-build gate with full-state
+        * oracle columns, as q_mv does.
         */
-      restrict: Option[(org.apache.spark.sql.Column,
-        org.apache.spark.sql.Column)] = None): Long = {
+      restrictFor: ((Long, Long)) => Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)] = _ => None): Long = {
     val f = states.fs(spark)
     checkFp(f, adoptIfAbsent = false)
     states.latest(f).map { key =>
+      val restrict = restrictFor(key)
       val want = dist.recomputeAll(
         currentAsOf(spark, key, restrict.map(_._1))).localCheckpoint()
       val got0 = states.read(spark, key, stateSchema(spark))
@@ -537,9 +545,10 @@ final class MaintainedDistinct(
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     // bucket-size skew: max vs median slice bytes of the served version —
     // a hot bucket (stop-term posting list, skewed hash) shows up here
-    // long before it becomes a read stall. Memoized per version key: the
-    // stats of a COMMITTED version are immutable, so steady-state scrapes
-    // (asof unchanged) cost zero listings instead of one per slice.
+    // long before it becomes a read stall. Memoized per version key —
+    // slices of a committed version change only via rebuild's in-place
+    // recommit, which clears the memo — so steady-state scrapes (asof
+    // unchanged) cost zero listings instead of one per slice.
     val (mx, p50) = asOf.map { k =>
       skewMemo match {
         case Some((`k`, cached)) => cached

@@ -96,11 +96,6 @@ final class MaintainedIvfIndex(
     */
   def adoptFingerprint(spark: SparkSession): Unit = md.adoptFingerprint(spark)
 
-  /** Nearest-centroid cell of one image's embedding — squared L2 against
-    * the centroid literal, `array_position` of the minimum (first match,
-    * so ties deterministically take the lower cell). NULL (no
-    * contribution) when the embedding is absent or mis-dimensioned.
-    */
   /** Squared L2 between two float-array columns in THE arithmetic family
     * every read and write here shares: component differences squared in
     * FLOAT, accumulated in double. ONE definition by construction —
@@ -114,6 +109,11 @@ final class MaintainedIvfIndex(
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
+  /** Nearest-centroid cell of one image's embedding — squared L2 against
+    * the centroid literal, `array_position` of the minimum (first match,
+    * so ties deterministically take the lower cell). NULL (no
+    * contribution) when the embedding is absent or mis-dimensioned.
+    */
   private def cellOf(im: Column): Column = {
     // try_cast: an unparseable component must degrade to "no usable
     // embedding" (ANSI cast would fail the whole refresh on one bad row)

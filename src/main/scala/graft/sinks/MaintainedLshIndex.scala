@@ -350,37 +350,45 @@ final class MaintainedLshIndex(
     * `sampleMod` > 1 restricts BOTH sides to the deterministic document
     * sample `xxhash64(id) % sampleMod == rem` — the re-shingle (the
     * expensive half) then touches only ~1/sampleMod of the corpus. The
-    * remainder ROTATES with the applied interval (`pos % sampleMod`),
-    * so the sampled blind spot moves every refresh horizon — drift
-    * outside today's sample lands inside a later one rather than hiding
-    * in a fixed residue class forever. Sound per-document (each doc's
-    * signature rows derive from that doc alone); sampled gates still
-    * lean on full-state oracle columns for same-horizon coverage
-    * (q_mv's construction).
+    * remainder ROTATES with the applied interval
+    * ([[SampleResidues.of]]: a mixed hash of the verified key's
+    * position, so a refresh loop advancing in ANY stride still cycles
+    * residues) — in a live deployment, drift outside today's sample
+    * lands inside a later one rather than hiding in a fixed residue
+    * class; a gate re-running at one fixed interval (q_mv per build)
+    * gets no rotation and leans on its full-state oracle columns
+    * instead. Sound per-document (each doc's signature rows derive from
+    * that doc alone).
     */
   def assertConsistent(spark: SparkSession, sampleMod: Int = 1): Long = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val restrict = if (sampleMod == 1) None else {
-      val rem = md.latestKey(spark)
-        .map(k => math.floorMod(k._2, sampleMod.toLong)).getOrElse(0L)
-      Some((
-        pmod(xxhash64(element_at(col("after"), idKey)),
-          lit(sampleMod.toLong)) === rem,
-        pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === rem))
-    }
-    md.verifyAgainstRebuild(spark, restrict)
+    md.verifyAgainstRebuild(spark, key =>
+      if (sampleMod == 1) None
+      else {
+        val rem = SampleResidues.of(key, sampleMod)
+        Some((
+          pmod(xxhash64(element_at(col("after"), idKey)),
+            lit(sampleMod.toLong)) === rem,
+          pmod(xxhash64(col("v")), lit(sampleMod.toLong)) === rem))
+      })
   }
 
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
 }
 
-/** One-row frame carrying a synthetic image map under column `im` — the
-  * shared probe seam of the maintained-index family: probes evaluate the
-  * SAME engine expressions the index applied to documents (signatures,
-  * shingles, tokens), so probe and index can never drift bit-for-bit the
-  * way a driver-side reimplementation could.
+/** The rotating residue of the sampled equivalence checks: a MIXED hash
+  * of the verified interval's position modulo `sampleMod`, so a refresh
+  * loop advancing `pos` in any stride (including strides divisible by
+  * the modulus, where a plain `pos % mod` would pin one residue
+  * forever) still cycles through residue classes across horizons.
+  * byteswap64 is a pure, JVM-stable mixer.
   */
+private[sinks] object SampleResidues {
+  def of(key: (Long, Long), sampleMod: Int): Long =
+    math.floorMod(scala.util.hashing.byteswap64(key._2), sampleMod.toLong)
+}
+
 /** Shared intake of the set-oriented probe APIs: exact-duplicate probe
   * rows collapse (same id, same payload — harmless re-sends), and a
   * probe id carried by DIFFERING payloads fails loudly — every set API
@@ -409,6 +417,12 @@ private[sinks] object ProbeFrames {
   }
 }
 
+/** One-row frame carrying a synthetic image map under column `im` — the
+  * shared probe seam of the maintained-index family: probes evaluate the
+  * SAME engine expressions the index applied to documents (signatures,
+  * shingles, tokens), so probe and index can never drift bit-for-bit the
+  * way a driver-side reimplementation could.
+  */
 private[sinks] object ImageProbes {
   def frame(spark: SparkSession, im: Map[String, String]): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -293,15 +293,19 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
       assert(sampled > 0 && sampled < full,
         s"sample must be a strict non-empty subset: $sampled of $full")
       // plant drift on a doc INSIDE the sample: doctor the committed
-      // state version, dropping that doc's signature rows
+      // state version, dropping that doc's signature rows. The victim's
+      // residue is DERIVED the same way assertConsistent derives it
+      // (rotating on the verified key) — a hardcoded residue would pass
+      // only while this test's applied interval stays where it is
       import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-      val victim = ids.find { id =>
-        spark.range(1).select(
-          pmod(xxhash64(lit(id)), lit(4L)).as("h")).head().getLong(0) == 0L
-      }.get
       val states = ix.md.stateLog
       val f = states.fs(spark)
       val key = states.latest(f).get
+      val rem = SampleResidues.of(key, 4)
+      val victim = ids.find { id =>
+        spark.range(1).select(
+          pmod(xxhash64(lit(id)), lit(4L)).as("h")).head().getLong(0) == rem
+      }.get
       val schema = ix.dist.init(spark).schema
       val doctored = states.read(spark, key, schema)
         .filter(col("v") =!= victim).localCheckpoint()

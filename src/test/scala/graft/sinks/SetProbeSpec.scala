@@ -194,9 +194,23 @@ class SetProbeSpec extends AnyFunSuite {
         probeFrame("p1" -> "apple", "p1" -> "banana"),
         "pid", "payload", k = 5).collect())
       assert(e.getMessage.contains("differing payloads"), e.getMessage)
+      // LSH and IVF enforce the same contract — and collapse exact
+      // duplicates the same way (bands_hit must NOT double, re-rank
+      // rows must not duplicate)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, Map("id" -> "t1",
+          "text" -> "the quick brown fox jumps over the lazy dog tonight",
+          "emb" -> "1,1")))), 1L)
       val lsh = new MaintainedLshIndex(sink, "public", "docs", "sduplsh",
         idKey = "id", textKey = "text", stateBuckets = 8)
       lsh.refresh(spark)
+      val probeText = "the quick brown fox jumps over the lazy dog tonight"
+      val lshDup = lsh.candidatesForAll(spark,
+        probeFrame("p1" -> probeText, "p1" -> probeText),
+        "pid", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+      assert(lshDup == Seq(("p1", "t1", 4)),
+        s"exact-duplicate probe must not double bands_hit: $lshDup")
       intercept[IllegalArgumentException](lsh.candidatesForAll(spark,
         probeFrame("p1" -> "five tokens of text here",
           "p1" -> "five other tokens right here"), "pid", "payload").collect())
@@ -204,6 +218,12 @@ class SetProbeSpec extends AnyFunSuite {
       val ivf = new MaintainedIvfIndex(sink, "public", "docs", "sdupivf",
         idKey = "id", embKey = "emb", centroids = cents, stateBuckets = 8)
       ivf.refresh(spark)
+      val ivfDup = ivf.searchTopKAll(spark,
+        probeFrame("p1" -> "1,2", "p1" -> "1,2"),
+        "pid", "payload", nprobe = 1, k = 5).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(ivfDup == Seq(("p1", "t1")),
+        s"exact-duplicate probe must not duplicate re-rank rows: $ivfDup")
       intercept[IllegalArgumentException](ivf.searchTopKAll(spark,
         probeFrame("p1" -> "1,1", "p1" -> "9,9"),
         "pid", "payload", nprobe = 1, k = 1).collect())
