@@ -226,6 +226,17 @@ private[sinks] final class BucketedStateLog(
     * references no slices; a slice racing gc is dropped from the sample
     * (a zero sentinel would deflate the median for that scrape).
     */
+  /** Modification time of one committed version's manifest — the cheap
+    * cross-process freshness token the skew-gauge memo keys on: an
+    * in-place rebuild recommit rewrites the manifest under the SAME
+    * version key, bumping this. -1 when the manifest vanished (gc
+    * race), which also forces a recompute.
+    */
+  def manifestMtime(f: FileSystem, key: (Long, Long)): Long =
+    try f.getFileStatus(
+      new Path(commitsDir, ManifestPrefix + nameOf(key))).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
+
   def bucketSizeStats(f: FileSystem, key: (Long, Long)): (Long, Long) = {
     val sizes = entries(f, key).values.toSeq.flatMap { rel =>
       // a slice racing gc is DROPPED from the sample, not counted as 0 —
@@ -316,18 +327,21 @@ private[sinks] object BucketedStateLog {
     */
   val StagingGraceMs: Long = 60L * 60 * 1000
 
-  private[sinks] def stagingGraceMs: Long =
-    // non-positive values are rejected LOUDLY, not honored: grace 0
-    // would let gc delete a LIVE write's staging dirs — the exact
-    // hazard the window exists to prevent, enabled by a typo'd knob
-    sys.props.get("graft.staging.grace.ms").flatMap(_.toLongOption) match {
-      case Some(ms) if ms > 0 => ms
-      case Some(bad) =>
+  // Parsed ONCE per JVM (the knob is a launch-time -D property): any
+  // present-but-invalid value — unparseable ("2h") or non-positive
+  // (grace 0 would let gc delete a LIVE write's staging dirs, the exact
+  // hazard the window exists to prevent) — is rejected with ONE warning,
+  // not honored and not silently swallowed per gc sweep.
+  private[sinks] lazy val stagingGraceMs: Long =
+    sys.props.get("graft.staging.grace.ms") match {
+      case Some(raw) => raw.toLongOption.filter(_ > 0).getOrElse {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "ignoring graft.staging.grace.ms={} (must be > 0 — a zero " +
-            "grace would let gc sweep a live write's staging dirs); " +
-            "using the default {} ms", bad.toString, StagingGraceMs.toString)
+          "ignoring graft.staging.grace.ms='{}' (must be a positive " +
+            "long of milliseconds — a zero grace would let gc sweep a " +
+            "live write's staging dirs); using the default {} ms",
+          raw, StagingGraceMs.toString)
         StagingGraceMs
+      }
       case None => StagingGraceMs
     }
 

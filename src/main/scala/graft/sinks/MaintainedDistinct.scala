@@ -67,8 +67,11 @@ final class MaintainedDistinct(
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
   private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
-  // (version key, (max, p50) slice bytes) of the last skew-gauge scrape
-  @volatile private var skewMemo: Option[((Long, Long), (Long, Long))] = None
+  // ((version key, manifest mtime), (max, p50) slice bytes) of the last
+  // skew-gauge scrape — the mtime token invalidates across processes
+  // and in-place rebuild recommits alike
+  @volatile private var skewMemo:
+    Option[(((Long, Long), Long), (Long, Long))] = None
 
   // The fingerprint is GENERATION-FILED, never overwritten in place:
   // `_fingerprint` is generation 0, updates write `_fingerprint.g<n+1>`
@@ -291,10 +294,6 @@ final class MaintainedDistinct(
           (0 until stateBuckets).toSet, None, key,
           dirTag = s".r${java.lang.Long.toHexString(System.nanoTime)}")
         fingerprint.foreach(writeFp(f, _))
-        // an in-place recommit changes slice sizes UNDER the same
-        // version key — the skew-gauge memo keyed on that key must not
-        // keep serving the pre-rebuild numbers
-        skewMemo = None
     }
   }
 
@@ -545,16 +544,20 @@ final class MaintainedDistinct(
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     // bucket-size skew: max vs median slice bytes of the served version —
     // a hot bucket (stop-term posting list, skewed hash) shows up here
-    // long before it becomes a read stall. Memoized per version key —
-    // slices of a committed version change only via rebuild's in-place
-    // recommit, which clears the memo — so steady-state scrapes (asof
-    // unchanged) cost zero listings instead of one per slice.
+    // long before it becomes a read stall. Memoized on (version key,
+    // manifest mtime): steady-state scrapes cost ONE getFileStatus
+    // instead of a listing per slice, while a rebuild's in-place
+    // recommit (same key, rewritten manifest) invalidates the memo in
+    // EVERY process at its next scrape — at most one in-flight scrape
+    // can store numbers raced by a recommit, and the mtime mismatch
+    // flushes them on the scrape after.
     val (mx, p50) = asOf.map { k =>
+      val token = (k, states.manifestMtime(f, k))
       skewMemo match {
-        case Some((`k`, cached)) => cached
+        case Some((`token`, cached)) => cached
         case _ =>
           val s = states.bucketSizeStats(f, k)
-          skewMemo = Some((k, s))
+          skewMemo = Some((token, s))
           s
       }
     }.getOrElse((0L, 0L))

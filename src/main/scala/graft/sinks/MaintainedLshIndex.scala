@@ -378,10 +378,13 @@ final class MaintainedLshIndex(
 }
 
 /** The rotating residue of the sampled equivalence checks: a MIXED hash
-  * of the verified interval's position modulo `sampleMod`, so a refresh
-  * loop advancing `pos` in any stride (including strides divisible by
-  * the modulus, where a plain `pos % mod` would pin one residue
-  * forever) still cycles through residue classes across horizons.
+  * of the verified interval's position modulo `sampleMod`. The mix is a
+  * deliberate trade: a plain `pos % mod` guarantees full residue
+  * coverage under stride-1 refresh loops but pins ONE residue forever
+  * whenever the stride divides the modulus; the mixed hash samples each
+  * class with probability ~1/mod per horizon under ANY stride — no
+  * stride can systematically skip a class, at the cost of a
+  * probabilistic (geometric-tail) rather than bounded detection delay.
   * byteswap64 is a pure, JVM-stable mixer.
   */
 private[sinks] object SampleResidues {

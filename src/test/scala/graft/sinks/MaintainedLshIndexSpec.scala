@@ -280,7 +280,8 @@ class MaintainedLshIndexSpec extends AnyFunSuite {
 
   test("sampled equivalence check is non-vacuous and still catches planted drift inside the sample") {
     withIndex { (sink, ix, _) =>
-      // ten docs so the 25% sample (xxhash64(id) % 4 == 0) is non-empty
+      // ten docs so the 25% sample (xxhash64(id) % 4 == the key-derived
+      // rotating residue) is non-empty
       val ids = (0 until 10).map(i => s"doc$i")
       sink.appendBatch(envelope(ids.zipWithIndex.map { case (id, i) =>
         ev(i + 1L, "insert", null, doc(id, TextA + " " + id))
