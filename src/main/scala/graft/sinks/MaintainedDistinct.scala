@@ -564,7 +564,9 @@ final class MaintainedDistinct(
     Seq(
       s"view_${name}_asof" -> asOf.map(_._2).getOrElse(-1L).toDouble,
       s"view_${name}_lag_batches" -> lag.toDouble,
-      s"view_${name}_bucket_max_bytes" -> mx.toDouble,
-      s"view_${name}_bucket_p50_bytes" -> p50.toDouble) ++ ops.gauges
+      // labeled (name-stable) so ONE dashboard panel plots every
+      // distinct-state maintainer's skew without knowing its name
+      ops.labeled("bucket_max_bytes", mx.toDouble),
+      ops.labeled("bucket_p50_bytes", p50.toDouble)) ++ ops.gauges
   }
 }

@@ -49,6 +49,13 @@ private[sinks] final class MaintainerOps(kind: String, name: String) {
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
   private def lbl(suffix: String) = s"""${kind}_$suffix{$kind="${esc(name)}"}"""
 
+  /** One extra labeled gauge in this maintainer's family — for facts a
+    * maintainer computes outside the refresh loop (e.g. the served
+    * version's bucket-size skew), rendered with the same
+    * deployment-stable NAME + label shape as the built-in series.
+    */
+  def labeled(suffix: String, v: Double): (String, Double) = lbl(suffix) -> v
+
   /** Labeled gauge suffixes for the `graft_lake_*` family. */
   def gauges: Seq[(String, Double)] = Seq(
     lbl("refresh_ms") -> lastRefreshMs,

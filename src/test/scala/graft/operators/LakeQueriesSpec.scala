@@ -125,8 +125,10 @@ class LakeQueriesSpec extends AnyFunSuite {
         explode(split(lower(bmText), "[^a-z]+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term", "o_orderkey").agg(count(lit(1)).as("tf"))
-      .agg(count(lit(1)).cast("long"), sum("tf").cast("long")).head()
-    val (bmPostings, bmTf) = (bmRow.getLong(0), bmRow.getLong(1))
+      .agg(count(lit(1)).cast("long"), sum("tf").cast("long"),
+        count_distinct(col("term")).cast("long")).head()
+    val (bmPostings, bmTf, bmVocab) =
+      (bmRow.getLong(0), bmRow.getLong(1), bmRow.getLong(2))
     // STRICT inequality: "lake" repeats in every subset text, so a tf
     // maintenance drift that collapses counts to 1 fails here (and the
     // oracle), not just in the index's own spec
@@ -147,6 +149,9 @@ class LakeQueriesSpec extends AnyFunSuite {
       .withColumn("ivf_c2", lit(cellCounts.getOrElse(2, 0L)))
       .withColumn("bm_postings", lit(bmPostings))
       .withColumn("bm_tf", lit(bmTf))
+      // the df view's vocabulary — its Σdf == postings tie is asserted
+      // inside the build; the count itself is hash-gated cross-engine
+      .withColumn("bm_vocab", lit(bmVocab))
       .orderBy("o_orderstatus")
     assertSame(got, want, "q_mv")
     // the gate must not be vacuous: churn must land postings in more

@@ -285,9 +285,11 @@ class MaintainedDistinctSpec extends AnyFunSuite {
       assert(g("""distinct_refresh_ms{distinct="nd_b"}""") > 0.0)
       assert(g("view_nd_b_asof") == 1.0)
       assert(g("view_nd_b_lag_batches") == 0.0)
-      // the skew gauge: served-version slice bytes, max >= median > 0
-      assert(g("view_nd_b_bucket_max_bytes") >= g("view_nd_b_bucket_p50_bytes"))
-      assert(g("view_nd_b_bucket_p50_bytes") > 0.0)
+      // the skew gauge: served-version slice bytes, max >= median > 0,
+      // labeled like the rest of the family so one panel plots them all
+      assert(g("""distinct_bucket_max_bytes{distinct="nd_b"}""") >=
+        g("""distinct_bucket_p50_bytes{distinct="nd_b"}"""))
+      assert(g("""distinct_bucket_p50_bytes{distinct="nd_b"}""") > 0.0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
