@@ -661,7 +661,7 @@ object SparkEntry {
                    o_custkey,
                    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
                  FROM orders)
-           WHERE o_orderkey % 13 <> 0),
+           WHERE o_orderkey % 13 <> 0 AND o_orderkey % 2 = 0),
          ivf AS (
            SELECT CAST(sum(CASE WHEN cell = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c0,
                   CAST(sum(CASE WHEN cell = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c1,

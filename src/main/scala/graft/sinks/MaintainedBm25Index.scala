@@ -163,8 +163,11 @@ final class MaintainedBm25Index(
     */
   def refresh(spark: SparkSession): Int = {
     val n = md.refresh(spark)
-    statsView.refresh(spark)
-    dfView.refresh(spark)
+    // the two companions are independent of EACH OTHER (own cursors, own
+    // state dirs) — only the postings-first ordering is load-bearing
+    MaintainerOps.inParallel(
+      () => statsView.refresh(spark),
+      () => dfView.refresh(spark))
     n
   }
 

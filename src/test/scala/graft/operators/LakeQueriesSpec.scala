@@ -102,7 +102,10 @@ class LakeQueriesSpec extends AnyFunSuite {
     // (3,3) (13,4) (8,14), ties to the lower cell) over the churned
     // orders' derived embedding — the Spark-side restatement of the
     // oracle SQL's ivf CTE
+    // the gate's DECLARED 50% subset (see the builder's gate-sizing
+    // comment), minus the churn's deletes
     val survivors = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 2 === 0)
       .filter(col("o_orderkey") % 13 =!= 0)
     val e1 = (col("o_orderkey") % 19).cast("double")
     val e2 = (p % 17).cast("double")
