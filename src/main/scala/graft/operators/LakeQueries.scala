@@ -283,10 +283,12 @@ object LakeQueries {
     // The gate maintains a DECLARED 50% subset of orders
     // (o_orderkey % 2 = 0, mirrored by the oracle's WHERE) — the same
     // gate-sizing rationale as q_mj's 25% (round-12 ask #7): this build
-    // runs FIVE seed folds and TEN cursor-refreshes over the churn span
-    // (seven maintainer cursors: view, distinct, ivf, lsh, bm's
-    // postings/stats/df), each proportional to the gate table, and the
-    // r17 verdict asked for prep_mv bounded (ask #4). Maintenance LOGIC
+    // advances SEVEN maintainer cursors (view, distinct, ivf, lsh, bm's
+    // postings/stats/df) through a seed fold apiece plus EIGHT
+    // churn-span cursor refreshes (view after batch 1, all seven after
+    // batch 2) and two sampled equivalence recomputes, each proportional
+    // to the gate table, and the r17 verdict asked for prep_mv bounded
+    // (ask #4). Maintenance LOGIC
     // coverage is unchanged — the same churn shapes hit the same code
     // paths on half the rows; full-table lake scale stays covered by
     // q_lake_state/q_lake_asof and the 10k-doc scale specs.

@@ -17,25 +17,6 @@ package graft.sinks
   * so the series NAME is deployment-stable and one dashboard panel plots
   * every maintainer of a kind without knowing its name.
   */
-private[graft] object MaintainerOps {
-  /** Run independent maintainer operations concurrently — each target is
-    * its own consumer (own cursor, own state dir), and Spark is built
-    * for concurrent job submission from multiple threads (a real
-    * deployment runs each maintainer's refresh loop as its own
-    * process). Exceptions propagate: every thread is joined, then the
-    * first failure is rethrown.
-    */
-  def inParallel(fs: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-    val ts = fs.map(f => new Thread(() => {
-      try f() catch { case t: Throwable => errs.add(t) }
-    }))
-    ts.foreach(_.start())
-    ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
-  }
-}
-
 private[sinks] final class MaintainerOps(kind: String, name: String) {
   @volatile private var lastRefreshMs: Double = -1
   @volatile private var lastSpanBatches: Double = 0
@@ -84,4 +65,31 @@ private[sinks] final class MaintainerOps(kind: String, name: String) {
     lbl("buckets_rewritten") -> lastBucketsRewritten,
     lbl("buckets_carried") -> lastBucketsCarried,
     lbl("batches_applied_total") -> applied.get.toDouble)
+}
+
+/** Independent-consumer concurrency for maintainer operations. */
+private[graft] object MaintainerOps {
+  /** Run independent maintainer operations concurrently — each target is
+    * its own consumer (own cursor, own state dir), and Spark is built
+    * for concurrent job submission from multiple threads (a real
+    * deployment runs each maintainer's refresh loop as its own
+    * process). Failure semantics: every thread is joined, then the
+    * first failure is rethrown with every OTHER failure attached as a
+    * suppressed exception — a concurrent drift detection must not
+    * vanish behind an unrelated sibling error.
+    */
+  def inParallel(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = fs.map(f => new Thread(() => {
+      try f() catch { case t: Throwable => errs.add(t) }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) {
+      val it = errs.iterator()
+      val first = it.next()
+      while (it.hasNext) first.addSuppressed(it.next())
+      throw first
+    }
+  }
 }
