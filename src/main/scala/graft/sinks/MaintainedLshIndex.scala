@@ -282,9 +282,19 @@ final class MaintainedLshIndex(
   def candidatesForAll(spark: SparkSession, probes: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val key = md.latestKey(spark)
-    val keys = ProbeFrames.unique(probes, idCol, textCol)
+    val pf = ProbeFrames.unique(probes, idCol, textCol)
       .select(col("probe_id"), sigArrayOfText(col("_payload")).as("sigs"))
       .filter(col("sigs").isNotNull)
+    candidateHitsAt(spark, key, pf)
+  }
+
+  /** The shared set-probe core: signatures → exploded (probe, band, sig)
+    * keys → bucket-pruned state join → per-(probe, id) band counts.
+    * `pf` carries (probe_id, sigs [, anything else]).
+    */
+  private def candidateHitsAt(spark: SparkSession,
+      key: Option[(Long, Long)], pf: DataFrame): DataFrame = {
+    val keys = pf
       .select(col("probe_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
       // materialized once: the frame feeds both the bucket-planning pull
       // and the join (re-deriving it would re-shingle every probe)
@@ -297,6 +307,40 @@ final class MaintainedLshIndex(
       .groupBy(col("probe_id"), col("v").as("id"))
       .agg(count(lit(1)).cast("int").as("bands_hit"))
       .select(col("probe_id"), col("id"), col("bands_hit"))
+  }
+
+  /** [[candidatesForAll]] FINISHED, like the point
+    * [[verifiedCandidatesFor]]: exact n-gram Jaccard between each
+    * probe's text and its candidates' CURRENT texts (fetched
+    * candidate-restricted at the SAME state version key), kept at or
+    * above `threshold` — still one job for N probes. One probe pass
+    * derives signatures AND shingles (sigArray derives from shingleArr,
+    * so a second pass would re-shingle for nothing). Returns
+    * (probe_id, id, bands_hit, jaccard); probes with short/absent text
+    * produce no rows.
+    */
+  def verifiedCandidatesForAll(spark: SparkSession, probes: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val key = md.latestKey(spark)
+    val pf = ProbeFrames.unique(probes, idCol, textCol)
+      .select(col("probe_id"),
+        sigArrayOfText(col("_payload")).as("sigs"),
+        shingleArrOfText(col("_payload")).as("psh"))
+      .filter(col("sigs").isNotNull)
+      // referenced by the hits core AND the Jaccard join
+      .localCheckpoint()
+    val cand = candidateHitsAt(spark, key, pf).localCheckpoint()
+    val docs = docShingles(spark, key,
+      cand.select(col("id").as("k")).distinct())
+    cand
+      .join(docs, Seq("id"))
+      .join(pf.select(col("probe_id"), col("psh")), Seq("probe_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("psh"))).cast("double") /
+          size(array_union(col("sh"), col("psh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("id"), col("bands_hit"), col("jaccard"))
   }
 
   /** [[candidatesFor]] finished: exact Jaccard between the probe text and

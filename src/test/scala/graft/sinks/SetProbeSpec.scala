@@ -167,6 +167,45 @@ class SetProbeSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("LSH verifiedCandidatesForAll == verifiedCandidatesFor per probe (exact Jaccard, thresholds)") {
+    val dir = Files.createTempDirectory("lake-setvlsh").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = new MaintainedLshIndex(sink, "public", "docs", "svlsh",
+        idKey = "id", textKey = "text", stateBuckets = 8)
+      val textA = "the quick brown fox jumps over the lazy dog tonight"
+      // near-dup of textA: shares most shingles, differs at the tail
+      val textN = "the quick brown fox jumps over the lazy dog yesterday"
+      def doc(id: String, t: String) = Map("id" -> id, "text" -> t)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", textA)),
+        ev(2, "insert", null, doc("n1", textN)))), 0L)
+      assert(ix.refresh(spark) == 1)
+      // churn so the verified fetch reads post-churn texts
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", null, doc("a2", textA)))), 1L)
+      assert(ix.refresh(spark) == 1)
+      val probes = Seq("p_a" -> textA, "p_short" -> "too few tokens")
+      for (th <- Seq(0.5, 0.95)) {
+        val got = ix.verifiedCandidatesForAll(spark, probeFrame(probes: _*),
+          "pid", "payload", threshold = th).collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (r.getInt(2), r.getDouble(3))).toMap
+        val want = probes.flatMap { case (p, t) =>
+          ix.verifiedCandidatesFor(spark, t, th).collect()
+            .map(r => (p, r.getString(0)) -> (r.getInt(1), r.getDouble(2)))
+        }.toMap
+        assert(got == want, s"threshold $th: $got vs $want")
+      }
+      // the 0.95 threshold keeps only the exact dups; 0.5 admits the
+      // near-dup with its exact Jaccard
+      val tight = ix.verifiedCandidatesForAll(spark,
+        probeFrame(probes: _*), "pid", "payload", 0.95).collect()
+        .map(r => r.getString(1)).toSet
+      assert(tight == Set("a1", "a2"), s"$tight")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("duplicate probe ids: exact duplicates collapse, differing payloads refuse") {
     val dir = Files.createTempDirectory("lake-setdup").toString
     try {
