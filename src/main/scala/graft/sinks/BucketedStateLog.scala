@@ -238,7 +238,13 @@ private[sinks] final class BucketedStateLog(
     catch { case _: java.io.FileNotFoundException => -1L }
 
   def bucketSizeStats(f: FileSystem, key: (Long, Long)): (Long, Long) = {
-    val sizes = entries(f, key).values.toSeq.flatMap { rel =>
+    // the manifest itself can vanish under a rebuild's in-place recommit
+    // (the same window manifestMtime tolerates) — a metrics scrape must
+    // degrade to (0, 0), never crash the ops endpoint
+    val refs =
+      try entries(f, key).values.toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val sizes = refs.flatMap { rel =>
       // a slice racing gc is DROPPED from the sample, not counted as 0 —
       // a zero sentinel would deflate the median and inflate apparent
       // skew for that scrape

@@ -70,7 +70,7 @@ final class MaintainedBm25Index(
     * 1-group maintained aggregate. Token-less/absent-text docs land in
     * the NULL group, which [[corpusStats]] filters out.
     */
-  private val statsView = new MaintainedView(lake,
+  private[sinks] val statsView = new MaintainedView(lake,
     new IncrementalAgg(
       group = Seq("corpus" -> (im =>
         when(size(termsOf(im)) >= 1, lit("all")))),
@@ -91,7 +91,7 @@ final class MaintainedBm25Index(
     * refresh over a pre-existing postings state (upgrade path: until
     * then, [[search]] simply skips the pruning).
     */
-  private val dfView = new MaintainedView(lake,
+  private[sinks] val dfView = new MaintainedView(lake,
     new IncrementalAgg(
       group = Seq("term" -> (im => element_at(im, "term"))), sums = Nil),
     schemaName, table, s"${name}_df", stateBuckets = stateBuckets,
@@ -197,7 +197,7 @@ final class MaintainedBm25Index(
     */
   private def corpusStatsAt(spark: SparkSession,
       key: Option[(Long, Long)]): (Long, Double) = {
-    val sKey = key.flatMap(k => statsView.latestKeyWithin(spark, k))
+    val sKey = companionKey(statsView, spark, key)
     val rows = statsView.readAt(spark, sKey).filter(col("corpus") === "all")
       .select(col("n").cast("long"), col("sum_len").cast("long")).collect()
     rows.headOption.map(r => (r.getLong(0),
@@ -210,9 +210,26 @@ final class MaintainedBm25Index(
     */
   def termDfs(spark: SparkSession): DataFrame = {
     val key = md.latestKey(spark) // fingerprint guard rides along
-    dfView.readAt(spark, key.flatMap(k => dfView.latestKeyWithin(spark, k)))
+    dfView.readAt(spark, companionKey(dfView, spark, key))
       .select(col("term"), col("n").cast("long").as("df"))
   }
+
+  /** The companion-view version a postings-pinned read should serve:
+    * the newest version WITHIN the postings interval (the normal case —
+    * companions refresh after the postings, so their versions lie
+    * inside), falling back to the companion's plain latest when none is
+    * within. The fallback covers the AHEAD race: a lake batch committing
+    * between `md.refresh` and the companion's refresh makes the
+    * companion's (first) version extend past the postings interval —
+    * serving the slightly-newer stats/df there is the pre-pinning
+    * semantics and strictly better than serving an empty frame (which
+    * would turn every search into an empty result until the postings
+    * catch up).
+    */
+  private def companionKey(view: MaintainedView, spark: SparkSession,
+      postingsKey: Option[(Long, Long)]): Option[(Long, Long)] =
+    postingsKey.flatMap(k => view.latestKeyWithin(spark, k))
+      .orElse(view.latestKeyAny(spark))
 
   /** The query terms surviving the df cap: terms whose df view entry
     * exceeds `dfCap` are dropped BEFORE their posting lists are read —
@@ -230,7 +247,7 @@ final class MaintainedBm25Index(
       dfCap: Long): Seq[String] = {
     if (dfCap == Long.MaxValue || terms.isEmpty) return terms
     require(dfCap > 0, s"dfCap must be positive, got $dfCap")
-    val dKey = key.flatMap(k => dfView.latestKeyWithin(spark, k))
+    val dKey = companionKey(dfView, spark, key)
     if (dKey.isEmpty) return terms
     val buckets = terms.map(t => dfView.stateLog.bucketOf(Seq(
       (t, org.apache.spark.sql.types.StringType)))).toSet
@@ -387,10 +404,11 @@ final class MaintainedBm25Index(
       .select(col("probe_id"), explode(col("qts")).as("term"))
       .localCheckpoint()
     // the df cap, set-wise: pinned to the df view version within the
-    // postings interval; absent (pre-df-era state) → no pruning
+    // postings interval (with [[companionKey]]'s ahead-race fallback);
+    // absent entirely (pre-df-era state) → no pruning
     val dKey =
       if (dfCap == Long.MaxValue) None
-      else key.flatMap(kk => dfView.latestKeyWithin(spark, kk))
+      else companionKey(dfView, spark, key)
     val pterms = dKey match {
       case None => pterms0
       case Some(_) =>

@@ -372,6 +372,17 @@ final class MaintainedView(
       from: (Long, Long)): Option[(Long, Long)] =
     states.latestWithin(states.fs(spark), from)
 
+  /** The newest committed state version regardless of interval —
+    * composite readers fall back to this when NO version lies within
+    * their primary key (the companion ran AHEAD: a batch committed
+    * between the primary's refresh and this view's, and this view's
+    * only version covers it) — serving the slightly-newer companion is
+    * the pre-pinning semantics and strictly better than serving
+    * nothing. Bucketed-log versions only.
+    */
+  private[sinks] def latestKeyAny(spark: SparkSession): Option[(Long, Long)] =
+    states.latest(states.fs(spark))
+
   /** [[read]] pinned to an explicit version key from [[latestKeyWithin]]
     * (empty view shape for `None`). Bucketed-log versions only.
     */

@@ -84,7 +84,20 @@ private[graft] object MaintainerOps {
       try f() catch { case t: Throwable => errs.add(t) }
     }))
     ts.foreach(_.start())
-    ts.foreach(_.join())
+    // join EVERY thread even if the caller is interrupted mid-join:
+    // abandoning live refresh threads would let them run on after the
+    // caller unwinds, violating the single-writer quiesce assumption a
+    // subsequent rebuild depends on. The interrupt flag is restored
+    // after the last join so cancellation still propagates.
+    var interrupted = false
+    ts.foreach { t =>
+      var joined = false
+      while (!joined) {
+        try { t.join(); joined = true }
+        catch { case _: InterruptedException => interrupted = true }
+      }
+    }
+    if (interrupted) Thread.currentThread().interrupt()
     if (!errs.isEmpty) {
       val it = errs.iterator()
       val first = it.next()

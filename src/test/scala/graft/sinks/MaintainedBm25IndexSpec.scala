@@ -314,6 +314,41 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
     ix.search(spark, q, 10, dfCap).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
+  test("companion-ahead race: a batch landing between postings and companion refreshes must not empty the search") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      val ix = mkIndex(sink)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "apple banana")))), 0L)
+      // simulate the race: postings apply batch 0, then batch 1 commits,
+      // THEN the companions refresh — their only version covers (0, 1),
+      // which lies OUTSIDE the postings' (0, 0) interval
+      assert(ix.md.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", null, doc("b", "apple cherry")))), 1L)
+      ix.statsView.refresh(spark)
+      ix.dfView.refresh(spark)
+      // pinned-within finds nothing; the fallback serves the companions'
+      // (slightly ahead) latest instead of emptying every result —
+      // pre-fix this returned zero rows and termDfs an empty frame
+      val hits = got(ix, "apple")
+      assert(hits.map(_._1) == Seq("a"),
+        s"search must serve from the ahead companions, got $hits")
+      val dfs = ix.termDfs(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfs("apple") == 2L, s"df view (ahead) must serve: $dfs")
+      // the capped path must also survive the race (df gate reads the
+      // ahead version, postings still at batch 0)
+      assert(ix.search(spark, "apple", 10, dfCap = 5L).collect()
+        .map(_.getString(0)).toSeq == Seq("a"))
+      // convergence: the next full refresh realigns every cursor
+      assert(ix.refresh(spark) == 1)
+      assertSearch(ix,
+        Map("a" -> "apple banana", "b" -> "apple cherry"), "apple cherry")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("length normalization: equal tf, shorter document scores higher") {
     val dir = Files.createTempDirectory("lake-bm25").toString
     try {
