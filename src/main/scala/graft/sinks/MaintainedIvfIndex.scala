@@ -46,7 +46,23 @@ final class MaintainedIvfIndex(
     idKey: String, embKey: String,
     /** The trained centroid model, cell index = position. */
     centroids: Seq[Seq[Float]],
-    stateBuckets: Int = 16) {
+    stateBuckets: Int = 16,
+    /** Optional PRODUCT-QUANTIZATION codebooks (subspace → codeword →
+      * sub-vector; sub-vector widths must sum to the embedding dim).
+      * When set, each posting carries the doc's PQ code alongside its id
+      * — the value the refcount state counts becomes `struct(id, code)`,
+      * still deterministic per image, so maintenance (retraction, crash
+      * replay, rebuild) is inherited unchanged — and the ADC reads
+      * ([[searchTopKAdc]]/[[searchTopKAllAdc]]) shortlist candidates
+      * from the POSTINGS ALONE before the exact fetch. At 100 TB that is
+      * the difference between fetching every candidate's embedding
+      * through the lake's key-restricted fold (candidate-proportional
+      * random reads — the expensive half of [[searchTopK]]) and fetching
+      * only the `shortlist` ADC survivors. Codes are part of the model:
+      * the fingerprint hashes codebook CONTENT, so retrained codebooks
+      * refuse a mismatched open exactly like retrained centroids.
+      */
+    pqBooks: Option[Seq[Seq[Seq[Float]]]] = None) {
 
   require(centroids.nonEmpty, "at least one centroid")
   require(centroids.map(_.size).distinct.size == 1,
@@ -54,24 +70,53 @@ final class MaintainedIvfIndex(
 
   private val dim = centroids.head.size
 
+  pqBooks.foreach { books =>
+    require(books.nonEmpty, "pqBooks: at least one subspace")
+    books.zipWithIndex.foreach { case (bk, m) =>
+      require(bk.nonEmpty, s"pqBooks: subspace $m has no codewords")
+      require(bk.map(_.size).distinct.size == 1,
+        s"pqBooks: subspace $m codewords must share one width")
+    }
+    require(books.map(_.head.size).sum == dim,
+      s"pqBooks: sub-vector widths ${books.map(_.head.size)} must sum " +
+        s"to the embedding dim $dim")
+  }
+
+  /** 1-based slice offset of subspace `m` within the embedding. */
+  private def pqOffsets: Seq[Int] =
+    pqBooks.get.map(_.head.size).scanLeft(0)(_ + _)
+
   private val dist = new IncrementalDistinct(
     group = Seq("cell" -> (im => element_at(im, "cell").cast("int"))),
     name = "docs",
-    value = im => element_at(im, "id"))
+    value = pqBooks match {
+      case None => im => element_at(im, "id")
+      case Some(_) => im =>
+        // struct(id, code): struct-of-nulls is NOT null, so guard
+        // explicitly — a null id must drop the contribution exactly as
+        // the plain-id mode's null value does
+        when(element_at(im, "id").isNotNull &&
+            element_at(im, "code").isNotNull,
+          struct(element_at(im, "id").as("id"),
+            element_at(im, "code").as("code")))
+    })
 
   /** Content hash of the centroid model (float bit patterns in cell
     * order) — retrained centroids change it even when count/dim match.
     */
-  private val centroidHash: String = {
-    val mdg = java.security.MessageDigest.getInstance("SHA-256")
-    val bb = java.nio.ByteBuffer.allocate(4)
-    centroids.foreach(_.foreach { x =>
-      bb.clear(); bb.putFloat(x); mdg.update(bb.array(), 0, 4)
-    })
-    mdg.digest().take(12).map(b => f"$b%02x").mkString
-  }
+  private val centroidHash: String = MaintainedIvfIndex.floatHash(centroids)
 
-  private val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
+  /** Content hash of the PQ codebooks (subspace count + per-subspace
+    * codeword floats) — retrained codebooks change it even at equal
+    * shape, same contract as [[centroidHash]].
+    */
+  private def pqHash(books: Seq[Seq[Seq[Float]]]): String =
+    // shape rows interleave with the content so regrouping the same
+    // floats into different subspaces cannot collide
+    MaintainedIvfIndex.floatHash(books.flatMap(bk =>
+      Seq(Seq(bk.size.toFloat, bk.head.size.toFloat)) ++ bk))
+
+  private[sinks] val md = new MaintainedDistinct(lake, dist, schemaName, table, name,
     stateBuckets, transform = assignCells,
     // assignment is a function of the centroid CONTENT (and the id/emb
     // keys); opening an existing state with retrained centroids would
@@ -80,7 +125,11 @@ final class MaintainedIvfIndex(
     // [[rebuild]] migrates (r16 verdict "What's wrong" #1).
     fingerprint = Some(s"ivf dim=$dim cells=${centroids.size} " +
       s"idKey=$idKey embKey=$embKey buckets=$stateBuckets " +
-      s"centroids=$centroidHash"))
+      s"centroids=$centroidHash" +
+      // absent for plain postings, so pre-PQ state dirs keep their
+      // exact fingerprint string; a PQ index over a plain-posting state
+      // (or changed codebooks) refuses and rebuild() migrates
+      pqBooks.fold("")(b => s" pq=${pqHash(b)}")))
 
   /** Full re-assignment of the current corpus under THIS instance's
     * centroids, adopting their fingerprint — the prescribed migration
@@ -115,10 +164,10 @@ final class MaintainedIvfIndex(
     * contribution) when the embedding is absent or mis-dimensioned.
     */
   private def cellOf(im: Column): Column = {
-    // try_cast: an unparseable component must degrade to "no usable
-    // embedding" (ANSI cast would fail the whole refresh on one bad row)
-    val v = transform(split(element_at(im, embKey), ","),
-      s => s.try_cast("float"))
+    // try_cast (inside parsedVec): an unparseable component must degrade
+    // to "no usable embedding" (ANSI cast would fail the whole refresh
+    // on one bad row)
+    val v = parsedVec(im)
     val cents = typedLit(centroids)
     val dists = transform(cents, c => sqDist(v, c))
     when(element_at(im, embKey).isNotNull && size(v) === dim &&
@@ -126,15 +175,43 @@ final class MaintainedIvfIndex(
       (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
-  /** Envelope→envelope: images reduce to {id, cell}; a side with no
-    * usable embedding becomes NULL, so edits onto/off a missing embedding
-    * degrade to the pure insert/delete they are.
+  /** The image's parsed float-array embedding (see [[cellOf]] for the
+    * try_cast degradation contract) — the one parse [[cellOf]] and
+    * [[codeOf]] share.
+    */
+  private def parsedVec(im: Column): Column =
+    transform(split(element_at(im, embKey), ","), s => s.try_cast("float"))
+
+  /** The image's PQ code — per subspace, argmin squared-L2 codeword
+    * (ties to the lower code, [[cellOf]]'s determinism recipe), joined
+    * comma-separated. Deterministic per image, so a retraction derives
+    * exactly the code its insert posted. Evaluated only under
+    * [[cellOf]]'s usable-embedding guard.
+    */
+  private def codeOf(im: Column): Column = {
+    val v = parsedVec(im)
+    val parts = pqBooks.get.zipWithIndex.map { case (bk, m) =>
+      val sub = slice(v, pqOffsets(m) + 1, bk.head.size)
+      val dists = transform(typedLit(bk), c => sqDist(sub, c))
+      ((array_position(dists, array_min(dists)) - 1).cast("int")).cast("string")
+    }
+    concat_ws(",", parts: _*)
+  }
+
+  /** Envelope→envelope: images reduce to {id, cell} (plus {code} under
+    * PQ); a side with no usable embedding becomes NULL, so edits onto/off
+    * a missing embedding degrade to the pure insert/delete they are.
     */
   private def assignCells(env: DataFrame): DataFrame = {
     def img(im: Column, cell: Column): Column =
-      when(im.isNotNull && cell.isNotNull, map(
-        lit("id"), element_at(im, idKey),
-        lit("cell"), cell.cast("string")))
+      when(im.isNotNull && cell.isNotNull,
+        if (pqBooks.isEmpty) map(
+          lit("id"), element_at(im, idKey),
+          lit("cell"), cell.cast("string"))
+        else map(
+          lit("id"), element_at(im, idKey),
+          lit("cell"), cell.cast("string"),
+          lit("code"), codeOf(im)))
     env
       .withColumn("before", img(col("before"), cellOf(col("before"))))
       .withColumn("after", img(col("after"), cellOf(col("after"))))
@@ -170,7 +247,8 @@ final class MaintainedIvfIndex(
 
   /** IVF candidate ids for a query embedding: assign to `nprobe` nearest
     * cells on the driver, read ONLY those cells' state-log buckets, and
-    * return the posting ids (`id`, `cell`). Exact re-rank downstream.
+    * return the posting ids (`id`, `cell` — plus `code` under PQ).
+    * Exact re-rank downstream.
     */
   def search(spark: SparkSession, query: Seq[Float], nprobe: Int): DataFrame =
     searchAt(spark, md.latestKey(spark), query, nprobe)
@@ -180,9 +258,11 @@ final class MaintainedIvfIndex(
     val cells = nearestCells(query, nprobe)
     val buckets = cells.map(c => md.stateLog.bucketOf(
       Seq((c, org.apache.spark.sql.types.IntegerType)))).toSet
-    md.entriesBucketsAt(spark, key, buckets)
+    val rows = md.entriesBucketsAt(spark, key, buckets)
       .filter(col("cell").isin(cells: _*))
-      .select(col("v").as("id"), col("cell"))
+    if (pqBooks.isEmpty) rows.select(col("v").as("id"), col("cell"))
+    else rows.select(col("v.id").as("id"), col("cell"),
+      col("v.code").as("code"))
   }
 
   /** [[search]] FINISHED the way the batch `q_ann_ivf` pipeline finishes
@@ -220,6 +300,69 @@ final class MaintainedIvfIndex(
       .limit(k)
   }
 
+  /** ADC (asymmetric-distance) approximation of ‖probe − doc‖² computed
+    * from the posting's CODE alone — Σ over subspaces of squared L2
+    * between the probe's sub-vector and the doc's codeword, in the
+    * engine's arithmetic family ([[sqDist]]), summed in fixed
+    * left-to-right subspace order so the value is deterministic. The
+    * corpus vector is never read.
+    */
+  private def adcApprox(qv: Column, codeCol: Column): Column = {
+    val codes = split(codeCol, ",")
+    pqBooks.get.zipWithIndex.map { case (bk, m) =>
+      val sub = slice(qv, pqOffsets(m) + 1, bk.head.size)
+      sqDist(sub, element_at(typedLit(bk),
+        element_at(codes, m + 1).cast("int") + 1))
+    }.reduceLeft(_ + _)
+  }
+
+  /** [[searchTopK]] with a PQ/ADC SHORTLIST between the posting read and
+    * the exact re-rank — the read shape that survives 100 TB: the
+    * probed cells of a billion-document index can hold millions of
+    * candidates, and [[searchTopK]] fetches every one's embedding
+    * through the lake's key-restricted fold (candidate-proportional
+    * random reads). Here the candidates rank FIRST by ADC distance
+    * computed from the posting rows alone ([[adcApprox]] — the postings
+    * already carry the codes; no corpus access), and only the
+    * `shortlist` survivors pay the exact fetch — the expensive read
+    * drops from candidate-proportional to shortlist-proportional.
+    *
+    * APPROXIMATE by contract: the true k-th neighbor can fall outside
+    * the shortlist when quantization error reorders near-equal
+    * distances (the standard IVF-PQ recall/cost dial — raise
+    * `shortlist` for recall, lower it for cost; the batch `q_ann_pq`
+    * pipeline measures the same tradeoff). The k survivors ARE exactly
+    * re-ranked: scores in the output are true distances, ties on id.
+    * Requires `pqBooks`.
+    */
+  def searchTopKAdc(spark: SparkSession, query: Seq[Float], nprobe: Int,
+      k: Int, shortlist: Int): DataFrame = {
+    require(pqBooks.nonEmpty, "searchTopKAdc needs pqBooks — construct " +
+      "the index with codebooks (or use the exact searchTopK)")
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(query.size == dim, s"query dim ${query.size} != $dim")
+    val key = md.latestKey(spark)
+    // one job, bounded by the shortlist: the ADC sort sees only the
+    // probed buckets' posting rows
+    val short = searchAt(spark, key, query, nprobe)
+      .withColumn("approx", adcApprox(typedLit(query), col("code")))
+      .orderBy(col("approx").asc, col("id").asc)
+      .limit(shortlist)
+      .select("id")
+      .localCheckpoint()
+    val docs = md.corpusAsOf(spark, key,
+      Some(short.select(col("id").as("k")).distinct()))
+    val v = transform(split(element_at(col("after"), embKey), ","),
+      s => s.try_cast("float"))
+    val dist = sqDist(v, typedLit(query))
+    docs
+      .select(element_at(col("after"), idKey).as("id"), dist.as("dist"))
+      .join(short, Seq("id"), "left_semi")
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
+
   /** The corpus' current usable embeddings (id, v float array) as of the
     * index's applied interval — the shared read of the drift gauge and
     * the retrainer.
@@ -249,6 +392,48 @@ final class MaintainedIvfIndex(
     val r = corpusVectors(spark)
       .agg(avg(array_min(dists))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** [[quantizationError]]'s sibling for the PQ codebooks: mean squared
+    * L2 between each corpus embedding and its PQ RECONSTRUCTION
+    * (Σ over subspaces of the distance to the nearest codeword — the
+    * exact error ADC scoring carries per doc). Rising reconstruction
+    * error means drifted codebooks are reordering ADC shortlists away
+    * from the true neighbors; the documented loop re-checks it on a
+    * cadence and runs [[retrainCodebooksAndRebuild]] past tolerance.
+    * One offline corpus fold in the engine's arithmetic family; 0.0 on
+    * an empty corpus. Requires `pqBooks`.
+    */
+  def pqReconstructionError(spark: SparkSession): Double = {
+    require(pqBooks.nonEmpty,
+      "pqReconstructionError needs pqBooks — this index has no codebooks")
+    val err = pqBooks.get.zipWithIndex.map { case (bk, m) =>
+      val sub = slice(col("v"), pqOffsets(m) + 1, bk.head.size)
+      array_min(transform(typedLit(bk), c => sqDist(sub, c)))
+    }.reduceLeft(_ + _)
+    val r = corpusVectors(spark).agg(avg(err)).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The composed CODEBOOK retrain workflow — [[retrainAndRebuild]]'s
+    * sibling when [[pqReconstructionError]] (not the centroid drift
+    * gauge) trips: train fresh codebooks from the lake's current state,
+    * construct the successor under them (same centroids — cell
+    * assignment is untouched by code drift), and run the crash-safe
+    * [[rebuild]]. Returns the successor; every holder of the old books
+    * refuses from the marker on. Run with the refresh loop quiesced.
+    */
+  def retrainCodebooksAndRebuild(spark: SparkSession, subspaces: Int,
+      codewords: Int, iters: Int = 3): MaintainedIvfIndex = {
+    require(pqBooks.nonEmpty,
+      "retrainCodebooksAndRebuild migrates an existing PQ index; " +
+        "construct with pqBooks first")
+    val trained = trainCodebooksFromCorpus(spark, subspaces, codewords, iters)
+    val next = new MaintainedIvfIndex(lake, schemaName, table, name,
+      idKey = idKey, embKey = embKey, centroids = centroids,
+      stateBuckets = stateBuckets, pqBooks = Some(trained))
+    next.rebuild(spark)
+    next
   }
 
   /** Deterministic Lloyd's k-means over the lake's CURRENT embeddings —
@@ -307,11 +492,70 @@ final class MaintainedIvfIndex(
   def retrainAndRebuild(spark: SparkSession, kCells: Int,
       iters: Int = 3): MaintainedIvfIndex = {
     val trained = trainCentroidsFromCorpus(spark, kCells, iters)
+    // codes quantize the raw embedding, independent of cell assignment —
+    // the codebooks carry over; retrain them separately with
+    // trainCodebooksFromCorpus when ADC recall drifts
     val next = new MaintainedIvfIndex(lake, schemaName, table, name,
       idKey = idKey, embKey = embKey, centroids = trained,
-      stateBuckets = stateBuckets)
+      stateBuckets = stateBuckets, pqBooks = pqBooks)
     next.rebuild(spark)
     next
+  }
+
+  /** Deterministic per-subspace Lloyd's over the lake's CURRENT
+    * embeddings — [[trainCentroidsFromCorpus]]'s recipe applied to PQ
+    * codebooks (xxhash64-seeded draw, literal codewords per iteration,
+    * per-(subspace, code, dim) means rounded to 6 decimals, empty codes
+    * keep their codeword). All subspaces train in ONE job per
+    * iteration: the per-row explode to (subspace, code, sub-vector)
+    * keeps a single map-side-combinable shuffle whose aggregate state
+    * is subspaces × codewords × width sums; only the rounded means
+    * reach the driver. The effective codeword count is
+    * min(`codewords`, corpus size) — same seeding contract as the
+    * centroid trainer.
+    */
+  def trainCodebooksFromCorpus(spark: SparkSession, subspaces: Int,
+      codewords: Int, iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+    require(subspaces > 0 && dim % subspaces == 0,
+      s"subspaces ($subspaces) must divide the embedding dim ($dim)")
+    require(codewords > 0, s"codewords must be positive, got $codewords")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val w = dim / subspaces
+    val docs = corpusVectors(spark).persist()
+    try {
+      val seed = docs.orderBy(xxhash64(col("id")), col("id")).limit(codewords)
+        .select("v").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(seed.nonEmpty, "cannot train codebooks on an empty corpus")
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(subspaces)(m => seed.map(_.slice(m * w, (m + 1) * w)))
+      val dimAvgs = (0 until w).map(i =>
+        round(avg(element_at(col("x"), i + 1)), 6).as(s"w$i"))
+      for (_ <- 1 to iters) {
+        val parts = (0 until subspaces).map { m =>
+          val bl = typedLit(books(m).map(_.map(_.toFloat).toSeq).toSeq)
+          val sub = slice(col("v"), m * w + 1, w)
+          val dists = transform(bl, c => sqDist(sub, c))
+          struct(lit(m).as("m"),
+            (array_position(dists, array_min(dists)) - 1).cast("int").as("code"),
+            sub.as("x"))
+        }
+        val means = docs.select(explode(array(parts: _*)).as("p"))
+          .select(col("p.m").as("m"), col("p.code").as("code"),
+            col("p.x").as("x"))
+          .groupBy("m", "code").agg(dimAvgs.head, dimAvgs.tail: _*)
+          .collect()
+        val byKey = means.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+        books = Array.tabulate(subspaces)(m =>
+          Array.tabulate(books(m).length) { ci =>
+            byKey.get((m, ci)) match {
+              case Some(r) => Array.tabulate(w)(i => r.getDouble(i + 2))
+              case None => books(m)(ci)
+            }
+          })
+      }
+      books.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq
+    } finally docs.unpersist(blocking = true)
   }
 
   /** SET-ORIENTED [[searchTopK]]: exact-re-ranked top-k for EVERY probe
@@ -361,7 +605,8 @@ final class MaintainedIvfIndex(
     // and the re-rank join — without it the bucket read would run twice
     val cand = md.entriesBucketsAt(spark, key, probed)
       .join(probeCells, Seq("cell"))
-      .select(col("probe_id"), col("v").as("id"))
+      .select(col("probe_id"),
+        (if (pqBooks.isEmpty) col("v") else col("v.id")).as("id"))
       .localCheckpoint()
     val dv = transform(split(element_at(col("after"), embKey), ","),
       s => s.try_cast("float"))
@@ -379,6 +624,88 @@ final class MaintainedIvfIndex(
       .select(col("probe_id"), col("id"), col("dist"))
   }
 
+  /** [[searchTopKAll]] with the PQ/ADC shortlist of [[searchTopKAdc]] —
+    * the nightly-pipeline set read at the 100 TB cost shape: candidates
+    * for ALL probes rank by ADC distance computed engine-side from the
+    * probe vector and the posting's code (one windowed rank per probe;
+    * no corpus access), and only each probe's `shortlist` survivors
+    * enter the exact re-rank fetch. Same approximation contract as
+    * [[searchTopKAdc]]; identical arithmetic family, so set output ==
+    * the per-probe [[searchTopKAdc]] loop. Returns (probe_id, id, dist).
+    */
+  def searchTopKAllAdc(spark: SparkSession, probes: DataFrame,
+      idCol: String, embCol: String, nprobe: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    require(pqBooks.nonEmpty, "searchTopKAllAdc needs pqBooks — construct " +
+      "the index with codebooks (or use the exact searchTopKAll)")
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val key = md.latestKey(spark)
+    val v = transform(split(col("_payload"), ","), s => s.try_cast("float"))
+    val pv = ProbeFrames.unique(probes, idCol, embCol)
+      .select(col("probe_id"),
+        when(col("_payload").isNotNull && size(v) === dim &&
+          !exists(v, x => x.isNull), v).as("qv"))
+      .filter(col("qv").isNotNull)
+      .localCheckpoint()
+    val cents = typedLit(centroids)
+    val cellsOf = transform(cents, (c, i) => struct(
+      sqDist(col("qv"), c).as("d"), i.as("cell")))
+    val probeCells = pv
+      .select(col("probe_id"),
+        explode(slice(array_sort(cellsOf), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("pc.cell").cast("int").as("cell"))
+      .localCheckpoint()
+    val probed = probeCells
+      .select(md.stateLog.bucketExpr(Seq(col("cell"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("approx").asc, col("id").asc)
+    // the shortlist rank sees only posting rows + the probe vector —
+    // checkpointed because it feeds both the restricted fetch and the
+    // re-rank join
+    val short = md.entriesBucketsAt(spark, key, probed)
+      .join(probeCells, Seq("cell"))
+      .select(col("probe_id"), col("v.id").as("id"),
+        col("v.code").as("code"))
+      .join(pv, Seq("probe_id"))
+      .withColumn("approx", adcApprox(col("qv"), col("code")))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= shortlist)
+      .select(col("probe_id"), col("id"))
+      .localCheckpoint()
+    val dv = transform(split(element_at(col("after"), embKey), ","),
+      s => s.try_cast("float"))
+    val docs = md.corpusAsOf(spark, key,
+        Some(short.select(col("id").as("k")).distinct()))
+      .select(element_at(col("after"), idKey).as("id"), dv.as("dv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("dist").asc, col("id").asc)
+    short
+      .join(docs, Seq("id"))
+      .join(pv, Seq("probe_id"))
+      .withColumn("dist", sqDist(col("dv"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("id"), col("dist"))
+  }
+
   /** Ops gauges — the underlying maintainer's family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = md.gauges(spark)
+}
+
+object MaintainedIvfIndex {
+  /** SHA-256 prefix over float bit patterns in sequence order — the
+    * content-hash primitive the centroid and codebook fingerprints
+    * share.
+    */
+  private[sinks] def floatHash(rows: Seq[Seq[Float]]): String = {
+    val mdg = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    rows.foreach(_.foreach { x =>
+      bb.clear(); bb.putFloat(x); mdg.update(bb.array(), 0, 4)
+    })
+    mdg.digest().take(12).map(b => f"$b%02x").mkString
+  }
 }

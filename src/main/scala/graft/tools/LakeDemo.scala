@@ -166,6 +166,18 @@ object LakeDemo {
       catch { case _: IllegalStateException => true }
     println(f"-- IVF retrain loop: qerr $qe0%.3f -> $qe1%.3f " +
       s"(old instance refuses=$oldRefuses)")
+    // PQ mode: postings carry {id, code}; ADC ranks candidates from the
+    // posting rows alone, and only the shortlist pays the exact fetch
+    val pq = new graft.sinks.MaintainedIvfIndex(
+      lake, "public", "docs", "demo_ivfpq", idKey = "id", embKey = "emb",
+      centroids = Seq(Seq(0f, 0f), Seq(10f, 10f)),
+      pqBooks = Some(Seq(Seq(Seq(0f), Seq(10f)), Seq(Seq(0f), Seq(10f)))))
+    pq.refresh(spark)
+    val adc = pq.searchTopKAdc(spark, Seq(10f, 10f), nprobe = 1, k = 2,
+        shortlist = 2).collect()
+      .map(r => f"${r.getString(0)}@${r.getDouble(1)}%.2f").mkString(",")
+    println(f"-- IVF-PQ: recon=${pq.pqReconstructionError(spark)}%.3f " +
+      s"adc-topk(10,10)=[$adc]")
     // CDC-maintained BM25 index over the same docs' texts: bucket-pruned
     // lexical retrieval (tf postings ARE the refcount state)
     val bm = new graft.sinks.MaintainedBm25Index(
