@@ -76,6 +76,10 @@ final class MaintainedIvfIndex(
       require(bk.nonEmpty, s"pqBooks: subspace $m has no codewords")
       require(bk.map(_.size).distinct.size == 1,
         s"pqBooks: subspace $m codewords must share one width")
+      // a zero-width subspace would always code 0 (sqDist over an empty
+      // slice ties at 0.0) — a silent no-op that wastes a code byte
+      require(bk.head.nonEmpty,
+        s"pqBooks: subspace $m has zero-width codewords")
     }
     require(books.map(_.head.size).sum == dim,
       s"pqBooks: sub-vector widths ${books.map(_.head.size)} must sum " +
