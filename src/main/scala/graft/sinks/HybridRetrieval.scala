@@ -1,0 +1,105 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval over the maintained-index family: reciprocal-rank
+  * fusion (RRF, Cormack/Clarke/Buettcher 2009) of a lexical ranking
+  * ([[MaintainedBm25Index.searchAll]]) and a vector ranking
+  * ([[MaintainedIvfIndex.searchTopKAll]] / [[MaintainedIvfIndex.searchTopKAllAdc]])
+  * — the retrieval shape a training-data curation or RAG-evaluation
+  * pipeline actually runs nightly: "for these N incoming queries, the
+  * top-k corpus documents by BOTH what they say and what they mean."
+  *
+  * RRF is the fusion that needs NO score calibration — BM25 scores and
+  * squared L2 distances live on incomparable scales, so the fused score
+  * is computed from each side's RANK alone:
+  * `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))`, documents absent from a
+  * list contributing nothing for it. Ranks come from each side's own
+  * deterministic order (BM25: score desc, id asc; IVF: dist asc,
+  * id asc), so fusion output is deterministic too (ties by doc id).
+  *
+  * Scale shape: the two side reads are the already-pinned
+  * probed-bucket-proportional set reads (one job apiece, never
+  * probes × state); fusion itself touches ONLY their outputs — at most
+  * `kLex + kVec` rows per probe — ranked per probe by one window
+  * apiece and combined with a full-outer join on (probe_id, id). No
+  * corpus access, no driver-side loop, no collect.
+  *
+  * Coherence contract: each side read is internally torn-proof (one
+  * version key threads that index's candidates and payloads), but the
+  * TWO indexes run on independent cursors over the same changelog —
+  * a refresh landing between the two reads can leave the lexical side
+  * one span ahead of the vector side (exactly the contract of reading
+  * two independently-maintained tables without a global snapshot).
+  * Callers needing batch-identical sides should refresh both indexes,
+  * then fuse, with no concurrent refresher — the q_mv composition's
+  * discipline.
+  */
+object HybridRetrieval {
+
+  /** Fuse two per-probe rankings by RRF. `lex` is (probe_id, id, score)
+    * with HIGHER score better; `vec` is (probe_id, id, dist) with LOWER
+    * distance better — the exact output schemas of
+    * [[MaintainedBm25Index.searchAll]] and
+    * [[MaintainedIvfIndex.searchTopKAll]]. Returns
+    * (probe_id, id, rrf, lex_rank, vec_rank), top-k per probe by
+    * (rrf desc, id asc); a rank is null when that side did not return
+    * the document. Probes present in only one input still fuse
+    * (single-list RRF = that list reweighted, order preserved).
+    */
+  def fuse(lex: DataFrame, vec: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(rrfK > 0, s"rrfK must be positive, got $rrfK")
+    val wl = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("id").asc)
+    val wv = Window.partitionBy("probe_id")
+      .orderBy(col("dist").asc, col("id").asc)
+    val lr = lex.select(col("probe_id"), col("id"), col("score"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .drop("score")
+    val vr = vec.select(col("probe_id"), col("id"), col("dist"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .drop("dist")
+    // full-outer on the two ≤(kLex+kVec)-rows-per-probe rankings: a doc
+    // on one side only keeps its rank there and a null on the other
+    val wf = Window.partitionBy("probe_id")
+      .orderBy(col("rrf").desc, col("id").asc)
+    lr.join(vr, Seq("probe_id", "id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
+  /** One-call hybrid set read: run both maintained-index set reads over
+    * ONE probe frame (each side validates and consumes its own payload
+    * column; a probe with a null/tokenless query still ranks on the
+    * vector side, a probe with a null/mis-dimensioned embedding still
+    * ranks lexically) and [[fuse]] the two rankings. `kLex`/`kVec` are
+    * each side's candidate depth (RRF quality rises with depth, read
+    * cost stays probe-proportional); `shortlist > 0` routes the vector
+    * side through the PQ/ADC path (requires the index to carry
+    * codebooks), `dfCap` bounds the lexical side's stop-term reads.
+    * Returns (probe_id, id, rrf, lex_rank, vec_rank).
+    */
+  def searchAll(spark: SparkSession,
+      bm25: MaintainedBm25Index, ivf: MaintainedIvfIndex,
+      probes: DataFrame, idCol: String, queryCol: String, embCol: String,
+      k: Int, kLex: Int, kVec: Int, nprobe: Int, rrfK: Int = 60,
+      dfCap: Long = Long.MaxValue, shortlist: Int = 0): DataFrame = {
+    require(kLex > 0 && kVec > 0,
+      s"side depths must be positive, got kLex=$kLex kVec=$kVec")
+    val lex = bm25.searchAll(spark, probes, idCol, queryCol, kLex, dfCap)
+    val vec =
+      if (shortlist > 0)
+        ivf.searchTopKAllAdc(spark, probes, idCol, embCol, nprobe, kVec,
+          shortlist)
+      else ivf.searchTopKAll(spark, probes, idCol, embCol, nprobe, kVec)
+    fuse(lex, vec, k, rrfK)
+  }
+}

@@ -198,6 +198,16 @@ object LakeDemo {
     val setCands = lsh.candidatesForAll(spark, tdf, "pid", "t").collect()
       .map(r => s"${r.getString(0)}->${r.getString(1)}").sorted.mkString(",")
     println(s"-- set probes: bm25[$setHits] lsh[$setCands]")
+    // hybrid retrieval: RRF fusion of the lexical (BM25) and vector
+    // (IVF-PQ/ADC) set reads — rank-only fusion, no score calibration
+    val hdf = spark.createDataFrame(Seq(
+      ("h1", "galactic harmonics", "9.9,10.0"))).toDF("pid", "q", "e")
+    val hyb = graft.sinks.HybridRetrieval.searchAll(spark, bm, pq, hdf,
+        "pid", "q", "e", k = 2, kLex = 3, kVec = 3, nprobe = 2,
+        shortlist = 3).collect()
+      .map(r => f"${r.getString(0)}->${r.getString(1)}@${r.getDouble(2)}%.4f")
+      .sorted.mkString(",")
+    println(s"-- hybrid RRF: [$hyb]")
     println(s"-- stateAsOf(snapshot batch) pre-vacuum: " +
       s"${lake.stateAsOf(spark, "public", "users", -1L).count()} rows")
 
