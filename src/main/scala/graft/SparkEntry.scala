@@ -674,29 +674,88 @@ object SparkEntry {
                        FROM (SELECT CAST(o_orderkey % 19 AS DOUBLE) AS e1,
                                     CAST(pc % 17 AS DOUBLE) AS e2
                              FROM churned)))),
+         lext AS (
+           SELECT o_orderkey AS id, term
+           FROM (SELECT o_orderkey,
+                   unnest(string_split_regex(lower(
+                     concat_ws(' ', o_orderstatus, o_orderpriority,
+                       CAST(o_orderkey % 40 AS VARCHAR),
+                       CAST(o_custkey % 20 AS VARCHAR),
+                       'lake order lake text')), '[^a-z]+')) AS term
+                 FROM churned WHERE o_orderkey % 10 = 0)
+           WHERE term <> ''),
          bm AS (
            SELECT CAST(count(*) AS BIGINT) AS bm_postings,
                   CAST(coalesce(sum(tf), 0) AS BIGINT) AS bm_tf,
                   CAST(count(DISTINCT term) AS BIGINT) AS bm_vocab
-           FROM (SELECT term, o_orderkey, count(*) AS tf
-                 FROM (SELECT o_orderkey,
-                         unnest(string_split_regex(lower(
-                           concat_ws(' ', o_orderstatus, o_orderpriority,
-                             CAST(o_orderkey % 40 AS VARCHAR),
-                             CAST(o_custkey % 20 AS VARCHAR),
-                             'lake order lake text')), '[^a-z]+')) AS term
-                       FROM churned WHERE o_orderkey % 10 = 0)
-                 WHERE term <> '' GROUP BY term, o_orderkey))
+           FROM (SELECT term, id, count(*) AS tf
+                 FROM lext GROUP BY term, id)),
+         lexd AS (
+           SELECT id, count(*) AS dl,
+             sum(CASE WHEN term = 'urgent' THEN 1 ELSE 0 END) AS tfu,
+             sum(CASE WHEN term = 'lake' THEN 1 ELSE 0 END) AS tfl
+           FROM lext GROUP BY id),
+         lexst AS (
+           SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tfu > 0 THEN 1 ELSE 0 END) AS dfu,
+             sum(CASE WHEN tfl > 0 THEN 1 ELSE 0 END) AS dfl
+           FROM lexd),
+         lexr AS (
+           SELECT id, lr FROM (
+             SELECT id, row_number() OVER (
+               ORDER BY score DESC, CAST(id AS VARCHAR)) AS lr
+             FROM (
+               SELECT id,
+                 CASE WHEN tfu > 0 THEN
+                   ln(1.0::DOUBLE + (n - dfu + 0.5::DOUBLE) / (dfu + 0.5::DOUBLE))
+                   * (tfu * 2.2::DOUBLE / (tfu + 1.2::DOUBLE *
+                      (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+                   ELSE 0.0::DOUBLE END
+                 + CASE WHEN tfl > 0 THEN
+                   ln(1.0::DOUBLE + (n - dfl + 0.5::DOUBLE) / (dfl + 0.5::DOUBLE))
+                   * (tfl * 2.2::DOUBLE / (tfl + 1.2::DOUBLE *
+                      (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+                   ELSE 0.0::DOUBLE END AS score
+               FROM lexd, lexst WHERE tfu + tfl > 0))
+           WHERE lr <= 10),
+         vecr AS (
+           SELECT id, vr FROM (
+             SELECT o_orderkey AS id, row_number() OVER (
+               ORDER BY (e1-9)*(e1-9) + (e2-9)*(e2-9) ASC,
+                 CAST(o_orderkey AS VARCHAR)) AS vr
+             FROM (SELECT o_orderkey,
+                     CAST(o_orderkey % 19 AS DOUBLE) AS e1,
+                     CAST(pc % 17 AS DOUBLE) AS e2
+                   FROM churned))
+           WHERE vr <= 10),
+         fused AS (
+           SELECT id, rrf, row_number() OVER (
+             ORDER BY rrf DESC, CAST(id AS VARCHAR)) AS rn
+           FROM (
+             SELECT coalesce(lexr.id, vecr.id) AS id,
+               coalesce(1.0::DOUBLE / (60 + lr), 0.0::DOUBLE)
+               + coalesce(1.0::DOUBLE / (60 + vr), 0.0::DOUBLE) AS rrf
+             FROM lexr FULL JOIN vecr ON lexr.id = vecr.id)),
+         hyb AS (
+           SELECT
+             CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS hyb1,
+             CAST(max(CASE WHEN rn = 2 THEN id END) AS BIGINT) AS hyb2,
+             CAST(max(CASE WHEN rn = 3 THEN id END) AS BIGINT) AS hyb3,
+             CAST(floor(1e6 * max(CASE WHEN rn = 1 THEN rrf END)) AS BIGINT)
+               AS hyb_rrf1
+           FROM fused WHERE rn <= 3)
          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
            CAST(sum(pc) AS BIGINT) AS sum_price_cents,
            CAST(min(pc) AS BIGINT) AS min_price_cents,
            CAST(max(pc) AS BIGINT) AS max_price_cents,
-           ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf, bm_vocab
-         FROM churned CROSS JOIN ivf CROSS JOIN bm
+           ivf_c0, ivf_c1, ivf_c2, bm_postings, bm_tf, bm_vocab,
+           hyb1, hyb2, hyb3, hyb_rrf1
+         FROM churned CROSS JOIN ivf CROSS JOIN bm CROSS JOIN hyb
          GROUP BY o_orderstatus, ivf_c0, ivf_c1, ivf_c2, bm_postings,
-           bm_tf, bm_vocab
+           bm_tf, bm_vocab, hyb1, hyb2, hyb3, hyb_rrf1
          ORDER BY o_orderstatus""",
     // Maintained left-outer join over a declared 25% orders subset
     // (o_orderkey % 4 = 0; the fact-side recompute folds on o_orderkey,

@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sinks.{LakeSink, MaintainedBm25Index, MaintainedDistinct,
-  MaintainedIvfIndex, MaintainedJoin, MaintainedLshIndex, MaintainedView}
+import graft.sinks.{HybridRetrieval, LakeSink, MaintainedBm25Index,
+  MaintainedDistinct, MaintainedIvfIndex, MaintainedJoin,
+  MaintainedLshIndex, MaintainedView}
 
 /** Driver-gated lake queries: put the changelog → fold → compact → vacuum
   * → time-travel pipeline of [[graft.sinks.LakeSink]] under the same
@@ -217,16 +218,29 @@ object LakeQueries {
     lit("o_emb"), mvEmb(priceCents),
     lit("o_text"), mvText)
 
+  /** The q_mv gate build's memo: the four served maintainers plus the
+    * HYBRID gate row — (fused top-3 ids, floor(1e6·rrf₁)) from one fixed
+    * probe through [[HybridRetrieval.searchAll]] over the maintained
+    * BM25 + IVF state. Computed in the BUILD (prep-billed, rerun-exempt)
+    * because the set read costs ~2.5 s of fixed job overhead at any SF —
+    * the r17 verdict's bound-the-gate-cost ask; the oracle still
+    * recomputes the whole ranking from scratch, so the gate's power is
+    * unchanged, and the READ-latency story is pinned where it belongs
+    * (the side reads' scale specs + SetProbeSpec, not the bench line).
+    */
   private val builtViews = new java.util.concurrent.ConcurrentHashMap[
     String,
-    (MaintainedView, MaintainedDistinct, MaintainedIvfIndex, MaintainedBm25Index)]()
+    (MaintainedView, MaintainedDistinct, MaintainedIvfIndex,
+      MaintainedBm25Index, (Long, Long, Long, Long))]()
 
   private def viewFor(s: SparkSession, dir: String)
-      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex, MaintainedBm25Index) =
+      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex,
+        MaintainedBm25Index, (Long, Long, Long, Long)) =
     builtViews.computeIfAbsent(dir, d => buildView(s, d))
 
   private def buildView(s: SparkSession, dir: String)
-      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex, MaintainedBm25Index) = {
+      : (MaintainedView, MaintainedDistinct, MaintainedIvfIndex,
+        MaintainedBm25Index, (Long, Long, Long, Long)) = {
     val root = new Path(
       new Path(System.getProperty("java.io.tmpdir")),
       "graft_lake_mv_" + Integer.toHexString(dir.hashCode)).toString
@@ -361,7 +375,31 @@ object LakeQueries {
       "LSH gate vacuous: no signatures in the maintained index state")
     sink.vacuum(s)  // all maintainers must keep serving after their
                     // source's folded changelog is gone
-    (view, dist, ivf, bm)
+    // the HYBRID gate row (see the memo scaladoc): one fixed probe
+    // through the full maintained hybrid read — BM25 set read + exact
+    // IVF set read (nprobe = all 3 cells, so the vector ranking is
+    // global L2 and the oracle needs no cell logic) fused by RRF —
+    // with the fused top-3 ids and floor(1e6·rrf₁) riding q_mv as
+    // BIGINT columns the oracle recomputes from scratch (the proven
+    // tokenizer + BM25 formula + exact L2 + rank windows + 1/(60+rank)
+    // fusion, ties on the id STRING both engines; floor, not round:
+    // rounding-mode-neutral). Rank-monotone fusion bugs preserve id
+    // order by construction — those are pinned by HybridRetrievalSpec's
+    // hand-computed doubles; THIS gate is the cross-engine check that
+    // maintenance + candidate reads + both scoring formulas + fusion
+    // compose to the right RANKING. Deliberately AFTER vacuum: the
+    // hybrid read must serve once the source's folded changelog is gone.
+    val hybProbe = s.createDataFrame(Seq(("hq", "urgent lake", "9,9")))
+      .toDF("pid", "q", "e")
+    val hybRows = HybridRetrieval.searchAll(s, bm, ivf, hybProbe,
+        "pid", "q", "e", k = 3, kLex = 10, kVec = 10, nprobe = 3)
+      .orderBy(col("rrf").desc, col("id").asc).collect()
+    require(hybRows.length == 3,
+      s"hybrid gate expects 3 fused rows, got ${hybRows.length}")
+    val hyb = (hybRows(0).getString(1).toLong,
+      hybRows(1).getString(1).toLong, hybRows(2).getString(1).toLong,
+      math.floor(hybRows(0).getDouble(2) * 1e6).toLong)
+    (view, dist, ivf, bm, hyb)
   }
 
   /** The maintained view's served contents — a pure group-cardinality
@@ -369,7 +407,7 @@ object LakeQueries {
     * maintained distinct custkey count served from its refcount state.
     */
   def mvOrders(s: SparkSession, dir: String): DataFrame = {
-    val (view, dist, ivf, bm) = viewFor(s, dir)
+    val (view, dist, ivf, bm, hyb) = viewFor(s, dir)
     // bounded planning pull (≤ |centroids| = 3 rows): the maintained IVF
     // index's per-cell posting counts ride q_mv as constant columns, hash-
     // checked against the oracle's squared-L2 argmin recompute
@@ -407,7 +445,11 @@ object LakeQueries {
         lit(cells.getOrElse(2, 0L)).as("ivf_c2"),
         lit(bmPostings).as("bm_postings"),
         lit(bmTf).as("bm_tf"),
-        lit(bmVocab).as("bm_vocab"))
+        lit(bmVocab).as("bm_vocab"),
+        lit(hyb._1).as("hyb1"),
+        lit(hyb._2).as("hyb2"),
+        lit(hyb._3).as("hyb3"),
+        lit(hyb._4).as("hyb_rrf1"))
       .orderBy("o_orderstatus")
   }
 

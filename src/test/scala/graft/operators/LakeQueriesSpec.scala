@@ -137,6 +137,65 @@ class LakeQueriesSpec extends AnyFunSuite {
     // oracle), not just in the index's own spec
     assert(bmPostings > 0 && bmTf > bmPostings,
       s"BM25 gate vacuous: postings=$bmPostings tf=$bmTf")
+    // the HYBRID gate columns: an independent recompute of the fused
+    // ranking for the build's fixed probe ("urgent lake", emb (9,9)) —
+    // BM25 scores and ranks derived here from the churned table (driver-
+    // side, same IEEE arithmetic order as the engine), global L2 ranks
+    // from the derived embeddings, RRF with the same 1/(60+rank) and
+    // id-string tie-breaks. Fusion ARITHMETIC independence lives in
+    // HybridRetrievalSpec's hand-computed cases and the DuckDB oracle;
+    // this restatement pins the maintained state the ranking reads.
+    val lexDocs = survivors.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").cast("string").as("id"),
+        explode(split(lower(bmText), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id").agg(count(lit(1)).as("dl"),
+        sum(when(col("term") === "urgent", 1L).otherwise(0L)).as("tfu"),
+        sum(when(col("term") === "lake", 1L).otherwise(0L)).as("tfl"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nDocs = lexDocs.length.toDouble
+    val avgdl = lexDocs.map(_._2).sum.toDouble / lexDocs.length
+    val dfu = lexDocs.count(_._3 > 0).toDouble
+    val dfl = lexDocs.count(_._4 > 0).toDouble
+    def contrib(tf: Long, df: Double, dl: Long): Double =
+      if (tf == 0) 0.0
+      else math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    val lexRank = lexDocs
+      .filter(d => d._3 + d._4 > 0)
+      .map(d => (d._1, contrib(d._3, dfu, d._2) + contrib(d._4, dfl, d._2)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val vecRank = survivors
+      .select(col("o_orderkey").cast("string").as("id"),
+        (col("o_orderkey") % 19).cast("double").as("e1"),
+        (p % 17).cast("double").as("e2"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getDouble(1) - 9) * (r.getDouble(1) - 9) +
+          (r.getDouble(2) - 9) * (r.getDouble(2) - 9)))
+      .sortBy { case (id, dist) => (dist, id) }.take(10)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val fused = (lexRank.keySet ++ vecRank.keySet).toSeq
+      .map { id =>
+        val rrf = lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vecRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, rrf)
+      }
+      .sortBy { case (id, rrf) => (-rrf, id) }.take(3)
+    assert(fused.length == 3, s"hybrid recompute found ${fused.length} docs")
+    // non-vacuity: the fused top-3 must interleave BOTH lists — one-
+    // sided output would mean fusion degenerated to a single ranking.
+    // Guaranteed by construction whatever the overlap: each side's
+    // rank-1 carries rrf ≥ 1/61, the fused maximum, so both survive the
+    // top-3 cut (a doc ranked on both sides counts for both). The
+    // 1/61-vs-1/61 tie between disjoint rank-1s also pins the id-string
+    // tie-break cross-engine.
+    assert(fused.exists(f => lexRank.contains(f._1)) &&
+      fused.exists(f => vecRank.contains(f._1)),
+      s"hybrid gate vacuous: fused top-3 $fused is single-sided " +
+        s"(lex=$lexRank vec=$vecRank)")
     // n_cust is served from the MaintainedDistinct refcount state — the
     // recompute's count(DISTINCT) over the surviving table must agree
     val want = survivors
@@ -155,6 +214,10 @@ class LakeQueriesSpec extends AnyFunSuite {
       // the df view's vocabulary — its Σdf == postings tie is asserted
       // inside the build; the count itself is hash-gated cross-engine
       .withColumn("bm_vocab", lit(bmVocab))
+      .withColumn("hyb1", lit(fused(0)._1.toLong))
+      .withColumn("hyb2", lit(fused(1)._1.toLong))
+      .withColumn("hyb3", lit(fused(2)._1.toLong))
+      .withColumn("hyb_rrf1", lit(math.floor(fused(0)._2 * 1e6).toLong))
       .orderBy("o_orderstatus")
     assertSame(got, want, "q_mv")
     // the gate must not be vacuous: churn must land postings in more
