@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * a refresh landing between the two reads can leave the lexical side
   * one span ahead of the vector side (exactly the contract of reading
   * two independently-maintained tables without a global snapshot).
-  * Callers needing batch-identical sides should refresh both indexes,
-  * then fuse, with no concurrent refresher — the q_mv composition's
-  * discipline.
+  * Callers needing batch-identical sides run
+  * [[Maintainer.refreshCoherent]] — ONE pinned bound drives both
+  * indexes to identical applied batch sets, whatever the writer lands
+  * mid-barrier — then fuse with no concurrent refresher.
   */
 object HybridRetrieval {
 

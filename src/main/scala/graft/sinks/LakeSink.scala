@@ -868,8 +868,21 @@ final class LakeSink(
     * `fn` — new epochs above it and late snapshot batches below it — then
     * advance the cursor both ways. Returns the number of NEW batches
     * delivered (0 = up to date, `fn` not invoked).
+    *
+    * `within`, when set, restricts delivery to batch ids INSIDE the given
+    * closed interval — the coherence barrier [[committedHull]] pins: N
+    * consumers polled under ONE pinned bound each end having applied
+    * exactly the batches committed at the pin, whatever lands while they
+    * run (see [[Maintainer.refreshCoherent]]). Excluded batches are NOT
+    * absorbed into the advanced cursor — a later unbounded poll delivers
+    * them — and a bound that WOULD strand an undelivered batch inside the
+    * advanced interval (a bound pinned below this consumer's undelivered
+    * backlog) refuses loudly instead of losing it.
     */
-  def poll(spark: SparkSession, name: String)(fn: DataFrame => Unit): Int = {
+  def poll(spark: SparkSession, name: String,
+      within: Option[(Long, Long)] = None)(fn: DataFrame => Unit): Int = {
+    // an inverted bound (committedHull of an empty lake: (0, MinValue))
+    // is legitimately empty — it delivers nothing rather than refusing
     val ((neg, pos), acked, legacy) = readCursor(spark, name)
     val vh = vacuumHighWater(spark)
     if (pos < vh)
@@ -891,7 +904,9 @@ final class LakeSink(
     // a vacuum that stayed inside delivered history is innocent — extend
     // the acknowledgment so gauges/debugging reflect it
     val newAcked = if (vl < acked) vl else acked
-    val ids = committedBatchIds(spark).filter(id => id < neg || id > pos)
+    val outside = committedBatchIds(spark).filter(id => id < neg || id > pos)
+    val ids = within.fold(outside)(b =>
+      outside.filter(id => id >= b._1 && id <= b._2))
     if (ids.isEmpty) {
       // pin a legacy cursor's migrated floor NOW — left lazy, a snapshot
       // batch landing before the next poll would be absorbed into
@@ -900,10 +915,43 @@ final class LakeSink(
         writeCursor(spark, name, neg, pos, newAcked)
       return 0
     }
-    fn(changelogOutside(spark, neg, pos))
-    writeCursor(spark, name, math.min(neg, ids.min), math.max(pos, ids.max),
-      newAcked)
+    val (nneg, npos) = (math.min(neg, ids.min), math.max(pos, ids.max))
+    // absorption guard (bounded polls only): a committed, UNDELIVERED id
+    // the bound excluded must stay outside the advanced interval, or this
+    // poll would mark it delivered without ever delivering it. Trips only
+    // when the caller pinned a bound below this consumer's backlog —
+    // committedHull covers every committed id, so barrier refreshes never
+    // trip it.
+    val absorbed = outside.filter(id =>
+      !ids.contains(id) && id >= nneg && id <= npos)
+    if (absorbed.nonEmpty)
+      throw new IllegalArgumentException(
+        s"poll bound ${within.get} for consumer '$name' excludes committed " +
+          s"batch(es) ${absorbed.sorted.mkString(",")} that the advanced " +
+          s"cursor [$nneg,$npos] would absorb as delivered — pin the bound " +
+          "from committedHull (it must cover the consumer's undelivered " +
+          "backlog, not just the new tail)")
+    // deliver exactly the ids the cursor will advance over — one commit-log
+    // listing serves both, so a batch landing between listing and delivery
+    // can neither ride the span unadvanced nor skew the bounded barrier
+    fn(changelogOf(spark, ids))
+    writeCursor(spark, name, nneg, npos, newAcked)
     ids.size
+  }
+
+  /** The closed hull of every currently committed batch id (floored at 0,
+    * the virgin-cursor origin, so it always covers a fresh consumer) —
+    * THE bound to pin once and pass to several maintainers'
+    * `refresh(within = Some(bound))`: each then applies exactly the
+    * batches committed at the pin, none landing after it, so their states
+    * come out batch-identical (see [[Maintainer.refreshCoherent]]).
+    * (0, Long.MinValue) when nothing is committed — an empty bound no
+    * bounded poll delivers under.
+    */
+  def committedHull(spark: SparkSession): (Long, Long) = {
+    val ids = committedBatchIds(spark)
+    (math.min(0L, ids.minOption.getOrElse(0L)),
+      ids.maxOption.getOrElse(Long.MinValue))
   }
 
   /** Highest batch id [[vacuum]] has ever deleted (Long.MinValue if none —

@@ -49,7 +49,8 @@ final class MaintainedBm25Index(
     lake: LakeSink, schemaName: String, table: String, name: String,
     /** Image-map keys for the document id and text columns. */
     idKey: String, textKey: String,
-    k1: Double = 1.2, b: Double = 0.75, stateBuckets: Int = 16) {
+    k1: Double = 1.2, b: Double = 0.75, stateBuckets: Int = 16)
+    extends Maintainer {
 
   require(k1 > 0 && b >= 0 && b <= 1, s"k1=$k1 b=$b out of range")
 
@@ -159,15 +160,18 @@ final class MaintainedBm25Index(
     * corpus-stats, and the df cursors (postings FIRST — the companion
     * views' versions must always lie within the postings interval so
     * pinned reads can thread one key). Returns the postings batches
-    * applied.
+    * applied. `within` bounds all three cursors to one interval — under
+    * a [[Maintainer.refreshCoherent]] barrier the companions land on
+    * exactly the postings' bound instead of racing the writer.
     */
-  def refresh(spark: SparkSession): Int = {
-    val n = md.refresh(spark)
+  override def refresh(spark: SparkSession,
+      within: Option[(Long, Long)] = None): Int = {
+    val n = md.refresh(spark, within)
     // the two companions are independent of EACH OTHER (own cursors, own
     // state dirs) — only the postings-first ordering is load-bearing
     MaintainerOps.inParallel(
-      () => statsView.refresh(spark),
-      () => dfView.refresh(spark))
+      () => statsView.refresh(spark, within),
+      () => dfView.refresh(spark, within))
     n
   }
 

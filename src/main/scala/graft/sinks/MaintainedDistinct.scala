@@ -61,7 +61,7 @@ final class MaintainedDistinct(
       * fingerprint. `None` (plain distinct counts, parameterless
       * transforms) skips the guard entirely.
       */
-    fingerprint: Option[String] = None) {
+    fingerprint: Option[String] = None) extends Maintainer {
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
@@ -215,10 +215,11 @@ final class MaintainedDistinct(
   /** Apply every newly committed lake batch. Returns the number of
     * batches applied (0 = already current).
     */
-  def refresh(spark: SparkSession): Int = {
+  override def refresh(spark: SparkSession,
+      within: Option[(Long, Long)] = None): Int = {
     checkFp(states.fs(spark), adoptIfAbsent = true)
     val t0 = System.nanoTime
-    val n = refreshSpans(spark)
+    val n = refreshSpans(spark, within)
     ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
     n
   }
@@ -313,9 +314,10 @@ final class MaintainedDistinct(
       col("after"))).select(col("after"))
   }
 
-  private def refreshSpans(spark: SparkSession): Int = {
+  private def refreshSpans(spark: SparkSession,
+      within: Option[(Long, Long)]): Int = {
     val from = lake.cursorInterval(spark, cursorName)
-    lake.poll(spark, cursorName) { span =>
+    lake.poll(spark, cursorName, within) { span =>
       val f = states.fs(spark)
       // re-check per span, right before any commit: narrows (cannot
       // fully close — the maintainer contract is single-writer per

@@ -62,7 +62,7 @@ final class MaintainedIvfIndex(
       * the fingerprint hashes codebook CONTENT, so retrained codebooks
       * refuse a mismatched open exactly like retrained centroids.
       */
-    pqBooks: Option[Seq[Seq[Seq[Float]]]] = None) {
+    pqBooks: Option[Seq[Seq[Seq[Float]]]] = None) extends Maintainer {
 
   require(centroids.nonEmpty, "at least one centroid")
   require(centroids.map(_.size).distinct.size == 1,
@@ -227,8 +227,11 @@ final class MaintainedIvfIndex(
           .otherwise(col("op")))
   }
 
-  /** Apply every newly committed lake batch. */
-  def refresh(spark: SparkSession): Int = md.refresh(spark)
+  /** Apply every newly committed lake batch (bounded to `within` when
+    * set — the [[Maintainer.refreshCoherent]] barrier seam).
+    */
+  override def refresh(spark: SparkSession,
+      within: Option[(Long, Long)] = None): Int = md.refresh(spark, within)
 
   /** Per-cell posting counts (`cell`, `nd_docs`). */
   def cells(spark: SparkSession): DataFrame = md.read(spark)

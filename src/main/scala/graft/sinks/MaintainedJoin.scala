@@ -165,7 +165,7 @@ final class MaintainedJoin(
       * if a derived key is needed.
       */
     leftKeyCol: Option[String] = None,
-    rightKeyCol: Option[String] = None) {
+    rightKeyCol: Option[String] = None) extends Maintainer {
 
   require(!leftKeyImmutable || leftKeyIsRowKey || leftKeyCol.nonEmpty,
     "leftKeyImmutable requires leftKeyCol (the image-map column name) so " +
@@ -267,16 +267,18 @@ final class MaintainedJoin(
     * addition). Returns the number of batches applied (0 = already
     * current).
     */
-  def refresh(spark: SparkSession): Int = {
+  override def refresh(spark: SparkSession,
+      within: Option[(Long, Long)] = None): Int = {
     val t0 = System.nanoTime
-    val n = refreshSpans(spark)
+    val n = refreshSpans(spark, within)
     ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
     n
   }
 
-  private def refreshSpans(spark: SparkSession): Int = {
+  private def refreshSpans(spark: SparkSession,
+      within: Option[(Long, Long)]): Int = {
     val from = lake.cursorInterval(spark, cursorName)
-    lake.poll(spark, cursorName) { span =>
+    lake.poll(spark, cursorName, within) { span =>
       val f = states.fs(spark)
       migrateLegacy(spark, f)
       // ONE pass over the span for bounds + truncate + null-touch flags

@@ -51,7 +51,7 @@ final class MaintainedLshIndex(
       * same way). [[buckets]] still reports them, so the cap is
       * observable, never silent.
       */
-    maxBucket: Int = 64) {
+    maxBucket: Int = 64) extends Maintainer {
 
   require(bands > 0 && shingleN > 0 && maxBucket >= 2,
     s"bands=$bands shingleN=$shingleN maxBucket=$maxBucket out of range")
@@ -160,8 +160,11 @@ final class MaintainedLshIndex(
       .drop("_bsigs", "_asigs", "_band")
   }
 
-  /** Apply every newly committed lake batch. */
-  def refresh(spark: SparkSession): Int = md.refresh(spark)
+  /** Apply every newly committed lake batch (bounded to `within` when
+    * set — the [[Maintainer.refreshCoherent]] barrier seam).
+    */
+  override def refresh(spark: SparkSession,
+      within: Option[(Long, Long)] = None): Int = md.refresh(spark, within)
 
   /** Per-(band, sig) doc counts — `nd_docs` ≥ 2 is a collision bucket. */
   def buckets(spark: SparkSession): DataFrame = md.read(spark)

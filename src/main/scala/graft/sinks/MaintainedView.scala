@@ -100,7 +100,7 @@ final class MaintainedView(
       * (their span validation and restricted folds read RAW table
       * images).
       */
-    transform: Option[DataFrame => DataFrame] = None) {
+    transform: Option[DataFrame => DataFrame] = None) extends Maintainer {
 
   require(!groupIsRowKey || agg.groupCols.size == 1,
     "groupIsRowKey requires exactly one group column (the replica key)")
@@ -135,16 +135,18 @@ final class MaintainedView(
     * addition). Returns the number of batches applied (0 = already
     * current).
     */
-  def refresh(spark: SparkSession): Int = {
+  override def refresh(spark: SparkSession,
+      within: Option[(Long, Long)] = None): Int = {
     val t0 = System.nanoTime
-    val n = refreshSpans(spark)
+    val n = refreshSpans(spark, within)
     ops.recordRefresh((System.nanoTime - t0) / 1e6, n)
     n
   }
 
-  private def refreshSpans(spark: SparkSession): Int = {
+  private def refreshSpans(spark: SparkSession,
+      within: Option[(Long, Long)]): Int = {
     val from = lake.cursorInterval(spark, cursorName)
-    lake.poll(spark, cursorName) { span =>
+    lake.poll(spark, cursorName, within) { span =>
       val f = states.fs(spark)
       migrateLegacy(spark, f)
       // partition-column inference can type small batch_id values as int;

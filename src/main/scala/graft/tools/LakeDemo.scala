@@ -199,7 +199,11 @@ object LakeDemo {
       .map(r => s"${r.getString(0)}->${r.getString(1)}").sorted.mkString(",")
     println(s"-- set probes: bm25[$setHits] lsh[$setCands]")
     // hybrid retrieval: RRF fusion of the lexical (BM25) and vector
-    // (IVF-PQ/ADC) set reads — rank-only fusion, no score calibration
+    // (IVF-PQ/ADC) set reads — rank-only fusion, no score calibration.
+    // The coherence barrier first: both indexes driven to ONE pinned
+    // bound, so the fused sides are batch-identical by construction
+    val bound = graft.sinks.Maintainer.refreshCoherent(spark, lake, bm, pq)
+    println(s"-- coherent refresh: bm25+ivfpq pinned to [${bound._1},${bound._2}]")
     val hdf = spark.createDataFrame(Seq(
       ("h1", "galactic harmonics", "9.9,10.0"))).toDF("pid", "q", "e")
     val hyb = graft.sinks.HybridRetrieval.searchAll(spark, bm, pq, hdf,
