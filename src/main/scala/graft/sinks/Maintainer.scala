@@ -54,6 +54,11 @@ object Maintainer {
   def refreshCoherent(spark: SparkSession, lake: LakeSink,
       maintainers: Maintainer*): (Long, Long) = {
     require(maintainers.nonEmpty, "refreshCoherent needs at least one maintainer")
+    // the same instance twice would run two CONCURRENT refreshes of one
+    // cursor/state dir — the single-writer contract every maintainer's
+    // crash protocol assumes
+    require(maintainers.distinct.size == maintainers.size,
+      "refreshCoherent was passed the same maintainer more than once")
     val bound = lake.committedHull(spark)
     MaintainerOps.inParallel(
       maintainers.map(m => () => { m.refresh(spark, Some(bound)); () }): _*)

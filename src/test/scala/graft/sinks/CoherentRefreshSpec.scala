@@ -116,6 +116,11 @@ class CoherentRefreshSpec extends AnyFunSuite {
       assert(viewSum(mv) == Map("a" -> 12d, "b" -> 5d))
       // already-current members no-op under a repeated barrier
       assert(Maintainer.refreshCoherent(spark, sink, mv, md) == ((0L, 2L)))
+      // the same instance twice = two concurrent writers on one cursor —
+      // refused before any refresh starts
+      intercept[IllegalArgumentException] {
+        Maintainer.refreshCoherent(spark, sink, mv, mv)
+      }
     }
   }
 }
