@@ -662,6 +662,10 @@ object SparkEntry {
                    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
                  FROM orders)
            WHERE o_orderkey % 13 <> 0 AND o_orderkey % 2 = 0),
+         emb AS (
+           SELECT o_orderkey, CAST(o_orderkey % 19 AS DOUBLE) AS e1,
+                  CAST(pc % 17 AS DOUBLE) AS e2
+           FROM churned),
          ivf AS (
            SELECT CAST(sum(CASE WHEN cell = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c0,
                   CAST(sum(CASE WHEN cell = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ivf_c1,
@@ -671,9 +675,7 @@ object SparkEntry {
                  FROM (SELECT (e1-3)*(e1-3) + (e2-3)*(e2-3) AS d0,
                               (e1-13)*(e1-13) + (e2-4)*(e2-4) AS d1,
                               (e1-8)*(e1-8) + (e2-14)*(e2-14) AS d2
-                       FROM (SELECT CAST(o_orderkey % 19 AS DOUBLE) AS e1,
-                                    CAST(pc % 17 AS DOUBLE) AS e2
-                             FROM churned)))),
+                       FROM emb))),
          lext AS (
            SELECT o_orderkey AS id, term
            FROM (SELECT o_orderkey,
@@ -724,10 +726,7 @@ object SparkEntry {
              SELECT o_orderkey AS id, row_number() OVER (
                ORDER BY (e1-9)*(e1-9) + (e2-9)*(e2-9) ASC,
                  CAST(o_orderkey AS VARCHAR)) AS vr
-             FROM (SELECT o_orderkey,
-                     CAST(o_orderkey % 19 AS DOUBLE) AS e1,
-                     CAST(pc % 17 AS DOUBLE) AS e2
-                   FROM churned))
+             FROM emb)
            WHERE vr <= 10),
          fused AS (
            SELECT id, rrf, row_number() OVER (

@@ -916,14 +916,17 @@ final class LakeSink(
       return 0
     }
     val (nneg, npos) = (math.min(neg, ids.min), math.max(pos, ids.max))
-    // absorption guard (bounded polls only): a committed, UNDELIVERED id
-    // the bound excluded must stay outside the advanced interval, or this
-    // poll would mark it delivered without ever delivering it. Trips only
-    // when the caller pinned a bound below this consumer's backlog —
-    // committedHull covers every committed id, so barrier refreshes never
-    // trip it.
-    val absorbed = outside.filter(id =>
-      !ids.contains(id) && id >= nneg && id <= npos)
+    // absorption guard (bounded polls only — unbounded ids == outside by
+    // construction): a committed, UNDELIVERED id the bound excluded must
+    // stay outside the advanced interval, or this poll would mark it
+    // delivered without ever delivering it. Trips only when the caller
+    // pinned a bound below this consumer's backlog — committedHull covers
+    // every committed id, so barrier refreshes never trip it.
+    val delivered = ids.toSet
+    val absorbed =
+      if (within.isEmpty) Nil
+      else outside.filter(id =>
+        !delivered.contains(id) && id >= nneg && id <= npos)
     if (absorbed.nonEmpty)
       throw new IllegalArgumentException(
         s"poll bound ${within.get} for consumer '$name' excludes committed " +

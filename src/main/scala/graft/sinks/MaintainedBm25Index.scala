@@ -175,6 +175,11 @@ final class MaintainedBm25Index(
     n
   }
 
+  // the composite's identity is its PRIMARY (postings) state — the
+  // companions are derived from the same name, so two instances over one
+  // postings dir would also collide on stats/df
+  override def stateId: String = md.stateId
+
   /** The raw postings: (term, doc id, tf) — `rc` IS the term frequency. */
   def postings(spark: SparkSession): DataFrame =
     md.entries(spark).select(col("term"), col("v").as("id"),

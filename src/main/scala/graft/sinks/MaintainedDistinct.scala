@@ -67,6 +67,8 @@ final class MaintainedDistinct(
   private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
   private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
+
+  override def stateId: String = s"${lake.root}#$cursorName"
   // ((version key, manifest mtime), (max, p50) slice bytes) of the last
   // skew-gauge scrape — the mtime token invalidates across processes
   // and in-place rebuild recommits alike

@@ -233,6 +233,8 @@ final class MaintainedIvfIndex(
   override def refresh(spark: SparkSession,
       within: Option[(Long, Long)] = None): Int = md.refresh(spark, within)
 
+  override def stateId: String = md.stateId
+
   /** Per-cell posting counts (`cell`, `nd_docs`). */
   def cells(spark: SparkSession): DataFrame = md.read(spark)
 

@@ -185,6 +185,8 @@ final class MaintainedJoin(
   private val legacyStates = new StateLog(stateDir)
   private def cursorName = s"join_$name"
 
+  override def stateId: String = s"${lake.root}#$cursorName"
+
   private def tableEvents(span: DataFrame, side: (String, String)): DataFrame =
     span.filter(col("schema") === side._1 && col("table") === side._2)
 

@@ -166,6 +166,8 @@ final class MaintainedLshIndex(
   override def refresh(spark: SparkSession,
       within: Option[(Long, Long)] = None): Int = md.refresh(spark, within)
 
+  override def stateId: String = md.stateId
+
   /** Per-(band, sig) doc counts — `nd_docs` ≥ 2 is a collision bucket. */
   def buckets(spark: SparkSession): DataFrame = md.read(spark)
 

@@ -121,6 +121,8 @@ final class MaintainedView(
   private val legacyStates = new StateLog(stateDir)
   private def cursorName = s"view_$name"
 
+  override def stateId: String = s"${lake.root}#$cursorName"
+
   private def stateSchema(spark: SparkSession) = agg.init(spark).schema
 
   /** One-time in-place upgrade of a pre-bucketing state directory — see

@@ -18,6 +18,14 @@ trait Maintainer {
     * `within` to None — the plain catch-up refresh.
     */
   def refresh(spark: SparkSession, within: Option[(Long, Long)]): Int
+
+  /** Stable identity of the cursor/state this maintainer writes (lake
+    * root + cursor name; composites report their PRIMARY state) —
+    * [[Maintainer.refreshCoherent]] refuses two members sharing one,
+    * however they were constructed: two instances over one state dir are
+    * two concurrent writers on one crash protocol.
+    */
+  def stateId: String
 }
 
 /** The coherence barrier over a group of maintainers: several maintained
@@ -49,16 +57,28 @@ object Maintainer {
     * the pin is simply outside every member's state until the next
     * barrier), and it assumes the group's members consume the SAME lake —
     * maintainers over different [[LakeSink]] roots have unrelated id
-    * spaces and need one barrier per lake.
+    * spaces and need one barrier per lake. The concurrent-writer shapes
+    * covered are ordinary appends (new epochs above the pin, late
+    * snapshot batches below it); a REUSED batch id — `clearSnapshot`
+    * followed by a re-export can commit a fresh batch under an id inside
+    * the pinned hull — is a re-bootstrap-class operation, not a
+    * concurrent writer: like vacuum, run it only when no barrier (or any
+    * other consumer mid-poll) is in flight.
     */
   def refreshCoherent(spark: SparkSession, lake: LakeSink,
       maintainers: Maintainer*): (Long, Long) = {
     require(maintainers.nonEmpty, "refreshCoherent needs at least one maintainer")
-    // the same instance twice would run two CONCURRENT refreshes of one
-    // cursor/state dir — the single-writer contract every maintainer's
-    // crash protocol assumes
-    require(maintainers.distinct.size == maintainers.size,
-      "refreshCoherent was passed the same maintainer more than once")
+    // two members writing ONE cursor/state dir (the same instance twice,
+    // or two instances constructed over the same lake + name) would run
+    // two CONCURRENT refreshes of it — the single-writer contract every
+    // maintainer's crash protocol assumes
+    val dup = maintainers.groupBy(_.stateId).collect {
+      case (id, ms) if ms.size > 1 => id
+    }
+    require(dup.isEmpty,
+      s"refreshCoherent was passed more than one maintainer writing " +
+        s"${dup.mkString(", ")} — one writer per state, construct the " +
+        "group from shared instances")
     val bound = lake.committedHull(spark)
     MaintainerOps.inParallel(
       maintainers.map(m => () => { m.refresh(spark, Some(bound)); () }): _*)

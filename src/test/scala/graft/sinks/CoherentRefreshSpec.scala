@@ -116,10 +116,16 @@ class CoherentRefreshSpec extends AnyFunSuite {
       assert(viewSum(mv) == Map("a" -> 12d, "b" -> 5d))
       // already-current members no-op under a repeated barrier
       assert(Maintainer.refreshCoherent(spark, sink, mv, md) == ((0L, 2L)))
-      // the same instance twice = two concurrent writers on one cursor —
-      // refused before any refresh starts
+      // two writers on one cursor/state dir — the same instance twice OR
+      // a second instance constructed over the same lake + name — are
+      // refused before any refresh starts (identity is the stateId, not
+      // the object reference)
       intercept[IllegalArgumentException] {
         Maintainer.refreshCoherent(spark, sink, mv, mv)
+      }
+      val mv2 = new MaintainedView(sink, mkAgg, "public", "users", "coh_view")
+      intercept[IllegalArgumentException] {
+        Maintainer.refreshCoherent(spark, sink, mv, mv2)
       }
     }
   }
