@@ -218,14 +218,6 @@ private[sinks] final class BucketedStateLog(
     BucketedStateLog.publishReplace(f, tmp, dst)
   }
 
-  /** (max, median) bytes across one committed version's non-empty bucket
-    * slices — driver-side listings only (one listStatus per referenced
-    * slice dir): the ops-visible SKEW gauge that makes a hot bucket (a
-    * stop term's posting list, a skewed hash family) visible on the
-    * dashboard before it becomes a read stall. (0, 0) when the version
-    * references no slices; a slice racing gc is dropped from the sample
-    * (a zero sentinel would deflate the median for that scrape).
-    */
   /** Modification time of one committed version's manifest — the cheap
     * cross-process freshness token the skew-gauge memo keys on: an
     * in-place rebuild recommit rewrites the manifest under the SAME
@@ -237,6 +229,14 @@ private[sinks] final class BucketedStateLog(
       new Path(commitsDir, ManifestPrefix + nameOf(key))).getModificationTime
     catch { case _: java.io.FileNotFoundException => -1L }
 
+  /** (max, median) bytes across one committed version's non-empty bucket
+    * slices — driver-side listings only (one listStatus per referenced
+    * slice dir): the ops-visible SKEW gauge that makes a hot bucket (a
+    * stop term's posting list, a skewed hash family) visible on the
+    * dashboard before it becomes a read stall. (0, 0) when the version
+    * references no slices; a slice racing gc is dropped from the sample
+    * (a zero sentinel would deflate the median for that scrape).
+    */
   def bucketSizeStats(f: FileSystem, key: (Long, Long)): (Long, Long) = {
     // the manifest itself can vanish under a rebuild's in-place recommit
     // (the same window manifestMtime tolerates) — a metrics scrape must

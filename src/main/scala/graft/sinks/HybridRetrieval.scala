@@ -95,12 +95,21 @@ object HybridRetrieval {
       dfCap: Long = Long.MaxValue, shortlist: Int = 0): DataFrame = {
     require(kLex > 0 && kVec > 0,
       s"side depths must be positive, got kLex=$kLex kVec=$kVec")
-    val lex = bm25.searchAll(spark, probes, idCol, queryCol, kLex, dfCap)
-    val vec =
-      if (shortlist > 0)
-        ivf.searchTopKAllAdc(spark, probes, idCol, embCol, nprobe, kVec,
-          shortlist)
-      else ivf.searchTopKAll(spark, probes, idCol, embCol, nprobe, kVec)
+    // the two side reads are independent consumers of independent state
+    // dirs with several driver-blocking steps apiece (fingerprint read,
+    // manifest listing, probe checkpoint, bucket-planning collect) — run
+    // them concurrently, the same shape the BM25 composite uses for its
+    // companions. Each side's read plan is fully CONSTRUCTED on its
+    // thread; execution stays lazy inside fuse's one job.
+    var lex: DataFrame = null
+    var vec: DataFrame = null
+    MaintainerOps.inParallel(
+      () => lex = bm25.searchAll(spark, probes, idCol, queryCol, kLex, dfCap),
+      () => vec =
+        if (shortlist > 0)
+          ivf.searchTopKAllAdc(spark, probes, idCol, embCol, nprobe, kVec,
+            shortlist)
+        else ivf.searchTopKAll(spark, probes, idCol, embCol, nprobe, kVec))
     fuse(lex, vec, k, rrfK)
   }
 }

@@ -299,9 +299,7 @@ final class MaintainedIvfIndex(
     val cand = searchAt(spark, key, query, nprobe).localCheckpoint()
     val docs = md.corpusAsOf(spark, key,
       Some(cand.select(col("id").as("k")).distinct()))
-    val v = transform(split(element_at(col("after"), embKey), ","),
-      s => s.try_cast("float"))
-    val dist = sqDist(v, typedLit(query))
+    val dist = sqDist(parsedVec(col("after")), typedLit(query))
     docs
       .select(element_at(col("after"), idKey).as("id"), dist.as("dist"))
       .join(cand.select("id"), Seq("id"), "left_semi")
@@ -362,9 +360,7 @@ final class MaintainedIvfIndex(
       .localCheckpoint()
     val docs = md.corpusAsOf(spark, key,
       Some(short.select(col("id").as("k")).distinct()))
-    val v = transform(split(element_at(col("after"), embKey), ","),
-      s => s.try_cast("float"))
-    val dist = sqDist(v, typedLit(query))
+    val dist = sqDist(parsedVec(col("after")), typedLit(query))
     docs
       .select(element_at(col("after"), idKey).as("id"), dist.as("dist"))
       .join(short, Seq("id"), "left_semi")
@@ -377,8 +373,7 @@ final class MaintainedIvfIndex(
     * the retrainer.
     */
   private def corpusVectors(spark: SparkSession): DataFrame = {
-    val v = transform(split(element_at(col("after"), embKey), ","),
-      s => s.try_cast("float"))
+    val v = parsedVec(col("after"))
     md.corpusAsOf(spark, md.latestKey(spark))
       .select(element_at(col("after"), idKey).as("id"), v.as("v"),
         element_at(col("after"), embKey).isNotNull.as("has"))
@@ -587,6 +582,32 @@ final class MaintainedIvfIndex(
       idCol: String, embCol: String, nprobe: Int, k: Int): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val (key, pv, probeCells, probed) =
+      setProbePlan(spark, probes, idCol, embCol, nprobe)
+    // checkpointed: referenced by both the restricted embedding fetch
+    // and the re-rank join — without it the bucket read would run twice
+    val cand = md.entriesBucketsAt(spark, key, probed)
+      .join(probeCells, Seq("cell"))
+      .select(col("probe_id"),
+        (if (pqBooks.isEmpty) col("v") else col("v.id")).as("id"))
+      .localCheckpoint()
+    exactReRank(spark, key, cand, pv, k)
+  }
+
+  /** Probe parse → engine-side cell assignment → bucket planning — the
+    * head BOTH set reads share (the one-arithmetic-family contract is
+    * "by construction" only while exact and ADC probes assign cells
+    * through these same expressions): unique probes parsed to float
+    * vectors (absent/mis-dimensioned embeddings drop here), each
+    * probe's `nprobe` nearest cells in [[nearestCells]]'s exact order
+    * (struct(dist, cell) sorted lexicographically = ascending distance,
+    * ties to the lower cell), and the distinct probed cells' state
+    * buckets (bounded planning pull, ≤ stateBuckets rows). The probe
+    * frames are checkpointed — each feeds two downstream consumers.
+    */
+  private def setProbePlan(spark: SparkSession, probes: DataFrame,
+      idCol: String, embCol: String, nprobe: Int)
+      : (Option[(Long, Long)], DataFrame, DataFrame, Set[Int]) = {
     val key = md.latestKey(spark)
     val v = transform(split(col("_payload"), ","), s => s.try_cast("float"))
     val pv = ProbeFrames.unique(probes, idCol, embCol)
@@ -594,12 +615,8 @@ final class MaintainedIvfIndex(
         when(col("_payload").isNotNull && size(v) === dim &&
           !exists(v, x => x.isNull), v).as("qv"))
       .filter(col("qv").isNotNull)
-      // materialized once: feeds cell assignment, bucket planning, and
-      // the re-rank join
       .localCheckpoint()
     val cents = typedLit(centroids)
-    // struct(dist, cell) sorted lexicographically = ascending distance,
-    // ties to the lower cell — [[nearestCells]]'s exact order
     val cellsOf = transform(cents, (c, i) => struct(
       sqDist(col("qv"), c).as("d"), i.as("cell")))
     val probeCells = pv
@@ -610,18 +627,21 @@ final class MaintainedIvfIndex(
     val probed = probeCells
       .select(md.stateLog.bucketExpr(Seq(col("cell"))).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    // checkpointed: referenced by both the restricted embedding fetch
-    // and the re-rank join — without it the bucket read would run twice
-    val cand = md.entriesBucketsAt(spark, key, probed)
-      .join(probeCells, Seq("cell"))
-      .select(col("probe_id"),
-        (if (pqBooks.isEmpty) col("v") else col("v.id")).as("id"))
-      .localCheckpoint()
-    val dv = transform(split(element_at(col("after"), embKey), ","),
-      s => s.try_cast("float"))
+    (key, pv, probeCells, probed)
+  }
+
+  /** Exact-distance finish BOTH set reads share: candidate
+    * (probe_id, id) rows fetch their current embeddings candidate-
+    * restricted at the SAME state version key, score against the probe
+    * vector, and one windowed rank keeps top-k per probe (dist asc,
+    * id asc). Returns (probe_id, id, dist).
+    */
+  private def exactReRank(spark: SparkSession, key: Option[(Long, Long)],
+      cand: DataFrame, pv: DataFrame, k: Int): DataFrame = {
     val docs = md.corpusAsOf(spark, key,
         Some(cand.select(col("id").as("k")).distinct()))
-      .select(element_at(col("after"), idKey).as("id"), dv.as("dv"))
+      .select(element_at(col("after"), idKey).as("id"),
+        parsedVec(col("after")).as("dv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("dist").asc, col("id").asc)
     cand
@@ -650,25 +670,8 @@ final class MaintainedIvfIndex(
     require(k > 0, s"top-k needs k > 0, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    val key = md.latestKey(spark)
-    val v = transform(split(col("_payload"), ","), s => s.try_cast("float"))
-    val pv = ProbeFrames.unique(probes, idCol, embCol)
-      .select(col("probe_id"),
-        when(col("_payload").isNotNull && size(v) === dim &&
-          !exists(v, x => x.isNull), v).as("qv"))
-      .filter(col("qv").isNotNull)
-      .localCheckpoint()
-    val cents = typedLit(centroids)
-    val cellsOf = transform(cents, (c, i) => struct(
-      sqDist(col("qv"), c).as("d"), i.as("cell")))
-    val probeCells = pv
-      .select(col("probe_id"),
-        explode(slice(array_sort(cellsOf), 1, nprobe)).as("pc"))
-      .select(col("probe_id"), col("pc.cell").cast("int").as("cell"))
-      .localCheckpoint()
-    val probed = probeCells
-      .select(md.stateLog.bucketExpr(Seq(col("cell"))).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val (key, pv, probeCells, probed) =
+      setProbePlan(spark, probes, idCol, embCol, nprobe)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("approx").asc, col("id").asc)
     // the shortlist rank sees only posting rows + the probe vector —
@@ -684,20 +687,7 @@ final class MaintainedIvfIndex(
       .filter(col("ark") <= shortlist)
       .select(col("probe_id"), col("id"))
       .localCheckpoint()
-    val dv = transform(split(element_at(col("after"), embKey), ","),
-      s => s.try_cast("float"))
-    val docs = md.corpusAsOf(spark, key,
-        Some(short.select(col("id").as("k")).distinct()))
-      .select(element_at(col("after"), idKey).as("id"), dv.as("dv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("dist").asc, col("id").asc)
-    short
-      .join(docs, Seq("id"))
-      .join(pv, Seq("probe_id"))
-      .withColumn("dist", sqDist(col("dv"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("id"), col("dist"))
+    exactReRank(spark, key, short, pv, k)
   }
 
   /** Ops gauges — the underlying maintainer's family. */

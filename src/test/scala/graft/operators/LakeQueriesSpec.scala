@@ -162,9 +162,25 @@ class LakeQueriesSpec extends AnyFunSuite {
       if (tf == 0) 0.0
       else math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) *
         (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-    val lexRank = lexDocs
+    val lexScored = lexDocs
       .filter(d => d._3 + d._4 > 0)
       .map(d => (d._1, contrib(d._3, dfu, d._2) + contrib(d._4, dfl, d._2)))
+    // near-tie guard: the three engines in this gate (this recompute's
+    // Math.log, Spark's StrictMath.log, DuckDB's libm ln) may differ in
+    // the last ulp, so the RANKING is cross-engine-stable only because
+    // BM25 scores here are functions of small-integer (tf, dl, df) —
+    // equal inputs give EXACT ties (id-broken identically everywhere)
+    // and unequal inputs give macroscopic gaps. Assert that on the
+    // actual data: any two non-identical scores must sit well above ulp
+    // noise, so an engine-version bump that breaks this fails loudly
+    // here instead of flaking the driver gate.
+    val sortedScores = lexScored.map(_._2).sorted.reverse
+    sortedScores.zip(sortedScores.drop(1)).foreach { case (a, b) =>
+      assert(a == b || (a - b) / math.max(a.abs, b.abs) > 1e-9,
+        s"near-tie BM25 scores $a vs $b — the hybrid rank gate would be " +
+          "sensitive to cross-engine ln ulp differences")
+    }
+    val lexRank = lexScored
       .sortBy { case (id, sc) => (-sc, id) }.take(10)
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
     val vecRank = survivors
