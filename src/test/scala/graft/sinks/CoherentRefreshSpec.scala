@@ -129,4 +129,45 @@ class CoherentRefreshSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("barriers racing a live writer never tear the group") {
+    withLake { (sink, mv, md) =>
+      // a real writer: batches land continuously while barriers run —
+      // every barrier must still leave both sides on IDENTICAL applied
+      // intervals (the deterministic test above pins the mechanism; this
+      // pins it under actual concurrency)
+      val rounds = 8
+      val writer = new Thread(() => {
+        var id = 0L
+        while (id < 40) {
+          sink.appendBatch(envelope(Seq(
+            ev(id + 1, "insert", null,
+              row(s"w$id", if (id % 2 == 0) "a" else "b", (id % 7).toString)))),
+            id)
+          id += 1
+          Thread.sleep(5)
+        }
+      })
+      writer.start()
+      try {
+        (1 to rounds).foreach { _ =>
+          Maintainer.refreshCoherent(spark, sink, mv, md)
+          val (vk, dk) = (mv.latestKeyAny(spark), md.latestKey(spark))
+          assert(vk == dk, s"barrier left torn sides: view=$vk distinct=$dk")
+          Thread.sleep(15)
+        }
+      } finally writer.join()
+      // drain the tail and check both states equal a direct recompute
+      Maintainer.refreshCoherent(spark, sink, mv, md)
+      assert(mv.latestKeyAny(spark) == md.latestKey(spark))
+      val sums = viewSum(mv)
+      val nd = md.read(spark).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = (0L until 40L).groupBy(id => if (id % 2 == 0) "a" else "b")
+      assert(sums == want.map { case (g, ids) =>
+        g -> ids.map(id => (id % 7).toDouble).sum })
+      assert(nd == want.map { case (g, ids) =>
+        g -> ids.map(_ % 7).distinct.size.toLong })
+    }
+  }
 }
