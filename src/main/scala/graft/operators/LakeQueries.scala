@@ -292,8 +292,12 @@ object LakeQueries {
     // tf postings ARE DuckDB-expressible (the proven string_split_regex
     // tokenizer), so q_mv carries (postings, Σtf) as oracle-checked
     // constant columns AND the churn==rebuild equivalence runs in-build
+    // subBuckets = 2 puts the SUB-SLICED state geometry under the
+    // cross-engine gate: the oracle's bm_* / hyb* recomputes hash-check
+    // postings maintained through dirty-sub-slice rewrites every round
     val bm = new MaintainedBm25Index(sink, "public", "orders", "mvbm",
-      idKey = "o_orderkey", textKey = "o_text", stateBuckets = 8)
+      idKey = "o_orderkey", textKey = "o_text", stateBuckets = 8,
+      subBuckets = 2)
     // The gate maintains a DECLARED 50% subset of orders
     // (o_orderkey % 2 = 0, mirrored by the oracle's WHERE) — the same
     // gate-sizing rationale as q_mj's 25% (round-12 ask #7): this build

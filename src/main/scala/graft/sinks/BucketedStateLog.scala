@@ -15,11 +15,28 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `dir`:
   *  - `v<neg>_<pos>/bucket=<b>/` — immutable parquet slices written by
-  *    the version that (re)computed bucket `b`.
+  *    the version that (re)computed bucket `b` (with [[subs]] > 1, one
+  *    further level `sub=<s>/` and the slice unit is the sub dir).
   *  - `_commits/manifest.<neg>_<pos>` — the version's manifest: one
-  *    `bucket \t relative-slice-path` line per NON-EMPTY bucket, written
-  *    to a temp name and renamed into place (atomic), so the manifest's
-  *    existence IS the commit marker and a reader never sees it torn.
+  *    `bucket \t relative-slice-path` line per NON-EMPTY bucket
+  *    (`bucket:sub \t path` with [[subs]] > 1), written to a temp name
+  *    and renamed into place (atomic), so the manifest's existence IS
+  *    the commit marker and a reader never sees it torn.
+  *
+  * SUB-SLICING ([[subs]] > 1): a refcount state can hold a HOT GROUP —
+  * a stop term's posting list, a dense IVF cell — whose single bucket is
+  * touched by ~every refresh and whose rewrite is O(that bucket)
+  * regardless of churn. Sub-slicing splits each bucket's rows by a
+  * second hash over [[subCols]] (the VALUE columns — the hot group's
+  * rows spread across all `subs` slices) and lets [[commitSlices]]
+  * rewrite only the DIRTY (bucket, sub) slices while clean siblings
+  * carry by reference: both the merge input and the write become
+  * ~1/subs of the hot bucket. Bucket-level reads (point lookups, probe
+  * pruning) are unchanged — they read all of a bucket's sub-slices.
+  * GEOMETRY IS FIXED for the life of a state dir, exactly like
+  * [[buckets]] — fingerprinted maintainers encode it and refuse a
+  * mismatched open; `subs = 1` is byte-identical to the pre-sub layout
+  * and manifest encoding.
   *
   * Versions are keyed by the consumer's cursor interval exactly like
   * [[StateLog]] (containment order; replay-prev = maximal version inside
@@ -28,10 +45,14 @@ import org.apache.spark.sql.functions._
   * that the next GC sweeps.
   */
 private[sinks] final class BucketedStateLog(
-    dir: Path, val buckets: Int, keyCols: Seq[String] = Seq("jk")) {
+    dir: Path, val buckets: Int, keyCols: Seq[String] = Seq("jk"),
+    val subs: Int = 1, subCols: Seq[String] = Nil) {
 
   require(buckets > 0, s"buckets must be positive, got $buckets")
   require(keyCols.nonEmpty, "at least one key column")
+  require(subs >= 1, s"subs must be >= 1, got $subs")
+  require(subs == 1 || subCols.nonEmpty,
+    "sub-slicing needs subCols (the value columns the second hash splits on)")
 
   private def commitsDir = new Path(dir, "_commits")
   private val ManifestPrefix = "manifest."
@@ -51,6 +72,14 @@ private[sinks] final class BucketedStateLog(
   /** Single-key convenience of [[bucketExpr]]. */
   def bucketCol(jk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bucketExpr(Seq(jk))
+
+  /** The sub-slice a state row lands in within its bucket — the second
+    * hash over the declared [[subCols]], as a Column over frames that
+    * carry them (the state itself, and a delta whose value columns match).
+    * Constant 0 at `subs = 1`.
+    */
+  def subExpr: org.apache.spark.sql.Column =
+    if (subs == 1) lit(0) else pmod(hash(subCols.map(col): _*), lit(subs))
 
   /** Driver-side bucket of LITERAL key values — the same Murmur3
     * evaluation [[bucketExpr]] applies on the engine, computed without a
@@ -95,22 +124,28 @@ private[sinks] final class BucketedStateLog(
   def isCommitted(f: FileSystem, key: (Long, Long)): Boolean =
     f.exists(new Path(commitsDir, ManifestPrefix + nameOf(key)))
 
-  /** bucket → slice path relative to `dir` for one committed version. */
-  def entries(f: FileSystem, key: (Long, Long)): Map[Int, String] = {
+  /** (bucket, sub) → slice path relative to `dir` for one committed
+    * version. The legacy single-level encoding (`b \t rel`, written at
+    * `subs = 1`) parses as sub 0.
+    */
+  def entries(f: FileSystem, key: (Long, Long)): Map[(Int, Int), String] = {
     val in = f.open(new Path(commitsDir, ManifestPrefix + nameOf(key)))
     val text =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     text.split("\n").filter(_.nonEmpty).map { l =>
-      val Array(b, rel) = l.split("\t", 2)
-      b.toInt -> rel
+      val Array(bs, rel) = l.split("\t", 2)
+      bs.split(":") match {
+        case Array(b) => (b.toInt, 0) -> rel
+        case Array(b, s) => (b.toInt, s.toInt) -> rel
+      }
     }.toMap
   }
 
   private def sliceDirs(key: (Long, Long), only: Option[Set[Int]],
       f: FileSystem): Seq[String] =
     entries(f, key).toSeq.sortBy(_._1)
-      .collect { case (b, rel) if only.forall(_.contains(b)) =>
+      .collect { case ((b, _), rel) if only.forall(_.contains(b)) =>
         new Path(dir, rel).toString }
 
   /** One committed version's full state (pass `schema` so an all-empty
@@ -134,6 +169,23 @@ private[sinks] final class BucketedStateLog(
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
+  /** A version's state restricted to a (bucket, sub) slice subset — the
+    * sub-sliced refresh's merge input: ONLY the dirty slices' rows, not
+    * even the hot bucket's clean siblings.
+    */
+  def readSlices(spark: SparkSession, key: (Long, Long),
+      only: Set[(Int, Int)],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val f = fs(spark)
+    val dirs = entries(f, key).toSeq.sortBy(_._1)
+      .collect { case (bs, rel) if only.contains(bs) =>
+        new Path(dir, rel).toString }
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
   /** Commit one version: write `touchedState` (must contain ONLY rows of
     * `touchedBuckets`) hash-sliced under this version's directory, carry
     * every other bucket forward from `prevKey`'s manifest by reference,
@@ -150,20 +202,51 @@ private[sinks] final class BucketedStateLog(
         * manifest replace is the atomic cut-over, and an orphaned
         * half-written tagged directory is swept by the next [[gcWithin]].
         */
-      dirTag: String = ""): Unit = {
+      dirTag: String = ""): Unit =
+    commitSlices(f, touchedState,
+      touchedBuckets.flatMap(b => (0 until subs).map(b -> _)),
+      prevKey, key, dirTag)
+
+  /** [[commit]] at (bucket, sub) granularity: write `touchedState` (must
+    * contain ONLY rows of `dirty` slices) hash-sliced under this
+    * version's directory, carry every other slice — a hot bucket's clean
+    * sub-slices included — forward from `prevKey`'s manifest by
+    * reference, and publish the manifest atomically.
+    */
+  def commitSlices(f: FileSystem, touchedState: DataFrame,
+      dirty: Set[(Int, Int)], prevKey: Option[(Long, Long)],
+      key: (Long, Long), dirTag: String = ""): Unit = {
+    // geometry guard: an INCREMENTAL commit under different
+    // buckets/subs than the committed state would scramble carried
+    // refs (bucketExpr/subExpr no longer match the slices they prune) —
+    // silent row loss, the exact corruption the fingerprinted
+    // maintainers already refuse. Full rewrites (prevKey = None) don't
+    // read prior layout — they ARE the migration, and update the marker.
+    if (prevKey.isEmpty) writeGeometry(f) else checkGeometry(f)
     val vName = s"v${nameOf(key)}$dirTag"
     val vDir = new Path(dir, vName)
     f.delete(vDir, true) // crashed prior attempt at this version
-    touchedState
+    val sliced = touchedState
       .withColumn("bucket", bucketExpr(keyCols.map(col)))
-      .write.partitionBy("bucket").parquet(vDir.toString)
-    val written: Map[Int, String] =
+    if (subs == 1)
+      sliced.write.partitionBy("bucket").parquet(vDir.toString)
+    else
+      sliced.withColumn("sub", subExpr)
+        .write.partitionBy("bucket", "sub").parquet(vDir.toString)
+    val written: Map[(Int, Int), String] =
       if (!f.exists(vDir)) Map.empty
       else f.listStatus(vDir).toSeq.filter(_.isDirectory)
-        .flatMap(st => st.getPath.getName.stripPrefix("bucket=").toIntOption)
-        .map(b => b -> s"$vName/bucket=$b").toMap
+        .flatMap { st =>
+          val bName = st.getPath.getName
+          bName.stripPrefix("bucket=").toIntOption.toSeq.flatMap { b =>
+            if (subs == 1) Seq((b, 0) -> s"$vName/$bName")
+            else f.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+              .flatMap(ss => ss.getPath.getName.stripPrefix("sub=").toIntOption
+                .map(s => (b, s) -> s"$vName/$bName/${ss.getPath.getName}"))
+          }
+        }.toMap
     val carried = prevKey.map(entries(f, _)).getOrElse(Map.empty)
-      .filterNot { case (b, _) => touchedBuckets.contains(b) }
+      .filterNot { case (bs, _) => dirty.contains(bs) }
     writeManifest(f, key, carried ++ written)
   }
 
@@ -193,14 +276,68 @@ private[sinks] final class BucketedStateLog(
     keys.foreach(legacy.retire(f, _))
   }
 
+  /** `buckets:subs` marker — the dir's committed layout. Geometry is
+    * fixed for the life of a state dir: pre-marker dirs (all written
+    * before sub-slicing existed, hence subs = 1) adopt on the next
+    * commit only when this writer's subs is 1; anything else refuses
+    * and names the migration. The marker is replaced by full rewrites
+    * (they re-slice everything) and merely validated by incremental
+    * commits. A crash in the marker replace leaves it absent next to
+    * committed versions — the next incremental commit under subs > 1
+    * refuses until the full rewrite is re-run, loud not silent.
+    */
+  private def geometryPath = new Path(dir, "_geometry")
+
+  private def writeGeometry(f: FileSystem): Unit = {
+    f.mkdirs(dir)
+    val tmp = new Path(dir, "_geometry.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$buckets:$subs".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    BucketedStateLog.publishReplace(f, tmp, geometryPath)
+  }
+
+  private def checkGeometry(f: FileSystem): Unit = {
+    val want = s"$buckets:$subs"
+    if (f.exists(geometryPath)) {
+      val in = f.open(geometryPath)
+      val got =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (got != want) throw new IllegalStateException(
+        s"state dir $dir holds versions committed under geometry $got " +
+          s"(buckets:subs) but this writer is configured $want — geometry " +
+          "is fixed for the life of a state dir; migrate by full rewrite: " +
+          "a fingerprinted maintainer's rebuild(), or for parameterless " +
+          "ones delete the state dir (keep the lake cursor) so the next " +
+          "refresh re-seeds through BASE under the new geometry")
+    } else if (committed(f).nonEmpty) {
+      // pre-marker dir: written before sub-slicing existed, so its subs
+      // IS 1 — adopt only a subs=1 writer (buckets changes were already
+      // an undocumented-geometry hazard before the marker; adopting the
+      // current count preserves that exact contract, no wider)
+      if (subs != 1) throw new IllegalStateException(
+        s"state dir $dir holds pre-sub-slicing versions (subs=1) but " +
+          s"this writer is configured subs=$subs — migrate by full " +
+          "rewrite: a fingerprinted maintainer's rebuild(), or for " +
+          "parameterless ones delete the state dir (keep the lake " +
+          "cursor) so the next refresh re-seeds through BASE")
+      writeGeometry(f)
+    } else writeGeometry(f)
+  }
+
   private def writeManifest(f: FileSystem, key: (Long, Long),
-      m: Map[Int, String]): Unit = {
+      m: Map[(Int, Int), String]): Unit = {
     f.mkdirs(commitsDir)
     val dst = new Path(commitsDir, ManifestPrefix + nameOf(key))
     val tmp = new Path(commitsDir, ManifestPrefix + nameOf(key) + ".tmp")
     val sb = new StringBuilder
-    m.toSeq.sortBy(_._1).foreach { case (b, rel) =>
-      sb.append(b).append('\t').append(rel).append('\n')
+    m.toSeq.sortBy(_._1).foreach { case ((b, s), rel) =>
+      // subs == 1 keeps the legacy single-level encoding byte-identical
+      sb.append(if (subs == 1) s"$b" else s"$b:$s")
+        .append('\t').append(rel).append('\n')
     }
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -242,15 +379,21 @@ private[sinks] final class BucketedStateLog(
     // (the same window manifestMtime tolerates) — a metrics scrape must
     // degrade to (0, 0), never crash the ops endpoint
     val refs =
-      try entries(f, key).values.toSeq
+      try entries(f, key).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
-    val sizes = refs.flatMap { rel =>
-      // a slice racing gc is DROPPED from the sample, not counted as 0 —
-      // a zero sentinel would deflate the median and inflate apparent
-      // skew for that scrape
-      try Some(f.listStatus(new Path(dir, rel)).filter(_.isFile)
-        .map(_.getLen).sum)
-      catch { case _: java.io.FileNotFoundException => None }
+    // PER-BUCKET sizes (sub-slices of one bucket sum together): the gauge
+    // answers "how hot is the hottest bucket", which is the read/rewrite
+    // unit point lookups and un-sub-sliced refreshes pay
+    val sizes = refs.groupBy(_._1._1).values.toSeq.flatMap { slices =>
+      val parts = slices.flatMap { case (_, rel) =>
+        // a slice racing gc is DROPPED from the sample, not counted as
+        // 0 — a zero sentinel would deflate the median and inflate
+        // apparent skew for that scrape
+        try Some(f.listStatus(new Path(dir, rel)).filter(_.isFile)
+          .map(_.getLen).sum)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      if (parts.size == slices.size) Some(parts.sum) else None
     }.sorted
     if (sizes.isEmpty) (0L, 0L) else (sizes.last, sizes(sizes.size / 2))
   }
@@ -283,8 +426,26 @@ private[sinks] final class BucketedStateLog(
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
         var kept = false
         slices.foreach { s =>
-          val rel = s"${vd.getPath.getName}/${s.getPath.getName}"
-          if (!keepRefs.contains(rel)) f.delete(s.getPath, true) else kept = true
+          // the reference unit is the bucket dir (subs = 1) or each
+          // sub dir within it — detected from LAYOUT, not this
+          // instance's geometry, so a gc sweeping mixed-era debris
+          // (crashed writes from before/after a rebuild-migration)
+          // deletes at the granularity each dir was actually written
+          val subDirs = f.listStatus(s.getPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("sub="))
+          if (subDirs.isEmpty) {
+            val rel = s"${vd.getPath.getName}/${s.getPath.getName}"
+            if (!keepRefs.contains(rel)) f.delete(s.getPath, true) else kept = true
+          } else {
+            var keptSub = false
+            subDirs.foreach { ss =>
+              val rel = s"${vd.getPath.getName}/${s.getPath.getName}/" +
+                ss.getPath.getName
+              if (!keepRefs.contains(rel)) f.delete(ss.getPath, true)
+              else keptSub = true
+            }
+            if (!keptSub) f.delete(s.getPath, true) else kept = true
+          }
         }
         // with no kept slices, everything left in the version dir is
         // debris — including a crashed write's _temporary/ staging dir

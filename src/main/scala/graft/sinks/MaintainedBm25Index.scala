@@ -49,7 +49,17 @@ final class MaintainedBm25Index(
     lake: LakeSink, schemaName: String, table: String, name: String,
     /** Image-map keys for the document id and text columns. */
     idKey: String, textKey: String,
-    k1: Double = 1.2, b: Double = 0.75, stateBuckets: Int = 16)
+    k1: Double = 1.2, b: Double = 0.75, stateBuckets: Int = 16,
+    /** Sub-slices per postings bucket — see [[MaintainedDistinct]]'s
+      * `subBuckets`: the WRITE-side counterpart of the read-side df-cap.
+      * A stop term appears in ~every churned document, so its bucket is
+      * touched by ~every refresh; sub-slicing bounds that rewrite (and
+      * the merge input) to the dirty ~1/subBuckets of the bucket. The
+      * stats/df companions stay unsliced (term-cardinality states, no
+      * hot values). Part of the state geometry (fingerprinted; `rebuild`
+      * migrates).
+      */
+    subBuckets: Int = 1)
     extends Maintainer {
 
   require(k1 > 0 && b >= 0 && b <= 1, s"k1=$k1 b=$b out of range")
@@ -64,7 +74,10 @@ final class MaintainedBm25Index(
     // tf postings are a function of the tokenizer family and the id/text
     // keys; k1/b only shape scoring at read time and never touch state
     fingerprint = Some(s"bm25 tok=lower-nonalpha idKey=$idKey " +
-      s"textKey=$textKey buckets=$stateBuckets"))
+      s"textKey=$textKey buckets=$stateBuckets" +
+      // absent at 1 so pre-sub state dirs keep their exact fingerprint
+      (if (subBuckets == 1) "" else s" subs=$subBuckets")),
+    subBuckets = subBuckets)
 
   /** Corpus stats: N (docs with ≥1 token, matching the batch pipeline's
     * convention — explode drops token-less docs) and Σ doc length, a

@@ -61,10 +61,22 @@ final class MaintainedDistinct(
       * fingerprint. `None` (plain distinct counts, parameterless
       * transforms) skips the guard entirely.
       */
-    fingerprint: Option[String] = None) extends Maintainer {
+    fingerprint: Option[String] = None,
+    /** Sub-slices per bucket (see [[BucketedStateLog]]'s SUB-SLICING):
+      * splits each bucket's rows by a second hash over the VALUE column,
+      * so a refresh touching a HOT GROUP (a stop term's posting list, a
+      * dense IVF cell) reads and rewrites only the dirty ~1/subBuckets
+      * of its bucket instead of the whole corpus-sized bucket.
+      * Bucket-level point reads are unchanged. Geometry is fixed for the
+      * life of the state dir, like `stateBuckets` — fingerprinted
+      * maintainers encode it (mismatched opens refuse, `rebuild`
+      * migrates); 1 = the pre-sub layout, byte-identical.
+      */
+    subBuckets: Int = 1) extends Maintainer {
 
   private val stateDir = new Path(lake.root, s"_graft_views/$name")
-  private val states = new BucketedStateLog(stateDir, stateBuckets, dist.groupCols)
+  private val states = new BucketedStateLog(stateDir, stateBuckets,
+    dist.groupCols, subBuckets, Seq("v"))
   private val ops = new MaintainerOps("distinct", name)
   private def cursorName = s"view_$name"
 
@@ -356,23 +368,31 @@ final class MaintainedDistinct(
             ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
           } else {
             val d = dist.delta(events).localCheckpoint()
-            // bounded planning pull: ≤ stateBuckets rows — per-bucket
-            // counts give the touched set AND the delta's (group, value)
-            // cardinality (the dirty-keys gauge) in one job
-            val perBucket = d
-              .groupBy(states.bucketExpr(dist.groupCols.map(col)).as("b"))
+            // bounded planning pull: ≤ stateBuckets × subBuckets rows —
+            // per-(bucket, sub) counts give the dirty slice set AND the
+            // delta's (group, value) cardinality (the dirty-keys gauge)
+            // in one job. The delta's v column routes through the SAME
+            // subExpr the state write uses, so a (group, value) row's
+            // slice agrees on both sides by construction.
+            val perSlice = d
+              .groupBy(states.bucketExpr(dist.groupCols.map(col)).as("b"),
+                states.subExpr.as("s"))
               .count().collect()
-            val touched = perBucket.map(_.getInt(0)).toSet
-            val deltaPairs = perBucket.map(_.getLong(1)).sum
-            if (touched.isEmpty) {
+            val dirty = perSlice.map(r => (r.getInt(0), r.getInt(1))).toSet
+            val touched = dirty.map(_._1)
+            val deltaPairs = perSlice.map(_.getLong(2)).sum
+            if (dirty.isEmpty) {
               // span had rows but no DML for THIS table — pure carry-forward
               states.commit(f, stateEmpty(spark), Set.empty, prevKey, key)
               ops.recordSpan(spanRows, 0, 0, stateBuckets)
             } else {
+              // merge input = the DIRTY slices only: a hot bucket's clean
+              // sub-slices neither feed the merge nor get rewritten
               val prevTouched = prevKey
-                .map(states.readBuckets(spark, _, Some(touched), stateSchema(spark)))
+                .map(states.readSlices(spark, _, dirty, stateSchema(spark)))
                 .getOrElse(dist.init(spark))
-              states.commit(f, dist.stepMerge(prevTouched, d), touched, prevKey, key)
+              states.commitSlices(f, dist.stepMerge(prevTouched, d), dirty,
+                prevKey, key)
               ops.recordSpan(spanRows, deltaPairs,
                 touched.size, stateBuckets - touched.size)
             }

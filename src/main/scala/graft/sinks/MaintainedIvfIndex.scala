@@ -62,7 +62,13 @@ final class MaintainedIvfIndex(
       * the fingerprint hashes codebook CONTENT, so retrained codebooks
       * refuse a mismatched open exactly like retrained centroids.
       */
-    pqBooks: Option[Seq[Seq[Seq[Float]]]] = None) extends Maintainer {
+    pqBooks: Option[Seq[Seq[Seq[Float]]]] = None,
+    /** Sub-slices per state bucket — see [[MaintainedDistinct]]'s
+      * `subBuckets`: bounds the refresh read/rewrite of a HOT cell's
+      * posting bucket to its dirty ~1/subBuckets. Part of the state
+      * geometry (fingerprinted; `rebuild` migrates).
+      */
+    subBuckets: Int = 1) extends Maintainer {
 
   require(centroids.nonEmpty, "at least one centroid")
   require(centroids.map(_.size).distinct.size == 1,
@@ -133,7 +139,10 @@ final class MaintainedIvfIndex(
       // absent for plain postings, so pre-PQ state dirs keep their
       // exact fingerprint string; a PQ index over a plain-posting state
       // (or changed codebooks) refuses and rebuild() migrates
-      pqBooks.fold("")(b => s" pq=${pqHash(b)}")))
+      pqBooks.fold("")(b => s" pq=${pqHash(b)}") +
+      // same exact-string preservation for the pre-sub geometry
+      (if (subBuckets == 1) "" else s" subs=$subBuckets")),
+    subBuckets = subBuckets)
 
   /** Full re-assignment of the current corpus under THIS instance's
     * centroids, adopting their fingerprint — the prescribed migration
@@ -435,7 +444,8 @@ final class MaintainedIvfIndex(
     val trained = trainCodebooksFromCorpus(spark, subspaces, codewords, iters)
     val next = new MaintainedIvfIndex(lake, schemaName, table, name,
       idKey = idKey, embKey = embKey, centroids = centroids,
-      stateBuckets = stateBuckets, pqBooks = Some(trained))
+      stateBuckets = stateBuckets, pqBooks = Some(trained),
+      subBuckets = subBuckets)
     next.rebuild(spark)
     next
   }
@@ -501,7 +511,8 @@ final class MaintainedIvfIndex(
     // trainCodebooksFromCorpus when ADC recall drifts
     val next = new MaintainedIvfIndex(lake, schemaName, table, name,
       idKey = idKey, embKey = embKey, centroids = trained,
-      stateBuckets = stateBuckets, pqBooks = pqBooks)
+      stateBuckets = stateBuckets, pqBooks = pqBooks,
+      subBuckets = subBuckets)
     next.rebuild(spark)
     next
   }

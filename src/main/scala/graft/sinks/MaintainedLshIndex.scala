@@ -51,7 +51,13 @@ final class MaintainedLshIndex(
       * same way). [[buckets]] still reports them, so the cap is
       * observable, never silent.
       */
-    maxBucket: Int = 64) extends Maintainer {
+    maxBucket: Int = 64,
+    /** Sub-slices per state bucket — see [[MaintainedDistinct]]'s
+      * `subBuckets`: bounds the refresh read/rewrite of a HOT collision
+      * bucket (a stop-phrase signature) to its dirty ~1/subBuckets.
+      * Part of the state geometry (fingerprinted; `rebuild` migrates).
+      */
+    subBuckets: Int = 1) extends Maintainer {
 
   require(bands > 0 && shingleN > 0 && maxBucket >= 2,
     s"bands=$bands shingleN=$shingleN maxBucket=$maxBucket out of range")
@@ -71,7 +77,10 @@ final class MaintainedLshIndex(
     // refuses, [[rebuild]] migrates (r16 verdict "What's wrong" #1)
     fingerprint = Some(s"lsh bands=$bands shingleN=$shingleN " +
       s"idKey=$idKey textKey=$textKey buckets=$stateBuckets " +
-      s"seeds=lsh-$name-seed"))
+      s"seeds=lsh-$name-seed" +
+      // absent at 1 so pre-sub state dirs keep their exact fingerprint
+      (if (subBuckets == 1) "" else s" subs=$subBuckets")),
+    subBuckets = subBuckets)
 
   /** Full re-shingle of the current corpus under THIS instance's
     * parameters, adopting its fingerprint — the prescribed migration

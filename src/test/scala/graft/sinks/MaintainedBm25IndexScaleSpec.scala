@@ -209,4 +209,67 @@ class MaintainedBm25IndexScaleSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  /** The stop-term WRITE bound (the df-cap's write-side counterpart):
+    * a stop term in every document means every churned doc touches the
+    * stop term's bucket, so an unsliced refresh REWRITES that
+    * corpus-sized bucket no matter how small the churn. `subBuckets`
+    * splits the bucket by doc id: the same churn rewrites only the
+    * churned docs' sub-slices, and the two geometries' postings stay
+    * identical.
+    */
+  test("10,000-doc BM25 index: sub-slicing bounds the stop-term bucket's rewrite") {
+    val dir = Files.createTempDirectory("lake-bmsub").toString
+    try {
+      val sink = new LakeSink(dir, baseBuckets = 4)
+      def mk(nm: String, subs: Int) = new MaintainedBm25Index(sink,
+        "public", "docs", nm, idKey = "id", textKey = "text",
+        stateBuckets = BUCKETS, subBuckets = subs)
+      val ix1 = mk("bmw1", 1)
+      val ix8 = mk("bmw8", 8)
+      // every document carries the planted stop term
+      sink.appendBatch(envelope((0 until DOCS).map(i =>
+        ev(i.toLong, "insert", null, doc(s"d$i", s"the ${text(i)}")))), 0L)
+      assert(ix1.refresh(spark) == 1 && ix8.refresh(spark) == 1)
+      // churn 2 docs: one DELETE (retracts its ("the", doc) posting — an
+      // unchanged-tf update would telescope the stop term out of the
+      // delta and never touch its bucket, which is the maintainer doing
+      // the right thing already) and one update changing tail terms plus
+      // the stop term's tf (doubled), so both events drag the stop
+      // term's corpus-sized bucket into the refresh
+      sink.appendBatch(envelope(Seq(
+        ev(100000L, "delete", doc("d5", s"the ${text(5)}"), null),
+        ev(100001L, "update",
+          doc(s"d${DOCS / 2 + 5}", s"the ${text(DOCS / 2 + 5)}"),
+          doc(s"d${DOCS / 2 + 5}", s"the the ${text(DOCS / 2 + 6)}")))), 1L)
+      assert(ix1.refresh(spark) == 1 && ix8.refresh(spark) == 1)
+
+      def writtenRows(ix: MaintainedBm25Index, nm: String): Long = {
+        val states = ix.md.stateLog
+        val f = states.fs(spark)
+        val key = states.committed(f).last // the churn version
+        val vName = s"v${IntervalKeys.name(key)}"
+        val rels = states.entries(f, key).values.filter(_.startsWith(vName)).toSeq
+        if (rels.isEmpty) 0L
+        else spark.read.schema(ix.dist.init(spark).schema)
+          .parquet(rels.map(r => new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(sink.root, s"_graft_views/$nm"),
+            r).toString): _*).count()
+      }
+      val w1 = writtenRows(ix1, "bmw1")
+      val w8 = writtenRows(ix8, "bmw8")
+      // the unsliced rewrite carries the whole corpus-sized stop bucket
+      assert(w1 >= DOCS.toLong,
+        s"unsliced churn rewrite must include the stop bucket, got $w1")
+      val ratio = w1.toDouble / w8
+      info(f"churn rewrite: subs=1 wrote $w1, subs=8 wrote $w8 " +
+        f"(reduction $ratio%.1fx)")
+      assert(ratio > 2.5,
+        s"sub-slicing must cut the stop-bucket rewrite >2.5x (got $ratio)")
+      // identical contents across geometries
+      assert(ix1.postings(spark).except(ix8.postings(spark)).isEmpty &&
+        ix8.postings(spark).except(ix1.postings(spark)).isEmpty,
+        "sub-sliced postings diverged from the unsliced geometry")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
