@@ -53,6 +53,13 @@ private[sinks] final class BucketedStateLog(
   require(subs >= 1, s"subs must be >= 1, got $subs")
   require(subs == 1 || subCols.nonEmpty,
     "sub-slicing needs subCols (the value columns the second hash splits on)")
+  // "bucket"/"sub" are RESERVED: commitSlices adds them as partition
+  // columns, so a state column of either name would be silently
+  // overwritten before the write and stripped from the data files —
+  // every read would then return null for it
+  require(!(keyCols ++ subCols).exists(c => c == "bucket" || c == "sub"),
+    s"state columns named 'bucket'/'sub' collide with the slice " +
+      s"partition columns: keyCols=$keyCols subCols=$subCols")
 
   private def commitsDir = new Path(dir, "_commits")
   private val ManifestPrefix = "manifest."
@@ -162,6 +169,7 @@ private[sinks] final class BucketedStateLog(
   def readBuckets(spark: SparkSession, key: (Long, Long),
       only: Option[Set[Int]],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    checkGeometryRead(fs(spark))
     val dirs = sliceDirs(key, only, fs(spark))
     if (dirs.isEmpty)
       spark.createDataFrame(
@@ -177,6 +185,7 @@ private[sinks] final class BucketedStateLog(
       only: Set[(Int, Int)],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val f = fs(spark)
+    checkGeometryRead(f)
     val dirs = entries(f, key).toSeq.sortBy(_._1)
       .collect { case (bs, rel) if only.contains(bs) =>
         new Path(dir, rel).toString }
@@ -298,6 +307,32 @@ private[sinks] final class BucketedStateLog(
     BucketedStateLog.publishReplace(f, tmp, geometryPath)
   }
 
+  /** Read-side geometry guard, memoized per instance (one marker read
+    * for the instance's lifetime): a READER configured with the wrong
+    * buckets/subs prunes point reads to the WRONG slices — silently
+    * incomplete results, the same corruption class the write-side check
+    * refuses. Readers never write the marker (a read must not mutate
+    * the state dir); a marker-less dir is tolerated — pre-marker
+    * layouts stay readable, and the next commit stamps it.
+    */
+  @volatile private var geomReadChecked = false
+  private def checkGeometryRead(f: FileSystem): Unit = {
+    if (geomReadChecked) return
+    if (f.exists(geometryPath)) {
+      val want = s"$buckets:$subs"
+      val in = f.open(geometryPath)
+      val got =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (got != want) throw new IllegalStateException(
+        s"state dir $dir was committed under geometry $got (buckets:subs) " +
+          s"but this reader is configured $want — point reads would prune " +
+          "the wrong slices; open it with the committed geometry")
+    }
+    geomReadChecked = true
+  }
+
   private def checkGeometry(f: FileSystem): Unit = {
     val want = s"$buckets:$subs"
     if (f.exists(geometryPath)) {
@@ -313,19 +348,43 @@ private[sinks] final class BucketedStateLog(
           "a fingerprinted maintainer's rebuild(), or for parameterless " +
           "ones delete the state dir (keep the lake cursor) so the next " +
           "refresh re-seeds through BASE under the new geometry")
-    } else if (committed(f).nonEmpty) {
-      // pre-marker dir: written before sub-slicing existed, so its subs
-      // IS 1 — adopt only a subs=1 writer (buckets changes were already
-      // an undocumented-geometry hazard before the marker; adopting the
-      // current count preserves that exact contract, no wider)
-      if (subs != 1) throw new IllegalStateException(
-        s"state dir $dir holds pre-sub-slicing versions (subs=1) but " +
-          s"this writer is configured subs=$subs — migrate by full " +
-          "rewrite: a fingerprinted maintainer's rebuild(), or for " +
-          "parameterless ones delete the state dir (keep the lake " +
-          "cursor) so the next refresh re-seeds through BASE")
-      writeGeometry(f)
-    } else writeGeometry(f)
+    } else committed(f).lastOption match {
+      case Some(latest) =>
+        // marker-less dir with committed versions: EITHER pre-marker
+        // (written before sub-slicing existed — necessarily subs=1 and
+        // legacy-encoded) OR a sub-sliced dir whose marker replace
+        // crashed in the delete+rename window. The manifest's RAW line
+        // encoding distinguishes them ('b:s' is written only by subs>1
+        // geometries, including s=0), so a lost marker never lets a
+        // subs=1 writer re-encode carried (b,s) refs into colliding
+        // legacy keys and silently drop slices.
+        if (manifestHasSubEncoding(f, latest)) throw new IllegalStateException(
+          s"state dir $dir holds sub-sliced manifests but its _geometry " +
+            "marker is missing (a crashed marker replace) — re-run the " +
+            "full rewrite (rebuild) that was migrating it, under the " +
+            "sub-sliced geometry")
+        else if (subs != 1) throw new IllegalStateException(
+          s"state dir $dir holds pre-sub-slicing versions (subs=1) but " +
+            s"this writer is configured subs=$subs — migrate by full " +
+            "rewrite: a fingerprinted maintainer's rebuild(), or for " +
+            "parameterless ones delete the state dir (keep the lake " +
+            "cursor) so the next refresh re-seeds through BASE")
+        else writeGeometry(f)
+      case None => writeGeometry(f)
+    }
+  }
+
+  /** True when a committed manifest uses the `b:s` sub-sliced key
+    * encoding — raw-line detection, deliberately NOT via [[entries]]
+    * (parsing normalizes `b:0` and legacy `b` to the same key, which is
+    * exactly the distinction a lost-marker check needs).
+    */
+  private def manifestHasSubEncoding(f: FileSystem, key: (Long, Long)): Boolean = {
+    val in = f.open(new Path(commitsDir, ManifestPrefix + nameOf(key)))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).exists(_.split("\t", 2)(0).contains(":"))
   }
 
   private def writeManifest(f: FileSystem, key: (Long, Long),
@@ -430,7 +489,14 @@ private[sinks] final class BucketedStateLog(
           // sub dir within it — detected from LAYOUT, not this
           // instance's geometry, so a gc sweeping mixed-era debris
           // (crashed writes from before/after a rebuild-migration)
-          // deletes at the granularity each dir was actually written
+          // deletes at the granularity each dir was actually written.
+          // A bucket-level-referenced dir was written by a subs=1
+          // commit and holds no sub dirs — short-circuit before the
+          // per-dir listing (one LIST per slice per gc on an object
+          // store is real money at subs=1, every existing deployment)
+          if (keepRefs.contains(s"${vd.getPath.getName}/${s.getPath.getName}")) {
+            kept = true
+          } else {
           val subDirs = f.listStatus(s.getPath).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("sub="))
           if (subDirs.isEmpty) {
@@ -445,6 +511,7 @@ private[sinks] final class BucketedStateLog(
               else keptSub = true
             }
             if (!keptSub) f.delete(s.getPath, true) else kept = true
+          }
           }
         }
         // with no kept slices, everything left in the version dir is

@@ -186,6 +186,20 @@ class SubSliceSpec extends AnyFunSuite {
       sink.appendBatch(envelope(Seq(
         ev(102, "insert", null, row(102, "g2", "w-c")))), 3L)
       intercept[IllegalStateException] { s1.refresh(spark) }
+      // a READER under the wrong geometry refuses too (it would prune
+      // point reads to the wrong slices) — fresh instance, marker 4:4
+      val s16 = new MaintainedDistinct(sink, mkDist, "public", "users",
+        "nd_geo", stateBuckets = 16, subBuckets = 4)
+      intercept[IllegalStateException] { s16.read(spark) }
+      // LOST-MARKER hazard: delete _geometry (the crashed-replace
+      // window) — a subs=1 writer must NOT silently adopt the
+      // sub-encoded manifests (legacy re-encoding would collapse
+      // (b,s) keys and drop slices); the raw 'b:s' lines are the proof
+      f.delete(new Path(sink.root, "_graft_views/nd_geo/_geometry"), false)
+      val s1b = new MaintainedDistinct(sink, mkDist, "public", "users",
+        "nd_geo", stateBuckets = 4)
+      val lost = intercept[IllegalStateException] { s1b.refresh(spark) }
+      assert(lost.getMessage.contains("marker is missing"), lost.getMessage)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
