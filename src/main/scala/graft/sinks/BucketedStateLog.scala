@@ -225,6 +225,14 @@ private[sinks] final class BucketedStateLog(
   def commitSlices(f: FileSystem, touchedState: DataFrame,
       dirty: Set[(Int, Int)], prevKey: Option[(Long, Long)],
       key: (Long, Long), dirTag: String = ""): Unit = {
+    // the reserved-name guard on the FULL state schema (the constructor
+    // require covers only keyCols/subCols — a payload or aggregate
+    // column named bucket/sub would be silently overwritten below and
+    // stripped from the data files, nulling it on every read)
+    require(!touchedState.columns.exists(c => c == "bucket" || c == "sub"),
+      s"state schema ${touchedState.columns.toSeq} carries a column named " +
+        "'bucket'/'sub' — these are the slice partition columns; rename " +
+        "it upstream")
     // geometry guard: an INCREMENTAL commit under different
     // buckets/subs than the committed state would scramble carried
     // refs (bucketExpr/subExpr no longer match the slices they prune) —
@@ -297,12 +305,25 @@ private[sinks] final class BucketedStateLog(
     */
   private def geometryPath = new Path(dir, "_geometry")
 
+  private def readGeometry(f: FileSystem): Option[String] =
+    if (!f.exists(geometryPath)) None
+    else {
+      val in = f.open(geometryPath)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+
   private def writeGeometry(f: FileSystem): Unit = {
+    val want = s"$buckets:$subs"
+    // skip the replace when the marker already matches: every routine
+    // re-seed/retrain/recode at unchanged geometry would otherwise
+    // re-open the delete+rename lost-marker window for nothing
+    if (readGeometry(f).contains(want)) return
     f.mkdirs(dir)
     val tmp = new Path(dir, "_geometry.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"$buckets:$subs".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     BucketedStateLog.publishReplace(f, tmp, geometryPath)
   }
@@ -318,19 +339,44 @@ private[sinks] final class BucketedStateLog(
   @volatile private var geomReadChecked = false
   private def checkGeometryRead(f: FileSystem): Unit = {
     if (geomReadChecked) return
-    if (f.exists(geometryPath)) {
-      val want = s"$buckets:$subs"
-      val in = f.open(geometryPath)
-      val got =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      if (got != want) throw new IllegalStateException(
-        s"state dir $dir was committed under geometry $got (buckets:subs) " +
-          s"but this reader is configured $want — point reads would prune " +
-          "the wrong slices; open it with the committed geometry")
+    readGeometry(f) match {
+      case Some(got) =>
+        val want = s"$buckets:$subs"
+        if (got != want) throw new IllegalStateException(
+          s"state dir $dir was committed under geometry $got (buckets:subs) " +
+            s"but this reader is configured $want — point reads would prune " +
+            "the wrong slices; open it with the committed geometry")
+        // memoize ONLY on a successful match: memoizing on absence would
+        // let a reader instantiated before the dir was seeded keep
+        // serving unvalidated after another process stamps a different
+        // geometry
+        geomReadChecked = true
+      case None =>
+        // marker-less dir: tolerate pre-marker layouts (stamped by the
+        // next commit) — but refuse the PROVABLE mismatch a lost marker
+        // can't hide: 'b:s'-encoded manifests are written only by
+        // sub-sliced geometries, so a subs=1 instance over them is
+        // misconfigured whatever the marker's fate was
+        latest(f) match {
+          case Some(latestKey) =>
+            if (subs == 1 && manifestHasSubEncoding(f, latestKey))
+              throw new IllegalStateException(
+                s"state dir $dir holds sub-sliced manifests but this " +
+                  "reader is configured subs=1 (its _geometry marker is " +
+                  "missing — a crashed marker replace) — open it with " +
+                  "the sub-sliced geometry, or re-run the full rewrite " +
+                  "that was migrating it")
+            // a real pre-marker history passed the provable check —
+            // memoize (geometry is fixed for life; a migration stamps
+            // the marker under the quiesce contract reads already have)
+            geomReadChecked = true
+          case None =>
+            // EMPTY dir: nothing proven — stay unmemoized so a reader
+            // instantiated before the first seed validates against the
+            // marker that seed stamps
+            ()
+        }
     }
-    geomReadChecked = true
   }
 
   private def checkGeometry(f: FileSystem): Unit = {
@@ -348,8 +394,8 @@ private[sinks] final class BucketedStateLog(
           "a fingerprinted maintainer's rebuild(), or for parameterless " +
           "ones delete the state dir (keep the lake cursor) so the next " +
           "refresh re-seeds through BASE under the new geometry")
-    } else committed(f).lastOption match {
-      case Some(latest) =>
+    } else latest(f) match {
+      case Some(latestKey) =>
         // marker-less dir with committed versions: EITHER pre-marker
         // (written before sub-slicing existed — necessarily subs=1 and
         // legacy-encoded) OR a sub-sliced dir whose marker replace
@@ -358,7 +404,7 @@ private[sinks] final class BucketedStateLog(
         // geometries, including s=0), so a lost marker never lets a
         // subs=1 writer re-encode carried (b,s) refs into colliding
         // legacy keys and silently drop slices.
-        if (manifestHasSubEncoding(f, latest)) throw new IllegalStateException(
+        if (manifestHasSubEncoding(f, latestKey)) throw new IllegalStateException(
           s"state dir $dir holds sub-sliced manifests but its _geometry " +
             "marker is missing (a crashed marker replace) — re-run the " +
             "full rewrite (rebuild) that was migrating it, under the " +
@@ -500,8 +546,9 @@ private[sinks] final class BucketedStateLog(
           val subDirs = f.listStatus(s.getPath).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("sub="))
           if (subDirs.isEmpty) {
-            val rel = s"${vd.getPath.getName}/${s.getPath.getName}"
-            if (!keepRefs.contains(rel)) f.delete(s.getPath, true) else kept = true
+            // bucket-level ref already known absent (the short-circuit
+            // above) and no sub units inside — pure debris
+            f.delete(s.getPath, true)
           } else {
             var keptSub = false
             subDirs.foreach { ss =>
