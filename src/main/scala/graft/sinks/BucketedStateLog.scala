@@ -500,7 +500,10 @@ private[sinks] final class BucketedStateLog(
       }
       if (parts.size == slices.size) Some(parts.sum) else None
     }.sorted
-    if (sizes.isEmpty) (0L, 0L) else (sizes.last, sizes(sizes.size / 2))
+    // LOWER median for even samples: the upper element would bias p50
+    // toward max at small bucket counts (2 buckets of 1 MB and 100 MB
+    // would read max == p50 — exactly the skew the gauge exists to show)
+    if (sizes.isEmpty) (0L, 0L) else (sizes.last, sizes((sizes.size - 1) / 2))
   }
 
   /** Drop versions strictly inside the replay horizon except the maximal

@@ -95,6 +95,10 @@ object HybridRetrieval {
       dfCap: Long = Long.MaxValue, shortlist: Int = 0): DataFrame = {
     require(kLex > 0 && kVec > 0,
       s"side depths must be positive, got kLex=$kLex kVec=$kVec")
+    // fuse() re-checks these, but AFTER both side reads' eager driver
+    // work — reject a rejectable input before any I/O
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(rrfK > 0, s"rrfK must be positive, got $rrfK")
     // the two side reads are independent consumers of independent state
     // dirs with several driver-blocking steps apiece (fingerprint read,
     // manifest listing, probe checkpoint, bucket-planning collect) — run

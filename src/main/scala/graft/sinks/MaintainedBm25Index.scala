@@ -251,7 +251,25 @@ final class MaintainedBm25Index(
   private def companionKey(view: MaintainedView, spark: SparkSession,
       postingsKey: Option[(Long, Long)]): Option[(Long, Long)] =
     postingsKey.flatMap(k => view.latestKeyWithin(spark, k))
-      .orElse(view.latestKeyAny(spark))
+      .orElse(view.latestKeyAny(spark) match {
+        // the fallback covers exactly the AHEAD race (a batch committed
+        // between the postings refresh and the companion's, so the
+        // companion's only version extends past the postings interval) —
+        // slightly newer stats are the pre-pinning semantics and strictly
+        // better than nothing. A version that is BEHIND the postings
+        // interval is a different animal: a re-pinned postings cursor
+        // (re-bootstrap after a vacuum gap) with a companion that never
+        // caught up would silently score every search with corpus stats
+        // from the pre-bootstrap corpus — refuse loudly instead.
+        case Some(any) if postingsKey.forall(k => any._2 >= k._2) => Some(any)
+        case Some(any) => throw new IllegalStateException(
+          s"companion view '${name}' serves interval $any, STALE relative " +
+            s"to the postings interval $postingsKey — the companion never " +
+            "caught up after the postings cursor moved (e.g. a " +
+            "re-bootstrap); refresh the index (which refreshes the " +
+            "companions) before reading")
+        case None => None
+      })
 
   /** The query terms surviving the df cap: terms whose df view entry
     * exceeds `dfCap` are dropped BEFORE their posting lists are read —
@@ -267,8 +285,11 @@ final class MaintainedBm25Index(
   private[sinks] def cappedTerms(spark: SparkSession,
       key: Option[(Long, Long)], terms: Seq[String],
       dfCap: Long): Seq[String] = {
-    if (dfCap == Long.MaxValue || terms.isEmpty) return terms
+    // validate BEFORE the early returns — the same invalid dfCap must
+    // refuse whatever the query tokenized to, or caller bugs hide until
+    // the query shape changes
     require(dfCap > 0, s"dfCap must be positive, got $dfCap")
+    if (dfCap == Long.MaxValue || terms.isEmpty) return terms
     val dKey = companionKey(dfView, spark, key)
     if (dKey.isEmpty) return terms
     val buckets = terms.map(t => dfView.stateLog.bucketOf(Seq(

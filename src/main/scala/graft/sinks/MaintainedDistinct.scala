@@ -393,8 +393,14 @@ final class MaintainedDistinct(
                 .getOrElse(dist.init(spark))
               states.commitSlices(f, dist.stepMerge(prevTouched, d), dirty,
                 prevKey, key)
+              // SLICE counts, not bucket counts: at subBuckets = 1 they
+              // coincide (existing gauge semantics unchanged); above it
+              // the rewritten/carried series shows the sub-slice
+              // economics the feature delivers — a whole-bucket count
+              // would hide the very reduction these gauges exist to
+              // surface
               ops.recordSpan(spanRows, deltaPairs,
-                touched.size, stateBuckets - touched.size)
+                dirty.size, stateBuckets * subBuckets - dirty.size)
             }
           }
         }
@@ -578,10 +584,14 @@ final class MaintainedDistinct(
     val (mx, p50) = asOf.map { k =>
       val token = (k, states.manifestMtime(f, k))
       skewMemo match {
-        case Some((`token`, cached)) => cached
+        case Some((`token`, cached)) if token._2 != -1L => cached
         case _ =>
           val s = states.bucketSizeStats(f, k)
-          skewMemo = Some((token, s))
+          // a vanished manifest (mtime -1, gc/recommit race) is NOT
+          // memoized — storing (key, -1) would serve the raced numbers
+          // for as long as the manifest stays missing, instead of the
+          // recompute the race rule promises
+          if (token._2 != -1L) skewMemo = Some((token, s))
           s
       }
     }.getOrElse((0L, 0L))
