@@ -769,25 +769,33 @@ object SparkEntry {
     // bench times a churn-proportional refresh, not a disguised full
     // recompute.
     "q_mj" ->
-      """SELECT seg, CAST(count(*) AS BIGINT) AS n,
-           CAST(count(b) AS BIGINT) AS n_matched,
-           CAST(sum(p) AS BIGINT) AS sum_price_cents,
-           CAST(sum(b) AS BIGINT) AS sum_bal_cents
-         FROM (
+      """WITH osel AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS oc
+           FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 89 <> 0),
+         csel AS (
+           SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cc
+           FROM customer WHERE c_custkey % 101 <> 0),
+         pairs AS (
            SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS seg,
+             c.c_custkey AS ck,
              CASE WHEN o.o_orderkey % 97 = 0
                THEN (o.oc*11 - (o.oc*11) % 10) // 10 ELSE o.oc END AS p,
              CASE WHEN c.c_custkey % 53 = 0
                THEN (c.cc*11 - (c.cc*11) % 10) // 10 ELSE c.cc END AS b
-           FROM (SELECT o_orderkey, o_custkey,
-                   CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS oc
-                 FROM orders WHERE o_orderkey % 4 = 0) o
-           LEFT JOIN (SELECT c_custkey, c_mktsegment,
-                   CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cc
-                 FROM customer WHERE c_custkey % 101 <> 0) c
-             ON o.o_custkey = c.c_custkey
-           WHERE o.o_orderkey % 89 <> 0)
-         GROUP BY seg ORDER BY seg""",
+           FROM osel o LEFT JOIN csel c ON o.o_custkey = c.c_custkey),
+         dj AS (
+           SELECT CAST(count(*) AS BIGINT) AS dj_pairs,
+             CAST(sum(p + b) AS BIGINT) AS dj_cents
+           FROM pairs WHERE ck IS NOT NULL)
+         SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(b) AS BIGINT) AS n_matched,
+           CAST(sum(p) AS BIGINT) AS sum_price_cents,
+           CAST(sum(b) AS BIGINT) AS sum_bal_cents,
+           dj_pairs, dj_cents
+         FROM pairs CROSS JOIN dj
+         GROUP BY seg, dj_pairs, dj_cents ORDER BY seg""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic
     // functions of event_id/user_id).

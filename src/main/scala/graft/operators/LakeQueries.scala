@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sinks.{HybridRetrieval, LakeSink, MaintainedBm25Index,
-  MaintainedDistinct, MaintainedIvfIndex, MaintainedJoin,
-  MaintainedLshIndex, MaintainedView}
+  MaintainedDeltaJoin, MaintainedDistinct, MaintainedIvfIndex,
+  MaintainedJoin, MaintainedLshIndex, MaintainedView}
 
 /** Driver-gated lake queries: put the changelog → fold → compact → vacuum
   * → time-travel pipeline of [[graft.sinks.LakeSink]] under the same
@@ -502,10 +502,10 @@ object LakeQueries {
   //    MaintainedJoinSpec's row-key and seedCursor tests — repeating it
   //    here bought ~2.3 s of bench time for no new coverage.
 
-  private val builtJoins =
-    new java.util.concurrent.ConcurrentHashMap[String, MaintainedJoin]()
+  private val builtJoins = new java.util.concurrent.ConcurrentHashMap[
+    String, (MaintainedJoin, (Long, Long))]()
 
-  private def joinFor(s: SparkSession, dir: String): MaintainedJoin =
+  private def joinFor(s: SparkSession, dir: String): (MaintainedJoin, (Long, Long)) =
     builtJoins.computeIfAbsent(dir, d => buildJoin(s, d))
 
   private def cimg(balCents: Column): Column = map(
@@ -541,7 +541,8 @@ object LakeQueries {
       typedLit(Seq("o_orderkey")).as("key_names"),
       before.as("before"), after.as("after"))
 
-  private def buildJoin(s: SparkSession, dir: String): MaintainedJoin = {
+  private def buildJoin(s: SparkSession, dir: String)
+      : (MaintainedJoin, (Long, Long)) = {
     val root = new Path(
       new Path(System.getProperty("java.io.tmpdir")),
       "graft_lake_mj_" + Integer.toHexString(dir.hashCode)).toString
@@ -563,6 +564,17 @@ object LakeQueries {
       // the churn-proportional shape for FK joins at scale, and this
       // gate proves it against the DuckDB oracle
       leftKeyImmutable = true, leftKeyCol = Some("o_custkey"))
+    // the SIGNED-DELTA inner join rides the same lake and churn on its
+    // own cursor — delta algebra (telescoped spans, the cross term),
+    // the pair-refcount state, AND sub-slicing (subBuckets = 2) all
+    // under the cross-engine gate: the oracle recomputes the inner
+    // join's pair count and cents sum from scratch
+    val djoin = new MaintainedDeltaJoin(sink,
+      left = ("public", "orders"), right = ("public", "customer"),
+      leftKey = i => element_at(i, "o_custkey"),
+      rightKey = i => element_at(i, "c_custkey"),
+      name = "mjd", stateBuckets = 4, subBuckets = 2,
+      rightKeyIsRowKey = true)
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
     val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
@@ -579,6 +591,7 @@ object LakeQueries {
         .unionByName(oenv(orders, "insert", L0 + 50000000L,
           lit(null).cast(mapT), oimg(pCents0))), 0L)
     join.refresh(s) // seed: every bucket written once
+    djoin.refresh(s)
     sink.appendBatch(
       cenv(cust.filter(col("c_custkey") % 53 === 0), "update", L1,
         cimg(bCents0), cimg(bCentsNew))
@@ -596,16 +609,27 @@ object LakeQueries {
                     // delete deltas telescope into one dirty-key
                     // recompute, and surviving orders of dropped
                     // customers flip matched → null-extended vs the seed
+    djoin.refresh(s) // the delta join's span telescoping + cross term
+                     // run over the same two-batch span
     sink.vacuum(s)
-    join
+    // the delta-join gate scalars (prep-billed bounded pull, 1 row):
+    // inner-pair count and the pair cents sum, recomputed by the oracle
+    val djRow = djoin.read(s).select(
+        count(lit(1)).cast("long"),
+        sum(element_at(col("left_after"), "o_totalprice_cents").cast("long") +
+          element_at(col("right_after"), "c_acctbal_cents").cast("long"))
+          .cast("long"))
+      .head()
+    (join, (djRow.getLong(0), djRow.getLong(1)))
   }
 
   /** Aggregate of the served join state by market segment (null-extended
     * rows under 'UNMATCHED') — a state read plus one group-by, no refold
     * of either table.
     */
-  def mjOrders(s: SparkSession, dir: String): DataFrame =
-    joinFor(s, dir).read(s).select(
+  def mjOrders(s: SparkSession, dir: String): DataFrame = {
+    val (join, dj) = joinFor(s, dir)
+    join.read(s).select(
         coalesce(element_at(col("right_after"), "c_mktsegment"),
           lit("UNMATCHED")).as("seg"),
         element_at(col("left_after"), "o_totalprice_cents")
@@ -617,5 +641,8 @@ object LakeQueries {
         count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
+      .withColumn("dj_pairs", lit(dj._1))
+      .withColumn("dj_cents", lit(dj._2))
       .orderBy("seg")
+  }
 }

@@ -265,6 +265,12 @@ class LakeQueriesSpec extends AnyFunSuite {
       .filter(col("c_custkey") % 101 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment"),
         pc("c_custkey", "c_acctbal", 53).as("b"))
+    // the delta-join gate columns: inner pair count + cents sum over the
+    // same churned tables (the MaintainedDeltaJoin's state, recomputed)
+    val inner = o.join(c, o("o_custkey") === c("c_custkey"))
+      .agg(count(lit(1)).cast("long"),
+        sum(col("p") + col("b")).cast("long")).head()
+    assert(inner.getLong(0) > 0, "delta-join gate vacuous: no inner pairs")
     val want = o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
       .select(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("seg"),
         col("p"), col("b"))
@@ -272,6 +278,8 @@ class LakeQueriesSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
+      .withColumn("dj_pairs", lit(inner.getLong(0)))
+      .withColumn("dj_cents", lit(inner.getLong(1)))
       .orderBy("seg")
     assertSame(got, want, "q_mj")
   }
