@@ -574,7 +574,10 @@ object LakeQueries {
       leftKey = i => element_at(i, "o_custkey"),
       rightKey = i => element_at(i, "c_custkey"),
       name = "mjd", stateBuckets = 4, subBuckets = 2,
-      rightKeyIsRowKey = true)
+      rightKeyIsRowKey = true,
+      // the fact side's fold prunes to the churned custkeys (the
+      // immutable tier) instead of folding all of orders per refresh
+      leftKeyImmutable = true, leftKeyCol = Some("o_custkey"))
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
     val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)

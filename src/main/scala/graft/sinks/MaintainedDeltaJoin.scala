@@ -58,9 +58,35 @@ final class MaintainedDeltaJoin(
     stateBuckets: Int = 16,
     subBuckets: Int = 1,
     leftKeyIsRowKey: Boolean = false,
-    rightKeyIsRowKey: Boolean = false) extends Maintainer {
+    rightKeyIsRowKey: Boolean = false,
+    /** Set when a side's join key is NOT its row key but IS immutable
+      * per row (the FK side of a fact-dimension join): the side's
+      * L_new/R_new fold input prunes to the other side's delta jks via
+      * `stateAsOf(restrictToImmutable)` — the read becomes
+      * delta-proportional instead of table-proportional. Validated per
+      * span via [[ImmutableContract]], which ALSO means a declared-
+      * immutable side gives up the delta join's native tolerance of
+      * join-key-changing updates (the restricted fold's
+      * stays-or-goes-together soundness needs the immutability); leave
+      * the flags off where keys genuinely move. Requires `*KeyCol` (the
+      * image-map column name) for delete-image validation, exactly like
+      * [[MaintainedJoin]]'s flags. Ignored when `*KeyIsRowKey` is set.
+      */
+    leftKeyImmutable: Boolean = false,
+    rightKeyImmutable: Boolean = false,
+    leftKeyCol: Option[String] = None,
+    rightKeyCol: Option[String] = None) extends Maintainer {
 
-  private val stateDir = new Path(lake.root, s"_graft_joins/$name")
+  require(!leftKeyImmutable || leftKeyIsRowKey || leftKeyCol.nonEmpty,
+    "leftKeyImmutable requires leftKeyCol (the image-map column name)")
+  require(!rightKeyImmutable || rightKeyIsRowKey || rightKeyCol.nonEmpty,
+    "rightKeyImmutable requires rightKeyCol (the image-map column name)")
+
+  // OWN namespace: sharing MaintainedJoin's _graft_joins/ would let a
+  // delta join and a splice join with one name silently share a state
+  // log (the delta's first refresh would isCommitted-skip its seed and
+  // serve the splice's 3-column state through this schema)
+  private val stateDir = new Path(lake.root, s"_graft_djoins/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets,
     Seq("jk"), subBuckets, Seq("lk", "rk"))
   private val ops = new MaintainerOps("djoin", name)
@@ -125,19 +151,23 @@ final class MaintainedDeltaJoin(
     */
   private def sideAsOf(spark: SparkSession, side: (String, String),
       key: Column => Column, asOf: Long, floor: Long, isRowKey: Boolean,
-      jks: Option[DataFrame]): DataFrame = {
-    val restrict =
-      if (isRowKey) jks.map(_.select(col("jk").cast("string").as("k")).distinct())
-      else None
+      isImmutable: Boolean, jks: Option[DataFrame]): DataFrame = {
+    def ks = jks.map(_.select(col("jk").cast("string").as("k")).distinct())
+    // restriction strength order, as on the splice join: row-key
+    // (prunes BASE buckets too) > declared-immutable (prunes the fold
+    // INPUT, scans BASE whole) > none (full fold, semi-joined after)
+    val restrict = if (isRowKey) ks else None
+    val restrictImm = if (!isRowKey && isImmutable) ks else None
     val folded = lake.stateAsOf(spark, side._1, side._2, asOf, floor,
-        restrictToKeys = restrict)
+        restrictToKeys = restrict,
+        restrictToImmutable = restrictImm.map(f => ((key, f))))
       .select(key(col("after")).cast("string").as("jk"), col("k"),
         imgHash(col("after")).as("h"), col("after").as("img"))
       .filter(col("jk").isNotNull)
-    (restrict, jks) match {
+    (restrict.orElse(restrictImm), jks) match {
       case (Some(_), _) => folded // already exactly the jk set
-      case (None, Some(ks)) =>
-        folded.join(broadcast(ks.select(col("jk")).distinct()),
+      case (None, Some(frame)) =>
+        folded.join(broadcast(frame.select(col("jk")).distinct()),
           Seq("jk"), "left_semi")
       case _ => folded
     }
@@ -180,10 +210,15 @@ final class MaintainedDeltaJoin(
     val ids = Seq("jk", "lk", "rk", "lh", "rh")
     val cond = ids.map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
     val n2 = coalesce(col("s.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))
-    val checked = when(n2 < 0, raise_error(
-      lit("MaintainedDeltaJoin: negative pair refcount — a retraction " +
-        "arrived for a pair never added (inconsistent changelog, or " +
-        "images not REPLICA IDENTITY FULL / TOAST-restored)")))
+    // SYMMETRIC guard: a pair is unique by construction ((jk, row keys,
+    // image hashes); the cross term nets same-span double counts to 1),
+    // so n > 1 is as inconsistent as n < 0 — a re-delivered insert for a
+    // live row would otherwise serve a phantom pair forever, silently
+    val checked = when(n2 < 0 || n2 > 1, raise_error(
+      concat(lit("MaintainedDeltaJoin: pair refcount "), n2,
+        lit(" — a retraction for a pair never added, or a re-added " +
+          "live pair (inconsistent changelog, or images not REPLICA " +
+          "IDENTITY FULL / TOAST-restored)"))))
       .otherwise(n2)
     s.join(dd, cond, "full_outer")
       .select(ids.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++ Seq(
@@ -221,15 +256,12 @@ final class MaintainedDeltaJoin(
       // requires a single-column identity whose value IS what the
       // extractor reads — a wrong flag would silently restrict the
       // fold away from real matches)
-      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) = {
-        def badImage(im: String) = col(im).isNotNull &&
-          !(key(col(im)) <=>
-            element_at(col(im), element_at(col("key_names"), 1)))
+      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) =
+        if (!on) lit(false) else RowKeyContract.violation(isSide(s), key)
+      def badImmutable(s: (String, String), key: Column => Column,
+          keyCol: Option[String], on: Boolean) =
         if (!on) lit(false)
-        else isSide(s) && col("op").isin("insert", "update", "delete") && (
-          col("key_names").isNull || size(col("key_names")) =!= 1 ||
-            badImage("after") || badImage("before"))
-      }
+        else ImmutableContract.violation(isSide(s), key, keyCol.get)
       val bounds = span.agg(
         min(col("batch_id").cast("long")), max(col("batch_id").cast("long")),
         max(when(onSides && col("op") === "truncate", 1).otherwise(0)),
@@ -239,7 +271,11 @@ final class MaintainedDeltaJoin(
           col("after").isNull, 1).otherwise(0)),
         sum(when(onSides, 1L).otherwise(0L)),
         max(when(badRowKey(left, leftKey, leftKeyIsRowKey), 1).otherwise(0)),
-        max(when(badRowKey(right, rightKey, rightKeyIsRowKey), 1).otherwise(0))
+        max(when(badRowKey(right, rightKey, rightKeyIsRowKey), 1).otherwise(0)),
+        max(when(badImmutable(left, leftKey, leftKeyCol,
+          leftKeyImmutable && !leftKeyIsRowKey), 1).otherwise(0)),
+        max(when(badImmutable(right, rightKey, rightKeyCol,
+          rightKeyImmutable && !rightKeyIsRowKey), 1).otherwise(0))
       ).head()
       def rowKeyViolation(side: (String, String)) = new IllegalStateException(
         s"MaintainedDeltaJoin('$name'): KeyIsRowKey is set for " +
@@ -250,6 +286,17 @@ final class MaintainedDeltaJoin(
         throw rowKeyViolation(left)
       if (!bounds.isNullAt(0) && bounds.getInt(7) == 1)
         throw rowKeyViolation(right)
+      def immutableViolation(side: (String, String)) = new IllegalStateException(
+        s"MaintainedDeltaJoin('$name'): KeyImmutable is set for " +
+          s"${side._1}.${side._2} but the span carries a key-changing " +
+          "update, a column-less delete/update image, or a declared " +
+          "*KeyCol that does not match the extractor — the restricted " +
+          "fold could resurrect stale versions; drop the flag if this " +
+          "side's join key legitimately moves")
+      if (leftKeyImmutable && !leftKeyIsRowKey && !bounds.isNullAt(0) &&
+          bounds.getInt(8) == 1) throw immutableViolation(left)
+      if (rightKeyImmutable && !rightKeyIsRowKey && !bounds.isNullAt(0) &&
+          bounds.getInt(9) == 1) throw immutableViolation(right)
       if (!bounds.isNullAt(0) && bounds.getInt(3) == 1)
         throw new IllegalStateException(
           s"MaintainedDeltaJoin('$name'): an update/delete on " +
@@ -273,25 +320,39 @@ final class MaintainedDeltaJoin(
             // (a compacted+vacuumed lake holds rows no surviving
             // changelog row mentions — the delta path cannot see them)
             val l = sideAsOf(spark, left, leftKey, key._2, key._1,
-              isRowKey = false, jks = None)
+              isRowKey = false, isImmutable = false, jks = None)
             val r = sideAsOf(spark, right, rightKey, key._2, key._1,
-              isRowKey = false, jks = None)
+              isRowKey = false, isImmutable = false, jks = None)
             states.commit(f, paired(l, r, lit(1L)).withColumnRenamed("dn", "n"),
               (0 until stateBuckets).toSet, None, key)
             ops.recordSpan(spanRows, spanRows, stateBuckets * subBuckets, 0)
           } else {
             val dl = sideDelta(span, left, leftKey).localCheckpoint()
             val dr = sideDelta(span, right, rightKey).localCheckpoint()
+            // empty-delta short-circuits: a span churning only one side
+            // must not pay the OTHER side's fold for guaranteed-empty
+            // terms (driver-side isEmpty on the checkpointed deltas)
+            val dlEmpty = dl.isEmpty
+            val drEmpty = dr.isEmpty
             // Δout = ΔL ⋈ R_new + L_new ⋈ ΔR − ΔL ⋈ ΔR, all signed; the
             // cross term subtracts because both one-sided terms read the
             // NEW folds (each already contains the other side's delta)
-            val rNew = sideAsOf(spark, right, rightKey, key._2, key._1,
-              rightKeyIsRowKey, Some(dl.select("jk")))
-            val lNew = sideAsOf(spark, left, leftKey, key._2, key._1,
-              leftKeyIsRowKey, Some(dr.select("jk")))
-            val d = paired(dl, rNew, col("l.s"))
-              .unionByName(paired(lNew, dr, col("r.s")))
-              .unionByName(paired(dl, dr, -col("l.s") * col("r.s")))
+            def part1 =
+              if (dlEmpty) Seq.empty
+              else Seq(paired(dl, sideAsOf(spark, right, rightKey, key._2,
+                key._1, rightKeyIsRowKey, rightKeyImmutable,
+                Some(dl.select("jk"))), col("l.s")))
+            def part2 =
+              if (drEmpty) Seq.empty
+              else Seq(paired(sideAsOf(spark, left, leftKey, key._2, key._1,
+                leftKeyIsRowKey, leftKeyImmutable, Some(dr.select("jk"))),
+                dr, col("r.s")))
+            def part3 =
+              if (dlEmpty || drEmpty) Seq.empty
+              else Seq(paired(dl, dr, -col("l.s") * col("r.s")))
+            val parts = part1 ++ part2 ++ part3
+            val d = (if (parts.isEmpty) paired(dl, dr, lit(0L)) // empty frame
+              else parts.reduce(_ unionByName _))
               .groupBy("jk", "lk", "rk", "lh", "rh")
               .agg(first(col("left_after"), ignoreNulls = true).as("left_after"),
                 first(col("right_after"), ignoreNulls = true).as("right_after"),

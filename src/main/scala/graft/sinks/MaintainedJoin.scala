@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   * (value→value or value→NULL; NULL→value is legal, superseded
   * NULL-imaged versions cannot shadow anything).
   */
+/** The `*KeyIsRowKey` flags' span-validated contract, spelled ONCE for
+  * the splice join and the signed-delta join: the flag promises a
+  * SINGLE-column replica identity whose value IS what the key extractor
+  * reads — both images validated (a delete carries only `before`), NULL
+  * `key_names` (REPLICA IDENTITY NOTHING) flags too.
+  */
+private[sinks] object RowKeyContract {
+  def violation(onTable: Column, key: Column => Column): Column = {
+    def badImage(im: String) = col(im).isNotNull &&
+      !(key(col(im)) <=>
+        element_at(col(im), element_at(col("key_names"), 1)))
+    onTable && col("op").isin("insert", "update", "delete") && (
+      col("key_names").isNull || size(col("key_names")) =!= 1 ||
+        badImage("after") || badImage("before"))
+  }
+}
+
 private[sinks] object ImmutableContract {
   def violation(onTable: Column, ex: Column => Column, colName: String): Column = {
     def misdeclared(im: String) = col(im).isNotNull &&
@@ -297,15 +314,8 @@ final class MaintainedJoin(
       // diverges from the identity column would silently miss its dirty
       // key if only `after` were checked. Computed only when a flag is
       // set (lit(false) folds the branch away otherwise).
-      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) = {
-        def badImage(im: String) = col(im).isNotNull &&
-          !(key(col(im)) <=>
-            element_at(col(im), element_at(col("key_names"), 1)))
-        if (!on) lit(false)
-        else isSide(s) && col("op").isin("insert", "update", "delete") && (
-          col("key_names").isNull || size(col("key_names")) =!= 1 ||
-            badImage("after") || badImage("before"))
-      }
+      def badRowKey(s: (String, String), key: Column => Column, on: Boolean) =
+        if (!on) lit(false) else RowKeyContract.violation(isSide(s), key)
       // the observable contract violations — misdeclared keyCol,
       // column-less delete image, key-changing update — are spelled
       // ONCE in [[ImmutableContract.violation]], shared with the view's

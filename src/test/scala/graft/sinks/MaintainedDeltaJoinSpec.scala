@@ -35,7 +35,8 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
   private def order(oid: String, uid: String, amt: String): Map[String, String] =
     Map("oid" -> oid, "uid" -> uid, "amt" -> amt)
 
-  private def withJoin(subs: Int = 1, rowKeyFlag: Boolean = false)(
+  private def withJoin(subs: Int = 1, rowKeyFlag: Boolean = false,
+      immFlag: Boolean = false)(
       body: (LakeSink, MaintainedDeltaJoin) => Unit): Unit = {
     val dir = Files.createTempDirectory("lake-dj").toString
     try {
@@ -44,7 +45,8 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
         ("public", "u"), ("public", "o"),
         im => element_at(im, "id"), im => element_at(im, "uid"),
         "dj_orders", stateBuckets = 4, subBuckets = subs,
-        leftKeyIsRowKey = rowKeyFlag)
+        leftKeyIsRowKey = rowKeyFlag,
+        rightKeyImmutable = immFlag, rightKeyCol = Some("uid"))
       body(sink, dj)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
@@ -135,6 +137,32 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("immutable-tier pruned fold gives the same answers; a key-changing update under the flag refuses") {
+    withJoin(immFlag = true) { (sink, dj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "u", Seq("id"), null, user("2", "bob")),
+        ev(3, "insert", "o", Seq("oid"), null, order("a", "1", "5")),
+        ev(4, "insert", "o", Seq("oid"), null, order("b", "2", "6")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      // a LEFT-side churn routes the right side through the
+      // immutable-restricted fold (pruned to the churned jk)
+      sink.appendBatch(envelope(Seq(
+        ev(5, "update", "u", Seq("id"), user("1", "ann"), user("1", "anne")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      assert(joinSet(dj) == Set(("a", "anne", "5"), ("b", "bob", "6")))
+      assert(joinSet(dj) == expected(sink))
+      // the tier's price: a uid-CHANGING order update violates the
+      // declared immutability and refuses (the flagless join handles
+      // key moves natively — drop the flag where keys move)
+      sink.appendBatch(envelope(Seq(
+        ev(6, "update", "o", Seq("oid"), order("b", "2", "6"),
+          order("b", "1", "6")))), 2L)
+      val e = intercept[IllegalStateException] { dj.refresh(spark) }
+      assert(e.getMessage.contains("KeyImmutable"), e.getMessage)
+    }
+  }
+
   test("REPLICA IDENTITY FULL is enforced: a before-less update refuses") {
     withJoin() { (sink, dj) =>
       sink.appendBatch(envelope(Seq(
@@ -194,7 +222,7 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
       // merged pairs — NOT the hot key's 120 pairs
       val states = dj.stateLog
       val f = states.fs(spark)
-      val churnKey = states.committed(f).last
+      val churnKey = dj.latestKey(spark).get
       val vName = s"v${IntervalKeys.name(churnKey)}"
       val (written, carried) =
         states.entries(f, churnKey).partition(_._2.startsWith(vName))
@@ -204,7 +232,7 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
         case rels => spark.read
           .schema(dj.stateSchema)
           .parquet(rels.map(r => new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(sink.root, "_graft_joins/dj_orders"),
+            new org.apache.hadoop.fs.Path(sink.root, "_graft_djoins/dj_orders"),
             r).toString): _*).count()
       }
       assert(writtenRows > 0 && writtenRows <= FACTS / 4,
