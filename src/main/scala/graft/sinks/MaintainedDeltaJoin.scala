@@ -1,18 +1,18 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A continuously-maintained INNER equi-join whose refresh cost is
+/** A continuously-maintained equi-join whose refresh cost is
   * DELTA-proportional — the signed-delta sibling of [[MaintainedJoin]]'s
   * per-key splice. The splice recomputes every touched join key's whole
-  * row set, which is the right call for outer joins and modest keys but
-  * makes a HOT KEY (a skewed FK with millions of fact rows) cost O(that
-  * key's rows) whenever one of them churns. This maintainer applies the
-  * classical incremental-join algebra instead:
+  * row set, which is the right call for modest keys but makes a HOT KEY
+  * (a skewed FK with millions of fact rows) cost O(that key's rows)
+  * whenever one of them churns. This maintainer applies the classical
+  * incremental-join algebra instead:
   *
-  *   Δout = ΔL ⋈ R_new  +  L_new ⋈ ΔR  −  ΔL ⋈ ΔR
+  *   Δpairs = ΔL ⋈ R_new  +  L_new ⋈ ΔR  −  ΔL ⋈ ΔR
   *
   * (the NEW-state form — algebraically equal to the textbook
   * ΔL⋈R_old + L_old⋈ΔR + ΔL⋈ΔR, but it reads each side's fold at the
@@ -20,20 +20,52 @@ import org.apache.spark.sql.functions._
   * read every other maintainer pins, so no as-of-PREV retention
   * problem). Each side's span delta telescopes per (row key, image):
   * an event contributes −before and/or +after, and summing signs
-  * cancels intermediate versions — so Δout is churn-sized, the merge
-  * input is Δout-sized, and with `subBuckets > 1` the hot key's pairs
+  * cancels intermediate versions — so Δpairs is churn-sized, the merge
+  * input is Δpairs-sized, and with `subBuckets > 1` the hot key's pairs
   * spread across sub-slices so even its REWRITE is dirty-slice-bounded.
   * A JOIN-KEY-CHANGING update needs no flag or validation here: its
   * −before retracts under the old jk and its +after inserts under the
   * new one, by construction.
   *
+  * OUTER joins (`joinType` = left_outer / right_outer / full_outer) are
+  * ALSO delta-maintainable: a preserved-side row is null-extended iff
+  * the other side's per-jk MATCH COUNT is zero, and that count is
+  * itself a refcount companion state (one row per distinct other-side
+  * jk — dimension-key-sized, maintained by the other side's telescoped
+  * count delta). Preserved rows flip between matched and null-extended
+  * ONLY on the count's 0↔>0 transitions, so the null-extension delta is
+  *
+  *   ΔU = ΔP restricted to jks whose OLD count was 0   (churn-sized)
+  *      − P_new over jks flipping 0→>0                 (flip-bounded)
+  *      + P_new over jks flipping >0→0                 (flip-bounded)
+  *
+  * with the flip reads going through the SAME key-restricted /
+  * immutable fold tiers the pair terms use — every refresh stays
+  * churn-proportional except at a flip, which is inherently bounded by
+  * the flipping keys' preserved rows (those rows change matched/
+  * unmatched status, so any maintenance must touch them). NULL join
+  * keys never pair but ARE preserved (standard outer-join semantics):
+  * they live permanently in the unmatched state (their match count is
+  * identically zero). The matched part of an outer read is the SAME
+  * pair state the inner join serves; [[read]] unions in each preserved
+  * side's unmatched rows null-extended.
+  *
   * State: one row per surviving pair — (jk, left row key, right row
   * key, image hashes, both images, refcount) — hash-bucketed on jk and
-  * sub-sliced on the pair identity. Pair identity includes sha2-256
-  * hashes of the CANONICAL image encodings (sorted map entries), so a
-  * retraction matches exactly the stored version it removes; a
-  * retraction that matches nothing drives a refcount negative and fails
-  * loud (the feed was not a consistent changelog).
+  * sub-sliced on the pair identity; per preserved side, a `_?counts`
+  * companion (jk, n — the OTHER side's row count) and a `_?null`
+  * companion (the unmatched preserved rows, sub-sliced on the row key
+  * so a hot unmatched jk rewrites dirty slices only). All companions
+  * commit under the SAME interval key inside one poll span (each
+  * guarded by its own replay marker, so a crash between commits
+  * completes on replay). The join type is FIXED for the life of a
+  * state dir (`_jointype` marker, fail-loud on mismatch — an inner
+  * dir reopened as outer would silently serve no null-extensions).
+  * Pair identity includes sha2-256 hashes of the CANONICAL image
+  * encodings (sorted map entries), so a retraction matches exactly the
+  * stored version it removes; a retraction that matches nothing drives
+  * a refcount negative and fails loud (the feed was not a consistent
+  * changelog).
   *
   * Prerequisites: REPLICA IDENTITY FULL on both sides (updates/deletes
   * must carry full before images — validated per span, fail-loud), and
@@ -41,8 +73,7 @@ import org.apache.spark.sql.functions._
   * restored full images, so −before and the prior +after encode
   * identically). Keyless (REPLICA IDENTITY NOTHING) tables join
   * append-only, like the lake fold — an update/delete of a keyless row
-  * trips the refcount check. INNER join only; outer joins stay on
-  * [[MaintainedJoin]].
+  * trips the refcount check.
   *
   * `*KeyIsRowKey` flags are a READ-cost tier exactly as on the splice
   * join: a side whose join key IS its single-column replica key fetches
@@ -55,6 +86,11 @@ final class MaintainedDeltaJoin(
     left: (String, String), right: (String, String),
     leftKey: Column => Column, rightKey: Column => Column,
     name: String,
+    /** "inner" (default), "left_outer", "right_outer" or "full_outer" —
+      * fixed for the life of the state dir (marker-enforced; migrate by
+      * building the new type under a NEW name).
+      */
+    joinType: String = "inner",
     stateBuckets: Int = 16,
     subBuckets: Int = 1,
     leftKeyIsRowKey: Boolean = false,
@@ -77,10 +113,15 @@ final class MaintainedDeltaJoin(
     leftKeyCol: Option[String] = None,
     rightKeyCol: Option[String] = None) extends Maintainer {
 
+  require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+    s"joinType must be inner/left_outer/right_outer/full_outer, got '$joinType'")
   require(!leftKeyImmutable || leftKeyIsRowKey || leftKeyCol.nonEmpty,
     "leftKeyImmutable requires leftKeyCol (the image-map column name)")
   require(!rightKeyImmutable || rightKeyIsRowKey || rightKeyCol.nonEmpty,
     "rightKeyImmutable requires rightKeyCol (the image-map column name)")
+
+  private val outerL = joinType == "left_outer" || joinType == "full_outer"
+  private val outerR = joinType == "right_outer" || joinType == "full_outer"
 
   // OWN namespace: sharing MaintainedJoin's _graft_joins/ would let a
   // delta join and a splice join with one name silently share a state
@@ -89,10 +130,84 @@ final class MaintainedDeltaJoin(
   private val stateDir = new Path(lake.root, s"_graft_djoins/$name")
   private val states = new BucketedStateLog(stateDir, stateBuckets,
     Seq("jk"), subBuckets, Seq("lk", "rk"))
+  // the outer companions: the OTHER side's per-jk row count (dimension-
+  // key-sized) and this preserved side's unmatched rows (sub-sliced on
+  // the row key so a hot unmatched jk stays dirty-slice-bounded). The
+  // "_"-prefixed dir names can never collide with the pair log's "v..."
+  // version dirs (its gc sweeps only those).
+  private val rcounts: Option[BucketedStateLog] =
+    if (outerL) Some(new BucketedStateLog(
+      new Path(stateDir, "_rcounts"), stateBuckets, Seq("jk"))) else None
+  private val lnulls: Option[BucketedStateLog] =
+    if (outerL) Some(new BucketedStateLog(
+      new Path(stateDir, "_lnull"), stateBuckets, Seq("jk"),
+      subBuckets, Seq("lk"))) else None
+  private val lcounts: Option[BucketedStateLog] =
+    if (outerR) Some(new BucketedStateLog(
+      new Path(stateDir, "_lcounts"), stateBuckets, Seq("jk"))) else None
+  private val rnulls: Option[BucketedStateLog] =
+    if (outerR) Some(new BucketedStateLog(
+      new Path(stateDir, "_rnull"), stateBuckets, Seq("jk"),
+      subBuckets, Seq("rk"))) else None
   private val ops = new MaintainerOps("djoin", name)
   private def cursorName = s"djoin_$name"
 
   override def stateId: String = s"${lake.root}#$cursorName"
+
+  // ---- join-type marker ---------------------------------------------------
+
+  /** The state dir's committed join type: the pair state serves any
+    * type's matched rows, so an inner dir reopened as left_outer would
+    * pass every pair check yet silently serve ZERO null-extensions
+    * (its unmatched companion would seed empty from the marker-less
+    * dir) — exactly the silent-wrong-answer class the geometry marker
+    * refuses for bucket counts. Stamped by the first refresh; validated
+    * by every refresh and read.
+    */
+  private def joinTypePath = new Path(stateDir, "_jointype")
+
+  @volatile private var jtChecked = false
+  private def checkJoinType(f: FileSystem, writer: Boolean): Unit = {
+    if (jtChecked) return
+    val existing: Option[String] =
+      if (!f.exists(joinTypePath)) None
+      else {
+        val in = f.open(joinTypePath)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    existing match {
+      case Some(jt) =>
+        if (jt != joinType) throw new IllegalStateException(
+          s"MaintainedDeltaJoin('$name'): state dir was committed as " +
+            s"'$jt' but this instance is configured '$joinType' — the " +
+            "join type is fixed for the life of a state dir (the pair " +
+            s"and companion states encode it); open it as '$jt', or " +
+            "build the new type under a NEW name (fresh cursor + state)")
+        jtChecked = true
+      case None if joinType != "inner" && states.committed(f).nonEmpty =>
+        // pre-marker dirs were written by inner-only code
+        throw new IllegalStateException(
+          s"MaintainedDeltaJoin('$name'): state dir holds pre-outer-era " +
+            s"versions (committed as 'inner') but this instance is " +
+            s"configured '$joinType' — build the outer join under a NEW " +
+            "name (fresh cursor + state)")
+      case None =>
+        if (writer) {
+          f.mkdirs(stateDir)
+          val tmp = new Path(stateDir, "_jointype.tmp")
+          val out = f.create(tmp, true)
+          try out.write(joinType.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          BucketedStateLog.publishReplace(f, tmp, joinTypePath)
+          jtChecked = true
+        }
+      // reader over an unstamped legacy-inner/empty dir: nothing to
+      // validate; the next refresh stamps the marker
+    }
+  }
 
   // ---- expressions ------------------------------------------------------
 
@@ -120,10 +235,12 @@ final class MaintainedDeltaJoin(
   /** One side's telescoped span delta: (jk, k, h, img, s) with s = ±1 —
     * an event contributes −before and/or +after, and summing signs per
     * (row key, image hash) cancels intermediate versions within the
-    * span. NULL join keys drop (inner join; they can never pair).
+    * span. NULL join keys drop unless `keepNullJk` (they never pair,
+    * but an OUTER-preserved side's null-jk rows are permanently
+    * unmatched output rows).
     */
   private def sideDelta(span: DataFrame, side: (String, String),
-      key: Column => Column): DataFrame = {
+      key: Column => Column, keepNullJk: Boolean): DataFrame = {
     val events = span.filter(
       col("schema") === side._1 && col("table") === side._2 &&
         col("op").isin("insert", "update", "delete"))
@@ -133,11 +250,11 @@ final class MaintainedDeltaJoin(
     val plus = events.filter(col("op").isin("insert", "update"))
       .select(col("key_names"), col("commit_lsn"), col("lsn"),
         col("after").as("img"), lit(1L).as("s"))
-    minus.unionByName(plus)
+    val keyed = minus.unionByName(plus)
       .select(key(col("img")).cast("string").as("jk"),
         rowKeyOf(col("img")).as("k"), imgHash(col("img")).as("h"),
         col("img"), col("s"))
-      .filter(col("jk").isNotNull)
+    (if (keepNullJk) keyed else keyed.filter(col("jk").isNotNull))
       .groupBy("jk", "k", "h")
       .agg(first(col("img"), ignoreNulls = true).as("img"),
         sum(col("s")).as("s"))
@@ -147,23 +264,27 @@ final class MaintainedDeltaJoin(
   /** One side's current rows at the applied interval: (jk, k, h, img) —
     * optionally KEY-RESTRICTED to a jk frame when the side's join key
     * IS its replica key (the BASE-pruned read); otherwise a full fold
-    * semi-joined on jk.
+    * semi-joined on jk. `keepNullJk` keeps null-jk rows (seed of an
+    * outer-preserved side's unmatched state) — only meaningful with
+    * `jks = None` (a jk restriction is non-null by construction).
     */
   private def sideAsOf(spark: SparkSession, side: (String, String),
       key: Column => Column, asOf: Long, floor: Long, isRowKey: Boolean,
-      isImmutable: Boolean, jks: Option[DataFrame]): DataFrame = {
+      isImmutable: Boolean, jks: Option[DataFrame],
+      keepNullJk: Boolean = false): DataFrame = {
     def ks = jks.map(_.select(col("jk").cast("string").as("k")).distinct())
     // restriction strength order, as on the splice join: row-key
     // (prunes BASE buckets too) > declared-immutable (prunes the fold
     // INPUT, scans BASE whole) > none (full fold, semi-joined after)
     val restrict = if (isRowKey) ks else None
     val restrictImm = if (!isRowKey && isImmutable) ks else None
-    val folded = lake.stateAsOf(spark, side._1, side._2, asOf, floor,
+    val folded0 = lake.stateAsOf(spark, side._1, side._2, asOf, floor,
         restrictToKeys = restrict,
         restrictToImmutable = restrictImm.map(f => ((key, f))))
       .select(key(col("after")).cast("string").as("jk"), col("k"),
         imgHash(col("after")).as("h"), col("after").as("img"))
-      .filter(col("jk").isNotNull)
+    val folded =
+      if (keepNullJk) folded0 else folded0.filter(col("jk").isNotNull)
     (restrict.orElse(restrictImm), jks) match {
       case (Some(_), _) => folded // already exactly the jk set
       case (None, Some(frame)) =>
@@ -195,36 +316,79 @@ final class MaintainedDeltaJoin(
       StructField("n", LongType, nullable = false)))
   }
 
-  private def emptyState(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+  private val countSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("jk", StringType),
+      StructField("n", LongType, nullable = false)))
+  }
 
-  /** Signed merge of a pair delta into the state: full-outer on the
-    * pair identity, refcounts summed, negatives fail loud (a retraction
-    * for a pair never produced — an inconsistent feed or a violated
-    * image contract).
+  private def unmatchedSchema(kName: String, hName: String,
+      imgName: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("jk", StringType), StructField(kName, StringType),
+      StructField(hName, StringType),
+      StructField(imgName, MapType(StringType, StringType)),
+      StructField("n", LongType, nullable = false)))
+  }
+  private val lnullSchema = unmatchedSchema("lk", "lh", "left_after")
+  private val rnullSchema = unmatchedSchema("rk", "rh", "right_after")
+
+  private def emptyOf(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def emptyState(spark: SparkSession): DataFrame =
+    emptyOf(spark, stateSchema)
+
+  /** Signed merge of a ±1-refcount delta into a state: full-outer on the
+    * identity, refcounts summed, negatives fail loud (a retraction for
+    * a row never produced — an inconsistent feed or a violated image
+    * contract) and so does n > 1 — identities are unique by
+    * construction ((jk, row keys, image hashes); the cross term nets
+    * same-span double counts to 1), so a re-delivered insert for a live
+    * row would otherwise serve a phantom forever, silently.
     */
-  private def merged(state: DataFrame, d: DataFrame): DataFrame = {
+  private def mergedSigned(state: DataFrame, d: DataFrame,
+      ids: Seq[String], payloads: Seq[String]): DataFrame = {
     val s = state.alias("s")
     val dd = d.alias("d")
-    val ids = Seq("jk", "lk", "rk", "lh", "rh")
     val cond = ids.map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
     val n2 = coalesce(col("s.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))
-    // SYMMETRIC guard: a pair is unique by construction ((jk, row keys,
-    // image hashes); the cross term nets same-span double counts to 1),
-    // so n > 1 is as inconsistent as n < 0 — a re-delivered insert for a
-    // live row would otherwise serve a phantom pair forever, silently
     val checked = when(n2 < 0 || n2 > 1, raise_error(
-      concat(lit("MaintainedDeltaJoin: pair refcount "), n2,
-        lit(" — a retraction for a pair never added, or a re-added " +
-          "live pair (inconsistent changelog, or images not REPLICA " +
+      concat(lit("MaintainedDeltaJoin: state refcount "), n2,
+        lit(" — a retraction for a row never added, or a re-added " +
+          "live row (inconsistent changelog, or images not REPLICA " +
           "IDENTITY FULL / TOAST-restored)"))))
       .otherwise(n2)
     s.join(dd, cond, "full_outer")
-      .select(ids.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++ Seq(
-        coalesce(col("s.left_after"), col("d.left_after")).as("left_after"),
-        coalesce(col("s.right_after"), col("d.right_after")).as("right_after"),
-        checked.as("n")): _*)
+      .select(ids.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++
+        payloads.map(p => coalesce(col(s"s.$p"), col(s"d.$p")).as(p)) ++
+        Seq(checked.as("n")): _*)
+      .filter(col("n") > 0)
+  }
+
+  private def merged(state: DataFrame, d: DataFrame): DataFrame =
+    mergedSigned(state, d, Seq("jk", "lk", "rk", "lh", "rh"),
+      Seq("left_after", "right_after"))
+
+  /** Merge of a per-jk COUNT delta into a match-count companion: counts
+    * (unlike pair refcounts) legitimately exceed 1; only a negative is
+    * an inconsistent feed. Zero-count keys drop (absence == 0).
+    */
+  private def mergedCounts(state: DataFrame, d: DataFrame): DataFrame = {
+    val s = state.alias("s")
+    val dd = d.alias("d")
+    val n2 = coalesce(col("s.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))
+    val checked = when(n2 < 0, raise_error(
+      concat(lit("MaintainedDeltaJoin: per-key match count "), n2,
+        lit(" went negative — a retraction for a row never counted " +
+          "(inconsistent changelog, or images not REPLICA IDENTITY " +
+          "FULL / TOAST-restored)"))))
+      .otherwise(n2)
+    s.join(dd, col("s.jk") <=> col("d.jk"), "full_outer")
+      .select(coalesce(col("s.jk"), col("d.jk")).as("jk"), checked.as("n"))
       .filter(col("n") > 0)
   }
 
@@ -243,6 +407,9 @@ final class MaintainedDeltaJoin(
 
   private def refreshSpans(spark: SparkSession,
       within: Option[(Long, Long)]): Int = {
+    // BEFORE the poll: a mismatched join type must refuse even when the
+    // cursor is already current (the poll callback only runs on new spans)
+    checkJoinType(states.fs(spark), writer = true)
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName, within) { span =>
       val f = states.fs(spark)
@@ -312,92 +479,361 @@ final class MaintainedDeltaJoin(
         val spanRows = bounds.getLong(5)
         val key = (math.min(from._1, bounds.getLong(0)),
           math.max(from._2, bounds.getLong(1)))
-        if (!states.isCommitted(f, key)) {
+        // each state is guarded by its OWN replay marker: a crash
+        // between the pair commit and a companion's completes the
+        // missing commits when the span replays (the cursor advances
+        // only after the whole callback)
+        val needPairs = !states.isCommitted(f, key)
+        val needL = outerL && (!rcounts.get.isCommitted(f, key) ||
+          !lnulls.get.isCommitted(f, key))
+        val needR = outerR && (!lcounts.get.isCommitted(f, key) ||
+          !rnulls.get.isCommitted(f, key))
+        if (needPairs || needL || needR) {
           val prevKey = states.latestWithin(f, from)
           val truncated = bounds.getInt(2) == 1
           if (truncated || prevKey.isEmpty) {
             // SEED / truncate: full join of both sides through BASE
             // (a compacted+vacuumed lake holds rows no surviving
             // changelog row mentions — the delta path cannot see them)
-            val l = sideAsOf(spark, left, leftKey, key._2, key._1,
-              isRowKey = false, isImmutable = false, jks = None)
-            val r = sideAsOf(spark, right, rightKey, key._2, key._1,
-              isRowKey = false, isImmutable = false, jks = None)
-            states.commit(f, paired(l, r, lit(1L)).withColumnRenamed("dn", "n"),
-              (0 until stateBuckets).toSet, None, key)
+            seedAll(spark, f, key)
             ops.recordSpan(spanRows, spanRows, stateBuckets * subBuckets, 0)
           } else {
-            val dl = sideDelta(span, left, leftKey).localCheckpoint()
-            val dr = sideDelta(span, right, rightKey).localCheckpoint()
+            val dlF = sideDelta(span, left, leftKey, keepNullJk = outerL)
+              .localCheckpoint()
+            val drF = sideDelta(span, right, rightKey, keepNullJk = outerR)
+              .localCheckpoint()
+            val dl = if (outerL) dlF.filter(col("jk").isNotNull) else dlF
+            val dr = if (outerR) drF.filter(col("jk").isNotNull) else drF
             // empty-delta short-circuits: a span churning only one side
             // must not pay the OTHER side's fold for guaranteed-empty
             // terms (driver-side isEmpty on the checkpointed deltas)
             val dlEmpty = dl.isEmpty
             val drEmpty = dr.isEmpty
-            // Δout = ΔL ⋈ R_new + L_new ⋈ ΔR − ΔL ⋈ ΔR, all signed; the
-            // cross term subtracts because both one-sided terms read the
-            // NEW folds (each already contains the other side's delta)
-            def part1 =
-              if (dlEmpty) Seq.empty
-              else Seq(paired(dl, sideAsOf(spark, right, rightKey, key._2,
-                key._1, rightKeyIsRowKey, rightKeyImmutable,
-                Some(dl.select("jk"))), col("l.s")))
-            def part2 =
-              if (drEmpty) Seq.empty
-              else Seq(paired(sideAsOf(spark, left, leftKey, key._2, key._1,
-                leftKeyIsRowKey, leftKeyImmutable, Some(dr.select("jk"))),
-                dr, col("r.s")))
-            def part3 =
-              if (dlEmpty || drEmpty) Seq.empty
-              else Seq(paired(dl, dr, -col("l.s") * col("r.s")))
-            val parts = part1 ++ part2 ++ part3
-            val d = (if (parts.isEmpty) paired(dl, dr, lit(0L)) // empty frame
-              else parts.reduce(_ unionByName _))
-              .groupBy("jk", "lk", "rk", "lh", "rh")
-              .agg(first(col("left_after"), ignoreNulls = true).as("left_after"),
-                first(col("right_after"), ignoreNulls = true).as("right_after"),
-                sum(col("dn")).as("dn"))
-              .filter(col("dn") =!= 0L)
-              .localCheckpoint()
-            // bounded planning pull: ≤ stateBuckets × subBuckets rows
-            val perSlice = d.groupBy(
-                states.bucketExpr(Seq(col("jk"))).as("b"),
-                states.subExpr.as("s"))
-              .count().collect()
-            val dirty = perSlice.map(r => (r.getInt(0), r.getInt(1))).toSet
-            val deltaPairs = perSlice.map(_.getLong(2)).sum
-            if (dirty.isEmpty) {
-              states.commit(f, emptyState(spark), Set.empty, prevKey, key)
-              ops.recordSpan(spanRows, 0, 0, stateBuckets * subBuckets)
-            } else {
-              val prevTouched = states.readSlices(spark, prevKey.get, dirty,
-                stateSchema)
-              states.commitSlices(f, merged(prevTouched, d), dirty,
-                prevKey, key)
-              ops.recordSpan(spanRows, deltaPairs,
-                dirty.size, stateBuckets * subBuckets - dirty.size)
+            if (needPairs) {
+              // Δout = ΔL ⋈ R_new + L_new ⋈ ΔR − ΔL ⋈ ΔR, all signed;
+              // the cross term subtracts because both one-sided terms
+              // read the NEW folds (each already contains the other
+              // side's delta)
+              def part1 =
+                if (dlEmpty) Seq.empty
+                else Seq(paired(dl, sideAsOf(spark, right, rightKey, key._2,
+                  key._1, rightKeyIsRowKey, rightKeyImmutable,
+                  Some(dl.select("jk"))), col("l.s")))
+              def part2 =
+                if (drEmpty) Seq.empty
+                else Seq(paired(sideAsOf(spark, left, leftKey, key._2, key._1,
+                  leftKeyIsRowKey, leftKeyImmutable, Some(dr.select("jk"))),
+                  dr, col("r.s")))
+              def part3 =
+                if (dlEmpty || drEmpty) Seq.empty
+                else Seq(paired(dl, dr, -col("l.s") * col("r.s")))
+              val parts = part1 ++ part2 ++ part3
+              val d = (if (parts.isEmpty) paired(dl, dr, lit(0L)) // empty frame
+                else parts.reduce(_ unionByName _))
+                .groupBy("jk", "lk", "rk", "lh", "rh")
+                .agg(first(col("left_after"), ignoreNulls = true).as("left_after"),
+                  first(col("right_after"), ignoreNulls = true).as("right_after"),
+                  sum(col("dn")).as("dn"))
+                .filter(col("dn") =!= 0L)
+                .localCheckpoint()
+              // bounded planning pull: ≤ stateBuckets × subBuckets rows
+              val perSlice = d.groupBy(
+                  states.bucketExpr(Seq(col("jk"))).as("b"),
+                  states.subExpr.as("s"))
+                .count().collect()
+              val dirty = perSlice.map(r => (r.getInt(0), r.getInt(1))).toSet
+              val deltaPairs = perSlice.map(_.getLong(2)).sum
+              if (dirty.isEmpty) {
+                states.commit(f, emptyState(spark), Set.empty, prevKey, key)
+                ops.recordSpan(spanRows, 0, 0, stateBuckets * subBuckets)
+              } else {
+                val prevTouched = states.readSlices(spark, prevKey.get, dirty,
+                  stateSchema)
+                states.commitSlices(f, merged(prevTouched, d), dirty,
+                  prevKey, key)
+                ops.recordSpan(spanRows, deltaPairs,
+                  dirty.size, stateBuckets * subBuckets - dirty.size)
+              }
             }
+            if (outerL) refreshOuterSide(spark, f, key, from,
+              counts = rcounts.get, nulls = lnulls.get,
+              nullsSchema = lnullSchema,
+              preservedDelta = dlF, otherDelta = dr, otherEmpty = drEmpty,
+              preservedAsOf = jks => sideAsOf(spark, left, leftKey, key._2,
+                key._1, leftKeyIsRowKey, leftKeyImmutable, jks),
+              kName = "lk", hName = "lh", imgName = "left_after")
+            if (outerR) refreshOuterSide(spark, f, key, from,
+              counts = lcounts.get, nulls = rnulls.get,
+              nullsSchema = rnullSchema,
+              preservedDelta = drF, otherDelta = dl, otherEmpty = dlEmpty,
+              preservedAsOf = jks => sideAsOf(spark, right, rightKey, key._2,
+                key._1, rightKeyIsRowKey, rightKeyImmutable, jks),
+              kName = "rk", hName = "rh", imgName = "right_after")
           }
         }
         states.gcWithin(f, from)
+        rcounts.foreach(_.gcWithin(f, from))
+        lnulls.foreach(_.gcWithin(f, from))
+        lcounts.foreach(_.gcWithin(f, from))
+        rnulls.foreach(_.gcWithin(f, from))
       }
     }
   }
 
-  /** The current join output: (jk, left_after, right_after). */
-  def read(spark: SparkSession): DataFrame =
-    states.latest(states.fs(spark)) match {
+  /** Full rewrite of every state at `key` — the seed and the
+    * truncate-boundary rebuild. The unmatched companions anti-join the
+    * preserved side (null-jk rows kept: their match count is
+    * identically zero) against the other side's distinct jks.
+    */
+  private def seedAll(spark: SparkSession, f: FileSystem,
+      key: (Long, Long)): Unit = {
+    val all = (0 until stateBuckets).toSet
+    val lF = sideAsOf(spark, left, leftKey, key._2, key._1,
+      isRowKey = false, isImmutable = false, jks = None, keepNullJk = outerL)
+    val rF = sideAsOf(spark, right, rightKey, key._2, key._1,
+      isRowKey = false, isImmutable = false, jks = None, keepNullJk = outerR)
+    val l = if (outerL) lF.filter(col("jk").isNotNull) else lF
+    val r = if (outerR) rF.filter(col("jk").isNotNull) else rF
+    if (!states.isCommitted(f, key))
+      states.commit(f, paired(l, r, lit(1L)).withColumnRenamed("dn", "n"),
+        all, None, key)
+    if (outerL) {
+      if (!rcounts.get.isCommitted(f, key))
+        rcounts.get.commit(f, r.groupBy("jk").agg(count(lit(1)).as("n")),
+          all, None, key)
+      if (!lnulls.get.isCommitted(f, key))
+        lnulls.get.commit(f,
+          lF.join(r.select("jk").distinct(), Seq("jk"), "left_anti")
+            .select(col("jk"), col("k").as("lk"), col("h").as("lh"),
+              col("img").as("left_after"), lit(1L).as("n")),
+          all, None, key)
+    }
+    if (outerR) {
+      if (!lcounts.get.isCommitted(f, key))
+        lcounts.get.commit(f, l.groupBy("jk").agg(count(lit(1)).as("n")),
+          all, None, key)
+      if (!rnulls.get.isCommitted(f, key))
+        rnulls.get.commit(f,
+          rF.join(l.select("jk").distinct(), Seq("jk"), "left_anti")
+            .select(col("jk"), col("k").as("rk"), col("h").as("rh"),
+              col("img").as("right_after"), lit(1L).as("n")),
+          all, None, key)
+    }
+  }
+
+  /** One preserved side's outer maintenance through one span: advance
+    * the other side's per-jk match-count companion by its telescoped
+    * count delta, detect the 0↔>0 flips against the OLD counts, and
+    * merge the null-extension delta
+    *
+    *   ΔU = ΔP|old-count==0  −  P_new|flip 0→>0  +  P_new|flip >0→0
+    *
+    * into the unmatched state. Old-count reads are bucket-restricted to
+    * the churned jks (≤ stateBuckets buckets of a dimension-key-sized
+    * state); flip reads go through the preserved side's restricted fold
+    * tiers. Each commit is replay-guarded independently.
+    */
+  private def refreshOuterSide(spark: SparkSession, f: FileSystem,
+      key: (Long, Long), from: (Long, Long),
+      counts: BucketedStateLog, nulls: BucketedStateLog,
+      nullsSchema: org.apache.spark.sql.types.StructType,
+      preservedDelta: DataFrame, otherDelta: DataFrame, otherEmpty: Boolean,
+      preservedAsOf: Option[DataFrame] => DataFrame,
+      kName: String, hName: String, imgName: String): Unit = {
+    val needCounts = !counts.isCommitted(f, key)
+    val needNulls = !nulls.isCommitted(f, key)
+    if (!needCounts && !needNulls) return
+    def tornPrev(log: BucketedStateLog): (Long, Long) =
+      log.latestWithin(f, from).getOrElse(throw new IllegalStateException(
+        s"MaintainedDeltaJoin('$name'): outer companion state " +
+          s"has no version within the applied interval $from — the " +
+          "companions seed with the pairs, so this dir was built by a " +
+          "different configuration; rebuild under a new name"))
+    val cPrev = tornPrev(counts)
+    val nPrev = tornPrev(nulls)
+    val pEmpty = preservedDelta.isEmpty
+
+    // the other side's telescoped per-jk COUNT delta (an updated row's
+    // −old/+new nets to zero — only genuine row count changes survive)
+    val cDelta =
+      if (otherEmpty) None
+      else {
+        val cd = otherDelta.groupBy("jk").agg(sum(col("s")).as("dn"))
+          .filter(col("dn") =!= 0L).localCheckpoint()
+        if (cd.isEmpty) None else Some(cd)
+      }
+
+    /** OLD counts for the given jks, read from ≤ stateBuckets buckets of
+      * the companion (absent row == count 0; null jks read nothing —
+      * their count is identically zero).
+      */
+    def oldCountsFor(jks: DataFrame): DataFrame = {
+      val bs = jks.filter(col("jk").isNotNull)
+        .select(counts.bucketExpr(Seq(col("jk"))).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (bs.isEmpty) emptyOf(spark, countSchema)
+      else counts.readBuckets(spark, cPrev, Some(bs), countSchema)
+    }
+
+    // flips: jks whose count crosses zero this span, judged against the
+    // OLD counts — checkpointed once, consumed by both flip terms and
+    // the fail-loud negative check (one bounded driver pull). Skipped
+    // when only the count state needs the span (replay of a crash after
+    // the nulls commit): mergedCounts carries its own negative guard.
+    val flips = (if (needNulls) cDelta else None).map { cd =>
+      cd.join(oldCountsFor(cd.select("jk")).withColumnRenamed("n", "_old"),
+          Seq("jk"), "left_outer")
+        .select(col("jk"), coalesce(col("_old"), lit(0L)).as("old_n"),
+          (coalesce(col("_old"), lit(0L)) + col("dn")).as("new_n"))
+        .localCheckpoint()
+    }
+    val (nToMatched, nToUnmatched) = flips match {
+      case None => (0L, 0L)
+      case Some(fl) =>
+        val agg = fl.agg(
+          sum(when(col("old_n") === 0L && col("new_n") > 0L, 1L)
+            .otherwise(0L)),
+          sum(when(col("old_n") > 0L && col("new_n") === 0L, 1L)
+            .otherwise(0L)),
+          max(when(col("new_n") < 0L, 1).otherwise(0))).head()
+        if (!agg.isNullAt(2) && agg.getInt(2) == 1)
+          throw new IllegalStateException(
+            s"MaintainedDeltaJoin('$name'): a per-key match count went " +
+              "negative — a retraction for a row never counted " +
+              "(inconsistent changelog, or images not REPLICA IDENTITY " +
+              "FULL / TOAST-restored)")
+        (if (agg.isNullAt(0)) 0L else agg.getLong(0),
+          if (agg.isNullAt(1)) 0L else agg.getLong(1))
+    }
+
+    if (needCounts) cDelta match {
+      case None =>
+        counts.commit(f, emptyOf(spark, countSchema), Set.empty,
+          Some(cPrev), key)
+      case Some(cd) =>
+        val dirtyB = cd.select(counts.bucketExpr(Seq(col("jk"))).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val prevRows = counts.readBuckets(spark, cPrev, Some(dirtyB),
+          countSchema)
+        counts.commit(f, mergedCounts(prevRows, cd), dirtyB,
+          Some(cPrev), key)
+    }
+
+    if (needNulls) {
+      val duParts = Seq.newBuilder[DataFrame]
+      if (!pEmpty) {
+        // preserved churn under still-unmatched jks (old count == 0;
+        // null-jk rows join nothing and keep their implicit zero)
+        val oldP = oldCountsFor(preservedDelta.select("jk"))
+          .withColumnRenamed("n", "_rc")
+        duParts += preservedDelta
+          .join(oldP, Seq("jk"), "left_outer")
+          .filter(coalesce(col("_rc"), lit(0L)) === 0L)
+          .select(col("jk"), col("k"), col("h"), col("img"),
+            col("s").as("dn"))
+      }
+      flips.foreach { fl =>
+        if (nToMatched > 0)
+          duParts += preservedAsOf(Some(
+              fl.filter(col("old_n") === 0L && col("new_n") > 0L)
+                .select("jk")))
+            .select(col("jk"), col("k"), col("h"), col("img"),
+              lit(-1L).as("dn"))
+        if (nToUnmatched > 0)
+          duParts += preservedAsOf(Some(
+              fl.filter(col("old_n") > 0L && col("new_n") === 0L)
+                .select("jk")))
+            .select(col("jk"), col("k"), col("h"), col("img"),
+              lit(1L).as("dn"))
+      }
+      val parts = duParts.result()
+      if (parts.isEmpty) {
+        nulls.commit(f, emptyOf(spark, nullsSchema), Set.empty,
+          Some(nPrev), key)
+      } else {
+        val du = parts.reduce(_ unionByName _)
+          .groupBy("jk", "k", "h")
+          .agg(first(col("img"), ignoreNulls = true).as("img"),
+            sum(col("dn")).as("dn"))
+          .filter(col("dn") =!= 0L)
+          .select(col("jk"), col("k").as(kName), col("h").as(hName),
+            col("img").as(imgName), col("dn"))
+          .localCheckpoint()
+        // bounded planning pull: ≤ stateBuckets × subBuckets rows
+        val perSlice = du.groupBy(
+            nulls.bucketExpr(Seq(col("jk"))).as("b"), nulls.subExpr.as("s"))
+          .count().collect()
+        val dirty = perSlice.map(r => (r.getInt(0), r.getInt(1))).toSet
+        if (dirty.isEmpty) {
+          nulls.commit(f, emptyOf(spark, nullsSchema), Set.empty,
+            Some(nPrev), key)
+        } else {
+          val prevTouched = nulls.readSlices(spark, nPrev, dirty, nullsSchema)
+          nulls.commitSlices(f,
+            mergedSigned(prevTouched, du, Seq("jk", kName, hName),
+              Seq(imgName)), dirty, Some(nPrev), key)
+        }
+      }
+    }
+  }
+
+  /** The current join output: (jk, left_after, right_after) — matched
+    * pairs, plus (for outer types) each preserved side's unmatched rows
+    * with the other image null. Companion versions must sit at the pair
+    * state's key (they commit together per span); a mismatch means a
+    * refresh crashed between commits — re-run [[refresh]] to complete
+    * it, the read refuses rather than serving a torn outer result.
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val f = states.fs(spark)
+    checkJoinType(f, writer = false)
+    val mapT = "map<string,string>"
+    val pk = states.latest(f)
+    val pairs = pk match {
       case Some(k) => states.read(spark, k, stateSchema)
         .select(col("jk"), col("left_after"), col("right_after"))
       case None =>
-        emptyState(spark).select(col("jk"), col("left_after"), col("right_after"))
+        emptyState(spark).select(col("jk"), col("left_after"),
+          col("right_after"))
     }
+    if (!outerL && !outerR) return pairs
+    def unmatchedPart(log: BucketedStateLog,
+        schema: org.apache.spark.sql.types.StructType,
+        leftSide: Boolean): DataFrame = {
+      val uk = log.latest(f)
+      if (uk != pk) throw new IllegalStateException(
+        s"MaintainedDeltaJoin('$name'): unmatched companion serves " +
+          s"interval $uk but the pair state serves $pk — a refresh " +
+          "crashed between the two commits; re-run refresh to complete " +
+          "it before reading")
+      uk match {
+        case None => emptyOf(spark, schema)
+        case Some(k) => log.read(spark, k, schema)
+      }
+    }
+    var out = pairs
+    if (outerL)
+      out = out.unionByName(unmatchedPart(lnulls.get, lnullSchema,
+          leftSide = true)
+        .select(col("jk"), col("left_after"),
+          lit(null).cast(mapT).as("right_after")))
+    if (outerR)
+      out = out.unionByName(unmatchedPart(rnulls.get, rnullSchema,
+          leftSide = false)
+        .select(col("jk"), lit(null).cast(mapT).as("left_after"),
+          col("right_after")))
+    out
+  }
 
   /** The latest committed state version key (spec seam). */
   private[sinks] def latestKey(spark: SparkSession): Option[(Long, Long)] =
     states.latest(states.fs(spark))
 
   private[sinks] def stateLog: BucketedStateLog = states
+  private[sinks] def unmatchedLeftLog: Option[BucketedStateLog] = lnulls
+  private[sinks] def unmatchedRightLog: Option[BucketedStateLog] = rnulls
+  private[sinks] def matchCountLogs: Seq[BucketedStateLog] =
+    (rcounts ++ lcounts).toSeq
 
   /** Ops gauges for the `graft_lake_*` family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {

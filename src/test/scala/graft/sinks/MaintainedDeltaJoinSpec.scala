@@ -202,6 +202,231 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     }
   }
 
+  // ---- OUTER joins: the match-count companion + null-extension algebra ----
+
+  /** Orders-preserved harness: left = o (the fact side, preserved under
+    * left_outer), right = u with its replica key as the join key — so
+    * flip reads exercise the KEY-RESTRICTED fold tier.
+    */
+  private def withOuterJoin(joinType: String, subs: Int = 1)(
+      body: (LakeSink, MaintainedDeltaJoin) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-djo").toString
+    try {
+      val sink = new LakeSink(dir)
+      val dj = new MaintainedDeltaJoin(sink,
+        ("public", "o"), ("public", "u"),
+        im => element_at(im, "uid"), im => element_at(im, "id"),
+        "dj_outer", joinType = joinType, stateBuckets = 4, subBuckets = subs,
+        rightKeyIsRowKey = true)
+      body(sink, dj)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  /** (oid, amt, user name or "∅") for every served row — the outer read. */
+  private def outerSet(dj: MaintainedDeltaJoin): Set[(String, String, String)] =
+    dj.read(spark).collect().map { r =>
+      val l = if (r.isNullAt(1)) null else r.getMap[String, String](1)
+      val rr = if (r.isNullAt(2)) null else r.getMap[String, String](2)
+      (if (l == null) "∅" else l("oid"),
+        if (l == null) "∅" else l("amt"),
+        if (rr == null) "∅" else rr("name"))
+    }.toSet
+
+  /** Direct recompute: latestState OUTER-joined — the same answer the
+    * splice join ([[MaintainedJoin]], itself recompute-pinned by
+    * MaintainedJoinSpec) serves for this shape.
+    */
+  private def expectedOuter(sink: LakeSink, joinType: String)
+      : Set[(String, String, String)] = {
+    val o = sink.latestState(spark, "public", "o")
+      .select(element_at(col("after"), "uid").as("jk"),
+        element_at(col("after"), "oid").as("oid"),
+        element_at(col("after"), "amt").as("amt"))
+    val u = sink.latestState(spark, "public", "u")
+      .select(element_at(col("after"), "id").as("jk"),
+        element_at(col("after"), "name").as("name"))
+    o.join(u, o("jk") === u("jk"), joinType).collect().map { r =>
+      (Option(r.getString(1)).getOrElse("∅"),
+        Option(r.getString(2)).getOrElse("∅"),
+        Option(r.getString(4)).getOrElse("∅")).asInstanceOf[(String, String, String)]
+    }.toSet
+  }
+
+  test("left_outer: null-extension maintained through 0↔>0 flips both directions, unmatched churn, and NULL join keys") {
+    withOuterJoin("left_outer") { (sink, dj) =>
+      // seed: order a matched (user 1), b unmatched (no user 2 yet),
+      // c has NO uid at all — a NULL join key, permanently preserved
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "2", "20")),
+        ev(4, "insert", "o", Seq("oid"), null,
+          Map("oid" -> "c", "amt" -> "30")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(
+        ("a", "10", "alice"), ("b", "20", "∅"), ("c", "30", "∅")))
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+
+      // flip 0→>0 (user 2 appears) WITH the preserved side churning the
+      // SAME jk in the SAME span (the ΔP − P_new cancellation), a
+      // NULL-jk churn, and an insert under a matched jk
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "u", Seq("id"), null, user("2", "beau")),
+        ev(6, "update", "o", Seq("oid"), order("b", "2", "20"),
+          order("b", "2", "21")),
+        ev(7, "update", "o", Seq("oid"),
+          Map("oid" -> "c", "amt" -> "30"), Map("oid" -> "c", "amt" -> "31")),
+        ev(8, "insert", "o", Seq("oid"), null, order("d", "1", "40")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(
+        ("a", "10", "alice"), ("b", "21", "beau"), ("c", "31", "∅"),
+        ("d", "40", "alice")))
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+
+      // flip >0→0 (user 1 deleted: surviving orders a, d null-extend)
+      // while an order under the OTHER matched jk deletes in the span
+      sink.appendBatch(envelope(Seq(
+        ev(9, "delete", "u", Seq("id"), user("1", "alice"), null),
+        ev(10, "delete", "o", Seq("oid"), order("b", "2", "21"), null))), 2L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(
+        ("a", "10", "∅"), ("c", "31", "∅"), ("d", "40", "∅")))
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+      assert(dj.refresh(spark) == 0, "replay: nothing new, nothing applied")
+
+      // churn UNDER a still-unmatched jk: delete one null-extended row,
+      // version-swap another — pure unmatched-state maintenance
+      sink.appendBatch(envelope(Seq(
+        ev(11, "delete", "o", Seq("oid"), order("a", "1", "10"), null),
+        ev(12, "update", "o", Seq("oid"), order("d", "1", "40"),
+          order("d", "1", "41")))), 3L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(("c", "31", "∅"), ("d", "41", "∅")))
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+    }
+  }
+
+  test("full_outer: both sides' null-extensions maintained; truncate reseeds them") {
+    withOuterJoin("full_outer") { (sink, dj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "u", Seq("id"), null, user("9", "zoe")),
+        ev(3, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(4, "insert", "o", Seq("oid"), null, order("b", "7", "20")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(
+        ("a", "10", "ann"), ("b", "20", "∅"), ("∅", "∅", "zoe")))
+      assert(outerSet(dj) == expectedOuter(sink, "full_outer"))
+      // user 9 gains an order (their RIGHT-side unmatched row retracts),
+      // user 1 loses theirs (flips to right-unmatched), order b's user
+      // appears (left-unmatched retracts) — all three states move
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "o", Seq("oid"), null, order("z", "9", "30")),
+        ev(6, "delete", "o", Seq("oid"), order("a", "1", "10"), null),
+        ev(7, "insert", "u", Seq("id"), null, user("7", "kim")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(
+        ("z", "30", "zoe"), ("∅", "∅", "ann"), ("b", "20", "kim")))
+      assert(outerSet(dj) == expectedOuter(sink, "full_outer"))
+      // truncate one side: the boundary reseed must rebuild pair AND
+      // both companion families
+      sink.appendBatch(envelope(Seq(
+        Row(20L, 20L, 7L, "truncate", "public", "o", T, T, null, null, null),
+        ev(21, "insert", "o", Seq("oid"), null, order("n", "7", "50")))), 2L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == Set(
+        ("n", "50", "kim"), ("∅", "∅", "ann"), ("∅", "∅", "zoe")))
+      assert(outerSet(dj) == expectedOuter(sink, "full_outer"))
+    }
+  }
+
+  test("join type is fixed per state dir: a committed dir refuses a differently-typed open") {
+    val dir = Files.createTempDirectory("lake-djt").toString
+    try {
+      val sink = new LakeSink(dir)
+      def dj(jt: String) = new MaintainedDeltaJoin(sink,
+        ("public", "o"), ("public", "u"),
+        im => element_at(im, "uid"), im => element_at(im, "id"),
+        "dj_t", joinType = jt, stateBuckets = 4)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "5")))), 0L)
+      val inner = dj("inner")
+      assert(inner.refresh(spark) == 1)
+      // reopened as left_outer: refresh AND read refuse (an inner dir
+      // has no unmatched companions — it would silently serve zero
+      // null-extensions)
+      val asOuter = dj("left_outer")
+      val e1 = intercept[IllegalStateException] { asOuter.refresh(spark) }
+      assert(e1.getMessage.contains("'inner'"), e1.getMessage)
+      val e2 = intercept[IllegalStateException] { asOuter.read(spark) }
+      assert(e2.getMessage.contains("join type"), e2.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("hot UNMATCHED key: null-extension churn is dirty-slice-bounded, not key-proportional") {
+    withOuterJoin("left_outer", subs = 8) { (sink, dj) =>
+      val FACTS = 120
+      // 120 orders all referencing a user that does not exist — one hot
+      // unmatched jk whose rows all hash to one bucket of the lnull log
+      sink.appendBatch(envelope(
+        (1 to FACTS).map(i => ev(i.toLong, "insert", "o", Seq("oid"), null,
+          order(s"o$i", "9", i.toString)))), 0L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj).size == FACTS)
+      // churn ONE of them
+      sink.appendBatch(envelope(Seq(
+        ev(1000, "update", "o", Seq("oid"), order("o5", "9", "5"),
+          order("o5", "9", "999")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+      val log = dj.unmatchedLeftLog.get
+      val f = log.fs(spark)
+      val churnKey = dj.latestKey(spark).get
+      val vName = s"v${IntervalKeys.name(churnKey)}"
+      val (written, carried) =
+        log.entries(f, churnKey).partition(_._2.startsWith(vName))
+      assert(carried.nonEmpty, "clean sub-slices of the hot bucket must carry")
+      val writtenRows = written.values.toSeq match {
+        case Nil => 0L
+        case rels => spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("jk",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lk",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lh",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("left_after",
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(rels.map(r => new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(sink.root,
+              "_graft_djoins/dj_outer/_lnull"), r).toString): _*).count()
+      }
+      assert(writtenRows > 0 && writtenRows <= FACTS / 4,
+        s"hot unmatched-key churn must rewrite ~1/8 of the bucket, wrote " +
+          s"$writtenRows of $FACTS rows")
+      // and the FLIP is bounded by the flipping key's rows: the user
+      // appears, all 120 move matched — still correct
+      sink.appendBatch(envelope(Seq(
+        ev(2000, "insert", "u", Seq("id"), null, user("9", "hot")))), 2L)
+      assert(dj.refresh(spark) == 1)
+      val served = outerSet(dj)
+      assert(served.size == FACTS && served.forall(_._3 == "hot"))
+      assert(served == expectedOuter(sink, "left_outer"))
+      // and back: delete the user, everything null-extends again
+      sink.appendBatch(envelope(Seq(
+        ev(3000, "delete", "u", Seq("id"), user("9", "hot"), null))), 3L)
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+      assert(outerSet(dj).forall(_._3 == "∅"))
+    }
+  }
+
   test("hot join key: refresh write and merge input are delta-proportional, sub-slice-bounded") {
     withJoin(subs = 8) { (sink, dj) =>
       val FACTS = 120
