@@ -786,16 +786,21 @@ object SparkEntry {
                THEN (c.cc*11 - (c.cc*11) % 10) // 10 ELSE c.cc END AS b
            FROM osel o LEFT JOIN csel c ON o.o_custkey = c.c_custkey),
          dj AS (
-           SELECT CAST(count(*) AS BIGINT) AS dj_pairs,
-             CAST(sum(p + b) AS BIGINT) AS dj_cents
-           FROM pairs WHERE ck IS NOT NULL)
+           SELECT CAST(count(*) AS BIGINT) AS dj_rows,
+             CAST(count(ck) AS BIGINT) AS dj_pairs,
+             CAST(coalesce(sum(CASE WHEN ck IS NOT NULL THEN p + b END), 0)
+               AS BIGINT) AS dj_cents,
+             CAST(coalesce(sum(CASE WHEN ck IS NULL THEN p END), 0)
+               AS BIGINT) AS dj_null_cents
+           FROM pairs)
          SELECT seg, CAST(count(*) AS BIGINT) AS n,
            CAST(count(b) AS BIGINT) AS n_matched,
            CAST(sum(p) AS BIGINT) AS sum_price_cents,
            CAST(sum(b) AS BIGINT) AS sum_bal_cents,
-           dj_pairs, dj_cents
+           dj_rows, dj_pairs, dj_cents, dj_null_cents
          FROM pairs CROSS JOIN dj
-         GROUP BY seg, dj_pairs, dj_cents ORDER BY seg""",
+         GROUP BY seg, dj_rows, dj_pairs, dj_cents, dj_null_cents
+         ORDER BY seg""",
     // Logical decoding messages: the oracle recomputes each prefix's count
     // and payload bytes straight from events (the payloads are deterministic
     // functions of event_id/user_id).

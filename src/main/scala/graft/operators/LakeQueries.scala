@@ -503,9 +503,10 @@ object LakeQueries {
   //    here bought ~2.3 s of bench time for no new coverage.
 
   private val builtJoins = new java.util.concurrent.ConcurrentHashMap[
-    String, (MaintainedJoin, (Long, Long))]()
+    String, (MaintainedJoin, (Long, Long, Long, Long))]()
 
-  private def joinFor(s: SparkSession, dir: String): (MaintainedJoin, (Long, Long)) =
+  private def joinFor(s: SparkSession, dir: String)
+      : (MaintainedJoin, (Long, Long, Long, Long)) =
     builtJoins.computeIfAbsent(dir, d => buildJoin(s, d))
 
   private def cimg(balCents: Column): Column = map(
@@ -542,7 +543,7 @@ object LakeQueries {
       before.as("before"), after.as("after"))
 
   private def buildJoin(s: SparkSession, dir: String)
-      : (MaintainedJoin, (Long, Long)) = {
+      : (MaintainedJoin, (Long, Long, Long, Long)) = {
     val root = new Path(
       new Path(System.getProperty("java.io.tmpdir")),
       "graft_lake_mj_" + Integer.toHexString(dir.hashCode)).toString
@@ -564,17 +565,20 @@ object LakeQueries {
       // the churn-proportional shape for FK joins at scale, and this
       // gate proves it against the DuckDB oracle
       leftKeyImmutable = true, leftKeyCol = Some("o_custkey"))
-    // the SIGNED-DELTA inner join rides the same lake and churn on its
-    // own cursor — delta algebra (telescoped spans, the cross term),
-    // the pair-refcount state, AND sub-slicing (subBuckets = 2) all
-    // under the cross-engine gate: the oracle recomputes the inner
-    // join's pair count and cents sum from scratch
+    // the SIGNED-DELTA join rides the same lake and churn on its own
+    // cursor, in LEFT OUTER mode (round 19) — delta algebra (telescoped
+    // spans, the cross term), the pair-refcount state, sub-slicing
+    // (subBuckets = 2), AND the outer null-extension machinery (the
+    // per-custkey match-count companion; the %101 customer deletes force
+    // >0→0 flips whose surviving orders move matched → null-extended)
+    // all under the cross-engine gate: the oracle recomputes the left
+    // join's row/pair counts and both cents sums from scratch
     val djoin = new MaintainedDeltaJoin(sink,
       left = ("public", "orders"), right = ("public", "customer"),
       leftKey = i => element_at(i, "o_custkey"),
       rightKey = i => element_at(i, "c_custkey"),
-      name = "mjd", stateBuckets = 4, subBuckets = 2,
-      rightKeyIsRowKey = true,
+      name = "mjd", joinType = "left_outer", stateBuckets = 4,
+      subBuckets = 2, rightKeyIsRowKey = true,
       // the fact side's fold prunes to the churned custkeys (the
       // immutable tier) instead of folding all of orders per refresh
       leftKeyImmutable = true, leftKeyCol = Some("o_custkey"))
@@ -616,14 +620,22 @@ object LakeQueries {
                      // run over the same two-batch span
     sink.vacuum(s)
     // the delta-join gate scalars (prep-billed bounded pull, 1 row):
-    // inner-pair count and the pair cents sum, recomputed by the oracle
+    // total left-outer rows, matched-pair count, the matched cents sum,
+    // and the NULL-EXTENDED rows' price sum (pins WHICH rows the
+    // match-count flips null-extended, not just how many) — all
+    // recomputed by the oracle from the churned tables
+    val p = element_at(col("left_after"), "o_totalprice_cents").cast("long")
+    val b = element_at(col("right_after"), "c_acctbal_cents").cast("long")
     val djRow = djoin.read(s).select(
         count(lit(1)).cast("long"),
-        sum(element_at(col("left_after"), "o_totalprice_cents").cast("long") +
-          element_at(col("right_after"), "c_acctbal_cents").cast("long"))
+        count(col("right_after")).cast("long"),
+        coalesce(sum(when(col("right_after").isNotNull, p + b)), lit(0L))
+          .cast("long"),
+        coalesce(sum(when(col("right_after").isNull, p)), lit(0L))
           .cast("long"))
       .head()
-    (join, (djRow.getLong(0), djRow.getLong(1)))
+    (join, (djRow.getLong(0), djRow.getLong(1), djRow.getLong(2),
+      djRow.getLong(3)))
   }
 
   /** Aggregate of the served join state by market segment (null-extended
@@ -644,8 +656,10 @@ object LakeQueries {
         count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
-      .withColumn("dj_pairs", lit(dj._1))
-      .withColumn("dj_cents", lit(dj._2))
+      .withColumn("dj_rows", lit(dj._1))
+      .withColumn("dj_pairs", lit(dj._2))
+      .withColumn("dj_cents", lit(dj._3))
+      .withColumn("dj_null_cents", lit(dj._4))
       .orderBy("seg")
   }
 }

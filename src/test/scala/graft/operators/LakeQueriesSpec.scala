@@ -265,12 +265,20 @@ class LakeQueriesSpec extends AnyFunSuite {
       .filter(col("c_custkey") % 101 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment"),
         pc("c_custkey", "c_acctbal", 53).as("b"))
-    // the delta-join gate columns: inner pair count + cents sum over the
-    // same churned tables (the MaintainedDeltaJoin's state, recomputed)
-    val inner = o.join(c, o("o_custkey") === c("c_custkey"))
+    // the delta-join gate columns (the left_outer MaintainedDeltaJoin's
+    // state, recomputed): total rows, matched pairs, matched cents sum,
+    // and the null-extended rows' price sum over the same churned tables
+    val dj = o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
       .agg(count(lit(1)).cast("long"),
-        sum(col("p") + col("b")).cast("long")).head()
-    assert(inner.getLong(0) > 0, "delta-join gate vacuous: no inner pairs")
+        count(col("c_custkey")).cast("long"),
+        coalesce(sum(when(col("c_custkey").isNotNull, col("p") + col("b"))),
+          lit(0L)).cast("long"),
+        coalesce(sum(when(col("c_custkey").isNull, col("p"))), lit(0L))
+          .cast("long")).head()
+    assert(dj.getLong(1) > 0, "delta-join gate vacuous: no matched pairs")
+    assert(dj.getLong(0) > dj.getLong(1),
+      "delta-join gate vacuous: no null-extended rows — the %101 " +
+        "customer deletes should flip surviving orders unmatched")
     val want = o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
       .select(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("seg"),
         col("p"), col("b"))
@@ -278,8 +286,10 @@ class LakeQueriesSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
-      .withColumn("dj_pairs", lit(inner.getLong(0)))
-      .withColumn("dj_cents", lit(inner.getLong(1)))
+      .withColumn("dj_rows", lit(dj.getLong(0)))
+      .withColumn("dj_pairs", lit(dj.getLong(1)))
+      .withColumn("dj_cents", lit(dj.getLong(2)))
+      .withColumn("dj_null_cents", lit(dj.getLong(3)))
       .orderBy("seg")
     assertSame(got, want, "q_mj")
   }
