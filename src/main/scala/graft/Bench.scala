@@ -150,6 +150,20 @@ object Bench {
       hw.println(s"$name\t$t\t$a\t$b")
     } finally hw.close()
 
+    // The PREP BREAKDOWN artifact (round-18 verdict: the stdout budget
+    // forces the driver line down to one aggregate `prep_sec`, which made
+    // the r18 prep regression unattributable). A COMMITTED file — unlike
+    // latest_*.tsv it is not gitignored — so every driver bench run
+    // leaves the per-prep-phase timings adjudicable in the repo: file
+    // output costs no stdout budget.
+    val pw = new java.io.PrintWriter(
+      new java.io.File(histDir, s"prep_$sfBase.tsv"), "UTF-8")
+    try {
+      val preps = firstPass.filter(_._1.startsWith("prep_"))
+      preps.foreach { case (name, t) => pw.println(f"$name\t$t%.3f") }
+      pw.println(f"prep_sec_total\t${preps.map(_._2).sum}%.3f")
+    } finally pw.close()
+
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val total = results.map(_._2).sum
