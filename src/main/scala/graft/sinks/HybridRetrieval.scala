@@ -85,14 +85,17 @@ object HybridRetrieval {
     * each side's candidate depth (RRF quality rises with depth, read
     * cost stays probe-proportional); `shortlist > 0` routes the vector
     * side through the PQ/ADC path (requires the index to carry
-    * codebooks), `dfCap` bounds the lexical side's stop-term reads.
+    * codebooks), `dfCap` bounds the lexical side's stop-term reads —
+    * left unset it inherits the BM25 index's constructor-level
+    * `defaultDfCap` (the scale posture the index was built with).
     * Returns (probe_id, id, rrf, lex_rank, vec_rank).
     */
   def searchAll(spark: SparkSession,
       bm25: MaintainedBm25Index, ivf: MaintainedIvfIndex,
       probes: DataFrame, idCol: String, queryCol: String, embCol: String,
       k: Int, kLex: Int, kVec: Int, nprobe: Int, rrfK: Int = 60,
-      dfCap: Long = Long.MaxValue, shortlist: Int = 0): DataFrame = {
+      dfCap: Long = MaintainedBm25Index.InheritDfCap,
+      shortlist: Int = 0): DataFrame = {
     require(kLex > 0 && kVec > 0,
       s"side depths must be positive, got kLex=$kLex kVec=$kVec")
     // fuse() re-checks these, but AFTER both side reads' eager driver

@@ -59,10 +59,27 @@ final class MaintainedBm25Index(
       * hot values). Part of the state geometry (fingerprinted; `rebuild`
       * migrates).
       */
-    subBuckets: Int = 1)
+    subBuckets: Int = 1,
+    /** The df cap [[search]]/[[searchAll]] (and hybrid reads through
+      * them) apply when the call site does not pass one — the SCALE
+      * POSTURE dial. None (the default) keeps the historical no-argument
+      * semantics: every term's postings are read uncapped, which at
+      * corpus scale makes the most common query shape there is (one
+      * containing a stop word) a corpus-proportional read through one
+      * skewed bucket. Production indexes over large corpora should set
+      * this (N/2 is an honest choice: a term in more than half the
+      * corpus has idf ≈ 0, so dropping it moves scores by ≈ 0 — the
+      * exact-removal semantics documented on [[search]]); a call site
+      * can always override per query, including back to uncapped with
+      * an explicit Long.MaxValue. Like k1/b this is a READ-time
+      * parameter — not in the state fingerprint, retune freely.
+      */
+    defaultDfCap: Option[Long] = None)
     extends Maintainer {
 
   require(k1 > 0 && b >= 0 && b <= 1, s"k1=$k1 b=$b out of range")
+  require(defaultDfCap.forall(_ > 0),
+    s"defaultDfCap must be positive when set, got $defaultDfCap")
 
   private[sinks] val dist = new IncrementalDistinct(
     group = Seq("term" -> (im => element_at(im, "term"))),
@@ -271,6 +288,19 @@ final class MaintainedBm25Index(
         case None => None
       })
 
+  /** A call-site df cap resolved against the constructor default:
+    * [[MaintainedBm25Index.InheritDfCap]] (the parameter default) means
+    * "use `defaultDfCap`, uncapped when unset"; anything else is the
+    * caller's explicit choice (Long.MaxValue = force-uncapped).
+    */
+  private def resolveCap(dfCap: Long): Long = {
+    require(dfCap == MaintainedBm25Index.InheritDfCap || dfCap > 0,
+      s"dfCap must be positive (or InheritDfCap), got $dfCap")
+    if (dfCap == MaintainedBm25Index.InheritDfCap)
+      defaultDfCap.getOrElse(Long.MaxValue)
+    else dfCap
+  }
+
   /** The query terms surviving the df cap: terms whose df view entry
     * exceeds `dfCap` are dropped BEFORE their posting lists are read —
     * a stop word's postings ("the": df ≈ N) live entirely in one state
@@ -358,12 +388,14 @@ final class MaintainedBm25Index(
     * approximation: a term with df > cap has
     * idf ≤ ln(1 + (N−cap+0.5)/(cap+0.5)), ≈ 0 for any cap that is a
     * sizable fraction of N — dropping it moves every score by ≈ 0 while
-    * turning a corpus-proportional read into no read at all. The
-    * default (Long.MaxValue) reads every term's postings uncapped.
+    * turning a corpus-proportional read into no read at all. Left
+    * unset, the cap is the constructor's `defaultDfCap` (uncapped when
+    * that too is unset); an explicit Long.MaxValue forces uncapped.
     */
   def search(spark: SparkSession, query: String, k: Int,
-      dfCap: Long = Long.MaxValue): DataFrame = {
+      dfCap: Long = MaintainedBm25Index.InheritDfCap): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
+    val cap = resolveCap(dfCap)
     // the query tokenizes through the SAME engine expression as documents
     val allTerms = ImageProbes
       .frame(spark, Map("id" -> "_probe", textKey -> query))
@@ -375,7 +407,7 @@ final class MaintainedBm25Index(
     if (allTerms.isEmpty) return empty
     val (nDocs, avgdl) = corpusStatsAt(spark, key)
     if (nDocs == 0L) return empty
-    val qTerms = cappedTerms(spark, key, allTerms, dfCap)
+    val qTerms = cappedTerms(spark, key, allTerms, cap)
     if (qTerms.isEmpty) return empty
     // bucket-pruned postings read: ≤ |query terms| buckets, never the index
     val buckets = qTerms.map(t => md.stateLog.bucketOf(Seq(
@@ -423,9 +455,9 @@ final class MaintainedBm25Index(
     */
   def searchAll(spark: SparkSession, probes: DataFrame,
       idCol: String, queryCol: String, k: Int,
-      dfCap: Long = Long.MaxValue): DataFrame = {
+      dfCap: Long = MaintainedBm25Index.InheritDfCap): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
-    require(dfCap > 0, s"dfCap must be positive, got $dfCap")
+    val cap = resolveCap(dfCap)
     val key = md.latestKey(spark)
     def empty: DataFrame = probes
       .select(col(idCol).cast("string").as("probe_id"),
@@ -450,7 +482,7 @@ final class MaintainedBm25Index(
     // postings interval (with [[companionKey]]'s ahead-race fallback);
     // absent entirely (pre-df-era state) → no pruning
     val dKey =
-      if (dfCap == Long.MaxValue) None
+      if (cap == Long.MaxValue) None
       else companionKey(dfView, spark, key)
     val pterms = dKey match {
       case None => pterms0
@@ -461,7 +493,7 @@ final class MaintainedBm25Index(
         val dfs = dfView.readBucketsAt(spark, dKey, dfBuckets)
           .select(col("term"), col("n").cast("long").as("_df"))
         pterms0.join(dfs, Seq("term"), "left_outer")
-          .filter(coalesce(col("_df"), lit(0L)) <= dfCap)
+          .filter(coalesce(col("_df"), lit(0L)) <= cap)
           .select(col("probe_id"), col("term"))
           .localCheckpoint() // feeds bucket planning, the postings
                              // semi join, and the hits join
@@ -502,4 +534,13 @@ final class MaintainedBm25Index(
   /** Ops gauges — all three underlying maintainers' families. */
   def gauges(spark: SparkSession): Seq[(String, Double)] =
     md.gauges(spark) ++ statsView.gauges(spark) ++ dfView.gauges(spark)
+}
+
+object MaintainedBm25Index {
+  /** Sentinel `dfCap` meaning "inherit the index's constructor-level
+    * `defaultDfCap`" — the default on every search signature, so the
+    * no-argument read path at scale is whatever posture the index was
+    * BUILT with, not silently uncapped.
+    */
+  val InheritDfCap: Long = -1L
 }

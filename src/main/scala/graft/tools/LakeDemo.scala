@@ -180,8 +180,13 @@ object LakeDemo {
       s"adc-topk(10,10)=[$adc]")
     // CDC-maintained BM25 index over the same docs' texts: bucket-pruned
     // lexical retrieval (tf postings ARE the refcount state)
+    // defaultDfCap is the production posture (MIGRATION.md: cap at ~N/2
+    // so the NO-ARGUMENT search path is bounded); N here is 3 docs, so
+    // cap 3 keeps every demo answer identical while routing the reads
+    // through the df gate
     val bm = new graft.sinks.MaintainedBm25Index(
-      lake, "public", "docs", "demo_bm25", idKey = "id", textKey = "text")
+      lake, "public", "docs", "demo_bm25", idKey = "id", textKey = "text",
+      defaultDfCap = Some(3L))
     bm.refresh(spark)
     val hits = bm.search(spark, "quick brown fox", 2).collect()
       .map(r => f"${r.getString(0)}@${r.getDouble(1)}%.3f").mkString(",")

@@ -314,6 +314,48 @@ class MaintainedBm25IndexSpec extends AnyFunSuite {
     ix.search(spark, q, 10, dfCap).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
+  test("constructor defaultDfCap: the NO-ARGUMENT search path is capped, per-call overrides win") {
+    val dir = Files.createTempDirectory("lake-bm25").toString
+    try {
+      val sink = new LakeSink(dir)
+      // the scale posture: built with the cap, so a plain search(q, k)
+      // is bounded — nobody has to remember the dial at every call site
+      val ix = new MaintainedBm25Index(sink, "public", "docs", "bm",
+        idKey = "id", textKey = "text", stateBuckets = 8,
+        defaultDfCap = Some(3L))
+      val corpus = Map(
+        "d1" -> "the apple orchard", "d2" -> "the banana grove",
+        "d3" -> "the cherry tree", "d4" -> "the date palm apple")
+      sink.appendBatch(envelope(corpus.toSeq.zipWithIndex.map {
+        case ((id, t), i) => ev(i + 1L, "insert", null, doc(id, t))
+      }), 0L)
+      assert(ix.refresh(spark) == 1)
+      // "the" has df 4 > 3: the DEFAULT path must equal the explicit cap
+      // (== the query minus the stop term, the documented semantics)
+      def res(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+        df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val byDefault = res(ix.search(spark, "the apple palm", 10))
+      assert(byDefault == res(ix.search(spark, "the apple palm", 10, 3L)))
+      assert(byDefault == res(ix.search(spark, "apple palm", 10)))
+      assert(byDefault.nonEmpty && byDefault.head._1 == "d4")
+      // per-call override back to uncapped: "the" contributes again
+      val uncapped = res(ix.search(spark, "the apple palm", 10,
+        Long.MaxValue))
+      assert(uncapped.size == 4 && uncapped != byDefault,
+        s"explicit Long.MaxValue must force the uncapped read: $uncapped")
+      // the set read inherits the same default
+      val probes = spark.createDataFrame(Seq(("p1", "the apple palm")))
+        .toDF("pid", "q")
+      val set = ix.searchAll(spark, probes, "pid", "q", 10).collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+      assert(set == byDefault,
+        s"searchAll must inherit defaultDfCap: $set vs $byDefault")
+      // an invalid explicit cap still refuses loudly
+      intercept[IllegalArgumentException](
+        ix.search(spark, "apple", 10, 0L).collect())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("companion-ahead race: a batch landing between postings and companion refreshes must not empty the search") {
     val dir = Files.createTempDirectory("lake-bm25").toString
     try {
