@@ -398,8 +398,17 @@ object LakeQueries {
     val hybRows = HybridRetrieval.searchAll(s, bm, ivf, hybProbe,
         "pid", "q", "e", k = 3, kLex = 10, kVec = 10, nprobe = 3)
       .orderBy(col("rrf").desc, col("id").asc).collect()
+    // GATE CONTRACT: exactly 3 fused rows (hyb1..3 are fixed oracle
+    // columns, so the gate cannot degrade with the corpus). The vector
+    // side ranks every surviving subset doc (nprobe = all cells), so 3
+    // rankable docs need only 3 survivors of the 50% subset post-churn —
+    // orders ≥ ~8 rows, i.e. any sf ≥ 0.001 (the smallest generated
+    // dir, where orders has 1500 rows). A smaller custom dir fails HERE,
+    // loudly, not with a hash mismatch downstream.
     require(hybRows.length == 3,
-      s"hybrid gate expects 3 fused rows, got ${hybRows.length}")
+      s"hybrid gate expects 3 fused rows, got ${hybRows.length} — the " +
+        "gate supports sf >= 0.001 (>= ~8 orders rows); this corpus is " +
+        "below its minimum")
     val hyb = (hybRows(0).getString(1).toLong,
       hybRows(1).getString(1).toLong, hybRows(2).getString(1).toLong,
       math.floor(hybRows(0).getDouble(2) * 1e6).toLong)

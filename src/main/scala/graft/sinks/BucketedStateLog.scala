@@ -140,11 +140,23 @@ private[sinks] final class BucketedStateLog(
     val text =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+    def corrupt(line: String): Nothing = throw new IllegalStateException(
+      s"corrupted state manifest ${ManifestPrefix + nameOf(key)} under " +
+        s"$commitsDir: line '$line' is not 'bucket\\tpath' or " +
+        "'bucket:sub\\tpath' — the state dir needs a rebuild/reseed " +
+        "(restore the manifest from a backup, or full-rewrite the state)")
     text.split("\n").filter(_.nonEmpty).map { l =>
-      val Array(bs, rel) = l.split("\t", 2)
-      bs.split(":") match {
-        case Array(b) => (b.toInt, 0) -> rel
-        case Array(b, s) => (b.toInt, s.toInt) -> rel
+      l.split("\t", 2) match {
+        case Array(bs, rel) =>
+          bs.split(":") match {
+            case Array(b) =>
+              (b.toIntOption.getOrElse(corrupt(l)), 0) -> rel
+            case Array(b, s) =>
+              (b.toIntOption.getOrElse(corrupt(l)),
+                s.toIntOption.getOrElse(corrupt(l))) -> rel
+            case _ => corrupt(l)
+          }
+        case _ => corrupt(l)
       }
     }.toMap
   }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,7 +36,14 @@ import org.apache.spark.sql.functions._
   * Callers needing batch-identical sides run
   * [[Maintainer.refreshCoherent]] — ONE pinned bound drives both
   * indexes to identical applied batch sets, whatever the writer lands
-  * mid-barrier — then fuse with no concurrent refresher.
+  * mid-barrier — then fuse with no concurrent refresher (or call
+  * [[searchAllCoherent]], which does both).
+  *
+  * RRF generalizes to ANY number of rankings (the Σ is over lists):
+  * [[fuseAll]] fuses N — the maintained family's natural third leg is
+  * the LSH set read's exact-Jaccard ranking
+  * ([[MaintainedLshIndex.verifiedCandidatesForAll]], ordered
+  * `jaccard` descending) for near-duplicate-aware retrieval.
   */
 object HybridRetrieval {
 
@@ -48,33 +55,70 @@ object HybridRetrieval {
     * (probe_id, id, rrf, lex_rank, vec_rank), top-k per probe by
     * (rrf desc, id asc); a rank is null when that side did not return
     * the document. Probes present in only one input still fuse
-    * (single-list RRF = that list reweighted, order preserved).
+    * (single-list RRF = that list reweighted, order preserved). The
+    * two-list convenience over [[fuseAll]].
     */
-  def fuse(lex: DataFrame, vec: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+  def fuse(lex: DataFrame, vec: DataFrame, k: Int, rrfK: Int = 60): DataFrame =
+    fuseAll(Seq(
+      ("lex_rank", lex.select(col("probe_id"), col("id"), col("score")),
+        col("score").desc),
+      ("vec_rank", vec.select(col("probe_id"), col("id"), col("dist")),
+        col("dist").asc)), k, rrfK)
+
+  /** N-LIST RRF — `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))`, documents
+    * absent from a list contributing nothing for it. Each list is
+    * (rank column name, frame with probe_id + id + whatever its
+    * ordering reads, the WITHIN-PROBE ordering with the best document
+    * first — e.g. `col("score").desc`, `col("dist").asc`,
+    * `col("jaccard").desc` for the LSH set read's exact-Jaccard leg).
+    * Ties inside a list break on the id string, so ranks — and the
+    * fusion — are deterministic. Returns
+    * (probe_id, id, rrf, <one nullable rank column per list>), top-k
+    * per probe by (rrf desc, id asc).
+    *
+    * A list carrying DUPLICATE (probe_id, id) rows (fuse is documented
+    * for arbitrary ranking frames, not just the maintained set reads,
+    * which are unique by construction) contributes its BEST occurrence
+    * only — duplicates are dropped under the list's own ordering before
+    * ranks are assigned, so one document can never double-count inside
+    * one list.
+    *
+    * Scale shape unchanged from the two-list fuse: ranking is one
+    * window per list over that list's ≤k-rows-per-probe output, fusion
+    * is a union + one per-(probe, doc) aggregate — never a join chain,
+    * never corpus access, no driver loop.
+    */
+  def fuseAll(lists: Seq[(String, DataFrame, Column)], k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "fuseAll needs at least one ranking")
     require(k > 0, s"top-k needs k > 0, got $k")
     require(rrfK > 0, s"rrfK must be positive, got $rrfK")
-    val wl = Window.partitionBy("probe_id")
-      .orderBy(col("score").desc, col("id").asc)
-    val wv = Window.partitionBy("probe_id")
-      .orderBy(col("dist").asc, col("id").asc)
-    val lr = lex.select(col("probe_id"), col("id"), col("score"))
-      .withColumn("lex_rank", row_number().over(wl))
-      .drop("score")
-    val vr = vec.select(col("probe_id"), col("id"), col("dist"))
-      .withColumn("vec_rank", row_number().over(wv))
-      .drop("dist")
-    // full-outer on the two ≤(kLex+kVec)-rows-per-probe rankings: a doc
-    // on one side only keeps its rank there and a null on the other
+    val names = lists.map(_._1)
+    require(names.distinct == names, s"duplicate rank column names: $names")
+    require(names.forall(n => !Set("probe_id", "id", "rrf")(n)),
+      s"rank column names collide with the output schema: $names")
+    val ranked = lists.zipWithIndex.map { case ((_, df, better), i) =>
+      val dedup = Window.partitionBy("probe_id", "id")
+        .orderBy(better)
+      val w = Window.partitionBy("probe_id").orderBy(better, col("id").asc)
+      df.withColumn("_dup", row_number().over(dedup))
+        .filter(col("_dup") === 1)
+        .withColumn("_rnk", row_number().over(w))
+        .select(col("probe_id"), col("id"), lit(i).as("_li"), col("_rnk"))
+    }
+    val rankCols = lists.zipWithIndex.map { case ((nm, _, _), i) =>
+      max(when(col("_li") === i, col("_rnk"))).as(nm)
+    }
     val wf = Window.partitionBy("probe_id")
       .orderBy(col("rrf").desc, col("id").asc)
-    lr.join(vr, Seq("probe_id", "id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+    ranked.reduce(_ unionByName _)
+      .groupBy("probe_id", "id")
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("_rnk"))).as("rrf"),
+        rankCols: _*)
       .withColumn("rnk", row_number().over(wf))
       .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("id"), col("rrf"),
-        col("lex_rank"), col("vec_rank"))
+      .select((Seq(col("probe_id"), col("id"), col("rrf")) ++
+        names.map(col)): _*)
   }
 
   /** One-call hybrid set read: run both maintained-index set reads over
@@ -118,5 +162,24 @@ object HybridRetrieval {
             shortlist)
         else ivf.searchTopKAll(spark, probes, idCol, embCol, nprobe, kVec))
     fuse(lex, vec, k, rrfK)
+  }
+
+  /** [[searchAll]] behind the coherence barrier — the one-call shape a
+    * nightly pipeline wants: [[Maintainer.refreshCoherent]] drives BOTH
+    * indexes to the lake's committed hull pinned once, then the two set
+    * reads fuse over identical applied batch sets (no torn sides,
+    * whatever the writer lands mid-barrier; the no-concurrent-refresher
+    * caveat between barrier and read is the caller's, as with any
+    * read-after-refresh). Returns (pinned bound, fused frame).
+    */
+  def searchAllCoherent(spark: SparkSession, lake: LakeSink,
+      bm25: MaintainedBm25Index, ivf: MaintainedIvfIndex,
+      probes: DataFrame, idCol: String, queryCol: String, embCol: String,
+      k: Int, kLex: Int, kVec: Int, nprobe: Int, rrfK: Int = 60,
+      dfCap: Long = MaintainedBm25Index.InheritDfCap,
+      shortlist: Int = 0): ((Long, Long), DataFrame) = {
+    val bound = Maintainer.refreshCoherent(spark, lake, bm25, ivf)
+    (bound, searchAll(spark, bm25, ivf, probes, idCol, queryCol, embCol,
+      k, kLex, kVec, nprobe, rrfK, dfCap, shortlist))
   }
 }

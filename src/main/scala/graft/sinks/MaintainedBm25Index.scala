@@ -210,6 +210,13 @@ final class MaintainedBm25Index(
   // postings dir would also collide on stats/df
   override def stateId: String = md.stateId
 
+  // ALL owned writers, companions included: a standalone MaintainedView
+  // that happens to be named like this index's stats/df companion is a
+  // second concurrent writer on that state dir — refreshCoherent's
+  // disjointness check needs to see every one
+  override def ownedStateIds: Seq[String] =
+    Seq(md.stateId, statsView.stateId, dfView.stateId)
+
   /** The raw postings: (term, doc id, tf) — `rc` IS the term frequency. */
   def postings(spark: SparkSession): DataFrame =
     md.entries(spark).select(col("term"), col("v").as("id"),

@@ -26,6 +26,15 @@ trait Maintainer {
     * two concurrent writers on one crash protocol.
     */
   def stateId: String
+
+  /** EVERY cursor/state identity this maintainer writes — composites
+    * override to include their companions (a BM25 index owns postings
+    * AND its stats/df views), so [[Maintainer.refreshCoherent]] can
+    * refuse a standalone maintainer whose name happens to collide with
+    * a composite's DERIVED companion (two concurrent writers on one
+    * companion state dir, invisible to a primary-only check).
+    */
+  def ownedStateIds: Seq[String] = Seq(stateId)
 }
 
 /** The coherence barrier over a group of maintainers: several maintained
@@ -69,16 +78,19 @@ object Maintainer {
       maintainers: Maintainer*): (Long, Long) = {
     require(maintainers.nonEmpty, "refreshCoherent needs at least one maintainer")
     // two members writing ONE cursor/state dir (the same instance twice,
-    // or two instances constructed over the same lake + name) would run
-    // two CONCURRENT refreshes of it — the single-writer contract every
-    // maintainer's crash protocol assumes
-    val dup = maintainers.groupBy(_.stateId).collect {
-      case (id, ms) if ms.size > 1 => id
-    }
+    // two instances constructed over the same lake + name, or a
+    // standalone maintainer colliding with a composite's DERIVED
+    // companion) would run two CONCURRENT refreshes of it — the
+    // single-writer contract every maintainer's crash protocol assumes.
+    // Checked over EVERY owned state id, pairwise.
+    val dup = maintainers.flatMap(m => m.ownedStateIds.map(_ -> m))
+      .groupBy(_._1).collect {
+        case (id, ms) if ms.size > 1 => id
+      }
     require(dup.isEmpty,
       s"refreshCoherent was passed more than one maintainer writing " +
-        s"${dup.mkString(", ")} — one writer per state, construct the " +
-        "group from shared instances")
+        s"${dup.mkString(", ")} — one writer per state (companion states " +
+        "included), construct the group from shared instances")
     val bound = lake.committedHull(spark)
     MaintainerOps.inParallel(
       maintainers.map(m => () => { m.refresh(spark, Some(bound)); () }): _*)

@@ -127,6 +127,18 @@ class CoherentRefreshSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Maintainer.refreshCoherent(spark, sink, mv, mv2)
       }
+      // a standalone maintainer colliding with a COMPOSITE's derived
+      // companion (a view named like the BM25 index's stats state) is
+      // two concurrent writers on one companion dir — the disjointness
+      // check covers every OWNED state id, not just the primaries
+      val bm = new MaintainedBm25Index(sink, "public", "users", "coh_bm",
+        idKey = "id", textKey = "grp")
+      val clash = new MaintainedView(sink, mkAgg, "public", "users",
+        "coh_bm_stats")
+      val e = intercept[IllegalArgumentException] {
+        Maintainer.refreshCoherent(spark, sink, bm, clash)
+      }
+      assert(e.getMessage.contains("companion"), e.getMessage)
     }
   }
 

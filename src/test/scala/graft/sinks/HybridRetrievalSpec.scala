@@ -85,6 +85,66 @@ class HybridRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  private def jacFrame(rows: (String, String, Double)*): DataFrame =
+    frame(Seq("probe_id" -> "string", "id" -> "string", "jaccard" -> "double"),
+      rows.map { case (p, d, s) => Row(p, d, s) })
+
+  test("fuseAll: hand-computed 3-list RRF; two-list fuse is its special case") {
+    // probe p — lex: L > B > C; vec: V > B; jac: C > B.
+    // B: 1/62+1/62+1/62; C: 1/63+1/61; L/V: 1/61.
+    val lex = lexFrame(("p", "L", 9.0), ("p", "B", 5.0), ("p", "C", 1.0))
+    val vec = vecFrame(("p", "V", 0.1), ("p", "B", 0.5))
+    val jac = jacFrame(("p", "C", 0.9), ("p", "B", 0.7))
+    val got = HybridRetrieval.fuseAll(Seq(
+        ("lex_rank", lex, col("score").desc),
+        ("vec_rank", vec, col("dist").asc),
+        ("jac_rank", jac, col("jaccard").desc)), k = 10).collect()
+      .map(r => r.getString(1) ->
+        ((r.getDouble(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5))))).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    assert(got("B") == ((rr(2) * 3, Some(2), Some(2), Some(2))))
+    assert(got("C") == ((rr(3) + rr(1), Some(3), None, Some(1))))
+    assert(got("L") == ((rr(1), Some(1), None, None)))
+    assert(got("V") == ((rr(1), None, Some(1), None)))
+    // three mid ranks beat two (B > C) beat one (L/V)
+    assert(got("B")._1 > got("C")._1 && got("C")._1 > got("L")._1)
+    // the two-list fuse IS fuseAll's special case, column for column
+    val two = HybridRetrieval.fuse(lex, vec, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    val gen = HybridRetrieval.fuseAll(Seq(
+        ("lex_rank", lex, col("score").desc),
+        ("vec_rank", vec, col("dist").asc)), k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(two == gen, s"fuse vs fuseAll: $two vs $gen")
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.fuseAll(Seq.empty, k = 3)
+    }
+    intercept[IllegalArgumentException] { // reserved / duplicate names
+      HybridRetrieval.fuseAll(Seq(("rrf", lex, col("score").desc)), k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.fuseAll(Seq(
+        ("r1", lex, col("score").desc), ("r1", vec, col("dist").asc)), k = 3)
+    }
+  }
+
+  test("fuseAll: a list with duplicate (probe, doc) rows contributes its best occurrence once") {
+    // B appears twice lexically (9.0 and 2.0): only the 9.0 row ranks —
+    // rank 1 for B, rank 2 for L (NOT rank 3: the duplicate must not
+    // consume a rank slot), and B fuses once, never double-counted
+    val lex = lexFrame(("p", "B", 9.0), ("p", "B", 2.0), ("p", "L", 5.0))
+    val vec = vecFrame(("p", "B", 0.5))
+    val got = HybridRetrieval.fuse(lex, vec, k = 10).collect()
+      .map(r => r.getString(1) ->
+        ((r.getDouble(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    assert(got("B") == ((rr(1) + rr(1), Some(1), Some(1))))
+    assert(got("L") == ((rr(2), Some(2), None)))
+  }
+
   test("searchAll: hybrid winner needs both sides; set == per-probe loop; single-payload probes degrade") {
     val dir = Files.createTempDirectory("lake-hybrid").toString
     try {
@@ -192,6 +252,101 @@ class HybridRetrievalSpec extends AnyFunSuite {
       // covering shortlist: ADC fusion == exact fusion, score for score
       assert(run(pq, 3) == run(plain, 0))
       intercept[IllegalArgumentException] { run(plain, 3) } // no books
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("fuseAll end-to-end: the LSH exact-Jaccard leg as a third list over a churned corpus; set == loop") {
+    val dir = Files.createTempDirectory("lake-hybrid3").toString
+    try {
+      val sink = new LakeSink(dir)
+      val bm = new MaintainedBm25Index(sink, "public", "docs", "tbm",
+        idKey = "id", textKey = "text", stateBuckets = 8)
+      val ivf = new MaintainedIvfIndex(sink, "public", "docs", "tivf",
+        idKey = "id", embKey = "emb",
+        centroids = Seq(Seq(0f, 0f), Seq(10f, 0f)), stateBuckets = 8)
+      val lsh = new MaintainedLshIndex(sink, "public", "docs", "tlsh",
+        idKey = "id", textKey = "text", stateBuckets = 8)
+      val textA = "the quick brown fox jumps over the lazy dog tonight"
+      val textN = "the quick brown fox jumps over the lazy dog yesterday"
+      def doc(id: String, t: String, e: String) =
+        Map("id" -> id, "text" -> t, "emb" -> e)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a1", textA, "1,1")),
+        ev(2, "insert", null, doc("n1", textN, "8,1")),
+        ev(3, "insert", null, doc("g1", "gone soon entirely", "0,2")))), 0L)
+      def refreshAll(): Unit =
+        Seq(bm, ivf, lsh).foreach(m => assert(m.refresh(spark, None) == 1))
+      refreshAll()
+      // churn: g1 deleted, a fresh near-dup lands
+      sink.appendBatch(envelope(Seq(
+        ev(4, "delete", doc("g1", "gone soon entirely", "0,2"), null),
+        ev(5, "insert", null, doc("a2", textA, "2,0")))), 1L)
+      refreshAll()
+      val probes = frame(
+        Seq("pid" -> "string", "q" -> "string", "e" -> "string",
+          "t" -> "string"),
+        Seq(Row("p1", "quick dog", "0.5,0.5", textA),
+          Row("p2", "yesterday", "7.5,0.5", textN)))
+      def legs(p: DataFrame) = Seq(
+        ("lex_rank", bm.searchAll(spark, p, "pid", "q", 5),
+          col("score").desc),
+        ("vec_rank", ivf.searchTopKAll(spark, p, "pid", "e", 2, 5),
+          col("dist").asc),
+        ("jac_rank", lsh.verifiedCandidatesForAll(spark, p, "pid", "t", 0.5)
+          .select(col("probe_id"), col("id"), col("jaccard")),
+          col("jaccard").desc))
+      def toMapRows(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(2), Option(r.get(3)), Option(r.get(4)),
+            Option(r.get(5))))).toMap
+      val set = toMapRows(HybridRetrieval.fuseAll(legs(probes), k = 4))
+      // the third leg is load-bearing: some doc must carry a jac rank,
+      // and the deleted doc never fuses
+      assert(set.values.exists(_._4.nonEmpty), s"no jac ranks in $set")
+      assert(!set.keySet.exists(_._2 == "g1"))
+      // set == per-probe loop through the SAME three point/set reads
+      val loop = probes.collect().flatMap { pr =>
+        val one = frame(
+          Seq("pid" -> "string", "q" -> "string", "e" -> "string",
+            "t" -> "string"), Seq(pr))
+        toMapRows(HybridRetrieval.fuseAll(legs(one), k = 4))
+      }.toMap
+      assert(set == loop, s"set vs loop: $set vs $loop")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("searchAllCoherent: torn sides come out fused over identical pinned intervals") {
+    val dir = Files.createTempDirectory("lake-hybridc").toString
+    try {
+      val sink = new LakeSink(dir)
+      val bm = new MaintainedBm25Index(sink, "public", "docs", "cbm",
+        idKey = "id", textKey = "text", stateBuckets = 8)
+      val ivf = new MaintainedIvfIndex(sink, "public", "docs", "civf",
+        idKey = "id", embKey = "emb",
+        centroids = Seq(Seq(0f, 0f), Seq(10f, 0f)), stateBuckets = 8)
+      def doc(id: String, t: String, e: String) =
+        Map("id" -> id, "text" -> t, "emb" -> e)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, doc("a", "apple orchard", "1,1")))), 0L)
+      assert(bm.refresh(spark) == 1 && ivf.refresh(spark) == 1)
+      // TEAR the sides: batch 1 lands and only the BM25 side applies it
+      sink.appendBatch(envelope(Seq(
+        ev(2, "insert", null, doc("b", "apple pie", "0,1")))), 1L)
+      assert(bm.refresh(spark) == 1)
+      val probes = frame(
+        Seq("pid" -> "string", "q" -> "string", "e" -> "string"),
+        Seq(Row("p", "apple pie", "0.2,0.9")))
+      val (bound, fused) = HybridRetrieval.searchAllCoherent(spark, sink,
+        bm, ivf, probes, "pid", "q", "e", k = 3, kLex = 5, kVec = 5,
+        nprobe = 2)
+      assert(bound == sink.committedHull(spark))
+      val rows = fused.collect().map(r => r.getString(1) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+      // the torn doc b now ranks on BOTH sides — the barrier drove the
+      // lagging IVF cursor to the same pinned hull before the reads
+      assert(rows("b")._1.nonEmpty && rows("b")._2.nonEmpty,
+        s"doc b must carry both ranks after the barrier: $rows")
+      assert(rows("a")._1.nonEmpty && rows("a")._2.nonEmpty)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

@@ -244,4 +244,41 @@ class SubSliceSpec extends AnyFunSuite {
         s"referenced sub-slices missing from disk: ${keep.diff(onDisk)}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("a corrupted manifest line fails loud, naming the manifest, never a bare MatchError") {
+    val dir = Files.createTempDirectory("lake-sub-corrupt").toString
+    try {
+      val sink = new LakeSink(dir)
+      val md = new MaintainedDistinct(sink, mkDist, "public", "users", "nd_c",
+        stateBuckets = 4)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", null, row(1, "g", "w")))), 0L)
+      assert(md.refresh(spark) == 1)
+      // corrupt the committed manifest in place: each malformed shape —
+      // a 'b:s:x' key, a non-numeric bucket, a path-less line — must
+      // surface as the descriptive corrupted-manifest error
+      val commits = new java.io.File(dir,
+        "_graft_views/nd_c/_commits").listFiles()
+        .filter(_.getName.startsWith("manifest."))
+      assert(commits.length == 1)
+      val orig = java.nio.file.Files.readAllBytes(commits.head.toPath)
+      // drop the local FS checksum sidecar: the corruption must reach the
+      // PARSER (the code under test), not Hadoop's crc check
+      def dropCrc(): Unit = commits.head.getParentFile.listFiles()
+        .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+      for (bad <- Seq("1:2:3\tx", "oops\tx", "justoneline")) {
+        java.nio.file.Files.write(commits.head.toPath,
+          (new String(orig, "UTF-8") + bad + "\n").getBytes("UTF-8"))
+        dropCrc()
+        val e = intercept[IllegalStateException] { md.entries(spark).count() }
+        assert(e.getMessage.contains("corrupted state manifest") &&
+          e.getMessage.contains(bad.takeWhile(_ != '\t')),
+          s"for '$bad': ${e.getMessage}")
+      }
+      // restored manifest serves again
+      java.nio.file.Files.write(commits.head.toPath, orig)
+      dropCrc()
+      assert(entriesSet(md) == Set(("g", "w", 1L)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
