@@ -241,6 +241,46 @@ object LakeDemo {
       try lake.stateAsOf(spark, "public", "users", -1L).count().toString
       catch { case e: IllegalStateException => s"gone (${e.getMessage.take(40)}…)" }
     println(s"-- stateAsOf(snapshot batch): $asOfSnap")
+
+    // signed-delta LEFT OUTER join over the post-vacuum lake (the seed
+    // folds docs through BASE): docs ⟕ tags, with the match-count
+    // companion flipping docs between matched and null-extended as tags
+    // come and go — the delta-proportional outer maintenance
+    def tagEv(lsn: Long, op: String, before: Map[String, String],
+        after: Map[String, String]) =
+      org.apache.spark.sql.Row(lsn, lsn, 7L, op, "public", "tags", dT, dT,
+        Seq("doc"), before, after)
+    def tag(doc: String, t: String) = Map("doc" -> doc, "tag" -> t)
+    val dj = new graft.sinks.MaintainedDeltaJoin(lake,
+      ("public", "docs"), ("public", "tags"),
+      im => org.apache.spark.sql.functions.element_at(im, "id"),
+      im => org.apache.spark.sql.functions.element_at(im, "doc"),
+      "demo_dj", joinType = "left_outer", stateBuckets = 4)
+    // a consumer born AFTER the vacuum re-bootstraps: seed its cursor at
+    // the watermark (BEFORE new batches land — seeding absorbs anything
+    // already committed) so the first refresh folds history through BASE
+    lake.seedCursor(spark, "djoin_demo_dj")
+    lake.appendBatch(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        tagEv(950, "insert", null, tag("doc-1", "fox")),
+        tagEv(951, "insert", null, tag("doc-3", "winter")))).asJava),
+      graft.cdc.ChangeEvent.schema), 200L)
+    def djCounts(): (Long, Long) = {
+      val rows = dj.read(spark).collect()
+      (rows.count(!_.isNullAt(2)).toLong, rows.count(_.isNullAt(2)).toLong)
+    }
+    dj.refresh(spark)
+    val (m1, u1) = djCounts()
+    // delete doc-1's only tag: its match count flips >0 -> 0 and the doc
+    // moves to the null-extended side
+    lake.appendBatch(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        tagEv(960, "delete", tag("doc-1", "fox"), null))).asJava),
+      graft.cdc.ChangeEvent.schema), 201L)
+    dj.refresh(spark)
+    val (m2, u2) = djCounts()
+    println(s"-- delta join left_outer: matched=$m1 unmatched=$u1 -> " +
+      s"after tag delete matched=$m2 unmatched=$u2")
     spark.stop()
   }
 }
