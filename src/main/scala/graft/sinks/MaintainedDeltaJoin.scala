@@ -588,10 +588,19 @@ final class MaintainedDeltaJoin(
   private def seedAll(spark: SparkSession, f: FileSystem,
       key: (Long, Long)): Unit = {
     val all = (0 until stateBuckets).toSet
-    val lF = sideAsOf(spark, left, leftKey, key._2, key._1,
+    val lF0 = sideAsOf(spark, left, leftKey, key._2, key._1,
       isRowKey = false, isImmutable = false, jks = None, keepNullJk = outerL)
-    val rF = sideAsOf(spark, right, rightKey, key._2, key._1,
+    val rF0 = sideAsOf(spark, right, rightKey, key._2, key._1,
       isRowKey = false, isImmutable = false, jks = None, keepNullJk = outerR)
+    // an OUTER seed consumes each side's fold up to three times (pairs,
+    // the count companion, the unmatched anti-join) — materialize the
+    // fold ONCE instead of re-scanning BASE + tail per commit. A seed is
+    // a rare whole-corpus operation and the checkpoint spills to local
+    // disk; a lost-executor failure just re-runs the seed (the span
+    // replays). Inner seeds evaluate each fold once — left lazy.
+    val (lF, rF) =
+      if (outerL || outerR) (lF0.localCheckpoint(), rF0.localCheckpoint())
+      else (lF0, rF0)
     val l = if (outerL) lF.filter(col("jk").isNotNull) else lF
     val r = if (outerR) rF.filter(col("jk").isNotNull) else rF
     if (!states.isCommitted(f, key))
