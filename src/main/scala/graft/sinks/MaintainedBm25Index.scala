@@ -547,7 +547,10 @@ object MaintainedBm25Index {
   /** Sentinel `dfCap` meaning "inherit the index's constructor-level
     * `defaultDfCap`" — the default on every search signature, so the
     * no-argument read path at scale is whatever posture the index was
-    * BUILT with, not silently uncapped.
+    * BUILT with, not silently uncapped. Long.MinValue, deliberately
+    * outside any computable cap's range: a caller arithmetic bug
+    * landing on a small negative (e.g. `n/2 - k` == −1) must still
+    * refuse loudly, never silently inherit.
     */
-  val InheritDfCap: Long = -1L
+  val InheritDfCap: Long = Long.MinValue
 }

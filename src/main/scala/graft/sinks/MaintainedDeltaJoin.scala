@@ -672,16 +672,24 @@ final class MaintainedDeltaJoin(
         if (cd.isEmpty) None else Some(cd)
       }
 
-    /** OLD counts for the given jks, read from ≤ stateBuckets buckets of
-      * the companion (absent row == count 0; null jks read nothing —
-      * their count is identically zero).
-      */
-    def oldCountsFor(jks: DataFrame): DataFrame = {
-      val bs = jks.filter(col("jk").isNotNull)
-        .select(counts.bucketExpr(Seq(col("jk"))).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      if (bs.isEmpty) emptyOf(spark, countSchema)
-      else counts.readBuckets(spark, cPrev, Some(bs), countSchema)
+    // OLD counts for BOTH consumers — flip detection (cDelta jks) and
+    // the preserved-churn filter (preservedDelta jks) — read ONCE:
+    // one bucket-planning collect and one bucket-restricted read over
+    // the union of churned jks (≤ stateBuckets buckets of the
+    // dimension-key-sized companion; absent row == count 0; null jks
+    // read nothing — their count is identically zero).
+    val oldCounts: DataFrame = {
+      val jkFrames = cDelta.map(_.select("jk")).toSeq ++
+        (if (pEmpty) Nil else Seq(preservedDelta.select("jk")))
+      if (jkFrames.isEmpty) emptyOf(spark, countSchema)
+      else {
+        val bs = jkFrames.reduce(_ unionByName _)
+          .filter(col("jk").isNotNull)
+          .select(counts.bucketExpr(Seq(col("jk"))).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (bs.isEmpty) emptyOf(spark, countSchema)
+        else counts.readBuckets(spark, cPrev, Some(bs), countSchema)
+      }
     }
 
     // flips: jks whose count crosses zero this span, judged against the
@@ -690,7 +698,7 @@ final class MaintainedDeltaJoin(
     // when only the count state needs the span (replay of a crash after
     // the nulls commit): mergedCounts carries its own negative guard.
     val flips = (if (needNulls) cDelta else None).map { cd =>
-      cd.join(oldCountsFor(cd.select("jk")).withColumnRenamed("n", "_old"),
+      cd.join(oldCounts.withColumnRenamed("n", "_old"),
           Seq("jk"), "left_outer")
         .select(col("jk"), coalesce(col("_old"), lit(0L)).as("old_n"),
           (coalesce(col("_old"), lit(0L)) + col("dn")).as("new_n"))
@@ -733,10 +741,9 @@ final class MaintainedDeltaJoin(
       if (!pEmpty) {
         // preserved churn under still-unmatched jks (old count == 0;
         // null-jk rows join nothing and keep their implicit zero)
-        val oldP = oldCountsFor(preservedDelta.select("jk"))
-          .withColumnRenamed("n", "_rc")
         duParts += preservedDelta
-          .join(oldP, Seq("jk"), "left_outer")
+          .join(oldCounts.withColumnRenamed("n", "_rc"),
+            Seq("jk"), "left_outer")
           .filter(coalesce(col("_rc"), lit(0L)) === 0L)
           .select(col("jk"), col("k"), col("h"), col("img"),
             col("s").as("dn"))
@@ -788,16 +795,33 @@ final class MaintainedDeltaJoin(
 
   /** The current join output: (jk, left_after, right_after) — matched
     * pairs, plus (for outer types) each preserved side's unmatched rows
-    * with the other image null. Companion versions must sit at the pair
-    * state's key (they commit together per span); a mismatch means a
-    * refresh crashed between commits — re-run [[refresh]] to complete
-    * it, the read refuses rather than serving a torn outer result.
+    * with the other image null. An OUTER read serves the NEWEST version
+    * committed by EVERY participating log (pairs + unmatched
+    * companions): the per-span commits land sequentially (pairs →
+    * counts → nulls), so a reader overlapping a live refresh — or a
+    * crash between commits — simply serves the previous fully-committed
+    * version, which [[BucketedStateLog.gcWithin]] retains until the
+    * cursor (advanced only after ALL commits) moves past it. This is
+    * the same never-torn concurrent-read property the marker protocol
+    * gives single-log maintainers. The read refuses only when NO common
+    * version exists (a crash inside the very first seed — nothing
+    * coherent was ever committed; re-run refresh to complete it).
     */
   def read(spark: SparkSession): DataFrame = {
     val f = states.fs(spark)
     checkJoinType(f, writer = false)
     val mapT = "map<string,string>"
-    val pk = states.latest(f)
+    val nullLogs = (lnulls ++ rnulls).toSeq
+    // ONE pairs listing; companions checked by marker existence — the
+    // newest pair version every participating log has committed
+    val pk = states.committed(f).reverse
+      .find(k => nullLogs.forall(_.isCommitted(f, k)))
+    if (pk.isEmpty && states.latest(f).nonEmpty)
+      throw new IllegalStateException(
+        s"MaintainedDeltaJoin('$name'): the pair state has committed " +
+          "versions but no version is committed across every unmatched " +
+          "companion — a crash inside the first seed; re-run refresh to " +
+          "complete it before reading")
     val pairs = pk match {
       case Some(k) => states.read(spark, k, stateSchema)
         .select(col("jk"), col("left_after"), col("right_after"))
@@ -807,28 +831,18 @@ final class MaintainedDeltaJoin(
     }
     if (!outerL && !outerR) return pairs
     def unmatchedPart(log: BucketedStateLog,
-        schema: org.apache.spark.sql.types.StructType,
-        leftSide: Boolean): DataFrame = {
-      val uk = log.latest(f)
-      if (uk != pk) throw new IllegalStateException(
-        s"MaintainedDeltaJoin('$name'): unmatched companion serves " +
-          s"interval $uk but the pair state serves $pk — a refresh " +
-          "crashed between the two commits; re-run refresh to complete " +
-          "it before reading")
-      uk match {
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      pk match {
         case None => emptyOf(spark, schema)
         case Some(k) => log.read(spark, k, schema)
       }
-    }
     var out = pairs
     if (outerL)
-      out = out.unionByName(unmatchedPart(lnulls.get, lnullSchema,
-          leftSide = true)
+      out = out.unionByName(unmatchedPart(lnulls.get, lnullSchema)
         .select(col("jk"), col("left_after"),
           lit(null).cast(mapT).as("right_after")))
     if (outerR)
-      out = out.unionByName(unmatchedPart(rnulls.get, rnullSchema,
-          leftSide = false)
+      out = out.unionByName(unmatchedPart(rnulls.get, rnullSchema)
         .select(col("jk"), lit(null).cast(mapT).as("left_after"),
           col("right_after")))
     out

@@ -364,6 +364,48 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("an outer reader overlapping an incomplete span serves the previous fully-committed version, never torn") {
+    withOuterJoin("left_outer") { (sink, dj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "2", "20")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      val set0 = outerSet(dj)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", "u", Seq("id"), null, user("2", "beau")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      val set1 = outerSet(dj)
+      assert(set0 != set1)
+      // simulate the live-refresh window (pairs committed for the new
+      // span, the unmatched companion not yet): hide the companion's
+      // newest manifest — the read must fall back to the previous
+      // fully-committed version, not throw and not serve pairs@new with
+      // nulls@old
+      val key = dj.latestKey(spark).get
+      val m = new java.io.File(sink.root,
+        s"_graft_djoins/dj_outer/_lnull/_commits/manifest.${IntervalKeys.name(key)}")
+      val aside = new java.io.File(m.getParentFile, m.getName + ".hidden")
+      assert(m.renameTo(aside))
+      try assert(outerSet(dj) == set0,
+        "mid-span read must serve the previous coherent version")
+      finally assert(aside.renameTo(m))
+      assert(outerSet(dj) == set1)
+      // NO common version at all (a crash inside the first seed) refuses
+      val all = m.getParentFile.listFiles()
+        .filter(_.getName.startsWith("manifest."))
+      all.foreach(f => assert(f.renameTo(
+        new java.io.File(f.getParentFile, f.getName + ".hidden"))))
+      try {
+        val e = intercept[IllegalStateException] { dj.read(spark) }
+        assert(e.getMessage.contains("first seed"), e.getMessage)
+      } finally m.getParentFile.listFiles()
+        .filter(_.getName.endsWith(".hidden"))
+        .foreach(f => assert(f.renameTo(new java.io.File(f.getParentFile,
+          f.getName.stripSuffix(".hidden")))))
+    }
+  }
+
   test("hot UNMATCHED key: null-extension churn is dirty-slice-bounded, not key-proportional") {
     withOuterJoin("left_outer", subs = 8) { (sink, dj) =>
       val FACTS = 120
