@@ -814,14 +814,15 @@ final class MaintainedDeltaJoin(
     val nullLogs = (lnulls ++ rnulls).toSeq
     // ONE pairs listing; companions checked by marker existence — the
     // newest pair version every participating log has committed
-    val pk = states.committed(f).reverse
+    val committedPairs = states.committed(f)
+    val pk = committedPairs.reverse
       .find(k => nullLogs.forall(_.isCommitted(f, k)))
-    if (pk.isEmpty && states.latest(f).nonEmpty)
+    if (pk.isEmpty && committedPairs.nonEmpty)
       throw new IllegalStateException(
         s"MaintainedDeltaJoin('$name'): the pair state has committed " +
           "versions but no version is committed across every unmatched " +
-          "companion — a crash inside the first seed; re-run refresh to " +
-          "complete it before reading")
+          "companion — a crash inside (or a still-running) first seed; " +
+          "complete/await that refresh before reading")
     val pairs = pk match {
       case Some(k) => states.read(spark, k, stateSchema)
         .select(col("jk"), col("left_after"), col("right_after"))
