@@ -855,9 +855,6 @@ final class MaintainedDeltaJoin(
 
   private[sinks] def stateLog: BucketedStateLog = states
   private[sinks] def unmatchedLeftLog: Option[BucketedStateLog] = lnulls
-  private[sinks] def unmatchedRightLog: Option[BucketedStateLog] = rnulls
-  private[sinks] def matchCountLogs: Seq[BucketedStateLog] =
-    (rcounts ++ lcounts).toSeq
 
   /** Ops gauges for the `graft_lake_*` family. */
   def gauges(spark: SparkSession): Seq[(String, Double)] = {
