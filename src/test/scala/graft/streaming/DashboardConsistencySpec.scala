@@ -23,8 +23,9 @@ class DashboardConsistencySpec extends AnyFunSuite {
     assert(series.size >= 20, s"dashboard should plot a rich series set, found: $series")
 
     // a full ops stack: stream + listener + task counters + snapshot +
-    // slot + a lake with one maintainer of each kind (view/join/distinct),
-    // refreshed once so every MaintainerOps series carries a sample
+    // slot + a lake with one maintainer of each kind (view / splice
+    // join / distinct / delta join), refreshed once so every
+    // MaintainerOps series carries a sample
     val wal = Files.createTempFile("wal-dash", ".bin").toString
     WalFile.write(wal, WalGen.frames(3, 2))
     val listener = new GraftMetricsListener
@@ -61,14 +62,18 @@ class DashboardConsistencySpec extends AnyFunSuite {
         group = Seq("grp" -> (im => element_at(im, "grp"))),
         name = "ref", value = im => element_at(im, "ref")),
       "public", "t", "dashdist")
+    val mdj = new graft.sinks.MaintainedDeltaJoin(sink,
+      ("public", "u"), ("public", "t"),
+      im => element_at(im, "id"), im => element_at(im, "ref"), "dashdjoin")
     assert(mv.refresh(spark) == 1)
     assert(mj.refresh(spark) == 1)
     assert(mdd.refresh(spark) == 1)
+    assert(mdj.refresh(spark, None) == 1)
     val server = new GraftMetricsServer(listener, port = 0,
       slotInfo = Some(() => Some(slotInfo)),
       snapshot = Some(snapshot), taskCounters = Some(tasks),
       lakeGauges = Some(() => sink.gauges(spark) ++ mv.gauges(spark) ++
-        mj.gauges(spark) ++ mdd.gauges(spark)))
+        mj.gauges(spark) ++ mdd.gauges(spark) ++ mdj.gauges(spark)))
     try {
       val q = spark.readStream.format("pgcdc").option("path", wal)
         .load().writeStream.format("memory").queryName("dash_sink")
