@@ -55,7 +55,11 @@ import org.apache.spark.sql.functions._
   * sub-sliced on the pair identity; per preserved side, a `_?counts`
   * companion (jk, n — the OTHER side's row count) and a `_?null`
   * companion (the unmatched preserved rows, sub-sliced on the row key
-  * so a hot unmatched jk rewrites dirty slices only). All companions
+  * so a hot unmatched jk rewrites dirty slices only). Size
+  * `stateBuckets` for the JOIN-KEY cardinality: the count companion's
+  * bucket is both its read and rewrite unit (one churned jk reads and
+  * rewrites ~|distinct jks|/stateBuckets count rows), the same sizing
+  * rule every bucketed state here follows. All companions
   * commit under the SAME interval key inside one poll span (each
   * guarded by its own replay marker, so a crash between commits
   * completes on replay). The join type is FIXED for the life of a
