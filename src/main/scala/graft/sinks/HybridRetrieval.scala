@@ -95,7 +95,9 @@ object HybridRetrieval {
     require(rrfK > 0, s"rrfK must be positive, got $rrfK")
     val names = lists.map(_._1)
     require(names.distinct == names, s"duplicate rank column names: $names")
-    require(names.forall(n => !Set("probe_id", "id", "rrf")(n)),
+    // "rnk" is the internal fused-position column: a list named "rnk"
+    // would have its ranks silently REPLACED by the top-k positions
+    require(names.forall(n => !Set("probe_id", "id", "rrf", "rnk")(n)),
       s"rank column names collide with the output schema: $names")
     val ranked = lists.zipWithIndex.map { case ((_, df, better), i) =>
       val dedup = Window.partitionBy("probe_id", "id")

@@ -181,14 +181,15 @@ final class MaintainedDeltaJoin(
           java.nio.charset.StandardCharsets.UTF_8).trim)
         finally in.close()
       }
+    def mismatch(jt: String): Nothing = throw new IllegalStateException(
+      s"MaintainedDeltaJoin('$name'): state dir is marked '$jt' but " +
+        s"this instance is configured '$joinType' — the join type is " +
+        "fixed for the life of a state dir (the pair and companion " +
+        s"states encode it); open it as '$jt', or build the new type " +
+        "under a NEW name (fresh cursor + state)")
     existing match {
       case Some(jt) =>
-        if (jt != joinType) throw new IllegalStateException(
-          s"MaintainedDeltaJoin('$name'): state dir was committed as " +
-            s"'$jt' but this instance is configured '$joinType' — the " +
-            "join type is fixed for the life of a state dir (the pair " +
-            s"and companion states encode it); open it as '$jt', or " +
-            "build the new type under a NEW name (fresh cursor + state)")
+        if (jt != joinType) mismatch(jt)
         jtChecked = true
       case None if joinType != "inner" && states.committed(f).nonEmpty =>
         // pre-marker dirs were written by inner-only code
@@ -205,7 +206,21 @@ final class MaintainedDeltaJoin(
           try out.write(joinType.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          BucketedStateLog.publishReplace(f, tmp, joinTypePath)
+          // FRESH publish (no delete precedes the rename): two racing
+          // first writers of DIFFERENT types cannot cross-stamp — the
+          // loser's rename fails and it validates against what landed
+          // (same type: proceed; different: refuse)
+          try BucketedStateLog.publishFresh(f, tmp, joinTypePath)
+          catch {
+            case _: IllegalStateException =>
+              f.delete(tmp, false)
+              val in = f.open(joinTypePath)
+              val got =
+                try new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8).trim
+                finally in.close()
+              if (got != joinType) mismatch(got)
+          }
           jtChecked = true
         }
       // reader over an unstamped legacy-inner/empty dir: nothing to
@@ -676,25 +691,31 @@ final class MaintainedDeltaJoin(
         if (cd.isEmpty) None else Some(cd)
       }
 
-    // OLD counts for BOTH consumers — flip detection (cDelta jks) and
-    // the preserved-churn filter (preservedDelta jks) — read ONCE:
-    // one bucket-planning collect and one bucket-restricted read over
-    // the union of churned jks (≤ stateBuckets buckets of the
-    // dimension-key-sized companion; absent row == count 0; null jks
-    // read nothing — their count is identically zero).
-    val oldCounts: DataFrame = {
-      val jkFrames = cDelta.map(_.select("jk")).toSeq ++
-        (if (pEmpty) Nil else Seq(preservedDelta.select("jk")))
-      if (jkFrames.isEmpty) emptyOf(spark, countSchema)
+    // ONE bucket-planning collect (≤ stateBuckets rows, tagged by
+    // source) serves everything the companion needs this span: the
+    // DIRTY buckets (cDelta jks — the merge's rewrite set) and the
+    // full read set (∪ preservedDelta jks — the old-count lookups;
+    // absent row == count 0; null jks read nothing, their count is
+    // identically zero).
+    val (dirtyCountBuckets, readCountBuckets): (Set[Int], Set[Int]) = {
+      val tagged = cDelta.map(_.select(col("jk"), lit(true).as("_cd")))
+        .toSeq ++
+        (if (pEmpty) Nil
+         else Seq(preservedDelta.select(col("jk"), lit(false).as("_cd"))))
+      if (tagged.isEmpty) (Set.empty, Set.empty)
       else {
-        val bs = jkFrames.reduce(_ unionByName _)
+        val rows = tagged.reduce(_ unionByName _)
           .filter(col("jk").isNotNull)
-          .select(counts.bucketExpr(Seq(col("jk"))).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        if (bs.isEmpty) emptyOf(spark, countSchema)
-        else counts.readBuckets(spark, cPrev, Some(bs), countSchema)
+          .groupBy(counts.bucketExpr(Seq(col("jk"))).as("b"))
+          .agg(max(col("_cd")).as("cd")).collect()
+        (rows.filter(_.getBoolean(1)).map(_.getInt(0)).toSet,
+          rows.map(_.getInt(0)).toSet)
       }
     }
+    val oldCounts: DataFrame =
+      if (readCountBuckets.isEmpty) emptyOf(spark, countSchema)
+      else counts.readBuckets(spark, cPrev, Some(readCountBuckets),
+        countSchema)
 
     // flips: jks whose count crosses zero this span, judged against the
     // OLD counts — checkpointed once, consumed by both flip terms and
@@ -732,11 +753,13 @@ final class MaintainedDeltaJoin(
         counts.commit(f, emptyOf(spark, countSchema), Set.empty,
           Some(cPrev), key)
       case Some(cd) =>
-        val dirtyB = cd.select(counts.bucketExpr(Seq(col("jk"))).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val prevRows = counts.readBuckets(spark, cPrev, Some(dirtyB),
-          countSchema)
-        counts.commit(f, mergedCounts(prevRows, cd), dirtyB,
+        // dirty buckets came from the shared planning collect above;
+        // the merge input must be EXACTLY those buckets' rows (commit
+        // carries at bucket granularity), so re-read restricted rather
+        // than filtering the wider oldCounts frame
+        val prevRows = counts.readBuckets(spark, cPrev,
+          Some(dirtyCountBuckets), countSchema)
+        counts.commit(f, mergedCounts(prevRows, cd), dirtyCountBuckets,
           Some(cPrev), key)
     }
 
