@@ -201,26 +201,38 @@ final class MaintainedDeltaJoin(
       case None =>
         if (writer) {
           f.mkdirs(stateDir)
-          val tmp = new Path(stateDir, "_jointype.tmp")
+          // WRITER-UNIQUE tmp (a shared tmp name lets a racing writer
+          // truncate/replace the bytes another is mid-renaming) + fresh
+          // publish + unconditional READ-BACK: whatever rename semantics
+          // the store has (HDFS refuses an existing destination; POSIX
+          // rename silently replaces it), each writer proceeds only if
+          // the marker that actually LANDED carries its own type.
+          // Stated honestly: two CONCURRENT first writers of different
+          // types are already a single-writer-contract violation — the
+          // read-back narrows that misconfiguration to fail loudly in
+          // all but the validate-then-overwritten interleaving; the
+          // sequential misconfiguration (the common one) always refuses.
+          val tmp = new Path(stateDir,
+            s"_jointype.${java.util.UUID.randomUUID}.tmp")
           val out = f.create(tmp, true)
           try out.write(joinType.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          // FRESH publish (no delete precedes the rename): two racing
-          // first writers of DIFFERENT types cannot cross-stamp — the
-          // loser's rename fails and it validates against what landed
-          // (same type: proceed; different: refuse)
           try BucketedStateLog.publishFresh(f, tmp, joinTypePath)
           catch {
-            case _: IllegalStateException =>
+            case e: IllegalStateException =>
               f.delete(tmp, false)
-              val in = f.open(joinTypePath)
-              val got =
-                try new String(in.readAllBytes(),
-                  java.nio.charset.StandardCharsets.UTF_8).trim
-                finally in.close()
-              if (got != joinType) mismatch(got)
+              // only swallow the destination-exists loss — a rename
+              // failing with NO marker published is a real publish
+              // failure the operator needs verbatim
+              if (!f.exists(joinTypePath)) throw e
           }
+          val in = f.open(joinTypePath)
+          val got =
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          if (got != joinType) mismatch(got)
           jtChecked = true
         }
       // reader over an unstamped legacy-inner/empty dir: nothing to
