@@ -406,6 +406,51 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a crash between the pair and companion commits is repaired by the replayed span") {
+    withOuterJoin("left_outer") { (sink, dj) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "5")),
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "2", "6")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      // snapshot the pre-span cursor, land the churn (a >0→0 flip), and
+      // refresh normally
+      val cursor = new java.io.File(sink.root, "_graft_cursors/djoin_dj_outer")
+      val preSpanCursor = java.nio.file.Files.readAllBytes(cursor.toPath)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "delete", "u", Seq("id"), user("1", "ann"), null),
+        ev(5, "insert", "o", Seq("oid"), null, order("c", "2", "7")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      val healthy = outerSet(dj)
+      assert(healthy == expectedOuter(sink, "left_outer"))
+      // reconstruct the crash state: the span's PAIR commit landed but
+      // neither companion's did, and the cursor never advanced — delete
+      // the companions' newest manifests and restore the cursor
+      val key = dj.latestKey(spark).get
+      def dropCrc(of: java.io.File): Unit = {
+        val crc = new java.io.File(of.getParentFile, s".${of.getName}.crc")
+        if (crc.exists) assert(crc.delete())
+      }
+      for (sub <- Seq("_rcounts", "_lnull")) {
+        val m = new java.io.File(sink.root,
+          s"_graft_djoins/dj_outer/$sub/_commits/manifest.${IntervalKeys.name(key)}")
+        assert(m.exists, s"$sub manifest missing")
+        assert(m.delete())
+        dropCrc(m)
+      }
+      java.nio.file.Files.write(cursor.toPath, preSpanCursor)
+      dropCrc(cursor) // the local FS checksum sidecar no longer matches
+      // mid-crash read: the previous fully-committed version serves
+      assert(outerSet(dj).nonEmpty)
+      // the replayed span completes ONLY the missing commits (the pair
+      // state is isCommitted-skipped) and the cursor advances again
+      assert(dj.refresh(spark) == 1)
+      assert(outerSet(dj) == healthy)
+      assert(outerSet(dj) == expectedOuter(sink, "left_outer"))
+      assert(dj.refresh(spark) == 0)
+    }
+  }
+
   test("hot UNMATCHED key: null-extension churn is dirty-slice-bounded, not key-proportional") {
     withOuterJoin("left_outer", subs = 8) { (sink, dj) =>
       val FACTS = 120
