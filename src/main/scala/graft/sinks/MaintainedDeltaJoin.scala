@@ -83,7 +83,31 @@ import org.apache.spark.sql.functions._
   * join: a side whose join key IS its single-column replica key fetches
   * the other side's matches through the KEY-RESTRICTED fold
   * (BASE-bucket-pruned); otherwise the side folds whole and semi-joins.
-  * They are optional here — correctness never depends on them.
+  * They are optional here — correctness never depends on them. The same
+  * tiers govern the OUTER FLIP reads (`P_new` over flipping jks): a
+  * preserved side that is row-keyed reads BASE-bucket-pruned, a
+  * declared-immutable one prunes its fold input to the flipping jks,
+  * and a side that is NEITHER folds whole and semi-joins on every flip
+  * span — for FK-shaped joins set `*KeyImmutable` on the preserved fact
+  * side so flips stay delta-proportional (docs/MIGRATION.md shows the
+  * pattern).
+  *
+  * COMPOSITION (`emitTo`): when set, every applied span ALSO lands this
+  * join's OUTPUT DELTA as envelope rows in the given lake — one
+  * committed batch per span under `(schema, table) = `[[emitTable]],
+  * `insert`/`delete` per output-row transition (a flip emits the pair
+  * delete AND the null-extension insert, each under its own identity),
+  * and a seed/truncate rebuild emits a `truncate` row followed by the
+  * full output. Downstream maintainers ([[MaintainedView]], another
+  * join, an index) consume it like any table — the maintainer family is
+  * CLOSED under composition, and a join→aggregate pipeline stays
+  * churn-proportional end to end instead of re-reading the state-sized
+  * [[read]] per refresh. Emitted images carry the left/right images
+  * under `l.`/`r.` key prefixes plus the pair identity under `_jk`/
+  * `_lk`/`_rk`/`_lh`/`_rh` (the emitted `key_names`; a missing `r.`
+  * segment IS the null-extension). Exactly-once: the output batch id
+  * rides a sequence file committed in the state dir, and a replayed
+  * span re-lands the same id — the emit lake's marker makes it a no-op.
   */
 final class MaintainedDeltaJoin(
     lake: LakeSink,
@@ -115,7 +139,12 @@ final class MaintainedDeltaJoin(
     leftKeyImmutable: Boolean = false,
     rightKeyImmutable: Boolean = false,
     leftKeyCol: Option[String] = None,
-    rightKeyCol: Option[String] = None) extends Maintainer {
+    rightKeyCol: Option[String] = None,
+    /** Output-changelog target (see the COMPOSITION paragraph above):
+      * every applied span additionally commits the span's output delta
+      * as one envelope batch in this lake, under [[emitTable]].
+      */
+    emitTo: Option[LakeSink] = None) extends Maintainer {
 
   require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
     s"joinType must be inner/left_outer/right_outer/full_outer, got '$joinType'")
@@ -187,9 +216,47 @@ final class MaintainedDeltaJoin(
         "fixed for the life of a state dir (the pair and companion " +
         s"states encode it); open it as '$jt', or build the new type " +
         "under a NEW name (fresh cursor + state)")
+    // Crash debris: a writer that died between creating its
+    // _jointype.<uuid>.tmp and the rename leaves the tmp forever (the
+    // state log's gc sweeps only v* slice dirs and manifest tmps). Swept
+    // here, after the marker outcome is settled — under the single-writer
+    // contract any surviving tmp is a dead writer's; a concurrent
+    // misconfigured writer whose tmp vanishes mid-rename fails LOUDLY
+    // (publishFresh throws on a false rename), which is the same refusal
+    // its read-back would have produced.
+    def sweepMarkerTmps(): Unit =
+      if (f.exists(stateDir))
+        f.listStatus(stateDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_jointype.") && n.endsWith(".tmp"))
+            f.delete(st.getPath, false)
+        }
     existing match {
       case Some(jt) =>
-        if (jt != joinType) mismatch(jt)
+        if (jt != joinType) {
+          // a marker next to ZERO committed pair versions pins nothing —
+          // no data exists that the type could mislabel (companions
+          // always commit at-or-after the pairs, so an empty pair log
+          // means an empty dir). A WRITER may re-stamp it: the common
+          // built-the-wrong-type-once flow must not burn the name
+          // forever. Any committed state refuses as before.
+          if (writer && states.committed(f).isEmpty) {
+            val tmp = new Path(stateDir,
+              s"_jointype.${java.util.UUID.randomUUID}.tmp")
+            val out = f.create(tmp, true)
+            try out.write(joinType.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            BucketedStateLog.publishReplace(f, tmp, joinTypePath)
+            val in = f.open(joinTypePath)
+            val got =
+              try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8).trim
+              finally in.close()
+            if (got != joinType) mismatch(got)
+          } else mismatch(jt)
+        }
+        if (writer) sweepMarkerTmps()
         jtChecked = true
       case None if joinType != "inner" && states.committed(f).nonEmpty =>
         // pre-marker dirs were written by inner-only code
@@ -233,11 +300,165 @@ final class MaintainedDeltaJoin(
               java.nio.charset.StandardCharsets.UTF_8).trim
             finally in.close()
           if (got != joinType) mismatch(got)
+          sweepMarkerTmps()
           jtChecked = true
         }
       // reader over an unstamped legacy-inner/empty dir: nothing to
       // validate; the next refresh stamps the marker
     }
+  }
+
+  // ---- changelog emission -------------------------------------------------
+
+  /** The `(schema, table)` the emitted output changelog carries —
+    * construct downstream maintainers over the `emitTo` lake with these
+    * names.
+    */
+  def emitTable: (String, String) = (MaintainedDeltaJoin.EmitSchema, name)
+
+  private def emitSeqPath = new Path(stateDir, "_emit")
+
+  /** (output batch id, span key) of the last recorded emission. */
+  private def readEmitSeq(f: FileSystem): Option[(Long, (Long, Long))] =
+    if (!f.exists(emitSeqPath)) None
+    else {
+      val in = f.open(emitSeqPath)
+      val s =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      s.split(":") match {
+        case Array(id, n, p) => Some((id.toLong, (n.toLong, p.toLong)))
+        case _ => throw new IllegalStateException(
+          s"unreadable emit sequence file $emitSeqPath: '$s'")
+      }
+    }
+
+  private def writeEmitSeq(f: FileSystem, id: Long, key: (Long, Long)): Unit = {
+    f.mkdirs(stateDir)
+    val tmp = new Path(stateDir, "_emit.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$id:${key._1}:${key._2}".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    BucketedStateLog.publishReplace(f, tmp, emitSeqPath)
+  }
+
+  /** The output batch id this span emits under: a replay of the recorded
+    * span reuses its id (the emit lake's marker then no-ops the append);
+    * a new span takes the next one. Ids increase monotonically, so the
+    * emitted `commit_lsn` orders a re-inserted identity's newer insert
+    * above its older delete in the downstream fold.
+    */
+  private def nextEmitId(f: FileSystem, key: (Long, Long)): Long =
+    readEmitSeq(f) match {
+      case Some((id, k)) if k == key => id
+      case Some((id, _)) => id + 1
+      case None => 0L
+    }
+
+  /** True when this span's emission fully landed: the sequence file
+    * records the span AND its output batch is committed in the emit
+    * lake (a crash between the two completes on replay).
+    */
+  private def emitCommitted(spark: SparkSession, f: FileSystem,
+      out: LakeSink, key: (Long, Long)): Boolean =
+    readEmitSeq(f).exists { case (id, k) =>
+      k == key && out.committedBatchIds(spark).contains(id) }
+
+  /** Prefixed map entries of one side's image (`l.` / `r.`); empty for a
+    * NULL image (the null-extended side of an unmatched row).
+    */
+  private def prefEntries(p: String, m: Column): Column =
+    coalesce(
+      transform(map_entries(m), e =>
+        struct(concat(lit(p), e.getField("key")).as("key"),
+          e.getField("value").as("value"))),
+      array().cast("array<struct<key:string,value:string>>"))
+
+  /** One output row's emitted image: the pair identity under reserved
+    * `_` keys (the emitted `key_names` — identities are unique while
+    * live, so a delete retracts exactly the version its insert landed)
+    * plus both sides' images under `l.`/`r.` prefixes (same-named
+    * columns cannot collide; a missing `r.` segment IS the
+    * null-extension).
+    */
+  private def emitImg(jk: Column, lk: Column, rk: Column, lh: Column,
+      rh: Column, l: Column, r: Column): Column =
+    map_from_entries(concat(
+      array(
+        struct(lit("_jk").as("key"), jk.cast("string").as("value")),
+        struct(lit("_lk").as("key"), lk.cast("string").as("value")),
+        struct(lit("_rk").as("key"), rk.cast("string").as("value")),
+        struct(lit("_lh").as("key"), lh.cast("string").as("value")),
+        struct(lit("_rh").as("key"), rh.cast("string").as("value"))),
+      prefEntries("l.", l), prefEntries("r.", r)))
+
+  /** Envelope rows from generic signed output-delta rows: +1 → insert
+    * (image in `after`), −1 → delete (image in `before`). `commit_lsn`
+    * is the output batch id; data rows sit at `lsn` 1, above a rebuild
+    * batch's truncate row at 0.
+    */
+  private def emitEnvelope(rows: DataFrame, img: Column, outId: Long): DataFrame =
+    rows.select(
+      lit(1L).as("lsn"), lit(outId).as("commit_lsn"), lit(0L).as("xid"),
+      when(col("dn") > 0, "insert").otherwise("delete").as("op"),
+      lit(MaintainedDeltaJoin.EmitSchema).as("schema"),
+      lit(name).as("table"),
+      timestamp_micros(lit(0L)).as("message_time"),
+      timestamp_micros(lit(0L)).as("commit_time"),
+      typedLit(MaintainedDeltaJoin.EmitKeyNames).as("key_names"),
+      when(col("dn") < 0, img).as("before"),
+      when(col("dn") > 0, img).as("after"))
+
+  private def pairEmitImg: Column = emitImg(col("jk"), col("lk"),
+    col("rk"), col("lh"), col("rh"), col("left_after"), col("right_after"))
+
+  private def unmatchedEmitImg(leftSide: Boolean): Column = {
+    val none = lit(null).cast("map<string,string>")
+    if (leftSide)
+      emitImg(col("jk"), col("k"), lit(null), col("h"), lit(null),
+        col("img"), none)
+    else
+      emitImg(col("jk"), lit(null), col("k"), lit(null), col("h"),
+        none, col("img"))
+  }
+
+  /** One truncate envelope row — the head of a seed/truncate rebuild's
+    * emitted batch, superseding every earlier emitted row downstream.
+    */
+  private def emitTruncateRow(spark: SparkSession, outId: Long): DataFrame = {
+    val mapT = "map<string,string>"
+    spark.range(1).select(
+      lit(0L).as("lsn"), lit(outId).as("commit_lsn"), lit(0L).as("xid"),
+      lit("truncate").as("op"),
+      lit(MaintainedDeltaJoin.EmitSchema).as("schema"),
+      lit(name).as("table"),
+      timestamp_micros(lit(0L)).as("message_time"),
+      timestamp_micros(lit(0L)).as("commit_time"),
+      typedLit(MaintainedDeltaJoin.EmitKeyNames).as("key_names"),
+      lit(null).cast(mapT).as("before"), lit(null).cast(mapT).as("after"))
+  }
+
+  /** Land one applied span's output delta in the emit lake, exactly
+    * once. A span whose delta is entirely empty emits nothing (and
+    * burns no batch id) — downstream cursors simply see no new batch.
+    * The delta frames arrive checkpointed, so the emptiness probes and
+    * the append re-read materialized partitions.
+    */
+  private def emitSpan(spark: SparkSession, f: FileSystem, out: LakeSink,
+      key: (Long, Long), pairDelta: DataFrame,
+      duLeft: Option[DataFrame], duRight: Option[DataFrame]): Unit = {
+    val outId = nextEmitId(f, key)
+    val parts =
+      (Seq(pairDelta -> pairEmitImg) ++
+        duLeft.map(_ -> unmatchedEmitImg(leftSide = true)) ++
+        duRight.map(_ -> unmatchedEmitImg(leftSide = false)))
+      .collect { case (rows, img) if !rows.isEmpty =>
+        emitEnvelope(rows, img, outId) }
+    if (parts.isEmpty) return
+    writeEmitSeq(f, outId, key)
+    out.appendBatch(parts.reduce(_ unionByName _), outId)
   }
 
   // ---- expressions ------------------------------------------------------
@@ -513,21 +734,24 @@ final class MaintainedDeltaJoin(
         // each state is guarded by its OWN replay marker: a crash
         // between the pair commit and a companion's completes the
         // missing commits when the span replays (the cursor advances
-        // only after the whole callback)
+        // only after the whole callback). The emitted output batch has
+        // the same shape of guard: the emit sequence file plus the emit
+        // lake's own commit marker.
         val needPairs = !states.isCommitted(f, key)
         val needL = outerL && (!rcounts.get.isCommitted(f, key) ||
           !lnulls.get.isCommitted(f, key))
         val needR = outerR && (!lcounts.get.isCommitted(f, key) ||
           !rnulls.get.isCommitted(f, key))
-        if (needPairs || needL || needR) {
+        val needEmit = emitTo.exists(out => !emitCommitted(spark, f, out, key))
+        if (needPairs || needL || needR || needEmit) {
           val prevKey = states.latestWithin(f, from)
           val truncated = bounds.getInt(2) == 1
           if (truncated || prevKey.isEmpty) {
             // SEED / truncate: full join of both sides through BASE
             // (a compacted+vacuumed lake holds rows no surviving
             // changelog row mentions — the delta path cannot see them)
-            seedAll(spark, f, key)
-            ops.recordSpan(spanRows, spanRows, stateBuckets * subBuckets, 0)
+            seedAll(spark, f, key, needEmit)
+            ops.recordSpan(spanRows, spanRows, totalSlices, 0)
           } else {
             val dlF = sideDelta(span, left, leftKey, keepNullJk = outerL)
               .localCheckpoint()
@@ -540,35 +764,47 @@ final class MaintainedDeltaJoin(
             // terms (driver-side isEmpty on the checkpointed deltas)
             val dlEmpty = dl.isEmpty
             val drEmpty = dr.isEmpty
+            // span-gauge totals across the pair state AND the outer
+            // companions (ADVICE r19: companion maintenance and
+            // replay-repair spans must be observable) — one recordSpan
+            // per applied span, below
+            var gDirty = 0L; var gRewritten = 0; var gCarried = 0
+            // the pair delta feeds the pair commit AND the emission (a
+            // replay that lost only the output batch recomputes it —
+            // deterministic: the span plus the interval-pinned folds)
+            val d: Option[DataFrame] =
+              if (!needPairs && !needEmit) None
+              else Some {
+                // Δout = ΔL ⋈ R_new + L_new ⋈ ΔR − ΔL ⋈ ΔR, all signed;
+                // the cross term subtracts because both one-sided terms
+                // read the NEW folds (each already contains the other
+                // side's delta)
+                def part1 =
+                  if (dlEmpty) Seq.empty
+                  else Seq(paired(dl, sideAsOf(spark, right, rightKey, key._2,
+                    key._1, rightKeyIsRowKey, rightKeyImmutable,
+                    Some(dl.select("jk"))), col("l.s")))
+                def part2 =
+                  if (drEmpty) Seq.empty
+                  else Seq(paired(sideAsOf(spark, left, leftKey, key._2, key._1,
+                    leftKeyIsRowKey, leftKeyImmutable, Some(dr.select("jk"))),
+                    dr, col("r.s")))
+                def part3 =
+                  if (dlEmpty || drEmpty) Seq.empty
+                  else Seq(paired(dl, dr, -col("l.s") * col("r.s")))
+                val parts = part1 ++ part2 ++ part3
+                (if (parts.isEmpty) paired(dl, dr, lit(0L)) // empty frame
+                  else parts.reduce(_ unionByName _))
+                  .groupBy("jk", "lk", "rk", "lh", "rh")
+                  .agg(first(col("left_after"), ignoreNulls = true).as("left_after"),
+                    first(col("right_after"), ignoreNulls = true).as("right_after"),
+                    sum(col("dn")).as("dn"))
+                  .filter(col("dn") =!= 0L)
+                  .localCheckpoint()
+              }
             if (needPairs) {
-              // Δout = ΔL ⋈ R_new + L_new ⋈ ΔR − ΔL ⋈ ΔR, all signed;
-              // the cross term subtracts because both one-sided terms
-              // read the NEW folds (each already contains the other
-              // side's delta)
-              def part1 =
-                if (dlEmpty) Seq.empty
-                else Seq(paired(dl, sideAsOf(spark, right, rightKey, key._2,
-                  key._1, rightKeyIsRowKey, rightKeyImmutable,
-                  Some(dl.select("jk"))), col("l.s")))
-              def part2 =
-                if (drEmpty) Seq.empty
-                else Seq(paired(sideAsOf(spark, left, leftKey, key._2, key._1,
-                  leftKeyIsRowKey, leftKeyImmutable, Some(dr.select("jk"))),
-                  dr, col("r.s")))
-              def part3 =
-                if (dlEmpty || drEmpty) Seq.empty
-                else Seq(paired(dl, dr, -col("l.s") * col("r.s")))
-              val parts = part1 ++ part2 ++ part3
-              val d = (if (parts.isEmpty) paired(dl, dr, lit(0L)) // empty frame
-                else parts.reduce(_ unionByName _))
-                .groupBy("jk", "lk", "rk", "lh", "rh")
-                .agg(first(col("left_after"), ignoreNulls = true).as("left_after"),
-                  first(col("right_after"), ignoreNulls = true).as("right_after"),
-                  sum(col("dn")).as("dn"))
-                .filter(col("dn") =!= 0L)
-                .localCheckpoint()
               // bounded planning pull: ≤ stateBuckets × subBuckets rows
-              val perSlice = d.groupBy(
+              val perSlice = d.get.groupBy(
                   states.bucketExpr(Seq(col("jk"))).as("b"),
                   states.subExpr.as("s"))
                 .count().collect()
@@ -576,30 +812,44 @@ final class MaintainedDeltaJoin(
               val deltaPairs = perSlice.map(_.getLong(2)).sum
               if (dirty.isEmpty) {
                 states.commit(f, emptyState(spark), Set.empty, prevKey, key)
-                ops.recordSpan(spanRows, 0, 0, stateBuckets * subBuckets)
+                gCarried += stateBuckets * subBuckets
               } else {
                 val prevTouched = states.readSlices(spark, prevKey.get, dirty,
                   stateSchema)
-                states.commitSlices(f, merged(prevTouched, d), dirty,
+                states.commitSlices(f, merged(prevTouched, d.get), dirty,
                   prevKey, key)
-                ops.recordSpan(spanRows, deltaPairs,
-                  dirty.size, stateBuckets * subBuckets - dirty.size)
+                gDirty += deltaPairs
+                gRewritten += dirty.size
+                gCarried += stateBuckets * subBuckets - dirty.size
               }
             }
-            if (outerL) refreshOuterSide(spark, f, key, from,
-              counts = rcounts.get, nulls = lnulls.get,
-              nullsSchema = lnullSchema,
-              preservedDelta = dlF, otherDelta = dr, otherEmpty = drEmpty,
-              preservedAsOf = jks => sideAsOf(spark, left, leftKey, key._2,
-                key._1, leftKeyIsRowKey, leftKeyImmutable, jks),
-              kName = "lk", hName = "lh", imgName = "left_after")
-            if (outerR) refreshOuterSide(spark, f, key, from,
-              counts = lcounts.get, nulls = rnulls.get,
-              nullsSchema = rnullSchema,
-              preservedDelta = drF, otherDelta = dl, otherEmpty = dlEmpty,
-              preservedAsOf = jks => sideAsOf(spark, right, rightKey, key._2,
-                key._1, rightKeyIsRowKey, rightKeyImmutable, jks),
-              kName = "rk", hName = "rh", imgName = "right_after")
+            val duL = if (!outerL) None else {
+              val (du, dDirty, dRw, dCa) = refreshOuterSide(spark, f, key, from,
+                counts = rcounts.get, nulls = lnulls.get,
+                nullsSchema = lnullSchema,
+                preservedDelta = dlF, otherDelta = dr, otherEmpty = drEmpty,
+                preservedAsOf = jks => sideAsOf(spark, left, leftKey, key._2,
+                  key._1, leftKeyIsRowKey, leftKeyImmutable, jks),
+                kName = "lk", hName = "lh", imgName = "left_after",
+                needDu = needEmit)
+              gDirty += dDirty; gRewritten += dRw; gCarried += dCa
+              du
+            }
+            val duR = if (!outerR) None else {
+              val (du, dDirty, dRw, dCa) = refreshOuterSide(spark, f, key, from,
+                counts = lcounts.get, nulls = rnulls.get,
+                nullsSchema = rnullSchema,
+                preservedDelta = drF, otherDelta = dl, otherEmpty = dlEmpty,
+                preservedAsOf = jks => sideAsOf(spark, right, rightKey, key._2,
+                  key._1, rightKeyIsRowKey, rightKeyImmutable, jks),
+                kName = "rk", hName = "rh", imgName = "right_after",
+                needDu = needEmit)
+              gDirty += dDirty; gRewritten += dRw; gCarried += dCa
+              du
+            }
+            if (needEmit)
+              emitSpan(spark, f, emitTo.get, key, d.get, duL, duR)
+            ops.recordSpan(spanRows, gDirty, gRewritten, gCarried)
           }
         }
         states.gcWithin(f, from)
@@ -611,31 +861,53 @@ final class MaintainedDeltaJoin(
     }
   }
 
+  /** Total slice count across the pair state and the outer companions —
+    * the seed's "every bucket rewritten" span gauge.
+    */
+  private def totalSlices: Int =
+    stateBuckets * subBuckets +
+      (if (outerL) stateBuckets + stateBuckets * subBuckets else 0) +
+      (if (outerR) stateBuckets + stateBuckets * subBuckets else 0)
+
   /** Full rewrite of every state at `key` — the seed and the
     * truncate-boundary rebuild. The unmatched companions anti-join the
     * preserved side (null-jk rows kept: their match count is
-    * identically zero) against the other side's distinct jks.
+    * identically zero) against the other side's distinct jks. With
+    * `emit`, the full output additionally lands in the emit lake as a
+    * truncate row plus inserts (a rebuild resets downstream consumers).
     */
   private def seedAll(spark: SparkSession, f: FileSystem,
-      key: (Long, Long)): Unit = {
+      key: (Long, Long), emit: Boolean): Unit = {
     val all = (0 until stateBuckets).toSet
     val lF0 = sideAsOf(spark, left, leftKey, key._2, key._1,
       isRowKey = false, isImmutable = false, jks = None, keepNullJk = outerL)
     val rF0 = sideAsOf(spark, right, rightKey, key._2, key._1,
       isRowKey = false, isImmutable = false, jks = None, keepNullJk = outerR)
-    // an OUTER seed consumes each side's fold up to three times (pairs,
-    // the count companion, the unmatched anti-join) — materialize the
-    // fold ONCE instead of re-scanning BASE + tail per commit. A seed is
-    // a rare whole-corpus operation and the checkpoint spills to local
-    // disk; a lost-executor failure just re-runs the seed (the span
-    // replays). Inner seeds evaluate each fold once — left lazy.
+    // an OUTER (or emitting) seed consumes each side's fold several
+    // times (pairs, the count companion, the unmatched anti-join, the
+    // emitted batch) — materialize the fold ONCE instead of re-scanning
+    // BASE + tail per commit. A seed is a rare whole-corpus operation
+    // and the checkpoint spills to local disk; a lost-executor failure
+    // just re-runs the seed (the span replays). Plain inner seeds
+    // evaluate each fold once — left lazy.
     val (lF, rF) =
-      if (outerL || outerR) (lF0.localCheckpoint(), rF0.localCheckpoint())
+      if (outerL || outerR || emit) (lF0.localCheckpoint(), rF0.localCheckpoint())
       else (lF0, rF0)
     val l = if (outerL) lF.filter(col("jk").isNotNull) else lF
     val r = if (outerR) rF.filter(col("jk").isNotNull) else rF
+    val pairsFull = paired(l, r, lit(1L))
+    // unmatched companions in the GENERIC (jk, k, h, img, dn) shape the
+    // emission shares; renamed per side at commit
+    val lnullRows =
+      if (!outerL) None
+      else Some(lF.join(r.select("jk").distinct(), Seq("jk"), "left_anti")
+        .select(col("jk"), col("k"), col("h"), col("img"), lit(1L).as("dn")))
+    val rnullRows =
+      if (!outerR) None
+      else Some(rF.join(l.select("jk").distinct(), Seq("jk"), "left_anti")
+        .select(col("jk"), col("k"), col("h"), col("img"), lit(1L).as("dn")))
     if (!states.isCommitted(f, key))
-      states.commit(f, paired(l, r, lit(1L)).withColumnRenamed("dn", "n"),
+      states.commit(f, pairsFull.withColumnRenamed("dn", "n"),
         all, None, key)
     if (outerL) {
       if (!rcounts.get.isCommitted(f, key))
@@ -643,9 +915,9 @@ final class MaintainedDeltaJoin(
           all, None, key)
       if (!lnulls.get.isCommitted(f, key))
         lnulls.get.commit(f,
-          lF.join(r.select("jk").distinct(), Seq("jk"), "left_anti")
-            .select(col("jk"), col("k").as("lk"), col("h").as("lh"),
-              col("img").as("left_after"), lit(1L).as("n")),
+          lnullRows.get.select(col("jk"), col("k").as("lk"),
+            col("h").as("lh"), col("img").as("left_after"),
+            col("dn").as("n")),
           all, None, key)
     }
     if (outerR) {
@@ -654,10 +926,24 @@ final class MaintainedDeltaJoin(
           all, None, key)
       if (!rnulls.get.isCommitted(f, key))
         rnulls.get.commit(f,
-          rF.join(l.select("jk").distinct(), Seq("jk"), "left_anti")
-            .select(col("jk"), col("k").as("rk"), col("h").as("rh"),
-              col("img").as("right_after"), lit(1L).as("n")),
+          rnullRows.get.select(col("jk"), col("k").as("rk"),
+            col("h").as("rh"), col("img").as("right_after"),
+            col("dn").as("n")),
           all, None, key)
+    }
+    if (emit) {
+      val outId = nextEmitId(f, key)
+      val parts = Seq(emitEnvelope(pairsFull, pairEmitImg, outId)) ++
+        lnullRows.map(du =>
+          emitEnvelope(du, unmatchedEmitImg(leftSide = true), outId)) ++
+        rnullRows.map(du =>
+          emitEnvelope(du, unmatchedEmitImg(leftSide = false), outId))
+      // a seed/truncate rebuild ALWAYS emits (even over an empty corpus):
+      // the truncate row is what resets downstream state
+      writeEmitSeq(f, outId, key)
+      emitTo.get.appendBatch(
+        emitTruncateRow(spark, outId).unionByName(
+          parts.reduce(_ unionByName _)), outId)
     }
   }
 
@@ -672,6 +958,11 @@ final class MaintainedDeltaJoin(
     * the churned jks (≤ stateBuckets buckets of a dimension-key-sized
     * state); flip reads go through the preserved side's restricted fold
     * tiers. Each commit is replay-guarded independently.
+    *
+    * Returns (the ΔU frame in generic (jk, k, h, img, dn) shape when
+    * `needDu` asked for it — the emission's unmatched term — None when
+    * empty or unasked; delta rows; slices rewritten; slices carried) —
+    * the last three feed the span gauges.
     */
   private def refreshOuterSide(spark: SparkSession, f: FileSystem,
       key: (Long, Long), from: (Long, Long),
@@ -679,10 +970,11 @@ final class MaintainedDeltaJoin(
       nullsSchema: org.apache.spark.sql.types.StructType,
       preservedDelta: DataFrame, otherDelta: DataFrame, otherEmpty: Boolean,
       preservedAsOf: Option[DataFrame] => DataFrame,
-      kName: String, hName: String, imgName: String): Unit = {
+      kName: String, hName: String, imgName: String,
+      needDu: Boolean): (Option[DataFrame], Long, Int, Int) = {
     val needCounts = !counts.isCommitted(f, key)
     val needNulls = !nulls.isCommitted(f, key)
-    if (!needCounts && !needNulls) return
+    if (!needCounts && !needNulls && !needDu) return (None, 0L, 0, 0)
     def tornPrev(log: BucketedStateLog): (Long, Long) =
       log.latestWithin(f, from).getOrElse(throw new IllegalStateException(
         s"MaintainedDeltaJoin('$name'): outer companion state " +
@@ -733,8 +1025,9 @@ final class MaintainedDeltaJoin(
     // OLD counts — checkpointed once, consumed by both flip terms and
     // the fail-loud negative check (one bounded driver pull). Skipped
     // when only the count state needs the span (replay of a crash after
-    // the nulls commit): mergedCounts carries its own negative guard.
-    val flips = (if (needNulls) cDelta else None).map { cd =>
+    // the nulls commit, no emission): mergedCounts carries its own
+    // negative guard.
+    val flips = (if (needNulls || needDu) cDelta else None).map { cd =>
       cd.join(oldCounts.withColumnRenamed("n", "_old"),
           Seq("jk"), "left_outer")
         .select(col("jk"), coalesce(col("_old"), lit(0L)).as("old_n"),
@@ -760,10 +1053,12 @@ final class MaintainedDeltaJoin(
           if (agg.isNullAt(1)) 0L else agg.getLong(1))
     }
 
+    var dirtyRows = 0L; var rewritten = 0; var carried = 0
     if (needCounts) cDelta match {
       case None =>
         counts.commit(f, emptyOf(spark, countSchema), Set.empty,
           Some(cPrev), key)
+        carried += stateBuckets
       case Some(cd) =>
         // dirty buckets came from the shared planning collect above;
         // the merge input must be EXACTLY those buckets' rows (commit
@@ -773,63 +1068,75 @@ final class MaintainedDeltaJoin(
           Some(dirtyCountBuckets), countSchema)
         counts.commit(f, mergedCounts(prevRows, cd), dirtyCountBuckets,
           Some(cPrev), key)
+        rewritten += dirtyCountBuckets.size
+        carried += stateBuckets - dirtyCountBuckets.size
     }
 
-    if (needNulls) {
-      val duParts = Seq.newBuilder[DataFrame]
-      if (!pEmpty) {
-        // preserved churn under still-unmatched jks (old count == 0;
-        // null-jk rows join nothing and keep their implicit zero)
-        duParts += preservedDelta
-          .join(oldCounts.withColumnRenamed("n", "_rc"),
-            Seq("jk"), "left_outer")
-          .filter(coalesce(col("_rc"), lit(0L)) === 0L)
-          .select(col("jk"), col("k"), col("h"), col("img"),
-            col("s").as("dn"))
-      }
-      flips.foreach { fl =>
-        if (nToMatched > 0)
-          duParts += preservedAsOf(Some(
-              fl.filter(col("old_n") === 0L && col("new_n") > 0L)
-                .select("jk")))
+    // the ΔU frame, generic (jk, k, h, img, dn) — shared by the nulls
+    // commit and the emission
+    val du: Option[DataFrame] =
+      if (!needNulls && !needDu) None
+      else {
+        val duParts = Seq.newBuilder[DataFrame]
+        if (!pEmpty) {
+          // preserved churn under still-unmatched jks (old count == 0;
+          // null-jk rows join nothing and keep their implicit zero)
+          duParts += preservedDelta
+            .join(oldCounts.withColumnRenamed("n", "_rc"),
+              Seq("jk"), "left_outer")
+            .filter(coalesce(col("_rc"), lit(0L)) === 0L)
             .select(col("jk"), col("k"), col("h"), col("img"),
-              lit(-1L).as("dn"))
-        if (nToUnmatched > 0)
-          duParts += preservedAsOf(Some(
-              fl.filter(col("old_n") > 0L && col("new_n") === 0L)
-                .select("jk")))
-            .select(col("jk"), col("k"), col("h"), col("img"),
-              lit(1L).as("dn"))
+              col("s").as("dn"))
+        }
+        flips.foreach { fl =>
+          if (nToMatched > 0)
+            duParts += preservedAsOf(Some(
+                fl.filter(col("old_n") === 0L && col("new_n") > 0L)
+                  .select("jk")))
+              .select(col("jk"), col("k"), col("h"), col("img"),
+                lit(-1L).as("dn"))
+          if (nToUnmatched > 0)
+            duParts += preservedAsOf(Some(
+                fl.filter(col("old_n") > 0L && col("new_n") === 0L)
+                  .select("jk")))
+              .select(col("jk"), col("k"), col("h"), col("img"),
+                lit(1L).as("dn"))
+        }
+        val parts = duParts.result()
+        if (parts.isEmpty) None
+        else {
+          val du0 = parts.reduce(_ unionByName _)
+            .groupBy("jk", "k", "h")
+            .agg(first(col("img"), ignoreNulls = true).as("img"),
+              sum(col("dn")).as("dn"))
+            .filter(col("dn") =!= 0L)
+            .localCheckpoint()
+          if (du0.isEmpty) None else Some(du0)
+        }
       }
-      val parts = duParts.result()
-      if (parts.isEmpty) {
+
+    if (needNulls) du match {
+      case None =>
         nulls.commit(f, emptyOf(spark, nullsSchema), Set.empty,
           Some(nPrev), key)
-      } else {
-        val du = parts.reduce(_ unionByName _)
-          .groupBy("jk", "k", "h")
-          .agg(first(col("img"), ignoreNulls = true).as("img"),
-            sum(col("dn")).as("dn"))
-          .filter(col("dn") =!= 0L)
-          .select(col("jk"), col("k").as(kName), col("h").as(hName),
-            col("img").as(imgName), col("dn"))
-          .localCheckpoint()
+        carried += stateBuckets * nulls.subs
+      case Some(duF) =>
+        val duNamed = duF.select(col("jk"), col("k").as(kName),
+          col("h").as(hName), col("img").as(imgName), col("dn"))
         // bounded planning pull: ≤ stateBuckets × subBuckets rows
-        val perSlice = du.groupBy(
+        val perSlice = duNamed.groupBy(
             nulls.bucketExpr(Seq(col("jk"))).as("b"), nulls.subExpr.as("s"))
           .count().collect()
         val dirty = perSlice.map(r => (r.getInt(0), r.getInt(1))).toSet
-        if (dirty.isEmpty) {
-          nulls.commit(f, emptyOf(spark, nullsSchema), Set.empty,
-            Some(nPrev), key)
-        } else {
-          val prevTouched = nulls.readSlices(spark, nPrev, dirty, nullsSchema)
-          nulls.commitSlices(f,
-            mergedSigned(prevTouched, du, Seq("jk", kName, hName),
-              Seq(imgName)), dirty, Some(nPrev), key)
-        }
-      }
+        dirtyRows += perSlice.map(_.getLong(2)).sum
+        val prevTouched = nulls.readSlices(spark, nPrev, dirty, nullsSchema)
+        nulls.commitSlices(f,
+          mergedSigned(prevTouched, duNamed, Seq("jk", kName, hName),
+            Seq(imgName)), dirty, Some(nPrev), key)
+        rewritten += dirty.size
+        carried += stateBuckets * nulls.subs - dirty.size
     }
+    (if (needDu) du else None, dirtyRows, rewritten, carried)
   }
 
   /** The current join output: (jk, left_after, right_after) — matched
@@ -900,5 +1207,36 @@ final class MaintainedDeltaJoin(
     val (neg, pos) = lake.cursorInterval(spark, cursorName)
     val lag = lake.committedBatchIds(spark).count(id => id < neg || id > pos)
     Seq(s"djoin_${name}_lag_batches" -> lag.toDouble) ++ ops.gauges
+  }
+}
+
+object MaintainedDeltaJoin {
+
+  /** Schema name the emitted output changelog carries ([[MaintainedDeltaJoin.emitTable]]). */
+  val EmitSchema = "graft"
+
+  /** The emitted rows' `key_names`: the pair identity columns of the
+    * emitted image. Unique per live output row, so the downstream fold
+    * treats each emitted insert/delete as its own key history.
+    */
+  private[sinks] val EmitKeyNames = Seq("_lk", "_rk", "_lh", "_rh")
+
+  /** COMPOSITE join-key extractor with separator discipline: the values
+    * of `names` joined by the lake's key separator (NUL — never part of
+    * a pg identifier or text-format key value), so `("ab","c")` and
+    * `("a","bc")` CANNOT collide the way a naive `concat` silently does
+    * (a collision would produce wrong pairs that every refcount check
+    * blesses). NULL if ANY component is NULL — SQL equi-join semantics:
+    * a row with a NULL key component pairs with nothing (and, on an
+    * outer-preserved side, is null-extended). Use for every multi-column
+    * `leftKey`/`rightKey` (and [[MaintainedJoin]]'s extractors alike).
+    */
+  def keyOf(names: String*): Column => Column = {
+    require(names.nonEmpty, "keyOf needs at least one column name")
+    img => {
+      val vals = names.map(n => element_at(img, n))
+      when(vals.map(_.isNotNull).reduce(_ && _),
+        concat_ws(LakeSink.KeySep, vals: _*))
+    }
   }
 }

@@ -514,6 +514,225 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     }
   }
 
+  // ---- composition: the emitted output changelog ----
+
+  /** Orders-preserved left_outer join EMITTING its output delta into a
+    * second lake, plus a downstream [[MaintainedView]] aggregating the
+    * emitted changelog by user name (null-extended rows under "∅") —
+    * the join→aggregate pipeline the emission exists for.
+    */
+  private def withEmitJoin(joinType: String = "left_outer")(
+      body: (LakeSink, LakeSink, MaintainedDeltaJoin, MaintainedView) => Unit): Unit = {
+    val dir = Files.createTempDirectory("lake-dje").toString
+    val outDir = Files.createTempDirectory("lake-dje-out").toString
+    try {
+      val sink = new LakeSink(dir)
+      val out = new LakeSink(outDir)
+      val dj = new MaintainedDeltaJoin(sink,
+        ("public", "o"), ("public", "u"),
+        im => element_at(im, "uid"), im => element_at(im, "id"),
+        "dj_emit", joinType = joinType, stateBuckets = 4,
+        rightKeyIsRowKey = true, emitTo = Some(out))
+      val (emitSchema, emitTable) = dj.emitTable
+      val view = new MaintainedView(out,
+        new graft.operators.IncrementalAgg(
+          group = Seq("who" -> (i =>
+            coalesce(element_at(i, "r.name"), lit("∅")))),
+          sums = Seq("amt" -> (i =>
+            element_at(i, "l.amt").cast("long")))),
+        emitSchema, emitTable, "dj_emit_agg", stateBuckets = 4)
+      body(sink, out, dj, view)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    }
+  }
+
+  /** The downstream view's rows vs a direct aggregate of the join's own
+    * served output — the composition oracle.
+    */
+  private def viewMatchesJoin(dj: MaintainedDeltaJoin, view: MaintainedView): Unit = {
+    val got = view.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = dj.read(spark)
+      .select(coalesce(element_at(col("right_after"), "name"), lit("∅")).as("who"),
+        element_at(col("left_after"), "amt").cast("long").as("amt"))
+      .groupBy("who")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"downstream aggregate diverged: got $got want $want")
+  }
+
+  test("emitTo: a downstream maintained aggregate over the emitted changelog tracks the join through churn, flips, and truncate") {
+    withEmitJoin() { (sink, out, dj, view) =>
+      // seed: matched (a→1), unmatched (b→2 absent), NULL-jk (c)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "alice")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "10")),
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "2", "20")),
+        ev(4, "insert", "o", Seq("oid"), null,
+          Map("oid" -> "c", "amt" -> "30")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      assert(view.refresh(spark) == 1)
+      viewMatchesJoin(dj, view)
+      // flip 0→>0 + preserved-side churn + update of a matched row: the
+      // emitted batch carries pair inserts, the unmatched retraction,
+      // and the −old/+new version swap
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "u", Seq("id"), null, user("2", "beau")),
+        ev(6, "update", "o", Seq("oid"), order("a", "1", "10"),
+          order("a", "1", "11")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      assert(view.refresh(spark) == 1)
+      viewMatchesJoin(dj, view)
+      // flip >0→0: user 2 deleted — order b's rows move from beau's
+      // group into "∅" downstream (the null-extended row ENTERS the
+      // aggregate's unmatched segment through the emitted transition)
+      sink.appendBatch(envelope(Seq(
+        ev(7, "delete", "u", Seq("id"), user("2", "beau"), null))), 2L)
+      assert(dj.refresh(spark) == 1)
+      assert(view.refresh(spark) == 1)
+      viewMatchesJoin(dj, view)
+      // a span that nets to NOTHING (telescoped insert+delete of one
+      // row) emits no batch at all
+      val batchesBefore = out.committedBatchIds(spark).size
+      sink.appendBatch(envelope(Seq(
+        ev(8, "insert", "o", Seq("oid"), null, order("t", "1", "99")),
+        ev(9, "delete", "o", Seq("oid"), order("t", "1", "99"), null))), 3L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark).size == batchesBefore,
+        "an empty output delta must not emit a batch")
+      view.refresh(spark)
+      viewMatchesJoin(dj, view)
+      // truncate: the rebuild emits truncate + full output; downstream
+      // resets through its own truncate handling
+      sink.appendBatch(envelope(Seq(
+        Row(50L, 50L, 7L, "truncate", "public", "o", T, T, null, null, null),
+        ev(51, "insert", "o", Seq("oid"), null, order("z", "1", "70")))), 4L)
+      assert(dj.refresh(spark) == 1)
+      assert(view.refresh(spark) == 1)
+      viewMatchesJoin(dj, view)
+      assert(view.read(spark).collect().map(_.getString(0)).toSet == Set("alice"))
+    }
+  }
+
+  test("emitTo: emission is exactly-once — a crash between the state commits and the output batch completes on replay under the same id") {
+    withEmitJoin() { (sink, out, dj, view) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "5")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L))
+      // a replayed no-op refresh must not re-emit
+      assert(dj.refresh(spark) == 0)
+      assert(out.committedBatchIds(spark) == Seq(0L))
+      val cursor = new java.io.File(sink.root, "_graft_cursors/djoin_dj_emit")
+      val preSpanCursor = java.nio.file.Files.readAllBytes(cursor.toPath)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "1", "6")))), 1L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L, 1L))
+      val healthy = outerSet(dj)
+      // reconstruct a crash AFTER every state commit and the emit
+      // sequence write but BEFORE the output batch landed: delete the
+      // emitted batch + its marker, restore the pre-span cursor
+      def dropCrc(of: java.io.File): Unit = {
+        val crc = new java.io.File(of.getParentFile, s".${of.getName}.crc")
+        if (crc.exists) assert(crc.delete())
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out.root, "changelog/batch_id=1"))
+      val marker = new java.io.File(out.root, "_graft_commits/1")
+      assert(marker.delete()); dropCrc(marker)
+      java.nio.file.Files.write(cursor.toPath, preSpanCursor)
+      dropCrc(cursor)
+      // the replayed span recomputes the (deterministic) delta and
+      // re-lands the SAME output batch id; state commits are
+      // isCommitted-skipped
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L, 1L))
+      assert(outerSet(dj) == healthy)
+      assert(view.refresh(spark) > 0)
+      viewMatchesJoin(dj, view)
+      assert(dj.refresh(spark) == 0)
+      assert(out.committedBatchIds(spark) == Seq(0L, 1L))
+    }
+  }
+
+  test("keyOf: composite join keys get separator discipline — naive-concat collisions cannot pair, NULL components never match") {
+    val dir = Files.createTempDirectory("lake-djk").toString
+    try {
+      val sink = new LakeSink(dir)
+      val dj = new MaintainedDeltaJoin(sink,
+        ("public", "l"), ("public", "r"),
+        MaintainedDeltaJoin.keyOf("k1", "k2"),
+        MaintainedDeltaJoin.keyOf("k1", "k2"),
+        "dj_composite", stateBuckets = 4)
+      sink.appendBatch(envelope(Seq(
+        // ("ab","c") vs ("a","bc"): naive concat("abc") would pair them
+        ev(1, "insert", "l", Seq("lid"), null,
+          Map("lid" -> "l1", "k1" -> "ab", "k2" -> "c", "v" -> "L1")),
+        ev(2, "insert", "r", Seq("rid"), null,
+          Map("rid" -> "r1", "k1" -> "a", "k2" -> "bc", "v" -> "R1")),
+        // the genuinely equal composite key pairs
+        ev(3, "insert", "l", Seq("lid"), null,
+          Map("lid" -> "l2", "k1" -> "x", "k2" -> "y", "v" -> "L2")),
+        ev(4, "insert", "r", Seq("rid"), null,
+          Map("rid" -> "r2", "k1" -> "x", "k2" -> "y", "v" -> "R2")),
+        // NULL component: never pairs, even with another NULL component
+        ev(5, "insert", "l", Seq("lid"), null,
+          Map("lid" -> "l3", "k1" -> "x", "v" -> "L3")),
+        ev(6, "insert", "r", Seq("rid"), null,
+          Map("rid" -> "r3", "k1" -> "x", "v" -> "R3")))), 0L)
+      assert(dj.refresh(spark) == 1)
+      val pairs = dj.read(spark).collect().map { r =>
+        (r.getMap[String, String](1)("v"), r.getMap[String, String](2)("v"))
+      }.toSet
+      assert(pairs == Set(("L2", "R2")),
+        s"only the equal composite key may pair, got $pairs")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("an empty state dir's mistyped marker may be re-stamped by a writer; committed state still refuses") {
+    val dir = Files.createTempDirectory("lake-djm").toString
+    try {
+      val sink = new LakeSink(dir)
+      def dj(jt: String, nm: String = "dj_restamp") = new MaintainedDeltaJoin(sink,
+        ("public", "o"), ("public", "u"),
+        im => element_at(im, "uid"), im => element_at(im, "id"),
+        nm, joinType = jt, stateBuckets = 4)
+      // a refresh over an EMPTY lake stamps the marker yet commits no
+      // state (the poll delivers nothing) — the r19 footgun: the wrong
+      // type burned the name forever
+      assert(dj("inner").refresh(spark) == 0)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "5")),
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "2", "6")))), 0L)
+      // the corrected construction re-stamps and serves
+      val outer = dj("left_outer")
+      assert(outer.refresh(spark) == 1)
+      assert(outerSetOf(outer) == Set(("a", "5", "ann"), ("b", "6", "∅")))
+      // no stale marker tmps survive the stamp
+      val debris = new java.io.File(sink.root, "_graft_djoins/dj_restamp")
+        .listFiles().filter(f => f.getName.startsWith("_jointype.") &&
+          f.getName.endsWith(".tmp"))
+      assert(debris.isEmpty, debris.mkString(","))
+      // but once state is committed the type is fixed
+      val e = intercept[IllegalStateException] { dj("inner").refresh(spark) }
+      assert(e.getMessage.contains("'left_outer'"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  private def outerSetOf(dj: MaintainedDeltaJoin): Set[(String, String, String)] =
+    dj.read(spark).collect().map { r =>
+      val l = if (r.isNullAt(1)) null else r.getMap[String, String](1)
+      val rr = if (r.isNullAt(2)) null else r.getMap[String, String](2)
+      (if (l == null) "∅" else l("oid"),
+        if (l == null) "∅" else l("amt"),
+        if (rr == null) "∅" else rr("name"))
+    }.toSet
+
   test("hot join key: refresh write and merge input are delta-proportional, sub-slice-bounded") {
     withJoin(subs = 8) { (sink, dj) =>
       val FACTS = 120
