@@ -767,7 +767,12 @@ object SparkEntry {
     // segment. Integer cents on both measures; c_acctbal exercises the
     // bump on NEGATIVE cents. Churn moduli are sparse primes so the
     // bench times a churn-proportional refresh, not a disguised full
-    // recompute.
+    // recompute. djv_n/djv_cents are the COMPOSITION gate (round 20):
+    // the Spark side serves them from a MaintainedView maintained purely
+    // off the delta join's EMITTED output changelog (join → aggregate,
+    // churn-proportional end to end), while the oracle recomputes the
+    // same per-segment count and price sum from the churned tables —
+    // emission or downstream-maintenance drift hash-mismatches here.
     "q_mj" ->
       """WITH osel AS (
            SELECT o_orderkey, o_custkey,
@@ -797,6 +802,8 @@ object SparkEntry {
            CAST(count(b) AS BIGINT) AS n_matched,
            CAST(sum(p) AS BIGINT) AS sum_price_cents,
            CAST(sum(b) AS BIGINT) AS sum_bal_cents,
+           CAST(count(*) AS BIGINT) AS djv_n,
+           CAST(sum(p) AS BIGINT) AS djv_cents,
            dj_rows, dj_pairs, dj_cents, dj_null_cents
          FROM pairs CROSS JOIN dj
          GROUP BY seg, dj_rows, dj_pairs, dj_cents, dj_null_cents

@@ -512,10 +512,11 @@ object LakeQueries {
   //    here bought ~2.3 s of bench time for no new coverage.
 
   private val builtJoins = new java.util.concurrent.ConcurrentHashMap[
-    String, (MaintainedJoin, (Long, Long, Long, Long))]()
+    String,
+    (MaintainedJoin, (Long, Long, Long, Long), Seq[(String, Long, Long)])]()
 
   private def joinFor(s: SparkSession, dir: String)
-      : (MaintainedJoin, (Long, Long, Long, Long)) =
+      : (MaintainedJoin, (Long, Long, Long, Long), Seq[(String, Long, Long)]) =
     builtJoins.computeIfAbsent(dir, d => buildJoin(s, d))
 
   private def cimg(balCents: Column): Column = map(
@@ -552,14 +553,19 @@ object LakeQueries {
       before.as("before"), after.as("after"))
 
   private def buildJoin(s: SparkSession, dir: String)
-      : (MaintainedJoin, (Long, Long, Long, Long)) = {
+      : (MaintainedJoin, (Long, Long, Long, Long), Seq[(String, Long, Long)]) = {
     val root = new Path(
       new Path(System.getProperty("java.io.tmpdir")),
       "graft_lake_mj_" + Integer.toHexString(dir.hashCode)).toString
     val rootPath = new Path(root)
     val f = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     f.delete(rootPath, true)
+    // the delta join's emitted OUTPUT changelog lands in its own lake —
+    // the composition gate's downstream source (round 20)
+    val outRoot = root + "_out"
+    f.delete(new Path(outRoot), true)
     val sink = new LakeSink(root, baseBuckets = 4)
+    val outLake = new LakeSink(outRoot, baseBuckets = 4)
     val join = new MaintainedJoin(sink,
       left = ("public", "orders"), right = ("public", "customer"),
       leftKey = i => element_at(i, "o_custkey"),
@@ -590,7 +596,24 @@ object LakeQueries {
       subBuckets = 2, rightKeyIsRowKey = true,
       // the fact side's fold prunes to the churned custkeys (the
       // immutable tier) instead of folding all of orders per refresh
-      leftKeyImmutable = true, leftKeyCol = Some("o_custkey"))
+      leftKeyImmutable = true, leftKeyCol = Some("o_custkey"),
+      // COMPOSITION (round 20): the join's output delta lands as a
+      // changelog in outLake, and the downstream MaintainedView below
+      // maintains a per-segment aggregate OVER the join from it —
+      // churn-proportional end to end, gated by the oracle's djv_*
+      // recompute
+      emitTo = Some(outLake))
+    // the downstream aggregate over the EMITTED join output: per market
+    // segment (null-extended rows under UNMATCHED), count + price-cents
+    // sum — its served rows ride q_mj as djv_* columns the oracle
+    // recomputes from the churned tables from scratch
+    val dview = new MaintainedView(outLake,
+      new IncrementalAgg(
+        group = Seq("seg" -> (i =>
+          coalesce(element_at(i, "r.c_mktsegment"), lit("UNMATCHED")))),
+        sums = Seq("price_cents" -> (i =>
+          element_at(i, "l.o_totalprice_cents").cast("long")))),
+      djoin.emitTable._1, djoin.emitTable._2, "mjdagg", stateBuckets = 4)
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
     val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
@@ -607,7 +630,8 @@ object LakeQueries {
         .unionByName(oenv(orders, "insert", L0 + 50000000L,
           lit(null).cast(mapT), oimg(pCents0))), 0L)
     join.refresh(s) // seed: every bucket written once
-    djoin.refresh(s)
+    djoin.refresh(s) // also emits the seeded output (truncate + inserts)
+    dview.refresh(s) // downstream seed from the emitted batch
     sink.appendBatch(
       cenv(cust.filter(col("c_custkey") % 53 === 0), "update", L1,
         cimg(bCents0), cimg(bCentsNew))
@@ -626,7 +650,12 @@ object LakeQueries {
                     // recompute, and surviving orders of dropped
                     // customers flip matched → null-extended vs the seed
     djoin.refresh(s) // the delta join's span telescoping + cross term
-                     // run over the same two-batch span
+                     // run over the same two-batch span; the span's
+                     // signed output delta (incl. the %101 deletes'
+                     // matched→UNMATCHED flip transitions) emits as one
+                     // changelog batch
+    dview.refresh(s) // the downstream aggregate absorbs the emitted
+                     // delta — no re-read of the join state
     sink.vacuum(s)
     // the delta-join gate scalars (prep-billed bounded pull, 1 row):
     // total left-outer rows, matched-pair count, the matched cents sum,
@@ -643,8 +672,15 @@ object LakeQueries {
         coalesce(sum(when(col("right_after").isNull, p)), lit(0L))
           .cast("long"))
       .head()
+    // the COMPOSITION gate rows (prep-billed bounded pull, ≤ segments+1
+    // rows): the downstream view's per-segment (count, price-cents sum),
+    // maintained purely from the emitted changelog — the oracle
+    // recomputes both per segment from the churned tables, so emission
+    // or downstream-maintenance drift turns q_mj red
+    val dviewRows = dview.read(s).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     (join, (djRow.getLong(0), djRow.getLong(1), djRow.getLong(2),
-      djRow.getLong(3)))
+      djRow.getLong(3)), dviewRows)
   }
 
   /** Aggregate of the served join state by market segment (null-extended
@@ -652,7 +688,22 @@ object LakeQueries {
     * of either table.
     */
   def mjOrders(s: SparkSession, dir: String): DataFrame = {
-    val (join, dj) = joinFor(s, dir)
+    val (join, dj, dv) = joinFor(s, dir)
+    // the composed view's per-segment rows (maintained from the delta
+    // join's EMITTED changelog) join in as djv_* columns — an INNER join
+    // on seg, so a segment missing from the composed state drops a row
+    // and fails the driver's row-count check loudly
+    val dviewDf = s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          dv.map { case (seg, n, cents) =>
+            org.apache.spark.sql.Row(seg, n, cents) }).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seg",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("djv_n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("djv_cents",
+            org.apache.spark.sql.types.LongType))))
     join.read(s).select(
         coalesce(element_at(col("right_after"), "c_mktsegment"),
           lit("UNMATCHED")).as("seg"),
@@ -665,6 +716,7 @@ object LakeQueries {
         count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
+      .join(broadcast(dviewDf), Seq("seg"))
       .withColumn("dj_rows", lit(dj._1))
       .withColumn("dj_pairs", lit(dj._2))
       .withColumn("dj_cents", lit(dj._3))

@@ -286,6 +286,11 @@ class LakeQueriesSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
+      // the COMPOSITION gate columns: the downstream view maintained off
+      // the delta join's emitted changelog must equal the direct join's
+      // per-segment count and price sum
+      .withColumn("djv_n", col("n").cast("long"))
+      .withColumn("djv_cents", col("sum_price_cents"))
       .withColumn("dj_rows", lit(dj.getLong(0)))
       .withColumn("dj_pairs", lit(dj.getLong(1)))
       .withColumn("dj_cents", lit(dj.getLong(2)))
