@@ -60,8 +60,11 @@ object Bench {
     }
 
     // Drop the warm-up corpus's shared caches, then pre-build the measured
-    // corpus's as their own timed entries.
+    // corpus's as their own timed entries. The gate builds' per-phase
+    // timings reset too, so the prep tsv decomposes ONLY the measured
+    // corpus's builds (the r19 verdict's prep_mv-attribution ask).
     graft.operators.SharedCaches.releaseAll(spark)
+    graft.operators.LakeQueries.clearPrepPhases()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Settle between timed entries: without this, cache eviction and GC
@@ -162,6 +165,15 @@ object Bench {
       val preps = firstPass.filter(_._1.startsWith("prep_"))
       preps.foreach { case (name, t) => pw.println(f"$name\t$t%.3f") }
       pw.println(f"prep_sec_total\t${preps.map(_._2).sum}%.3f")
+      // the gate builds' INTERNAL phases (r19 verdict #1: prep_mv's 62.6 s
+      // was 33% of the bench wall and undecomposable): one `phase_<name>`
+      // line per build step, including each concurrent maintainer
+      // refresh's own wall next to its group's `*_wall` — sum(members) ≫
+      // wall is healthy overlap, wall ≈ sum(members) is contention.
+      scala.jdk.CollectionConverters.MapHasAsScala(
+          graft.operators.LakeQueries.prepPhases).asScala
+        .toSeq.sortBy(_._1)
+        .foreach { case (name, t) => pw.println(f"phase_$name\t$t%.3f") }
     } finally pw.close()
 
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

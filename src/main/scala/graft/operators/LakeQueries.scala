@@ -93,6 +93,31 @@ object LakeQueries {
   private def inParallel(fs: (() => Unit)*): Unit =
     graft.sinks.MaintainerOps.inParallel(fs: _*)
 
+  /** Per-phase wall timings of the gate builds (q_mv / q_mj), keyed by
+    * short phase names — the r19 verdict's prep-attribution ask:
+    * [[graft.Bench]] writes these into the committed
+    * `bench_history/prep_<sf>.tsv`, so a driver-run prep regression
+    * decomposes to the responsible build phase without costing stdout
+    * budget. Members of an `inParallel` group each record their OWN
+    * wall time and the group records a `*_wall` entry — `sum(members) ≫
+    * wall` is healthy overlap; `wall ≈ sum(members)` under concurrency
+    * is the scheduler/GC-contention signature the r19 driver run
+    * exhibited on prep_mv.
+    */
+  private[graft] val prepPhases =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private[graft] def clearPrepPhases(): Unit = prepPhases.clear()
+
+  private def ph[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime
+    try body
+    finally {
+      prepPhases.merge(name, (System.nanoTime - t0) / 1e9, (a, b) => a + b)
+      ()
+    }
+  }
+
   def lakeFor(s: SparkSession, dir: String): LakeSink =
     built.computeIfAbsent(dir, d => build(s, d))
 
@@ -316,8 +341,10 @@ object LakeQueries {
     val newCents = bump(cents0)
     val curCents =
       when(col("o_orderkey") % 7 === 0, newCents).otherwise(cents0)
-    sink.appendBatch(envelope(orders, "insert", L0,
-      lit(null).cast(mapT), imgMv(cents0)), 0L)
+    ph("mv_append0") {
+      sink.appendBatch(envelope(orders, "insert", L0,
+        lit(null).cast(mapT), imgMv(cents0)), 0L)
+    }
     // The five maintainers are INDEPENDENT consumers (own cursors, own
     // state dirs) — refresh them concurrently, the shape a real
     // deployment runs (each maintainer is its own refresh loop; Spark
@@ -325,35 +352,48 @@ object LakeQueries {
     // build is fixed-job-overhead-bound (~1-3 s per refresh regardless
     // of rows), so sequencing seven cursors serially was paying that
     // overhead seven times over (r17 verdict ask #4: bound prep_mv).
-    inParallel(
-      () => view.refresh(s), // full-state seed: every bucket written once
-      () => dist.refresh(s), // refcount seed through the same span
-      () => ivf.refresh(s),  // posting seed: every order assigned once
-      () => lsh.refresh(s),  // signature seed: every order shingled once
-      () => bm.refresh(s))   // tf-posting seed (postings + stats + df)
-    sink.compact(s) // later recomputes resolve batch 0 through BASE
-    sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
-      "update", L1, imgMv(cents0), imgMv(newCents)), 1L)
-    view.refresh(s) // signed update deltas, touched buckets only
-    sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 13 === 0),
-      "delete", L2, imgMv(curCents), lit(null).cast(mapT)), 2L)
-    inParallel(
-      () => view.refresh(s), // retractions: min/max dirty groups
-                             // recompute from stateAsOf(2) — through
-                             // BASE + tail, not latestState
-      () => dist.refresh(s), // ONE spanning refresh over batches 1-2:
-                             // the bump's net-zero refcount deltas
-                             // telescope away and the delete decrements
-                             // land in the same merge; counts drop only
-                             // at refcount zero
-      () => ivf.refresh(s),  // same span: the bump's cents change MOVES
-                             // postings (retract old cell, add new),
-                             // deletes retract
-      () => lsh.refresh(s),  // same span: price-only churn telescopes to
-                             // zero-net signature deltas; deletes retract
-      () => bm.refresh(s))   // same span: text-unchanged updates
-                             // telescope to zero-net tf deltas; deletes
-                             // retract occurrences
+    ph("mv_seed_wall")(inParallel(
+      () => ph("mv_seed_view")(view.refresh(s)), // full-state seed:
+                             // every bucket written once
+      () => ph("mv_seed_dist")(dist.refresh(s)), // refcount seed
+                             // through the same span
+      () => ph("mv_seed_ivf")(ivf.refresh(s)),   // posting seed: every
+                             // order assigned once
+      () => ph("mv_seed_lsh")(lsh.refresh(s)),   // signature seed: every
+                             // order shingled once
+      () => ph("mv_seed_bm")(bm.refresh(s))))    // tf-posting seed
+                             // (postings + stats + df)
+    ph("mv_compact")(sink.compact(s)) // later recomputes resolve batch 0
+                                      // through BASE
+    ph("mv_append1") {
+      sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
+        "update", L1, imgMv(cents0), imgMv(newCents)), 1L)
+    }
+    ph("mv_ref1_view")(view.refresh(s)) // signed update deltas, touched
+                                        // buckets only
+    ph("mv_append2") {
+      sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 13 === 0),
+        "delete", L2, imgMv(curCents), lit(null).cast(mapT)), 2L)
+    }
+    ph("mv_ref2_wall")(inParallel(
+      () => ph("mv_ref2_view")(view.refresh(s)), // retractions: min/max
+                             // dirty groups recompute from stateAsOf(2)
+                             // — through BASE + tail, not latestState
+      () => ph("mv_ref2_dist")(dist.refresh(s)), // ONE spanning refresh
+                             // over batches 1-2: the bump's net-zero
+                             // refcount deltas telescope away and the
+                             // delete decrements land in the same
+                             // merge; counts drop only at refcount zero
+      () => ph("mv_ref2_ivf")(ivf.refresh(s)),   // same span: the bump's
+                             // cents change MOVES postings (retract old
+                             // cell, add new), deletes retract
+      () => ph("mv_ref2_lsh")(lsh.refresh(s)),   // same span: price-only
+                             // churn telescopes to zero-net signature
+                             // deltas; deletes retract
+      () => ph("mv_ref2_bm")(bm.refresh(s))))    // same span:
+                             // text-unchanged updates telescope to
+                             // zero-net tf deltas; deletes retract
+                             // occurrences
     // the LSH and BM25 maintenance gates: maintained state must equal a
     // seed-style recompute of the surviving corpus — drift throws HERE,
     // inside the driver-gated q_mv build, on a DETERMINISTIC 25% doc
@@ -370,15 +410,17 @@ object LakeQueries {
     // a persisting swap cannot hide across refresh horizons. The
     // compared-row requirements keep the sampled equivalences
     // non-vacuous (a sample matching zero docs would prove nothing).
-    inParallel(
-      () => require(lsh.assertConsistent(s, sampleMod = 4) > 0,
-        "LSH gate vacuous: sampled equivalence compared no state rows"),
-      () => require(bm.assertConsistent(s, sampleMod = 4) > 0,
-        "BM25 gate vacuous: sampled equivalence compared no state rows"))
+    ph("mv_assert_wall")(inParallel(
+      () => ph("mv_assert_lsh")(require(
+        lsh.assertConsistent(s, sampleMod = 4) > 0,
+        "LSH gate vacuous: sampled equivalence compared no state rows")),
+      () => ph("mv_assert_bm")(require(
+        bm.assertConsistent(s, sampleMod = 4) > 0,
+        "BM25 gate vacuous: sampled equivalence compared no state rows"))))
     require(!lsh.buckets(s).isEmpty,
       "LSH gate vacuous: no signatures in the maintained index state")
-    sink.vacuum(s)  // all maintainers must keep serving after their
-                    // source's folded changelog is gone
+    ph("mv_vacuum")(sink.vacuum(s)) // all maintainers must keep serving
+                    // after their source's folded changelog is gone
     // the HYBRID gate row (see the memo scaladoc): one fixed probe
     // through the full maintained hybrid read — BM25 set read + exact
     // IVF set read (nprobe = all 3 cells, so the vector ranking is
@@ -395,9 +437,9 @@ object LakeQueries {
     // hybrid read must serve once the source's folded changelog is gone.
     val hybProbe = s.createDataFrame(Seq(("hq", "urgent lake", "9,9")))
       .toDF("pid", "q", "e")
-    val hybRows = HybridRetrieval.searchAll(s, bm, ivf, hybProbe,
-        "pid", "q", "e", k = 3, kLex = 10, kVec = 10, nprobe = 3)
-      .orderBy(col("rrf").desc, col("id").asc).collect()
+    val hybRows = ph("mv_hybrid")(HybridRetrieval.searchAll(s, bm, ivf,
+        hybProbe, "pid", "q", "e", k = 3, kLex = 10, kVec = 10, nprobe = 3)
+      .orderBy(col("rrf").desc, col("id").asc).collect())
     // GATE CONTRACT: exactly 3 fused rows (hyb1..3 are fixed oracle
     // columns, so the gate cannot degrade with the corpus). The vector
     // side ranks every surviving subset doc (nprobe = all cells), so 3
@@ -625,38 +667,46 @@ object LakeQueries {
       when(col("o_orderkey") % 97 === 0, pCentsNew).otherwise(pCents0)
     val bCents0 = cents(col("c_acctbal")) // negative for ~10% of customers
     val bCentsNew = bump(bCents0)
-    sink.appendBatch(
-      cenv(cust, "insert", L0, lit(null).cast(mapT), cimg(bCents0))
-        .unionByName(oenv(orders, "insert", L0 + 50000000L,
-          lit(null).cast(mapT), oimg(pCents0))), 0L)
-    join.refresh(s) // seed: every bucket written once
-    djoin.refresh(s) // also emits the seeded output (truncate + inserts)
-    dview.refresh(s) // downstream seed from the emitted batch
-    sink.appendBatch(
-      cenv(cust.filter(col("c_custkey") % 53 === 0), "update", L1,
-        cimg(bCents0), cimg(bCentsNew))
-        .unionByName(oenv(orders.filter(col("o_orderkey") % 97 === 0),
-          "update", L1 + 50000000L,
-          oimg(pCents0), oimg(pCentsNew))), 1L)
-    sink.appendBatch(
-      cenv(cust.filter(col("c_custkey") % 101 === 0), "delete", L2,
-        cimg(when(col("c_custkey") % 53 === 0, bCentsNew)
-          .otherwise(bCents0)), lit(null).cast(mapT))
-        .unionByName(oenv(orders.filter(col("o_orderkey") % 89 === 0),
-          "delete", L2 + 50000000L,
-          oimg(pCentsCur), lit(null).cast(mapT))), 2L)
-    join.refresh(s) // ONE refresh spans both churn batches: update and
-                    // delete deltas telescope into one dirty-key
-                    // recompute, and surviving orders of dropped
-                    // customers flip matched → null-extended vs the seed
-    djoin.refresh(s) // the delta join's span telescoping + cross term
-                     // run over the same two-batch span; the span's
-                     // signed output delta (incl. the %101 deletes'
-                     // matched→UNMATCHED flip transitions) emits as one
-                     // changelog batch
-    dview.refresh(s) // the downstream aggregate absorbs the emitted
-                     // delta — no re-read of the join state
-    sink.vacuum(s)
+    ph("mj_append0") {
+      sink.appendBatch(
+        cenv(cust, "insert", L0, lit(null).cast(mapT), cimg(bCents0))
+          .unionByName(oenv(orders, "insert", L0 + 50000000L,
+            lit(null).cast(mapT), oimg(pCents0))), 0L)
+    }
+    ph("mj_seed_join")(join.refresh(s)) // seed: every bucket written once
+    ph("mj_seed_dj")(djoin.refresh(s))  // also emits the seeded output
+                                        // (truncate + inserts)
+    ph("mj_seed_dview")(dview.refresh(s)) // downstream seed from the
+                                          // emitted batch
+    ph("mj_append12") {
+      sink.appendBatch(
+        cenv(cust.filter(col("c_custkey") % 53 === 0), "update", L1,
+          cimg(bCents0), cimg(bCentsNew))
+          .unionByName(oenv(orders.filter(col("o_orderkey") % 97 === 0),
+            "update", L1 + 50000000L,
+            oimg(pCents0), oimg(pCentsNew))), 1L)
+      sink.appendBatch(
+        cenv(cust.filter(col("c_custkey") % 101 === 0), "delete", L2,
+          cimg(when(col("c_custkey") % 53 === 0, bCentsNew)
+            .otherwise(bCents0)), lit(null).cast(mapT))
+          .unionByName(oenv(orders.filter(col("o_orderkey") % 89 === 0),
+            "delete", L2 + 50000000L,
+            oimg(pCentsCur), lit(null).cast(mapT))), 2L)
+    }
+    ph("mj_ref_join")(join.refresh(s)) // ONE refresh spans both churn
+                    // batches: update and delete deltas telescope into
+                    // one dirty-key recompute, and surviving orders of
+                    // dropped customers flip matched → null-extended vs
+                    // the seed
+    ph("mj_ref_dj")(djoin.refresh(s)) // the delta join's span
+                     // telescoping + cross term run over the same
+                     // two-batch span; the span's signed output delta
+                     // (incl. the %101 deletes' matched→UNMATCHED flip
+                     // transitions) emits as one changelog batch
+    ph("mj_ref_dview")(dview.refresh(s)) // the downstream aggregate
+                     // absorbs the emitted delta — no re-read of the
+                     // join state
+    ph("mj_vacuum")(sink.vacuum(s))
     // the delta-join gate scalars (prep-billed bounded pull, 1 row):
     // total left-outer rows, matched-pair count, the matched cents sum,
     // and the NULL-EXTENDED rows' price sum (pins WHICH rows the
@@ -664,21 +714,21 @@ object LakeQueries {
     // recomputed by the oracle from the churned tables
     val p = element_at(col("left_after"), "o_totalprice_cents").cast("long")
     val b = element_at(col("right_after"), "c_acctbal_cents").cast("long")
-    val djRow = djoin.read(s).select(
+    val djRow = ph("mj_dj_scalars")(djoin.read(s).select(
         count(lit(1)).cast("long"),
         count(col("right_after")).cast("long"),
         coalesce(sum(when(col("right_after").isNotNull, p + b)), lit(0L))
           .cast("long"),
         coalesce(sum(when(col("right_after").isNull, p)), lit(0L))
           .cast("long"))
-      .head()
+      .head())
     // the COMPOSITION gate rows (prep-billed bounded pull, ≤ segments+1
     // rows): the downstream view's per-segment (count, price-cents sum),
     // maintained purely from the emitted changelog — the oracle
     // recomputes both per segment from the churned tables, so emission
     // or downstream-maintenance drift turns q_mj red
-    val dviewRows = dview.read(s).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val dviewRows = ph("mj_dview_scalars")(dview.read(s).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
     (join, (djRow.getLong(0), djRow.getLong(1), djRow.getLong(2),
       djRow.getLong(3)), dviewRows)
   }

@@ -895,17 +895,25 @@ final class MaintainedDeltaJoin(
       else (lF0, rF0)
     val l = if (outerL) lF.filter(col("jk").isNotNull) else lF
     val r = if (outerR) rF.filter(col("jk").isNotNull) else rF
-    val pairsFull = paired(l, r, lit(1L))
+    // an emitting seed consumes each frame TWICE (its commit and the
+    // emitted batch) — checkpoint so the join/anti-join runs once
+    def once(df: DataFrame): DataFrame =
+      if (emit) df.localCheckpoint() else df
+    val pairsFull = once(paired(l, r, lit(1L)))
     // unmatched companions in the GENERIC (jk, k, h, img, dn) shape the
     // emission shares; renamed per side at commit
     val lnullRows =
       if (!outerL) None
-      else Some(lF.join(r.select("jk").distinct(), Seq("jk"), "left_anti")
-        .select(col("jk"), col("k"), col("h"), col("img"), lit(1L).as("dn")))
+      else Some(once(
+        lF.join(r.select("jk").distinct(), Seq("jk"), "left_anti")
+          .select(col("jk"), col("k"), col("h"), col("img"),
+            lit(1L).as("dn"))))
     val rnullRows =
       if (!outerR) None
-      else Some(rF.join(l.select("jk").distinct(), Seq("jk"), "left_anti")
-        .select(col("jk"), col("k"), col("h"), col("img"), lit(1L).as("dn")))
+      else Some(once(
+        rF.join(l.select("jk").distinct(), Seq("jk"), "left_anti")
+          .select(col("jk"), col("k"), col("h"), col("img"),
+            lit(1L).as("dn"))))
     if (!states.isCommitted(f, key))
       states.commit(f, pairsFull.withColumnRenamed("dn", "n"),
         all, None, key)
