@@ -740,9 +740,11 @@ object LakeQueries {
   def mjOrders(s: SparkSession, dir: String): DataFrame = {
     val (join, dj, dv) = joinFor(s, dir)
     // the composed view's per-segment rows (maintained from the delta
-    // join's EMITTED changelog) join in as djv_* columns — an INNER join
-    // on seg, so a segment missing from the composed state drops a row
-    // and fails the driver's row-count check loudly
+    // join's EMITTED changelog) join in as djv_* columns — a FULL OUTER
+    // join on seg, so a segment missing from the composed state NULLs
+    // the djv_* columns and a stale EXTRA composed segment lands as its
+    // own row with NULL aggregates: both drift directions fail the
+    // driver's row/hash check loudly
     val dviewDf = s.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(
           dv.map { case (seg, n, cents) =>
@@ -766,7 +768,10 @@ object LakeQueries {
         count(col("b")).as("n_matched"),
         sum(col("p")).cast("long").as("sum_price_cents"),
         sum(col("b")).cast("long").as("sum_bal_cents"))
-      .join(broadcast(dviewDf), Seq("seg"))
+      // no broadcast hint: Spark cannot broadcast the build side of a
+      // full outer join (it would warn and ignore it); both sides are
+      // segment-cardinality rows
+      .join(dviewDf, Seq("seg"), "full_outer")
       .withColumn("dj_rows", lit(dj._1))
       .withColumn("dj_pairs", lit(dj._2))
       .withColumn("dj_cents", lit(dj._3))

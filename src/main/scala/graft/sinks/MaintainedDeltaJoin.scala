@@ -231,6 +231,44 @@ final class MaintainedDeltaJoin(
           if (n.startsWith("_jointype.") && n.endsWith(".tmp"))
             f.delete(st.getPath, false)
         }
+    // ONE stamp stanza for both publish modes. WRITER-UNIQUE tmp (a
+    // shared tmp name lets a racing writer truncate/replace the bytes
+    // another is mid-renaming) + unconditional READ-BACK: whatever
+    // rename semantics the store has (HDFS refuses an existing
+    // destination; POSIX rename silently replaces it), each writer
+    // proceeds only if the marker that actually LANDED carries its own
+    // type. Stated honestly: two CONCURRENT first writers of different
+    // types are already a single-writer-contract violation — the
+    // read-back narrows that misconfiguration to fail loudly in all but
+    // the validate-then-overwritten interleaving; the sequential
+    // misconfiguration (the common one) always refuses.
+    def stampAndVerify(fresh: Boolean): Unit = {
+      f.mkdirs(stateDir)
+      val tmp = new Path(stateDir,
+        s"_jointype.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(joinType.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fresh)
+        try BucketedStateLog.publishFresh(f, tmp, joinTypePath)
+        catch {
+          case e: IllegalStateException =>
+            f.delete(tmp, false)
+            // only swallow the destination-exists loss — a rename
+            // failing with NO marker published is a real publish
+            // failure the operator needs verbatim
+            if (!f.exists(joinTypePath)) throw e
+        }
+      else BucketedStateLog.publishReplace(f, tmp, joinTypePath)
+      val in = f.open(joinTypePath)
+      val got =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (got != joinType) mismatch(got)
+      sweepMarkerTmps()
+    }
     existing match {
       case Some(jt) =>
         if (jt != joinType) {
@@ -240,23 +278,10 @@ final class MaintainedDeltaJoin(
           // means an empty dir). A WRITER may re-stamp it: the common
           // built-the-wrong-type-once flow must not burn the name
           // forever. Any committed state refuses as before.
-          if (writer && states.committed(f).isEmpty) {
-            val tmp = new Path(stateDir,
-              s"_jointype.${java.util.UUID.randomUUID}.tmp")
-            val out = f.create(tmp, true)
-            try out.write(joinType.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            BucketedStateLog.publishReplace(f, tmp, joinTypePath)
-            val in = f.open(joinTypePath)
-            val got =
-              try new String(in.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8).trim
-              finally in.close()
-            if (got != joinType) mismatch(got)
-          } else mismatch(jt)
-        }
-        if (writer) sweepMarkerTmps()
+          if (writer && states.committed(f).isEmpty)
+            stampAndVerify(fresh = false)
+          else mismatch(jt)
+        } else if (writer) sweepMarkerTmps()
         jtChecked = true
       case None if joinType != "inner" && states.committed(f).nonEmpty =>
         // pre-marker dirs were written by inner-only code
@@ -267,40 +292,7 @@ final class MaintainedDeltaJoin(
             "name (fresh cursor + state)")
       case None =>
         if (writer) {
-          f.mkdirs(stateDir)
-          // WRITER-UNIQUE tmp (a shared tmp name lets a racing writer
-          // truncate/replace the bytes another is mid-renaming) + fresh
-          // publish + unconditional READ-BACK: whatever rename semantics
-          // the store has (HDFS refuses an existing destination; POSIX
-          // rename silently replaces it), each writer proceeds only if
-          // the marker that actually LANDED carries its own type.
-          // Stated honestly: two CONCURRENT first writers of different
-          // types are already a single-writer-contract violation — the
-          // read-back narrows that misconfiguration to fail loudly in
-          // all but the validate-then-overwritten interleaving; the
-          // sequential misconfiguration (the common one) always refuses.
-          val tmp = new Path(stateDir,
-            s"_jointype.${java.util.UUID.randomUUID}.tmp")
-          val out = f.create(tmp, true)
-          try out.write(joinType.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          try BucketedStateLog.publishFresh(f, tmp, joinTypePath)
-          catch {
-            case e: IllegalStateException =>
-              f.delete(tmp, false)
-              // only swallow the destination-exists loss — a rename
-              // failing with NO marker published is a real publish
-              // failure the operator needs verbatim
-              if (!f.exists(joinTypePath)) throw e
-          }
-          val in = f.open(joinTypePath)
-          val got =
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim
-            finally in.close()
-          if (got != joinType) mismatch(got)
-          sweepMarkerTmps()
+          stampAndVerify(fresh = true)
           jtChecked = true
         }
       // reader over an unstamped legacy-inner/empty dir: nothing to
@@ -318,8 +310,14 @@ final class MaintainedDeltaJoin(
 
   private def emitSeqPath = new Path(stateDir, "_emit")
 
-  /** (output batch id, span key) of the last recorded emission. */
-  private def readEmitSeq(f: FileSystem): Option[(Long, (Long, Long))] =
+  /** One recorded emission: output batch id, span key, and whether the
+    * batch was a FULL rebuild (truncate + whole output) — the shape is
+    * recorded BEFORE the append so a crash replay repeats exactly the
+    * batch the first attempt chose.
+    */
+  private case class EmitRec(id: Long, key: (Long, Long), full: Boolean)
+
+  private def readEmitSeq(f: FileSystem): Option[EmitRec] =
     if (!f.exists(emitSeqPath)) None
     else {
       val in = f.open(emitSeqPath)
@@ -328,34 +326,25 @@ final class MaintainedDeltaJoin(
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
       s.split(":") match {
-        case Array(id, n, p) => Some((id.toLong, (n.toLong, p.toLong)))
+        case Array(id, n, p) => Some(EmitRec(id.toLong, (n.toLong, p.toLong),
+          full = false)) // pre-shape files: only written for delta spans
+        case Array(id, n, p, shape) => Some(EmitRec(id.toLong,
+          (n.toLong, p.toLong), full = shape == "full"))
         case _ => throw new IllegalStateException(
           s"unreadable emit sequence file $emitSeqPath: '$s'")
       }
     }
 
-  private def writeEmitSeq(f: FileSystem, id: Long, key: (Long, Long)): Unit = {
+  private def writeEmitSeq(f: FileSystem, rec: EmitRec): Unit = {
     f.mkdirs(stateDir)
     val tmp = new Path(stateDir, "_emit.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"$id:${key._1}:${key._2}".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      s"${rec.id}:${rec.key._1}:${rec.key._2}:${if (rec.full) "full" else "delta"}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     BucketedStateLog.publishReplace(f, tmp, emitSeqPath)
   }
-
-  /** The output batch id this span emits under: a replay of the recorded
-    * span reuses its id (the emit lake's marker then no-ops the append);
-    * a new span takes the next one. Ids increase monotonically, so the
-    * emitted `commit_lsn` orders a re-inserted identity's newer insert
-    * above its older delete in the downstream fold.
-    */
-  private def nextEmitId(f: FileSystem, key: (Long, Long)): Long =
-    readEmitSeq(f) match {
-      case Some((id, k)) if k == key => id
-      case Some((id, _)) => id + 1
-      case None => 0L
-    }
 
   /** True when this span's emission fully landed: the sequence file
     * records the span AND its output batch is committed in the emit
@@ -363,8 +352,72 @@ final class MaintainedDeltaJoin(
     */
   private def emitCommitted(spark: SparkSession, f: FileSystem,
       out: LakeSink, key: (Long, Long)): Boolean =
-    readEmitSeq(f).exists { case (id, k) =>
-      k == key && out.committedBatchIds(spark).contains(id) }
+    readEmitSeq(f).exists { rec =>
+      rec.key == key && out.committedBatchIds(spark).contains(rec.id) }
+
+  /** EXCLUSIVE-PRODUCER guard on the emit lake: output batch ids are
+    * allocated from THIS join's sequence file, but the lake's commit
+    * markers are global — a second producer (another emitting join, or
+    * any prior writer) sharing the root would collide on an id and
+    * `appendBatch` would silently no-op, losing the batch while
+    * [[emitCommitted]] blesses it. One emit lake per join (the same
+    * single-writer-per-root contract [[LakeSink]] already documents);
+    * a `_graft_emit_producer` marker in the out root records the owner
+    * and a mismatched or unmarked-but-nonempty root refuses loudly.
+    */
+  @volatile private var producerChecked = false
+  private def checkEmitProducer(spark: SparkSession, out: LakeSink): Unit = {
+    if (producerChecked) return
+    val p = new Path(out.root, "_graft_emit_producer")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Option[String] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    existing match {
+      case Some(who) if who != stateId =>
+        throw new IllegalStateException(
+          s"MaintainedDeltaJoin('$name'): emit lake ${out.root} is owned " +
+            s"by producer '$who' — one join per emit lake (output batch " +
+            "ids are per-join, so a second producer would silently " +
+            "collide); use a fresh root")
+      case Some(_) => producerChecked = true
+      case None =>
+        if (out.committedBatchIds(spark).nonEmpty ||
+            out.watermark(spark) != Long.MinValue)
+          throw new IllegalStateException(
+            s"MaintainedDeltaJoin('$name'): emit lake ${out.root} already " +
+              "holds batches from an unknown producer — emitted batch ids " +
+              "would collide with (or be swallowed by) its history; use a " +
+              "fresh root")
+        f.mkdirs(new Path(out.root))
+        val tmp = new Path(out.root,
+          s"_graft_emit_producer.${java.util.UUID.randomUUID}.tmp")
+        val o = f.create(tmp, true)
+        try o.write(stateId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally o.close()
+        try BucketedStateLog.publishFresh(f, tmp, p)
+        catch {
+          case e: IllegalStateException =>
+            f.delete(tmp, false)
+            if (!f.exists(p)) throw e
+        }
+        val in = f.open(p)
+        val got =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        if (got != stateId)
+          throw new IllegalStateException(
+            s"MaintainedDeltaJoin('$name'): emit lake ${out.root} was " +
+              s"claimed concurrently by producer '$got' — use a fresh root")
+        producerChecked = true
+    }
+  }
 
   /** Prefixed map entries of one side's image (`l.` / `r.`); empty for a
     * NULL image (the null-extended side of an unmatched row).
@@ -440,25 +493,88 @@ final class MaintainedDeltaJoin(
       lit(null).cast(mapT).as("before"), lit(null).cast(mapT).as("after"))
   }
 
+  /** The output batch id for a span given the recorded sequence: a
+    * replay of the recorded span reuses its id (the emit lake's marker
+    * then no-ops the append); a new span takes the next one. Ids
+    * increase monotonically, so the emitted `commit_lsn` orders a
+    * re-inserted identity's newer insert above its older delete in the
+    * downstream fold.
+    */
+  private def emitIdFor(rec: Option[EmitRec], key: (Long, Long)): Long =
+    rec match {
+      case Some(r) if r.key == key => r.id
+      case Some(r) => r.id + 1
+      case None => 0L
+    }
+
+  /** The WHOLE committed output at `key`, read back from the just-
+    * committed pair/unmatched states, as insert envelope rows — the
+    * backfill batch a continuity gap emits (state-sized, paid once).
+    */
+  private def fullOutputEnvelope(spark: SparkSession, key: (Long, Long),
+      outId: Long): DataFrame = {
+    val pairs = states.read(spark, key, stateSchema)
+      .select(col("jk"), col("lk"), col("rk"), col("lh"), col("rh"),
+        col("left_after"), col("right_after"), col("n").as("dn"))
+    var env = emitEnvelope(pairs, pairEmitImg, outId)
+    lnulls.foreach { log =>
+      val du = log.read(spark, key, lnullSchema)
+        .select(col("jk"), col("lk").as("k"), col("lh").as("h"),
+          col("left_after").as("img"), col("n").as("dn"))
+      env = env.unionByName(
+        emitEnvelope(du, unmatchedEmitImg(leftSide = true), outId))
+    }
+    rnulls.foreach { log =>
+      val du = log.read(spark, key, rnullSchema)
+        .select(col("jk"), col("rk").as("k"), col("rh").as("h"),
+          col("right_after").as("img"), col("n").as("dn"))
+      env = env.unionByName(
+        emitEnvelope(du, unmatchedEmitImg(leftSide = false), outId))
+    }
+    env
+  }
+
   /** Land one applied span's output delta in the emit lake, exactly
-    * once. A span whose delta is entirely empty emits nothing (and
-    * burns no batch id) — downstream cursors simply see no new batch.
-    * The delta frames arrive checkpointed, so the emptiness probes and
-    * the append re-read materialized partitions.
+    * once. CONTINUITY: the sequence file records EVERY applied span
+    * (empty-delta spans included, without burning a batch id), so a
+    * record naming neither this span nor the previous state version
+    * means emission was not live for some applied span (`emitTo`
+    * enabled mid-life, or toggled off and on) — the missed deltas are
+    * no longer computable, so the span emits a FULL rebuild instead
+    * (truncate + the whole output at `key`, read from the states this
+    * span just committed). The chosen shape is recorded BEFORE the
+    * append, so a crash replay repeats exactly the first attempt's
+    * batch. The delta frames arrive checkpointed, so the emptiness
+    * probes and the append re-read materialized partitions.
     */
   private def emitSpan(spark: SparkSession, f: FileSystem, out: LakeSink,
-      key: (Long, Long), pairDelta: DataFrame,
+      key: (Long, Long), prevKey: (Long, Long), pairDelta: DataFrame,
       duLeft: Option[DataFrame], duRight: Option[DataFrame]): Unit = {
-    val outId = nextEmitId(f, key)
-    val parts =
-      (Seq(pairDelta -> pairEmitImg) ++
-        duLeft.map(_ -> unmatchedEmitImg(leftSide = true)) ++
-        duRight.map(_ -> unmatchedEmitImg(leftSide = false)))
-      .collect { case (rows, img) if !rows.isEmpty =>
-        emitEnvelope(rows, img, outId) }
-    if (parts.isEmpty) return
-    writeEmitSeq(f, outId, key)
-    out.appendBatch(parts.reduce(_ unionByName _), outId)
+    val rec = readEmitSeq(f)
+    val replay = rec.exists(_.key == key)
+    val full = if (replay) rec.get.full else !rec.exists(_.key == prevKey)
+    val outId = emitIdFor(rec, key)
+    if (full) {
+      writeEmitSeq(f, EmitRec(outId, key, full = true))
+      out.appendBatch(emitTruncateRow(spark, outId)
+        .unionByName(fullOutputEnvelope(spark, key, outId)), outId)
+    } else {
+      val parts =
+        (Seq(pairDelta -> pairEmitImg) ++
+          duLeft.map(_ -> unmatchedEmitImg(leftSide = true)) ++
+          duRight.map(_ -> unmatchedEmitImg(leftSide = false)))
+        .collect { case (rows, img) if !rows.isEmpty =>
+          emitEnvelope(rows, img, outId) }
+      if (parts.isEmpty) {
+        // nothing changed — no batch, but RECORD the span so continuity
+        // tracking sees every applied span (the id stays on the batch
+        // that last landed it; its marker already exists)
+        writeEmitSeq(f, EmitRec(rec.get.id, key, full = rec.get.full))
+      } else {
+        writeEmitSeq(f, EmitRec(outId, key, full = false))
+        out.appendBatch(parts.reduce(_ unionByName _), outId)
+      }
+    }
   }
 
   // ---- expressions ------------------------------------------------------
@@ -660,8 +776,11 @@ final class MaintainedDeltaJoin(
   private def refreshSpans(spark: SparkSession,
       within: Option[(Long, Long)]): Int = {
     // BEFORE the poll: a mismatched join type must refuse even when the
-    // cursor is already current (the poll callback only runs on new spans)
+    // cursor is already current (the poll callback only runs on new
+    // spans), and a shared/foreign emit lake must refuse before anything
+    // could be emitted into it
     checkJoinType(states.fs(spark), writer = true)
+    emitTo.foreach(out => checkEmitProducer(spark, out))
     val from = lake.cursorInterval(spark, cursorName)
     lake.poll(spark, cursorName, within) { span =>
       val f = states.fs(spark)
@@ -848,7 +967,8 @@ final class MaintainedDeltaJoin(
               du
             }
             if (needEmit)
-              emitSpan(spark, f, emitTo.get, key, d.get, duL, duR)
+              emitSpan(spark, f, emitTo.get, key, prevKey.get, d.get,
+                duL, duR)
             ops.recordSpan(spanRows, gDirty, gRewritten, gCarried)
           }
         }
@@ -940,7 +1060,7 @@ final class MaintainedDeltaJoin(
           all, None, key)
     }
     if (emit) {
-      val outId = nextEmitId(f, key)
+      val outId = emitIdFor(readEmitSeq(f), key)
       val parts = Seq(emitEnvelope(pairsFull, pairEmitImg, outId)) ++
         lnullRows.map(du =>
           emitEnvelope(du, unmatchedEmitImg(leftSide = true), outId)) ++
@@ -948,7 +1068,7 @@ final class MaintainedDeltaJoin(
           emitEnvelope(du, unmatchedEmitImg(leftSide = false), outId))
       // a seed/truncate rebuild ALWAYS emits (even over an empty corpus):
       // the truncate row is what resets downstream state
-      writeEmitSeq(f, outId, key)
+      writeEmitSeq(f, EmitRec(outId, key, full = true))
       emitTo.get.appendBatch(
         emitTruncateRow(spark, outId).unionByName(
           parts.reduce(_ unionByName _)), outId)

@@ -103,24 +103,31 @@ final class MaintainedSemDedup(
           java.nio.charset.StandardCharsets.UTF_8).trim)
         finally in.close()
       }
+    def stamp(): Unit = {
+      f.mkdirs(stateDir)
+      val tmp = new Path(stateDir, "_model.tmp")
+      val out = f.create(tmp, true)
+      try out.write(modelString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      BucketedStateLog.publishReplace(f, tmp, modelPath)
+      modelChecked = true
+    }
     existing match {
       case Some(m) if m != modelString =>
-        throw new IllegalStateException(
+        // a marker next to ZERO committed versions pins nothing (a
+        // refresh over an empty lake stamps before any span applies) —
+        // a WRITER may re-stamp the corrected model; committed state
+        // refuses (same footgun fix as the join-type marker)
+        if (writer && states.committed(f).isEmpty) stamp()
+        else throw new IllegalStateException(
           s"MaintainedSemDedup('$name'): state dir was built under a " +
             s"different model ($m vs $modelString) — the model is fixed " +
             "for the life of a state dir; open it with the original " +
             "centroids/tau, or build the retrained model under a NEW " +
             "name (fresh cursor + state)")
       case Some(_) => modelChecked = true
-      case None if writer =>
-        f.mkdirs(stateDir)
-        val tmp = new Path(stateDir, "_model.tmp")
-        val out = f.create(tmp, true)
-        try out.write(modelString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        BucketedStateLog.publishReplace(f, tmp, modelPath)
-        modelChecked = true
+      case None if writer => stamp()
       case None => // reader over an unseeded dir: the first refresh stamps
     }
   }

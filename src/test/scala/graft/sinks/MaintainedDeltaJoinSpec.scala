@@ -659,6 +659,103 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("emitTo enabled mid-life: the first emission is a full rebuild (the disabled spans' deltas are gone), then deltas resume — and an empty span keeps continuity") {
+    val dir = Files.createTempDirectory("lake-djml").toString
+    val outDir = Files.createTempDirectory("lake-djml-out").toString
+    try {
+      val sink = new LakeSink(dir)
+      val out = new LakeSink(outDir)
+      def mk(emit: Option[LakeSink]) = new MaintainedDeltaJoin(sink,
+        ("public", "o"), ("public", "u"),
+        im => element_at(im, "uid"), im => element_at(im, "id"),
+        "dj_mid", joinType = "left_outer", stateBuckets = 4,
+        rightKeyIsRowKey = true, emitTo = emit)
+      val silent = mk(None)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "5")))), 0L)
+      assert(silent.refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "2", "6")))), 1L)
+      assert(silent.refresh(spark) == 1)
+      // enable emission mid-life: the next span must NOT emit just its
+      // own delta (the downstream would miss a, b entirely)
+      val dj = mk(Some(out))
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", "o", Seq("oid"), null, order("c", "1", "7")))), 2L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L))
+      assert(out.changelog(spark)
+        .filter(col("op") === "truncate").count() == 1,
+        "the backfill batch must carry the downstream-resetting truncate")
+      val (es, et) = dj.emitTable
+      val view = new MaintainedView(out,
+        new graft.operators.IncrementalAgg(
+          group = Seq("who" -> (i =>
+            coalesce(element_at(i, "r.name"), lit("∅")))),
+          sums = Seq("amt" -> (i => element_at(i, "l.amt").cast("long")))),
+        es, et, "dj_mid_agg", stateBuckets = 4)
+      assert(view.refresh(spark) == 1)
+      viewMatchesJoin(dj, view)
+      // an EMPTY span (net-zero churn) records continuity without a batch
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "o", Seq("oid"), null, order("t", "1", "9")),
+        ev(6, "delete", "o", Seq("oid"), order("t", "1", "9"), null))), 3L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L))
+      // ... and the NEXT churn span emits a plain delta, not a rebuild
+      sink.appendBatch(envelope(Seq(
+        ev(7, "insert", "o", Seq("oid"), null, order("d", "1", "8")))), 4L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L, 1L))
+      assert(out.changelog(spark)
+        .filter(col("batch_id") === 1L && col("op") === "truncate")
+        .count() == 0, "a continuous span emits a delta, not a rebuild")
+      assert(view.refresh(spark) == 1)
+      viewMatchesJoin(dj, view)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    }
+  }
+
+  test("the emit lake is single-producer: a second emitting join, or a root with foreign history, refuses") {
+    val dir = Files.createTempDirectory("lake-djsp").toString
+    val outDir = Files.createTempDirectory("lake-djsp-out").toString
+    val out2Dir = Files.createTempDirectory("lake-djsp-out2").toString
+    try {
+      val sink = new LakeSink(dir)
+      val out = new LakeSink(outDir)
+      def mk(nm: String, emit: LakeSink) = new MaintainedDeltaJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        nm, stateBuckets = 4, emitTo = Some(emit))
+      val a = mk("dj_a", out)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("x", "1", "5")))), 0L)
+      assert(a.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark).nonEmpty)
+      // a SECOND join emitting into the same lake would collide on
+      // batch ids and silently lose output — it refuses up front
+      val b = mk("dj_b", out)
+      val e1 = intercept[IllegalStateException] { b.refresh(spark) }
+      assert(e1.getMessage.contains("owned by producer"), e1.getMessage)
+      // an emit lake that already holds batches from an UNKNOWN writer
+      // (no producer marker) refuses too
+      val out2 = new LakeSink(out2Dir)
+      out2.appendBatch(envelope(Seq(
+        ev(9, "insert", "u", Seq("id"), null, user("9", "zed")))), 0L)
+      val c = mk("dj_c", out2)
+      val e2 = intercept[IllegalStateException] { c.refresh(spark) }
+      assert(e2.getMessage.contains("unknown producer"), e2.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2Dir))
+    }
+  }
+
   test("keyOf: composite join keys get separator discipline — naive-concat collisions cannot pair, NULL components never match") {
     val dir = Files.createTempDirectory("lake-djk").toString
     try {
@@ -712,7 +809,7 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
       // the corrected construction re-stamps and serves
       val outer = dj("left_outer")
       assert(outer.refresh(spark) == 1)
-      assert(outerSetOf(outer) == Set(("a", "5", "ann"), ("b", "6", "∅")))
+      assert(outerSet(outer) == Set(("a", "5", "ann"), ("b", "6", "∅")))
       // no stale marker tmps survive the stamp
       val debris = new java.io.File(sink.root, "_graft_djoins/dj_restamp")
         .listFiles().filter(f => f.getName.startsWith("_jointype.") &&
@@ -723,15 +820,6 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
       assert(e.getMessage.contains("'left_outer'"), e.getMessage)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
-
-  private def outerSetOf(dj: MaintainedDeltaJoin): Set[(String, String, String)] =
-    dj.read(spark).collect().map { r =>
-      val l = if (r.isNullAt(1)) null else r.getMap[String, String](1)
-      val rr = if (r.isNullAt(2)) null else r.getMap[String, String](2)
-      (if (l == null) "∅" else l("oid"),
-        if (l == null) "∅" else l("amt"),
-        if (rr == null) "∅" else rr("name"))
-    }.toSet
 
   test("hot join key: refresh write and merge input are delta-proportional, sub-slice-bounded") {
     withJoin(subs = 8) { (sink, dj) =>

@@ -185,4 +185,26 @@ class MaintainedSemDedupSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("replica-identity"), e2.getMessage)
     }
   }
+
+  test("an empty state dir's mistyped model may be re-stamped by a writer; committed state still refuses") {
+    withDedup { (sink, sd) =>
+      // a refresh over an EMPTY lake stamps the model yet commits no
+      // state — the corrected construction must not be burned forever
+      val wrong = new MaintainedSemDedup(sink, "public", "docs", "sd",
+        idKey = "id", embKey = "emb", centroids = Cents, tau = 0.5,
+        stateBuckets = 4)
+      assert(wrong.refresh(spark) == 0)
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", Seq("id"), null, doc("a", "1,0")),
+        ev(2, "insert", Seq("id"), null, doc("b", "2,0")))), 0L)
+      assert(sd.refresh(spark) == 1) // re-stamps tau 0.95 and serves
+      assert(verdictSet(sd) == Set(("a", false), ("b", true)))
+      // but once state is committed the model is fixed
+      val wrong2 = new MaintainedSemDedup(sink, "public", "docs", "sd",
+        idKey = "id", embKey = "emb", centroids = Cents, tau = 0.5,
+        stateBuckets = 4)
+      val e = intercept[IllegalStateException] { wrong2.refresh(spark) }
+      assert(e.getMessage.contains("different model"), e.getMessage)
+    }
+  }
 }
