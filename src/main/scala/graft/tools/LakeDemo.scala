@@ -251,11 +251,24 @@ object LakeDemo {
       org.apache.spark.sql.Row(lsn, lsn, 7L, op, "public", "tags", dT, dT,
         Seq("doc"), before, after)
     def tag(doc: String, t: String) = Map("doc" -> doc, "tag" -> t)
+    // … and EMIT the join's output delta as a changelog of its own, with
+    // a downstream maintained aggregate consuming it — the composed
+    // join → aggregate pipeline, churn-proportional end to end
+    val djOut = new graft.sinks.LakeSink(
+      java.nio.file.Files.createTempDirectory("lake-demo-djout").toString)
     val dj = new graft.sinks.MaintainedDeltaJoin(lake,
       ("public", "docs"), ("public", "tags"),
       im => org.apache.spark.sql.functions.element_at(im, "id"),
       im => org.apache.spark.sql.functions.element_at(im, "doc"),
-      "demo_dj", joinType = "left_outer", stateBuckets = 4)
+      "demo_dj", joinType = "left_outer", stateBuckets = 4,
+      emitTo = Some(djOut))
+    val djAgg = new graft.sinks.MaintainedView(djOut,
+      new graft.operators.IncrementalAgg(
+        group = Seq("tag" -> (i => org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.element_at(i, "r.tag"),
+          org.apache.spark.sql.functions.lit("∅")))),
+        sums = Seq()),
+      dj.emitTable._1, dj.emitTable._2, "demo_dj_agg", stateBuckets = 4)
     // a consumer born AFTER the vacuum re-bootstraps: seed its cursor at
     // the watermark (BEFORE new batches land — seeding absorbs anything
     // already committed) so the first refresh folds history through BASE
@@ -281,6 +294,16 @@ object LakeDemo {
     val (m2, u2) = djCounts()
     println(s"-- delta join left_outer: matched=$m1 unmatched=$u1 -> " +
       s"after tag delete matched=$m2 unmatched=$u2")
+    // the downstream aggregate caught up purely from the EMITTED deltas
+    // (never re-reading the join state): doc-1's flip arrived as a pair
+    // delete + a null-extension insert, moving it fox → ∅
+    djAgg.refresh(spark)
+    val composed = djAgg.read(spark).collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(",")
+    println(s"-- composed join→aggregate over the emitted changelog " +
+      s"(${djOut.committedBatchIds(spark).size} output batches): [$composed]")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(djOut.root))
     spark.stop()
   }
 }
