@@ -106,6 +106,19 @@ final class LakeSink(
     f.create(marker, true).close()
   }
 
+  /** True when `batchId` is durably part of this lake: its commit marker
+    * exists, or compaction already folded it into BASE (vacuum may have
+    * dropped the marker afterwards). O(1) metadata probes — per-span
+    * callers ([[graft.sinks.MaintainedDeltaJoin]]'s emission guard) must
+    * not pay a whole commit-dir listing per poll.
+    */
+  def batchLanded(spark: SparkSession, batchId: Long): Boolean = {
+    val f = fs(spark)
+    f.exists(new Path(commitDir, batchId.toString)) ||
+      readManifest(f).exists(m =>
+        batchId >= m.minFolded && batchId <= m.watermark)
+  }
+
   /** Batch ids with a commit marker (sorted). */
   def committedBatchIds(spark: SparkSession): Seq[Long] = {
     val f = fs(spark)

@@ -326,10 +326,11 @@ final class MaintainedDeltaJoin(
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
       s.split(":") match {
-        case Array(id, n, p) => Some(EmitRec(id.toLong, (n.toLong, p.toLong),
-          full = false)) // pre-shape files: only written for delta spans
         case Array(id, n, p, shape) => Some(EmitRec(id.toLong,
           (n.toLong, p.toLong), full = shape == "full"))
+        // no legacy formats exist (the file and its shape field shipped
+        // together) — guessing a shape for a short record could replay
+        // a seed as a delta batch; refuse instead
         case _ => throw new IllegalStateException(
           s"unreadable emit sequence file $emitSeqPath: '$s'")
       }
@@ -353,7 +354,9 @@ final class MaintainedDeltaJoin(
   private def emitCommitted(spark: SparkSession, f: FileSystem,
       out: LakeSink, key: (Long, Long)): Boolean =
     readEmitSeq(f).exists { rec =>
-      rec.key == key && out.committedBatchIds(spark).contains(rec.id) }
+      // O(1) marker probe, NOT a commit-dir listing: this runs once per
+      // applied span for the life of the join
+      rec.key == key && out.batchLanded(spark, rec.id) }
 
   /** EXCLUSIVE-PRODUCER guard on the emit lake: output batch ids are
     * allocated from THIS join's sequence file, but the lake's commit
@@ -385,7 +388,21 @@ final class MaintainedDeltaJoin(
             s"by producer '$who' — one join per emit lake (output batch " +
             "ids are per-join, so a second producer would silently " +
             "collide); use a fresh root")
-      case Some(_) => producerChecked = true
+      case Some(_) =>
+        // same producer id — but a REBUILT state dir (the _emit sequence
+        // file is gone) over a retained emit lake would restart output
+        // ids at 0, and appendBatch would silently swallow them on the
+        // old batches' markers; refuse rather than serve the
+        // pre-rebuild output downstream forever
+        if (readEmitSeq(states.fs(spark)).isEmpty &&
+            out.committedBatchIds(spark).nonEmpty)
+          throw new IllegalStateException(
+            s"MaintainedDeltaJoin('$name'): the state dir was rebuilt " +
+              s"(no emit sequence) but emit lake ${out.root} retains the " +
+              "old output — restarted batch ids would be silently " +
+              "swallowed by its markers; use a fresh emit root " +
+              "(downstream consumers re-bootstrap from it)")
+        producerChecked = true
       case None =>
         if (out.committedBatchIds(spark).nonEmpty ||
             out.watermark(spark) != Long.MinValue)
@@ -568,8 +585,11 @@ final class MaintainedDeltaJoin(
       if (parts.isEmpty) {
         // nothing changed — no batch, but RECORD the span so continuity
         // tracking sees every applied span (the id stays on the batch
-        // that last landed it; its marker already exists)
-        writeEmitSeq(f, EmitRec(rec.get.id, key, full = rec.get.full))
+        // that last landed it; its marker already exists). Recorded as
+        // `delta`: the shape must describe THIS span, whose correct
+        // replay is the recomputed-empty no-op — inheriting a prior
+        // `full` flag could replay a stale rebuild under the old id
+        writeEmitSeq(f, EmitRec(rec.get.id, key, full = false))
       } else {
         writeEmitSeq(f, EmitRec(outId, key, full = false))
         out.appendBatch(parts.reduce(_ unionByName _), outId)

@@ -103,14 +103,34 @@ final class MaintainedSemDedup(
           java.nio.charset.StandardCharsets.UTF_8).trim)
         finally in.close()
       }
+    // writer-unique tmp + unconditional read-back + debris sweep — the
+    // same hardened stanza as the delta join's _jointype marker (a
+    // shared tmp name lets a racing writer truncate the bytes another is
+    // mid-renaming; a crashed writer's tmp must not accumulate forever)
     def stamp(): Unit = {
       f.mkdirs(stateDir)
-      val tmp = new Path(stateDir, "_model.tmp")
+      val tmp = new Path(stateDir,
+        s"_model.${java.util.UUID.randomUUID}.tmp")
       val out = f.create(tmp, true)
       try out.write(modelString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       BucketedStateLog.publishReplace(f, tmp, modelPath)
+      val in = f.open(modelPath)
+      val got =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (got != modelString)
+        throw new IllegalStateException(
+          s"MaintainedSemDedup('$name'): the model marker was claimed " +
+            s"concurrently by a different model ($got) — single-writer " +
+            "contract violated; rebuild under a NEW name")
+      f.listStatus(stateDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_model.") && n.endsWith(".tmp"))
+          f.delete(st.getPath, false)
+      }
       modelChecked = true
     }
     existing match {
@@ -188,7 +208,13 @@ final class MaintainedSemDedup(
     * pipeline's own cost (paid once); per refresh the input is only the
     * dirty cells' members.
     */
-  private def verdicts(a: DataFrame): DataFrame = {
+  private def verdicts(a0: DataFrame): DataFrame = {
+    // the input plan is referenced THREE times (both self-join sides and
+    // the left_outer base) and embeds the lake fold — materialize it
+    // once instead of re-reading BASE + tail per reference (the seed's
+    // input is the whole corpus; same rationale as the delta join's
+    // seed-fold checkpoint)
+    val a = a0.localCheckpoint()
     val x = a.alias("x")
     val y = a.alias("y")
     val cos = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
