@@ -24,8 +24,8 @@ class DashboardConsistencySpec extends AnyFunSuite {
 
     // a full ops stack: stream + listener + task counters + snapshot +
     // slot + a lake with one maintainer of each kind (view / splice
-    // join / distinct / delta join), refreshed once so every
-    // MaintainerOps series carries a sample
+    // join / distinct / delta join / semantic dedup), refreshed once so
+    // every MaintainerOps series carries a sample
     val wal = Files.createTempFile("wal-dash", ".bin").toString
     WalFile.write(wal, WalGen.frames(3, 2))
     val listener = new GraftMetricsListener
@@ -46,7 +46,8 @@ class DashboardConsistencySpec extends AnyFunSuite {
     sink.appendBatch(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
-          lev(1, "t", Map("id" -> "1", "grp" -> "a", "ref" -> "9")),
+          lev(1, "t", Map("id" -> "1", "grp" -> "a", "ref" -> "9",
+            "emb" -> "1")),
           lev(2, "u", Map("id" -> "9", "name" -> "n")))).asJava),
       graft.cdc.ChangeEvent.schema), 0L)
     import org.apache.spark.sql.functions.element_at
@@ -65,15 +66,20 @@ class DashboardConsistencySpec extends AnyFunSuite {
     val mdj = new graft.sinks.MaintainedDeltaJoin(sink,
       ("public", "u"), ("public", "t"),
       im => element_at(im, "id"), im => element_at(im, "ref"), "dashdjoin")
+    val msd = new graft.sinks.MaintainedSemDedup(sink, "public", "t",
+      "dashsd", idKey = "id", embKey = "emb",
+      centroids = Seq(Seq(0f), Seq(10f)), tau = 0.9)
     assert(mv.refresh(spark) == 1)
     assert(mj.refresh(spark) == 1)
     assert(mdd.refresh(spark) == 1)
     assert(mdj.refresh(spark, None) == 1)
+    assert(msd.refresh(spark, None) == 1)
     val server = new GraftMetricsServer(listener, port = 0,
       slotInfo = Some(() => Some(slotInfo)),
       snapshot = Some(snapshot), taskCounters = Some(tasks),
       lakeGauges = Some(() => sink.gauges(spark) ++ mv.gauges(spark) ++
-        mj.gauges(spark) ++ mdd.gauges(spark) ++ mdj.gauges(spark)))
+        mj.gauges(spark) ++ mdd.gauges(spark) ++ mdj.gauges(spark) ++
+        msd.gauges(spark)))
     try {
       val q = spark.readStream.format("pgcdc").option("path", wal)
         .load().writeStream.format("memory").queryName("dash_sink")
