@@ -138,4 +138,75 @@ class MaintainedDeltaJoinScaleSpec extends AnyFunSuite {
         s"count companion rewrite must be one-bucket-bounded, wrote $cw of ~$DIMS")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("10k-fact emission: a one-flip span's emitted batch is delta-sized; only the seed batch is state-sized") {
+    val FACTS = 10000
+    val KEYS = 500
+    val dir = Files.createTempDirectory("lake-djescale").toString
+    val outDir = Files.createTempDirectory("lake-djescale-out").toString
+    try {
+      val sink = new LakeSink(dir)
+      val out = new LakeSink(outDir)
+      val dj = new MaintainedDeltaJoin(sink,
+        ("public", "o"), ("public", "u"),
+        im => element_at(im, "uid"), im => element_at(im, "id"),
+        "dj_escale", joinType = "left_outer",
+        stateBuckets = 64, subBuckets = 4,
+        rightKeyIsRowKey = true, emitTo = Some(out))
+      sink.appendBatch(envelope(
+        (0 until KEYS).map(j => ev(j.toLong, "insert", "u", Seq("id"),
+          null, dim(j))) ++
+          (0 until FACTS).map(i => ev(10000L + i, "insert", "o", Seq("oid"),
+            null, fact(i, i % KEYS)))), 0L)
+      assert(dj.refresh(spark, None) == 1)
+      // the seed batch IS state-sized (truncate + the full output) —
+      // that is the downstream's bootstrap, paid once
+      val seedRows = out.changelog(spark)
+        .filter(col("batch_id") === 0L).count()
+      assert(seedRows >= FACTS,
+        s"seed emission must carry the whole output, got $seedRows")
+
+      // churn: ONE dim delete flips its ~20 facts, one fact updates
+      val moved = (0 until FACTS).count(_ % KEYS == 7)
+      sink.appendBatch(envelope(Seq(
+        ev(50000L, "delete", "u", Seq("id"), dim(7), null),
+        ev(50001L, "update", "o", Seq("oid"), fact(9, 9), {
+          val f = fact(9, 9); f + ("amt" -> "999")
+        }))), 1L)
+      assert(dj.refresh(spark, None) == 1)
+      // the churn span's batch carries ONLY the transitions: ~20 pair
+      // deletes + ~20 null-extension inserts + the update's −old/+new —
+      // never the 10k-row output (the whole point of composing through
+      // the emitted changelog instead of re-reading the join state)
+      val deltaRows = out.changelog(spark)
+        .filter(col("batch_id") === 1L).count()
+      info(s"emitted: seed=$seedRows delta=$deltaRows (flip moved $moved)")
+      assert(deltaRows >= 2L * moved && deltaRows <= 2L * moved + 8,
+        s"the emitted churn batch must be delta-sized (~${2 * moved}), " +
+          s"got $deltaRows of a $FACTS-row output")
+      // and a downstream aggregate maintained from those batches equals
+      // a direct aggregate of the join's own served output
+      val (es, et) = dj.emitTable
+      val view = new MaintainedView(out,
+        new graft.operators.IncrementalAgg(
+          group = Seq("who" -> (i =>
+            coalesce(element_at(i, "r.name"), lit("∅")))),
+          sums = Seq("amt" -> (i => element_at(i, "l.amt").cast("long")))),
+        es, et, "dj_escale_agg", stateBuckets = 16)
+      assert(view.refresh(spark) > 0)
+      val got = view.read(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = dj.read(spark)
+        .select(coalesce(element_at(col("right_after"), "name"), lit("∅"))
+          .as("who"),
+          element_at(col("left_after"), "amt").cast("long").as("amt"))
+        .groupBy("who")
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, "downstream aggregate diverged at scale")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    }
+  }
 }
