@@ -668,4 +668,52 @@ private[sinks] object BucketedStateLog {
         s"failed to publish $dst (rename returned false); " +
           "the temp file and any existing versions are left in place — " +
           "safe to re-run")
+
+  /** The ONE marker-stamp stanza every small type/model/producer marker
+    * shares: a WRITER-UNIQUE tmp (a shared tmp name lets a racing writer
+    * truncate/replace the bytes another is mid-renaming), the chosen
+    * publish mode (`fresh` refuses an existing destination but swallows
+    * only the destination-exists loss — a rename failing with NO marker
+    * published rethrows verbatim; non-fresh replaces), an UNCONDITIONAL
+    * read-back (whatever rename semantics the store has, the caller
+    * proceeds only if the marker that actually LANDED carries the
+    * content it compares `got` against), and a sweep of this marker's
+    * crashed-writer tmp debris. Returns the landed content — callers
+    * raise their own domain-named mismatch errors.
+    */
+  def stampMarker(f: FileSystem, dir: Path, markerName: String,
+      content: String, fresh: Boolean): String = {
+    f.mkdirs(dir)
+    val marker = new Path(dir, markerName)
+    val tmp = new Path(dir, s"$markerName.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fresh)
+      try publishFresh(f, tmp, marker)
+      catch {
+        case e: IllegalStateException =>
+          f.delete(tmp, false)
+          if (!f.exists(marker)) throw e
+      }
+    else publishReplace(f, tmp, marker)
+    val in = f.open(marker)
+    val got =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    sweepMarkerTmps(f, dir, markerName)
+    got
+  }
+
+  /** Delete a marker's crashed-writer `<markerName>.<uuid>.tmp` debris —
+    * shared by [[stampMarker]] and the no-stamp validation paths.
+    */
+  def sweepMarkerTmps(f: FileSystem, dir: Path, markerName: String): Unit =
+    if (f.exists(dir))
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(markerName + ".") && n.endsWith(".tmp"))
+          f.delete(st.getPath, false)
+      }
 }

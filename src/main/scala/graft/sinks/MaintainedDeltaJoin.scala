@@ -216,58 +216,17 @@ final class MaintainedDeltaJoin(
         "fixed for the life of a state dir (the pair and companion " +
         s"states encode it); open it as '$jt', or build the new type " +
         "under a NEW name (fresh cursor + state)")
-    // Crash debris: a writer that died between creating its
-    // _jointype.<uuid>.tmp and the rename leaves the tmp forever (the
-    // state log's gc sweeps only v* slice dirs and manifest tmps). Swept
-    // here, after the marker outcome is settled — under the single-writer
-    // contract any surviving tmp is a dead writer's; a concurrent
-    // misconfigured writer whose tmp vanishes mid-rename fails LOUDLY
-    // (publishFresh throws on a false rename), which is the same refusal
-    // its read-back would have produced.
-    def sweepMarkerTmps(): Unit =
-      if (f.exists(stateDir))
-        f.listStatus(stateDir).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("_jointype.") && n.endsWith(".tmp"))
-            f.delete(st.getPath, false)
-        }
-    // ONE stamp stanza for both publish modes. WRITER-UNIQUE tmp (a
-    // shared tmp name lets a racing writer truncate/replace the bytes
-    // another is mid-renaming) + unconditional READ-BACK: whatever
-    // rename semantics the store has (HDFS refuses an existing
-    // destination; POSIX rename silently replaces it), each writer
-    // proceeds only if the marker that actually LANDED carries its own
-    // type. Stated honestly: two CONCURRENT first writers of different
-    // types are already a single-writer-contract violation — the
-    // read-back narrows that misconfiguration to fail loudly in all but
-    // the validate-then-overwritten interleaving; the sequential
-    // misconfiguration (the common one) always refuses.
+    // The hardened stamp stanza is the SHARED [[BucketedStateLog
+    // .stampMarker]]: writer-unique tmp, publish, unconditional
+    // read-back, debris sweep. Stated honestly: two CONCURRENT first
+    // writers of different types are already a single-writer-contract
+    // violation — the read-back narrows that misconfiguration to fail
+    // loudly in all but the validate-then-overwritten interleaving; the
+    // sequential misconfiguration (the common one) always refuses.
     def stampAndVerify(fresh: Boolean): Unit = {
-      f.mkdirs(stateDir)
-      val tmp = new Path(stateDir,
-        s"_jointype.${java.util.UUID.randomUUID}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(joinType.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fresh)
-        try BucketedStateLog.publishFresh(f, tmp, joinTypePath)
-        catch {
-          case e: IllegalStateException =>
-            f.delete(tmp, false)
-            // only swallow the destination-exists loss — a rename
-            // failing with NO marker published is a real publish
-            // failure the operator needs verbatim
-            if (!f.exists(joinTypePath)) throw e
-        }
-      else BucketedStateLog.publishReplace(f, tmp, joinTypePath)
-      val in = f.open(joinTypePath)
-      val got =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
+      val got = BucketedStateLog.stampMarker(f, stateDir, "_jointype",
+        joinType, fresh)
       if (got != joinType) mismatch(got)
-      sweepMarkerTmps()
     }
     existing match {
       case Some(jt) =>
@@ -281,7 +240,8 @@ final class MaintainedDeltaJoin(
           if (writer && states.committed(f).isEmpty)
             stampAndVerify(fresh = false)
           else mismatch(jt)
-        } else if (writer) sweepMarkerTmps()
+        } else if (writer)
+          BucketedStateLog.sweepMarkerTmps(f, stateDir, "_jointype")
         jtChecked = true
       case None if joinType != "inner" && states.committed(f).nonEmpty =>
         // pre-marker dirs were written by inner-only code
@@ -392,16 +352,19 @@ final class MaintainedDeltaJoin(
         // same producer id — but a REBUILT state dir (the _emit sequence
         // file is gone) over a retained emit lake would restart output
         // ids at 0, and appendBatch would silently swallow them on the
-        // old batches' markers; refuse rather than serve the
-        // pre-rebuild output downstream forever
+        // old batches' markers (or, after a compact+vacuum of the out
+        // lake, on its FOLDED interval — hence the watermark check);
+        // refuse rather than serve the pre-rebuild output downstream
+        // forever
         if (readEmitSeq(states.fs(spark)).isEmpty &&
-            out.committedBatchIds(spark).nonEmpty)
+            (out.committedBatchIds(spark).nonEmpty ||
+              out.watermark(spark) != Long.MinValue))
           throw new IllegalStateException(
             s"MaintainedDeltaJoin('$name'): the state dir was rebuilt " +
               s"(no emit sequence) but emit lake ${out.root} retains the " +
               "old output — restarted batch ids would be silently " +
-              "swallowed by its markers; use a fresh emit root " +
-              "(downstream consumers re-bootstrap from it)")
+              "swallowed by its markers or folded history; use a fresh " +
+              "emit root (downstream consumers re-bootstrap from it)")
         producerChecked = true
       case None =>
         if (out.committedBatchIds(spark).nonEmpty ||
@@ -411,23 +374,21 @@ final class MaintainedDeltaJoin(
               "holds batches from an unknown producer — emitted batch ids " +
               "would collide with (or be swallowed by) its history; use a " +
               "fresh root")
-        f.mkdirs(new Path(out.root))
-        val tmp = new Path(out.root,
-          s"_graft_emit_producer.${java.util.UUID.randomUUID}.tmp")
-        val o = f.create(tmp, true)
-        try o.write(stateId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally o.close()
-        try BucketedStateLog.publishFresh(f, tmp, p)
-        catch {
-          case e: IllegalStateException =>
-            f.delete(tmp, false)
-            if (!f.exists(p)) throw e
-        }
-        val in = f.open(p)
-        val got =
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          finally in.close()
+        // an UNMARKED, EMPTY lake next to a NONEMPTY emit sequence means
+        // the emit root was SWAPPED (the recorded batches live in the
+        // original root) — a delta continuation into the fresh root would
+        // strand downstream consumers without the prior output. Refuse
+        // and name both remedies.
+        if (readEmitSeq(states.fs(spark)).nonEmpty)
+          throw new IllegalStateException(
+            s"MaintainedDeltaJoin('$name'): emit lake ${out.root} is " +
+              "empty/unclaimed but this join's emit sequence records " +
+              "batches emitted elsewhere — the emit root was swapped. " +
+              "Point emitTo back at the original root, or delete the " +
+              "state dir's _emit file to start this root with a full " +
+              "truncate+output backfill on the next span")
+        val got = BucketedStateLog.stampMarker(f, new Path(out.root),
+          "_graft_emit_producer", stateId, fresh = true)
         if (got != stateId)
           throw new IllegalStateException(
             s"MaintainedDeltaJoin('$name'): emit lake ${out.root} was " +
@@ -569,7 +530,14 @@ final class MaintainedDeltaJoin(
       duLeft: Option[DataFrame], duRight: Option[DataFrame]): Unit = {
     val rec = readEmitSeq(f)
     val replay = rec.exists(_.key == key)
-    val full = if (replay) rec.get.full else !rec.exists(_.key == prevKey)
+    // a DELTA continuation requires the recorded span to be the previous
+    // state version AND its batch to actually exist in THIS lake —
+    // defense in depth behind checkEmitProducer's swapped-root refusal
+    // (a lake that somehow lost the recorded batch gets the full
+    // backfill, never a stranding delta)
+    val continuous = rec.exists(r =>
+      r.key == prevKey && out.batchLanded(spark, r.id))
+    val full = if (replay) rec.get.full else !continuous
     val outId = emitIdFor(rec, key)
     if (full) {
       writeEmitSeq(f, EmitRec(outId, key, full = true))

@@ -103,34 +103,17 @@ final class MaintainedSemDedup(
           java.nio.charset.StandardCharsets.UTF_8).trim)
         finally in.close()
       }
-    // writer-unique tmp + unconditional read-back + debris sweep — the
-    // same hardened stanza as the delta join's _jointype marker (a
-    // shared tmp name lets a racing writer truncate the bytes another is
-    // mid-renaming; a crashed writer's tmp must not accumulate forever)
+    // the SHARED hardened stamp stanza (writer-unique tmp, publish,
+    // unconditional read-back, debris sweep) — one definition in
+    // [[BucketedStateLog.stampMarker]] for every marker in the family
     def stamp(): Unit = {
-      f.mkdirs(stateDir)
-      val tmp = new Path(stateDir,
-        s"_model.${java.util.UUID.randomUUID}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(modelString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      BucketedStateLog.publishReplace(f, tmp, modelPath)
-      val in = f.open(modelPath)
-      val got =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
+      val got = BucketedStateLog.stampMarker(f, stateDir, "_model",
+        modelString, fresh = false)
       if (got != modelString)
         throw new IllegalStateException(
           s"MaintainedSemDedup('$name'): the model marker was claimed " +
             s"concurrently by a different model ($got) — single-writer " +
             "contract violated; rebuild under a NEW name")
-      f.listStatus(stateDir).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_model.") && n.endsWith(".tmp"))
-          f.delete(st.getPath, false)
-      }
       modelChecked = true
     }
     existing match {
