@@ -270,12 +270,23 @@ final class MaintainedDeltaJoin(
 
   private def emitSeqPath = new Path(stateDir, "_emit")
 
-  /** One recorded emission: output batch id, span key, and whether the
-    * batch was a FULL rebuild (truncate + whole output) — the shape is
-    * recorded BEFORE the append so a crash replay repeats exactly the
-    * batch the first attempt chose.
+  /** One recorded emission: output batch id, span key, whether the
+    * batch was a FULL rebuild (truncate + whole output), and the emit
+    * ROOT it landed in. The shape is recorded BEFORE the append so a
+    * crash replay repeats exactly the batch the first attempt chose;
+    * the root pins continuity to ONE lake — per-root batch ids restart
+    * at 0, so a root swapped away and back would otherwise read a
+    * stale same-id batch as its own history and emit a stranding delta
+    * onto the diverged output.
     */
-  private case class EmitRec(id: Long, key: (Long, Long), full: Boolean)
+  private case class EmitRec(id: Long, key: (Long, Long), full: Boolean,
+      root: String)
+
+  /** The canonical emit-root string recorded/compared everywhere (URI
+    * normalization, so `/a/b` and `/a/b/` name one root).
+    */
+  private def emitRootOf(out: LakeSink): String =
+    new Path(out.root).toUri.toString
 
   private def readEmitSeq(f: FileSystem): Option[EmitRec] =
     if (!f.exists(emitSeqPath)) None
@@ -285,12 +296,14 @@ final class MaintainedDeltaJoin(
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-      s.split(":") match {
-        case Array(id, n, p, shape) => Some(EmitRec(id.toLong,
-          (n.toLong, p.toLong), full = shape == "full"))
-        // no legacy formats exist (the file and its shape field shipped
-        // together) — guessing a shape for a short record could replay
-        // a seed as a delta batch; refuse instead
+      // root LAST with a bounded split: URIs carry ':'
+      s.split(":", 5) match {
+        case Array(id, n, p, shape, root) => Some(EmitRec(id.toLong,
+          (n.toLong, p.toLong), full = shape == "full", root = root))
+        // no legacy formats exist (the file, its shape field, and its
+        // root field shipped together) — guessing a shape or root for a
+        // short record could replay a seed as a delta batch, or bless a
+        // foreign root; refuse instead
         case _ => throw new IllegalStateException(
           s"unreadable emit sequence file $emitSeqPath: '$s'")
       }
@@ -301,7 +314,8 @@ final class MaintainedDeltaJoin(
     val tmp = new Path(stateDir, "_emit.tmp")
     val out = f.create(tmp, true)
     try out.write(
-      s"${rec.id}:${rec.key._1}:${rec.key._2}:${if (rec.full) "full" else "delta"}"
+      (s"${rec.id}:${rec.key._1}:${rec.key._2}:" +
+        s"${if (rec.full) "full" else "delta"}:${rec.root}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     BucketedStateLog.publishReplace(f, tmp, emitSeqPath)
@@ -331,6 +345,24 @@ final class MaintainedDeltaJoin(
   @volatile private var producerChecked = false
   private def checkEmitProducer(spark: SparkSession, out: LakeSink): Unit = {
     if (producerChecked) return
+    // the ROOT-CHANGE check comes first and is state-side only: the
+    // sequence file records which root its batches landed in, and a
+    // differently-rooted `emitTo` — including a root swapped AWAY AND
+    // BACK, whose producer marker still matches this stateId and whose
+    // per-root ids would bless a stale same-id batch — refuses with
+    // both remedies named
+    val rootNow = emitRootOf(out)
+    readEmitSeq(states.fs(spark)).map(_.root).foreach { recorded =>
+      if (recorded != rootNow)
+        throw new IllegalStateException(
+          s"MaintainedDeltaJoin('$name'): emitTo points at '$rootNow' " +
+            s"but this join's emitted batches live in '$recorded' — a " +
+            "delta continuation into a different root would strand its " +
+            "downstream consumers. Point emitTo back at the recorded " +
+            "root, or delete the state dir's _emit file to start the " +
+            "new root with a full truncate+output backfill on the next " +
+            "span")
+    }
     val p = new Path(out.root, "_graft_emit_producer")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Option[String] =
@@ -529,18 +561,27 @@ final class MaintainedDeltaJoin(
       key: (Long, Long), prevKey: (Long, Long), pairDelta: DataFrame,
       duLeft: Option[DataFrame], duRight: Option[DataFrame]): Unit = {
     val rec = readEmitSeq(f)
+    val root = emitRootOf(out)
     val replay = rec.exists(_.key == key)
     // a DELTA continuation requires the recorded span to be the previous
     // state version AND its batch to actually exist in THIS lake —
-    // defense in depth behind checkEmitProducer's swapped-root refusal
-    // (a lake that somehow lost the recorded batch gets the full
-    // backfill, never a stranding delta)
+    // defense in depth behind checkEmitProducer's root/swap refusals (a
+    // lake that somehow lost the recorded batch gets the full backfill,
+    // never a stranding delta). The REPLAY of a recorded delta carries
+    // the same defense against the lake losing its history between the
+    // record and the re-append: ids increment by exactly one per landed
+    // batch, so the prior batch is rec.id − 1 — if it is gone, upgrade
+    // the replay to a full rebuild under the same id.
     val continuous = rec.exists(r =>
       r.key == prevKey && out.batchLanded(spark, r.id))
-    val full = if (replay) rec.get.full else !continuous
+    val full =
+      if (replay)
+        rec.get.full ||
+          (rec.get.id > 0 && !out.batchLanded(spark, rec.get.id - 1))
+      else !continuous
     val outId = emitIdFor(rec, key)
     if (full) {
-      writeEmitSeq(f, EmitRec(outId, key, full = true))
+      writeEmitSeq(f, EmitRec(outId, key, full = true, root))
       out.appendBatch(emitTruncateRow(spark, outId)
         .unionByName(fullOutputEnvelope(spark, key, outId)), outId)
     } else {
@@ -557,9 +598,9 @@ final class MaintainedDeltaJoin(
         // `delta`: the shape must describe THIS span, whose correct
         // replay is the recomputed-empty no-op — inheriting a prior
         // `full` flag could replay a stale rebuild under the old id
-        writeEmitSeq(f, EmitRec(rec.get.id, key, full = false))
+        writeEmitSeq(f, EmitRec(rec.get.id, key, full = false, root))
       } else {
-        writeEmitSeq(f, EmitRec(outId, key, full = false))
+        writeEmitSeq(f, EmitRec(outId, key, full = false, root))
         out.appendBatch(parts.reduce(_ unionByName _), outId)
       }
     }
@@ -1056,7 +1097,8 @@ final class MaintainedDeltaJoin(
           emitEnvelope(du, unmatchedEmitImg(leftSide = false), outId))
       // a seed/truncate rebuild ALWAYS emits (even over an empty corpus):
       // the truncate row is what resets downstream state
-      writeEmitSeq(f, EmitRec(outId, key, full = true))
+      writeEmitSeq(f, EmitRec(outId, key, full = true,
+        emitRootOf(emitTo.get)))
       emitTo.get.appendBatch(
         emitTruncateRow(spark, outId).unionByName(
           parts.reduce(_ unionByName _)), outId)

@@ -756,6 +756,79 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("emission root discipline: swapped roots, flip-flops, lost history, and a rebuilt state dir all refuse or backfill — never a stranding delta") {
+    val dir = Files.createTempDirectory("lake-djroot").toString
+    val outADir = Files.createTempDirectory("lake-djroot-a").toString
+    val outBDir = Files.createTempDirectory("lake-djroot-b").toString
+    try {
+      val sink = new LakeSink(dir)
+      val outA = new LakeSink(outADir)
+      val outB = new LakeSink(outBDir)
+      def mk(emit: LakeSink) = new MaintainedDeltaJoin(sink,
+        ("public", "u"), ("public", "o"),
+        im => element_at(im, "id"), im => element_at(im, "uid"),
+        "dj_root", stateBuckets = 4, emitTo = Some(emit))
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "u", Seq("id"), null, user("1", "ann")),
+        ev(2, "insert", "o", Seq("oid"), null, order("a", "1", "5")))), 0L)
+      assert(mk(outA).refresh(spark) == 1)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "insert", "o", Seq("oid"), null, order("b", "1", "6")))), 1L)
+      assert(mk(outA).refresh(spark) == 1)
+      assert(outA.committedBatchIds(spark) == Seq(0L, 1L))
+      // SWAP to a fresh root: refused up front (the recorded batches
+      // live in A — a delta into B would strand its consumers)
+      val eSwap = intercept[IllegalStateException] { mk(outB).refresh(spark) }
+      assert(eSwap.getMessage.contains("live in"), eSwap.getMessage)
+      // the named remedy: drop the sequence file → the NEXT span opens
+      // the new root with a full truncate+output backfill
+      val seq = new java.io.File(sink.root, "_graft_djoins/dj_root/_emit")
+      assert(seq.delete())
+      val crc = new java.io.File(seq.getParentFile, "._emit.crc")
+      if (crc.exists) assert(crc.delete())
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", "o", Seq("oid"), null, order("c", "1", "7")))), 2L)
+      assert(mk(outB).refresh(spark) == 1)
+      assert(outB.committedBatchIds(spark) == Seq(0L))
+      assert(outB.changelog(spark).filter(col("op") === "truncate")
+        .count() == 1, "the new root must open with the backfill")
+      // FLIP-FLOP back to A: its producer marker still matches, and its
+      // stale batch ids would bless a diverged history — refused
+      val eBack = intercept[IllegalStateException] { mk(outA).refresh(spark) }
+      assert(eBack.getMessage.contains("live in"), eBack.getMessage)
+      // LOST HISTORY in B (batches gone, producer marker retained): the
+      // next span must upgrade to a full rebuild, never a delta with no
+      // base underneath it
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(outB.root, "changelog"))
+      val m0 = new java.io.File(outB.root, "_graft_commits/0")
+      assert(m0.delete())
+      val m0crc = new java.io.File(m0.getParentFile, ".0.crc")
+      if (m0crc.exists) assert(m0crc.delete())
+      sink.appendBatch(envelope(Seq(
+        ev(5, "insert", "o", Seq("oid"), null, order("d", "1", "8")))), 3L)
+      assert(mk(outB).refresh(spark) == 1)
+      assert(outB.committedBatchIds(spark) == Seq(1L))
+      assert(outB.changelog(spark)
+        .filter(col("batch_id") === 1L && col("op") === "truncate")
+        .count() == 1, "a lake missing the recorded history gets the " +
+          "full backfill")
+      // REBUILT STATE DIR over a compacted+VACUUMED emit lake: the
+      // folded interval would silently swallow restarted ids — refused
+      outB.compact(spark)
+      outB.vacuum(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(sink.root, "_graft_djoins/dj_root"))
+      val eRebuilt = intercept[IllegalStateException] { mk(outB).refresh(spark) }
+      assert(eRebuilt.getMessage.contains("retains the old output"),
+        eRebuilt.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outADir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBDir))
+    }
+  }
+
   test("keyOf: composite join keys get separator discipline — naive-concat collisions cannot pair, NULL components never match") {
     val dir = Files.createTempDirectory("lake-djk").toString
     try {
