@@ -282,11 +282,17 @@ final class MaintainedDeltaJoin(
   private case class EmitRec(id: Long, key: (Long, Long), full: Boolean,
       root: String)
 
-  /** The canonical emit-root string recorded/compared everywhere (URI
-    * normalization, so `/a/b` and `/a/b/` name one root).
+  /** The canonical emit-root string recorded/compared everywhere —
+    * FILESYSTEM-QUALIFIED, not raw spelling: a scheme-less `/data/out`
+    * resolves through the session's default FS (two clusters' identical
+    * relative spellings must not read as one root, and `file:/x` vs
+    * `/x` of one local lake must not read as two).
     */
-  private def emitRootOf(out: LakeSink): String =
-    new Path(out.root).toUri.toString
+  private def emitRootOf(spark: SparkSession, out: LakeSink): String = {
+    val p = new Path(out.root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.toString
+  }
 
   private def readEmitSeq(f: FileSystem): Option[EmitRec] =
     if (!f.exists(emitSeqPath)) None
@@ -300,12 +306,14 @@ final class MaintainedDeltaJoin(
       s.split(":", 5) match {
         case Array(id, n, p, shape, root) => Some(EmitRec(id.toLong,
           (n.toLong, p.toLong), full = shape == "full", root = root))
-        // no legacy formats exist (the file, its shape field, and its
-        // root field shipped together) — guessing a shape or root for a
-        // short record could replay a seed as a delta batch, or bless a
-        // foreign root; refuse instead
+        // shorter records predate the shape/root fields (no released
+        // deployment carries them, but in-development dirs can) —
+        // guessing a shape or root could replay a seed as a delta batch
+        // or bless a foreign root; refuse, naming the safe remedy
         case _ => throw new IllegalStateException(
-          s"unreadable emit sequence file $emitSeqPath: '$s'")
+          s"unreadable emit sequence file $emitSeqPath: '$s' — delete " +
+            "the file to re-open the emit lake with a full " +
+            "truncate+output backfill on the next span")
       }
     }
 
@@ -345,14 +353,16 @@ final class MaintainedDeltaJoin(
   @volatile private var producerChecked = false
   private def checkEmitProducer(spark: SparkSession, out: LakeSink): Unit = {
     if (producerChecked) return
+    // ONE sequence read serves all three checks below
+    val rec = readEmitSeq(states.fs(spark))
     // the ROOT-CHANGE check comes first and is state-side only: the
     // sequence file records which root its batches landed in, and a
     // differently-rooted `emitTo` — including a root swapped AWAY AND
     // BACK, whose producer marker still matches this stateId and whose
     // per-root ids would bless a stale same-id batch — refuses with
     // both remedies named
-    val rootNow = emitRootOf(out)
-    readEmitSeq(states.fs(spark)).map(_.root).foreach { recorded =>
+    val rootNow = emitRootOf(spark, out)
+    rec.map(_.root).foreach { recorded =>
       if (recorded != rootNow)
         throw new IllegalStateException(
           s"MaintainedDeltaJoin('$name'): emitTo points at '$rootNow' " +
@@ -388,7 +398,7 @@ final class MaintainedDeltaJoin(
         // lake, on its FOLDED interval — hence the watermark check);
         // refuse rather than serve the pre-rebuild output downstream
         // forever
-        if (readEmitSeq(states.fs(spark)).isEmpty &&
+        if (rec.isEmpty &&
             (out.committedBatchIds(spark).nonEmpty ||
               out.watermark(spark) != Long.MinValue))
           throw new IllegalStateException(
@@ -406,19 +416,18 @@ final class MaintainedDeltaJoin(
               "holds batches from an unknown producer — emitted batch ids " +
               "would collide with (or be swallowed by) its history; use a " +
               "fresh root")
-        // an UNMARKED, EMPTY lake next to a NONEMPTY emit sequence means
-        // the emit root was SWAPPED (the recorded batches live in the
-        // original root) — a delta continuation into the fresh root would
-        // strand downstream consumers without the prior output. Refuse
-        // and name both remedies.
-        if (readEmitSeq(states.fs(spark)).nonEmpty)
+        // an UNMARKED, EMPTY lake next to a NONEMPTY emit sequence: the
+        // root check above already caught genuine swaps, so reaching
+        // here means THIS root was wiped in place (marker and batches
+        // gone while the sequence still records them). Refuse with the
+        // one remedy that fits.
+        if (rec.nonEmpty)
           throw new IllegalStateException(
             s"MaintainedDeltaJoin('$name'): emit lake ${out.root} is " +
               "empty/unclaimed but this join's emit sequence records " +
-              "batches emitted elsewhere — the emit root was swapped. " +
-              "Point emitTo back at the original root, or delete the " +
-              "state dir's _emit file to start this root with a full " +
-              "truncate+output backfill on the next span")
+              "batches landed there — the lake was wiped in place. " +
+              "Delete the state dir's _emit file to re-open it with a " +
+              "full truncate+output backfill on the next span")
         val got = BucketedStateLog.stampMarker(f, new Path(out.root),
           "_graft_emit_producer", stateId, fresh = true)
         if (got != stateId)
@@ -561,7 +570,10 @@ final class MaintainedDeltaJoin(
       key: (Long, Long), prevKey: (Long, Long), pairDelta: DataFrame,
       duLeft: Option[DataFrame], duRight: Option[DataFrame]): Unit = {
     val rec = readEmitSeq(f)
-    val root = emitRootOf(out)
+    val root = emitRootOf(spark, out)
+    // PRECONDITION (the needEmit guard): a replay only reaches here when
+    // the recorded batch is NOT landed — so a full upgrade's re-append
+    // under the same id always actually lands, never a marker no-op
     val replay = rec.exists(_.key == key)
     // a DELTA continuation requires the recorded span to be the previous
     // state version AND its batch to actually exist in THIS lake —
@@ -1098,7 +1110,7 @@ final class MaintainedDeltaJoin(
       // a seed/truncate rebuild ALWAYS emits (even over an empty corpus):
       // the truncate row is what resets downstream state
       writeEmitSeq(f, EmitRec(outId, key, full = true,
-        emitRootOf(emitTo.get)))
+        emitRootOf(spark, emitTo.get)))
       emitTo.get.appendBatch(
         emitTruncateRow(spark, outId).unionByName(
           parts.reduce(_ unionByName _)), outId)

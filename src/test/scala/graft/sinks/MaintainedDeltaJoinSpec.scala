@@ -656,6 +656,33 @@ class MaintainedDeltaJoinSpec extends AnyFunSuite {
       viewMatchesJoin(dj, view)
       assert(dj.refresh(spark) == 0)
       assert(out.committedBatchIds(spark) == Seq(0L, 1L))
+      // a REPLAYED delta whose PRIOR batch vanished must upgrade to a
+      // full rebuild under the same id (a delta with no base would
+      // strand the downstream): crash before the append again, and ALSO
+      // lose batch 1 from the emit lake
+      val preSpan2 = java.nio.file.Files.readAllBytes(cursor.toPath)
+      sink.appendBatch(envelope(Seq(
+        ev(4, "insert", "o", Seq("oid"), null, order("c", "1", "7")))), 2L)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L, 1L, 2L))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out.root, "changelog/batch_id=2"))
+      val m2 = new java.io.File(out.root, "_graft_commits/2")
+      assert(m2.delete()); dropCrc(m2)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out.root, "changelog/batch_id=1"))
+      val m1 = new java.io.File(out.root, "_graft_commits/1")
+      assert(m1.delete()); dropCrc(m1)
+      java.nio.file.Files.write(cursor.toPath, preSpan2)
+      dropCrc(cursor)
+      assert(dj.refresh(spark) == 1)
+      assert(out.committedBatchIds(spark) == Seq(0L, 2L))
+      assert(out.changelog(spark)
+        .filter(col("batch_id") === 2L && col("op") === "truncate")
+        .count() == 1,
+        "a replayed delta over lost history must upgrade to a full rebuild")
+      assert(view.refresh(spark) > 0)
+      viewMatchesJoin(dj, view)
     }
   }
 
