@@ -165,7 +165,8 @@ object CdcQueries {
     val out = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val events = Tables.events(s, dir).select("event_id", "user_id", "value")
+    val events = Tables.fanOut(
+      Tables.events(s, dir).select("event_id", "user_id", "value"))
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       val rel = MessageEncoder.xlogData(1, 1, 0L,
@@ -246,7 +247,7 @@ object CdcQueries {
       StructField("price", DoubleType), StructField("lsn", LongType)))
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
-    val decoded = orders.mapPartitions { it =>
+    val decoded = Tables.fanOut(orders).mapPartitions { it =>
       val assembler = new TransactionAssembler()
       val rel = MessageEncoder.xlogData(1, 1, 0L,
         MessageEncoder.relation(HandoffRelOid, "public", "orders", HandoffRelCols))
@@ -343,7 +344,7 @@ object CdcQueries {
       col("o_orderdate").cast(org.apache.spark.sql.types.TimestampNTZType)
         .as("o_orderdate"),
       col("o_orderpriority"))
-    val envelope = orders.mapPartitions { it =>
+    val envelope = Tables.fanOut(orders).mapPartitions { it =>
       val tsFmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
       val assembler = new TransactionAssembler()
@@ -415,7 +416,8 @@ object CdcQueries {
     val out = StructType(Seq(
       StructField("op", StringType), StructField("event_id", LongType),
       StructField("user_id", LongType), StructField("value", DoubleType)))
-    val events = Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+    val events = Tables.fanOut(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       val rel = MessageEncoder.xlogData(1, 1, 0L,
@@ -502,9 +504,9 @@ object CdcQueries {
       buf.putInt(-1) // trailing NULL element
       buf.array()
     }
-    val events = Tables.events(s, dir)
+    val events = Tables.fanOut(Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
+        unix_micros(col("ts")).as("ts_us")))
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       assembler.onCopyData(MessageEncoder.xlogData(1, 1, 0L,
@@ -571,7 +573,8 @@ object CdcQueries {
     val out = StructType(Seq(
       StructField("prefix", StringType), StructField("is_text", BooleanType),
       StructField("content_len", LongType)))
-    val events = Tables.events(s, dir).select("event_id", "user_id", "event_type")
+    val events = Tables.fanOut(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type"))
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       var lsn = 10L
@@ -630,7 +633,10 @@ object CdcQueries {
     * hash. See [[IncrementalAgg]] for the maintenance semantics.
     */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
+    // fanned out: every batch/current frame below re-derives from this
+    // single-row-group scan, and the image-map construction + explode in
+    // each delta is the per-row CPU the one scan task would serialize
+    val orders = Tables.fanOut(Tables.orders(s, dir))
     val mapT = "map<string,string>"
     // integer-cents money discipline (see [[LakeQueries.cents]]): the
     // envelope carries BIGINT cents and the maintained sum/min/max stay

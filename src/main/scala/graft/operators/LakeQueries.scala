@@ -131,7 +131,10 @@ object LakeQueries {
     // previous process must not leak half-built state into the queries
     f.delete(rootPath, true)
     val sink = new LakeSink(root, baseBuckets = 16)
-    val orders = Tables.orders(s, dir)
+    // seed batch fanned out (Tables.fanOut): the source scan is one
+    // unsplittable row group, and every later fold reads this batch's
+    // files — one file would serialize every downstream fold's scan+CPU
+    val orders = Tables.fanOut(Tables.orders(s, dir))
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))
     val newCents = bump(cents0)
@@ -335,7 +338,10 @@ object LakeQueries {
     // coverage is unchanged — the same churn shapes hit the same code
     // paths on half the rows; full-table lake scale stays covered by
     // q_lake_state/q_lake_asof and the 10k-doc scale specs.
-    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+    // fanned out like the shared lake's seed (see [[build]]): the seed
+    // batch's file layout is what every maintainer's seed fold scans
+    val orders = Tables.fanOut(
+      Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0))
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))
     val newCents = bump(cents0)
@@ -658,8 +664,9 @@ object LakeQueries {
       djoin.emitTable._1, djoin.emitTable._2, "mjdagg", stateBuckets = 4)
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
-    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-    val cust = Tables.customer(s, dir)
+    val orders = Tables.fanOut(
+      Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0))
+    val cust = Tables.fanOut(Tables.customer(s, dir))
     val mapT = "map<string,string>"
     val pCents0 = cents(col("o_totalprice"))
     val pCentsNew = bump(pCents0)

@@ -23,6 +23,25 @@ object Tables {
       if (acc.columns.contains(c)) acc.withColumn(c, col(c).cast(t)) else acc
     }
 
+  /** Fan a narrow scan out to the session's parallelism before CPU-heavy
+    * per-row work. The test corpus is single-row-group parquet (one file,
+    * one row group per table — TESTDATA.md), which parquet cannot split:
+    * every scan plans ONE task, so map-side work (wire encode/decode,
+    * shingling, tokenization, regex scans) serializes on one core however
+    * many the session has. This is the optimization guide's "unsplittable
+    * input" case (§2.5): repartition right after the read. No-op when the
+    * scan already carries comparable parallelism (a real multi-file table
+    * at 100 TB), so the extra exchange exists only where the input could
+    * not parallelize anyway; round-robin keeps sizes even, and Spark's
+    * sort-before-repartition (on by default) keeps the placement
+    * deterministic under task retries. Apply AFTER projecting the needed
+    * columns so the exchange carries only what the consumer reads.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame =
     pin(apply(s, d, "orders"),

@@ -2,7 +2,6 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 
@@ -100,10 +99,84 @@ final class LakeSink(
     // must land, not be mistaken for a replay.
     val m = readManifest(f)
     if (m.exists(mm => batchId <= mm.watermark && batchId >= mm.minFolded)) return
-    batch.write.mode("overwrite")
+    // The batch's per-table TRUNCATE positions ride the write job as an
+    // observed metric (no second scan) and land as marker CONTENT: every
+    // fold needs "latest truncate at-or-below my read point", and reading
+    // it from the marker replaces a per-fold Spark job (maxTruncate) with
+    // a driver-side small-file read. Set size is bounded by the batch's
+    // truncate events (table-level DDL — rare, one row per table per
+    // txn). Crash semantics are unchanged: the marker's EXISTENCE is the
+    // commit, its content is best-effort metadata — a reader that cannot
+    // parse it (pre-metadata empty marker, torn write) falls back to the
+    // scan ([[markerTruncates]] returns None).
+    val obs = org.apache.spark.sql.Observation()
+    batch.observe(obs, collect_set(when(col("op") === "truncate",
+        struct(col("schema"), col("table"), col("commit_lsn"), col("lsn"))))
+        .as("tr"))
+      .write.mode("overwrite")
       .parquet(new Path(changelogDir, s"batch_id=$batchId").toString)
+    val truncLines = obs.get("tr") match {
+      case rows: Seq[_] =>
+        rows.collect { case r: org.apache.spark.sql.Row =>
+          ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))
+        }.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case ((sch, tbl), positions) =>
+            val (cl, l) = positions.map(_._2).max
+            s"$sch\t$tbl\t$cl\t$l"
+          }
+      case _ => Seq.empty
+    }
     f.mkdirs(commitDir)
-    f.create(marker, true).close()
+    val out = f.create(marker, true)
+    try out.write((TruncMetaMagic +: truncLines).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Per-(batch, this sink) memo of parsed marker metadata — markers are
+    * immutable once written (vacuum only deletes them), so the memo can
+    * never serve stale content; bounded defensively for very long-lived
+    * processes.
+    */
+  private val markerMeta =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Seq[(String, String, Long, Long)]]]()
+
+  /** Max truncate position for one table across committed batches `ids`,
+    * from the batch markers' metadata. `None` = at least one marker lacks
+    * parseable metadata (pre-metadata lake, torn write) — the caller must
+    * fall back to the [[maxTruncate]] scan. `Some(opt)` = authoritative.
+    */
+  private def markerTruncates(f: FileSystem, ids: Seq[Long],
+      schemaName: String, table: String): Option[Option[(Long, Long)]] = {
+    if (markerMeta.size > 65536) markerMeta.clear()
+    val metas = ids.map { id =>
+      markerMeta.computeIfAbsent(id, _ => {
+        val p = new Path(commitDir, id.toString)
+        try {
+          val in = f.open(p)
+          val s =
+            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          val lines = s.split("\n", -1).toSeq
+          if (lines.headOption.map(_.trim).contains(TruncMetaMagic)) {
+            val parsed = lines.tail.filter(_.nonEmpty).map { l =>
+              l.split("\t") match {
+                case Array(sch, tbl, cl, ln) =>
+                  (for { c <- cl.toLongOption; x <- ln.toLongOption }
+                    yield (sch, tbl, c, x)).orNull
+                case _ => null
+              }
+            }
+            if (parsed.contains(null)) None else Some(parsed)
+          } else None
+        } catch { case _: java.io.IOException => None }
+      })
+    }
+    if (metas.contains(None)) None
+    else Some(metas.flatten.flatten
+      .collect { case (sch, tbl, cl, l) if sch == schemaName && tbl == table =>
+        (cl, l) }
+      .maxOption)
   }
 
   /** True when `batchId` is durably part of this lake: its commit marker
@@ -210,12 +283,22 @@ final class LakeSink(
           struct(lit(cl), lit(l)))
       case None => all
     }
-    val w = Window.partitionBy("k")
-      .orderBy(col("commit_lsn").desc, col("lsn").desc)
+    // One hash aggregate with PARTIAL (map-side) combining instead of a
+    // sort-based window: the winner per key is max_by position, and its
+    // position is the key's max position — identical output (positions
+    // are unique per key: lsn strictly orders a key's events), but the
+    // shuffle input pre-combines on the map side where keys repeat and
+    // the reduce side needs no sort (guide §2.3 "aggregate before you
+    // shuffle").
     live.filter(col("op") =!= "truncate")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "delete")
-      .select(col("k"), col("after"), col("commit_lsn"), col("lsn"))
+      .groupBy(col("k"))
+      .agg(
+        max_by(struct(col("op"), col("after")),
+          struct(col("commit_lsn"), col("lsn"))).as("_w"),
+        max(struct(col("commit_lsn"), col("lsn"))).as("_pos"))
+      .filter(col("_w.op") =!= "delete")
+      .select(col("k"), col("_w.after").as("after"),
+        col("_pos.commit_lsn").as("commit_lsn"), col("_pos.lsn").as("lsn"))
   }
 
   /** Position of the latest truncate in `keyed`, if any (one-row scalar
@@ -265,15 +348,19 @@ final class LakeSink(
     * [[graft.types.PgTypes.typedColumns]] for a typed frame.
     */
   def latestState(spark: SparkSession, schemaName: String, table: String): DataFrame = {
-    val m = readManifest(fs(spark))
+    val f = fs(spark)
+    val m = readManifest(f)
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
     val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
     val tail = keyedEvents(changelogOutside(spark, lo, wm)
         .filter(col("schema") === schemaName && col("table") === table))
       .drop("schema", "table")
     // BASE holds no truncate rows (they fold away), so the tail alone
-    // determines the supersession point.
-    val truncAt = maxTruncate(tail)
+    // determines the supersession point — read from the batch markers'
+    // metadata (no Spark job); pre-metadata markers fall back to the scan.
+    val tailIds = committedBatchIds(spark).filter(id => id < lo || id > wm)
+    val truncAt = markerTruncates(f, tailIds, schemaName, table)
+      .getOrElse(maxTruncate(tail))
     val all = baseFor(spark, m, schemaName, table)
       .map(_.unionByName(tail)).getOrElse(tail)
     foldImages(all, truncAt)
@@ -380,8 +467,12 @@ final class LakeSink(
     // truncate detection stays on the UNRESTRICTED tail: truncates carry
     // no key, and must supersede restricted rows too (restricted frames
     // may drop truncate rows freely — foldImages only reads them through
-    // the `truncAt` position computed here)
-    val truncAt = maxTruncate(tail0)
+    // the `truncAt` position computed here). Marker metadata first (no
+    // Spark job), scan fallback for pre-metadata markers.
+    val tailIds = committed.filter(id =>
+      (id < lo || id > wm) && id <= asOf && id >= floor)
+    val truncAt = markerTruncates(f, tailIds, schemaName, table)
+      .getOrElse(maxTruncate(tail0))
     // `restrictToKeys` (a single-column `k` frame spelled like the fold
     // key) prunes the fold to those keys' histories. SOUND ONLY for
     // restriction on the replica-identity key itself — the fold groups by
@@ -1271,6 +1362,12 @@ object LakeSink {
   private[sinks] val KeySep = "\u0000"
 
   private[sinks] val ManifestPrefix = "_base_manifest."
+
+  /** First line of a batch commit marker that carries truncate metadata
+    * (see [[LakeSink.appendBatch]]) — pre-metadata markers are empty and
+    * read as "unknown", falling back to the scan.
+    */
+  private[sinks] val TruncMetaMagic = "t1"
 
   /** The BASE pointer: folded watermark, bucket count, and the slice map
     * (schema, table, bucket) → data dir relative to the lake root.
