@@ -31,7 +31,12 @@ object AnnQueries {
     * embedding near-dup audit in [[DedupQueries]].
     */
   private[operators] def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    // fanned out: the embeddings table is one unsplittable row group, and
+    // every consumer (centroid training, assignment, signatures, cosine
+    // joins) runs 64-dim per-row arithmetic the single scan task would
+    // serialize
+    Tables.fanOut(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v")))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Cosine of two (v, norm) pairs — the one scoring expression every ANN

@@ -633,10 +633,12 @@ object CdcQueries {
     * hash. See [[IncrementalAgg]] for the maintenance semantics.
     */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    // fanned out: every batch/current frame below re-derives from this
-    // single-row-group scan, and the image-map construction + explode in
-    // each delta is the per-row CPU the one scan task would serialize
-    val orders = Tables.fanOut(Tables.orders(s, dir))
+    // fanned out AND materialized once: ~10 derived jobs (three deltas,
+    // three dirty-group recomputes, the distinct fold, the final view)
+    // each re-derive from this scan — localCheckpoint turns ten
+    // scan+exchange re-runs into ten parallel cached-block reads (the
+    // checkpoint is inside the timed query, recomputed every run)
+    val orders = Tables.fanOut(Tables.orders(s, dir)).localCheckpoint()
     val mapT = "map<string,string>"
     // integer-cents money discipline (see [[LakeQueries.cents]]): the
     // envelope carries BIGINT cents and the maintained sum/min/max stay

@@ -41,7 +41,7 @@ object CurationQueries {
     val rate = when(col("lang") === "en", lit(EnRatePermille))
       .otherwise(lit(OtherRatePermille))
     val u = hash60(concat(lit("sample-"), col("doc_id").cast("string"))) % 1000
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("lang"), col("doc_id"), rate.as("rate"), u.as("u"))
       .groupBy("lang")
       .agg(
@@ -71,7 +71,7 @@ object CurationQueries {
     val split = when(nibble >= 14, "test")
       .when(nibble >= 12, "val")
       .otherwise("train")
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"), split.as("split"))
       .groupBy("split")
       .agg(
@@ -97,7 +97,7 @@ object CurationQueries {
     * count-min-sketch pre-pass — the plan shape downstream is identical.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(s, dir)
+    val counts = Tables.fanOut(Tables.documents(s, dir))
       .select(col("lang"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("lang", "tok")
@@ -342,7 +342,7 @@ object CurationQueries {
     * the largest single sort is one shard, not one source.
     */
   def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
-    withTokenOffsets(s, Tables.documents(s, dir)
+    withTokenOffsets(s, Tables.fanOut(Tables.documents(s, dir))
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
         hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
@@ -368,7 +368,7 @@ object CurationQueries {
     * whole-source sort; the manifest is a projection over it.
     */
   def packManifest(s: SparkSession, dir: String): DataFrame =
-    withTokenOffsets(s, Tables.documents(s, dir)
+    withTokenOffsets(s, Tables.fanOut(Tables.documents(s, dir))
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
         hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
@@ -392,7 +392,7 @@ object CurationQueries {
     * over text, no explosion to one-row-per-token.
     */
   def sequencePacking(s: SparkSession, dir: String): DataFrame = {
-    withTokenOffsets(s, Tables.documents(s, dir)
+    withTokenOffsets(s, Tables.fanOut(Tables.documents(s, dir))
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
         hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
@@ -447,7 +447,7 @@ object CurationQueries {
     * occurrences in it.
     */
   def cmsTokenCounts(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir))
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("w"))
@@ -503,7 +503,7 @@ object CurationQueries {
     */
   def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     val h = hash60(concat(lit("hll-"), col("user_id").cast("string")))
-    val regs = Tables.events(s, dir)
+    val regs = Tables.fanOut(Tables.events(s, dir))
       .select(col("event_type"), h.as("h"))
       .withColumn("reg", col("h") % HllRegisters)
       .withColumn("v", expr(s"h div $HllRegisters"))
@@ -529,7 +529,7 @@ object CurationQueries {
       raw <= lit(2.5) * lit(HllRegisters.toDouble) && col("n_empty") > 0,
       lit(HllRegisters.toDouble) * log(lit(HllRegisters.toDouble) / col("n_empty")))
       .otherwise(raw)
-    val exact = Tables.events(s, dir)
+    val exact = Tables.fanOut(Tables.events(s, dir))
       .groupBy("event_type").agg(count_distinct(col("user_id")).as("exact_distinct"))
     folded
       .withColumn("hll_estimate", round(est, 2))

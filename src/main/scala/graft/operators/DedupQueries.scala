@@ -16,7 +16,7 @@ object DedupQueries {
     * aggregation — the cheapest pass, always run first at scale.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .agg(
         count(lit(1)).as("n_docs"),
         count_distinct(md5(col("text"))).as("n_unique"),
@@ -106,7 +106,7 @@ object DedupQueries {
     * recall-safe index; the Hamming filter is the precision gate.
     */
   def simhashBanding(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
+    val sig = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), SimHash.simhash(tokens(col("text"))).as("sig"))
     def bandKey(j: Int): Column = shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))
     val bands = sig.select(col("doc_id"), col("sig"),
@@ -235,7 +235,7 @@ object DedupQueries {
     * reproduces the digest bit-for-bit.
     */
   def spanDedup(s: SparkSession, dir: String): DataFrame =
-    spanDedupFrame(Tables.documents(s, dir).select("doc_id", "source", "text"))
+    spanDedupFrame(Tables.fanOut(Tables.documents(s, dir)).select("doc_id", "source", "text"))
 
   /** [[spanDedup]] over any `(doc_id, source, text)` frame — the composable
     * library entry a pipeline calls on its OWN corpus (e.g. the partitioned

@@ -133,8 +133,10 @@ object LakeQueries {
     val sink = new LakeSink(root, baseBuckets = 16)
     // seed batch fanned out (Tables.fanOut): the source scan is one
     // unsplittable row group, and every later fold reads this batch's
-    // files — one file would serialize every downstream fold's scan+CPU
-    val orders = Tables.fanOut(Tables.orders(s, dir))
+    // files — one file would serialize every downstream fold's scan+CPU.
+    // Churn batches stay narrow (near-empty files otherwise).
+    val ordersNarrow = Tables.orders(s, dir)
+    val orders = Tables.fanOut(ordersNarrow)
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))
     val newCents = bump(cents0)
@@ -143,9 +145,9 @@ object LakeQueries {
     sink.appendBatch(envelope(orders, "insert", L0,
       lit(null).cast(mapT), img(cents0)), 0L)
     sink.compact(s) // BASE covers batch 0; batches 1-2 are the fold tail
-    sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
+    sink.appendBatch(envelope(ordersNarrow.filter(col("o_orderkey") % 7 === 0),
       "update", L1, img(cents0), img(newCents)), 1L)
-    sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 13 === 0),
+    sink.appendBatch(envelope(ordersNarrow.filter(col("o_orderkey") % 13 === 0),
       "delete", L2, img(curCents), lit(null).cast(mapT)), 2L)
     // batch 0's changelog is deletable (BASE covers it): every later read
     // must survive on manifest + marks alone
@@ -338,10 +340,11 @@ object LakeQueries {
     // coverage is unchanged — the same churn shapes hit the same code
     // paths on half the rows; full-table lake scale stays covered by
     // q_lake_state/q_lake_asof and the 10k-doc scale specs.
-    // fanned out like the shared lake's seed (see [[build]]): the seed
-    // batch's file layout is what every maintainer's seed fold scans
-    val orders = Tables.fanOut(
-      Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0))
+    // seed batch fanned out like the shared lake's (see [[build]]): its
+    // file layout is what every maintainer's seed fold scans; churn
+    // batches stay narrow (near-empty files otherwise — see buildJoin)
+    val ordersNarrow = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+    val orders = Tables.fanOut(ordersNarrow)
     val mapT = "map<string,string>"
     val cents0 = cents(col("o_totalprice"))
     val newCents = bump(cents0)
@@ -372,13 +375,13 @@ object LakeQueries {
     ph("mv_compact")(sink.compact(s)) // later recomputes resolve batch 0
                                       // through BASE
     ph("mv_append1") {
-      sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 7 === 0),
+      sink.appendBatch(envelope(ordersNarrow.filter(col("o_orderkey") % 7 === 0),
         "update", L1, imgMv(cents0), imgMv(newCents)), 1L)
     }
     ph("mv_ref1_view")(view.refresh(s)) // signed update deltas, touched
                                         // buckets only
     ph("mv_append2") {
-      sink.appendBatch(envelope(orders.filter(col("o_orderkey") % 13 === 0),
+      sink.appendBatch(envelope(ordersNarrow.filter(col("o_orderkey") % 13 === 0),
         "delete", L2, imgMv(curCents), lit(null).cast(mapT)), 2L)
     }
     ph("mv_ref2_wall")(inParallel(
@@ -664,9 +667,14 @@ object LakeQueries {
       djoin.emitTable._1, djoin.emitTable._2, "mjdagg", stateBuckets = 4)
     // the declared fact-side subset (25%) — the oracle and LakeQueriesSpec
     // recompute over exactly this slice
-    val orders = Tables.fanOut(
-      Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0))
-    val cust = Tables.fanOut(Tables.customer(s, dir))
+    // seed batches fanned out (parallel downstream folds); churn batches
+    // stay on the narrow scan — a 1-2% filter repartitioned to the full
+    // parallelism writes dozens of near-empty files per append and every
+    // later span read pays per-file overhead for nothing
+    val ordersNarrow = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+    val orders = Tables.fanOut(ordersNarrow)
+    val custNarrow = Tables.customer(s, dir)
+    val cust = Tables.fanOut(custNarrow)
     val mapT = "map<string,string>"
     val pCents0 = cents(col("o_totalprice"))
     val pCentsNew = bump(pCents0)
@@ -687,16 +695,16 @@ object LakeQueries {
                                           // emitted batch
     ph("mj_append12") {
       sink.appendBatch(
-        cenv(cust.filter(col("c_custkey") % 53 === 0), "update", L1,
+        cenv(custNarrow.filter(col("c_custkey") % 53 === 0), "update", L1,
           cimg(bCents0), cimg(bCentsNew))
-          .unionByName(oenv(orders.filter(col("o_orderkey") % 97 === 0),
+          .unionByName(oenv(ordersNarrow.filter(col("o_orderkey") % 97 === 0),
             "update", L1 + 50000000L,
             oimg(pCents0), oimg(pCentsNew))), 1L)
       sink.appendBatch(
-        cenv(cust.filter(col("c_custkey") % 101 === 0), "delete", L2,
+        cenv(custNarrow.filter(col("c_custkey") % 101 === 0), "delete", L2,
           cimg(when(col("c_custkey") % 53 === 0, bCentsNew)
             .otherwise(bCents0)), lit(null).cast(mapT))
-          .unionByName(oenv(orders.filter(col("o_orderkey") % 89 === 0),
+          .unionByName(oenv(ordersNarrow.filter(col("o_orderkey") % 89 === 0),
             "delete", L2 + 50000000L,
             oimg(pCentsCur), lit(null).cast(mapT))), 2L)
     }

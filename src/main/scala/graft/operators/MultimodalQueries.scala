@@ -88,7 +88,8 @@ object MultimodalQueries {
   def mediaObjects(s: SparkSession, dir: String): Dataset[MediaObject] = {
     import s.implicits._
     import graft.functions.MediaGen
-    Tables.documents(s, dir).select("doc_id", "text", "source")
+    graft.operators.Tables.fanOut(
+        Tables.documents(s, dir).select("doc_id", "text", "source"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, text, source) =>

@@ -61,7 +61,11 @@ object ShingleSets {
     memo.keys.count(_._1 eq s)
 
   private def build(s: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.documents(s, dir).select("doc_id", "text").mapPartitions { it =>
+    // fanned out (Tables.fanOut): documents is one unsplittable row group,
+    // and the shingling loop below is exactly the per-row CPU a single
+    // scan task would serialize across every dedup consumer
+    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+      .mapPartitions { it =>
       it.flatMap { r =>
         val toks = r.getString(1).split("\\s+", -1)
         if (toks.length < n) Iterator.empty

@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 
@@ -283,22 +284,16 @@ final class LakeSink(
           struct(lit(cl), lit(l)))
       case None => all
     }
-    // One hash aggregate with PARTIAL (map-side) combining instead of a
-    // sort-based window: the winner per key is max_by position, and its
-    // position is the key's max position — identical output (positions
-    // are unique per key: lsn strictly orders a key's events), but the
-    // shuffle input pre-combines on the map side where keys repeat and
-    // the reduce side needs no sort (guide §2.3 "aggregate before you
-    // shuffle").
+    // Measured note (optimization round): a groupBy(k).max_by(...) fold
+    // plans as SortAggregate here (the winner's op/after value is not a
+    // mutable aggregation-buffer type), i.e. two sorts instead of the
+    // window's one — the window stays.
+    val w = Window.partitionBy("k")
+      .orderBy(col("commit_lsn").desc, col("lsn").desc)
     live.filter(col("op") =!= "truncate")
-      .groupBy(col("k"))
-      .agg(
-        max_by(struct(col("op"), col("after")),
-          struct(col("commit_lsn"), col("lsn"))).as("_w"),
-        max(struct(col("commit_lsn"), col("lsn"))).as("_pos"))
-      .filter(col("_w.op") =!= "delete")
-      .select(col("k"), col("_w.after").as("after"),
-        col("_pos.commit_lsn").as("commit_lsn"), col("_pos.lsn").as("lsn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("k"), col("after"), col("commit_lsn"), col("lsn"))
   }
 
   /** Position of the latest truncate in `keyed`, if any (one-row scalar
