@@ -31,12 +31,12 @@ object AnnQueries {
     * embedding near-dup audit in [[DedupQueries]].
     */
   private[operators] def vectors(s: SparkSession, dir: String): DataFrame =
-    // fanned out: the embeddings table is one unsplittable row group, and
-    // every consumer (centroid training, assignment, signatures, cosine
-    // joins) runs 64-dim per-row arithmetic the single scan task would
-    // serialize
-    Tables.fanOut(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v")))
+    // deliberately NOT fanned out here: most consumers' heavy work (cosine
+    // joins, bucket joins) runs after their own exchange and parallelizes
+    // there — a blanket repartition only added an AQE stage per query.
+    // The scan-stage-heavy consumers (k-means training, cell assignment)
+    // fan out at their own call sites instead.
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Cosine of two (v, norm) pairs — the one scoring expression every ANN
@@ -121,7 +121,8 @@ object AnnQueries {
       // the unit vectors once (at scale this is the materialized training
       // table every iteration reads), then released. The unpersist blocks so
       // eviction can't bleed into whatever the caller times next.
-      val vn = vectors(s, dir).select(col("vec_id"), unitCol.as("u")).persist()
+      val vn = Tables.fanOut(
+        vectors(s, dir).select(col("vec_id"), unitCol.as("u"))).persist()
       try trainLoop(vn) finally vn.unpersist(blocking = true)
     })
 
@@ -191,7 +192,9 @@ object AnnQueries {
     val cents = trainCentroids(s, dir)
     val vecs = vectors(s, dir)
     val vn = vecs.withColumn("u", unitCol)
-    val assign = vn.withColumn("cell", assignCell(cents))
+    // assignment fanned out: assignCell is a K×dim argmax evaluated in the
+    // SCAN stage (pre-join), which the single-row-group scan serializes
+    val assign = Tables.fanOut(vn).withColumn("cell", assignCell(cents))
       .select(col("vec_id"), col("cell"))
     val probeEntries = cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
@@ -272,7 +275,8 @@ object AnnQueries {
     */
   private def pqIndex(s: SparkSession, dir: String): (Array[Array[Array[Double]]], DataFrame) =
     pqMemo.getOrElseUpdate((s, dir), {
-      val vn = vectors(s, dir).select(col("vec_id"), unitCol.as("u")).persist()
+      val vn = Tables.fanOut(
+        vectors(s, dir).select(col("vec_id"), unitCol.as("u"))).persist()
       try {
         val seedRows = vn
           .withColumn("m", md5(col("vec_id").cast("string").cast("binary")))
@@ -392,9 +396,13 @@ object AnnQueries {
     */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val cents = trainCentroids(s, dir)
-    val assign = vectors(s, dir).withColumn("u", unitCol)
+    // fanned out (assignCell runs in the scan stage) AND materialized
+    // once: the frame feeds the self-join twice plus the member count —
+    // without the checkpoint the K×dim argmax evaluates three times per row
+    val assign = Tables.fanOut(vectors(s, dir).withColumn("u", unitCol))
       .withColumn("cell", assignCell(cents))
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+      .localCheckpoint()
     val pairs = assign.as("a")
       .join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -547,7 +555,9 @@ object AnnQueries {
 
   private[operators] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir), {
-      vectors(s, dir)
+      // fanned out before the persist: the SRP projection runs in the scan
+      // stage, and every consumer then reads parallel cached partitions
+      Tables.fanOut(vectors(s, dir))
         .select(col("vec_id"), col("v"), col("norm"),
           posexplode(graft.functions.VectorOps.srpBuckets(
             col("v"), flatWeights, Dim, Bands, BandBits)).as(Seq("band", "bucket")))
