@@ -165,8 +165,10 @@ object CdcQueries {
     val out = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val events = Tables.fanOut(
-      Tables.events(s, dir).select("event_id", "user_id", "value"))
+    // measured A/B (r21): ~0.5 s of serial codec CPU here — the fan-out
+    // exchange cost more than it saved; see typedViewOrders for the
+    // >1 s-serial-CPU cases where it pays
+    val events = Tables.events(s, dir).select("event_id", "user_id", "value")
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       val rel = MessageEncoder.xlogData(1, 1, 0L,
@@ -247,7 +249,7 @@ object CdcQueries {
       StructField("price", DoubleType), StructField("lsn", LongType)))
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
-    val decoded = Tables.fanOut(orders).mapPartitions { it =>
+    val decoded = orders.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       val rel = MessageEncoder.xlogData(1, 1, 0L,
         MessageEncoder.relation(HandoffRelOid, "public", "orders", HandoffRelCols))
@@ -416,8 +418,8 @@ object CdcQueries {
     val out = StructType(Seq(
       StructField("op", StringType), StructField("event_id", LongType),
       StructField("user_id", LongType), StructField("value", DoubleType)))
-    val events = Tables.fanOut(
-      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))
+    // measured A/B (r21): fan-out cost more than it saved (see above)
+    val events = Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       val rel = MessageEncoder.xlogData(1, 1, 0L,
@@ -633,12 +635,10 @@ object CdcQueries {
     * hash. See [[IncrementalAgg]] for the maintenance semantics.
     */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    // fanned out AND materialized once: ~10 derived jobs (three deltas,
-    // three dirty-group recomputes, the distinct fold, the final view)
-    // each re-derive from this scan — localCheckpoint turns ten
-    // scan+exchange re-runs into ten parallel cached-block reads (the
-    // checkpoint is inside the timed query, recomputed every run)
-    val orders = Tables.fanOut(Tables.orders(s, dir)).localCheckpoint()
+    // measured A/B (r21): fanOut+localCheckpoint here was ~0.4 s SLOWER
+    // than the bare scan — the per-step deltas are map-light and the
+    // extra exchange/materialization jobs outweigh the parallelism
+    val orders = Tables.orders(s, dir)
     val mapT = "map<string,string>"
     // integer-cents money discipline (see [[LakeQueries.cents]]): the
     // envelope carries BIGINT cents and the maintained sum/min/max stay

@@ -248,18 +248,20 @@ object CurationQueries {
     // stalled unpredictably on the relation build (2–10 s swings);
     // a map-typed bitmap was worse still (Catalyst's element_at on a map
     // is a LINEAR scan — O(m/64) per probe; on an array it is O(1)).
-    val allWords = s.range(0, BloomBits / 64)
-      .select(col("id").cast("int").as("w"), lit(0L).as("m"))
     // No distinct before the fold: bit_or is idempotent and the groupBy
     // partial-aggregates map-side down to ≤2^14 words per partition, so a
-    // pre-distinct would only add a full extra shuffle.
-    val bm: Array[Long] = trainSh
+    // pre-distinct would only add a full extra shuffle. Densification to
+    // the positional bitmap happens ON THE DRIVER over the ≤2^14 collected
+    // (word, mask) rows — the previous union-with-all-words + second
+    // groupBy + orderBy paid a second full shuffle and a range exchange
+    // just to zero-fill and order a 128 KB array (optimization round 21).
+    val bm = new Array[Long]((BloomBits / 64).toInt)
+    trainSh
       .select(explode(bitsOf(col("sh"))).as("bit"))
       .groupBy(expr("cast(bit div 64 as int)").as("w"))
       .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit % 64 as int)))").as("m"))
-      .unionByName(allWords)
-      .groupBy("w").agg(expr("bit_or(m)").as("m"))
-      .orderBy("w").select("m").as[Long].collect()
+      .select(col("w"), col("m")).collect()
+      .foreach(r => bm(r.getInt(0)) = r.getLong(1))
     val testSh = shing.filter(col("nib") >= 14)
       .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
     // Probe row-locally against the bitmap literal (one Literal node

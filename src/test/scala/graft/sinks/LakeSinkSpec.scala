@@ -735,4 +735,38 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(after == replay(5))
     }
   }
+
+  test("commit markers carry truncate metadata; a legacy empty marker falls back to the scan") {
+    withSink { (sink, dir) =>
+      sink.appendBatch(envelope(Seq(
+        ev(1, "insert", "users", null, Map("id" -> "1", "name" -> "a")),
+        ev(2, "insert", "users", null, Map("id" -> "2", "name" -> "b")))), 0L)
+      sink.appendBatch(envelope(Seq(
+        ev(3, "truncate", "users", null, null),
+        ev(4, "insert", "users", null, Map("id" -> "2", "name" -> "b2")))), 1L)
+      // the batch-1 marker records the truncate position for public.users
+      // (optimization r21: folds read the supersession point from marker
+      // metadata instead of running a per-fold aggregation job)
+      val m1 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_commits", "1")), "UTF-8")
+      assert(m1.startsWith("t1"), s"marker magic missing: '$m1'")
+      assert(m1.contains("public\tusers\t3\t3"),
+        s"truncate position missing from marker metadata: '$m1'")
+      val m0 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_commits", "0")), "UTF-8")
+      assert(m0.trim == "t1", s"truncate-free batch marker should carry only the magic: '$m0'")
+      assert(stateMap(sink) == Map("2" -> "b2"))
+      // a PRE-METADATA lake's markers are empty — the fold must fall back
+      // to the maxTruncate scan and produce the same state (fresh sink
+      // instance: marker metadata is memoized per instance)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_graft_commits", "1"), Array.empty[Byte])
+      val reopened = new LakeSink(dir)
+      val fallback = reopened.latestState(spark, "public", "users")
+        .select(col("k"), element_at(col("after"), "name").as("name"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(fallback == Map("2" -> "b2"),
+        "legacy empty marker must fold identically via the scan fallback")
+    }
+  }
 }
