@@ -132,6 +132,10 @@ final class LakeSink(
     try out.write((TruncMetaMagic +: truncLines).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // a cleared-then-reused batch id (clearSnapshot + re-export) must not
+    // serve the previous marker's memoized metadata
+    markerMeta.remove(batchId)
+    ()
   }
 
   /** Per-(batch, this sink) memo of parsed marker metadata — markers are
