@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler._
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-/** Throwaway measurement probe (optimization round): counts Spark jobs,
-  * stages, tasks and summed task time across one gate build, so wall time
-  * decomposes into scheduled work vs per-job overhead.
+/** Measurement probe (optimization rounds): counts Spark jobs, stages,
+  * tasks and summed task time across gate builds or queries (comma list),
+  * with a per-action histogram — so wall time decomposes into scheduled
+  * work vs per-job overhead. Warm pass at the small SF first, like Bench.
   */
 object ProfileProbe {
   def main(args: Array[String]): Unit = {
