@@ -17,6 +17,12 @@ import graft.functions.TextFunctions._
   * counts, never on raw rows).
   */
 object CurationQueries {
+  // Scans here deliberately stay UNfanned (no Tables.fanOut): BenchOne
+  // A/B at sf0.1 measured the round-robin exchange costing more than the
+  // parallelism saved on every query in this file (hll 1.80 fanned vs
+  // 1.00 plain, seq_packing 1.73 vs 0.92, cms 1.43 vs 0.75, budget_mix
+  // 1.48 vs 1.03, manifest 1.39 vs 0.97, dedup_exact 0.92 vs 0.41) —
+  // their heavy work runs after their own shuffles already.
 
   /** Per-mille keep rates by language — a deliberately non-uniform target
     * mix (downsample the over-represented language, keep more of the rest),
@@ -41,7 +47,7 @@ object CurationQueries {
     val rate = when(col("lang") === "en", lit(EnRatePermille))
       .otherwise(lit(OtherRatePermille))
     val u = hash60(concat(lit("sample-"), col("doc_id").cast("string"))) % 1000
-    Tables.fanOut(Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), rate.as("rate"), u.as("u"))
       .groupBy("lang")
       .agg(
@@ -71,7 +77,7 @@ object CurationQueries {
     val split = when(nibble >= 14, "test")
       .when(nibble >= 12, "val")
       .otherwise("train")
-    Tables.fanOut(Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), split.as("split"))
       .groupBy("split")
       .agg(
@@ -97,7 +103,7 @@ object CurationQueries {
     * count-min-sketch pre-pass — the plan shape downstream is identical.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.fanOut(Tables.documents(s, dir))
+    val counts = Tables.documents(s, dir)
       .select(col("lang"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("lang", "tok")
@@ -344,7 +350,7 @@ object CurationQueries {
     * the largest single sort is one shard, not one source.
     */
   def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
-    withTokenOffsets(s, Tables.fanOut(Tables.documents(s, dir))
+    withTokenOffsets(s, Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
         hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
@@ -370,7 +376,7 @@ object CurationQueries {
     * whole-source sort; the manifest is a projection over it.
     */
   def packManifest(s: SparkSession, dir: String): DataFrame =
-    withTokenOffsets(s, Tables.fanOut(Tables.documents(s, dir))
+    withTokenOffsets(s, Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
         hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
@@ -394,7 +400,7 @@ object CurationQueries {
     * over text, no explosion to one-row-per-token.
     */
   def sequencePacking(s: SparkSession, dir: String): DataFrame = {
-    withTokenOffsets(s, Tables.fanOut(Tables.documents(s, dir))
+    withTokenOffsets(s, Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"),
         hash60(concat(lit("mix-"), col("doc_id").cast("string"))).as("pri")))
@@ -449,7 +455,7 @@ object CurationQueries {
     * occurrences in it.
     */
   def cmsTokenCounts(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.fanOut(Tables.documents(s, dir))
+    val toks = Tables.documents(s, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("w"))
@@ -505,7 +511,7 @@ object CurationQueries {
     */
   def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     val h = hash60(concat(lit("hll-"), col("user_id").cast("string")))
-    val regs = Tables.fanOut(Tables.events(s, dir))
+    val regs = Tables.events(s, dir)
       .select(col("event_type"), h.as("h"))
       .withColumn("reg", col("h") % HllRegisters)
       .withColumn("v", expr(s"h div $HllRegisters"))
@@ -531,7 +537,7 @@ object CurationQueries {
       raw <= lit(2.5) * lit(HllRegisters.toDouble) && col("n_empty") > 0,
       lit(HllRegisters.toDouble) * log(lit(HllRegisters.toDouble) / col("n_empty")))
       .otherwise(raw)
-    val exact = Tables.fanOut(Tables.events(s, dir))
+    val exact = Tables.events(s, dir)
       .groupBy("event_type").agg(count_distinct(col("user_id")).as("exact_distinct"))
     folded
       .withColumn("hll_estimate", round(est, 2))

@@ -16,7 +16,8 @@ object DedupQueries {
     * aggregation — the cheapest pass, always run first at scale.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, dir))
+    // A/B (r21): below the fan-out breakeven — 0.41 s plain vs 0.92 s fanned
+    Tables.documents(s, dir)
       .agg(
         count(lit(1)).as("n_docs"),
         count_distinct(md5(col("text"))).as("n_unique"),
@@ -235,7 +236,8 @@ object DedupQueries {
     * reproduces the digest bit-for-bit.
     */
   def spanDedup(s: SparkSession, dir: String): DataFrame =
-    spanDedupFrame(Tables.fanOut(Tables.documents(s, dir)).select("doc_id", "source", "text"))
+    // A/B (r21): 0.93 s plain vs 1.21 s fanned — segment explode is post-shuffle work
+    spanDedupFrame(Tables.documents(s, dir).select("doc_id", "source", "text"))
 
   /** [[spanDedup]] over any `(doc_id, source, text)` frame — the composable
     * library entry a pipeline calls on its OWN corpus (e.g. the partitioned

@@ -13,21 +13,19 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
-  /** The documents scan fanned out to the session's parallelism
-    * ([[Tables.fanOut]]): the table is one unsplittable row group, and
-    * every query here runs per-row tokenization/regex/higher-order-array
-    * CPU that a single scan task would serialize. Column pruning pushes
-    * through the exchange, so queries that read only metadata columns
-    * shuffle only those.
-    */
-  private def docsFanned(s: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, dir))
+  // Most queries here deliberately read the PLAIN documents scan: at this
+  // corpus (5000 docs) their serial scan-stage CPU is under the measured
+  // ~1 s fan-out breakeven, and the BenchOne A/B showed the extra
+  // exchange+AQE stage costing 0.1-0.6 s per query (e.g. tfidf 1.59
+  // fanned vs 0.97 plain, lm_score 1.14 vs 0.81, token_entropy 1.36 vs
+  // 0.85). The two scan-stage-heavy kernels (trigram build,
+  // repetition stats) keep Tables.fanOut — see their comments.
 
   /** Per-language corpus stats: document counts, whitespace-token totals,
     * char-length distribution.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    docsFanned(s, dir)
+    Tables.documents(s, dir)
       .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
       .groupBy("lang")
       .agg(
@@ -43,7 +41,7 @@ object TextQueries {
     * higher-order array functions (filter/aggregate), averaged per source.
     */
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    docsFanned(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("stop_cnt",
@@ -75,7 +73,7 @@ object TextQueries {
       "r_stopwords" -> (col("stop_cnt") >= 2),
       "r_alpha_frac" -> (col("alpha_frac") >= 0.8),
       "r_max_word_len" -> (col("max_len") <= 20))
-    val flagged = docsFanned(s, dir)
+    val flagged = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("stop_cnt", size(filter(col("toks"), t => t === "a" || t === "the")))
@@ -102,7 +100,7 @@ object TextQueries {
     * inverted-index shape as TF-IDF, nothing corpus-wide.
     */
   def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
-    val counts = docsFanned(s, dir)
+    val counts = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
     val perDoc = counts
@@ -132,7 +130,7 @@ object TextQueries {
     * crossjoins, and the unigram join keys are vocabulary-sized.
     */
   def pmiBigrams(s: SparkSession, dir: String, minCount: Int = 20, k: Int = 15): DataFrame = {
-    val docs = docsFanned(s, dir).select(tokens(col("text")).as("t"))
+    val docs = Tables.documents(s, dir).select(tokens(col("text")).as("t"))
     val uni = docs.select(explode(col("t")).as("tok"))
     val bi = docs.select(explode(wordShingles(col("t"), 2)).as("bg"))
     val uc = uni.groupBy("tok").agg(count(lit(1)).as("cu"))
@@ -159,7 +157,7 @@ object TextQueries {
     * punctuation) standing in for a real tokenizer's pre-tokenization pass.
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    docsFanned(s, dir)
+    Tables.documents(s, dir)
       .withColumn("n_bpe",
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
       .groupBy("lang")
@@ -221,7 +219,10 @@ object TextQueries {
         StructField("lang", StringType, nullable = true),
         StructField("g", StringType, nullable = false),
         StructField("c", LongType, nullable = false)))
-      docsFanned(s, dir).select("doc_id", "lang", "text")
+      // fanned out — the imperative trigram kernel is the scan-stage CPU
+      // (prep_trigram_counts ~1.2-1.8 s single-task, ~0.6-1.4 s fanned),
+      // and consumers then read parallel cached partitions
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "lang", "text"))
         .mapPartitions { it =>
           it.flatMap { r =>
             val t = r.getString(2).toLowerCase(java.util.Locale.ROOT)
@@ -276,7 +277,7 @@ object TextQueries {
     * its own terms only — shuffle keys never exceed (doc, term).
     */
   def tfidfKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = docsFanned(s, dir)
+    val docs = Tables.documents(s, dir)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -303,7 +304,7 @@ object TextQueries {
     * oracle must hash-match; the sketch is not cross-engine deterministic.)
     */
   def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
-    docsFanned(s, dir)
+    Tables.documents(s, dir)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -324,7 +325,10 @@ object TextQueries {
     */
   def repetitionStats(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
-    docsFanned(s, dir)
+    // fanned out — the row-local top-count transform is O(distinct x n)
+    // per doc and the heaviest scan-stage kernel here (BenchOne A/B:
+    // 0.76 s fanned vs 1.05 s plain)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("lang"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -375,7 +379,7 @@ object TextQueries {
     val Seq(t1, t2, t3) = Bm25Terms
     def tfCol(t: String) =
       sum(when(col("tok") === t, 1L).otherwise(0L))
-    val per = docsFanned(s, dir)
+    val per = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id")
@@ -469,7 +473,7 @@ object TextQueries {
       lit(" https://portal.example.com/u/"), col("c_custkey").cast("string"))
     val audit = Tables.customer(s, dir)
       .select(lit("customer_audit").as("source"), auditText.as("text"))
-    docsFanned(s, dir).select(col("source"), col("text"))
+    Tables.documents(s, dir).select(col("source"), col("text"))
       .unionByName(audit)
   }
 
@@ -540,7 +544,7 @@ object TextQueries {
     */
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
-    val counts = docsFanned(s, dir)
+    val counts = Tables.documents(s, dir)
       .select(col("lang"), explode(toks).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
       .withColumn("shard", pmod(xxhash64(col("tok")), lit(32)))
