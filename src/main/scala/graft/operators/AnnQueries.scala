@@ -305,9 +305,15 @@ object AnnQueries {
             }
           })
         }
-        val codes = vn.select(col("vec_id") +:
+        // The PERSISTED artifact is coalesced to its own size-derived
+        // width (r21 verdict #1): codes are 5 small ints per row, so
+        // inheriting the training frame's fan-out left 32 near-empty
+        // cached partitions and every ADC scan paid 32 tasks of overhead
+        // (driver: q_ann_pq 1.0 → 1.6 s). coalesce, not repartition — no
+        // extra exchange; the trivial encode projection narrows with it.
+        val codes0 = vn.select(col("vec_id") +:
           (0 until PqM).map(m => assignCode(subCol(m), books(m)).as(s"k$m")): _*)
-          .persist()
+        val codes = codes0.coalesce(Tables.fanWidth(codes0)).persist()
         codes.count() // materialize: encode runs once per corpus row
         (books, codes)
       } finally vn.unpersist(blocking = true)
@@ -394,15 +400,39 @@ object AnnQueries {
     * would cap via per-cell sampling at scale; nothing is ever
     * corpus-quadratic.
     */
+  /** The last call's materialized assignment per (session, dir) — released
+    * on the next call and by [[releaseSemanticAssign]], so repeated calls
+    * hold at most ONE materialization alive (r21 advice: the previous
+    * eager localCheckpoint was never released and its blocks were
+    * unrecoverable on executor loss). NOT a result memo: every call
+    * recomputes; the slot exists only to free the previous call's blocks.
+    */
+  private val assignSlot =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Release the live semanticDedup assignment materializations of `s`. */
+  def releaseSemanticAssign(s: SparkSession): Unit =
+    assignSlot.keys.toSeq.filter(_._1 eq s).foreach { k =>
+      assignSlot.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val cents = trainCentroids(s, dir)
     // fanned out (assignCell runs in the scan stage) AND materialized
     // once: the frame feeds the self-join twice plus the member count —
-    // without the checkpoint the K×dim argmax evaluates three times per row
+    // without the materialization the K×dim argmax evaluates three times
+    // per row. persist(MEMORY_AND_DISK) + eager count, not
+    // localCheckpoint: same one-evaluation effect, but lineage survives —
+    // at cluster scale an executor loss recomputes the blocks instead of
+    // failing the query (r21 verdict #7) — and unpersist actually frees
+    // the blocks.
+    releaseSemanticAssign(s)
     val assign = Tables.fanOut(vectors(s, dir).withColumn("u", unitCol))
       .withColumn("cell", assignCell(cents))
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assignSlot.put((s, dir), assign)
+    assign.count() // materialize once, before the three readers
     val pairs = assign.as("a")
       .join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -556,8 +586,10 @@ object AnnQueries {
   private[operators] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir), {
       // fanned out before the persist: the SRP projection runs in the scan
-      // stage, and every consumer then reads parallel cached partitions
-      Tables.fanOut(vectors(s, dir))
+      // stage, and every consumer then reads parallel cached partitions.
+      // costFactor: 680 hyperplane dot products over 64 dims per row is
+      // ~40 k flops per input row — well above the wire-codec class.
+      Tables.fanOut(vectors(s, dir), costFactor = 4)
         .select(col("vec_id"), col("v"), col("norm"),
           posexplode(graft.functions.VectorOps.srpBuckets(
             col("v"), flatWeights, Dim, Bands, BandBits)).as(Seq("band", "bucket")))

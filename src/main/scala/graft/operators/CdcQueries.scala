@@ -677,9 +677,26 @@ object CdcQueries {
       sums = Seq("price_cents" -> price, "key_dec" -> keyDec),
       mins = Seq("price_cents" -> price),
       maxs = Seq("price_cents" -> price))
-    val st = Seq((b0, cur0), (b1, cur1), (b2, cur2))
-      .foldLeft(agg.init(s)) { case (state, (batch, cur)) =>
-        agg.step(state, batch, cur)
+    // r22: the three per-batch deltas are computed in ONE checkpointed
+    // job (a step-tagged union) instead of one delta job per step, and
+    // the fold rides the maintainer seam (stepMerge) because the
+    // synthesized batches are statically truncate-free — this removes the
+    // three per-step truncate probes (each a scan of the batch) and two
+    // of the three delta-scan jobs. Result-identical: delta's measures
+    // here are BIGINT cents / DECIMAL / longs (exact under any partial-
+    // aggregation order), the union+filter recovers exactly delta(b_i)'s
+    // rows, and stepMerge is step() minus the truncate branch these
+    // batches never took. The per-step merge checkpoints stay (the dirty
+    // probe and the next step read group-cardinality state, not re-run
+    // deltas).
+    val allD = Seq(b0, b1, b2).map(agg.delta).zipWithIndex
+      .map { case (d, i) => d.withColumn("_step", lit(i)) }
+      .reduce(_.unionByName(_))
+      .localCheckpoint()
+    val st = Seq((0, cur0), (1, cur1), (2, cur2))
+      .foldLeft(agg.init(s)) { case (state, (i, cur)) =>
+        agg.stepMerge(state,
+          allD.filter(col("_step") === i).drop("_step"), cur)
       }
     // maintained count(DISTINCT o_custkey) rides the same churn through
     // the refcount state — updates keep the custkey (net-zero refcount

@@ -107,7 +107,10 @@ object DedupQueries {
     * recall-safe index; the Hamming filter is the precision gate.
     */
   def simhashBanding(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.fanOut(Tables.documents(s, dir))
+    // costFactor: the SimHash signature hashes every token of every
+    // document in the scan stage — well above the wire-codec CPU-per-byte
+    // class the fan-out target is calibrated for.
+    val sig = Tables.fanOut(Tables.documents(s, dir), costFactor = 4)
       .select(col("doc_id"), SimHash.simhash(tokens(col("text"))).as("sig"))
     def bandKey(j: Int): Column = shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))
     val bands = sig.select(col("doc_id"), col("sig"),

@@ -361,7 +361,10 @@ object LakeQueries {
     // build is fixed-job-overhead-bound (~1-3 s per refresh regardless
     // of rows), so sequencing seven cursors serially was paying that
     // overhead seven times over (r17 verdict ask #4: bound prep_mv).
-    ph("mv_seed_wall")(inParallel(
+    // sharedFolds (r22): all five seeds recompute from stateAsOf over the
+    // SAME pinned interval (batch 0) — the scope folds it once, persisted,
+    // instead of once per maintainer
+    ph("mv_seed_wall")(sink.sharedFolds(inParallel(
       () => ph("mv_seed_view")(view.refresh(s)), // full-state seed:
                              // every bucket written once
       () => ph("mv_seed_dist")(dist.refresh(s)), // refcount seed
@@ -370,7 +373,7 @@ object LakeQueries {
                              // order assigned once
       () => ph("mv_seed_lsh")(lsh.refresh(s)),   // signature seed: every
                              // order shingled once
-      () => ph("mv_seed_bm")(bm.refresh(s))))    // tf-posting seed
+      () => ph("mv_seed_bm")(bm.refresh(s)))))   // tf-posting seed
                              // (postings + stats + df)
     ph("mv_compact")(sink.compact(s)) // later recomputes resolve batch 0
                                       // through BASE
@@ -688,9 +691,13 @@ object LakeQueries {
           .unionByName(oenv(orders, "insert", L0 + 50000000L,
             lit(null).cast(mapT), oimg(pCents0))), 0L)
     }
-    ph("mj_seed_join")(join.refresh(s)) // seed: every bucket written once
-    ph("mj_seed_dj")(djoin.refresh(s))  // also emits the seeded output
-                                        // (truncate + inserts)
+    // sharedFolds (r22): both join maintainers seed from stateAsOf of the
+    // SAME two tables over the same pinned interval — fold each table once
+    sink.sharedFolds {
+      ph("mj_seed_join")(join.refresh(s)) // seed: every bucket written once
+      ph("mj_seed_dj")(djoin.refresh(s))  // also emits the seeded output
+                                          // (truncate + inserts)
+    }
     ph("mj_seed_dview")(dview.refresh(s)) // downstream seed from the
                                           // emitted batch
     ph("mj_append12") {

@@ -88,8 +88,13 @@ object MultimodalQueries {
   def mediaObjects(s: SparkSession, dir: String): Dataset[MediaObject] = {
     import s.implicits._
     import graft.functions.MediaGen
+    // costFactor: the kernel SYNTHESIZES payloads far larger than its
+    // input rows (PNG/GIF buffers scale with doc_id-derived dimensions,
+    // not input bytes), so per-input-byte CPU sits an order of magnitude
+    // above the wire-codec class the fan-out target is calibrated for.
     graft.operators.Tables.fanOut(
-        Tables.documents(s, dir).select("doc_id", "text", "source"))
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        costFactor = 8)
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (id, text, source) =>

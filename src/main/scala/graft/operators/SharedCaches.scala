@@ -49,6 +49,7 @@ object SharedCaches {
     AnnQueries.releaseSignatures(s)
     AnnQueries.releaseCentroids(s)
     AnnQueries.releasePqCodebooks(s)
+    AnnQueries.releaseSemanticAssign(s)
     DedupQueries.releaseClusterLabels(s)
     DedupQueries.releaseStreamingFlags(s)
     CurationQueries.releaseTrainVocab(s)

@@ -63,8 +63,12 @@ object ShingleSets {
   private def build(s: SparkSession, dir: String, n: Int): DataFrame =
     // fanned out (Tables.fanOut): documents is one unsplittable row group,
     // and the shingling loop below is exactly the per-row CPU a single
-    // scan task would serialize across every dedup consumer
-    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+    // scan task would serialize across every dedup consumer. costFactor:
+    // shingling re-hashes every n-gram of every token — roughly an order
+    // of magnitude more CPU per input byte than the wire-codec class the
+    // fan-out target is calibrated for (r21 A/B: width 8 beat both 1 and
+    // 32 for every consumer of this cache).
+    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"), costFactor = 8)
       .mapPartitions { it =>
       it.flatMap { r =>
         val toks = r.getString(1).split("\\s+", -1)

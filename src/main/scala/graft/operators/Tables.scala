@@ -23,23 +23,59 @@ object Tables {
       if (acc.columns.contains(c)) acc.withColumn(c, col(c).cast(t)) else acc
     }
 
-  /** Fan a narrow scan out to the session's parallelism before CPU-heavy
-    * per-row work. The test corpus is single-row-group parquet (one file,
-    * one row group per table — TESTDATA.md), which parquet cannot split:
-    * every scan plans ONE task, so map-side work (wire encode/decode,
-    * shingling, tokenization, regex scans) serializes on one core however
-    * many the session has. This is the optimization guide's "unsplittable
-    * input" case (§2.5): repartition right after the read. No-op when the
-    * scan already carries comparable parallelism (a real multi-file table
-    * at 100 TB), so the extra exchange exists only where the input could
-    * not parallelize anyway; round-robin keeps sizes even, and Spark's
+  /** Fan a narrow scan out before CPU-heavy per-row work. The test corpus
+    * is single-row-group parquet (one file, one row group per table —
+    * TESTDATA.md), which parquet cannot split: every scan plans ONE task,
+    * so map-side work (wire encode/decode, shingling, tokenization, regex
+    * scans) serializes on one core however many the session has. This is
+    * the optimization guide's "unsplittable input" case (§2.5):
+    * repartition right after the read. No-op when the scan already carries
+    * comparable parallelism (a real multi-file table at 100 TB), so the
+    * extra exchange exists only where the input could not parallelize
+    * anyway; round-robin keeps sizes even, and Spark's
     * sort-before-repartition (on by default) keeps the placement
     * deterministic under task retries. Apply AFTER projecting the needed
     * columns so the exchange carries only what the consumer reads.
+    *
+    * The width is SIZE-AWARE (r21 verdict #1): `defaultParallelism` alone
+    * turned a 5 k-row table into 32 partitions of ~150 rows, and the
+    * per-task overhead made the 32-core bench slower than the 8-core run
+    * on every consumer of the persisted fan-out artifacts. Width =
+    * `min(defaultParallelism, ceil(estimatedBytes / targetBytes))`, so
+    * tiny inputs get a few tasks, big unsplittable inputs still get the
+    * full parallelism, and the persisted artifacts built behind this call
+    * (shingle/trigram caches, LSH signatures, PQ codes) inherit a
+    * size-appropriate partition count instead of 32 near-empty ones. The
+    * target is per-task INPUT bytes for a CPU-heavy kernel, not the
+    * guide's 128 MB shuffle-partition target: fanOut's contract is
+    * "CPU-heavy per-row work follows", where ~256 KB of input is already
+    * ~0.1-1 s of task work (shingling, wire codecs measure 1-10 MB/s per
+    * core here) — two orders of magnitude above the per-task overhead.
+    * Overridable per session via `spark.graft.fanout.targetPartitionBytes`
+    * for kernels whose cost-per-byte is wildly different.
     */
-  def fanOut(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
+  def fanOut(df: DataFrame, costFactor: Int = 1): DataFrame = {
+    val want = fanWidth(df, costFactor)
     if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
+  }
+
+  /** The size-derived fan-out width for `df` (see [[fanOut]]): bounded by
+    * the session's parallelism, floored at 1, derived from the optimizer's
+    * size estimate so no job runs. `costFactor` scales the estimate for
+    * kernels whose CPU-per-byte is far above the wire-codec class the
+    * default target is calibrated for (e.g. shingling re-hashes every
+    * 8-gram of every document: ~an order of magnitude more work per input
+    * byte). Exposed so builders of PERSISTED artifacts can coalesce a
+    * frame computed at training width down to the width its readers
+    * should pay for.
+    */
+  private[graft] def fanWidth(df: DataFrame, costFactor: Int = 1): Int = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val target = spark.conf.getOption("spark.graft.fanout.targetPartitionBytes")
+      .map(_.toLong).getOrElse(256L * 1024)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes * costFactor
+    ((bytes + target - 1) / target).min(cores).max(1).toInt
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

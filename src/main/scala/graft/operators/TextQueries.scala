@@ -221,8 +221,12 @@ object TextQueries {
         StructField("c", LongType, nullable = false)))
       // fanned out — the imperative trigram kernel is the scan-stage CPU
       // (prep_trigram_counts ~1.2-1.8 s single-task, ~0.6-1.4 s fanned),
-      // and consumers then read parallel cached partitions
-      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "lang", "text"))
+      // and consumers then read parallel cached partitions. costFactor:
+      // per-character trigram hashing is the same CPU-per-byte class as
+      // shingling (see ShingleSets), an order of magnitude above the
+      // wire-codec class the default target is calibrated for.
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "lang", "text"),
+          costFactor = 8)
         .mapPartitions { it =>
           it.flatMap { r =>
             val t = r.getString(2).toLowerCase(java.util.Locale.ROOT)
@@ -327,8 +331,9 @@ object TextQueries {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
     // fanned out — the row-local top-count transform is O(distinct x n)
     // per doc and the heaviest scan-stage kernel here (BenchOne A/B:
-    // 0.76 s fanned vs 1.05 s plain)
-    Tables.fanOut(Tables.documents(s, dir))
+    // 0.76 s fanned vs 1.05 s plain); costFactor: O(distinct×n) per doc
+    // is the shingling CPU-per-byte class
+    Tables.fanOut(Tables.documents(s, dir), costFactor = 8)
       .select(col("lang"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("n_toks", size(col("toks")).cast("long"))

@@ -128,12 +128,28 @@ final class LakeSink(
       case _ => Seq.empty
     }
     f.mkdirs(commitDir)
-    val out = f.create(marker, true)
-    try out.write((TruncMetaMagic +: truncLines).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // The marker is written ATOMICALLY (temp + rename, r21 advice): a
+    // create-then-write marker could be seen existing-but-empty or torn
+    // mid-number by a concurrent reader — an empty read memoizes the
+    // scan-fallback forever, and a torn one could parse a WRONG truncate
+    // position. Rename makes the marker appear with its full content;
+    // existence semantics (the commit signal) are unchanged, and the
+    // ".tmp" sibling never parses as a batch id. Names containing the
+    // TAB/NEWLINE delimiters cannot be framed unambiguously — such a
+    // batch writes a legacy (empty) marker so every reader takes the
+    // maxTruncate scan fallback instead of attributing a phantom
+    // position to the wrong table.
+    val framable =
+      truncLines.forall(l => l.count(_ == '\t') == 3 && !l.contains('\n'))
+    val content =
+      if (framable) (TruncMetaMagic +: truncLines).mkString("\n") else ""
+    writeStringAtomic(f, marker, content)
     // a cleared-then-reused batch id (clearSnapshot + re-export) must not
-    // serve the previous marker's memoized metadata
+    // serve the previous marker's memoized metadata. (Reuse safety across
+    // OTHER live instances rests on clearSnapshot being a re-bootstrap-
+    // class operation — see [[Maintainer.refreshCoherent]]'s scaladoc —
+    // and on snapshot envelopes carrying no truncate rows, so a stale
+    // memoized None/parse cannot change any fold's supersession point.)
     markerMeta.remove(batchId)
     ()
   }
@@ -351,13 +367,18 @@ final class LakeSink(
     val m = readManifest(f)
     val wm = m.map(_.watermark).getOrElse(Long.MinValue)
     val lo = m.map(_.minFolded).getOrElse(Long.MinValue)
-    val tail = keyedEvents(changelogOutside(spark, lo, wm)
+    // ONE commit-log listing serves both the tail read and the marker
+    // metadata (r21 advice): two listings let a truncate-bearing batch
+    // committing in between put its truncate position into truncAt while
+    // its rows are absent from the tail — the fold would wipe prior rows
+    // without the replacements, a state that never existed.
+    val tailIds = committedBatchIds(spark).filter(id => id < lo || id > wm)
+    val tail = keyedEvents(changelogOf(spark, tailIds)
         .filter(col("schema") === schemaName && col("table") === table))
       .drop("schema", "table")
     // BASE holds no truncate rows (they fold away), so the tail alone
     // determines the supersession point — read from the batch markers'
     // metadata (no Spark job); pre-metadata markers fall back to the scan.
-    val tailIds = committedBatchIds(spark).filter(id => id < lo || id > wm)
     val truncAt = markerTruncates(f, tailIds, schemaName, table)
       .getOrElse(maxTruncate(tail))
     val all = baseFor(spark, m, schemaName, table)
@@ -408,6 +429,55 @@ final class LakeSink(
         * be re-validated.
         */
       restrictToImmutable: Option[(Column => Column, DataFrame)] = None): DataFrame = {
+    // Inside a [[sharedFolds]] scope, UNRESTRICTED folds of one pinned
+    // interval are computed once and served persisted: a pinned
+    // (asOf, floor) fold is content-deterministic (append-only log,
+    // immutable manifests), so N independent consumers seeding over the
+    // same span — the five-maintainer group folds the SAME interval five
+    // times otherwise (r21 verdict #5... the group-refresh ask) — share
+    // one shuffle instead of five. Restricted folds stay uncached (their
+    // key frames differ per caller).
+    if (foldScopeDepth.get > 0 && restrictToKeys.isEmpty &&
+        restrictToImmutable.isEmpty)
+      foldCache.computeIfAbsent((schemaName, table, asOf, floor), _ => {
+        val df = stateAsOfUncached(spark, schemaName, table, asOf, floor,
+          None, None).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize once; concurrent seeders then read blocks
+        df
+      })
+    else stateAsOfUncached(spark, schemaName, table, asOf, floor,
+      restrictToKeys, restrictToImmutable)
+  }
+
+  /** Scoped memo for [[sharedFolds]] — unrestricted pinned-interval folds
+    * only; cleared (and unpersisted) when the outermost scope exits.
+    */
+  private val foldCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long, Long), DataFrame]()
+  private val foldScopeDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `body` with unrestricted [[stateAsOf]] folds memoized per pinned
+    * interval — the GROUP-REFRESH seam: several maintainers seeding over
+    * one lake span (each folds the same `[floor, asOf]`) share one
+    * materialized fold instead of shuffling the table once per consumer.
+    * Sound because a pinned interval's fold is content-deterministic;
+    * bounded because the scope releases every cached fold on exit (persist
+    * keeps lineage, so a block lost mid-scope recomputes). Reentrant.
+    */
+  def sharedFolds[T](body: => T): T = {
+    foldScopeDepth.incrementAndGet()
+    try body
+    finally if (foldScopeDepth.decrementAndGet() == 0) {
+      foldCache.values.forEach(_.unpersist(false))
+      foldCache.clear()
+    }
+  }
+
+  private def stateAsOfUncached(
+      spark: SparkSession, schemaName: String, table: String,
+      asOf: Long, floor: Long,
+      restrictToKeys: Option[DataFrame],
+      restrictToImmutable: Option[(Column => Column, DataFrame)]): DataFrame = {
     require(restrictToKeys.isEmpty || restrictToImmutable.isEmpty,
       "restrictToKeys and restrictToImmutable are mutually exclusive")
     val f = fs(spark)
@@ -459,8 +529,14 @@ final class LakeSink(
           s"chosen base fold [$lo, $wm] that vacuum has deleted — that " +
           "history is no longer retained (retain more manifests or vacuum " +
           "with keepLast)")
-    val env = changelogOutside(spark, lo, wm)
-      .filter(col("batch_id") <= asOf && col("batch_id") >= floor)
+    // ONE commit-log listing (the `committed` pull the retention check
+    // already took) serves both the tail read and the marker metadata —
+    // same read-atomicity reasoning as [[latestState]]: a truncate-bearing
+    // batch committing between two listings must not contribute its
+    // truncate position without its rows.
+    val tailIds = committed.filter(id =>
+      (id < lo || id > wm) && id <= asOf && id >= floor)
+    val env = changelogOf(spark, tailIds)
       .filter(col("schema") === schemaName && col("table") === table)
     val tail0 = keyedEvents(env).drop("schema", "table")
     // truncate detection stays on the UNRESTRICTED tail: truncates carry
@@ -468,8 +544,6 @@ final class LakeSink(
     // may drop truncate rows freely — foldImages only reads them through
     // the `truncAt` position computed here). Marker metadata first (no
     // Spark job), scan fallback for pre-metadata markers.
-    val tailIds = committed.filter(id =>
-      (id < lo || id > wm) && id <= asOf && id >= floor)
     val truncAt = markerTruncates(f, tailIds, schemaName, table)
       .getOrElse(maxTruncate(tail0))
     // `restrictToKeys` (a single-column `k` frame spelled like the fold
