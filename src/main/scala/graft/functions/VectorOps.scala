@@ -251,10 +251,41 @@ case class SrpProjections(child: Expression, weights: Array[Double], dim: Int)
   override def prettyName: String = "srp_projections"
 }
 
+/** A double constant carried through the codegen REFERENCE table instead
+  * of the generated source text. A plain `Literal(1.234)` bakes its value
+  * into the generated Java, so two otherwise-identical plans differing
+  * only in such a scalar produce different source and miss the codegen
+  * cache — the k-means training loop re-Janino-compiled a fresh
+  * literal-centroid plan EVERY Lloyd iteration for exactly this reason
+  * (the centroid ARRAYS already ride the reference table; only their
+  * scalar norms were source-baked). Deliberately non-foldable: constant
+  * folding would collapse it right back into a source-baked literal.
+  * Value semantics are exactly `lit(value)` — same double, same ops.
+  */
+case class RefDouble(value: Double) extends
+    org.apache.spark.sql.catalyst.expressions.LeafExpression {
+  override def foldable: Boolean = false // folding would re-bake the source
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = value
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("refDouble",
+      java.lang.Double.valueOf(value), "java.lang.Double")
+    ExprCode.forNonNullValue(
+      org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .expression(s"$ref.doubleValue()", DoubleType))
+  }
+}
+
 object VectorOps {
   /** Column API: codegen'd dot product of two array<float|double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: a double constant that keeps generated source stable
+    * across plans differing only in the constant — see [[RefDouble]].
+    */
+  def refDouble(v: Double): Column = ColumnBridge.column(RefDouble(v))
 
   /** Column API: all LSH band buckets of a vector in one codegen'd pass. */
   def srpBuckets(v: Column, weights: Array[Double], dim: Int,

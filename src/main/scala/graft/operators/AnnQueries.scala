@@ -93,7 +93,14 @@ object AnnQueries {
   private def assignCell(cents: Array[(Int, Array[Double])]): Column = {
     val entries = cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("u"), typedLit(c.toSeq)) / cn).as("csim"), lit(-cid).as("ncid"))
+      // the norm rides the codegen reference table (RefDouble), not the
+      // source text: every Lloyd iteration (and every consumer of the
+      // final centroids) then generates IDENTICAL source — the centroid
+      // arrays were already reference-table literals — so the Janino
+      // cache serves one compiled plan instead of re-compiling a
+      // ~K×dim-term projection per iteration. Same double, same ops.
+      struct((dot(col("u"), typedLit(c.toSeq)) /
+        graft.functions.VectorOps.refDouble(cn)).as("csim"), lit(-cid).as("ncid"))
     }
     (-array_max(array(entries.toIndexedSeq: _*)).getField("ncid")).cast("int")
   }
@@ -243,7 +250,9 @@ object AnnQueries {
   private def assignCode(x: Column, codewords: Array[Array[Double]]): Column = {
     val entries = codewords.zipWithIndex.map { case (c, i) =>
       val cn2 = c.map(v => v * v).sum
-      struct((dot(x, typedLit(c.toSeq)) * 2 - cn2).as("s"), lit(-(i + 1)).as("ncid"))
+      // ‖c‖² rides the codegen reference table — see assignCell's note
+      struct((dot(x, typedLit(c.toSeq)) * 2 -
+        graft.functions.VectorOps.refDouble(cn2)).as("s"), lit(-(i + 1)).as("ncid"))
     }
     (-array_max(array(entries.toIndexedSeq: _*)).getField("ncid")).cast("int")
   }

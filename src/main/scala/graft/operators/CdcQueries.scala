@@ -346,7 +346,10 @@ object CdcQueries {
       col("o_orderdate").cast(org.apache.spark.sql.types.TimestampNTZType)
         .as("o_orderdate"),
       col("o_orderpriority"))
-    val envelope = Tables.fanOut(orders).mapPartitions { it =>
+    // costFactor: the kernel frames every row through the full pgoutput
+    // encode+decode round trip — r22 A/B: the plain byte-derived width
+    // regressed this family while widths ≥ ~20 matched r21's numbers
+    val envelope = Tables.fanOut(orders, costFactor = 4).mapPartitions { it =>
       val tsFmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
       val assembler = new TransactionAssembler()
@@ -575,8 +578,13 @@ object CdcQueries {
     val out = StructType(Seq(
       StructField("prefix", StringType), StructField("is_text", BooleanType),
       StructField("content_len", LongType)))
+    // costFactor: same pgoutput encode+decode class as cdcTypedView —
+    // the byte-derived width (5) regressed this query 0.9 → 1.2-1.7 s in
+    // the r22 interleaved A/B; the kernel cost scales with rows, not the
+    // narrow projected bytes
     val events = Tables.fanOut(
-      Tables.events(s, dir).select("event_id", "user_id", "event_type"))
+      Tables.events(s, dir).select("event_id", "user_id", "event_type"),
+      costFactor = 4)
     val decoded = events.mapPartitions { it =>
       val assembler = new TransactionAssembler()
       var lsn = 10L
@@ -692,7 +700,9 @@ object CdcQueries {
     val allD = Seq(b0, b1, b2).map(agg.delta).zipWithIndex
       .map { case (d, i) => d.withColumn("_step", lit(i)) }
       .reduce(_.unionByName(_))
-      .localCheckpoint()
+      // LAZY: step 0's dirty probe scans every partition (its batch is
+      // insert-only, nothing is dirty) and materializes the checkpoint
+      .localCheckpoint(eager = false)
     val st = Seq((0, cur0), (1, cur1), (2, cur2))
       .foldLeft(agg.init(s)) { case (state, (i, cur)) =>
         agg.stepMerge(state,

@@ -205,11 +205,15 @@ final class IncrementalAgg(
       .otherwise(nNew).as("n")
     // materialize the merged state (group cardinality — small) so the
     // dirty-group probe below and the caller's reads don't re-run the
-    // delta+join, and so state lineage doesn't chain across steps
+    // delta+join, and so state lineage doesn't chain across steps.
+    // LAZY (r22): the dirty probe (or the caller's first action) is the
+    // materializing job — the eager form spent a dedicated per-step job
+    // on a group-cardinality frame, and q_ivm's fold is job-latency-bound
+    // (28 single-task jobs)
     val stepped = merged
       .select(g ++ Seq(nChecked) ++ sumCols ++ minCols ++ maxCols :+ dirty: _*)
       .filter(col("n") =!= 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     if (mins.isEmpty && maxs.isEmpty) stepped.drop("_dirty")
     else {

@@ -913,17 +913,37 @@ final class MaintainedDeltaJoin(
             seedAll(spark, f, key, needEmit)
             ops.recordSpan(spanRows, spanRows, totalSlices, 0)
           } else {
-            val dlF = sideDelta(span, left, leftKey, keepNullJk = outerL)
+            // ONE job materializes BOTH side deltas (each scans the same
+            // span; two separate checkpoints scheduled it twice), and ONE
+            // bounded collect (≤ 2 rows) serves every emptiness probe —
+            // dl, dr, and each outer side's preserved-delta — replacing
+            // four driver-side isEmpty jobs (r21 verdict #5: ref_dj is
+            // per-action-latency-bound). The per-side frames filter the
+            // checkpointed union, so values are bit-identical: sideDelta
+            // aggregates per side BEFORE the union, and the tag filter
+            // recovers exactly its rows.
+            val dBoth = sideDelta(span, left, leftKey, keepNullJk = outerL)
+              .withColumn("_sd", lit("l"))
+              .unionByName(sideDelta(span, right, rightKey,
+                keepNullJk = outerR).withColumn("_sd", lit("r")))
               .localCheckpoint()
-            val drF = sideDelta(span, right, rightKey, keepNullJk = outerR)
-              .localCheckpoint()
+            val dlF = dBoth.filter(col("_sd") === "l").drop("_sd")
+            val drF = dBoth.filter(col("_sd") === "r").drop("_sd")
             val dl = if (outerL) dlF.filter(col("jk").isNotNull) else dlF
             val dr = if (outerR) drF.filter(col("jk").isNotNull) else drF
             // empty-delta short-circuits: a span churning only one side
             // must not pay the OTHER side's fold for guaranteed-empty
-            // terms (driver-side isEmpty on the checkpointed deltas)
-            val dlEmpty = dl.isEmpty
-            val drEmpty = dr.isEmpty
+            // terms. (When a side keeps null jks, its non-null count is
+            // the filtered frame's emptiness; otherwise all == non-null.)
+            val emptyStats = dBoth.groupBy("_sd").agg(
+              count(lit(1)).as("all"),
+              sum(when(col("jk").isNotNull, 1L).otherwise(0L)).as("nn"))
+              .collect().map(r => r.getString(0) ->
+                (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+            val dlEmpty = emptyStats.get("l").forall(_._2 == 0L)
+            val drEmpty = emptyStats.get("r").forall(_._2 == 0L)
+            val dlAllEmpty = emptyStats.get("l").forall(_._1 == 0L)
+            val drAllEmpty = emptyStats.get("r").forall(_._1 == 0L)
             // span-gauge totals across the pair state AND the outer
             // companions (ADVICE r19: companion maintenance and
             // replay-repair spans must be observable) — one recordSpan
@@ -960,7 +980,9 @@ final class MaintainedDeltaJoin(
                     first(col("right_after"), ignoreNulls = true).as("right_after"),
                     sum(col("dn")).as("dn"))
                   .filter(col("dn") =!= 0L)
-                  .localCheckpoint()
+                  // LAZY: the per-slice planning collect (or the emitted
+                  // batch write on an emit-only replay) materializes it
+                  .localCheckpoint(eager = false)
               }
             if (needPairs) {
               // bounded planning pull: ≤ stateBuckets × subBuckets rows
@@ -987,7 +1009,8 @@ final class MaintainedDeltaJoin(
               val (du, dDirty, dRw, dCa) = refreshOuterSide(spark, f, key, from,
                 counts = rcounts.get, nulls = lnulls.get,
                 nullsSchema = lnullSchema,
-                preservedDelta = dlF, otherDelta = dr, otherEmpty = drEmpty,
+                preservedDelta = dlF, preservedEmpty = dlAllEmpty,
+                otherDelta = dr, otherEmpty = drEmpty,
                 preservedAsOf = jks => sideAsOf(spark, left, leftKey, key._2,
                   key._1, leftKeyIsRowKey, leftKeyImmutable, jks),
                 kName = "lk", hName = "lh", imgName = "left_after",
@@ -999,7 +1022,8 @@ final class MaintainedDeltaJoin(
               val (du, dDirty, dRw, dCa) = refreshOuterSide(spark, f, key, from,
                 counts = lcounts.get, nulls = rnulls.get,
                 nullsSchema = rnullSchema,
-                preservedDelta = drF, otherDelta = dl, otherEmpty = dlEmpty,
+                preservedDelta = drF, preservedEmpty = drAllEmpty,
+                otherDelta = dl, otherEmpty = dlEmpty,
                 preservedAsOf = jks => sideAsOf(spark, right, rightKey, key._2,
                   key._1, rightKeyIsRowKey, rightKeyImmutable, jks),
                 kName = "rk", hName = "rh", imgName = "right_after",
@@ -1051,15 +1075,20 @@ final class MaintainedDeltaJoin(
     // and the checkpoint spills to local disk; a lost-executor failure
     // just re-runs the seed (the span replays). Plain inner seeds
     // evaluate each fold once — left lazy.
+    // LAZY: the first consuming commit's write job materializes each
+    // fold; later consumers read the cached blocks (the eager form spent
+    // two dedicated whole-fold jobs before any commit)
     val (lF, rF) =
-      if (outerL || outerR || emit) (lF0.localCheckpoint(), rF0.localCheckpoint())
+      if (outerL || outerR || emit)
+        (lF0.localCheckpoint(eager = false), rF0.localCheckpoint(eager = false))
       else (lF0, rF0)
     val l = if (outerL) lF.filter(col("jk").isNotNull) else lF
     val r = if (outerR) rF.filter(col("jk").isNotNull) else rF
     // an emitting seed consumes each frame TWICE (its commit and the
-    // emitted batch) — checkpoint so the join/anti-join runs once
+    // emitted batch) — checkpoint so the join/anti-join runs once.
+    // LAZY: the commit's write job materializes; the emit reads blocks
     def once(df: DataFrame): DataFrame =
-      if (emit) df.localCheckpoint() else df
+      if (emit) df.localCheckpoint(eager = false) else df
     val pairsFull = once(paired(l, r, lit(1L)))
     // unmatched companions in the GENERIC (jk, k, h, img, dn) shape the
     // emission shares; renamed per side at commit
@@ -1138,7 +1167,8 @@ final class MaintainedDeltaJoin(
       key: (Long, Long), from: (Long, Long),
       counts: BucketedStateLog, nulls: BucketedStateLog,
       nullsSchema: org.apache.spark.sql.types.StructType,
-      preservedDelta: DataFrame, otherDelta: DataFrame, otherEmpty: Boolean,
+      preservedDelta: DataFrame, preservedEmpty: Boolean,
+      otherDelta: DataFrame, otherEmpty: Boolean,
       preservedAsOf: Option[DataFrame] => DataFrame,
       kName: String, hName: String, imgName: String,
       needDu: Boolean): (Option[DataFrame], Long, Int, Int) = {
@@ -1153,16 +1183,21 @@ final class MaintainedDeltaJoin(
           "different configuration; rebuild under a new name"))
     val cPrev = tornPrev(counts)
     val nPrev = tornPrev(nulls)
-    val pEmpty = preservedDelta.isEmpty
+    // emptiness rides the caller's fused delta-stats collect — this was a
+    // per-side driver isEmpty job
+    val pEmpty = preservedEmpty
 
     // the other side's telescoped per-jk COUNT delta (an updated row's
     // −old/+new nets to zero — only genuine row count changes survive)
     val cDelta =
       if (otherEmpty) None
       else {
+        // LAZY checkpoint + count: the count materializes the checkpoint
+        // and answers the emptiness probe in ONE job (eager + isEmpty
+        // was two)
         val cd = otherDelta.groupBy("jk").agg(sum(col("s")).as("dn"))
-          .filter(col("dn") =!= 0L).localCheckpoint()
-        if (cd.isEmpty) None else Some(cd)
+          .filter(col("dn") =!= 0L).localCheckpoint(eager = false)
+        if (cd.count() == 0L) None else Some(cd)
       }
 
     // ONE bucket-planning collect (≤ stateBuckets rows, tagged by
@@ -1198,11 +1233,13 @@ final class MaintainedDeltaJoin(
     // the nulls commit, no emission): mergedCounts carries its own
     // negative guard.
     val flips = (if (needNulls || needDu) cDelta else None).map { cd =>
+      // LAZY checkpoint: the flip-count aggregate right below is the
+      // materializing action (eager spent a dedicated job on it)
       cd.join(oldCounts.withColumnRenamed("n", "_old"),
           Seq("jk"), "left_outer")
         .select(col("jk"), coalesce(col("_old"), lit(0L)).as("old_n"),
           (coalesce(col("_old"), lit(0L)) + col("dn")).as("new_n"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val (nToMatched, nToUnmatched) = flips match {
       case None => (0L, 0L)
@@ -1275,13 +1312,14 @@ final class MaintainedDeltaJoin(
         val parts = duParts.result()
         if (parts.isEmpty) None
         else {
+          // LAZY checkpoint + count — same one-job fusion as cDelta's
           val du0 = parts.reduce(_ unionByName _)
             .groupBy("jk", "k", "h")
             .agg(first(col("img"), ignoreNulls = true).as("img"),
               sum(col("dn")).as("dn"))
             .filter(col("dn") =!= 0L)
-            .localCheckpoint()
-          if (du0.isEmpty) None else Some(du0)
+            .localCheckpoint(eager = false)
+          if (du0.count() == 0L) None else Some(du0)
         }
       }
 

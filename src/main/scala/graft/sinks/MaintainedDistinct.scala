@@ -367,7 +367,9 @@ final class MaintainedDistinct(
               (0 until stateBuckets).toSet, None, key)
             ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
           } else {
-            val d = dist.delta(events).localCheckpoint()
+            // LAZY: the per-slice planning collect right below is the
+            // materializing action (eager spent a dedicated job)
+            val d = dist.delta(events).localCheckpoint(eager = false)
             // bounded planning pull: ≤ stateBuckets × subBuckets rows —
             // per-(bucket, sub) counts give the dirty slice set AND the
             // delta's (group, value) cardinality (the dirty-keys gauge)
@@ -504,8 +506,12 @@ final class MaintainedDistinct(
     checkFp(f, adoptIfAbsent = false)
     states.latest(f).map { key =>
       val restrict = restrictFor(key)
+      // LAZY: both exceptAll branches below run in ONE action — the first
+      // task to need a partition computes and caches it (the checkpoint's
+      // MEMORY_AND_DISK level registers at mark time), the other reads;
+      // the eager form spent a dedicated whole-recompute job first
       val want = dist.recomputeAll(
-        currentAsOf(spark, key, restrict.map(_._1))).localCheckpoint()
+        currentAsOf(spark, key, restrict.map(_._1))).localCheckpoint(eager = false)
       val got0 = states.read(spark, key, stateSchema(spark))
       val got = restrict.fold(got0)(r => got0.filter(r._2))
       // both directions of the symmetric difference in ONE action,

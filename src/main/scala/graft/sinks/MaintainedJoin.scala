@@ -402,10 +402,12 @@ final class MaintainedJoin(
           ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
         } else {
           // materialized: feeds the bucket probe, both recompute
-          // restrictions, and the splice's anti join below
+          // restrictions, and the splice's anti join below. LAZY: the
+          // per-bucket planning collect right below is the materializing
+          // action (eager spent a dedicated job)
           val touched = touchedKeys(span, left, leftKey)
             .union(touchedKeys(span, right, rightKey)).distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           val preservesLeft =
             joinType == "left_outer" || joinType == "full_outer"
           val preservesRight =

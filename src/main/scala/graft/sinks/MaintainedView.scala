@@ -244,7 +244,9 @@ final class MaintainedView(
               (0 until stateBuckets).toSet, None, key)
             ops.recordSpan(spanRows, spanRows, stateBuckets, 0)
           } else {
-            val d = agg.delta(events).localCheckpoint()
+            // LAZY: the per-bucket planning collect right below is the
+            // materializing action (eager spent a dedicated job)
+            val d = agg.delta(events).localCheckpoint(eager = false)
             // bounded planning pull: ≤ stateBuckets rows — per-bucket
             // counts give the touched set AND the delta's group
             // cardinality (the dirty-keys gauge) in the one job the

@@ -30,6 +30,11 @@ object ProfileProbe {
         .write.format("noop").mode("overwrite").save()
       case "lake" => graft.operators.LakeQueries.lakeState(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // the shared-cache preps, probe-addressable so k-means/codegen cost
+      // decomposes (caches released between the warm and measured pass)
+      case p if p.startsWith("prep_") =>
+        graft.operators.SharedCaches.entries.toMap.apply(p)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
       case q => graft.SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
