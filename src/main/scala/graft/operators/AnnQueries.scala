@@ -90,17 +90,26 @@ object AnnQueries {
     * expression, no join, no shuffle — the 100-TB assignment is a bare
     * projection over the corpus scan.
     */
-  private def assignCell(cents: Array[(Int, Array[Double])]): Column = {
+  private def assignCell(cents: Array[(Int, Array[Double])],
+      refNorms: Boolean = false): Column = {
     val entries = cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      // the norm rides the codegen reference table (RefDouble), not the
-      // source text: every Lloyd iteration (and every consumer of the
-      // final centroids) then generates IDENTICAL source — the centroid
-      // arrays were already reference-table literals — so the Janino
-      // cache serves one compiled plan instead of re-compiling a
-      // ~K×dim-term projection per iteration. Same double, same ops.
-      struct((dot(col("u"), typedLit(c.toSeq)) /
-        graft.functions.VectorOps.refDouble(cn)).as("csim"), lit(-cid).as("ncid"))
+      // refNorms (TRAINING LOOP ONLY): the norm rides the codegen
+      // reference table (RefDouble), not the source text — every Lloyd
+      // iteration then generates IDENTICAL source (the centroid arrays
+      // were already reference-table literals) and the Janino cache
+      // serves one compiled plan instead of re-compiling a ~K×dim-term
+      // projection per iteration (r22: prep_pq_index per-run spread
+      // collapsed 4.0-6.8 s → 4.13-4.15 s). Consumers of the FINAL
+      // centroids keep source-baked literal norms: they compile once per
+      // session anyway, and the interleaved A/B measured the
+      // reference-load form ~0.2 s SLOWER on q_ann_ivf's per-row
+      // assignment (1.85/1.65/1.67 vs 2.17/1.92/1.89 across alternating
+      // runs; BenchOne warm 1.31/1.07 vs 1.48/1.26/1.49). Same double,
+      // same ops, same tie construction either way.
+      val cnCol = if (refNorms) graft.functions.VectorOps.refDouble(cn) else lit(cn)
+      struct((dot(col("u"), typedLit(c.toSeq)) / cnCol).as("csim"),
+        lit(-cid).as("ncid"))
     }
     (-array_max(array(entries.toIndexedSeq: _*)).getField("ncid")).cast("int")
   }
@@ -170,7 +179,7 @@ object AnnQueries {
     val dimAvgs = (0 until Dim).map(i =>
       round(avg(element_at(col("u"), i + 1)), 6).as(s"w$i"))
     for (_ <- 1 to IvfIters) {
-      val means = vn.withColumn("cell", assignCell(cents))
+      val means = vn.withColumn("cell", assignCell(cents, refNorms = true))
         .groupBy("cell").agg(dimAvgs.head, dimAvgs.tail: _*)
         .collect()
       val byCell = means.map(r => r.getInt(0) -> r).toMap
@@ -247,12 +256,16 @@ object AnnQueries {
     * max of (2·x·c − ‖c‖², −code) — ‖x‖² is constant per row so it drops
     * out of the comparison; ties go to the lowest code id.
     */
-  private def assignCode(x: Column, codewords: Array[Array[Double]]): Column = {
+  private def assignCode(x: Column, codewords: Array[Array[Double]],
+      refNorms: Boolean = false): Column = {
     val entries = codewords.zipWithIndex.map { case (c, i) =>
       val cn2 = c.map(v => v * v).sum
-      // ‖c‖² rides the codegen reference table — see assignCell's note
-      struct((dot(x, typedLit(c.toSeq)) * 2 -
-        graft.functions.VectorOps.refDouble(cn2)).as("s"), lit(-(i + 1)).as("ncid"))
+      // refNorms: ‖c‖² rides the codegen reference table in the TRAINING
+      // loop only — see assignCell's note
+      val cn2Col =
+        if (refNorms) graft.functions.VectorOps.refDouble(cn2) else lit(cn2)
+      struct((dot(x, typedLit(c.toSeq)) * 2 - cn2Col).as("s"),
+        lit(-(i + 1)).as("ncid"))
     }
     (-array_max(array(entries.toIndexedSeq: _*)).getField("ncid")).cast("int")
   }
@@ -300,7 +313,8 @@ object AnnQueries {
           round(avg(element_at(col("x"), i + 1)), 6).as(s"w$i"))
         for (_ <- 1 to PqIters) {
           val parts = (0 until PqM).map(m =>
-            struct(lit(m).as("m"), assignCode(subCol(m), books(m)).as("code"),
+            struct(lit(m).as("m"),
+              assignCode(subCol(m), books(m), refNorms = true).as("code"),
               subCol(m).as("x")))
           val means = vn.select(explode(array(parts: _*)).as("p"))
             .select(col("p.m").as("m"), col("p.code").as("code"), col("p.x").as("x"))
